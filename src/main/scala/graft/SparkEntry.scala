@@ -1,13 +1,464 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.bgp._
+import graft.dict.Dictionary
+import graft.ops.TextOps
+import graft.store.TripleStore
+
+/** Driver contract — one named query per implemented operator
+  * (SURVEY.md §2 inventory + the training-data-pipeline extensions), each
+  * with a DuckDB-equivalent oracle in `oracleSql` where SQL can express it.
+  *
+  * Conventions shared by query and oracle so results hash-compare:
+  *   - every output column is aliased identically on both sides;
+  *   - rows are fully ordered (ORDER BY all columns, NULLS FIRST);
+  *   - money sums go through integer cents (`round(x*100)::bigint`) so the
+  *     sum is order-independent and bit-exact across engines;
+  *   - timestamps are formatted to strings.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, d: String, n: String) = Tables.load(s, d, n)
+
+  /** Order-independent exact money sum: integer cents, divided back. */
+  private def centsSum(c: Column): Column =
+    sum(round(c * 100, 0).cast("long"))
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * A chain BGP over the triple-ized testdata — the reference's core
+    * capability (LUBM-style chain, SURVEY §2.2 J1) on the Spark engine.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val sfDir = "/root/testdata/sf0.001"
+    val triples = TripleStore.tableTriples(spark, sfDir)
+    Bgp.compile(spark, triples, Seq(
+      TriplePattern(V("c"), C("nationkey"), V("n")),
+      TriplePattern(V("n"), C("regionkey"), V("r")),
+      TriplePattern(V("r"), C("name"), C("ASIA"))))
+  }
+
+  // ---- BGP engine (SURVEY §2.2 J1-J9) --------------------------------
+
+  /** J1: 3-pattern chain customer->nation->region (LUBM-chain shape). */
+  private def bgpChain(s: SparkSession, d: String): DataFrame = {
+    val triples = TripleStore.tableTriples(s, d)
+    Bgp.compile(s, triples, Seq(
+      TriplePattern(V("c"), C("a"), C("Customer")),
+      TriplePattern(V("c"), C("nationkey"), V("n")),
+      TriplePattern(V("n"), C("regionkey"), V("r")),
+      TriplePattern(V("r"), C("name"), C("ASIA"))))
+      .orderBy("c", "n", "r")
+  }
+
+  /** J1: star query on orders (multiple patterns sharing one subject). */
+  private def bgpStar(s: SparkSession, d: String): DataFrame = {
+    val triples = TripleStore.tableTriples(s, d)
+    Bgp.compile(s, triples, Seq(
+      TriplePattern(V("o"), C("a"), C("Order")),
+      TriplePattern(V("o"), C("orderstatus"), C("F")),
+      TriplePattern(V("o"), C("custkey"), V("c")),
+      TriplePattern(V("c"), C("mktsegment"), C("BUILDING"))))
+      .orderBy("o", "c")
+  }
+
+  /** J5: BGP count (2-hop join count, no enumeration to the driver). */
+  private def bgpCount(s: SparkSession, d: String): DataFrame = {
+    val triples = TripleStore.tableTriples(s, d)
+    val df = Bgp.compile(s, triples, Seq(
+      TriplePattern(V("l"), C("orderkey"), V("o")),
+      TriplePattern(V("o"), C("custkey"), V("c"))))
+    df.agg(count(lit(1)).as("cnt"))
+  }
+
+  /** J8/D1-D3: same chain through the FULL dictionary pipeline —
+    * encode triples to xxhash64 ids, BGP-join on longs, decode only the
+    * projected variables (the reference's lazy-decode discipline, U5).
+    */
+  private def bgpEncoded(s: SparkSession, d: String): DataFrame = {
+    val triples = TripleStore.tableTriples(s, d)
+    val terms = triples.select(col("s").as("term"))
+      .unionAll(triples.select(col("p")))
+      .unionAll(triples.select(col("o")))
+    val dict = Dictionary.build(terms).cache()
+    val enc = Seq("s", "p", "o").foldLeft(triples)((df, c) => Dictionary.encode(df, dict, c))
+    val ids = Dictionary.lookup(dict,
+      Seq("a", "Customer", "nationkey", "regionkey", "name", "ASIA"))
+    if (ids.size < 6) return s.emptyDataFrame
+    val res = Bgp.compile(s, enc, Seq(
+      TriplePattern(V("c"), C(ids("a")), C(ids("Customer"))),
+      TriplePattern(V("c"), C(ids("nationkey")), V("n")),
+      TriplePattern(V("n"), C(ids("regionkey")), V("r")),
+      TriplePattern(V("r"), C(ids("name")), C(ids("ASIA")))))
+    Seq("c", "n", "r").foldLeft(res)((df, c) => Dictionary.decode(df, dict, c))
+      .select("c", "n", "r").orderBy("c", "n", "r")
+  }
+
+  // ---- Relational operator surface (SURVEY §2.4/§2.6) ----------------
+
+  /** Hash aggregation with multiple measures (TPC-H Q1 shape). */
+  private def q1Agg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .where(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        (centsSum(col("l_quantity")) / 100.0).as("sum_qty"),
+        (centsSum(col("l_extendedprice")) / 100.0).as("sum_base_price"),
+        (centsSum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))) / 100.0).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Multi-way join + aggregation (revenue by nation). */
+  private def joinAgg(s: SparkSession, d: String): DataFrame = {
+    val o = t(s, d, "orders")
+    val c = t(s, d, "customer")
+    val n = t(s, d, "nation")
+    o.join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .groupBy("n_name")
+      .agg((centsSum(col("o_totalprice")) / 100.0).as("revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("n_name")
+  }
+
+  /** Sort + limit (top-k; Catalyst compiles to TakeOrderedAndProject). */
+  private def sortLimit(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      .select("o_orderkey", "o_totalprice")
+      .limit(10)
+
+  /** Window function: top-2 orders per customer by totalprice. */
+  private def windowRank(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, d, "orders")
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= 2)
+      .select("o_custkey", "o_orderkey", "rk")
+      .orderBy("o_custkey", "rk", "o_orderkey")
+  }
+
+  /** Running window aggregate (frame: unbounded preceding to current). */
+  private def windowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, d, "orders")
+      .withColumn("run_cents", sum(round(col("o_totalprice") * 100, 0).cast("long")).over(w))
+      .select(col("o_custkey"), col("o_orderkey"),
+        (col("run_cents") / 100.0).as("running_total"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Left-semi join (EXISTS; the reference's existence checks J2). */
+  private def semiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").where(col("o_orderstatus") === "F")
+      .select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_semi")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Left-anti join (NOT EXISTS). */
+  private def antiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").select(col("o_custkey").as("c_custkey"))
+    c.join(o, Seq("c_custkey"), "left_anti")
+      .select("c_custkey", "c_name").orderBy("c_custkey")
+  }
+
+  /** Left-outer join (SPARQL OPTIONAL analog): every customer, order count
+    * where present, 0 otherwise.
+    */
+  private def outerJoin(s: SparkSession, d: String): DataFrame = {
+    val c = t(s, d, "customer")
+    val o = t(s, d, "orders").groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("cnt"))
+    c.join(o, Seq("c_custkey"), "left")
+      .select(col("c_custkey"), coalesce(col("cnt"), lit(0L)).as("n_orders"))
+      .orderBy("c_custkey")
+  }
+
+  /** Set ops: INTERSECT / EXCEPT (UNION ALL is U1, exercised everywhere). */
+  private def setIntersect(s: SparkSession, d: String): DataFrame = {
+    val building = t(s, d, "customer").where(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey").as("k"))
+    val withOrders = t(s, d, "orders").select(col("o_custkey").as("k"))
+    building.intersect(withOrders).orderBy("k")
+  }
+
+  private def setExcept(s: SparkSession, d: String): DataFrame = {
+    val all = t(s, d, "customer").select(col("c_custkey").as("k"))
+    val withOrders = t(s, d, "orders").select(col("o_custkey").as("k"))
+    all.except(withOrders).orderBy("k")
+  }
+
+  /** DISTINCT (SPARQL modifier; delegated-to-Jena class in the reference). */
+  private def distinctQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select("o_orderstatus", "o_orderpriority")
+      .distinct().orderBy("o_orderstatus", "o_orderpriority")
+
+  /** GROUP BY ROLLUP (grouping sets). */
+  private def rollupQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Scalar string/math functions over part. */
+  private def scalarFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+      col("p_partkey"),
+      upper(col("p_brand")).as("brand_u"),
+      substring(col("p_name"), 1, 8).as("name8"),
+      length(col("p_name")).as("name_len"),
+      (col("p_size") % 7).as("size_mod"),
+      concat(col("p_brand"), lit("/"), col("p_type")).as("brand_type"))
+      .orderBy("p_partkey")
+
+  /** Date functions over orders (year/month buckets). */
+  private def dateFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy(year(col("o_orderdate")).as("y"), month(col("o_orderdate")).as("m"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("y", "m")
+
+  /** Aggregate breadth: min/max/avg/count-distinct. */
+  private def aggStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        (centsSum(col("l_quantity")) / 100.0 / count(lit(1))).as("avg_qty"),
+        countDistinct(col("l_suppkey")).as("n_supp"))
+      .orderBy("l_returnflag")
+
+  /** Ordered string aggregation (GROUP_CONCAT analog). */
+  private def stringAgg(s: SparkSession, d: String): DataFrame =
+    t(s, d, "nation")
+      .groupBy("n_regionkey")
+      .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+      .orderBy("n_regionkey")
+
+  /** CASE/conditional expressions + filtering. */
+  private def caseExpr(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") >= 200000, "big")
+        .when(col("o_totalprice") >= 100000, "mid")
+        .otherwise("small").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .orderBy("bucket")
+
+  // ---- Training-data pipeline: text analysis -------------------------
+
+  /** Exact dedup: keep the lowest doc_id per identical text. */
+  private def dedupExact(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents")
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+      .select("doc_id", "n_copies")
+      .orderBy("doc_id")
+
+  /** Text statistics: chars, alnum tokens, whitespace words. */
+  private def textStats(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"),
+      length(col("text")).as("n_char"),
+      TextOps.tokenCount(col("text")).as("n_tokens"),
+      TextOps.wordCount(col("text")).as("n_words"))
+      .orderBy("doc_id")
+
+  /** Language ID heuristic (rows-only oracle: heuristic, not SQL). */
+  private def langIdQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"), TextOps.langId(col("text")).as("pred_lang"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Quality scoring (rows-only: composite heuristic). */
+  private def qualityQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+      .orderBy("doc_id")
+
+  /** Content fingerprint via xxhash64 (rows-only: Spark-specific hash). */
+  private def fingerprintQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "documents").select(
+      col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+      .orderBy("doc_id")
+
+  // ---- Events / time-series ------------------------------------------
+
+  /** Tumbling-window aggregation over the events stream table (batch run
+    * of the Structured-Streaming-shaped plan).
+    */
+  private def eventsWindow(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"),
+        (centsSum(col("value")) / 100.0).as("sum_value"))
+      .select(date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("cnt"), col("sum_value"))
+      .orderBy("window_start", "event_type")
+
+  // ---------------------------------------------------------------------
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bgp_chain" -> (bgpChain _),
+    "q_bgp_star" -> (bgpStar _),
+    "q_bgp_count" -> (bgpCount _),
+    "q_bgp_encoded" -> (bgpEncoded _),
+    "q1_agg" -> (q1Agg _),
+    "q_join_agg" -> (joinAgg _),
+    "q_sort_limit" -> (sortLimit _),
+    "q_window_rank" -> (windowRank _),
+    "q_window_running" -> (windowRunning _),
+    "q_semi_join" -> (semiJoin _),
+    "q_anti_join" -> (antiJoin _),
+    "q_outer_join" -> (outerJoin _),
+    "q_set_intersect" -> (setIntersect _),
+    "q_set_except" -> (setExcept _),
+    "q_distinct" -> (distinctQ _),
+    "q_rollup" -> (rollupQ _),
+    "q_scalar_funcs" -> (scalarFuncs _),
+    "q_date_funcs" -> (dateFuncs _),
+    "q_agg_stats" -> (aggStats _),
+    "q_string_agg" -> (stringAgg _),
+    "q_case_expr" -> (caseExpr _),
+    "q_dedup_exact" -> (dedupExact _),
+    "q_text_stats" -> (textStats _),
+    "q_lang_id" -> (langIdQ _),
+    "q_quality" -> (qualityQ _),
+    "q_fingerprint" -> (fingerprintQ _),
+    "q_events_window" -> (eventsWindow _)
+  )
+
+  /** DuckDB oracles. The triple-ized BGP queries translate back to joins
+    * over the base tables ('table:key' IRIs rebuilt with ||).
+    */
+  def oracleSql: Map[String, String] = Map(
+    "q_bgp_chain" ->
+      """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
+        |       'region:' || n_regionkey AS r
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY c, n, r""".stripMargin,
+    "q_bgp_star" ->
+      """SELECT 'order:' || o_orderkey AS o, 'customer:' || o_custkey AS c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+        |ORDER BY o, c""".stripMargin,
+    "q_bgp_count" ->
+      "SELECT count(*) AS cnt FROM lineitem JOIN orders ON l_orderkey = o_orderkey",
+    "q_bgp_encoded" ->
+      """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
+        |       'region:' || n_regionkey AS r
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY c, n, r""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0 AS sum_qty,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_base_price,
+        |  sum(CAST(round(l_extendedprice*(1.0-l_discount)*100) AS BIGINT))/100.0 AS sum_disc_price,
+        |  count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_join_agg" ->
+      """SELECT n_name,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))/100.0 AS revenue,
+        |  count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q_sort_limit" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10""".stripMargin,
+    "q_window_rank" ->
+      """SELECT o_custkey, o_orderkey, rk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 2
+        |ORDER BY o_custkey, rk, o_orderkey""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |  sum(CAST(round(o_totalprice*100) AS BIGINT))
+        |    OVER (PARTITION BY o_custkey ORDER BY o_orderkey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0
+        |    AS running_total
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "q_outer_join" ->
+      """SELECT c_custkey, coalesce(cnt, 0) AS n_orders
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS cnt FROM orders GROUP BY o_custkey
+        |) ON o_custkey = c_custkey
+        |ORDER BY c_custkey""".stripMargin,
+    "q_set_intersect" ->
+      """SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+    "q_set_except" ->
+      """SELECT c_custkey AS k FROM customer
+        |EXCEPT SELECT o_custkey AS k FROM orders ORDER BY k""".stripMargin,
+    "q_distinct" ->
+      """SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+        |ORDER BY o_orderstatus, o_orderpriority""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_scalar_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u,
+        |  substring(p_name, 1, 8) AS name8,
+        |  CAST(length(p_name) AS INT) AS name_len,
+        |  p_size % 7 AS size_mod,
+        |  p_brand || '/' || p_type AS brand_type
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y,
+        |  CAST(EXTRACT(MONTH FROM o_orderdate) AS INT) AS m, count(*) AS cnt
+        |FROM orders GROUP BY 1, 2 ORDER BY y, m""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag, min(l_quantity) AS min_qty,
+        |  max(l_quantity) AS max_qty,
+        |  sum(CAST(round(l_quantity*100) AS BIGINT))/100.0/count(*) AS avg_qty,
+        |  count(DISTINCT l_suppkey) AS n_supp
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_string_agg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "q_case_expr" ->
+      """SELECT CASE WHEN o_totalprice >= 200000 THEN 'big'
+        |  WHEN o_totalprice >= 100000 THEN 'mid' ELSE 'small' END AS bucket,
+        |  count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_text_stats" ->
+      """SELECT doc_id, CAST(length(text) AS INT) AS n_char,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
+        |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_events_window" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  event_type, count(*) AS cnt,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+  )
 }

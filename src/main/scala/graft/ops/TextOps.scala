@@ -1,0 +1,111 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines.
+  * All column-level, built from codegen'd built-ins (no UDFs), so they
+  * pipeline inside whole-stage codegen and scale linearly with input —
+  * no shuffle unless the caller aggregates.
+  */
+object TextOps {
+
+  /** Tokens = maximal alnum runs (a BPE-ish, language-neutral proxy). */
+  def tokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[A-Za-z0-9]+"), lit(0)))
+
+  /** Whitespace-word count. */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** Quality heuristics: length, punctuation ratio, stopword ratio,
+    * mean word length. Mirrors common pretraining-corpus filters
+    * (C4/Gopher-style rules) as pure column expressions.
+    */
+  val stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "it",
+    "that", "for", "on", "with", "as", "at", "by", "be", "this")
+
+  def stopwordCount(text: Column): Column = {
+    val pat = "(?i)\\b(" + stopwords.mkString("|") + ")\\b"
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  def punctCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\.,;:!\\?]"), lit(0)))
+
+  /** Composite quality score in [0,1]: penalize very short docs, high
+    * punctuation density, zero stopwords (word-salad indicator).
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / lit(64.0), lit(1.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 4.0)
+    val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
+    val stopScore = least(stopRatio * 5.0, lit(1.0))
+    round((lenScore + punctScore + stopScore) / 3.0, 4)
+  }
+
+  /** Language-ID by stopword-marker voting: argmax over languages of the
+    * count of language-characteristic tokens (an n-gram-free heuristic that
+    * stays codegen'd; a real model would slot in as a mapInPandas/ONNX
+    * stage). Ties break by language code order (deterministic).
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "that", "with", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "es" -> Seq("el", "la", "los", "que", "y", "es", "una", "por"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour", "dans"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不"))
+
+  def langScore(text: Column, lang: String): Column = {
+    val pat = "(?i)(^|\\s)(" + langMarkers(lang).mkString("|") + ")(\\s|$|[\\.,;:!\\?])"
+    size(regexp_extract_all(text, lit(pat), lit(0)))
+  }
+
+  def langId(text: Column): Column = {
+    val langs = langMarkers.keys.toSeq.sorted
+    val scored = langs.map(l => struct(langScore(text, l).as("score"), lit(l).as("lang")))
+    // argmax: sort (score asc, lang desc) and take the last element
+    val best = element_at(array_sort(array(scored: _*),
+      (a, b) => when(a("score") < b("score"), -1)
+        .when(a("score") > b("score"), 1)
+        .otherwise(when(a("lang") > b("lang"), -1).when(a("lang") < b("lang"), 1).otherwise(0))), -1)
+    when(best("score") > 0, best("lang")).otherwise(lit("und"))
+  }
+
+  /** Document fingerprint: xxhash64 of the normalized text (lowercased,
+    * whitespace-collapsed) — the exact-dedup key. A content-derived id,
+    * like the reference dictionary's xxhash64 ids (`Dictionary.scala:34-37`).
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(normalize(text))
+
+  def normalize(text: Column): Column =
+    regexp_replace(lower(trim(text)), "\\s+", " ")
+
+  /** Character n-gram shingles of the normalized text (for Jaccard /
+    * MinHash). Returns array<string>; distinct shingles.
+    */
+  def shingles(text: Column, n: Int = 5): Column = {
+    val norm = normalize(text)
+    val len = length(norm)
+    array_distinct(
+      filter(
+        transform(sequence(lit(1), greatest(len - (n - 1), lit(1))),
+          i => substring(norm, i, lit(n))),
+        s => length(s) === n))
+  }
+
+  /** Word n-grams (for n-gram Jaccard dedup). */
+  def wordNgrams(text: Column, n: Int = 3): Column = {
+    val words = split(TextOps.normalize(text), " ")
+    val cnt = size(words)
+    array_distinct(
+      filter(
+        transform(sequence(lit(0), greatest(cnt - n, lit(0))),
+          i => concat_ws(" ", slice(words, i + 1, lit(n)))),
+        s => size(split(s, " ")) === n))
+  }
+}

@@ -1,0 +1,138 @@
+package graft.store
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Triple-izer + triple storage layout.
+  *
+  * The reference stores RDF triples under all 8 S/P/O binding patterns in
+  * LMDB (`core/src/main/scala/com/graphula/index/Index.scala:62-78`) so any
+  * wildcard lookup is an index scan. Spark replaces that physical index with
+  * ONE triples relation + declarative filters: Catalyst pushes the bound
+  * positions down to the parquet scan, and a predicate-partitioned layout
+  * (`partitionBy("p")`) gives partition pruning for the dominant
+  * `(?, p, ?)` access path — the analog of the `(0,p,0)` index.
+  *
+  * `tableTriples` un-pivots the driver's relational testdata into edges
+  * (see /root/repo/FIXTURES.md §3) so BGP queries have a DuckDB-SQL oracle:
+  * subject = "<table>:<pk>", predicate = column name, object = either a
+  * "<reftable>:<fk>" IRI or a stable string rendering of the value. Only
+  * stably-stringifiable columns participate (strings, ints, dates) — doubles
+  * stay in the relational layer where FILTER semantics are typed (SURVEY
+  * §7.4).
+  */
+object TripleStore {
+
+  /** Un-pivot one table: subject from `pk`, one (p, o) edge per listed
+    * column per row. Null objects emit no edge (RDF has no NULL).
+    */
+  private def unpivot(df: DataFrame, subjPrefix: String, pk: Seq[String],
+                      edges: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+    val subj = concat(lit(subjPrefix + ":"),
+      concat_ws("-", pk.map(c => col(c).cast("string")): _*))
+    edges.map { case (p, oCol) =>
+      df.select(subj.as("s"), lit(p).as("p"), oCol.cast("string").as("o"))
+        .where(col("o").isNotNull)
+    }.reduce(_.unionAll(_))
+  }
+
+  private def iri(prefix: String, c: String) =
+    concat(lit(prefix + ":"), col(c).cast("string"))
+
+  /** The edge schema over the driver testdata. Chain:
+    * lineitem -> orders -> customer -> nation -> region, plus part/supplier
+    * stars — the same chain/star shapes as the reference's LUBM queries.
+    */
+  def tableTriples(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = (n: String) => Tables.load(spark, sfDir, n)
+    val parts = Seq(
+      unpivot(t("region"), "region", Seq("r_regionkey"), Seq(
+        "a" -> lit("Region"),
+        "name" -> col("r_name"))),
+      unpivot(t("nation"), "nation", Seq("n_nationkey"), Seq(
+        "a" -> lit("Nation"),
+        "name" -> col("n_name"),
+        "regionkey" -> iri("region", "n_regionkey"))),
+      unpivot(t("customer"), "customer", Seq("c_custkey"), Seq(
+        "a" -> lit("Customer"),
+        "name" -> col("c_name"),
+        "mktsegment" -> col("c_mktsegment"),
+        "nationkey" -> iri("nation", "c_nationkey"))),
+      unpivot(t("supplier"), "supplier", Seq("s_suppkey"), Seq(
+        "a" -> lit("Supplier"),
+        "name" -> col("s_name"),
+        "nationkey" -> iri("nation", "s_nationkey"))),
+      unpivot(t("part"), "part", Seq("p_partkey"), Seq(
+        "a" -> lit("Part"),
+        "name" -> col("p_name"),
+        "brand" -> col("p_brand"),
+        "type" -> col("p_type"),
+        "size" -> col("p_size"))),
+      unpivot(t("orders"), "order", Seq("o_orderkey"), Seq(
+        "a" -> lit("Order"),
+        "custkey" -> iri("customer", "o_custkey"),
+        "orderstatus" -> col("o_orderstatus"),
+        "orderpriority" -> col("o_orderpriority"),
+        "orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd"))),
+      unpivot(t("lineitem"), "lineitem", Seq("l_orderkey", "l_linenumber"), Seq(
+        "a" -> lit("Lineitem"),
+        "orderkey" -> iri("order", "l_orderkey"),
+        "partkey" -> iri("part", "l_partkey"),
+        "suppkey" -> iri("supplier", "l_suppkey"),
+        "returnflag" -> col("l_returnflag"),
+        "linestatus" -> col("l_linestatus")))
+    )
+    parts.reduce(_.unionAll(_))
+  }
+
+  /** Parse N-Triples text lines into (s, p, o) term strings — the analog of
+    * the reference's NxParser-based loader (`Sparql.scala:78-113`), as a
+    * distributed `spark.read.text` + regex parse. Handles the LUBM subset:
+    * `<iri> <iri> (<iri>|"literal"[@lang|^^<type>]|_:blank) .`
+    */
+  def parseNTriples(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+    val re = "^\\s*(<[^>]*>|_:\\S+)\\s+(<[^>]*>)\\s+(.*?)\\s*\\.\\s*$"
+    lines
+      .where(length(trim(col("value"))) > 0 && !trim(col("value")).startsWith("#"))
+      .select(
+        regexp_extract(col("value"), re, 1).as("s_raw"),
+        regexp_extract(col("value"), re, 2).as("p_raw"),
+        regexp_extract(col("value"), re, 3).as("o_raw"))
+      .where(col("s_raw") =!= "")
+      .select(cleanTerm(col("s_raw")).as("s"), cleanTerm(col("p_raw")).as("p"),
+        cleanTerm(col("o_raw")).as("o"))
+  }
+
+  /** Strip <> from IRIs; keep literals (with quotes) and blank nodes as-is —
+    * mirrors the reference's string-serialized term convention
+    * (`Transformations.scala:17-23`).
+    */
+  private def cleanTerm(c: org.apache.spark.sql.Column) =
+    when(c.startsWith("<") && c.endsWith(">"), regexp_replace(c, "^<|>$", ""))
+      .otherwise(c)
+
+  /** Per-predicate statistics — the plan-time analog of the reference's O(1)
+    * exact index cardinalities (`Index.valueCount`, `Index.scala:121-131`).
+    * count = pattern (?, p, ?); ndvS/ndvO estimate bound-position
+    * selectivity: card(s, p, ?) ~= count / ndvS.
+    * At 100 TB this is one pass, persisted alongside the triples table.
+    */
+  def predicateStats(triples: DataFrame): DataFrame =
+    triples.groupBy("p").agg(
+      count(lit(1)).as("cnt"),
+      approx_count_distinct(col("s")).as("ndv_s"),
+      approx_count_distinct(col("o")).as("ndv_o"))
+
+  /** Persist triples predicate-partitioned — partition pruning then serves
+    * the `(?, p, ?)` / `(s, p, ?)` / `(?, p, o)` access paths the way the
+    * LMDB key patterns did, and min/max row-group stats on s/o serve the
+    * rest. Sorting within partitions maximizes parquet stats effectiveness.
+    */
+  def persist(triples: DataFrame, path: String): Unit =
+    triples
+      .repartition(col("p"))
+      .sortWithinPartitions("s", "o")
+      .write.mode("overwrite").partitionBy("p").parquet(path)
+}
