@@ -27,4 +27,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Throughput GC for batch analytics: with very large heaps (the bench
+  // host has 128 GiB), G1's default tuning caused multi-second pauses and
+  // run-to-run degradation; ParallelGC + a bounded young gen is stable.
+  "-XX:+UseParallelGC",
+  "-Xmn4g",
 )

@@ -76,24 +76,70 @@ object SparkEntry {
   /** J8/D1-D3: same chain through the FULL dictionary pipeline —
     * encode triples to xxhash64 ids, BGP-join on longs, decode only the
     * projected variables (the reference's lazy-decode discipline, U5).
+    *
+    * Scale shape: one aggregate pass certifies the term universe is
+    * collision-free, after which encode is a pure codegen'd projection (no
+    * dictionary join — content-derived ids need no coordination), the BGP
+    * runs as long-key equi-joins, and decode pays a single pass over the
+    * s/o term universe semi-filtered down to the (small) result ids.
     */
+  private def gcMillis: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime).sum
+  }
+
+  private def prof[T](label: String)(f: => T): T = {
+    if (!sys.env.contains("GRAFT_PROF")) f
+    else {
+      val t0 = System.nanoTime()
+      val g0 = gcMillis
+      val r = f
+      System.err.println(f"[graft-prof] $label%-24s ${(System.nanoTime() - t0) / 1e9}%8.2f s  gc=${(gcMillis - g0) / 1000.0}%6.2f s")
+      r
+    }
+  }
+
   private def bgpEncoded(s: SparkSession, d: String): DataFrame = {
-    val triples = TripleStore.tableTriples(s, d)
-    val terms = triples.select(col("s").as("term"))
-      .unionAll(triples.select(col("p")))
-      .unionAll(triples.select(col("o")))
-    val dict = Dictionary.build(terms).cache()
-    val enc = Seq("s", "p", "o").foldLeft(triples)((df, c) => Dictionary.encode(df, dict, c))
-    val ids = Dictionary.lookup(dict,
+    // Ingest: ONE scan of the source tables materializes the string triple
+    // store; dictionary build (distinct + collision certificate) and the
+    // encoded triples table both read the materialized store, not the raw
+    // tables. At cluster scale these are persisted parquet, written once.
+    val triples = prof("triple scan")(
+      TripleStore.tableTriples(s, d, exploded = true).localCheckpoint(true))
+    val terms = triples.select(explode(array(col("s"), col("p"), col("o"))).as("term"))
+    // Collision certificate: one aggregate pass. With it, encode is a pure
+    // codegen'd projection and constants hash driver-side — no dictionary
+    // relation materializes at all on this path.
+    val pureHash = prof("collision cert")(Dictionary.collisionFree(terms))
+    val enc = prof("enc materialize")((
+      if (pureHash) Dictionary.encodeByHash(triples, Seq("s", "p", "o"))
+      else { // rare path: full dictionary with escape ids
+        val dict = Dictionary.build(terms)
+        Seq("s", "p", "o").foldLeft(triples)((df, c) => Dictionary.encode(df, dict, c))
+      }
+    ).localCheckpoint(true))
+    val ids = Dictionary.hashLiterals(s,
       Seq("a", "Customer", "nationkey", "regionkey", "name", "ASIA"))
-    if (ids.size < 6) return s.emptyDataFrame
-    val res = Bgp.compile(s, enc, Seq(
+    // Query: BGP joins over long keys; result is small — pin it so decode
+    // reads it instead of re-running the join tree.
+    val res = prof("bgp joins")(Bgp.compile(s, enc, Seq(
       TriplePattern(V("c"), C(ids("a")), C(ids("Customer"))),
       TriplePattern(V("c"), C(ids("nationkey")), V("n")),
       TriplePattern(V("n"), C(ids("regionkey")), V("r")),
       TriplePattern(V("r"), C(ids("name")), C(ids("ASIA")))))
-    Seq("c", "n", "r").foldLeft(res)((df, c) => Dictionary.decode(df, dict, c))
-      .select("c", "n", "r").orderBy("c", "n", "r")
+      .localCheckpoint(true))
+    // Lazy decode (reference `LazyBinding.scala:22-28`): only the ids that
+    // actually appear in the (small) result are ever mapped back — filter
+    // the term stream by the broadcast id set, THEN distinct the remainder.
+    val outIds = res.select(explode(array(col("c"), col("n"), col("r"))).as("id")).distinct()
+    val slim = prof("slim decode dict")(
+      terms.select(Dictionary.termHash(col("term")).as("id"), col("term"))
+        .join(broadcast(outIds), Seq("id"), "left_semi")
+        .distinct().localCheckpoint(true))
+    prof("decode joins")(
+      Seq("c", "n", "r").foldLeft(res)((df, c) => Dictionary.decode(df, broadcast(slim), c))
+        .select("c", "n", "r").orderBy("c", "n", "r"))
   }
 
   // ---- Relational operator surface (SURVEY §2.4/§2.6) ----------------
@@ -267,7 +313,7 @@ object SparkEntry {
 
   /** Text statistics: chars, alnum tokens, whitespace words. */
   private def textStats(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(
+    Tables.loadPar(s, d, "documents").select(
       col("doc_id"),
       length(col("text")).as("n_char"),
       TextOps.tokenCount(col("text")).as("n_tokens"),
@@ -276,19 +322,19 @@ object SparkEntry {
 
   /** Language ID heuristic (rows-only oracle: heuristic, not SQL). */
   private def langIdQ(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(
+    Tables.loadPar(s, d, "documents").select(
       col("doc_id"), TextOps.langId(col("text")).as("pred_lang"), col("lang"))
       .orderBy("doc_id")
 
   /** Quality scoring (rows-only: composite heuristic). */
   private def qualityQ(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(
+    Tables.loadPar(s, d, "documents").select(
       col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
       .orderBy("doc_id")
 
   /** Content fingerprint via xxhash64 (rows-only: Spark-specific hash). */
   private def fingerprintQ(s: SparkSession, d: String): DataFrame =
-    t(s, d, "documents").select(
+    Tables.loadPar(s, d, "documents").select(
       col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 

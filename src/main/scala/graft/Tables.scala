@@ -16,6 +16,16 @@ object Tables {
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Load + spread across the session's shuffle parallelism. The testdata
+    * files are single-row-group parquet, which is UNSPLITTABLE — without
+    * this, every downstream expression runs in one task per file. Use for
+    * CPU-heavy pipelines (regex/text/vector math/unpivot); at cluster scale
+    * the same guard applies whenever input splits are coarser than cores.
+    */
+  def loadPar(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    load(spark, sfDir, name).repartition(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt)
+
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def customer(s: SparkSession, d: String): DataFrame = load(s, d, "customer")

@@ -1,6 +1,6 @@
 package graft.dict
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -15,12 +15,18 @@ import org.apache.spark.sql.functions._
   *   - ids are content-derived (`xxhash64`, a codegen'd built-in), so two
   *     independent encode jobs agree on ids without coordination — no global
   *     sequence, no driver bottleneck, encode is embarrassingly parallel.
-  *   - collision repair is a window function over ONLY the colliding hash
-  *     groups (expected a handful even at 10^10 distinct terms), so the
-  *     skew-free common path never shuffles more than a distinct().
+  *   - THE FAST PATH IS A PURE EXPRESSION: once `collisionFree` certifies the
+  *     term universe (one aggregate pass), `encode` is just
+  *     `xxhash64(col) & MaxValue` — a projection inside whole-stage codegen,
+  *     no join, no shuffle. At 10^10 distinct terms the probability of any
+  *     63-bit collision is small but not zero; the certificate makes relying
+  *     on it sound instead of hopeful.
+  *   - collision repair (rare path) ranks ONLY the colliding hash groups —
+  *     never a window over the full dictionary.
   *   - decode is a join against the dictionary on demand — the analog of the
   *     reference's lazy per-variable decode (`LazyBinding.scala:22-28`):
-  *     only SELECTed output columns ever pay for it.
+  *     only SELECTed output columns ever pay for it, and `decodeAll` pays a
+  *     single dictionary pass for any number of output columns.
   */
 object Dictionary {
 
@@ -28,25 +34,89 @@ object Dictionary {
   def termHash(c: Column): Column =
     xxhash64(c).bitwiseAND(lit(Long.MaxValue))
 
+  /** Expression-based encode (D1 fast path): replace string columns with
+    * their content-derived ids in one codegen'd projection. Sound whenever
+    * the term universe passed `collisionFree`.
+    */
+  def encodeByHash(df: DataFrame, cols: Seq[String]): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, termHash(col(c))))
+
+  /** One aggregate pass certifying that no two distinct terms share a hash
+    * (the analog of the reference's collision-exception table being empty).
+    * `terms` = any single-string-column DataFrame.
+    *
+    * Screening pass shuffles only (xxhash64, murmur3) LONG pairs — map-side
+    * partial aggregation collapses duplicates before the exchange, and no
+    * strings ever cross the wire. A suspect group (same 64-bit id hash,
+    * >1 distinct 32-bit check hash) triggers the exact string-level check;
+    * a same-id-same-check pair (probability ~2^-95 per pair) would pass the
+    * screen, so the screen alone is not the certificate — but suspects = 0
+    * from the screen means EITHER truly collision-free OR a double
+    * collision, and only the exact fallback path below ever confirms a
+    * positive. For a hard guarantee we re-verify positives exactly.
+    */
+  def collisionFree(terms: DataFrame,
+                    hashExpr: Column => Column = termHash): Boolean = {
+    val col0 = terms.columns.head
+    val t = terms.select(col(col0).cast("string").as("term"))
+      .where(col("term").isNotNull)
+    val suspects = t
+      .groupBy(hashExpr(col("term")).as("h"))
+      .agg(countDistinct(hash(col("term"))).as("n"))
+      .where(col("n") > 1).limit(1).count()
+    if (suspects == 0L) return true
+    // exact fallback: string-level distinct over the (rare) suspect case
+    t.distinct()
+      .groupBy(hashExpr(col("term")).as("h"))
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).limit(1).count() == 0L
+  }
+
+  /** Ids of literal terms without touching any table — one 1-row job.
+    * Valid under the same collision-free certificate as `encodeByHash`.
+    */
+  def hashLiterals(spark: SparkSession, terms: Seq[String]): Map[String, Long] = {
+    if (terms.isEmpty) return Map.empty
+    val cols = terms.zipWithIndex.map { case (t, i) => termHash(lit(t)).as(s"c$i") }
+    val row = spark.range(1).select(cols: _*).head()
+    terms.zipWithIndex.map { case (t, i) => t -> row.getLong(i) }.toMap
+  }
+
   /** Build a dictionary `(id: Long, term: String)` from a single-string-column
-    * DataFrame (D1). Deterministic: collision losers (ordered by term) get
-    * `hash + rank` probe ids, re-checked against the claimed-id set so the
-    * result is collision-free regardless of hash quality. `hashExpr` is
-    * injectable for tests (the reference forces collisions with a
-    * `hash % 10` "terribleHasher"; we do the same).
+    * DataFrame (D1). Fast path: no collisions -> id = hash, one distinct plus
+    * one certifying aggregate. Rare path: deterministic repair over only the
+    * colliding groups — collision losers (ordered by term) get `hash + rank`
+    * probe ids, re-checked against the claimed-id set so the result is
+    * collision-free regardless of hash quality. `hashExpr` is injectable for
+    * tests (the reference forces collisions with a `hash % 10`
+    * "terribleHasher"; we do the same).
     */
   def build(terms: DataFrame, hashExpr: Column => Column = termHash): DataFrame = {
     val col0 = terms.columns.head
+    // Materialize the distinct term set once (eager local checkpoint): the
+    // certificate aggregate, any repair rounds, and every downstream
+    // encode/decode read the materialized set instead of re-shuffling the
+    // raw term stream. At ingest scale this is the dictionary table write.
     val base = terms.select(col(col0).cast("string").as("term"))
       .where(col("term").isNotNull).distinct()
       .withColumn("h", hashExpr(col("term")))
-    // rank within each colliding hash group; rank 1 keeps the hash as id
+      .localCheckpoint(true)
+    val collidedHashes = base.groupBy("h").agg(count(lit(1)).as("n"))
+      .where(col("n") > 1).select("h")
+    if (collidedHashes.limit(1).count() == 0L)
+      return base.select(col("h").as("id"), col("term"))
+
+    // Rare path: rank within each colliding hash group; rank 1 keeps the
+    // hash as id, losers probe. The window runs over ONLY colliding groups.
+    val clean = base.join(collidedHashes, Seq("h"), "left_anti")
+      .select(col("h").as("id"), col("term"), lit(false).as("escaped"))
     val w = Window.partitionBy("h").orderBy("term")
-    var dict = base
+    val dirty = base.join(collidedHashes, Seq("h"), "left_semi")
       .withColumn("rk", row_number().over(w))
       .withColumn("id", when(col("rk") === 1, col("h"))
         .otherwise(pmod(col("h") + col("rk"), lit(Long.MaxValue))))
       .select(col("id"), col("term"), (col("rk") > 1).as("escaped"))
+    var dict = clean.unionAll(dirty)
     // Probe loop: an escape id may itself collide with a claimed id.
     // Each round re-ranks only the still-colliding ids; with a sane hash
     // this loop body never runs (guarded by a cheap count over a tiny set).
@@ -69,9 +139,10 @@ object Dictionary {
   private def clashCount(dict: DataFrame): Long =
     dict.groupBy("id").count().where(col("count") > 1).limit(1).count()
 
-  /** Encode: replace string column `c` with its dictionary id (D1/D2).
-    * Inner join: terms absent from the dictionary drop out, which is the
-    * analog of the reference's dictionary-miss fail-fast (id 0 -> empty).
+  /** Encode: replace string column `c` with its dictionary id via join
+    * (D1/D2 general path — needed only when the dictionary carries escaped
+    * ids). Inner join: terms absent from the dictionary drop out, which is
+    * the analog of the reference's dictionary-miss fail-fast (id 0 -> empty).
     */
   def encode(df: DataFrame, dict: DataFrame, c: String): DataFrame = {
     val d = dict.select(col("term").as(s"__t_$c"), col("id").as(s"__id_$c"))
@@ -91,6 +162,19 @@ object Dictionary {
         coalesce(col(s"__term_$c"), concat(lit("_:"), col(c).cast("string"))))
       .drop(c, s"__i_$c")
       .withColumnRenamed(s"__term_$c", c)
+  }
+
+  /** Decode several id columns of a small-result DataFrame with ONE pass
+    * over the dictionary: semi-filter the dictionary down to the ids that
+    * actually appear (the reference's lazy-decode discipline — only
+    * projected variables pay, `LazyBinding.scala:22-28`), pin the slim
+    * mapping with an eager local checkpoint, then broadcast-join per column.
+    */
+  def decodeAll(df: DataFrame, dict: DataFrame, cols: Seq[String]): DataFrame = {
+    val ids = cols.map(c => df.select(col(c).cast("long").as("id")))
+      .reduce(_.unionAll(_)).distinct()
+    val slim = dict.join(ids, Seq("id"), "left_semi").localCheckpoint(true)
+    cols.foldLeft(df)((d, c) => decode(d, broadcast(slim), c))
   }
 
   /** Driver-side point lookup (D2): ids for a small set of query constants.

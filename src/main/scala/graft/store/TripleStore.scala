@@ -26,15 +26,38 @@ object TripleStore {
 
   /** Un-pivot one table: subject from `pk`, one (p, o) edge per listed
     * column per row. Null objects emit no edge (RDF has no NULL).
+    *
+    * Two physical shapes for the same rows:
+    *   - `exploded = false`: one union branch per edge column. Each pattern
+    *     scan's `p = const` filter constant-folds per branch, so Catalyst
+    *     prunes non-matching branches at PLAN time — the analog of the
+    *     reference picking the right LMDB key pattern. Best for BGP scans.
+    *   - `exploded = true`: ONE scan per table, `explode`-ing an array of
+    *     (p, o) structs. 6x fewer parquet reads for whole-store passes
+    *     (dictionary build, bulk encode) where no predicate prunes anyway.
     */
   private def unpivot(df: DataFrame, subjPrefix: String, pk: Seq[String],
-                      edges: Seq[(String, org.apache.spark.sql.Column)]): DataFrame = {
+                      edges: Seq[(String, org.apache.spark.sql.Column)],
+                      exploded: Boolean = false): DataFrame = {
     val subj = concat(lit(subjPrefix + ":"),
       concat_ws("-", pk.map(c => col(c).cast("string")): _*))
-    edges.map { case (p, oCol) =>
-      df.select(subj.as("s"), lit(p).as("p"), oCol.cast("string").as("o"))
+    if (exploded) {
+      val pairs = array(edges.map { case (p, oCol) =>
+        struct(lit(p).as("p"), oCol.cast("string").as("o"))
+      }: _*)
+      // repartition first: single-row-group input files are unsplittable,
+      // and the concat/explode work below is the expensive part
+      df.repartition(df.sparkSession.conf
+          .get("spark.sql.shuffle.partitions", "32").toInt)
+        .select(subj.as("s"), explode(pairs).as("po"))
+        .select(col("s"), col("po.p").as("p"), col("po.o").as("o"))
         .where(col("o").isNotNull)
-    }.reduce(_.unionAll(_))
+    } else {
+      edges.map { case (p, oCol) =>
+        df.select(subj.as("s"), lit(p).as("p"), oCol.cast("string").as("o"))
+          .where(col("o").isNotNull)
+      }.reduce(_.unionAll(_))
+    }
   }
 
   private def iri(prefix: String, c: String) =
@@ -44,44 +67,45 @@ object TripleStore {
     * lineitem -> orders -> customer -> nation -> region, plus part/supplier
     * stars — the same chain/star shapes as the reference's LUBM queries.
     */
-  def tableTriples(spark: SparkSession, sfDir: String): DataFrame = {
+  def tableTriples(spark: SparkSession, sfDir: String,
+                   exploded: Boolean = false): DataFrame = {
     val t = (n: String) => Tables.load(spark, sfDir, n)
     val parts = Seq(
       unpivot(t("region"), "region", Seq("r_regionkey"), Seq(
         "a" -> lit("Region"),
-        "name" -> col("r_name"))),
+        "name" -> col("r_name")), exploded),
       unpivot(t("nation"), "nation", Seq("n_nationkey"), Seq(
         "a" -> lit("Nation"),
         "name" -> col("n_name"),
-        "regionkey" -> iri("region", "n_regionkey"))),
+        "regionkey" -> iri("region", "n_regionkey")), exploded),
       unpivot(t("customer"), "customer", Seq("c_custkey"), Seq(
         "a" -> lit("Customer"),
         "name" -> col("c_name"),
         "mktsegment" -> col("c_mktsegment"),
-        "nationkey" -> iri("nation", "c_nationkey"))),
+        "nationkey" -> iri("nation", "c_nationkey")), exploded),
       unpivot(t("supplier"), "supplier", Seq("s_suppkey"), Seq(
         "a" -> lit("Supplier"),
         "name" -> col("s_name"),
-        "nationkey" -> iri("nation", "s_nationkey"))),
+        "nationkey" -> iri("nation", "s_nationkey")), exploded),
       unpivot(t("part"), "part", Seq("p_partkey"), Seq(
         "a" -> lit("Part"),
         "name" -> col("p_name"),
         "brand" -> col("p_brand"),
         "type" -> col("p_type"),
-        "size" -> col("p_size"))),
+        "size" -> col("p_size")), exploded),
       unpivot(t("orders"), "order", Seq("o_orderkey"), Seq(
         "a" -> lit("Order"),
         "custkey" -> iri("customer", "o_custkey"),
         "orderstatus" -> col("o_orderstatus"),
         "orderpriority" -> col("o_orderpriority"),
-        "orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd"))),
+        "orderdate" -> date_format(col("o_orderdate"), "yyyy-MM-dd")), exploded),
       unpivot(t("lineitem"), "lineitem", Seq("l_orderkey", "l_linenumber"), Seq(
         "a" -> lit("Lineitem"),
         "orderkey" -> iri("order", "l_orderkey"),
         "partkey" -> iri("part", "l_partkey"),
         "suppkey" -> iri("supplier", "l_suppkey"),
         "returnflag" -> col("l_returnflag"),
-        "linestatus" -> col("l_linestatus")))
+        "linestatus" -> col("l_linestatus")), exploded)
     )
     parts.reduce(_.unionAll(_))
   }
