@@ -501,6 +501,42 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(
+        |        list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |        c -> ascii(c)::BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 4294967296) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_quality" ->
+      """SELECT doc_id, round((
+        |    least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
+        |  + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
+        |      / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
+        |  + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
+        |      / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
+        |) / 3.0, 4) AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_lang_id" ->
+      """WITH s AS (
+        |  SELECT doc_id, lang,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(der|die|das|und|ist|nicht|mit|ein)(\s|$|[\.,;:!\?])')) AS s_de,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(the|and|of|to|is|that|with|for)(\s|$|[\.,;:!\?])')) AS s_en,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(el|la|los|que|y|es|una|por)(\s|$|[\.,;:!\?])')) AS s_es,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(le|la|les|et|est|une|pour|dans)(\s|$|[\.,;:!\?])')) AS s_fr,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(的|是|了|在|我|有|和|不)(\s|$|[\.,;:!\?])')) AS s_zh
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  lang
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS cnt,

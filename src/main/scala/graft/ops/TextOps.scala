@@ -75,12 +75,26 @@ object TextOps {
     when(best("score") > 0, best("lang")).otherwise(lit("und"))
   }
 
-  /** Document fingerprint: xxhash64 of the normalized text (lowercased,
+  /** Polynomial rolling hash over the characters of a string (base 31,
+    * mod 2^32 — the classic Java-style string hash, kept overflow-free in
+    * long arithmetic). Pure higher-order-function pipeline: split ->
+    * transform(ascii) -> aggregate fold, all codegen'd, no UDF. Chosen over
+    * xxhash64 because the identical fold is expressible in ANSI-ish SQL
+    * (DuckDB `list_reduce`), so fingerprints are oracle-checkable.
+    */
+  def polyHash(s: Column): Column =
+    aggregate(
+      transform(filter(split(s, ""), ch => length(ch) === 1),
+        ch => ascii(ch).cast("long")),
+      lit(0L),
+      (acc, x) => (acc * 31 + x) % 4294967296L)
+
+  /** Document fingerprint: rolling hash of the normalized text (lowercased,
     * whitespace-collapsed) — the exact-dedup key. A content-derived id,
-    * like the reference dictionary's xxhash64 ids (`Dictionary.scala:34-37`).
+    * like the reference dictionary's content hashes (`Dictionary.scala:34-37`).
     */
   def fingerprint(text: Column): Column =
-    xxhash64(normalize(text))
+    polyHash(normalize(text))
 
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
