@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.bgp._
 import graft.dict.Dictionary
-import graft.ops.TextOps
+import graft.ops.{DedupOps, TextOps}
 import graft.store.TripleStore
 
 /** Driver contract — one named query per implemented operator
@@ -338,6 +338,35 @@ object SparkEntry {
       col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  // ---- Training-data pipeline: near-duplicate detection ---------------
+
+  /** Exact word-3-gram Jaccard pairs via inverted-index blocking (recall 1). */
+  private def dedupNgram(s: SparkSession, d: String): DataFrame =
+    DedupOps.ngramPairs(Tables.loadPar(s, d, "documents"), threshold = 0.5)
+      .orderBy("doc_a", "doc_b")
+
+  /** MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified at 0.8. */
+  private def dedupMinhash(s: SparkSession, d: String): DataFrame =
+    DedupOps.minhashPairs(Tables.loadPar(s, d, "documents"), threshold = 0.8)
+      .orderBy("doc_a", "doc_b")
+
+  /** 32-bit SimHash fingerprint + same-fingerprint group size. */
+  private def dedupSimhash(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("simhash")
+    Tables.loadPar(s, d, "documents")
+      .select(col("doc_id"), DedupOps.simhash32(col("text")).as("simhash"))
+      .withColumn("n_same", count(lit(1)).over(w))
+      .orderBy("doc_id")
+  }
+
+  /** Connected-components cluster assignment over verified near-dup pairs
+    * (GraphX; cluster id = min doc_id in the component).
+    */
+  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val pairs = DedupOps.ngramPairs(Tables.loadPar(s, d, "documents"), threshold = 0.5)
+    DedupOps.clusters(s, pairs).orderBy("doc_id")
+  }
+
   // ---- Events / time-series ------------------------------------------
 
   /** Tumbling-window aggregation over the events stream table (batch run
@@ -377,12 +406,54 @@ object SparkEntry {
     "q_string_agg" -> (stringAgg _),
     "q_case_expr" -> (caseExpr _),
     "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_events_window" -> (eventsWindow _)
   )
+
+  /** Shared oracle CTE: word-3-gram sets and all-pairs Jaccard over
+    * documents — the brute-force ground truth the blocked/LSH'd Spark
+    * pipelines must reproduce exactly.
+    */
+  private val gramPairsCteBody: String =
+    """ws AS (
+      |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+      |    i -> array_to_string(list_slice(words, i, i+2), ' '))) AS grams
+      |  FROM ws WHERE len(words) >= 3),
+      |p AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    len(list_intersect(a.grams, b.grams))::DOUBLE
+      |      / len(list_distinct(list_concat(a.grams, b.grams))) AS jaccard
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)""".stripMargin
+
+  private val gramPairsCte: String = "WITH " + gramPairsCteBody
+
+  /** SimHash oracle: replays the exact per-token polynomial-hash fold and
+    * per-bit majority vote in DuckDB (SQL generated for the 32 bits).
+    */
+  private val simhashOracleSql: String = {
+    val normSql = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+    val tokenHashSql =
+      s"list_transform(list_distinct(string_split($normSql, ' ')), t -> " +
+        "list_reduce(list_prepend(0::BIGINT, list_transform(list_filter(string_split(t, ''), " +
+        "c -> c <> ''), c -> ascii(c)::BIGINT)), (acc, x) -> (acc*31 + x) % 4294967296))"
+    val bitsSql = (0 until 32).map { j =>
+      s"(CASE WHEN list_sum(list_transform(th, h -> ((h >> $j) & 1)*2 - 1)) > 0 THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"WITH t AS (SELECT doc_id, $tokenHashSql AS th FROM documents), " +
+      s"s AS (SELECT doc_id, $bitsSql AS simhash FROM t) " +
+      "SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same " +
+      "FROM s ORDER BY doc_id"
+  }
 
   /** DuckDB oracles. The triple-ized BGP queries translate back to joins
     * over the base tables ('table:key' IRIs rebuilt with ||).
@@ -496,6 +567,23 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" -> (gramPairsCte + """
+        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.5
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_minhash" -> (gramPairsCte + """
+        |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
+        |ORDER BY doc_a, doc_b""".stripMargin),
+    "q_dedup_clusters" -> ("WITH RECURSIVE " + gramPairsCteBody + """,
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p WHERE jaccard >= 0.5),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS d FROM und),
+        |reach(d, r) AS (
+        |  SELECT d, d FROM nodes
+        |  UNION
+        |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.d)
+        |SELECT d AS doc_id, min(r) AS cluster FROM reach
+        |GROUP BY d ORDER BY doc_id""".stripMargin),
+    "q_dedup_simhash" -> simhashOracleSql,
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_char,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,

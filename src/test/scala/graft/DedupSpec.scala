@@ -1,0 +1,71 @@
+package graft
+
+import graft.ops.DedupOps
+import org.apache.spark.sql.functions._
+
+/** Near-dup operators on a hand-built corpus with known duplicate
+  * structure: 1 and 2 are near-identical (one word changed), 3 shares a
+  * tail with 1, 4 is unrelated, 5 duplicates 2 exactly.
+  */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight"),
+    (2L, "the quick brown fox jumps over the lazy cat tonight"),
+    (3L, "something completely different over the lazy dog tonight"),
+    (4L, "unrelated words about spark query engines and shuffles"),
+    (5L, "the quick brown fox jumps over the lazy cat tonight")
+  ).toDF("doc_id", "text")
+
+  "ngramPairs" should "find exact and near duplicates with exact recall" in {
+    val pairs = DedupOps.ngramPairs(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((2L, 5L)) // identical -> jaccard 1.0
+    pairs should contain((1L, 2L)) // one word changed
+    pairs should not contain ((1L, 4L))
+    // symmetric closure absent: only a < b emitted
+    all(pairs.map { case (a, b) => a < b }) shouldBe true
+  }
+
+  it should "assign jaccard 1.0 to identical documents" in {
+    val j = DedupOps.ngramPairs(docs, 0.5)
+      .where(col("doc_a") === 2 && col("doc_b") === 5)
+      .select("jaccard").head().getDouble(0)
+    j shouldBe 1.0
+  }
+
+  "minhashPairs" should "find the same high-similarity pairs as brute force" in {
+    val mh = DedupOps.minhashPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val brute = DedupOps.ngramPairs(docs, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    mh shouldBe brute
+    mh should contain((2L, 5L))
+  }
+
+  "simhash32" should "be permutation-invariant and stable" in {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"), // permutation -> same token set
+      (3L, "epsilon zeta eta theta iota kappa")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), DedupOps.simhash32(col("text")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    m(1L) shouldBe m(2L)
+    m(1L) should not be m(3L)
+    // 32-bit range
+    all(m.values.map(v => v >= 0L && v < (1L << 32))) shouldBe true
+  }
+
+  "clusters" should "compute connected components with min-id representative" in {
+    val pairs = Seq((1L, 2L), (2L, 5L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val cc = DedupOps.clusters(spark, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cc(1L) shouldBe 1L
+    cc(2L) shouldBe 1L
+    cc(5L) shouldBe 1L
+    cc(7L) shouldBe 7L
+    cc(9L) shouldBe 7L
+  }
+}
