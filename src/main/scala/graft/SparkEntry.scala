@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.bgp._
 import graft.dict.Dictionary
-import graft.ops.{DedupOps, TextOps}
+import graft.ops.{DedupOps, TextOps, VectorOps}
 import graft.store.TripleStore
 
 /** Driver contract — one named query per implemented operator
@@ -367,6 +367,28 @@ object SparkEntry {
     DedupOps.clusters(s, pairs).orderBy("doc_id")
   }
 
+  // ---- Training-data pipeline: similarity search ----------------------
+
+  /** Brute-force cosine top-5 for query vectors (the ANN baseline). */
+  private def knnTopk(s: SparkSession, d: String): DataFrame =
+    VectorOps.knnBrute(Tables.loadPar(s, d, "embeddings"), col("vec_id") < 8, k = 5)
+      .withColumnRenamed("rank", "rnk")
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .orderBy("query_id", "rnk")
+
+  /** IVF ANN: fixed seed centroids (vec_id < 16), search the query's cell. */
+  private def annIvf(s: SparkSession, d: String): DataFrame =
+    VectorOps.ivfSearch(Tables.loadPar(s, d, "embeddings"),
+        centroidPred = col("vec_id") < 16, queryPred = col("vec_id") < 8, k = 3)
+      .withColumnRenamed("rank", "rnk")
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .orderBy("query_id", "rnk")
+
+  /** Embedding-cosine near-duplicate pairs (cos >= 0.5). */
+  private def dedupEmbed(s: SparkSession, d: String): DataFrame =
+    VectorOps.embedDupPairs(Tables.loadPar(s, d, "embeddings"), threshold = 0.5)
+      .orderBy("vec_a", "vec_b")
+
   // ---- Events / time-series ------------------------------------------
 
   /** Tumbling-window aggregation over the events stream table (batch run
@@ -410,6 +432,9 @@ object SparkEntry {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_embed" -> (dedupEmbed _),
+    "q_knn_topk" -> (knnTopk _),
+    "q_ann_ivf" -> (annIvf _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -454,6 +479,16 @@ object SparkEntry {
       "SELECT doc_id, simhash, count(*) OVER (PARTITION BY simhash) AS n_same " +
       "FROM s ORDER BY doc_id"
   }
+
+  /** DuckDB double-precision dot product with the same left-to-right fold
+    * order as VectorOps.dotD — bit-identical cosine on both engines.
+    */
+  private def duckDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0, list_transform(range(1, len($a)+1), " +
+      s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
+
+  private def duckCos6(a: String, b: String): String =
+    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
 
   /** DuckDB oracles. The triple-ized BGP queries translate back to joins
     * over the base tables ('table:key' IRIs rebuilt with ||).
@@ -584,6 +619,45 @@ object SparkEntry {
         |SELECT d AS doc_id, min(r) AS cluster FROM reach
         |GROUP BY d ORDER BY doc_id""".stripMargin),
     "q_dedup_simhash" -> simhashOracleSql,
+    "q_dedup_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |p AS (
+         |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         |    ${duckCos6("a.embedding", "b.embedding")} AS cos
+         |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+         |SELECT vec_a, vec_b, cos FROM p WHERE cos >= 0.5
+         |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_knn_topk" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id,
+         |    ${duckCos6("qv", "e.embedding")} AS cos
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 5
+         |ORDER BY query_id, rnk""".stripMargin,
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 16),
+         |sc AS (SELECT e.vec_id, cent_id, ${duckCos6("e.embedding", "cv")} AS cos
+         |       FROM e CROSS JOIN cent),
+         |asg AS (SELECT vec_id, cent_id AS cell FROM (
+         |    SELECT *, row_number() OVER (
+         |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn FROM sc)
+         |  WHERE rn = 1),
+         |wc AS (SELECT e.vec_id, e.embedding, asg.cell FROM e JOIN asg USING (vec_id)),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM wc WHERE vec_id < 8),
+         |scored AS (
+         |  SELECT query_id, n.vec_id AS neighbor_id, ${duckCos6("qv", "n.embedding")} AS cos
+         |  FROM wc n JOIN q USING (cell) WHERE n.vec_id <> query_id),
+         |r AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+         |ORDER BY query_id, rnk""".stripMargin,
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_char,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,

@@ -55,6 +55,7 @@ object Tables {
     val s = SparkSession.builder()
       .master(s"local[$threads]")
       .appName("graft")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", threads.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

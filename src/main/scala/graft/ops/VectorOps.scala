@@ -1,0 +1,109 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Vector similarity over embedding columns (`array<float>`), Spark-first:
+  * dot products are codegen'd higher-order-function folds (zip_with +
+  * aggregate) in double precision with a fixed left-to-right order, so the
+  * identical fold replays bit-exactly in the DuckDB oracle. No UDFs.
+  *
+  * Scale shapes:
+  *   - brute-force top-k: corpus streamed, query set broadcast — one pass
+  *     over the corpus per batch of queries, top-k via per-query window
+  *     (at 100 TB swap the window for a per-partition bounded heap in
+  *     mapPartitions if k*|Q| outgrows shuffle comfort);
+  *   - IVF: assign every vector to its nearest centroid once (broadcast
+  *     centroids), then search only the query's cell — the classic
+  *     inverted-file ANN layout; cells are the partition pruning analog.
+  */
+object VectorOps {
+
+  /** Double-precision dot product. Uses the native codegen'd expression
+    * (graft.functions.DotProductD, registered by GraftExtensions) — Spark's
+    * higher-order functions would interpret the lambda per element. Same
+    * strict left-to-right fold either way.
+    */
+  def dotD(a: Column, b: Column): Column =
+    call_function("graft_dot", a, b)
+
+  /** HOF reference implementation of dotD (kept for sessions without
+    * GraftExtensions; identical fold order and results).
+    */
+  def dotDHof(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm2(a: Column): Column = sqrt(dotD(a, a))
+
+  /** Cosine similarity rounded to 6 decimals (rounding happens BEFORE any
+    * ordering/thresholding so engine-identical ranking falls out).
+    */
+  def cosine6(a: Column, b: Column): Column =
+    round(dotD(a, b) / (norm2(a) * norm2(b)), 6)
+
+  /** Brute-force top-k cosine neighbors for a (small) query subset. */
+  def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine6(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .drop("qv", "nv")
+  }
+
+  /** Assign each vector to its max-cosine centroid (ties -> smallest
+    * centroid id). Returns (vec_id, cell).
+    */
+  def ivfAssign(emb: DataFrame, centroidPred: Column): DataFrame = {
+    val cent = emb.where(centroidPred)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("cos").desc, col("cent_id").asc)
+    emb.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(cent))
+      .select(col("vec_id"), col("cent_id"), cosine6(col("embedding"), col("cv")).as("cos"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("vec_id"), col("cent_id").as("cell"))
+  }
+
+  /** IVF search: top-k within the query's cell only. Exact w.r.t. the IVF
+    * contract (approximate w.r.t. brute force — recall depends on cell
+    * quality; add multi-probe by relaxing `rn === 1` to `rn <= p`).
+    */
+  def ivfSearch(emb: DataFrame, centroidPred: Column, queryPred: Column,
+                k: Int): DataFrame = {
+    val cells = ivfAssign(emb, centroidPred)
+    val withCell = emb.join(cells, Seq("vec_id"))
+    val q = withCell.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
+    val n = withCell
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("cell"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    n.join(broadcast(q), Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine6(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs (>= threshold), brute force with
+    * the smaller side broadcast; at cluster scale replace with an
+    * LSH-bucketed (random hyperplane) candidate join + this verify.
+    */
+  def embedDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+    val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine6(col("ea"), col("eb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,59 @@
+package graft
+
+import graft.ops.VectorOps
+import org.apache.spark.sql.functions._
+
+/** Similarity search over hand-built vectors with known geometry. */
+class VectorSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 0: x-axis, 1: near-x, 2: y-axis, 3: near-y, 4: diag
+  lazy val emb = Seq(
+    (0L, Seq(1.0f, 0.0f, 0.0f)),
+    (1L, Seq(0.9f, 0.1f, 0.0f)),
+    (2L, Seq(0.0f, 1.0f, 0.0f)),
+    (3L, Seq(0.1f, 0.9f, 0.0f)),
+    (4L, Seq(0.7f, 0.7f, 0.0f))
+  ).toDF("vec_id", "embedding")
+
+  "dotD" should "compute exact double dot products" in {
+    val d = emb.where($"vec_id" === 0)
+      .select(VectorOps.dotD(col("embedding"), col("embedding")))
+      .head().getDouble(0)
+    d shouldBe 1.0
+  }
+
+  "knnBrute" should "rank the geometrically nearest vector first" in {
+    val res = VectorOps.knnBrute(emb, col("vec_id") === 0, k = 2)
+      .orderBy("rank").collect()
+    res(0).getAs[Long]("neighbor_id") shouldBe 1L // near-x closest to x
+    res(1).getAs[Long]("neighbor_id") shouldBe 4L // diag second
+    res.map(_.getAs[Int]("rank")).toSeq shouldBe Seq(1, 2)
+  }
+
+  "ivfAssign" should "assign vectors to the nearest centroid" in {
+    // centroids: 0 (x-axis) and 2 (y-axis)
+    val cells = VectorOps.ivfAssign(emb, col("vec_id").isin(0L, 2L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cells(1L) shouldBe 0L // near-x -> x centroid
+    cells(3L) shouldBe 2L // near-y -> y centroid
+    cells(0L) shouldBe 0L
+    cells(2L) shouldBe 2L
+  }
+
+  "ivfSearch" should "only return neighbors from the query's cell" in {
+    val res = VectorOps.ivfSearch(emb, col("vec_id").isin(0L, 2L),
+        col("vec_id") === 3L, k = 5)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    // query 3 is in the y cell -> neighbors drawn from {2} (+4 if y cell)
+    res should contain(2L)
+    res should not contain (1L) // x-cell vector never searched
+  }
+
+  "embedDupPairs" should "find only near-parallel pairs" in {
+    val pairs = VectorOps.embedDupPairs(emb, threshold = 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    pairs should contain((0L, 1L))
+    pairs should not contain ((0L, 2L)) // orthogonal
+  }
+}
