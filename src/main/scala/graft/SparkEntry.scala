@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.bgp._
 import graft.dict.Dictionary
-import graft.ops.{DedupOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, MediaOps, TextOps, VectorOps}
 import graft.store.TripleStore
 
 /** Driver contract — one named query per implemented operator
@@ -389,6 +389,28 @@ object SparkEntry {
     VectorOps.embedDupPairs(Tables.loadPar(s, d, "embeddings"), threshold = 0.5)
       .orderBy("vec_a", "vec_b")
 
+  // ---- Training-data pipeline: multimodal binary columns --------------
+
+  /** Typed media pipeline end-to-end: binary payloads -> batched
+    * per-partition decode (stubbed codec) -> typed metadata. The oracle
+    * recomputes byte length, fake dimensions, and checksum in SQL.
+    */
+  private def mediaMeta(s: SparkSession, d: String): DataFrame =
+    MediaOps.extractMeta(
+        MediaOps.documentsAsMedia(s, Tables.loadPar(s, d, "documents")))
+      .toDF()
+      .orderBy("media_id")
+
+  /** Frame sampling over the binary payload: fixed-offset windows, hex'd
+    * (the video-frame-sample access pattern on an opaque byte column).
+    */
+  private def mediaFrames(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents")
+      .select(col("doc_id"), explode(sequence(lit(0L), lit(3L))).as("frame_no"), col("text"))
+      .select(col("doc_id"), col("frame_no"),
+        hex(encode(expr("substring(text, 1 + frame_no * 32, 16)"), "UTF-8")).as("frame_hex"))
+      .orderBy("doc_id", "frame_no")
+
   // ---- Events / time-series ------------------------------------------
 
   /** Tumbling-window aggregation over the events stream table (batch run
@@ -435,6 +457,8 @@ object SparkEntry {
     "q_dedup_embed" -> (dedupEmbed _),
     "q_knn_topk" -> (knnTopk _),
     "q_ann_ivf" -> (annIvf _),
+    "q_media_meta" -> (mediaMeta _),
+    "q_media_frames" -> (mediaFrames _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -619,6 +643,26 @@ object SparkEntry {
         |SELECT d AS doc_id, min(r) AS cluster FROM reach
         |GROUP BY d ORDER BY doc_id""".stripMargin),
     "q_dedup_simhash" -> simhashOracleSql,
+    "q_media_meta" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS checksum
+        |  FROM documents)
+        |SELECT doc_id AS media_id, 'text' AS kind,
+        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |  CAST(16 + (checksum % 240) AS INT) AS width,
+        |  CAST(16 + ((checksum // 256) % 240) AS INT) AS height,
+        |  checksum
+        |FROM cs ORDER BY media_id""".stripMargin,
+    "q_media_frames" ->
+      """SELECT doc_id, k AS frame_no,
+        |  hex(encode(substring(text, CAST(1 + k*32 AS INT), 16))) AS frame_hex
+        |FROM documents CROSS JOIN (SELECT unnest(range(4)) AS k)
+        |ORDER BY doc_id, frame_no""".stripMargin,
     "q_dedup_embed" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
          |p AS (

@@ -1,0 +1,57 @@
+package graft
+
+import graft.ops.{MediaFile, MediaOps, TextOps}
+import org.apache.spark.sql.functions._
+
+/** Multimodal plumbing: binary payloads, typed Dataset, batched
+  * per-partition decode (stubbed codec), shuffle-free plan.
+  */
+class MediaSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = Seq(
+    (1L, "hello world"),
+    (2L, "a" * 100), // > BatchSize chars, still one row
+    (3L, "")
+  ).toDF("doc_id", "text")
+
+  "documentsAsMedia" should "carry text bytes as binary with typed metadata" in {
+    val ds = MediaOps.documentsAsMedia(spark, docs)
+    val m = ds.collect().map(f => f.media_id -> f).toMap
+    m(1L).bytes shouldBe "hello world".getBytes("UTF-8")
+    m(1L).kind shouldBe "text"
+    m(3L).bytes.length shouldBe 0
+  }
+
+  "extractMeta" should "decode deterministically and preserve counts" in {
+    val ds = MediaOps.documentsAsMedia(spark, docs)
+    val meta = MediaOps.extractMeta(ds).collect().map(x => x.media_id -> x).toMap
+    meta.size shouldBe 3
+    meta(1L).byte_len shouldBe 11
+    // stub dimensions are in [16, 256) and reproducible
+    val again = MediaOps.extractMeta(ds).collect().map(x => x.media_id -> x).toMap
+    meta(1L).width shouldBe again(1L).width
+    meta(1L).height shouldBe again(1L).height
+    all(meta.values.map(_.width)) should (be >= 16 and be < 256)
+  }
+
+  it should "match the SQL-side polynomial checksum for ASCII payloads" in {
+    val ds = MediaOps.documentsAsMedia(spark, docs)
+    val fromTyped = MediaOps.extractMeta(ds).select("media_id", "checksum")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fromSql = docs.select(col("doc_id"), TextOps.polyHash(col("text")).as("cs"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    fromTyped shouldBe fromSql
+  }
+
+  it should "process in batches without shuffling" in {
+    val many = (1L to 100L).map(i => MediaFile(i, "text", s"payload-$i".getBytes))
+    val ds = spark.createDataset(many).repartition(4)
+    val meta = MediaOps.extractMeta(ds)
+    // mapPartitions adds NO exchange beyond the test's own repartition
+    val plan = meta.queryExecution.executedPlan.toString
+    plan.sliding("Exchange".length).count(_ == "Exchange") shouldBe 1
+    meta.rdd.getNumPartitions shouldBe 4
+    meta.count() shouldBe 100
+  }
+}
