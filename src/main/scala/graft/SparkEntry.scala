@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.bgp._
 import graft.dict.Dictionary
-import graft.ops.{DedupOps, MediaOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, JoinOps, MediaOps, TextOps, VectorOps}
 import graft.store.TripleStore
 
 /** Driver contract — one named query per implemented operator
@@ -411,6 +411,39 @@ object SparkEntry {
         hex(encode(expr("substring(text, 1 + frame_no * 32, 16)"), "UTF-8")).as("frame_hex"))
       .orderBy("doc_id", "frame_no")
 
+  // ---- Extended join taxonomy ----------------------------------------
+
+  /** As-of join: each click event picks up the user's most recent
+    * preceding error event (inclusive).
+    */
+  private def asofJoinQ(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"), col("ts").as("click_ts"))
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id").as("err_id"), col("user_id"), col("ts").as("err_ts"))
+    JoinOps.asofJoin(clicks, errors, Seq("user_id"),
+        leftTime = "click_ts", rightTime = "err_ts",
+        rightPayload = Seq("err_id", "err_ts"), how = "inner")
+      .select(col("click_id"), col("user_id"),
+        date_format(col("click_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("click_ts"),
+        col("err_id"),
+        date_format(col("err_ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("err_ts"))
+      .orderBy("click_id")
+  }
+
+  /** Range join: lineitem quantities bucketed by a broadcast interval dim. */
+  private def rangeJoinQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val buckets = Seq((1, 10, "small"), (11, 25, "mid"), (26, 50, "large"))
+      .toDF("lo", "hi", "bucket")
+    JoinOps.rangeJoin(t(s, d, "lineitem"), buckets,
+        col("l_quantity"), col("lo"), col("hi"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("cnt"), (centsSum(col("l_extendedprice")) / 100.0).as("sum_price"))
+      .orderBy("bucket")
+  }
+
   // ---- Events / time-series ------------------------------------------
 
   /** Tumbling-window aggregation over the events stream table (batch run
@@ -459,6 +492,8 @@ object SparkEntry {
     "q_ann_ivf" -> (annIvf _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_frames" -> (mediaFrames _),
+    "q_asof_join" -> (asofJoinQ _),
+    "q_range_join" -> (rangeJoinQ _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -643,6 +678,21 @@ object SparkEntry {
         |SELECT d AS doc_id, min(r) AS cluster FROM reach
         |GROUP BY d ORDER BY doc_id""".stripMargin),
     "q_dedup_simhash" -> simhashOracleSql,
+    "q_asof_join" ->
+      """SELECT c.event_id AS click_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
+        |  e.event_id AS err_id,
+        |  strftime(e.ts, '%Y-%m-%d %H:%M:%S.%f') AS err_ts
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT * FROM events WHERE event_type = 'error') e
+        |  ON c.user_id = e.user_id AND c.ts >= e.ts
+        |ORDER BY click_id""".stripMargin,
+    "q_range_join" ->
+      """SELECT bucket, count(*) AS cnt,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price
+        |FROM lineitem JOIN (VALUES (1, 10, 'small'), (11, 25, 'mid'), (26, 50, 'large'))
+        |  AS b(lo, hi, bucket) ON l_quantity BETWEEN lo AND hi
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "q_media_meta" ->
       """WITH cs AS (
         |  SELECT doc_id, text,
