@@ -411,6 +411,100 @@ object SparkEntry {
         hex(encode(expr("substring(text, 1 + frame_no * 32, 16)"), "UTF-8")).as("frame_hex"))
       .orderBy("doc_id", "frame_no")
 
+  // ---- SQL surface breadth --------------------------------------------
+
+  /** JSON extraction from the events.props column + aggregation. */
+  private def jsonFuncs(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(sum(col("k")).as("sum_k"), count(lit(1)).as("cnt"),
+        min(col("k")).as("min_k"), max(col("k")).as("max_k"))
+      .orderBy("event_type")
+
+  /** Array functions over tokenized documents (split/sort/distinct/contains). */
+  private def arrayFuncs(s: SparkSession, d: String): DataFrame = {
+    val words = split(TextOps.normalize(col("text")), " ")
+    Tables.loadPar(s, d, "documents").select(
+        col("doc_id"),
+        size(words).as("n_words"),
+        size(array_distinct(words)).as("n_uniq"),
+        element_at(sort_array(words), 1).as("first_alpha"),
+        element_at(sort_array(words), -1).as("last_alpha"),
+        array_contains(words, "the").as("has_the"))
+      .orderBy("doc_id")
+  }
+
+  /** GROUP BY CUBE (all grouping-set combinations). */
+  private def cubeQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
+  /** Explicit GROUPING SETS via the SQL entry point. */
+  private def groupingSetsQ(s: SparkSession, d: String): DataFrame = {
+    t(s, d, "orders").createOrReplaceTempView("orders_v")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders_v
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+  }
+
+  /** PIVOT: order counts by status column per priority. */
+  private def pivotQ(s: SparkSession, d: String): DataFrame = {
+    val p = t(s, d, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+    p.select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("F"),
+        coalesce(col("O"), lit(0L)).as("O"),
+        coalesce(col("P"), lit(0L)).as("P"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Scalar subquery: orders above the global average price (all-integer
+    * comparison, no float drift): cents*n > sum_cents.
+    */
+  private def scalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val cents = t(s, d, "orders")
+      .select(round(col("o_totalprice") * 100, 0).cast("long").as("cents"))
+    val agg = cents.agg(sum(col("cents")).as("s"), count(lit(1)).as("n"))
+    cents.crossJoin(broadcast(agg))
+      .where(col("cents") * col("n") > col("s"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  /** Exact population stddev via integer-cents moments:
+    * sqrt((n*Σx² − (Σx)²) / n²) — sums exact in decimal/hugeint, one
+    * float op at the end, so both engines agree bit-for-bit.
+    */
+  private def stddevQ(s: SparkSession, d: String): DataFrame = {
+    val x = round(col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"))
+      .select(col("o_orderstatus"), col("n").cast("long").as("n"),
+        round(sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+          / (col("n") * col("n")).cast("double")) / 100.0, 4).as("stddev_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** HLL sketch distinct (approx_count_distinct) next to the exact count —
+    * algorithm-specific so it has no cross-engine oracle; exercised by
+    * AggSpec (tolerance assertion) rather than the driver gate.
+    */
+  def approxDistinct(s: SparkSession, d: String): DataFrame =
+    t(s, d, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        countDistinct(col("l_partkey")).as("exact_parts"))
+      .orderBy("l_returnflag")
+
   // ---- Extended join taxonomy ----------------------------------------
 
   /** As-of join: each click event picks up the user's most recent
@@ -494,6 +588,13 @@ object SparkEntry {
     "q_media_frames" -> (mediaFrames _),
     "q_asof_join" -> (asofJoinQ _),
     "q_range_join" -> (rangeJoinQ _),
+    "q_json_funcs" -> (jsonFuncs _),
+    "q_array_funcs" -> (arrayFuncs _),
+    "q_cube" -> (cubeQ _),
+    "q_grouping_sets" -> (groupingSetsQ _),
+    "q_pivot" -> (pivotQ _),
+    "q_scalar_subquery" -> (scalarSubquery _),
+    "q_stddev" -> (stddevQ _),
     "q_text_stats" -> (textStats _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -678,6 +779,49 @@ object SparkEntry {
         |SELECT d AS doc_id, min(r) AS cluster FROM reach
         |GROUP BY d ORDER BY doc_id""".stripMargin),
     "q_dedup_simhash" -> simhashOracleSql,
+    "q_json_funcs" ->
+      """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+        |  count(*) AS cnt,
+        |  min(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_array_funcs" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(words) AS INT) AS n_words,
+        |  CAST(len(list_distinct(words)) AS INT) AS n_uniq,
+        |  list_sort(words)[1] AS first_alpha,
+        |  list_sort(words)[-1] AS last_alpha,
+        |  list_contains(words, 'the') AS has_the
+        |FROM ws ORDER BY doc_id""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT count(*) AS n_above FROM orders
+        |WHERE CAST(round(o_totalprice*100) AS BIGINT)
+        |    * (SELECT count(*) FROM orders)
+        |  > (SELECT sum(CAST(round(o_totalprice*100) AS BIGINT)) FROM orders)""".stripMargin,
+    "q_stddev" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  round(sqrt(
+        |    (count(*) * sum(c*c) - sum(c) * sum(c))::DOUBLE
+        |    / (count(*)::HUGEINT * count(*))::DOUBLE) / 100.0, 4) AS stddev_price
+        |FROM (SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
