@@ -411,6 +411,56 @@ object SparkEntry {
         hex(encode(expr("substring(text, 1 + frame_no * 32, 16)"), "UTF-8")).as("frame_hex"))
       .orderBy("doc_id", "frame_no")
 
+  // ---- SPARQL front-end (replaces the reference's Jena layer) ---------
+
+  private def sparqlOver(s: SparkSession, d: String, q: String): DataFrame =
+    graft.sparql.Sparql.execute(s, TripleStore.tableTriples(s, d), q)
+
+  /** SPARQL text -> BGP chain (same semantics as q_bgp_chain). */
+  private def sparqlChain(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?c ?n ?r WHERE {
+        |  ?c a "Customer" .
+        |  ?c :nationkey ?n .
+        |  ?n :regionkey ?r .
+        |  ?r :name "ASIA" .
+        |} ORDER BY ?c ?n ?r""".stripMargin)
+
+  /** SPARQL numeric FILTER (type heuristic: cast on numeric literal). */
+  private def sparqlFilter(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?p ?sz WHERE {
+        |  ?p a "Part" .
+        |  ?p :size ?sz .
+        |  FILTER (?sz > 25)
+        |} ORDER BY ?p""".stripMargin)
+
+  /** SPARQL UNION (bag semantics over disjoint branches). */
+  private def sparqlUnion(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?x WHERE {
+        |  { ?x :mktsegment "BUILDING" } UNION { ?x :mktsegment "MACHINERY" }
+        |} ORDER BY ?x""".stripMargin)
+
+  /** SPARQL OPTIONAL: named entities, mktsegment where present. */
+  private def sparqlOptional(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?x ?m WHERE {
+        |  ?x :name ?nm .
+        |  OPTIONAL { ?x :mktsegment ?m }
+        |} ORDER BY ?x ?m""".stripMargin)
+
+  /** SPARQL DISTINCT + ORDER + LIMIT (top-k plan via Catalyst). */
+  private def sparqlTopk(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT DISTINCT ?seg WHERE { ?c :mktsegment ?seg }
+        |ORDER BY ?seg LIMIT 3""".stripMargin)
+
   // ---- SQL surface breadth --------------------------------------------
 
   /** JSON extraction from the events.props column + aggregation. */
@@ -588,6 +638,11 @@ object SparkEntry {
     "q_media_frames" -> (mediaFrames _),
     "q_asof_join" -> (asofJoinQ _),
     "q_range_join" -> (rangeJoinQ _),
+    "q_sparql_chain" -> (sparqlChain _),
+    "q_sparql_filter" -> (sparqlFilter _),
+    "q_sparql_union" -> (sparqlUnion _),
+    "q_sparql_optional" -> (sparqlOptional _),
+    "q_sparql_topk" -> (sparqlTopk _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_cube" -> (cubeQ _),
@@ -779,6 +834,29 @@ object SparkEntry {
         |SELECT d AS doc_id, min(r) AS cluster FROM reach
         |GROUP BY d ORDER BY doc_id""".stripMargin),
     "q_dedup_simhash" -> simhashOracleSql,
+    "q_sparql_chain" ->
+      """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
+        |       'region:' || n_regionkey AS r
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY c, n, r""".stripMargin,
+    "q_sparql_filter" ->
+      """SELECT 'part:' || p_partkey AS p, CAST(p_size AS VARCHAR) AS sz
+        |FROM part WHERE p_size > 25 ORDER BY p""".stripMargin,
+    "q_sparql_union" ->
+      """SELECT 'customer:' || c_custkey AS x FROM customer
+        |WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') ORDER BY x""".stripMargin,
+    "q_sparql_optional" ->
+      """SELECT x, m FROM (
+        |  SELECT 'customer:' || c_custkey AS x, c_mktsegment AS m FROM customer
+        |  UNION ALL SELECT 'nation:' || n_nationkey, NULL FROM nation
+        |  UNION ALL SELECT 'region:' || r_regionkey, NULL FROM region
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, NULL FROM supplier
+        |  UNION ALL SELECT 'part:' || p_partkey, NULL FROM part
+        |) ORDER BY x, m""".stripMargin,
+    "q_sparql_topk" ->
+      """SELECT DISTINCT c_mktsegment AS seg FROM customer
+        |ORDER BY seg LIMIT 3""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt,

@@ -1,0 +1,314 @@
+package graft.sparql
+
+import graft.bgp.{Bgp, C, PredStats, TriplePattern, V}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Minimal SPARQL 1.1 SELECT front-end.
+  *
+  * The reference delegates everything beyond BGPs to Jena ARQ
+  * (`sparql/src/main/scala/com/graphula/sparql/Sparql.scala:41-65`,
+  * `GraphulaStageGenerator.scala:28-133`); here the same query surface
+  * compiles onto Spark built-ins instead: BGP -> `Bgp.compile` self-join
+  * chain, OPTIONAL -> left join, UNION -> unionByName (bag semantics,
+  * missing vars null), FILTER -> `where`, DISTINCT/ORDER BY/LIMIT ->
+  * `distinct`/`orderBy`/`limit` (Catalyst turns sort+limit into top-k).
+  *
+  * Grammar subset (LUBM-shaped queries + solution modifiers):
+  *   PREFIX pfx: <iri>
+  *   SELECT [DISTINCT] (?v ... | *) WHERE {
+  *     s p o .            triple patterns; `a` for rdf:type
+  *     OPTIONAL { ... }   left join on shared variables
+  *     { ... } UNION { ... }
+  *     FILTER (expr)      comparisons, && || !, REGEX(?v, "re")
+  *   } [ORDER BY (?v | ASC(?v) | DESC(?v))*] [LIMIT n]
+  */
+object Sparql {
+
+  // ---------- AST ----------
+  final case class Query(distinct: Boolean, projection: Seq[String], group: Group,
+                         orderBy: Seq[(String, Boolean)], limit: Option[Int])
+  final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
+                         optionals: Seq[Group], unions: Seq[(Group, Group)])
+
+  sealed trait Expr
+  final case class Cmp(l: Operand, op: String, r: Operand) extends Expr
+  final case class And(l: Expr, r: Expr) extends Expr
+  final case class Or(l: Expr, r: Expr) extends Expr
+  final case class Not(e: Expr) extends Expr
+  final case class Regex(v: String, pattern: String) extends Expr
+
+  sealed trait Operand
+  final case class OVar(name: String) extends Operand
+  final case class ONum(v: Double) extends Operand
+  final case class OStr(v: String) extends Operand
+
+  // ---------- Tokenizer ----------
+  private sealed trait Tok
+  private case class TWord(s: String) extends Tok      // bare word / keyword / `a`
+  private case class TVar(s: String) extends Tok       // ?name (name only)
+  private case class TIri(s: String) extends Tok       // <...> (stripped)
+  private case class TStr(s: String) extends Tok       // "..." (unquoted)
+  private case class TNum(s: String) extends Tok
+  private case class TPName(prefix: String, local: String) extends Tok // pfx:local
+  private case class TSym(s: String) extends Tok
+
+  private val tokenRe =
+    """\s*(?:(\?[A-Za-z_][A-Za-z0-9_]*)|(<[^>]*>)|("(?:[^"\\]|\\.)*")|([+-]?\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)?:([A-Za-z0-9_][A-Za-z0-9_]*)?|([A-Za-z_][A-Za-z0-9_]*)|(&&|\|\||!=|<=|>=|[{}().!=<>*,]))""".r
+
+  private def tokenize(s: String): Vector[Tok] = {
+    var i = 0
+    val out = Vector.newBuilder[Tok]
+    while (i < s.length && !s.substring(i).forall(_.isWhitespace)) {
+      tokenRe.findPrefixMatchOf(s.subSequence(i, s.length)) match {
+        case Some(m) if m.end > 0 =>
+          if (m.group(1) != null) out += TVar(m.group(1).substring(1))
+          else if (m.group(2) != null) out += TIri(m.group(2).stripPrefix("<").stripSuffix(">"))
+          else if (m.group(3) != null) out += TStr(unescape(m.group(3)))
+          else if (m.group(4) != null) out += TNum(m.group(4))
+          else if (m.group(5) != null || m.group(6) != null ||
+            (m.matched.trim.contains(":") && m.group(7) == null && m.group(8) == null))
+            out += TPName(Option(m.group(5)).getOrElse(""), Option(m.group(6)).getOrElse(""))
+          else if (m.group(7) != null) out += TWord(m.group(7))
+          else out += TSym(m.group(8))
+          i += m.end
+        case _ =>
+          throw new IllegalArgumentException(s"SPARQL tokenizer stuck at: ${s.substring(i).take(30)}")
+      }
+    }
+    out.result()
+  }
+
+  private def unescape(quoted: String): String =
+    quoted.substring(1, quoted.length - 1)
+      .replace("\\\"", "\"").replace("\\\\", "\\")
+      .replace("\\n", "\n").replace("\\t", "\t")
+
+  // ---------- Parser (recursive descent) ----------
+  private class P(toks: Vector[Tok]) {
+    var pos = 0
+    def peek: Option[Tok] = toks.lift(pos)
+    def next(): Tok = { val t = toks(pos); pos += 1; t }
+    def isKw(t: Tok, kw: String): Boolean = t match {
+      case TWord(w) => w.equalsIgnoreCase(kw)
+      case _ => false
+    }
+    def eatKw(kw: String): Unit = {
+      if (!peek.exists(isKw(_, kw))) fail(s"expected $kw")
+      pos += 1
+    }
+    def tryKw(kw: String): Boolean =
+      if (peek.exists(isKw(_, kw))) { pos += 1; true } else false
+    def eatSym(sym: String): Unit = peek match {
+      case Some(TSym(s)) if s == sym => pos += 1
+      case _ => fail(s"expected '$sym'")
+    }
+    def trySym(sym: String): Boolean = peek match {
+      case Some(TSym(s)) if s == sym => pos += 1; true
+      case _ => false
+    }
+    def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"SPARQL parse error at token $pos: $msg (found ${peek.getOrElse("EOF")})")
+  }
+
+  def parse(text: String): Query = {
+    val p = new P(tokenize(text))
+    var prefixes = Map.empty[String, String]
+    while (p.tryKw("PREFIX")) {
+      val (pfx, local) = p.next() match {
+        case TPName(a, b) => (a, b)
+        case t => p.fail(s"expected prefix declaration, got $t")
+      }
+      if (local.nonEmpty) p.fail("prefix declaration must end with ':'")
+      val iri = p.next() match {
+        case TIri(i) => i
+        case t => p.fail(s"expected <iri>, got $t")
+      }
+      prefixes += (pfx -> iri)
+    }
+    p.eatKw("SELECT")
+    val distinct = p.tryKw("DISTINCT")
+    var proj = Seq.empty[String]
+    var star = false
+    var reading = true
+    while (reading) p.peek match {
+      case Some(TVar(v)) => proj :+= v; p.pos += 1
+      case Some(TSym("*")) => star = true; p.pos += 1
+      case _ => reading = false
+    }
+    if (!star && proj.isEmpty) p.fail("empty projection")
+    p.eatKw("WHERE")
+    val group = parseGroup(p, prefixes)
+    var order = Seq.empty[(String, Boolean)]
+    if (p.tryKw("ORDER")) {
+      p.eatKw("BY")
+      var more = true
+      while (more) p.peek match {
+        case Some(TVar(v)) => order :+= (v -> true); p.pos += 1
+        case Some(t) if p.isKw(t, "ASC") || p.isKw(t, "DESC") =>
+          val asc = p.isKw(t, "ASC"); p.pos += 1
+          p.eatSym("(")
+          val v = p.next() match { case TVar(x) => x; case x => p.fail(s"expected ?var, got $x") }
+          p.eatSym(")")
+          order :+= (v -> asc)
+        case _ => more = false
+      }
+    }
+    val limit = if (p.tryKw("LIMIT")) Some(p.next() match {
+      case TNum(n) => n.toInt
+      case t => p.fail(s"expected number, got $t")
+    }) else None
+    Query(distinct, proj, group, order, limit)
+  }
+
+  private def parseGroup(p: P, prefixes: Map[String, String]): Group = {
+    p.eatSym("{")
+    var triples = Seq.empty[TriplePattern]
+    var filters = Seq.empty[Expr]
+    var optionals = Seq.empty[Group]
+    var unions = Seq.empty[(Group, Group)]
+    while (!p.trySym("}")) {
+      p.peek match {
+        case Some(t) if p.isKw(t, "OPTIONAL") =>
+          p.pos += 1
+          optionals :+= parseGroup(p, prefixes)
+        case Some(t) if p.isKw(t, "FILTER") =>
+          p.pos += 1
+          p.eatSym("(")
+          filters :+= parseExpr(p)
+          p.eatSym(")")
+        case Some(TSym("{")) =>
+          val left = parseGroup(p, prefixes)
+          p.eatKw("UNION")
+          val right = parseGroup(p, prefixes)
+          unions :+= (left -> right)
+        case _ =>
+          val s = parseTerm(p, prefixes)
+          val pr = parseTerm(p, prefixes)
+          val o = parseTerm(p, prefixes)
+          triples :+= TriplePattern(s, pr, o)
+          p.trySym(".") // trailing dot optional before '}'
+      }
+    }
+    Group(triples, filters, optionals, unions)
+  }
+
+  private def parseTerm(p: P, prefixes: Map[String, String]): graft.bgp.Term =
+    p.next() match {
+      case TVar(v) => V(v)
+      case TStr(s) => C(s)
+      case TIri(i) => C(i)
+      case TNum(n) => C(n)
+      case TPName(pfx, local) =>
+        val base = prefixes.getOrElse(pfx,
+          throw new IllegalArgumentException(s"undeclared prefix '$pfx:'"))
+        C(base + local)
+      case TWord("a") => C("a") // rdf:type shortcut, stored as predicate "a"
+      case t => p.fail(s"unexpected term $t")
+    }
+
+  private def parseExpr(p: P): Expr = {
+    var left = parseCond(p)
+    var more = true
+    while (more) p.peek match {
+      case Some(TSym("&&")) => p.pos += 1; left = And(left, parseCond(p))
+      case Some(TSym("||")) => p.pos += 1; left = Or(left, parseCond(p))
+      case _ => more = false
+    }
+    left
+  }
+
+  private def parseCond(p: P): Expr = p.peek match {
+    case Some(TSym("!")) => p.pos += 1; Not(parseCond(p))
+    case Some(TSym("(")) => p.pos += 1; val e = parseExpr(p); p.eatSym(")"); e
+    case Some(t) if p.isKw(t, "REGEX") =>
+      p.pos += 1
+      p.eatSym("(")
+      val v = p.next() match { case TVar(x) => x; case x => p.fail(s"expected ?var, got $x") }
+      p.eatSym(",")
+      val re = p.next() match { case TStr(s) => s; case x => p.fail(s"expected pattern, got $x") }
+      p.eatSym(")")
+      Regex(v, re)
+    case _ =>
+      val l = parseOperand(p)
+      val op = p.next() match {
+        case TSym(o) if Seq("=", "!=", "<", "<=", ">", ">=").contains(o) => o
+        case t => p.fail(s"expected comparison operator, got $t")
+      }
+      val r = parseOperand(p)
+      Cmp(l, op, r)
+  }
+
+  private def parseOperand(p: P): Operand = p.next() match {
+    case TVar(v) => OVar(v)
+    case TNum(n) => ONum(n.toDouble)
+    case TStr(s) => OStr(s)
+    case t => p.fail(s"unexpected operand $t")
+  }
+
+  // ---------- Compiler ----------
+  def execute(spark: SparkSession, triples: DataFrame, queryText: String,
+              stats: Map[String, PredStats] = Map.empty): DataFrame = {
+    val q = parse(queryText)
+    var df = compileGroup(spark, triples, q.group, stats)
+    val allVars = df.columns.toSeq
+    val proj = if (q.projection.isEmpty) allVars else q.projection
+    df = df.select(proj.map(col): _*)
+    if (q.distinct) df = df.distinct()
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+
+  private def compileGroup(spark: SparkSession, triples: DataFrame, g: Group,
+                           stats: Map[String, PredStats]): DataFrame = {
+    var df: DataFrame =
+      if (g.triples.nonEmpty) Bgp.compile(spark, triples, g.triples, stats) else null
+    g.unions.foreach { case (l, r) =>
+      val u = compileGroup(spark, triples, l, stats)
+        .unionByName(compileGroup(spark, triples, r, stats), allowMissingColumns = true)
+      df =
+        if (df == null) u
+        else {
+          val shared = df.columns.intersect(u.columns).toSeq
+          if (shared.isEmpty) df.crossJoin(u) else df.join(u, shared, "inner")
+        }
+    }
+    g.optionals.foreach { opt =>
+      val o = compileGroup(spark, triples, opt, stats)
+      require(df != null, "OPTIONAL without a preceding pattern group")
+      val shared = df.columns.intersect(o.columns).toSeq
+      df = if (shared.isEmpty) df.crossJoin(o) else df.join(o, shared, "left")
+    }
+    require(df != null, "empty group pattern")
+    g.filters.foreach(f => df = df.where(compileExpr(f)))
+    df
+  }
+
+  private def compileExpr(e: Expr): Column = e match {
+    case And(l, r) => compileExpr(l) && compileExpr(r)
+    case Or(l, r) => compileExpr(l) || compileExpr(r)
+    case Not(x) => !compileExpr(x)
+    case Regex(v, re) => col(v).rlike(re)
+    case Cmp(l, op, r) =>
+      // numeric literal on either side -> numeric comparison (terms are
+      // stored as strings; the reference's decode-time type heuristic,
+      // Transformations.scala:27-75, becomes an explicit cast here)
+      val numeric = Seq(l, r).exists(_.isInstanceOf[ONum])
+      def operand(o: Operand): Column = o match {
+        case OVar(v) => if (numeric) col(v).cast("double") else col(v)
+        case ONum(n) => lit(n)
+        case OStr(s) => lit(s)
+      }
+      val (lc, rc) = (operand(l), operand(r))
+      op match {
+        case "=" => lc === rc
+        case "!=" => lc =!= rc
+        case "<" => lc < rc
+        case "<=" => lc <= rc
+        case ">" => lc > rc
+        case ">=" => lc >= rc
+      }
+  }
+}

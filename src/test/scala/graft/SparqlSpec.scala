@@ -1,0 +1,83 @@
+package graft
+
+import graft.sparql.Sparql
+
+/** Mirrors the reference's SPARQL end-to-end tests
+  * (sparql/src/test/scala/com/graphula/sparql/SparqlSpec.scala:15-62):
+  * 2-hop pattern query and a failing existence check, on the same graph
+  * fixture as BgpSpec, plus modifier coverage the reference delegates to
+  * Jena (FILTER/OPTIONAL/UNION/DISTINCT/ORDER/LIMIT).
+  */
+class SparqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val triples = Seq(
+    ("1", "2", "3"), ("3", "4", "5"), ("3", "4", "6"),
+    ("5", "2", "5"), ("6", "2", "5")
+  ).toDF("s", "p", "o")
+
+  def run(q: String): Seq[Seq[String]] =
+    Sparql.execute(spark, triples, q).collect()
+      .map(r => (0 until r.length).map(i => if (r.isNullAt(i)) null else r.getString(i)))
+      .toSeq
+
+  "Sparql.execute" should "answer a 2-hop pattern query" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?a ?c WHERE { ?a :2 ?b . ?b :4 ?c } ORDER BY ?c""".stripMargin)
+    res shouldBe Seq(Seq("1", "5"), Seq("1", "6"))
+  }
+
+  it should "return empty on a failing existence check" in {
+    run("""PREFIX : <>
+          |SELECT ?a WHERE { ?a :2 ?b . "1" :99 "99" }""".stripMargin) shouldBe empty
+  }
+
+  it should "apply numeric FILTER with casts" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { ?x :2 ?y . FILTER (?y >= 5) } ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("5"), Seq("6")) // (5,2,5) and (6,2,5)
+  }
+
+  it should "apply string FILTER without casts" in {
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { ?x :2 ?y . FILTER (?y = "3") }""".stripMargin)
+      .shouldBe(Seq(Seq("1")))
+  }
+
+  it should "answer UNION with bag semantics" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { { ?x :2 "3" } UNION { ?x :4 "5" } } ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1"), Seq("3"))
+  }
+
+  it should "answer OPTIONAL with nulls for unmatched" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?z WHERE { ?x :2 ?y . OPTIONAL { ?x :4 ?z } } ORDER BY ?x""".stripMargin)
+    // subjects with p=2: 1, 5, 6 — none has p=4 edges except via other nodes
+    res shouldBe Seq(Seq("1", null), Seq("5", null), Seq("6", null))
+  }
+
+  it should "apply DISTINCT, ORDER BY DESC and LIMIT" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT DISTINCT ?y WHERE { ?x :2 ?y } ORDER BY DESC(?y) LIMIT 2""".stripMargin)
+    res shouldBe Seq(Seq("5"), Seq("3"))
+  }
+
+  it should "support REGEX filters" in {
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { ?x :4 ?y . FILTER (REGEX(?y, "^5$")) }""".stripMargin)
+      .shouldBe(Seq(Seq("3")))
+  }
+
+  it should "reject malformed queries with a parse error" in {
+    an[IllegalArgumentException] should be thrownBy
+      Sparql.parse("SELECT WHERE { }")
+    an[IllegalArgumentException] should be thrownBy
+      Sparql.parse("PREFIX x <oops> SELECT ?a WHERE { ?a ?b ?c }")
+  }
+}
