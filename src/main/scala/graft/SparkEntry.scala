@@ -602,6 +602,22 @@ object SparkEntry {
         col("event_type"), col("cnt"), col("sum_value"))
       .orderBy("window_start", "event_type")
 
+  /** Session windows per user (30-min gap): the streaming plan run in
+    * batch — same builder the Structured Streaming pipeline uses.
+    */
+  private def sessionWindow(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.formatted(
+        graft.streaming.EventStreams.sessions(Tables.events(s, d), "30 minutes", "1 hour"),
+        "user_id")
+      .orderBy("user_id", "window_start")
+
+  /** Sliding windows (2h length, 1h slide) over events. */
+  private def slidingWindow(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStreams.formatted(
+        graft.streaming.EventStreams.sliding(Tables.events(s, d), "2 hours", "1 hour", "1 hour"),
+        "event_type")
+      .orderBy("window_start", "event_type")
+
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -654,7 +670,9 @@ object SparkEntry {
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
     "q_fingerprint" -> (fingerprintQ _),
-    "q_events_window" -> (eventsWindow _)
+    "q_events_window" -> (eventsWindow _),
+    "q_session_window" -> (sessionWindow _),
+    "q_sliding_window" -> (slidingWindow _)
   )
 
   /** Shared oracle CTE: word-3-gram sets and all-pairs Jaccard over
@@ -1015,6 +1033,30 @@ object SparkEntry {
         |       ELSE 'zh' END AS pred_lang,
         |  lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_session_window" ->
+      """WITH x AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |           OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |y AS (SELECT *, sum(new_s) OVER (
+        |    PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  user_id, count(*) AS n_events,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        |FROM y GROUP BY user_id, sid ORDER BY user_id, window_start""".stripMargin,
+    "q_sliding_window" ->
+      """WITH w AS (
+        |  SELECT date_trunc('hour', ts) AS ws, event_type, value FROM events
+        |  UNION ALL
+        |  SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type, value FROM events)
+        |SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') AS window_start,
+        |  strftime(ws + INTERVAL 2 HOUR, '%Y-%m-%d %H:%M:%S') AS window_end,
+        |  event_type, count(*) AS cnt,
+        |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
+        |FROM w GROUP BY ws, event_type ORDER BY window_start, event_type""".stripMargin,
     "q_events_window" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS cnt,
