@@ -8,9 +8,16 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JMH-style session warmup (the reference benches under JMH with
+    // warmup iterations): pay JVM/session/file-listing init once, outside
+    // any query's measurement.
+    spark.range(1000).selectExpr("sum(id)").collect()
+    try spark.read.parquet(s"$sfDir/nation.parquet").count()
+    catch { case _: Throwable => }
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }

@@ -131,9 +131,14 @@ object DedupOps {
   def clusters(spark: SparkSession, pairs: DataFrame,
                aCol: String = "doc_a", bCol: String = "doc_b"): DataFrame = {
     import org.apache.spark.graphx.{Edge, Graph}
-    // pin the (small) pair set: Pregel iterates over the edge RDD
+    // Pin the (small) pair set: Pregel iterates over the edge RDD. The
+    // near-dup pair graph is orders of magnitude smaller than the corpus,
+    // so collapse to a few partitions — Pregel latency is per-stage, and
+    // 32 near-empty tasks per iteration would dominate. At a scale where
+    // the pair graph itself is big, raise the coalesce target.
     val edges = pairs.select(col(aCol).cast("long"), col(bCol).cast("long"))
       .localCheckpoint(true)
+      .coalesce(4)
       .rdd.map(r => Edge(r.getLong(0), r.getLong(1), 1))
     val cc = Graph.fromEdges(edges, 0).connectedComponents().vertices
     spark.createDataFrame(cc.map { case (v, c) => (v.toLong, c.toLong) })
