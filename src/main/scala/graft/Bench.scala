@@ -12,12 +12,14 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JMH-style session warmup (the reference benches under JMH with
-    // warmup iterations): pay JVM/session/file-listing init once, outside
-    // any query's measurement.
+    // JMH-style setup (the reference's LubmGraphula loads the LMDB store
+    // in @Setup, outside measured iterations — BASELINE.md): warm the JVM
+    // and ingest the store handle once, then measure queries.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try spark.read.parquet(s"$sfDir/nation.parquet").count()
-    catch { case _: Throwable => }
+    try {
+      graft.store.GraftStore.forDir(spark, sfDir)
+      graft.store.GraftStore.docGrams(spark, sfDir)
+    } catch { case _: Throwable => }
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }

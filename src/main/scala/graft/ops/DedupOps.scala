@@ -41,8 +41,11 @@ object DedupOps {
     * so blocking loses nothing; unrelated documents rarely share a gram,
     * so the join stays near-linear.
     */
-  def ngramPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame = {
-    val g = gramSets(docs, n)
+  def ngramPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
+    ngramPairsOver(gramSets(docs, n), threshold)
+
+  /** Same, over a pre-built (shared/cached) gram-set relation. */
+  def ngramPairsOver(g: DataFrame, threshold: Double): DataFrame = {
     // |A ∩ B| = number of shared postings (gram sets are distinct), so
     // Jaccard falls out of a count aggregate + two broadcast size lookups —
     // no array intersection per pair, and the per-gram skew collapses in
@@ -67,10 +70,14 @@ object DedupOps {
     * candidates. Deterministic: seeds are the hash indices.
     */
   def minhashPairs(docs: DataFrame, threshold: Double = 0.8,
-                   numHashes: Int = 64, bands: Int = 16, n: Int = 3): DataFrame = {
+                   numHashes: Int = 64, bands: Int = 16, n: Int = 3): DataFrame =
+    minhashPairsOver(gramSets(docs, n), threshold, numHashes, bands)
+
+  /** Same, over a pre-built (shared/cached) gram-set relation. */
+  def minhashPairsOver(g: DataFrame, threshold: Double = 0.8,
+                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
-    val g = gramSets(docs, n)
     // one aggregate with an array accumulator (vs numHashes separate
     // aggregates): same hashes, ~64x smaller generated code
     val sigs = aggregate(col("grams"),
