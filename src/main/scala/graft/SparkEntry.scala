@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.bgp._
 import graft.dict.Dictionary
-import graft.ops.{DedupOps, JoinOps, MediaOps, TextOps, VectorOps}
+import graft.ops.{DedupOps, JoinOps, MediaOps, SkewOps, TextOps, VectorOps}
 import graft.store.{GraftStore, TripleStore}
 
 /** Driver contract — one named query per implemented operator
@@ -312,6 +312,14 @@ object SparkEntry {
       TextOps.wordCount(col("text")).as("n_words"))
       .orderBy("doc_id")
 
+  /** BPE-ish token counting (LLM token proxy) + first pieces. */
+  private def tokenBpe(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.bpeCount(col("text")).as("n_bpe"),
+        concat_ws("|", slice(TextOps.bpePieces(col("text")), 1, 5)).as("first_pieces"))
+      .orderBy("doc_id")
+
   /** Language ID heuristic (rows-only oracle: heuristic, not SQL). */
   private def langIdQ(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -549,6 +557,30 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Typed UDAF (Aggregator): bounded top-3 order totals per status. */
+  private def udafTopk(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAgg(3))
+    t(s, d, "orders")
+      .select(col("o_orderstatus"), round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .groupBy("o_orderstatus")
+      .agg(topk(col("c")).as("arr"))
+      .select(col("o_orderstatus"),
+        concat_ws(",", transform(col("arr"), _.cast("string"))).as("top3"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Salted skew join: identical result to the plain join (the oracle IS
+    * the plain join), hot keys split across 8 sub-partitions.
+    */
+  private def skewJoin(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem").select(col("l_orderkey"), col("l_extendedprice"), col("l_linenumber"))
+    val o = t(s, d, "orders").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    SkewOps.saltedJoin(li, o, Seq("l_orderkey"), saltBy = col("l_linenumber"), salts = 8)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("cnt"), (centsSum(col("l_extendedprice")) / 100.0).as("sum_price"))
+      .orderBy("o_orderstatus")
+  }
+
   // ---- Extended join taxonomy ----------------------------------------
 
   /** As-of join: each click event picks up the user's most recent
@@ -660,7 +692,10 @@ object SparkEntry {
     "q_pivot" -> (pivotQ _),
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_stddev" -> (stddevQ _),
+    "q_udaf_topk" -> (udafTopk _),
+    "q_skew_join" -> (skewJoin _),
     "q_text_stats" -> (textStats _),
+    "q_token_bpe" -> (tokenBpe _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
     "q_fingerprint" -> (fingerprintQ _),
@@ -912,6 +947,19 @@ object SparkEntry {
         |    / (count(*)::HUGEINT * count(*))::DOUBLE) / 100.0, 4) AS stddev_price
         |FROM (SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_udaf_topk" ->
+      """SELECT o_orderstatus,
+        |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY c DESC) AS top3
+        |FROM (
+        |  SELECT o_orderstatus, c, row_number() OVER (
+        |    PARTITION BY o_orderstatus ORDER BY c DESC) AS rn
+        |  FROM (SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders))
+        |WHERE rn <= 3 GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_skew_join" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  sum(CAST(round(l_extendedprice*100) AS BIGINT))/100.0 AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_asof_join" ->
       """SELECT c.event_id AS click_id, c.user_id,
         |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts,
@@ -990,6 +1038,11 @@ object SparkEntry {
       """SELECT doc_id, CAST(length(text) AS INT) AS n_char,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_bpe" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT) AS n_bpe,
+        |  array_to_string(list_slice(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'), 1, 5), '|') AS first_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,

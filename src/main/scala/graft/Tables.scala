@@ -62,6 +62,7 @@ object Tables {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "target/spark-warehouse")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

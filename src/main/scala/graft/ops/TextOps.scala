@@ -18,6 +18,20 @@ object TextOps {
   def wordCount(text: Column): Column =
     size(split(trim(text), "\\s+"))
 
+  /** BPE-ish pre-tokenizer pattern (GPT-2-style word/number/punct pieces,
+    * without lookahead so it runs on both Java regex and RE2): optional
+    * leading space + letter run | digit run | punct run.
+    */
+  val bpePattern: String = " ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\\s]+"
+
+  /** BPE-ish piece count (the LLM-token-count proxy). */
+  def bpeCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(bpePattern), lit(0)))
+
+  /** The BPE-ish pieces themselves (for inspection / downstream vocab). */
+  def bpePieces(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
   /** Quality heuristics: length, punctuation ratio, stopword ratio,
     * mean word length. Mirrors common pretraining-corpus filters
     * (C4/Gopher-style rules) as pure column expressions.
