@@ -557,6 +557,44 @@ object SparkEntry {
         countDistinct(col("l_partkey")).as("exact_parts"))
       .orderBy("l_returnflag")
 
+  /** Exact median per group via rank arithmetic (no interpolation
+    * ambiguity: lower/upper middle averaged in integer cents).
+    */
+  private def medianQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("c"), col("o_orderkey"))
+    t(s, d, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+      // `div`, not `/`: long / long is double division in Spark SQL
+      .where(col("rn") === expr("(n + 1) div 2") || col("rn") === expr("(n + 2) div 2"))
+      .groupBy("o_orderstatus")
+      .agg((sum(col("c")) / count(lit(1)) / 100.0).as("median_price"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** Exact Pearson correlation from integer-cents moments (decimal sums,
+    * one float op at the end): corr(totalprice, orderkey-parity proxy) —
+    * here price vs shippriority-free proxy o_custkey for a deterministic
+    * pair of numeric columns.
+    */
+  private def corrQ(s: SparkSession, d: String): DataFrame = {
+    val x = round(col("o_totalprice") * 100, 0).cast("decimal(38,0)")
+    val y = col("o_custkey").cast("decimal(38,0)")
+    t(s, d, "orders")
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
+        sum(x * x).as("sxx"), sum(y * y).as("syy"))
+      .select(col("o_orderstatus"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+          / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+          .as("corr_price_cust"))
+      .orderBy("o_orderstatus")
+  }
+
   /** Typed UDAF (Aggregator): bounded top-3 order totals per status. */
   private def udafTopk(s: SparkSession, d: String): DataFrame = {
     val topk = udaf(new graft.functions.TopKAgg(3))
@@ -694,6 +732,8 @@ object SparkEntry {
     "q_stddev" -> (stddevQ _),
     "q_udaf_topk" -> (udafTopk _),
     "q_skew_join" -> (skewJoin _),
+    "q_median" -> (medianQ _),
+    "q_corr" -> (corrQ _),
     "q_text_stats" -> (textStats _),
     "q_token_bpe" -> (tokenBpe _),
     "q_lang_id" -> (langIdQ _),
@@ -947,6 +987,29 @@ object SparkEntry {
         |    / (count(*)::HUGEINT * count(*))::DOUBLE) / 100.0, 4) AS stddev_price
         |FROM (SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_median" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice*100), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  CAST(sum(c) AS BIGINT)/count(*)/100.0 AS median_price
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = (n + 2) // 2
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_corr" ->
+      """WITH m AS (
+        |  SELECT o_orderstatus, count(*)::HUGEINT AS n,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT))::HUGEINT AS sx,
+        |    sum(o_custkey)::HUGEINT AS sy,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)::HUGEINT * o_custkey) AS sxy,
+        |    sum(CAST(round(o_totalprice*100) AS BIGINT)::HUGEINT * CAST(round(o_totalprice*100) AS BIGINT)) AS sxx,
+        |    sum(o_custkey::HUGEINT * o_custkey) AS syy
+        |  FROM orders GROUP BY o_orderstatus)
+        |SELECT o_orderstatus,
+        |  round((n*sxy - sx*sy)::DOUBLE
+        |    / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) AS corr_price_cust
+        |FROM m ORDER BY o_orderstatus""".stripMargin,
     "q_udaf_topk" ->
       """SELECT o_orderstatus,
         |  string_agg(CAST(c AS VARCHAR), ',' ORDER BY c DESC) AS top3

@@ -36,6 +36,19 @@ class SkewAndBucketSpec extends SparkSpec {
   "bucketed tables" should "join without a shuffle on the bucket key" in {
     val o = Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
     val c = Tables.customer(spark, sfDir).select("c_custkey", "c_name")
+    // clean catalog AND location: the warehouse dir survives across JVMs
+    // while the Derby metastore may not
+    Seq("b_orders", "b_cust").foreach { t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new java.io.File(s"target/spark-warehouse/$t")
+      if (loc.exists()) {
+        def rm(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete()
+        }
+        rm(loc)
+      }
+    }
     o.write.mode("overwrite").bucketBy(8, "o_custkey").saveAsTable("b_orders")
     c.write.mode("overwrite").bucketBy(8, "c_custkey").saveAsTable("b_cust")
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
