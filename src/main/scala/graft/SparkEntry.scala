@@ -456,6 +456,20 @@ object SparkEntry {
         |  OPTIONAL { ?x :mktsegment ?m }
         |} ORDER BY ?x ?m""".stripMargin)
 
+  /** SPARQL over the ENCODED store: parse -> driver-side constant encode
+    * -> long-key BGP joins -> lazy decode of projected vars only — the
+    * reference's full execution lifecycle in one call.
+    */
+  private def sparqlEncoded(s: SparkSession, d: String): DataFrame =
+    graft.sparql.Sparql.executeEncoded(s, GraftStore.forDir(s, d),
+      """PREFIX : <>
+        |SELECT ?c ?n ?r WHERE {
+        |  ?c a "Customer" .
+        |  ?c :nationkey ?n .
+        |  ?n :regionkey ?r .
+        |  ?r :name "ASIA" .
+        |} ORDER BY ?c ?n ?r""".stripMargin)
+
   /** SPARQL DISTINCT + ORDER + LIMIT (top-k plan via Catalyst). */
   private def sparqlTopk(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -723,6 +737,7 @@ object SparkEntry {
     "q_sparql_union" -> (sparqlUnion _),
     "q_sparql_optional" -> (sparqlOptional _),
     "q_sparql_topk" -> (sparqlTopk _),
+    "q_sparql_encoded" -> (sparqlEncoded _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_cube" -> (cubeQ _),
@@ -944,6 +959,12 @@ object SparkEntry {
     "q_sparql_topk" ->
       """SELECT DISTINCT c_mktsegment AS seg FROM customer
         |ORDER BY seg LIMIT 3""".stripMargin,
+    "q_sparql_encoded" ->
+      """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
+        |       'region:' || n_regionkey AS r
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' ORDER BY c, n, r""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_type, CAST(sum(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
         |  count(*) AS cnt,

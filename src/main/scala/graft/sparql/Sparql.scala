@@ -1,6 +1,6 @@
 package graft.sparql
 
-import graft.bgp.{Bgp, C, PredStats, TriplePattern, V}
+import graft.bgp.{Bgp, C, PredStats, Term, TriplePattern, V}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -247,6 +247,53 @@ object Sparql {
   }
 
   // ---------- Compiler ----------
+
+  /** Full reference lifecycle over the ENCODED store (dictionary-encoded
+    * long keys, the reference's execution model end-to-end,
+    * `GraphulaStageGenerator.scala:33-131`): parse -> encode query
+    * constants driver-side (sound under the store's collision
+    * certificate) -> BGP-join on longs -> lazily decode only projected
+    * variables from the term stream. Only the BGP subset (no
+    * OPTIONAL/UNION over encoded ids here — those run on the string
+    * store, where decode is a no-op).
+    */
+  def executeEncoded(spark: SparkSession, store: graft.store.StoreHandle,
+                     queryText: String): DataFrame = {
+    import graft.dict.Dictionary
+    val q = parse(queryText)
+    require(q.group.unions.isEmpty && q.group.optionals.isEmpty,
+      "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL")
+    val consts = q.group.triples.flatMap(_.consts).map(_.toString).distinct
+    val ids = Dictionary.hashLiterals(spark, consts)
+    val encPatterns = q.group.triples.map { tp =>
+      def enc(t: Term): Term = t match {
+        case C(v) => C(ids(v.toString))
+        case v => v
+      }
+      TriplePattern(enc(tp.s), enc(tp.p), enc(tp.o))
+    }
+    val res = Bgp.compile(spark, store.enc, encPatterns, store.encStats, store.totalCnt)
+      .localCheckpoint(true)
+    val vars = res.columns.toSeq
+    // lazy decode: only ids appearing in the result map back to terms
+    val terms = store.triples
+      .select(explode(array(col("s"), col("p"), col("o"))).as("term"))
+    val outIds = res.select(explode(array(vars.map(col): _*)).as("id")).distinct()
+    val slim = terms
+      .select(Dictionary.termHash(col("term")).as("id"), col("term"))
+      .join(broadcast(outIds), Seq("id"), "left_semi")
+      .distinct().localCheckpoint(true)
+    var df = vars.foldLeft(res)((d, c) => Dictionary.decode(d, broadcast(slim), c))
+    q.group.filters.foreach(f => df = df.where(compileExpr(f)))
+    val proj = if (q.projection.isEmpty) vars else q.projection
+    df = df.select(proj.map(col): _*)
+    if (q.distinct) df = df.distinct()
+    if (q.orderBy.nonEmpty)
+      df = df.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
+    q.limit.foreach(n => df = df.limit(n))
+    df
+  }
+
   def execute(spark: SparkSession, triples: DataFrame, queryText: String,
               stats: Map[String, PredStats] = Map.empty): DataFrame = {
     val q = parse(queryText)
