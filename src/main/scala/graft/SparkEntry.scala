@@ -191,6 +191,80 @@ object SparkEntry {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** Analytic window functions: lag/lead/first/last + ntile. */
+  private def windowLag(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(col("o_custkey"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .select(col("o_custkey"), col("o_orderkey"),
+        lag(col("c"), 1).over(w).as("prev_c"),
+        lead(col("c"), 1).over(w).as("next_c"),
+        first(col("c")).over(wf).as("first_c"),
+        last(col("c")).over(wf).as("last_c"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Discrete percentiles (p25/p50/p75) via exact rank arithmetic. */
+  private def percentilesQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus").orderBy(col("c"), col("o_orderkey"))
+    val base = t(s, d, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("o_orderstatus")))
+    // discrete percentile: value at rank ceil(p*n)
+    base
+      .groupBy("o_orderstatus")
+      .agg(
+        (max(when(col("rn") === expr("cast(ceil(0.25 * n) as bigint)"), col("c"))) / 100.0).as("p25"),
+        (max(when(col("rn") === expr("cast(ceil(0.50 * n) as bigint)"), col("c"))) / 100.0).as("p50"),
+        (max(when(col("rn") === expr("cast(ceil(0.75 * n) as bigint)"), col("c"))) / 100.0).as("p75"))
+      .orderBy("o_orderstatus")
+  }
+
+  /** String function breadth: pad/reverse/translate/levenshtein/repeat. */
+  private def stringFuncs2(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        reverse(col("p_brand")).as("brand_rev"),
+        translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+        levenshtein(col("p_brand"), substring(col("p_type"), 1, 8)).as("lev"),
+        repeat(substring(col("p_name"), 1, 2), 3).as("rep2"))
+      .orderBy("p_partkey")
+
+  /** Datetime function breadth: date_add/diff/last_day/dow bucketing. */
+  private def datetimeFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+        col("o_orderkey"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        datediff(lit("1998-12-31").cast("date"), col("o_orderdate")).as("days_to_eoy"),
+        date_format(last_day(col("o_orderdate")), "yyyy-MM-dd").as("month_end"),
+        dayofmonth(col("o_orderdate")).as("dom"))
+      .orderBy("o_orderkey")
+
+  /** Regex function breadth over part names (RE2-compatible patterns). */
+  private def regexFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "part").select(
+        col("p_partkey"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        col("p_name").rlike("^[a-m]").as("first_half"))
+      .orderBy("p_partkey")
+
+  /** Conditional/null functions: nullif/coalesce/nvl2-shape/greatest/least. */
+  private def conditionalFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders").select(
+        col("o_orderkey"),
+        nullif(col("o_orderstatus"), lit("O")).as("status_nz"),
+        coalesce(nullif(col("o_orderstatus"), lit("O")), lit("OPEN")).as("status_c"),
+        greatest(col("o_custkey") % 7, lit(3L)).as("prio_g"),
+        least(round(col("o_totalprice") * 100, 0).cast("long"), lit(1000000L)).as("capped"))
+      .orderBy("o_orderkey")
+
   /** Left-semi join (EXISTS; the reference's existence checks J2). */
   private def semiJoin(s: SparkSession, d: String): DataFrame = {
     val c = t(s, d, "customer")
@@ -708,6 +782,12 @@ object SparkEntry {
     "q_sort_limit" -> (sortLimit _),
     "q_window_rank" -> (windowRank _),
     "q_window_running" -> (windowRunning _),
+    "q_window_lag" -> (windowLag _),
+    "q_percentiles" -> (percentilesQ _),
+    "q_string_funcs2" -> (stringFuncs2 _),
+    "q_datetime_funcs" -> (datetimeFuncs _),
+    "q_regex_funcs" -> (regexFuncs _),
+    "q_conditional_funcs" -> (conditionalFuncs _),
     "q_semi_join" -> (semiJoin _),
     "q_anti_join" -> (antiJoin _),
     "q_outer_join" -> (outerJoin _),
@@ -863,6 +943,56 @@ object SparkEntry {
         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)/100.0
         |    AS running_total
         |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_window_lag" ->
+      """SELECT o_custkey, o_orderkey,
+        |  lag(c, 1) OVER w AS prev_c,
+        |  lead(c, 1) OVER w AS next_c,
+        |  first_value(c) OVER wf AS first_c,
+        |  last_value(c) OVER wf AS last_c,
+        |  ntile(4) OVER w AS quartile
+        |FROM (SELECT o_custkey, o_orderkey, CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey),
+        |  wf AS (PARTITION BY o_custkey ORDER BY o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q_percentiles" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus, CAST(round(o_totalprice*100) AS BIGINT) AS c,
+        |    row_number() OVER (PARTITION BY o_orderstatus ORDER BY round(o_totalprice*100), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderstatus) AS n
+        |  FROM orders)
+        |SELECT o_orderstatus,
+        |  max(CASE WHEN rn = CAST(ceil(0.25 * n) AS BIGINT) THEN c END)/100.0 AS p25,
+        |  max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT) THEN c END)/100.0 AS p50,
+        |  max(CASE WHEN rn = CAST(ceil(0.75 * n) AS BIGINT) THEN c END)/100.0 AS p75
+        |FROM r GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey, lpad(p_brand, 12, '*') AS brand_pad,
+        |  reverse(p_brand) AS brand_rev,
+        |  translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        |  CAST(levenshtein(p_brand, substring(p_type, 1, 8)) AS INT) AS lev,
+        |  repeat(substring(p_name, 1, 2), 3) AS rep2
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_datetime_funcs" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate + INTERVAL 30 DAY, '%Y-%m-%d') AS plus30,
+        |  CAST(date_diff('day', o_orderdate, DATE '1998-12-31') AS INT) AS days_to_eoy,
+        |  strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+        |  CAST(day(o_orderdate) AS INT) AS dom
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_matches(p_name, '^[a-m]') AS first_half
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_conditional_funcs" ->
+      """SELECT o_orderkey,
+        |  nullif(o_orderstatus, 'O') AS status_nz,
+        |  coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_c,
+        |  greatest(o_custkey % 7, 3) AS prio_g,
+        |  least(CAST(round(o_totalprice*100) AS BIGINT), 1000000) AS capped
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_semi_join" ->
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders
