@@ -58,31 +58,37 @@ object VectorOps {
       .drop("qv", "nv")
   }
 
-  /** Assign each vector to its max-cosine centroid (ties -> smallest
-    * centroid id). Returns (vec_id, cell).
-    */
-  def ivfAssign(emb: DataFrame, centroidPred: Column): DataFrame = {
-    val cent = emb.where(centroidPred)
+  /** Centroid relation (cent_id, cv) from a predicate over the corpus. */
+  def centroidsOf(emb: DataFrame, centroidPred: Column): DataFrame =
+    emb.where(centroidPred)
       .select(col("vec_id").as("cent_id"), col("embedding").as("cv"))
+
+  /** Assign each vector to its top-`probes` max-cosine centroids (ties ->
+    * smallest centroid id). probes = 1 is the storage assignment; probes >
+    * 1 is the multi-probe QUERY side. Returns (vec_id, cell) rows.
+    */
+  def ivfAssign(vectors: DataFrame, centroids: DataFrame, probes: Int = 1): DataFrame = {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("cos").desc, col("cent_id").asc)
-    emb.select(col("vec_id"), col("embedding"))
-      .crossJoin(broadcast(cent))
+    vectors.select(col("vec_id"), col("embedding"))
+      .crossJoin(broadcast(centroids))
       .select(col("vec_id"), col("cent_id"), cosine6(col("embedding"), col("cv")).as("cos"))
       .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
+      .where(col("rn") <= probes)
       .select(col("vec_id"), col("cent_id").as("cell"))
   }
 
-  /** IVF search: top-k within the query's cell only. Exact w.r.t. the IVF
-    * contract (approximate w.r.t. brute force — recall depends on cell
-    * quality; add multi-probe by relaxing `rn === 1` to `rn <= p`).
+  /** IVF search: top-k within the query's `probes` nearest cells. Exact
+    * w.r.t. the IVF contract; recall vs brute force grows with probes
+    * (probes = #centroids degenerates to exact search).
     */
   def ivfSearch(emb: DataFrame, centroidPred: Column, queryPred: Column,
-                k: Int): DataFrame = {
-    val cells = ivfAssign(emb, centroidPred)
+                k: Int, probes: Int = 1): DataFrame = {
+    val cent = centroidsOf(emb, centroidPred)
+    val cells = ivfAssign(emb, cent)
     val withCell = emb.join(cells, Seq("vec_id"))
-    val q = withCell.where(queryPred)
+    val q = emb.where(queryPred)
+      .join(ivfAssign(emb.where(queryPred), cent, probes), Seq("vec_id"))
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("cell"))
     val n = withCell
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("cell"))

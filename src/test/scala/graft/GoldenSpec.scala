@@ -1,0 +1,56 @@
+package graft
+
+import scala.io.Source
+
+import graft.sparql.Sparql
+import graft.store.TripleStore
+
+/** Golden-output corpus in the reference's GroundTruthSpec style
+  * (`benchmarks/src/test/scala/com/graphula/benchmarks/lubm/GroundTruthSpec.scala:25-168`):
+  * SPARQL queries over the sf0.001 store compared against checked-in TSV
+  * files (header of variable names, rows sorted; `NO ANSWERS.` if empty).
+  */
+class GoldenSpec extends SparkSpec {
+
+  lazy val triples = TripleStore.tableTriples(spark, sfDir)
+
+  val queries: Map[String, String] = Map(
+    "sparql_chain" ->
+      """PREFIX : <>
+        |SELECT ?c ?n ?r WHERE {
+        |  ?c a "Customer" . ?c :nationkey ?n .
+        |  ?n :regionkey ?r . ?r :name "ASIA" .
+        |} ORDER BY ?c ?n ?r""".stripMargin,
+    "sparql_filter" ->
+      """PREFIX : <>
+        |SELECT ?p ?sz WHERE { ?p a "Part" . ?p :size ?sz . FILTER (?sz > 25) }
+        |ORDER BY ?p""".stripMargin,
+    "sparql_union" ->
+      """PREFIX : <>
+        |SELECT ?x WHERE {
+        |  { ?x :mktsegment "BUILDING" } UNION { ?x :mktsegment "MACHINERY" }
+        |} ORDER BY ?x""".stripMargin,
+    "sparql_topk" ->
+      """PREFIX : <>
+        |SELECT DISTINCT ?seg WHERE { ?c :mktsegment ?seg } ORDER BY ?seg LIMIT 3""".stripMargin)
+
+  private def golden(name: String): Seq[String] = {
+    val url = getClass.getResource(s"/golden/$name.tsv")
+    require(url != null, s"missing golden file for $name")
+    val src = Source.fromURL(url)
+    try src.getLines().toList finally src.close()
+  }
+
+  queries.foreach { case (name, q) =>
+    "SPARQL golden corpus" should s"reproduce $name exactly" in {
+      val df = Sparql.execute(spark, triples, q)
+      val got = df.columns.mkString("\t") +:
+        df.collect().toSeq.map(r =>
+          (0 until r.length).map(i => if (r.isNullAt(i)) "" else r.get(i).toString)
+            .mkString("\t"))
+      val want = golden(name)
+      if (want == Seq("NO ANSWERS.")) got.length shouldBe 1
+      else got shouldBe want
+    }
+  }
+}

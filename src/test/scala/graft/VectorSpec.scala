@@ -33,12 +33,29 @@ class VectorSpec extends SparkSpec {
 
   "ivfAssign" should "assign vectors to the nearest centroid" in {
     // centroids: 0 (x-axis) and 2 (y-axis)
-    val cells = VectorOps.ivfAssign(emb, col("vec_id").isin(0L, 2L))
+    val cent = VectorOps.centroidsOf(emb, col("vec_id").isin(0L, 2L))
+    val cells = VectorOps.ivfAssign(emb, cent)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     cells(1L) shouldBe 0L // near-x -> x centroid
     cells(3L) shouldBe 2L // near-y -> y centroid
     cells(0L) shouldBe 0L
     cells(2L) shouldBe 2L
+  }
+
+  it should "probe multiple cells when asked" in {
+    val cent = VectorOps.centroidsOf(emb, col("vec_id").isin(0L, 2L))
+    val two = VectorOps.ivfAssign(emb, cent, probes = 2)
+    two.groupBy("vec_id").count().collect()
+      .foreach(_.getLong(1) shouldBe 2L) // every vector probes both cells
+  }
+
+  it should "reach brute-force recall at probes = #centroids" in {
+    val full = VectorOps.ivfSearch(emb, col("vec_id").isin(0L, 2L),
+        col("vec_id") === 3L, k = 4, probes = 2)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    val brute = VectorOps.knnBrute(emb, col("vec_id") === 3L, k = 4)
+      .collect().map(_.getAs[Long]("neighbor_id")).toSet
+    full shouldBe brute
   }
 
   "ivfSearch" should "only return neighbors from the query's cell" in {
