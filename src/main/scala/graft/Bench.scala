@@ -22,7 +22,9 @@ object Bench {
     } catch { case _: Throwable => }
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // deterministic name order: per-query timings comparable across runs
+    val selected = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     val results = selected.map { case (name, fn) =>
       val times = (1 to repeat).map { _ =>
@@ -36,7 +38,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
