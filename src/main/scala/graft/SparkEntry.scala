@@ -458,6 +458,13 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos", "rnk")
       .orderBy("query_id", "rnk")
 
+  /** LSH-bucketed ANN (sign random projections, single probe, top-3). */
+  private def annLshQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.annLsh(Tables.loadPar(s, d, "embeddings"), col("vec_id") < 8, k = 3)
+      .withColumnRenamed("rank", "rnk")
+      .select("query_id", "neighbor_id", "cos", "rnk")
+      .orderBy("query_id", "rnk")
+
   /** Embedding-cosine near-duplicate pairs (cos >= 0.5). */
   private def dedupEmbed(s: SparkSession, d: String): DataFrame =
     VectorOps.embedDupPairs(Tables.loadPar(s, d, "embeddings"), threshold = 0.5)
@@ -740,6 +747,32 @@ object SparkEntry {
       .orderBy("bucket")
   }
 
+  /** End-to-end corpus cleaning — the composed training-data pipeline:
+    * 1. exact dedup on the content fingerprint (keep smallest doc_id);
+    * 2. near-dup removal via n-gram Jaccard >= 0.5 (keep the cluster's
+    *    smallest doc_id: drop any doc_b of a verified pair);
+    * 3. quality floor (score >= 0.5) and language-ID agreement.
+    * Output: the surviving corpus (doc_id, lang, quality).
+    */
+  private def corpusClean(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.loadPar(s, d, "documents")
+    val exactKeep = docs
+      .groupBy(TextOps.fingerprint(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    val nearLosers = DedupOps.ngramPairsOver(GraftStore.docGrams(s, d), threshold = 0.5)
+      .select(col("doc_b").as("doc_id")).distinct()
+    docs
+      .join(exactKeep, Seq("doc_id"), "left_semi")
+      .join(nearLosers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("lang"),
+        TextOps.qualityScore(col("text")).as("quality"),
+        TextOps.langId(col("text")).as("pred_lang"))
+      .where(col("quality") >= 0.5 && col("pred_lang") === col("lang"))
+      .select("doc_id", "lang", "quality")
+      .orderBy("doc_id")
+  }
+
   // ---- Events / time-series ------------------------------------------
 
   /** Tumbling-window aggregation over the events stream table (batch run
@@ -806,8 +839,10 @@ object SparkEntry {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_embed" -> (dedupEmbed _),
+    "q_corpus_clean" -> (corpusClean _),
     "q_knn_topk" -> (knnTopk _),
     "q_ann_ivf" -> (annIvf _),
+    "q_ann_lsh" -> (annLshQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_frames" -> (mediaFrames _),
     "q_asof_join" -> (asofJoinQ _),
@@ -887,10 +922,35 @@ object SparkEntry {
   private def duckCos6(a: String, b: String): String =
     s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
 
+  /** LSH-bucket expression replayed in SQL: the exact same ±1 hyperplanes
+    * (generated by the same LCG) as literal lists, same fold order.
+    */
+  private val annLshOracleSql: String = {
+    val planes = graft.ops.VectorOps.signHyperplanes(8, 64)
+    val dots = planes.zipWithIndex.map { case (p, j) =>
+      val listLit = p.map(f => if (f > 0) "1.0" else "-1.0").mkString("[", ",", "]")
+      s"(CASE WHEN list_reduce(list_prepend(0.0, list_transform(range(1, 65), " +
+        s"t -> embedding[t]::DOUBLE * ($listLit::DOUBLE[])[t])), (acc, x) -> acc + x) > 0 " +
+        s"THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |b AS (SELECT vec_id, embedding, ($dots) AS bucket FROM e),
+       |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 8),
+       |scored AS (
+       |  SELECT query_id, n.vec_id AS neighbor_id, ${duckCos6("qv", "n.embedding")} AS cos
+       |  FROM b n JOIN q USING (bucket) WHERE n.vec_id <> query_id),
+       |r AS (SELECT *, row_number() OVER (
+       |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
+       |ORDER BY query_id, rnk""".stripMargin
+  }
+
   /** DuckDB oracles. The triple-ized BGP queries translate back to joins
     * over the base tables ('table:key' IRIs rebuilt with ||).
     */
   def oracleSql: Map[String, String] = Map(
+    "q_ann_lsh" -> annLshOracleSql,
     "q_bgp_chain" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r
@@ -1066,6 +1126,47 @@ object SparkEntry {
         |SELECT d AS doc_id, min(r) AS cluster FROM reach
         |GROUP BY d ORDER BY doc_id""".stripMargin),
     "q_dedup_simhash" -> simhashOracleSql,
+    "q_corpus_clean" -> (gramPairsCte + """,
+        |fpx AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(
+        |          list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS fp
+        |  FROM documents),
+        |keepx AS (SELECT min(doc_id) AS doc_id FROM fpx GROUP BY fp),
+        |losers AS (SELECT DISTINCT doc_b AS doc_id FROM p WHERE jaccard >= 0.5),
+        |scores AS (
+        |  SELECT doc_id, lang,
+        |    round((
+        |        least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
+        |          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
+        |      + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
+        |          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
+        |    ) / 3.0, 4) AS quality,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(der|die|das|und|ist|nicht|mit|ein)(\s|$|[\.,;:!\?])')) AS s_de,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(the|and|of|to|is|that|with|for)(\s|$|[\.,;:!\?])')) AS s_en,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(el|la|los|que|y|es|una|por)(\s|$|[\.,;:!\?])')) AS s_es,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(le|la|les|et|est|une|pour|dans)(\s|$|[\.,;:!\?])')) AS s_fr,
+        |    len(regexp_extract_all(text, '(?i)(^|\s)(的|是|了|在|我|有|和|不)(\s|$|[\.,;:!\?])')) AS s_zh
+        |  FROM documents),
+        |pred AS (
+        |  SELECT doc_id, lang, quality,
+        |    CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) = 0 THEN 'und'
+        |         WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |         WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |         WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |         WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |         ELSE 'zh' END AS pred_lang
+        |  FROM scores)
+        |SELECT doc_id, lang, quality FROM pred
+        |WHERE doc_id IN (SELECT doc_id FROM keepx)
+        |  AND doc_id NOT IN (SELECT doc_id FROM losers)
+        |  AND quality >= 0.5 AND pred_lang = lang
+        |ORDER BY doc_id""".stripMargin),
     "q_sparql_chain" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r

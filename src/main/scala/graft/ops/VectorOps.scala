@@ -101,6 +101,46 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
+  /** Deterministic ±1 "random-sign" hyperplanes (LCG-derived), the
+    * random-projection family for cosine LSH. Components are exactly
+    * representable, so both engines compute bit-identical projections.
+    */
+  def signHyperplanes(numPlanes: Int, dim: Int): Array[Array[Float]] =
+    Array.tabulate(numPlanes) { j =>
+      Array.tabulate(dim) { t =>
+        val h = (1103515245L * (j.toLong * dim + t) + 12345L) % 2147483648L
+        if (((h >> 13) & 1L) == 1L) 1.0f else -1.0f
+      }
+    }
+
+  /** LSH bucket id: bit j = sign of the projection onto hyperplane j. */
+  def lshBucket(v: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, j) =>
+      when(dotD(v, lit(p)) > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: candidates share the query's bucket (single probe),
+    * ranked by exact cosine. The scale path when centroids are unavailable
+    * or the corpus churns: bucketing is a stateless projection, so ingest
+    * never re-clusters. numPlanes trades recall for candidate volume.
+    */
+  def annLsh(emb: DataFrame, queryPred: Column, k: Int,
+             numPlanes: Int = 8, dim: Int = 64): DataFrame = {
+    val planes = signHyperplanes(numPlanes, dim)
+    val b = emb.select(col("vec_id"), col("embedding"),
+      lshBucket(col("embedding"), planes).as("bucket"))
+    val q = b.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"), col("bucket"))
+    val n = b.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"), col("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    n.join(broadcast(q), Seq("bucket"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine6(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs (>= threshold), brute force with
     * the smaller side broadcast; at cluster scale replace with an
     * LSH-bucketed (random hyperplane) candidate join + this verify.
