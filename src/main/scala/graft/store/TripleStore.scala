@@ -137,6 +137,21 @@ object TripleStore {
     when(c.startsWith("<") && c.endsWith(">"), regexp_replace(c, "^<|>$", ""))
       .otherwise(c)
 
+  /** Skolemize blank nodes: rewrite `_:label` to `_:<scope>:label` so
+    * labels from different files/parse sessions never collide — the
+    * distributed analog of the reference's per-parse `BlankNodeNamespace`
+    * (`core/src/main/scala/com/graphula/BlankNodeNamespace.scala:5-24`),
+    * deterministic instead of counter-allocated so re-ingestion is
+    * idempotent and oracle-comparable (SURVEY §7.4).
+    */
+  def skolemize(triples: DataFrame, scope: String): DataFrame =
+    Seq("s", "p", "o").foldLeft(triples) { (df, c) =>
+      df.withColumn(c,
+        when(col(c).startsWith("_:"),
+          concat(lit("_:" + scope + ":"), expr(s"substring($c, 3)")))
+          .otherwise(col(c)))
+    }
+
   /** Per-predicate statistics — the plan-time analog of the reference's O(1)
     * exact index cardinalities (`Index.valueCount`, `Index.scala:121-131`).
     * count = pattern (?, p, ?); ndvS/ndvO estimate bound-position

@@ -48,6 +48,21 @@ class StoreSpec extends SparkSpec {
       Seq(("http://ex/a", "http://ex/b", "http://ex/c"))
   }
 
+  "skolemize" should "scope blank-node labels per parse session" in {
+    import spark.implicits._
+    val t = Seq(("_:b0", "p", "x"), ("y", "p", "_:b0"), ("iri", "p", "lit"))
+      .toDF("s", "p", "o")
+    val a = TripleStore.skolemize(t, "file1").collect()
+      .map(r => (r.getString(0), r.getString(2))).toSet
+    a should contain(("_:file1:b0", "x"))
+    a should contain(("y", "_:file1:b0"))
+    a should contain(("iri", "lit")) // non-blanks untouched
+    // different scope -> different node identity
+    val b = TripleStore.skolemize(t, "file2").collect().map(_.getString(0)).toSet
+    b should contain("_:file2:b0")
+    b should not contain "_:file1:b0"
+  }
+
   "tableTriples" should "produce identical rows in both physical shapes" in {
     val d = sfDir
     val branch = TripleStore.tableTriples(spark, d).collect()
