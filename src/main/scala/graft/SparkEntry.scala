@@ -773,6 +773,31 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** Corpus stats by source: volume, quality, dedup pressure per source. */
+  private def sourceStats(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(TextOps.qualityScore(col("text"))), 4).as("avg_quality"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("n_unique"))
+      .orderBy("source")
+
+  /** Conversion funnel over events: users whose first view precedes their
+    * first click precedes their first purchase.
+    */
+  private def funnelQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(
+        min(when(col("event_type") === "view", col("ts"))).as("v"),
+        min(when(col("event_type") === "click", col("ts"))).as("c"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("p"))
+      .where(col("v") < col("c") && col("c") < col("p"))
+      .select(col("user_id"),
+        date_format(col("v"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_view"),
+        date_format(col("p"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_purchase"))
+      .orderBy("user_id")
+
   // ---- Events / time-series ------------------------------------------
 
   /** Tumbling-window aggregation over the events stream table (batch run
@@ -840,6 +865,8 @@ object SparkEntry {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_embed" -> (dedupEmbed _),
     "q_corpus_clean" -> (corpusClean _),
+    "q_source_stats" -> (sourceStats _),
+    "q_funnel" -> (funnelQ _),
     "q_knn_topk" -> (knnTopk _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_lsh" -> (annLshQ _),
@@ -1395,6 +1422,33 @@ object SparkEntry {
         |       ELSE 'zh' END AS pred_lang,
         |  lang
         |FROM s ORDER BY doc_id""".stripMargin,
+    "q_source_stats" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(round((
+        |      least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
+        |    + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
+        |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
+        |    + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
+        |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
+        |  ) / 3.0, 4)), 4) AS avg_quality,
+        |  count(DISTINCT list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      list_transform(
+        |        list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |        c -> ascii(c)::BIGINT)),
+        |    (acc, x) -> (acc*31 + x) % 4294967296)) AS n_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_funnel" ->
+      """SELECT user_id,
+        |  strftime(v, '%Y-%m-%d %H:%M:%S.%f') AS first_view,
+        |  strftime(p, '%Y-%m-%d %H:%M:%S.%f') AS first_purchase
+        |FROM (
+        |  SELECT user_id,
+        |    min(CASE WHEN event_type = 'view' THEN ts END) AS v,
+        |    min(CASE WHEN event_type = 'click' THEN ts END) AS c,
+        |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
+        |  FROM events GROUP BY user_id)
+        |WHERE v < c AND c < p ORDER BY user_id""".stripMargin,
     "q_session_window" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,
