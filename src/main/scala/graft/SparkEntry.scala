@@ -551,6 +551,24 @@ object SparkEntry {
         |  ?r :name "ASIA" .
         |} ORDER BY ?c ?n ?r""".stripMargin)
 
+  /** SPARQL MINUS (anti-join semantics on shared variables). */
+  private def sparqlMinus(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?c WHERE {
+        |  ?c a "Customer" .
+        |  MINUS { ?c :mktsegment "BUILDING" }
+        |} ORDER BY ?c""".stripMargin)
+
+  /** SPARQL VALUES (inline binding relation). */
+  private def sparqlValues(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?n ?nm WHERE {
+        |  ?n :name ?nm .
+        |  VALUES ?nm { "ASIA" "EUROPE" }
+        |} ORDER BY ?n""".stripMargin)
+
   /** SPARQL DISTINCT + ORDER + LIMIT (top-k plan via Catalyst). */
   private def sparqlTopk(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -880,6 +898,8 @@ object SparkEntry {
     "q_sparql_optional" -> (sparqlOptional _),
     "q_sparql_topk" -> (sparqlTopk _),
     "q_sparql_encoded" -> (sparqlEncoded _),
+    "q_sparql_minus" -> (sparqlMinus _),
+    "q_sparql_values" -> (sparqlValues _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_cube" -> (cubeQ _),
@@ -1217,6 +1237,12 @@ object SparkEntry {
     "q_sparql_topk" ->
       """SELECT DISTINCT c_mktsegment AS seg FROM customer
         |ORDER BY seg LIMIT 3""".stripMargin,
+    "q_sparql_minus" ->
+      """SELECT 'customer:' || c_custkey AS c FROM customer
+        |WHERE c_mktsegment <> 'BUILDING' ORDER BY c""".stripMargin,
+    "q_sparql_values" ->
+      """SELECT 'region:' || r_regionkey AS n, r_name AS nm FROM region
+        |WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY n""".stripMargin,
     "q_sparql_encoded" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r

@@ -29,7 +29,9 @@ object Sparql {
   final case class Query(distinct: Boolean, projection: Seq[String], group: Group,
                          orderBy: Seq[(String, Boolean)], limit: Option[Int])
   final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
-                         optionals: Seq[Group], unions: Seq[(Group, Group)])
+                         optionals: Seq[Group], unions: Seq[(Group, Group)],
+                         minuses: Seq[Group] = Seq.empty,
+                         values: Seq[(String, Seq[String])] = Seq.empty)
 
   sealed trait Expr
   final case class Cmp(l: Operand, op: String, r: Operand) extends Expr
@@ -167,11 +169,31 @@ object Sparql {
     var filters = Seq.empty[Expr]
     var optionals = Seq.empty[Group]
     var unions = Seq.empty[(Group, Group)]
+    var minuses = Seq.empty[Group]
+    var values = Seq.empty[(String, Seq[String])]
     while (!p.trySym("}")) {
       p.peek match {
         case Some(t) if p.isKw(t, "OPTIONAL") =>
           p.pos += 1
           optionals :+= parseGroup(p, prefixes)
+        case Some(t) if p.isKw(t, "MINUS") =>
+          p.pos += 1
+          minuses :+= parseGroup(p, prefixes)
+        case Some(t) if p.isKw(t, "VALUES") =>
+          p.pos += 1
+          val v = p.next() match {
+            case TVar(x) => x
+            case x => p.fail(s"expected ?var after VALUES, got $x")
+          }
+          p.eatSym("{")
+          var vals = Seq.empty[String]
+          while (!p.trySym("}")) p.next() match {
+            case TStr(sv) => vals :+= sv
+            case TIri(i) => vals :+= i
+            case TNum(n) => vals :+= n
+            case x => p.fail(s"unexpected VALUES entry $x")
+          }
+          values :+= (v -> vals)
         case Some(t) if p.isKw(t, "FILTER") =>
           p.pos += 1
           p.eatSym("(")
@@ -190,7 +212,7 @@ object Sparql {
           p.trySym(".") // trailing dot optional before '}'
       }
     }
-    Group(triples, filters, optionals, unions)
+    Group(triples, filters, optionals, unions, minuses, values)
   }
 
   private def parseTerm(p: P, prefixes: Map[String, String]): graft.bgp.Term =
@@ -261,8 +283,9 @@ object Sparql {
                      queryText: String): DataFrame = {
     import graft.dict.Dictionary
     val q = parse(queryText)
-    require(q.group.unions.isEmpty && q.group.optionals.isEmpty,
-      "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL")
+    require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
+      q.group.minuses.isEmpty && q.group.values.isEmpty,
+      "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES")
     val consts = q.group.triples.flatMap(_.consts).map(_.toString).distinct
     val ids = Dictionary.hashLiterals(spark, consts)
     val encPatterns = q.group.triples.map { tp =>
@@ -327,6 +350,22 @@ object Sparql {
       require(df != null, "OPTIONAL without a preceding pattern group")
       val shared = df.columns.intersect(o.columns).toSeq
       df = if (shared.isEmpty) df.crossJoin(o) else df.join(o, shared, "left")
+    }
+    // MINUS: remove solutions matching the inner group on shared vars
+    g.minuses.foreach { m =>
+      val neg = compileGroup(spark, triples, m, stats)
+      require(df != null, "MINUS without a preceding pattern group")
+      val shared = df.columns.intersect(neg.columns).toSeq
+      // SPARQL MINUS with no shared vars removes nothing
+      if (shared.nonEmpty) df = df.join(neg, shared, "left_anti")
+    }
+    // VALUES: inline binding relation joined in (constrains or extends)
+    g.values.foreach { case (v, vals) =>
+      import spark.implicits._
+      val vdf = vals.toDF(v)
+      require(df != null, "VALUES without a preceding pattern group")
+      df = if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
+      else df.crossJoin(vdf)
     }
     require(df != null, "empty group pattern")
     g.filters.foreach(f => df = df.where(compileExpr(f)))

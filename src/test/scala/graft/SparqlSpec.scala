@@ -74,6 +74,21 @@ class SparqlSpec extends SparkSpec {
       .shouldBe(Seq(Seq("3")))
   }
 
+  it should "subtract solutions with MINUS" in {
+    // subjects with p=2, minus those whose object is 5 -> only 1
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { ?x :2 ?y . MINUS { ?x :2 "5" } } ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1"))
+  }
+
+  it should "constrain bindings with VALUES" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x :2 ?y . VALUES ?x { "5" "6" } } ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("5", "5"), Seq("6", "5"))
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
