@@ -631,6 +631,22 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
+  /** Map/struct surface: per-priority status->count map built from
+    * collect_list(struct), extracted by key (MapType end-to-end).
+    */
+  private def mapFuncs(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("o_orderpriority")
+      .agg(map_from_entries(collect_list(struct(col("o_orderstatus"), col("cnt"))))
+        .as("by_status"))
+      .select(col("o_orderpriority"),
+        coalesce(element_at(col("by_status"), "F"), lit(0L)).as("f_cnt"),
+        coalesce(element_at(col("by_status"), "O"), lit(0L)).as("o_cnt"),
+        size(map_keys(col("by_status"))).as("n_statuses"))
+      .orderBy("o_orderpriority")
+
   /** Scalar subquery: orders above the global average price (all-integer
     * comparison, no float drift): cents*n > sum_cents.
     */
@@ -905,6 +921,7 @@ object SparkEntry {
     "q_cube" -> (cubeQ _),
     "q_grouping_sets" -> (groupingSetsQ _),
     "q_pivot" -> (pivotQ _),
+    "q_map_funcs" -> (mapFuncs _),
     "q_scalar_subquery" -> (scalarSubquery _),
     "q_stddev" -> (stddevQ _),
     "q_udaf_topk" -> (udafTopk _),
@@ -1279,6 +1296,12 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
         |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
         |  CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q_map_funcs" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS f_cnt,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS o_cnt,
+        |  CAST(count(DISTINCT o_orderstatus) AS INT) AS n_statuses
         |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
     "q_scalar_subquery" ->
       """SELECT count(*) AS n_above FROM orders

@@ -89,6 +89,20 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("5", "5"), Seq("6", "5"))
   }
 
+  it should "produce identical results on the string and encoded stores" in {
+    val q =
+      """PREFIX : <>
+        |SELECT ?c ?n WHERE { ?c :nationkey ?n . ?n :regionkey ?r . ?r :name "ASIA" }
+        |ORDER BY ?c ?n""".stripMargin
+    val st = graft.store.GraftStore.forDir(spark, sfDir)
+    val viaStrings = Sparql.execute(spark, st.triples, q, st.stats)
+      .collect().map(_.toSeq).toSeq
+    val viaEncoded = Sparql.executeEncoded(spark, st, q)
+      .collect().map(_.toSeq).toSeq
+    viaEncoded shouldBe viaStrings
+    viaStrings should not be empty
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
