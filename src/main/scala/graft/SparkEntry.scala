@@ -551,6 +551,12 @@ object SparkEntry {
         |  ?r :name "ASIA" .
         |} ORDER BY ?c ?n ?r""".stripMargin)
 
+  /** SPARQL sequence property path (p1/p2 chains via fresh variables). */
+  private def sparqlPath(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?c ?r WHERE { ?c :nationkey/:regionkey ?r } ORDER BY ?c ?r""".stripMargin)
+
   /** SPARQL MINUS (anti-join semantics on shared variables). */
   private def sparqlMinus(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -915,6 +921,7 @@ object SparkEntry {
     "q_sparql_topk" -> (sparqlTopk _),
     "q_sparql_encoded" -> (sparqlEncoded _),
     "q_sparql_minus" -> (sparqlMinus _),
+    "q_sparql_path" -> (sparqlPath _),
     "q_sparql_values" -> (sparqlValues _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
@@ -1257,6 +1264,14 @@ object SparkEntry {
     "q_sparql_minus" ->
       """SELECT 'customer:' || c_custkey AS c FROM customer
         |WHERE c_mktsegment <> 'BUILDING' ORDER BY c""".stripMargin,
+    "q_sparql_path" ->
+      """SELECT c, r FROM (
+        |  SELECT 'customer:' || c_custkey AS c, 'region:' || n_regionkey AS r
+        |  FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |) ORDER BY c, r""".stripMargin,
     "q_sparql_values" ->
       """SELECT 'region:' || r_regionkey AS n, r_name AS nm FROM region
         |WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY n""".stripMargin,

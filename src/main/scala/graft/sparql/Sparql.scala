@@ -31,7 +31,8 @@ object Sparql {
   final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
                          optionals: Seq[Group], unions: Seq[(Group, Group)],
                          minuses: Seq[Group] = Seq.empty,
-                         values: Seq[(String, Seq[String])] = Seq.empty)
+                         values: Seq[(String, Seq[String])] = Seq.empty,
+                         transitives: Seq[(Term, String, Term)] = Seq.empty)
 
   sealed trait Expr
   final case class Cmp(l: Operand, op: String, r: Operand) extends Expr
@@ -56,7 +57,7 @@ object Sparql {
   private case class TSym(s: String) extends Tok
 
   private val tokenRe =
-    """\s*(?:(\?[A-Za-z_][A-Za-z0-9_]*)|(<[^>]*>)|("(?:[^"\\]|\\.)*")|([+-]?\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)?:([A-Za-z0-9_][A-Za-z0-9_]*)?|([A-Za-z_][A-Za-z0-9_]*)|(&&|\|\||!=|<=|>=|[{}().!=<>*,]))""".r
+    """\s*(?:(\?[A-Za-z_][A-Za-z0-9_]*)|(<[^>]*>)|("(?:[^"\\]|\\.)*")|([+-]?\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)?:([A-Za-z0-9_][A-Za-z0-9_]*)?|([A-Za-z_][A-Za-z0-9_]*)|(&&|\|\||!=|<=|>=|[{}().!=<>*,/+]))""".r
 
   private def tokenize(s: String): Vector[Tok] = {
     var i = 0
@@ -171,6 +172,8 @@ object Sparql {
     var unions = Seq.empty[(Group, Group)]
     var minuses = Seq.empty[Group]
     var values = Seq.empty[(String, Seq[String])]
+    var transitives = Seq.empty[(Term, String, Term)]
+    var freshVar = 0
     while (!p.trySym("}")) {
       p.peek match {
         case Some(t) if p.isKw(t, "OPTIONAL") =>
@@ -207,12 +210,33 @@ object Sparql {
         case _ =>
           val s = parseTerm(p, prefixes)
           val pr = parseTerm(p, prefixes)
-          val o = parseTerm(p, prefixes)
-          triples :+= TriplePattern(s, pr, o)
+          // property paths: sequence `p1/p2/...` expands to chained
+          // patterns over fresh internal variables; `p+` marks a
+          // transitive-closure step (single predicate)
+          if (p.trySym("+")) {
+            val predName = pr match {
+              case C(v) => v.toString
+              case _ => p.fail("transitive path requires a constant predicate")
+            }
+            val o = parseTerm(p, prefixes)
+            transitives :+= ((s, predName, o))
+          } else {
+            var subject = s
+            var pred = pr
+            while (p.trySym("/")) {
+              val mid = V(s"__pv${freshVar}")
+              freshVar += 1
+              triples :+= TriplePattern(subject, pred, mid)
+              subject = mid
+              pred = parseTerm(p, prefixes)
+            }
+            val o = parseTerm(p, prefixes)
+            triples :+= TriplePattern(subject, pred, o)
+          }
           p.trySym(".") // trailing dot optional before '}'
       }
     }
-    Group(triples, filters, optionals, unions, minuses, values)
+    Group(triples, filters, optionals, unions, minuses, values, transitives)
   }
 
   private def parseTerm(p: P, prefixes: Map[String, String]): graft.bgp.Term =
@@ -284,8 +308,8 @@ object Sparql {
     import graft.dict.Dictionary
     val q = parse(queryText)
     require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
-      q.group.minuses.isEmpty && q.group.values.isEmpty,
-      "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES")
+      q.group.minuses.isEmpty && q.group.values.isEmpty && q.group.transitives.isEmpty,
+      "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES/paths")
     val consts = q.group.triples.flatMap(_.consts).map(_.toString).distinct
     val ids = Dictionary.hashLiterals(spark, consts)
     val encPatterns = q.group.triples.map { tp =>
@@ -351,6 +375,26 @@ object Sparql {
       val shared = df.columns.intersect(o.columns).toSeq
       df = if (shared.isEmpty) df.crossJoin(o) else df.join(o, shared, "left")
     }
+    // transitive paths: closure relation joined like a pattern scan
+    g.transitives.foreach { case (sTerm, oTermPred, oTerm) =>
+      val closure = transitiveClosure(triples, oTermPred)
+      var scan = closure
+      sTerm match { case C(v) => scan = scan.where(col("s") === lit(v)); case _ => }
+      oTerm match { case C(v) => scan = scan.where(col("o") === lit(v)); case _ => }
+      if (sTerm.isInstanceOf[V] && sTerm == oTerm)
+        scan = scan.where(col("s") === col("o"))
+      val proj = Seq(sTerm -> "s", oTerm -> "o")
+        .collect { case (V(n), c) => n -> c }.distinct
+      val scanP =
+        if (proj.isEmpty) scan.select(lit(1).as("__c"))
+        else scan.select(proj.map { case (n, c) => col(c).as(n) }: _*)
+      df =
+        if (df == null) scanP
+        else {
+          val shared = df.columns.intersect(scanP.columns).toSeq
+          if (shared.isEmpty) df.crossJoin(scanP) else df.join(scanP, shared, "inner")
+        }
+    }
     // MINUS: remove solutions matching the inner group on shared vars
     g.minuses.foreach { m =>
       val neg = compileGroup(spark, triples, m, stats)
@@ -370,6 +414,29 @@ object Sparql {
     require(df != null, "empty group pattern")
     g.filters.foreach(f => df = df.where(compileExpr(f)))
     df
+  }
+
+  /** One-or-more-step reachability over a single predicate (`p+`):
+    * iterative semi-naive-ish expansion with eager checkpoints, bounded
+    * by the graph diameter (linear rounds; switch to path doubling if a
+    * deep hierarchy ever demands it).
+    */
+  private def transitiveClosure(triples: DataFrame, pred: String): DataFrame = {
+    val edges = triples.where(col("p") === pred)
+      .select(col("s"), col("o")).distinct().localCheckpoint(true)
+    var closure = edges
+    var size = closure.count()
+    var prev = -1L
+    var iter = 0
+    while (size != prev && iter < 20) {
+      prev = size
+      val next = closure.as("l").join(edges.as("r"), col("l.o") === col("r.s"))
+        .select(col("l.s").as("s"), col("r.o").as("o"))
+      closure = closure.unionByName(next).distinct().localCheckpoint(true)
+      size = closure.count()
+      iter += 1
+    }
+    closure
   }
 
   private def compileExpr(e: Expr): Column = e match {

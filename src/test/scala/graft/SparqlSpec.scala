@@ -89,6 +89,27 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("5", "5"), Seq("6", "5"))
   }
 
+  it should "expand sequence property paths" in {
+    // ?a :2/:4 ?c == { ?a :2 ?m . ?m :4 ?c }
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?a ?c WHERE { ?a :2/:4 ?c } ORDER BY ?c""".stripMargin)
+    res shouldBe Seq(Seq("1", "5"), Seq("1", "6"))
+  }
+
+  it should "compute transitive closure for p+" in {
+    // graph has 1-2->3, 5-2->5, 6-2->5; p=2 closure from 1: {3}, from 6: {5}
+    // and 5-2->5 self-loop stays
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { "1" :2 + ?x }""".stripMargin)
+    res shouldBe Seq(Seq("3"))
+    val res2 = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { ?x :2 + "5" } ORDER BY ?x""".stripMargin)
+    res2 shouldBe Seq(Seq("5"), Seq("6"))
+  }
+
   it should "produce identical results on the string and encoded stores" in {
     val q =
       """PREFIX : <>
