@@ -557,6 +557,17 @@ object SparkEntry {
       """PREFIX : <>
         |SELECT ?c ?r WHERE { ?c :nationkey/:regionkey ?r } ORDER BY ?c ?r""".stripMargin)
 
+  /** SPARQL GROUP BY + COUNT (native aggregation in the front-end). */
+  private def sparqlAgg(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?nm (COUNT(?c) AS ?cnt) WHERE {
+        |  ?c a "Customer" .
+        |  ?c :nationkey ?n .
+        |  ?n :regionkey ?r .
+        |  ?r :name ?nm .
+        |} GROUP BY ?nm ORDER BY ?nm""".stripMargin)
+
   /** SPARQL MINUS (anti-join semantics on shared variables). */
   private def sparqlMinus(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -922,6 +933,7 @@ object SparkEntry {
     "q_sparql_encoded" -> (sparqlEncoded _),
     "q_sparql_minus" -> (sparqlMinus _),
     "q_sparql_path" -> (sparqlPath _),
+    "q_sparql_agg" -> (sparqlAgg _),
     "q_sparql_values" -> (sparqlValues _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
@@ -1264,6 +1276,11 @@ object SparkEntry {
     "q_sparql_minus" ->
       """SELECT 'customer:' || c_custkey AS c FROM customer
         |WHERE c_mktsegment <> 'BUILDING' ORDER BY c""".stripMargin,
+    "q_sparql_agg" ->
+      """SELECT r_name AS nm, count(*) AS cnt
+        |FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY nm""".stripMargin,
     "q_sparql_path" ->
       """SELECT c, r FROM (
         |  SELECT 'customer:' || c_custkey AS c, 'region:' || n_regionkey AS r

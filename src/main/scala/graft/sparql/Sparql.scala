@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
 object Sparql {
 
   // ---------- AST ----------
-  final case class Query(distinct: Boolean, projection: Seq[String], group: Group,
-                         orderBy: Seq[(String, Boolean)], limit: Option[Int])
+  /** Projection item: a plain variable or an aggregate `(FN(?v) AS ?a)`. */
+  sealed trait ProjItem
+  final case class PVar(name: String) extends ProjItem
+  final case class PAgg(fn: String, arg: Option[String], alias: String) extends ProjItem
+
+  final case class Query(distinct: Boolean, projection: Seq[ProjItem], group: Group,
+                         groupBy: Seq[String], orderBy: Seq[(String, Boolean)],
+                         limit: Option[Int])
   final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
                          optionals: Seq[Group], unions: Seq[(Group, Group)],
                          minuses: Seq[Group] = Seq.empty,
@@ -131,17 +137,48 @@ object Sparql {
     }
     p.eatKw("SELECT")
     val distinct = p.tryKw("DISTINCT")
-    var proj = Seq.empty[String]
+    var proj = Seq.empty[ProjItem]
     var star = false
     var reading = true
+    val aggFns = Seq("COUNT", "SUM", "MIN", "MAX", "AVG")
     while (reading) p.peek match {
-      case Some(TVar(v)) => proj :+= v; p.pos += 1
+      case Some(TVar(v)) => proj :+= PVar(v); p.pos += 1
       case Some(TSym("*")) => star = true; p.pos += 1
+      case Some(TSym("(")) => // ( FN(?v | *) AS ?alias )
+        p.pos += 1
+        val fn = p.next() match {
+          case TWord(w) if aggFns.contains(w.toUpperCase) => w.toUpperCase
+          case t => p.fail(s"expected aggregate function, got $t")
+        }
+        p.eatSym("(")
+        val arg = p.peek match {
+          case Some(TVar(v)) => p.pos += 1; Some(v)
+          case Some(TSym("*")) => p.pos += 1; None
+          case t => p.fail(s"expected ?var or * in aggregate, got $t")
+        }
+        p.eatSym(")")
+        p.eatKw("AS")
+        val alias = p.next() match {
+          case TVar(v) => v
+          case t => p.fail(s"expected ?alias, got $t")
+        }
+        p.eatSym(")")
+        proj :+= PAgg(fn, arg, alias)
       case _ => reading = false
     }
     if (!star && proj.isEmpty) p.fail("empty projection")
     p.eatKw("WHERE")
     val group = parseGroup(p, prefixes)
+    var groupBy = Seq.empty[String]
+    if (p.tryKw("GROUP")) {
+      p.eatKw("BY")
+      var more = true
+      while (more) p.peek match {
+        case Some(TVar(v)) => groupBy :+= v; p.pos += 1
+        case _ => more = false
+      }
+      if (groupBy.isEmpty) p.fail("empty GROUP BY")
+    }
     var order = Seq.empty[(String, Boolean)]
     if (p.tryKw("ORDER")) {
       p.eatKw("BY")
@@ -161,7 +198,7 @@ object Sparql {
       case TNum(n) => n.toInt
       case t => p.fail(s"expected number, got $t")
     }) else None
-    Query(distinct, proj, group, order, limit)
+    Query(distinct, proj, group, groupBy, order, limit)
   }
 
   private def parseGroup(p: P, prefixes: Map[String, String]): Group = {
@@ -308,8 +345,9 @@ object Sparql {
     import graft.dict.Dictionary
     val q = parse(queryText)
     require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
-      q.group.minuses.isEmpty && q.group.values.isEmpty && q.group.transitives.isEmpty,
-      "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES/paths")
+      q.group.minuses.isEmpty && q.group.values.isEmpty && q.group.transitives.isEmpty &&
+      !q.projection.exists(_.isInstanceOf[PAgg]),
+      "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES/paths/aggregates")
     val consts = q.group.triples.flatMap(_.consts).map(_.toString).distinct
     val ids = Dictionary.hashLiterals(spark, consts)
     val encPatterns = q.group.triples.map { tp =>
@@ -332,7 +370,9 @@ object Sparql {
       .distinct().localCheckpoint(true)
     var df = vars.foldLeft(res)((d, c) => Dictionary.decode(d, broadcast(slim), c))
     q.group.filters.foreach(f => df = df.where(compileExpr(f)))
-    val proj = if (q.projection.isEmpty) vars else q.projection
+    val proj =
+      if (q.projection.isEmpty) vars
+      else q.projection.collect { case PVar(v) => v }
     df = df.select(proj.map(col): _*)
     if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty)
@@ -346,8 +386,30 @@ object Sparql {
     val q = parse(queryText)
     var df = compileGroup(spark, triples, q.group, stats)
     val allVars = df.columns.toSeq
-    val proj = if (q.projection.isEmpty) allVars else q.projection
-    df = df.select(proj.map(col): _*)
+    val aggs = q.projection.collect { case a: PAgg => a }
+    if (aggs.nonEmpty) {
+      // SPARQL aggregates: COUNT counts bound (non-null) solutions;
+      // SUM/AVG apply the numeric cast (terms are stored as strings)
+      val aggCols = aggs.map { a =>
+        (a.fn match {
+          case "COUNT" => count(a.arg.map(col).getOrElse(lit(1)))
+          case "SUM" => sum(col(a.arg.get).cast("double"))
+          case "MIN" => min(col(a.arg.get))
+          case "MAX" => max(col(a.arg.get))
+          case "AVG" => avg(col(a.arg.get).cast("double"))
+        }).as(a.alias)
+      }
+      df = if (q.groupBy.nonEmpty)
+        df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      else df.agg(aggCols.head, aggCols.tail: _*)
+      val names = q.projection.map { case PVar(v) => v; case PAgg(_, _, a) => a }
+      df = df.select(names.map(col): _*)
+    } else {
+      val proj =
+        if (q.projection.isEmpty) allVars
+        else q.projection.map { case PVar(v) => v; case PAgg(_, _, a) => a }
+      df = df.select(proj.map(col): _*)
+    }
     if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty)
       df = df.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)

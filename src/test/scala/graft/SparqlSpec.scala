@@ -124,6 +124,32 @@ class SparqlSpec extends SparkSpec {
     viaStrings should not be empty
   }
 
+  it should "aggregate with GROUP BY and COUNT" in {
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT ?y (COUNT(?x) AS ?n) WHERE { ?x :2 ?y } GROUP BY ?y ORDER BY ?y""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    res shouldBe Seq(("3", 1L), ("5", 2L)) // objects of p=2: 3<-1, 5<-{5,6}
+  }
+
+  it should "aggregate globally without GROUP BY" in {
+    val n = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT (COUNT(*) AS ?n) WHERE { ?x :2 ?y }""".stripMargin)
+      .head().getLong(0)
+    n shouldBe 3L
+  }
+
+  it should "compute MIN/MAX/AVG over numeric terms" in {
+    val r = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT (MIN(?y) AS ?mn) (MAX(?y) AS ?mx) (AVG(?y) AS ?av)
+        |WHERE { ?x :2 ?y }""".stripMargin).head()
+    r.getString(0) shouldBe "3" // lexicographic MIN over string terms
+    r.getString(1) shouldBe "5"
+    r.getDouble(2) shouldBe (13.0 / 3.0) +- 1e-9
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
