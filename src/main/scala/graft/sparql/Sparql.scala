@@ -33,7 +33,7 @@ object Sparql {
 
   final case class Query(distinct: Boolean, projection: Seq[ProjItem], group: Group,
                          groupBy: Seq[String], orderBy: Seq[(String, Boolean)],
-                         limit: Option[Int])
+                         limit: Option[Int], offset: Option[Int] = None)
   final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
                          optionals: Seq[Group], unions: Seq[(Group, Group)],
                          minuses: Seq[Group] = Seq.empty,
@@ -194,11 +194,16 @@ object Sparql {
         case _ => more = false
       }
     }
-    val limit = if (p.tryKw("LIMIT")) Some(p.next() match {
-      case TNum(n) => n.toInt
-      case t => p.fail(s"expected number, got $t")
-    }) else None
-    Query(distinct, proj, group, groupBy, order, limit)
+    def num(kw: String): Option[Int] =
+      if (p.tryKw(kw)) Some(p.next() match {
+        case TNum(n) => n.toInt
+        case t => p.fail(s"expected number after $kw, got $t")
+      }) else None
+    // LIMIT/OFFSET accepted in either order, as in SPARQL
+    var limit = num("LIMIT")
+    val offset = num("OFFSET")
+    if (limit.isEmpty) limit = num("LIMIT")
+    Query(distinct, proj, group, groupBy, order, limit, offset)
   }
 
   private def parseGroup(p: P, prefixes: Map[String, String]): Group = {
@@ -413,6 +418,7 @@ object Sparql {
     if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty)
       df = df.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
+    q.offset.foreach(n => df = df.offset(n))
     q.limit.foreach(n => df = df.limit(n))
     df
   }

@@ -150,6 +150,13 @@ class SparqlSpec extends SparkSpec {
     r.getDouble(2) shouldBe (13.0 / 3.0) +- 1e-9
   }
 
+  it should "apply OFFSET after ORDER BY" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?y WHERE { ?x :2 ?y } ORDER BY ?y OFFSET 1 LIMIT 1""".stripMargin)
+    res shouldBe Seq(Seq("5")) // sorted objects: 3, 5, 5 -> skip 1, take 1
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
