@@ -185,11 +185,19 @@ object Bgp {
   }
 
   /** Count a BGP — the analog of the reference's `count` entry point (J5).
-    * Catalyst already collapses count-over-join plans; the reference's
-    * single-pattern shortcut corresponds to metadata-backed counts.
+    * The reference short-circuits a terminal single-pattern count to the
+    * index cardinality without enumeration (`Graphula.scala:388-390`);
+    * here a `(?, p, ?)` count with known stats answers from the stats
+    * relation with NO job at all. Everything else runs the join and lets
+    * Catalyst collapse count-over-join.
     */
   def count(spark: SparkSession, triples: DataFrame,
             patterns: Seq[TriplePattern],
             stats: Map[String, PredStats] = Map.empty): Long =
-    compile(spark, triples, patterns, stats).count()
+    patterns match {
+      case Seq(TriplePattern(V(a), C(p), V(b))) if a != b && stats.nonEmpty =>
+        stats.get(p.toString).map(_.cnt).getOrElse(0L)
+      case _ =>
+        compile(spark, triples, patterns, stats).count()
+    }
 }

@@ -81,6 +81,17 @@ class BgpSpec extends SparkSpec {
     Bgp.count(spark, triples, Seq(TriplePattern(V("s"), C("2"), V("o")))) shouldBe 3
   }
 
+  it should "answer single-pattern counts from statistics with no job" in {
+    val stats = Map("2" -> PredStats(3, 3, 2), "4" -> PredStats(2, 1, 2))
+    // stats shortcut (reference Graphula.scala:388-390): value comes from
+    // the stats relation, matching the enumerated count
+    Bgp.count(spark, triples, Seq(TriplePattern(V("s"), C("2"), V("o"))), stats) shouldBe 3
+    Bgp.count(spark, triples, Seq(TriplePattern(V("s"), C("4"), V("o"))), stats) shouldBe 2
+    Bgp.count(spark, triples, Seq(TriplePattern(V("s"), C("nope"), V("o"))), stats) shouldBe 0
+    // repeated variable disables the shortcut (s == o constrains rows)
+    Bgp.count(spark, triples, Seq(TriplePattern(V("x"), C("2"), V("x"))), stats) shouldBe 1
+  }
+
   "Bgp.order" should "place low-cardinality connected patterns first" in {
     val stats = Map(
       "common" -> PredStats(1000000, 1000, 1000),
