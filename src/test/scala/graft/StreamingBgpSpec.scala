@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming triple ingest through the BGP machinery: a live stream of
+  * (s, p, o) edges filtered by a triple pattern and enriched by a
+  * stream-static join against the already-ingested store — the
+  * incremental-maintenance shape for a triple store on Spark (the
+  * reference is strictly batch, SURVEY §2.6; this is the extension path).
+  */
+class StreamingBgpSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val staticTriples = Seq(
+    ("nation:1", "regionkey", "region:2"),
+    ("nation:3", "regionkey", "region:4")
+  ).toDF("s", "p", "o")
+
+  "streaming triples" should "match a pattern and join the static store" in {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, String)]
+    src.addData(
+      ("customer:7", "nationkey", "nation:1"),
+      ("customer:8", "nationkey", "nation:3"),
+      ("customer:9", "mktsegment", "BUILDING"), // different predicate: no match
+      ("customer:10", "nationkey", "nation:99")) // nation missing from store
+    val stream = src.toDF().toDF("s", "p", "o")
+
+    // pattern scan { ?c :nationkey ?n } on the stream, then
+    // { ?n :regionkey ?r } against the static store (stream-static join)
+    val hops = stream.where(col("p") === "nationkey")
+      .select(col("s").as("c"), col("o").as("n"))
+      .join(staticTriples.where(col("p") === "regionkey")
+        .select(col("s").as("n"), col("o").as("r")), Seq("n"))
+
+    val q = hops.writeStream.format("memory").queryName("bgp_stream_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val rows = spark.table("bgp_stream_out")
+      .select("c", "n", "r").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    rows shouldBe Set(
+      ("customer:7", "nation:1", "region:2"),
+      ("customer:8", "nation:3", "region:4"))
+  }
+
+  it should "keep matching as new micro-batches arrive" in {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, String)]
+    val stream = src.toDF().toDF("s", "p", "o")
+    val hops = stream.where(col("p") === "nationkey")
+      .select(col("s").as("c"), col("o").as("n"))
+      .join(staticTriples.where(col("p") === "regionkey")
+        .select(col("s").as("n"), col("o").as("r")), Seq("n"))
+    val q = hops.writeStream.format("memory").queryName("bgp_stream_inc")
+      .outputMode("append").start()
+    src.addData(("customer:1", "nationkey", "nation:1"))
+    q.processAllAvailable()
+    spark.table("bgp_stream_inc").count() shouldBe 1
+    src.addData(("customer:2", "nationkey", "nation:3"))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("bgp_stream_inc").count() shouldBe 2 // incremental append
+  }
+}
