@@ -110,8 +110,12 @@ object SparkEntry {
     // pay only join + decode — the reference's own cost model (LMDB is
     // loaded once; JMH measures queries, not loadNtriples).
     val st = GraftStore.forDir(s, d)
-    val ids = Dictionary.hashLiterals(s,
-      Seq("a", "Customer", "nationkey", "regionkey", "name", "ASIA"))
+    // Constant encode agrees with the store's encode path: pure hash under
+    // the collision certificate, repaired-dictionary lookup otherwise.
+    val constants = Seq("a", "Customer", "nationkey", "regionkey", "name", "ASIA")
+    val ids =
+      if (st.pureHash) Dictionary.hashLiterals(s, constants)
+      else Dictionary.lookup(st.dict, constants)
     // Query: BGP joins over long keys; result is small — pin it so decode
     // reads it instead of re-running the join tree.
     val res = prof("bgp joins")(Bgp.compile(s, st.enc, Seq(
@@ -120,17 +124,12 @@ object SparkEntry {
       TriplePattern(V("n"), C(ids("regionkey")), V("r")),
       TriplePattern(V("r"), C(ids("name")), C(ids("ASIA")))), st.encStats, st.totalCnt)
       .localCheckpoint(true))
-    // Lazy decode (reference `LazyBinding.scala:22-28`): only the ids that
-    // actually appear in the (small) result are ever mapped back — filter
-    // the term stream by the broadcast id set, THEN distinct the remainder.
-    val terms = st.triples.select(explode(array(col("s"), col("p"), col("o"))).as("term"))
-    val outIds = res.select(explode(array(col("c"), col("n"), col("r"))).as("id")).distinct()
-    val slim = prof("slim decode dict")(
-      terms.select(Dictionary.termHash(col("term")).as("id"), col("term"))
-        .join(broadcast(outIds), Seq("id"), "left_semi")
-        .distinct().localCheckpoint(true))
+    // Lazy decode (reference `LazyBinding.scala:22-28`) against the
+    // dictionary materialized at ingest: semi-join it down to the result's
+    // ids, broadcast, decode each projected variable. No per-query re-scan
+    // of the triple store.
     prof("decode joins")(
-      Seq("c", "n", "r").foldLeft(res)((df, c) => Dictionary.decode(df, broadcast(slim), c))
+      Dictionary.decodeAll(res, st.dict, Seq("c", "n", "r"))
         .select("c", "n", "r").orderBy("c", "n", "r"))
   }
 

@@ -45,24 +45,29 @@ object Dictionary {
     * (the analog of the reference's collision-exception table being empty).
     * `terms` = any single-string-column DataFrame.
     *
-    * Screening pass shuffles only (xxhash64, murmur3) LONG pairs — map-side
+    * Screening pass shuffles only small fixed-width check tuples — map-side
     * partial aggregation collapses duplicates before the exchange, and no
-    * strings ever cross the wire. A suspect group (same 64-bit id hash,
-    * >1 distinct 32-bit check hash) triggers the exact string-level check;
-    * a same-id-same-check pair (probability ~2^-95 per pair) would pass the
-    * screen, so the screen alone is not the certificate — but suspects = 0
-    * from the screen means EITHER truly collision-free OR a double
-    * collision, and only the exact fallback path below ever confirms a
-    * positive. For a hard guarantee we re-verify positives exactly.
+    * strings ever cross the wire. The check value pairs the 32-bit murmur3
+    * with an INDEPENDENTLY-seeded xxhash64 (the seed literal changes the
+    * input stream), so a false negative needs one term pair to collide on
+    * the 63-bit id hash AND both check hashes simultaneously: ~2^-159 per
+    * pair — below any realistic term universe (at 10^12 distinct terms,
+    * ~10^24 pairs, the aggregate false-negative probability is ~2^-79).
+    * The certificate is therefore probabilistic but with margin far beyond
+    * hardware error rates; a suspect group (>1 distinct check value under
+    * one id hash) still triggers the exact string-level re-verification, so
+    * positives are always confirmed exactly.
     */
   def collisionFree(terms: DataFrame,
                     hashExpr: Column => Column = termHash): Boolean = {
     val col0 = terms.columns.head
     val t = terms.select(col(col0).cast("string").as("term"))
       .where(col("term").isNotNull)
+    val checkHash = struct(hash(col("term")),
+      xxhash64(lit(-7046029254386353131L), col("term")))
     val suspects = t
       .groupBy(hashExpr(col("term")).as("h"))
-      .agg(countDistinct(hash(col("term"))).as("n"))
+      .agg(countDistinct(checkHash).as("n"))
       .where(col("n") > 1).limit(1).count()
     if (suspects == 0L) return true
     // exact fallback: string-level distinct over the (rare) suspect case

@@ -354,7 +354,20 @@ object Sparql {
       !q.projection.exists(_.isInstanceOf[PAgg]),
       "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES/paths/aggregates")
     val consts = q.group.triples.flatMap(_.consts).map(_.toString).distinct
-    val ids = Dictionary.hashLiterals(spark, consts)
+    // Constant encode must agree with how `store.enc` was encoded: pure
+    // hashing is sound only under the collision certificate; a repaired
+    // store carries escaped ids, so constants go through the repaired
+    // dictionary instead (a driver-side point lookup, D2). A dictionary
+    // miss means the constant matches nothing -> fail fast with an empty
+    // result, no job (reference `GraphulaStageGenerator.scala:107-110`).
+    val ids: Map[String, Long] =
+      if (store.pureHash) Dictionary.hashLiterals(spark, consts)
+      else Dictionary.lookup(store.dict, consts)
+    val allVars = q.group.triples.flatMap(_.vars).distinct
+    if (consts.exists(c => !ids.contains(c)))
+      return emptyStringResult(spark,
+        if (q.projection.isEmpty) allVars
+        else q.projection.collect { case PVar(v) => v })
     val encPatterns = q.group.triples.map { tp =>
       def enc(t: Term): Term = t match {
         case C(v) => C(ids(v.toString))
@@ -365,15 +378,11 @@ object Sparql {
     val res = Bgp.compile(spark, store.enc, encPatterns, store.encStats, store.totalCnt)
       .localCheckpoint(true)
     val vars = res.columns.toSeq
-    // lazy decode: only ids appearing in the result map back to terms
-    val terms = store.triples
-      .select(explode(array(col("s"), col("p"), col("o"))).as("term"))
-    val outIds = res.select(explode(array(vars.map(col): _*)).as("id")).distinct()
-    val slim = terms
-      .select(Dictionary.termHash(col("term")).as("id"), col("term"))
-      .join(broadcast(outIds), Seq("id"), "left_semi")
-      .distinct().localCheckpoint(true)
-    var df = vars.foldLeft(res)((d, c) => Dictionary.decode(d, broadcast(slim), c))
+    // lazy decode (reference `LazyBinding.scala:22-28`): semi-join the
+    // INGEST-materialized dictionary down to the ids that appear in the
+    // (small) result — cost ∝ dict scan + result size, never a re-scan of
+    // the full triple store
+    var df = Dictionary.decodeAll(res, store.dict, vars)
     q.group.filters.foreach(f => df = df.where(compileExpr(f)))
     val proj =
       if (q.projection.isEmpty) vars
@@ -384,6 +393,12 @@ object Sparql {
       df = df.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
     q.limit.foreach(n => df = df.limit(n))
     df
+  }
+
+  private def emptyStringResult(spark: SparkSession, vars: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.types._
+    val schema = StructType(vars.map(v => StructField(v, StringType)))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   def execute(spark: SparkSession, triples: DataFrame, queryText: String,
@@ -485,9 +500,12 @@ object Sparql {
   }
 
   /** One-or-more-step reachability over a single predicate (`p+`):
-    * iterative semi-naive-ish expansion with eager checkpoints, bounded
-    * by the graph diameter (linear rounds; switch to path doubling if a
-    * deep hierarchy ever demands it).
+    * path-doubling expansion with eager checkpoints — joining the closure
+    * with ITSELF each round squares the reachable path length, so `r`
+    * rounds cover diameter 2^r and the 60-round safety bound can only trip
+    * on a non-converging plan bug, never on a deep-but-finite hierarchy.
+    * Runs until a fixpoint (size stops growing); throws instead of
+    * silently truncating.
     */
   private def transitiveClosure(triples: DataFrame, pred: String): DataFrame = {
     val edges = triples.where(col("p") === pred)
@@ -496,9 +514,12 @@ object Sparql {
     var size = closure.count()
     var prev = -1L
     var iter = 0
-    while (size != prev && iter < 20) {
+    while (size != prev) {
+      if (iter >= 60)
+        throw new IllegalStateException(
+          s"transitive closure over '$pred' did not converge after $iter doubling rounds")
       prev = size
-      val next = closure.as("l").join(edges.as("r"), col("l.o") === col("r.s"))
+      val next = closure.as("l").join(closure.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
       closure = closure.unionByName(next).distinct().localCheckpoint(true)
       size = closure.count()

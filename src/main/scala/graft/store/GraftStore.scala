@@ -11,6 +11,11 @@ import graft.dict.Dictionary
   * handle materializes, once per (session, dir):
   *   - the string triple relation (eager local checkpoint),
   *   - the hash-encoded triple relation + its collision certificate,
+  *   - the (id, term) dictionary — materialized at INGEST so query-time
+  *     decode is a semi-join against a compact table, never a re-scan of
+  *     the full triple store (the reference pays O(result) LMDB point
+  *     lookups per query, `LazyBinding.scala:22-28`; this pays O(dict)
+  *     once, then O(result) per query),
   *   - per-predicate statistics (the `Index.valueCount` analog) for
   *     greedy BGP ordering and zero-cardinality fail-fast.
   * On a cluster these are parquet tables written by an ingest job; here
@@ -18,49 +23,100 @@ import graft.dict.Dictionary
   * self-contained per process.
   */
 final case class StoreHandle(triples: DataFrame, enc: DataFrame,
-                             pureHash: Boolean, stats: Map[String, PredStats],
+                             dict: DataFrame, pureHash: Boolean,
+                             stats: Map[String, PredStats],
                              encStats: Map[String, PredStats], totalCnt: Long)
 
 object GraftStore {
+  /** Single-flight lazy holder: TrieMap.getOrElseUpdate may race two
+    * constructors, but only the stored winner's `value` is ever forced, so
+    * the expensive ingest runs exactly once per key.
+    */
+  private final class Lazily[T](f: => T) { lazy val value: T = f }
+
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), StoreHandle]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[StoreHandle]]
 
-  def forDir(spark: SparkSession, sfDir: String): StoreHandle =
-    cache.getOrElseUpdate((spark, sfDir), ingest(spark, sfDir))
+  def forDir(spark: SparkSession, sfDir: String): StoreHandle = {
+    evictStopped()
+    cache.getOrElseUpdate((spark, sfDir), new Lazily(ingest(spark, sfDir))).value
+  }
 
-  private def ingest(spark: SparkSession, sfDir: String): StoreHandle = {
-    val triples = TripleStore.tableTriples(spark, sfDir, exploded = true)
-      .localCheckpoint(true)
+  /** Drop entries whose session has stopped — their checkpointed RDDs are
+    * gone, and a long-lived multi-session process would otherwise leak
+    * handles.
+    */
+  private def evictStopped(): Unit = {
+    cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
+    gramCache.keys.filter(_._1.sparkContext.isStopped).foreach(gramCache.remove)
+  }
+
+  private def ingest(spark: SparkSession, sfDir: String): StoreHandle =
+    ingestTriples(spark,
+      TripleStore.tableTriples(spark, sfDir, exploded = true))
+
+  /** Ingest an arbitrary (s, p, o) triple relation into a queryable handle.
+    * One pass builds the collision certificate, the encoded relation, the
+    * materialized dictionary, and the stats — the batch analog of the
+    * reference's `loadNtriples` (`Sparql.scala:78-113`).
+    */
+  def ingestTriples(spark: SparkSession, rawTriples: DataFrame): StoreHandle = {
+    val triples = rawTriples.localCheckpoint(true)
     val terms = triples.select(explode(array(col("s"), col("p"), col("o"))).as("term"))
     val pureHash = Dictionary.collisionFree(terms)
+    // The dictionary is materialized HERE, at ingest, on both paths: the
+    // pure-hash dict is just (hash(term), term) over the distinct term set.
+    // Every query-time decode semi-joins this table instead of re-exploding
+    // and re-hashing the whole triple store.
+    val dict = (
+      if (pureHash)
+        terms.select(col("term")).where(col("term").isNotNull).distinct()
+          .select(Dictionary.termHash(col("term")).as("id"), col("term"))
+      else Dictionary.build(terms)
+    ).localCheckpoint(true)
     val enc = (
       if (pureHash) Dictionary.encodeByHash(triples, Seq("s", "p", "o"))
-      else {
-        val dict = Dictionary.build(terms)
-        Seq("s", "p", "o").foldLeft(triples)((df, c) => Dictionary.encode(df, dict, c))
-      }
+      else Seq("s", "p", "o").foldLeft(triples)((df, c) => Dictionary.encode(df, dict, c))
     ).localCheckpoint(true)
     val statRows = TripleStore.predicateStats(triples).collect()
     val stats = statRows.map(r =>
       r.getString(0) -> PredStats(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
     // same stats keyed by encoded predicate id (as string), for BGPs over
-    // the encoded relation; sound on the pure-hash path
-    val predIds = Dictionary.hashLiterals(spark, stats.keys.toSeq)
-    val encStats =
-      if (pureHash) stats.map { case (k, v) => predIds(k).toString -> v }
-      else Map.empty[String, PredStats]
-    StoreHandle(triples, enc, pureHash, stats, encStats, stats.values.map(_.cnt).sum)
+    // the encoded relation; on the repaired path the ids come from the
+    // repaired dictionary, so they stay consistent with `enc`
+    val predIds =
+      if (pureHash) Dictionary.hashLiterals(spark, stats.keys.toSeq)
+      else Dictionary.lookup(dict, stats.keys.toSeq)
+    val encStats = stats.flatMap { case (k, v) => predIds.get(k).map(_.toString -> v) }
+    StoreHandle(triples, enc, dict, pureHash, stats, encStats, stats.values.map(_.cnt).sum)
   }
 
+  /** Incremental insert — the reference's `performAdd`
+    * (`sparql/src/main/scala/com/graphula/sparql/Sparql.scala:115-127`)
+    * adds triples to an open store; the Spark-idiomatic analog is a batch
+    * append that unions the new edges and refreshes the certificate,
+    * dictionary, and statistics so the stats-driven count shortcut and
+    * fail-fast stay EXACT. At cluster scale this is an append of new
+    * parquet files plus an incremental stats merge; re-deriving from the
+    * union keeps the in-session handle honest.
+    */
+  def append(spark: SparkSession, handle: StoreHandle,
+             newTriples: DataFrame): StoreHandle =
+    ingestTriples(spark, handle.triples.unionAll(
+      newTriples.select(col("s"), col("p"), col("o"))))
+
   private val gramCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
 
   /** Shared word-3-gram sets of the documents table, materialized once per
     * (session, dir) — the dedup family's common ingest artifact.
     */
-  def docGrams(spark: SparkSession, sfDir: String): DataFrame =
+  def docGrams(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
     gramCache.getOrElseUpdate((spark, sfDir),
-      graft.ops.DedupOps.gramSets(graft.Tables.loadPar(spark, sfDir, "documents")))
+      new Lazily(graft.ops.DedupOps.gramSets(
+        graft.Tables.loadPar(spark, sfDir, "documents")))).value
+  }
 
   /** Test hook: drop cached handles (e.g. between suites). */
   def invalidate(): Unit = { cache.clear(); gramCache.clear() }
