@@ -592,6 +592,115 @@ object SparkEntry {
         |SELECT DISTINCT ?seg WHERE { ?c :mktsegment ?seg }
         |ORDER BY ?seg LIMIT 3""".stripMargin)
 
+  /** SPARQL BIND: computed binding via CONCAT (expression surface). */
+  private def sparqlBind(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?p ?label WHERE {
+        |  ?p a "Part" .
+        |  ?p :size ?sz .
+        |  BIND(CONCAT("sz-", ?sz) AS ?label)
+        |} ORDER BY ?p""".stripMargin)
+
+  /** SPARQL negation by failure: OPTIONAL-with-filter then !BOUND. */
+  private def sparqlBound(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?x WHERE {
+        |  ?x a "Customer" .
+        |  OPTIONAL { ?x :mktsegment ?m . FILTER (?m = "BUILDING") }
+        |  FILTER (!BOUND(?m))
+        |} ORDER BY ?x""".stripMargin)
+
+  /** SPARQL property-path alternation `p1|p2`. */
+  private def sparqlPathAlt(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?n ?v WHERE {
+        |  ?n a "Nation" .
+        |  ?n :name|:regionkey ?v .
+        |} ORDER BY ?n ?v""".stripMargin)
+
+  /** SPARQL inverse path `^p`. */
+  private def sparqlPathInv(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?r ?n WHERE { ?r ^:regionkey ?n } ORDER BY ?r ?n""".stripMargin)
+
+  /** SPARQL zero-or-more closure `p*` from a constant start. */
+  private def sparqlPathStar(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?x WHERE { <nation:3> :regionkey* ?x } ORDER BY ?x""".stripMargin)
+
+  /** SPARQL GROUP_CONCAT (explicit separator, sorted for determinism)
+    * and SAMPLE (deterministic MIN choice).
+    */
+  private def sparqlGroupconcat(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?r (GROUP_CONCAT(?nm ; SEPARATOR ",") AS ?names) (SAMPLE(?nm) AS ?one)
+        |WHERE {
+        |  ?n a "Nation" .
+        |  ?n :regionkey ?r .
+        |  ?n :name ?nm .
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+
+  /** SPARQL HAVING over an aggregate alias. */
+  private def sparqlHaving(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?seg (COUNT(?c) AS ?cnt) WHERE { ?c :mktsegment ?seg }
+        |GROUP BY ?seg HAVING (?cnt >= 300) ORDER BY ?seg""".stripMargin)
+
+  /** SPARQL subquery: per-nation entity counts joined to typed nations. */
+  private def sparqlSubquery(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?n ?cnt WHERE {
+        |  ?n a "Nation" .
+        |  { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :nationkey ?n } GROUP BY ?n }
+        |} ORDER BY ?n""".stripMargin)
+
+  /** SPARQL FILTER EXISTS (correlated existence on shared vars). */
+  private def sparqlExists(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?n WHERE {
+        |  ?n a "Nation" .
+        |  FILTER EXISTS { ?s a "Supplier" . ?s :nationkey ?n }
+        |} ORDER BY ?n""".stripMargin)
+
+  /** SPARQL FILTER NOT EXISTS (anti-join; empty at this SF — all nations
+    * have suppliers — which the oracle confirms).
+    */
+  private def sparqlNotExists(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?n WHERE {
+        |  ?n a "Nation" .
+        |  FILTER NOT EXISTS { ?s a "Supplier" . ?s :nationkey ?n }
+        |} ORDER BY ?n""".stripMargin)
+
+  /** SPARQL string builtins in FILTER: STRSTARTS / CONTAINS. */
+  private def sparqlStrFilter(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?p ?nm WHERE {
+        |  ?p a "Part" .
+        |  ?p :name ?nm .
+        |  FILTER (STRSTARTS(?nm, "red") || CONTAINS(?nm, "bolt"))
+        |} ORDER BY ?p""".stripMargin)
+
+  /** SPARQL term introspection: isIRI over mixed IRI/literal objects. */
+  private def sparqlIsIri(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?s ?o WHERE {
+        |  ?s :name|:nationkey ?o .
+        |  FILTER (isIRI(?o))
+        |} ORDER BY ?s ?o""".stripMargin)
+
   // ---- SQL surface breadth --------------------------------------------
 
   /** JSON extraction from the events.props column + aggregation. */
@@ -934,6 +1043,18 @@ object SparkEntry {
     "q_sparql_path" -> (sparqlPath _),
     "q_sparql_agg" -> (sparqlAgg _),
     "q_sparql_values" -> (sparqlValues _),
+    "q_sparql_bind" -> (sparqlBind _),
+    "q_sparql_bound" -> (sparqlBound _),
+    "q_sparql_path_alt" -> (sparqlPathAlt _),
+    "q_sparql_path_inv" -> (sparqlPathInv _),
+    "q_sparql_path_star" -> (sparqlPathStar _),
+    "q_sparql_groupconcat" -> (sparqlGroupconcat _),
+    "q_sparql_having" -> (sparqlHaving _),
+    "q_sparql_subquery" -> (sparqlSubquery _),
+    "q_sparql_exists" -> (sparqlExists _),
+    "q_sparql_not_exists" -> (sparqlNotExists _),
+    "q_sparql_str_filter" -> (sparqlStrFilter _),
+    "q_sparql_isiri" -> (sparqlIsIri _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_cube" -> (cubeQ _),
@@ -1291,6 +1412,59 @@ object SparkEntry {
     "q_sparql_values" ->
       """SELECT 'region:' || r_regionkey AS n, r_name AS nm FROM region
         |WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY n""".stripMargin,
+    "q_sparql_bind" ->
+      """SELECT 'part:' || p_partkey AS p, 'sz-' || p_size AS label
+        |FROM part ORDER BY p""".stripMargin,
+    "q_sparql_bound" ->
+      """SELECT 'customer:' || c_custkey AS x FROM customer
+        |WHERE c_mktsegment <> 'BUILDING' ORDER BY x""".stripMargin,
+    "q_sparql_path_alt" ->
+      """SELECT n, v FROM (
+        |  SELECT 'nation:' || n_nationkey AS n, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        |) ORDER BY n, v""".stripMargin,
+    "q_sparql_path_inv" ->
+      """SELECT 'region:' || n_regionkey AS r, 'nation:' || n_nationkey AS n
+        |FROM nation ORDER BY r, n""".stripMargin,
+    "q_sparql_path_star" ->
+      """SELECT x FROM (
+        |  SELECT 'nation:3' AS x
+        |  UNION ALL
+        |  SELECT DISTINCT 'region:' || n_regionkey FROM nation WHERE n_nationkey = 3
+        |) ORDER BY x""".stripMargin,
+    "q_sparql_groupconcat" ->
+      """SELECT 'region:' || n_regionkey AS r,
+        |  string_agg(n_name, ',' ORDER BY n_name) AS names,
+        |  min(n_name) AS one
+        |FROM nation GROUP BY n_regionkey ORDER BY r""".stripMargin,
+    "q_sparql_having" ->
+      """SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer
+        |GROUP BY c_mktsegment HAVING count(*) >= 300 ORDER BY seg""".stripMargin,
+    "q_sparql_subquery" ->
+      """SELECT 'nation:' || k AS n, cnt FROM (
+        |  SELECT k, count(*) AS cnt FROM (
+        |    SELECT c_nationkey AS k FROM customer
+        |    UNION ALL SELECT s_nationkey FROM supplier
+        |  ) GROUP BY k
+        |) ORDER BY n""".stripMargin,
+    "q_sparql_exists" ->
+      """SELECT DISTINCT 'nation:' || s_nationkey AS n FROM supplier
+        |ORDER BY n""".stripMargin,
+    "q_sparql_not_exists" ->
+      """SELECT 'nation:' || n_nationkey AS n FROM nation
+        |WHERE n_nationkey NOT IN (SELECT s_nationkey FROM supplier)
+        |ORDER BY n""".stripMargin,
+    "q_sparql_str_filter" ->
+      """SELECT 'part:' || p_partkey AS p, p_name AS nm FROM part
+        |WHERE starts_with(p_name, 'red') OR contains(p_name, 'bolt')
+        |ORDER BY p""".stripMargin,
+    "q_sparql_isiri" ->
+      """SELECT s, o FROM (
+        |  SELECT 'customer:' || c_custkey AS s, 'nation:' || c_nationkey AS o FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
+        |) ORDER BY s, o""".stripMargin,
     "q_sparql_encoded" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r

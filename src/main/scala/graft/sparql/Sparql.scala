@@ -4,53 +4,97 @@ import graft.bgp.{Bgp, C, PredStats, Term, TriplePattern, V}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Minimal SPARQL 1.1 SELECT front-end.
+/** SPARQL 1.1 SELECT front-end.
   *
   * The reference delegates everything beyond BGPs to Jena ARQ
   * (`sparql/src/main/scala/com/graphula/sparql/Sparql.scala:41-65`,
   * `GraphulaStageGenerator.scala:28-133`); here the same query surface
   * compiles onto Spark built-ins instead: BGP -> `Bgp.compile` self-join
   * chain, OPTIONAL -> left join, UNION -> unionByName (bag semantics,
-  * missing vars null), FILTER -> `where`, DISTINCT/ORDER BY/LIMIT ->
-  * `distinct`/`orderBy`/`limit` (Catalyst turns sort+limit into top-k).
+  * missing vars null), MINUS -> anti join, FILTER -> `where`,
+  * EXISTS/NOT EXISTS -> semi/anti join, property paths -> relational
+  * algebra over the edge relation (closures by iterated path doubling),
+  * subqueries -> compiled DataFrames joined on shared variables,
+  * DISTINCT/ORDER BY/LIMIT -> `distinct`/`orderBy`/`limit` (Catalyst
+  * turns sort+limit into top-k).
   *
-  * Grammar subset (LUBM-shaped queries + solution modifiers):
+  * Grammar (SPARQL 1.1 SELECT core + paths + aggregates):
   *   PREFIX pfx: <iri>
-  *   SELECT [DISTINCT] (?v ... | *) WHERE {
-  *     s p o .            triple patterns; `a` for rdf:type
+  *   SELECT [DISTINCT] (?v | (expr AS ?a) | (FN([DISTINCT] ?v|*) AS ?a))* | *
+  *   WHERE {
+  *     s path o .         triple patterns; `a` for rdf:type; paths:
+  *                        p, p1/p2, p1|p2, ^p, p+, p*, p?, (path)
   *     OPTIONAL { ... }   left join on shared variables
-  *     { ... } UNION { ... }
-  *     FILTER (expr)      comparisons, && || !, REGEX(?v, "re")
-  *   } [ORDER BY (?v | ASC(?v) | DESC(?v))*] [LIMIT n]
+  *     { ... } UNION { ... } | { ... }        group / union
+  *     { SELECT ... }     subquery, joined on shared variables
+  *     MINUS { ... }      anti join on shared variables
+  *     VALUES ?v { ... }  inline data
+  *     BIND (expr AS ?v)  computed binding
+  *     FILTER (expr) | FILTER [NOT] EXISTS { ... }
+  *   } [GROUP BY ?v*] [HAVING (expr)*] [ORDER BY ...] [LIMIT n] [OFFSET n]
+  *
+  * Expressions: + - * / over numeric-cast terms; comparisons; && || !;
+  * builtins STR LANG STRLEN UCASE LCASE CONCAT COALESCE, boolean BOUND
+  * isIRI/isURI isBlank isLiteral STRSTARTS STRENDS CONTAINS REGEX.
+  * Aggregates: COUNT SUM MIN MAX AVG GROUP_CONCAT (SEPARATOR) SAMPLE.
+  *
+  * Determinism notes (the engine is oracle-checked bit-for-bit):
+  * GROUP_CONCAT sorts its inputs (SPARQL leaves order undefined);
+  * SAMPLE picks MIN (any value is conformant). Terms are stored as
+  * strings, so isIRI/LANG/STR follow the store's serialization: an IRI
+  * contains ':' and is neither quoted nor a `_:` blank; LANG extracts a
+  * trailing `"..."@tag`; STR strips the quotes off a quoted literal.
   */
 object Sparql {
 
   // ---------- AST ----------
-  /** Projection item: a plain variable or an aggregate `(FN(?v) AS ?a)`. */
+  /** Projection item: plain variable, aggregate, or computed expression. */
   sealed trait ProjItem
   final case class PVar(name: String) extends ProjItem
-  final case class PAgg(fn: String, arg: Option[String], alias: String) extends ProjItem
+  final case class PAgg(fn: String, arg: Option[String], alias: String,
+                        distinct: Boolean = false, sep: String = " ") extends ProjItem
+  final case class PExpr(e: EExpr, alias: String) extends ProjItem
 
   final case class Query(distinct: Boolean, projection: Seq[ProjItem], group: Group,
                          groupBy: Seq[String], orderBy: Seq[(String, Boolean)],
-                         limit: Option[Int], offset: Option[Int] = None)
+                         limit: Option[Int], offset: Option[Int] = None,
+                         having: Seq[Expr] = Seq.empty)
   final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
                          optionals: Seq[Group], unions: Seq[(Group, Group)],
                          minuses: Seq[Group] = Seq.empty,
                          values: Seq[(String, Seq[String])] = Seq.empty,
-                         transitives: Seq[(Term, String, Term)] = Seq.empty)
+                         paths: Seq[(Term, Path, Term)] = Seq.empty,
+                         binds: Seq[(EExpr, String)] = Seq.empty,
+                         subqueries: Seq[Query] = Seq.empty,
+                         subgroups: Seq[Group] = Seq.empty,
+                         existsFilters: Seq[(Group, Boolean)] = Seq.empty)
 
+  /** Property-path algebra (SPARQL 1.1 §9; the reference gets these from
+    * ARQ). Compiled to (s, o) relations over the edge table.
+    */
+  sealed trait Path
+  final case class PEdge(pred: String) extends Path
+  final case class PInv(p: Path) extends Path
+  final case class PSeq(l: Path, r: Path) extends Path
+  final case class PAlt(l: Path, r: Path) extends Path
+  final case class PClosure(p: Path, includeZero: Boolean) extends Path // + / *
+  final case class POpt(p: Path) extends Path                           // ?
+
+  /** Value expressions (BIND, expression projection, operands). */
+  sealed trait EExpr
+  final case class EVar(name: String) extends EExpr
+  final case class ENumL(v: Double) extends EExpr
+  final case class EStrL(v: String) extends EExpr
+  final case class EBin(l: EExpr, op: String, r: EExpr) extends EExpr
+  final case class ECall(fn: String, args: Seq[EExpr]) extends EExpr
+
+  /** Boolean (FILTER/HAVING) expressions. */
   sealed trait Expr
-  final case class Cmp(l: Operand, op: String, r: Operand) extends Expr
+  final case class Cmp(l: EExpr, op: String, r: EExpr) extends Expr
   final case class And(l: Expr, r: Expr) extends Expr
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
-  final case class Regex(v: String, pattern: String) extends Expr
-
-  sealed trait Operand
-  final case class OVar(name: String) extends Operand
-  final case class ONum(v: Double) extends Operand
-  final case class OStr(v: String) extends Operand
+  final case class BFn(fn: String, args: Seq[EExpr]) extends Expr
 
   // ---------- Tokenizer ----------
   private sealed trait Tok
@@ -63,7 +107,7 @@ object Sparql {
   private case class TSym(s: String) extends Tok
 
   private val tokenRe =
-    """\s*(?:(\?[A-Za-z_][A-Za-z0-9_]*)|(<[^>]*>)|("(?:[^"\\]|\\.)*")|([+-]?\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)?:([A-Za-z0-9_][A-Za-z0-9_]*)?|([A-Za-z_][A-Za-z0-9_]*)|(&&|\|\||!=|<=|>=|[{}().!=<>*,/+]))""".r
+    """\s*(?:(\?[A-Za-z_][A-Za-z0-9_]*)|(<[^>]*>)|("(?:[^"\\]|\\.)*")|([+-]?\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)?:([A-Za-z0-9_][A-Za-z0-9_]*)?|([A-Za-z_][A-Za-z0-9_]*)|(&&|\|\||!=|<=|>=|[{}().!=<>*,/+\-^|;?]))""".r
 
   private def tokenize(s: String): Vector[Tok] = {
     var i = 0
@@ -97,6 +141,7 @@ object Sparql {
   private class P(toks: Vector[Tok]) {
     var pos = 0
     def peek: Option[Tok] = toks.lift(pos)
+    def peekAhead(n: Int): Option[Tok] = toks.lift(pos + n)
     def next(): Tok = { val t = toks(pos); pos += 1; t }
     def isKw(t: Tok, kw: String): Boolean = t match {
       case TWord(w) => w.equalsIgnoreCase(kw)
@@ -120,6 +165,12 @@ object Sparql {
       throw new IllegalArgumentException(s"SPARQL parse error at token $pos: $msg (found ${peek.getOrElse("EOF")})")
   }
 
+  private val aggFns =
+    Seq("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE")
+  private val boolFns =
+    Seq("BOUND", "REGEX", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL",
+      "STRSTARTS", "STRENDS", "CONTAINS")
+
   def parse(text: String): Query = {
     val p = new P(tokenize(text))
     var prefixes = Map.empty[String, String]
@@ -135,35 +186,61 @@ object Sparql {
       }
       prefixes += (pfx -> iri)
     }
+    parseQueryBody(p, prefixes)
+  }
+
+  /** SELECT ... WHERE { ... } + solution modifiers; reused by subqueries. */
+  private def parseQueryBody(p: P, prefixes: Map[String, String]): Query = {
     p.eatKw("SELECT")
     val distinct = p.tryKw("DISTINCT")
     var proj = Seq.empty[ProjItem]
     var star = false
     var reading = true
-    val aggFns = Seq("COUNT", "SUM", "MIN", "MAX", "AVG")
     while (reading) p.peek match {
       case Some(TVar(v)) => proj :+= PVar(v); p.pos += 1
       case Some(TSym("*")) => star = true; p.pos += 1
-      case Some(TSym("(")) => // ( FN(?v | *) AS ?alias )
+      case Some(TSym("(")) => // ( FN([DISTINCT] ?v | *) AS ?a ) | ( expr AS ?a )
         p.pos += 1
-        val fn = p.next() match {
-          case TWord(w) if aggFns.contains(w.toUpperCase) => w.toUpperCase
-          case t => p.fail(s"expected aggregate function, got $t")
+        p.peek match {
+          case Some(TWord(w)) if aggFns.contains(w.toUpperCase) &&
+            p.peekAhead(1).contains(TSym("(")) =>
+            val fn = w.toUpperCase
+            p.pos += 1
+            p.eatSym("(")
+            val dist = p.tryKw("DISTINCT")
+            val arg = p.peek match {
+              case Some(TVar(v)) => p.pos += 1; Some(v)
+              case Some(TSym("*")) => p.pos += 1; None
+              case t => p.fail(s"expected ?var or * in aggregate, got $t")
+            }
+            // GROUP_CONCAT(?v ; SEPARATOR [=] "sep")
+            var sep = " "
+            if (p.trySym(";")) {
+              p.eatKw("SEPARATOR")
+              p.trySym("=")
+              sep = p.next() match {
+                case TStr(s) => s
+                case t => p.fail(s"expected separator string, got $t")
+              }
+            }
+            p.eatSym(")")
+            p.eatKw("AS")
+            val alias = p.next() match {
+              case TVar(v) => v
+              case t => p.fail(s"expected ?alias, got $t")
+            }
+            p.eatSym(")")
+            proj :+= PAgg(fn, arg, alias, dist, sep)
+          case _ =>
+            val e = parseEAdd(p)
+            p.eatKw("AS")
+            val alias = p.next() match {
+              case TVar(v) => v
+              case t => p.fail(s"expected ?alias, got $t")
+            }
+            p.eatSym(")")
+            proj :+= PExpr(e, alias)
         }
-        p.eatSym("(")
-        val arg = p.peek match {
-          case Some(TVar(v)) => p.pos += 1; Some(v)
-          case Some(TSym("*")) => p.pos += 1; None
-          case t => p.fail(s"expected ?var or * in aggregate, got $t")
-        }
-        p.eatSym(")")
-        p.eatKw("AS")
-        val alias = p.next() match {
-          case TVar(v) => v
-          case t => p.fail(s"expected ?alias, got $t")
-        }
-        p.eatSym(")")
-        proj :+= PAgg(fn, arg, alias)
       case _ => reading = false
     }
     if (!star && proj.isEmpty) p.fail("empty projection")
@@ -178,6 +255,12 @@ object Sparql {
         case _ => more = false
       }
       if (groupBy.isEmpty) p.fail("empty GROUP BY")
+    }
+    var having = Seq.empty[Expr]
+    while (p.tryKw("HAVING")) {
+      p.eatSym("(")
+      having :+= parseExpr(p)
+      p.eatSym(")")
     }
     var order = Seq.empty[(String, Boolean)]
     if (p.tryKw("ORDER")) {
@@ -203,7 +286,7 @@ object Sparql {
     var limit = num("LIMIT")
     val offset = num("OFFSET")
     if (limit.isEmpty) limit = num("LIMIT")
-    Query(distinct, proj, group, groupBy, order, limit, offset)
+    Query(distinct, proj, group, groupBy, order, limit, offset, having)
   }
 
   private def parseGroup(p: P, prefixes: Map[String, String]): Group = {
@@ -214,7 +297,11 @@ object Sparql {
     var unions = Seq.empty[(Group, Group)]
     var minuses = Seq.empty[Group]
     var values = Seq.empty[(String, Seq[String])]
-    var transitives = Seq.empty[(Term, String, Term)]
+    var paths = Seq.empty[(Term, Path, Term)]
+    var binds = Seq.empty[(EExpr, String)]
+    var subqueries = Seq.empty[Query]
+    var subgroups = Seq.empty[Group]
+    var existsFilters = Seq.empty[(Group, Boolean)]
     var freshVar = 0
     while (!p.trySym("}")) {
       p.peek match {
@@ -224,6 +311,17 @@ object Sparql {
         case Some(t) if p.isKw(t, "MINUS") =>
           p.pos += 1
           minuses :+= parseGroup(p, prefixes)
+        case Some(t) if p.isKw(t, "BIND") =>
+          p.pos += 1
+          p.eatSym("(")
+          val e = parseEAdd(p)
+          p.eatKw("AS")
+          val v = p.next() match {
+            case TVar(x) => x
+            case x => p.fail(s"expected ?var after AS, got $x")
+          }
+          p.eatSym(")")
+          binds :+= (e -> v)
         case Some(t) if p.isKw(t, "VALUES") =>
           p.pos += 1
           val v = p.next() match {
@@ -241,44 +339,104 @@ object Sparql {
           values :+= (v -> vals)
         case Some(t) if p.isKw(t, "FILTER") =>
           p.pos += 1
-          p.eatSym("(")
-          filters :+= parseExpr(p)
-          p.eatSym(")")
+          if (p.tryKw("EXISTS")) existsFilters :+= (parseGroup(p, prefixes) -> false)
+          else if (p.tryKw("NOT")) {
+            p.eatKw("EXISTS")
+            existsFilters :+= (parseGroup(p, prefixes) -> true)
+          } else {
+            p.eatSym("(")
+            filters :+= parseExpr(p)
+            p.eatSym(")")
+          }
         case Some(TSym("{")) =>
-          val left = parseGroup(p, prefixes)
-          p.eatKw("UNION")
-          val right = parseGroup(p, prefixes)
-          unions :+= (left -> right)
+          if (p.peekAhead(1).exists(p.isKw(_, "SELECT"))) {
+            // subquery: { SELECT ... WHERE { ... } modifiers }
+            p.pos += 1
+            subqueries :+= parseQueryBody(p, prefixes)
+            p.eatSym("}")
+          } else {
+            val left = parseGroup(p, prefixes)
+            if (p.tryKw("UNION")) {
+              val right = parseGroup(p, prefixes)
+              unions :+= (left -> right)
+            } else subgroups :+= left // plain group graph pattern
+          }
         case _ =>
           val s = parseTerm(p, prefixes)
-          val pr = parseTerm(p, prefixes)
-          // property paths: sequence `p1/p2/...` expands to chained
-          // patterns over fresh internal variables; `p+` marks a
-          // transitive-closure step (single predicate)
-          if (p.trySym("+")) {
-            val predName = pr match {
-              case C(v) => v.toString
-              case _ => p.fail("transitive path requires a constant predicate")
-            }
-            val o = parseTerm(p, prefixes)
-            transitives :+= ((s, predName, o))
-          } else {
-            var subject = s
-            var pred = pr
-            while (p.trySym("/")) {
-              val mid = V(s"__pv${freshVar}")
-              freshVar += 1
-              triples :+= TriplePattern(subject, pred, mid)
-              subject = mid
-              pred = parseTerm(p, prefixes)
-            }
-            val o = parseTerm(p, prefixes)
-            triples :+= TriplePattern(subject, pred, o)
+          p.peek match {
+            case Some(TVar(_)) => // variable predicate: plain triple
+              val pr = parseTerm(p, prefixes)
+              val o = parseTerm(p, prefixes)
+              triples :+= TriplePattern(s, pr, o)
+            case _ =>
+              val path = parsePathAlt(p, prefixes)
+              val o = parseTerm(p, prefixes)
+              flattenEdgeSeq(path) match {
+                case Some(edges) =>
+                  // pure edge sequence -> chained patterns over fresh vars
+                  // (stays in Bgp.compile: stats-ordered, fail-fast)
+                  var subject = s
+                  edges.init.foreach { e =>
+                    val mid = V(s"__pv${freshVar}")
+                    freshVar += 1
+                    triples :+= TriplePattern(subject, C(e), mid)
+                    subject = mid
+                  }
+                  triples :+= TriplePattern(subject, C(edges.last), o)
+                case None => paths :+= ((s, path, o))
+              }
           }
           p.trySym(".") // trailing dot optional before '}'
       }
     }
-    Group(triples, filters, optionals, unions, minuses, values, transitives)
+    Group(triples, filters, optionals, unions, minuses, values, paths,
+      binds, subqueries, subgroups, existsFilters)
+  }
+
+  /** Some(edge names) iff the path is a plain `/`-sequence of forward
+    * edges — the shape that compiles to ordinary triple patterns.
+    */
+  private def flattenEdgeSeq(path: Path): Option[Seq[String]] = path match {
+    case PEdge(e) => Some(Seq(e))
+    case PSeq(l, r) =>
+      for (a <- flattenEdgeSeq(l); b <- flattenEdgeSeq(r)) yield a ++ b
+    case _ => None
+  }
+
+  // path := seq ('|' seq)* ; seq := elt ('/' elt)* ;
+  // elt := '^'? (iri | pname | 'a' | '(' path ')') ('+'|'*'|'?')?
+  private def parsePathAlt(p: P, prefixes: Map[String, String]): Path = {
+    var left = parsePathSeq(p, prefixes)
+    while (p.trySym("|")) left = PAlt(left, parsePathSeq(p, prefixes))
+    left
+  }
+
+  private def parsePathSeq(p: P, prefixes: Map[String, String]): Path = {
+    var left = parsePathElt(p, prefixes)
+    while (p.trySym("/")) left = PSeq(left, parsePathElt(p, prefixes))
+    left
+  }
+
+  private def parsePathElt(p: P, prefixes: Map[String, String]): Path = {
+    val inv = p.trySym("^")
+    val base: Path = p.peek match {
+      case Some(TSym("(")) =>
+        p.pos += 1
+        val x = parsePathAlt(p, prefixes)
+        p.eatSym(")")
+        x
+      case _ =>
+        parseTerm(p, prefixes) match {
+          case C(v) => PEdge(v.toString)
+          case V(n) => p.fail(s"variable ?$n not allowed inside a property path")
+        }
+    }
+    val withMod =
+      if (p.trySym("+")) PClosure(base, includeZero = false)
+      else if (p.trySym("*")) PClosure(base, includeZero = true)
+      else if (p.trySym("?")) POpt(base)
+      else base
+    if (inv) PInv(withMod) else withMod
   }
 
   private def parseTerm(p: P, prefixes: Map[String, String]): graft.bgp.Term =
@@ -295,6 +453,7 @@ object Sparql {
       case t => p.fail(s"unexpected term $t")
     }
 
+  // ---------- Expression parsing ----------
   private def parseExpr(p: P): Expr = {
     var left = parseCond(p)
     var more = true
@@ -309,29 +468,62 @@ object Sparql {
   private def parseCond(p: P): Expr = p.peek match {
     case Some(TSym("!")) => p.pos += 1; Not(parseCond(p))
     case Some(TSym("(")) => p.pos += 1; val e = parseExpr(p); p.eatSym(")"); e
-    case Some(t) if p.isKw(t, "REGEX") =>
+    case Some(TWord(w)) if boolFns.contains(w.toUpperCase) &&
+      p.peekAhead(1).contains(TSym("(")) =>
       p.pos += 1
-      p.eatSym("(")
-      val v = p.next() match { case TVar(x) => x; case x => p.fail(s"expected ?var, got $x") }
-      p.eatSym(",")
-      val re = p.next() match { case TStr(s) => s; case x => p.fail(s"expected pattern, got $x") }
-      p.eatSym(")")
-      Regex(v, re)
+      BFn(w.toUpperCase, parseArgList(p))
     case _ =>
-      val l = parseOperand(p)
+      val l = parseEAdd(p)
       val op = p.next() match {
         case TSym(o) if Seq("=", "!=", "<", "<=", ">", ">=").contains(o) => o
         case t => p.fail(s"expected comparison operator, got $t")
       }
-      val r = parseOperand(p)
+      val r = parseEAdd(p)
       Cmp(l, op, r)
   }
 
-  private def parseOperand(p: P): Operand = p.next() match {
-    case TVar(v) => OVar(v)
-    case TNum(n) => ONum(n.toDouble)
-    case TStr(s) => OStr(s)
-    case t => p.fail(s"unexpected operand $t")
+  private def parseArgList(p: P): Seq[EExpr] = {
+    p.eatSym("(")
+    var args = Seq.empty[EExpr]
+    if (!p.trySym(")")) {
+      args :+= parseEAdd(p)
+      while (p.trySym(",")) args :+= parseEAdd(p)
+      p.eatSym(")")
+    }
+    args
+  }
+
+  private def parseEAdd(p: P): EExpr = {
+    var left = parseEMul(p)
+    var more = true
+    while (more) p.peek match {
+      case Some(TSym("+")) => p.pos += 1; left = EBin(left, "+", parseEMul(p))
+      case Some(TSym("-")) => p.pos += 1; left = EBin(left, "-", parseEMul(p))
+      case _ => more = false
+    }
+    left
+  }
+
+  private def parseEMul(p: P): EExpr = {
+    var left = parseEUnary(p)
+    var more = true
+    while (more) p.peek match {
+      case Some(TSym("*")) => p.pos += 1; left = EBin(left, "*", parseEUnary(p))
+      case Some(TSym("/")) => p.pos += 1; left = EBin(left, "/", parseEUnary(p))
+      case _ => more = false
+    }
+    left
+  }
+
+  private def parseEUnary(p: P): EExpr = p.peek match {
+    case Some(TVar(v)) => p.pos += 1; EVar(v)
+    case Some(TNum(n)) => p.pos += 1; ENumL(n.toDouble)
+    case Some(TStr(s)) => p.pos += 1; EStrL(s)
+    case Some(TSym("(")) => p.pos += 1; val e = parseEAdd(p); p.eatSym(")"); e
+    case Some(TWord(fn)) if p.peekAhead(1).contains(TSym("(")) =>
+      p.pos += 1
+      ECall(fn.toUpperCase, parseArgList(p))
+    case t => p.fail(s"unexpected expression token $t")
   }
 
   // ---------- Compiler ----------
@@ -339,19 +531,21 @@ object Sparql {
   /** Full reference lifecycle over the ENCODED store (dictionary-encoded
     * long keys, the reference's execution model end-to-end,
     * `GraphulaStageGenerator.scala:33-131`): parse -> encode query
-    * constants driver-side (sound under the store's collision
-    * certificate) -> BGP-join on longs -> lazily decode only projected
-    * variables from the term stream. Only the BGP subset (no
-    * OPTIONAL/UNION over encoded ids here — those run on the string
-    * store, where decode is a no-op).
+    * constants driver-side -> BGP-join on longs -> lazily decode only
+    * projected variables against the ingest-materialized dictionary. Only
+    * the BGP subset (no OPTIONAL/UNION over encoded ids here — those run
+    * on the string store, where decode is a no-op).
     */
   def executeEncoded(spark: SparkSession, store: graft.store.StoreHandle,
                      queryText: String): DataFrame = {
     import graft.dict.Dictionary
     val q = parse(queryText)
     require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
-      q.group.minuses.isEmpty && q.group.values.isEmpty && q.group.transitives.isEmpty &&
-      !q.projection.exists(_.isInstanceOf[PAgg]),
+      q.group.minuses.isEmpty && q.group.values.isEmpty &&
+      q.group.paths.isEmpty && q.group.binds.isEmpty &&
+      q.group.subqueries.isEmpty && q.group.subgroups.isEmpty &&
+      q.group.existsFilters.isEmpty &&
+      q.projection.forall(_.isInstanceOf[PVar]),
       "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES/paths/aggregates")
     val consts = q.group.triples.flatMap(_.consts).map(_.toString).distinct
     // Constant encode must agree with how `store.enc` was encoded: pure
@@ -402,33 +596,52 @@ object Sparql {
   }
 
   def execute(spark: SparkSession, triples: DataFrame, queryText: String,
-              stats: Map[String, PredStats] = Map.empty): DataFrame = {
-    val q = parse(queryText)
+              stats: Map[String, PredStats] = Map.empty): DataFrame =
+    compileQuery(spark, triples, parse(queryText), stats)
+
+  private def compileQuery(spark: SparkSession, triples: DataFrame, q: Query,
+                           stats: Map[String, PredStats]): DataFrame = {
     var df = compileGroup(spark, triples, q.group, stats)
     val allVars = df.columns.toSeq
     val aggs = q.projection.collect { case a: PAgg => a }
     if (aggs.nonEmpty) {
       // SPARQL aggregates: COUNT counts bound (non-null) solutions;
-      // SUM/AVG apply the numeric cast (terms are stored as strings)
+      // SUM/AVG apply the numeric cast (terms are stored as strings).
+      // GROUP_CONCAT sorts its inputs and SAMPLE takes MIN — both
+      // conformant (SPARQL leaves them undefined) and deterministic.
       val aggCols = aggs.map { a =>
         (a.fn match {
+          case "COUNT" if a.distinct => countDistinct(col(a.arg.get))
           case "COUNT" => count(a.arg.map(col).getOrElse(lit(1)))
           case "SUM" => sum(col(a.arg.get).cast("double"))
           case "MIN" => min(col(a.arg.get))
           case "MAX" => max(col(a.arg.get))
           case "AVG" => avg(col(a.arg.get).cast("double"))
+          case "GROUP_CONCAT" =>
+            val items =
+              if (a.distinct) collect_set(col(a.arg.get))
+              else collect_list(col(a.arg.get))
+            concat_ws(a.sep, array_sort(items))
+          case "SAMPLE" => min(col(a.arg.get))
         }).as(a.alias)
       }
       df = if (q.groupBy.nonEmpty)
         df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)
-      val names = q.projection.map { case PVar(v) => v; case PAgg(_, _, a) => a }
-      df = df.select(names.map(col): _*)
+      q.having.foreach(h => df = df.where(compileExpr(h)))
+      df = df.select(q.projection.map {
+        case PVar(v) => col(v)
+        case a: PAgg => col(a.alias)
+        case PExpr(e, alias) => compileVal(e).as(alias)
+      }: _*)
     } else {
-      val proj =
-        if (q.projection.isEmpty) allVars
-        else q.projection.map { case PVar(v) => v; case PAgg(_, _, a) => a }
-      df = df.select(proj.map(col): _*)
+      df =
+        if (q.projection.isEmpty) df.select(allVars.map(col): _*)
+        else df.select(q.projection.map {
+          case PVar(v) => col(v)
+          case a: PAgg => col(a.alias)
+          case PExpr(e, alias) => compileVal(e).as(alias)
+        }: _*)
     }
     if (q.distinct) df = df.distinct()
     if (q.orderBy.nonEmpty)
@@ -442,15 +655,20 @@ object Sparql {
                            stats: Map[String, PredStats]): DataFrame = {
     var df: DataFrame =
       if (g.triples.nonEmpty) Bgp.compile(spark, triples, g.triples, stats) else null
-    g.unions.foreach { case (l, r) =>
-      val u = compileGroup(spark, triples, l, stats)
-        .unionByName(compileGroup(spark, triples, r, stats), allowMissingColumns = true)
+    def joinIn(other: DataFrame): Unit = {
       df =
-        if (df == null) u
+        if (df == null) other
         else {
-          val shared = df.columns.intersect(u.columns).toSeq
-          if (shared.isEmpty) df.crossJoin(u) else df.join(u, shared, "inner")
+          val shared = df.columns.intersect(other.columns).toSeq
+          if (shared.isEmpty) df.crossJoin(other) else df.join(other, shared, "inner")
         }
+    }
+    // nested plain groups and subqueries join on shared variables
+    g.subgroups.foreach(sg => joinIn(compileGroup(spark, triples, sg, stats)))
+    g.subqueries.foreach(sq => joinIn(compileQuery(spark, triples, sq, stats)))
+    g.unions.foreach { case (l, r) =>
+      joinIn(compileGroup(spark, triples, l, stats)
+        .unionByName(compileGroup(spark, triples, r, stats), allowMissingColumns = true))
     }
     g.optionals.foreach { opt =>
       val o = compileGroup(spark, triples, opt, stats)
@@ -458,10 +676,11 @@ object Sparql {
       val shared = df.columns.intersect(o.columns).toSeq
       df = if (shared.isEmpty) df.crossJoin(o) else df.join(o, shared, "left")
     }
-    // transitive paths: closure relation joined like a pattern scan
-    g.transitives.foreach { case (sTerm, oTermPred, oTerm) =>
-      val closure = transitiveClosure(triples, oTermPred)
-      var scan = closure
+    // property paths beyond plain edge sequences: compile the path algebra
+    // to an (s, o) relation, then join it in like a pattern scan
+    g.paths.foreach { case (sTerm, path, oTerm) =>
+      val extra = Seq(sTerm, oTerm).collect { case C(v) => v.toString }
+      var scan = pathRel(triples, path, extra)
       sTerm match { case C(v) => scan = scan.where(col("s") === lit(v)); case _ => }
       oTerm match { case C(v) => scan = scan.where(col("o") === lit(v)); case _ => }
       if (sTerm.isInstanceOf[V] && sTerm == oTerm)
@@ -469,14 +688,9 @@ object Sparql {
       val proj = Seq(sTerm -> "s", oTerm -> "o")
         .collect { case (V(n), c) => n -> c }.distinct
       val scanP =
-        if (proj.isEmpty) scan.select(lit(1).as("__c"))
+        if (proj.isEmpty) scan.limit(1).select(lit(1).as("__c"))
         else scan.select(proj.map { case (n, c) => col(c).as(n) }: _*)
-      df =
-        if (df == null) scanP
-        else {
-          val shared = df.columns.intersect(scanP.columns).toSeq
-          if (shared.isEmpty) df.crossJoin(scanP) else df.join(scanP, shared, "inner")
-        }
+      joinIn(scanP)
     }
     // MINUS: remove solutions matching the inner group on shared vars
     g.minuses.foreach { m =>
@@ -495,21 +709,74 @@ object Sparql {
       else df.crossJoin(vdf)
     }
     require(df != null, "empty group pattern")
+    // BIND: computed columns, visible to subsequent filters/projection
+    g.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
     g.filters.foreach(f => df = df.where(compileExpr(f)))
+    // FILTER [NOT] EXISTS: semi/anti join on shared vars; with no shared
+    // vars the inner group's (non)emptiness decides for every row
+    g.existsFilters.foreach { case (inner, negated) =>
+      val in = compileGroup(spark, triples, inner, stats)
+      val shared = df.columns.intersect(in.columns).toSeq
+      df =
+        if (shared.nonEmpty) df.join(in, shared, if (negated) "left_anti" else "left_semi")
+        else {
+          val marker = broadcast(in.limit(1).select(lit(1).as("__e")))
+          if (negated) df.join(marker, lit(true), "left_anti")
+          else df.crossJoin(marker).drop("__e")
+        }
+    }
     df
   }
 
-  /** One-or-more-step reachability over a single predicate (`p+`):
+  // ---------- Property-path relations ----------
+
+  /** All graph nodes (subjects and objects) plus any query constants —
+    * the domain of zero-length path matches (SPARQL 1.1 §9.3: a
+    * zero-length path matches every graph term, and a constant endpoint
+    * matches itself even when absent from the graph, as ARQ does).
+    */
+  private def identityRel(triples: DataFrame, extra: Seq[String]): DataFrame = {
+    import triples.sparkSession.implicits._
+    val base = triples.select(col("s").as("n"))
+      .unionAll(triples.select(col("o").as("n")))
+    val withExtra =
+      if (extra.isEmpty) base
+      else base.unionAll(extra.toDF("n"))
+    withExtra.distinct().select(col("n").as("s"), col("n").as("o"))
+  }
+
+  /** Compile a path to an (s, o) relation. Non-closure operators keep bag
+    * semantics (SPARQL path evaluation); closures and zero-length matches
+    * are set-semantic, realized with `distinct`.
+    */
+  private def pathRel(triples: DataFrame, path: Path, extra: Seq[String]): DataFrame =
+    path match {
+      case PEdge(e) =>
+        triples.where(col("p") === lit(e)).select(col("s"), col("o"))
+      case PInv(x) =>
+        pathRel(triples, x, extra).select(col("o").as("s"), col("s").as("o"))
+      case PSeq(l, r) =>
+        val lf = pathRel(triples, l, extra).withColumnRenamed("o", "__m")
+        val rf = pathRel(triples, r, extra).withColumnRenamed("s", "__m")
+        lf.join(rf, "__m").select(col("s"), col("o"))
+      case PAlt(l, r) =>
+        pathRel(triples, l, extra).unionAll(pathRel(triples, r, extra))
+      case PClosure(x, includeZero) =>
+        val c = edgesClosure(pathRel(triples, x, extra))
+        if (includeZero) c.unionAll(identityRel(triples, extra)).distinct() else c
+      case POpt(x) =>
+        pathRel(triples, x, extra).unionAll(identityRel(triples, extra)).distinct()
+    }
+
+  /** One-or-more-step reachability over an arbitrary (s, o) edge relation:
     * path-doubling expansion with eager checkpoints — joining the closure
     * with ITSELF each round squares the reachable path length, so `r`
     * rounds cover diameter 2^r and the 60-round safety bound can only trip
     * on a non-converging plan bug, never on a deep-but-finite hierarchy.
-    * Runs until a fixpoint (size stops growing); throws instead of
-    * silently truncating.
+    * Runs until a fixpoint; throws instead of silently truncating.
     */
-  private def transitiveClosure(triples: DataFrame, pred: String): DataFrame = {
-    val edges = triples.where(col("p") === pred)
-      .select(col("s"), col("o")).distinct().localCheckpoint(true)
+  private def edgesClosure(edgesRaw: DataFrame): DataFrame = {
+    val edges = edgesRaw.distinct().localCheckpoint(true)
     var closure = edges
     var size = closure.count()
     var prev = -1L
@@ -517,7 +784,7 @@ object Sparql {
     while (size != prev) {
       if (iter >= 60)
         throw new IllegalStateException(
-          s"transitive closure over '$pred' did not converge after $iter doubling rounds")
+          s"transitive closure did not converge after $iter doubling rounds")
       prev = size
       val next = closure.as("l").join(closure.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
@@ -528,20 +795,92 @@ object Sparql {
     closure
   }
 
+  // ---------- Expression compilation ----------
+
+  /** Unwrap a serialized literal: `"v"...` -> v, anything else unchanged
+    * (terms are stored as strings; plain store terms carry no quotes).
+    */
+  private def strOf(c: Column): Column =
+    when(c.startsWith("\""),
+      regexp_extract(c, "^\"((?:[^\"\\\\]|\\\\.)*)\"", 1)).otherwise(c)
+
+  private def isIriCol(c: Column): Column =
+    !c.startsWith("\"") && !c.startsWith("_:") && c.contains(":")
+
+  private def compileVal(e: EExpr): Column = e match {
+    case EVar(v) => col(v)
+    case ENumL(v) => lit(v)
+    case EStrL(s) => lit(s)
+    case EBin(l, op, r) =>
+      val (lc, rc) = (compileNum(l), compileNum(r))
+      op match {
+        case "+" => lc + rc
+        case "-" => lc - rc
+        case "*" => lc * rc
+        case "/" => lc / rc
+      }
+    case ECall(fn, args) =>
+      def a0 = compileVal(args.head)
+      fn match {
+        case "STR" => strOf(a0)
+        case "LANG" =>
+          regexp_extract(a0, "^\"(?:[^\"\\\\]|\\\\.)*\"@([A-Za-z][A-Za-z0-9-]*)$", 1)
+        case "STRLEN" => length(strOf(a0))
+        case "UCASE" => upper(strOf(a0))
+        case "LCASE" => lower(strOf(a0))
+        case "CONCAT" => concat(args.map(x => compileVal(x).cast("string")): _*)
+        case "COALESCE" => coalesce(args.map(compileVal): _*)
+        case other =>
+          throw new IllegalArgumentException(s"unsupported function $other()")
+      }
+  }
+
+  private def compileNum(e: EExpr): Column = e match {
+    case ENumL(v) => lit(v)
+    case other => compileVal(other).cast("double")
+  }
+
   private def compileExpr(e: Expr): Column = e match {
     case And(l, r) => compileExpr(l) && compileExpr(r)
     case Or(l, r) => compileExpr(l) || compileExpr(r)
     case Not(x) => !compileExpr(x)
-    case Regex(v, re) => col(v).rlike(re)
+    case BFn(fn, args) =>
+      def a0 = compileVal(args.head)
+      fn match {
+        case "BOUND" => args.head match {
+          case EVar(v) => col(v).isNotNull
+          case _ => throw new IllegalArgumentException("BOUND expects a variable")
+        }
+        case "REGEX" =>
+          val pat = args(1) match {
+            case EStrL(s) => s
+            case _ => throw new IllegalArgumentException("REGEX pattern must be a string literal")
+          }
+          val flagged = args.lift(2) match {
+            case Some(EStrL(f)) if f.contains("i") => "(?i)" + pat
+            case _ => pat
+          }
+          compileVal(args.head).rlike(flagged)
+        case "ISIRI" | "ISURI" => isIriCol(a0)
+        case "ISBLANK" => a0.startsWith("_:")
+        case "ISLITERAL" => !a0.startsWith("_:") && (a0.startsWith("\"") || !a0.contains(":"))
+        case "STRSTARTS" => strOf(a0).startsWith(strOf(compileVal(args(1))))
+        case "STRENDS" => strOf(a0).endsWith(strOf(compileVal(args(1))))
+        case "CONTAINS" => strOf(a0).contains(strOf(compileVal(args(1))))
+        case other => throw new IllegalArgumentException(s"unsupported filter function $other()")
+      }
     case Cmp(l, op, r) =>
-      // numeric literal on either side -> numeric comparison (terms are
-      // stored as strings; the reference's decode-time type heuristic,
-      // Transformations.scala:27-75, becomes an explicit cast here)
-      val numeric = Seq(l, r).exists(_.isInstanceOf[ONum])
-      def operand(o: Operand): Column = o match {
-        case OVar(v) => if (numeric) col(v).cast("double") else col(v)
-        case ONum(n) => lit(n)
-        case OStr(s) => lit(s)
+      // numeric literal or arithmetic on either side -> numeric comparison
+      // (terms are stored as strings; the reference's decode-time type
+      // heuristic, Transformations.scala:27-75, becomes an explicit cast)
+      def numericish(x: EExpr): Boolean = x match {
+        case _: ENumL | _: EBin => true
+        case _ => false
+      }
+      val numeric = Seq(l, r).exists(numericish)
+      def operand(o: EExpr): Column = o match {
+        case EVar(v) if numeric => col(v).cast("double")
+        case other => compileVal(other)
       }
       val (lc, rc) = (operand(l), operand(r))
       op match {

@@ -157,6 +157,130 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("5")) // sorted objects: 3, 5, 5 -> skip 1, take 1
   }
 
+  it should "compute a derived binding with BIND" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?l WHERE { ?x :2 ?y . BIND(CONCAT("v-", ?y) AS ?l) }
+        |ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1", "v-3"), Seq("5", "v-5"), Seq("6", "v-5"))
+  }
+
+  it should "support negation by failure via OPTIONAL + !BOUND" in {
+    // y=3 (from x=1) has :4 edges; y=5 (from x=5,6) has none
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE {
+        |  ?x :2 ?y . OPTIONAL { ?y :4 ?z } FILTER (!BOUND(?z))
+        |} ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("5"), Seq("6"))
+  }
+
+  it should "filter with EXISTS and NOT EXISTS" in {
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { ?x :2 ?y . FILTER EXISTS { ?y :4 ?w } }""".stripMargin)
+      .shouldBe(Seq(Seq("1")))
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { ?x :2 ?y . FILTER NOT EXISTS { ?y :4 ?w } }
+          |ORDER BY ?x""".stripMargin)
+      .shouldBe(Seq(Seq("5"), Seq("6")))
+  }
+
+  it should "evaluate path alternation with bag semantics" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x :2|:4 ?y } ORDER BY ?x ?y""".stripMargin)
+    res shouldBe Seq(Seq("1", "3"), Seq("3", "5"), Seq("3", "6"),
+      Seq("5", "5"), Seq("6", "5"))
+  }
+
+  it should "evaluate inverse paths" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x ^:2 ?y } ORDER BY ?x ?y""".stripMargin)
+    res shouldBe Seq(Seq("3", "1"), Seq("5", "5"), Seq("5", "6"))
+  }
+
+  it should "evaluate zero-or-more and zero-or-one closures" in {
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { "1" :2 * ?x } ORDER BY ?x""".stripMargin)
+      .shouldBe(Seq(Seq("1"), Seq("3"))) // zero-length self + one hop
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { "1" :2 ? ?x } ORDER BY ?x""".stripMargin)
+      .shouldBe(Seq(Seq("1"), Seq("3")))
+    // zero-length matches a constant endpoint even when absent from graph
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { "99" :2 * ?x }""".stripMargin)
+      .shouldBe(Seq(Seq("99")))
+  }
+
+  it should "combine alternation, inverse and sequence in one path" in {
+    // (^:2)/:4 from 3: inverse-2 of 3 is 1; 1 has no :4 -> empty.
+    // :2/(:4|:2) from 1: via 3 -> {5, 6} by :4 (3 has no :2 edge)
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { "1" :2/(:4|:2) ?x } ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("5"), Seq("6"))
+  }
+
+  it should "aggregate with GROUP_CONCAT and SAMPLE" in {
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT ?y (GROUP_CONCAT(?x ; SEPARATOR ",") AS ?xs) (SAMPLE(?x) AS ?m)
+        |WHERE { ?x :2 ?y } GROUP BY ?y ORDER BY ?y""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    res shouldBe Seq(("3", "1", "1"), ("5", "5,6", "5"))
+  }
+
+  it should "filter groups with HAVING" in {
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT ?y (COUNT(?x) AS ?n) WHERE { ?x :2 ?y }
+        |GROUP BY ?y HAVING (?n > 1)""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    res shouldBe Seq(("5", 2L))
+  }
+
+  it should "join a subquery on shared variables" in {
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT DISTINCT ?y ?n WHERE {
+        |  ?y :4 ?w .
+        |  { SELECT ?y (COUNT(?x) AS ?n) WHERE { ?x :2 ?y } GROUP BY ?y }
+        |} ORDER BY ?y""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    res shouldBe Seq(("3", 1L))
+  }
+
+  it should "project computed expressions" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT (CONCAT(?y, "!") AS ?u) WHERE { "1" :2 ?y }""".stripMargin)
+    res shouldBe Seq(Seq("3!"))
+  }
+
+  it should "evaluate term-introspection builtins on serialized literals" in {
+    val litTriples = Seq(
+      ("p:1", "label", "\"Bob\"@en"),
+      ("p:1", "knows", "p:2"),
+      ("p:2", "label", "plain")
+    ).toDF("s", "p", "o")
+    val r1 = Sparql.execute(spark, litTriples,
+      """PREFIX : <>
+        |SELECT ?s (STR(?o) AS ?v) WHERE { ?s :label ?o . FILTER (LANG(?o) = "en") }""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    r1 shouldBe Seq(Seq("p:1", "Bob"))
+    val r2 = Sparql.execute(spark, litTriples,
+      """PREFIX : <>
+        |SELECT ?o WHERE { ?s :knows ?o . FILTER (isIRI(?o)) }""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    r2 shouldBe Seq(Seq("p:2"))
+    val r3 = Sparql.execute(spark, litTriples,
+      """PREFIX : <>
+        |SELECT ?s WHERE { ?s :label ?o . FILTER (isLiteral(?o) && STRSTARTS(?o, "pl")) }""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    r3 shouldBe Seq(Seq("p:2"))
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
