@@ -435,10 +435,9 @@ object SparkEntry {
   /** Connected-components cluster assignment over verified near-dup pairs
     * (GraphX; cluster id = min doc_id in the component).
     */
-  private def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val pairs = DedupOps.ngramPairsOver(GraftStore.docGrams(s, d), threshold = 0.5)
-    DedupOps.clusters(s, pairs).orderBy("doc_id")
-  }
+  private def dedupClusters(s: SparkSession, d: String): DataFrame =
+    DedupOps.clusters(s, GraftStore.docDupPairs(s, d, threshold = 0.5))
+      .orderBy("doc_id")
 
   // ---- Training-data pipeline: similarity search ----------------------
 
@@ -919,7 +918,7 @@ object SparkEntry {
       .groupBy(TextOps.fingerprint(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    val nearLosers = DedupOps.ngramPairsOver(GraftStore.docGrams(s, d), threshold = 0.5)
+    val nearLosers = GraftStore.docDupPairs(s, d, threshold = 0.5)
       .select(col("doc_b").as("doc_id")).distinct()
     docs
       .join(exactKeep, Seq("doc_id"), "left_semi")

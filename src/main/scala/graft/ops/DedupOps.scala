@@ -35,33 +35,47 @@ object DedupOps {
       .where(size(col("grams")) > 0)
       .localCheckpoint(true)
 
-  /** All-pairs n-gram Jaccard >= threshold, blocked by an inverted gram
-    * index: explode grams to posting lists, self-join postings, verify
-    * candidates exactly. Every qualifying pair shares at least one gram,
-    * so blocking loses nothing; unrelated documents rarely share a gram,
-    * so the join stays near-linear.
+  /** All-pairs n-gram Jaccard >= threshold via PREFIX-FILTERED blocking
+    * (the PPJoin family, Xiao et al., "Efficient Similarity Joins for Near
+    * Duplicate Detection"): order each document's grams by ascending
+    * document frequency, index only the first |A| - ceil(t*|A|) + 1 grams.
+    * Any pair with J >= t MUST share a prefix gram (prefix-filter theorem),
+    * so recall stays exactly 1 — but corpus-scale stopword grams ("of the
+    * and") have the highest DF, sort LAST, and almost never enter a
+    * prefix, so no posting list explodes quadratically. A length filter
+    * (t*|A| <= |B| <= |A|/t) prunes the candidate join further. Candidates
+    * are then verified with the exact set Jaccard, so the output is
+    * identical to the naive all-pairs join.
     */
   def ngramPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
     ngramPairsOver(gramSets(docs, n), threshold)
 
   /** Same, over a pre-built (shared/cached) gram-set relation. */
-  def ngramPairsOver(g: DataFrame, threshold: Double): DataFrame = {
-    // |A ∩ B| = number of shared postings (gram sets are distinct), so
-    // Jaccard falls out of a count aggregate + two broadcast size lookups —
-    // no array intersection per pair, and the per-gram skew collapses in
-    // the map-side-combined groupBy.
-    val sizes = g.select(col("doc_id"), size(col("grams")).as("sz"))
-    val inv = g.select(col("doc_id"), explode(col("grams")).as("gram"))
-    val shared = inv.as("x").join(inv.as("y"),
-        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(broadcast(sizes.select(col("doc_id").as("doc_a"), col("sz").as("sza"))), Seq("doc_a"))
-      .join(broadcast(sizes.select(col("doc_id").as("doc_b"), col("sz").as("szb"))), Seq("doc_b"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("shared").cast("double") / (col("sza") + col("szb") - col("shared"))).as("jaccard"))
-      .where(col("jaccard") >= threshold)
+  def ngramPairsOver(g: DataFrame, threshold: Double): DataFrame =
+    verifyPairs(prefixCandidates(g, threshold), g, threshold)
+
+  /** Candidate pairs from the DF-ordered prefix index (exposed for the
+    * skew-bound property test; superset of all qualifying pairs).
+    */
+  def prefixCandidates(g: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val inv = g.select(col("doc_id"), size(col("grams")).as("sz"),
+      explode(col("grams")).as("gram"))
+    // global gram order: rarest first (ties by gram for determinism);
+    // one map-side-combined aggregate, joined back to the postings
+    val df = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    val prefix = inv.join(df, Seq("gram"))
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
+      .select(col("doc_id"), col("sz"), col("gram"))
+    prefix.as("x").join(prefix.as("y"),
+        col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id") &&
+          // length filter: J >= t forces t*|A| <= |B| <= |A|/t
+          col("y.sz") >= ceil(lit(threshold) * col("x.sz")) &&
+          col("x.sz") >= ceil(lit(threshold) * col("y.sz")))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
   }
 
   /** MinHash signatures + LSH banding candidates + exact verification.
@@ -102,7 +116,7 @@ object DedupOps {
   /** Exact-Jaccard verification of candidate pairs (LSH/blocking output is
     * only a candidate set — the verify join makes results exact).
     */
-  private def verifyPairs(cand: DataFrame, g: DataFrame, threshold: Double): DataFrame =
+  def verifyPairs(cand: DataFrame, g: DataFrame, threshold: Double): DataFrame =
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("grams").as("ga")), Seq("doc_a"))
       .join(g.select(col("doc_id").as("doc_b"), col("grams").as("gb")), Seq("doc_b"))

@@ -141,11 +141,46 @@ object VectorOps {
       .where(col("rank") <= k)
   }
 
-  /** Embedding-cosine near-duplicate pairs (>= threshold), brute force with
-    * the smaller side broadcast; at cluster scale replace with an
-    * LSH-bucketed (random hyperplane) candidate join + this verify.
+  /** Embedding-cosine near-duplicate pairs (>= threshold): banded
+    * hyperplane-LSH candidates + exact-cosine verify — the 100-TB shape.
+    * Each vector gets `numPlanes` sign bits (deterministic hyperplanes),
+    * split into `bands`; two vectors are candidates iff they agree on some
+    * full band, so the join is an equi-join on (band, bits) — candidate
+    * volume ∝ near-dup density, never the all-pairs square. Verification
+    * is exact, so false candidates cost only the verify join; a missed
+    * pair would need to disagree in EVERY band (probability (θ/π)-driven,
+    * vanishing for near-duplicates — e.g. ~1e-6 at cos 0.95 with 8x2
+    * bands). `embedDupPairsBrute` remains as the spec-level oracle.
     */
-  def embedDupPairs(emb: DataFrame, threshold: Double): DataFrame = {
+  def embedDupPairs(emb: DataFrame, threshold: Double,
+                    numPlanes: Int = 16, bands: Int = 8, dim: Int = 64): DataFrame = {
+    require(numPlanes % bands == 0, "bands must divide numPlanes")
+    val rows = numPlanes / bands
+    val planes = signHyperplanes(numPlanes, dim)
+    val bits = planes.zipWithIndex.map { case (pl, j) =>
+      when(dotD(col("embedding"), lit(pl)) > 0, lit(1L << (j % rows))).otherwise(lit(0L))
+    }
+    val bandKeys = array((0 until bands).map { b =>
+      (b * rows until (b + 1) * rows).map(bits).reduce(_ + _)
+    }: _*)
+    val bucketed = emb
+      .select(col("vec_id"), col("embedding"), posexplode(bandKeys).as(Seq("band", "key")))
+    val cand = bucketed.as("x").join(bucketed.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    val e = emb.select(col("vec_id"), col("embedding"))
+    cand
+      .join(e.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(e.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), cosine6(col("ea"), col("eb")).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Brute-force reference implementation (spec oracle for the LSH path).
+    */
+  def embedDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
     val b = emb.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))

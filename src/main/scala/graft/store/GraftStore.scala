@@ -118,6 +118,23 @@ object GraftStore {
         graft.Tables.loadPar(spark, sfDir, "documents")))).value
   }
 
+  private val pairCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), Lazily[DataFrame]]
+
+  /** Verified near-dup pairs (n-gram Jaccard >= threshold), materialized
+    * once per (session, dir, threshold): the pair-mining stage of a dedup
+    * pipeline runs once and its output feeds every downstream consumer
+    * (clustering, corpus cleaning) — at cluster scale this is the persisted
+    * pairs table an ingest job writes.
+    */
+  def docDupPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
+    evictStopped()
+    pairCache.getOrElseUpdate((spark, sfDir, threshold),
+      new Lazily(graft.ops.DedupOps
+        .ngramPairsOver(docGrams(spark, sfDir), threshold)
+        .localCheckpoint(true))).value
+  }
+
   /** Test hook: drop cached handles (e.g. between suites). */
-  def invalidate(): Unit = { cache.clear(); gramCache.clear() }
+  def invalidate(): Unit = { cache.clear(); gramCache.clear(); pairCache.clear() }
 }

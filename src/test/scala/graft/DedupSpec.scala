@@ -35,6 +35,32 @@ class DedupSpec extends SparkSpec {
     j shouldBe 1.0
   }
 
+  it should "bound candidates on a stopword-dense corpus via prefix filtering" in {
+    // 60 docs all sharing a hot 8-word opener (every 3-gram of it has
+    // document frequency 60) with unique tails: pairwise Jaccard < 0.5,
+    // so the exact result is empty. A naive inverted-index join would
+    // generate all 60*59/2 = 1770 pairs per hot gram; the DF-ordered
+    // prefix index must keep the hot grams out of (most) prefixes.
+    val dense = (1 to 60).map { i =>
+      (i.toLong,
+        "the quick brown fox jumps over the lazy " +
+          s"tail$i word$i item$i thing$i unit$i part$i bit$i piece$i chunk$i")
+    }.toDF("doc_id", "text")
+    val g = DedupOps.gramSets(dense)
+    val nCand = DedupOps.prefixCandidates(g, threshold = 0.5).count()
+    nCand should be < 200L // vs 1770 all-pairs from any single hot gram
+    DedupOps.ngramPairsOver(g, threshold = 0.5).count() shouldBe 0L
+  }
+
+  it should "keep exact recall through the prefix filter" in {
+    // the qualifying pairs of the small corpus survive candidate pruning
+    val g = DedupOps.gramSets(docs)
+    val cand = DedupOps.prefixCandidates(g, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    cand should contain((2L, 5L))
+    cand should contain((1L, 2L))
+  }
+
   "minhashPairs" should "find the same high-similarity pairs as brute force" in {
     val mh = DedupOps.minhashPairs(docs, threshold = 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -67,10 +67,22 @@ class VectorSpec extends SparkSpec {
     res should not contain (1L) // x-cell vector never searched
   }
 
-  "embedDupPairs" should "find only near-parallel pairs" in {
-    val pairs = VectorOps.embedDupPairs(emb, threshold = 0.99)
+  "embedDupPairsBrute" should "find only near-parallel pairs" in {
+    val pairs = VectorOps.embedDupPairsBrute(emb, threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     pairs should contain((0L, 1L))
     pairs should not contain ((0L, 2L)) // orthogonal
+  }
+
+  "embedDupPairs" should "match brute force through the LSH-banded plan" in {
+    // real 64-dim embeddings; deterministic planes -> deterministic buckets
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = Tables.loadPar(spark, d, "embeddings")
+      val lsh = VectorOps.embedDupPairs(e, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val brute = VectorOps.embedDupPairsBrute(e, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      lsh shouldBe brute
+    }
   }
 }
