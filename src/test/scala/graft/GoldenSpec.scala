@@ -32,7 +32,68 @@ class GoldenSpec extends SparkSpec {
         |} ORDER BY ?x""".stripMargin,
     "sparql_topk" ->
       """PREFIX : <>
-        |SELECT DISTINCT ?seg WHERE { ?c :mktsegment ?seg } ORDER BY ?seg LIMIT 3""".stripMargin)
+        |SELECT DISTINCT ?seg WHERE { ?c :mktsegment ?seg } ORDER BY ?seg LIMIT 3""".stripMargin,
+    "sparql_optional" ->
+      """PREFIX : <>
+        |SELECT ?x ?m WHERE {
+        |  ?x :name ?nm .
+        |  OPTIONAL { ?x :mktsegment ?m }
+        |} ORDER BY ?x ?m""".stripMargin,
+    "sparql_minus" ->
+      """PREFIX : <>
+        |SELECT ?c WHERE {
+        |  ?c a "Customer" .
+        |  MINUS { ?c :mktsegment "BUILDING" }
+        |} ORDER BY ?c""".stripMargin,
+    "sparql_agg" ->
+      """PREFIX : <>
+        |SELECT ?nm (COUNT(?c) AS ?cnt) WHERE {
+        |  ?c a "Customer" . ?c :nationkey ?n .
+        |  ?n :regionkey ?r . ?r :name ?nm .
+        |} GROUP BY ?nm ORDER BY ?nm""".stripMargin,
+    "sparql_path" ->
+      """PREFIX : <>
+        |SELECT ?c ?r WHERE { ?c :nationkey/:regionkey ?r } ORDER BY ?c ?r""".stripMargin,
+    "sparql_path_alt" ->
+      """PREFIX : <>
+        |SELECT ?n ?v WHERE { ?n a "Nation" . ?n :name|:regionkey ?v }
+        |ORDER BY ?n ?v""".stripMargin,
+    "sparql_path_inv" ->
+      """PREFIX : <>
+        |SELECT ?r ?n WHERE { ?r ^:regionkey ?n } ORDER BY ?r ?n""".stripMargin,
+    "sparql_path_star" ->
+      """PREFIX : <>
+        |SELECT ?x WHERE { <nation:3> :regionkey* ?x } ORDER BY ?x""".stripMargin,
+    "sparql_bind" ->
+      """PREFIX : <>
+        |SELECT ?p ?label WHERE {
+        |  ?p a "Part" . ?p :size ?sz .
+        |  BIND(CONCAT("sz-", ?sz) AS ?label)
+        |} ORDER BY ?p""".stripMargin,
+    "sparql_bound" ->
+      """PREFIX : <>
+        |SELECT ?x WHERE {
+        |  ?x a "Customer" .
+        |  OPTIONAL { ?x :mktsegment ?m . FILTER (?m = "BUILDING") }
+        |  FILTER (!BOUND(?m))
+        |} ORDER BY ?x""".stripMargin,
+    "sparql_groupconcat" ->
+      """PREFIX : <>
+        |SELECT ?r (GROUP_CONCAT(?nm ; SEPARATOR ",") AS ?names) WHERE {
+        |  ?n a "Nation" . ?n :regionkey ?r . ?n :name ?nm .
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin,
+    "sparql_exists" ->
+      """PREFIX : <>
+        |SELECT ?n WHERE {
+        |  ?n a "Nation" .
+        |  FILTER EXISTS { ?s a "Supplier" . ?s :nationkey ?n }
+        |} ORDER BY ?n""".stripMargin,
+    "sparql_subquery" ->
+      """PREFIX : <>
+        |SELECT ?n ?cnt WHERE {
+        |  ?n a "Nation" .
+        |  { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :nationkey ?n } GROUP BY ?n }
+        |} ORDER BY ?n""".stripMargin)
 
   private def golden(name: String): Seq[String] = {
     val url = getClass.getResource(s"/golden/$name.tsv")

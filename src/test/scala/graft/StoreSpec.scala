@@ -89,6 +89,38 @@ class StoreSpec extends SparkSpec {
       TripleStore.tableTriples(spark, d).where(col("p") === "nationkey").count()
   }
 
+  "GraftStore.append" should "make new triples visible and keep stats exact" in {
+    import spark.implicits._
+    val base = graft.store.GraftStore.ingestTriples(spark, Seq(
+      ("a:1", "knows", "a:2"), ("a:2", "knows", "a:3")
+    ).toDF("s", "p", "o"))
+    // 2-hop chain before append: exactly one
+    Bgp.compile(spark, base.triples, Seq(
+      TriplePattern(V("x"), C("knows"), V("y")),
+      TriplePattern(V("y"), C("knows"), V("z"))), base.stats, base.totalCnt)
+      .count() shouldBe 1L
+    // stats-driven single-pattern count shortcut (no job) is exact
+    Bgp.count(spark, base.triples,
+      Seq(TriplePattern(V("x"), C("knows"), V("y"))), base.stats) shouldBe 2L
+    // append one edge and a brand-new predicate (reference performAdd,
+    // sparql/.../Sparql.scala:115-127)
+    val appended = graft.store.GraftStore.append(spark, base, Seq(
+      ("a:3", "knows", "a:4"), ("a:1", "label", "\"one\"")
+    ).toDF("s", "p", "o"))
+    Bgp.compile(spark, appended.triples, Seq(
+      TriplePattern(V("x"), C("knows"), V("y")),
+      TriplePattern(V("y"), C("knows"), V("z"))), appended.stats, appended.totalCnt)
+      .count() shouldBe 2L
+    Bgp.count(spark, appended.triples,
+      Seq(TriplePattern(V("x"), C("knows"), V("y"))), appended.stats) shouldBe 3L
+    // refreshed dictionary decodes the appended terms on the encoded path
+    Bgp.count(spark, appended.triples,
+      Seq(TriplePattern(V("x"), C("label"), V("y"))), appended.stats) shouldBe 1L
+    appended.totalCnt shouldBe 4L
+    // the old handle is untouched (immutable-handle model)
+    base.totalCnt shouldBe 2L
+  }
+
   "predicateStats" should "match exact per-predicate counts and drive ordering" in {
     val d = sfDir
     val triples = TripleStore.tableTriples(spark, d, exploded = true)

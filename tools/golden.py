@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Generate golden TSVs for GoldenSpec from DuckDB (an independent engine)
+over the sf0.001 parquet tables. Each file: header of variable names, rows
+in the query's ORDER BY (binary collation, NULLS FIRST, matching Spark),
+nulls rendered as empty strings; "NO ANSWERS." for empty results.
+
+Usage: python3 tools/golden.py [sf_dir] [out_dir]
+"""
+import duckdb, sys, os
+
+sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+out = sys.argv[2] if len(sys.argv) > 2 else "src/test/resources/golden"
+
+con = duckdb.connect()
+for t in ["region", "nation", "customer", "supplier", "part", "orders", "lineitem"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')")
+
+# SQL equivalents of the GoldenSpec SPARQL queries (triple-ized schema:
+# subject = '<table>:<pk>', predicate = column name).
+QUERIES = {
+    "sparql_optional": """
+        SELECT x, m FROM (
+          SELECT 'customer:' || c_custkey AS x, c_mktsegment AS m FROM customer
+          UNION ALL SELECT 'nation:' || n_nationkey, NULL FROM nation
+          UNION ALL SELECT 'region:' || r_regionkey, NULL FROM region
+          UNION ALL SELECT 'supplier:' || s_suppkey, NULL FROM supplier
+          UNION ALL SELECT 'part:' || p_partkey, NULL FROM part
+        ) ORDER BY x, m NULLS FIRST""",
+    "sparql_minus": """
+        SELECT 'customer:' || c_custkey AS c FROM customer
+        WHERE c_mktsegment <> 'BUILDING' ORDER BY c""",
+    "sparql_agg": """
+        SELECT r_name AS nm, count(*) AS cnt
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY nm""",
+    "sparql_path": """
+        SELECT c, r FROM (
+          SELECT 'customer:' || c_custkey AS c, 'region:' || n_regionkey AS r
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          UNION ALL
+          SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
+          FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ) ORDER BY c, r""",
+    "sparql_path_alt": """
+        SELECT n, v FROM (
+          SELECT 'nation:' || n_nationkey AS n, n_name AS v FROM nation
+          UNION ALL
+          SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        ) ORDER BY n, v""",
+    "sparql_path_inv": """
+        SELECT 'region:' || n_regionkey AS r, 'nation:' || n_nationkey AS n
+        FROM nation ORDER BY r, n""",
+    "sparql_path_star": """
+        SELECT x FROM (
+          SELECT 'nation:3' AS x
+          UNION ALL
+          SELECT DISTINCT 'region:' || n_regionkey FROM nation WHERE n_nationkey = 3
+        ) ORDER BY x""",
+    "sparql_bind": """
+        SELECT 'part:' || p_partkey AS p, 'sz-' || p_size AS label
+        FROM part ORDER BY p""",
+    "sparql_bound": """
+        SELECT 'customer:' || c_custkey AS x FROM customer
+        WHERE c_mktsegment <> 'BUILDING' ORDER BY x""",
+    "sparql_groupconcat": """
+        SELECT 'region:' || n_regionkey AS r,
+          string_agg(n_name, ',' ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey ORDER BY r""",
+    "sparql_exists": """
+        SELECT DISTINCT 'nation:' || s_nationkey AS n FROM supplier ORDER BY n""",
+    "sparql_subquery": """
+        SELECT 'nation:' || k AS n, cnt FROM (
+          SELECT k, count(*) AS cnt FROM (
+            SELECT c_nationkey AS k FROM customer
+            UNION ALL SELECT s_nationkey FROM supplier
+          ) GROUP BY k
+        ) ORDER BY n""",
+}
+
+os.makedirs(out, exist_ok=True)
+for name, sql in QUERIES.items():
+    cur = con.execute(sql)
+    cols = [d[0] for d in cur.description]
+    rows = cur.fetchall()
+    path = os.path.join(out, f"{name}.tsv")
+    with open(path, "w") as f:
+        if not rows:
+            f.write("NO ANSWERS.\n")
+        else:
+            f.write("\t".join(cols) + "\n")
+            for r in rows:
+                f.write("\t".join("" if v is None else str(v) for v in r) + "\n")
+    print(f"wrote {path}: {len(rows)} rows")
