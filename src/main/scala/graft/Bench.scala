@@ -19,6 +19,7 @@ object Bench {
     try {
       graft.store.GraftStore.forDir(spark, sfDir)
       graft.store.GraftStore.docGrams(spark, sfDir)
+      graft.store.GraftStore.docDupPairs(spark, sfDir, threshold = 0.5)
     } catch { case _: Throwable => }
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -411,6 +411,26 @@ object SparkEntry {
       col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
       .orderBy("doc_id")
 
+  /** Context-window chunking: 32-word windows, 8-word overlap. */
+  private def chunksQ(s: SparkSession, d: String): DataFrame =
+    TextOps.chunks(Tables.loadPar(s, d, "documents"), chunkSize = 32, overlap = 8)
+      .orderBy("doc_id", "chunk_no")
+
+  /** PII-style redaction: emails/URLs/long digit runs masked. */
+  private def redactQ(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents").select(
+        col("doc_id"),
+        TextOps.redact(col("text")).as("redacted"),
+        TextOps.redactionCount(col("text")).as("n_redactions"))
+      .orderBy("doc_id")
+
+  /** Exact per-dimension centroids over vec_id%8 buckets (k-means-update
+    * primitive; integer-micros sums so both engines agree bit-for-bit).
+    */
+  private def embedCentroidQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.dimCentroids(Tables.loadPar(s, d, "embeddings"), col("vec_id") % 8)
+      .orderBy("bucket", "dim")
+
   // ---- Training-data pipeline: near-duplicate detection ---------------
 
   /** Exact word-3-gram Jaccard pairs via inverted-index blocking (recall 1). */
@@ -699,6 +719,35 @@ object SparkEntry {
         |  ?s :name|:nationkey ?o .
         |  FILTER (isIRI(?o))
         |} ORDER BY ?s ?o""".stripMargin)
+
+  /** SPARQL predicate-object list syntax (`;`) — Turtle-style star. */
+  private def sparqlPolist(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?o ?c WHERE {
+        |  ?o a "Order" ;
+        |     :orderstatus "F" ;
+        |     :custkey ?c .
+        |  ?c :mktsegment "BUILDING" .
+        |} ORDER BY ?o ?c""".stripMargin)
+
+  /** SPARQL IN operator in FILTER. */
+  private def sparqlIn(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?p ?sz WHERE {
+        |  ?p a "Part" . ?p :size ?sz .
+        |  FILTER (?sz IN ("25", "30", "35"))
+        |} ORDER BY ?p""".stripMargin)
+
+  /** SPARQL negated property set `!(...)`. */
+  private def sparqlNpath(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?n ?v WHERE {
+        |  ?n a "Nation" .
+        |  ?n !(:a|:name) ?v .
+        |} ORDER BY ?n ?v""".stripMargin)
 
   // ---- SQL surface breadth --------------------------------------------
 
@@ -1054,6 +1103,9 @@ object SparkEntry {
     "q_sparql_not_exists" -> (sparqlNotExists _),
     "q_sparql_str_filter" -> (sparqlStrFilter _),
     "q_sparql_isiri" -> (sparqlIsIri _),
+    "q_sparql_polist" -> (sparqlPolist _),
+    "q_sparql_in" -> (sparqlIn _),
+    "q_sparql_npath" -> (sparqlNpath _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_cube" -> (cubeQ _),
@@ -1068,6 +1120,9 @@ object SparkEntry {
     "q_corr" -> (corrQ _),
     "q_text_stats" -> (textStats _),
     "q_token_bpe" -> (tokenBpe _),
+    "q_chunks" -> (chunksQ _),
+    "q_redact" -> (redactQ _),
+    "q_embed_centroid" -> (embedCentroidQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
     "q_fingerprint" -> (fingerprintQ _),
@@ -1464,6 +1519,17 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'supplier:' || s_suppkey, 'nation:' || s_nationkey FROM supplier
         |) ORDER BY s, o""".stripMargin,
+    "q_sparql_polist" ->
+      """SELECT 'order:' || o_orderkey AS o, 'customer:' || o_custkey AS c
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+        |ORDER BY o, c""".stripMargin,
+    "q_sparql_in" ->
+      """SELECT 'part:' || p_partkey AS p, CAST(p_size AS VARCHAR) AS sz
+        |FROM part WHERE p_size IN (25, 30, 35) ORDER BY p""".stripMargin,
+    "q_sparql_npath" ->
+      """SELECT 'nation:' || n_nationkey AS n, 'region:' || n_regionkey AS v
+        |FROM nation ORDER BY n, v""".stripMargin,
     "q_sparql_encoded" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r
@@ -1639,6 +1705,34 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT) AS n_bpe,
         |  array_to_string(list_slice(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'), 1, 5), '|') AS first_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_chunks" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w
+        |  FROM documents),
+        |st AS (
+        |  SELECT doc_id, w, unnest(range(0, greatest(len(w), 1), 24)) AS start
+        |  FROM ws)
+        |SELECT doc_id, CAST(start // 24 AS INT) AS chunk_no,
+        |  array_to_string(list_slice(w, start + 1, start + 32), ' ') AS chunk,
+        |  CAST(least(len(w) - start, 32) AS INT) AS n_chunk_words
+        |FROM st ORDER BY doc_id, chunk_no""".stripMargin,
+    "q_redact" ->
+      """SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |      'https?://[^\s]+', '<URL>', 'g'),
+        |    '\d{4,}', '<NUM>', 'g') AS redacted,
+        |  CAST(len(regexp_extract_all(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}|https?://[^\s]+|\d{4,}')) AS INT)
+        |    AS n_redactions
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_embed_centroid" ->
+      """SELECT vec_id % 8 AS bucket, CAST(i AS INT) AS dim,
+        |  sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::DOUBLE
+        |    / (count(*) * 1000000.0) AS centroid
+        |FROM embeddings, range(1, 65) t(i)
+        |GROUP BY 1, 2 ORDER BY bucket, dim""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

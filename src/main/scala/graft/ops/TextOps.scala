@@ -126,6 +126,46 @@ object TextOps {
         s => length(s) === n))
   }
 
+  /** Fixed-size word chunks with overlap — the training-data chunking
+    * stage (context-window packing): one output row per (doc, window),
+    * windows starting every `chunkSize - overlap` words. Pure
+    * explode-over-sequence, no shuffle, no UDF; at 100 TB this pipelines
+    * inside the scan stage.
+    */
+  def chunks(docs: DataFrame, chunkSize: Int, overlap: Int): DataFrame = {
+    require(overlap >= 0 && overlap < chunkSize, "overlap must be in [0, chunkSize)")
+    val step = chunkSize - overlap
+    docs
+      .select(col("doc_id"), split(normalize(col("text")), " ").as("w"))
+      .select(col("doc_id"), col("w"),
+        posexplode(sequence(lit(0), greatest(size(col("w")) - 1, lit(0)), lit(step)))
+          .as(Seq("chunk_no", "start")))
+      .select(col("doc_id"), col("chunk_no"),
+        concat_ws(" ", slice(col("w"), col("start") + 1, lit(chunkSize))).as("chunk"),
+        least(size(col("w")) - col("start"), lit(chunkSize)).as("n_chunk_words"))
+  }
+
+  /** PII-style redaction: emails -> <EMAIL>, URLs -> <URL>, long digit
+    * runs -> <NUM>, applied in that order (all-occurrence replacement).
+    * Patterns avoid lookahead so they run identically on Java regex and
+    * RE2-family engines.
+    */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val urlPattern = "https?://[^\\s]+"
+  val longNumPattern = "\\d{4,}"
+
+  def redact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailPattern, "<EMAIL>"),
+        urlPattern, "<URL>"),
+      longNumPattern, "<NUM>")
+
+  /** Count of redaction sites (pre-replacement). */
+  def redactionCount(text: Column): Column =
+    size(regexp_extract_all(text,
+      lit(s"$emailPattern|$urlPattern|$longNumPattern"), lit(0)))
+
   /** Word n-grams (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int = 3): Column = {
     val words = split(TextOps.normalize(text), " ")

@@ -178,6 +178,19 @@ object VectorOps {
       .where(col("cos") >= threshold)
   }
 
+  /** Exact per-dimension centroids of embedding groups: explode to
+    * (bucket, dim, component), sum in integer micros (order-independent,
+    * so map-side combine is safe and both engines agree bit-for-bit), one
+    * float division at the end. The k-means-update / cluster-profile
+    * primitive at corpus scale — a single map-side-combined aggregate.
+    */
+  def dimCentroids(emb: DataFrame, bucket: Column): DataFrame =
+    emb
+      .select(bucket.as("bucket"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .groupBy(col("bucket"), (col("pos") + 1).as("dim"))
+      .agg((sum(round(col("v").cast("double") * 1e6, 0).cast("long")).cast("double")
+        / (count(lit(1)) * 1e6)).as("centroid"))
+
   /** Brute-force reference implementation (spec oracle for the LSH path).
     */
   def embedDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {

@@ -67,7 +67,8 @@ object Sparql {
                          binds: Seq[(EExpr, String)] = Seq.empty,
                          subqueries: Seq[Query] = Seq.empty,
                          subgroups: Seq[Group] = Seq.empty,
-                         existsFilters: Seq[(Group, Boolean)] = Seq.empty)
+                         existsFilters: Seq[(Group, Boolean)] = Seq.empty,
+                         valuesMulti: Seq[(Seq[String], Seq[Seq[String]])] = Seq.empty)
 
   /** Property-path algebra (SPARQL 1.1 §9; the reference gets these from
     * ARQ). Compiled to (s, o) relations over the edge table.
@@ -79,6 +80,7 @@ object Sparql {
   final case class PAlt(l: Path, r: Path) extends Path
   final case class PClosure(p: Path, includeZero: Boolean) extends Path // + / *
   final case class POpt(p: Path) extends Path                           // ?
+  final case class PNegSet(preds: Seq[String]) extends Path             // !(p1|p2)
 
   /** Value expressions (BIND, expression projection, operands). */
   sealed trait EExpr
@@ -302,6 +304,7 @@ object Sparql {
     var subqueries = Seq.empty[Query]
     var subgroups = Seq.empty[Group]
     var existsFilters = Seq.empty[(Group, Boolean)]
+    var valuesMulti = Seq.empty[(Seq[String], Seq[Seq[String]])]
     var freshVar = 0
     while (!p.trySym("}")) {
       p.peek match {
@@ -324,19 +327,46 @@ object Sparql {
           binds :+= (e -> v)
         case Some(t) if p.isKw(t, "VALUES") =>
           p.pos += 1
-          val v = p.next() match {
-            case TVar(x) => x
-            case x => p.fail(s"expected ?var after VALUES, got $x")
+          p.peek match {
+            case Some(TSym("(")) =>
+              // VALUES (?x ?y) { ("a" "b") ("c" "d") }
+              p.pos += 1
+              var vars = Seq.empty[String]
+              while (!p.trySym(")")) p.next() match {
+                case TVar(x) => vars :+= x
+                case x => p.fail(s"expected ?var in VALUES var list, got $x")
+              }
+              p.eatSym("{")
+              var rows = Seq.empty[Seq[String]]
+              while (!p.trySym("}")) {
+                p.eatSym("(")
+                var row = Seq.empty[String]
+                while (!p.trySym(")")) p.next() match {
+                  case TStr(sv) => row :+= sv
+                  case TIri(i) => row :+= i
+                  case TNum(n) => row :+= n
+                  case x => p.fail(s"unexpected VALUES entry $x")
+                }
+                if (row.length != vars.length)
+                  p.fail(s"VALUES row arity ${row.length} != ${vars.length}")
+                rows :+= row
+              }
+              valuesMulti :+= (vars -> rows)
+            case _ =>
+              val v = p.next() match {
+                case TVar(x) => x
+                case x => p.fail(s"expected ?var after VALUES, got $x")
+              }
+              p.eatSym("{")
+              var vals = Seq.empty[String]
+              while (!p.trySym("}")) p.next() match {
+                case TStr(sv) => vals :+= sv
+                case TIri(i) => vals :+= i
+                case TNum(n) => vals :+= n
+                case x => p.fail(s"unexpected VALUES entry $x")
+              }
+              values :+= (v -> vals)
           }
-          p.eatSym("{")
-          var vals = Seq.empty[String]
-          while (!p.trySym("}")) p.next() match {
-            case TStr(sv) => vals :+= sv
-            case TIri(i) => vals :+= i
-            case TNum(n) => vals :+= n
-            case x => p.fail(s"unexpected VALUES entry $x")
-          }
-          values :+= (v -> vals)
         case Some(t) if p.isKw(t, "FILTER") =>
           p.pos += 1
           if (p.tryKw("EXISTS")) existsFilters :+= (parseGroup(p, prefixes) -> false)
@@ -362,35 +392,45 @@ object Sparql {
             } else subgroups :+= left // plain group graph pattern
           }
         case _ =>
+          // triple(s) with predicate-object lists (`;`) and object lists
+          // (`,`): s p1 o1 , o2 ; p2 o3 .
           val s = parseTerm(p, prefixes)
-          p.peek match {
-            case Some(TVar(_)) => // variable predicate: plain triple
-              val pr = parseTerm(p, prefixes)
-              val o = parseTerm(p, prefixes)
-              triples :+= TriplePattern(s, pr, o)
-            case _ =>
-              val path = parsePathAlt(p, prefixes)
-              val o = parseTerm(p, prefixes)
-              flattenEdgeSeq(path) match {
-                case Some(edges) =>
-                  // pure edge sequence -> chained patterns over fresh vars
-                  // (stays in Bgp.compile: stats-ordered, fail-fast)
-                  var subject = s
-                  edges.init.foreach { e =>
-                    val mid = V(s"__pv${freshVar}")
-                    freshVar += 1
-                    triples :+= TriplePattern(subject, C(e), mid)
-                    subject = mid
-                  }
-                  triples :+= TriplePattern(subject, C(edges.last), o)
-                case None => paths :+= ((s, path, o))
-              }
+          def emit(path: Either[Term, Path], o: Term): Unit = path match {
+            case Left(predVar) => triples :+= TriplePattern(s, predVar, o)
+            case Right(pth) => flattenEdgeSeq(pth) match {
+              case Some(edges) =>
+                // pure edge sequence -> chained patterns over fresh vars
+                // (stays in Bgp.compile: stats-ordered, fail-fast)
+                var subject = s
+                edges.init.foreach { e =>
+                  val mid = V(s"__pv${freshVar}")
+                  freshVar += 1
+                  triples :+= TriplePattern(subject, C(e), mid)
+                  subject = mid
+                }
+                triples :+= TriplePattern(subject, C(edges.last), o)
+              case None => paths :+= ((s, pth, o))
+            }
+          }
+          var morePreds = true
+          while (morePreds) {
+            val path: Either[Term, Path] = p.peek match {
+              case Some(TVar(_)) => Left(parseTerm(p, prefixes))
+              case _ => Right(parsePathAlt(p, prefixes))
+            }
+            var moreObjs = true
+            while (moreObjs) {
+              emit(path, parseTerm(p, prefixes))
+              moreObjs = p.trySym(",")
+            }
+            morePreds = p.trySym(";") &&
+              !p.peek.exists(t => t == TSym(".") || t == TSym("}"))
           }
           p.trySym(".") // trailing dot optional before '}'
       }
     }
     Group(triples, filters, optionals, unions, minuses, values, paths,
-      binds, subqueries, subgroups, existsFilters)
+      binds, subqueries, subgroups, existsFilters, valuesMulti)
   }
 
   /** Some(edge names) iff the path is a plain `/`-sequence of forward
@@ -419,17 +459,29 @@ object Sparql {
 
   private def parsePathElt(p: P, prefixes: Map[String, String]): Path = {
     val inv = p.trySym("^")
+    def edgeName(): String = parseTerm(p, prefixes) match {
+      case C(v) => v.toString
+      case V(n) => p.fail(s"variable ?$n not allowed inside a property path")
+    }
     val base: Path = p.peek match {
+      case Some(TSym("!")) => // negated property set: !p or !(p1|p2)
+        p.pos += 1
+        val preds: Seq[String] = p.peek match {
+          case Some(TSym("(")) =>
+            p.pos += 1
+            var ps = Seq(edgeName())
+            while (p.trySym("|")) ps :+= edgeName()
+            p.eatSym(")")
+            ps
+          case _ => Seq(edgeName())
+        }
+        PNegSet(preds)
       case Some(TSym("(")) =>
         p.pos += 1
         val x = parsePathAlt(p, prefixes)
         p.eatSym(")")
         x
-      case _ =>
-        parseTerm(p, prefixes) match {
-          case C(v) => PEdge(v.toString)
-          case V(n) => p.fail(s"variable ?$n not allowed inside a property path")
-        }
+      case _ => PEdge(edgeName())
     }
     val withMod =
       if (p.trySym("+")) PClosure(base, includeZero = false)
@@ -474,12 +526,19 @@ object Sparql {
       BFn(w.toUpperCase, parseArgList(p))
     case _ =>
       val l = parseEAdd(p)
-      val op = p.next() match {
-        case TSym(o) if Seq("=", "!=", "<", "<=", ">", ">=").contains(o) => o
-        case t => p.fail(s"expected comparison operator, got $t")
+      if (p.tryKw("IN")) BFn("IN", l +: parseArgList(p))
+      else if (p.peek.exists(p.isKw(_, "NOT")) &&
+        p.peekAhead(1).exists(p.isKw(_, "IN"))) {
+        p.pos += 2
+        Not(BFn("IN", l +: parseArgList(p)))
+      } else {
+        val op = p.next() match {
+          case TSym(o) if Seq("=", "!=", "<", "<=", ">", ">=").contains(o) => o
+          case t => p.fail(s"expected comparison operator, got $t")
+        }
+        val r = parseEAdd(p)
+        Cmp(l, op, r)
       }
-      val r = parseEAdd(p)
-      Cmp(l, op, r)
   }
 
   private def parseArgList(p: P): Seq[EExpr] = {
@@ -544,7 +603,7 @@ object Sparql {
       q.group.minuses.isEmpty && q.group.values.isEmpty &&
       q.group.paths.isEmpty && q.group.binds.isEmpty &&
       q.group.subqueries.isEmpty && q.group.subgroups.isEmpty &&
-      q.group.existsFilters.isEmpty &&
+      q.group.existsFilters.isEmpty && q.group.valuesMulti.isEmpty &&
       q.projection.forall(_.isInstanceOf[PVar]),
       "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES/paths/aggregates")
     val consts = q.group.triples.flatMap(_.consts).map(_.toString).distinct
@@ -708,6 +767,17 @@ object Sparql {
       df = if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
       else df.crossJoin(vdf)
     }
+    // multi-variable VALUES: inline relation joined on the shared subset
+    g.valuesMulti.foreach { case (vars, rows) =>
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types.{StringType, StructField, StructType}
+      val schema = StructType(vars.map(StructField(_, StringType)))
+      val vdf = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
+      require(df != null, "VALUES without a preceding pattern group")
+      val shared = df.columns.intersect(vars).toSeq
+      df = if (shared.isEmpty) df.crossJoin(vdf) else df.join(vdf, shared, "inner")
+    }
     require(df != null, "empty group pattern")
     // BIND: computed columns, visible to subsequent filters/projection
     g.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
@@ -753,6 +823,8 @@ object Sparql {
     path match {
       case PEdge(e) =>
         triples.where(col("p") === lit(e)).select(col("s"), col("o"))
+      case PNegSet(preds) =>
+        triples.where(!col("p").isin(preds: _*)).select(col("s"), col("o"))
       case PInv(x) =>
         pathRel(triples, x, extra).select(col("o").as("s"), col("s").as("o"))
       case PSeq(l, r) =>
@@ -861,6 +933,8 @@ object Sparql {
             case _ => pat
           }
           compileVal(args.head).rlike(flagged)
+        case "IN" =>
+          args.tail.map(x => a0 === compileVal(x)).reduce(_ || _)
         case "ISIRI" | "ISURI" => isIriCol(a0)
         case "ISBLANK" => a0.startsWith("_:")
         case "ISLITERAL" => !a0.startsWith("_:") && (a0.startsWith("\"") || !a0.contains(":"))

@@ -281,6 +281,46 @@ class SparqlSpec extends SparkSpec {
     r3 shouldBe Seq(Seq("p:2"))
   }
 
+  it should "expand predicate-object and object lists" in {
+    // object list: subject with BOTH :4 objects -> only 3
+    run("""PREFIX : <>
+          |SELECT ?s WHERE { ?s :4 "5" , "6" }""".stripMargin)
+      .shouldBe(Seq(Seq("3")))
+    // predicate-object list: same subject, two patterns
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x :2 "5" ; :2 ?y } ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("5", "5"), Seq("6", "5"))
+  }
+
+  it should "evaluate negated property sets" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x !(:4) ?y } ORDER BY ?x ?y""".stripMargin)
+    res shouldBe Seq(Seq("1", "3"), Seq("5", "5"), Seq("6", "5"))
+    run("""PREFIX : <>
+          |SELECT ?x ?y WHERE { ?x !(:2|:4) ?y }""".stripMargin) shouldBe empty
+  }
+
+  it should "filter with IN and NOT IN" in {
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { ?x :2 ?y . FILTER (?x IN ("5", "6")) } ORDER BY ?x""".stripMargin)
+      .shouldBe(Seq(Seq("5"), Seq("6")))
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { ?x :2 ?y . FILTER (?x NOT IN ("5", "6")) }""".stripMargin)
+      .shouldBe(Seq(Seq("1")))
+  }
+
+  it should "constrain with multi-variable VALUES" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE {
+        |  ?x :2 ?y .
+        |  VALUES (?x ?y) { ("5" "5") ("1" "3") ("1" "99") }
+        |} ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
