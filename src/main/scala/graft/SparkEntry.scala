@@ -749,6 +749,23 @@ object SparkEntry {
         |  ?n !(:a|:name) ?v .
         |} ORDER BY ?n ?v""".stripMargin)
 
+  /** SPARQL 1.1 string builtins in projection: SUBSTR/REPLACE/STRAFTER. */
+  private def sparqlStrFns(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?p (SUBSTR(?nm, 1, 4) AS ?head) (REPLACE(?nm, "e", "3") AS ?leet)
+        |       (STRAFTER(?nm, " ") AS ?noun)
+        |WHERE { ?p a "Part" ; :name ?nm } ORDER BY ?p""".stripMargin)
+
+  /** SPARQL date accessor + BIND + GROUP BY over the computed binding. */
+  private def sparqlYear(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?y (COUNT(?o) AS ?cnt) WHERE {
+        |  ?o a "Order" ; :orderdate ?dt .
+        |  BIND(YEAR(?dt) AS ?y)
+        |} GROUP BY ?y ORDER BY ?y""".stripMargin)
+
   // ---- SQL surface breadth --------------------------------------------
 
   /** JSON extraction from the events.props column + aggregation. */
@@ -1106,6 +1123,8 @@ object SparkEntry {
     "q_sparql_polist" -> (sparqlPolist _),
     "q_sparql_in" -> (sparqlIn _),
     "q_sparql_npath" -> (sparqlNpath _),
+    "q_sparql_strfns" -> (sparqlStrFns _),
+    "q_sparql_year" -> (sparqlYear _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_cube" -> (cubeQ _),
@@ -1530,6 +1549,17 @@ object SparkEntry {
     "q_sparql_npath" ->
       """SELECT 'nation:' || n_nationkey AS n, 'region:' || n_regionkey AS v
         |FROM nation ORDER BY n, v""".stripMargin,
+    "q_sparql_strfns" ->
+      """SELECT 'part:' || p_partkey AS p,
+        |  substring(p_name, 1, 4) AS head,
+        |  regexp_replace(p_name, 'e', '3', 'g') AS leet,
+        |  CASE WHEN contains(p_name, ' ')
+        |       THEN substring(p_name, position(' ' IN p_name) + 1)
+        |       ELSE '' END AS noun
+        |FROM part ORDER BY p""".stripMargin,
+    "q_sparql_year" ->
+      """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, count(*) AS cnt
+        |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
     "q_sparql_encoded" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r

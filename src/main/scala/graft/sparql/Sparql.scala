@@ -171,7 +171,7 @@ object Sparql {
     Seq("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE")
   private val boolFns =
     Seq("BOUND", "REGEX", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL",
-      "STRSTARTS", "STRENDS", "CONTAINS")
+      "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES", "SAMETERM")
 
   def parse(text: String): Query = {
     val p = new P(tokenize(text))
@@ -194,7 +194,9 @@ object Sparql {
   /** SELECT ... WHERE { ... } + solution modifiers; reused by subqueries. */
   private def parseQueryBody(p: P, prefixes: Map[String, String]): Query = {
     p.eatKw("SELECT")
-    val distinct = p.tryKw("DISTINCT")
+    // REDUCED permits (but does not require) duplicate elimination; we
+    // eliminate, which is conformant and deterministic
+    val distinct = p.tryKw("DISTINCT") || p.tryKw("REDUCED")
     var proj = Seq.empty[ProjItem]
     var star = false
     var reading = true
@@ -902,10 +904,46 @@ object Sparql {
         case "LCASE" => lower(strOf(a0))
         case "CONCAT" => concat(args.map(x => compileVal(x).cast("string")): _*)
         case "COALESCE" => coalesce(args.map(compileVal): _*)
+        case "SUBSTR" =>
+          // SPARQL SUBSTR is 1-based, length optional
+          val start = compileNum(args(1)).cast("int")
+          args.lift(2) match {
+            case Some(len) => strOf(a0).substr(start, compileNum(len).cast("int"))
+            case None => strOf(a0).substr(start, length(strOf(a0)))
+          }
+        case "REPLACE" =>
+          (args(1), args(2)) match {
+            case (EStrL(pat), EStrL(rep)) => regexp_replace(strOf(a0), pat, rep)
+            case _ => throw new IllegalArgumentException(
+              "REPLACE pattern/replacement must be string literals")
+          }
+        case "STRBEFORE" =>
+          val d = strOf(compileVal(args(1)))
+          when(strOf(a0).contains(d),
+            call_function("substring_index", strOf(a0), d, lit(1)))
+            .otherwise(lit(""))
+        case "STRAFTER" =>
+          val d = strOf(compileVal(args(1)))
+          when(strOf(a0).contains(d),
+            expr_substr_after(strOf(a0), d)).otherwise(lit(""))
+        case "ABS" => abs(compileNum(args.head))
+        case "CEIL" => ceil(compileNum(args.head))
+        case "FLOOR" => floor(compileNum(args.head))
+        case "ROUND" => round(compileNum(args.head), 0)
+        // date accessors over the store's ISO-formatted date strings
+        case "YEAR" => substring(strOf(a0), 1, 4).cast("int")
+        case "MONTH" => substring(strOf(a0), 6, 2).cast("int")
+        case "DAY" => substring(strOf(a0), 9, 2).cast("int")
         case other =>
           throw new IllegalArgumentException(s"unsupported function $other()")
       }
   }
+
+  /** Suffix after the FIRST occurrence of the delimiter (SPARQL STRAFTER;
+    * `substring_index(s, d, -1)` would cut at the LAST occurrence).
+    */
+  private def expr_substr_after(s: Column, d: Column): Column =
+    s.substr(call_function("locate", d, s) + length(d), length(s))
 
   private def compileNum(e: EExpr): Column = e match {
     case ENumL(v) => lit(v)
@@ -941,6 +979,14 @@ object Sparql {
         case "STRSTARTS" => strOf(a0).startsWith(strOf(compileVal(args(1))))
         case "STRENDS" => strOf(a0).endsWith(strOf(compileVal(args(1))))
         case "CONTAINS" => strOf(a0).contains(strOf(compileVal(args(1))))
+        case "LANGMATCHES" =>
+          // basic language-range match: "*" matches any non-empty tag,
+          // otherwise case-insensitive tag-or-prefix ("en" matches en-GB)
+          val range = compileVal(args(1))
+          val tag = lower(a0)
+          when(range === "*", tag =!= "")
+            .otherwise(tag === lower(range) || tag.startsWith(concat(lower(range), lit("-"))))
+        case "SAMETERM" => a0 === compileVal(args(1))
         case other => throw new IllegalArgumentException(s"unsupported filter function $other()")
       }
     case Cmp(l, op, r) =>

@@ -321,6 +321,52 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
   }
 
+  it should "evaluate SPARQL 1.1 string and numeric builtins" in {
+    val docs = Seq(
+      ("d:1", "name", "alpha-beta"),
+      ("d:2", "name", "gamma"),
+      ("d:1", "size", "7")
+    ).toDF("s", "p", "o")
+    val r = Sparql.execute(spark, docs,
+      """PREFIX : <>
+        |SELECT ?s (SUBSTR(?nm, 1, 5) AS ?head) (STRBEFORE(?nm, "-") AS ?pre)
+        |       (STRAFTER(?nm, "-") AS ?post) (REPLACE(?nm, "a", "_") AS ?repl)
+        |WHERE { ?s :name ?nm } ORDER BY ?s""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    r shouldBe Seq(
+      Seq("d:1", "alpha", "alpha", "beta", "_lph_-bet_"),
+      Seq("d:2", "gamma", "", "", "g_mm_"))
+    val n = Sparql.execute(spark, docs,
+      """PREFIX : <>
+        |SELECT (ABS(?sz - 10) AS ?a) (CEIL(?sz / 2) AS ?c) (FLOOR(?sz / 2) AS ?f)
+        |WHERE { ?s :size ?sz }""".stripMargin).head()
+    n.getDouble(0) shouldBe 3.0
+    n.getLong(1) shouldBe 4L
+    n.getLong(2) shouldBe 3L
+  }
+
+  it should "extract date parts and match language ranges" in {
+    val t = Seq(
+      ("o:1", "orderdate", "1994-03-15"),
+      ("p:1", "label", "\"chat\"@fr-BE")
+    ).toDF("s", "p", "o")
+    val d = Sparql.execute(spark, t,
+      """PREFIX : <>
+        |SELECT (YEAR(?d) AS ?y) (MONTH(?d) AS ?m) (DAY(?d) AS ?dd)
+        |WHERE { ?s :orderdate ?d }""".stripMargin).head()
+    (d.getInt(0), d.getInt(1), d.getInt(2)) shouldBe ((1994, 3, 15))
+    Sparql.execute(spark, t,
+      """PREFIX : <>
+        |SELECT ?s WHERE { ?s :label ?v . FILTER (LANGMATCHES(LANG(?v), "fr")) }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("p:1")
+  }
+
+  it should "treat REDUCED like DISTINCT" in {
+    run("""PREFIX : <>
+          |SELECT REDUCED ?y WHERE { ?x :2 ?y } ORDER BY ?y""".stripMargin)
+      .shouldBe(Seq(Seq("3"), Seq("5")))
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
