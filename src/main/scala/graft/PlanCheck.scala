@@ -19,10 +19,16 @@ object PlanCheck {
       .foreach { case (name, fn) =>
         try {
           val df = fn(spark, sfDir)
-          // execute through the noop sink so AQE finalizes the plan and
-          // whole-stage-codegen annotations are real, not provisional
-          df.write.mode("overwrite").format("noop").save()
+          // collect() runs THIS df's own QueryExecution (a noop write or
+          // foreach would spawn a fresh plan and leave df's AQE plan
+          // provisional, isFinalPlan=false), so the final plan and its
+          // whole-stage-codegen *(N) annotations are real. Gate results
+          // are small at audit SFs.
+          df.collect()
+          // the finalized AQE tree appends "== Initial Plan ==" — drop it
+          // or every operator double-counts
           val plan = df.queryExecution.executedPlan.toString
+            .split("== Initial Plan ==").head
           val codegen = """\*\(\d+\)""".r.findAllIn(plan).map(identity).toSet.size
           val exchanges = "Exchange".r.findAllIn(plan).length
           val bcast = "BroadcastHashJoin|BroadcastNestedLoopJoin".r.findAllIn(plan).length
