@@ -91,6 +91,33 @@ object GraftStore {
     StoreHandle(triples, enc, dict, pureHash, stats, encStats, stats.values.map(_.cnt).sum)
   }
 
+  /** Build a handle from PRE-ENCODED triples plus their dictionary — the
+    * reference's programmatic `addEncodedTriple` ingest path (S3): callers
+    * that already hold (id, id, id) edges and an (id, term) mapping skip
+    * the string-side encode entirely. The string relation is reconstructed
+    * by decoding once (the string-store query path needs it); `pureHash`
+    * is conservatively false, so query constants resolve through the
+    * supplied dictionary (sound for ARBITRARY id assignments, not just
+    * content hashes).
+    */
+  def ingestEncoded(spark: SparkSession, enc: DataFrame,
+                    dict: DataFrame): StoreHandle = {
+    val encC = enc.select(col("s").cast("long"), col("p").cast("long"),
+      col("o").cast("long")).localCheckpoint(true)
+    val dictC = dict.select(col("id").cast("long"), col("term").cast("string"))
+      .localCheckpoint(true)
+    val triples = Seq("s", "p", "o")
+      .foldLeft(encC)((df, c) => Dictionary.decode(df, dictC, c))
+      .localCheckpoint(true)
+    val statRows = TripleStore.predicateStats(triples).collect()
+    val stats = statRows.map(r =>
+      r.getString(0) -> PredStats(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val predIds = Dictionary.lookup(dictC, stats.keys.toSeq)
+    val encStats = stats.flatMap { case (k, v) => predIds.get(k).map(_.toString -> v) }
+    StoreHandle(triples, encC, dictC, pureHash = false, stats, encStats,
+      stats.values.map(_.cnt).sum)
+  }
+
   /** Incremental insert — the reference's `performAdd`
     * (`sparql/src/main/scala/com/graphula/sparql/Sparql.scala:115-127`)
     * adds triples to an open store; the Spark-idiomatic analog is a batch

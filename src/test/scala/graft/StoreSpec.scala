@@ -121,6 +121,33 @@ class StoreSpec extends SparkSpec {
     base.totalCnt shouldBe 2L
   }
 
+  "GraftStore.ingestEncoded" should "answer queries from pre-encoded triples" in {
+    import spark.implicits._
+    import graft.dict.Dictionary
+    // arbitrary (non-content-hash) ids, as a programmatic producer would assign
+    val dict = Seq((10L, "a:1"), (20L, "knows"), (30L, "a:2"), (40L, "a:3"))
+      .toDF("id", "term")
+    val enc = Seq((10L, 20L, 30L), (30L, 20L, 40L)).toDF("s", "p", "o")
+    val st = graft.store.GraftStore.ingestEncoded(spark, enc, dict)
+    st.pureHash shouldBe false
+    // string-store path: decoded relation answers BGPs
+    Bgp.compile(spark, st.triples, Seq(
+      TriplePattern(V("x"), C("knows"), V("y")),
+      TriplePattern(V("y"), C("knows"), V("z"))), st.stats, st.totalCnt)
+      .collect().map(_.toSeq) shouldBe Array(Seq("a:1", "a:2", "a:3"))
+    // encoded path end-to-end through the SPARQL lifecycle: constants
+    // resolve via the supplied dictionary, not hashing
+    graft.sparql.Sparql.executeEncoded(spark, st,
+      """PREFIX : <>
+        |SELECT ?x WHERE { "a:1" :knows ?x }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("a:2")
+    // dictionary-miss fail-fast: unknown constant -> empty, no job
+    graft.sparql.Sparql.executeEncoded(spark, st,
+      """PREFIX : <>
+        |SELECT ?x WHERE { "nope" :knows ?x }""".stripMargin)
+      .count() shouldBe 0L
+  }
+
   "predicateStats" should "match exact per-predicate counts and drive ordering" in {
     val d = sfDir
     val triples = TripleStore.tableTriples(spark, d, exploded = true)
