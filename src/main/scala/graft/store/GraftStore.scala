@@ -132,6 +132,47 @@ object GraftStore {
     ingestTriples(spark, handle.triples.unionAll(
       newTriples.select(col("s"), col("p"), col("o"))))
 
+  /** Persist a handle as the parquet table set a cluster ingest job would
+    * write: predicate-partitioned triples (directory pruning for the
+    * `(?, p, ?)` access path), the encoded relation, the dictionary, the
+    * per-predicate statistics, and a tiny meta table carrying the
+    * collision certificate. `open` reconstructs a handle from these
+    * WITHOUT recomputing anything — the 100 TB lifecycle (ingest once,
+    * query from any later session) instead of the in-session checkpoints
+    * the driver gate uses.
+    */
+  def persist(handle: StoreHandle, path: String): Unit = {
+    TripleStore.persist(handle.triples, s"$path/triples")
+    handle.enc.write.mode("overwrite").parquet(s"$path/enc")
+    handle.dict.write.mode("overwrite").parquet(s"$path/dict")
+    val spark = handle.triples.sparkSession
+    import spark.implicits._
+    handle.stats.toSeq.map { case (p, st) => (p, st.cnt, st.ndvS, st.ndvO) }
+      .toDF("p", "cnt", "ndv_s", "ndv_o")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    Seq(handle.pureHash).toDF("pure_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
+  /** Reopen a persisted store (see `persist`). Reads are lazy DataFrames
+    * over the parquet layout; only the (small) stats and meta tables are
+    * collected.
+    */
+  def open(spark: SparkSession, path: String): StoreHandle = {
+    val triples = spark.read.parquet(s"$path/triples").select("s", "p", "o")
+    val enc = spark.read.parquet(s"$path/enc")
+    val dict = spark.read.parquet(s"$path/dict")
+    val pureHash = spark.read.parquet(s"$path/meta").head().getBoolean(0)
+    val stats = spark.read.parquet(s"$path/stats").collect()
+      .map(r => r.getString(0) -> PredStats(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val predIds =
+      if (pureHash) Dictionary.hashLiterals(spark, stats.keys.toSeq)
+      else Dictionary.lookup(dict, stats.keys.toSeq)
+    val encStats = stats.flatMap { case (k, v) => predIds.get(k).map(_.toString -> v) }
+    StoreHandle(triples, enc, dict, pureHash, stats, encStats,
+      stats.values.map(_.cnt).sum)
+  }
+
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
 

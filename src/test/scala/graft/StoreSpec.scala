@@ -148,6 +148,36 @@ class StoreSpec extends SparkSpec {
       .count() shouldBe 0L
   }
 
+  "GraftStore.persist/open" should "round-trip the full store lifecycle" in {
+    val st = graft.store.GraftStore.forDir(spark, sfDir)
+    val out = "target/tmp-graft-store"
+    graft.store.GraftStore.persist(st, out)
+    val reopened = graft.store.GraftStore.open(spark, out)
+    reopened.pureHash shouldBe st.pureHash
+    reopened.stats shouldBe st.stats
+    reopened.totalCnt shouldBe st.totalCnt
+    // a chain query answers identically from the reopened store
+    val q = Seq(
+      TriplePattern(V("c"), C("nationkey"), V("n")),
+      TriplePattern(V("n"), C("regionkey"), V("r")),
+      TriplePattern(V("r"), C("name"), C("ASIA")))
+    val a = Bgp.compile(spark, st.triples, q, st.stats, st.totalCnt)
+      .collect().map(_.toSeq).toSet
+    val b = Bgp.compile(spark, reopened.triples, q, reopened.stats, reopened.totalCnt)
+      .collect().map(_.toSeq).toSet
+    b shouldBe a
+    a should not be empty
+    // the encoded lifecycle works against the reopened store too
+    graft.sparql.Sparql.executeEncoded(spark, reopened,
+      """PREFIX : <>
+        |SELECT ?r WHERE { ?r :name "ASIA" }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq should not be empty
+    // predicate filters prune partitions on the persisted triples layout
+    val plan = reopened.triples.where(col("p") === "nationkey")
+      .queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[[^\\]]*nationkey"
+  }
+
   "predicateStats" should "match exact per-predicate counts and drive ordering" in {
     val d = sfDir
     val triples = TripleStore.tableTriples(spark, d, exploded = true)
