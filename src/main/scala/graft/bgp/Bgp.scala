@@ -81,13 +81,23 @@ object Bgp {
     * the join-graph equivalent).
     */
   def order(patterns: Seq[TriplePattern], stats: Map[String, PredStats],
-            totalCnt: Long): Seq[TriplePattern] = {
+            totalCnt: Long): Seq[TriplePattern] =
+    orderFrom(patterns, stats, totalCnt, Set.empty)
+
+  /** Greedy order with an initial bound-variable set (used by the
+    * incremental/streaming compile, where the stream pattern's variables
+    * are already bound before any static pattern joins).
+    */
+  private def orderFrom(patterns: Seq[TriplePattern], stats: Map[String, PredStats],
+                        totalCnt: Long, bound0: Set[String]): Seq[TriplePattern] = {
     val remaining = scala.collection.mutable.ArrayBuffer(patterns: _*)
     val placed = scala.collection.mutable.ArrayBuffer.empty[TriplePattern]
     val bound = scala.collection.mutable.Set.empty[String]
+    bound ++= bound0
     while (remaining.nonEmpty) {
       val scored = remaining.map { tp =>
-        val connected = placed.isEmpty || tp.vars.exists(bound) || tp.vars.isEmpty
+        val connected = (placed.isEmpty && bound.isEmpty) ||
+          tp.vars.exists(bound) || tp.vars.isEmpty
         // bound vars act like constants for the estimate
         val eff = estimate(tp, stats, totalCnt) /
           math.max(1.0, tp.vars.count(bound) * 16.0)
@@ -149,6 +159,40 @@ object Bgp {
         }
       }
       boundVars ++= tp.vars
+    }
+    current.select(outVars.map(col): _*)
+  }
+
+  /** Incremental BGP over a live triple stream: edges arriving on the
+    * stream that match the FIRST pattern are extended to full solutions by
+    * stream-static joins against the stored relation — delta evaluation
+    * restricted to the stream pattern (Δ(P1 ⋈ P2 ⋈ …) over ΔP1), the
+    * standard incremental-view-maintenance shape. Static patterns join in
+    * greedy stats order seeded with the stream pattern's bound variables.
+    * Returns a STREAMING DataFrame (append-mode friendly: inner/semi
+    * stream-static joins only).
+    */
+  def compileStream(spark: SparkSession, streamTriples: DataFrame,
+                    staticTriples: DataFrame, patterns: Seq[TriplePattern],
+                    stats: Map[String, PredStats] = Map.empty,
+                    totalCnt: Long = 1000000L): DataFrame = {
+    require(patterns.nonEmpty, "empty BGP")
+    require(streamTriples.isStreaming, "streamTriples must be a streaming DataFrame")
+    val head = patterns.head
+    require(head.vars.nonEmpty, "stream pattern must bind at least one variable")
+    val outVars = patterns.flatMap(_.vars).distinct
+    var current = patternScan(streamTriples, head, 0)
+    var boundVars = head.vars.toSet
+    orderFrom(patterns.tail, stats, totalCnt, boundVars).zipWithIndex.foreach {
+      case (tp, i) =>
+        val scan = patternScan(staticTriples, tp, i + 1)
+        val shared = tp.vars.filter(boundVars).distinct
+        if (tp.vars.isEmpty)
+          current = current.crossJoin(broadcast(scan.limit(1).select(lit(1).as(s"__ex$i")))).drop(s"__ex$i")
+        else if (shared.isEmpty) current = current.crossJoin(scan)
+        else if (tp.vars.forall(boundVars)) current = current.join(scan, shared, "left_semi")
+        else current = current.join(scan, shared, "inner")
+        boundVars ++= tp.vars
     }
     current.select(outVars.map(col): _*)
   }

@@ -650,6 +650,38 @@ object Sparql {
     df
   }
 
+  /** Continuous SPARQL over a live triple stream (BGP+FILTER subset, the
+    * reference is strictly batch — this is the Structured-Streaming
+    * extension path): the query's FIRST pattern binds to arriving stream
+    * edges, the rest join the static store (`Bgp.compileStream`).
+    * Solution modifiers that need full-result state (DISTINCT / ORDER /
+    * LIMIT / aggregates) are rejected — run those on the sink's output.
+    */
+  def executeStream(spark: SparkSession, streamTriples: DataFrame,
+                    staticTriples: DataFrame, queryText: String,
+                    stats: Map[String, PredStats] = Map.empty): DataFrame = {
+    val q = parse(queryText)
+    require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
+      q.group.minuses.isEmpty && q.group.values.isEmpty &&
+      q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
+      q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
+      q.group.valuesMulti.isEmpty && !q.distinct && q.orderBy.isEmpty &&
+      q.limit.isEmpty && q.projection.forall(!_.isInstanceOf[PAgg]),
+      "executeStream supports the append-mode BGP+FILTER+BIND subset")
+    var df = Bgp.compileStream(spark, streamTriples, staticTriples,
+      q.group.triples, stats)
+    q.group.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
+    q.group.filters.foreach(f => df = df.where(compileExpr(f)))
+    val proj =
+      if (q.projection.isEmpty) df.columns.toSeq.map(col)
+      else q.projection.map {
+        case PVar(v) => col(v)
+        case PExpr(e, alias) => compileVal(e).as(alias)
+        case a: PAgg => throw new IllegalArgumentException(s"aggregate ${a.fn} in stream")
+      }
+    df.select(proj: _*)
+  }
+
   private def emptyStringResult(spark: SparkSession, vars: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
     val schema = StructType(vars.map(v => StructField(v, StringType)))

@@ -65,4 +65,31 @@ class StreamingBgpSpec extends SparkSpec {
     q.stop()
     spark.table("bgp_stream_inc").count() shouldBe 2 // incremental append
   }
+
+  "Sparql.executeStream" should "run a continuous BGP query over arriving edges" in {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), staticTriples,
+      """PREFIX : <>
+        |SELECT ?c ?r WHERE {
+        |  ?c :nationkey ?n .
+        |  ?n :regionkey ?r .
+        |  FILTER (?r != "region:4")
+        |}""".stripMargin)
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("sparql_stream_out")
+      .outputMode("append").start()
+    src.addData(
+      ("customer:1", "nationkey", "nation:1"),  // -> region:2, kept
+      ("customer:2", "nationkey", "nation:3"),  // -> region:4, filtered
+      ("customer:3", "mktsegment", "BUILDING")) // wrong predicate
+    q.processAllAvailable()
+    src.addData(("customer:4", "nationkey", "nation:1")) // second batch
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sparql_stream_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("customer:1", "region:2"), ("customer:4", "region:2"))
+  }
 }
