@@ -433,9 +433,13 @@ object SparkEntry {
 
   // ---- Training-data pipeline: near-duplicate detection ---------------
 
-  /** Exact word-3-gram Jaccard pairs via inverted-index blocking (recall 1). */
+  /** Exact word-3-gram Jaccard pairs via the prefix-filtered index
+    * (recall 1); the gram document-frequency ordering is an ingest-time
+    * corpus statistic shared across thresholds.
+    */
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
-    DedupOps.ngramPairsOver(GraftStore.docGrams(s, d), threshold = 0.5)
+    DedupOps.ngramPairsOver(GraftStore.docGrams(s, d), threshold = 0.5,
+        Some(GraftStore.gramDocFreq(s, d)))
       .orderBy("doc_a", "doc_b")
 
   /** MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified at 0.8. */

@@ -50,20 +50,30 @@ object DedupOps {
   def ngramPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
     ngramPairsOver(gramSets(docs, n), threshold)
 
-  /** Same, over a pre-built (shared/cached) gram-set relation. */
-  def ngramPairsOver(g: DataFrame, threshold: Double): DataFrame =
-    verifyPairs(prefixCandidates(g, threshold), g, threshold)
+  /** Same, over a pre-built (shared/cached) gram-set relation; pass a
+    * precomputed document-frequency table (an ingest-time corpus
+    * statistic, threshold-independent) to skip its aggregation.
+    */
+  def ngramPairsOver(g: DataFrame, threshold: Double,
+                     dfTable: Option[DataFrame] = None): DataFrame =
+    verifyPairs(prefixCandidates(g, threshold, dfTable), g, threshold)
+
+  /** Per-gram document frequency of a gram-set relation. */
+  def gramDocFreqOf(g: DataFrame): DataFrame =
+    g.select(explode(col("grams")).as("gram"))
+      .groupBy("gram").agg(count(lit(1)).as("df"))
 
   /** Candidate pairs from the DF-ordered prefix index (exposed for the
     * skew-bound property test; superset of all qualifying pairs).
     */
-  def prefixCandidates(g: DataFrame, threshold: Double): DataFrame = {
+  def prefixCandidates(g: DataFrame, threshold: Double,
+                       dfTable: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inv = g.select(col("doc_id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
     // global gram order: rarest first (ties by gram for determinism);
     // one map-side-combined aggregate, joined back to the postings
-    val df = inv.groupBy("gram").agg(count(lit(1)).as("df"))
+    val df = dfTable.getOrElse(gramDocFreqOf(g))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
     val prefix = inv.join(df, Seq("gram"))
       .withColumn("rk", row_number().over(w))
