@@ -186,21 +186,6 @@ object GraftStore {
         graft.Tables.loadPar(spark, sfDir, "documents")))).value
   }
 
-  private val gramDfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
-
-  /** Per-gram document frequencies of the corpus — an ingest-time corpus
-    * statistic (the text-side analog of `predicateStats`): the prefix
-    * filter orders grams by rarity, and the ordering is
-    * threshold-independent, so every dedup threshold reuses one table.
-    */
-  def gramDocFreq(spark: SparkSession, sfDir: String): DataFrame = {
-    evictStopped()
-    gramDfCache.getOrElseUpdate((spark, sfDir),
-      new Lazily(graft.ops.DedupOps.gramDocFreqOf(docGrams(spark, sfDir))
-        .localCheckpoint(true))).value
-  }
-
   private val pairCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Double), Lazily[DataFrame]]
 
@@ -214,13 +199,10 @@ object GraftStore {
     evictStopped()
     pairCache.getOrElseUpdate((spark, sfDir, threshold),
       new Lazily(graft.ops.DedupOps
-        .ngramPairsOver(docGrams(spark, sfDir), threshold,
-          Some(gramDocFreq(spark, sfDir)))
+        .ngramPairsOver(docGrams(spark, sfDir), threshold)
         .localCheckpoint(true))).value
   }
 
   /** Test hook: drop cached handles (e.g. between suites). */
-  def invalidate(): Unit = {
-    cache.clear(); gramCache.clear(); pairCache.clear(); gramDfCache.clear()
-  }
+  def invalidate(): Unit = { cache.clear(); gramCache.clear(); pairCache.clear() }
 }
