@@ -1030,6 +1030,45 @@ object SparkEntry {
 
   // ---- Events / time-series ------------------------------------------
 
+  /** Time-series resample: complete hourly spine per user (gap filling via
+    * explode-over-sequence) with forward-filled carry values (last
+    * non-null over an ordered window) — the standard
+    * resample-and-interpolate shape, all integer cents for exactness.
+    */
+  private def resampleQ(s: SparkSession, d: String): DataFrame = {
+    val hourly = Tables.events(s, d)
+      .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+      .agg(centsSum(col("value")).as("cents"))
+    val spine = hourly.groupBy("user_id")
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"), expr("interval 1 hour"))).as("h"))
+    val w = Window.partitionBy("user_id").orderBy("h")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(hourly, Seq("user_id", "h"), "left")
+      .withColumn("carry_cents", last(col("cents"), ignoreNulls = true).over(w))
+      .select(col("user_id"),
+        date_format(col("h"), "yyyy-MM-dd HH:mm:ss").as("hour"),
+        (coalesce(col("cents"), lit(0L)) / 100.0).as("hour_value"),
+        (col("carry_cents") / 100.0).as("carried_value"))
+      .orderBy("user_id", "hour")
+  }
+
+  /** Analytic window breadth: percent_rank / cume_dist / nth_value. */
+  private def windowAnalytics(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("o_orderstatus")
+      .orderBy(col("c"), col("o_orderkey"))
+    val wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "orders")
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(col("o_totalprice") * 100, 0).cast("long").as("c"))
+      .select(col("o_orderstatus"), col("o_orderkey"),
+        round(percent_rank().over(w), 6).as("pct_rank"),
+        round(cume_dist().over(w), 6).as("cume"),
+        nth_value(col("c"), 3).over(wf).as("third_c"))
+      .orderBy("o_orderstatus", "o_orderkey")
+  }
+
   /** Tumbling-window aggregation over the events stream table (batch run
     * of the Structured-Streaming-shaped plan).
     */
@@ -1152,6 +1191,8 @@ object SparkEntry {
     "q_quality" -> (qualityQ _),
     "q_fingerprint" -> (fingerprintQ _),
     "q_events_window" -> (eventsWindow _),
+    "q_resample" -> (resampleQ _),
+    "q_window_analytics" -> (windowAnalytics _),
     "q_session_window" -> (sessionWindow _),
     "q_sliding_window" -> (slidingWindow _)
   )
@@ -1860,6 +1901,35 @@ object SparkEntry {
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
         |  event_type, count(*) AS cnt,
         |  sum(CAST(round(value*100) AS BIGINT))/100.0 AS sum_value
-        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin,
+    "q_resample" ->
+      """WITH hourly AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS h,
+        |    sum(CAST(round(value*100) AS BIGINT)) AS cents
+        |  FROM events GROUP BY 1, 2),
+        |spine AS (
+        |  SELECT user_id, unnest(generate_series(min(h), max(h), INTERVAL 1 HOUR)) AS h
+        |  FROM hourly GROUP BY user_id),
+        |j AS (
+        |  SELECT s.user_id, s.h, hourly.cents,
+        |    last_value(hourly.cents IGNORE NULLS) OVER (
+        |      PARTITION BY s.user_id ORDER BY s.h
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry_cents
+        |  FROM spine s LEFT JOIN hourly ON s.user_id = hourly.user_id AND s.h = hourly.h)
+        |SELECT user_id, strftime(h, '%Y-%m-%d %H:%M:%S') AS hour,
+        |  coalesce(cents, 0)/100.0 AS hour_value,
+        |  carry_cents/100.0 AS carried_value
+        |FROM j ORDER BY user_id, hour""".stripMargin,
+    "q_window_analytics" ->
+      """SELECT o_orderstatus, o_orderkey,
+        |  round(percent_rank() OVER w, 6) AS pct_rank,
+        |  round(cume_dist() OVER w, 6) AS cume,
+        |  nth_value(c, 3) OVER wf AS third_c
+        |FROM (SELECT o_orderstatus, o_orderkey,
+        |        CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY c, o_orderkey),
+        |  wf AS (PARTITION BY o_orderstatus ORDER BY c, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderstatus, o_orderkey""".stripMargin
   )
 }
