@@ -431,6 +431,20 @@ object SparkEntry {
     VectorOps.dimCentroids(Tables.loadPar(s, d, "embeddings"), col("vec_id") % 8)
       .orderBy("bucket", "dim")
 
+  /** Within-document repetition ratio (Gopher-style repetition filter). */
+  private def selfRepetitionQ(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents").select(
+        col("doc_id"), TextOps.repetitionRatio(col("text")).as("rep_ratio"))
+      .orderBy("doc_id")
+
+  /** Test-set decontamination: corpus docs sharing an 8-gram with the
+    * pseudo test set (doc_id < 20), with shared-gram counts.
+    */
+  private def decontaminateQ(s: SparkSession, d: String): DataFrame =
+    DedupOps.decontaminate(Tables.loadPar(s, d, "documents"),
+        testPred = col("doc_id") < 20, n = 8)
+      .orderBy("doc_id")
+
   // ---- Training-data pipeline: near-duplicate detection ---------------
 
   /** Exact word-3-gram Jaccard pairs via the prefix-filtered index
@@ -1186,6 +1200,8 @@ object SparkEntry {
     "q_token_bpe" -> (tokenBpe _),
     "q_chunks" -> (chunksQ _),
     "q_redact" -> (redactQ _),
+    "q_self_repetition" -> (selfRepetitionQ _),
+    "q_decontaminate" -> (decontaminateQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -1782,6 +1798,31 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT) AS n_bpe,
         |  array_to_string(list_slice(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+'), 1, 5), '|') AS first_pieces
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_self_repetition" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, greatest(len(words) - 2, 0) AS total,
+        |    len(list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+        |      i -> array_to_string(list_slice(words, i, i+2), ' ')))) AS dst
+        |  FROM ws)
+        |SELECT doc_id,
+        |  CASE WHEN total > 0 THEN round(1.0 - dst::DOUBLE/total, 6) ELSE 0.0 END AS rep_ratio
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "q_decontaminate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words)-6),
+        |    i -> array_to_string(list_slice(words, i, i+7), ' '))) AS grams
+        |  FROM ws WHERE len(words) >= 8),
+        |tg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20)
+        |SELECT doc_id, count(DISTINCT cg.gram) AS n_shared
+        |FROM cg JOIN tg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_chunks" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

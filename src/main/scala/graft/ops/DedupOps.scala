@@ -133,6 +133,26 @@ object DedupOps {
       .select(col("doc_a"), col("doc_b"), jaccard(col("ga"), col("gb")).as("jaccard"))
       .where(col("jaccard") >= threshold)
 
+  /** Test-set decontamination: corpus documents sharing at least one word
+    * n-gram with any held-out/test document, with the count of distinct
+    * shared grams (the pretraining-hygiene overlap check). Inverted-index
+    * join on the (distinct) test-gram set — test sets are small relative
+    * to the corpus, so the gram set broadcasts and the corpus side
+    * streams; candidate volume ∝ actual contamination.
+    */
+  def decontaminate(docs: DataFrame, testPred: Column, n: Int = 8): DataFrame = {
+    val g = docs.select(col("doc_id"), testPred.as("is_test"),
+      TextOps.wordNgrams(col("text"), n).as("grams"))
+      .where(size(col("grams")) > 0)
+    val testGrams = g.where(col("is_test"))
+      .select(explode(col("grams")).as("gram")).distinct()
+    g.where(!col("is_test"))
+      .select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(broadcast(testGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
   /** 32-bit SimHash over the distinct word tokens of the normalized text.
     * Token hash = TextOps.polyHash (base-31 mod 2^32 fold), so the whole
     * fingerprint is replayable in DuckDB SQL. Bit j of the result is set

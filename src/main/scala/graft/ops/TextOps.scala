@@ -166,6 +166,17 @@ object TextOps {
     size(regexp_extract_all(text,
       lit(s"$emailPattern|$urlPattern|$longNumPattern"), lit(0)))
 
+  /** Within-document repetition ratio (Gopher-style repetition filter):
+    * 1 - distinct_trigrams / total_trigrams over the normalized words —
+    * 0 for no internal repetition, approaching 1 for degenerate loops.
+    */
+  def repetitionRatio(text: Column, n: Int = 3): Column = {
+    val total = greatest(size(split(normalize(text), " ")) - (n - 1), lit(0))
+    val distinctN = size(wordNgrams(text, n))
+    when(total > 0,
+      round(lit(1.0) - distinctN.cast("double") / total, 6)).otherwise(lit(0.0))
+  }
+
   /** Word n-grams (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int = 3): Column = {
     val words = split(TextOps.normalize(text), " ")
