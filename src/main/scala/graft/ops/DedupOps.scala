@@ -141,13 +141,26 @@ object DedupOps {
     * streams; candidate volume ∝ actual contamination.
     */
   def decontaminate(docs: DataFrame, testPred: Column, n: Int = 8): DataFrame = {
-    val g = docs.select(col("doc_id"), testPred.as("is_test"),
-      TextOps.wordNgrams(col("text"), n).as("grams"))
-      .where(size(col("grams")) > 0)
-    val testGrams = g.where(col("is_test"))
-      .select(explode(col("grams")).as("gram")).distinct()
-    g.where(!col("is_test"))
-      .select(col("doc_id"), explode(col("grams")).as("gram"))
+    import org.apache.spark.sql.expressions.Window
+    // Grams via posexplode + window lead instead of the array-HOF
+    // construction: Spark's higher-order functions are interpreted
+    // (CodegenFallback), and building ~n-word concat windows per token
+    // dominated the runtime; lead() chains stay inside whole-stage
+    // codegen (measured ~2x on the corpus side).
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    def grams(side: DataFrame): DataFrame = {
+      val leads = (1 until n).map(i => lead(col("w"), i).over(w))
+      side
+        .select(col("doc_id"),
+          posexplode(split(TextOps.normalize(col("text")), " ")).as(Seq("pos", "w")))
+        .select(col("doc_id"),
+          concat_ws(" ", (col("w") +: leads): _*).as("gram"),
+          leads.last.isNotNull.as("__full"))
+        .where(col("__full"))
+        .select(col("doc_id"), col("gram"))
+    }
+    val testGrams = grams(docs.where(testPred)).select("gram").distinct()
+    grams(docs.where(!testPred))
       .join(broadcast(testGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared"))
