@@ -760,6 +760,19 @@ object SparkEntry {
         |  FILTER (?sz IN ("25", "30", "35"))
         |} ORDER BY ?p""".stripMargin)
 
+  /** SPARQL OPTIONAL filter referencing an OUTER variable: part of the
+    * left-join condition (nulls the optional binding, never drops the
+    * outer solution).
+    */
+  private def sparqlOptJoinCond(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?x ?m WHERE {
+        |  ?x a "Customer" .
+        |  ?x :nationkey ?n .
+        |  OPTIONAL { ?x :mktsegment ?m . FILTER (?n = "nation:3") }
+        |} ORDER BY ?x ?m""".stripMargin)
+
   /** SPARQL negated property set `!(...)`. */
   private def sparqlNpath(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -1184,6 +1197,7 @@ object SparkEntry {
     "q_sparql_npath" -> (sparqlNpath _),
     "q_sparql_strfns" -> (sparqlStrFns _),
     "q_sparql_year" -> (sparqlYear _),
+    "q_sparql_opt_cond" -> (sparqlOptJoinCond _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_cube" -> (cubeQ _),
@@ -1623,6 +1637,10 @@ object SparkEntry {
     "q_sparql_year" ->
       """SELECT CAST(EXTRACT(YEAR FROM o_orderdate) AS INT) AS y, count(*) AS cnt
         |FROM orders GROUP BY 1 ORDER BY y""".stripMargin,
+    "q_sparql_opt_cond" ->
+      """SELECT 'customer:' || c_custkey AS x,
+        |  CASE WHEN c_nationkey = 3 THEN c_mktsegment END AS m
+        |FROM customer ORDER BY x, m""".stripMargin,
     "q_sparql_encoded" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r

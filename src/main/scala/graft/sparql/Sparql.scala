@@ -764,10 +764,36 @@ object Sparql {
         .unionByName(compileGroup(spark, triples, r, stats), allowMissingColumns = true))
     }
     g.optionals.foreach { opt =>
-      val o = compileGroup(spark, triples, opt, stats)
       require(df != null, "OPTIONAL without a preceding pattern group")
+      // SPARQL FILTER scope: a filter inside OPTIONAL that references
+      // variables bound only OUTSIDE the optional group is part of the
+      // LEFT JOIN CONDITION (failing it nulls the optional bindings, it
+      // does not eliminate the outer solution). Compile the inner group
+      // without such filters first to learn its columns, then partition.
+      val probe = compileGroup(spark, triples, opt.copy(filters = Seq.empty), stats)
+      val innerCols = probe.columns.toSet
+      val (localFs, joinFs) = opt.filters.partition(f => exprVars(f).subsetOf(innerCols))
+      val o = localFs.foldLeft(probe)((d, f) => d.where(compileExpr(f)))
       val shared = df.columns.intersect(o.columns).toSeq
-      df = if (shared.isEmpty) df.crossJoin(o) else df.join(o, shared, "left")
+      if (joinFs.isEmpty) {
+        df = if (shared.isEmpty) df.crossJoin(o) else df.join(o, shared, "left")
+      } else {
+        val outerCols = df.columns.toSet
+        joinFs.foreach { f =>
+          val unknown = exprVars(f) -- innerCols -- outerCols
+          require(unknown.isEmpty, s"FILTER references unbound vars $unknown")
+        }
+        val l = df.as("__l")
+        val r = o.as("__r")
+        // qualify filter vars: inner-bound -> right side, else left side
+        def side(v: String): Column =
+          if (innerCols.contains(v)) col(s"__r.$v") else col(s"__l.$v")
+        val cond = (shared.map(c => col(s"__l.$c") === col(s"__r.$c")) ++
+          joinFs.map(f => compileExprWith(f, side))).reduce(_ && _)
+        val proj = df.columns.map(c => col(s"__l.$c").as(c)) ++
+          o.columns.filterNot(outerCols).map(c => col(s"__r.$c").as(c))
+        df = l.join(r, cond, "left").select(proj.toSeq: _*)
+      }
     }
     // property paths beyond plain edge sequences: compile the path algebra
     // to an (s, o) relation, then join it in like a pattern scan
@@ -913,12 +939,30 @@ object Sparql {
   private def isIriCol(c: Column): Column =
     !c.startsWith("\"") && !c.startsWith("_:") && c.contains(":")
 
-  private def compileVal(e: EExpr): Column = e match {
-    case EVar(v) => col(v)
+  /** Variables referenced by a value / boolean expression (FILTER scope
+    * analysis for OPTIONAL join conditions).
+    */
+  private def valVars(e: EExpr): Set[String] = e match {
+    case EVar(n) => Set(n)
+    case EBin(l, _, r) => valVars(l) ++ valVars(r)
+    case ECall(_, args) => args.flatMap(valVars).toSet
+    case _ => Set.empty
+  }
+
+  private def exprVars(e: Expr): Set[String] = e match {
+    case Cmp(l, _, r) => valVars(l) ++ valVars(r)
+    case And(l, r) => exprVars(l) ++ exprVars(r)
+    case Or(l, r) => exprVars(l) ++ exprVars(r)
+    case Not(x) => exprVars(x)
+    case BFn(_, args) => args.flatMap(valVars).toSet
+  }
+
+  private def compileVal(e: EExpr, resolve: String => Column = col(_)): Column = e match {
+    case EVar(v) => resolve(v)
     case ENumL(v) => lit(v)
     case EStrL(s) => lit(s)
     case EBin(l, op, r) =>
-      val (lc, rc) = (compileNum(l), compileNum(r))
+      val (lc, rc) = (compileNum(l, resolve), compileNum(r, resolve))
       op match {
         case "+" => lc + rc
         case "-" => lc - rc
@@ -926,7 +970,7 @@ object Sparql {
         case "/" => lc / rc
       }
     case ECall(fn, args) =>
-      def a0 = compileVal(args.head)
+      def a0 = compileVal(args.head, resolve)
       fn match {
         case "STR" => strOf(a0)
         case "LANG" =>
@@ -934,13 +978,13 @@ object Sparql {
         case "STRLEN" => length(strOf(a0))
         case "UCASE" => upper(strOf(a0))
         case "LCASE" => lower(strOf(a0))
-        case "CONCAT" => concat(args.map(x => compileVal(x).cast("string")): _*)
-        case "COALESCE" => coalesce(args.map(compileVal): _*)
+        case "CONCAT" => concat(args.map(x => compileVal(x, resolve).cast("string")): _*)
+        case "COALESCE" => coalesce(args.map(compileVal(_, resolve)): _*)
         case "SUBSTR" =>
           // SPARQL SUBSTR is 1-based, length optional
-          val start = compileNum(args(1)).cast("int")
+          val start = compileNum(args(1), resolve).cast("int")
           args.lift(2) match {
-            case Some(len) => strOf(a0).substr(start, compileNum(len).cast("int"))
+            case Some(len) => strOf(a0).substr(start, compileNum(len, resolve).cast("int"))
             case None => strOf(a0).substr(start, length(strOf(a0)))
           }
         case "REPLACE" =>
@@ -950,18 +994,18 @@ object Sparql {
               "REPLACE pattern/replacement must be string literals")
           }
         case "STRBEFORE" =>
-          val d = strOf(compileVal(args(1)))
+          val d = strOf(compileVal(args(1), resolve))
           when(strOf(a0).contains(d),
             call_function("substring_index", strOf(a0), d, lit(1)))
             .otherwise(lit(""))
         case "STRAFTER" =>
-          val d = strOf(compileVal(args(1)))
+          val d = strOf(compileVal(args(1), resolve))
           when(strOf(a0).contains(d),
             expr_substr_after(strOf(a0), d)).otherwise(lit(""))
-        case "ABS" => abs(compileNum(args.head))
-        case "CEIL" => ceil(compileNum(args.head))
-        case "FLOOR" => floor(compileNum(args.head))
-        case "ROUND" => round(compileNum(args.head), 0)
+        case "ABS" => abs(compileNum(args.head, resolve))
+        case "CEIL" => ceil(compileNum(args.head, resolve))
+        case "FLOOR" => floor(compileNum(args.head, resolve))
+        case "ROUND" => round(compileNum(args.head, resolve), 0)
         // date accessors over the store's ISO-formatted date strings
         case "YEAR" => substring(strOf(a0), 1, 4).cast("int")
         case "MONTH" => substring(strOf(a0), 6, 2).cast("int")
@@ -977,20 +1021,22 @@ object Sparql {
   private def expr_substr_after(s: Column, d: Column): Column =
     s.substr(call_function("locate", d, s) + length(d), length(s))
 
-  private def compileNum(e: EExpr): Column = e match {
+  private def compileNum(e: EExpr, resolve: String => Column = col(_)): Column = e match {
     case ENumL(v) => lit(v)
-    case other => compileVal(other).cast("double")
+    case other => compileVal(other, resolve).cast("double")
   }
 
-  private def compileExpr(e: Expr): Column = e match {
-    case And(l, r) => compileExpr(l) && compileExpr(r)
-    case Or(l, r) => compileExpr(l) || compileExpr(r)
-    case Not(x) => !compileExpr(x)
+  private def compileExpr(e: Expr): Column = compileExprWith(e, col(_))
+
+  private def compileExprWith(e: Expr, resolve: String => Column): Column = e match {
+    case And(l, r) => compileExprWith(l, resolve) && compileExprWith(r, resolve)
+    case Or(l, r) => compileExprWith(l, resolve) || compileExprWith(r, resolve)
+    case Not(x) => !compileExprWith(x, resolve)
     case BFn(fn, args) =>
-      def a0 = compileVal(args.head)
+      def a0 = compileVal(args.head, resolve)
       fn match {
         case "BOUND" => args.head match {
-          case EVar(v) => col(v).isNotNull
+          case EVar(v) => resolve(v).isNotNull
           case _ => throw new IllegalArgumentException("BOUND expects a variable")
         }
         case "REGEX" =>
@@ -1002,23 +1048,23 @@ object Sparql {
             case Some(EStrL(f)) if f.contains("i") => "(?i)" + pat
             case _ => pat
           }
-          compileVal(args.head).rlike(flagged)
+          compileVal(args.head, resolve).rlike(flagged)
         case "IN" =>
-          args.tail.map(x => a0 === compileVal(x)).reduce(_ || _)
+          args.tail.map(x => a0 === compileVal(x, resolve)).reduce(_ || _)
         case "ISIRI" | "ISURI" => isIriCol(a0)
         case "ISBLANK" => a0.startsWith("_:")
         case "ISLITERAL" => !a0.startsWith("_:") && (a0.startsWith("\"") || !a0.contains(":"))
-        case "STRSTARTS" => strOf(a0).startsWith(strOf(compileVal(args(1))))
-        case "STRENDS" => strOf(a0).endsWith(strOf(compileVal(args(1))))
-        case "CONTAINS" => strOf(a0).contains(strOf(compileVal(args(1))))
+        case "STRSTARTS" => strOf(a0).startsWith(strOf(compileVal(args(1), resolve)))
+        case "STRENDS" => strOf(a0).endsWith(strOf(compileVal(args(1), resolve)))
+        case "CONTAINS" => strOf(a0).contains(strOf(compileVal(args(1), resolve)))
         case "LANGMATCHES" =>
           // basic language-range match: "*" matches any non-empty tag,
           // otherwise case-insensitive tag-or-prefix ("en" matches en-GB)
-          val range = compileVal(args(1))
+          val range = compileVal(args(1), resolve)
           val tag = lower(a0)
           when(range === "*", tag =!= "")
             .otherwise(tag === lower(range) || tag.startsWith(concat(lower(range), lit("-"))))
-        case "SAMETERM" => a0 === compileVal(args(1))
+        case "SAMETERM" => a0 === compileVal(args(1), resolve)
         case other => throw new IllegalArgumentException(s"unsupported filter function $other()")
       }
     case Cmp(l, op, r) =>
@@ -1031,8 +1077,8 @@ object Sparql {
       }
       val numeric = Seq(l, r).exists(numericish)
       def operand(o: EExpr): Column = o match {
-        case EVar(v) if numeric => col(v).cast("double")
-        case other => compileVal(other)
+        case EVar(v) if numeric => resolve(v).cast("double")
+        case other => compileVal(other, resolve)
       }
       val (lc, rc) = (operand(l), operand(r))
       op match {

@@ -367,6 +367,26 @@ class SparqlSpec extends SparkSpec {
       .shouldBe(Seq(Seq("3"), Seq("5")))
   }
 
+  it should "treat OPTIONAL filters on outer vars as join conditions" in {
+    // FILTER (?x = "1") references only the OUTER var: it must null the
+    // optional bindings for other x, NOT eliminate their solutions
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?z WHERE {
+        |  ?x :2 ?y .
+        |  OPTIONAL { ?y :4 ?z . FILTER (?x = "1") }
+        |} ORDER BY ?x ?z""".stripMargin)
+    res shouldBe Seq(Seq("1", "5"), Seq("1", "6"), Seq("5", null), Seq("6", null))
+    // mixed inner+outer refs in the same filter
+    val res2 = run(
+      """PREFIX : <>
+        |SELECT ?x ?z WHERE {
+        |  ?x :2 ?y .
+        |  OPTIONAL { ?y :4 ?z . FILTER (?z != ?x) }
+        |} ORDER BY ?x ?z""".stripMargin)
+    res2 shouldBe Seq(Seq("1", "5"), Seq("1", "6"), Seq("5", null), Seq("6", null))
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
