@@ -93,7 +93,33 @@ class GoldenSpec extends SparkSpec {
         |SELECT ?n ?cnt WHERE {
         |  ?n a "Nation" .
         |  { SELECT ?n (COUNT(?c) AS ?cnt) WHERE { ?c :nationkey ?n } GROUP BY ?n }
-        |} ORDER BY ?n""".stripMargin)
+        |} ORDER BY ?n""".stripMargin,
+    "sparql_in" ->
+      """PREFIX : <>
+        |SELECT ?p ?sz WHERE {
+        |  ?p a "Part" . ?p :size ?sz .
+        |  FILTER (?sz IN ("25", "30", "35"))
+        |} ORDER BY ?p""".stripMargin,
+    "sparql_npath" ->
+      """PREFIX : <>
+        |SELECT ?n ?v WHERE { ?n a "Nation" . ?n !(:a|:name) ?v }
+        |ORDER BY ?n ?v""".stripMargin,
+    "sparql_polist" ->
+      """PREFIX : <>
+        |SELECT ?o ?c WHERE {
+        |  ?o a "Order" ; :orderstatus "F" ; :custkey ?c .
+        |  ?c :mktsegment "BUILDING" .
+        |} ORDER BY ?o ?c""".stripMargin,
+    "sparql_opt_cond" ->
+      """PREFIX : <>
+        |SELECT ?x ?m WHERE {
+        |  ?x a "Customer" . ?x :nationkey ?n .
+        |  OPTIONAL { ?x :mktsegment ?m . FILTER (?n = "nation:3") }
+        |} ORDER BY ?x ?m""".stripMargin,
+    "sparql_strfns" ->
+      """PREFIX : <>
+        |SELECT ?p (SUBSTR(?nm, 1, 4) AS ?head) (STRAFTER(?nm, " ") AS ?noun)
+        |WHERE { ?p a "Part" ; :name ?nm } ORDER BY ?p""".stripMargin)
 
   private def golden(name: String): Seq[String] = {
     val url = getClass.getResource(s"/golden/$name.tsv")

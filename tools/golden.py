@@ -76,6 +76,29 @@ QUERIES = {
             UNION ALL SELECT s_nationkey FROM supplier
           ) GROUP BY k
         ) ORDER BY n""",
+    "sparql_in": """
+        SELECT 'part:' || p_partkey AS p, CAST(p_size AS VARCHAR) AS sz
+        FROM part WHERE p_size IN (25, 30, 35) ORDER BY p""",
+    "sparql_npath": """
+        SELECT 'nation:' || n_nationkey AS n, 'region:' || n_regionkey AS v
+        FROM nation ORDER BY n, v""",
+    "sparql_polist": """
+        SELECT 'order:' || o_orderkey AS o, 'customer:' || o_custkey AS c
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'F' AND c_mktsegment = 'BUILDING'
+        ORDER BY o, c""",
+    "sparql_opt_cond": """
+        SELECT x, m FROM (
+          SELECT 'customer:' || c_custkey AS x,
+            CASE WHEN c_nationkey = 3 THEN c_mktsegment END AS m
+          FROM customer) ORDER BY x, m NULLS FIRST""",
+    "sparql_strfns": """
+        SELECT 'part:' || p_partkey AS p,
+          substring(p_name, 1, 4) AS head,
+          CASE WHEN contains(p_name, ' ')
+               THEN substring(p_name, position(' ' IN p_name) + 1)
+               ELSE '' END AS noun
+        FROM part ORDER BY p""",
 }
 
 os.makedirs(out, exist_ok=True)
