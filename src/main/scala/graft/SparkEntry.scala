@@ -320,6 +320,16 @@ object SparkEntry {
       .orderBy(col("o_orderstatus").asc_nulls_first,
         col("o_orderpriority").asc_nulls_first)
 
+  /** ROLLUP with grouping markers: grouping_id distinguishes subtotal
+    * levels from genuine NULL group keys.
+    */
+  private def groupingIdQ(s: SparkSession, d: String): DataFrame =
+    t(s, d, "orders")
+      .rollup("o_orderstatus", "o_orderpriority")
+      .agg(count(lit(1)).as("cnt"), grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus").asc_nulls_first,
+        col("o_orderpriority").asc_nulls_first)
+
   /** Scalar string/math functions over part. */
   private def scalarFuncs(s: SparkSession, d: String): DataFrame =
     t(s, d, "part").select(
@@ -443,6 +453,11 @@ object SparkEntry {
   private def decontaminateQ(s: SparkSession, d: String): DataFrame =
     DedupOps.decontaminate(Tables.loadPar(s, d, "documents"),
         testPred = col("doc_id") < 20, n = 8)
+      .orderBy("doc_id")
+
+  /** Cross-document duplicated 13-gram spans (substring-dedup signal). */
+  private def dupSpansQ(s: SparkSession, d: String): DataFrame =
+    DedupOps.dupSpans(Tables.loadPar(s, d, "documents"), n = 13)
       .orderBy("doc_id")
 
   // ---- Training-data pipeline: near-duplicate detection ---------------
@@ -1149,6 +1164,7 @@ object SparkEntry {
     "q_set_except" -> (setExcept _),
     "q_distinct" -> (distinctQ _),
     "q_rollup" -> (rollupQ _),
+    "q_grouping_id" -> (groupingIdQ _),
     "q_scalar_funcs" -> (scalarFuncs _),
     "q_date_funcs" -> (dateFuncs _),
     "q_agg_stats" -> (aggStats _),
@@ -1216,6 +1232,7 @@ object SparkEntry {
     "q_redact" -> (redactQ _),
     "q_self_repetition" -> (selfRepetitionQ _),
     "q_decontaminate" -> (decontaminateQ _),
+    "q_dup_spans" -> (dupSpansQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -1434,6 +1451,11 @@ object SparkEntry {
       """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
         |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
+    "q_grouping_id" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |  CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q_scalar_funcs" ->
       """SELECT p_partkey, upper(p_brand) AS brand_u,
         |  substring(p_name, 1, 8) AS name8,
@@ -1841,6 +1863,24 @@ object SparkEntry {
         |SELECT doc_id, count(DISTINCT cg.gram) AS n_shared
         |FROM cg JOIN tg USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dup_spans" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT DISTINCT doc_id, array_to_string(list_slice(words, i, i + 12), ' ') AS gram
+        |  FROM ws, unnest(range(1, len(words) - 11)) AS t(i)
+        |  WHERE len(words) >= 13),
+        |shared AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |totals AS (SELECT doc_id, count(*) AS n_grams FROM g GROUP BY doc_id),
+        |dups AS (
+        |  SELECT doc_id, count(*) AS n_dup FROM g
+        |  WHERE gram IN (SELECT gram FROM shared) GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_grams,
+        |  coalesce(d.n_dup, 0) AS n_dup,
+        |  round(coalesce(d.n_dup, 0)::DOUBLE / t.n_grams, 6) AS dup_ratio
+        |FROM totals t LEFT JOIN dups d ON t.doc_id = d.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "q_chunks" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS w

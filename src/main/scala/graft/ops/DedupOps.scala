@@ -166,6 +166,39 @@ object DedupOps {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** Cross-document duplicated span detection (the train-set
+    * substring-dedup signal): for each document, how many of its distinct
+    * word n-gram windows also occur in at least one OTHER document, and
+    * the duplicated fraction. Stride-1 windows via codegen'd lead chains;
+    * the gram-frequency aggregate is map-side combined, so cost scales
+    * with corpus tokens, not pairs.
+    */
+  def dupSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(i => lead(col("w"), i).over(w))
+    val grams = docs
+      .select(col("doc_id"),
+        posexplode(split(TextOps.normalize(col("text")), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        concat_ws(" ", (col("w") +: leads): _*).as("gram"),
+        leads.last.isNotNull.as("__full"))
+      .where(col("__full"))
+      .select(col("doc_id"), col("gram")).distinct()
+    // a gram duplicated across docs appears under >= 2 distinct doc_ids
+    // (grams are per-doc distinct, so count(1) == count of docs)
+    val shared = grams.groupBy("gram").agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= 2).select("gram")
+    val totals = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val dups = grams.join(shared, Seq("gram"), "left_semi")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    totals.join(dups, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
+          .as("dup_ratio"))
+  }
+
   /** 32-bit SimHash over the distinct word tokens of the normalized text.
     * Token hash = TextOps.polyHash (base-31 mod 2^32 fold), so the whole
     * fingerprint is replayable in DuckDB SQL. Bit j of the result is set
