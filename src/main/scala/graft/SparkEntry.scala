@@ -455,6 +455,11 @@ object SparkEntry {
         testPred = col("doc_id") < 20, n = 8)
       .orderBy("doc_id")
 
+  /** Unigram-LM surprisal per document (perplexity-proxy quality filter). */
+  private def surprisalQ(s: SparkSession, d: String): DataFrame =
+    TextOps.unigramSurprisal(Tables.loadPar(s, d, "documents"))
+      .orderBy("doc_id")
+
   /** Cross-document duplicated 13-gram spans (substring-dedup signal). */
   private def dupSpansQ(s: SparkSession, d: String): DataFrame =
     DedupOps.dupSpans(Tables.loadPar(s, d, "documents"), n = 13)
@@ -1233,6 +1238,7 @@ object SparkEntry {
     "q_self_repetition" -> (selfRepetitionQ _),
     "q_decontaminate" -> (decontaminateQ _),
     "q_dup_spans" -> (dupSpansQ _),
+    "q_surprisal" -> (surprisalQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -1863,6 +1869,24 @@ object SparkEntry {
         |SELECT doc_id, count(DISTINCT cg.gram) AS n_shared
         |FROM cg JOIN tg USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_surprisal" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, i AS pos, words[i] AS w
+        |  FROM ws, unnest(range(1, len(words) + 1)) AS r(i)),
+        |freq AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+        |tot AS (SELECT count(*) AS total FROM t),
+        |nl AS (
+        |  SELECT t.doc_id, t.pos, ln(tot.total::DOUBLE / freq.cnt) AS nll
+        |  FROM t, tot JOIN freq ON t.w = freq.w),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    list_reduce(list_prepend(0.0, list(nll ORDER BY pos)), (acc, x) -> acc + x) AS sum_nll
+        |  FROM nl GROUP BY doc_id)
+        |SELECT doc_id, n_tokens, round(sum_nll / n_tokens, 6) AS avg_surprisal
+        |FROM d ORDER BY doc_id""".stripMargin,
     "q_dup_spans" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words

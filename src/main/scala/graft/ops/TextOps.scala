@@ -177,6 +177,30 @@ object TextOps {
       round(lit(1.0) - distinctN.cast("double") / total, 6)).otherwise(lit(0.0))
   }
 
+  /** Per-document unigram surprisal (corpus-frequency LM proxy, the
+    * perplexity-style quality filter): mean of -ln(count(w)/total) over
+    * the document's tokens. The corpus frequency table is one map-side-
+    * combined aggregate; per-doc means fold ln terms in POSITION ORDER
+    * (collect-sort-fold), so the float sum replays bit-identically in the
+    * oracle — same discipline as the vector dot product.
+    */
+  def unigramSurprisal(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(normalize(col("text")), " ")).as(Seq("pos", "w")))
+    val freq = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = toks.crossJoin(broadcast(toks.agg(count(lit(1)).as("total"))))
+    total.join(freq, Seq("w"))
+      .withColumn("nll", log(col("total").cast("double") / col("cnt")))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("nll")))),
+            x => x.getField("nll")),
+          lit(0.0), (acc, x) => acc + x).as("sum_nll"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("sum_nll") / col("n_tokens"), 6).as("avg_surprisal"))
+  }
+
   /** Word n-grams (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int = 3): Column = {
     val words = split(TextOps.normalize(text), " ")
