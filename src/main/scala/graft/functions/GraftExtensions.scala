@@ -18,5 +18,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 2, "graft_dot(arrayA, arrayB) takes 2 arguments")
         DotProductD(children.head, children(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash"),
+      new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_simhash(tokenHashes) takes 1 argument")
+        SimHash32(children.head)
+      }))
   }
 }

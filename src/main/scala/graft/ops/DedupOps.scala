@@ -202,9 +202,20 @@ object DedupOps {
   /** 32-bit SimHash over the distinct word tokens of the normalized text.
     * Token hash = TextOps.polyHash (base-31 mod 2^32 fold), so the whole
     * fingerprint is replayable in DuckDB SQL. Bit j of the result is set
-    * iff more token hashes have bit j set than clear.
+    * iff more token hashes have bit j set than clear. The per-bit
+    * majority vote runs in the native one-pass expression
+    * (graft.functions.SimHash32, registered by GraftExtensions).
     */
-  def simhash32(text: Column): Column = {
+  def simhash32(text: Column): Column =
+    call_function("graft_simhash",
+      transform(array_distinct(split(TextOps.normalize(text), " ")),
+        t => TextOps.polyHash(t)))
+
+  /** Declarative reference implementation of the majority vote (32
+    * interpreted aggregate HOFs — one array pass per bit); kept as the
+    * spec-level oracle for the native expression.
+    */
+  def simhash32Hof(text: Column): Column = {
     val tokens = array_distinct(split(TextOps.normalize(text), " "))
     val th = transform(tokens, t => TextOps.polyHash(t))
     (0 until 32).map { j =>

@@ -70,7 +70,17 @@ class DedupSpec extends SparkSpec {
     mh should contain((2L, 5L))
   }
 
-  "simhash32" should "be permutation-invariant and stable" in {
+  "simhash32" should "match the declarative HOF formulation exactly" in {
+    // native one-pass expression vs 32 interpreted aggregates, real corpus
+    val docs01 = Tables.loadPar(spark, "/root/testdata/sf0.01", "documents")
+    val diff = docs01.select(
+        DedupOps.simhash32(col("text")).as("a"),
+        DedupOps.simhash32Hof(col("text")).as("b"))
+      .where(col("a") =!= col("b")).count()
+    diff shouldBe 0L
+  }
+
+  it should "be permutation-invariant and stable" in {
     val df = Seq(
       (1L, "alpha beta gamma delta"),
       (2L, "delta gamma beta alpha"), // permutation -> same token set
