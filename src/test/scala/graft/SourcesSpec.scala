@@ -31,6 +31,27 @@ class SourcesSpec extends SparkSpec {
       orders.select(countDistinct("o_orderstatus")).head().getLong(0)
   }
 
+  "orc" should "round-trip with schema and predicate pushdown" in {
+    val dir = "target/tmp-orc"
+    orders.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    back.schema shouldBe orders.schema
+    back.count() shouldBe orders.count()
+    val filtered = back.where(col("o_orderstatus") === "F")
+    // ORC scans expose pushed filters like parquet
+    filtered.queryExecution.executedPlan.toString should include("PushedFilters")
+    filtered.count() shouldBe orders.where(col("o_orderstatus") === "F").count()
+  }
+
+  "partitioned sink" should "prune partitions on read" in {
+    val dir = "target/tmp-part"
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(dir)
+    val one = spark.read.parquet(dir).where(col("o_orderstatus") === "F")
+    one.queryExecution.executedPlan.toString should
+      include regex "PartitionFilters: \\[[^\\]]*o_orderstatus"
+    one.count() shouldBe orders.where(col("o_orderstatus") === "F").count()
+  }
+
   "file stream source" should "produce the same windowed aggregate as batch" in {
     val dir = "target/tmp-stream-src"
     val ev = Tables.events(spark, sfDir).select("ts", "user_id", "event_type", "value")
