@@ -173,8 +173,23 @@ object Sparql {
     Seq("BOUND", "REGEX", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL",
       "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES", "SAMETERM")
 
-  def parse(text: String): Query = {
-    val p = new P(tokenize(text))
+  /** ASK: does the pattern have at least one solution? The reference
+    * throws on ASK (`CustomQueryExecution.scala:175`); here it compiles
+    * to the SELECT pipeline with an early-out limit(1).
+    */
+  def ask(spark: SparkSession, triples: DataFrame, queryText: String,
+          stats: Map[String, PredStats] = Map.empty): Boolean = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("ASK")
+    p.tryKw("WHERE")
+    val group = parseGroup(p, prefixes)
+    val q = Query(distinct = false, projection = Seq.empty, group = group,
+      groupBy = Seq.empty, orderBy = Seq.empty, limit = None)
+    compileQuery(spark, triples, q, stats).limit(1).count() > 0
+  }
+
+  private def parsePrefixes(p: P): Map[String, String] = {
     var prefixes = Map.empty[String, String]
     while (p.tryKw("PREFIX")) {
       val (pfx, local) = p.next() match {
@@ -188,7 +203,12 @@ object Sparql {
       }
       prefixes += (pfx -> iri)
     }
-    parseQueryBody(p, prefixes)
+    prefixes
+  }
+
+  def parse(text: String): Query = {
+    val p = new P(tokenize(text))
+    parseQueryBody(p, parsePrefixes(p))
   }
 
   /** SELECT ... WHERE { ... } + solution modifiers; reused by subqueries. */

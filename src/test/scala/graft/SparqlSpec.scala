@@ -387,6 +387,15 @@ class SparqlSpec extends SparkSpec {
     res2 shouldBe Seq(Seq("1", "5"), Seq("1", "6"), Seq("5", null), Seq("6", null))
   }
 
+  "Sparql.ask" should "answer boolean existence queries" in {
+    Sparql.ask(spark, triples,
+      """PREFIX : <>
+        |ASK WHERE { ?x :2 ?y . ?y :4 ?z }""".stripMargin) shouldBe true
+    Sparql.ask(spark, triples,
+      """PREFIX : <>
+        |ASK { "1" :99 ?x }""".stripMargin) shouldBe false
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")

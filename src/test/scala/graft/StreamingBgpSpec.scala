@@ -66,6 +66,33 @@ class StreamingBgpSpec extends SparkSpec {
     spark.table("bgp_stream_inc").count() shouldBe 2 // incremental append
   }
 
+  "streaming append" should "maintain store stats through foreachBatch ingest" in {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.bgp.{Bgp, C, TriplePattern, V}
+    val src = MemoryStream[(String, String, String)]
+    // live triple ingest: each micro-batch appends to the store handle,
+    // refreshing dictionary + stats so the stats-driven count shortcut
+    // stays exact between batches (reference performAdd, continuously)
+    var handle = graft.store.GraftStore.ingestTriples(spark, staticTriples)
+    val q = src.toDF().toDF("s", "p", "o").writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) handle = graft.store.GraftStore.append(spark, handle, batch)
+      }
+      .start()
+    def regionkeyCount: Long = Bgp.count(spark, handle.triples,
+      Seq(TriplePattern(V("n"), C("regionkey"), V("r"))), handle.stats)
+    regionkeyCount shouldBe 2L
+    src.addData(("nation:9", "regionkey", "region:9"))
+    q.processAllAvailable()
+    regionkeyCount shouldBe 3L
+    src.addData(("nation:10", "regionkey", "region:9"), ("x:1", "label", "\"x\""))
+    q.processAllAvailable()
+    q.stop()
+    regionkeyCount shouldBe 4L
+    handle.stats("label").cnt shouldBe 1L
+  }
+
   "Sparql.executeStream" should "run a continuous BGP query over arriving edges" in {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, String, String)]
