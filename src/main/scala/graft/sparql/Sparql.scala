@@ -189,6 +189,36 @@ object Sparql {
     compileQuery(spark, triples, q, stats).limit(1).count() > 0
   }
 
+  /** CONSTRUCT: instantiate a triple-pattern template once per WHERE
+    * solution; the result is a deduplicated (s, p, o) graph, and template
+    * triples with unbound variables are dropped (SPARQL 1.1 §16.2). The
+    * reference throws on CONSTRUCT (`CustomQueryExecution.scala:215`).
+    */
+  def construct(spark: SparkSession, triples: DataFrame, queryText: String,
+                stats: Map[String, PredStats] = Map.empty): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("CONSTRUCT")
+    val template = parseGroup(p, prefixes)
+    require(template.filters.isEmpty && template.optionals.isEmpty &&
+      template.unions.isEmpty && template.minuses.isEmpty &&
+      template.paths.isEmpty && template.binds.isEmpty &&
+      template.subqueries.isEmpty && template.subgroups.isEmpty,
+      "CONSTRUCT template must contain only triple patterns")
+    p.eatKw("WHERE")
+    val group = parseGroup(p, prefixes)
+    val sols = compileGroup(spark, triples, group, stats)
+    def term(t: Term): Column = t match {
+      case V(n) => col(n)
+      case C(v) => lit(v.toString)
+    }
+    template.triples
+      .map(tp => sols.select(term(tp.s).as("s"), term(tp.p).as("p"), term(tp.o).as("o"))
+        .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull))
+      .reduce(_.unionAll(_))
+      .distinct()
+  }
+
   private def parsePrefixes(p: P): Map[String, String] = {
     var prefixes = Map.empty[String, String]
     while (p.tryKw("PREFIX")) {

@@ -396,6 +396,25 @@ class SparqlSpec extends SparkSpec {
         |ASK { "1" :99 ?x }""".stripMargin) shouldBe false
   }
 
+  "Sparql.construct" should "build a deduplicated result graph" in {
+    val res = Sparql.construct(spark, triples,
+      """PREFIX : <>
+        |CONSTRUCT { ?a :reaches ?c . ?a :kind "start" }
+        |WHERE { ?a :2 ?b . ?b :4 ?c }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    res shouldBe Set(
+      ("1", "reaches", "5"), ("1", "reaches", "6"), ("1", "kind", "start"))
+  }
+
+  it should "drop template triples with unbound variables" in {
+    val res = Sparql.construct(spark, triples,
+      """PREFIX : <>
+        |CONSTRUCT { ?x :opt ?z }
+        |WHERE { ?x :2 ?y . OPTIONAL { ?y :4 ?z } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(2))).toSet
+    res shouldBe Set(("1", "5"), ("1", "6")) // x=5,6 have unbound ?z
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
