@@ -219,6 +219,47 @@ object Sparql {
       .distinct()
   }
 
+  /** DESCRIBE: all triples whose subject is one of the described
+    * resources (the common concise-bounded-description core; the result
+    * shape is implementation-defined by SPARQL 1.1 §16.4). Forms:
+    * `DESCRIBE <iri>` and `DESCRIBE ?v [WHERE { ... }]`. The reference
+    * throws on DESCRIBE (`CustomQueryExecution.scala:239`).
+    */
+  def describe(spark: SparkSession, triples: DataFrame, queryText: String,
+               stats: Map[String, PredStats] = Map.empty): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("DESCRIBE")
+    var vars = Seq.empty[String]
+    var consts = Seq.empty[String]
+    var reading = true
+    while (reading) p.peek match {
+      case Some(TVar(v)) => vars :+= v; p.pos += 1
+      case Some(TIri(i)) => consts :+= i; p.pos += 1
+      case Some(TPName(pfx, local)) =>
+        consts :+= prefixes.getOrElse(pfx,
+          throw new IllegalArgumentException(s"undeclared prefix '$pfx:'")) + local
+        p.pos += 1
+      case _ => reading = false
+    }
+    require(vars.nonEmpty || consts.nonEmpty, "DESCRIBE needs a resource or variable")
+    val fromWhere: Option[DataFrame] =
+      if (p.tryKw("WHERE")) Some(compileGroup(spark, triples, parseGroup(p, prefixes), stats))
+      else None
+    import spark.implicits._
+    val varSubjects = fromWhere match {
+      case Some(sols) =>
+        vars.filter(sols.columns.contains)
+          .map(v => sols.select(col(v).as("s")))
+      case None => Seq.empty
+    }
+    val constSubjects =
+      if (consts.isEmpty) Seq.empty else Seq(consts.toDF("s"))
+    val subjects = (varSubjects ++ constSubjects)
+      .reduce(_.unionAll(_)).distinct()
+    triples.join(broadcast(subjects), Seq("s"), "left_semi")
+  }
+
   private def parsePrefixes(p: P): Map[String, String] = {
     var prefixes = Map.empty[String, String]
     while (p.tryKw("PREFIX")) {

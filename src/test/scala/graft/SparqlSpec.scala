@@ -415,6 +415,19 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Set(("1", "5"), ("1", "6")) // x=5,6 have unbound ?z
   }
 
+  "Sparql.describe" should "return all triples about the described resources" in {
+    val direct = Sparql.describe(spark, triples,
+      """PREFIX : <>
+        |DESCRIBE <3>""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    direct shouldBe Set(("3", "4", "5"), ("3", "4", "6"))
+    val viaWhere = Sparql.describe(spark, triples,
+      """PREFIX : <>
+        |DESCRIBE ?y WHERE { "1" :2 ?y }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    viaWhere shouldBe Set(("3", "4", "5"), ("3", "4", "6"))
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
