@@ -793,6 +793,15 @@ object SparkEntry {
         |  OPTIONAL { ?x :mktsegment ?m . FILTER (?n = "nation:3") }
         |} ORDER BY ?x ?m""".stripMargin)
 
+  /** SPARQL aggregate expressions in projection + HAVING on aggregates. */
+  private def sparqlAggExpr(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?brand ((SUM(?sz) / COUNT(?p)) AS ?avg_sz)
+        |       ((MAX(?sz * 1) - MIN(?sz * 1)) AS ?spread)
+        |WHERE { ?p a "Part" ; :brand ?brand ; :size ?sz }
+        |GROUP BY ?brand HAVING (COUNT(?p) > 20) ORDER BY ?brand""".stripMargin)
+
   /** SPARQL negated property set `!(...)`. */
   private def sparqlNpath(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -1219,6 +1228,7 @@ object SparkEntry {
     "q_sparql_strfns" -> (sparqlStrFns _),
     "q_sparql_year" -> (sparqlYear _),
     "q_sparql_opt_cond" -> (sparqlOptJoinCond _),
+    "q_sparql_agg_expr" -> (sparqlAggExpr _),
     "q_json_funcs" -> (jsonFuncs _),
     "q_array_funcs" -> (arrayFuncs _),
     "q_cube" -> (cubeQ _),
@@ -1669,6 +1679,12 @@ object SparkEntry {
       """SELECT 'customer:' || c_custkey AS x,
         |  CASE WHEN c_nationkey = 3 THEN c_mktsegment END AS m
         |FROM customer ORDER BY x, m""".stripMargin,
+    "q_sparql_agg_expr" ->
+      """SELECT p_brand AS brand,
+        |  sum(p_size)::DOUBLE / count(*) AS avg_sz,
+        |  (max(p_size) - min(p_size))::DOUBLE AS spread
+        |FROM part GROUP BY p_brand HAVING count(*) > 20
+        |ORDER BY brand""".stripMargin,
     "q_sparql_encoded" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r

@@ -296,46 +296,58 @@ object Sparql {
       case Some(TSym("*")) => star = true; p.pos += 1
       case Some(TSym("(")) => // ( FN([DISTINCT] ?v | *) AS ?a ) | ( expr AS ?a )
         p.pos += 1
-        p.peek match {
+        def exprItem(): ProjItem = {
+          val e = parseEAdd(p)
+          p.eatKw("AS")
+          val alias = p.next() match {
+            case TVar(v) => v
+            case t => p.fail(s"expected ?alias, got $t")
+          }
+          p.eatSym(")")
+          PExpr(e, alias)
+        }
+        val save = p.pos
+        proj :+= (p.peek match {
           case Some(TWord(w)) if aggFns.contains(w.toUpperCase) &&
             p.peekAhead(1).contains(TSym("(")) =>
-            val fn = w.toUpperCase
-            p.pos += 1
-            p.eatSym("(")
-            val dist = p.tryKw("DISTINCT")
-            val arg = p.peek match {
-              case Some(TVar(v)) => p.pos += 1; Some(v)
-              case Some(TSym("*")) => p.pos += 1; None
-              case t => p.fail(s"expected ?var or * in aggregate, got $t")
-            }
-            // GROUP_CONCAT(?v ; SEPARATOR [=] "sep")
-            var sep = " "
-            if (p.trySym(";")) {
-              p.eatKw("SEPARATOR")
-              p.trySym("=")
-              sep = p.next() match {
-                case TStr(s) => s
-                case t => p.fail(s"expected separator string, got $t")
+            // try the plain aggregate form first; on failure (e.g. the
+            // aggregate is a subexpression: (SUM(?x)/COUNT(?y) AS ?a))
+            // backtrack and parse as an expression projection
+            try {
+              val fn = w.toUpperCase
+              p.pos += 1
+              p.eatSym("(")
+              val dist = p.tryKw("DISTINCT")
+              val arg = p.peek match {
+                case Some(TVar(v)) => p.pos += 1; Some(v)
+                case Some(TSym("*")) => p.pos += 1; None
+                case t => p.fail(s"expected ?var or * in aggregate, got $t")
               }
+              // GROUP_CONCAT(?v ; SEPARATOR [=] "sep")
+              var sep = " "
+              if (p.trySym(";")) {
+                p.eatKw("SEPARATOR")
+                p.trySym("=")
+                sep = p.next() match {
+                  case TStr(s) => s
+                  case t => p.fail(s"expected separator string, got $t")
+                }
+              }
+              p.eatSym(")")
+              p.eatKw("AS")
+              val alias = p.next() match {
+                case TVar(v) => v
+                case t => p.fail(s"expected ?alias, got $t")
+              }
+              p.eatSym(")")
+              PAgg(fn, arg, alias, dist, sep)
+            } catch {
+              case _: IllegalArgumentException =>
+                p.pos = save
+                exprItem()
             }
-            p.eatSym(")")
-            p.eatKw("AS")
-            val alias = p.next() match {
-              case TVar(v) => v
-              case t => p.fail(s"expected ?alias, got $t")
-            }
-            p.eatSym(")")
-            proj :+= PAgg(fn, arg, alias, dist, sep)
-          case _ =>
-            val e = parseEAdd(p)
-            p.eatKw("AS")
-            val alias = p.next() match {
-              case TVar(v) => v
-              case t => p.fail(s"expected ?alias, got $t")
-            }
-            p.eatSym(")")
-            proj :+= PExpr(e, alias)
-        }
+          case _ => exprItem()
+        })
       case _ => reading = false
     }
     if (!star && proj.isEmpty) p.fail("empty projection")
@@ -668,6 +680,7 @@ object Sparql {
   }
 
   private def parseEUnary(p: P): EExpr = p.peek match {
+    case Some(TSym("*")) => p.pos += 1; EVar("*") // COUNT(*) only
     case Some(TVar(v)) => p.pos += 1; EVar(v)
     case Some(TNum(n)) => p.pos += 1; ENumL(n.toDouble)
     case Some(TStr(s)) => p.pos += 1; EStrL(s)
@@ -783,12 +796,63 @@ object Sparql {
               stats: Map[String, PredStats] = Map.empty): DataFrame =
     compileQuery(spark, triples, parse(queryText), stats)
 
-  private def compileQuery(spark: SparkSession, triples: DataFrame, q: Query,
+  /** Rewrite aggregate calls inside projection expressions / HAVING to
+    * references of internally-aliased aggregate columns (SPARQL 1.1
+    * projection expressions over aggregates, e.g.
+    * `(SUM(?x)/COUNT(?y) AS ?avg)` or `HAVING (COUNT(?x) > 5)`).
+    */
+  private def extractAggs(e: EExpr,
+                          acc: scala.collection.mutable.Buffer[(ECall, String)]): EExpr =
+    e match {
+      case c @ ECall(fn, _) if aggFns.contains(fn) =>
+        val alias = s"__agg${acc.size}"
+        acc += (c -> alias)
+        EVar(alias)
+      case EBin(l, op, r) => EBin(extractAggs(l, acc), op, extractAggs(r, acc))
+      case ECall(fn, args) => ECall(fn, args.map(extractAggs(_, acc)))
+      case other => other
+    }
+
+  private def extractAggsB(e: Expr,
+                           acc: scala.collection.mutable.Buffer[(ECall, String)]): Expr =
+    e match {
+      case Cmp(l, op, r) => Cmp(extractAggs(l, acc), op, extractAggs(r, acc))
+      case And(l, r) => And(extractAggsB(l, acc), extractAggsB(r, acc))
+      case Or(l, r) => Or(extractAggsB(l, acc), extractAggsB(r, acc))
+      case Not(x) => Not(extractAggsB(x, acc))
+      case BFn(fn, args) => BFn(fn, args.map(extractAggs(_, acc)))
+    }
+
+  /** An aggregate call appearing inside an expression -> Column. `*`
+    * parses as the variable "*" (COUNT(*) only).
+    */
+  private def compileAggCall(c: ECall): Column = c.fn match {
+    case "COUNT" if c.args.isEmpty || c.args == Seq(EVar("*")) => count(lit(1))
+    case "COUNT" => count(compileVal(c.args.head))
+    case "SUM" => sum(compileNum(c.args.head))
+    case "AVG" => avg(compileNum(c.args.head))
+    case "MIN" => min(compileVal(c.args.head))
+    case "MAX" => max(compileVal(c.args.head))
+    case "SAMPLE" => min(compileVal(c.args.head))
+    case "GROUP_CONCAT" =>
+      concat_ws(" ", array_sort(collect_list(compileVal(c.args.head))))
+    case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
+  }
+
+  private def compileQuery(spark: SparkSession, triples: DataFrame, qRaw: Query,
                            stats: Map[String, PredStats]): DataFrame = {
+    // lift aggregate calls out of projection expressions and HAVING
+    val exprAggs = scala.collection.mutable.Buffer.empty[(ECall, String)]
+    val q = qRaw.copy(
+      projection = qRaw.projection.map {
+        case PExpr(e, alias) => PExpr(extractAggs(e, exprAggs), alias)
+        case other => other
+      },
+      having = qRaw.having.map(extractAggsB(_, exprAggs)))
     var df = compileGroup(spark, triples, q.group, stats)
     val allVars = df.columns.toSeq
     val aggs = q.projection.collect { case a: PAgg => a }
-    if (aggs.nonEmpty) {
+    if (aggs.nonEmpty || exprAggs.nonEmpty) {
       // SPARQL aggregates: COUNT counts bound (non-null) solutions;
       // SUM/AVG apply the numeric cast (terms are stored as strings).
       // GROUP_CONCAT sorts its inputs and SAMPLE takes MIN — both
@@ -808,7 +872,7 @@ object Sparql {
             concat_ws(a.sep, array_sort(items))
           case "SAMPLE" => min(col(a.arg.get))
         }).as(a.alias)
-      }
+      } ++ exprAggs.map { case (c, alias) => compileAggCall(c).as(alias) }
       df = if (q.groupBy.nonEmpty)
         df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       else df.agg(aggCols.head, aggCols.tail: _*)

@@ -387,6 +387,21 @@ class SparqlSpec extends SparkSpec {
     res2 shouldBe Seq(Seq("1", "5"), Seq("1", "6"), Seq("5", null), Seq("6", null))
   }
 
+  it should "project aggregate expressions and filter HAVING on aggregates" in {
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT ?y ((COUNT(?x) * 10) AS ?tens) ((MAX(?x * 1) - MIN(?x * 1)) AS ?spread)
+        |WHERE { ?x :2 ?y } GROUP BY ?y ORDER BY ?y""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2))).toSeq
+    res shouldBe Seq(("3", 10.0, 0.0), ("5", 20.0, 1.0))
+    val hav = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT ?y WHERE { ?x :2 ?y } GROUP BY ?y
+        |HAVING (COUNT(?x) > 1)""".stripMargin)
+      .collect().map(_.getString(0)).toSeq
+    hav shouldBe Seq("5")
+  }
+
   "Sparql.ask" should "answer boolean existence queries" in {
     Sparql.ask(spark, triples,
       """PREFIX : <>
