@@ -441,6 +441,25 @@ object SparkEntry {
     VectorOps.dimCentroids(Tables.loadPar(s, d, "embeddings"), col("vec_id") % 8)
       .orderBy("bucket", "dim")
 
+  /** Vocabulary construction: top-500 corpus tokens by frequency with
+    * deterministic rank ids (count desc, token asc) — the
+    * tokenizer-training precursor, one map-side-combined aggregate plus
+    * a tiny top-k sort.
+    */
+  private def vocabQ(s: SparkSession, d: String): DataFrame = {
+    // top-k FIRST via sort+limit (Catalyst TakeOrderedAndProject — each
+    // partition contributes its local top-500, no global sort), then rank
+    // ids over the bounded 500-row result; a global row_number window
+    // over the full vocabulary would funnel everything through one task.
+    val w = Window.orderBy(col("cnt").desc, col("token").asc)
+    Tables.loadPar(s, d, "documents")
+      .select(explode(split(TextOps.normalize(col("text")), " ")).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token").asc).limit(500)
+      .withColumn("token_id", row_number().over(w))
+      .orderBy("token_id")
+  }
+
   /** Within-document repetition ratio (Gopher-style repetition filter). */
   private def selfRepetitionQ(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -1249,6 +1268,7 @@ object SparkEntry {
     "q_decontaminate" -> (decontaminateQ _),
     "q_dup_spans" -> (dupSpansQ _),
     "q_surprisal" -> (surprisalQ _),
+    "q_vocab" -> (vocabQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -1885,6 +1905,16 @@ object SparkEntry {
         |SELECT doc_id, count(DISTINCT cg.gram) AS n_shared
         |FROM cg JOIN tg USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_vocab" ->
+      """WITH t AS (
+        |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
+        |  FROM documents),
+        |f AS (SELECT token, count(*) AS cnt FROM t GROUP BY token),
+        |r AS (SELECT token, cnt,
+        |    CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INT) AS token_id
+        |  FROM f)
+        |SELECT token, cnt, token_id FROM r WHERE token_id <= 500
+        |ORDER BY token_id""".stripMargin,
     "q_surprisal" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
