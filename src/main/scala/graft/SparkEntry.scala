@@ -460,6 +460,36 @@ object SparkEntry {
       .orderBy("token_id")
   }
 
+  /** Deterministic content-hash train/val split (fingerprint mod 100):
+    * reproducible across runs and engines, no RNG state — the standard
+    * leakage-safe split for dedup'd corpora.
+    */
+  private def trainSplitQ(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents")
+      .select(col("source"),
+        when(TextOps.fingerprint(col("text")) % 100 < 90, "train")
+          .otherwise("val").as("split"))
+      .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
+      .orderBy("source", "split")
+
+  /** Greedy sequence packing: documents in doc_id order fill 2048-token
+    * context windows per source; bin = running-token-count div 2048 (the
+    * cumulative-sum approximation of offline packing). One window per
+    * source partition — sources pack independently, so the shuffle key is
+    * the packing unit, not the corpus.
+    */
+  private def packSequencesQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.loadPar(s, d, "documents")
+      .select(col("source"), col("doc_id"), TextOps.bpeCount(col("text")).as("n_bpe"))
+      .withColumn("cum_bpe", sum(col("n_bpe")).over(w))
+      // `div`, not `/`: long / long is double division in Spark SQL
+      .withColumn("bin", expr("cum_bpe div 2048"))
+      .select("source", "doc_id", "n_bpe", "bin")
+      .orderBy("source", "doc_id")
+  }
+
   /** Within-document repetition ratio (Gopher-style repetition filter). */
   private def selfRepetitionQ(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -1269,6 +1299,8 @@ object SparkEntry {
     "q_dup_spans" -> (dupSpansQ _),
     "q_surprisal" -> (surprisalQ _),
     "q_vocab" -> (vocabQ _),
+    "q_train_split" -> (trainSplitQ _),
+    "q_pack_sequences" -> (packSequencesQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
@@ -1905,6 +1937,28 @@ object SparkEntry {
         |SELECT doc_id, count(DISTINCT cg.gram) AS n_shared
         |FROM cg JOIN tg USING (gram)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_train_split" ->
+      """WITH fp AS (
+        |  SELECT source,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(
+        |          list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS f
+        |  FROM documents)
+        |SELECT source, CASE WHEN f % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+        |  count(*) AS n_docs
+        |FROM fp GROUP BY 1, 2 ORDER BY source, split""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH b AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT) AS n_bpe
+        |  FROM documents)
+        |SELECT source, doc_id, n_bpe,
+        |  CAST(sum(n_bpe) OVER (PARTITION BY source ORDER BY doc_id
+        |                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) // 2048 AS bin
+        |FROM b ORDER BY source, doc_id""".stripMargin,
     "q_vocab" ->
       """WITH t AS (
         |  SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS token
