@@ -38,6 +38,58 @@ class TextOpsSpec extends SparkSpec {
     r.getInt(1) shouldBe 3 // short digit run not counted
   }
 
+  "repetitionRatio" should "score degenerate repetition high and clean text zero" in {
+    val docs = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"), // 6 trigrams, 1 distinct
+      (2L, "all words here are completely distinct today"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val m = docs.select(col("doc_id"), TextOps.repetitionRatio(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    m(1L) shouldBe (1.0 - 1.0 / 6) +- 1e-6
+    m(2L) shouldBe 0.0
+    m(3L) shouldBe 0.0 // no trigram
+  }
+
+  "decontaminate" should "flag only docs overlapping the test set" in {
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),   // test
+      (10L, "one two three four five six seven eight completely different"),
+      (11L, "nothing in common with anything held out at all here")
+    ).toDF("doc_id", "text")
+    val res = graft.ops.DedupOps.decontaminate(docs, col("doc_id") < 10, n = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    res shouldBe Map(10L -> 1L) // shares exactly the one 8-gram "one..eight"
+  }
+
+  "dupSpans" should "count cross-document duplicated windows" in {
+    val shared = "a b c d e f g h i j k l m" // 13 words = one 13-gram
+    val docs = Seq(
+      (1L, shared + " unique1 tail1"),
+      (2L, shared + " unique2 tail2"),
+      (3L, "totally different words that never repeat anywhere else in corpus one two three four"),
+      (4L, "too short for any window")
+    ).toDF("doc_id", "text")
+    val res = graft.ops.DedupOps.dupSpans(docs, n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    res(1L)._2 shouldBe 1L // the shared window
+    res(2L)._2 shouldBe 1L
+    res(3L)._2 shouldBe 0L
+    res.contains(4L) shouldBe false // sub-window docs form no spans
+  }
+
+  "unigramSurprisal" should "rank rare-token docs above common-token docs" in {
+    val docs = Seq(
+      (1L, "the the the the"),          // most common token
+      (2L, "zyzzyva qwerty plugh xyzzy") // singletons
+    ).toDF("doc_id", "text")
+    val m = TextOps.unigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    m(2L) should be > m(1L)
+    // doc 1: -ln(4/8) per token = ln 2
+    m(1L) shouldBe math.log(2.0) +- 1e-6
+  }
+
   "dimCentroids" should "compute exact per-dimension means" in {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f)),
