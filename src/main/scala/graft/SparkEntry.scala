@@ -741,6 +741,20 @@ object SparkEntry {
       """PREFIX : <>
         |SELECT ?x WHERE { <nation:3> :regionkey* ?x } ORDER BY ?x""".stripMargin)
 
+  /** SPARQL one-or-more closure `+` from a BOUND subject over the union of
+    * the chain predicates — the largest edge relation in the store
+    * (lineitem `orderkey` dominates it). Compiles to frontier expansion
+    * seeded at the constant: each round semi-joins the edge relation
+    * against the reachable set (4 nodes here), never materializing the
+    * global transitive closure of a 10^5..10^6-edge relation.
+    */
+  private def sparqlPathBound(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?x WHERE {
+        |  <lineitem:1-3> (:orderkey|:custkey|:nationkey|:regionkey)+ ?x
+        |} ORDER BY ?x""".stripMargin)
+
   /** SPARQL GROUP_CONCAT (explicit separator, sorted for determinism)
     * and SAMPLE (deterministic MIN choice).
     */
@@ -1264,6 +1278,7 @@ object SparkEntry {
     "q_sparql_path_alt" -> (sparqlPathAlt _),
     "q_sparql_path_inv" -> (sparqlPathInv _),
     "q_sparql_path_star" -> (sparqlPathStar _),
+    "q_sparql_path_bound" -> (sparqlPathBound _),
     "q_sparql_groupconcat" -> (sparqlGroupconcat _),
     "q_sparql_having" -> (sparqlHaving _),
     "q_sparql_subquery" -> (sparqlSubquery _),
@@ -1673,6 +1688,19 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT DISTINCT 'region:' || n_regionkey FROM nation WHERE n_nationkey = 3
         |) ORDER BY x""".stripMargin,
+    "q_sparql_path_bound" ->
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'lineitem:' || l_orderkey || '-' || l_linenumber AS s,
+        |         'order:' || l_orderkey AS o FROM lineitem
+        |  UNION ALL SELECT 'order:' || o_orderkey, 'customer:' || o_custkey FROM orders
+        |  UNION ALL SELECT 'customer:' || c_custkey, 'nation:' || c_nationkey FROM customer
+        |  UNION ALL SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        |), reach AS (
+        |  SELECT o FROM edges WHERE s = 'lineitem:1-3'
+        |  UNION
+        |  SELECT e.o FROM reach r JOIN edges e ON e.s = r.o
+        |)
+        |SELECT o AS x FROM reach ORDER BY x""".stripMargin,
     "q_sparql_groupconcat" ->
       """SELECT 'region:' || n_regionkey AS r,
         |  string_agg(n_name, ',' ORDER BY n_name) AS names,

@@ -538,6 +538,16 @@ object Sparql {
       binds, subqueries, subgroups, existsFilters, valuesMulti)
   }
 
+  /** Some(edge names) iff the path is a pure `|`-alternation of forward
+    * edges — the shape that evaluates as a single IN-list scan.
+    */
+  private def flattenAltEdges(path: Path): Option[Seq[String]] = path match {
+    case PEdge(e) => Some(Seq(e))
+    case PAlt(l, r) =>
+      for (a <- flattenAltEdges(l); b <- flattenAltEdges(r)) yield a ++ b
+    case _ => None
+  }
+
   /** Some(edge names) iff the path is a plain `/`-sequence of forward
     * edges — the shape that compiles to ordinary triple patterns.
     */
@@ -951,10 +961,24 @@ object Sparql {
       }
     }
     // property paths beyond plain edge sequences: compile the path algebra
-    // to an (s, o) relation, then join it in like a pattern scan
+    // to an (s, o) relation, then join it in like a pattern scan. A
+    // CONSTANT endpoint seeds the evaluation (frontier expansion, cost
+    // proportional to the reachable set) instead of materializing the
+    // path's global relation and filtering afterwards — the difference
+    // between O(reach) and O(V·avg-reach) for `<c> p+ ?x` at scale.
     g.paths.foreach { case (sTerm, path, oTerm) =>
       val extra = Seq(sTerm, oTerm).collect { case C(v) => v.toString }
-      var scan = pathRel(triples, path, extra)
+      def seedDf(v: Any): DataFrame =
+        triples.sparkSession.range(1).select(lit(v).as("n"))
+      var scan = (sTerm, oTerm) match {
+        case (C(v), _) => pathRelSeeded(triples, path, extra, seedDf(v))
+        case (_, C(v)) =>
+          // bound object: evaluate the structurally reversed path from o,
+          // then swap back
+          pathRelSeeded(triples, invertPath(path), extra, seedDf(v))
+            .select(col("o").as("s"), col("s").as("o"))
+        case _ => pathRel(triples, path, extra)
+      }
       sTerm match { case C(v) => scan = scan.where(col("s") === lit(v)); case _ => }
       oTerm match { case C(v) => scan = scan.where(col("o") === lit(v)); case _ => }
       if (sTerm.isInstanceOf[V] && sTerm == oTerm)
@@ -1047,13 +1071,185 @@ object Sparql {
         val rf = pathRel(triples, r, extra).withColumnRenamed("s", "__m")
         lf.join(rf, "__m").select(col("s"), col("o"))
       case PAlt(l, r) =>
-        pathRel(triples, l, extra).unionAll(pathRel(triples, r, extra))
+        // a pure alternation of forward edges is ONE scan with an IN-list
+        // predicate (pushed down), not one scan per branch
+        flattenAltEdges(path) match {
+          // distinct guard: `:p|:p` must keep per-branch multiplicity
+          case Some(preds) if preds.distinct == preds =>
+            triples.where(col("p").isin(preds: _*)).select(col("s"), col("o"))
+          case None =>
+            pathRel(triples, l, extra).unionAll(pathRel(triples, r, extra))
+        }
       case PClosure(x, includeZero) =>
         val c = edgesClosure(pathRel(triples, x, extra))
         if (includeZero) c.unionAll(identityRel(triples, extra)).distinct() else c
       case POpt(x) =>
         pathRel(triples, x, extra).unionAll(identityRel(triples, extra)).distinct()
     }
+
+  /** Structural inverse of a path expression: `^` pushed through the
+    * algebra, so a bound-OBJECT endpoint evaluates as a bound-subject
+    * traversal of the reversed path (reverse of a sequence is the
+    * sequence of reverses, reversed; closures/alternatives/optionals
+    * invert pointwise).
+    */
+  private def invertPath(p: Path): Path = p match {
+    case PInv(x) => x
+    case PSeq(l, r) => PSeq(invertPath(r), invertPath(l))
+    case PAlt(l, r) => PAlt(invertPath(l), invertPath(r))
+    case PClosure(x, z) => PClosure(invertPath(x), z)
+    case POpt(x) => POpt(invertPath(x))
+    case leaf => PInv(leaf)
+  }
+
+  /** Path evaluation seeded by a start-node set (single column `n`):
+    * returns the path's (s, o) pairs whose s is in the seed set, WITHOUT
+    * materializing the global path relation. The payoff is in closures:
+    * `<c> p+ ?x` expands a frontier from c — each round semi-joins the
+    * edge relation against the (small) frontier, so total cost is
+    * proportional to the REACHABLE set, not to the predicate's full
+    * transitive closure. This mirrors the reference's adaptive
+    * cheapest-first expansion, which naturally explores from the bound
+    * side (`core/src/main/scala/com/graphula/Graphula.scala:120-190,220-224`).
+    */
+  private def pathRelSeeded(triples: DataFrame, path: Path, extra: Seq[String],
+                            seeds: DataFrame): DataFrame = path match {
+    case PEdge(_) | PNegSet(_) | PInv(PEdge(_)) | PInv(PNegSet(_)) =>
+      // leaf scan (or reversed leaf scan) restricted to seed subjects; the
+      // seed side is a handful of rows -> AQE broadcasts it
+      val leaf = path match {
+        case PInv(x) => pathRel(triples, x, extra)
+          .select(col("o").as("s"), col("s").as("o"))
+        case x => pathRel(triples, x, extra)
+      }
+      leaf.join(broadcast(seeds.withColumnRenamed("n", "s")), Seq("s"))
+    case PInv(x) => pathRelSeeded(triples, invertPath(x), extra, seeds)
+    case PSeq(l, r) =>
+      // evaluate left seeded, then right seeded from the left's endpoints
+      val lp = pathRelSeeded(triples, l, extra, seeds)
+      val mids = lp.select(col("o").as("n")).distinct()
+      val rp = pathRelSeeded(triples, r, extra, mids)
+      lp.withColumnRenamed("o", "__m")
+        .join(rp.withColumnRenamed("s", "__m"), "__m")
+        .select(col("s"), col("o"))
+    case PAlt(l, r) =>
+      pathRelSeeded(triples, l, extra, seeds)
+        .unionAll(pathRelSeeded(triples, r, extra, seeds))
+    case POpt(x) =>
+      // zero-length matches pair each seed with itself (even when absent
+      // from the graph, as ARQ does for constant endpoints)
+      pathRelSeeded(triples, x, extra, seeds)
+        .unionAll(seeds.select(col("n").as("s"), col("n").as("o")))
+        .distinct()
+    case PClosure(x, includeZero) =>
+      // frontier expansion: edges materialized ONCE (linear in the inner
+      // path's relation — never a closure-with-itself self-join), then the
+      // frontier expands from the seeds. Small frontiers expand
+      // DRIVER-SIDE with IN-list-pushed probe scans (the analog of the
+      // reference's per-candidate index probes, `Graphula.scala:220-253`);
+      // if the reach outgrows the driver bounds, fall back to the
+      // distributed broadcast-frontier loop.
+      // driver BFS probes the LAZY edge plan (bound-position filters stay
+      // pushed into the scan each round); only the distributed fallback
+      // pays the one-time edge materialization
+      val edges = pathRel(triples, x, extra)
+      seededClosureDriver(edges, seeds, includeZero)
+        .getOrElse(seededClosureDistributed(
+          edges.localCheckpoint(true), seeds, includeZero))
+  }
+
+  /** Driver-side BFS over a (bounded) seed set: per round, one job scans
+    * the materialized edge relation with an `isin(frontier)` predicate and
+    * collects the step pairs; per-origin reachability is tracked in BitSets
+    * (<= 64 origins). Returns None — falling back to the distributed loop —
+    * if the frontier or a step exceeds the driver bounds. This is the
+    * adaptive piece: a bound-endpoint closure almost always touches a tiny
+    * reachable set, and 1 job/round beats 3 checkpoint jobs/round.
+    */
+  private def seededClosureDriver(edges: DataFrame, seeds: DataFrame,
+                                  includeZero: Boolean): Option[DataFrame] = {
+    val spark = edges.sparkSession
+    val seedRows = seeds.distinct().limit(65).collect()
+    if (seedRows.length > 64) return None
+    val origins: Array[Any] = seedRows.map(_.get(0))
+    val originIdx = origins.zipWithIndex.toMap
+    import scala.collection.mutable
+    val reached = mutable.Map.empty[Any, mutable.BitSet]   // node -> origins (length>=1)
+    val expanded = mutable.Map.empty[Any, mutable.BitSet]  // node -> origins already expanded from it
+    var frontier: mutable.Map[Any, mutable.BitSet] =
+      mutable.Map(origins.map(o => o -> mutable.BitSet(originIdx(o))): _*)
+    origins.foreach(o => expanded(o) = mutable.BitSet(originIdx(o)))
+    var rounds = 0
+    while (frontier.nonEmpty) {
+      if (rounds >= 500 || frontier.size > 1024) return None
+      val nodes = frontier.keys.toSeq
+      val step = edges.where(col("s").isin(nodes: _*))
+        .select(col("s"), col("o")).distinct().limit(100001).collect()
+      if (step.length > 100000) return None
+      val next = mutable.Map.empty[Any, mutable.BitSet]
+      step.foreach { r =>
+        val (s, o) = (r.get(0), r.get(1))
+        val bits = frontier(s)
+        reached.getOrElseUpdate(o, mutable.BitSet.empty) |= bits
+        val fresh = bits &~ expanded.getOrElseUpdate(o, mutable.BitSet.empty)
+        if (fresh.nonEmpty) {
+          expanded(o) |= fresh
+          next.getOrElseUpdate(o, mutable.BitSet.empty) |= fresh
+        }
+      }
+      frontier = next
+      rounds += 1
+    }
+    val pairs = reached.toSeq.flatMap { case (node, bits) =>
+      bits.toSeq.map(i => (origins(i), node))
+    } ++ (if (includeZero) origins.map(o => (o, o)).toSeq else Seq.empty)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      edges.schema("s"), edges.schema("o")))
+    Some(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        pairs.distinct.map(p => org.apache.spark.sql.Row(p._1, p._2)), 1),
+      schema))
+  }
+
+  /** Distributed frontier expansion (the scale fallback): each round
+    * hash-joins the materialized edges against the BROADCAST frontier. The
+    * broadcast is sound because the frontier is bounded by the reachable
+    * set — the premise of taking the seeded path at all; a checkpointed
+    * frontier has no catalog stats, so without the hint every round would
+    * re-shuffle the whole edge relation.
+    */
+  private def seededClosureDistributed(edges: DataFrame, seeds: DataFrame,
+                                       includeZero: Boolean): DataFrame = {
+    val zero = seeds.distinct()
+      .select(col("n").as("s"), col("n").as("o")).localCheckpoint(true)
+    var frontier = zero          // (origin, current-node) pairs to expand
+    var expanded = zero          // per-origin nodes already expanded
+    var result = zero.limit(0).localCheckpoint(true)
+    var rounds = 0
+    var done = false
+    while (!done) {
+      if (rounds >= 10000)
+        throw new IllegalStateException(
+          s"seeded closure frontier did not converge after $rounds rounds")
+      val step = broadcast(frontier.withColumnRenamed("o", "__c"))
+        .join(edges.withColumnRenamed("s", "__c"), "__c")
+        .select(col("s"), col("o")).distinct().localCheckpoint(true)
+      // every stepped pair is a valid length>=1 match (including cycles
+      // back to already-expanded nodes)...
+      result = result.unionAll(step)
+      // ...but only never-expanded (origin, node) pairs re-enter the
+      // frontier, which is what guarantees termination on cycles
+      val fresh = step.join(expanded, Seq("s", "o"), "left_anti")
+        .localCheckpoint(true)
+      if (fresh.isEmpty) done = true
+      else {
+        expanded = expanded.unionAll(fresh).localCheckpoint(true)
+        frontier = fresh
+      }
+      rounds += 1
+    }
+    if (includeZero) result.unionAll(zero).distinct() else result.distinct()
+  }
 
   /** One-or-more-step reachability over an arbitrary (s, o) edge relation:
     * path-doubling expansion with eager checkpoints — joining the closure

@@ -213,6 +213,36 @@ class SparqlSpec extends SparkSpec {
       .shouldBe(Seq(Seq("99")))
   }
 
+  it should "handle cycles in seeded closures from a bound endpoint" in {
+    val cyc = Seq(("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"), ("c", "p", "d"))
+      .toDF("s", "p", "o")
+    def runC(q: String): Seq[String] =
+      Sparql.execute(spark, cyc, q).collect().map(_.getString(0)).toSeq
+    // a->b->c->a cycle: + from a reaches everything INCLUDING a itself
+    runC("""PREFIX : <>
+           |SELECT ?x WHERE { "a" :p + ?x } ORDER BY ?x""".stripMargin)
+      .shouldBe(Seq("a", "b", "c", "d"))
+    // frontier terminates on the cycle; origin re-reached at length 3
+    runC("""PREFIX : <>
+           |SELECT ?x WHERE { "c" :p + ?x } ORDER BY ?x""".stripMargin)
+      .shouldBe(Seq("a", "b", "c", "d"))
+    // bound OBJECT expands the reversed path from d
+    runC("""PREFIX : <>
+           |SELECT ?x WHERE { ?x :p + "d" } ORDER BY ?x""".stripMargin)
+      .shouldBe(Seq("a", "b", "c"))
+  }
+
+  it should "seed closures of compound inner paths" in {
+    // (:2|:4)+ from 1: 1->3 (:2), 3->{5,6} (:4), 5->5, 6->5 (:2)
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { "1" (:2|:4)+ ?x } ORDER BY ?x""".stripMargin)
+      .shouldBe(Seq(Seq("3"), Seq("5"), Seq("6")))
+    // fully-bound closure endpoints act as an existence probe
+    run("""PREFIX : <>
+          |SELECT ?a WHERE { ?a :4 ?b . "1" :2 + "3" } ORDER BY ?a""".stripMargin)
+      .shouldBe(Seq(Seq("3"), Seq("3")))
+  }
+
   it should "combine alternation, inverse and sequence in one path" in {
     // (^:2)/:4 from 3: inverse-2 of 3 is 1; 1 has no :4 -> empty.
     // :2/(:4|:2) from 1: via 3 -> {5, 6} by :4 (3 has no :2 edge)
