@@ -131,7 +131,7 @@ object Bgp {
         case _    => false
       }
     }
-    if (failed) return emptyResult(spark, outVars)
+    if (failed) return emptyResult(spark, triples, outVars)
 
     val ordered = order(patterns, stats, totalCnt)
 
@@ -222,9 +222,15 @@ object Bgp {
     else df.select(proj: _*)
   }
 
-  private def emptyResult(spark: SparkSession, vars: Seq[String]): DataFrame = {
+  /** Typed empty result: var columns take the store's term type (string
+    * relation -> StringType, encoded relation -> LongType), so a fail-fast
+    * empty composes with unions/joins against live scans of either store.
+    */
+  private def emptyResult(spark: SparkSession, triples: DataFrame,
+                          vars: Seq[String]): DataFrame = {
     import org.apache.spark.sql.types._
-    val schema = StructType(vars.map(v => StructField(v, StringType)))
+    val t = triples.schema("s").dataType
+    val schema = StructType(vars.map(v => StructField(v, t)))
     spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 

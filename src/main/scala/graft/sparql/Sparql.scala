@@ -186,7 +186,7 @@ object Sparql {
     val group = parseGroup(p, prefixes)
     val q = Query(distinct = false, projection = Seq.empty, group = group,
       groupBy = Seq.empty, orderBy = Seq.empty, limit = None)
-    compileQuery(spark, triples, q, stats).limit(1).count() > 0
+    compileQuery(stringEnv(spark, triples, stats), q).limit(1).count() > 0
   }
 
   /** CONSTRUCT: instantiate a triple-pattern template once per WHERE
@@ -207,7 +207,7 @@ object Sparql {
       "CONSTRUCT template must contain only triple patterns")
     p.eatKw("WHERE")
     val group = parseGroup(p, prefixes)
-    val sols = compileGroup(spark, triples, group, stats)
+    val sols = compileGroup(stringEnv(spark, triples, stats), group)
     def term(t: Term): Column = t match {
       case V(n) => col(n)
       case C(v) => lit(v.toString)
@@ -244,7 +244,8 @@ object Sparql {
     }
     require(vars.nonEmpty || consts.nonEmpty, "DESCRIBE needs a resource or variable")
     val fromWhere: Option[DataFrame] =
-      if (p.tryKw("WHERE")) Some(compileGroup(spark, triples, parseGroup(p, prefixes), stats))
+      if (p.tryKw("WHERE"))
+        Some(compileGroup(stringEnv(spark, triples, stats), parseGroup(p, prefixes)))
       else None
     import spark.implicits._
     val varSubjects = fromWhere match {
@@ -703,65 +704,197 @@ object Sparql {
 
   // ---------- Compiler ----------
 
-  /** Full reference lifecycle over the ENCODED store (dictionary-encoded
-    * long keys, the reference's execution model end-to-end,
-    * `GraphulaStageGenerator.scala:33-131`): parse -> encode query
-    * constants driver-side -> BGP-join on longs -> lazily decode only
-    * projected variables against the ingest-materialized dictionary. Only
-    * the BGP subset (no OPTIONAL/UNION over encoded ids here — those run
-    * on the string store, where decode is a no-op).
+  /** Encoded-mode compilation context: the ingest dictionary, the
+    * driver-resolved constant->id map (query-local ids for constants absent
+    * from the store), the id rows those query-local constants decode
+    * through, and the vars that hold computed VALUES rather than ids
+    * (BIND targets and aggregate/expression aliases — never decoded).
+    */
+  private final case class EncEnv(dict: DataFrame, ids: Map[String, Long],
+                                  localDict: Seq[(Long, String)],
+                                  plainVars: Set[String])
+
+  /** Compilation environment: the relation queried (string terms or
+    * dictionary-encoded longs), its stats, and — in encoded mode — the
+    * decode context. ONE compiler serves both stores; `enc` only changes
+    * where constants are encoded (pattern positions, at plan time) and
+    * where values are decoded (lazily, at exactly the operators that
+    * inspect term VALUES: FILTER / BIND / aggregate arguments / ORDER BY —
+    * the discipline the reference gets from `LazyJenaNode.scala:14-53`).
+    */
+  private final case class Env(spark: SparkSession, triples: DataFrame,
+                               stats: Map[String, PredStats], totalCnt: Long,
+                               enc: Option[EncEnv]) {
+    /** Encode a pattern-position constant (dictionary id in encoded mode). */
+    def cval(v: Any): Any = enc match {
+      case Some(e) => e.ids.getOrElse(v.toString,
+        throw new IllegalStateException(s"constant not pre-encoded: $v"))
+      case None => v
+    }
+    def encTp(tp: TriplePattern): TriplePattern =
+      if (enc.isEmpty) tp
+      else {
+        def t(x: Term): Term = x match {
+          case C(v) => C(cval(v))
+          case v => v
+        }
+        TriplePattern(t(tp.s), t(tp.p), t(tp.o))
+      }
+    /** Decode relation: store dictionary plus query-local constant ids
+      * (constants absent from the store — e.g. zero-length path endpoints
+      * — must still decode back to themselves).
+      */
+    lazy val dictAll: DataFrame = {
+      val e = enc.get
+      if (e.localDict.isEmpty) e.dict
+      else {
+        import spark.implicits._
+        e.dict.unionByName(e.localDict.toDF("id", "term"))
+      }
+    }
+  }
+
+  private def stringEnv(spark: SparkSession, triples: DataFrame,
+                        stats: Map[String, PredStats]): Env =
+    Env(spark, triples, stats, 1000000L, None)
+
+  /** Encoded mode: join shadow string columns (`__str_<v>`) for the
+    * id-typed vars an expression inspects; returns the decorated frame,
+    * the var resolver for expression compilation, and the shadow columns
+    * to drop afterwards. String mode: identity. Ids absent from the
+    * dictionary render as `_:<id>` blanks, matching final decode.
+    */
+  private def withDecoded(env: Env, df: DataFrame, vars: Set[String])
+      : (DataFrame, String => Column, Seq[String]) = env.enc match {
+    case None => (df, col(_), Nil)
+    case Some(e) =>
+      val need = vars.toSeq.sorted.filter(df.columns.contains)
+        .filterNot(e.plainVars.contains).filterNot(_.startsWith("__"))
+      val dec = need.foldLeft(df) { (d, v) =>
+        val m = env.dictAll
+          .select(col("id").as(s"__di_$v"), col("term").as(s"__str_$v"))
+        d.join(m, d(v) === m(s"__di_$v"), "left")
+          .withColumn(s"__str_$v",
+            coalesce(col(s"__str_$v"), concat(lit("_:"), col(v).cast("string"))))
+          .drop(s"__di_$v")
+      }
+      val needSet = need.toSet
+      (dec, v => if (needSet(v)) col(s"__str_$v") else col(v),
+        need.map(v => s"__str_$v"))
+  }
+
+  private def applyFilter(env: Env, df: DataFrame, f: Expr): DataFrame = {
+    val (d, res, shadows) = withDecoded(env, df, exprVars(f))
+    d.where(compileExprWith(f, res)).drop(shadows: _*)
+  }
+
+  private def applyBind(env: Env, df: DataFrame, e: EExpr, v: String): DataFrame = {
+    val (d, res, shadows) = withDecoded(env, df, valVars(e))
+    d.withColumn(v, compileVal(e, res)).drop(shadows: _*)
+  }
+
+  /** Final lazy decode of the projected id columns (encoded mode): pin the
+    * (small) result, then one slim-dictionary broadcast pass decodes every
+    * column — the single decode stage at the top of the plan.
+    */
+  private def decodeFinal(env: Env, df: DataFrame): DataFrame = env.enc match {
+    case None => df
+    case Some(e) =>
+      val cols = df.columns.toSeq
+        .filterNot(e.plainVars.contains).filterNot(_.startsWith("__"))
+      if (cols.isEmpty) df
+      else {
+        // decode joins re-append columns -> restore projection order
+        val order = df.columns.toSeq
+        graft.dict.Dictionary.decodeAll(
+          df.localCheckpoint(true), env.dictAll, cols)
+          .select(order.map(col): _*)
+      }
+  }
+
+  // ---- encoded-mode query analysis (driver-side AST walks) ----
+
+  private def pathConsts(p: Path): Set[String] = p match {
+    case PEdge(e) => Set(e)
+    case PNegSet(ps) => ps.toSet
+    case PInv(x) => pathConsts(x)
+    case PSeq(l, r) => pathConsts(l) ++ pathConsts(r)
+    case PAlt(l, r) => pathConsts(l) ++ pathConsts(r)
+    case PClosure(x, _) => pathConsts(x)
+    case POpt(x) => pathConsts(x)
+  }
+
+  private def childGroups(g: Group): Seq[Group] =
+    g.optionals ++ g.minuses ++ g.subgroups ++
+      g.unions.flatMap { case (l, r) => Seq(l, r) } ++ g.existsFilters.map(_._1)
+
+  /** Every pattern-position constant in the query tree (triple terms, path
+    * edges and endpoints, VALUES entries) — the set the driver encodes.
+    */
+  private def groupConsts(g: Group): Set[String] =
+    g.triples.flatMap(_.consts).map(_.toString).toSet ++
+      g.paths.flatMap { case (s, p, o) =>
+        Seq(s, o).collect { case C(v) => v.toString } ++ pathConsts(p) } ++
+      g.values.flatMap(_._2) ++ g.valuesMulti.flatMap(_._2.flatten) ++
+      childGroups(g).flatMap(groupConsts) ++
+      g.subqueries.flatMap(sq => groupConsts(sq.group))
+
+  /** Vars that hold computed values (not dictionary ids) anywhere in the
+    * query: BIND targets plus aggregate/expression aliases.
+    */
+  private def plainVarsOf(q: Query): Set[String] =
+    q.projection.collect {
+      case PAgg(_, _, a, _, _) => a
+      case PExpr(_, a) => a
+    }.toSet ++ plainVarsOfG(q.group)
+
+  private def plainVarsOfG(g: Group): Set[String] =
+    g.binds.map(_._2).toSet ++ childGroups(g).flatMap(plainVarsOfG) ++
+      g.subqueries.flatMap(plainVarsOf)
+
+  private def patternVarsOfG(g: Group): Set[String] =
+    g.triples.flatMap(_.vars).toSet ++
+      g.paths.flatMap { case (s, _, o) => Seq(s, o).collect { case V(n) => n } } ++
+      g.values.map(_._1) ++ g.valuesMulti.flatMap(_._1) ++
+      childGroups(g).flatMap(patternVarsOfG) ++
+      g.subqueries.flatMap(sq => patternVarsOfG(sq.group))
+
+  /** Full SPARQL lifecycle over the ENCODED store — the reference's
+    * execution model end-to-end (`GraphulaStageGenerator.scala:33-131`,
+    * `BindingAdapter.scala:21-82`): parse -> encode every pattern-position
+    * constant driver-side -> compile the WHOLE algebra (BGP joins,
+    * OPTIONAL, UNION, MINUS, property paths, VALUES, EXISTS, subqueries,
+    * aggregates) over long keys -> decode lazily, only at operators that
+    * inspect term values (FILTER / BIND / aggregate args / ORDER BY) and
+    * once at the top for the projected columns. At scale every shuffle in
+    * the plan moves fixed-width longs, never strings — the cost model the
+    * reference gets from its LMDB ids.
+    *
+    * Constants absent from the dictionary get query-local ids (negative on
+    * a repaired store; content hashes on a certified one), so they match
+    * nothing yet still decode back to themselves — preserving e.g. the
+    * zero-length-path solution `<absent> p* <absent>`.
     */
   def executeEncoded(spark: SparkSession, store: graft.store.StoreHandle,
                      queryText: String): DataFrame = {
     import graft.dict.Dictionary
     val q = parse(queryText)
-    require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
-      q.group.minuses.isEmpty && q.group.values.isEmpty &&
-      q.group.paths.isEmpty && q.group.binds.isEmpty &&
-      q.group.subqueries.isEmpty && q.group.subgroups.isEmpty &&
-      q.group.existsFilters.isEmpty && q.group.valuesMulti.isEmpty &&
-      q.projection.forall(_.isInstanceOf[PVar]),
-      "executeEncoded supports the BGP+FILTER subset; use execute() for UNION/OPTIONAL/MINUS/VALUES/paths/aggregates")
-    val consts = q.group.triples.flatMap(_.consts).map(_.toString).distinct
-    // Constant encode must agree with how `store.enc` was encoded: pure
-    // hashing is sound only under the collision certificate; a repaired
-    // store carries escaped ids, so constants go through the repaired
-    // dictionary instead (a driver-side point lookup, D2). A dictionary
-    // miss means the constant matches nothing -> fail fast with an empty
-    // result, no job (reference `GraphulaStageGenerator.scala:107-110`).
+    val consts = groupConsts(q.group).toSeq.sorted
+    val present = Dictionary.lookup(store.dict, consts)
     val ids: Map[String, Long] =
       if (store.pureHash) Dictionary.hashLiterals(spark, consts)
-      else Dictionary.lookup(store.dict, consts)
-    val allVars = q.group.triples.flatMap(_.vars).distinct
-    if (consts.exists(c => !ids.contains(c)))
-      return emptyStringResult(spark,
-        if (q.projection.isEmpty) allVars
-        else q.projection.collect { case PVar(v) => v })
-    val encPatterns = q.group.triples.map { tp =>
-      def enc(t: Term): Term = t match {
-        case C(v) => C(ids(v.toString))
-        case v => v
+      else {
+        val fresh = Iterator.from(1)
+        consts.map(c => c -> present.getOrElse(c, -fresh.next().toLong)).toMap
       }
-      TriplePattern(enc(tp.s), enc(tp.p), enc(tp.o))
-    }
-    val res = Bgp.compile(spark, store.enc, encPatterns, store.encStats, store.totalCnt)
-      .localCheckpoint(true)
-    val vars = res.columns.toSeq
-    // lazy decode (reference `LazyBinding.scala:22-28`): semi-join the
-    // INGEST-materialized dictionary down to the ids that appear in the
-    // (small) result — cost ∝ dict scan + result size, never a re-scan of
-    // the full triple store
-    var df = Dictionary.decodeAll(res, store.dict, vars)
-    q.group.filters.foreach(f => df = df.where(compileExpr(f)))
-    val proj =
-      if (q.projection.isEmpty) vars
-      else q.projection.collect { case PVar(v) => v }
-    df = df.select(proj.map(col): _*)
-    if (q.distinct) df = df.distinct()
-    if (q.orderBy.nonEmpty)
-      df = df.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
-    q.limit.foreach(n => df = df.limit(n))
-    df
+    val localDict = consts.filterNot(present.contains).map(c => ids(c) -> c)
+    val plain = plainVarsOf(q)
+    val overlap = plain intersect patternVarsOfG(q.group)
+    require(overlap.isEmpty,
+      s"encoded execution needs BIND/alias vars disjoint from pattern vars: $overlap")
+    val env = Env(spark, store.enc, store.encStats, store.totalCnt,
+      Some(EncEnv(store.dict, ids, localDict, plain)))
+    compileQuery(env, q, top = true)
   }
 
   /** Continuous SPARQL over a live triple stream (BGP+FILTER subset, the
@@ -796,15 +929,9 @@ object Sparql {
     df.select(proj: _*)
   }
 
-  private def emptyStringResult(spark: SparkSession, vars: Seq[String]): DataFrame = {
-    import org.apache.spark.sql.types._
-    val schema = StructType(vars.map(v => StructField(v, StringType)))
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-  }
-
   def execute(spark: SparkSession, triples: DataFrame, queryText: String,
               stats: Map[String, PredStats] = Map.empty): DataFrame =
-    compileQuery(spark, triples, parse(queryText), stats)
+    compileQuery(stringEnv(spark, triples, stats), parse(queryText))
 
   /** Rewrite aggregate calls inside projection expressions / HAVING to
     * references of internally-aliased aggregate columns (SPARQL 1.1
@@ -836,21 +963,21 @@ object Sparql {
   /** An aggregate call appearing inside an expression -> Column. `*`
     * parses as the variable "*" (COUNT(*) only).
     */
-  private def compileAggCall(c: ECall): Column = c.fn match {
-    case "COUNT" if c.args.isEmpty || c.args == Seq(EVar("*")) => count(lit(1))
-    case "COUNT" => count(compileVal(c.args.head))
-    case "SUM" => sum(compileNum(c.args.head))
-    case "AVG" => avg(compileNum(c.args.head))
-    case "MIN" => min(compileVal(c.args.head))
-    case "MAX" => max(compileVal(c.args.head))
-    case "SAMPLE" => min(compileVal(c.args.head))
-    case "GROUP_CONCAT" =>
-      concat_ws(" ", array_sort(collect_list(compileVal(c.args.head))))
-    case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
-  }
+  private def compileAggCall(c: ECall, resolve: String => Column = col(_)): Column =
+    c.fn match {
+      case "COUNT" if c.args.isEmpty || c.args == Seq(EVar("*")) => count(lit(1))
+      case "COUNT" => count(compileVal(c.args.head, resolve))
+      case "SUM" => sum(compileNum(c.args.head, resolve))
+      case "AVG" => avg(compileNum(c.args.head, resolve))
+      case "MIN" => min(compileVal(c.args.head, resolve))
+      case "MAX" => max(compileVal(c.args.head, resolve))
+      case "SAMPLE" => min(compileVal(c.args.head, resolve))
+      case "GROUP_CONCAT" =>
+        concat_ws(" ", array_sort(collect_list(compileVal(c.args.head, resolve))))
+      case other => throw new IllegalArgumentException(s"unsupported aggregate $other")
+    }
 
-  private def compileQuery(spark: SparkSession, triples: DataFrame, qRaw: Query,
-                           stats: Map[String, PredStats]): DataFrame = {
+  private def compileQuery(env: Env, qRaw: Query, top: Boolean = false): DataFrame = {
     // lift aggregate calls out of projection expressions and HAVING
     val exprAggs = scala.collection.mutable.Buffer.empty[(ECall, String)]
     val q = qRaw.copy(
@@ -859,60 +986,83 @@ object Sparql {
         case other => other
       },
       having = qRaw.having.map(extractAggsB(_, exprAggs)))
-    var df = compileGroup(spark, triples, q.group, stats)
+    var df = compileGroup(env, q.group)
     val allVars = df.columns.toSeq
     val aggs = q.projection.collect { case a: PAgg => a }
+    // projection-expression inputs (and, below, aggregate arguments) are
+    // term VALUES -> decode their vars first in encoded mode
+    def projected(d: DataFrame): DataFrame = {
+      val pvars = q.projection.collect { case PExpr(e, _) => valVars(e) }.flatten.toSet
+      val (dp, res, _) = withDecoded(env, d, pvars)
+      dp.select(q.projection.map {
+        case PVar(v) => col(v)
+        case a: PAgg => col(a.alias)
+        case PExpr(e, alias) => compileVal(e, res).as(alias)
+      }: _*)
+    }
     if (aggs.nonEmpty || exprAggs.nonEmpty) {
       // SPARQL aggregates: COUNT counts bound (non-null) solutions;
       // SUM/AVG apply the numeric cast (terms are stored as strings).
       // GROUP_CONCAT sorts its inputs and SAMPLE takes MIN — both
       // conformant (SPARQL leaves them undefined) and deterministic.
+      val argVars: Set[String] = (aggs.flatMap(_.arg) ++
+        exprAggs.flatMap { case (c, _) => c.args.flatMap(valVars) }).toSet - "*"
+      val (dfD, res, _) = withDecoded(env, df, argVars)
       val aggCols = aggs.map { a =>
         (a.fn match {
-          case "COUNT" if a.distinct => countDistinct(col(a.arg.get))
-          case "COUNT" => count(a.arg.map(col).getOrElse(lit(1)))
-          case "SUM" => sum(col(a.arg.get).cast("double"))
-          case "MIN" => min(col(a.arg.get))
-          case "MAX" => max(col(a.arg.get))
-          case "AVG" => avg(col(a.arg.get).cast("double"))
+          case "COUNT" if a.distinct => countDistinct(res(a.arg.get))
+          case "COUNT" => count(a.arg.map(res).getOrElse(lit(1)))
+          case "SUM" => sum(res(a.arg.get).cast("double"))
+          case "MIN" => min(res(a.arg.get))
+          case "MAX" => max(res(a.arg.get))
+          case "AVG" => avg(res(a.arg.get).cast("double"))
           case "GROUP_CONCAT" =>
             val items =
-              if (a.distinct) collect_set(col(a.arg.get))
-              else collect_list(col(a.arg.get))
+              if (a.distinct) collect_set(res(a.arg.get))
+              else collect_list(res(a.arg.get))
             concat_ws(a.sep, array_sort(items))
-          case "SAMPLE" => min(col(a.arg.get))
+          case "SAMPLE" => min(res(a.arg.get))
         }).as(a.alias)
-      } ++ exprAggs.map { case (c, alias) => compileAggCall(c).as(alias) }
+      } ++ exprAggs.map { case (c, alias) => compileAggCall(c, res).as(alias) }
       df = if (q.groupBy.nonEmpty)
-        df.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
-      else df.agg(aggCols.head, aggCols.tail: _*)
-      q.having.foreach(h => df = df.where(compileExpr(h)))
-      df = df.select(q.projection.map {
-        case PVar(v) => col(v)
-        case a: PAgg => col(a.alias)
-        case PExpr(e, alias) => compileVal(e).as(alias)
-      }: _*)
+        dfD.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
+      else dfD.agg(aggCols.head, aggCols.tail: _*)
+      q.having.foreach(h => df = applyFilter(env, df, h))
+      df = projected(df)
     } else {
       df =
         if (q.projection.isEmpty) df.select(allVars.map(col): _*)
-        else df.select(q.projection.map {
-          case PVar(v) => col(v)
-          case a: PAgg => col(a.alias)
-          case PExpr(e, alias) => compileVal(e).as(alias)
-        }: _*)
+        else projected(df)
     }
+    // distinct on ids ≡ distinct on terms (the dictionary is a bijection),
+    // so it runs BEFORE decode on fixed-width longs
     if (q.distinct) df = df.distinct()
-    if (q.orderBy.nonEmpty)
-      df = df.orderBy(q.orderBy.map { case (v, asc) => if (asc) col(v).asc else col(v).desc }: _*)
-    q.offset.foreach(n => df = df.offset(n))
-    q.limit.foreach(n => df = df.limit(n))
+    val encTop = top && env.enc.isDefined
+    if (q.orderBy.nonEmpty) {
+      // ORDER BY compares term strings -> decode first. At the top that IS
+      // the final decode; in a subquery, sort via dropped shadow columns.
+      val (d, res, shadows) =
+        if (encTop) (decodeFinal(env, df), (v: String) => col(v), Seq.empty[String])
+        else withDecoded(env, df, q.orderBy.map(_._1).toSet)
+      df = d.orderBy(q.orderBy.map { case (v, asc) =>
+        if (asc) res(v).asc else res(v).desc }: _*).drop(shadows: _*)
+      q.offset.foreach(n => df = df.offset(n))
+      q.limit.foreach(n => df = df.limit(n))
+    } else {
+      // no order semantics to preserve -> limit on longs, decode after
+      q.offset.foreach(n => df = df.offset(n))
+      q.limit.foreach(n => df = df.limit(n))
+      if (encTop) df = decodeFinal(env, df)
+    }
     df
   }
 
-  private def compileGroup(spark: SparkSession, triples: DataFrame, g: Group,
-                           stats: Map[String, PredStats]): DataFrame = {
+  private def compileGroup(env: Env, g: Group): DataFrame = {
+    val spark = env.spark
     var df: DataFrame =
-      if (g.triples.nonEmpty) Bgp.compile(spark, triples, g.triples, stats) else null
+      if (g.triples.nonEmpty)
+        Bgp.compile(spark, env.triples, g.triples.map(env.encTp), env.stats, env.totalCnt)
+      else null
     def joinIn(other: DataFrame): Unit = {
       df =
         if (df == null) other
@@ -922,11 +1072,11 @@ object Sparql {
         }
     }
     // nested plain groups and subqueries join on shared variables
-    g.subgroups.foreach(sg => joinIn(compileGroup(spark, triples, sg, stats)))
-    g.subqueries.foreach(sq => joinIn(compileQuery(spark, triples, sq, stats)))
+    g.subgroups.foreach(sg => joinIn(compileGroup(env, sg)))
+    g.subqueries.foreach(sq => joinIn(compileQuery(env, sq)))
     g.unions.foreach { case (l, r) =>
-      joinIn(compileGroup(spark, triples, l, stats)
-        .unionByName(compileGroup(spark, triples, r, stats), allowMissingColumns = true))
+      joinIn(compileGroup(env, l)
+        .unionByName(compileGroup(env, r), allowMissingColumns = true))
     }
     g.optionals.foreach { opt =>
       require(df != null, "OPTIONAL without a preceding pattern group")
@@ -935,10 +1085,10 @@ object Sparql {
       // LEFT JOIN CONDITION (failing it nulls the optional bindings, it
       // does not eliminate the outer solution). Compile the inner group
       // without such filters first to learn its columns, then partition.
-      val probe = compileGroup(spark, triples, opt.copy(filters = Seq.empty), stats)
+      val probe = compileGroup(env, opt.copy(filters = Seq.empty))
       val innerCols = probe.columns.toSet
       val (localFs, joinFs) = opt.filters.partition(f => exprVars(f).subsetOf(innerCols))
-      val o = localFs.foldLeft(probe)((d, f) => d.where(compileExpr(f)))
+      val o = localFs.foldLeft(probe)((d, f) => applyFilter(env, d, f))
       val shared = df.columns.intersect(o.columns).toSeq
       if (joinFs.isEmpty) {
         df = if (shared.isEmpty) df.crossJoin(o) else df.join(o, shared, "left")
@@ -948,13 +1098,23 @@ object Sparql {
           val unknown = exprVars(f) -- innerCols -- outerCols
           require(unknown.isEmpty, s"FILTER references unbound vars $unknown")
         }
-        val l = df.as("__l")
-        val r = o.as("__r")
+        // encoded mode: the join condition inspects term values, so each
+        // side decodes ITS filter vars into shadows before the join
+        val fvars = joinFs.flatMap(exprVars).toSet
+        val (dl, _, shL) = withDecoded(env, df, fvars.filterNot(innerCols))
+        val (dr, _, shR) = withDecoded(env, o, fvars.filter(innerCols))
+        val l = dl.as("__l")
+        val r = dr.as("__r")
         // qualify filter vars: inner-bound -> right side, else left side
         def side(v: String): Column =
-          if (innerCols.contains(v)) col(s"__r.$v") else col(s"__l.$v")
+          if (innerCols.contains(v)) {
+            if (shR.contains(s"__str_$v")) col(s"__r.__str_$v") else col(s"__r.$v")
+          } else {
+            if (shL.contains(s"__str_$v")) col(s"__l.__str_$v") else col(s"__l.$v")
+          }
         val cond = (shared.map(c => col(s"__l.$c") === col(s"__r.$c")) ++
           joinFs.map(f => compileExprWith(f, side))).reduce(_ && _)
+        // projecting only the pre-decoration columns drops the shadows
         val proj = df.columns.map(c => col(s"__l.$c").as(c)) ++
           o.columns.filterNot(outerCols).map(c => col(s"__r.$c").as(c))
         df = l.join(r, cond, "left").select(proj.toSeq: _*)
@@ -967,20 +1127,20 @@ object Sparql {
     // path's global relation and filtering afterwards — the difference
     // between O(reach) and O(V·avg-reach) for `<c> p+ ?x` at scale.
     g.paths.foreach { case (sTerm, path, oTerm) =>
-      val extra = Seq(sTerm, oTerm).collect { case C(v) => v.toString }
+      val extra: Seq[Any] = Seq(sTerm, oTerm).collect { case C(v) => env.cval(v) }
       def seedDf(v: Any): DataFrame =
-        triples.sparkSession.range(1).select(lit(v).as("n"))
+        spark.range(1).select(lit(env.cval(v)).as("n"))
       var scan = (sTerm, oTerm) match {
-        case (C(v), _) => pathRelSeeded(triples, path, extra, seedDf(v))
+        case (C(v), _) => pathRelSeeded(env, path, extra, seedDf(v))
         case (_, C(v)) =>
           // bound object: evaluate the structurally reversed path from o,
           // then swap back
-          pathRelSeeded(triples, invertPath(path), extra, seedDf(v))
+          pathRelSeeded(env, invertPath(path), extra, seedDf(v))
             .select(col("o").as("s"), col("s").as("o"))
-        case _ => pathRel(triples, path, extra)
+        case _ => pathRel(env, path, extra)
       }
-      sTerm match { case C(v) => scan = scan.where(col("s") === lit(v)); case _ => }
-      oTerm match { case C(v) => scan = scan.where(col("o") === lit(v)); case _ => }
+      sTerm match { case C(v) => scan = scan.where(col("s") === lit(env.cval(v))); case _ => }
+      oTerm match { case C(v) => scan = scan.where(col("o") === lit(env.cval(v))); case _ => }
       if (sTerm.isInstanceOf[V] && sTerm == oTerm)
         scan = scan.where(col("s") === col("o"))
       val proj = Seq(sTerm -> "s", oTerm -> "o")
@@ -992,16 +1152,20 @@ object Sparql {
     }
     // MINUS: remove solutions matching the inner group on shared vars
     g.minuses.foreach { m =>
-      val neg = compileGroup(spark, triples, m, stats)
+      val neg = compileGroup(env, m)
       require(df != null, "MINUS without a preceding pattern group")
       val shared = df.columns.intersect(neg.columns).toSeq
       // SPARQL MINUS with no shared vars removes nothing
       if (shared.nonEmpty) df = df.join(neg, shared, "left_anti")
     }
-    // VALUES: inline binding relation joined in (constrains or extends)
+    // VALUES: inline binding relation joined in (constrains or extends);
+    // entries are pattern-position constants -> encoded to ids
     g.values.foreach { case (v, vals) =>
       import spark.implicits._
-      val vdf = vals.toDF(v)
+      val vdf = env.enc match {
+        case Some(_) => vals.map(x => env.cval(x).asInstanceOf[Long]).toDF(v)
+        case None => vals.toDF(v)
+      }
       require(df != null, "VALUES without a preceding pattern group")
       df = if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
       else df.crossJoin(vdf)
@@ -1009,22 +1173,24 @@ object Sparql {
     // multi-variable VALUES: inline relation joined on the shared subset
     g.valuesMulti.foreach { case (vars, rows) =>
       import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{StringType, StructField, StructType}
-      val schema = StructType(vars.map(StructField(_, StringType)))
+      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+      val tpe = if (env.enc.isDefined) LongType else StringType
+      val schema = StructType(vars.map(StructField(_, tpe)))
       val vdf = spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.map(Row.fromSeq), 1), schema)
+        spark.sparkContext.parallelize(
+          rows.map(r => Row.fromSeq(r.map(env.cval))), 1), schema)
       require(df != null, "VALUES without a preceding pattern group")
       val shared = df.columns.intersect(vars).toSeq
       df = if (shared.isEmpty) df.crossJoin(vdf) else df.join(vdf, shared, "inner")
     }
     require(df != null, "empty group pattern")
     // BIND: computed columns, visible to subsequent filters/projection
-    g.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
-    g.filters.foreach(f => df = df.where(compileExpr(f)))
+    g.binds.foreach { case (e, v) => df = applyBind(env, df, e, v) }
+    g.filters.foreach(f => df = applyFilter(env, df, f))
     // FILTER [NOT] EXISTS: semi/anti join on shared vars; with no shared
     // vars the inner group's (non)emptiness decides for every row
     g.existsFilters.foreach { case (inner, negated) =>
-      val in = compileGroup(spark, triples, inner, stats)
+      val in = compileGroup(env, inner)
       val shared = df.columns.intersect(in.columns).toSeq
       df =
         if (shared.nonEmpty) df.join(in, shared, if (negated) "left_anti" else "left_semi")
@@ -1044,13 +1210,19 @@ object Sparql {
     * zero-length path matches every graph term, and a constant endpoint
     * matches itself even when absent from the graph, as ARQ does).
     */
-  private def identityRel(triples: DataFrame, extra: Seq[String]): DataFrame = {
-    import triples.sparkSession.implicits._
-    val base = triples.select(col("s").as("n"))
-      .unionAll(triples.select(col("o").as("n")))
+  private def identityRel(env: Env, extra: Seq[Any]): DataFrame = {
+    val base = env.triples.select(col("s").as("n"))
+      .unionAll(env.triples.select(col("o").as("n")))
     val withExtra =
       if (extra.isEmpty) base
-      else base.unionAll(extra.toDF("n"))
+      else {
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{StructField, StructType}
+        val schema = StructType(Seq(
+          StructField("n", base.schema("n").dataType, nullable = true)))
+        base.unionAll(env.spark.createDataFrame(
+          env.spark.sparkContext.parallelize(extra.map(Row(_)), 1), schema))
+      }
     withExtra.distinct().select(col("n").as("s"), col("n").as("o"))
   }
 
@@ -1058,33 +1230,35 @@ object Sparql {
     * semantics (SPARQL path evaluation); closures and zero-length matches
     * are set-semantic, realized with `distinct`.
     */
-  private def pathRel(triples: DataFrame, path: Path, extra: Seq[String]): DataFrame =
+  private def pathRel(env: Env, path: Path, extra: Seq[Any]): DataFrame =
     path match {
       case PEdge(e) =>
-        triples.where(col("p") === lit(e)).select(col("s"), col("o"))
+        env.triples.where(col("p") === lit(env.cval(e))).select(col("s"), col("o"))
       case PNegSet(preds) =>
-        triples.where(!col("p").isin(preds: _*)).select(col("s"), col("o"))
+        env.triples.where(!col("p").isin(preds.map(env.cval): _*))
+          .select(col("s"), col("o"))
       case PInv(x) =>
-        pathRel(triples, x, extra).select(col("o").as("s"), col("s").as("o"))
+        pathRel(env, x, extra).select(col("o").as("s"), col("s").as("o"))
       case PSeq(l, r) =>
-        val lf = pathRel(triples, l, extra).withColumnRenamed("o", "__m")
-        val rf = pathRel(triples, r, extra).withColumnRenamed("s", "__m")
+        val lf = pathRel(env, l, extra).withColumnRenamed("o", "__m")
+        val rf = pathRel(env, r, extra).withColumnRenamed("s", "__m")
         lf.join(rf, "__m").select(col("s"), col("o"))
       case PAlt(l, r) =>
         // a pure alternation of forward edges is ONE scan with an IN-list
-        // predicate (pushed down), not one scan per branch
+        // predicate (pushed down), not one scan per branch; a repeated
+        // edge (`:p|:p`) must keep per-branch multiplicity -> fall through
         flattenAltEdges(path) match {
-          // distinct guard: `:p|:p` must keep per-branch multiplicity
           case Some(preds) if preds.distinct == preds =>
-            triples.where(col("p").isin(preds: _*)).select(col("s"), col("o"))
-          case None =>
-            pathRel(triples, l, extra).unionAll(pathRel(triples, r, extra))
+            env.triples.where(col("p").isin(preds.map(env.cval): _*))
+              .select(col("s"), col("o"))
+          case _ =>
+            pathRel(env, l, extra).unionAll(pathRel(env, r, extra))
         }
       case PClosure(x, includeZero) =>
-        val c = edgesClosure(pathRel(triples, x, extra))
-        if (includeZero) c.unionAll(identityRel(triples, extra)).distinct() else c
+        val c = edgesClosure(pathRel(env, x, extra))
+        if (includeZero) c.unionAll(identityRel(env, extra)).distinct() else c
       case POpt(x) =>
-        pathRel(triples, x, extra).unionAll(identityRel(triples, extra)).distinct()
+        pathRel(env, x, extra).unionAll(identityRel(env, extra)).distinct()
     }
 
   /** Structural inverse of a path expression: `^` pushed through the
@@ -1112,33 +1286,33 @@ object Sparql {
     * cheapest-first expansion, which naturally explores from the bound
     * side (`core/src/main/scala/com/graphula/Graphula.scala:120-190,220-224`).
     */
-  private def pathRelSeeded(triples: DataFrame, path: Path, extra: Seq[String],
+  private def pathRelSeeded(env: Env, path: Path, extra: Seq[Any],
                             seeds: DataFrame): DataFrame = path match {
     case PEdge(_) | PNegSet(_) | PInv(PEdge(_)) | PInv(PNegSet(_)) =>
       // leaf scan (or reversed leaf scan) restricted to seed subjects; the
       // seed side is a handful of rows -> AQE broadcasts it
       val leaf = path match {
-        case PInv(x) => pathRel(triples, x, extra)
+        case PInv(x) => pathRel(env, x, extra)
           .select(col("o").as("s"), col("s").as("o"))
-        case x => pathRel(triples, x, extra)
+        case x => pathRel(env, x, extra)
       }
       leaf.join(broadcast(seeds.withColumnRenamed("n", "s")), Seq("s"))
-    case PInv(x) => pathRelSeeded(triples, invertPath(x), extra, seeds)
+    case PInv(x) => pathRelSeeded(env, invertPath(x), extra, seeds)
     case PSeq(l, r) =>
       // evaluate left seeded, then right seeded from the left's endpoints
-      val lp = pathRelSeeded(triples, l, extra, seeds)
+      val lp = pathRelSeeded(env, l, extra, seeds)
       val mids = lp.select(col("o").as("n")).distinct()
-      val rp = pathRelSeeded(triples, r, extra, mids)
+      val rp = pathRelSeeded(env, r, extra, mids)
       lp.withColumnRenamed("o", "__m")
         .join(rp.withColumnRenamed("s", "__m"), "__m")
         .select(col("s"), col("o"))
     case PAlt(l, r) =>
-      pathRelSeeded(triples, l, extra, seeds)
-        .unionAll(pathRelSeeded(triples, r, extra, seeds))
+      pathRelSeeded(env, l, extra, seeds)
+        .unionAll(pathRelSeeded(env, r, extra, seeds))
     case POpt(x) =>
       // zero-length matches pair each seed with itself (even when absent
       // from the graph, as ARQ does for constant endpoints)
-      pathRelSeeded(triples, x, extra, seeds)
+      pathRelSeeded(env, x, extra, seeds)
         .unionAll(seeds.select(col("n").as("s"), col("n").as("o")))
         .distinct()
     case PClosure(x, includeZero) =>
@@ -1152,7 +1326,7 @@ object Sparql {
       // driver BFS probes the LAZY edge plan (bound-position filters stay
       // pushed into the scan each round); only the distributed fallback
       // pays the one-time edge materialization
-      val edges = pathRel(triples, x, extra)
+      val edges = pathRel(env, x, extra)
       seededClosureDriver(edges, seeds, includeZero)
         .getOrElse(seededClosureDistributed(
           edges.localCheckpoint(true), seeds, includeZero))
