@@ -25,7 +25,8 @@ import graft.dict.Dictionary
 final case class StoreHandle(triples: DataFrame, enc: DataFrame,
                              dict: DataFrame, pureHash: Boolean,
                              stats: Map[String, PredStats],
-                             encStats: Map[String, PredStats], totalCnt: Long)
+                             encStats: Map[String, PredStats], totalCnt: Long,
+                             sketches: DataFrame)
 
 object GraftStore {
   /** Single-flight lazy holder: TrieMap.getOrElseUpdate may race two
@@ -78,9 +79,8 @@ object GraftStore {
       if (pureHash) Dictionary.encodeByHash(triples, Seq("s", "p", "o"))
       else Seq("s", "p", "o").foldLeft(triples)((df, c) => Dictionary.encode(df, dict, c))
     ).localCheckpoint(true)
-    val statRows = TripleStore.predicateStats(triples).collect()
-    val stats = statRows.map(r =>
-      r.getString(0) -> PredStats(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val sketches = TripleStore.predSketches(triples).localCheckpoint(true)
+    val stats = statsOf(sketches)
     // same stats keyed by encoded predicate id (as string), for BGPs over
     // the encoded relation; on the repaired path the ids come from the
     // repaired dictionary, so they stay consistent with `enc`
@@ -88,7 +88,29 @@ object GraftStore {
       if (pureHash) Dictionary.hashLiterals(spark, stats.keys.toSeq)
       else Dictionary.lookup(dict, stats.keys.toSeq)
     val encStats = stats.flatMap { case (k, v) => predIds.get(k).map(_.toString -> v) }
-    StoreHandle(triples, enc, dict, pureHash, stats, encStats, stats.values.map(_.cnt).sum)
+    StoreHandle(triples, enc, dict, pureHash, stats, encStats,
+      stats.values.map(_.cnt).sum, sketches)
+  }
+
+  /** Realize the (small) sketch relation into the driver-side stats map:
+    * exact counts, HLL-estimated distinct subjects/objects.
+    */
+  private def statsOf(sketches: DataFrame): Map[String, PredStats] = {
+    import org.apache.spark.sql.functions.{col, hll_sketch_estimate}
+    sketches.select(col("p"), col("cnt"),
+        hll_sketch_estimate(col("hs")).as("ns"),
+        hll_sketch_estimate(col("ho")).as("no"))
+      .collect()
+      .map(r => r.getString(0) -> PredStats(r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  private def encStatsOf(spark: SparkSession, dict: DataFrame, pureHash: Boolean,
+                         stats: Map[String, PredStats]): Map[String, PredStats] = {
+    val predIds =
+      if (pureHash) Dictionary.hashLiterals(spark, stats.keys.toSeq)
+      else Dictionary.lookup(dict, stats.keys.toSeq)
+    stats.flatMap { case (k, v) => predIds.get(k).map(_.toString -> v) }
   }
 
   /** Build a handle from PRE-ENCODED triples plus their dictionary — the
@@ -109,28 +131,77 @@ object GraftStore {
     val triples = Seq("s", "p", "o")
       .foldLeft(encC)((df, c) => Dictionary.decode(df, dictC, c))
       .localCheckpoint(true)
-    val statRows = TripleStore.predicateStats(triples).collect()
-    val stats = statRows.map(r =>
-      r.getString(0) -> PredStats(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val predIds = Dictionary.lookup(dictC, stats.keys.toSeq)
-    val encStats = stats.flatMap { case (k, v) => predIds.get(k).map(_.toString -> v) }
+    val sketches = TripleStore.predSketches(triples).localCheckpoint(true)
+    val stats = statsOf(sketches)
+    val encStats = encStatsOf(spark, dictC, pureHash = false, stats)
     StoreHandle(triples, encC, dictC, pureHash = false, stats, encStats,
-      stats.values.map(_.cnt).sum)
+      stats.values.map(_.cnt).sum, sketches)
   }
 
-  /** Incremental insert — the reference's `performAdd`
+  /** Incremental insert, O(Δ) per batch — the reference's `performAdd`
     * (`sparql/src/main/scala/com/graphula/sparql/Sparql.scala:115-127`)
-    * adds triples to an open store; the Spark-idiomatic analog is a batch
-    * append that unions the new edges and refreshes the certificate,
-    * dictionary, and statistics so the stats-driven count shortcut and
-    * fail-fast stay EXACT. At cluster scale this is an append of new
-    * parquet files plus an incremental stats merge; re-deriving from the
-    * union keeps the in-session handle honest.
+    * adds triples to an open store in O(1) LMDB writes per triple; the
+    * Spark analog pins ONLY the delta and unions it into the existing
+    * pinned relations:
+    *   - dictionary: the batch's genuinely-new terms (one columnar scan of
+    *     the existing dictionary — no shuffle of it — plays the role of the
+    *     reference's point lookups) get content-hash ids;
+    *   - certificate: re-checked ONLY for the new ids — internally and
+    *     against the claimed-id set (a second dictionary scan). A collision
+    *     (cosmically rare) falls back to the full repair ingest;
+    *   - encode: the delta encodes through a broadcast slim dictionary
+    *     covering exactly the batch's terms;
+    *   - statistics: exact counts ADD and HLL sketches UNION
+    *     (`TripleStore.mergeSketches`), so the `(?, p, ?)` count shortcut
+    *     stays exact without re-scanning the store.
+    * No job in the fast path reads the stored triples; lineage grows by
+    * one union branch per batch — `persist` flattens it (compaction), the
+    * same discipline as any LSM-ish append structure.
     */
   def append(spark: SparkSession, handle: StoreHandle,
-             newTriples: DataFrame): StoreHandle =
-    ingestTriples(spark, handle.triples.unionAll(
-      newTriples.select(col("s"), col("p"), col("o"))))
+             newTriples: DataFrame): StoreHandle = {
+    import org.apache.spark.sql.functions.{countDistinct, explode, array, count, lit}
+    val newT = newTriples.select(col("s"), col("p"), col("o"))
+      .localCheckpoint(true)
+    val newTerms = newT
+      .select(explode(array(col("s"), col("p"), col("o"))).as("term"))
+      .where(col("term").isNotNull).distinct().localCheckpoint(true)
+    // terms already in the dictionary: one scan of the dictionary with the
+    // (small) batch term set broadcast — AQE picks the broadcast semi join
+    val existing = handle.dict.join(newTerms, Seq("term"), "left_semi")
+      .localCheckpoint(true)
+    val newOnly = newTerms.join(existing, Seq("term"), "left_anti")
+      .select(Dictionary.termHash(col("term")).as("id"), col("term"))
+      .localCheckpoint(true)
+    // certificate restricted to the delta: new ids must not collide with
+    // each other nor with any claimed id of a DIFFERENT term
+    val internalClash = newOnly.groupBy("id")
+      .agg(countDistinct(col("term")).as("n")).where(col("n") > 1)
+      .limit(1).count() > 0
+    lazy val externalClash = handle.dict.as("d")
+      .join(newOnly.as("x"), col("d.id") === col("x.id"))
+      .where(col("d.term") =!= col("x.term")).limit(1).count() > 0
+    if (internalClash || externalClash)
+      // rare path: full repair ingest over the union (correctness first)
+      return ingestTriples(spark, handle.triples.unionAll(newT))
+    val dict =
+      if (newOnly.isEmpty) handle.dict
+      else handle.dict.unionByName(newOnly)
+    // encode the delta against a broadcast slim dictionary covering
+    // exactly the batch's terms (existing ids + freshly assigned ones)
+    val slim = org.apache.spark.sql.functions.broadcast(
+      existing.unionByName(newOnly))
+    val newEnc = Seq("s", "p", "o")
+      .foldLeft(newT)((df, c) => Dictionary.encode(df, slim, c))
+      .localCheckpoint(true)
+    val sketches = TripleStore.mergeSketches(
+      handle.sketches, TripleStore.predSketches(newT)).localCheckpoint(true)
+    val stats = statsOf(sketches)
+    val encStats = encStatsOf(spark, dict, handle.pureHash, stats)
+    StoreHandle(handle.triples.unionAll(newT), handle.enc.unionAll(newEnc),
+      dict, handle.pureHash, stats, encStats,
+      stats.values.map(_.cnt).sum, sketches)
+  }
 
   /** Persist a handle as the parquet table set a cluster ingest job would
     * write: predicate-partitioned triples (directory pruning for the
@@ -147,8 +218,9 @@ object GraftStore {
     handle.dict.write.mode("overwrite").parquet(s"$path/dict")
     val spark = handle.triples.sparkSession
     import spark.implicits._
-    handle.stats.toSeq.map { case (p, st) => (p, st.cnt, st.ndvS, st.ndvO) }
-      .toDF("p", "cnt", "ndv_s", "ndv_o")
+    // persisting the SKETCHES (not just the estimates) keeps later appends
+    // against the reopened store O(Δ) too
+    handle.sketches
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
     Seq(handle.pureHash).toDF("pure_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
@@ -163,14 +235,11 @@ object GraftStore {
     val enc = spark.read.parquet(s"$path/enc")
     val dict = spark.read.parquet(s"$path/dict")
     val pureHash = spark.read.parquet(s"$path/meta").head().getBoolean(0)
-    val stats = spark.read.parquet(s"$path/stats").collect()
-      .map(r => r.getString(0) -> PredStats(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
-    val predIds =
-      if (pureHash) Dictionary.hashLiterals(spark, stats.keys.toSeq)
-      else Dictionary.lookup(dict, stats.keys.toSeq)
-    val encStats = stats.flatMap { case (k, v) => predIds.get(k).map(_.toString -> v) }
+    val sketches = spark.read.parquet(s"$path/stats")
+    val stats = statsOf(sketches)
+    val encStats = encStatsOf(spark, dict, pureHash, stats)
     StoreHandle(triples, enc, dict, pureHash, stats, encStats,
-      stats.values.map(_.cnt).sum)
+      stats.values.map(_.cnt).sum, sketches)
   }
 
   private val gramCache =

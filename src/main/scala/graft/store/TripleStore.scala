@@ -164,6 +164,26 @@ object TripleStore {
       approx_count_distinct(col("s")).as("ndv_s"),
       approx_count_distinct(col("o")).as("ndv_o"))
 
+  /** Same statistics as MERGEABLE state: exact counts plus DataSketches
+    * HLL buffers for the distinct subject/object estimates. A batch append
+    * computes the delta's sketches in O(Δ) and `mergeSketches` unions them
+    * with the store's — counts ADD (the count shortcut stays exact) and
+    * sketch unions preserve the estimate, so incremental ingest never
+    * re-scans the store for statistics (the reference's `performAdd`
+    * updates its LMDB cardinalities in place, `Index.scala:121-131`).
+    */
+  def predSketches(triples: DataFrame): DataFrame =
+    triples.groupBy("p").agg(
+      count(lit(1)).as("cnt"),
+      hll_sketch_agg(col("s")).as("hs"),
+      hll_sketch_agg(col("o")).as("ho"))
+
+  def mergeSketches(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionAll(b).groupBy("p").agg(
+      sum("cnt").as("cnt"),
+      hll_union_agg(col("hs")).as("hs"),
+      hll_union_agg(col("ho")).as("ho"))
+
   /** Persist triples predicate-partitioned — partition pruning then serves
     * the `(?, p, ?)` / `(s, p, ?)` / `(?, p, o)` access paths the way the
     * LMDB key patterns did, and min/max row-group stats on s/o serve the

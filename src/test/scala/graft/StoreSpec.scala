@@ -121,6 +121,41 @@ class StoreSpec extends SparkSpec {
     base.totalCnt shouldBe 2L
   }
 
+  it should "be O(delta): reuse the pinned store relations instead of re-ingesting" in {
+    import spark.implicits._
+    def rddIds(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.queryExecution.analyzed.collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id.toLong
+      }.toSet
+    val base = graft.store.GraftStore.ingestTriples(spark, Seq(
+      ("b:1", "knows", "b:2"), ("b:2", "knows", "b:3")
+    ).toDF("s", "p", "o"))
+    val appended = graft.store.GraftStore.append(spark, base, Seq(
+      ("b:3", "knows", "b:4")
+    ).toDF("s", "p", "o"))
+    // the appended handle's relations must CONTAIN the base handle's pinned
+    // RDDs as union branches — the structural proof that no job re-ingested
+    // the stored triples, encoded relation, or dictionary (only the delta
+    // was pinned; the reference's performAdd is likewise O(1)/triple,
+    // sparql/.../Sparql.scala:115-127)
+    rddIds(appended.triples) should contain allElementsOf rddIds(base.triples)
+    rddIds(appended.enc) should contain allElementsOf rddIds(base.enc)
+    rddIds(appended.dict) should contain allElementsOf rddIds(base.dict)
+    // exact count merge without a store re-scan
+    appended.stats("knows").cnt shouldBe 3L
+    // the encoded path decodes the NEW term through the unioned dictionary
+    graft.sparql.Sparql.executeEncoded(spark, appended,
+      """PREFIX : <>
+        |SELECT ?x WHERE { "b:3" :knows ?x }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("b:4")
+    // an all-existing-terms append leaves the dictionary object UNTOUCHED
+    val again = graft.store.GraftStore.append(spark, appended, Seq(
+      ("b:4", "knows", "b:1")
+    ).toDF("s", "p", "o"))
+    again.dict should be theSameInstanceAs appended.dict
+    again.stats("knows").cnt shouldBe 4L
+  }
+
   "GraftStore.ingestEncoded" should "answer queries from pre-encoded triples" in {
     import spark.implicits._
     import graft.dict.Dictionary
