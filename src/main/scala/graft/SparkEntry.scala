@@ -687,6 +687,19 @@ object SparkEntry {
         |  FILTER (STRSTARTS(?nm, "A"))
         |} GROUP BY ?nm ORDER BY ?nm""".stripMargin)
 
+  /** DESCRIBE as a concise bounded description: customer:1's outgoing
+    * triples plus its incoming `custkey` edges from orders (no blanks in
+    * the unpivoted testdata, so the blank closure is a no-op here — it's
+    * spec-covered on a blank-chain fixture).
+    */
+  private def sparqlDescribe(s: SparkSession, d: String): DataFrame = {
+    val st = GraftStore.forDir(s, d)
+    graft.sparql.Sparql.describe(s, st.triples,
+      """PREFIX c: <customer:>
+        |DESCRIBE c:1""".stripMargin, st.stats)
+      .orderBy("s", "p", "o")
+  }
+
   /** SPARQL sequence property path (p1/p2 chains via fresh variables). */
   private def sparqlPath(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -1304,6 +1317,7 @@ object SparkEntry {
     "q_sparql_path" -> (sparqlPath _),
     "q_sparql_agg" -> (sparqlAgg _),
     "q_sparql_enc_agg" -> (sparqlEncAgg _),
+    "q_sparql_describe" -> (sparqlDescribe _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -1688,6 +1702,18 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY nm""".stripMargin,
+    "q_sparql_describe" ->
+      """SELECT * FROM (
+        |  SELECT 'customer:1' AS s, 'a' AS p, 'Customer' AS o
+        |  UNION ALL
+        |  SELECT 'customer:1', 'name', c_name FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT 'customer:1', 'mktsegment', c_mktsegment FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT 'customer:1', 'nationkey', 'nation:' || c_nationkey FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT 'order:' || o_orderkey, 'custkey', 'customer:1' FROM orders WHERE o_custkey = 1
+        |) ORDER BY s, p, o""".stripMargin,
     "q_sparql_enc_agg" ->
       """SELECT r_name AS nm, count(*) AS cnt
         |FROM customer JOIN nation ON c_nationkey = n_nationkey

@@ -193,6 +193,14 @@ object Sparql {
     * solution; the result is a deduplicated (s, p, o) graph, and template
     * triples with unbound variables are dropped (SPARQL 1.1 §16.2). The
     * reference throws on CONSTRUCT (`CustomQueryExecution.scala:215`).
+    *
+    * Template blank nodes (`_:label`) instantiate FRESH per solution: the
+    * blank id is skolemized from the label plus a content hash of the
+    * solution row (`_:label-<hash>`), so the same solution reuses one
+    * blank across the template while different solutions never collide —
+    * the reference's `_:` id convention (`Dictionary.scala:232-261`),
+    * made deterministic (per DISTINCT solution) so results stay
+    * oracle-comparable, like the GROUP_CONCAT sort.
     */
   def construct(spark: SparkSession, triples: DataFrame, queryText: String,
                 stats: Map[String, PredStats] = Map.empty): DataFrame = {
@@ -208,8 +216,11 @@ object Sparql {
     p.eatKw("WHERE")
     val group = parseGroup(p, prefixes)
     val sols = compileGroup(stringEnv(spark, triples, stats), group)
+    val rowHash = pmod(xxhash64(sols.columns.map(col): _*), lit(1000000007L))
     def term(t: Term): Column = t match {
       case V(n) => col(n)
+      case C(v) if v.toString.startsWith("_:") =>
+        concat(lit(v.toString + "-"), rowHash.cast("string"))
       case C(v) => lit(v.toString)
     }
     template.triples
@@ -219,11 +230,13 @@ object Sparql {
       .distinct()
   }
 
-  /** DESCRIBE: all triples whose subject is one of the described
-    * resources (the common concise-bounded-description core; the result
-    * shape is implementation-defined by SPARQL 1.1 §16.4). Forms:
-    * `DESCRIBE <iri>` and `DESCRIBE ?v [WHERE { ... }]`. The reference
-    * throws on DESCRIBE (`CustomQueryExecution.scala:239`).
+  /** DESCRIBE as a concise bounded description (the result shape is
+    * implementation-defined by SPARQL 1.1 §16.4; CBD is the common
+    * convention): the described resources' OUTGOING triples, their
+    * INCOMING edges, and the blank-node closure — any `_:` object pulled
+    * in recursively contributes its own outgoing triples, to fixpoint.
+    * Forms: `DESCRIBE <iri>` and `DESCRIBE ?v [WHERE { ... }]`. The
+    * reference throws on DESCRIBE (`CustomQueryExecution.scala:239`).
     */
   def describe(spark: SparkSession, triples: DataFrame, queryText: String,
                stats: Map[String, PredStats] = Map.empty): DataFrame = {
@@ -257,8 +270,33 @@ object Sparql {
     val constSubjects =
       if (consts.isEmpty) Seq.empty else Seq(consts.toDF("s"))
     val subjects = (varSubjects ++ constSubjects)
-      .reduce(_.unionAll(_)).distinct()
-    triples.join(broadcast(subjects), Seq("s"), "left_semi")
+      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+    val outgoing = triples.join(broadcast(subjects), Seq("s"), "left_semi")
+    val incoming = triples.join(
+      broadcast(subjects.select(col("s").as("o"))), Seq("o"), "left_semi")
+      .select(col("s"), col("p"), col("o"))
+    var described = outgoing.unionAll(incoming)
+    // blank-node closure: a _:object's own description folds in (bounded
+    // frontier loop; blank chains are shallow by construction)
+    var expanded = subjects
+    var frontier = described.where(col("o").startsWith("_:"))
+      .select(col("o").as("s")).distinct()
+      .join(expanded, Seq("s"), "left_anti").localCheckpoint(true)
+    var rounds = 0
+    while (!frontier.isEmpty) {
+      if (rounds >= 50)
+        throw new IllegalStateException(
+          s"DESCRIBE blank-node closure did not converge after $rounds rounds")
+      val step = triples.join(broadcast(frontier), Seq("s"), "left_semi")
+        .localCheckpoint(true)
+      described = described.unionAll(step)
+      expanded = expanded.unionAll(frontier).localCheckpoint(true)
+      frontier = step.where(col("o").startsWith("_:"))
+        .select(col("o").as("s")).distinct()
+        .join(expanded, Seq("s"), "left_anti").localCheckpoint(true)
+      rounds += 1
+    }
+    described.distinct()
   }
 
   private def parsePrefixes(p: P): Map[String, String] = {
@@ -613,6 +651,10 @@ object Sparql {
       case TStr(s) => C(s)
       case TIri(i) => C(i)
       case TNum(n) => C(n)
+      case TPName("_", local) if !prefixes.contains("_") =>
+        // blank node: a constant under the store's `_:` serialization; in
+        // a CONSTRUCT template it skolemizes fresh per solution
+        C("_:" + local)
       case TPName(pfx, local) =>
         val base = prefixes.getOrElse(pfx,
           throw new IllegalArgumentException(s"undeclared prefix '$pfx:'"))

@@ -460,17 +460,52 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Set(("1", "5"), ("1", "6")) // x=5,6 have unbound ?z
   }
 
-  "Sparql.describe" should "return all triples about the described resources" in {
+  "Sparql.describe" should "return the concise bounded description (outgoing + incoming)" in {
+    val cbd = Set(
+      ("3", "4", "5"), ("3", "4", "6"), // outgoing
+      ("1", "2", "3"))                  // incoming edge
     val direct = Sparql.describe(spark, triples,
       """PREFIX : <>
         |DESCRIBE <3>""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-    direct shouldBe Set(("3", "4", "5"), ("3", "4", "6"))
+    direct shouldBe cbd
     val viaWhere = Sparql.describe(spark, triples,
       """PREFIX : <>
         |DESCRIBE ?y WHERE { "1" :2 ?y }""".stripMargin)
       .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
-    viaWhere shouldBe Set(("3", "4", "5"), ("3", "4", "6"))
+    viaWhere shouldBe cbd
+  }
+
+  it should "fold blank-node objects' descriptions in (blank closure)" in {
+    val withBlanks = Seq(
+      ("e:1", "addr", "_:a1"), ("_:a1", "city", "\"Zurich\""),
+      ("_:a1", "geo", "_:g1"), ("_:g1", "lat", "\"47.4\""),
+      ("e:2", "addr", "_:a2"), ("_:a2", "city", "\"Bern\"")
+    ).toDF("s", "p", "o")
+    val res = Sparql.describe(spark, withBlanks,
+      """PREFIX : <>
+        |DESCRIBE <e:1>""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    res shouldBe Set(
+      ("e:1", "addr", "_:a1"),
+      ("_:a1", "city", "\"Zurich\""),
+      ("_:a1", "geo", "_:g1"),      // nested blank chain...
+      ("_:g1", "lat", "\"47.4\""))  // ...followed to fixpoint; e:2 excluded
+  }
+
+  it should "skolemize CONSTRUCT template blanks fresh per solution" in {
+    val res = Sparql.construct(spark, triples,
+      """PREFIX : <>
+        |CONSTRUCT { ?a :via _:hop . _:hop :to ?c }
+        |WHERE { ?a :2 ?b . ?b :4 ?c }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    // 2 solutions (1,3,5) and (1,3,6) -> 2 distinct blanks, 4 triples
+    res.length shouldBe 4
+    val blanks = res.collect { case (_, "via", b) => b }.toSet
+    blanks.size shouldBe 2
+    blanks.foreach(_ should startWith("_:hop-"))
+    // the same solution's blank links both template triples
+    res.collect { case (b, "to", _) => b }.toSet shouldBe blanks
   }
 
   it should "reject malformed queries with a parse error" in {
