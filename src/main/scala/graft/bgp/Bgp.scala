@@ -163,14 +163,19 @@ object Bgp {
     current.select(outVars.map(col): _*)
   }
 
-  /** Incremental BGP over a live triple stream: edges arriving on the
-    * stream that match the FIRST pattern are extended to full solutions by
-    * stream-static joins against the stored relation — delta evaluation
-    * restricted to the stream pattern (Δ(P1 ⋈ P2 ⋈ …) over ΔP1), the
-    * standard incremental-view-maintenance shape. Static patterns join in
-    * greedy stats order seeded with the stream pattern's bound variables.
-    * Returns a STREAMING DataFrame (append-mode friendly: inner/semi
-    * stream-static joins only).
+  /** Incremental BGP over a live triple stream — full delta decomposition:
+    * an arriving edge may match ANY pattern of the conjunction, so the
+    * maintained view is the union of per-pattern deltas
+    * Δ(P1⋈…⋈Pn) ⊇ ⋃_i (P1 ⋈ … ⋈ ΔPi ⋈ … ⋈ Pn), each branch binding the
+    * arrival to pattern i and extending it to a full solution by
+    * stream-static joins against the stored relation (greedy stats order
+    * seeded with pattern i's variables) — the standard IVM shape.
+    * Solutions needing TWO new edges in one batch are completed once the
+    * sink appends arrivals to the store (the foreachBatch ingest path),
+    * which is the stream-static contract. Fully-constant patterns don't
+    * source a delta branch (an arrival matching one only re-asserts an
+    * existence probe answered by the store). Returns a STREAMING DataFrame
+    * (append-mode friendly: inner/semi stream-static joins only).
     */
   def compileStream(spark: SparkSession, streamTriples: DataFrame,
                     staticTriples: DataFrame, patterns: Seq[TriplePattern],
@@ -178,23 +183,30 @@ object Bgp {
                     totalCnt: Long = 1000000L): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
     require(streamTriples.isStreaming, "streamTriples must be a streaming DataFrame")
-    val head = patterns.head
-    require(head.vars.nonEmpty, "stream pattern must bind at least one variable")
+    require(patterns.exists(_.vars.nonEmpty),
+      "at least one pattern must bind a variable")
     val outVars = patterns.flatMap(_.vars).distinct
-    var current = patternScan(streamTriples, head, 0)
-    var boundVars = head.vars.toSet
-    orderFrom(patterns.tail, stats, totalCnt, boundVars).zipWithIndex.foreach {
-      case (tp, i) =>
-        val scan = patternScan(staticTriples, tp, i + 1)
-        val shared = tp.vars.filter(boundVars).distinct
-        if (tp.vars.isEmpty)
-          current = current.crossJoin(broadcast(scan.limit(1).select(lit(1).as(s"__ex$i")))).drop(s"__ex$i")
-        else if (shared.isEmpty) current = current.crossJoin(scan)
-        else if (tp.vars.forall(boundVars)) current = current.join(scan, shared, "left_semi")
-        else current = current.join(scan, shared, "inner")
-        boundVars ++= tp.vars
-    }
-    current.select(outVars.map(col): _*)
+    val branches = patterns.indices
+      .filter(i => patterns(i).vars.nonEmpty)
+      .map { i =>
+        val delta = patterns(i)
+        var current = patternScan(streamTriples, delta, 0)
+        var boundVars = delta.vars.toSet
+        val rest = patterns.take(i) ++ patterns.drop(i + 1)
+        orderFrom(rest, stats, totalCnt, boundVars).zipWithIndex.foreach {
+          case (tp, j) =>
+            val scan = patternScan(staticTriples, tp, j + 1)
+            val shared = tp.vars.filter(boundVars).distinct
+            if (tp.vars.isEmpty)
+              current = current.crossJoin(broadcast(scan.limit(1).select(lit(1).as(s"__ex$j")))).drop(s"__ex$j")
+            else if (shared.isEmpty) current = current.crossJoin(scan)
+            else if (tp.vars.forall(boundVars)) current = current.join(scan, shared, "left_semi")
+            else current = current.join(scan, shared, "inner")
+            boundVars ++= tp.vars
+        }
+        current.select(outVars.map(col): _*)
+      }
+    branches.reduce(_.unionAll(_))
   }
 
   /** One aliased triples scan per pattern: filter bound positions, project

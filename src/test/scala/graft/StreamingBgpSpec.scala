@@ -66,6 +66,38 @@ class StreamingBgpSpec extends SparkSpec {
     spark.table("bgp_stream_inc").count() shouldBe 2 // incremental append
   }
 
+  it should "complete solutions from an edge matching a LATER pattern (full IVM)" in {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.bgp.{Bgp, C, TriplePattern, V}
+    // store holds the pattern-1 half of the join...
+    val store = Seq(
+      ("customer:7", "nationkey", "nation:5"),
+      ("nation:5", "regionkey", "region:1") // plus one complete static pair
+    ).toDF("s", "p", "o")
+    val src = MemoryStream[(String, String, String)]
+    val out = Bgp.compileStream(spark, src.toDF().toDF("s", "p", "o"), store,
+      Seq(
+        TriplePattern(V("c"), C("nationkey"), V("n")),
+        TriplePattern(V("n"), C("regionkey"), V("r"))))
+    val q = out.writeStream.format("memory").queryName("ivm_out")
+      .outputMode("append").start()
+    // ...and the arriving edge matches pattern TWO: the delta union must
+    // still complete (customer:7, nation:5, region:9); the pre-IVM
+    // first-pattern-only compile produced nothing here
+    src.addData(("nation:5", "regionkey", "region:9"))
+    q.processAllAvailable()
+    // a pattern-ONE arrival joins the STATIC regionkey edge as before
+    // (region:9 was never appended to the store, so it only ever pairs
+    // with pattern-1 bindings already present there)
+    src.addData(("customer:8", "nationkey", "nation:5"))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("ivm_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet shouldBe Set(
+      ("customer:7", "nation:5", "region:9"),
+      ("customer:8", "nation:5", "region:1"))
+  }
+
   "streaming append" should "maintain store stats through foreachBatch ingest" in {
     implicit val sqlCtx = spark.sqlContext
     import graft.bgp.{Bgp, C, TriplePattern, V}
