@@ -119,7 +119,57 @@ class GoldenSpec extends SparkSpec {
     "sparql_strfns" ->
       """PREFIX : <>
         |SELECT ?p (SUBSTR(?nm, 1, 4) AS ?head) (STRAFTER(?nm, " ") AS ?noun)
-        |WHERE { ?p a "Part" ; :name ?nm } ORDER BY ?p""".stripMargin)
+        |WHERE { ?p a "Part" ; :name ?nm } ORDER BY ?p""".stripMargin,
+    // --- adversarial semantics: ARQ algebra vs naive SQL ---
+    "sparql_path_zero_absent" ->
+      """PREFIX : <>
+        |SELECT ?x WHERE { <ghost:1> :regionkey* ?x } ORDER BY ?x""".stripMargin,
+    "sparql_opt_nested" ->
+      """PREFIX : <>
+        |SELECT ?n ?s ?m WHERE {
+        |  ?n a "Nation" .
+        |  OPTIONAL { ?s :nationkey ?n . ?s a "Supplier" .
+        |             OPTIONAL { ?s :mktsegment ?m } }
+        |} ORDER BY ?n ?s ?m""".stripMargin,
+    "sparql_opt_minus" ->
+      """PREFIX : <>
+        |SELECT ?c ?m WHERE {
+        |  ?c a "Customer" .
+        |  OPTIONAL { ?c :mktsegment ?m }
+        |  MINUS { ?c :mktsegment "BUILDING" }
+        |} ORDER BY ?c ?m""".stripMargin,
+    "sparql_union_disjoint" ->
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE {
+        |  { ?x :name "ASIA" } UNION { ?y :mktsegment "BUILDING" }
+        |} ORDER BY ?x ?y""".stripMargin,
+    "sparql_groupconcat_empty" ->
+      """PREFIX : <>
+        |SELECT ?n (GROUP_CONCAT(?m ; SEPARATOR ",") AS ?gs) WHERE {
+        |  ?n a "Nation" .
+        |  OPTIONAL { ?s :nationkey ?n . ?s a "Supplier" . ?s :mktsegment ?m }
+        |} GROUP BY ?n ORDER BY ?n""".stripMargin,
+    "sparql_subquery_limit" ->
+      """PREFIX : <>
+        |SELECT ?n ?nm WHERE {
+        |  ?n :name ?nm .
+        |  { SELECT ?n WHERE { ?n a "Nation" } ORDER BY ?n LIMIT 5 }
+        |} ORDER BY ?n ?nm""".stripMargin,
+    "sparql_values_multi" ->
+      """PREFIX : <>
+        |SELECT ?n ?nm WHERE {
+        |  ?n :name ?nm .
+        |  VALUES (?n ?nm) { (<nation:1> "NATION_1") (<nation:2> "WRONG") }
+        |} ORDER BY ?n""".stripMargin,
+    "sparql_not_exists_empty" ->
+      """PREFIX : <>
+        |SELECT ?r WHERE {
+        |  ?r a "Region" .
+        |  FILTER NOT EXISTS { ?r :ghost ?y }
+        |} ORDER BY ?r""".stripMargin,
+    "sparql_path_opt" ->
+      """PREFIX : <>
+        |SELECT ?x WHERE { <nation:3> :regionkey? ?x } ORDER BY ?x""".stripMargin)
 
   private def golden(name: String): Seq[String] = {
     val url = getClass.getResource(s"/golden/$name.tsv")

@@ -99,6 +99,65 @@ QUERIES = {
                THEN substring(p_name, position(' ' IN p_name) + 1)
                ELSE '' END AS noun
         FROM part ORDER BY p""",
+    # --- adversarial semantics: where ARQ algebra diverges from naive SQL ---
+    # zero-length path from a constant ABSENT from the graph still matches
+    # itself (SPARQL 1.1 S9.3)
+    "sparql_path_zero_absent": """
+        SELECT 'ghost:1' AS x""",
+    # nested OPTIONAL: the inner optional never binds (suppliers carry no
+    # mktsegment edge) and must not eliminate the outer rows
+    "sparql_opt_nested": """
+        SELECT n, s, m FROM (
+          SELECT 'nation:' || n_nationkey AS n,
+            CASE WHEN s_suppkey IS NULL THEN NULL
+                 ELSE 'supplier:' || s_suppkey END AS s,
+            NULL AS m
+          FROM nation LEFT JOIN supplier ON s_nationkey = n_nationkey
+        ) ORDER BY n, s NULLS FIRST, m NULLS FIRST""",
+    # OPTIONAL then MINUS: the left join extends, then MINUS removes on the
+    # shared ?c only
+    "sparql_opt_minus": """
+        SELECT 'customer:' || c_custkey AS c, c_mktsegment AS m
+        FROM customer WHERE c_mktsegment <> 'BUILDING' ORDER BY c, m""",
+    # UNION with DISJOINT variables: each branch null-pads the other's var
+    "sparql_union_disjoint": """
+        SELECT x, y FROM (
+          SELECT 'region:' || r_regionkey AS x, NULL AS y
+          FROM region WHERE r_name = 'ASIA'
+          UNION ALL
+          SELECT NULL, 'customer:' || c_custkey
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+        ) ORDER BY x NULLS FIRST, y NULLS FIRST""",
+    # GROUP_CONCAT over groups with ZERO bound values (optional var never
+    # binds): empty concatenation, not a dropped group
+    "sparql_groupconcat_empty": """
+        SELECT 'nation:' || n_nationkey AS n, NULL AS gs
+        FROM nation ORDER BY n""",
+    # subquery with LIMIT inside: the limit applies in the subquery's
+    # (lexicographic) order, before the outer join
+    "sparql_subquery_limit": """
+        SELECT n, nm FROM (
+          SELECT 'nation:' || n_nationkey AS n, n_name AS nm FROM nation
+        ) WHERE n IN (
+          SELECT 'nation:' || n_nationkey FROM nation ORDER BY 1 LIMIT 5)
+        ORDER BY n, nm""",
+    # multi-var VALUES with a non-matching row: joins on BOTH columns
+    "sparql_values_multi": """
+        SELECT 'nation:' || n_nationkey AS n, n_name AS nm
+        FROM nation WHERE n_nationkey = 1 AND n_name = 'NATION_1'
+        ORDER BY n""",
+    # NOT EXISTS over a pattern whose predicate is absent from the store:
+    # the fail-fast empty inner group must keep every outer row
+    "sparql_not_exists_empty": """
+        SELECT 'region:' || r_regionkey AS r FROM region ORDER BY r""",
+    # zero-or-one path `p?` from a constant: itself plus direct objects
+    "sparql_path_opt": """
+        SELECT x FROM (
+          SELECT 'nation:3' AS x
+          UNION ALL
+          SELECT DISTINCT 'region:' || n_regionkey FROM nation
+          WHERE n_nationkey = 3
+        ) ORDER BY x""",
 }
 
 os.makedirs(out, exist_ok=True)
