@@ -881,6 +881,18 @@ object Sparql {
       childGroups(g).flatMap(groupConsts) ++
       g.subqueries.flatMap(sq => groupConsts(sq.group))
 
+  /** Path ENDPOINT constants only — the one constant position that can
+    * SURFACE in output while absent from the store (a zero-length path
+    * matches a constant endpoint against itself). Everywhere else an
+    * absent constant just matches nothing, so on a certified store the
+    * per-query dictionary probe can restrict itself to this set.
+    */
+  private def pathEndpointConsts(g: Group): Set[String] =
+    g.paths.flatMap { case (s, _, o) =>
+      Seq(s, o).collect { case C(v) => v.toString } }.toSet ++
+      childGroups(g).flatMap(pathEndpointConsts) ++
+      g.subqueries.flatMap(sq => pathEndpointConsts(sq.group))
+
   /** Vars that hold computed values (not dictionary ids) anywhere in the
     * query: BIND targets plus aggregate/expression aliases.
     */
@@ -922,14 +934,21 @@ object Sparql {
     import graft.dict.Dictionary
     val q = parse(queryText)
     val consts = groupConsts(q.group).toSeq.sorted
-    val present = Dictionary.lookup(store.dict, consts)
+    // On a certified store ids come from hashing alone; the dictionary is
+    // probed only for path ENDPOINT constants (the one position where an
+    // absent constant must still decode back to itself) — usually an
+    // empty set, so most queries skip the probe job entirely. A repaired
+    // store resolves every constant through the dictionary.
+    val probeSet =
+      if (store.pureHash) pathEndpointConsts(q.group).toSeq.sorted else consts
+    val present = Dictionary.lookup(store.dict, probeSet)
     val ids: Map[String, Long] =
       if (store.pureHash) Dictionary.hashLiterals(spark, consts)
       else {
         val fresh = Iterator.from(1)
         consts.map(c => c -> present.getOrElse(c, -fresh.next().toLong)).toMap
       }
-    val localDict = consts.filterNot(present.contains).map(c => ids(c) -> c)
+    val localDict = probeSet.filterNot(present.contains).map(c => ids(c) -> c)
     val plain = plainVarsOf(q)
     val overlap = plain intersect patternVarsOfG(q.group)
     require(overlap.isEmpty,
