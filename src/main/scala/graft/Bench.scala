@@ -27,10 +27,11 @@ object Bench {
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
-    // SPARK_GRAFT_WARMUP=1: run each query once UNTIMED before timing, so
-    // one-shot JIT/codegen costs stop polluting round-over-round deltas
-    // (steady-state is what a long-lived cluster session actually sees).
-    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "0").toInt
+    // Warmup (DEFAULT ON, disable with SPARK_GRAFT_WARMUP=0): run each
+    // query once UNTIMED before timing, so one-shot JIT/codegen costs stop
+    // polluting round-over-round deltas (steady-state is what a long-lived
+    // cluster session actually sees).
+    val warmup = sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1").toInt
     // A crashing query must FAIL the bench visibly, not silently shorten
     // the total: failures are timed as -1 and listed under "failed".
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]

@@ -189,6 +189,20 @@ object Sparql {
     compileQuery(stringEnv(spark, triples, stats), q).limit(1).count() > 0
   }
 
+  /** ASK over the ENCODED store: the existence check runs entirely on
+    * long keys — no decode stage at all.
+    */
+  def ask(spark: SparkSession, store: graft.store.StoreHandle,
+          queryText: String): Boolean = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("ASK")
+    p.tryKw("WHERE")
+    val group = parseGroup(p, prefixes)
+    val env = encEnvFor(spark, store, group, plainVarsOfG(group))
+    compileGroup(env, group).limit(1).count() > 0
+  }
+
   /** CONSTRUCT: instantiate a triple-pattern template once per WHERE
     * solution; the result is a deduplicated (s, p, o) graph, and template
     * triples with unbound variables are dropped (SPARQL 1.1 §16.2). The
@@ -216,6 +230,36 @@ object Sparql {
     p.eatKw("WHERE")
     val group = parseGroup(p, prefixes)
     val sols = compileGroup(stringEnv(spark, triples, stats), group)
+    instantiate(template, sols)
+  }
+
+  /** CONSTRUCT over the ENCODED store: the WHERE algebra runs on long
+    * keys; solutions decode once (the single decode stage) and the
+    * template instantiates from the decoded strings, so blank skolem ids
+    * are IDENTICAL to the string path's for the same solutions.
+    */
+  def construct(spark: SparkSession, store: graft.store.StoreHandle,
+                queryText: String): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("CONSTRUCT")
+    val template = parseGroup(p, prefixes)
+    require(template.filters.isEmpty && template.optionals.isEmpty &&
+      template.unions.isEmpty && template.minuses.isEmpty &&
+      template.paths.isEmpty && template.binds.isEmpty &&
+      template.subqueries.isEmpty && template.subgroups.isEmpty,
+      "CONSTRUCT template must contain only triple patterns")
+    p.eatKw("WHERE")
+    val group = parseGroup(p, prefixes)
+    val env = encEnvFor(spark, store, group, plainVarsOfG(group))
+    instantiate(template, decodeFinal(env, compileGroup(env, group)))
+  }
+
+  /** Template instantiation over decoded solutions (shared by both
+    * CONSTRUCT paths): one select per template triple, unbound-variable
+    * rows dropped, `_:label` blanks skolemized per solution row.
+    */
+  private def instantiate(template: Group, sols: DataFrame): DataFrame = {
     val rowHash = pmod(xxhash64(sols.columns.map(col): _*), lit(1000000007L))
     def term(t: Term): Column = t match {
       case V(n) => col(n)
@@ -242,6 +286,60 @@ object Sparql {
                stats: Map[String, PredStats] = Map.empty): DataFrame = {
     val p = new P(tokenize(queryText))
     val prefixes = parsePrefixes(p)
+    val (vars, consts, whereG) = parseDescribeHeader(p, prefixes)
+    import spark.implicits._
+    val varSubjects = whereG match {
+      case Some(g) =>
+        val sols = compileGroup(stringEnv(spark, triples, stats), g)
+        vars.filter(sols.columns.contains)
+          .map(v => sols.select(col(v).as("s")))
+      case None => Seq.empty
+    }
+    val constSubjects =
+      if (consts.isEmpty) Seq.empty else Seq(consts.toDF("s"))
+    val subjects = (varSubjects ++ constSubjects)
+      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+    cbd(triples, subjects,
+      nodes => nodes.where(col("s").startsWith("_:")))
+  }
+
+  /** DESCRIBE over the ENCODED store: subjects resolve to ids, the CBD
+    * expansion (outgoing + incoming + blank closure) runs on long keys —
+    * blanks are recognized by a semi-join against the dictionary's `_:`
+    * rows — and the result decodes once at the top.
+    */
+  def describe(spark: SparkSession, store: graft.store.StoreHandle,
+               queryText: String): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    val (vars, consts, whereG) = parseDescribeHeader(p, prefixes)
+    val g = whereG.getOrElse(Group(Seq.empty, Seq.empty, Seq.empty, Seq.empty))
+    val env = encEnvFor(spark, store, g,
+      whereG.map(plainVarsOfG).getOrElse(Set.empty), consts.toSet)
+    import spark.implicits._
+    val varSubjects = whereG match {
+      case Some(_) =>
+        val sols = compileGroup(env, g)
+        vars.filter(sols.columns.contains)
+          .map(v => sols.select(col(v).as("s")))
+      case None => Seq.empty
+    }
+    val constSubjects =
+      if (consts.isEmpty) Seq.empty
+      else Seq(consts.map(c => env.cval(c).asInstanceOf[Long]).toDF("s"))
+    val subjects = (varSubjects ++ constSubjects)
+      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+    val blankIds = store.dict.where(col("term").startsWith("_:"))
+      .select(col("id").as("s"))
+    val described = cbd(store.enc, subjects,
+      nodes => nodes.join(blankIds, Seq("s"), "left_semi"))
+    graft.dict.Dictionary.decodeAll(
+      described.localCheckpoint(true), env.dictAll, Seq("s", "p", "o"))
+      .select(col("s"), col("p"), col("o"))
+  }
+
+  private def parseDescribeHeader(p: P, prefixes: Map[String, String])
+      : (Seq[String], Seq[String], Option[Group]) = {
     p.eatKw("DESCRIBE")
     var vars = Seq.empty[String]
     var consts = Seq.empty[String]
@@ -256,21 +354,19 @@ object Sparql {
       case _ => reading = false
     }
     require(vars.nonEmpty || consts.nonEmpty, "DESCRIBE needs a resource or variable")
-    val fromWhere: Option[DataFrame] =
-      if (p.tryKw("WHERE"))
-        Some(compileGroup(stringEnv(spark, triples, stats), parseGroup(p, prefixes)))
-      else None
-    import spark.implicits._
-    val varSubjects = fromWhere match {
-      case Some(sols) =>
-        vars.filter(sols.columns.contains)
-          .map(v => sols.select(col(v).as("s")))
-      case None => Seq.empty
-    }
-    val constSubjects =
-      if (consts.isEmpty) Seq.empty else Seq(consts.toDF("s"))
-    val subjects = (varSubjects ++ constSubjects)
-      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+    val whereG =
+      if (p.tryKw("WHERE")) Some(parseGroup(p, prefixes)) else None
+    (vars, consts, whereG)
+  }
+
+  /** Concise-bounded-description core over any (s, p, o) relation:
+    * outgoing triples of `subjects`, their incoming edges, and the
+    * blank-node closure (`isBlankNodes` filters a single-column `s` frame
+    * of candidate nodes down to blanks — string prefix test or dictionary
+    * semi-join, per store).
+    */
+  private def cbd(triples: DataFrame, subjects: DataFrame,
+                  isBlankNodes: DataFrame => DataFrame): DataFrame = {
     val outgoing = triples.join(broadcast(subjects), Seq("s"), "left_semi")
     val incoming = triples.join(
       broadcast(subjects.select(col("s").as("o"))), Seq("o"), "left_semi")
@@ -279,9 +375,10 @@ object Sparql {
     // blank-node closure: a _:object's own description folds in (bounded
     // frontier loop; blank chains are shallow by construction)
     var expanded = subjects
-    var frontier = described.where(col("o").startsWith("_:"))
-      .select(col("o").as("s")).distinct()
-      .join(expanded, Seq("s"), "left_anti").localCheckpoint(true)
+    def blankObjs(df: DataFrame): DataFrame =
+      isBlankNodes(df.select(col("o").as("s")).distinct())
+        .join(expanded, Seq("s"), "left_anti").localCheckpoint(true)
+    var frontier = blankObjs(described)
     var rounds = 0
     while (!frontier.isEmpty) {
       if (rounds >= 50)
@@ -291,9 +388,7 @@ object Sparql {
         .localCheckpoint(true)
       described = described.unionAll(step)
       expanded = expanded.unionAll(frontier).localCheckpoint(true)
-      frontier = step.where(col("o").startsWith("_:"))
-        .select(col("o").as("s")).distinct()
-        .join(expanded, Seq("s"), "left_anti").localCheckpoint(true)
+      frontier = blankObjs(step)
       rounds += 1
     }
     described.distinct()
@@ -931,16 +1026,31 @@ object Sparql {
     */
   def executeEncoded(spark: SparkSession, store: graft.store.StoreHandle,
                      queryText: String): DataFrame = {
-    import graft.dict.Dictionary
     val q = parse(queryText)
-    val consts = groupConsts(q.group).toSeq.sorted
-    // On a certified store ids come from hashing alone; the dictionary is
-    // probed only for path ENDPOINT constants (the one position where an
-    // absent constant must still decode back to itself) — usually an
-    // empty set, so most queries skip the probe job entirely. A repaired
-    // store resolves every constant through the dictionary.
+    val plain = plainVarsOf(q)
+    val overlap = plain intersect patternVarsOfG(q.group)
+    require(overlap.isEmpty,
+      s"encoded execution needs BIND/alias vars disjoint from pattern vars: $overlap")
+    compileQuery(encEnvFor(spark, store, q.group, plain), q, top = true)
+  }
+
+  /** Build the encoded-mode environment for a group: resolve every
+    * pattern-position constant to its id driver-side. On a certified
+    * store ids come from hashing alone and the dictionary is probed only
+    * for path ENDPOINT constants (the one position where an absent
+    * constant must still decode back to itself, plus any `extraProbe`
+    * terms the caller needs decodable) — usually an empty set, so most
+    * queries skip the probe job entirely. A repaired store resolves every
+    * constant through the dictionary.
+    */
+  private def encEnvFor(spark: SparkSession, store: graft.store.StoreHandle,
+                        g: Group, plain: Set[String],
+                        extraProbe: Set[String] = Set.empty): Env = {
+    import graft.dict.Dictionary
+    val consts = (groupConsts(g) ++ extraProbe).toSeq.sorted
     val probeSet =
-      if (store.pureHash) pathEndpointConsts(q.group).toSeq.sorted else consts
+      if (store.pureHash) (pathEndpointConsts(g) ++ extraProbe).toSeq.sorted
+      else consts
     val present = Dictionary.lookup(store.dict, probeSet)
     val ids: Map[String, Long] =
       if (store.pureHash) Dictionary.hashLiterals(spark, consts)
@@ -949,13 +1059,8 @@ object Sparql {
         consts.map(c => c -> present.getOrElse(c, -fresh.next().toLong)).toMap
       }
     val localDict = probeSet.filterNot(present.contains).map(c => ids(c) -> c)
-    val plain = plainVarsOf(q)
-    val overlap = plain intersect patternVarsOfG(q.group)
-    require(overlap.isEmpty,
-      s"encoded execution needs BIND/alias vars disjoint from pattern vars: $overlap")
-    val env = Env(spark, store.enc, store.encStats, store.totalCnt,
+    Env(spark, store.enc, store.encStats, store.totalCnt,
       Some(EncEnv(store.dict, ids, localDict, plain)))
-    compileQuery(env, q, top = true)
   }
 
   /** Continuous SPARQL over a live triple stream (BGP+FILTER subset, the
