@@ -700,6 +700,16 @@ object SparkEntry {
       .orderBy("s", "p", "o")
   }
 
+  /** SPARQL 1.1 §17.4 term/hash builtins: MD5, ENCODE_FOR_URI, DATATYPE
+    * over the string-serialized term model, oracle-checked.
+    */
+  private def sparqlHashfns(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?p (MD5(?nm) AS ?h) (ENCODE_FOR_URI(?nm) AS ?u)
+        |       (DATATYPE(?nm) AS ?dt)
+        |WHERE { ?p a "Part" ; :name ?nm } ORDER BY ?p""".stripMargin)
+
   /** SPARQL sequence property path (p1/p2 chains via fresh variables). */
   private def sparqlPath(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -1318,6 +1328,7 @@ object SparkEntry {
     "q_sparql_agg" -> (sparqlAgg _),
     "q_sparql_enc_agg" -> (sparqlEncAgg _),
     "q_sparql_describe" -> (sparqlDescribe _),
+    "q_sparql_hashfns" -> (sparqlHashfns _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -1702,6 +1713,11 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY nm""".stripMargin,
+    "q_sparql_hashfns" ->
+      """SELECT 'part:' || p_partkey AS p, md5(p_name) AS h,
+        |  replace(p_name, ' ', '%20') AS u,
+        |  'http://www.w3.org/2001/XMLSchema#string' AS dt
+        |FROM part ORDER BY p""".stripMargin,
     "q_sparql_describe" ->
       """SELECT * FROM (
         |  SELECT 'customer:1' AS s, 'a' AS p, 'Customer' AS o

@@ -171,7 +171,8 @@ object Sparql {
     Seq("COUNT", "SUM", "MIN", "MAX", "AVG", "GROUP_CONCAT", "SAMPLE")
   private val boolFns =
     Seq("BOUND", "REGEX", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL",
-      "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES", "SAMETERM")
+      "ISNUMERIC", "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES",
+      "SAMETERM")
 
   /** ASK: does the pattern have at least one solution? The reference
     * throws on ASK (`CustomQueryExecution.scala:175`); here it compiles
@@ -1701,6 +1702,29 @@ object Sparql {
         case "YEAR" => substring(strOf(a0), 1, 4).cast("int")
         case "MONTH" => substring(strOf(a0), 6, 2).cast("int")
         case "DAY" => substring(strOf(a0), 9, 2).cast("int")
+        // term constructors / inspectors (SPARQL 1.1 §17.4)
+        case "IRI" | "URI" => strOf(a0) // string-serialized term model
+        case "STRLANG" =>
+          concat(lit("\""), strOf(a0), lit("\"@"), strOf(compileVal(args(1), resolve)))
+        case "DATATYPE" =>
+          val langRe = "^\"(?:[^\"\\\\]|\\\\.)*\"@[A-Za-z][A-Za-z0-9-]*$"
+          when(a0.rlike(langRe),
+            lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+            .when(a0.startsWith("\"") ||
+              (!a0.startsWith("_:") && !a0.contains(":")),
+              lit("http://www.w3.org/2001/XMLSchema#string"))
+            .otherwise(lit(null))
+        case "ENCODE_FOR_URI" =>
+          // url_encode is x-www-form-urlencoded; patch the three spots it
+          // diverges from RFC 3986 percent-encoding (space, ~, *)
+          regexp_replace(regexp_replace(regexp_replace(
+            url_encode(strOf(a0)),
+            "\\+", "%20"), "%7E", "~"), "\\*", "%2A")
+        case "MD5" => md5(strOf(a0).cast("binary"))
+        case "SHA1" => sha1(strOf(a0).cast("binary"))
+        case "SHA256" => sha2(strOf(a0).cast("binary"), 256)
+        case "SHA384" => sha2(strOf(a0).cast("binary"), 384)
+        case "SHA512" => sha2(strOf(a0).cast("binary"), 512)
         case other =>
           throw new IllegalArgumentException(s"unsupported function $other()")
       }
@@ -1745,6 +1769,9 @@ object Sparql {
         case "ISIRI" | "ISURI" => isIriCol(a0)
         case "ISBLANK" => a0.startsWith("_:")
         case "ISLITERAL" => !a0.startsWith("_:") && (a0.startsWith("\"") || !a0.contains(":"))
+        case "ISNUMERIC" =>
+          // bare numeric serialization (the store renders numbers unquoted)
+          a0.rlike("^[+-]?(\\d+(\\.\\d+)?|\\.\\d+)$")
         case "STRSTARTS" => strOf(a0).startsWith(strOf(compileVal(args(1), resolve)))
         case "STRENDS" => strOf(a0).endsWith(strOf(compileVal(args(1), resolve)))
         case "CONTAINS" => strOf(a0).contains(strOf(compileVal(args(1), resolve)))

@@ -508,6 +508,42 @@ class SparqlSpec extends SparkSpec {
     res.collect { case (b, "to", _) => b }.toSet shouldBe blanks
   }
 
+  it should "evaluate term-inspection and hash builtins (SPARQL 1.1 §17.4)" in {
+    val t2 = Seq(
+      ("a", "v", "\"hi\"@en"), ("b", "v", "\"raw\""), ("c", "v", "42"),
+      ("d", "v", "iri:x"), ("e", "v", "two words")
+    ).toDF("s", "p", "o")
+    def one(q: String): Seq[Seq[String]] =
+      Sparql.execute(spark, t2, q).collect()
+        .map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.getString(i))).toSeq
+    one("""PREFIX : <>
+          |SELECT ?s (DATATYPE(?o) AS ?dt) WHERE { ?s :v ?o } ORDER BY ?s""".stripMargin)
+      .map(_(1)) shouldBe Seq(
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString",
+      "http://www.w3.org/2001/XMLSchema#string",
+      "http://www.w3.org/2001/XMLSchema#string",
+      null, // IRI: DATATYPE unbound
+      "http://www.w3.org/2001/XMLSchema#string")
+    one("""PREFIX : <>
+          |SELECT ?s WHERE { ?s :v ?o . FILTER (ISNUMERIC(?o)) }""".stripMargin)
+      .shouldBe(Seq(Seq("c")))
+    one("""PREFIX : <>
+          |SELECT (ENCODE_FOR_URI(?o) AS ?u) WHERE { ?s :v ?o . FILTER (?s = "e") }""".stripMargin)
+      .shouldBe(Seq(Seq("two%20words")))
+    one("""PREFIX : <>
+          |SELECT (MD5(?o) AS ?h) (SHA256(?o) AS ?h2) WHERE { ?s :v ?o . FILTER (?s = "c") }""".stripMargin)
+      .head shouldBe Seq(
+      "a1d0c6e83f027327d8461063f4ac58a6", // md5("42")
+      "73475cb40a568e8da8a045ced110137e159f890ac4da883b6b17dc651b3a8049")
+    one("""PREFIX : <>
+          |SELECT (STRLANG(STR(?o), "fr") AS ?l) WHERE { ?s :v ?o . FILTER (?s = "b") }""".stripMargin)
+      .shouldBe(Seq(Seq("\"raw\"@fr")))
+    one("""PREFIX : <>
+          |SELECT (IRI(?o) AS ?i) WHERE { ?s :v ?o . FILTER (?s = "d") }""".stripMargin)
+      .shouldBe(Seq(Seq("iri:x")))
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
