@@ -115,6 +115,15 @@ object Sparql {
     var i = 0
     val out = Vector.newBuilder[Tok]
     while (i < s.length && !s.substring(i).forall(_.isWhitespace)) {
+      // comments: '#' at a token boundary skips to end of line ('#' inside
+      // <iri> or "literal" tokens is consumed atomically by the regex)
+      while (i < s.length && s.charAt(i).isWhitespace) i += 1
+      if (i >= s.length) {
+        // only trailing whitespace/comment remained
+      } else if (s.charAt(i) == '#') {
+        val nl = s.indexOf('\n', i)
+        i = if (nl < 0) s.length else nl + 1
+      } else
       tokenRe.findPrefixMatchOf(s.subSequence(i, s.length)) match {
         case Some(m) if m.end > 0 =>
           if (m.group(1) != null) out += TVar(m.group(1).substring(1))

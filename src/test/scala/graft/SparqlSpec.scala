@@ -544,6 +544,23 @@ class SparqlSpec extends SparkSpec {
       .shouldBe(Seq(Seq("iri:x")))
   }
 
+  it should "skip comments while tokenizing (not inside IRIs or literals)" in {
+    val res = run(
+      """# leading comment
+        |PREFIX : <>   # prefixes end here
+        |SELECT ?a ?c WHERE {
+        |  ?a :2 ?b .  # hop one
+        |  ?b :4 ?c    # hop two
+        |} ORDER BY ?c # trailing""".stripMargin)
+    res shouldBe Seq(Seq("1", "5"), Seq("1", "6"))
+    // '#' inside quoted literals and IRIs is content, not a comment
+    Sparql.execute(spark,
+      Seq(("x", "brand", "Brand#17")).toDF("s", "p", "o"),
+      """PREFIX : <>
+        |SELECT ?x WHERE { ?x :brand "Brand#17" }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("x")
+  }
+
   it should "reject malformed queries with a parse error" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.parse("SELECT WHERE { }")
