@@ -710,6 +710,27 @@ object SparkEntry {
         |       (DATATYPE(?nm) AS ?dt)
         |WHERE { ?p a "Part" ; :name ?nm } ORDER BY ?p""".stripMargin)
 
+  /** Deterministic random walks over the store's UNDIRECTED entity graph
+    * (IRI-object edges + their reverses): 4 walks × 3 steps from each
+    * region node. The step hash (md5 of seed|start|walk|step|node, mod
+    * degree) is engine-neutral, so DuckDB replays the exact recursion —
+    * the DeepWalk-style sampling primitive, oracle-checked.
+    */
+  private def randomWalks(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.GraphOps
+    val st = GraftStore.forDir(s, d)
+    val iriEdges = st.triples
+      .where(col("o").contains(":") &&
+        !col("o").startsWith("\"") && !col("o").startsWith("_:"))
+      .select(col("s"), col("o"))
+    val und = iriEdges.unionAll(
+      iriEdges.select(col("o").as("s"), col("s").as("o")))
+    val starts = st.triples
+      .where(col("p") === "a" && col("o") === "Region").select(col("s"))
+    GraphOps.randomWalks(und, starts, steps = 3, walksPerStart = 4)
+      .orderBy("start", "w", "step")
+  }
+
   /** SPARQL sequence property path (p1/p2 chains via fresh variables). */
   private def sparqlPath(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -1329,6 +1350,7 @@ object SparkEntry {
     "q_sparql_enc_agg" -> (sparqlEncAgg _),
     "q_sparql_describe" -> (sparqlDescribe _),
     "q_sparql_hashfns" -> (sparqlHashfns _),
+    "q_random_walks" -> (randomWalks _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -1713,6 +1735,33 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY nm""".stripMargin,
+    "q_random_walks" ->
+      """WITH RECURSIVE fwd AS (
+        |  SELECT 'nation:'||n_nationkey AS s, 'region:'||n_regionkey AS o FROM nation
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'nation:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'customer:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'order:'||l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'part:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'supplier:'||l_suppkey FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT s, o FROM (SELECT s, o FROM fwd UNION ALL SELECT o, s FROM fwd)
+        |), ranked AS (
+        |  SELECT s, o, row_number() OVER (PARTITION BY s ORDER BY o) AS rk,
+        |         count(*) OVER (PARTITION BY s) AS deg FROM und
+        |), walk AS (
+        |  SELECT r.x AS start, wnum.w AS w, CAST(0 AS BIGINT) AS step, r.x AS node
+        |  FROM (SELECT 'region:'||r_regionkey AS x FROM region) r
+        |  CROSS JOIN (SELECT unnest(range(4)) AS w) wnum
+        |  UNION ALL
+        |  SELECT wk.start, wk.w, wk.step+1, rr.o
+        |  FROM walk wk JOIN ranked rr ON rr.s = wk.node
+        |   AND rr.rk = 1 + (CAST(('0x' || substr(md5(
+        |         '42' || '|' || wk.start || '|' || wk.w || '|' ||
+        |         (wk.step+1) || '|' || wk.node), 1, 8)) AS BIGINT) % rr.deg)
+        |  WHERE wk.step < 3
+        |)
+        |SELECT start, w, step, node FROM walk ORDER BY start, w, step""".stripMargin,
     "q_sparql_hashfns" ->
       """SELECT 'part:' || p_partkey AS p, md5(p_name) AS h,
         |  replace(p_name, ' ', '%20') AS u,

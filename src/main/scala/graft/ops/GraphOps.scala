@@ -1,0 +1,57 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Graph sampling over the edge relation — the operator family behind
+  * DeepWalk/node2vec-style embedding training data. The reference carried
+  * a (commented-out) `randomWalk` vestige
+  * (`core/src/main/scala/com/graphula/Graphula.scala:509-658`); this is
+  * the working Spark-first version.
+  *
+  * Scale shape: the ranked adjacency (per-source neighbor ranks + degree)
+  * is built ONCE (one window pass) and each walk step is one equi-join of
+  * the walker frontier against it — `steps` joins total, no driver-side
+  * row movement, walker count = |starts| × walksPerStart regardless of
+  * graph size.
+  */
+object GraphOps {
+
+  /** Deterministic seeded uniform random walks: `walksPerStart` walks of
+    * up to `steps` steps from every start node. The step choice is a
+    * CONTENT HASH — `md5(seed|start|walk|step|node)` taken modulo the
+    * node's out-degree against the per-neighbor rank — so results are
+    * reproducible across engines (DuckDB replays the identical recursion
+    * with its own md5; no engine-private PRNG). Walks truncate at
+    * dead-end nodes (no outgoing edges).
+    *
+    * Output: one row per visited position — (start, w, step, node),
+    * step 0 = the start node itself.
+    */
+  def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
+                  walksPerStart: Int = 1, seed: String = "42"): DataFrame = {
+    require(steps >= 0 && walksPerStart >= 1, "need steps >= 0, walks >= 1")
+    val ranked = edges.select(col("s"), col("o")).distinct()
+      .withColumn("rk", row_number().over(Window.partitionBy("s").orderBy("o")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("s")))
+      .localCheckpoint(true)
+    var walkers = starts.select(col(starts.columns.head).as("start")).distinct()
+      .select(col("start"),
+        explode(sequence(lit(0L), lit(walksPerStart - 1L))).as("w"))
+      .select(col("start"), col("w"), lit(0L).as("step"), col("start").as("node"))
+    var out = walkers
+    for (k <- 1 to steps) {
+      val choice: Column =
+        conv(substring(md5(concat_ws("|",
+          lit(seed), col("start"), col("w").cast("string"),
+          lit(k.toString), col("node"))), 1, 8), 16, 10).cast("long")
+      walkers = walkers.join(ranked, col("node") === col("s"))
+        .where(col("rk") === pmod(choice, col("deg")) + 1)
+        .select(col("start"), col("w"), lit(k.toLong).as("step"),
+          col("o").as("node"))
+      out = out.unionAll(walkers)
+    }
+    out
+  }
+}

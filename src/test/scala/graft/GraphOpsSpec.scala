@@ -1,0 +1,63 @@
+package graft
+
+import graft.ops.GraphOps
+import org.apache.spark.sql.functions._
+
+/** Random-walk sampling over an edge relation: structural validity (every
+  * transition is an edge), per-(start, walk) determinism, dead-end
+  * truncation, and hash-uniformity sanity over a branching node.
+  */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // a -> {b, c}; b -> d; c is a DEAD END; d -> a (cycle back)
+  lazy val edges = Seq(
+    ("a", "b"), ("a", "c"), ("b", "d"), ("d", "a")
+  ).toDF("s", "o")
+
+  "GraphOps.randomWalks" should "emit step 0 and only valid transitions" in {
+    val walks = GraphOps.randomWalks(edges, Seq("a").toDF("n"),
+      steps = 3, walksPerStart = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    // every walk starts at its start node
+    walks.filter(_._3 == 0L).map(w => (w._1, w._4)).distinct shouldBe Array(("a", "a"))
+    walks.filter(_._3 == 0L).length shouldBe 8
+    // every consecutive (step k -> k+1) pair is a real edge
+    val edgeSet = Set("a" -> "b", "a" -> "c", "b" -> "d", "d" -> "a")
+    walks.groupBy(w => (w._1, w._2)).values.foreach { walk =>
+      walk.sortBy(_._3).sliding(2).foreach {
+        case Array(x, y) =>
+          y._3 shouldBe x._3 + 1
+          edgeSet should contain(x._4 -> y._4)
+        case _ =>
+      }
+    }
+  }
+
+  it should "be deterministic and truncate at dead ends" in {
+    def run() = GraphOps.randomWalks(edges, Seq("a").toDF("n"),
+      steps = 4, walksPerStart = 8).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getString(3))).sorted
+    val first = run()
+    run() shouldBe first // content-hash choices: bit-identical reruns
+    // a walk reaching c STOPS there (c has no outgoing edges) — whether it
+    // got there directly (a->c) or around the cycle (a->b->d->a->c)
+    val byWalk = first.groupBy(w => (w._1, w._2)).values
+    val truncated = byWalk.filter(_.exists(_._4 == "c"))
+    truncated.foreach { walk =>
+      val cStep = walk.find(_._4 == "c").get._3
+      walk.map(_._3).max shouldBe cStep
+    }
+    truncated should not be empty // 8 walks over repeated fair coins: ~certain
+    // walks never reaching c run the full 4 steps
+    byWalk.filter(w => !w.exists(_._4 == "c"))
+      .foreach(walk => walk.map(_._3).max shouldBe 4L)
+  }
+
+  it should "choose both branches of a fork across walks" in {
+    val walks = GraphOps.randomWalks(edges, Seq("a").toDF("n"),
+      steps = 1, walksPerStart = 16).collect()
+      .map(r => r.getString(3)).filter(_ != "a")
+    walks.toSet shouldBe Set("b", "c") // 16 hashed coins hit both sides
+  }
+}
