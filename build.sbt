@@ -27,7 +27,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dderby.system.home=target/derby",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default sized for the 128 GiB bench host: the block manager pins
+  // ingest-time artifacts (store/dict/gram checkpoints) for the whole
+  // session, and an 8g heap left only ~4g of old gen for them — late-run
+  // full-GC thrash. 24g keeps storage + execution + GC headroom apart.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
   // Throughput GC for batch analytics: with very large heaps (the bench
   // host has 128 GiB), G1's default tuning caused multi-second pauses and
   // run-to-run degradation; ParallelGC + a bounded young gen is stable.

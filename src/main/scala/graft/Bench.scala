@@ -9,6 +9,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      // ContextCleaner's periodic GC defaults to 30min — longer than the
+      // whole bench. Per-query checkpoint/broadcast blocks are only freed
+      // after a driver GC surfaces their weak refs, so force one often
+      // enough that a 100+-query session can't accumulate dead blocks.
+      .config("spark.cleaner.periodicGC.interval", "90s")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -308,7 +308,7 @@ object Sparql {
     val constSubjects =
       if (consts.isEmpty) Seq.empty else Seq(consts.toDF("s"))
     val subjects = (varSubjects ++ constSubjects)
-      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+      .reduce(_.unionAll(_)).distinct()
     cbd(triples, subjects,
       nodes => nodes.where(col("s").startsWith("_:")))
   }
@@ -338,13 +338,13 @@ object Sparql {
       if (consts.isEmpty) Seq.empty
       else Seq(consts.map(c => env.cval(c).asInstanceOf[Long]).toDF("s"))
     val subjects = (varSubjects ++ constSubjects)
-      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+      .reduce(_.unionAll(_)).distinct()
     val blankIds = store.dict.where(col("term").startsWith("_:"))
       .select(col("id").as("s"))
+    // cbd seals its result, so the decode pass reads a pinned frame already
     val described = cbd(store.enc, subjects,
       nodes => nodes.join(blankIds, Seq("s"), "left_semi"))
-    graft.dict.Dictionary.decodeAll(
-      described.localCheckpoint(true), env.dictAll, Seq("s", "p", "o"))
+    graft.dict.Dictionary.decodeAll(described, env.dictAll, Seq("s", "p", "o"))
       .select(col("s"), col("p"), col("o"))
   }
 
@@ -375,8 +375,10 @@ object Sparql {
     * of candidate nodes down to blanks — string prefix test or dictionary
     * semi-join, per store).
     */
-  private def cbd(triples: DataFrame, subjects: DataFrame,
+  private def cbd(triples: DataFrame, subjectsRaw: DataFrame,
                   isBlankNodes: DataFrame => DataFrame): DataFrame = {
+    val pins = new graft.Pins
+    val subjects = pins.pin(subjectsRaw)
     val outgoing = triples.join(broadcast(subjects), Seq("s"), "left_semi")
     val incoming = triples.join(
       broadcast(subjects.select(col("s").as("o"))), Seq("o"), "left_semi")
@@ -386,22 +388,23 @@ object Sparql {
     // frontier loop; blank chains are shallow by construction)
     var expanded = subjects
     def blankObjs(df: DataFrame): DataFrame =
-      isBlankNodes(df.select(col("o").as("s")).distinct())
-        .join(expanded, Seq("s"), "left_anti").localCheckpoint(true)
+      pins.pin(isBlankNodes(df.select(col("o").as("s")).distinct())
+        .join(expanded, Seq("s"), "left_anti"))
     var frontier = blankObjs(described)
     var rounds = 0
     while (!frontier.isEmpty) {
       if (rounds >= 50)
         throw new IllegalStateException(
           s"DESCRIBE blank-node closure did not converge after $rounds rounds")
-      val step = triples.join(broadcast(frontier), Seq("s"), "left_semi")
-        .localCheckpoint(true)
+      val step = pins.pin(triples.join(broadcast(frontier), Seq("s"), "left_semi"))
       described = described.unionAll(step)
-      expanded = expanded.unionAll(frontier).localCheckpoint(true)
+      expanded = pins.pin(expanded.unionAll(frontier))
       frontier = blankObjs(step)
       rounds += 1
     }
-    described.distinct()
+    // seal: materialize the final description once, then free every
+    // per-round checkpoint (see Pins) — a DESCRIBE result is terminal
+    pins.seal(described.distinct())
   }
 
   private def parsePrefixes(p: P): Map[String, String] = {
@@ -1504,8 +1507,7 @@ object Sparql {
       // pays the one-time edge materialization
       val edges = pathRel(env, x, extra)
       seededClosureDriver(edges, seeds, includeZero)
-        .getOrElse(seededClosureDistributed(
-          edges.localCheckpoint(true), seeds, includeZero))
+        .getOrElse(seededClosureDistributed(edges, seeds, includeZero))
   }
 
   /** Driver-side BFS over a (bounded) seed set: per round, one job scans
@@ -1568,37 +1570,40 @@ object Sparql {
     * frontier has no catalog stats, so without the hint every round would
     * re-shuffle the whole edge relation.
     */
-  private def seededClosureDistributed(edges: DataFrame, seeds: DataFrame,
+  private def seededClosureDistributed(edgesRaw: DataFrame, seeds: DataFrame,
                                        includeZero: Boolean): DataFrame = {
-    val zero = seeds.distinct()
-      .select(col("n").as("s"), col("n").as("o")).localCheckpoint(true)
+    val pins = new graft.Pins
+    val edges = pins.pin(edgesRaw)
+    val zero = pins.pin(seeds.distinct()
+      .select(col("n").as("s"), col("n").as("o")))
     var frontier = zero          // (origin, current-node) pairs to expand
     var expanded = zero          // per-origin nodes already expanded
-    var result = zero.limit(0).localCheckpoint(true)
+    var result = pins.pin(zero.limit(0))
     var rounds = 0
     var done = false
     while (!done) {
       if (rounds >= 10000)
         throw new IllegalStateException(
           s"seeded closure frontier did not converge after $rounds rounds")
-      val step = broadcast(frontier.withColumnRenamed("o", "__c"))
+      val step = pins.pin(broadcast(frontier.withColumnRenamed("o", "__c"))
         .join(edges.withColumnRenamed("s", "__c"), "__c")
-        .select(col("s"), col("o")).distinct().localCheckpoint(true)
+        .select(col("s"), col("o")).distinct())
       // every stepped pair is a valid length>=1 match (including cycles
       // back to already-expanded nodes)...
       result = result.unionAll(step)
       // ...but only never-expanded (origin, node) pairs re-enter the
       // frontier, which is what guarantees termination on cycles
-      val fresh = step.join(expanded, Seq("s", "o"), "left_anti")
-        .localCheckpoint(true)
+      val fresh = pins.pin(step.join(expanded, Seq("s", "o"), "left_anti"))
       if (fresh.isEmpty) done = true
       else {
-        expanded = expanded.unionAll(fresh).localCheckpoint(true)
+        expanded = pins.pin(expanded.unionAll(fresh))
         frontier = fresh
       }
       rounds += 1
     }
-    if (includeZero) result.unionAll(zero).distinct() else result.distinct()
+    // seal materializes the closure once and frees every per-round block
+    pins.seal(
+      if (includeZero) result.unionAll(zero).distinct() else result.distinct())
   }
 
   /** One-or-more-step reachability over an arbitrary (s, o) edge relation:
@@ -1621,10 +1626,15 @@ object Sparql {
       prev = size
       val next = closure.as("l").join(closure.as("r"), col("l.o") === col("r.s"))
         .select(col("l.s").as("s"), col("r.o").as("o"))
-      closure = closure.unionByName(next).distinct().localCheckpoint(true)
-      size = closure.count()
+      val grown = closure.unionByName(next).distinct().localCheckpoint(true)
+      size = grown.count()
+      // the doubled closure strictly supersedes the previous round's
+      // checkpoint — free its blocks now instead of waiting for a GC
+      if (closure ne edges) graft.Pins.unpin(closure)
+      closure = grown
       iter += 1
     }
+    if (closure ne edges) graft.Pins.unpin(edges)
     closure
   }
 

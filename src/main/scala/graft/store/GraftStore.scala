@@ -194,6 +194,12 @@ object GraftStore {
     val newEnc = Seq("s", "p", "o")
       .foldLeft(newT)((df, c) => Dictionary.encode(df, slim, c))
       .localCheckpoint(true)
+    // batch-scoped intermediates are superseded once the delta is encoded:
+    // `newTerms` fed the (materialized) existing/newOnly split, `existing`
+    // fed the slim encode dictionary — free their blocks now rather than
+    // leaking one pinned set per append in a long-lived streaming session
+    graft.Pins.unpin(newTerms)
+    graft.Pins.unpin(existing)
     val sketches = TripleStore.mergeSketches(
       handle.sketches, TripleStore.predSketches(newT)).localCheckpoint(true)
     val stats = statsOf(sketches)
