@@ -32,26 +32,31 @@ object GraphOps {
   def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
                   walksPerStart: Int = 1, seed: String = "42"): DataFrame = {
     require(steps >= 0 && walksPerStart >= 1, "need steps >= 0, walks >= 1")
-    val ranked = edges.select(col("s"), col("o")).distinct()
+    val pins = new graft.Pins
+    val ranked = pins.pin(edges.select(col("s"), col("o")).distinct()
       .withColumn("rk", row_number().over(Window.partitionBy("s").orderBy("o")))
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy("s")))
-      .localCheckpoint(true)
-    var walkers = starts.select(col(starts.columns.head).as("start")).distinct()
-      .select(col("start"),
-        explode(sequence(lit(0L), lit(walksPerStart - 1L))).as("w"))
-      .select(col("start"), col("w"), lit(0L).as("step"), col("start").as("node"))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("s"))))
+    // each step's frontier is pinned: tiny (|starts| × walksPerStart rows),
+    // and without it union branch k would recompute every prior join —
+    // `steps` scans of the adjacency instead of O(steps²)
+    var walkers = pins.pin(
+      starts.select(col(starts.columns.head).as("start")).distinct()
+        .select(col("start"),
+          explode(sequence(lit(0L), lit(walksPerStart - 1L))).as("w"))
+        .select(col("start"), col("w"), lit(0L).as("step"),
+          col("start").as("node")))
     var out = walkers
     for (k <- 1 to steps) {
       val choice: Column =
         conv(substring(md5(concat_ws("|",
           lit(seed), col("start"), col("w").cast("string"),
           lit(k.toString), col("node"))), 1, 8), 16, 10).cast("long")
-      walkers = walkers.join(ranked, col("node") === col("s"))
+      walkers = pins.pin(walkers.join(ranked, col("node") === col("s"))
         .where(col("rk") === pmod(choice, col("deg")) + 1)
         .select(col("start"), col("w"), lit(k.toLong).as("step"),
-          col("o").as("node"))
+          col("o").as("node")))
       out = out.unionAll(walkers)
     }
-    out
+    pins.seal(out)
   }
 }
