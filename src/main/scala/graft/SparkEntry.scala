@@ -490,6 +490,43 @@ object SparkEntry {
       .orderBy("source", "doc_id")
   }
 
+  /** BM25 retrieval over the corpus for a fixed topical query — two
+    * linear scans (broadcast global stats, then stream-and-score); only
+    * matching docs survive. See TextOps.bm25 for the determinism shape.
+    */
+  private def bm25Q(s: SparkSession, d: String): DataFrame =
+    TextOps.bm25(Tables.loadPar(s, d, "documents"),
+        Seq("spark", "query", "data"))
+      .orderBy("doc_id")
+
+  /** Deterministic stratified sampling with per-language mixture rates:
+    * dominant `en` keeps ~12%, low-resource languages keep ~30% — the
+    * hash-based corpus re-balancing stage, reproducible with no PRNG.
+    */
+  private def sampleStratifiedQ(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents")
+      .where(TextOps.stratifiedKeep(col("text"), col("lang"),
+        Map("en" -> 120), defaultRate = 300))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+
+  /** Per-domain quota: keep the 5 best-quality docs per source — the
+    * corpus-balancing cap between quality scoring and training.
+    */
+  private def domainCapQ(s: SparkSession, d: String): DataFrame =
+    TextOps.domainCap(
+        Tables.loadPar(s, d, "documents").select(
+          col("doc_id"), col("source"),
+          TextOps.qualityScore(col("text")).as("quality")),
+        col("source"), col("quality"), n = 5)
+      .select("doc_id", "source", "quality", "rank_in_domain")
+      .orderBy("source", "rank_in_domain")
+
+  /** Per-dimension int8 quantization audit of the embedding corpus. */
+  private def quantizeEmbedQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.int8QuantStats(Tables.loadPar(s, d, "embeddings"))
+      .orderBy("dim")
+
   /** Within-document repetition ratio (Gopher-style repetition filter). */
   private def selfRepetitionQ(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -1393,6 +1430,10 @@ object SparkEntry {
     "q_dup_spans" -> (dupSpansQ _),
     "q_surprisal" -> (surprisalQ _),
     "q_vocab" -> (vocabQ _),
+    "q_bm25" -> (bm25Q _),
+    "q_sample_stratified" -> (sampleStratifiedQ _),
+    "q_domain_cap" -> (domainCapQ _),
+    "q_quantize_embed" -> (quantizeEmbedQ _),
     "q_train_split" -> (trainSplitQ _),
     "q_pack_sequences" -> (packSequencesQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
@@ -2126,6 +2167,77 @@ object SparkEntry {
         |  FROM f)
         |SELECT token, cnt, token_id FROM r WHERE token_id <= 500
         |ORDER BY token_id""".stripMargin,
+    // BM25: the oracle mirrors the Spark expression TREE (same literals,
+    // same association), so every double op replays bit-identically.
+    "q_bm25" ->
+      """WITH tf AS (
+        |  SELECT doc_id,
+        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS dl,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'spark'))::DOUBLE AS tf0,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'query'))::DOUBLE AS tf1,
+        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'data'))::DOUBLE AS tf2
+        |  FROM documents),
+        |st AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        |  FROM tf)
+        |SELECT doc_id, round(
+        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |      * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |      * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |      * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+        |FROM tf, st
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH fp AS (
+        |  SELECT doc_id, lang,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(
+        |          list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS f
+        |  FROM documents)
+        |SELECT doc_id, lang FROM fp
+        |WHERE f % 1000 < CASE WHEN lang = 'en' THEN 120 ELSE 300 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_domain_cap" ->
+      """WITH q AS (
+        |  SELECT doc_id, source, round((
+        |      least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
+        |    + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
+        |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
+        |    + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
+        |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
+        |  ) / 3.0, 4) AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, quality,
+        |    CAST(row_number() OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id ASC) AS INT) AS rank_in_domain
+        |  FROM q)
+        |SELECT doc_id, source, quality, rank_in_domain FROM r
+        |WHERE rank_in_domain <= 5
+        |ORDER BY source, rank_in_domain""".stripMargin,
+    "q_quantize_embed" ->
+      """WITH e AS (
+        |  SELECT CAST(i AS INT) AS dim, embedding[i]::DOUBLE AS v
+        |  FROM embeddings, range(1, 65) t(i)),
+        |sc AS (SELECT dim, max(abs(v)) / 127.0 AS scale FROM e GROUP BY dim),
+        |j AS (
+        |  SELECT e.dim, scale,
+        |    CASE WHEN scale > 0 THEN floor(v / scale + 0.5) ELSE 0.0 END AS code, v
+        |  FROM e JOIN sc USING (dim))
+        |SELECT dim, round(min(scale), 9) AS scale,
+        |  CAST(sum(CASE WHEN abs(code) >= 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
+        |  sum(CAST(round(abs(code * scale - v) * 1e9, 0) AS BIGINT))::DOUBLE
+        |    / (count(*) * 1e9) AS mean_abs_err
+        |FROM j GROUP BY dim ORDER BY dim""".stripMargin,
     "q_surprisal" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words

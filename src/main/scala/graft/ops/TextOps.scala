@@ -201,6 +201,86 @@ object TextOps {
         round(col("sum_nll") / col("n_tokens"), 6).as("avg_surprisal"))
   }
 
+  /** BM25 retrieval scores for a literal query-term set — the corpus-
+    * search primitive (filtering a pretraining corpus by topical queries,
+    * building eval retrieval sets). Two scans, both linear:
+    *   1. one map-side-combined aggregate computes the GLOBAL stats — doc
+    *      count, average document length, per-term document frequencies —
+    *      as a single broadcast-able row;
+    *   2. the corpus streams once more, each doc scoring against the
+    *      broadcast stats row.
+    * Per-term contributions are summed in QUERY-TERM ORDER as separate
+    * column additions (not an aggregate over rows), so the float sum is
+    * deterministic and replays identically in the oracle. Lucene-style
+    * idf = ln(1 + (n - df + 0.5)/(df + 0.5)) keeps scores positive.
+    * Only docs matching at least one term are returned.
+    */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val toks = regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))
+    def tfCol(i: Int) = col(s"__tf_$i")
+    def dfCol(i: Int) = col(s"__df_$i")
+    val base = docs.select(
+      col("doc_id") +: size(toks).cast("double").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(toks, x => x === t)).cast("double").as(s"__tf_$i")
+        }: _*)
+    val statCols =
+      count(lit(1)).cast("double").as("__n") +:
+        (sum(col("dl")) / count(lit(1))).as("__avgdl") +:
+        terms.indices.map(i =>
+          sum((tfCol(i) > 0).cast("long")).cast("double").as(s"__df_$i"))
+    val stats = base.agg(statCols.head, statCols.tail: _*)
+    val scored = base.crossJoin(broadcast(stats))
+    val score = terms.indices
+      .map { i =>
+        val idf = log(lit(1.0) +
+          (col("__n") - dfCol(i) + 0.5) / (dfCol(i) + 0.5))
+        idf * ((tfCol(i) * (k1 + 1.0)) /
+          (tfCol(i) + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("__avgdl"))))
+      }
+      .reduce(_ + _)
+    scored
+      .where(terms.indices.map(i => tfCol(i) > 0).reduce(_ || _))
+      .select(col("doc_id"), round(score, 6).as("bm25"))
+  }
+
+  /** Deterministic stratified sampling: keep a document iff its content
+    * fingerprint mod `mod` falls under its stratum's quota. The
+    * per-stratum rates implement mixture re-balancing (upsample
+    * low-resource strata, downsample dominant ones); the content hash
+    * makes the sample reproducible across engines and immune to input
+    * order — no PRNG, no state, pipelines inside the scan.
+    */
+  def stratifiedKeep(text: Column, stratum: Column,
+                     rates: Map[String, Int], defaultRate: Int,
+                     mod: Int = 1000): Column = {
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, r)) =>
+      when(stratum === k, lit(r)).otherwise(acc)
+    }
+    pmod(fingerprint(text), lit(mod.toLong)) < rate.cast("long")
+  }
+
+  /** Per-domain quota capping: keep at most `n` documents per domain,
+    * best-quality first (ties break on doc_id, so the cap is
+    * deterministic). The shuffle key is the DOMAIN — each domain's docs
+    * sort locally in its partition; at corpus scale a skewed mega-domain
+    * is exactly what the cap removes, and AQE's skew handling covers the
+    * sort itself. The standard corpus-balancing stage between quality
+    * scoring and training.
+    */
+  def domainCap(docs: DataFrame, domain: Column, score: Column,
+                n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    docs
+      .withColumn("__q", score)
+      .withColumn("rank_in_domain", row_number().over(
+        Window.partitionBy(domain).orderBy(col("__q").desc, col("doc_id").asc)))
+      .where(col("rank_in_domain") <= n)
+      .drop("__q")
+  }
+
   /** Word n-grams (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int = 3): Column = {
     val words = split(TextOps.normalize(text), " ")

@@ -191,6 +191,36 @@ object VectorOps {
       .agg((sum(round(col("v").cast("double") * 1e6, 0).cast("long")).cast("double")
         / (count(lit(1)) * 1e6)).as("centroid"))
 
+  /** Per-dimension symmetric int8 quantization audit — the embedding-
+    * compression stage (serving indexes, 4x-smaller training shards).
+    * Pass 1 learns the per-dimension scale (max |v| / 127, one map-side-
+    * combined aggregate); pass 2 re-streams the corpus against the
+    * BROADCAST 64-row scale table, quantizes `code = floor(v/scale + 0.5)`
+    * (explicit floor(+0.5): identical rounding on every engine, unlike
+    * round()'s mode differences), and folds per-dimension error stats.
+    * The reconstruction error sums in integer nanos, so the aggregate is
+    * order-independent and bit-replayable in the oracle. Output per dim:
+    * scale, saturated-code count, mean absolute reconstruction error.
+    */
+  def int8QuantStats(emb: DataFrame): DataFrame = {
+    val e = emb.select(
+      posexplode(col("embedding")).as(Seq("pos", "vf")))
+      .select((col("pos") + 1).as("dim"), col("vf").cast("double").as("v"))
+    val scales = e.groupBy("dim")
+      .agg((max(abs(col("v"))) / 127.0).as("scale"))
+    val code = when(col("scale") > 0,
+      floor(col("v") / col("scale") + 0.5)).otherwise(lit(0.0))
+    e.join(broadcast(scales), Seq("dim"))
+      .select(col("dim"), col("scale"), code.as("code"), col("v"))
+      .groupBy("dim")
+      .agg(
+        round(first(col("scale")), 9).as("scale"),
+        sum((abs(col("code")) >= 127).cast("long")).as("n_saturated"),
+        (sum(round(abs(col("code") * col("scale") - col("v")) * 1e9, 0)
+          .cast("long")).cast("double") / (count(lit(1)) * 1e9))
+          .as("mean_abs_err"))
+  }
+
   /** Brute-force reference implementation (spec oracle for the LSH path).
     */
   def embedDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {

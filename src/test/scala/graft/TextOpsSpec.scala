@@ -90,6 +90,65 @@ class TextOpsSpec extends SparkSpec {
     m(1L) shouldBe math.log(2.0) +- 1e-6
   }
 
+  "bm25" should "rank exact topical matches above diluted ones" in {
+    val docs = Seq(
+      (1L, "spark query data"),                        // all three terms, short
+      (2L, "spark spark spark filler filler filler filler filler filler"),
+      (3L, "completely unrelated words here"),         // no match -> dropped
+      (4L, "data data query")
+    ).toDF("doc_id", "text")
+    val m = TextOps.bm25(docs, Seq("spark", "query", "data"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    m.keySet shouldBe Set(1L, 2L, 4L)       // non-matching doc excluded
+    m(1L) should be > m(2L)                 // 3 distinct terms beat repeated 1
+    m(1L) should be > m(4L)
+    all(m.values) should be > 0.0           // Lucene idf keeps scores positive
+  }
+
+  "stratifiedKeep" should "apply per-stratum rates deterministically" in {
+    val docs = (0 until 200).map(i => (i.toLong, s"unique document text $i",
+      if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "text", "lang")
+    val kept = docs.where(TextOps.stratifiedKeep(
+      col("text"), col("lang"), Map("en" -> 0), defaultRate = 1000))
+    // rate 0 drops every en doc; rate 1000 (== mod) keeps every zh doc
+    kept.where(col("lang") === "en").count() shouldBe 0L
+    kept.where(col("lang") === "zh").count() shouldBe 100L
+    // content-hash: same input -> identical sample
+    val again = docs.where(TextOps.stratifiedKeep(
+      col("text"), col("lang"), Map("en" -> 0), defaultRate = 1000))
+    again.agg(sum("doc_id")).head.getLong(0) shouldBe
+      kept.agg(sum("doc_id")).head.getLong(0)
+  }
+
+  "domainCap" should "keep the n best-quality docs per domain with deterministic ties" in {
+    val docs = Seq(
+      (1L, "a", 0.9), (2L, "a", 0.5), (3L, "a", 0.7), (4L, "a", 0.5),
+      (5L, "b", 0.1)
+    ).toDF("doc_id", "source", "q")
+    val out = TextOps.domainCap(docs, col("source"), col("q"), n = 3)
+      .orderBy("source", "rank_in_domain")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSeq
+    // ties on q=0.5 break by doc_id: 2 before 4, and 4 is cut
+    out shouldBe Seq((1L, "a", 1), (3L, "a", 2), (2L, "a", 3), (5L, "b", 1))
+  }
+
+  "int8QuantStats" should "learn per-dim scales and bounded reconstruction error" in {
+    val emb = Seq(
+      (0L, Seq(127.0f, 1.0f)),
+      (1L, Seq(-127.0f, 0.5f)),
+      (2L, Seq(63.5f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val m = VectorOps.int8QuantStats(emb)
+      .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getLong(2), r.getDouble(3))).toMap
+    m(1)._1 shouldBe 1.0 // scale = 127/127
+    m(2)._1 shouldBe (1.0 / 127.0) +- 1e-9
+    m(1)._2 shouldBe 2L  // +-127 both saturate
+    m(2)._2 shouldBe 2L  // +-1.0 hit the extreme code too
+    // max error bounded by scale/2 per component
+    m(1)._3 should be <= 0.5 + 1e-9
+    m(2)._3 should be <= 0.5 / 127.0 + 1e-9
+  }
+
   "dimCentroids" should "compute exact per-dimension means" in {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f)),
