@@ -407,6 +407,151 @@ object Sparql {
     pins.seal(described.distinct())
   }
 
+  // ---------- SPARQL 1.1 UPDATE ----------
+
+  /** SPARQL 1.1 Update over a store handle (the reference has only the
+    * programmatic add path, `Sparql.scala:115-127`; this is the full
+    * declarative surface on top of the same O(Δ) machinery). Supported
+    * operations, `;`-separated and applied SEQUENTIALLY — each operation's
+    * WHERE sees the previous operation's result, per SPARQL 1.1 Update
+    * §3.1:
+    *   - `INSERT DATA { ground triples }`      → `GraftStore.append` (O(Δ))
+    *   - `DELETE DATA { ground triples }`      → `GraftStore.remove`
+    *   - `DELETE WHERE { patterns }`           → matched bindings delete
+    *   - `DELETE {t} INSERT {t} WHERE { g }`   → modify (either clause
+    *     optional; deletes apply before inserts, §3.1.3)
+    *   - `CLEAR [SILENT] [DEFAULT|ALL]`        → empty store
+    * Blank nodes are forbidden in DELETE templates/data (§3.1.3); INSERT
+    * templates skolemize them per solution like CONSTRUCT. Named-graph
+    * forms (WITH/USING/GRAPH) are rejected — the store is a single graph,
+    * like the reference's.
+    *
+    * Handles are immutable: the UPDATED handle is returned and the input
+    * handle (including any `GraftStore.forDir` cache entry) is untouched.
+    */
+  def update(spark: SparkSession, store: graft.store.StoreHandle,
+             updateText: String): graft.store.StoreHandle = {
+    val p = new P(tokenize(updateText))
+    var h = store
+    var more = p.peek.nonEmpty
+    // prefixes accumulate across `;`-separated operations (each op may add
+    // its own PREFIX decls; earlier ones stay in scope)
+    var prefixes = Map.empty[String, String]
+    while (more) {
+      prefixes = prefixes ++ parsePrefixes(p)
+      h = updateOp(spark, h, p, prefixes)
+      more = p.trySym(";") && p.peek.nonEmpty
+    }
+    h
+  }
+
+  private def updateOp(spark: SparkSession, h: graft.store.StoreHandle,
+                       p: P, prefixes: Map[String, String]): graft.store.StoreHandle = {
+    if (p.tryKw("WITH") || p.tryKw("USING"))
+      p.fail("named graphs are not supported (single-graph store)")
+    if (p.tryKw("CLEAR")) {
+      p.tryKw("SILENT"); p.tryKw("ALL"); p.tryKw("DEFAULT")
+      return graft.store.GraftStore.empty(spark)
+    }
+    if (p.tryKw("INSERT")) {
+      if (p.tryKw("DATA")) {
+        val g = parseGroup(p, prefixes)
+        return graft.store.GraftStore.append(spark, h,
+          groundTriplesDf(spark, g, "INSERT DATA"))
+      }
+      val ins = templateGroup(p, prefixes, "INSERT")
+      p.eatKw("WHERE")
+      val w = parseGroup(p, prefixes)
+      return applyModify(spark, h, None, Some(ins), w)
+    }
+    if (p.tryKw("DELETE")) {
+      if (p.tryKw("DATA")) {
+        val g = parseGroup(p, prefixes)
+        requireNoBlanks(g, "DELETE DATA")
+        return graft.store.GraftStore.remove(spark, h,
+          groundTriplesDf(spark, g, "DELETE DATA"))
+      }
+      if (p.tryKw("WHERE")) {
+        // DELETE WHERE: the pattern is both template and WHERE clause
+        val w = parseGroup(p, prefixes)
+        require(w.filters.isEmpty && w.optionals.isEmpty && w.unions.isEmpty &&
+          w.minuses.isEmpty && w.paths.isEmpty && w.binds.isEmpty &&
+          w.subqueries.isEmpty && w.subgroups.isEmpty,
+          "DELETE WHERE takes a plain triple-pattern block")
+        requireNoBlanks(w, "DELETE WHERE")
+        return applyModify(spark, h, Some(w), None, w)
+      }
+      val del = templateGroup(p, prefixes, "DELETE")
+      requireNoBlanks(del, "DELETE template")
+      val ins = if (p.tryKw("INSERT")) Some(templateGroup(p, prefixes, "INSERT"))
+                else None
+      p.eatKw("WHERE")
+      val w = parseGroup(p, prefixes)
+      return applyModify(spark, h, Some(del), ins, w)
+    }
+    p.fail("expected INSERT, DELETE, CLEAR or WITH")
+  }
+
+  /** Parse a `{ ... }` template block: triple patterns only. */
+  private def templateGroup(p: P, prefixes: Map[String, String],
+                            what: String): Group = {
+    val g = parseGroup(p, prefixes)
+    require(g.filters.isEmpty && g.optionals.isEmpty && g.unions.isEmpty &&
+      g.minuses.isEmpty && g.paths.isEmpty && g.binds.isEmpty &&
+      g.subqueries.isEmpty && g.subgroups.isEmpty,
+      s"$what template must contain only triple patterns")
+    g
+  }
+
+  private def requireNoBlanks(g: Group, what: String): Unit =
+    require(!g.triples.exists(_.consts.exists(_.toString.startsWith("_:"))),
+      s"$what must not contain blank nodes (SPARQL 1.1 Update)")
+
+  /** Ground triples of an INSERT/DELETE DATA block as an (s, p, o) frame. */
+  private def groundTriplesDf(spark: SparkSession, g: Group,
+                              what: String): DataFrame = {
+    val t = templateOnly(g, what)
+    require(t.forall(_.vars.isEmpty), s"$what requires ground triples")
+    import spark.implicits._
+    t.map(tp => (tp.s.asInstanceOf[C].value.toString,
+        tp.p.asInstanceOf[C].value.toString,
+        tp.o.asInstanceOf[C].value.toString))
+      .toDF("s", "p", "o")
+  }
+
+  private def templateOnly(g: Group, what: String): Seq[TriplePattern] = {
+    require(g.filters.isEmpty && g.optionals.isEmpty && g.unions.isEmpty &&
+      g.minuses.isEmpty && g.paths.isEmpty && g.binds.isEmpty &&
+      g.subqueries.isEmpty && g.subgroups.isEmpty,
+      s"$what takes only triples")
+    g.triples
+  }
+
+  /** DELETE/INSERT WHERE: evaluate the WHERE once against the CURRENT
+    * store, instantiate both templates from the same pinned solutions
+    * (unbound-template rows drop, like CONSTRUCT), delete then insert.
+    */
+  private def applyModify(spark: SparkSession, h: graft.store.StoreHandle,
+                          del: Option[Group], ins: Option[Group],
+                          where: Group): graft.store.StoreHandle = {
+    val pins = new graft.Pins
+    val sols = pins.pin(
+      compileGroup(stringEnv(spark, h.triples, h.stats), where))
+    var out = h
+    del.foreach { t =>
+      if (t.triples.nonEmpty)
+        out = graft.store.GraftStore.remove(spark, out, instantiate(t, sols))
+    }
+    ins.foreach { t =>
+      if (t.triples.nonEmpty)
+        out = graft.store.GraftStore.append(spark, out, instantiate(t, sols))
+    }
+    // remove/append checkpoint their results eagerly, so the solution pin
+    // is disposable the moment both have run
+    pins.release()
+    out
+  }
+
   private def parsePrefixes(p: P): Map[String, String] = {
     var prefixes = Map.empty[String, String]
     while (p.tryKw("PREFIX")) {

@@ -209,6 +209,55 @@ object GraftStore {
       stats.values.map(_.cnt).sum, sketches)
   }
 
+  /** Batch triple deletion — copy-on-write, the Spark-native cost model
+    * for immutable storage (the same discipline as Delta/Iceberg deletes):
+    * the surviving relation materializes via ONE anti-join per stored
+    * relation, so a delete batch costs O(store) scans regardless of batch
+    * size — batch your deletes. The reference instead pays O(1) LMDB
+    * point deletes per triple; at 100 TB the copy-on-write rewrite is the
+    * shape object storage forces anyway (and `persist` compacts it).
+    *
+    * The dictionary is APPEND-ONLY (ids of now-orphaned terms stay
+    * claimed — the reference convention; decode stays correct, ids stay
+    * stable). Statistics are recomputed from the survivors in one
+    * map-side-combined pass: exact counts keep the `(?, p, ?)` count
+    * shortcut exact, and re-aggregated HLL sketches keep ndv honest
+    * (sketches cannot subtract, so merging is not an option here).
+    */
+  def remove(spark: SparkSession, handle: StoreHandle,
+             delTriples: DataFrame): StoreHandle = {
+    import org.apache.spark.sql.functions.{broadcast, explode, array}
+    val delT = delTriples.select(col("s"), col("p"), col("o")).distinct()
+      .localCheckpoint(true)
+    val triples = handle.triples.join(delT, Seq("s", "p", "o"), "left_anti")
+      .localCheckpoint(true)
+    // encode the (small) delete set the same way the store was encoded,
+    // then anti-join the encoded relation on fixed-width longs
+    val delEnc =
+      if (handle.pureHash) Dictionary.encodeByHash(delT, Seq("s", "p", "o"))
+      else {
+        val delTerms = delT
+          .select(explode(array(col("s"), col("p"), col("o"))).as("term"))
+          .distinct()
+        val slim = broadcast(handle.dict.join(delTerms, Seq("term"), "left_semi"))
+        Seq("s", "p", "o").foldLeft(delT)((df, c) => Dictionary.encode(df, slim, c))
+      }
+    val enc = handle.enc.join(delEnc.select(col("s"), col("p"), col("o")),
+      Seq("s", "p", "o"), "left_anti").localCheckpoint(true)
+    graft.Pins.unpin(delT)
+    val sketches = TripleStore.predSketches(triples).localCheckpoint(true)
+    val stats = statsOf(sketches)
+    val encStats = encStatsOf(spark, handle.dict, handle.pureHash, stats)
+    StoreHandle(triples, enc, handle.dict, handle.pureHash, stats, encStats,
+      stats.values.map(_.cnt).sum, sketches)
+  }
+
+  /** An empty store handle (the `CLEAR` target). */
+  def empty(spark: SparkSession): StoreHandle = {
+    import spark.implicits._
+    ingestTriples(spark, Seq.empty[(String, String, String)].toDF("s", "p", "o"))
+  }
+
   /** Persist a handle as the parquet table set a cluster ingest job would
     * write: predicate-partitioned triples (directory pruning for the
     * `(?, p, ?)` access path), the encoded relation, the dictionary, the
