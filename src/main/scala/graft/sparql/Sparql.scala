@@ -428,6 +428,12 @@ object Sparql {
     *
     * Handles are immutable: the UPDATED handle is returned and the input
     * handle (including any `GraftStore.forDir` cache entry) is untouched.
+    * Deletes are TOMBSTONE-LAZY (`GraftStore.remove`): the returned
+    * handle's relations fuse the anti-joins into whatever materializes
+    * them next, and exact counts subtract eagerly so plan-time stats stay
+    * correct between sequenced ops. A handle that will serve many queries
+    * should be compacted once (`GraftStore.compact`) — the same
+    * batch-then-compact discipline as any copy-on-write table format.
     */
   def update(spark: SparkSession, store: graft.store.StoreHandle,
              updateText: String): graft.store.StoreHandle = {

@@ -62,7 +62,13 @@ object GraftStore {
     * reference's `loadNtriples` (`Sparql.scala:78-113`).
     */
   def ingestTriples(spark: SparkSession, rawTriples: DataFrame): StoreHandle = {
-    val triples = rawTriples.localCheckpoint(true)
+    // NOTE the relation is a BAG: the driver's un-pivoted testdata carries
+    // genuine duplicate rows and the oracle counts them, so ingest must
+    // not dedupe. UPDATE inserts still honor SPARQL set semantics (an
+    // insert of any already-present triple is a no-op) and deletes drop
+    // every copy, with stats subtracted by actual matched-row counts.
+    val triples = rawTriples.select(col("s"), col("p"), col("o"))
+      .localCheckpoint(true)
     val terms = triples.select(explode(array(col("s"), col("p"), col("o"))).as("term"))
     val pureHash = Dictionary.collisionFree(terms)
     // The dictionary is materialized HERE, at ingest, on both paths: the
@@ -160,27 +166,90 @@ object GraftStore {
     */
   def append(spark: SparkSession, handle: StoreHandle,
              newTriples: DataFrame): StoreHandle = {
-    import org.apache.spark.sql.functions.{countDistinct, explode, array, count, lit}
-    val newT = newTriples.select(col("s"), col("p"), col("o"))
+    import org.apache.spark.sql.functions.{countDistinct, explode, array, count, lit, broadcast}
+    // set semantics (SPARQL Update §3.1.1 / the reference's idempotent
+    // LMDB puts): already-present triples drop out of the delta. Three
+    // probe tiers, cheapest wins:
+    //   1. STATS SKIP — a triple can only be a duplicate if its predicate
+    //      already exists; a batch of brand-new predicates (the common
+    //      "annotate" pattern) skips the probe without any job.
+    //   2. ENCODED probe (pure-hash stores): the certified content hashes
+    //      make string equality ⟺ id equality, so the duplicate check
+    //      scans the fixed-width encoded relation, not the string store.
+    //   3. string probe otherwise. All probes broadcast the small batch
+    //      and SCAN the store side (never hash-build it), then drop the
+    //      found duplicates with a small-small anti-join.
+    val newT0 = newTriples.select(col("s"), col("p"), col("o")).distinct()
       .localCheckpoint(true)
+    val candPreds = newT0.select(col("p")).distinct().collect()
+      .map(_.getString(0)).filter(handle.stats.contains)
+    val newT = (
+      if (candPreds.isEmpty) newT0
+      else if (handle.pureHash) {
+        val probe = newT0.where(col("p").isin(candPreds: _*)).select(
+          Dictionary.termHash(col("s")).as("s"),
+          Dictionary.termHash(col("p")).as("p"),
+          Dictionary.termHash(col("o")).as("o"))
+        val dups = handle.enc
+          .join(broadcast(probe), Seq("s", "p", "o"), "left_semi")
+          .localCheckpoint(true)
+        val out = newT0.as("n").join(broadcast(dups).as("d"),
+          Dictionary.termHash(col("n.s")) === col("d.s") &&
+            Dictionary.termHash(col("n.p")) === col("d.p") &&
+            Dictionary.termHash(col("n.o")) === col("d.o"), "left_anti")
+          .select(col("n.s"), col("n.p"), col("n.o")).localCheckpoint(true)
+        graft.Pins.unpin(dups)
+        out
+      } else {
+        val dups = handle.triples
+          .join(broadcast(newT0), Seq("s", "p", "o"), "left_semi")
+          .localCheckpoint(true)
+        val out = newT0.join(dups, Seq("s", "p", "o"), "left_anti")
+          .localCheckpoint(true)
+        graft.Pins.unpin(dups)
+        out
+      })
+    if (newT ne newT0) graft.Pins.unpin(newT0)
+    if (newT.isEmpty) return handle
     val newTerms = newT
       .select(explode(array(col("s"), col("p"), col("o"))).as("term"))
       .where(col("term").isNotNull).distinct().localCheckpoint(true)
-    // terms already in the dictionary: one scan of the dictionary with the
-    // (small) batch term set broadcast — AQE picks the broadcast semi join
-    val existing = handle.dict.join(newTerms, Seq("term"), "left_semi")
-      .localCheckpoint(true)
-    val newOnly = newTerms.join(existing, Seq("term"), "left_anti")
-      .select(Dictionary.termHash(col("term")).as("id"), col("term"))
-      .localCheckpoint(true)
+    // split batch terms into existing/new and run the delta certificate.
+    // Pure-hash store: ONE dictionary scan answers both membership and
+    // the external-collision check — a dict row with id == hash(newTerm)
+    // is either the term itself (existing) or a genuine hash collision.
+    val (existing, newOnly, externalClashDf) =
+      if (handle.pureHash) {
+        val probe = newTerms
+          .select(Dictionary.termHash(col("term")).as("hid"),
+            col("term").as("nterm"))
+        val hits = handle.dict.join(broadcast(probe), col("id") === col("hid"))
+          .select(col("id"), col("term"), col("nterm")).localCheckpoint(true)
+        val ex = hits.where(col("term") === col("nterm"))
+          .select(col("id"), col("term"))
+        val no = probe.join(hits.select(col("nterm")), Seq("nterm"), "left_anti")
+          .select(col("hid").as("id"), col("nterm").as("term"))
+          .localCheckpoint(true)
+        (ex, no, hits.where(col("term") =!= col("nterm")))
+      } else {
+        // repaired ids are not content-derived: membership and collision
+        // need separate scans
+        val ex = handle.dict.join(newTerms, Seq("term"), "left_semi")
+          .localCheckpoint(true)
+        val no = newTerms.join(ex, Seq("term"), "left_anti")
+          .select(Dictionary.termHash(col("term")).as("id"), col("term"))
+          .localCheckpoint(true)
+        val clash = handle.dict.as("d")
+          .join(no.as("x"), col("d.id") === col("x.id"))
+          .where(col("d.term") =!= col("x.term"))
+        (ex, no, clash)
+      }
     // certificate restricted to the delta: new ids must not collide with
     // each other nor with any claimed id of a DIFFERENT term
     val internalClash = newOnly.groupBy("id")
       .agg(countDistinct(col("term")).as("n")).where(col("n") > 1)
       .limit(1).count() > 0
-    lazy val externalClash = handle.dict.as("d")
-      .join(newOnly.as("x"), col("d.id") === col("x.id"))
-      .where(col("d.term") =!= col("x.term")).limit(1).count() > 0
+    lazy val externalClash = externalClashDf.limit(1).count() > 0
     if (internalClash || externalClash)
       // rare path: full repair ingest over the union (correctness first)
       return ingestTriples(spark, handle.triples.unionAll(newT))
@@ -209,28 +278,55 @@ object GraftStore {
       stats.values.map(_.cnt).sum, sketches)
   }
 
-  /** Batch triple deletion — copy-on-write, the Spark-native cost model
-    * for immutable storage (the same discipline as Delta/Iceberg deletes):
-    * the surviving relation materializes via ONE anti-join per stored
-    * relation, so a delete batch costs O(store) scans regardless of batch
-    * size — batch your deletes. The reference instead pays O(1) LMDB
-    * point deletes per triple; at 100 TB the copy-on-write rewrite is the
-    * shape object storage forces anyway (and `persist` compacts it).
+  /** Batch triple deletion — tombstone-lazy, copy-on-write on compaction
+    * (the Delta/Iceberg cost model for immutable storage; the reference
+    * instead pays O(1) LMDB point deletes per triple). The surviving
+    * relations are LAZY anti-joins against the pinned delete set: a chain
+    * of deletes fuses into the next materialization (`compact`/`persist`/
+    * the next append's checkpoint) instead of copying the store per
+    * batch. The ONE job a delete runs is a semi-join aggregate that
+    * counts the matched rows per predicate, so exact counts SUBTRACT and
+    * the `(?, p, ?)` count shortcut stays exact. HLL ndv sketches cannot
+    * subtract — they are kept and may overestimate after deletion (an
+    * optimizer-only input: join ordering degrades gracefully, never
+    * correctness; `compact(resketch = true)` restores exactness).
     *
     * The dictionary is APPEND-ONLY (ids of now-orphaned terms stay
     * claimed — the reference convention; decode stays correct, ids stay
-    * stable). Statistics are recomputed from the survivors in one
-    * map-side-combined pass: exact counts keep the `(?, p, ?)` count
-    * shortcut exact, and re-aggregated HLL sketches keep ndv honest
-    * (sketches cannot subtract, so merging is not an option here).
+    * stable).
     */
   def remove(spark: SparkSession, handle: StoreHandle,
              delTriples: DataFrame): StoreHandle = {
-    import org.apache.spark.sql.functions.{broadcast, explode, array}
+    import org.apache.spark.sql.functions.{broadcast, explode, array, count, lit, sum, coalesce}
     val delT = delTriples.select(col("s"), col("p"), col("o")).distinct()
       .localCheckpoint(true)
+    // the one eager job: matched rows per predicate — counts every COPY
+    // of a matched triple (the relation is a bag), so the exact-count
+    // subtraction mirrors what the anti-join below removes. AQE
+    // broadcasts the small delete set; no store shuffle — a 26-ish-row
+    // map-side agg
+    val matched = (
+      if (handle.pureHash) {
+        // certified hashes: existence check scans the fixed-width encoded
+        // relation; matched ids map back to string predicates through the
+        // (small) hashed delete set itself
+        // lazy: trivially derived from the pinned delete set
+        val delH = delT.select(col("p").as("pstr"),
+          Dictionary.termHash(col("s")).as("s"),
+          Dictionary.termHash(col("p")).as("p"),
+          Dictionary.termHash(col("o")).as("o"))
+        val present = handle.enc.join(
+          broadcast(delH.select(col("s"), col("p"), col("o"))),
+          Seq("s", "p", "o"), "left_semi")
+        present.join(broadcast(delH), Seq("s", "p", "o"))
+          .groupBy(col("pstr").as("p")).agg(count(lit(1)).as("gone"))
+      }
+      else handle.triples.join(delT, Seq("s", "p", "o"), "left_semi")
+        .groupBy("p").agg(count(lit(1)).as("gone"))
+      ).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (matched.isEmpty) { graft.Pins.unpin(delT); return handle }
     val triples = handle.triples.join(delT, Seq("s", "p", "o"), "left_anti")
-      .localCheckpoint(true)
     // encode the (small) delete set the same way the store was encoded,
     // then anti-join the encoded relation on fixed-width longs
     val delEnc =
@@ -243,9 +339,35 @@ object GraftStore {
         Seq("s", "p", "o").foldLeft(delT)((df, c) => Dictionary.encode(df, slim, c))
       }
     val enc = handle.enc.join(delEnc.select(col("s"), col("p"), col("o")),
-      Seq("s", "p", "o"), "left_anti").localCheckpoint(true)
-    graft.Pins.unpin(delT)
-    val sketches = TripleStore.predSketches(triples).localCheckpoint(true)
+      Seq("s", "p", "o"), "left_anti")
+    val stats = handle.stats.flatMap { case (p, st) =>
+      val left = st.cnt - matched.getOrElse(p, 0L)
+      if (left > 0) Some(p -> st.copy(cnt = left)) else None
+    }
+    // sketches stay mergeable for later appends: counts subtract in the
+    // (tiny) sketch relation too, emptied predicates drop out
+    import spark.implicits._
+    val goneDf = matched.toSeq.toDF("p", "gone")
+    val sketches = handle.sketches.join(broadcast(goneDf), Seq("p"), "left")
+      .withColumn("cnt", col("cnt") - coalesce(col("gone"), lit(0L)))
+      .where(col("cnt") > 0).drop("gone")
+    val encStats = encStatsOf(spark, handle.dict, handle.pureHash, stats)
+    StoreHandle(triples, enc, handle.dict, handle.pureHash, stats, encStats,
+      stats.values.map(_.cnt).sum, sketches)
+  }
+
+  /** Materialize a handle's (possibly tombstone-lazy) relations into
+    * fresh pinned checkpoints — the compaction step after a delete chain.
+    * `resketch = true` also rebuilds the ndv sketches exactly from the
+    * survivors (one map-side-combined pass).
+    */
+  def compact(spark: SparkSession, handle: StoreHandle,
+              resketch: Boolean = false): StoreHandle = {
+    val triples = handle.triples.localCheckpoint(true)
+    val enc = handle.enc.localCheckpoint(true)
+    val sketches =
+      (if (resketch) TripleStore.predSketches(triples) else handle.sketches)
+        .localCheckpoint(true)
     val stats = statsOf(sketches)
     val encStats = encStatsOf(spark, handle.dict, handle.pureHash, stats)
     StoreHandle(triples, enc, handle.dict, handle.pureHash, stats, encStats,

@@ -86,6 +86,14 @@ class UpdateSpec extends SparkSpec {
     invariants(h1)
   }
 
+  it should "keep set semantics: re-inserting an existing triple is a no-op" in {
+    val h1 = Sparql.update(spark, mkStore,
+      """PREFIX : <>
+        |INSERT DATA { <alice> :knows <bob> . <alice> :knows <bob> }""".stripMargin)
+    rows(h1).size shouldBe 5 // graph union, not bag append (SPARQL 1.1 §3.1.1)
+    invariants(h1)
+  }
+
   it should "CLEAR to an empty store" in {
     val h1 = Sparql.update(spark, mkStore, "CLEAR ALL")
     h1.triples.count() shouldBe 0L
