@@ -421,6 +421,8 @@ object Sparql {
     *   - `DELETE {t} INSERT {t} WHERE { g }`   → modify (either clause
     *     optional; deletes apply before inserts, §3.1.3)
     *   - `CLEAR [SILENT] [DEFAULT|ALL]`        → empty store
+    *   - `LOAD [SILENT] <source>`              → distributed N-Triples
+    *     parse (skolemized blanks) + O(Δ) append
     * Blank nodes are forbidden in DELETE templates/data (§3.1.3); INSERT
     * templates skolemize them per solution like CONSTRUCT. Named-graph
     * forms (WITH/USING/GRAPH) are rejected — the store is a single graph,
@@ -458,6 +460,19 @@ object Sparql {
     if (p.tryKw("CLEAR")) {
       p.tryKw("SILENT"); p.tryKw("ALL"); p.tryKw("DEFAULT")
       return graft.store.GraftStore.empty(spark)
+    }
+    if (p.tryKw("LOAD")) {
+      // LOAD <source>: distributed N-Triples parse + O(Δ) append. Blank
+      // labels skolemize per source (idempotent re-load, no cross-file
+      // label capture) — the loader's standing convention.
+      p.tryKw("SILENT")
+      val src = p.next() match {
+        case TIri(i) => i
+        case t => p.fail(s"LOAD needs an <iri>/path source, found $t")
+      }
+      return graft.store.GraftStore.append(spark, h,
+        graft.store.TripleStore.skolemize(
+          graft.store.TripleStore.parseNTriples(spark, src), src))
     }
     if (p.tryKw("INSERT")) {
       if (p.tryKw("DATA")) {

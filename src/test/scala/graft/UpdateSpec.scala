@@ -112,6 +112,22 @@ class UpdateSpec extends SparkSpec {
     res shouldBe Seq(("alice", "39"), ("frank", "29"))
   }
 
+  it should "LOAD an N-Triples file with skolemized blanks" in {
+    val f = java.nio.file.Files.createTempFile("graft-load", ".nt")
+    java.nio.file.Files.writeString(f,
+      """<http://x/s1> <http://x/p> <http://x/o1> .
+        |_:b1 <http://x/p> "lit" .
+        |""".stripMargin)
+    val h1 = Sparql.update(spark, mkStore, s"LOAD <${f.toString}>")
+    rows(h1).size shouldBe 7
+    rows(h1) should contain(("http://x/s1", "http://x/p", "http://x/o1"))
+    // blank skolemized with the source scope, literal kept quoted
+    rows(h1).exists(t => t._1.startsWith("_:") && t._1.contains("b1") &&
+      t._3 == "\"lit\"") shouldBe true
+    invariants(h1)
+    java.nio.file.Files.delete(f)
+  }
+
   it should "reject blank nodes in DELETE and named-graph forms" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.update(spark, mkStore,
