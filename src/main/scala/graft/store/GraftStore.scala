@@ -1,6 +1,7 @@
 package graft.store
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.CleanCheckpoint
 import org.apache.spark.sql.functions._
 import graft.bgp.PredStats
 import graft.dict.Dictionary
@@ -273,7 +274,15 @@ object GraftStore {
       handle.sketches, TripleStore.predSketches(newT)).localCheckpoint(true)
     val stats = statsOf(sketches)
     val encStats = encStatsOf(spark, dict, handle.pureHash, stats)
-    StoreHandle(handle.triples.unionAll(newT), handle.enc.unionAll(newEnc),
+    // strip origin constraints from checkpointed union arms: a later
+    // self-join of the union re-instances one arm's attributes, and
+    // Spark 4.1's union constraint rewrite crashes on the stale ids the
+    // LogicalRDD's origin-constraint snapshot still carries (see
+    // CleanCheckpoint)
+    def shield(df: DataFrame): DataFrame =
+      CleanCheckpoint.stripOriginConstraints(df)
+    StoreHandle(shield(handle.triples).unionAll(shield(newT)),
+      shield(handle.enc).unionAll(shield(newEnc)),
       dict, handle.pureHash, stats, encStats,
       stats.values.map(_.cnt).sum, sketches)
   }

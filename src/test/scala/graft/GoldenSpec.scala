@@ -171,6 +171,28 @@ class GoldenSpec extends SparkSpec {
       """PREFIX : <>
         |SELECT ?x WHERE { <nation:3> :regionkey? ?x } ORDER BY ?x""".stripMargin)
 
+  /** UPDATE golden cases: (update script, select over the updated store).
+    * The TSVs replay the update algebra in DuckDB SQL (tools/golden.py).
+    */
+  val updateCases: Map[String, (String, String)] = Map(
+    "update_rewrite" -> (
+      """PREFIX : <>
+        |DELETE { ?n :name ?m } INSERT { ?n :label ?m }
+        |WHERE { ?n a "Nation" . ?n :name ?m }""".stripMargin,
+      """PREFIX : <>
+        |SELECT ?n ?m WHERE { ?n :label ?m } ORDER BY ?n ?m""".stripMargin),
+    "update_delete_where" -> (
+      """PREFIX : <>
+        |DELETE WHERE { ?c :mktsegment "BUILDING" }""".stripMargin,
+      """PREFIX : <>
+        |SELECT ?c ?m WHERE { ?c a "Customer" . ?c :mktsegment ?m }
+        |ORDER BY ?c ?m""".stripMargin),
+    "update_insert_data" -> (
+      """PREFIX : <>
+        |INSERT DATA { <region:9> :a "Region" . <region:9> :name "OCEANIA" }""".stripMargin,
+      """PREFIX : <>
+        |SELECT ?nm WHERE { ?r a "Region" . ?r :name ?nm } ORDER BY ?nm""".stripMargin))
+
   private def golden(name: String): Seq[String] = {
     val url = getClass.getResource(s"/golden/$name.tsv")
     require(url != null, s"missing golden file for $name")
@@ -178,16 +200,27 @@ class GoldenSpec extends SparkSpec {
     try src.getLines().toList finally src.close()
   }
 
+  private def tsvOf(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.columns.mkString("\t") +:
+      df.collect().toSeq.map(r =>
+        (0 until r.length).map(i => if (r.isNullAt(i)) "" else r.get(i).toString)
+          .mkString("\t"))
+
   queries.foreach { case (name, q) =>
     "SPARQL golden corpus" should s"reproduce $name exactly" in {
-      val df = Sparql.execute(spark, triples, q)
-      val got = df.columns.mkString("\t") +:
-        df.collect().toSeq.map(r =>
-          (0 until r.length).map(i => if (r.isNullAt(i)) "" else r.get(i).toString)
-            .mkString("\t"))
+      val got = tsvOf(Sparql.execute(spark, triples, q))
       val want = golden(name)
       if (want == Seq("NO ANSWERS.")) got.length shouldBe 1
       else got shouldBe want
+    }
+  }
+
+  updateCases.foreach { case (name, (script, sel)) =>
+    "SPARQL UPDATE golden corpus" should s"reproduce $name exactly" in {
+      val h0 = graft.store.GraftStore.ingestTriples(spark, triples)
+      val h1 = Sparql.update(spark, h0, script)
+      val got = tsvOf(Sparql.execute(spark, h1.triples, sel, h1.stats))
+      got shouldBe golden(name)
     }
   }
 }

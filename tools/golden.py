@@ -158,6 +158,21 @@ QUERIES = {
           SELECT DISTINCT 'region:' || n_regionkey FROM nation
           WHERE n_nationkey = 3
         ) ORDER BY x""",
+    # --- SPARQL UPDATE golden cases: the SQL replays update + query ---
+    # DELETE {name} INSERT {label} WHERE: every nation name becomes label
+    "update_rewrite": """
+        SELECT 'nation:' || n_nationkey AS n, n_name AS m
+        FROM nation ORDER BY n, m""",
+    # DELETE WHERE drops every BUILDING mktsegment triple
+    "update_delete_where": """
+        SELECT 'customer:' || c_custkey AS c, c_mktsegment AS m
+        FROM customer WHERE c_mktsegment <> 'BUILDING' ORDER BY c, m""",
+    # INSERT DATA adds a fresh region name alongside the stored ones
+    "update_insert_data": """
+        SELECT nm FROM (
+          SELECT r_name AS nm FROM region
+          UNION ALL SELECT 'OCEANIA'
+        ) ORDER BY nm""",
 }
 
 os.makedirs(out, exist_ok=True)
