@@ -25,6 +25,7 @@ object Bench {
       graft.store.GraftStore.forDir(spark, sfDir)
       graft.store.GraftStore.docGrams(spark, sfDir)
       graft.store.GraftStore.docDupPairs(spark, sfDir, threshold = 0.5)
+      graft.store.GraftStore.entityAdjacency(spark, sfDir)
     } catch { case _: Throwable => }
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -59,4 +59,8 @@ object Pins {
       case l: LogicalRDD => l.rdd.unpersist(blocking = false)
       case _             => ()
     }
+
+  /** Is this frame already a materialized checkpoint? */
+  def isPinned(df: DataFrame): Boolean =
+    df.queryExecution.analyzed.isInstanceOf[LogicalRDD]
 }

@@ -756,15 +756,12 @@ object SparkEntry {
   private def randomWalks(s: SparkSession, d: String): DataFrame = {
     import graft.ops.GraphOps
     val st = GraftStore.forDir(s, d)
-    val iriEdges = st.triples
-      .where(col("o").contains(":") &&
-        !col("o").startsWith("\"") && !col("o").startsWith("_:"))
-      .select(col("s"), col("o"))
-    val und = iriEdges.unionAll(
-      iriEdges.select(col("o").as("s"), col("s").as("o")))
+    // the ranked adjacency is the walk engine's ingest artifact, shared
+    // across walk batches (GraftStore.entityAdjacency) like the gram sets
     val starts = st.triples
       .where(col("p") === "a" && col("o") === "Region").select(col("s"))
-    GraphOps.randomWalks(und, starts, steps = 3, walksPerStart = 4)
+    GraphOps.randomWalksRanked(GraftStore.entityAdjacency(s, d), starts,
+        steps = 3, walksPerStart = 4)
       .orderBy("start", "w", "step")
   }
 

@@ -29,13 +29,29 @@ object GraphOps {
     * Output: one row per visited position — (start, w, step, node),
     * step 0 = the start node itself.
     */
+  /** Ranked adjacency of an edge relation: per-source neighbor ranks and
+    * out-degrees — the walk engine's index, built with one window pass.
+    * An ingest-time artifact at pipeline scale (every walk batch over the
+    * same graph reuses it; see `GraftStore.rankedAdjacency`).
+    */
+  def rankedAdjacency(edges: DataFrame): DataFrame =
+    edges.select(col("s"), col("o")).distinct()
+      .withColumn("rk", row_number().over(Window.partitionBy("s").orderBy("o")))
+      .withColumn("deg", count(lit(1)).over(Window.partitionBy("s")))
+
   def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
-                  walksPerStart: Int = 1, seed: String = "42"): DataFrame = {
+                  walksPerStart: Int = 1, seed: String = "42"): DataFrame =
+    randomWalksRanked(rankedAdjacency(edges), starts, steps, walksPerStart, seed)
+
+  /** Walks over a prebuilt (and ideally pinned) ranked adjacency. */
+  def randomWalksRanked(rankedAdj: DataFrame, starts: DataFrame, steps: Int,
+                        walksPerStart: Int = 1, seed: String = "42"): DataFrame = {
     require(steps >= 0 && walksPerStart >= 1, "need steps >= 0, walks >= 1")
     val pins = new graft.Pins
-    val ranked = pins.pin(edges.select(col("s"), col("o")).distinct()
-      .withColumn("rk", row_number().over(Window.partitionBy("s").orderBy("o")))
-      .withColumn("deg", count(lit(1)).over(Window.partitionBy("s"))))
+    // a cached/checkpointed adjacency is used as-is; a lazy one is pinned
+    // for the loop and freed at seal
+    val ranked =
+      if (graft.Pins.isPinned(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
     // each step's frontier is pinned: tiny (|starts| × walksPerStart rows),
     // and without it union branch k would recompute every prior join —
     // `steps` scans of the adjacency instead of O(steps²)

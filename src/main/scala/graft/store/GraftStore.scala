@@ -458,6 +458,30 @@ object GraftStore {
         .localCheckpoint(true))).value
   }
 
+  private val adjCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
+
+  /** Ranked UNDIRECTED entity adjacency of the store's IRI edges,
+    * materialized once per (session, dir) — the walk engine's index, an
+    * ingest-time artifact like the gram sets: every walk batch over the
+    * same graph reuses it (at cluster scale, a persisted table the ingest
+    * job writes next to the triples).
+    */
+  def entityAdjacency(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
+    adjCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val st = forDir(spark, sfDir)
+      val iriEdges = st.triples
+        .where(col("o").contains(":") &&
+          !col("o").startsWith("\"") && !col("o").startsWith("_:"))
+        .select(col("s"), col("o"))
+      graft.ops.GraphOps.rankedAdjacency(
+        iriEdges.unionAll(iriEdges.select(col("o").as("s"), col("s").as("o"))))
+        .localCheckpoint(true)
+    })).value
+  }
+
   /** Test hook: drop cached handles (e.g. between suites). */
-  def invalidate(): Unit = { cache.clear(); gramCache.clear(); pairCache.clear() }
+  def invalidate(): Unit =
+    { cache.clear(); gramCache.clear(); pairCache.clear(); adjCache.clear() }
 }
