@@ -549,15 +549,18 @@ object Sparql {
   }
 
   /** DELETE/INSERT WHERE: evaluate the WHERE once against the CURRENT
-    * store, instantiate both templates from the same pinned solutions
-    * (unbound-template rows drop, like CONSTRUCT), delete then insert.
+    * store — over the ENCODED relation (every join below the single
+    * decode stage moves fixed-width longs, the same lazy-decode
+    * discipline as the SELECT path) — then instantiate both templates
+    * from the same pinned decoded solutions (unbound-template rows drop,
+    * like CONSTRUCT), delete then insert.
     */
   private def applyModify(spark: SparkSession, h: graft.store.StoreHandle,
                           del: Option[Group], ins: Option[Group],
                           where: Group): graft.store.StoreHandle = {
     val pins = new graft.Pins
-    val sols = pins.pin(
-      compileGroup(stringEnv(spark, h.triples, h.stats), where))
+    val env = encEnvFor(spark, h, where, plainVarsOfG(where))
+    val sols = pins.pin(decodeFinal(env, compileGroup(env, where)))
     var out = h
     del.foreach { t =>
       if (t.triples.nonEmpty)
