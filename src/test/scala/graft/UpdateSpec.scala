@@ -128,6 +128,30 @@ class UpdateSpec extends SparkSpec {
     java.nio.file.Files.delete(f)
   }
 
+  it should "compact tombstones and persist/reopen an updated store" in {
+    val h1 = Sparql.update(spark, mkStore,
+      """PREFIX : <>
+        |DELETE WHERE { ?s :knows ?o } ;
+        |INSERT DATA { <dan> :age "23" }""".stripMargin)
+    // compact materializes the lazy delete chain; resketch restores
+    // exact ndv sketches from the survivors
+    val hc = GraftStore.compact(spark, h1, resketch = true)
+    rows(hc) shouldBe rows(h1)
+    invariants(hc)
+    // the compacted relation owns its blocks: a flat checkpoint scan
+    graft.Pins.isPinned(hc.triples) shouldBe true
+    // full lifecycle: persist the updated store, reopen, query
+    val dir = java.nio.file.Files.createTempDirectory("graft-upd").toString
+    GraftStore.persist(hc, dir)
+    val ho = GraftStore.open(spark, dir)
+    rows(ho) shouldBe rows(h1)
+    val res = Sparql.execute(spark, ho.triples,
+      """PREFIX : <>
+        |SELECT ?s ?v WHERE { ?s :age ?v } ORDER BY ?s""".stripMargin, ho.stats)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    res shouldBe Seq(("alice", "39"), ("bob", "41"), ("dan", "23"))
+  }
+
   it should "reject blank nodes in DELETE and named-graph forms" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.update(spark, mkStore,
