@@ -784,6 +784,15 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** Fixed-iteration PageRank over the shared undirected entity
+    * adjacency: 3 iterations, integer-pico contribution sums (order
+    * independent, so the DuckDB oracle replays the recursion exactly).
+    */
+  private def pageRankQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.GraphOps.pageRank(GraftStore.entityAdjacency(s, d),
+        iterations = 3)
+      .orderBy("node")
+
   /** SPARQL sequence property path (p1/p2 chains via fresh variables). */
   private def sparqlPath(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -1405,6 +1414,7 @@ object SparkEntry {
     "q_sparql_describe" -> (sparqlDescribe _),
     "q_sparql_hashfns" -> (sparqlHashfns _),
     "q_random_walks" -> (randomWalks _),
+    "q_pagerank" -> (pageRankQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -1839,6 +1849,46 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY nm""".stripMargin,
+    // PageRank: the oracle replays the fixed-point recursion exactly —
+    // integer-pico contribution sums make every float op deterministic
+    "q_pagerank" ->
+      """WITH fwd AS (
+        |  SELECT 'nation:'||n_nationkey AS s, 'region:'||n_regionkey AS o FROM nation
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'nation:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'customer:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'order:'||l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'part:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'supplier:'||l_suppkey FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT s, o FROM (SELECT s, o FROM fwd UNION ALL SELECT o, s FROM fwd)
+        |), dg AS (SELECT s, count(*) AS deg FROM und GROUP BY s
+        |), nodes AS (SELECT DISTINCT s AS node FROM und
+        |), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes
+        |), r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn
+        |), c1 AS (
+        |  SELECT und.o, CAST(round((r / deg) * 1e12, 0) AS BIGINT) AS c
+        |  FROM und JOIN dg USING (s) JOIN r0 ON r0.node = und.s
+        |), s1 AS (SELECT o, CAST(sum(c) AS BIGINT) AS csum FROM c1 GROUP BY o
+        |), r1 AS (
+        |  SELECT node, (1.0 - 0.85) / n + 0.85 * (COALESCE(csum, 0)::DOUBLE / 1e12) AS r
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.o = nodes.node
+        |), c2 AS (
+        |  SELECT und.o, CAST(round((r / deg) * 1e12, 0) AS BIGINT) AS c
+        |  FROM und JOIN dg USING (s) JOIN r1 ON r1.node = und.s
+        |), s2 AS (SELECT o, CAST(sum(c) AS BIGINT) AS csum FROM c2 GROUP BY o
+        |), r2 AS (
+        |  SELECT node, (1.0 - 0.85) / n + 0.85 * (COALESCE(csum, 0)::DOUBLE / 1e12) AS r
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.o = nodes.node
+        |), c3 AS (
+        |  SELECT und.o, CAST(round((r / deg) * 1e12, 0) AS BIGINT) AS c
+        |  FROM und JOIN dg USING (s) JOIN r2 ON r2.node = und.s
+        |), s3 AS (SELECT o, CAST(sum(c) AS BIGINT) AS csum FROM c3 GROUP BY o
+        |), r3 AS (
+        |  SELECT node, (1.0 - 0.85) / n + 0.85 * (COALESCE(csum, 0)::DOUBLE / 1e12) AS r
+        |  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.o = nodes.node
+        |)
+        |SELECT node, round(r, 9) AS rank FROM r3 ORDER BY node""".stripMargin,
     "q_random_walks" ->
       """WITH RECURSIVE fwd AS (
         |  SELECT 'nation:'||n_nationkey AS s, 'region:'||n_regionkey AS o FROM nation

@@ -18,6 +18,43 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Fixed-iteration PageRank over a ranked adjacency (use an UNDIRECTED
+    * adjacency and every node has out-degree ≥ 1, so no dangling-mass
+    * term is needed). Per iteration: one join (ranks → edges) and one
+    * aggregate (contributions → targets); contributions accumulate in
+    * integer PICO units (`round(r/deg · 1e12)` as long), so the sum is
+    * order-independent and the whole recursion replays bit-identically
+    * in a SQL oracle — the engine-portable determinism discipline used
+    * across this codebase (centroids, surprisal, walks).
+    *
+    * Scale shape: ranks are a (node, double) relation re-pinned per
+    * iteration; edges are scanned once per iteration with the rank join
+    * shuffling on the source key. Iterations are explicit (fixed-point
+    * analytics), not convergence-driven — the common production setup.
+    */
+  def pageRank(rankedAdj: DataFrame, iterations: Int,
+               damping: Double = 0.85): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    val pins = new graft.Pins
+    val adj =
+      if (graft.Pins.isPinned(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
+    val nodes = pins.pin(adj.select(col("s").as("node")).distinct())
+    val n = nodes.count()
+    val base = (1.0 - damping) / n
+    var rank = pins.pin(nodes.withColumn("r", lit(1.0 / n)))
+    for (_ <- 1 to iterations) {
+      val contrib = adj.join(rank, adj("s") === rank("node"))
+        .select(col("o"),
+          round((col("r") / col("deg")) * 1e12, 0).cast("long").as("c"))
+      val sums = contrib.groupBy(col("o")).agg(sum(col("c")).as("csum"))
+      rank = pins.pin(nodes.join(sums, nodes("node") === sums("o"), "left")
+        .select(col("node"),
+          (lit(base) + lit(damping) *
+            (coalesce(col("csum"), lit(0L)).cast("double") / 1e12)).as("r")))
+    }
+    pins.seal(rank.select(col("node"), round(col("r"), 9).as("rank")))
+  }
+
   /** Deterministic seeded uniform random walks: `walksPerStart` walks of
     * up to `steps` steps from every start node. The step choice is a
     * CONTENT HASH — `md5(seed|start|walk|step|node)` taken modulo the

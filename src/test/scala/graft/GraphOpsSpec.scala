@@ -60,4 +60,21 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => r.getString(3)).filter(_ != "a")
     walks.toSet shouldBe Set("b", "c") // 16 hashed coins hit both sides
   }
+
+  "pageRank" should "be stationary on a symmetric pair and rank hubs above leaves" in {
+    // undirected pair: uniform 1/2 is the fixpoint at any damping
+    val pair = Seq(("a", "b"), ("b", "a")).toDF("s", "o")
+    val pr = GraphOps.pageRank(GraphOps.rankedAdjacency(pair), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    pr("a") shouldBe 0.5 +- 1e-9
+    pr("b") shouldBe 0.5 +- 1e-9
+    // undirected star: the center out-ranks the leaves, mass sums to ~1
+    val star = Seq(("c", "x"), ("c", "y"), ("x", "c"), ("y", "c"))
+      .toDF("s", "o")
+    val ps = GraphOps.pageRank(GraphOps.rankedAdjacency(star), iterations = 3)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    ps("c") should be > ps("x")
+    ps("x") shouldBe ps("y")
+    (ps("c") + ps("x") + ps("y")) shouldBe 1.0 +- 1e-6
+  }
 }
