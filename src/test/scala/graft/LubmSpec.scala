@@ -1,0 +1,113 @@
+package graft
+
+import scala.io.Source
+
+import graft.sparql.Sparql
+import graft.store.{GraftStore, TripleStore}
+
+/** The reference's OWN benchmark workload, end-to-end: LUBM University0
+  * (318k triples, `/root/reference/benchmarks/data/university0_*.nt`) and
+  * the 14 standard LUBM queries (Guo, Pan & Heflin, "LUBM: A Benchmark
+  * for OWL Knowledge Base Systems", JWS 2005 — the same query set the
+  * reference runs, `benchmarks/.../Lubm.scala:33-172`), checked against
+  * the reference's golden answer files
+  * (`GroundTruthSpec.scala:127-168`). Both engines run WITHOUT
+  * inference, so plain pattern matching must reproduce the goldens
+  * exactly — on the string store AND on the encoded store.
+  */
+class LubmSpec extends SparkSpec {
+
+  private val dataDir = "/root/reference/benchmarks/data"
+
+  private val prologue =
+    """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |PREFIX ub: <http://swat.cse.lehigh.edu/onto/univ-bench.owl#>
+      |""".stripMargin
+
+  // The 14 standard LUBM queries (no inference variant).
+  private val queries: Seq[String] = Seq(
+    """SELECT ?X WHERE {
+      |  ?X ub:takesCourse <http://www.Department0.University0.edu/GraduateCourse0> .
+      |  ?X rdf:type ub:GraduateStudent }""",
+    """SELECT ?X ?Y ?Z WHERE {
+      |  ?Z rdf:type ub:Department . ?Z ub:subOrganizationOf ?Y .
+      |  ?Y rdf:type ub:University . ?X ub:undergraduateDegreeFrom ?Y .
+      |  ?X ub:memberOf ?Z . ?X rdf:type ub:GraduateStudent }""",
+    """SELECT ?X WHERE {
+      |  ?X ub:publicationAuthor <http://www.Department0.University0.edu/AssistantProfessor0> .
+      |  ?X rdf:type ub:Publication }""",
+    """SELECT ?X ?Y1 ?Y2 ?Y3 WHERE {
+      |  ?X ub:worksFor <http://www.Department0.University0.edu> .
+      |  ?X rdf:type ub:Professor . ?X ub:name ?Y1 .
+      |  ?X ub:emailAddress ?Y2 . ?X ub:telephone ?Y3 }""",
+    """SELECT ?X WHERE {
+      |  ?X ub:memberOf <http://www.Department0.University0.edu> .
+      |  ?X rdf:type ub:Person }""",
+    """SELECT ?X WHERE { ?X rdf:type ub:Student }""",
+    """SELECT ?X ?Y WHERE {
+      |  <http://www.Department0.University0.edu/AssociateProfessor0> ub:teacherOf ?Y .
+      |  ?Y rdf:type ub:Course . ?X ub:takesCourse ?Y . ?X rdf:type ub:Student }""",
+    """SELECT ?X ?Y ?Z WHERE {
+      |  ?Y ub:subOrganizationOf <http://www.University0.edu> .
+      |  ?Y rdf:type ub:Department . ?X ub:memberOf ?Y .
+      |  ?X rdf:type ub:Student . ?X ub:emailAddress ?Z }""",
+    """SELECT ?X ?Y ?Z WHERE {
+      |  ?Y rdf:type ub:Faculty . ?Y ub:teacherOf ?Z . ?X ub:advisor ?Y .
+      |  ?X ub:takesCourse ?Z . ?Z rdf:type ub:Course . ?X rdf:type ub:Student }""",
+    """SELECT ?X WHERE {
+      |  ?X ub:takesCourse <http://www.Department0.University0.edu/GraduateCourse0> .
+      |  ?X rdf:type ub:Student }""",
+    """SELECT ?X WHERE {
+      |  ?X ub:subOrganizationOf <http://www.University0.edu> .
+      |  ?X rdf:type ub:ResearchGroup }""",
+    """SELECT ?X ?Y WHERE {
+      |  ?Y ub:subOrganizationOf <http://www.University0.edu> .
+      |  ?Y rdf:type ub:Department . ?X ub:worksFor ?Y . ?X rdf:type ub:Chair }""",
+    """SELECT ?X WHERE {
+      |  <http://www.University0.edu> ub:hasAlumnus ?X . ?X rdf:type ub:Person }""",
+    """SELECT ?X WHERE { ?X rdf:type ub:UndergraduateStudent }"""
+  ).map(q => prologue + q.stripMargin)
+
+  /** Golden answers: header of var names, bare IRI/literal values, or
+    * the literal `NO ANSWERS.`; compared as a sorted bag of rows.
+    */
+  private def golden(queryId: Int): Seq[Seq[String]] = {
+    val src = Source.fromFile(s"$dataDir/answers_query$queryId.txt")
+    try {
+      val lines = src.getLines().toList
+      if (lines.headOption.contains("NO ANSWERS.")) Seq.empty
+      else lines.tail.map(_.split("\t", -1).toSeq)
+    } finally src.close()
+  }
+
+  /** Our term rendering keeps literal quotes; goldens are bare. */
+  private def bare(v: String): String =
+    if (v != null && v.length >= 2 && v.startsWith("\"") && v.endsWith("\""))
+      v.substring(1, v.length - 1)
+    else v
+
+  private def rowsOf(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.collect().toSeq.map(r =>
+      (0 until r.length).map(i => bare(r.getString(i))).toSeq)
+
+  private lazy val store = GraftStore.ingestTriples(spark,
+    TripleStore.parseNTriples(spark, s"$dataDir/university0_*.nt"))
+
+  (1 to 14).foreach { qid =>
+    "LUBM golden corpus" should s"reproduce query $qid on the string store" in {
+      val got = rowsOf(Sparql.execute(spark, store.triples,
+        queries(qid - 1), store.stats))
+      got.sortBy(_.mkString("\t")) shouldBe
+        golden(qid).sortBy(_.mkString("\t"))
+    }
+  }
+
+  // the same queries over long keys with a single decode stage on top
+  Seq(2, 4, 8, 9, 14).foreach { qid =>
+    "LUBM golden corpus" should s"reproduce query $qid on the encoded store" in {
+      val got = rowsOf(Sparql.executeEncoded(spark, store, queries(qid - 1)))
+      got.sortBy(_.mkString("\t")) shouldBe
+        golden(qid).sortBy(_.mkString("\t"))
+    }
+  }
+}
