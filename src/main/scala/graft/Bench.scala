@@ -26,6 +26,8 @@ object Bench {
       graft.store.GraftStore.docGrams(spark, sfDir)
       graft.store.GraftStore.docDupPairs(spark, sfDir, threshold = 0.5)
       graft.store.GraftStore.entityAdjacency(spark, sfDir)
+      graft.store.GraftStore.forNTriples(spark,
+        "/root/reference/benchmarks/data/university0_*.nt")
     } catch { case _: Throwable => }
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)

@@ -793,6 +793,36 @@ object SparkEntry {
         iterations = 3)
       .orderBy("node")
 
+  /** The reference's own benchmark workload as driver gates: LUBM
+    * University0 (318k triples from the reference's N-Triples fixtures)
+    * with the two most join-heavy standard LUBM queries, run over the
+    * ENCODED store. LubmSpec proves all 14 against the reference's
+    * golden answers; these two also hash-check against a DuckDB oracle
+    * that parses the same N-Triples files.
+    */
+  private val lubmData = "/root/reference/benchmarks/data/university0_*.nt"
+  private val lubmPrologue =
+    """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
+      |PREFIX ub: <http://swat.cse.lehigh.edu/onto/univ-bench.owl#>
+      |""".stripMargin
+
+  private def lubm2Q(s: SparkSession, d: String): DataFrame =
+    graft.sparql.Sparql.executeEncoded(s, GraftStore.forNTriples(s, lubmData),
+      lubmPrologue +
+        """SELECT ?x ?y ?z WHERE {
+          |  ?z rdf:type ub:Department . ?z ub:subOrganizationOf ?y .
+          |  ?y rdf:type ub:University . ?x ub:undergraduateDegreeFrom ?y .
+          |  ?x ub:memberOf ?z . ?x rdf:type ub:GraduateStudent
+          |} ORDER BY ?x ?y ?z""".stripMargin)
+
+  private def lubm9Q(s: SparkSession, d: String): DataFrame =
+    graft.sparql.Sparql.executeEncoded(s, GraftStore.forNTriples(s, lubmData),
+      lubmPrologue +
+        """SELECT ?x ?y ?z WHERE {
+          |  ?y rdf:type ub:Faculty . ?y ub:teacherOf ?z . ?x ub:advisor ?y .
+          |  ?x ub:takesCourse ?z . ?z rdf:type ub:Course . ?x rdf:type ub:Student
+          |} ORDER BY ?x ?y ?z""".stripMargin)
+
   /** SPARQL sequence property path (p1/p2 chains via fresh variables). */
   private def sparqlPath(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -1415,6 +1445,8 @@ object SparkEntry {
     "q_sparql_hashfns" -> (sparqlHashfns _),
     "q_random_walks" -> (randomWalks _),
     "q_pagerank" -> (pageRankQ _),
+    "q_lubm2" -> (lubm2Q _),
+    "q_lubm9" -> (lubm9Q _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -1849,6 +1881,48 @@ object SparkEntry {
         |FROM customer JOIN nation ON c_nationkey = n_nationkey
         |  JOIN region ON n_regionkey = r_regionkey
         |GROUP BY r_name ORDER BY nm""".stripMargin,
+    // LUBM over the reference's own N-Triples fixtures: the oracle parses
+    // the same files (space-delimited, quote-aware) and replays the BGP
+    "q_lubm2" ->
+      """WITH tr AS (
+        |  SELECT trim(column0, '<>') AS s, trim(column1, '<>') AS p,
+        |         trim(column2, '<>') AS o
+        |  FROM read_csv('/root/reference/benchmarks/data/university0_*.nt',
+        |                delim=' ', header=false, quote='"',
+        |                columns={'column0':'VARCHAR','column1':'VARCHAR','column2':'VARCHAR','column3':'VARCHAR'})
+        |)
+        |SELECT ud.s AS x, so.o AS y, z.s AS z
+        |FROM (SELECT s FROM tr WHERE p='http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |        AND o='http://swat.cse.lehigh.edu/onto/univ-bench.owl#Department') z(s),
+        |     tr so, tr ut, tr ud, tr mo, tr xt
+        |WHERE so.p='http://swat.cse.lehigh.edu/onto/univ-bench.owl#subOrganizationOf' AND so.s=z.s
+        |  AND ut.p='http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |  AND ut.o='http://swat.cse.lehigh.edu/onto/univ-bench.owl#University' AND ut.s=so.o
+        |  AND ud.p='http://swat.cse.lehigh.edu/onto/univ-bench.owl#undergraduateDegreeFrom' AND ud.o=so.o
+        |  AND mo.p='http://swat.cse.lehigh.edu/onto/univ-bench.owl#memberOf' AND mo.s=ud.s AND mo.o=z.s
+        |  AND xt.p='http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |  AND xt.o='http://swat.cse.lehigh.edu/onto/univ-bench.owl#GraduateStudent' AND xt.s=ud.s
+        |ORDER BY x, y, z""".stripMargin,
+    "q_lubm9" ->
+      """WITH tr AS (
+        |  SELECT trim(column0, '<>') AS s, trim(column1, '<>') AS p,
+        |         trim(column2, '<>') AS o
+        |  FROM read_csv('/root/reference/benchmarks/data/university0_*.nt',
+        |                delim=' ', header=false, quote='"',
+        |                columns={'column0':'VARCHAR','column1':'VARCHAR','column2':'VARCHAR','column3':'VARCHAR'})
+        |)
+        |SELECT adv.s AS x, yt.s AS y, tof.o AS z
+        |FROM tr yt, tr tof, tr adv, tr tc, tr zt, tr xt
+        |WHERE yt.p='http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |  AND yt.o='http://swat.cse.lehigh.edu/onto/univ-bench.owl#Faculty'
+        |  AND tof.p='http://swat.cse.lehigh.edu/onto/univ-bench.owl#teacherOf' AND tof.s=yt.s
+        |  AND adv.p='http://swat.cse.lehigh.edu/onto/univ-bench.owl#advisor' AND adv.o=yt.s
+        |  AND tc.p='http://swat.cse.lehigh.edu/onto/univ-bench.owl#takesCourse' AND tc.s=adv.s AND tc.o=tof.o
+        |  AND zt.p='http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |  AND zt.o='http://swat.cse.lehigh.edu/onto/univ-bench.owl#Course' AND zt.s=tof.o
+        |  AND xt.p='http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
+        |  AND xt.o='http://swat.cse.lehigh.edu/onto/univ-bench.owl#Student' AND xt.s=adv.s
+        |ORDER BY x, y, z""".stripMargin,
     // PageRank: the oracle replays the fixed-point recursion exactly —
     // integer-pico contribution sums make every float op deterministic
     "q_pagerank" ->

@@ -481,7 +481,23 @@ object GraftStore {
     })).value
   }
 
+  private val ntCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[StoreHandle]]
+
+  /** Ingested handle over an N-Triples file (or glob), cached per
+    * (session, path) like `forDir` — the reference's `loadNtriples` →
+    * query lifecycle for RDF-file corpora (e.g. the LUBM benchmark set).
+    */
+  def forNTriples(spark: SparkSession, path: String): StoreHandle = {
+    evictStopped()
+    ntCache.getOrElseUpdate((spark, path),
+      new Lazily(ingestTriples(spark,
+        TripleStore.parseNTriples(spark, path)))).value
+  }
+
   /** Test hook: drop cached handles (e.g. between suites). */
-  def invalidate(): Unit =
-    { cache.clear(); gramCache.clear(); pairCache.clear(); adjCache.clear() }
+  def invalidate(): Unit = {
+    cache.clear(); gramCache.clear(); pairCache.clear()
+    adjCache.clear(); ntCache.clear()
+  }
 }
