@@ -788,10 +788,16 @@ object SparkEntry {
     * adjacency: 3 iterations, integer-pico contribution sums (order
     * independent, so the DuckDB oracle replays the recursion exactly).
     */
-  private def pageRankQ(s: SparkSession, d: String): DataFrame =
-    graft.ops.GraphOps.pageRank(GraftStore.entityAdjacency(s, d),
-        iterations = 3)
+  private def pageRankQ(s: SparkSession, d: String): DataFrame = {
+    // iterate on encoded node ids (fixed-width long shuffles), decode
+    // the node column once at the top — same discipline as SPARQL
+    val st = GraftStore.forDir(s, d)
+    val pr = graft.ops.GraphOps.pageRank(
+      GraftStore.entityAdjacencyEnc(s, d), iterations = 3)
+    graft.dict.Dictionary.decodeAll(pr, st.dict, Seq("node"))
+      .select(col("node"), col("rank"))
       .orderBy("node")
+  }
 
   /** The reference's own benchmark workload as driver gates: LUBM
     * University0 (318k triples from the reference's N-Triples fixtures)

@@ -481,6 +481,30 @@ object GraftStore {
     })).value
   }
 
+  /** The entity adjacency on ENCODED node ids (content hashes — sound on
+    * certified stores): rank/degree joins move fixed-width longs, and a
+    * consumer decodes node ids once at the top through the dictionary —
+    * the lazy-decode discipline applied to the graph family.
+    */
+  def entityAdjacencyEnc(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
+    adjEncCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val st = forDir(spark, sfDir)
+      require(st.pureHash, "encoded adjacency needs a certified store")
+      val iriEdges = st.triples
+        .where(col("o").contains(":") &&
+          !col("o").startsWith("\"") && !col("o").startsWith("_:"))
+        .select(Dictionary.termHash(col("s")).as("s"),
+          Dictionary.termHash(col("o")).as("o"))
+      graft.ops.GraphOps.rankedAdjacency(
+        iriEdges.unionAll(iriEdges.select(col("o").as("s"), col("s").as("o"))))
+        .localCheckpoint(true)
+    })).value
+  }
+
+  private val adjEncCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
+
   private val ntCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[StoreHandle]]
 
