@@ -799,6 +799,17 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Bounded-round min-label propagation over the entity graph: each
+    * node's label is the smallest node id within distance 4 — the
+    * deduplicate-blocking / community-seed primitive. Pure string
+    * comparisons (the STRING adjacency — min over content hashes would
+    * pick different representatives), exactly replayable in SQL.
+    */
+  private def labelPropQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.GraphOps.minLabelPropagation(
+        GraftStore.entityAdjacency(s, d), iterations = 4)
+      .orderBy("node")
+
   /** The reference's own benchmark workload as driver gates: LUBM
     * University0 (318k triples from the reference's N-Triples fixtures)
     * with the two most join-heavy standard LUBM queries, run over the
@@ -1453,6 +1464,7 @@ object SparkEntry {
     "q_pagerank" -> (pageRankQ _),
     "q_lubm2" -> (lubm2Q _),
     "q_lubm9" -> (lubm9Q _),
+    "q_label_prop" -> (labelPropQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -1929,6 +1941,34 @@ object SparkEntry {
         |  AND xt.p='http://www.w3.org/1999/02/22-rdf-syntax-ns#type'
         |  AND xt.o='http://swat.cse.lehigh.edu/onto/univ-bench.owl#Student' AND xt.s=adv.s
         |ORDER BY x, y, z""".stripMargin,
+    // min-label propagation: pure string-order comparisons, replayed
+    // round by round
+    "q_label_prop" ->
+      """WITH fwd AS (
+        |  SELECT 'nation:'||n_nationkey AS s, 'region:'||n_regionkey AS o FROM nation
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'nation:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'customer:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'order:'||l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'part:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'supplier:'||l_suppkey FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT s, o FROM (SELECT s, o FROM fwd UNION ALL SELECT o, s FROM fwd)
+        |), l0 AS (SELECT DISTINCT s AS node, s AS lab FROM und
+        |), l1 AS (SELECT node, min(lab) AS lab FROM (
+        |    SELECT und.o AS node, l0.lab FROM und JOIN l0 ON l0.node = und.s
+        |    UNION ALL SELECT node, lab FROM l0) GROUP BY node
+        |), l2 AS (SELECT node, min(lab) AS lab FROM (
+        |    SELECT und.o AS node, l1.lab FROM und JOIN l1 ON l1.node = und.s
+        |    UNION ALL SELECT node, lab FROM l1) GROUP BY node
+        |), l3 AS (SELECT node, min(lab) AS lab FROM (
+        |    SELECT und.o AS node, l2.lab FROM und JOIN l2 ON l2.node = und.s
+        |    UNION ALL SELECT node, lab FROM l2) GROUP BY node
+        |), l4 AS (SELECT node, min(lab) AS lab FROM (
+        |    SELECT und.o AS node, l3.lab FROM und JOIN l3 ON l3.node = und.s
+        |    UNION ALL SELECT node, lab FROM l3) GROUP BY node
+        |)
+        |SELECT node, lab FROM l4 ORDER BY node""".stripMargin,
     // PageRank: the oracle replays the fixed-point recursion exactly —
     // integer-pico contribution sums make every float op deterministic
     "q_pagerank" ->

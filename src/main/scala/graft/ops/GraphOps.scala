@@ -55,6 +55,32 @@ object GraphOps {
     pins.seal(rank.select(col("node"), round(col("r"), 9).as("rank")))
   }
 
+  /** Fixed-iteration MIN-LABEL propagation: after `iterations` rounds
+    * every node's label is the smallest node id within graph distance
+    * `iterations` — the bounded-round connected-components/blocking
+    * primitive (duplicate blocks, community seeds). Pure order
+    * comparisons — no floats — so a SQL oracle replays it exactly on any
+    * term type. One join + one min-aggregate per round over the pinned
+    * adjacency; labels re-pin per round and seal at the end.
+    */
+  def minLabelPropagation(rankedAdj: DataFrame, iterations: Int): DataFrame = {
+    require(iterations >= 1, "need iterations >= 1")
+    val pins = new graft.Pins
+    val adj =
+      if (graft.Pins.isPinned(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
+    var labels = pins.pin(
+      adj.select(col("s").as("node")).distinct()
+        .withColumn("lab", col("node")))
+    for (_ <- 1 to iterations) {
+      val fromNeighbors = adj.join(labels, adj("s") === labels("node"))
+        .select(adj("o").as("node"), col("lab"))
+      labels = pins.pin(
+        fromNeighbors.unionAll(labels)
+          .groupBy("node").agg(min(col("lab")).as("lab")))
+    }
+    pins.seal(labels)
+  }
+
   /** Deterministic seeded uniform random walks: `walksPerStart` walks of
     * up to `steps` steps from every start node. The step choice is a
     * CONTENT HASH — `md5(seed|start|walk|step|node)` taken modulo the

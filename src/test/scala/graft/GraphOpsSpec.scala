@@ -61,6 +61,19 @@ class GraphOpsSpec extends SparkSpec {
     walks.toSet shouldBe Set("b", "c") // 16 hashed coins hit both sides
   }
 
+  "minLabelPropagation" should "converge to component minima within the diameter" in {
+    // two components: {a,b,c} path and {x,y} pair (undirected edges)
+    val g = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("x", "y"), ("y", "x")).toDF("s", "o")
+    val labs = GraphOps.minLabelPropagation(GraphOps.rankedAdjacency(g), 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    labs shouldBe Map("a" -> "a", "b" -> "a", "c" -> "a", "x" -> "x", "y" -> "x")
+    // with ONE round, c only sees b's initial label
+    val one = GraphOps.minLabelPropagation(GraphOps.rankedAdjacency(g), 1)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    one("c") shouldBe "b"
+  }
+
   "pageRank" should "be stationary on a symmetric pair and rank hubs above leaves" in {
     // undirected pair: uniform 1/2 is the fixpoint at any damping
     val pair = Seq(("a", "b"), ("b", "a")).toDF("s", "o")
