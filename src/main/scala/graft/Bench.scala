@@ -9,11 +9,13 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-      // ContextCleaner's periodic GC defaults to 30min — longer than the
-      // whole bench. Per-query checkpoint/broadcast blocks are only freed
-      // after a driver GC surfaces their weak refs, so force one often
-      // enough that a 100+-query session can't accumulate dead blocks.
-      .config("spark.cleaner.periodicGC.interval", "90s")
+      // ContextCleaner frees per-query checkpoint/broadcast blocks only
+      // after a driver GC surfaces their weak refs. A short periodic-GC
+      // timer is the WRONG tool here: a ParallelGC full collection on the
+      // large heap lands inside whichever query is running (observed as
+      // roving multi-second outliers). Instead the harness GCs explicitly
+      // BETWEEN queries (see below) and keeps the timer as a backstop.
+      .config("spark.cleaner.periodicGC.interval", "10min")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -43,8 +45,14 @@ object Bench {
     // A crashing query must FAIL the bench visibly, not silently shorten
     // the total: failures are timed as -1 and listed under "failed".
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    var sinceGc = 0
     val results = selected.map { case (name, fn) =>
       var ok = true
+      // deterministic cleanup point OUTSIDE the timed section: surfaces
+      // dead checkpoint/broadcast refs to ContextCleaner without a GC
+      // pause ever landing inside a measured query
+      sinceGc += 1
+      if (sinceGc >= 8) { System.gc(); sinceGc = 0 }
       (1 to warmup).foreach { _ =>
         try fn(spark, sfDir).count() catch { case _: Throwable => }
       }
