@@ -137,6 +137,22 @@ object TripleStore {
     when(c.startsWith("<") && c.endsWith(">"), regexp_replace(c, "^<|>$", ""))
       .otherwise(c)
 
+  /** Serialize a triple relation back to N-Triples lines (the export
+    * sink matching `parseNTriples`): stored terms that carry quotes stay
+    * literals, `_:` terms stay blank labels, everything else re-wraps as
+    * `<iri>`. One text file per partition — a distributed write, no
+    * driver collection; `coalesce` first if a single file is wanted.
+    */
+  def writeNTriples(triples: DataFrame, path: String): Unit = {
+    def render(c: org.apache.spark.sql.Column) =
+      when(c.startsWith("\"") || c.startsWith("_:"), c)
+        .otherwise(concat(lit("<"), c, lit(">")))
+    triples
+      .select(concat_ws(" ", render(col("s")), render(col("p")),
+        render(col("o")), lit(".")).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Skolemize blank nodes: rewrite `_:label` to `_:<scope>:label` so
     * labels from different files/parse sessions never collide — the
     * distributed analog of the reference's per-parse `BlankNodeNamespace`

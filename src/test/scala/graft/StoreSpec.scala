@@ -33,6 +33,21 @@ class StoreSpec extends SparkSpec {
       ("http://ex/s2", "http://ex/lang", "\"chat\"@fr"))
   }
 
+  "writeNTriples" should "round-trip through parseNTriples" in {
+    import spark.implicits._
+    val triples = Seq(
+      ("http://ex/s1", "http://ex/p", "http://ex/o1"),
+      ("http://ex/s1", "http://ex/name", "\"Alice\""),
+      ("_:b0", "http://ex/p", "\"chat\"@fr"))
+      .toDF("s", "p", "o")
+    val dir = Files.createTempDirectory("graft-ntout").toString
+    TripleStore.writeNTriples(triples, dir)
+    val back = TripleStore.parseNTriples(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    back shouldBe triples.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+  }
+
   it should "feed the BGP engine end-to-end" in {
     val nt =
       """<http://ex/a> <http://ex/knows> <http://ex/b> .
