@@ -1,0 +1,58 @@
+package graft
+
+/** Plan-shape regression guards: the scale claims SURVEY §8 makes about
+  * specific queries, asserted against the AQE-final executed plans so a
+  * future change that silently de-optimizes a plan fails CI, not the
+  * bench. Each case collect()s first — that finalizes THIS dataframe's
+  * own AQE plan (a separate action would leave it provisional).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.collect()
+    df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+  }
+
+  "q_vocab" should "take per-partition top-k, not a global sort" in {
+    val p = finalPlan("q_vocab")
+    p should include("TakeOrderedAndProject")
+  }
+
+  "q_bm25" should "broadcast the one-row stats side and never cartesian the corpus" in {
+    val p = finalPlan("q_bm25")
+    p should include("Broadcast")
+    // the only nested-loop join allowed is the broadcast one-row cross
+    p should not include "CartesianProduct"
+  }
+
+  "q_quantize_embed" should "broadcast the per-dimension scales" in {
+    val p = finalPlan("q_quantize_embed")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+  }
+
+  "q_dedup_ngram" should "stay a hash-join candidate plan (no cartesian pairs)" in {
+    val p = finalPlan("q_dedup_ngram")
+    p should not include "CartesianProduct"
+  }
+
+  "q_dedup_embed" should "join LSH buckets, not all pairs" in {
+    val p = finalPlan("q_dedup_embed")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "q_decontaminate" should "broadcast the test-gram side" in {
+    val p = finalPlan("q_decontaminate")
+    p should include("Broadcast")
+  }
+
+  "q_pack_sequences" should "shuffle once on the packing key only" in {
+    val p = finalPlan("q_pack_sequences")
+    // the unsplittable-input repartition (Tables.loadPar), the per-source
+    // window exchange, and the final ordered output — anything more
+    // means the packing stopped shuffling on the packing key alone
+    "Exchange".r.findAllIn(p).length should be <= 3
+  }
+}
