@@ -177,6 +177,9 @@ object GraftStore {
     //   2. ENCODED probe (pure-hash stores): the certified content hashes
     //      make string equality ⟺ id equality, so the duplicate check
     //      scans the fixed-width encoded relation, not the string store.
+    //      (Batch terms aren't certified yet; a false duplicate needs
+    //      three aligned 63-bit collisions — the same risk class the
+    //      certificate's double-check hash already accepts.)
     //   3. string probe otherwise. All probes broadcast the small batch
     //      and SCAN the store side (never hash-build it), then drop the
     //      found duplicates with a small-small anti-join.
@@ -267,7 +270,9 @@ object GraftStore {
     // batch-scoped intermediates are superseded once the delta is encoded:
     // `newTerms` fed the (materialized) existing/newOnly split, `existing`
     // fed the slim encode dictionary — free their blocks now rather than
-    // leaking one pinned set per append in a long-lived streaming session
+    // leaking one pinned set per append in a long-lived streaming session.
+    // (On the pure-hash path `existing` is lazy over the small `hits`
+    // checkpoint, which ContextCleaner reaps — unpin is a no-op there.)
     graft.Pins.unpin(newTerms)
     graft.Pins.unpin(existing)
     val sketches = TripleStore.mergeSketches(
