@@ -270,7 +270,8 @@ object Sparql {
     * rows dropped, `_:label` blanks skolemized per solution row.
     */
   private def instantiate(template: Group, sols: DataFrame): DataFrame = {
-    val rowHash = pmod(xxhash64(sols.columns.map(col): _*), lit(1000000007L))
+    val rowHash =
+      pmod(xxhash64(sols.columns.toIndexedSeq.map(col): _*), lit(1000000007L))
     def term(t: Term): Column = t match {
       case V(n) => col(n)
       case C(v) if v.toString.startsWith("_:") =>
@@ -1698,7 +1699,7 @@ object Sparql {
     val reached = mutable.Map.empty[Any, mutable.BitSet]   // node -> origins (length>=1)
     val expanded = mutable.Map.empty[Any, mutable.BitSet]  // node -> origins already expanded from it
     var frontier: mutable.Map[Any, mutable.BitSet] =
-      mutable.Map(origins.map(o => o -> mutable.BitSet(originIdx(o))): _*)
+      mutable.Map(origins.toIndexedSeq.map(o => o -> mutable.BitSet(originIdx(o))): _*)
     origins.foreach(o => expanded(o) = mutable.BitSet(originIdx(o)))
     var rounds = 0
     while (frontier.nonEmpty) {

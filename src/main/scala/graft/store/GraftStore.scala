@@ -190,7 +190,7 @@ object GraftStore {
     val newT = (
       if (candPreds.isEmpty) newT0
       else if (handle.pureHash) {
-        val probe = newT0.where(col("p").isin(candPreds: _*)).select(
+        val probe = newT0.where(col("p").isin(candPreds.toIndexedSeq: _*)).select(
           Dictionary.termHash(col("s")).as("s"),
           Dictionary.termHash(col("p")).as("p"),
           Dictionary.termHash(col("o")).as("o"))
