@@ -1795,13 +1795,13 @@ object SparkEntry {
         |losers AS (SELECT DISTINCT doc_b AS doc_id FROM p WHERE jaccard >= 0.5),
         |scores AS (
         |  SELECT doc_id, lang,
-        |    round((
+        |    floor((
         |        least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
         |      + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
         |          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
         |      + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
         |          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
-        |    ) / 3.0, 4) AS quality,
+        |    ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality,
         |    len(regexp_extract_all(text, '(?i)(^|\s)(der|die|das|und|ist|nicht|mit|ein)(\s|$|[\.,;:!\?])')) AS s_de,
         |    len(regexp_extract_all(text, '(?i)(^|\s)(the|and|of|to|is|that|with|for)(\s|$|[\.,;:!\?])')) AS s_en,
         |    len(regexp_extract_all(text, '(?i)(^|\s)(el|la|los|que|y|es|una|por)(\s|$|[\.,;:!\?])')) AS s_es,
@@ -2441,13 +2441,13 @@ object SparkEntry {
         |ORDER BY doc_id""".stripMargin,
     "q_domain_cap" ->
       """WITH q AS (
-        |  SELECT doc_id, source, round((
+        |  SELECT doc_id, source, floor((
         |      least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
         |    + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
         |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
         |    + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
         |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
-        |  ) / 3.0, 4) AS quality
+        |  ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, source, quality,
@@ -2545,13 +2545,13 @@ object SparkEntry {
         |    (acc, x) -> (acc*31 + x) % 4294967296) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_quality" ->
-      """SELECT doc_id, round((
+      """SELECT doc_id, floor((
         |    least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
         |  + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
         |      / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
         |  + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
         |      / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
-        |) / 3.0, 4) AS quality
+        |) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_lang_id" ->
       """WITH s AS (
@@ -2573,13 +2573,13 @@ object SparkEntry {
         |FROM s ORDER BY doc_id""".stripMargin,
     "q_source_stats" ->
       """SELECT source, count(*) AS n_docs,
-        |  round(avg(round((
+        |  round(avg(floor((
         |      least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
         |    + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
         |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
         |    + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
         |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
-        |  ) / 3.0, 4)), 4) AS avg_quality,
+        |  ) / 3.0 * 10000.0 + 0.5) / 10000.0), 4) AS avg_quality,
         |  count(DISTINCT list_reduce(
         |    list_prepend(0::BIGINT,
         |      list_transform(

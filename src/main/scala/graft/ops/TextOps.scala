@@ -50,6 +50,10 @@ object TextOps {
 
   /** Composite quality score in [0,1]: penalize very short docs, high
     * punctuation density, zero stopwords (word-salad indicator).
+    * Rounded to 4 decimals via `floor(x·10⁴ + 0.5)` — pure IEEE double
+    * ops, so the oracle reproduces the value bit-for-bit even when x
+    * sits on a decimal half-boundary (engine round() modes diverge
+    * there: observed once in 5,000 docs at sf0.1).
     */
   def qualityScore(text: Column): Column = {
     val nTok = tokenCount(text).cast("double")
@@ -58,7 +62,7 @@ object TextOps {
     val punctScore = greatest(lit(0.0), lit(1.0) - punctRatio * 4.0)
     val stopRatio = stopwordCount(text).cast("double") / greatest(nTok, lit(1.0))
     val stopScore = least(stopRatio * 5.0, lit(1.0))
-    round((lenScore + punctScore + stopScore) / 3.0, 4)
+    floor(((lenScore + punctScore + stopScore) / 3.0) * 10000.0 + 0.5) / 10000.0
   }
 
   /** Language-ID by stopword-marker voting: argmax over languages of the
