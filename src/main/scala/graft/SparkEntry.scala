@@ -1216,9 +1216,10 @@ object SparkEntry {
         sum(x).as("sx"), sum(y).as("sy"), sum(x * y).as("sxy"),
         sum(x * x).as("sxx"), sum(y * y).as("syy"))
       .select(col("o_orderstatus"),
-        round((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
+        (floor(((col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
           / sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
-            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")), 6)
+            * (col("n") * col("syy") - col("sy") * col("sy")).cast("double")))
+          * 1e6 + 0.5) / 1e6)
           .as("corr_price_cust"))
       .orderBy("o_orderstatus")
   }
@@ -1366,8 +1367,8 @@ object SparkEntry {
       .select(col("o_orderstatus"), col("o_orderkey"),
         round(col("o_totalprice") * 100, 0).cast("long").as("c"))
       .select(col("o_orderstatus"), col("o_orderkey"),
-        round(percent_rank().over(w), 6).as("pct_rank"),
-        round(cume_dist().over(w), 6).as("cume"),
+        (floor(percent_rank().over(w) * 1e6 + 0.5) / 1e6).as("pct_rank"),
+        (floor(cume_dist().over(w) * 1e6 + 0.5) / 1e6).as("cume"),
         nth_value(col("c"), 3).over(wf).as("third_c"))
       .orderBy("o_orderstatus", "o_orderkey")
   }
@@ -1570,7 +1571,7 @@ object SparkEntry {
       s"i -> $a[i]::DOUBLE * $b[i]::DOUBLE)), (acc, x) -> acc + x)"
 
   private def duckCos6(a: String, b: String): String =
-    s"round(${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)})), 6)"
+    s"floor((${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))) * 1e6 + 0.5) / 1e6"
 
   /** LSH-bucket expression replayed in SQL: the exact same ±1 hyperplanes
     * (generated by the same LCG) as literal lists, same fold order.
@@ -2243,8 +2244,8 @@ object SparkEntry {
         |    sum(o_custkey::HUGEINT * o_custkey) AS syy
         |  FROM orders GROUP BY o_orderstatus)
         |SELECT o_orderstatus,
-        |  round((n*sxy - sx*sy)::DOUBLE
-        |    / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE), 6) AS corr_price_cust
+        |  floor(((n*sxy - sx*sy)::DOUBLE
+        |    / sqrt((n*sxx - sx*sx)::DOUBLE * (n*syy - sy*sy)::DOUBLE)) * 1e6 + 0.5) / 1e6 AS corr_price_cust
         |FROM m ORDER BY o_orderstatus""".stripMargin,
     "q_udaf_topk" ->
       """SELECT o_orderstatus,
@@ -2353,7 +2354,7 @@ object SparkEntry {
         |      i -> array_to_string(list_slice(words, i, i+2), ' ')))) AS dst
         |  FROM ws)
         |SELECT doc_id,
-        |  CASE WHEN total > 0 THEN round(1.0 - dst::DOUBLE/total, 6) ELSE 0.0 END AS rep_ratio
+        |  CASE WHEN total > 0 THEN floor((1.0 - dst::DOUBLE/total) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS rep_ratio
         |FROM t ORDER BY doc_id""".stripMargin,
     "q_decontaminate" ->
       """WITH ws AS (
@@ -2416,13 +2417,13 @@ object SparkEntry {
         |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
         |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
         |  FROM tf)
-        |SELECT doc_id, round(
+        |SELECT doc_id, floor((
         |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
         |      * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
         |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
         |      * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
         |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-        |      * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))), 6) AS bm25
+        |      * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))) * 1e6 + 0.5) / 1e6 AS bm25
         |FROM tf, st
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin,
@@ -2466,9 +2467,9 @@ object SparkEntry {
         |  SELECT e.dim, scale,
         |    CASE WHEN scale > 0 THEN floor(v / scale + 0.5) ELSE 0.0 END AS code, v
         |  FROM e JOIN sc USING (dim))
-        |SELECT dim, round(min(scale), 9) AS scale,
+        |SELECT dim, floor(min(scale) * 1e9 + 0.5) / 1e9 AS scale,
         |  CAST(sum(CASE WHEN abs(code) >= 127 THEN 1 ELSE 0 END) AS BIGINT) AS n_saturated,
-        |  sum(CAST(round(abs(code * scale - v) * 1e9, 0) AS BIGINT))::DOUBLE
+        |  sum(CAST(floor(abs(code * scale - v) * 1e9 + 0.5) AS BIGINT))::DOUBLE
         |    / (count(*) * 1e9) AS mean_abs_err
         |FROM j GROUP BY dim ORDER BY dim""".stripMargin,
     "q_surprisal" ->
@@ -2487,7 +2488,7 @@ object SparkEntry {
         |  SELECT doc_id, count(*) AS n_tokens,
         |    list_reduce(list_prepend(0.0, list(nll ORDER BY pos)), (acc, x) -> acc + x) AS sum_nll
         |  FROM nl GROUP BY doc_id)
-        |SELECT doc_id, n_tokens, round(sum_nll / n_tokens, 6) AS avg_surprisal
+        |SELECT doc_id, n_tokens, floor(sum_nll / n_tokens * 1e6 + 0.5) / 1e6 AS avg_surprisal
         |FROM d ORDER BY doc_id""".stripMargin,
     "q_dup_spans" ->
       """WITH ws AS (
@@ -2504,7 +2505,7 @@ object SparkEntry {
         |  WHERE gram IN (SELECT gram FROM shared) GROUP BY doc_id)
         |SELECT t.doc_id, t.n_grams,
         |  coalesce(d.n_dup, 0) AS n_dup,
-        |  round(coalesce(d.n_dup, 0)::DOUBLE / t.n_grams, 6) AS dup_ratio
+        |  floor(coalesce(d.n_dup, 0)::DOUBLE / t.n_grams * 1e6 + 0.5) / 1e6 AS dup_ratio
         |FROM totals t LEFT JOIN dups d ON t.doc_id = d.doc_id
         |ORDER BY t.doc_id""".stripMargin,
     "q_chunks" ->
@@ -2531,7 +2532,7 @@ object SparkEntry {
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_embed_centroid" ->
       """SELECT vec_id % 8 AS bucket, CAST(i AS INT) AS dim,
-        |  sum(CAST(round(embedding[i]::DOUBLE * 1000000) AS BIGINT))::DOUBLE
+        |  sum(CAST(floor(embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))::DOUBLE
         |    / (count(*) * 1000000.0) AS centroid
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY bucket, dim""".stripMargin,
@@ -2647,8 +2648,8 @@ object SparkEntry {
         |FROM j ORDER BY user_id, hour""".stripMargin,
     "q_window_analytics" ->
       """SELECT o_orderstatus, o_orderkey,
-        |  round(percent_rank() OVER w, 6) AS pct_rank,
-        |  round(cume_dist() OVER w, 6) AS cume,
+        |  floor(percent_rank() OVER w * 1e6 + 0.5) / 1e6 AS pct_rank,
+        |  floor(cume_dist() OVER w * 1e6 + 0.5) / 1e6 AS cume,
         |  nth_value(c, 3) OVER wf AS third_c
         |FROM (SELECT o_orderstatus, o_orderkey,
         |        CAST(round(o_totalprice*100) AS BIGINT) AS c FROM orders)

@@ -195,7 +195,7 @@ object DedupOps {
     totals.join(dups, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_dup"), lit(0L)).as("n_dup"),
-        round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams"), 6)
+        (floor((coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_grams")) * 1e6 + 0.5) / 1e6)
           .as("dup_ratio"))
   }
 

@@ -178,7 +178,8 @@ object TextOps {
     val total = greatest(size(split(normalize(text), " ")) - (n - 1), lit(0))
     val distinctN = size(wordNgrams(text, n))
     when(total > 0,
-      round(lit(1.0) - distinctN.cast("double") / total, 6)).otherwise(lit(0.0))
+      floor((lit(1.0) - distinctN.cast("double") / total) * 1e6 + 0.5) / 1e6)
+      .otherwise(lit(0.0))
   }
 
   /** Per-document unigram surprisal (corpus-frequency LM proxy, the
@@ -202,7 +203,8 @@ object TextOps {
             x => x.getField("nll")),
           lit(0.0), (acc, x) => acc + x).as("sum_nll"))
       .select(col("doc_id"), col("n_tokens"),
-        round(col("sum_nll") / col("n_tokens"), 6).as("avg_surprisal"))
+        (floor((col("sum_nll") / col("n_tokens")) * 1e6 + 0.5) / 1e6)
+          .as("avg_surprisal"))
   }
 
   /** BM25 retrieval scores for a literal query-term set — the corpus-
@@ -247,7 +249,7 @@ object TextOps {
       .reduce(_ + _)
     scored
       .where(terms.indices.map(i => tfCol(i) > 0).reduce(_ || _))
-      .select(col("doc_id"), round(score, 6).as("bm25"))
+      .select(col("doc_id"), (floor(score * 1e6 + 0.5) / 1e6).as("bm25"))
   }
 
   /** Deterministic stratified sampling: keep a document iff its content

@@ -41,7 +41,7 @@ object VectorOps {
     * ordering/thresholding so engine-identical ranking falls out).
     */
   def cosine6(a: Column, b: Column): Column =
-    round(dotD(a, b) / (norm2(a) * norm2(b)), 6)
+    floor((dotD(a, b) / (norm2(a) * norm2(b))) * 1e6 + 0.5) / 1e6
 
   /** Brute-force top-k cosine neighbors for a (small) query subset. */
   def knnBrute(emb: DataFrame, queryPred: Column, k: Int): DataFrame = {
@@ -188,7 +188,7 @@ object VectorOps {
     emb
       .select(bucket.as("bucket"), posexplode(col("embedding")).as(Seq("pos", "v")))
       .groupBy(col("bucket"), (col("pos") + 1).as("dim"))
-      .agg((sum(round(col("v").cast("double") * 1e6, 0).cast("long")).cast("double")
+      .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5).cast("long")).cast("double")
         / (count(lit(1)) * 1e6)).as("centroid"))
 
   /** Per-dimension symmetric int8 quantization audit — the embedding-
@@ -214,9 +214,9 @@ object VectorOps {
       .select(col("dim"), col("scale"), code.as("code"), col("v"))
       .groupBy("dim")
       .agg(
-        round(first(col("scale")), 9).as("scale"),
+        (floor(first(col("scale")) * 1e9 + 0.5) / 1e9).as("scale"),
         sum((abs(col("code")) >= 127).cast("long")).as("n_saturated"),
-        (sum(round(abs(col("code") * col("scale") - col("v")) * 1e9, 0)
+        (sum(floor(abs(col("code") * col("scale") - col("v")) * 1e9 + 0.5)
           .cast("long")).cast("double") / (count(lit(1)) * 1e9))
           .as("mean_abs_err"))
   }
