@@ -499,6 +499,11 @@ object SparkEntry {
         Seq("spark", "query", "data"))
       .orderBy("doc_id")
 
+  /** Per-document top-3 TF-IDF keywords (doc tagging / index terms). */
+  private def tfIdfQ(s: SparkSession, d: String): DataFrame =
+    TextOps.tfIdfKeywords(Tables.loadPar(s, d, "documents"), k = 3)
+      .orderBy("doc_id", "rank")
+
   /** Deterministic stratified sampling with per-language mixture rates:
     * dominant `en` keeps ~12%, low-resource languages keep ~30% — the
     * hash-based corpus re-balancing stage, reproducible with no PRNG.
@@ -1510,6 +1515,7 @@ object SparkEntry {
     "q_vocab" -> (vocabQ _),
     "q_bm25" -> (bm25Q _),
     "q_sample_stratified" -> (sampleStratifiedQ _),
+    "q_tfidf_keywords" -> (tfIdfQ _),
     "q_domain_cap" -> (domainCapQ _),
     "q_quantize_embed" -> (quantizeEmbedQ _),
     "q_train_split" -> (trainSplitQ _),
@@ -2427,6 +2433,24 @@ object SparkEntry {
         |FROM tf, st
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
         |ORDER BY doc_id""".stripMargin,
+    "q_tfidf_keywords" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        |  FROM documents),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |nn AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+        |wtd AS (
+        |  SELECT doc_id, term, tf,
+        |    floor((tf::DOUBLE * ln(1.0 + n / df::DOUBLE)) * 1e6 + 0.5) / 1e6 AS weight
+        |  FROM tf JOIN df USING (term) CROSS JOIN nn),
+        |r AS (
+        |  SELECT doc_id, term, tf, weight,
+        |    CAST(row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY weight DESC, term ASC) AS INT) AS rank
+        |  FROM wtd)
+        |SELECT doc_id, term, tf, weight, rank FROM r
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
     "q_sample_stratified" ->
       """WITH fp AS (
         |  SELECT doc_id, lang,

@@ -252,6 +252,37 @@ object TextOps {
       .select(col("doc_id"), (floor(score * 1e6 + 0.5) / 1e6).as("bm25"))
   }
 
+  /** Per-document top-k TF-IDF keywords — the doc-side retrieval/tagging
+    * primitive (BM25 is the query-side twin). Two linear stages:
+    *   1. term frequencies per (doc, term) — one map-side-combined
+    *      aggregate of the exploded tokens;
+    *   2. document frequencies per term joined back (the df relation is
+    *      corpus-vocabulary-sized; at corpus scale it stays a shuffle
+    *      join — no broadcast assumption), then a per-doc window keeps
+    *      the k best by weight with term-order tiebreak.
+    * Weight = tf · ln(1 + n/df): single-expression doubles over integer
+    * inputs, fixed-point-free but boundary-safe because the rounding is
+    * the floor discipline.
+    */
+  def tfIdfKeywords(docs: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col("doc_id"),
+      explode(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0)))
+        .as("term"))
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.select(col("doc_id")).distinct().count().toDouble
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("weight").desc, col("term").asc)
+    tf.join(df, Seq("term"))
+      .withColumn("weight",
+        floor((col("tf").cast("double") *
+          log(lit(1.0) + lit(n) / col("df").cast("double"))) * 1e6 + 0.5) / 1e6)
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("weight"), col("rank"))
+  }
+
   /** Deterministic stratified sampling: keep a document iff its content
     * fingerprint mod `mod` falls under its stratum's quota. The
     * per-stratum rates implement mixture re-balancing (upsample

@@ -105,6 +105,19 @@ class TextOpsSpec extends SparkSpec {
     all(m.values) should be > 0.0           // Lucene idf keeps scores positive
   }
 
+  "tfIdfKeywords" should "surface distinctive terms over ubiquitous ones" in {
+    val docs = Seq(
+      (1L, "common zebra common common"),
+      (2L, "common yak"),
+      (3L, "common")
+    ).toDF("doc_id", "text")
+    val top1 = TextOps.tfIdfKeywords(docs, k = 1)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    top1(1L) shouldBe "zebra" // df 1 beats tf-3 'common' (df 3 -> low idf)
+    top1(2L) shouldBe "yak"
+    top1(3L) shouldBe "common" // only term left
+  }
+
   "stratifiedKeep" should "apply per-stratum rates deterministically" in {
     val docs = (0 until 200).map(i => (i.toLong, s"unique document text $i",
       if (i % 2 == 0) "en" else "zh")).toDF("doc_id", "text", "lang")
