@@ -169,7 +169,27 @@ class GoldenSpec extends SparkSpec {
         |} ORDER BY ?r""".stripMargin,
     "sparql_path_opt" ->
       """PREFIX : <>
-        |SELECT ?x WHERE { <nation:3> :regionkey? ?x } ORDER BY ?x""".stripMargin)
+        |SELECT ?x WHERE { <nation:3> :regionkey? ?x } ORDER BY ?x""".stripMargin,
+    "sparql_desc_offset" ->
+      """PREFIX : <>
+        |SELECT ?n ?nm WHERE { ?n a "Nation" . ?n :name ?nm }
+        |ORDER BY DESC(?nm) LIMIT 5 OFFSET 3""".stripMargin,
+    "sparql_filter_bool" ->
+      """PREFIX : <>
+        |SELECT ?p ?sz WHERE {
+        |  ?p a "Part" . ?p :size ?sz . ?p :brand ?b .
+        |  FILTER ((?sz > 40 || ?sz < 3) && !(?b = "Brand#3"))
+        |} ORDER BY ?p""".stripMargin,
+    "sparql_union_optional" ->
+      """PREFIX : <>
+        |SELECT ?x ?m WHERE {
+        |  { ?x a "Customer" . OPTIONAL { ?x :mktsegment ?m } }
+        |  UNION { ?x a "Region" }
+        |} ORDER BY ?x ?m""".stripMargin,
+    "sparql_closure_alt" ->
+      """PREFIX : <>
+        |SELECT ?x WHERE { <customer:7> (:nationkey|:regionkey)+ ?x }
+        |ORDER BY ?x""".stripMargin)
 
   /** UPDATE golden cases: (update script, select over the updated store).
     * The TSVs replay the update algebra in DuckDB SQL (tools/golden.py).

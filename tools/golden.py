@@ -158,6 +158,32 @@ QUERIES = {
           SELECT DISTINCT 'region:' || n_regionkey FROM nation
           WHERE n_nationkey = 3
         ) ORDER BY x""",
+    # ORDER BY DESC + LIMIT + OFFSET interaction
+    "sparql_desc_offset": """
+        SELECT 'nation:' || n_nationkey AS n, n_name AS nm
+        FROM nation ORDER BY nm DESC, n LIMIT 5 OFFSET 3""",
+    # nested boolean FILTER (|| inside &&, negation)
+    "sparql_filter_bool": """
+        SELECT 'part:' || p_partkey AS p, p_size::VARCHAR AS sz
+        FROM part
+        WHERE (p_size > 40 OR p_size < 3) AND NOT p_brand = 'Brand#3'
+        ORDER BY p""",
+    # OPTIONAL scoped INSIDE one union arm; the other arm binds ?m to null
+    "sparql_union_optional": """
+        SELECT x, m FROM (
+          SELECT 'customer:' || c_custkey AS x, c_mktsegment AS m FROM customer
+          UNION ALL SELECT 'region:' || r_regionkey, NULL FROM region
+        ) ORDER BY x, m NULLS FIRST""",
+    # closure over an ALTERNATION path from a bound subject:
+    # customer -> nation (nationkey) -> region (regionkey)
+    "sparql_closure_alt": """
+        SELECT x FROM (
+          SELECT 'nation:' || c_nationkey AS x FROM customer WHERE c_custkey = 7
+          UNION
+          SELECT 'region:' || n_regionkey
+          FROM customer JOIN nation ON c_nationkey = n_nationkey
+          WHERE c_custkey = 7
+        ) ORDER BY x""",
     # --- SPARQL UPDATE golden cases: the SQL replays update + query ---
     # DELETE {name} INSERT {label} WHERE: every nation name becomes label
     "update_rewrite": """
