@@ -887,9 +887,12 @@ object SparkEntry {
         |SELECT DISTINCT ?seg WHERE { ?c :mktsegment ?seg }
         |ORDER BY ?seg LIMIT 3""".stripMargin)
 
-  /** SPARQL BIND: computed binding via CONCAT (expression surface). */
+  /** SPARQL BIND: computed binding via CONCAT (expression surface), over
+    * the ENCODED store — the BIND arg decodes via a shadow column, joins
+    * below it stay on long ids (the r5 verdict's encoded-BIND ask).
+    */
   private def sparqlBind(s: SparkSession, d: String): DataFrame =
-    sparqlOver(s, d,
+    sparqlEncOver(s, d,
       """PREFIX : <>
         |SELECT ?p ?label WHERE {
         |  ?p a "Part" .

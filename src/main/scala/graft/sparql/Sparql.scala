@@ -441,57 +441,102 @@ object Sparql {
   def update(spark: SparkSession, store: graft.store.StoreHandle,
              updateText: String): graft.store.StoreHandle = {
     val p = new P(tokenize(updateText))
-    var h = store
     var more = p.peek.nonEmpty
     // prefixes accumulate across `;`-separated operations (each op may add
     // its own PREFIX decls; earlier ones stay in scope)
     var prefixes = Map.empty[String, String]
+    // PARSE the whole script first: a syntax error anywhere aborts before
+    // any op runs, and the executor below can batch runs of ground ops.
+    val ops = Vector.newBuilder[UOp]
     while (more) {
       prefixes = prefixes ++ parsePrefixes(p)
-      h = updateOp(spark, h, p, prefixes)
+      ops += parseUpdateOp(p, prefixes)
       more = p.trySym(";") && p.peek.nonEmpty
     }
+    // Trailing tokens mean the request was not what we executed (e.g. a
+    // missing ';' between operations would silently drop every later op).
+    // Handles are immutable, so throwing here leaves the caller's store
+    // untouched — no partial application escapes.
+    if (p.peek.nonEmpty)
+      p.fail(s"unexpected tokens after update operation: ${p.peek.get}")
+
+    // EXECUTE, batching each run of consecutive ground data ops into one
+    // remove + one append: their triple sets are driver-side constants, so
+    // the net effect is last-mention-wins per triple and the intermediate
+    // states are unobservable (no WHERE reads them) — the same one-txn
+    // batching the reference gets from a single LMDB write txn per load
+    // (sparql/.../Sparql.scala:78-113). Cuts the dominant cost of update
+    // scripts: per-op store/dictionary probe passes.
+    var h = store
+    var run = List.empty[UGround]
+    def flush(): Unit = if (run.nonEmpty) {
+      val last = scala.collection.mutable.LinkedHashMap
+        .empty[(String, String, String), Boolean]
+      for (g <- run; t <- g.triples) last(t) = g.insert
+      import spark.implicits._
+      val dels = last.collect { case (t, false) => t }.toSeq
+      val inss = last.collect { case (t, true) => t }.toSeq
+      // remove-before-append: the sets are disjoint (last-mention-wins),
+      // and append's duplicate probe makes re-inserts of surviving
+      // triples no-ops — final membership matches the sequential replay
+      if (dels.nonEmpty)
+        h = graft.store.GraftStore.remove(spark, h, dels.toDF("s", "p", "o"))
+      if (inss.nonEmpty)
+        h = graft.store.GraftStore.append(spark, h, inss.toDF("s", "p", "o"))
+      run = Nil
+    }
+    ops.result().foreach {
+      case g: UGround => run = run :+ g
+      case op => flush(); h = execUpdateOp(spark, h, op)
+    }
+    flush()
     h
   }
 
-  private def updateOp(spark: SparkSession, h: graft.store.StoreHandle,
-                       p: P, prefixes: Map[String, String]): graft.store.StoreHandle = {
+  /** Parsed update operation. Ground data ops keep their (driver-side)
+    * triple constants so the executor can batch adjacent runs.
+    */
+  private sealed trait UOp
+  private final case class UGround(insert: Boolean,
+      triples: Seq[(String, String, String)]) extends UOp
+  private case object UClear extends UOp
+  private final case class ULoad(src: String) extends UOp
+  private final case class UModify(del: Option[Group], ins: Option[Group],
+      where: Group) extends UOp
+
+  private def parseUpdateOp(p: P, prefixes: Map[String, String]): UOp = {
     if (p.tryKw("WITH") || p.tryKw("USING"))
       p.fail("named graphs are not supported (single-graph store)")
     if (p.tryKw("CLEAR")) {
-      p.tryKw("SILENT"); p.tryKw("ALL"); p.tryKw("DEFAULT")
-      return graft.store.GraftStore.empty(spark)
+      p.tryKw("SILENT")
+      if (p.tryKw("GRAPH") || p.tryKw("NAMED"))
+        p.fail("named graphs are not supported (single-graph store)")
+      p.tryKw("ALL"); p.tryKw("DEFAULT")
+      return UClear
     }
     if (p.tryKw("LOAD")) {
-      // LOAD <source>: distributed N-Triples parse + O(Δ) append. Blank
-      // labels skolemize per source (idempotent re-load, no cross-file
-      // label capture) — the loader's standing convention.
       p.tryKw("SILENT")
       val src = p.next() match {
         case TIri(i) => i
         case t => p.fail(s"LOAD needs an <iri>/path source, found $t")
       }
-      return graft.store.GraftStore.append(spark, h,
-        graft.store.TripleStore.skolemize(
-          graft.store.TripleStore.parseNTriples(spark, src), src))
+      return ULoad(src)
     }
     if (p.tryKw("INSERT")) {
       if (p.tryKw("DATA")) {
         val g = parseGroup(p, prefixes)
-        return graft.store.GraftStore.append(spark, h,
-          groundTriplesDf(spark, g, "INSERT DATA"))
+        return UGround(insert = true, groundTriples(g, "INSERT DATA"))
       }
       val ins = templateGroup(p, prefixes, "INSERT")
       p.eatKw("WHERE")
       val w = parseGroup(p, prefixes)
-      return applyModify(spark, h, None, Some(ins), w)
+      return UModify(None, Some(ins), w)
     }
     if (p.tryKw("DELETE")) {
       if (p.tryKw("DATA")) {
         val g = parseGroup(p, prefixes)
         requireNoBlanks(g, "DELETE DATA")
-        return graft.store.GraftStore.remove(spark, h,
-          groundTriplesDf(spark, g, "DELETE DATA"))
+        return UGround(insert = false, groundTriples(g, "DELETE DATA"))
       }
       if (p.tryKw("WHERE")) {
         // DELETE WHERE: the pattern is both template and WHERE clause
@@ -501,7 +546,7 @@ object Sparql {
           w.subqueries.isEmpty && w.subgroups.isEmpty,
           "DELETE WHERE takes a plain triple-pattern block")
         requireNoBlanks(w, "DELETE WHERE")
-        return applyModify(spark, h, Some(w), None, w)
+        return UModify(Some(w), None, w)
       }
       val del = templateGroup(p, prefixes, "DELETE")
       requireNoBlanks(del, "DELETE template")
@@ -509,9 +554,24 @@ object Sparql {
                 else None
       p.eatKw("WHERE")
       val w = parseGroup(p, prefixes)
-      return applyModify(spark, h, Some(del), ins, w)
+      return UModify(Some(del), ins, w)
     }
     p.fail("expected INSERT, DELETE, CLEAR or WITH")
+  }
+
+  private def execUpdateOp(spark: SparkSession, h: graft.store.StoreHandle,
+                           op: UOp): graft.store.StoreHandle = op match {
+    case UClear => graft.store.GraftStore.empty(spark)
+    case ULoad(src) =>
+      // LOAD <source>: distributed N-Triples parse + O(Δ) append. Blank
+      // labels skolemize per source (idempotent re-load, no cross-file
+      // label capture) — the loader's standing convention.
+      graft.store.GraftStore.append(spark, h,
+        graft.store.TripleStore.skolemize(
+          graft.store.TripleStore.parseNTriples(spark, src), src))
+    case UModify(del, ins, where) => applyModify(spark, h, del, ins, where)
+    case g: UGround => // unreachable: the executor batches these
+      throw new IllegalStateException(s"unbatched ground op $g")
   }
 
   /** Parse a `{ ... }` template block: triple patterns only. */
@@ -529,16 +589,16 @@ object Sparql {
     require(!g.triples.exists(_.consts.exists(_.toString.startsWith("_:"))),
       s"$what must not contain blank nodes (SPARQL 1.1 Update)")
 
-  /** Ground triples of an INSERT/DELETE DATA block as an (s, p, o) frame. */
-  private def groundTriplesDf(spark: SparkSession, g: Group,
-                              what: String): DataFrame = {
+  /** Ground triples of an INSERT/DELETE DATA block as driver-side tuples
+    * (they are parse-time constants, which is what lets the update
+    * executor batch adjacent ground ops).
+    */
+  private def groundTriples(g: Group, what: String): Seq[(String, String, String)] = {
     val t = templateOnly(g, what)
     require(t.forall(_.vars.isEmpty), s"$what requires ground triples")
-    import spark.implicits._
     t.map(tp => (tp.s.asInstanceOf[C].value.toString,
         tp.p.asInstanceOf[C].value.toString,
         tp.o.asInstanceOf[C].value.toString))
-      .toDF("s", "p", "o")
   }
 
   private def templateOnly(g: Group, what: String): Seq[TriplePattern] = {
@@ -1110,7 +1170,43 @@ object Sparql {
 
   private def applyBind(env: Env, df: DataFrame, e: EExpr, v: String): DataFrame = {
     val (d, res, shadows) = withDecoded(env, df, valVars(e))
-    d.withColumn(v, compileVal(e, res)).drop(shadows: _*)
+    val out =
+      if (!df.columns.contains(v)) d.withColumn(v, compileVal(e, res))
+      else {
+        // BIND onto an already-present var: legal SPARQL only when the
+        // other use comes AFTER the BIND (§10.1), i.e. the extended
+        // binding JOINS with the later pattern — an equality constraint,
+        // not an overwrite. An OPTIONAL-null slot takes the computed
+        // value; a BIND error (null) leaves the var unbound, which stays
+        // join-compatible with the pattern's value.
+        val ev = compileVal(e, res)
+        d.withColumn(v, coalesce(col(v), ev)).where(ev.isNull || col(v) === ev)
+      }
+    out.drop(shadows: _*)
+  }
+
+  /** Encoded mode: pattern machinery emits id-typed columns; vars that are
+    * ALSO value-typed somewhere in the query (BIND targets / aliases —
+    * `EncEnv.plainVars`) are decoded to their term strings RIGHT AT THE
+    * SOURCE, so joins/filters/aggregates over them compare one consistent
+    * type. Ids absent from the dictionary render as `_:<id>` blanks,
+    * matching final decode. String mode: identity.
+    */
+  private def demoteToTerms(env: Env, df: DataFrame): DataFrame = env.enc match {
+    case None => df
+    case Some(e) =>
+      val need = df.columns.filter(e.plainVars.contains)
+        .filterNot(_.startsWith("__"))
+        .filter(c => df.schema(c).dataType ==
+          org.apache.spark.sql.types.LongType)
+      need.foldLeft(df) { (d, v) =>
+        val m = env.dictAll
+          .select(col("id").as(s"__di_$v"), col("term").as(s"__dt_$v"))
+        d.join(m, d(v) === m(s"__di_$v"), "left")
+          .withColumn(v,
+            coalesce(col(s"__dt_$v"), concat(lit("_:"), col(v).cast("string"))))
+          .drop(s"__di_$v", s"__dt_$v")
+      }
   }
 
   /** Final lazy decode of the projected id columns (encoded mode): pin the
@@ -1211,9 +1307,13 @@ object Sparql {
                      queryText: String): DataFrame = {
     val q = parse(queryText)
     val plain = plainVarsOf(q)
-    val overlap = plain intersect patternVarsOfG(q.group)
-    require(overlap.isEmpty,
-      s"encoded execution needs BIND/alias vars disjoint from pattern vars: $overlap")
+    // A var can be BOTH a BIND/alias output (value-typed) and a pattern
+    // var (id-typed) — e.g. a subquery alias joined by an outer pattern,
+    // or a BIND target reused by a later pattern. Such vars are DEMOTED
+    // to their term strings at every pattern-machinery source
+    // (`demoteToTerms`), so the whole downstream plan sees one consistent
+    // type; the (small) cost is paid only for the contaminated vars,
+    // everything else still joins on long ids.
     compileQuery(encEnvFor(spark, store, q.group, plain), q, top = true)
   }
 
@@ -1410,7 +1510,8 @@ object Sparql {
     val spark = env.spark
     var df: DataFrame =
       if (g.triples.nonEmpty)
-        Bgp.compile(spark, env.triples, g.triples.map(env.encTp), env.stats, env.totalCnt)
+        demoteToTerms(env, Bgp.compile(spark, env.triples,
+          g.triples.map(env.encTp), env.stats, env.totalCnt))
       else null
     def joinIn(other: DataFrame): Unit = {
       df =
@@ -1496,7 +1597,8 @@ object Sparql {
         .collect { case (V(n), c) => n -> c }.distinct
       val scanP =
         if (proj.isEmpty) scan.limit(1).select(lit(1).as("__c"))
-        else scan.select(proj.map { case (n, c) => col(c).as(n) }: _*)
+        else demoteToTerms(env,
+          scan.select(proj.map { case (n, c) => col(c).as(n) }: _*))
       joinIn(scanP)
     }
     // MINUS: remove solutions matching the inner group on shared vars
@@ -1511,10 +1613,10 @@ object Sparql {
     // entries are pattern-position constants -> encoded to ids
     g.values.foreach { case (v, vals) =>
       import spark.implicits._
-      val vdf = env.enc match {
+      val vdf = demoteToTerms(env, env.enc match {
         case Some(_) => vals.map(x => env.cval(x).asInstanceOf[Long]).toDF(v)
         case None => vals.toDF(v)
-      }
+      })
       require(df != null, "VALUES without a preceding pattern group")
       df = if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
       else df.crossJoin(vdf)
@@ -1525,9 +1627,9 @@ object Sparql {
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
       val tpe = if (env.enc.isDefined) LongType else StringType
       val schema = StructType(vars.map(StructField(_, tpe)))
-      val vdf = spark.createDataFrame(
+      val vdf = demoteToTerms(env, spark.createDataFrame(
         spark.sparkContext.parallelize(
-          rows.map(r => Row.fromSeq(r.map(env.cval))), 1), schema)
+          rows.map(r => Row.fromSeq(r.map(env.cval))), 1), schema))
       require(df != null, "VALUES without a preceding pattern group")
       val shared = df.columns.intersect(vars).toSeq
       df = if (shared.isEmpty) df.crossJoin(vdf) else df.join(vdf, shared, "inner")

@@ -194,15 +194,31 @@ object GraftStore {
           Dictionary.termHash(col("s")).as("s"),
           Dictionary.termHash(col("p")).as("p"),
           Dictionary.termHash(col("o")).as("o"))
-        val dups = handle.enc
+        val hits = handle.enc
           .join(broadcast(probe), Seq("s", "p", "o"), "left_semi")
-          .localCheckpoint(true)
-        val out = newT0.as("n").join(broadcast(dups).as("d"),
+          .distinct().localCheckpoint(true)
+        // hash-matched batch rows are CANDIDATE duplicates only: three
+        // aligned 63-bit matches could still be a collision, and dropping
+        // such a row would silently lose a genuinely new triple (unlike
+        // the dictionary certificate there is no repair fallback here).
+        // Confirm the tiny candidate set against the string relation —
+        // the encoded tier still earns its keep by skipping that scan
+        // entirely when no hashes match (the common new-data batch).
+        val cand = newT0.as("n").join(broadcast(hits).as("d"),
           Dictionary.termHash(col("n.s")) === col("d.s") &&
             Dictionary.termHash(col("n.p")) === col("d.p") &&
-            Dictionary.termHash(col("n.o")) === col("d.o"), "left_anti")
+            Dictionary.termHash(col("n.o")) === col("d.o"), "left_semi")
           .select(col("n.s"), col("n.p"), col("n.o")).localCheckpoint(true)
-        graft.Pins.unpin(dups)
+        val out =
+          if (cand.isEmpty) newT0
+          else {
+            val confirmed = handle.triples
+              .join(broadcast(cand), Seq("s", "p", "o"), "left_semi").distinct()
+            newT0.join(broadcast(confirmed), Seq("s", "p", "o"), "left_anti")
+              .localCheckpoint(true)
+          }
+        graft.Pins.unpin(hits)
+        graft.Pins.unpin(cand)
         out
       } else {
         val dups = handle.triples
@@ -214,7 +230,10 @@ object GraftStore {
         out
       })
     if (newT ne newT0) graft.Pins.unpin(newT0)
-    if (newT.isEmpty) return handle
+    // empty-batch early return must still release the batch checkpoint —
+    // long-lived sessions would otherwise pin one dead block set per no-op
+    // append
+    if (newT.isEmpty) { graft.Pins.unpin(newT); return handle }
     val newTerms = newT
       .select(explode(array(col("s"), col("p"), col("o"))).as("term"))
       .where(col("term").isNotNull).distinct().localCheckpoint(true)

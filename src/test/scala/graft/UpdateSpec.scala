@@ -160,4 +160,22 @@ class UpdateSpec extends SparkSpec {
       Sparql.update(spark, mkStore,
         "PREFIX : <>\nDELETE DATA { _:b :p \"x\" }")
   }
+
+  it should "fail on trailing tokens instead of silently dropping them" in {
+    // CLEAR GRAPH <g> must NOT clear the whole store and discard `GRAPH <g>`
+    an[Exception] should be thrownBy
+      Sparql.update(spark, mkStore, "CLEAR GRAPH <g>")
+    // a missing ';' between two operations must fail, not drop the second op
+    an[Exception] should be thrownBy
+      Sparql.update(spark, mkStore,
+        """PREFIX : <>
+          |INSERT DATA { <x> :p "1" }
+          |INSERT DATA { <y> :p "2" }""".stripMargin)
+    // the throw leaves the caller's handle untouched (immutability)
+    val h0 = mkStore
+    intercept[Exception] {
+      Sparql.update(spark, h0, "CLEAR GRAPH <g>")
+    }
+    rows(h0).size shouldBe 5
+  }
 }
