@@ -192,4 +192,36 @@ object Dictionary {
       .select("term", "id").collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
   }
+
+  /** One dictionary scan answering, for a small driver-side term set on a
+    * CERTIFIED (pure-hash) store, both membership and hash-claim safety:
+    * which terms are present, and whether any term's content hash is
+    * claimed by a DIFFERENT term — the one case where expression-encoded
+    * constants would alias a store term (so callers must fall back to the
+    * string path). Returns (present terms, clash?).
+    */
+  def probeClaims(spark: SparkSession, dict: DataFrame, terms: Seq[String])
+      : (Set[String], Boolean) = {
+    if (terms.isEmpty) return (Set.empty, false)
+    import spark.implicits._
+    // hash through the same codegen'd expression the store encode uses
+    // (driver-side local relation — Catalyst folds it without a job)
+    val probe = terms.toDF("pterm")
+      .select(termHash(col("pterm")).as("hid"), col("pterm"))
+    val hits = dict.join(broadcast(probe), col("id") === col("hid"))
+      .select(col("pterm"), col("term")).collect()
+    (hits.filter(r => r.getString(0) == r.getString(1)).map(_.getString(0)).toSet,
+      hits.exists(r => r.getString(0) != r.getString(1)))
+  }
+
+  /** Driver-side term→id map for a small term set, through the SAME
+    * expression as `termHash` (a local relation projection — no table
+    * scan, no per-term column explosion).
+    */
+  def hashTerms(spark: SparkSession, terms: Seq[String]): Map[String, Long] = {
+    if (terms.isEmpty) return Map.empty
+    import spark.implicits._
+    terms.toDF("term").select(col("term"), termHash(col("term")).as("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+  }
 }

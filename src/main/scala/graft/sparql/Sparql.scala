@@ -478,11 +478,10 @@ object Sparql {
       val inss = last.collect { case (t, true) => t }.toSeq
       // remove-before-append: the sets are disjoint (last-mention-wins),
       // and append's duplicate probe makes re-inserts of surviving
-      // triples no-ops — final membership matches the sequential replay
-      if (dels.nonEmpty)
-        h = graft.store.GraftStore.remove(spark, h, dels.toDF("s", "p", "o"))
-      if (inss.nonEmpty)
-        h = graft.store.GraftStore.append(spark, h, inss.toDF("s", "p", "o"))
+      // triples no-ops — final membership matches the sequential replay.
+      // Ground triples are parse-time constants, so the whole batch goes
+      // through the fused driver-side path (one shared store probe).
+      h = graft.store.GraftStore.applyGroundBatch(spark, h, dels, inss)
       run = Nil
     }
     ops.result().foreach {
@@ -619,22 +618,122 @@ object Sparql {
   private def applyModify(spark: SparkSession, h: graft.store.StoreHandle,
                           del: Option[Group], ins: Option[Group],
                           where: Group): graft.store.StoreHandle = {
-    val pins = new graft.Pins
     val env = encEnvFor(spark, h, where, plainVarsOfG(where))
-    val sols = pins.pin(decodeFinal(env, compileGroup(env, where)))
-    var out = h
-    del.foreach { t =>
-      if (t.triples.nonEmpty)
-        out = graft.store.GraftStore.remove(spark, out, instantiate(t, sols))
+    val encSols = compileGroup(env, where)
+    // Driver fast path: one bounded collect of the ENCODED solutions (the
+    // only execution of the WHERE), ids decoded in a single dictionary
+    // probe, templates instantiated driver-side — feeding the driver-side
+    // batch paths with zero intermediate checkpoints. Oversized solution
+    // sets fall back to the pinned distributed flow.
+    smallModifySols(env, encSols) match {
+      case Some(sols) =>
+        var out = h
+        del.foreach { t =>
+          if (t.triples.nonEmpty)
+            out = graft.store.GraftStore.removeLocal(spark, out,
+              instantiateRows(t, sols))
+        }
+        ins.foreach { t =>
+          if (t.triples.nonEmpty)
+            out = graft.store.GraftStore.appendLocal(spark, out,
+              instantiateRows(t, sols))
+        }
+        out
+      case None =>
+        val pins = new graft.Pins
+        val solsRaw = decodeFinal(env, encSols)
+        // pin (eager checkpoint) only when BOTH templates read the
+        // solutions — a single-consumer op executes the WHERE once anyway
+        val both = del.exists(_.triples.nonEmpty) && ins.exists(_.triples.nonEmpty)
+        val sols = if (both) pins.pin(solsRaw) else solsRaw
+        var out = h
+        del.foreach { t =>
+          if (t.triples.nonEmpty)
+            out = graft.store.GraftStore.remove(spark, out, instantiate(t, sols))
+        }
+        ins.foreach { t =>
+          if (t.triples.nonEmpty)
+            out = graft.store.GraftStore.append(spark, out, instantiate(t, sols))
+        }
+        // remove/append checkpoint/collect their results eagerly, so the
+        // solution pin is disposable the moment both have run
+        pins.release()
+        out
     }
-    ins.foreach { t =>
-      if (t.triples.nonEmpty)
-        out = graft.store.GraftStore.append(spark, out, instantiate(t, sols))
+  }
+
+  /** Cap for the driver-side modify fast path (same bounded-collect class
+    * as the batch paths in GraftStore).
+    */
+  private val modifySolsCap = 65536
+
+  /** Bounded collect + driver-side decode of an encoded solution relation:
+    * id-typed columns become their terms (one dictionary probe for ALL
+    * columns), everything else — plain-valued vars, internal shadows —
+    * keeps its exact type and value, so downstream template evaluation
+    * (including the skolem row hash over all columns) is bit-identical to
+    * the distributed decodeFinal + instantiate flow.
+    */
+  private def smallModifySols(env: Env, encSols: DataFrame): Option[DataFrame] = {
+    val first = encSols.limit(modifySolsCap + 1).collect()
+    if (first.length > modifySolsCap) return None
+    val e = env.enc.get
+    val schema = encSols.schema
+    val decodePos = schema.fields.zipWithIndex.collect {
+      case (f, i) if !e.plainVars.contains(f.name) && !f.name.startsWith("__") &&
+        f.dataType == org.apache.spark.sql.types.LongType => i
+    }.toSet
+    val ids = first.iterator.flatMap(r =>
+      decodePos.iterator.filter(i => !r.isNullAt(i)).map(r.getLong)).toSet
+    val idTerm: Map[Long, String] =
+      if (ids.isEmpty) Map.empty
+      else {
+        import env.spark.implicits._
+        env.dictAll
+          .join(broadcast(ids.toSeq.toDF("id")), Seq("id"), "left_semi")
+          .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      }
+    val newSchema = org.apache.spark.sql.types.StructType(
+      schema.fields.zipWithIndex.map { case (f, i) =>
+        if (decodePos(i)) f.copy(dataType = org.apache.spark.sql.types.StringType)
+        else f
+      })
+    val rows: Seq[org.apache.spark.sql.Row] = first.toSeq.map { r =>
+      org.apache.spark.sql.Row.fromSeq(schema.fields.indices.map { i =>
+        if (!decodePos(i)) r.get(i)
+        else if (r.isNullAt(i)) null
+        else idTerm.getOrElse(r.getLong(i), "_:" + r.getLong(i))
+      })
     }
-    // remove/append checkpoint their results eagerly, so the solution pin
-    // is disposable the moment both have run
-    pins.release()
-    out
+    Some(env.spark.createDataFrame(
+      new java.util.ArrayList(scala.jdk.CollectionConverters
+        .SeqHasAsJava(rows).asJava), newSchema))
+  }
+
+  /** `instantiate` over a LOCAL solution relation: the same template-term
+    * expressions (including the skolem row hash — exact parity with the
+    * distributed path), evaluated over local rows, returned as driver-side
+    * triples with `instantiate`'s distinct() applied per template block.
+    * The string cast matches what the batch ingestion paths apply anyway.
+    */
+  private def instantiateRows(template: Group,
+                              sols: DataFrame): Seq[(String, String, String)] = {
+    val rowHash =
+      pmod(xxhash64(sols.columns.toIndexedSeq.map(col): _*), lit(1000000007L))
+    def term(t: Term): Column = t match {
+      case V(n) => col(n)
+      case C(v) if v.toString.startsWith("_:") =>
+        concat(lit(v.toString + "-"), rowHash.cast("string"))
+      case C(v) => lit(v.toString)
+    }
+    template.triples.flatMap { tp =>
+      sols.select(term(tp.s).cast("string").as("s"),
+          term(tp.p).cast("string").as("p"),
+          term(tp.o).cast("string").as("o"))
+        .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    }.distinct
   }
 
   private def parsePrefixes(p: P): Map[String, String] = {

@@ -68,7 +68,13 @@ object GraftStore {
     // not dedupe. UPDATE inserts still honor SPARQL set semantics (an
     // insert of any already-present triple is a no-op) and deletes drop
     // every copy, with stats subtracted by actual matched-row counts.
+    // Checkpoint at the session's shuffle width, not the source file
+    // count: the store is scanned by every query/probe job, and a scan's
+    // task count should track the configured parallelism, not however
+    // many parquet chunks the ingest happened to read (coalesce is a
+    // narrow no-shuffle merge; it never raises the count).
     val triples = rawTriples.select(col("s"), col("p"), col("o"))
+      .coalesce(spark.sessionState.conf.numShufflePartitions)
       .localCheckpoint(true)
     val terms = triples.select(explode(array(col("s"), col("p"), col("o"))).as("term"))
     val pureHash = Dictionary.collisionFree(terms)
@@ -86,7 +92,13 @@ object GraftStore {
       if (pureHash) Dictionary.encodeByHash(triples, Seq("s", "p", "o"))
       else Seq("s", "p", "o").foldLeft(triples)((df, c) => Dictionary.encode(df, dict, c))
     ).localCheckpoint(true)
-    val sketches = TripleStore.predSketches(triples).localCheckpoint(true)
+    // sketch ndv domain = the store's id space (bijective with terms), so
+    // encoded deltas can merge statistics without decoding (see
+    // TripleStore.predSketchesHash)
+    val sketches = (
+      if (pureHash) TripleStore.predSketchesHash(triples)
+      else TripleStore.predSketchesEnc(enc, dictPredMap(dict, enc))
+    ).localCheckpoint(true)
     val stats = statsOf(sketches)
     // same stats keyed by encoded predicate id (as string), for BGPs over
     // the encoded relation; on the repaired path the ids come from the
@@ -98,6 +110,16 @@ object GraftStore {
     StoreHandle(triples, enc, dict, pureHash, stats, encStats,
       stats.values.map(_.cnt).sum, sketches)
   }
+
+  /** The dictionary restricted to predicate ids of `enc` — the small
+    * (id, term) relation `TripleStore.predSketchesEnc` broadcasts to
+    * re-key id-domain sketches to string predicates. Predicates are the
+    * low-cardinality term class (tens, not millions), so the semi-join
+    * output is broadcast-sized by construction.
+    */
+  private def dictPredMap(dict: DataFrame, enc: DataFrame): DataFrame =
+    dict.join(enc.select(col("p").as("id")).distinct(), Seq("id"), "left_semi")
+      .select(col("id"), col("term"))
 
   /** Realize the (small) sketch relation into the driver-side stats map:
     * exact counts, HLL-estimated distinct subjects/objects.
@@ -132,13 +154,16 @@ object GraftStore {
   def ingestEncoded(spark: SparkSession, enc: DataFrame,
                     dict: DataFrame): StoreHandle = {
     val encC = enc.select(col("s").cast("long"), col("p").cast("long"),
-      col("o").cast("long")).localCheckpoint(true)
+      col("o").cast("long"))
+      .coalesce(spark.sessionState.conf.numShufflePartitions)
+      .localCheckpoint(true)
     val dictC = dict.select(col("id").cast("long"), col("term").cast("string"))
       .localCheckpoint(true)
     val triples = Seq("s", "p", "o")
       .foldLeft(encC)((df, c) => Dictionary.decode(df, dictC, c))
       .localCheckpoint(true)
-    val sketches = TripleStore.predSketches(triples).localCheckpoint(true)
+    val sketches = TripleStore.predSketchesEnc(encC, dictPredMap(dictC, encC))
+      .localCheckpoint(true)
     val stats = statsOf(sketches)
     val encStats = encStatsOf(spark, dictC, pureHash = false, stats)
     StoreHandle(triples, encC, dictC, pureHash = false, stats, encStats,
@@ -165,9 +190,248 @@ object GraftStore {
     * one union branch per batch — `persist` flattens it (compaction), the
     * same discipline as any LSM-ish append structure.
     */
+  /** Cap for the driver-side batch fast path. A batch at or under the cap
+    * is handled as driver-side constants (one bounded collect, the same
+    * class as the stats/seed lookups elsewhere); anything larger takes
+    * the fully distributed path, so scale correctness never depends on
+    * this shortcut.
+    */
+  private val smallBatchCap = 65536
+
+  private def smallBatch(df: DataFrame): Option[Seq[(String, String, String)]] = {
+    val first = df.select(col("s").cast("string"), col("p").cast("string"),
+      col("o").cast("string")).limit(smallBatchCap + 1).collect()
+    if (first.length > smallBatchCap) None
+    else Some(first.toSeq.map(r => (r.getString(0), r.getString(1), r.getString(2))))
+  }
+
+  /** `append` for a DRIVER-SIDE batch (ground `INSERT DATA` constants, or
+    * any batch under `smallBatchCap`) on a certified store: dedup, content
+    * hashing, and the delta certificate's internal check run driver-side
+    * over the tiny batch, so the whole append costs two bounded store
+    * probes (the encoded duplicate scan and the dictionary claim scan)
+    * plus one sketch aggregate — instead of the distributed path's dozen
+    * checkpointed mini-jobs, whose fixed job overhead dominates exactly
+    * when the batch is small. Semantics are identical; repaired
+    * (non-certified) stores delegate to the distributed path.
+    */
+  def appendLocal(spark: SparkSession, handle: StoreHandle,
+                  rows: Seq[(String, String, String)]): StoreHandle = {
+    import spark.implicits._
+    if (!handle.pureHash) return append(spark, handle, rows.toDF("s", "p", "o"))
+    val rowsD = rows.distinct
+    if (rowsD.isEmpty) return handle
+    val hmap = Dictionary.hashTerms(spark,
+      rowsD.flatMap(t => Seq(t._1, t._2, t._3)).distinct)
+    // duplicate probe, stats-skip first: only triples whose predicate
+    // already exists can be duplicates
+    val cand = rowsD.filter(t => handle.stats.contains(t._2))
+    val hitSet: Set[(Long, Long, Long)] =
+      if (cand.isEmpty) Set.empty
+      else {
+        val probe = cand.map(t => (hmap(t._1), hmap(t._2), hmap(t._3)))
+          .toDF("s", "p", "o")
+        handle.enc
+          .join(broadcast(probe), Seq("s", "p", "o"), "left_semi")
+          .distinct().collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    appendLocalProbed(spark, handle, rowsD, hmap, hitSet, handle.triples)
+  }
+
+  /** appendLocal past its encoded duplicate probe: confirm hash hits
+    * against the string relation, then build the delta arms. `strRel` is
+    * the relation the confirm runs against — callers that probed a
+    * PRE-delete snapshot pass that snapshot for consistency.
+    */
+  private def appendLocalProbed(spark: SparkSession, handle: StoreHandle,
+                                rowsD: Seq[(String, String, String)],
+                                hmap: Map[String, Long],
+                                hitSet: Set[(Long, Long, Long)],
+                                strRel: DataFrame): StoreHandle = {
+    import spark.implicits._
+    val candDup = rowsD.filter(t =>
+      handle.stats.contains(t._2) && hitSet((hmap(t._1), hmap(t._2), hmap(t._3))))
+    // hash hits are CANDIDATES only — confirm against the string
+    // relation before dropping a row (same discipline as the
+    // distributed path: no silent triple loss on a 3x63-bit collision)
+    val confirmed: Set[(String, String, String)] =
+      if (candDup.isEmpty) Set.empty
+      else strRel
+        .join(broadcast(candDup.toDF("s", "p", "o")),
+          Seq("s", "p", "o"), "left_semi")
+        .distinct().collect()
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val newRows = rowsD.filterNot(confirmed)
+    if (newRows.isEmpty) return handle
+    // delta certificate: internal clash driver-side, claim clash in one
+    // dictionary scan
+    val terms = newRows.flatMap(t => Seq(t._1, t._2, t._3)).distinct
+    val internalClash = terms.groupBy(hmap).exists(_._2.size > 1)
+    val (present, externalClash) =
+      if (internalClash) (Set.empty[String], false)
+      else Dictionary.probeClaims(spark, handle.dict, terms)
+    if (internalClash || externalClash)
+      return ingestTriples(spark,
+        handle.triples.unionAll(newRows.toDF("s", "p", "o")))
+    val newOnly = terms.filterNot(present)
+    val dict =
+      if (newOnly.isEmpty) handle.dict
+      else handle.dict.unionByName(newOnly.map(t => (hmap(t), t)).toDF("id", "term"))
+    val newT = newRows.toDF("s", "p", "o")
+    val newEnc = newRows.map(t => (hmap(t._1), hmap(t._2), hmap(t._3)))
+      .toDF("s", "p", "o")
+    // local-relation arms need no checkpoint (they ARE their lineage); the
+    // merged sketch relation stays lazy over the checkpointed base plus
+    // tiny local deltas — compact() re-materializes it
+    val sketches = TripleStore.mergeSketches(
+      handle.sketches, TripleStore.predSketchesHash(newT))
+    // stats update runs entirely driver-side (no statsOf job): exact
+    // counts ADD (answer-relevant — the (?,p,?) COUNT shortcut); ndv
+    // estimates of already-known predicates keep their pre-batch values
+    // (optimizer-only hints, the same accepted-drift class as HLL's
+    // no-subtract on delete; compact(resketch) restores exactness), and
+    // brand-new predicates get exact driver-side distinct counts.
+    val byPred = newRows.groupBy(_._2)
+    val stats = handle.stats ++ byPred.map { case (p, rs) =>
+      val base = handle.stats.get(p)
+      p -> graft.bgp.PredStats(
+        base.map(_.cnt).getOrElse(0L) + rs.size,
+        base.map(_.ndvS).getOrElse(rs.map(_._1).distinct.size.toLong),
+        base.map(_.ndvO).getOrElse(rs.map(_._3).distinct.size.toLong))
+    }
+    // changed predicates are all batch predicates — their content-hash
+    // keys come from the driver-side hash map, so no dictionary job
+    val encStats = handle.encStats ++
+      byPred.keys.map(p => hmap(p).toString -> stats(p))
+    def shield(df: DataFrame): DataFrame =
+      CleanCheckpoint.stripOriginConstraints(df)
+    StoreHandle(shield(handle.triples).unionAll(newT),
+      shield(handle.enc).unionAll(newEnc),
+      dict, handle.pureHash, stats, encStats,
+      stats.values.map(_.cnt).sum, sketches)
+  }
+
+  /** `remove` for a driver-side batch on a certified store — see
+    * `appendLocal`. One store probe (the per-predicate matched-copy count
+    * the exact stats require); the surviving relations are the same lazy
+    * anti-joins as the distributed path, with the delete set a local
+    * relation instead of a checkpointed frame.
+    */
+  def removeLocal(spark: SparkSession, handle: StoreHandle,
+                  rows: Seq[(String, String, String)]): StoreHandle = {
+    import spark.implicits._
+    if (!handle.pureHash) return remove(spark, handle, rows.toDF("s", "p", "o"))
+    // stats skip: only known predicates can match anything
+    val rowsD = rows.distinct.filter(t => handle.stats.contains(t._2))
+    if (rowsD.isEmpty) return handle
+    val hmap = Dictionary.hashTerms(spark,
+      rowsD.flatMap(t => Seq(t._1, t._2, t._3)).distinct)
+    val delH = rowsD.map(t => (t._2, hmap(t._1), hmap(t._2), hmap(t._3)))
+      .toDF("pstr", "s", "p", "o")
+    val matched = handle.enc
+      .join(broadcast(delH.select(col("s"), col("p"), col("o"))),
+        Seq("s", "p", "o"), "left_semi")
+      .join(broadcast(delH), Seq("s", "p", "o"))
+      .groupBy(col("pstr").as("p")).agg(count(lit(1)).as("gone"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    removeLocalCounted(spark, handle, rowsD, hmap, matched)
+  }
+
+  /** removeLocal past its matched-copy probe (callers may have computed
+    * the counts in a shared scan).
+    */
+  private def removeLocalCounted(spark: SparkSession, handle: StoreHandle,
+                                 rowsD: Seq[(String, String, String)],
+                                 hmap: Map[String, Long],
+                                 matched: Map[String, Long]): StoreHandle = {
+    import spark.implicits._
+    if (matched.isEmpty) return handle
+    val triples = handle.triples
+      .join(rowsD.toDF("s", "p", "o"), Seq("s", "p", "o"), "left_anti")
+    val enc = handle.enc
+      .join(rowsD.map(t => (hmap(t._1), hmap(t._2), hmap(t._3))).toDF("s", "p", "o"),
+        Seq("s", "p", "o"), "left_anti")
+    val stats = handle.stats.flatMap { case (p, st) =>
+      val left = st.cnt - matched.getOrElse(p, 0L)
+      if (left > 0) Some(p -> st.copy(cnt = left)) else None
+    }
+    val goneDf = matched.toSeq.toDF("p", "gone")
+    val sketches = handle.sketches.join(broadcast(goneDf), Seq("p"), "left")
+      .withColumn("cnt", col("cnt") - coalesce(col("gone"), lit(0L)))
+      .where(col("cnt") > 0).drop("gone")
+    // changed predicates are exactly matched.keys ⊆ the driver-side hash
+    // map — rebuild their encoded-key entries without a dictionary job
+    val encStats = matched.keys.foldLeft(handle.encStats) { (m, p) =>
+      stats.get(p) match {
+        case Some(st) => m.updated(hmap(p).toString, st)
+        case None => m - hmap(p).toString
+      }
+    }
+    StoreHandle(triples, enc, handle.dict, handle.pureHash, stats, encStats,
+      stats.values.map(_.cnt).sum, sketches)
+  }
+
+  /** Apply a DISJOINT ground delete+insert batch (an update script's
+    * coalesced `DELETE DATA`/`INSERT DATA` run) with ONE shared store
+    * probe: because `dels` and `inss` are disjoint triple sets, an
+    * insert's duplicate status is the same before and after the removes,
+    * so the delete's matched-copy count and the insert's duplicate probe
+    * can read a single pre-batch snapshot of the encoded relation in one
+    * scan. Falls back to sequential remove+append on repaired stores.
+    */
+  def applyGroundBatch(spark: SparkSession, handle: StoreHandle,
+                       dels: Seq[(String, String, String)],
+                       inss: Seq[(String, String, String)]): StoreHandle = {
+    import spark.implicits._
+    if (!handle.pureHash) {
+      var h = handle
+      if (dels.nonEmpty) h = removeLocal(spark, h, dels)
+      if (inss.nonEmpty) h = appendLocal(spark, h, inss)
+      return h
+    }
+    val delsD = dels.distinct.filter(t => handle.stats.contains(t._2))
+    val inssD = inss.distinct
+    val insCand = inssD.filter(t => handle.stats.contains(t._2))
+    if (delsD.isEmpty && inssD.isEmpty) return handle
+    val hmap = Dictionary.hashTerms(spark,
+      (delsD ++ inssD).flatMap(t => Seq(t._1, t._2, t._3)).distinct)
+    // one scan, both probes: per-predicate matched-copy counts for the
+    // deletes, hit tuples for the insert duplicate check
+    val (matched, hitSet): (Map[String, Long], Set[(Long, Long, Long)]) =
+      if (delsD.isEmpty && insCand.isEmpty) (Map.empty, Set.empty)
+      else {
+        val probe = (
+          delsD.map(t => ("d", t._2, hmap(t._1), hmap(t._2), hmap(t._3))) ++
+            insCand.map(t => ("i", t._2, hmap(t._1), hmap(t._2), hmap(t._3)))
+          ).toDF("tag", "pstr", "s", "p", "o")
+        val res = handle.enc.join(broadcast(probe), Seq("s", "p", "o"))
+          .groupBy("tag", "pstr", "s", "p", "o")
+          .agg(count(lit(1)).as("n")).collect()
+        val m = res.filter(_.getString(0) == "d")
+          .groupBy(_.getString(1))
+          .view.mapValues(_.map(_.getLong(5)).sum).toMap
+        val h = res.filter(_.getString(0) == "i")
+          .map(r => (r.getLong(2), r.getLong(3), r.getLong(4))).toSet
+        (m, h)
+      }
+    var h = removeLocalCounted(spark, handle, delsD, hmap, matched)
+    if (inssD.nonEmpty)
+      // the duplicate CONFIRM must read the same pre-batch snapshot the
+      // probe did (disjointness makes that equal to the post-remove view)
+      h = appendLocalProbed(spark, h, inssD, hmap, hitSet, handle.triples)
+    h
+  }
+
   def append(spark: SparkSession, handle: StoreHandle,
              newTriples: DataFrame): StoreHandle = {
     import org.apache.spark.sql.functions.{countDistinct, explode, array, count, lit, broadcast}
+    // small batches take the driver-side fast path (bounded collect; a
+    // batch over the cap falls through to the distributed machinery below)
+    if (handle.pureHash) smallBatch(newTriples) match {
+      case Some(rows) => return appendLocal(spark, handle, rows)
+      case None =>
+    }
     // set semantics (SPARQL Update §3.1.1 / the reference's idempotent
     // LMDB puts): already-present triples drop out of the delta. Three
     // probe tiers, cheapest wins:
@@ -295,7 +559,9 @@ object GraftStore {
     graft.Pins.unpin(newTerms)
     graft.Pins.unpin(existing)
     val sketches = TripleStore.mergeSketches(
-      handle.sketches, TripleStore.predSketches(newT)).localCheckpoint(true)
+      handle.sketches,
+      if (handle.pureHash) TripleStore.predSketchesHash(newT)
+      else TripleStore.predSketchesEnc(newEnc, slim)).localCheckpoint(true)
     val stats = statsOf(sketches)
     val encStats = encStatsOf(spark, dict, handle.pureHash, stats)
     // strip origin constraints from checkpointed union arms: a later
@@ -331,6 +597,11 @@ object GraftStore {
   def remove(spark: SparkSession, handle: StoreHandle,
              delTriples: DataFrame): StoreHandle = {
     import org.apache.spark.sql.functions.{broadcast, explode, array, count, lit, sum, coalesce}
+    // small delete sets take the driver-side fast path (see appendLocal)
+    if (handle.pureHash) smallBatch(delTriples) match {
+      case Some(rows) => return removeLocal(spark, handle, rows)
+      case None =>
+    }
     val delT = delTriples.select(col("s"), col("p"), col("o")).distinct()
       .localCheckpoint(true)
     // the one eager job: matched rows per predicate — counts every COPY
@@ -399,7 +670,9 @@ object GraftStore {
     val triples = handle.triples.localCheckpoint(true)
     val enc = handle.enc.localCheckpoint(true)
     val sketches =
-      (if (resketch) TripleStore.predSketches(triples) else handle.sketches)
+      (if (!resketch) handle.sketches
+       else if (handle.pureHash) TripleStore.predSketchesHash(triples)
+       else TripleStore.predSketchesEnc(enc, dictPredMap(handle.dict, enc)))
         .localCheckpoint(true)
     val stats = statsOf(sketches)
     val encStats = encStatsOf(spark, handle.dict, handle.pureHash, stats)

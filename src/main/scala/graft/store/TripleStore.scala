@@ -194,6 +194,31 @@ object TripleStore {
       hll_sketch_agg(col("s")).as("hs"),
       hll_sketch_agg(col("o")).as("ho"))
 
+  /** `predSketches` with the HLL domain switched to the store's ID space
+    * (the dictionary is a bijection, so ndv is identical) — computed from
+    * the STRING relation by hashing inline, no dictionary join. Valid on
+    * certified (pure-hash) stores, where id = content hash. Keeping the
+    * sketch domain in id space lets ENCODED deltas (SPARQL Update's
+    * modify path) merge their statistics without ever decoding strings.
+    */
+  def predSketchesHash(triples: DataFrame): DataFrame =
+    triples.groupBy("p").agg(
+      count(lit(1)).as("cnt"),
+      hll_sketch_agg(graft.dict.Dictionary.termHash(col("s"))).as("hs"),
+      hll_sketch_agg(graft.dict.Dictionary.termHash(col("o"))).as("ho"))
+
+  /** Id-domain sketches from the ENCODED relation, re-keyed to string
+    * predicates through a small broadcast (id, term) map that must cover
+    * every predicate id appearing in `enc`.
+    */
+  def predSketchesEnc(enc: DataFrame, predMap: DataFrame): DataFrame =
+    enc.groupBy("p").agg(
+        count(lit(1)).as("cnt"),
+        hll_sketch_agg(col("s")).as("hs"),
+        hll_sketch_agg(col("o")).as("ho"))
+      .join(broadcast(predMap.select(col("id").as("p"), col("term"))), Seq("p"))
+      .select(col("term").as("p"), col("cnt"), col("hs"), col("ho"))
+
   def mergeSketches(a: DataFrame, b: DataFrame): DataFrame =
     a.unionAll(b).groupBy("p").agg(
       sum("cnt").as("cnt"),
