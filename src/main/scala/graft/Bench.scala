@@ -19,6 +19,15 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Releasing a SUPERSEDED local checkpoint (the Pins contract: seal
+    // materializes the result before freeing loop intermediates) makes
+    // the RDD layer warn that the truncated lineage "cannot be
+    // recomputed" — true and intended; nothing will read those RDDs
+    // again. Silence that one logger so the bench log reflects real
+    // problems. (On a cluster with a checkpoint dir, Pins picks RELIABLE
+    // checkpoints and the warning never arises.)
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     // JMH-style setup (the reference's LubmGraphula loads the LMDB store
     // in @Setup, outside measured iterations — BASELINE.md): warm the JVM
     // and ingest the store handle once, then measure queries.
@@ -28,14 +37,22 @@ object Bench {
       graft.store.GraftStore.docGrams(spark, sfDir)
       graft.store.GraftStore.docDupPairs(spark, sfDir, threshold = 0.5)
       graft.store.GraftStore.entityAdjacency(spark, sfDir)
-      graft.store.GraftStore.forNTriples(spark,
-        "/root/reference/benchmarks/data/university0_*.nt")
+      graft.store.GraftStore.entityAdjacencyEnc(spark, sfDir)
+      graft.store.GraftStore.ivfIndex(spark, sfDir)
+      if (graft.LubmData.available)
+        graft.store.GraftStore.forNTriples(spark, graft.LubmData.glob)
     } catch { case _: Throwable => }
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
-    // deterministic name order: per-query timings comparable across runs
+    // deterministic name order: per-query timings comparable across runs.
+    // LUBM gates need the reference fixture files — skip them (visibly)
+    // on hosts without the checkout instead of failing the whole bench.
+    if (!graft.LubmData.available)
+      System.err.println(s"[bench] LUBM fixtures absent (${graft.LubmData.dir}) " +
+        "- skipping q_lubm* queries")
     val selected = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => only.forall(_.contains(n)) }
+      .filter { case (n, _) => graft.LubmData.available || !n.startsWith("q_lubm") }
     val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "1").toInt
     // Warmup (DEFAULT ON, disable with SPARK_GRAFT_WARMUP=0): run each
     // query once UNTIMED before timing, so one-shot JIT/codegen costs stop

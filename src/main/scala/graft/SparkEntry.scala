@@ -599,13 +599,19 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos", "rnk")
       .orderBy("query_id", "rnk")
 
-  /** IVF ANN: fixed seed centroids (vec_id < 16), search the query's cell. */
-  private def annIvf(s: SparkSession, d: String): DataFrame =
-    VectorOps.ivfSearch(Tables.loadPar(s, d, "embeddings"),
-        centroidPred = col("vec_id") < 16, queryPred = col("vec_id") < 8, k = 3)
+  /** IVF ANN: fixed seed centroids (vec_id < 16), search the query's
+    * cell. The centroids and the corpus-side cell assignment come from
+    * the shared per-corpus index (`GraftStore.ivfIndex`) — only the
+    * query batch's own cells are computed per call.
+    */
+  private def annIvf(s: SparkSession, d: String): DataFrame = {
+    val (cent, cells) = GraftStore.ivfIndex(s, d)
+    VectorOps.ivfSearchWith(Tables.loadPar(s, d, "embeddings"), cent, cells,
+        queryPred = col("vec_id") < 8, k = 3)
       .withColumnRenamed("rank", "rnk")
       .select("query_id", "neighbor_id", "cos", "rnk")
       .orderBy("query_id", "rnk")
+  }
 
   /** LSH-bucketed ANN (sign random projections, single probe, top-3). */
   private def annLshQ(s: SparkSession, d: String): DataFrame =
@@ -822,7 +828,7 @@ object SparkEntry {
     * golden answers; these two also hash-check against a DuckDB oracle
     * that parses the same N-Triples files.
     */
-  private val lubmData = "/root/reference/benchmarks/data/university0_*.nt"
+  private def lubmData = { LubmData.requireAvailable(); LubmData.glob }
   private val lubmPrologue =
     """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
       |PREFIX ub: <http://swat.cse.lehigh.edu/onto/univ-bench.owl#>
@@ -1997,28 +2003,28 @@ object SparkEntry {
         |), nn AS (SELECT count(*)::DOUBLE AS n FROM nodes
         |), r0 AS (SELECT node, 1.0 / n AS r FROM nodes CROSS JOIN nn
         |), c1 AS (
-        |  SELECT und.o, CAST(round((r / deg) * 1e12, 0) AS BIGINT) AS c
+        |  SELECT und.o, CAST(floor((r / deg) * 1e12 + 0.5) AS BIGINT) AS c
         |  FROM und JOIN dg USING (s) JOIN r0 ON r0.node = und.s
         |), s1 AS (SELECT o, CAST(sum(c) AS BIGINT) AS csum FROM c1 GROUP BY o
         |), r1 AS (
         |  SELECT node, (1.0 - 0.85) / n + 0.85 * (COALESCE(csum, 0)::DOUBLE / 1e12) AS r
         |  FROM nodes CROSS JOIN nn LEFT JOIN s1 ON s1.o = nodes.node
         |), c2 AS (
-        |  SELECT und.o, CAST(round((r / deg) * 1e12, 0) AS BIGINT) AS c
+        |  SELECT und.o, CAST(floor((r / deg) * 1e12 + 0.5) AS BIGINT) AS c
         |  FROM und JOIN dg USING (s) JOIN r1 ON r1.node = und.s
         |), s2 AS (SELECT o, CAST(sum(c) AS BIGINT) AS csum FROM c2 GROUP BY o
         |), r2 AS (
         |  SELECT node, (1.0 - 0.85) / n + 0.85 * (COALESCE(csum, 0)::DOUBLE / 1e12) AS r
         |  FROM nodes CROSS JOIN nn LEFT JOIN s2 ON s2.o = nodes.node
         |), c3 AS (
-        |  SELECT und.o, CAST(round((r / deg) * 1e12, 0) AS BIGINT) AS c
+        |  SELECT und.o, CAST(floor((r / deg) * 1e12 + 0.5) AS BIGINT) AS c
         |  FROM und JOIN dg USING (s) JOIN r2 ON r2.node = und.s
         |), s3 AS (SELECT o, CAST(sum(c) AS BIGINT) AS csum FROM c3 GROUP BY o
         |), r3 AS (
         |  SELECT node, (1.0 - 0.85) / n + 0.85 * (COALESCE(csum, 0)::DOUBLE / 1e12) AS r
         |  FROM nodes CROSS JOIN nn LEFT JOIN s3 ON s3.o = nodes.node
         |)
-        |SELECT node, round(r, 9) AS rank FROM r3 ORDER BY node""".stripMargin,
+        |SELECT node, floor(r * 1e9 + 0.5) / 1e9 AS rank FROM r3 ORDER BY node""".stripMargin,
     "q_random_walks" ->
       """WITH RECURSIVE fwd AS (
         |  SELECT 'nation:'||n_nationkey AS s, 'region:'||n_regionkey AS o FROM nation

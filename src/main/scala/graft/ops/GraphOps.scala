@@ -22,10 +22,12 @@ object GraphOps {
     * adjacency and every node has out-degree ≥ 1, so no dangling-mass
     * term is needed). Per iteration: one join (ranks → edges) and one
     * aggregate (contributions → targets); contributions accumulate in
-    * integer PICO units (`round(r/deg · 1e12)` as long), so the sum is
-    * order-independent and the whole recursion replays bit-identically
-    * in a SQL oracle — the engine-portable determinism discipline used
-    * across this codebase (centroids, surprisal, walks).
+    * integer PICO units (`floor(r/deg · 1e12 + 0.5)` as long — the
+    * engine-neutral half-up discipline, since BigDecimal HALF_UP and a
+    * float-multiply `round()` diverge on decimal half-boundaries), so
+    * the sum is order-independent and the whole recursion replays
+    * bit-identically in a SQL oracle — the engine-portable determinism
+    * discipline used across this codebase (centroids, surprisal, walks).
     *
     * Scale shape: ranks are a (node, double) relation re-pinned per
     * iteration; edges are scanned once per iteration with the rank join
@@ -43,16 +45,20 @@ object GraphOps {
     val base = (1.0 - damping) / n
     var rank = pins.pin(nodes.withColumn("r", lit(1.0 / n)))
     for (_ <- 1 to iterations) {
+      // one join + one aggregate per round, nothing else: on an
+      // UNDIRECTED degree>=1 adjacency every node also RECEIVES at least
+      // one contribution, so the aggregate's key set is already the full
+      // node set and no per-round nodes re-join is needed
       val contrib = adj.join(rank, adj("s") === rank("node"))
         .select(col("o"),
-          round((col("r") / col("deg")) * 1e12, 0).cast("long").as("c"))
-      val sums = contrib.groupBy(col("o")).agg(sum(col("c")).as("csum"))
-      rank = pins.pin(nodes.join(sums, nodes("node") === sums("o"), "left")
-        .select(col("node"),
+          floor((col("r") / col("deg")) * 1e12 + 0.5).cast("long").as("c"))
+      rank = pins.pin(contrib.groupBy(col("o")).agg(sum(col("c")).as("csum"))
+        .select(col("o").as("node"),
           (lit(base) + lit(damping) *
-            (coalesce(col("csum"), lit(0L)).cast("double") / 1e12)).as("r")))
+            (col("csum").cast("double") / 1e12)).as("r")))
     }
-    pins.seal(rank.select(col("node"), round(col("r"), 9).as("rank")))
+    pins.seal(rank.select(col("node"),
+      (floor(col("r") * 1e9 + 0.5) / 1e9).as("rank")))
   }
 
   /** Fixed-iteration MIN-LABEL propagation: after `iterations` rounds

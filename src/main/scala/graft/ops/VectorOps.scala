@@ -85,7 +85,17 @@ object VectorOps {
   def ivfSearch(emb: DataFrame, centroidPred: Column, queryPred: Column,
                 k: Int, probes: Int = 1): DataFrame = {
     val cent = centroidsOf(emb, centroidPred)
-    val cells = ivfAssign(emb, cent)
+    ivfSearchWith(emb, cent, ivfAssign(emb, cent), queryPred, k, probes)
+  }
+
+  /** IVF search over a PREBUILT index: `cent` and the storage-side cell
+    * assignment `cells` are ingest artifacts (see `GraftStore.ivfIndex`)
+    * — a query recomputes only ITS OWN cell assignment, never the
+    * corpus's, matching the inverted-file lifecycle at scale (the index
+    * is written once; queries prune to their cells).
+    */
+  def ivfSearchWith(emb: DataFrame, cent: DataFrame, cells: DataFrame,
+                    queryPred: Column, k: Int, probes: Int = 1): DataFrame = {
     val withCell = emb.join(cells, Seq("vec_id"))
     val q = emb.where(queryPred)
       .join(ivfAssign(emb.where(queryPred), cent, probes), Seq("vec_id"))

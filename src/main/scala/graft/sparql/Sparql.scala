@@ -1447,8 +1447,10 @@ object Sparql {
 
   /** Continuous SPARQL over a live triple stream (BGP+FILTER subset, the
     * reference is strictly batch — this is the Structured-Streaming
-    * extension path): the query's FIRST pattern binds to arriving stream
-    * edges, the rest join the static store (`Bgp.compileStream`).
+    * extension path): the FULL per-pattern delta — every pattern takes a
+    * turn binding to arriving stream edges while the others read the
+    * static store, and the per-pattern arms union (`Bgp.compileStream`) —
+    * so a new edge matching ANY pattern position produces its solutions.
     * Solution modifiers that need full-result state (DISTINCT / ORDER /
     * LIMIT / aggregates) are rejected — run those on the sink's output.
     */

@@ -51,6 +51,11 @@ object GraftStore {
   private def evictStopped(): Unit = {
     cache.keys.filter(_._1.sparkContext.isStopped).foreach(cache.remove)
     gramCache.keys.filter(_._1.sparkContext.isStopped).foreach(gramCache.remove)
+    pairCache.keys.filter(_._1.sparkContext.isStopped).foreach(pairCache.remove)
+    adjCache.keys.filter(_._1.sparkContext.isStopped).foreach(adjCache.remove)
+    adjEncCache.keys.filter(_._1.sparkContext.isStopped).foreach(adjEncCache.remove)
+    ivfCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfCache.remove)
+    ntCache.keys.filter(_._1.sparkContext.isStopped).foreach(ntCache.remove)
   }
 
   private def ingest(spark: SparkSession, sfDir: String): StoreHandle =
@@ -755,6 +760,29 @@ object GraftStore {
         .localCheckpoint(true))).value
   }
 
+  private val ivfCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[(DataFrame, DataFrame)]]
+
+  /** IVF index of the embeddings table — the (centroids, storage-side
+    * cell assignment) pair, materialized once per (session, dir) like
+    * `entityAdjacency`: the corpus-side assignment is an INGEST artifact
+    * (at cluster scale, the inverted-file table an ingest job writes),
+    * so every `ivfSearchWith` call reuses it and recomputes only the
+    * query batch's own cells. Centroids are the fixed seed set the
+    * pipeline standardizes on (vec_id < 16).
+    */
+  def ivfIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+    evictStopped()
+    ivfCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val emb = graft.Tables.loadPar(spark, sfDir, "embeddings")
+      val cent = graft.ops.VectorOps
+        .centroidsOf(emb, col("vec_id") < 16).localCheckpoint(true)
+      val cells = graft.ops.VectorOps.ivfAssign(emb, cent, probes = 1)
+        .localCheckpoint(true)
+      (cent, cells)
+    })).value
+  }
+
   private val adjCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
 
@@ -819,6 +847,6 @@ object GraftStore {
   /** Test hook: drop cached handles (e.g. between suites). */
   def invalidate(): Unit = {
     cache.clear(); gramCache.clear(); pairCache.clear()
-    adjCache.clear(); ntCache.clear()
+    adjCache.clear(); adjEncCache.clear(); ivfCache.clear(); ntCache.clear()
   }
 }

@@ -90,4 +90,28 @@ class GraphOpsSpec extends SparkSpec {
     ps("x") shouldBe ps("y")
     (ps("c") + ps("x") + ps("y")) shouldBe 1.0 +- 1e-6
   }
+
+  it should "run identically under the RELIABLE checkpoint strategy" in {
+    // the cluster-durability path: loop intermediates become reliable
+    // checkpoints (files under the checkpoint dir that survive executor
+    // loss), forced on here since local masters auto-select local ones
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    spark.sparkContext.setCheckpointDir(dir.toString)
+    spark.conf.set("spark.graft.pins.reliable", "true")
+    try {
+      val pair = Seq(("a", "b"), ("b", "a")).toDF("s", "o")
+      val pr = GraphOps.pageRank(GraphOps.rankedAdjacency(pair), iterations = 3)
+      val got = pr.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      got("a") shouldBe 0.5 +- 1e-9
+      got("b") shouldBe 0.5 +- 1e-9
+      // the sealed result really is a reliable checkpoint, not a local one
+      Pins.isPinned(pr) shouldBe true
+      import org.apache.spark.sql.execution.LogicalRDD
+      pr.queryExecution.analyzed.asInstanceOf[LogicalRDD]
+        .rdd.getCheckpointFile should not be empty
+    } finally {
+      spark.conf.set("spark.graft.pins.reliable", "false")
+      org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+    }
+  }
 }

@@ -17,7 +17,9 @@ import graft.store.{GraftStore, TripleStore}
   */
 class LubmSpec extends SparkSpec {
 
-  private val dataDir = "/root/reference/benchmarks/data"
+  // resolvable via GRAFT_LUBM_DIR / -Dgraft.lubm.dir; tests cancel
+  // cleanly (assume) on hosts without the fixture files
+  private val dataDir = LubmData.dir
 
   private val prologue =
     """PREFIX rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#>
@@ -95,6 +97,7 @@ class LubmSpec extends SparkSpec {
 
   (1 to 14).foreach { qid =>
     "LUBM golden corpus" should s"reproduce query $qid on the string store" in {
+      assume(LubmData.available, s"LUBM fixtures absent (${LubmData.dir})")
       val got = rowsOf(Sparql.execute(spark, store.triples,
         queries(qid - 1), store.stats))
       got.sortBy(_.mkString("\t")) shouldBe
@@ -102,9 +105,11 @@ class LubmSpec extends SparkSpec {
     }
   }
 
-  // the same queries over long keys with a single decode stage on top
-  Seq(2, 4, 8, 9, 14).foreach { qid =>
+  // the same queries over long keys with a single decode stage on top —
+  // ALL 14, since the encoded path is the production one
+  (1 to 14).foreach { qid =>
     "LUBM golden corpus" should s"reproduce query $qid on the encoded store" in {
+      assume(LubmData.available, s"LUBM fixtures absent (${LubmData.dir})")
       val got = rowsOf(Sparql.executeEncoded(spark, store, queries(qid - 1)))
       got.sortBy(_.mkString("\t")) shouldBe
         golden(qid).sortBy(_.mkString("\t"))

@@ -48,6 +48,17 @@ class PlanSpec extends SparkSpec {
     p should include("Broadcast")
   }
 
+  "q_ann_ivf" should "reuse the pinned corpus cell assignment" in {
+    val p = finalPlan("q_ann_ivf")
+    // the ingest-artifact cells arrive as a checkpointed scan ...
+    p should include("ExistingRDD")
+    // ... so the only Window ops left are the QUERY side's own cell
+    // assignment and the final per-query top-k; a third window means the
+    // corpus-wide assignment is being recomputed per call. (`Window [`
+    // matches the operator itself, not its WindowGroupLimit pushdowns.)
+    "Window \\[".r.findAllIn(p).length should be <= 2
+  }
+
   "q_pack_sequences" should "shuffle once on the packing key only" in {
     val p = finalPlan("q_pack_sequences")
     // the unsplittable-input repartition (Tables.loadPar), the per-source
