@@ -180,17 +180,23 @@ object Bgp {
   def compileStream(spark: SparkSession, streamTriples: DataFrame,
                     staticTriples: DataFrame, patterns: Seq[TriplePattern],
                     stats: Map[String, PredStats] = Map.empty,
-                    totalCnt: Long = 1000000L): DataFrame = {
+                    totalCnt: Long = 1000000L,
+                    carry: Seq[String] = Seq.empty): DataFrame = {
     require(patterns.nonEmpty, "empty BGP")
     require(streamTriples.isStreaming, "streamTriples must be a streaming DataFrame")
     require(patterns.exists(_.vars.nonEmpty),
       "at least one pattern must bind a variable")
+    // `carry`: stream-side metadata columns (e.g. the event-time column a
+    // windowed aggregation downstream groups on) propagated through every
+    // delta branch — each solution keeps ITS arriving edge's values
+    carry.foreach(c => require(streamTriples.columns.contains(c),
+      s"carry column '$c' not in the stream"))
     val outVars = patterns.flatMap(_.vars).distinct
     val branches = patterns.indices
       .filter(i => patterns(i).vars.nonEmpty)
       .map { i =>
         val delta = patterns(i)
-        var current = patternScan(streamTriples, delta, 0)
+        var current = patternScan(streamTriples, delta, 0, carry)
         var boundVars = delta.vars.toSet
         val rest = patterns.take(i) ++ patterns.drop(i + 1)
         orderFrom(rest, stats, totalCnt, boundVars).zipWithIndex.foreach {
@@ -204,7 +210,7 @@ object Bgp {
             else current = current.join(scan, shared, "inner")
             boundVars ++= tp.vars
         }
-        current.select(outVars.map(col): _*)
+        current.select((outVars ++ carry).map(col): _*)
       }
     branches.reduce(_.unionAll(_))
   }
@@ -213,7 +219,8 @@ object Bgp {
     * variable positions under their variable names, dedup repeated-variable
     * cases (e.g. `?x p ?x` keeps s===o rows).
     */
-  private def patternScan(triples: DataFrame, tp: TriplePattern, idx: Int): DataFrame = {
+  private def patternScan(triples: DataFrame, tp: TriplePattern, idx: Int,
+                          carry: Seq[String] = Seq.empty): DataFrame = {
     var df = triples
     tp.terms.foreach {
       case (pos, C(v)) => df = df.where(col(pos) === lit(v))
@@ -229,7 +236,7 @@ object Bgp {
     }
     val proj = varPos.map(_._2).distinct.map { v =>
       col(varPos.find(_._2 == v).get._1).as(v)
-    }
+    } ++ carry.map(col)
     if (proj.isEmpty) df.select(lit(1).as(s"__const$idx"))
     else df.select(proj: _*)
   }

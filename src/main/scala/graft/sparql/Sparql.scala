@@ -89,6 +89,8 @@ object Sparql {
   final case class EStrL(v: String) extends EExpr
   final case class EBin(l: EExpr, op: String, r: EExpr) extends EExpr
   final case class ECall(fn: String, args: Seq[EExpr]) extends EExpr
+  /** IF(cond, then, else) — the condition uses the BOOLEAN grammar. */
+  final case class EIf(cond: Expr, t: EExpr, f: EExpr) extends EExpr
 
   /** Boolean (FILTER/HAVING) expressions. */
   sealed trait Expr
@@ -1175,6 +1177,14 @@ object Sparql {
     case Some(TNum(n)) => p.pos += 1; ENumL(n.toDouble)
     case Some(TStr(s)) => p.pos += 1; EStrL(s)
     case Some(TSym("(")) => p.pos += 1; val e = parseEAdd(p); p.eatSym(")"); e
+    case Some(TWord(fn)) if fn.toUpperCase == "IF" &&
+      p.peekAhead(1).contains(TSym("(")) =>
+      // IF's first operand is a boolean-grammar expression
+      p.pos += 1; p.eatSym("(")
+      val c = parseExpr(p); p.eatSym(",")
+      val t = parseEAdd(p); p.eatSym(",")
+      val f = parseEAdd(p); p.eatSym(")")
+      EIf(c, t, f)
     case Some(TWord(fn)) if p.peekAhead(1).contains(TSym("(")) =>
       p.pos += 1
       ECall(fn.toUpperCase, parseArgList(p))
@@ -1479,6 +1489,61 @@ object Sparql {
     df.select(proj: _*)
   }
 
+  /** Continuous SPARQL AGGREGATION over a live triple stream: a
+    * `GROUP BY` + aggregate query compiles onto a watermarked tumbling
+    * window — the IVM ask `executeStream` rejects, expressed as
+    * Structured Streaming's append-mode windowed aggregation. The stream
+    * must carry an event-time column (`tsCol`); each BGP solution
+    * inherits ITS arriving edge's timestamp through the per-pattern
+    * delta (`Bgp.compileStream(carry)`), the watermark bounds state, and
+    * a window's groups emit exactly once, finalized, when the watermark
+    * passes its end.
+    *
+    * Output: `window_start`, `window_end` (formatted), the GROUP BY
+    * vars, the aggregate aliases. The same BGP+FILTER subset as
+    * `executeStream`; DISTINCT/ORDER/LIMIT still belong on the sink.
+    */
+  def executeStreamWindowed(spark: SparkSession, streamTriples: DataFrame,
+                            staticTriples: DataFrame, queryText: String,
+                            windowLen: String, watermark: String,
+                            tsCol: String = "ts",
+                            stats: Map[String, PredStats] = Map.empty): DataFrame = {
+    val q = parse(queryText)
+    require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
+      q.group.minuses.isEmpty && q.group.values.isEmpty &&
+      q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
+      q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
+      q.group.valuesMulti.isEmpty && !q.distinct && q.orderBy.isEmpty &&
+      q.limit.isEmpty,
+      "executeStreamWindowed supports the append-mode BGP+FILTER+BIND aggregate subset")
+    val aggs = q.projection.collect { case a: PAgg => a }
+    require(aggs.nonEmpty, "no aggregates — use executeStream")
+    var df = Bgp.compileStream(
+      spark, streamTriples.withWatermark(tsCol, watermark), staticTriples,
+      q.group.triples, stats, carry = Seq(tsCol))
+    q.group.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
+    q.group.filters.foreach(f => df = df.where(compileExpr(f)))
+    val aggCols = aggs.map { a =>
+      (a.fn match {
+        case "COUNT" if a.distinct => countDistinct(col(a.arg.get))
+        case "COUNT" => count(a.arg.map(col).getOrElse(lit(1)))
+        case "SUM" => sum(col(a.arg.get).cast("double"))
+        case "MIN" => min(col(a.arg.get))
+        case "MAX" => max(col(a.arg.get))
+        case "AVG" => avg(col(a.arg.get).cast("double"))
+        case "SAMPLE" => min(col(a.arg.get))
+        case other => throw new IllegalArgumentException(
+          s"aggregate $other() not supported in streaming mode")
+      }).as(a.alias)
+    }
+    val keys = window(col(tsCol), windowLen).as("w") +: q.groupBy.map(col)
+    df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+      .select(Seq(
+        date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("window_end")) ++
+        q.groupBy.map(col) ++ aggs.map(a => col(a.alias)): _*)
+  }
+
   def execute(spark: SparkSession, triples: DataFrame, queryText: String,
               stats: Map[String, PredStats] = Map.empty): DataFrame =
     compileQuery(stringEnv(spark, triples, stats), parse(queryText))
@@ -1497,6 +1562,8 @@ object Sparql {
         EVar(alias)
       case EBin(l, op, r) => EBin(extractAggs(l, acc), op, extractAggs(r, acc))
       case ECall(fn, args) => ECall(fn, args.map(extractAggs(_, acc)))
+      case EIf(c, t, f) =>
+        EIf(extractAggsB(c, acc), extractAggs(t, acc), extractAggs(f, acc))
       case other => other
     }
 
@@ -2030,6 +2097,7 @@ object Sparql {
     case EVar(n) => Set(n)
     case EBin(l, _, r) => valVars(l) ++ valVars(r)
     case ECall(_, args) => args.flatMap(valVars).toSet
+    case EIf(c, t, f) => exprVars(c) ++ valVars(t) ++ valVars(f)
     case _ => Set.empty
   }
 
@@ -2045,6 +2113,9 @@ object Sparql {
     case EVar(v) => resolve(v)
     case ENumL(v) => lit(v)
     case EStrL(s) => lit(s)
+    case EIf(c, t, f) =>
+      when(compileExprWith(c, resolve), compileVal(t, resolve))
+        .otherwise(compileVal(f, resolve))
     case EBin(l, op, r) =>
       val (lc, rc) = (compileNum(l, resolve), compileNum(r, resolve))
       op match {
@@ -2090,18 +2161,58 @@ object Sparql {
         case "CEIL" => ceil(compileNum(args.head, resolve))
         case "FLOOR" => floor(compileNum(args.head, resolve))
         case "ROUND" => round(compileNum(args.head, resolve), 0)
-        // date accessors over the store's ISO-formatted date strings
+        // date/time accessors over ISO-formatted date(time) strings.
+        // (NOW/UUID/STRUUID/RAND — and argless BNODE — are DELIBERATELY
+        // not implemented: they are non-deterministic, and every result
+        // in this engine must replay bit-identically against an
+        // independent oracle. The reference inherits them from its query
+        // library; a port would use BIND-supplied timestamps/ids.)
         case "YEAR" => substring(strOf(a0), 1, 4).cast("int")
         case "MONTH" => substring(strOf(a0), 6, 2).cast("int")
         case "DAY" => substring(strOf(a0), 9, 2).cast("int")
+        case "HOURS" =>
+          regexp_extract(strOf(a0), "T(\\d{2})", 1).cast("int")
+        case "MINUTES" =>
+          regexp_extract(strOf(a0), "T\\d{2}:(\\d{2})", 1).cast("int")
+        case "SECONDS" => // xsd:decimal — keeps the fractional part
+          regexp_extract(strOf(a0), "T\\d{2}:\\d{2}:(\\d{2}(?:\\.\\d+)?)", 1)
+            .cast("double")
+        case "TZ" => // "Z", "+05:30", ... or "" when absent
+          regexp_extract(strOf(a0), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+        case "TIMEZONE" => // xsd:dayTimeDuration serialization of the offset
+          val tzS = regexp_extract(strOf(a0), "(Z|[+-]\\d{2}:\\d{2})$", 1)
+          val h = substring(tzS, 2, 2).cast("int")
+          val m = substring(tzS, 5, 2).cast("int")
+          when(tzS === "Z", lit("PT0S"))
+            .when(tzS === "", lit(null))
+            .otherwise(concat(
+              when(tzS.startsWith("-"), lit("-")).otherwise(lit("")),
+              lit("PT"),
+              when(h > 0, concat(h.cast("string"), lit("H"))).otherwise(lit("")),
+              when(m > 0, concat(m.cast("string"), lit("M"))).otherwise(lit("")),
+              when(h === 0 && m === 0, lit("0S")).otherwise(lit(""))))
         // term constructors / inspectors (SPARQL 1.1 §17.4)
         case "IRI" | "URI" => strOf(a0) // string-serialized term model
         case "STRLANG" =>
           concat(lit("\""), strOf(a0), lit("\"@"), strOf(compileVal(args(1), resolve)))
+        case "STRDT" => // typed literal: "lex"^^<dt> (IRIs serialize bare)
+          concat(lit("\""), strOf(a0), lit("\"^^"),
+            strOf(compileVal(args(1), resolve)))
+        case "BNODE" =>
+          // content-derived blank node (md5 — replayable in any engine).
+          // The ARGLESS form (fresh node per solution) is excluded with
+          // the other non-deterministic builtins; see the note at the
+          // date/time accessors.
+          if (args.isEmpty) throw new IllegalArgumentException(
+            "BNODE() without argument is non-deterministic and not supported; " +
+              "use BNODE(str)")
+          else concat(lit("_:b"), substring(md5(strOf(a0).cast("binary")), 1, 16))
         case "DATATYPE" =>
           val langRe = "^\"(?:[^\"\\\\]|\\\\.)*\"@[A-Za-z][A-Za-z0-9-]*$"
-          when(a0.rlike(langRe),
-            lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
+          val dtRe = "^\"(?:[^\"\\\\]|\\\\.)*\"\\^\\^(.+)$"
+          when(a0.rlike(dtRe), regexp_extract(a0, dtRe, 1))
+            .when(a0.rlike(langRe),
+              lit("http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"))
             .when(a0.startsWith("\"") ||
               (!a0.startsWith("_:") && !a0.contains(":")),
               lit("http://www.w3.org/2001/XMLSchema#string"))

@@ -280,9 +280,10 @@ object GraftStore {
       return ingestTriples(spark,
         handle.triples.unionAll(newRows.toDF("s", "p", "o")))
     val newOnly = terms.filterNot(present)
-    val dict =
-      if (newOnly.isEmpty) handle.dict
-      else handle.dict.unionByName(newOnly.map(t => (hmap(t), t)).toDF("id", "term"))
+    val dictDelta =
+      if (newOnly.isEmpty) None
+      else Some(newOnly.map(t => (hmap(t), t)).toDF("id", "term"))
+    val dict = dictDelta.fold(handle.dict)(handle.dict.unionByName)
     val newT = newRows.toDF("s", "p", "o")
     val newEnc = newRows.map(t => (hmap(t._1), hmap(t._2), hmap(t._3)))
       .toDF("s", "p", "o")
@@ -311,10 +312,12 @@ object GraftStore {
       byPred.keys.map(p => hmap(p).toString -> stats(p))
     def shield(df: DataFrame): DataFrame =
       CleanCheckpoint.stripOriginConstraints(df)
-    StoreHandle(shield(handle.triples).unionAll(newT),
-      shield(handle.enc).unionAll(newEnc),
-      dict, handle.pureHash, stats, encStats,
-      stats.values.map(_.cnt).sum, sketches)
+    logAppend(
+      StoreHandle(shield(handle.triples).unionAll(newT),
+        shield(handle.enc).unionAll(newEnc),
+        dict, handle.pureHash, stats, encStats,
+        stats.values.map(_.cnt).sum, sketches),
+      handle, newT, newEnc, dictDelta)
   }
 
   /** `remove` for a driver-side batch on a certified store — see
@@ -545,9 +548,8 @@ object GraftStore {
     if (internalClash || externalClash)
       // rare path: full repair ingest over the union (correctness first)
       return ingestTriples(spark, handle.triples.unionAll(newT))
-    val dict =
-      if (newOnly.isEmpty) handle.dict
-      else handle.dict.unionByName(newOnly)
+    val dictDelta = if (newOnly.isEmpty) None else Some(newOnly)
+    val dict = dictDelta.fold(handle.dict)(handle.dict.unionByName)
     // encode the delta against a broadcast slim dictionary covering
     // exactly the batch's terms (existing ids + freshly assigned ones)
     val slim = org.apache.spark.sql.functions.broadcast(
@@ -576,10 +578,12 @@ object GraftStore {
     // CleanCheckpoint)
     def shield(df: DataFrame): DataFrame =
       CleanCheckpoint.stripOriginConstraints(df)
-    StoreHandle(shield(handle.triples).unionAll(shield(newT)),
-      shield(handle.enc).unionAll(shield(newEnc)),
-      dict, handle.pureHash, stats, encStats,
-      stats.values.map(_.cnt).sum, sketches)
+    logAppend(
+      StoreHandle(shield(handle.triples).unionAll(shield(newT)),
+        shield(handle.enc).unionAll(shield(newEnc)),
+        dict, handle.pureHash, stats, encStats,
+        stats.values.map(_.cnt).sum, sketches),
+      handle, newT, newEnc, dictDelta)
   }
 
   /** Batch triple deletion — tombstone-lazy, copy-on-write on compaction
@@ -691,6 +695,46 @@ object GraftStore {
     ingestTriples(spark, Seq.empty[(String, String, String)].toDF("s", "p", "o"))
   }
 
+  /** Append provenance: child handle -> (parent handle, the delta
+    * relations that append added). Keys are WEAK — if an intermediate
+    * handle is collected, the chain breaks and `persist` falls back to a
+    * full rewrite, so correctness never depends on this map. Values hold
+    * the parent strongly, keeping a live chain reachable end-to-end.
+    */
+  private final case class AppendDelta(parent: StoreHandle, deltaT: DataFrame,
+                                       deltaEnc: DataFrame,
+                                       deltaDict: Option[DataFrame])
+  private val appendLog = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[StoreHandle, AppendDelta]())
+  /** Handles whose exact relation set is durable at a path (from `open`
+    * or a completed `persist`) — the roots incremental persist chains to.
+    */
+  private val durableAt = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[StoreHandle, String]())
+
+  private def logAppend(child: StoreHandle, parent: StoreHandle,
+                        deltaT: DataFrame, deltaEnc: DataFrame,
+                        deltaDict: Option[DataFrame]): StoreHandle = {
+    appendLog.put(child, AppendDelta(parent, deltaT, deltaEnc, deltaDict))
+    child
+  }
+
+  private def writeStatsMeta(handle: StoreHandle, path: String): Unit = {
+    val spark = handle.triples.sparkSession
+    import spark.implicits._
+    // persisting the SKETCHES (not just the estimates) keeps later appends
+    // against the reopened store O(Δ) too. The relation is per-predicate
+    // tiny by design — materialize it DRIVER-SIDE first, because the
+    // handle's lazy sketch merge may itself read the stats table this
+    // overwrite replaces (write-into-your-own-input).
+    val rows = handle.sketches.collect()
+    spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*), handle.sketches.schema)
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
+    Seq(handle.pureHash).toDF("pure_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+  }
+
   /** Persist a handle as the parquet table set a cluster ingest job would
     * write: predicate-partitioned triples (directory pruning for the
     * `(?, p, ?)` access path), the encoded relation, the dictionary, the
@@ -699,19 +743,56 @@ object GraftStore {
     * WITHOUT recomputing anything — the 100 TB lifecycle (ingest once,
     * query from any later session) instead of the in-session checkpoints
     * the driver gate uses.
+    *
+    * INCREMENTAL durability: when the handle is an append chain over a
+    * store that is already durable at THIS path (it came from `open`, or
+    * a previous `persist` here), only the chain's delta rows are written
+    * — append-mode parquet adds files, never rewrites existing ones — plus
+    * the (tiny) refreshed stats/meta tables. A nightly append to a 100 TB
+    * store costs O(Δ) files, not a full-store rewrite. Chains broken by
+    * deletes/compaction (anti-join relations) take the full rewrite.
     */
   def persist(handle: StoreHandle, path: String): Unit = {
-    TripleStore.persist(handle.triples, s"$path/triples")
-    handle.enc.write.mode("overwrite").parquet(s"$path/enc")
-    handle.dict.write.mode("overwrite").parquet(s"$path/dict")
-    val spark = handle.triples.sparkSession
-    import spark.implicits._
-    // persisting the SKETCHES (not just the estimates) keeps later appends
-    // against the reopened store O(Δ) too
-    handle.sketches
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")
-    Seq(handle.pureHash).toDF("pure_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$path/meta")
+    @annotation.tailrec
+    def chain(h: StoreHandle, acc: List[AppendDelta]): Option[List[AppendDelta]] =
+      if (Option(durableAt.get(h)).contains(path)) Some(acc)
+      else Option(appendLog.get(h)) match {
+        case Some(d) => chain(d.parent, d :: acc)
+        case None => None
+      }
+    chain(handle, Nil) match {
+      case Some(deltas) =>
+        deltas.foreach { d =>
+          TripleStore.persistAppend(d.deltaT, s"$path/triples")
+          d.deltaEnc.write.mode("append").parquet(s"$path/enc")
+          d.deltaDict.foreach(_.write.mode("append").parquet(s"$path/dict"))
+        }
+        writeStatsMeta(handle, path)
+      case None =>
+        // full rewrite, staged then swapped: a handle whose lazy
+        // relations READ this path (open + delete chains) must be able
+        // to persist back onto it — writing into your own input is
+        // otherwise a read-after-delete failure. The stage dir starts
+        // with '.' so parquet discovery ignores it if anything scans
+        // the store mid-persist.
+        val spark = handle.triples.sparkSession
+        val fs = new org.apache.hadoop.fs.Path(path)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val tmp = s"$path/.stage-${java.util.UUID.randomUUID}"
+        TripleStore.persist(handle.triples, s"$tmp/triples")
+        handle.enc.write.mode("overwrite").parquet(s"$tmp/enc")
+        handle.dict.write.mode("overwrite").parquet(s"$tmp/dict")
+        writeStatsMeta(handle, tmp)
+        Seq("triples", "enc", "dict", "stats", "meta").foreach { t =>
+          val dst = new org.apache.hadoop.fs.Path(s"$path/$t")
+          fs.delete(dst, true)
+          fs.rename(new org.apache.hadoop.fs.Path(s"$tmp/$t"), dst)
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    // this handle's exact state is now durable here: a re-persist is a
+    // stats refresh, later appends chain incrementally on top
+    durableAt.put(handle, path)
   }
 
   /** Reopen a persisted store (see `persist`). Reads are lazy DataFrames
@@ -726,8 +807,10 @@ object GraftStore {
     val sketches = spark.read.parquet(s"$path/stats")
     val stats = statsOf(sketches)
     val encStats = encStatsOf(spark, dict, pureHash, stats)
-    StoreHandle(triples, enc, dict, pureHash, stats, encStats,
+    val h = StoreHandle(triples, enc, dict, pureHash, stats, encStats,
       stats.values.map(_.cnt).sum, sketches)
+    durableAt.put(h, path)
+    h
   }
 
   private val gramCache =

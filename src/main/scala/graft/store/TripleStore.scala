@@ -235,4 +235,15 @@ object TripleStore {
       .repartition(col("p"))
       .sortWithinPartitions("s", "o")
       .write.mode("overwrite").partitionBy("p").parquet(path)
+
+  /** Append-only variant of `persist`: writes ONLY the given delta rows
+    * as new files under the existing predicate-partitioned layout (append
+    * mode never touches existing files) — the incremental-durability step
+    * for an appended store.
+    */
+  def persistAppend(deltaTriples: DataFrame, path: String): Unit =
+    deltaTriples
+      .repartition(col("p"))
+      .sortWithinPartitions("s", "o")
+      .write.mode("append").partitionBy("p").parquet(path)
 }

@@ -189,7 +189,32 @@ class GoldenSpec extends SparkSpec {
     "sparql_closure_alt" ->
       """PREFIX : <>
         |SELECT ?x WHERE { <customer:7> (:nationkey|:regionkey)+ ?x }
-        |ORDER BY ?x""".stripMargin)
+        |ORDER BY ?x""".stripMargin,
+    "sparql_if" ->
+      """PREFIX : <>
+        |SELECT ?p ?cls WHERE {
+        |  ?p a "Part" . ?p :size ?sz .
+        |  BIND(IF(?sz > 25, "big", IF(?sz > 10, "mid", "small")) AS ?cls)
+        |} ORDER BY ?p""".stripMargin,
+    "sparql_time" ->
+      """PREFIX : <>
+        |SELECT ?r ?h ?m ?sec ?tz ?dur WHERE {
+        |  ?r a "Region" .
+        |  BIND("2024-03-05T14:45:13.5+05:30" AS ?d)
+        |  BIND(HOURS(?d) AS ?h)
+        |  BIND(MINUTES(?d) AS ?m)
+        |  BIND(SECONDS(?d) AS ?sec)
+        |  BIND(TZ(?d) AS ?tz)
+        |  BIND(TIMEZONE(?d) AS ?dur)
+        |} ORDER BY ?r""".stripMargin,
+    "sparql_strdt" ->
+      """PREFIX : <>
+        |SELECT ?r ?t ?dt ?b WHERE {
+        |  ?r a "Region" . ?r :name ?nm .
+        |  BIND(STRDT(?nm, "http://www.w3.org/2001/XMLSchema#token") AS ?t)
+        |  BIND(DATATYPE(?t) AS ?dt)
+        |  BIND(BNODE(?nm) AS ?b)
+        |} ORDER BY ?r""".stripMargin)
 
   /** UPDATE golden cases: (update script, select over the updated store).
     * The TSVs replay the update algebra in DuckDB SQL (tools/golden.py).

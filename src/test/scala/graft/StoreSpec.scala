@@ -228,6 +228,53 @@ class StoreSpec extends SparkSpec {
     plan should include regex "PartitionFilters: \\[[^\\]]*nationkey"
   }
 
+  it should "persist an appended handle incrementally (delta files only)" in {
+    import spark.implicits._
+    val out = "target/tmp-graft-store-inc"
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
+    val base = graft.store.GraftStore.ingestTriples(spark, Seq(
+      ("i:1", "knows", "i:2"), ("i:2", "knows", "i:3")
+    ).toDF("s", "p", "o"))
+    graft.store.GraftStore.persist(base, out)
+    def dataFiles(): Map[String, Long] = {
+      import scala.jdk.CollectionConverters._
+      org.apache.commons.io.FileUtils
+        .listFiles(new java.io.File(out), Array("parquet"), true).asScala
+        .filter(f => Seq("triples", "enc", "dict")
+          .exists(t => f.getPath.contains(s"/$t/")))
+        .map(f => f.getPath -> f.length()).toMap
+    }
+    val reopened = graft.store.GraftStore.open(spark, out)
+    val before = dataFiles()
+    // append one edge with an existing predicate and one brand-new term
+    val appended = graft.store.GraftStore.appendLocal(spark, reopened, Seq(
+      ("i:3", "knows", "i:4")))
+    graft.store.GraftStore.persist(appended, out)
+    val after = dataFiles()
+    // incremental: every pre-existing data file survives untouched
+    // (same path, same size); the delta arrived as NEW files only
+    before.foreach { case (p, len) =>
+      after.get(p) shouldBe Some(len)
+    }
+    (after.keySet -- before.keySet) should not be empty
+    // the reopened store sees the appended state with exact counts
+    val again = graft.store.GraftStore.open(spark, out)
+    again.totalCnt shouldBe appended.totalCnt
+    again.stats.view.mapValues(_.cnt).toMap shouldBe
+      appended.stats.view.mapValues(_.cnt).toMap
+    again.triples.count() shouldBe 3L
+    graft.sparql.Sparql.executeEncoded(spark, again,
+      """PREFIX : <>
+        |SELECT ?x WHERE { "i:3" :knows ?x }""".stripMargin)
+      .collect().map(_.getString(0)).toSeq shouldBe Seq("i:4")
+    // a handle whose chain includes a DELETE falls back to full rewrite
+    // and still round-trips
+    val removed = graft.store.GraftStore.removeLocal(spark, again,
+      Seq(("i:1", "knows", "i:2")))
+    graft.store.GraftStore.persist(removed, out)
+    graft.store.GraftStore.open(spark, out).triples.count() shouldBe 2L
+  }
+
   "predicateStats" should "match exact per-predicate counts and drive ordering" in {
     val d = sfDir
     val triples = TripleStore.tableTriples(spark, d, exploded = true)

@@ -151,4 +151,43 @@ class StreamingBgpSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
       Set(("customer:1", "region:2"), ("customer:4", "region:2"))
   }
+
+  "Sparql.executeStreamWindowed" should
+    "emit finalized windowed GROUP BY counts under the watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val src = MemoryStream[(Timestamp, String, String, String)]
+    val out = graft.sparql.Sparql.executeStreamWindowed(spark,
+      src.toDF().toDF("ts", "s", "p", "o"), staticTriples,
+      """PREFIX : <>
+        |SELECT ?r (COUNT(?c) AS ?cnt) WHERE {
+        |  ?c :nationkey ?n .
+        |  ?n :regionkey ?r .
+        |} GROUP BY ?r""".stripMargin,
+      windowLen = "10 minutes", watermark = "0 seconds")
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("sparql_stream_win")
+      .outputMode("append").start()
+    // window [00:00, 00:10): two customers land in region:2, one in region:4
+    src.addData(
+      (ts("2024-01-01 00:01:00"), "customer:7", "nationkey", "nation:1"),
+      (ts("2024-01-01 00:02:00"), "customer:8", "nationkey", "nation:1"),
+      (ts("2024-01-01 00:03:00"), "customer:9", "nationkey", "nation:3"))
+    q.processAllAvailable()
+    // nothing emitted yet: the watermark (00:03) has not passed 00:10
+    spark.table("sparql_stream_win").count() shouldBe 0L
+    // later events advance the watermark past the first window's end...
+    src.addData((ts("2024-01-01 00:25:00"), "customer:10", "nationkey", "nation:1"))
+    q.processAllAvailable()
+    src.addData((ts("2024-01-01 00:26:00"), "customer:11", "nationkey", "nation:3"))
+    q.processAllAvailable()
+    q.stop()
+    // ...so the first window's groups emit exactly once, finalized
+    val rows = spark.table("sparql_stream_win").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    rows shouldBe Set(
+      ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "region:2", 2L),
+      ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "region:4", 1L))
+  }
 }

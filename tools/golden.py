@@ -199,6 +199,26 @@ QUERIES = {
           SELECT r_name AS nm FROM region
           UNION ALL SELECT 'OCEANIA'
         ) ORDER BY nm""",
+    # IF with a nested else-branch over part sizes
+    "sparql_if": """
+        SELECT 'part:' || p_partkey AS p,
+               CASE WHEN p_size > 25 THEN 'big'
+                    WHEN p_size > 10 THEN 'mid'
+                    ELSE 'small' END AS cls
+        FROM part ORDER BY p""",
+    # HOURS/MINUTES/SECONDS/TZ/TIMEZONE over a BIND-supplied datetime
+    "sparql_time": """
+        SELECT 'region:' || r_regionkey AS r,
+               14 AS h, 45 AS m, 13.5 AS sec,
+               '+05:30' AS tz, 'PT5H30M' AS dur
+        FROM region ORDER BY r""",
+    # STRDT typed-literal constructor, DATATYPE extraction, BNODE skolem
+    "sparql_strdt": """
+        SELECT 'region:' || r_regionkey AS r,
+               '"' || r_name || '"^^http://www.w3.org/2001/XMLSchema#token' AS t,
+               'http://www.w3.org/2001/XMLSchema#token' AS dt,
+               '_:b' || substring(md5(r_name), 1, 16) AS b
+        FROM region ORDER BY r""",
 }
 
 os.makedirs(out, exist_ok=True)
