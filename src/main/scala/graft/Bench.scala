@@ -13,9 +13,11 @@ object Bench {
       // after a driver GC surfaces their weak refs. A short periodic-GC
       // timer is the WRONG tool here: a ParallelGC full collection on the
       // large heap lands inside whichever query is running (observed as
-      // roving multi-second outliers). Instead the harness GCs explicitly
-      // BETWEEN queries (see below) and keeps the timer as a backstop.
-      .config("spark.cleaner.periodicGC.interval", "10min")
+      // exactly ONE roving 15-25s outlier per full bench run while the
+      // 10min timer was shorter than the run). The harness GCs explicitly
+      // BETWEEN queries (see below); the timer stays only as a backstop
+      // for idle sessions, parked beyond any bench duration.
+      .config("spark.cleaner.periodicGC.interval", "60min")
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

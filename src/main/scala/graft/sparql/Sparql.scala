@@ -1972,12 +1972,19 @@ object Sparql {
       mutable.Map(origins.toIndexedSeq.map(o => o -> mutable.BitSet(originIdx(o))): _*)
     origins.foreach(o => expanded(o) = mutable.BitSet(originIdx(o)))
     var rounds = 0
+    // CUMULATIVE driver-row budget across all rounds (not per round): the
+    // frontier only ever holds newly-expanded nodes, so the sum of step
+    // collects is bounded by the reachable subgraph's edges — a hostile
+    // graph therefore pays at most ~100k collected rows TOTAL before the
+    // distributed fallback takes over, instead of 100k × rounds
+    var budget = 100000
     while (frontier.nonEmpty) {
       if (rounds >= 500 || frontier.size > 1024) return None
       val nodes = frontier.keys.toSeq
       val step = edges.where(col("s").isin(nodes: _*))
-        .select(col("s"), col("o")).distinct().limit(100001).collect()
-      if (step.length > 100000) return None
+        .select(col("s"), col("o")).distinct().limit(budget + 1).collect()
+      if (step.length > budget) return None
+      budget -= step.length
       val next = mutable.Map.empty[Any, mutable.BitSet]
       step.foreach { r =>
         val (s, o) = (r.get(0), r.get(1))
