@@ -631,9 +631,28 @@ object Sparql {
       case Some(sols) =>
         var out = h
         del.foreach { t =>
-          if (t.triples.nonEmpty)
-            out = graft.store.GraftStore.removeLocal(spark, out,
-              instantiateRows(t, sols))
+          if (t.triples.nonEmpty) {
+            val all = instantiateRowsAll(t, sols)
+            // DELETE WHERE shape: the template IS the whole (single
+            // pattern + filters only) WHERE group, so each UNDEDUPLICATED
+            // solution row is 1:1 with a matching store row — the
+            // per-predicate matched-copy counts fall out of the collect
+            // and the remove skips its store probe entirely
+            val selfDelete = t.triples.size == 1 &&
+              t.triples == where.triples && where.optionals.isEmpty &&
+              where.unions.isEmpty && where.minuses.isEmpty &&
+              where.paths.isEmpty && where.binds.isEmpty &&
+              where.subqueries.isEmpty && where.subgroups.isEmpty &&
+              where.values.isEmpty && where.valuesMulti.isEmpty &&
+              where.existsFilters.isEmpty
+            out =
+              if (selfDelete)
+                graft.store.GraftStore.removeLocalPrecounted(spark, out,
+                  all.distinct,
+                  all.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
+              else
+                graft.store.GraftStore.removeLocal(spark, out, all.distinct)
+          }
         }
         ins.foreach { t =>
           if (t.triples.nonEmpty)
@@ -719,7 +738,15 @@ object Sparql {
     * The string cast matches what the batch ingestion paths apply anyway.
     */
   private def instantiateRows(template: Group,
-                              sols: DataFrame): Seq[(String, String, String)] = {
+                              sols: DataFrame): Seq[(String, String, String)] =
+    instantiateRowsAll(template, sols).distinct
+
+  /** `instantiateRows` WITHOUT the final dedup — callers that know the
+    * solutions scan the store 1:1 (DELETE WHERE) read matched-copy
+    * counts off the duplicates.
+    */
+  private def instantiateRowsAll(template: Group,
+                                 sols: DataFrame): Seq[(String, String, String)] = {
     val rowHash =
       pmod(xxhash64(sols.columns.toIndexedSeq.map(col): _*), lit(1000000007L))
     def term(t: Term): Column = t match {
@@ -735,7 +762,7 @@ object Sparql {
         .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
         .collect()
         .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    }.distinct
+    }
   }
 
   private def parsePrefixes(p: P): Map[String, String] = {

@@ -346,6 +346,25 @@ object GraftStore {
     removeLocalCounted(spark, handle, rowsD, hmap, matched)
   }
 
+  /** `removeLocal` with the per-predicate matched-copy counts already
+    * known — e.g. a DELETE WHERE whose solution rows came 1:1 from a
+    * store scan, where the counts fall out of the solution collect and
+    * the probe job disappears entirely. Repaired stores delegate to the
+    * distributed path (which re-probes; the counts are discarded).
+    */
+  def removeLocalPrecounted(spark: SparkSession, handle: StoreHandle,
+                            rows: Seq[(String, String, String)],
+                            matched: Map[String, Long]): StoreHandle = {
+    import spark.implicits._
+    if (!handle.pureHash) return remove(spark, handle, rows.toDF("s", "p", "o"))
+    val rowsD = rows.distinct.filter(t => handle.stats.contains(t._2))
+    if (rowsD.isEmpty) return handle
+    val hmap = Dictionary.hashTerms(spark,
+      rowsD.flatMap(t => Seq(t._1, t._2, t._3)).distinct)
+    removeLocalCounted(spark, handle, rowsD, hmap,
+      matched.filter { case (p, n) => n > 0 && handle.stats.contains(p) })
+  }
+
   /** removeLocal past its matched-copy probe (callers may have computed
     * the counts in a shared scan).
     */
