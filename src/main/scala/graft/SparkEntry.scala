@@ -441,6 +441,13 @@ object SparkEntry {
     VectorOps.dimCentroids(Tables.loadPar(s, d, "embeddings"), col("vec_id") % 8)
       .orderBy("bucket", "dim")
 
+  /** Deterministic k-means clustering over the embedding corpus (k=8,
+    * 3 fixed Lloyd iterations; spread seed init, integer-micros centroid
+    * updates — see VectorOps.kmeans for the engine-parity contract).
+    */
+  private def kmeansQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.kmeans(Tables.loadPar(s, d, "embeddings"))
+
   /** Vocabulary construction: top-500 corpus tokens by frequency with
     * deterministic rank ids (count desc, token asc) — the
     * tokenizer-training precursor, one map-side-combined aggregate plus
@@ -1547,6 +1554,7 @@ object SparkEntry {
     "q_train_split" -> (trainSplitQ _),
     "q_pack_sequences" -> (packSequencesQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
+    "q_kmeans" -> (kmeansQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
     "q_fingerprint" -> (fingerprintQ _),
@@ -1604,6 +1612,39 @@ object SparkEntry {
 
   private def duckCos6(a: String, b: String): String =
     s"floor((${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))) * 1e6 + 0.5) / 1e6"
+
+  /** k-means replayed in SQL: the same spread seeds, the same
+    * (cos DESC, cluster ASC) argmax, the same integer-micros →
+    * float-narrowed centroid updates, unrolled for the fixed iteration
+    * count (a0 uses c0; each cT+1 averages aT's members; output is the
+    * assignment under the final centroids).
+    */
+  private val kmeansOracleSql: String = {
+    val k = 8
+    val iters = 3
+    def assign(t: Int) =
+      s"""sc$t AS (SELECT e.vec_id, c.cluster, ${duckCos6("e.embedding", "c.cv")} AS cos
+         |  FROM e CROSS JOIN c$t c),
+         |a$t AS (SELECT vec_id, cluster, cos FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos DESC, cluster ASC) AS rn FROM sc$t) WHERE rn = 1)"""
+        .stripMargin
+    def update(t: Int) =
+      s"""c${t + 1} AS (SELECT cluster, list(cd ORDER BY dim) AS cv FROM (
+         |    SELECT a$t.cluster, i AS dim,
+         |      (sum(CAST(floor(e.embedding[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))::DOUBLE
+         |        / (count(*) * 1000000.0))::FLOAT AS cd
+         |    FROM a$t JOIN e USING (vec_id), range(1, 65) t(i)
+         |    GROUP BY 1, 2) GROUP BY cluster)""".stripMargin
+    val body = (0 until iters).map(t => assign(t) + ",\n" + update(t))
+      .mkString(",\n") + ",\n" + assign(iters)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |p AS (SELECT count(*) // $k AS step FROM e),
+       |c0 AS (SELECT (vec_id // p.step)::INT AS cluster, embedding AS cv
+       |       FROM e, p WHERE vec_id % p.step = 0 AND vec_id < $k * p.step),
+       |$body
+       |SELECT vec_id, cluster, cos FROM a$iters ORDER BY vec_id""".stripMargin
+  }
 
   /** LSH-bucket expression replayed in SQL: the exact same ±1 hyperplanes
     * (generated by the same LCG) as literal lists, same fold order.
@@ -2592,6 +2633,7 @@ object SparkEntry {
         |    / (count(*) * 1000000.0) AS centroid
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY bucket, dim""".stripMargin,
+    "q_kmeans" -> kmeansOracleSql,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

@@ -231,6 +231,67 @@ object VectorOps {
           .as("mean_abs_err"))
   }
 
+  /** Deterministic distributed k-means over the embedding corpus — the
+    * cluster-based curation primitive (semantic-dedup buckets, domain
+    * discovery, diversity-sampling quotas over training shards).
+    *
+    * Scale shape: each iteration is ONE narrow map pass — the k current
+    * centroids ride along as literal float arrays, so the nearest-centroid
+    * argmax is a pure codegen'd per-row expression (`greatest` over
+    * (cos, -cluster) structs): no join, no shuffle of the corpus — plus
+    * ONE map-side-combined aggregate for the centroid update. The k×dim
+    * update result is collected driver-side (bounded: k·dim rows, the
+    * same constant class as the stats/seed lookups). The iteration count
+    * is FIXED: convergence-based stopping would make results depend on
+    * float-comparison noise across engines.
+    *
+    * Determinism contract (replayed bit-for-bit by the DuckDB oracle):
+    *   - seeds: the k vectors at vec_id = i·⌊n/k⌋ (spread, order-free);
+    *   - assignment: max cosine6, ties to the smallest cluster id;
+    *   - update: per-dim mean via integer-micros sums (order-independent,
+    *     map-side-combine-safe), narrowed to float (IEEE round-to-nearest
+    *     on both engines) so the next round's dot runs float-widened.
+    * Clusters that lose all members simply drop out of the next round,
+    * identically on both engines.
+    */
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+    val e = emb.select(col("vec_id"), col("embedding"))
+    val n = e.count()
+    val step = n / k
+    require(step > 0, s"kmeans: need at least k=$k vectors, got $n")
+    var cents: Seq[(Int, Seq[Float])] =
+      e.where(col("vec_id") % step === 0 && col("vec_id") < k * step)
+        .select((col("vec_id") / step).cast("int").as("cluster"), col("embedding"))
+        .collect().toSeq
+        .map(r => (r.getInt(0), r.getSeq[Float](1)))
+        .sortBy(_._1)
+
+    def assigned: DataFrame = {
+      val best = greatest(cents.map { case (c, v) =>
+        struct(cosine6(col("embedding"), typedLit(v)).as("cos"),
+          lit(-c).as("nc"))
+      }: _*)
+      e.select(col("vec_id"), col("embedding"), best.as("b"))
+        .select(col("vec_id"), col("embedding"),
+          (-col("b.nc")).cast("int").as("cluster"), col("b.cos").as("cos"))
+    }
+
+    for (_ <- 1 to iters) {
+      val upd = assigned
+        .select(col("cluster"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5).cast("long")).cast("double")
+          / (count(lit(1)) * 1e6)).cast("float").as("c"))
+        .collect()
+      cents = upd.toSeq
+        .map(r => (r.getInt(0), r.getInt(1), r.getFloat(2)))
+        .groupBy(_._1).toSeq
+        .map { case (c, dims) => (c, dims.sortBy(_._2).map(_._3).toSeq) }
+        .sortBy(_._1)
+    }
+    assigned.select(col("vec_id"), col("cluster"), col("cos")).orderBy("vec_id")
+  }
+
   /** Brute-force reference implementation (spec oracle for the LSH path).
     */
   def embedDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {

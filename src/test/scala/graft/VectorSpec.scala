@@ -85,4 +85,32 @@ class VectorSpec extends SparkSpec {
       lsh shouldBe brute
     }
   }
+
+  "kmeans" should "assign every vector exactly once, deterministically" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count()
+    val a = VectorOps.kmeans(e).collect()
+    a.length.toLong shouldBe n
+    a.map(_.getLong(0)).distinct.length.toLong shouldBe n
+    val clusters = a.map(_.getInt(1)).distinct
+    all(clusters) should (be >= 0 and be < 8)
+    clusters.length should be > 1 // real partition of the corpus
+    // bit-identical across runs (fixed seeds, fixed iterations)
+    val b = VectorOps.kmeans(e).collect()
+    a.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq shouldBe
+      b.map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).toSeq
+  }
+
+  it should "keep each iteration join-free (centroids are literals)" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = VectorOps.kmeans(e).queryExecution.executedPlan.toString
+    plan should not include "Join"
+    // members move between clusters vs the seed assignment: the update
+    // step did real work (guards against a frozen-centroid regression)
+    val seeds = VectorOps.kmeans(e, iters = 0).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val fin = VectorOps.kmeans(e).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    fin should not be seeds
+  }
 }
