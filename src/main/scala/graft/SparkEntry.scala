@@ -534,6 +534,15 @@ object SparkEntry {
       .select("doc_id", "source", "quality", "rank_in_domain")
       .orderBy("source", "rank_in_domain")
 
+  /** Temperature-scaled domain mixing at α=1/2 to a half-corpus budget
+    * (integer-micros sqrt weights, fingerprint-ordered selection — see
+    * TextOps.temperatureMix for the engine-parity contract).
+    */
+  private def domainMixQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.loadPar(s, d, "documents")
+    TextOps.temperatureMix(docs, col("source"), budget = docs.count() / 2)
+  }
+
   /** Per-dimension int8 quantization audit of the embedding corpus. */
   private def quantizeEmbedQ(s: SparkSession, d: String): DataFrame =
     VectorOps.int8QuantStats(Tables.loadPar(s, d, "embeddings"))
@@ -1550,6 +1559,7 @@ object SparkEntry {
     "q_sample_stratified" -> (sampleStratifiedQ _),
     "q_tfidf_keywords" -> (tfIdfQ _),
     "q_domain_cap" -> (domainCapQ _),
+    "q_domain_mix" -> (domainMixQ _),
     "q_quantize_embed" -> (quantizeEmbedQ _),
     "q_train_split" -> (trainSplitQ _),
     "q_pack_sequences" -> (packSequencesQ _),
@@ -2634,6 +2644,30 @@ object SparkEntry {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY bucket, dim""".stripMargin,
     "q_kmeans" -> kmeansOracleSql,
+    "q_domain_mix" ->
+      """WITH d AS (
+        |  SELECT doc_id, source AS domain,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(
+        |          list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS fp
+        |  FROM documents),
+        |w AS (SELECT domain, count(*) AS n_docs,
+        |        CAST(floor(sqrt(count(*)::DOUBLE) * 1000000 + 0.5) AS BIGINT) AS w
+        |      FROM d GROUP BY domain),
+        |t AS (SELECT sum(w) AS w_total FROM w),
+        |b AS (SELECT count(*) // 2 AS budget FROM documents),
+        |tgt AS (SELECT domain, n_docs,
+        |          CAST(floor((b.budget::DOUBLE * w.w) / t.w_total) AS BIGINT) AS target_n
+        |        FROM w, t, b),
+        |r AS (SELECT doc_id, domain, row_number() OVER (
+        |        PARTITION BY domain ORDER BY fp ASC, doc_id ASC) AS pick
+        |      FROM d)
+        |SELECT r.doc_id, r.domain, tgt.n_docs, tgt.target_n
+        |FROM r JOIN tgt USING (domain)
+        |WHERE pick <= target_n ORDER BY doc_id""".stripMargin,
     "q_fingerprint" ->
       """SELECT doc_id,
         |  list_reduce(

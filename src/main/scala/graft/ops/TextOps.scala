@@ -299,6 +299,48 @@ object TextOps {
     pmod(fingerprint(text), lit(mod.toLong)) < rate.cast("long")
   }
 
+  /** Temperature-scaled domain mixing: down/up-weight a multi-domain
+    * corpus to a document budget with mixture weights w_d ∝ n_d^α — the
+    * standard re-balancing between raw crawl proportions (α=1, big
+    * domains dominate) and uniform (α=0). α is FIXED at 1/2: `sqrt` is
+    * IEEE-correctly-rounded on every engine (libm `pow` is not), and the
+    * per-domain weights round to integer micros before the normalizing
+    * sum, so the whole target computation is order-free and replays
+    * bit-for-bit in the oracle. Within a domain the kept subset is chosen
+    * by content-fingerprint order (PRNG-free pseudo-random, reproducible
+    * across engines, input orders and retries; doc_id tiebreak).
+    *
+    * Scale shape: one map-side-combined count aggregate (one row per
+    * domain) normalized against a one-row total, broadcast back, then a
+    * single row_number window keyed by domain — same skew posture as
+    * domainCap: the mega-domain the mix down-samples is exactly what AQE
+    * skew-splits, and the window state is one counter per domain.
+    */
+  def temperatureMix(docs: DataFrame, domain: Column, budget: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val d = docs.select(col("doc_id"), domain.as("domain"),
+      fingerprint(col("text")).as("fp"))
+    val wts = d.groupBy("domain").agg(count(lit(1)).as("n_docs"))
+      .withColumn("w",
+        floor(sqrt(col("n_docs").cast("double")) * 1e6 + 0.5).cast("long"))
+    val tot = wts.agg(sum(col("w")).as("w_total"))
+    // budget·w ≤ ~2^42 at any plausible domain count: the double division
+    // below is exact-operand, and floor after one IEEE division is
+    // engine-identical.
+    val tgt = wts.crossJoin(broadcast(tot))
+      .withColumn("target_n",
+        floor((lit(budget).cast("double") * col("w")) / col("w_total"))
+          .cast("long"))
+      .select(col("domain"), col("n_docs"), col("target_n"))
+    val win = Window.partitionBy("domain")
+      .orderBy(col("fp").asc, col("doc_id").asc)
+    d.join(broadcast(tgt), Seq("domain"))
+      .withColumn("pick", row_number().over(win))
+      .where(col("pick") <= col("target_n"))
+      .select(col("doc_id"), col("domain"), col("n_docs"), col("target_n"))
+      .orderBy("doc_id")
+  }
+
   /** Per-domain quota capping: keep at most `n` documents per domain,
     * best-quality first (ties break on doc_id, so the cap is
     * deterministic). The shuffle key is the DOMAIN — each domain's docs

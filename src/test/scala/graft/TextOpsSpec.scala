@@ -163,6 +163,34 @@ class TextOpsSpec extends SparkSpec {
     m(2)._3 should be <= 0.5 / 127.0 + 1e-9
   }
 
+  "temperatureMix" should "flatten the mixture toward small domains within budget" in {
+    val docs = Tables.loadPar(spark, "/root/testdata/sf0.01", "documents")
+    val n = docs.count()
+    val kept = TextOps.temperatureMix(docs, col("source"), budget = n / 2)
+      .collect()
+    kept.length should be > 0
+    kept.length.toLong should be <= n / 2
+    // keep-fraction is monotone anti-correlated with domain size: w_d ∝
+    // sqrt(n_d), so target_n/n_docs ∝ 1/sqrt(n_d) — the biggest domain
+    // must keep a strictly smaller fraction than the smallest (unless a
+    // small domain saturated at 100%)
+    val perDomain = kept.groupBy(_.getString(1)).map { case (dom, rows) =>
+      (dom, rows.head.getLong(2), rows.length.toLong)
+    }.toSeq
+    perDomain.size should be > 1
+    val big = perDomain.maxBy(_._2)
+    val small = perDomain.minBy(_._2)
+    if (big._2 > small._2) {
+      val bigFrac = big._3.toDouble / big._2
+      val smallFrac = math.min(1.0, small._3.toDouble / small._2)
+      bigFrac should be < smallFrac + 1e-9
+    }
+    // deterministic: identical kept set across runs
+    val again = TextOps.temperatureMix(docs, col("source"), budget = n / 2)
+      .collect().map(_.getLong(0)).toSeq
+    again shouldBe kept.map(_.getLong(0)).toSeq
+  }
+
   "dimCentroids" should "compute exact per-dimension means" in {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f)),
