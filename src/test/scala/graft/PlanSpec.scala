@@ -32,6 +32,13 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  "q_domain_mix" should "broadcast the per-domain targets back to the corpus" in {
+    val p = finalPlan("q_domain_mix")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   "q_dedup_ngram" should "stay a hash-join candidate plan (no cartesian pairs)" in {
     val p = finalPlan("q_dedup_ngram")
     p should not include "CartesianProduct"
