@@ -951,12 +951,7 @@ object Sparql {
               while (!p.trySym("}")) {
                 p.eatSym("(")
                 var row = Seq.empty[String]
-                while (!p.trySym(")")) p.next() match {
-                  case TStr(sv) => row :+= sv
-                  case TIri(i) => row :+= i
-                  case TNum(n) => row :+= n
-                  case x => p.fail(s"unexpected VALUES entry $x")
-                }
+                while (!p.trySym(")")) row :+= parseValuesCell(p, prefixes)
                 if (row.length != vars.length)
                   p.fail(s"VALUES row arity ${row.length} != ${vars.length}")
                 rows :+= row
@@ -969,13 +964,12 @@ object Sparql {
               }
               p.eatSym("{")
               var vals = Seq.empty[String]
-              while (!p.trySym("}")) p.next() match {
-                case TStr(sv) => vals :+= sv
-                case TIri(i) => vals :+= i
-                case TNum(n) => vals :+= n
-                case x => p.fail(s"unexpected VALUES entry $x")
-              }
-              values :+= (v -> vals)
+              while (!p.trySym("}")) vals :+= parseValuesCell(p, prefixes)
+              // UNDEF rows need the compatibility join — route through the
+              // multi-var relation; the all-bound common case stays on the
+              // fast single-column equi-join
+              if (vals.contains(null)) valuesMulti :+= (Seq(v) -> vals.map(Seq(_)))
+              else values :+= (v -> vals)
           }
         case Some(t) if p.isKw(t, "FILTER") =>
           p.pos += 1
@@ -1110,6 +1104,22 @@ object Sparql {
       else base
     if (inv) PInv(withMod) else withMod
   }
+
+  /** One inline-data cell: a constant term, or UNDEF → null (the
+    * unbound-cell marker, SPARQL 1.1 §10.2.2).
+    */
+  private def parseValuesCell(p: P, prefixes: Map[String, String]): String =
+    p.next() match {
+      case TStr(sv) => sv
+      case TIri(i) => i
+      case TNum(n) => n
+      case TWord(w) if w.equalsIgnoreCase("UNDEF") => null
+      case TPName("_", local) if !prefixes.contains("_") => "_:" + local
+      case TPName(pfx, local) =>
+        prefixes.getOrElse(pfx,
+          p.fail(s"undeclared prefix '$pfx:'")) + local
+      case x => p.fail(s"unexpected VALUES entry $x")
+    }
 
   private def parseTerm(p: P, prefixes: Map[String, String]): graft.bgp.Term =
     p.next() match {
@@ -1387,7 +1397,8 @@ object Sparql {
     g.triples.flatMap(_.consts).map(_.toString).toSet ++
       g.paths.flatMap { case (s, p, o) =>
         Seq(s, o).collect { case C(v) => v.toString } ++ pathConsts(p) } ++
-      g.values.flatMap(_._2) ++ g.valuesMulti.flatMap(_._2.flatten) ++
+      g.values.flatMap(_._2) ++
+      g.valuesMulti.flatMap(_._2.flatten).filter(_ != null) ++
       childGroups(g).flatMap(groupConsts) ++
       g.subqueries.flatMap(sq => groupConsts(sq.group))
 
@@ -1816,7 +1827,12 @@ object Sparql {
       df = if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
       else df.crossJoin(vdf)
     }
-    // multi-variable VALUES: inline relation joined on the shared subset
+    // multi-variable VALUES: inline relation joined on the shared subset.
+    // UNDEF cells (null) are unbound: the row is compatible with ANY
+    // solution value there (SPARQL 1.1 §10.2.2) — those relations use a
+    // per-row compatibility join (null-is-wildcard condition on a
+    // broadcast of the tiny inline table, merged with coalesce); all-bound
+    // relations keep the plain equi-join.
     g.valuesMulti.foreach { case (vars, rows) =>
       import org.apache.spark.sql.Row
       import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
@@ -1824,10 +1840,36 @@ object Sparql {
       val schema = StructType(vars.map(StructField(_, tpe)))
       val vdf = demoteToTerms(env, spark.createDataFrame(
         spark.sparkContext.parallelize(
-          rows.map(r => Row.fromSeq(r.map(env.cval))), 1), schema))
+          rows.map(r => Row.fromSeq(r.map(x =>
+            if (x == null) null else env.cval(x)))), 1), schema))
       require(df != null, "VALUES without a preceding pattern group")
       val shared = df.columns.intersect(vars).toSeq
-      df = if (shared.isEmpty) df.crossJoin(vdf) else df.join(vdf, shared, "inner")
+      val hasUndef = rows.exists(_.contains(null))
+      df =
+        if (!hasUndef)
+          if (shared.isEmpty) df.crossJoin(vdf) else df.join(vdf, shared, "inner")
+        else {
+          val right = broadcast(
+            vdf.select(vars.map(v => col(v).as(s"__vm_$v")): _*))
+          val joined =
+            if (shared.isEmpty) df.crossJoin(right)
+            else {
+              val cond = shared
+                .map(v => col(s"__vm_$v").isNull || col(v).isNull ||
+                  col(v) === col(s"__vm_$v"))
+                .reduce(_ && _)
+              df.join(right, cond, "inner")
+            }
+          val outCols =
+            df.columns.toSeq.map { c =>
+              if (shared.contains(c))
+                coalesce(col(c), col(s"__vm_$c")).as(c)
+              else col(c)
+            } ++
+              vars.filterNot(df.columns.contains)
+                .map(v => col(s"__vm_$v").as(v))
+          joined.select(outCols: _*)
+        }
     }
     require(df != null, "empty group pattern")
     // BIND: computed columns, visible to subsequent filters/projection

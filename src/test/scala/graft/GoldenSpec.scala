@@ -120,6 +120,12 @@ class GoldenSpec extends SparkSpec {
       """PREFIX : <>
         |SELECT ?p (SUBSTR(?nm, 1, 4) AS ?head) (STRAFTER(?nm, " ") AS ?noun)
         |WHERE { ?p a "Part" ; :name ?nm } ORDER BY ?p""".stripMargin,
+    "sparql_values_undef" ->
+      """PREFIX : <>
+        |SELECT ?c ?m ?tag WHERE {
+        |  ?c :mktsegment ?m .
+        |  VALUES (?m ?tag) { ("BUILDING" "b") (UNDEF "any") }
+        |} ORDER BY ?c ?tag""".stripMargin,
     // --- adversarial semantics: ARQ algebra vs naive SQL ---
     "sparql_path_zero_absent" ->
       """PREFIX : <>

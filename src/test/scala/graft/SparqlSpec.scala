@@ -351,6 +351,37 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
   }
 
+  it should "treat UNDEF cells in VALUES as wildcards" in {
+    // row ("5" UNDEF) matches any y for x=5; (UNDEF "3") any x with y=3
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE {
+        |  ?x :2 ?y .
+        |  VALUES (?x ?y) { ("5" UNDEF) (UNDEF "3") }
+        |} ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
+  }
+
+  it should "apply bag semantics for single-var VALUES with UNDEF" in {
+    // the UNDEF row is compatible with every solution; the "5" row adds a
+    // second match for x=5 (SPARQL joins are bags)
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { ?x :2 ?y . VALUES ?x { "5" UNDEF } } ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1"), Seq("5"), Seq("5"), Seq("6"))
+  }
+
+  it should "extend solutions with VALUES-only vars under UNDEF rows" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?z WHERE {
+        |  ?x :2 ?y .
+        |  VALUES (?y ?z) { ("5" "Z5") (UNDEF "ZU") }
+        |} ORDER BY ?x ?z""".stripMargin)
+    res shouldBe Seq(Seq("1", "ZU"), Seq("5", "Z5"), Seq("5", "ZU"),
+      Seq("6", "Z5"), Seq("6", "ZU"))
+  }
+
   it should "evaluate SPARQL 1.1 string and numeric builtins" in {
     val docs = Seq(
       ("d:1", "name", "alpha-beta"),

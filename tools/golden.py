@@ -99,6 +99,15 @@ QUERIES = {
                THEN substring(p_name, position(' ' IN p_name) + 1)
                ELSE '' END AS noun
         FROM part ORDER BY p""",
+    # VALUES with an UNDEF (wildcard) cell: every customer matches the
+    # UNDEF row with tag 'any'; BUILDING customers also match the bound row
+    "sparql_values_undef": """
+        SELECT c, m, tag FROM (
+          SELECT 'customer:' || c_custkey AS c, c_mktsegment AS m, 'b' AS tag
+          FROM customer WHERE c_mktsegment = 'BUILDING'
+          UNION ALL
+          SELECT 'customer:' || c_custkey, c_mktsegment, 'any' FROM customer
+        ) ORDER BY c, tag""",
     # --- adversarial semantics: where ARQ algebra diverges from naive SQL ---
     # zero-length path from a constant ABSENT from the graph still matches
     # itself (SPARQL 1.1 S9.3)
