@@ -55,8 +55,19 @@ object Sparql {
                         distinct: Boolean = false, sep: String = " ") extends ProjItem
   final case class PExpr(e: EExpr, alias: String) extends ProjItem
 
+  /** ORDER BY key: a plain variable, or an arbitrary value expression
+    * (SPARQL 1.1 §15.1 OrderCondition — `DESC(COUNT(?x))`,
+    * `STRLEN(?name)`, a bracketted expression...). Expression keys (and
+    * vars outside the projection) sort on shadow columns computed BEFORE
+    * projection, so the algebra position matches ARQ's OrderBy-then-
+    * Project.
+    */
+  sealed trait OrdKey
+  final case class OVar(name: String) extends OrdKey
+  final case class OExpr(e: EExpr) extends OrdKey
+
   final case class Query(distinct: Boolean, projection: Seq[ProjItem], group: Group,
-                         groupBy: Seq[String], orderBy: Seq[(String, Boolean)],
+                         groupBy: Seq[String], orderBy: Seq[(OrdKey, Boolean)],
                          limit: Option[Int], offset: Option[Int] = None,
                          having: Seq[Expr] = Seq.empty)
   final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
@@ -874,18 +885,32 @@ object Sparql {
       having :+= parseExpr(p)
       p.eatSym(")")
     }
-    var order = Seq.empty[(String, Boolean)]
+    var order = Seq.empty[(OrdKey, Boolean)]
     if (p.tryKw("ORDER")) {
       p.eatKw("BY")
+      def key(e: EExpr): OrdKey = e match {
+        case EVar(v) => OVar(v)
+        case x => OExpr(x)
+      }
+      val stops = Set("LIMIT", "OFFSET")
       var more = true
       while (more) p.peek match {
-        case Some(TVar(v)) => order :+= (v -> true); p.pos += 1
+        case Some(TVar(v)) => order :+= ((OVar(v): OrdKey) -> true); p.pos += 1
         case Some(t) if p.isKw(t, "ASC") || p.isKw(t, "DESC") =>
           val asc = p.isKw(t, "ASC"); p.pos += 1
           p.eatSym("(")
-          val v = p.next() match { case TVar(x) => x; case x => p.fail(s"expected ?var, got $x") }
+          val e = parseEAdd(p)
           p.eatSym(")")
-          order :+= (v -> asc)
+          order :+= (key(e) -> asc)
+        case Some(TSym("(")) => // bracketted expression key
+          p.pos += 1
+          val e = parseEAdd(p)
+          p.eatSym(")")
+          order :+= (key(e) -> true)
+        case Some(TWord(w)) if !stops.contains(w.toUpperCase) &&
+            p.peekAhead(1).contains(TSym("(")) =>
+          // bare function-call key: STRLEN(?x), COUNT(?c), ...
+          order :+= (key(parseEAdd(p)) -> true)
         case _ => more = false
       }
     }
@@ -1640,20 +1665,49 @@ object Sparql {
         case PExpr(e, alias) => PExpr(extractAggs(e, exprAggs), alias)
         case other => other
       },
+      orderBy = qRaw.orderBy.map {
+        case (OExpr(e), asc) => (OExpr(extractAggs(e, exprAggs)), asc)
+        case other => other
+      },
       having = qRaw.having.map(extractAggsB(_, exprAggs)))
     var df = compileGroup(env, q.group)
     val allVars = df.columns.toSeq
     val aggs = q.projection.collect { case a: PAgg => a }
+    // Sort keys materialize BEFORE projection (ARQ's OrderBy-then-Project
+    // algebra position: keys may use non-projected vars and arbitrary
+    // expressions) as __sk shadow columns carried through projection and
+    // sorted LAST — after the final decode, whose joins would not
+    // preserve a pre-existing sort. Under DISTINCT the spec restricts
+    // keys to projected vars, so that path sorts post-distinct directly.
+    val shadowSort = q.orderBy.nonEmpty && !q.distinct
+    def withSortKeys(d: DataFrame): DataFrame =
+      if (!shadowSort) d
+      else {
+        val needed = q.orderBy.flatMap {
+          case (OVar(v), _) => Seq(v)
+          case (OExpr(e), _) => valVars(e).toSeq
+        }.toSet
+        val (dd, res, shadows) = withDecoded(env, d, needed)
+        q.orderBy.zipWithIndex.foldLeft(dd) {
+          case (acc, ((k, _), i)) =>
+            val c = k match {
+              case OVar(v) => res(v)
+              case OExpr(e) => compileVal(e, res)
+            }
+            acc.withColumn(s"__sk$i", c)
+        }.drop(shadows: _*)
+      }
     // projection-expression inputs (and, below, aggregate arguments) are
     // term VALUES -> decode their vars first in encoded mode
     def projected(d: DataFrame): DataFrame = {
       val pvars = q.projection.collect { case PExpr(e, _) => valVars(e) }.flatten.toSet
       val (dp, res, _) = withDecoded(env, d, pvars)
+      val keep = d.columns.filter(_.startsWith("__sk")).toSeq
       dp.select(q.projection.map {
         case PVar(v) => col(v)
         case a: PAgg => col(a.alias)
         case PExpr(e, alias) => compileVal(e, res).as(alias)
-      }: _*)
+      } ++ keep.map(col): _*)
     }
     if (aggs.nonEmpty || exprAggs.nonEmpty) {
       // SPARQL aggregates: COUNT counts bound (non-null) solutions;
@@ -1683,23 +1737,44 @@ object Sparql {
         dfD.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       else dfD.agg(aggCols.head, aggCols.tail: _*)
       q.having.foreach(h => df = applyFilter(env, df, h))
+      df = withSortKeys(df)
       df = projected(df)
     } else {
+      df = withSortKeys(df)
       df =
-        if (q.projection.isEmpty) df.select(allVars.map(col): _*)
+        if (q.projection.isEmpty)
+          df.select((allVars ++
+            df.columns.filter(_.startsWith("__sk"))).map(col): _*)
         else projected(df)
     }
     // distinct on ids ≡ distinct on terms (the dictionary is a bijection),
     // so it runs BEFORE decode on fixed-width longs
     if (q.distinct) df = df.distinct()
     val encTop = top && env.enc.isDefined
-    if (q.orderBy.nonEmpty) {
+    if (q.orderBy.nonEmpty && shadowSort) {
+      // sort on the pre-projection __sk keys, AFTER the final decode
+      // (decode joins would scramble an earlier sort)
+      if (encTop) df = decodeFinal(env, df)
+      df = df.orderBy(q.orderBy.zipWithIndex.map { case ((_, asc), i) =>
+        if (asc) col(s"__sk$i").asc else col(s"__sk$i").desc }: _*)
+      q.offset.foreach(n => df = df.offset(n))
+      q.limit.foreach(n => df = df.limit(n))
+      df = df.drop(df.columns.filter(_.startsWith("__sk")).toSeq: _*)
+    } else if (q.orderBy.nonEmpty) {
+      // DISTINCT path: the spec restricts keys to projected variables
+      val keys = q.orderBy.map {
+        case (OVar(v), asc) => (v, asc)
+        case (OExpr(_), _) => throw new IllegalArgumentException(
+          "ORDER BY expressions are not allowed with SELECT DISTINCT " +
+            "(SPARQL 1.1 §15.1: DISTINCT order conditions must be " +
+            "projected variables); alias the expression in SELECT instead")
+      }
       // ORDER BY compares term strings -> decode first. At the top that IS
       // the final decode; in a subquery, sort via dropped shadow columns.
       val (d, res, shadows) =
         if (encTop) (decodeFinal(env, df), (v: String) => col(v), Seq.empty[String])
-        else withDecoded(env, df, q.orderBy.map(_._1).toSet)
-      df = d.orderBy(q.orderBy.map { case (v, asc) =>
+        else withDecoded(env, df, keys.map(_._1).toSet)
+      df = d.orderBy(keys.map { case (v, asc) =>
         if (asc) res(v).asc else res(v).desc }: _*).drop(shadows: _*)
       q.offset.foreach(n => df = df.offset(n))
       q.limit.foreach(n => df = df.limit(n))

@@ -126,6 +126,10 @@ class GoldenSpec extends SparkSpec {
         |  ?c :mktsegment ?m .
         |  VALUES (?m ?tag) { ("BUILDING" "b") (UNDEF "any") }
         |} ORDER BY ?c ?tag""".stripMargin,
+    "sparql_order_expr" ->
+      """PREFIX : <>
+        |SELECT ?p ?nm WHERE { ?p a "Part" ; :name ?nm }
+        |ORDER BY DESC(STRLEN(?nm)) ?p""".stripMargin,
     // --- adversarial semantics: ARQ algebra vs naive SQL ---
     "sparql_path_zero_absent" ->
       """PREFIX : <>

@@ -351,6 +351,39 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
   }
 
+  it should "sort on non-projected variables" in {
+    // ORDER BY happens before projection (ARQ algebra): y desc -> 5,5,3
+    // with x tiebreak -> x = 5,6,1
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { ?x :2 ?y } ORDER BY DESC(?y) ?x""".stripMargin)
+    res shouldBe Seq(Seq("5"), Seq("6"), Seq("1"))
+  }
+
+  it should "sort on expression keys" in {
+    // numeric sort via an arithmetic key (term strings would give the
+    // same order here only by luck of single digits; the point is the
+    // expression compiles and sorts)
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { ?x :2 ?y } ORDER BY DESC(?y - 0) ?x""".stripMargin)
+    res shouldBe Seq(Seq("5"), Seq("6"), Seq("1"))
+  }
+
+  it should "sort on aggregate expression keys" in {
+    // predicate 2 has 3 triples, predicate 4 has 2 -> COUNT asc = 4, 2
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?p WHERE { ?x ?p ?y } GROUP BY ?p ORDER BY COUNT(?x)""".stripMargin)
+    res shouldBe Seq(Seq("4"), Seq("2"))
+  }
+
+  it should "reject expression sort keys under DISTINCT" in {
+    the[IllegalArgumentException] thrownBy run(
+      """PREFIX : <>
+        |SELECT DISTINCT ?x WHERE { ?x :2 ?y } ORDER BY DESC(?y - 0)""".stripMargin)
+  }
+
   it should "treat UNDEF cells in VALUES as wildcards" in {
     // row ("5" UNDEF) matches any y for x=5; (UNDEF "3") any x with y=3
     val res = run(

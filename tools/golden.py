@@ -108,6 +108,10 @@ QUERIES = {
           UNION ALL
           SELECT 'customer:' || c_custkey, c_mktsegment, 'any' FROM customer
         ) ORDER BY c, tag""",
+    # ORDER BY on an expression key (pre-projection algebra position)
+    "sparql_order_expr": """
+        SELECT 'part:' || p_partkey AS p, p_name AS nm
+        FROM part ORDER BY length(p_name) DESC, p""",
     # --- adversarial semantics: where ARQ algebra diverges from naive SQL ---
     # zero-length path from a constant ABSENT from the graph still matches
     # itself (SPARQL 1.1 S9.3)
