@@ -868,13 +868,27 @@ object Sparql {
     }
     if (!star && proj.isEmpty) p.fail("empty projection")
     p.eatKw("WHERE")
-    val group = parseGroup(p, prefixes)
+    var group = parseGroup(p, prefixes)
     var groupBy = Seq.empty[String]
     if (p.tryKw("GROUP")) {
       p.eatKw("BY")
       var more = true
       while (more) p.peek match {
         case Some(TVar(v)) => groupBy :+= v; p.pos += 1
+        case Some(TSym("(")) =>
+          // GROUP BY (expr AS ?v) — SPARQL 1.1 §19.8 GroupCondition:
+          // desugars to a BIND in the group (same compile position; the
+          // computed column then keys the aggregation like a plain var)
+          p.pos += 1
+          val e = parseEAdd(p)
+          p.eatKw("AS")
+          val v = p.next() match {
+            case TVar(x) => x
+            case t => p.fail(s"expected ?alias in GROUP BY expression, got $t")
+          }
+          p.eatSym(")")
+          group = group.copy(binds = group.binds :+ (e -> v))
+          groupBy :+= v
         case _ => more = false
       }
       if (groupBy.isEmpty) p.fail("empty GROUP BY")

@@ -130,6 +130,10 @@ class GoldenSpec extends SparkSpec {
       """PREFIX : <>
         |SELECT ?p ?nm WHERE { ?p a "Part" ; :name ?nm }
         |ORDER BY DESC(STRLEN(?nm)) ?p""".stripMargin,
+    "sparql_group_expr" ->
+      """PREFIX : <>
+        |SELECT ?seg (COUNT(?c) AS ?cnt) WHERE { ?c :mktsegment ?m }
+        |GROUP BY (CONCAT("seg-", ?m) AS ?seg) ORDER BY ?seg""".stripMargin,
     // --- adversarial semantics: ARQ algebra vs naive SQL ---
     "sparql_path_zero_absent" ->
       """PREFIX : <>

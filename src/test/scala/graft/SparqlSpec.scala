@@ -351,6 +351,16 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
   }
 
+  it should "group by expression keys" in {
+    // key = CONCAT("k", ?p): predicate 2 -> k2 (3 triples), 4 -> k4 (2)
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT ?k (COUNT(?x) AS ?n) WHERE { ?x ?p ?y }
+        |GROUP BY (CONCAT("k", ?p) AS ?k) ORDER BY ?k""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    res shouldBe Seq(("k2", 3L), ("k4", 2L))
+  }
+
   it should "sort on non-projected variables" in {
     // ORDER BY happens before projection (ARQ algebra): y desc -> 5,5,3
     // with x tiebreak -> x = 5,6,1

@@ -112,6 +112,10 @@ QUERIES = {
     "sparql_order_expr": """
         SELECT 'part:' || p_partkey AS p, p_name AS nm
         FROM part ORDER BY length(p_name) DESC, p""",
+    # GROUP BY (expr AS ?v) — computed grouping key
+    "sparql_group_expr": """
+        SELECT 'seg-' || c_mktsegment AS seg, count(*) AS cnt
+        FROM customer GROUP BY 1 ORDER BY seg""",
     # --- adversarial semantics: where ARQ algebra diverges from naive SQL ---
     # zero-length path from a constant ABSENT from the graph still matches
     # itself (SPARQL 1.1 S9.3)
