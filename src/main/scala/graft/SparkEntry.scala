@@ -448,6 +448,12 @@ object SparkEntry {
   private def kmeansQ(s: SparkSession, d: String): DataFrame =
     VectorOps.kmeans(Tables.loadPar(s, d, "embeddings"))
 
+  /** Semantic dedup: k-means buckets + within-cluster cosine prune
+    * (SemDeDup) — candidate pairs bounded by cluster size, never corpus².
+    */
+  private def semDedupQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.semDedup(Tables.loadPar(s, d, "embeddings"), threshold = 0.4)
+
   /** Vocabulary construction: top-500 corpus tokens by frequency with
     * deterministic rank ids (count desc, token asc) — the
     * tokenizer-training precursor, one map-side-combined aggregate plus
@@ -1565,6 +1571,7 @@ object SparkEntry {
     "q_pack_sequences" -> (packSequencesQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
     "q_kmeans" -> (kmeansQ _),
+    "q_semdedup" -> (semDedupQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
     "q_fingerprint" -> (fingerprintQ _),
@@ -1629,9 +1636,11 @@ object SparkEntry {
     * count (a0 uses c0; each cT+1 averages aT's members; output is the
     * assignment under the final centroids).
     */
-  private val kmeansOracleSql: String = {
-    val k = 8
-    val iters = 3
+  /** The k-means iteration replay as a WITH-clause prefix ending at the
+    * final assignment CTE `a<iters>` (vec_id, cluster, cos) — shared by
+    * the q_kmeans and q_semdedup oracles.
+    */
+  private def kmeansOracleCtes(k: Int = 8, iters: Int = 3): String = {
     def assign(t: Int) =
       s"""sc$t AS (SELECT e.vec_id, c.cluster, ${duckCos6("e.embedding", "c.cv")} AS cos
          |  FROM e CROSS JOIN c$t c),
@@ -1652,9 +1661,26 @@ object SparkEntry {
        |p AS (SELECT count(*) // $k AS step FROM e),
        |c0 AS (SELECT (vec_id // p.step)::INT AS cluster, embedding AS cv
        |       FROM e, p WHERE vec_id % p.step = 0 AND vec_id < $k * p.step),
-       |$body
-       |SELECT vec_id, cluster, cos FROM a$iters ORDER BY vec_id""".stripMargin
+       |$body""".stripMargin
   }
+
+  private val kmeansOracleSql: String =
+    kmeansOracleCtes() + "\nSELECT vec_id, cluster, cos FROM a3 ORDER BY vec_id"
+
+  /** SemDeDup replay: the kmeans assignment CTEs + the within-cluster
+    * dominance prune (same rule as VectorOps.semDedup).
+    */
+  private val semDedupOracleSql: String =
+    kmeansOracleCtes() +
+      s""",
+         |x AS (SELECT a3.vec_id, a3.cluster, e.embedding
+         |      FROM a3 JOIN e USING (vec_id)),
+         |rm AS (SELECT DISTINCT a.vec_id FROM x a JOIN x b
+         |       ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+         |       WHERE ${duckCos6("a.embedding", "b.embedding")} >= 0.4)
+         |SELECT x.vec_id, x.cluster, (rm.vec_id IS NOT NULL) AS removed
+         |FROM x LEFT JOIN rm ON x.vec_id = rm.vec_id
+         |ORDER BY x.vec_id""".stripMargin
 
   /** LSH-bucket expression replayed in SQL: the exact same ±1 hyperplanes
     * (generated by the same LCG) as literal lists, same fold order.
@@ -2644,6 +2670,7 @@ object SparkEntry {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY bucket, dim""".stripMargin,
     "q_kmeans" -> kmeansOracleSql,
+    "q_semdedup" -> semDedupOracleSql,
     "q_domain_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source AS domain,

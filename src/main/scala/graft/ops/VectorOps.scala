@@ -254,7 +254,16 @@ object VectorOps {
     * Clusters that lose all members simply drop out of the next round,
     * identically on both engines.
     */
-  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  def kmeans(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame =
+    kmeansAssigned(emb, k, iters)
+      .select(col("vec_id"), col("cluster"), col("cos")).orderBy("vec_id")
+
+  /** `kmeans` with the per-row embedding retained in the output — for
+    * downstream ops that need the vector AND its cluster in one relation
+    * (semantic dedup, per-cluster diversity sampling) without re-joining
+    * the corpus. Same determinism contract as `kmeans`.
+    */
+  def kmeansAssigned(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
     val n = e.count()
     val step = n / k
@@ -289,7 +298,44 @@ object VectorOps {
         .map { case (c, dims) => (c, dims.sortBy(_._2).map(_._3).toSeq) }
         .sortBy(_._1)
     }
-    assigned.select(col("vec_id"), col("cluster"), col("cos")).orderBy("vec_id")
+    assigned
+  }
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding corpus, then prune
+    * near-identical vectors WITHIN each cluster by exact cosine. A vector
+    * is removed iff some lower-id member of its own cluster is at least
+    * `threshold` cosine-similar — a monotone dominance rule rather than
+    * the paper's greedy keep-one-per-group walk: it has no sequential
+    * dependency, so the prune is ONE equi-join on the cluster id instead
+    * of an O(|cluster|) serial scan, and it replays in plain SQL. (Both
+    * rules keep the lowest-id member of every duplicate group; the
+    * dominance rule may additionally drop a chain neighbor the greedy
+    * walk would resurrect — at dedup thresholds ~0.95+ the difference is
+    * items that are near-duplicates of near-duplicates.)
+    *
+    * Scale shape: clustering first is the whole point — candidate pairs
+    * are Σ|cluster|², never corpus². k grows with the corpus (SemDeDup
+    * uses 50k clusters for 100M docs) so per-cluster quadratics stay
+    * bounded, and the pair join is a plain shuffle equi-join on the
+    * cluster id; no all-pairs join exists in the plan. Output: one row
+    * per vector (vec_id, cluster, removed).
+    */
+  def semDedup(emb: DataFrame, threshold: Double,
+               k: Int = 8, iters: Int = 3): DataFrame = {
+    val x = kmeansAssigned(emb, k, iters)
+      .select(col("vec_id"), col("embedding"), col("cluster"))
+    val removed = x.as("a").join(x.as("b"),
+        col("a.cluster") === col("b.cluster") &&
+          col("b.vec_id") < col("a.vec_id"))
+      .where(cosine6(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("a.vec_id").as("vec_id")).distinct()
+      .withColumn("rm", lit(true))
+    x.select(col("vec_id"), col("cluster"))
+      .join(removed, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("rm"), lit(false)).as("removed"))
+      .orderBy("vec_id")
   }
 
   /** Brute-force reference implementation (spec oracle for the LSH path).

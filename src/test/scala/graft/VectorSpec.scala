@@ -113,4 +113,38 @@ class VectorSpec extends SparkSpec {
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
     fin should not be seeds
   }
+
+  "semDedup" should "match a driver-side replay of the dominance rule" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val res = VectorOps.semDedup(e, threshold = 0.4).collect()
+      .map(r => (r.getLong(0), r.getBoolean(2))).toMap
+
+    def cos6(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble
+        }
+      val c = dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+      math.floor(c * 1e6 + 0.5) / 1e6
+    }
+    val assign = VectorOps.kmeansAssigned(e).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val expected = assign.map { case (id, v, c) =>
+      id -> assign.exists { case (id2, v2, c2) =>
+        id2 < id && c2 == c && cos6(v, v2) >= 0.4
+      }
+    }.toMap
+
+    res shouldBe expected
+    res.values.exists(identity) shouldBe true  // some dup actually pruned
+    res.values.forall(identity) shouldBe false // and some survivor kept
+  }
+
+  it should "prune only within clusters, via an equi-join" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = VectorOps.semDedup(e, threshold = 0.4)
+      .queryExecution.executedPlan.toString
+    plan should not include "CartesianProduct"
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
