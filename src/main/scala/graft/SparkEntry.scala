@@ -512,6 +512,14 @@ object SparkEntry {
         Seq("spark", "query", "data"))
       .orderBy("doc_id")
 
+  /** Hybrid first-stage retrieval: BM25 top-50 + embedding-cosine top-50
+    * fused by reciprocal rank — both legs bounded before the fuse join.
+    */
+  private def hybridRrfQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.RetrievalOps.hybridRrf(
+      Tables.loadPar(s, d, "documents"), Tables.loadPar(s, d, "embeddings"),
+      Seq("spark", "query", "data"), queryVecId = 7L)
+
   /** Per-document top-3 TF-IDF keywords (doc tagging / index terms). */
   private def tfIdfQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfIdfKeywords(Tables.loadPar(s, d, "documents"), k = 3)
@@ -1562,6 +1570,7 @@ object SparkEntry {
     "q_surprisal" -> (surprisalQ _),
     "q_vocab" -> (vocabQ _),
     "q_bm25" -> (bm25Q _),
+    "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_sample_stratified" -> (sampleStratifiedQ _),
     "q_tfidf_keywords" -> (tfIdfQ _),
     "q_domain_cap" -> (domainCapQ _),
@@ -1663,6 +1672,58 @@ object SparkEntry {
        |       FROM e, p WHERE vec_id % p.step = 0 AND vec_id < $k * p.step),
        |$body""".stripMargin
   }
+
+  /** BM25 scoring replay for the fixed query (spark, query, data) —
+    * everything but the final ORDER BY, shared by the q_bm25 and
+    * q_hybrid_rrf oracles.
+    */
+  private val bm25CoreOracleSql: String =
+    """WITH tf AS (
+      |  SELECT doc_id,
+      |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS dl,
+      |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'spark'))::DOUBLE AS tf0,
+      |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'query'))::DOUBLE AS tf1,
+      |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'data'))::DOUBLE AS tf2
+      |  FROM documents),
+      |st AS (
+      |  SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl,
+      |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+      |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+      |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+      |  FROM tf)
+      |SELECT doc_id, floor((
+      |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+      |      * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+      |      * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
+      |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+      |      * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))) * 1e6 + 0.5) / 1e6 AS bm25
+      |FROM tf, st
+      |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin
+
+  /** Hybrid RRF replay: BM25 top-50 list + cosine top-50 list vs the
+    * query vector (vec_id 7), fused by 1/(60+rank), top-20 — same rule
+    * as RetrievalOps.hybridRrf.
+    */
+  private val hybridRrfOracleSql: String =
+    s"""WITH bm AS ($bm25CoreOracleSql),
+       |lex AS (SELECT doc_id, CAST(rn AS INT) AS lrank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+       |    FROM bm WHERE doc_id <> 7) WHERE rn <= 50),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+       |sc AS (SELECT e.vec_id AS doc_id, ${duckCos6("e.embedding", "q.qv")} AS cos
+       |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7),
+       |den AS (SELECT doc_id, CAST(rn AS INT) AS drank FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rn
+       |    FROM sc) WHERE rn <= 50),
+       |f AS (SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id, lrank, drank,
+       |        floor((COALESCE(1::DOUBLE / (lrank + 60), 0::DOUBLE)
+       |             + COALESCE(1::DOUBLE / (drank + 60), 0::DOUBLE)) * 1e9 + 0.5) / 1e9 AS rrf
+       |      FROM lex FULL JOIN den ON lex.doc_id = den.doc_id),
+       |r AS (SELECT *, CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INT) AS rank
+       |      FROM f)
+       |SELECT doc_id, lrank, drank, rrf, rank FROM r WHERE rank <= 20
+       |ORDER BY rank""".stripMargin
 
   private val kmeansOracleSql: String =
     kmeansOracleCtes() + "\nSELECT vec_id, cluster, cos FROM a3 ORDER BY vec_id"
@@ -2518,30 +2579,8 @@ object SparkEntry {
         |ORDER BY token_id""".stripMargin,
     // BM25: the oracle mirrors the Spark expression TREE (same literals,
     // same association), so every double op replays bit-identically.
-    "q_bm25" ->
-      """WITH tf AS (
-        |  SELECT doc_id,
-        |    len(regexp_extract_all(lower(text), '[a-z0-9]+'))::DOUBLE AS dl,
-        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'spark'))::DOUBLE AS tf0,
-        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'query'))::DOUBLE AS tf1,
-        |    len(list_filter(regexp_extract_all(lower(text), '[a-z0-9]+'), t -> t = 'data'))::DOUBLE AS tf2
-        |  FROM documents),
-        |st AS (
-        |  SELECT count(*)::DOUBLE AS n, sum(dl) / count(*) AS avgdl,
-        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
-        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
-        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
-        |  FROM tf)
-        |SELECT doc_id, floor((
-        |    ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
-        |      * ((tf0 * (1.2 + 1.0)) / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
-        |  + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
-        |      * ((tf1 * (1.2 + 1.0)) / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))
-        |  + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
-        |      * ((tf2 * (1.2 + 1.0)) / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl)))) * 1e6 + 0.5) / 1e6 AS bm25
-        |FROM tf, st
-        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
-        |ORDER BY doc_id""".stripMargin,
+    "q_bm25" -> (bm25CoreOracleSql + "\nORDER BY doc_id"),
+    "q_hybrid_rrf" -> hybridRrfOracleSql,
     "q_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
