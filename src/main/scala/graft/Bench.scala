@@ -41,6 +41,7 @@ object Bench {
       graft.store.GraftStore.entityAdjacency(spark, sfDir)
       graft.store.GraftStore.entityAdjacencyEnc(spark, sfDir)
       graft.store.GraftStore.ivfIndex(spark, sfDir)
+      graft.store.GraftStore.kmeansIndex(spark, sfDir)
       if (graft.LubmData.available)
         graft.store.GraftStore.forNTriples(spark, graft.LubmData.glob)
     } catch { case _: Throwable => }

@@ -446,13 +446,16 @@ object SparkEntry {
     * updates — see VectorOps.kmeans for the engine-parity contract).
     */
   private def kmeansQ(s: SparkSession, d: String): DataFrame =
-    VectorOps.kmeans(Tables.loadPar(s, d, "embeddings"))
+    graft.store.GraftStore.kmeansIndex(s, d)
+      .select(col("vec_id"), col("cluster"), col("cos")).orderBy("vec_id")
 
   /** Semantic dedup: k-means buckets + within-cluster cosine prune
-    * (SemDeDup) — candidate pairs bounded by cluster size, never corpus².
+    * (SemDeDup) — candidate pairs bounded by cluster size, never corpus²;
+    * the cluster assignment is the shared per-corpus ingest artifact.
     */
   private def semDedupQ(s: SparkSession, d: String): DataFrame =
-    VectorOps.semDedup(Tables.loadPar(s, d, "embeddings"), threshold = 0.4)
+    VectorOps.semDedupOver(graft.store.GraftStore.kmeansIndex(s, d),
+      threshold = 0.4)
 
   /** Vocabulary construction: top-500 corpus tokens by frequency with
     * deterministic rank ids (count desc, token asc) — the

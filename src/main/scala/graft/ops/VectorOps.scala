@@ -322,8 +322,15 @@ object VectorOps {
     * per vector (vec_id, cluster, removed).
     */
   def semDedup(emb: DataFrame, threshold: Double,
-               k: Int = 8, iters: Int = 3): DataFrame = {
-    val x = kmeansAssigned(emb, k, iters)
+               k: Int = 8, iters: Int = 3): DataFrame =
+    semDedupOver(kmeansAssigned(emb, k, iters), threshold)
+
+  /** `semDedup` over a PREBUILT cluster assignment (vec_id, embedding,
+    * cluster, ...) — see `GraftStore.kmeansIndex`: clustering is the
+    * ingest stage, the prune re-runs per threshold.
+    */
+  def semDedupOver(assigned: DataFrame, threshold: Double): DataFrame = {
+    val x = assigned
       .select(col("vec_id"), col("embedding"), col("cluster"))
     val removed = x.as("a").join(x.as("b"),
         col("a.cluster") === col("b.cluster") &&

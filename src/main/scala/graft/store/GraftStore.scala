@@ -55,6 +55,7 @@ object GraftStore {
     adjCache.keys.filter(_._1.sparkContext.isStopped).foreach(adjCache.remove)
     adjEncCache.keys.filter(_._1.sparkContext.isStopped).foreach(adjEncCache.remove)
     ivfCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfCache.remove)
+    kmeansCache.keys.filter(_._1.sparkContext.isStopped).foreach(kmeansCache.remove)
     ntCache.keys.filter(_._1.sparkContext.isStopped).foreach(ntCache.remove)
   }
 
@@ -883,6 +884,24 @@ object GraftStore {
         .localCheckpoint(true)
       (cent, cells)
     })).value
+  }
+
+  private val kmeansCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
+
+  /** Deterministic k-means assignment of the embeddings table
+    * (vec_id, embedding, cluster, cos), materialized once per
+    * (session, dir) — the cluster-index ingest artifact shared by the
+    * clustering gate and the semantic-dedup prune (at cluster scale, the
+    * assignment table an ingest job writes next to the embeddings;
+    * SemDeDup clusters once, then every curation pass reuses the
+    * bucketing).
+    */
+  def kmeansIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
+    kmeansCache.getOrElseUpdate((spark, sfDir), new Lazily(
+      graft.Pins.checkpoint(graft.ops.VectorOps.kmeansAssigned(
+        graft.Tables.loadPar(spark, sfDir, "embeddings"))))).value
   }
 
   private val adjCache =
