@@ -872,23 +872,38 @@ object Sparql {
     var groupBy = Seq.empty[String]
     if (p.tryKw("GROUP")) {
       p.eatKw("BY")
+      // SPARQL 1.1 §19.8 GroupCondition: Var | '(' expr ('AS' ?v)? ')' |
+      // BuiltInCall/FunctionCall. Expression keys desugar to a BIND in
+      // the group (same compile position; the computed column then keys
+      // the aggregation like a plain var); a key with no alias gets an
+      // internal name (not projectable, per the spec).
+      var gkFresh = 0
+      def keyAs(e: EExpr, v: String): Unit = {
+        group = group.copy(binds = group.binds :+ (e -> v))
+        groupBy :+= v
+      }
+      val gstops = Set("HAVING", "ORDER", "LIMIT", "OFFSET", "VALUES")
       var more = true
       while (more) p.peek match {
         case Some(TVar(v)) => groupBy :+= v; p.pos += 1
         case Some(TSym("(")) =>
-          // GROUP BY (expr AS ?v) — SPARQL 1.1 §19.8 GroupCondition:
-          // desugars to a BIND in the group (same compile position; the
-          // computed column then keys the aggregation like a plain var)
           p.pos += 1
           val e = parseEAdd(p)
-          p.eatKw("AS")
-          val v = p.next() match {
-            case TVar(x) => x
-            case t => p.fail(s"expected ?alias in GROUP BY expression, got $t")
+          if (p.tryKw("AS")) {
+            val v = p.next() match {
+              case TVar(x) => x
+              case t => p.fail(s"expected ?alias in GROUP BY expression, got $t")
+            }
+            p.eatSym(")")
+            keyAs(e, v)
+          } else {
+            p.eatSym(")")
+            keyAs(e, { gkFresh += 1; s"__gk${gkFresh - 1}" })
           }
-          p.eatSym(")")
-          group = group.copy(binds = group.binds :+ (e -> v))
-          groupBy :+= v
+        case Some(TWord(w)) if !gstops.contains(w.toUpperCase) &&
+            p.peekAhead(1).contains(TSym("(")) =>
+          // bare builtin-call key: GROUP BY STRLEN(?x), UCASE(?n), ...
+          keyAs(parseEAdd(p), { gkFresh += 1; s"__gk${gkFresh - 1}" })
         case _ => more = false
       }
       if (groupBy.isEmpty) p.fail("empty GROUP BY")

@@ -351,6 +351,22 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
   }
 
+  it should "group by anonymous expression and bare builtin-call keys" in {
+    // same grouping as the aliased form, but the key is not projectable
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT (COUNT(?x) AS ?n) WHERE { ?x ?p ?y }
+        |GROUP BY (CONCAT("k", ?p)) ORDER BY ?n""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    res shouldBe Seq(2L, 3L)
+    val res2 = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT (COUNT(?x) AS ?n) WHERE { ?x ?p ?y }
+        |GROUP BY STR(?p) ORDER BY ?n""".stripMargin)
+      .collect().map(_.getLong(0)).toSeq
+    res2 shouldBe Seq(2L, 3L)
+  }
+
   it should "group by expression keys" in {
     // key = CONCAT("k", ?p): predicate 2 -> k2 (3 triples), 4 -> k4 (2)
     val res = Sparql.execute(spark, triples,
