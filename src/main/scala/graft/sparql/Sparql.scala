@@ -1155,8 +1155,51 @@ object Sparql {
       if (p.trySym("+")) PClosure(base, includeZero = false)
       else if (p.trySym("*")) PClosure(base, includeZero = true)
       else if (p.trySym("?")) POpt(base)
+      else if (p.peek.contains(TSym("{"))) parseQuantifier(p, base)
       else base
     if (inv) PInv(withMod) else withMod
+  }
+
+  /** ARQ-style bounded path quantifiers `p{n}` / `p{n,m}` / `p{n,}` /
+    * `p{,m}` (an Apache Jena extension the reference front-end accepts —
+    * dropped from the final SPARQL 1.1 spec). Pure parse-time
+    * desugaring onto seq/alt/closure/opt, so both the string and the
+    * encoded compile paths get them for free:
+    * p{n} → p/…/p (n copies); p{n,m} → alt of the n..m chains;
+    * p{0,m} → (p{1,m})?; p{n,} → p{n-1}/p+ (p* when n = 0).
+    */
+  private def parseQuantifier(p: P, base: Path): Path = {
+    p.eatSym("{")
+    def bound(): Int = p.next() match {
+      case TNum(x) if x.forall(_.isDigit) => x.toInt
+      case t => p.fail(s"expected non-negative integer in path quantifier, got $t")
+    }
+    val lo: Option[Int] = p.peek match {
+      case Some(TNum(_)) => Some(bound())
+      case _ => None
+    }
+    val hi: Option[Int] =
+      if (p.trySym(",")) p.peek match {
+        case Some(TNum(_)) => Some(bound())
+        case _ => None // {n,} unbounded
+      }
+      else lo // {n} exact
+    p.eatSym("}")
+    if (lo.isEmpty && hi.isEmpty) p.fail("empty path quantifier {}")
+    val n = lo.getOrElse(0)
+    def chain(k: Int): Path = // k >= 1 exact steps
+      (2 to k).foldLeft(base)((acc, _) => PSeq(acc, base))
+    hi match {
+      case Some(m) =>
+        if (m < n || m == 0)
+          p.fail(s"unsupported path quantifier {${lo.getOrElse("")},$m}")
+        val oneToM = (n.max(1) to m).map(chain).reduce(PAlt(_, _))
+        if (n == 0) POpt(oneToM) else oneToM
+      case None =>
+        if (n == 0) PClosure(base, includeZero = true)
+        else if (n == 1) PClosure(base, includeZero = false)
+        else PSeq(chain(n - 1), PClosure(base, includeZero = false))
+    }
   }
 
   /** One inline-data cell: a constant term, or UNDEF → null (the

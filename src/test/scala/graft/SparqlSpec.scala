@@ -243,6 +243,29 @@ class SparqlSpec extends SparkSpec {
       .shouldBe(Seq(Seq("3"), Seq("3")))
   }
 
+  it should "expand bounded path quantifiers" in {
+    // exactly two :2 steps: 5→5→5 (self-loop) and 6→5→5
+    run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x :2{2} ?y } ORDER BY ?x ?y""".stripMargin) shouldBe
+      Seq(Seq("5", "5"), Seq("6", "5"))
+    // one to two steps (bag → DISTINCT for a stable result)
+    run(
+      """PREFIX : <>
+        |SELECT DISTINCT ?x ?y WHERE { ?x :2{1,2} ?y } ORDER BY ?x ?y""".stripMargin) shouldBe
+      Seq(Seq("1", "3"), Seq("5", "5"), Seq("6", "5"))
+    // two or more steps: one fixed hop then a + closure
+    run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x :2{2,} ?y } ORDER BY ?x ?y""".stripMargin) shouldBe
+      Seq(Seq("5", "5"), Seq("6", "5"))
+    // zero-or-up-to-two: {0,2} includes every mentioned node reflexively
+    run(
+      """PREFIX : <>
+        |SELECT DISTINCT ?y WHERE { <6> :2{0,2} ?y } ORDER BY ?y""".stripMargin) shouldBe
+      Seq(Seq("5"), Seq("6"))
+  }
+
   it should "combine alternation, inverse and sequence in one path" in {
     // (^:2)/:4 from 3: inverse-2 of 3 is 1; 1 has no :4 -> empty.
     // :2/(:4|:2) from 1: via 3 -> {5, 6} by :4 (3 has no :2 edge)
