@@ -457,6 +457,12 @@ object SparkEntry {
     VectorOps.semDedupOver(graft.store.GraftStore.kmeansIndex(s, d),
       threshold = 0.4)
 
+  /** Cluster-balanced diversity sampling: top-5 most central members of
+    * every k-means cluster (coverage-preserving subsampling).
+    */
+  private def diverseSampleQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.diverseSample(graft.store.GraftStore.kmeansIndex(s, d), m = 5)
+
   /** Vocabulary construction: top-500 corpus tokens by frequency with
     * deterministic rank ids (count desc, token asc) — the
     * tokenizer-training precursor, one map-side-combined aggregate plus
@@ -1584,6 +1590,7 @@ object SparkEntry {
     "q_embed_centroid" -> (embedCentroidQ _),
     "q_kmeans" -> (kmeansQ _),
     "q_semdedup" -> (semDedupQ _),
+    "q_diverse_sample" -> (diverseSampleQ _),
     "q_lang_id" -> (langIdQ _),
     "q_quality" -> (qualityQ _),
     "q_fingerprint" -> (fingerprintQ _),
@@ -2713,6 +2720,13 @@ object SparkEntry {
         |GROUP BY 1, 2 ORDER BY bucket, dim""".stripMargin,
     "q_kmeans" -> kmeansOracleSql,
     "q_semdedup" -> semDedupOracleSql,
+    "q_diverse_sample" -> (kmeansOracleCtes() +
+      """
+        |SELECT vec_id, cluster, cos, rank FROM (
+        |  SELECT vec_id, cluster, cos, CAST(row_number() OVER (
+        |    PARTITION BY cluster ORDER BY cos DESC, vec_id ASC) AS INT) AS rank
+        |  FROM a3)
+        |WHERE rank <= 5 ORDER BY cluster, rank""".stripMargin),
     "q_domain_mix" ->
       """WITH d AS (
         |  SELECT doc_id, source AS domain,

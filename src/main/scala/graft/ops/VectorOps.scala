@@ -345,6 +345,22 @@ object VectorOps {
       .orderBy("vec_id")
   }
 
+  /** Cluster-balanced diversity sampling: the top-`m` most central
+    * members of EVERY k-means cluster — the coverage-preserving
+    * subsampling primitive (pick representatives from each semantic
+    * bucket instead of frequency-weighted sampling that drowns small
+    * modes). One window partitioned by cluster id over the prebuilt
+    * assignment (`GraftStore.kmeansIndex`); output is k·m rows.
+    */
+  def diverseSample(assigned: DataFrame, m: Int): DataFrame = {
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    assigned.select(col("vec_id"), col("cluster"), col("cos"))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= m)
+      .orderBy("cluster", "rank")
+  }
+
   /** Brute-force reference implementation (spec oracle for the LSH path).
     */
   def embedDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {

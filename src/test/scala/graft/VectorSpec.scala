@@ -140,7 +140,28 @@ class VectorSpec extends SparkSpec {
     res.values.forall(identity) shouldBe false // and some survivor kept
   }
 
-  it should "prune only within clusters, via an equi-join" in {
+  "diverseSample" should "take the m most central members per cluster" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val assigned = VectorOps.kmeansAssigned(e)
+    val res = VectorOps.diverseSample(assigned, m = 2).collect()
+      .map(r => (r.getInt(1), r.getLong(0), r.getDouble(2), r.getInt(3)))
+    // per cluster: at most 2 rows, ranks 1..n, cos non-increasing
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      rows.length should be <= 2
+      rows.sortBy(_._4).map(_._4).toSeq shouldBe (1 to rows.length)
+      val cs = rows.sortBy(_._4).map(_._3)
+      cs.zip(cs.drop(1)).foreach { case (a, b) => a should be >= b }
+    }
+    // rank-1 row per cluster = that cluster's max-cos member
+    val maxCos = assigned.collect()
+      .map(r => (r.getInt(2), r.getDouble(3)))
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).max }
+    res.filter(_._4 == 1).foreach { case (c, _, cos, _) =>
+      cos shouldBe maxCos(c)
+    }
+  }
+
+  "semDedup" should "prune only within clusters, via an equi-join" in {
     val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = VectorOps.semDedup(e, threshold = 0.4)
       .queryExecution.executedPlan.toString
