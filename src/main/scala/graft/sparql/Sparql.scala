@@ -1596,32 +1596,56 @@ object Sparql {
     * turn binding to arriving stream edges while the others read the
     * static store, and the per-pattern arms union (`Bgp.compileStream`) —
     * so a new edge matching ANY pattern position produces its solutions.
-    * Solution modifiers that need full-result state (DISTINCT / ORDER /
-    * LIMIT / aggregates) are rejected — run those on the sink's output.
+    * `SELECT DISTINCT` is supported WHEN the caller supplies a
+    * `watermark` (and the stream carries the `tsCol` event-time column):
+    * it compiles to `dropDuplicatesWithinWatermark` over the projected
+    * columns — exact dedup for duplicates arriving within the watermark
+    * horizon, bounded state (Structured Streaming's contract; a
+    * duplicate older than the horizon re-emits). Modifiers that need
+    * FULL-result state (unbounded DISTINCT / ORDER / LIMIT) are
+    * rejected — run those on the sink's output; aggregates belong to
+    * `executeStreamWindowed`.
     */
   def executeStream(spark: SparkSession, streamTriples: DataFrame,
                     staticTriples: DataFrame, queryText: String,
-                    stats: Map[String, PredStats] = Map.empty): DataFrame = {
+                    stats: Map[String, PredStats] = Map.empty,
+                    watermark: Option[String] = None,
+                    tsCol: String = "ts"): DataFrame = {
     val q = parse(queryText)
     require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
       q.group.minuses.isEmpty && q.group.values.isEmpty &&
       q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
       q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
-      q.group.valuesMulti.isEmpty && !q.distinct && q.orderBy.isEmpty &&
+      q.group.valuesMulti.isEmpty && q.orderBy.isEmpty &&
       q.limit.isEmpty && q.projection.forall(!_.isInstanceOf[PAgg]),
       "executeStream supports the append-mode BGP+FILTER+BIND subset")
-    var df = Bgp.compileStream(spark, streamTriples, staticTriples,
-      q.group.triples, stats)
+    require(!q.distinct || watermark.nonEmpty,
+      "streaming DISTINCT needs a watermark (bounded dedup state); " +
+        "pass watermark=Some(\"10 minutes\") and an event-time column")
+    val dedup = q.distinct
+    val stream =
+      if (dedup) streamTriples.withWatermark(tsCol, watermark.get)
+      else streamTriples
+    var df = Bgp.compileStream(spark, stream, staticTriples,
+      q.group.triples, stats, carry = if (dedup) Seq(tsCol) else Nil)
     q.group.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
     q.group.filters.foreach(f => df = df.where(compileExpr(f)))
     val proj =
-      if (q.projection.isEmpty) df.columns.toSeq.map(col)
+      if (q.projection.isEmpty)
+        df.columns.toSeq.filterNot(c => dedup && c == tsCol).map(col)
       else q.projection.map {
         case PVar(v) => col(v)
         case PExpr(e, alias) => compileVal(e).as(alias)
         case a: PAgg => throw new IllegalArgumentException(s"aggregate ${a.fn} in stream")
       }
-    df.select(proj: _*)
+    if (!dedup) df.select(proj: _*)
+    else {
+      val keyed = df.select(proj :+ col(tsCol): _*)
+      keyed
+        .dropDuplicatesWithinWatermark(
+          keyed.columns.filterNot(_ == tsCol).toSeq)
+        .drop(tsCol)
+    }
   }
 
   /** Continuous SPARQL AGGREGATION over a live triple stream: a

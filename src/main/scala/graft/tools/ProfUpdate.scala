@@ -49,7 +49,7 @@ object ProfUpdate {
     t("raw enc count") { st.enc.count() }
     t("raw triples count") { st.triples.count() }
     t("raw dict count") { st.dict.count() }
-    (1 to 2).foreach { round =>
+    (1 to sys.env.getOrElse("PROF_ROUNDS", "2").toInt).foreach { round =>
       System.err.println(s"[prof] ---- round $round ----")
       var h = st
       h = t("op1 DELETE WHERE") { graft.sparql.Sparql.update(spark, h,

@@ -152,6 +152,46 @@ class StreamingBgpSpec extends SparkSpec {
       Set(("customer:1", "region:2"), ("customer:4", "region:2"))
   }
 
+  it should "deduplicate SELECT DISTINCT within the watermark horizon" in {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val src = MemoryStream[(Timestamp, String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("ts", "s", "p", "o"), staticTriples,
+      """PREFIX : <>
+        |SELECT DISTINCT ?r WHERE {
+        |  ?c :nationkey ?n .
+        |  ?n :regionkey ?r .
+        |}""".stripMargin,
+      watermark = Some("10 minutes"))
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("sparql_stream_distinct")
+      .outputMode("append").start()
+    // three customers, two distinct regions — duplicates inside the horizon
+    src.addData(
+      (ts("2024-01-01 00:01:00"), "customer:7", "nationkey", "nation:1"),
+      (ts("2024-01-01 00:02:00"), "customer:8", "nationkey", "nation:1"),
+      (ts("2024-01-01 00:03:00"), "customer:9", "nationkey", "nation:3"))
+    q.processAllAvailable()
+    src.addData(
+      (ts("2024-01-01 00:04:00"), "customer:10", "nationkey", "nation:1"))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sparql_stream_distinct").collect()
+      .map(_.getString(0)).toSeq
+    rows.sorted shouldBe Seq("region:2", "region:4")
+  }
+
+  it should "reject DISTINCT without a watermark" in {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, String)]
+    an[IllegalArgumentException] should be thrownBy
+      graft.sparql.Sparql.executeStream(spark,
+        src.toDF().toDF("s", "p", "o"), staticTriples,
+        "PREFIX : <>\nSELECT DISTINCT ?c WHERE { ?c :nationkey ?n }")
+  }
+
   "Sparql.executeStreamWindowed" should
     "emit finalized windowed GROUP BY counts under the watermark" in {
     implicit val sqlCtx = spark.sqlContext
