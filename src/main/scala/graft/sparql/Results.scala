@@ -1,0 +1,93 @@
+package graft.sparql
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** W3C SPARQL 1.1 Query Results serialization — the interop surface a
+  * Jena-based deployment gets from `ResultSetFormatter` (the reference
+  * delegates all result handling to Jena; cf.
+  * `graphula/sparql/src/main/scala/com/graphula/sparql/Sparql.scala:41-52`).
+  *
+  * Term convention (matches the store, `TripleStore.cleanTerm`): values
+  * carrying their quotes are literals (`"v"`, `"v"@lang`, `"v"^^<dt>`),
+  * `_:`-prefixed values are blank nodes, everything else is an IRI.
+  *
+  * Scale shapes: CSV/TSV are DISTRIBUTED writes (Spark's csv sink does
+  * the RFC 4180 quoting; coalesce(1) first if a single file is wanted).
+  * The JSON results document is a single object by construction, so
+  * `toJson` is an explicitly DRIVER-SIDE bounded serialization — use it
+  * for protocol responses, not bulk export.
+  */
+object Results {
+
+  private val litRe = """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$""".r
+
+  /** SPARQL 1.1 Query Results JSON (driver-side; at most `limit` rows,
+    * throws beyond it rather than silently truncating).
+    */
+  def toJson(df: DataFrame, limit: Int = 10000): String = {
+    val vars = df.columns.toSeq
+    val rows = df.limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"result exceeds $limit rows - raise the limit or use the CSV/TSV writers")
+    def esc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def term(v: String): String = v match {
+      case litRe(lex, lang, dt) =>
+        val extra =
+          if (lang != null) s""","xml:lang":"${esc(lang)}""""
+          else if (dt != null) s""","datatype":"${esc(dt)}""""
+          else ""
+        s"""{"type":"literal","value":"${esc(lex)}"$extra}"""
+      case b if b.startsWith("_:") =>
+        s"""{"type":"bnode","value":"${esc(b.substring(2))}"}"""
+      case i => s"""{"type":"uri","value":"${esc(i)}"}"""
+    }
+    val bindings = rows.map { r =>
+      vars.indices.flatMap { i =>
+        if (r.isNullAt(i)) None // unbound: the var is omitted from the row
+        else Some(s""""${esc(vars(i))}":${term(String.valueOf(r.get(i)))}""")
+      }.mkString("{", ",", "}")
+    }.mkString("[", ",", "]")
+    val head = vars.map(v => s""""${esc(v)}"""").mkString("[", ",", "]")
+    s"""{"head":{"vars":$head},"results":{"bindings":$bindings}}"""
+  }
+
+  /** The literal's lexical form for CSV (IRIs/bnodes pass through bare,
+    * per the W3C CSV rules).
+    */
+  private def csvValue(c: Column): Column =
+    when(c.startsWith("\""),
+      regexp_replace(regexp_extract(c, litRe.regex, 1), """\\(.)""", "$1"))
+      .otherwise(c)
+
+  /** SPARQL 1.1 CSV results: distributed write, one header + raw lexical
+    * values, RFC 4180 quoting by Spark's csv sink.
+    */
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.select(df.columns.map(n => csvValue(col(n)).as(n)): _*)
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** The term in SPARQL surface syntax for TSV: literals keep their
+    * stored (already-escaped) form, IRIs re-wrap as `<iri>`.
+    */
+  private def tsvTerm(c: Column): Column =
+    when(c.startsWith("\"") || c.startsWith("_:"), c)
+      .otherwise(concat(lit("<"), c, lit(">")))
+
+  /** SPARQL 1.1 TSV results: distributed write; header of `?var` names,
+    * terms in SPARQL syntax, no quoting (the TSV format escapes inside
+    * literals instead).
+    */
+  def writeTsv(df: DataFrame, path: String): Unit =
+    df.select(df.columns.map(n => tsvTerm(col(n)).as(s"?$n")): _*)
+      .write.mode("overwrite").option("header", "true")
+      .option("delimiter", "\t").option("quote", "\u0000").csv(path)
+}

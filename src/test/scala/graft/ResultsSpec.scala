@@ -1,0 +1,72 @@
+package graft
+
+import graft.sparql.{Results, Sparql}
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+
+/** W3C SPARQL 1.1 results serialization (JSON / CSV / TSV). */
+class ResultsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // mixed term kinds: IRIs, a quoted plain literal, a lang-tagged and a
+  // typed literal, a blank node
+  lazy val triples = Seq(
+    ("person:1", "name", "\"Ada\""),
+    ("person:1", "label", "\"Gr\\u00e4fin\"@de"),
+    ("person:1", "age", "\"36\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+    ("person:1", "knows", "_:b0")
+  ).toDF("s", "p", "o")
+
+  private def q(sel: String) = Sparql.execute(spark, triples,
+    s"""PREFIX : <>
+       |SELECT ?p ?o WHERE { <person:1> ?p ?o } $sel""".stripMargin)
+
+  "toJson" should "emit the W3C results-JSON document" in {
+    val json = Results.toJson(q("ORDER BY ?p"))
+    json should startWith("""{"head":{"vars":["p","o"]},"results":{"bindings":[""")
+    json should include(
+      """{"p":{"type":"uri","value":"name"},"o":{"type":"literal","value":"Ada"}}""")
+    json should include(
+      """"o":{"type":"literal","value":"Gr\\u00e4fin","xml:lang":"de"}""")
+    json should include(
+      """"o":{"type":"literal","value":"36","datatype":"http://www.w3.org/2001/XMLSchema#integer"}""")
+    json should include("""{"type":"bnode","value":"b0"}""")
+  }
+
+  it should "omit unbound variables and refuse oversized results" in {
+    val df = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT ?p ?x WHERE { <person:1> ?p ?o
+        |  OPTIONAL { ?o :nope ?x } } ORDER BY ?p""".stripMargin)
+    val json = Results.toJson(df)
+    json should include("""{"p":{"type":"uri","value":"age"}}""")
+    an[IllegalArgumentException] should be thrownBy
+      Results.toJson(q(""), limit = 2)
+  }
+
+  private def readLines(dir: String): Seq[String] =
+    Files.list(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-"))
+      .flatMap(p => Files.readAllLines(p).asScala)
+      .toSeq
+
+  "writeCsv" should "write header + raw lexical forms" in {
+    val dir = Files.createTempDirectory("graft_csv").toString
+    Results.writeCsv(q("ORDER BY ?p").coalesce(1), dir)
+    val lines = readLines(dir)
+    lines.head shouldBe "p,o"
+    lines should contain("name,Ada")
+    lines should contain("age,36")          // typed literal -> lexical form
+    lines should contain("knows,_:b0")
+  }
+
+  "writeTsv" should "write ?var header + SPARQL-syntax terms" in {
+    val dir = Files.createTempDirectory("graft_tsv").toString
+    Results.writeTsv(q("ORDER BY ?p").coalesce(1), dir)
+    val lines = readLines(dir)
+    lines.head shouldBe "?p\t?o"
+    lines should contain("<name>\t\"Ada\"")
+    lines should contain(
+      "<age>\t\"36\"^^<http://www.w3.org/2001/XMLSchema#integer>")
+  }
+}
