@@ -529,6 +529,14 @@ object SparkEntry {
       Tables.loadPar(s, d, "documents"), Tables.loadPar(s, d, "embeddings"),
       Seq("spark", "query", "data"), queryVecId = 7L)
 
+  /** BPE merge learning: 10 merges over the corpus word-frequency table
+    * (tokenizer training; iterations touch |vocab| rows, never the
+    * corpus).
+    */
+  private def bpeMergesQ(s: SparkSession, d: String): DataFrame =
+    TextOps.bpeLearn(Tables.loadPar(s, d, "documents"), merges = 10)
+      .orderBy("step")
+
   /** Per-document top-3 TF-IDF keywords (doc tagging / index terms). */
   private def tfIdfQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfIdfKeywords(Tables.loadPar(s, d, "documents"), k = 3)
@@ -1580,6 +1588,7 @@ object SparkEntry {
     "q_vocab" -> (vocabQ _),
     "q_bm25" -> (bm25Q _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
+    "q_bpe_merges" -> (bpeMergesQ _),
     "q_sample_stratified" -> (sampleStratifiedQ _),
     "q_tfidf_keywords" -> (tfIdfQ _),
     "q_domain_cap" -> (domainCapQ _),
@@ -1681,6 +1690,47 @@ object SparkEntry {
        |c0 AS (SELECT (vec_id // p.step)::INT AS cluster, embedding AS cv
        |       FROM e, p WHERE vec_id % p.step = 0 AND vec_id < $k * p.step),
        |$body""".stripMargin
+  }
+
+  /** BPE replay: 10 unrolled merge rounds over the word-frequency table,
+    * same delimiter-string representation and argmax tiebreak as
+    * TextOps.bpeLearn (plain `replace` has identical left-to-right
+    * non-overlapping semantics in both engines).
+    */
+  private val bpeOracleSql: String = {
+    val merges = 10
+    def round(t: Int) =
+      s"""p$t AS (
+         |  SELECT string_split(pr, chr(1))[1] AS lhs,
+         |         string_split(pr, chr(1))[2] AS rhs,
+         |         sum(freq)::BIGINT AS cnt
+         |  FROM (
+         |    SELECT freq, unnest(list_transform(range(1, len(syms)),
+         |             i -> syms[i] || chr(1) || syms[i+1])) AS pr
+         |    FROM (SELECT freq, string_split(trim(seq), '  ') AS syms
+         |          FROM s$t)
+         |  ) GROUP BY 1, 2),
+         |r$t AS (SELECT $t AS step, lhs, rhs, lhs || rhs AS merged,
+         |               cnt AS pair_count
+         |        FROM p$t ORDER BY cnt DESC, lhs, rhs LIMIT 1),
+         |s${t + 1} AS (
+         |  SELECT word, freq,
+         |    replace(seq, ' ' || lhs || '  ' || rhs || ' ',
+         |            ' ' || lhs || rhs || ' ') AS seq
+         |  FROM s$t CROSS JOIN r$t)""".stripMargin
+    val rounds = (1 to merges).map(round).mkString(",\n")
+    val union = (1 to merges).map(t => s"SELECT * FROM r$t").mkString(" UNION ALL ")
+    s"""WITH w0 AS (
+       |  SELECT word, count(*)::BIGINT AS freq FROM (
+       |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |    FROM documents) GROUP BY word),
+       |s1 AS (
+       |  SELECT word, freq,
+       |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
+       |  FROM w0),
+       |$rounds
+       |SELECT step, lhs, rhs, merged, pair_count FROM ($union) ORDER BY step"""
+      .stripMargin
   }
 
   /** BM25 scoring replay for the fixed query (spark, query, data) —
@@ -2591,6 +2641,7 @@ object SparkEntry {
     // same association), so every double op replays bit-identically.
     "q_bm25" -> (bm25CoreOracleSql + "\nORDER BY doc_id"),
     "q_hybrid_rrf" -> hybridRrfOracleSql,
+    "q_bpe_merges" -> bpeOracleSql,
     "q_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -360,6 +360,68 @@ object TextOps {
       .drop("__q")
   }
 
+  /** BPE merge learning (Sennrich et al. 2016, arXiv:1508.07909) over the
+    * corpus — the tokenizer-TRAINING stage of a data pipeline, not just
+    * token counting. Returns the learned merge table
+    * (step, lhs, rhs, merged, pair_count).
+    *
+    * Scale shape (the classic BPE trick): everything iterates over the
+    * WORD-FREQUENCY table (|vocab| rows), never the corpus — one corpus
+    * scan builds it, then each of the `merges` rounds is one map-side-
+    * combined pair-count aggregate plus a 1-row driver collect of the
+    * argmax pair (the same bounded-constant class as the k-means centroid
+    * update), and one string map applies the merge.
+    *
+    * Determinism contract (replayed exactly by the DuckDB oracle):
+    *   - argmax pair: count desc, then (lhs, rhs) asc;
+    *   - words ride as delimiter strings `" s1  s2  ...  sn "` — DOUBLE
+    *     space between symbols, single at the ends — so applying a merge
+    *     is a plain left-to-right non-overlapping
+    *     `replace(" a  b ", " ab ")`: identical builtin semantics in
+    *     Spark and DuckDB; adjacent occurrences still merge (each match
+    *     consumes one space of the neighbor's double delimiter, the
+    *     replacement restores it) while a partial symbol can never
+    *     false-match (its neighboring character breaks the delimiter).
+    * No end-of-word marker: word-internal merges only (documented
+    * simplification; the marker would just be one more initial symbol).
+    */
+  def bpeLearn(docs: DataFrame, merges: Int = 10): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val pins = new graft.Pins
+    var vocab = pins.pin(docs
+      .select(explode(regexp_extract_all(lower(col("text")),
+        lit("[a-z0-9]+"), lit(0))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(col("word"), col("freq"),
+        concat(lit(" "),
+          concat_ws("  ", regexp_extract_all(col("word"), lit("."), lit(0))),
+          lit(" ")).as("seq")))
+    val out = Seq.newBuilder[(Int, String, String, String, Long)]
+    for (step <- 1 to merges) {
+      val syms = split(trim(col("seq")), "  ")
+      val top = vocab
+        .select(col("freq"), syms.as("syms"))
+        .where(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1)," +
+            " i -> struct(syms[i - 1] AS l, syms[i] AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum("freq").as("cnt"))
+        .orderBy(col("cnt").desc, col("l").asc, col("r").asc)
+        .limit(1).collect()
+      if (top.nonEmpty) {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        out += ((step, l, r, l + r, c))
+        vocab = pins.pin(vocab.withColumn("seq",
+          call_function("replace", col("seq"),
+            lit(s" $l  $r "), lit(s" $l$r "))))
+      }
+    }
+    pins.release()
+    out.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
   /** Word n-grams (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int = 3): Column = {
     val words = split(TextOps.normalize(text), " ")

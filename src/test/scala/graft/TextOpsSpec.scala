@@ -191,6 +191,33 @@ class TextOpsSpec extends SparkSpec {
     again shouldBe kept.map(_.getLong(0)).toSeq
   }
 
+  "bpeLearn" should "learn merges by weighted pair frequency with asc tiebreak" in {
+    // freq: aaab ×2, aab ×1
+    // round 1: (a,a) = 2·2+1 = 5 beats (a,b) = 3 → merge aa
+    //   aaab → " aa  a  b ", aab → " aa  b "
+    // round 2: (aa,a)=2 ties (a,b)=2 → lhs asc picks (a,b) → ab
+    // round 3: (aa,ab)=2 beats (aa,b)=1 → aaab
+    val docs = Seq((1L, "aaab aaab aab")).toDF("doc_id", "text")
+    val res = TextOps.bpeLearn(docs, merges = 3).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    res.toSeq shouldBe Seq(
+      (1, "a", "a", "aa", 5L),
+      (2, "a", "b", "ab", 2L),
+      (3, "aa", "ab", "aaab", 2L))
+  }
+
+  it should "merge adjacent occurrences left-to-right, non-overlapping" in {
+    // "aaaa": three (a,a) positions count once each; the merge pass
+    // produces [aa][aa] (each match borrows one delimiter space, the
+    // replacement restores it)
+    val docs = Seq((1L, "aaaa")).toDF("doc_id", "text")
+    val res = TextOps.bpeLearn(docs, merges = 2).orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    res.toSeq shouldBe Seq(
+      (1, "a", "a", "aa", 3L),
+      (2, "aa", "aa", "aaaa", 1L))
+  }
+
   "dimCentroids" should "compute exact per-dimension means" in {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f)),
