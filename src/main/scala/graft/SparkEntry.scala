@@ -598,6 +598,14 @@ object SparkEntry {
     TextOps.unigramSurprisal(Tables.loadPar(s, d, "documents"))
       .orderBy("doc_id")
 
+  /** DSIR importance weights against the English slice as the target
+    * distribution (data selection via importance resampling;
+    * integer-micros log-ratio sums — exact, order-free).
+    */
+  private def dsirQ(s: SparkSession, d: String): DataFrame =
+    TextOps.dsirWeights(Tables.loadPar(s, d, "documents"), col("lang") === "en")
+      .orderBy("doc_id")
+
   /** Cross-document duplicated 13-gram spans (substring-dedup signal). */
   private def dupSpansQ(s: SparkSession, d: String): DataFrame =
     DedupOps.dupSpans(Tables.loadPar(s, d, "documents"), n = 13)
@@ -1585,6 +1593,7 @@ object SparkEntry {
     "q_decontaminate" -> (decontaminateQ _),
     "q_dup_spans" -> (dupSpansQ _),
     "q_surprisal" -> (surprisalQ _),
+    "q_dsir_weights" -> (dsirQ _),
     "q_vocab" -> (vocabQ _),
     "q_bm25" -> (bm25Q _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
@@ -2705,6 +2714,26 @@ object SparkEntry {
         |  sum(CAST(floor(abs(code * scale - v) * 1e9 + 0.5) AS BIGINT))::DOUBLE
         |    / (count(*) * 1e9) AS mean_abs_err
         |FROM j GROUP BY dim ORDER BY dim""".stripMargin,
+    "q_dsir_weights" ->
+      """WITH t AS (
+        |  SELECT doc_id, is_target, w FROM (
+        |    SELECT doc_id, lang = 'en' AS is_target,
+        |      unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |    FROM documents)
+        |  WHERE length(w) > 0),
+        |vocab AS (
+        |  SELECT w, count(*) AS c_all,
+        |    sum(CASE WHEN is_target THEN 1 ELSE 0 END) AS c_tgt
+        |  FROM t GROUP BY w),
+        |tot AS (SELECT sum(c_all) AS t_all, sum(c_tgt) AS t_tgt, count(*) AS v FROM vocab),
+        |lr AS (
+        |  SELECT w, CAST(floor((ln((c_tgt + 0.5) / (t_tgt + 0.5 * v))
+        |    - ln((c_all + 0.5) / (t_all + 0.5 * v))) * 1e6 + 0.5) AS BIGINT) AS lr_micros
+        |  FROM vocab, tot)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(sum(lr.lr_micros) AS BIGINT) AS weight_micros
+        |FROM t JOIN lr ON t.w = lr.w
+        |GROUP BY t.doc_id ORDER BY t.doc_id""".stripMargin,
     "q_surprisal" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words

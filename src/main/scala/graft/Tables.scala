@@ -45,6 +45,12 @@ object Tables {
       // integer division: `/` on longs is double division in Spark SQL and
       // loses microsecond precision at nanosecond epoch magnitudes
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else if (raw.schema("ts").dataType == org.apache.spark.sql.types.TimestampNTZType)
+      // tz-less parquet micros infer as TIMESTAMP_NTZ in Spark 4, which
+      // streaming watermarks reject (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE);
+      // the session timezone is pinned UTC, so the LTZ cast keeps every
+      // wall-clock value (and date_format output) identical
+      raw.withColumn("ts", col("ts").cast("timestamp"))
     else raw
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")

@@ -283,6 +283,45 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("weight"), col("rank"))
   }
 
+  /** DSIR-style importance weights (hashed-n-gram importance resampling,
+    * the data-selection stage that up-weights documents close to a target
+    * distribution): score each document by the unigram log-likelihood
+    * ratio between a TARGET slice of the corpus (the in-domain exemplar
+    * set, selected by `isTarget`) and the corpus itself. Three stages,
+    * all linear:
+    *   1. one map-side-combined aggregate builds the per-word
+    *      target/corpus count table over the exploded tokens;
+    *   2. three global scalars (target total, corpus total, vocabulary
+    *      size) collect driver-side — one bounded row;
+    *   3. each word's add-half-smoothed log ratio quantizes to integer
+    *      MICROS, and per-doc scores are integer sums of those micros —
+    *      associative and order-free, so the distributed sum is exact
+    *      and the oracle replays it bit-for-bit (the same integer-units
+    *      discipline as the centroid/graph sums).
+    * At 100 TB: one shuffle to the word domain, one word-keyed join back
+    * (AQE splits the stopword-skewed partitions), one doc-keyed
+    * aggregate. The paper's fixed-width hashed buckets drop in by
+    * replacing `w` with a hash-mod column; the raw-word form is the
+    * engine-neutral (oracle-checkable) shape.
+    */
+  def dsirWeights(docs: DataFrame, isTarget: Column): DataFrame = {
+    val words = docs.select(col("doc_id"), isTarget.as("is_target"),
+        explode(split(normalize(col("text")), " ")).as("w"))
+      .where(length(col("w")) > 0)
+    val vocab = words.groupBy("w").agg(
+      count(lit(1)).as("c_all"),
+      sum(when(col("is_target"), 1L).otherwise(0L)).as("c_tgt"))
+    val t = vocab.agg(sum(col("c_all")), sum(col("c_tgt")), count(lit(1))).head()
+    val (tAll, tTgt, v) = (t.getLong(0), t.getLong(1), t.getLong(2))
+    val lr = log((col("c_tgt").cast("double") + 0.5) / lit(tTgt + 0.5 * v)) -
+      log((col("c_all").cast("double") + 0.5) / lit(tAll + 0.5 * v))
+    val byWord = vocab.select(col("w"),
+      floor(lr * 1e6 + 0.5).cast("long").as("lr_micros"))
+    words.join(byWord, Seq("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_micros")).as("weight_micros"))
+  }
+
   /** Deterministic stratified sampling: keep a document iff its content
     * fingerprint mod `mod` falls under its stratum's quota. The
     * per-stratum rates implement mixture re-balancing (upsample

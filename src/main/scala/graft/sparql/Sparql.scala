@@ -32,6 +32,8 @@ import org.apache.spark.sql.functions._
   *     BIND (expr AS ?v)  computed binding
   *     FILTER (expr) | FILTER [NOT] EXISTS { ... }
   *   } [GROUP BY ?v*] [HAVING (expr)*] [ORDER BY ...] [LIMIT n] [OFFSET n]
+  *   [VALUES ...]       trailing ValuesClause (§18.2.4.4): joined after
+  *                      aggregation, before projection and modifiers
   *
   * Expressions: + - * / over numeric-cast terms; comparisons; && || !;
   * builtins STR LANG STRLEN UCASE LCASE CONCAT COALESCE, boolean BOUND
@@ -69,7 +71,10 @@ object Sparql {
   final case class Query(distinct: Boolean, projection: Seq[ProjItem], group: Group,
                          groupBy: Seq[String], orderBy: Seq[(OrdKey, Boolean)],
                          limit: Option[Int], offset: Option[Int] = None,
-                         having: Seq[Expr] = Seq.empty)
+                         having: Seq[Expr] = Seq.empty,
+                         // trailing ValuesClause (§18.2.4.4): joined AFTER
+                         // aggregation, BEFORE projection/modifiers
+                         postValues: Option[(Seq[String], Seq[Seq[String]])] = None)
   final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
                          optionals: Seq[Group], unions: Seq[(Group, Group)],
                          minuses: Seq[Group] = Seq.empty,
@@ -795,7 +800,12 @@ object Sparql {
 
   def parse(text: String): Query = {
     val p = new P(tokenize(text))
-    parseQueryBody(p, parsePrefixes(p))
+    val prefixes = parsePrefixes(p)
+    val q = parseQueryBody(p, prefixes)
+    // trailing ValuesClause (§18.2.4.4: `SELECT ... { ... } modifiers
+    // VALUES ...` — joined after aggregation, before projection)
+    if (p.tryKw("VALUES")) q.copy(postValues = Some(parseDataBlock(p, prefixes)))
+    else q
   }
 
   /** SELECT ... WHERE { ... } + solution modifiers; reused by subqueries. */
@@ -921,7 +931,10 @@ object Sparql {
         case EVar(v) => OVar(v)
         case x => OExpr(x)
       }
-      val stops = Set("LIMIT", "OFFSET")
+      // VALUES stops the key loop: a trailing ValuesClause's multi-var
+      // form (`VALUES (?x ?y) {...}`) would otherwise parse as a
+      // function-call key
+      val stops = Set("LIMIT", "OFFSET", "VALUES")
       var more = true
       while (more) p.peek match {
         case Some(TVar(v)) => order :+= ((OVar(v): OrdKey) -> true); p.pos += 1
@@ -991,40 +1004,13 @@ object Sparql {
           binds :+= (e -> v)
         case Some(t) if p.isKw(t, "VALUES") =>
           p.pos += 1
-          p.peek match {
-            case Some(TSym("(")) =>
-              // VALUES (?x ?y) { ("a" "b") ("c" "d") }
-              p.pos += 1
-              var vars = Seq.empty[String]
-              while (!p.trySym(")")) p.next() match {
-                case TVar(x) => vars :+= x
-                case x => p.fail(s"expected ?var in VALUES var list, got $x")
-              }
-              p.eatSym("{")
-              var rows = Seq.empty[Seq[String]]
-              while (!p.trySym("}")) {
-                p.eatSym("(")
-                var row = Seq.empty[String]
-                while (!p.trySym(")")) row :+= parseValuesCell(p, prefixes)
-                if (row.length != vars.length)
-                  p.fail(s"VALUES row arity ${row.length} != ${vars.length}")
-                rows :+= row
-              }
-              valuesMulti :+= (vars -> rows)
-            case _ =>
-              val v = p.next() match {
-                case TVar(x) => x
-                case x => p.fail(s"expected ?var after VALUES, got $x")
-              }
-              p.eatSym("{")
-              var vals = Seq.empty[String]
-              while (!p.trySym("}")) vals :+= parseValuesCell(p, prefixes)
-              // UNDEF rows need the compatibility join — route through the
-              // multi-var relation; the all-bound common case stays on the
-              // fast single-column equi-join
-              if (vals.contains(null)) valuesMulti :+= (Seq(v) -> vals.map(Seq(_)))
-              else values :+= (v -> vals)
-          }
+          val (vars, rows) = parseDataBlock(p, prefixes)
+          // UNDEF rows need the compatibility join — route through the
+          // multi-var relation; the all-bound single-var common case stays
+          // on the fast single-column equi-join
+          if (vars.length == 1 && !rows.exists(_.head == null))
+            values :+= (vars.head -> rows.map(_.head))
+          else valuesMulti :+= (vars -> rows)
         case Some(t) if p.isKw(t, "FILTER") =>
           p.pos += 1
           if (p.tryKw("EXISTS")) existsFilters :+= (parseGroup(p, prefixes) -> false)
@@ -1200,6 +1186,42 @@ object Sparql {
         else if (n == 1) PClosure(base, includeZero = false)
         else PSeq(chain(n - 1), PClosure(base, includeZero = false))
     }
+  }
+
+  /** A VALUES DataBlock, either form (§10.2): `?v { c ... }` or
+    * `(?v1 ?v2) { (c1 c2) ... }` — normalized to (vars, rows) with UNDEF
+    * cells as null. Shared by group-level VALUES and the trailing
+    * ValuesClause.
+    */
+  private def parseDataBlock(p: P, prefixes: Map[String, String])
+      : (Seq[String], Seq[Seq[String]]) = p.peek match {
+    case Some(TSym("(")) =>
+      p.pos += 1
+      var vars = Seq.empty[String]
+      while (!p.trySym(")")) p.next() match {
+        case TVar(x) => vars :+= x
+        case x => p.fail(s"expected ?var in VALUES var list, got $x")
+      }
+      p.eatSym("{")
+      var rows = Seq.empty[Seq[String]]
+      while (!p.trySym("}")) {
+        p.eatSym("(")
+        var row = Seq.empty[String]
+        while (!p.trySym(")")) row :+= parseValuesCell(p, prefixes)
+        if (row.length != vars.length)
+          p.fail(s"VALUES row arity ${row.length} != ${vars.length}")
+        rows :+= row
+      }
+      (vars, rows)
+    case _ =>
+      val v = p.next() match {
+        case TVar(x) => x
+        case x => p.fail(s"expected ?var after VALUES, got $x")
+      }
+      p.eatSym("{")
+      var vals = Seq.empty[String]
+      while (!p.trySym("}")) vals :+= parseValuesCell(p, prefixes)
+      (Seq(v), vals.map(Seq(_)))
   }
 
   /** One inline-data cell: a constant term, or UNDEF → null (the
@@ -1551,6 +1573,10 @@ object Sparql {
                      queryText: String): DataFrame = {
     val q = parse(queryText)
     val plain = plainVarsOf(q)
+    // trailing-ValuesClause entries are pattern-position constants too —
+    // fold them into the const-encoding walk as a synthetic inline block
+    val gConsts = q.postValues.fold(q.group)(pv =>
+      q.group.copy(valuesMulti = q.group.valuesMulti :+ pv))
     // A var can be BOTH a BIND/alias output (value-typed) and a pattern
     // var (id-typed) — e.g. a subquery alias joined by an outer pattern,
     // or a BIND target reused by a later pattern. Such vars are DEMOTED
@@ -1558,7 +1584,7 @@ object Sparql {
     // (`demoteToTerms`), so the whole downstream plan sees one consistent
     // type; the (small) cost is paid only for the contaminated vars,
     // everything else still joins on long ids.
-    compileQuery(encEnvFor(spark, store, q.group, plain), q, top = true)
+    compileQuery(encEnvFor(spark, store, gConsts, plain), q, top = true)
   }
 
   /** Build the encoded-mode environment for a group: resolve every
@@ -1617,7 +1643,8 @@ object Sparql {
       q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
       q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
       q.group.valuesMulti.isEmpty && q.orderBy.isEmpty &&
-      q.limit.isEmpty && q.projection.forall(!_.isInstanceOf[PAgg]),
+      q.limit.isEmpty && q.postValues.isEmpty &&
+      q.projection.forall(!_.isInstanceOf[PAgg]),
       "executeStream supports the append-mode BGP+FILTER+BIND subset")
     require(!q.distinct || watermark.nonEmpty,
       "streaming DISTINCT needs a watermark (bounded dedup state); " +
@@ -1673,7 +1700,7 @@ object Sparql {
       q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
       q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
       q.group.valuesMulti.isEmpty && !q.distinct && q.orderBy.isEmpty &&
-      q.limit.isEmpty,
+      q.limit.isEmpty && q.postValues.isEmpty,
       "executeStreamWindowed supports the append-mode BGP+FILTER+BIND aggregate subset")
     val aggs = q.projection.collect { case a: PAgg => a }
     require(aggs.nonEmpty, "no aggregates — use executeStream")
@@ -1833,9 +1860,15 @@ object Sparql {
         dfD.groupBy(q.groupBy.map(col): _*).agg(aggCols.head, aggCols.tail: _*)
       else dfD.agg(aggCols.head, aggCols.tail: _*)
       q.having.foreach(h => df = applyFilter(env, df, h))
+      // trailing ValuesClause joins AFTER aggregation (§18.2.4.4 comes
+      // after §18.2.4.2/3), before projection and modifiers
+      q.postValues.foreach { case (vs, rows) =>
+        df = joinInlineData(env, df, vs, rows) }
       df = withSortKeys(df)
       df = projected(df)
     } else {
+      q.postValues.foreach { case (vs, rows) =>
+        df = joinInlineData(env, df, vs, rows) }
       df = withSortKeys(df)
       df =
         if (q.projection.isEmpty)
@@ -2005,42 +2038,8 @@ object Sparql {
     // broadcast of the tiny inline table, merged with coalesce); all-bound
     // relations keep the plain equi-join.
     g.valuesMulti.foreach { case (vars, rows) =>
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-      val tpe = if (env.enc.isDefined) LongType else StringType
-      val schema = StructType(vars.map(StructField(_, tpe)))
-      val vdf = demoteToTerms(env, spark.createDataFrame(
-        spark.sparkContext.parallelize(
-          rows.map(r => Row.fromSeq(r.map(x =>
-            if (x == null) null else env.cval(x)))), 1), schema))
       require(df != null, "VALUES without a preceding pattern group")
-      val shared = df.columns.intersect(vars).toSeq
-      val hasUndef = rows.exists(_.contains(null))
-      df =
-        if (!hasUndef)
-          if (shared.isEmpty) df.crossJoin(vdf) else df.join(vdf, shared, "inner")
-        else {
-          val right = broadcast(
-            vdf.select(vars.map(v => col(v).as(s"__vm_$v")): _*))
-          val joined =
-            if (shared.isEmpty) df.crossJoin(right)
-            else {
-              val cond = shared
-                .map(v => col(s"__vm_$v").isNull || col(v).isNull ||
-                  col(v) === col(s"__vm_$v"))
-                .reduce(_ && _)
-              df.join(right, cond, "inner")
-            }
-          val outCols =
-            df.columns.toSeq.map { c =>
-              if (shared.contains(c))
-                coalesce(col(c), col(s"__vm_$c")).as(c)
-              else col(c)
-            } ++
-              vars.filterNot(df.columns.contains)
-                .map(v => col(s"__vm_$v").as(v))
-          joined.select(outCols: _*)
-        }
+      df = joinInlineData(env, df, vars, rows)
     }
     require(df != null, "empty group pattern")
     // BIND: computed columns, visible to subsequent filters/projection
@@ -2060,6 +2059,53 @@ object Sparql {
         }
     }
     df
+  }
+
+  /** Join an inline DataBlock relation into a solution frame: all-bound
+    * blocks take a plain equi-join on the shared vars; blocks with UNDEF
+    * cells use a per-row compatibility join (null-is-wildcard condition
+    * on a broadcast of the tiny inline table, merged with coalesce).
+    * Entries are pattern-position constants — encoded to ids in encoded
+    * mode, with contaminated (value-typed) vars demoted to term strings
+    * like every other pattern-machinery source.
+    */
+  private def joinInlineData(env: Env, dfIn: DataFrame, vars: Seq[String],
+                             rows: Seq[Seq[String]]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    val spark = env.spark
+    val tpe = if (env.enc.isDefined) LongType else StringType
+    val schema = StructType(vars.map(StructField(_, tpe)))
+    val vdf = demoteToTerms(env, spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => Row.fromSeq(r.map(x =>
+          if (x == null) null else env.cval(x)))), 1), schema))
+    val shared = dfIn.columns.intersect(vars).toSeq
+    val hasUndef = rows.exists(_.contains(null))
+    if (!hasUndef)
+      if (shared.isEmpty) dfIn.crossJoin(vdf) else dfIn.join(vdf, shared, "inner")
+    else {
+      val right = broadcast(
+        vdf.select(vars.map(v => col(v).as(s"__vm_$v")): _*))
+      val joined =
+        if (shared.isEmpty) dfIn.crossJoin(right)
+        else {
+          val cond = shared
+            .map(v => col(s"__vm_$v").isNull || col(v).isNull ||
+              col(v) === col(s"__vm_$v"))
+            .reduce(_ && _)
+          dfIn.join(right, cond, "inner")
+        }
+      val outCols =
+        dfIn.columns.toSeq.map { c =>
+          if (shared.contains(c))
+            coalesce(col(c), col(s"__vm_$c")).as(c)
+          else col(c)
+        } ++
+          vars.filterNot(dfIn.columns.contains)
+            .map(v => col(s"__vm_$v").as(v))
+      joined.select(outCols: _*)
+    }
   }
 
   // ---------- Property-path relations ----------

@@ -968,6 +968,7 @@ object GraftStore {
   /** Test hook: drop cached handles (e.g. between suites). */
   def invalidate(): Unit = {
     cache.clear(); gramCache.clear(); pairCache.clear()
-    adjCache.clear(); adjEncCache.clear(); ivfCache.clear(); ntCache.clear()
+    adjCache.clear(); adjEncCache.clear(); ivfCache.clear()
+    kmeansCache.clear(); ntCache.clear()
   }
 }

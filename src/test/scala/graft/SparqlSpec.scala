@@ -89,6 +89,32 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("5", "5"), Seq("6", "5"))
   }
 
+  it should "apply a trailing ValuesClause after the modifiers" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x :2 ?y } ORDER BY ?x VALUES ?x { "5" "6" }""".stripMargin)
+    res shouldBe Seq(Seq("5", "5"), Seq("6", "5"))
+  }
+
+  it should "join a trailing ValuesClause AFTER aggregation" in {
+    // groups: y=3 (n=1), y=5 (n=2); the trailing block filters the
+    // aggregated solutions (§18.2.4.4 runs after §18.2.4.2)
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT ?y (COUNT(?x) AS ?n) WHERE { ?x :2 ?y }
+        |GROUP BY ?y VALUES ?y { "5" }""".stripMargin)
+      .collect().map(r => Seq(r.getString(0), r.getLong(1))).toSeq
+    res shouldBe Seq(Seq("5", 2L))
+  }
+
+  it should "treat UNDEF wildcards in a trailing ValuesClause" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x :2 ?y }
+        |ORDER BY ?x VALUES (?x ?y) { ("5" UNDEF) (UNDEF "3") }""".stripMargin)
+    res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
+  }
+
   it should "expand sequence property paths" in {
     // ?a :2/:4 ?c == { ?a :2 ?m . ?m :4 ?c }
     val res = run(

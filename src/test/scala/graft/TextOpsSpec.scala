@@ -90,6 +90,26 @@ class TextOpsSpec extends SparkSpec {
     m(1L) shouldBe math.log(2.0) +- 1e-6
   }
 
+  "dsirWeights" should "up-weight docs resembling the target slice" in {
+    val docs = Seq(
+      (1L, "alpha beta gamma", true),   // target exemplar
+      (2L, "alpha beta delta", false),  // close to target
+      (3L, "zig zag zog", false)        // far from target
+    ).toDF("doc_id", "text", "tgt")
+    val m = TextOps.dsirWeights(docs, col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    m(2L) should be > m(3L)   // shares 2/3 unigrams with the target
+    m(1L) should be > m(3L)
+    // exactness: replay the integer-micros fold driver-side
+    val words = Seq("alpha" -> (2L, 1L), "beta" -> (2L, 1L), "gamma" -> (1L, 1L))
+    val (tAll, tTgt, v) = (9L, 3L, 7L)
+    val expect1 = words.map { case (_, (cAll, cTgt)) =>
+      math.floor((math.log((cTgt + 0.5) / (tTgt + 0.5 * v)) -
+        math.log((cAll + 0.5) / (tAll + 0.5 * v))) * 1e6 + 0.5).toLong
+    }.sum
+    m(1L) shouldBe expect1
+  }
+
   "bm25" should "rank exact topical matches above diluted ones" in {
     val docs = Seq(
       (1L, "spark query data"),                        // all three terms, short
