@@ -593,6 +593,15 @@ object SparkEntry {
         testPred = col("doc_id") < 20, n = 8)
       .orderBy("doc_id")
 
+  /** Fuzzy decontamination: train docs near-duplicating (3-gram Jaccard
+    * >= 0.4) any pseudo-test doc (doc_id < 20) — the paraphrase-leakage
+    * complement to the exact 8-gram probe.
+    */
+  private def decontaminateFuzzyQ(s: SparkSession, d: String): DataFrame =
+    DedupOps.decontaminateFuzzy(Tables.loadPar(s, d, "documents"),
+        testPred = col("doc_id") < 20, threshold = 0.4, n = 3)
+      .orderBy("doc_id")
+
   /** Unigram-LM surprisal per document (perplexity-proxy quality filter). */
   private def surprisalQ(s: SparkSession, d: String): DataFrame =
     TextOps.unigramSurprisal(Tables.loadPar(s, d, "documents"))
@@ -1591,6 +1600,7 @@ object SparkEntry {
     "q_redact" -> (redactQ _),
     "q_self_repetition" -> (selfRepetitionQ _),
     "q_decontaminate" -> (decontaminateQ _),
+    "q_decontaminate_fuzzy" -> (decontaminateFuzzyQ _),
     "q_dup_spans" -> (dupSpansQ _),
     "q_surprisal" -> (surprisalQ _),
     "q_dsir_weights" -> (dsirQ _),
@@ -2613,6 +2623,24 @@ object SparkEntry {
         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20)
         |SELECT doc_id, count(DISTINCT cg.gram) AS n_shared
         |FROM cg JOIN tg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // quadratic cross-set ground truth the broadcast-postings +
+    // exact-verify plan must reproduce (test side restricted, so the
+    // oracle join is |test| x |train|, tractable at oracle scale)
+    "q_decontaminate_fuzzy" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(words)-1, 1)),
+        |    i -> array_to_string(list_slice(words, i, i+2), ' '))) AS grams
+        |  FROM ws WHERE len(words) >= 3),
+        |p AS (
+        |  SELECT b.doc_id, floor((len(list_intersect(a.grams, b.grams))::DOUBLE
+        |      / len(list_distinct(list_concat(a.grams, b.grams)))) * 1e6 + 0.5) / 1e6 AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < 20 AND b.doc_id >= 20)
+        |SELECT doc_id, count(*) AS n_test_matches, max(jaccard) AS max_jaccard
+        |FROM p WHERE jaccard >= 0.4
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_train_split" ->
       """WITH fp AS (

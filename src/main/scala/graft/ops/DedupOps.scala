@@ -166,6 +166,42 @@ object DedupOps {
       .agg(countDistinct(col("gram")).as("n_shared"))
   }
 
+  /** FUZZY test-set decontamination: train documents whose word-n-gram
+    * Jaccard against ANY held-out/test document reaches `threshold` — the
+    * near-duplicate leakage check that catches lightly edited or
+    * re-wrapped test material, complementing the exact shared-gram probe
+    * (`decontaminate`). Blocking is recall-1 by construction: a pair with
+    * J >= t > 0 shares at least one gram, and every co-occurrence is
+    * enumerated by joining the corpus postings against the BROADCAST
+    * distinct test-side posting list (test sets are small by definition;
+    * the corpus streams once — same shape as `decontaminate`). Candidates
+    * verify with the exact set Jaccard, so the output equals the
+    * quadratic cross-set ground truth. Jaccard quantizes to 1e-6 BEFORE
+    * the threshold test (engine-neutral boundary behavior). Output: one
+    * row per contaminated train doc with its match count and best score.
+    */
+  def decontaminateFuzzy(docs: DataFrame, testPred: Column,
+                         threshold: Double = 0.4, n: Int = 3): DataFrame = {
+    val flags = docs.select(col("doc_id"), testPred.as("__t"))
+    val g = gramSets(docs, n).join(flags, Seq("doc_id"))
+    val test = g.where(col("__t"))
+      .select(col("doc_id").as("test_id"), col("grams").as("gt"))
+    val train = g.where(!col("__t")).select(col("doc_id"), col("grams"))
+    val testPost = broadcast(
+      test.select(col("test_id"), explode(col("gt")).as("gram")))
+    val cand = train.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .join(testPost, Seq("gram"))
+      .select(col("doc_id"), col("test_id")).distinct()
+    cand
+      .join(train, Seq("doc_id"))
+      .join(broadcast(test), Seq("test_id"))
+      .select(col("doc_id"), col("test_id"),
+        (floor(jaccard(col("grams"), col("gt")) * 1e6 + 0.5) / 1e6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_test_matches"), max(col("jaccard")).as("max_jaccard"))
+  }
+
   /** Cross-document duplicated span detection (the train-set
     * substring-dedup signal): for each document, how many of its distinct
     * word n-gram windows also occur in at least one OTHER document, and

@@ -62,6 +62,21 @@ class TextOpsSpec extends SparkSpec {
     res shouldBe Map(10L -> 1L) // shares exactly the one 8-gram "one..eight"
   }
 
+  "decontaminateFuzzy" should "flag near-duplicates of test docs, not mere overlaps" in {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight"),   // test
+      (10L, "the quick brown fox jumps over the lazy cat tonight"),  // near-dup
+      (11L, "the quick start guide covers none of that material"),   // slight overlap
+      (12L, "nothing in common with anything held out at all here")
+    ).toDF("doc_id", "text")
+    val res = graft.ops.DedupOps
+      .decontaminateFuzzy(docs, col("doc_id") < 10, threshold = 0.4, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    res.map(_._1) shouldBe List(10L)          // only the near-dup is flagged
+    res.head._2 shouldBe 1L
+    res.head._3 should be >= 0.4
+  }
+
   "dupSpans" should "count cross-document duplicated windows" in {
     val shared = "a b c d e f g h i j k l m" // 13 words = one 13-gram
     val docs = Seq(
