@@ -537,6 +537,13 @@ object SparkEntry {
     TextOps.bpeLearn(Tables.loadPar(s, d, "documents"), merges = 10)
       .orderBy("step")
 
+  /** BPE encoding under the 10 learned merges: per-doc word and BPE
+    * symbol counts — the trained-tokenizer cost of the corpus.
+    */
+  private def bpeEncodeQ(s: SparkSession, d: String): DataFrame =
+    TextOps.bpeEncodeCounts(Tables.loadPar(s, d, "documents"), merges = 10)
+      .orderBy("doc_id")
+
   /** Per-document top-3 TF-IDF keywords (doc tagging / index terms). */
   private def tfIdfQ(s: SparkSession, d: String): DataFrame =
     TextOps.tfIdfKeywords(Tables.loadPar(s, d, "documents"), k = 3)
@@ -1608,6 +1615,7 @@ object SparkEntry {
     "q_bm25" -> (bm25Q _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
     "q_bpe_merges" -> (bpeMergesQ _),
+    "q_bpe_encode" -> (bpeEncodeQ _),
     "q_sample_stratified" -> (sampleStratifiedQ _),
     "q_tfidf_keywords" -> (tfIdfQ _),
     "q_domain_cap" -> (domainCapQ _),
@@ -1716,8 +1724,13 @@ object SparkEntry {
     * TextOps.bpeLearn (plain `replace` has identical left-to-right
     * non-overlapping semantics in both engines).
     */
-  private val bpeOracleSql: String = {
-    val merges = 10
+  private val bpeMergeCount = 10
+
+  /** The BPE learning replay as a WITH body (w0, s1, per-round CTEs up to
+    * s&lt;merges+1&gt;) — shared by the q_bpe_merges and q_bpe_encode oracles.
+    */
+  private val bpeOracleCtes: String = {
+    val merges = bpeMergeCount
     def round(t: Int) =
       s"""p$t AS (
          |  SELECT string_split(pr, chr(1))[1] AS lhs,
@@ -1738,7 +1751,6 @@ object SparkEntry {
          |            ' ' || lhs || rhs || ' ') AS seq
          |  FROM s$t CROSS JOIN r$t)""".stripMargin
     val rounds = (1 to merges).map(round).mkString(",\n")
-    val union = (1 to merges).map(t => s"SELECT * FROM r$t").mkString(" UNION ALL ")
     s"""WITH w0 AS (
        |  SELECT word, count(*)::BIGINT AS freq FROM (
        |    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
@@ -1747,10 +1759,31 @@ object SparkEntry {
        |  SELECT word, freq,
        |    ' ' || array_to_string(regexp_extract_all(word, '.'), '  ') || ' ' AS seq
        |  FROM w0),
-       |$rounds
+       |$rounds""".stripMargin
+  }
+
+  private val bpeOracleSql: String = {
+    val union = (1 to bpeMergeCount).map(t => s"SELECT * FROM r$t")
+      .mkString(" UNION ALL ")
+    s"""$bpeOracleCtes
        |SELECT step, lhs, rhs, merged, pair_count FROM ($union) ORDER BY step"""
       .stripMargin
   }
+
+  /** Encode replay: the final vocabulary CTE's per-word symbol counts,
+    * joined back onto the exploded corpus words.
+    */
+  private val bpeEncodeOracleSql: String =
+    s"""$bpeOracleCtes,
+       |enc AS (
+       |  SELECT word, len(string_split(trim(seq), '  ')) AS n_sym
+       |  FROM s${bpeMergeCount + 1}),
+       |dw AS (
+       |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS word
+       |  FROM documents)
+       |SELECT doc_id, count(*) AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe
+       |FROM dw JOIN enc USING (word)
+       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** BM25 scoring replay for the fixed query (spark, query, data) —
     * everything but the final ORDER BY, shared by the q_bm25 and
@@ -2679,6 +2712,7 @@ object SparkEntry {
     "q_bm25" -> (bm25CoreOracleSql + "\nORDER BY doc_id"),
     "q_hybrid_rrf" -> hybridRrfOracleSql,
     "q_bpe_merges" -> bpeOracleSql,
+    "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_tfidf_keywords" ->
       """WITH toks AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term

@@ -428,6 +428,19 @@ object TextOps {
     val spark = docs.sparkSession
     import spark.implicits._
     val pins = new graft.Pins
+    val (out, _) = bpeTrain(docs, merges, pins)
+    pins.release()
+    out.toDF("step", "lhs", "rhs", "merged", "pair_count")
+  }
+
+  /** The BPE training loop shared by `bpeLearn` and `bpeEncodeCounts`:
+    * returns the merge table AND the final vocabulary (word, freq, seq)
+    * with every merge applied. Intermediates are tracked in the caller's
+    * `pins`; the returned vocab is the LAST pinned round — callers must
+    * consume (or re-checkpoint) it before releasing.
+    */
+  private def bpeTrain(docs: DataFrame, merges: Int, pins: graft.Pins)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
     var vocab = pins.pin(docs
       .select(explode(regexp_extract_all(lower(col("text")),
         lit("[a-z0-9]+"), lit(0))).as("word"))
@@ -457,8 +470,31 @@ object TextOps {
             lit(s" $l  $r "), lit(s" $l$r "))))
       }
     }
-    pins.release()
-    out.result().toDF("step", "lhs", "rhs", "merged", "pair_count")
+    (out.result(), vocab)
+  }
+
+  /** BPE ENCODING with the learned merges — the tokenizer-APPLY stage
+    * (`bpeLearn` is training; this is what the trained tokenizer costs on
+    * the corpus): per document, the number of BPE symbols its words
+    * tokenize into under the final merged vocabulary, plus the word
+    * count. The trained per-word symbol table is |vocab|-sized and joins
+    * the exploded corpus words — at scale one word-keyed shuffle join
+    * (AQE splits hot common-word partitions), never a per-document loop.
+    * The result is sealed (own checkpoint) so the training rounds'
+    * intermediates free immediately.
+    */
+  def bpeEncodeCounts(docs: DataFrame, merges: Int = 10): DataFrame = {
+    val pins = new graft.Pins
+    val (_, vocab) = bpeTrain(docs, merges, pins)
+    val enc = vocab.select(col("word"),
+      size(split(trim(col("seq")), "  ")).as("n_sym"))
+    pins.seal(docs
+      .select(col("doc_id"),
+        explode(regexp_extract_all(lower(col("text")),
+          lit("[a-z0-9]+"), lit(0))).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe")))
   }
 
   /** Word n-grams (for n-gram Jaccard dedup). */

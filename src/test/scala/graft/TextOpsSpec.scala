@@ -253,6 +253,17 @@ class TextOpsSpec extends SparkSpec {
       (2, "aa", "aa", "aaaa", 1L))
   }
 
+  "bpeEncodeCounts" should "count symbols under the learned merges" in {
+    // merges (from the bpeLearn case): aa, ab, aaab
+    // doc 1: aaab → 1 symbol ×2, aab → [aa][b] = 2 symbols → n_bpe 4
+    // doc 2: ab → [ab] = 1, ba → [b][a] = 2 → n_bpe 3
+    val docs = Seq((1L, "aaab aaab aab"), (2L, "ab ba")).toDF("doc_id", "text")
+    val res = TextOps.bpeEncodeCounts(docs, merges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    res(1L) shouldBe ((3L, 4L))
+    res(2L) shouldBe ((2L, 3L))
+  }
+
   "dimCentroids" should "compute exact per-dimension means" in {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f)),
