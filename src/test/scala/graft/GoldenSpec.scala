@@ -228,7 +228,15 @@ class GoldenSpec extends SparkSpec {
         |  BIND(STRDT(?nm, "http://www.w3.org/2001/XMLSchema#token") AS ?t)
         |  BIND(DATATYPE(?t) AS ?dt)
         |  BIND(BNODE(?nm) AS ?b)
-        |} ORDER BY ?r""".stripMargin)
+        |} ORDER BY ?r""".stripMargin,
+    "sparql_values_trailing" ->
+      """PREFIX : <>
+        |SELECT ?n ?nm WHERE { ?n a "Nation" . ?n :name ?nm }
+        |ORDER BY ?n VALUES ?nm { "NATION_3" "NATION_7" "NATION_12" }""".stripMargin,
+    "sparql_values_postagg" ->
+      """PREFIX : <>
+        |SELECT ?seg (COUNT(?c) AS ?cnt) WHERE { ?c :mktsegment ?seg }
+        |GROUP BY ?seg ORDER BY ?seg VALUES ?seg { "BUILDING" "MACHINERY" }""".stripMargin)
 
   /** UPDATE golden cases: (update script, select over the updated store).
     * The TSVs replay the update algebra in DuckDB SQL (tools/golden.py).

@@ -229,6 +229,16 @@ QUERIES = {
                14 AS h, 45 AS m, 13.5 AS sec,
                '+05:30' AS tz, 'PT5H30M' AS dur
         FROM region ORDER BY r""",
+    # trailing ValuesClause: joined after the modifiers position in the
+    # text, before projection in the algebra
+    "sparql_values_trailing": """
+        SELECT 'nation:' || n_nationkey AS n, n_name AS nm FROM nation
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_12') ORDER BY n""",
+    # trailing ValuesClause joins AFTER aggregation (18.2.4.4)
+    "sparql_values_postagg": """
+        SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer
+        WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+        GROUP BY 1 ORDER BY seg""",
     # STRDT typed-literal constructor, DATATYPE extraction, BNODE skolem
     "sparql_strdt": """
         SELECT 'region:' || r_regionkey AS r,
