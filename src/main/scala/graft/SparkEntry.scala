@@ -586,6 +586,13 @@ object SparkEntry {
     VectorOps.int8QuantStats(Tables.loadPar(s, d, "embeddings"))
       .orderBy("dim")
 
+  /** Matryoshka truncation audit at 16 of 64 dims: per-vector retained
+    * L2 mass (what a 16-dim index loses).
+    */
+  private def mrlTruncateQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.truncateStats(Tables.loadPar(s, d, "embeddings"), k = 16)
+      .orderBy("vec_id")
+
   /** Within-document repetition ratio (Gopher-style repetition filter). */
   private def selfRepetitionQ(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -1621,6 +1628,7 @@ object SparkEntry {
     "q_domain_cap" -> (domainCapQ _),
     "q_domain_mix" -> (domainMixQ _),
     "q_quantize_embed" -> (quantizeEmbedQ _),
+    "q_mrl_truncate" -> (mrlTruncateQ _),
     "q_train_split" -> (trainSplitQ _),
     "q_pack_sequences" -> (packSequencesQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
@@ -2762,6 +2770,14 @@ object SparkEntry {
         |SELECT doc_id, source, quality, rank_in_domain FROM r
         |WHERE rank_in_domain <= 5
         |ORDER BY source, rank_in_domain""".stripMargin,
+    "q_mrl_truncate" -> {
+      val tr = "list_slice(embedding, 1, 16)"
+      s"""SELECT vec_id,
+         |  floor(sqrt(${duckDot(tr, tr)}) * 1e6 + 0.5) / 1e6 AS norm_k,
+         |  floor(sqrt(${duckDot("embedding", "embedding")}) * 1e6 + 0.5) / 1e6 AS norm_full,
+         |  floor((sqrt(${duckDot(tr, tr)}) / sqrt(${duckDot("embedding", "embedding")})) * 1e6 + 0.5) / 1e6 AS retained
+         |FROM embeddings ORDER BY vec_id""".stripMargin
+    },
     "q_quantize_embed" ->
       """WITH e AS (
         |  SELECT CAST(i AS INT) AS dim, embedding[i]::DOUBLE AS v

@@ -201,6 +201,24 @@ object VectorOps {
       .agg((sum(floor(col("v").cast("double") * 1e6 + 0.5).cast("long")).cast("double")
         / (count(lit(1)) * 1e6)).as("centroid"))
 
+  /** Matryoshka-style truncation audit: retained L2 mass when keeping
+    * only the first k dimensions — the dimensionality-reduction check
+    * (MRL-trained embeddings front-load information, so `retained` and
+    * `cos_full` = |v[:k]|/|v| tell you what a k-dim index loses). Pure
+    * per-row expressions over a slice and the shared codegen dot kernel:
+    * no shuffle, pipelines inside the scan; cosine between the truncated
+    * and full vector IS the norm ratio (the tail contributes zero to the
+    * dot), quantized to 6 decimals via the shared discipline.
+    */
+  def truncateStats(emb: DataFrame, k: Int): DataFrame = {
+    val t = slice(col("embedding"), 1, k)
+    emb.select(col("vec_id"),
+      (floor(norm2(t) * 1e6 + 0.5) / 1e6).as("norm_k"),
+      (floor(norm2(col("embedding")) * 1e6 + 0.5) / 1e6).as("norm_full"),
+      (floor((norm2(t) / norm2(col("embedding"))) * 1e6 + 0.5) / 1e6)
+        .as("retained"))
+  }
+
   /** Per-dimension symmetric int8 quantization audit — the embedding-
     * compression stage (serving indexes, 4x-smaller training shards).
     * Pass 1 learns the per-dimension scale (max |v| / 127, one map-side-

@@ -161,6 +161,14 @@ class VectorSpec extends SparkSpec {
     }
   }
 
+  "truncateStats" should "report the L2 mass the kept prefix retains" in {
+    val m = VectorOps.truncateStats(emb, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(3))).toMap
+    m(0L) shouldBe ((1.0, 1.0))          // all mass in dim 1
+    m(2L) shouldBe ((0.0, 0.0))          // none in dim 1
+    m(4L)._2 shouldBe 0.707107 +- 1e-6   // diag keeps 1/sqrt(2)
+  }
+
   "semDedup" should "prune only within clusters, via an equi-join" in {
     val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = VectorOps.semDedup(e, threshold = 0.4)
