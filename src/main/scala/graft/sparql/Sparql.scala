@@ -211,7 +211,7 @@ object Sparql {
     val prefixes = parsePrefixes(p)
     p.eatKw("ASK")
     p.tryKw("WHERE")
-    val group = parseGroup(p, prefixes)
+    val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
     val q = Query(distinct = false, projection = Seq.empty, group = group,
       groupBy = Seq.empty, orderBy = Seq.empty, limit = None)
     compileQuery(stringEnv(spark, triples, stats), q).limit(1).count() > 0
@@ -226,10 +226,21 @@ object Sparql {
     val prefixes = parsePrefixes(p)
     p.eatKw("ASK")
     p.tryKw("WHERE")
-    val group = parseGroup(p, prefixes)
+    val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
     val env = encEnvFor(spark, store, group, plainVarsOfG(group))
     compileGroup(env, group).limit(1).count() > 0
   }
+
+  /** The grammar hangs a ValuesClause off EVERY query form (§19.8 Query
+    * ::= ... ValuesClause). ASK/CONSTRUCT/DESCRIBE carry no aggregation
+    * or modifiers, so the algebra position collapses to a group-level
+    * inline-data join — merge it into the parsed group.
+    */
+  private def withTrailingValues(p: P, prefixes: Map[String, String],
+                                 g: Group): Group =
+    if (p.tryKw("VALUES"))
+      g.copy(valuesMulti = g.valuesMulti :+ parseDataBlock(p, prefixes))
+    else g
 
   /** CONSTRUCT: instantiate a triple-pattern template once per WHERE
     * solution; the result is a deduplicated (s, p, o) graph, and template
@@ -256,7 +267,7 @@ object Sparql {
       template.subqueries.isEmpty && template.subgroups.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
     p.eatKw("WHERE")
-    val group = parseGroup(p, prefixes)
+    val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
     val sols = compileGroup(stringEnv(spark, triples, stats), group)
     instantiate(template, sols)
   }
@@ -278,7 +289,7 @@ object Sparql {
       template.subqueries.isEmpty && template.subgroups.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
     p.eatKw("WHERE")
-    val group = parseGroup(p, prefixes)
+    val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
     val env = encEnvFor(spark, store, group, plainVarsOfG(group))
     instantiate(template, decodeFinal(env, compileGroup(env, group)))
   }
@@ -385,7 +396,15 @@ object Sparql {
     require(vars.nonEmpty || consts.nonEmpty, "DESCRIBE needs a resource or variable")
     val whereG =
       if (p.tryKw("WHERE")) Some(parseGroup(p, prefixes)) else None
-    (vars, consts, whereG)
+    // trailing ValuesClause: merge into the WHERE group (a bare
+    // `DESCRIBE ?v VALUES ?v {...}` gets a VALUES-only group, which
+    // compiles to the inline relation itself)
+    val withVals =
+      if (p.peek.exists(p.isKw(_, "VALUES")))
+        Some(withTrailingValues(p, prefixes,
+          whereG.getOrElse(Group(Seq.empty, Seq.empty, Seq.empty, Seq.empty))))
+      else whereG
+    (vars, consts, withVals)
   }
 
   /** Concise-bounded-description core over any (s, p, o) relation:
@@ -2027,8 +2046,10 @@ object Sparql {
         case Some(_) => vals.map(x => env.cval(x).asInstanceOf[Long]).toDF(v)
         case None => vals.toDF(v)
       })
-      require(df != null, "VALUES without a preceding pattern group")
-      df = if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
+      // a group may be ONLY a VALUES block (§10.2): the inline relation
+      // seeds the solutions
+      df = if (df == null) vdf
+      else if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
       else df.crossJoin(vdf)
     }
     // multi-variable VALUES: inline relation joined on the shared subset.
@@ -2038,8 +2059,8 @@ object Sparql {
     // broadcast of the tiny inline table, merged with coalesce); all-bound
     // relations keep the plain equi-join.
     g.valuesMulti.foreach { case (vars, rows) =>
-      require(df != null, "VALUES without a preceding pattern group")
-      df = joinInlineData(env, df, vars, rows)
+      df = if (df == null) inlineRelation(env, vars, rows)
+      else joinInlineData(env, df, vars, rows)
     }
     require(df != null, "empty group pattern")
     // BIND: computed columns, visible to subsequent filters/projection
@@ -2069,17 +2090,26 @@ object Sparql {
     * mode, with contaminated (value-typed) vars demoted to term strings
     * like every other pattern-machinery source.
     */
-  private def joinInlineData(env: Env, dfIn: DataFrame, vars: Seq[String],
+  /** The inline DataBlock as its own relation (entries encoded per env,
+    * contaminated vars demoted) — the seed when a group is ONLY a VALUES
+    * block, and the right side of `joinInlineData` otherwise.
+    */
+  private def inlineRelation(env: Env, vars: Seq[String],
                              rows: Seq[Seq[String]]): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val spark = env.spark
     val tpe = if (env.enc.isDefined) LongType else StringType
     val schema = StructType(vars.map(StructField(_, tpe)))
-    val vdf = demoteToTerms(env, spark.createDataFrame(
+    demoteToTerms(env, spark.createDataFrame(
       spark.sparkContext.parallelize(
         rows.map(r => Row.fromSeq(r.map(x =>
           if (x == null) null else env.cval(x)))), 1), schema))
+  }
+
+  private def joinInlineData(env: Env, dfIn: DataFrame, vars: Seq[String],
+                             rows: Seq[Seq[String]]): DataFrame = {
+    val vdf = inlineRelation(env, vars, rows)
     val shared = dfIn.columns.intersect(vars).toSeq
     val hasUndef = rows.exists(_.contains(null))
     if (!hasUndef)

@@ -115,6 +115,31 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
   }
 
+  it should "compile a group that is only a VALUES block" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { VALUES (?x ?y) { ("a" "b") ("c" "d") } }
+        |ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("a", "b"), Seq("c", "d"))
+  }
+
+  it should "accept a trailing ValuesClause on ASK" in {
+    Sparql.ask(spark, triples,
+      """PREFIX : <>
+        |ASK { ?x :2 ?y } VALUES ?y { "5" }""".stripMargin) shouldBe true
+    Sparql.ask(spark, triples,
+      """PREFIX : <>
+        |ASK { ?x :2 ?y } VALUES ?y { "99" }""".stripMargin) shouldBe false
+  }
+
+  it should "accept a trailing ValuesClause on CONSTRUCT" in {
+    val res = Sparql.construct(spark, triples,
+      """PREFIX : <>
+        |CONSTRUCT { ?x :tagged "yes" } WHERE { ?x :2 ?y } VALUES ?x { "5" }""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    res shouldBe Seq(Seq("5", "tagged", "yes"))
+  }
+
   it should "expand sequence property paths" in {
     // ?a :2/:4 ?c == { ?a :2 ?m . ?m :4 ?c }
     val res = run(
