@@ -593,6 +593,12 @@ object SparkEntry {
     VectorOps.truncateStats(Tables.loadPar(s, d, "embeddings"), k = 16)
       .orderBy("vec_id")
 
+  /** Greedy quality-first fill of a 400-token-per-domain budget. */
+  private def tokenBudgetQ(s: SparkSession, d: String): DataFrame =
+    TextOps.tokenBudgetFill(Tables.loadPar(s, d, "documents"),
+        budgetPerDomain = 400L)
+      .orderBy("doc_id")
+
   /** Within-document repetition ratio (Gopher-style repetition filter). */
   private def selfRepetitionQ(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -1626,6 +1632,7 @@ object SparkEntry {
     "q_sample_stratified" -> (sampleStratifiedQ _),
     "q_tfidf_keywords" -> (tfIdfQ _),
     "q_domain_cap" -> (domainCapQ _),
+    "q_token_budget" -> (tokenBudgetQ _),
     "q_domain_mix" -> (domainMixQ _),
     "q_quantize_embed" -> (quantizeEmbedQ _),
     "q_mrl_truncate" -> (mrlTruncateQ _),
@@ -2770,6 +2777,27 @@ object SparkEntry {
         |SELECT doc_id, source, quality, rank_in_domain FROM r
         |WHERE rank_in_domain <= 5
         |ORDER BY source, rank_in_domain""".stripMargin,
+    "q_token_budget" ->
+      """WITH q AS (
+        |  SELECT doc_id, source,
+        |    len(regexp_extract_all(text, '[A-Za-z0-9]+'))::BIGINT AS n_tok,
+        |    floor((
+        |      least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
+        |    + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
+        |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
+        |    + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
+        |        / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
+        |    ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, source, n_tok, quality,
+        |    CAST(sum(n_tok) OVER (PARTITION BY source
+        |      ORDER BY quality DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tok
+        |  FROM q)
+        |SELECT doc_id, source, n_tok, quality, cum_tok FROM r
+        |WHERE cum_tok <= 400 ORDER BY doc_id""".stripMargin,
     "q_mrl_truncate" -> {
       val tr = "list_slice(embedding, 1, 16)"
       s"""SELECT vec_id,

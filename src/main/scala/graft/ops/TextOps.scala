@@ -283,6 +283,28 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("weight"), col("rank"))
   }
 
+  /** Token-budget curation: per domain, keep the BEST-quality documents
+    * whose running token total stays within `budgetPerDomain` — the
+    * greedy quality-first fill of a fixed training-token budget (the
+    * step between quality scoring and mixture weighting). One
+    * domain-partitioned window (quality desc, doc_id tiebreak) computes
+    * the inclusive running token sum; tokens are integers, so the cumsum
+    * is exact and engine-replayable. At scale: one shuffle to the domain
+    * key; a skewed mega-domain's extra rows fall to the same window pass
+    * the budget cuts anyway.
+    */
+  def tokenBudgetFill(docs: DataFrame, budgetPerDomain: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.select(col("doc_id"), col("source"),
+        tokenCount(col("text")).cast("long").as("n_tok"),
+        qualityScore(col("text")).as("quality"))
+      .withColumn("cum_tok", sum(col("n_tok")).over(w))
+      .where(col("cum_tok") <= budgetPerDomain)
+  }
+
   /** DSIR-style importance weights (hashed-n-gram importance resampling,
     * the data-selection stage that up-weights documents close to a target
     * distribution): score each document by the unigram log-likelihood

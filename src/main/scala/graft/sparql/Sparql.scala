@@ -1662,7 +1662,7 @@ object Sparql {
       q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
       q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
       q.group.valuesMulti.isEmpty && q.orderBy.isEmpty &&
-      q.limit.isEmpty && q.postValues.isEmpty &&
+      q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
       "executeStream supports the append-mode BGP+FILTER+BIND subset")
     require(!q.distinct || watermark.nonEmpty,
@@ -1728,6 +1728,11 @@ object Sparql {
       q.group.triples, stats, carry = Seq(tsCol))
     q.group.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
     q.group.filters.foreach(f => df = df.where(compileExpr(f)))
+    // HAVING: lift its aggregate calls into extra (shadow) agg columns,
+    // filter the finalized groups, drop the shadows. Append mode is fine
+    // with a post-aggregation filter — windows emit once, already final.
+    val havingAggs = scala.collection.mutable.Buffer.empty[(ECall, String)]
+    val having = q.having.map(extractAggsB(_, havingAggs))
     val aggCols = aggs.map { a =>
       (a.fn match {
         case "COUNT" if a.distinct => countDistinct(col(a.arg.get))
@@ -1740,10 +1745,11 @@ object Sparql {
         case other => throw new IllegalArgumentException(
           s"aggregate $other() not supported in streaming mode")
       }).as(a.alias)
-    }
+    } ++ havingAggs.map { case (c, alias) => compileAggCall(c).as(alias) }
     val keys = window(col(tsCol), windowLen).as("w") +: q.groupBy.map(col)
-    df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
-      .select(Seq(
+    var out = df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
+    having.foreach(h => out = out.where(compileExpr(h)))
+    out.select(Seq(
         date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         date_format(col("w.end"), "yyyy-MM-dd HH:mm:ss").as("window_end")) ++
         q.groupBy.map(col) ++ aggs.map(a => col(a.alias)): _*)

@@ -230,4 +230,33 @@ class StreamingBgpSpec extends SparkSpec {
       ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "region:2", 2L),
       ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "region:4", 1L))
   }
+
+  it should "apply HAVING to the finalized windowed groups" in {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val src = MemoryStream[(Timestamp, String, String, String)]
+    val out = graft.sparql.Sparql.executeStreamWindowed(spark,
+      src.toDF().toDF("ts", "s", "p", "o"), staticTriples,
+      """PREFIX : <>
+        |SELECT ?r (COUNT(?c) AS ?cnt) WHERE {
+        |  ?c :nationkey ?n .
+        |  ?n :regionkey ?r .
+        |} GROUP BY ?r HAVING (COUNT(?c) > 1)""".stripMargin,
+      windowLen = "10 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sparql_stream_having")
+      .outputMode("append").start()
+    src.addData(
+      (ts("2024-01-01 00:01:00"), "customer:7", "nationkey", "nation:1"),
+      (ts("2024-01-01 00:02:00"), "customer:8", "nationkey", "nation:1"),
+      (ts("2024-01-01 00:03:00"), "customer:9", "nationkey", "nation:3"))
+    q.processAllAvailable()
+    src.addData((ts("2024-01-01 00:25:00"), "customer:10", "nationkey", "nation:1"))
+    q.processAllAvailable()
+    q.stop()
+    // region:4's singleton group is filtered by HAVING; region:2 survives
+    val rows = spark.table("sparql_stream_having").collect()
+      .map(r => (r.getString(2), r.getLong(3))).toSet
+    rows shouldBe Set(("region:2", 2L))
+  }
 }

@@ -105,6 +105,20 @@ class TextOpsSpec extends SparkSpec {
     m(1L) shouldBe math.log(2.0) +- 1e-6
   }
 
+  "tokenBudgetFill" should "fill each domain best-quality-first within budget" in {
+    val long = ("w " * 64).trim                       // 64 tokens, quality-max length
+    val docs = Seq(
+      (1L, long + " the and of to is", "a"),          // high quality (stopwords)
+      (2L, long, "a"),                                // mid
+      (3L, long + " !!! ... ;;; ???", "a"),           // punct-penalized
+      (4L, "tiny", "b")
+    ).toDF("doc_id", "text", "source")
+    val kept = TextOps.tokenBudgetFill(docs, budgetPerDomain = 140L)
+      .collect().map(r => r.getLong(0)).toSet
+    // domain a: doc1 (69 tok) then doc2 (64 tok) fit 140; doc3 would overflow
+    kept shouldBe Set(1L, 2L, 4L)
+  }
+
   "dsirWeights" should "up-weight docs resembling the target slice" in {
     val docs = Seq(
       (1L, "alpha beta gamma", true),   // target exemplar
