@@ -73,4 +73,30 @@ class PlanSpec extends SparkSpec {
     // means the packing stopped shuffling on the packing key alone
     "Exchange".r.findAllIn(p).length should be <= 3
   }
+
+  "q_decontaminate_fuzzy" should "broadcast the test postings, never pair-join" in {
+    val p = finalPlan("q_decontaminate_fuzzy")
+    p should include("Broadcast")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "q_dsir_weights" should "keep the word join a hash join (no cartesian)" in {
+    val p = finalPlan("q_dsir_weights")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "q_bpe_encode" should "join the vocab symbol table, not loop per doc" in {
+    val p = finalPlan("q_bpe_encode")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "q_token_budget" should "shuffle only to the domain window" in {
+    val p = finalPlan("q_token_budget")
+    // loadPar repartition + the per-domain window exchange + ordered output
+    "Exchange".r.findAllIn(p).length should be <= 3
+    p should not include "CartesianProduct"
+  }
 }
