@@ -533,15 +533,19 @@ object SparkEntry {
     * (tokenizer training; iterations touch |vocab| rows, never the
     * corpus).
     */
-  private def bpeMergesQ(s: SparkSession, d: String): DataFrame =
-    TextOps.bpeLearn(Tables.loadPar(s, d, "documents"), merges = 10)
+  private def bpeMergesQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.store.GraftStore.bpeModel(s, d, merges = 10)._1
+      .toDF("step", "lhs", "rhs", "merged", "pair_count")
       .orderBy("step")
+  }
 
   /** BPE encoding under the 10 learned merges: per-doc word and BPE
     * symbol counts — the trained-tokenizer cost of the corpus.
     */
   private def bpeEncodeQ(s: SparkSession, d: String): DataFrame =
-    TextOps.bpeEncodeCounts(Tables.loadPar(s, d, "documents"), merges = 10)
+    TextOps.bpeEncodeCountsOver(Tables.loadPar(s, d, "documents"),
+        graft.store.GraftStore.bpeModel(s, d, merges = 10)._2)
       .orderBy("doc_id")
 
   /** Per-document top-3 TF-IDF keywords (doc tagging / index terms). */
@@ -619,7 +623,8 @@ object SparkEntry {
     */
   private def decontaminateFuzzyQ(s: SparkSession, d: String): DataFrame =
     DedupOps.decontaminateFuzzy(Tables.loadPar(s, d, "documents"),
-        testPred = col("doc_id") < 20, threshold = 0.4, n = 3)
+        testPred = col("doc_id") < 20, threshold = 0.4, n = 3,
+        gramsPre = Some(graft.store.GraftStore.docGrams(s, d)))
       .orderBy("doc_id")
 
   /** Unigram-LM surprisal per document (perplexity-proxy quality filter). */

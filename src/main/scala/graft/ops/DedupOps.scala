@@ -187,9 +187,10 @@ object DedupOps {
     * contaminated train doc with its match count and best score.
     */
   def decontaminateFuzzy(docs: DataFrame, testPred: Column,
-                         threshold: Double = 0.4, n: Int = 3): DataFrame = {
+                         threshold: Double = 0.4, n: Int = 3,
+                         gramsPre: Option[DataFrame] = None): DataFrame = {
     val flags = docs.select(col("doc_id"), testPred.as("__t"))
-    val g = gramSets(docs, n).join(flags, Seq("doc_id"))
+    val g = gramsPre.getOrElse(gramSets(docs, n)).join(flags, Seq("doc_id"))
     val testPost = broadcast(g.where(col("__t"))
       .select(col("doc_id").as("test_id"), size(col("grams")).as("sz_t"),
         explode(col("grams")).as("gram")))

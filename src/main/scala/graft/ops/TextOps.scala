@@ -495,6 +495,17 @@ object TextOps {
     (out.result(), vocab)
   }
 
+  /** `bpeTrain` with the final vocabulary SEALED into its own checkpoint
+    * (training-round intermediates freed) — the per-corpus tokenizer
+    * artifact shape `GraftStore.bpeModel` caches.
+    */
+  def bpeTrainSealed(docs: DataFrame, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    val pins = new graft.Pins
+    val (out, vocab) = bpeTrain(docs, merges, pins)
+    (out, pins.seal(vocab))
+  }
+
   /** BPE ENCODING with the learned merges — the tokenizer-APPLY stage
     * (`bpeLearn` is training; this is what the trained tokenizer costs on
     * the corpus): per document, the number of BPE symbols its words
@@ -502,21 +513,21 @@ object TextOps {
     * count. The trained per-word symbol table is |vocab|-sized and joins
     * the exploded corpus words — at scale one word-keyed shuffle join
     * (AQE splits hot common-word partitions), never a per-document loop.
-    * The result is sealed (own checkpoint) so the training rounds'
-    * intermediates free immediately.
     */
-  def bpeEncodeCounts(docs: DataFrame, merges: Int = 10): DataFrame = {
-    val pins = new graft.Pins
-    val (_, vocab) = bpeTrain(docs, merges, pins)
+  def bpeEncodeCounts(docs: DataFrame, merges: Int = 10): DataFrame =
+    bpeEncodeCountsOver(docs, bpeTrainSealed(docs, merges)._2)
+
+  /** Encoding over a pre-trained (shared/cached) vocabulary relation. */
+  def bpeEncodeCountsOver(docs: DataFrame, vocab: DataFrame): DataFrame = {
     val enc = vocab.select(col("word"),
       size(split(trim(col("seq")), "  ")).as("n_sym"))
-    pins.seal(docs
+    docs
       .select(col("doc_id"),
         explode(regexp_extract_all(lower(col("text")),
           lit("[a-z0-9]+"), lit(0))).as("word"))
       .join(enc, Seq("word"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe")))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
   }
 
   /** Word n-grams (for n-gram Jaccard dedup). */

@@ -56,6 +56,7 @@ object GraftStore {
     adjEncCache.keys.filter(_._1.sparkContext.isStopped).foreach(adjEncCache.remove)
     ivfCache.keys.filter(_._1.sparkContext.isStopped).foreach(ivfCache.remove)
     kmeansCache.keys.filter(_._1.sparkContext.isStopped).foreach(kmeansCache.remove)
+    bpeCache.keys.filter(_._1.sparkContext.isStopped).foreach(bpeCache.remove)
     ntCache.keys.filter(_._1.sparkContext.isStopped).foreach(ntCache.remove)
   }
 
@@ -904,6 +905,23 @@ object GraftStore {
         graft.Tables.loadPar(spark, sfDir, "embeddings"))))).value
   }
 
+  private val bpeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String, Int), Lazily[(Seq[(Int, String, String, String, Long)], DataFrame)]]
+
+  /** Trained BPE tokenizer of the documents table — (merge table, sealed
+    * final vocabulary), materialized once per (session, dir, merges) like
+    * `kmeansIndex`: tokenizer training is an ingest-time artifact, and
+    * both the merge-table gate and every encode pass reuse it instead of
+    * re-running the rounds.
+    */
+  def bpeModel(spark: SparkSession, sfDir: String, merges: Int)
+      : (Seq[(Int, String, String, String, Long)], DataFrame) = {
+    evictStopped()
+    bpeCache.getOrElseUpdate((spark, sfDir, merges), new Lazily(
+      graft.ops.TextOps.bpeTrainSealed(
+        graft.Tables.loadPar(spark, sfDir, "documents"), merges))).value
+  }
+
   private val adjCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
 
@@ -969,6 +987,6 @@ object GraftStore {
   def invalidate(): Unit = {
     cache.clear(); gramCache.clear(); pairCache.clear()
     adjCache.clear(); adjEncCache.clear(); ivfCache.clear()
-    kmeansCache.clear(); ntCache.clear()
+    kmeansCache.clear(); bpeCache.clear(); ntCache.clear()
   }
 }
