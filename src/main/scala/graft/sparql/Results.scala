@@ -60,6 +60,47 @@ object Results {
     s"""{"head":{"vars":$head},"results":{"bindings":$bindings}}"""
   }
 
+  /** SPARQL Query Results XML Format (the fourth W3C serialization;
+    * driver-side and bounded like `toJson` — the protocol-response
+    * shape). Same term convention; unbound vars omit their `<binding>`.
+    */
+  def toXml(df: DataFrame, limit: Int = 10000): String = {
+    val vars = df.columns.toSeq
+    val rows = df.limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"result exceeds $limit rows - raise the limit or use the CSV/TSV writers")
+    def esc(s: String): String = s.flatMap {
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '&' => "&amp;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+    def unescapeLex(lex: String): String =
+      lex.replaceAll("""\\(.)""", "$1")
+    def term(v: String): String = v match {
+      case litRe(lex, lang, dt) =>
+        val attrs =
+          if (lang != null) s""" xml:lang="${esc(lang)}""""
+          else if (dt != null) s""" datatype="${esc(dt)}""""
+          else ""
+        s"""<literal$attrs>${esc(unescapeLex(lex))}</literal>"""
+      case b if b.startsWith("_:") => s"""<bnode>${esc(b.substring(2))}</bnode>"""
+      case i => s"""<uri>${esc(i)}</uri>"""
+    }
+    val head = vars.map(v => s"""<variable name="${esc(v)}"/>""").mkString
+    val results = rows.map { r =>
+      vars.indices.flatMap { i =>
+        if (r.isNullAt(i)) None
+        else Some(s"""<binding name="${esc(vars(i))}">""" +
+          term(String.valueOf(r.get(i))) + "</binding>")
+      }.mkString("<result>", "", "</result>")
+    }.mkString
+    """<?xml version="1.0"?>""" +
+      """<sparql xmlns="http://www.w3.org/2005/sparql-results#">""" +
+      s"<head>$head</head><results>$results</results></sparql>"
+  }
+
   /** The literal's lexical form for CSV (IRIs/bnodes pass through bare,
     * per the W3C CSV rules).
     */

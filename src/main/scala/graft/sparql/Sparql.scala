@@ -1707,12 +1707,19 @@ object Sparql {
     * Output: `window_start`, `window_end` (formatted), the GROUP BY
     * vars, the aggregate aliases. The same BGP+FILTER subset as
     * `executeStream`; DISTINCT/ORDER/LIMIT still belong on the sink.
+    * HAVING filters the finalized groups. `slide` switches to sliding
+    * windows (a solution lands in len/slide of them); `sessionGap` to
+    * per-key session windows (activity bursts merged until a gap).
     */
   def executeStreamWindowed(spark: SparkSession, streamTriples: DataFrame,
                             staticTriples: DataFrame, queryText: String,
                             windowLen: String, watermark: String,
                             tsCol: String = "ts",
-                            stats: Map[String, PredStats] = Map.empty): DataFrame = {
+                            stats: Map[String, PredStats] = Map.empty,
+                            slide: Option[String] = None,
+                            sessionGap: Option[String] = None): DataFrame = {
+    require(slide.isEmpty || sessionGap.isEmpty,
+      "pick sliding OR session windows, not both")
     val q = parse(queryText)
     require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
       q.group.minuses.isEmpty && q.group.values.isEmpty &&
@@ -1746,7 +1753,15 @@ object Sparql {
           s"aggregate $other() not supported in streaming mode")
       }).as(a.alias)
     } ++ havingAggs.map { case (c, alias) => compileAggCall(c).as(alias) }
-    val keys = window(col(tsCol), windowLen).as("w") +: q.groupBy.map(col)
+    // tumbling by default; `slide` overlaps windows (each solution lands
+    // in len/slide of them); `sessionGap` merges activity bursts per
+    // group key instead of fixed boundaries
+    val win = sessionGap match {
+      case Some(gap) => session_window(col(tsCol), gap)
+      case None => slide.fold(window(col(tsCol), windowLen))(s =>
+        window(col(tsCol), windowLen, s))
+    }
+    val keys = win.as("w") +: q.groupBy.map(col)
     var out = df.groupBy(keys: _*).agg(aggCols.head, aggCols.tail: _*)
     having.foreach(h => out = out.where(compileExpr(h)))
     out.select(Seq(

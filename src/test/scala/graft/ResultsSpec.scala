@@ -33,6 +33,20 @@ class ResultsSpec extends SparkSpec {
     json should include("""{"type":"bnode","value":"b0"}""")
   }
 
+  "toXml" should "emit the W3C results-XML document" in {
+    val xml = Results.toXml(q("ORDER BY ?p"))
+    xml should startWith("""<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#">""")
+    xml should include("""<head><variable name="p"/><variable name="o"/></head>""")
+    xml should include(
+      """<binding name="p"><uri>name</uri></binding><binding name="o"><literal>Ada</literal></binding>""")
+    xml should include("""<literal xml:lang="de">""")
+    xml should include(
+      """<literal datatype="http://www.w3.org/2001/XMLSchema#integer">36</literal>""")
+    xml should include("""<bnode>b0</bnode>""")
+    an[IllegalArgumentException] should be thrownBy
+      Results.toXml(q(""), limit = 2)
+  }
+
   it should "omit unbound variables and refuse oversized results" in {
     val df = Sparql.execute(spark, triples,
       """PREFIX : <>

@@ -259,4 +259,32 @@ class StreamingBgpSpec extends SparkSpec {
       .map(r => (r.getString(2), r.getLong(3))).toSet
     rows shouldBe Set(("region:2", 2L))
   }
+
+  it should "support sliding windows (each solution in len/slide of them)" in {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val src = MemoryStream[(Timestamp, String, String, String)]
+    val out = graft.sparql.Sparql.executeStreamWindowed(spark,
+      src.toDF().toDF("ts", "s", "p", "o"), staticTriples,
+      """PREFIX : <>
+        |SELECT ?r (COUNT(?c) AS ?cnt) WHERE {
+        |  ?c :nationkey ?n . ?n :regionkey ?r .
+        |} GROUP BY ?r""".stripMargin,
+      windowLen = "10 minutes", watermark = "0 seconds",
+      slide = Some("5 minutes"))
+    val q = out.writeStream.format("memory").queryName("sparql_stream_slide")
+      .outputMode("append").start()
+    src.addData((ts("2024-01-01 00:06:00"), "customer:7", "nationkey", "nation:1"))
+    q.processAllAvailable()
+    src.addData((ts("2024-01-01 00:40:00"), "customer:8", "nationkey", "nation:1"))
+    q.processAllAvailable()
+    q.stop()
+    // the 00:06 solution lands in BOTH overlapping windows
+    val rows = spark.table("sparql_stream_slide").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getLong(3))).toSet
+    rows shouldBe Set(
+      ("2024-01-01 00:00:00", "region:2", 1L),
+      ("2024-01-01 00:05:00", "region:2", 1L))
+  }
 }
