@@ -101,6 +101,48 @@ object Results {
       s"<head>$head</head><results>$results</results></sparql>"
   }
 
+  /** Turtle serialization of an (s, p, o) GRAPH result (CONSTRUCT /
+    * DESCRIBE output) — driver-side and bounded like `toJson`; the
+    * distributed bulk path is the N-Triples export sink. Prefixes
+    * compact IRIs (longest-namespace match, only when the local part is
+    * a valid PN_LOCAL); literals keep their stored lexical form with
+    * `^^<dt>` datatypes compacted too. Deterministic: subjects,
+    * predicates and objects sort lexicographically, predicate-object
+    * lists group with `;` / `,`.
+    */
+  def toTurtle(graph: DataFrame, prefixes: Map[String, String] = Map.empty,
+               limit: Int = 10000): String = {
+    val rows = graph.select(col("s"), col("p"), col("o")).limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"graph exceeds $limit triples - raise the limit or use the N-Triples sink")
+    def pn(iri: String): String =
+      prefixes.toSeq.filter { case (_, ns) => iri.startsWith(ns) }
+        .sortBy(-_._2.length).collectFirst {
+          // PN_LOCAL allows digit-initial names; no trailing dot
+          case (p, ns) if iri.substring(ns.length)
+            .matches("[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?") =>
+            s"$p:${iri.substring(ns.length)}"
+        }.getOrElse(s"<$iri>")
+    def term(v: String): String = v match {
+      case litRe(_, _, dt) if dt != null =>
+        v.substring(0, v.length - dt.length - 4) + s"^^${pn(dt)}"
+      case lit if lit.startsWith("\"") => lit
+      case b if b.startsWith("_:") => b
+      case iri => pn(iri)
+    }
+    val header = prefixes.toSeq.sortBy(_._1)
+      .map { case (p, ns) => s"@prefix $p: <$ns> ." }
+    val triples = rows
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq.sorted
+    val stanzas = triples.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, ts) =>
+      val poList = ts.groupBy(_._2).toSeq.sortBy(_._1).map { case (p, os) =>
+        s"${term(p)} " + os.map(_._3).sorted.map(term).mkString(" , ")
+      }.mkString(" ;\n  ")
+      s"${term(s)} $poList ."
+    }
+    (header ++ stanzas).mkString("\n")
+  }
+
   /** The literal's lexical form for CSV (IRIs/bnodes pass through bare,
     * per the W3C CSV rules).
     */

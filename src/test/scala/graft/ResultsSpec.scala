@@ -47,6 +47,20 @@ class ResultsSpec extends SparkSpec {
       Results.toXml(q(""), limit = 2)
   }
 
+  "toTurtle" should "group, compact and sort a CONSTRUCT graph" in {
+    val g = Sparql.construct(spark, triples,
+      """PREFIX : <>
+        |CONSTRUCT { ?s ?p ?o } WHERE { ?s ?p ?o }""".stripMargin)
+    val ttl = Results.toTurtle(g,
+      prefixes = Map("ex" -> "person:", "xsd" -> "http://www.w3.org/2001/XMLSchema#"))
+    ttl should startWith("@prefix ex: <person:> .")
+    ttl should include("ex:1 ")                       // compacted subject
+    ttl should include(""""36"^^xsd:integer""")       // compacted datatype
+    ttl should include(""""Ada"""")
+    ttl should include("_:b0")
+    ttl.linesIterator.count(_.endsWith(" .")) shouldBe 3 // 2 prefixes + 1 stanza
+  }
+
   it should "omit unbound variables and refuse oversized results" in {
     val df = Sparql.execute(spark, triples,
       """PREFIX : <>
