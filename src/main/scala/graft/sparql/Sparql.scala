@@ -127,7 +127,7 @@ object Sparql {
   private case class TSym(s: String) extends Tok
 
   private val tokenRe =
-    """\s*(?:(\?[A-Za-z_][A-Za-z0-9_]*)|(<[^>]*>)|("(?:[^"\\]|\\.)*")|([+-]?\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)?:([A-Za-z0-9_][A-Za-z0-9_]*)?|([A-Za-z_][A-Za-z0-9_]*)|(&&|\|\||!=|<=|>=|[{}().!=<>*,/+\-^|;?]))""".r
+    """\s*(?:(\?[A-Za-z_][A-Za-z0-9_]*)|(<[^>]*>)|("(?:[^"\\]|\\.)*")|([+-]?\d+(?:\.\d+)?)|([A-Za-z_][A-Za-z0-9_]*)?:([A-Za-z0-9_][A-Za-z0-9_]*)?|([A-Za-z_][A-Za-z0-9_]*)|(&&|\|\||!=|<=|>=|[{}()\[\].!=<>*,/+\-^|;?]))""".r
 
   private def tokenize(s: String): Vector[Tok] = {
     var i = 0
@@ -266,6 +266,9 @@ object Sparql {
       template.paths.isEmpty && template.binds.isEmpty &&
       template.subqueries.isEmpty && template.subgroups.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
+    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
+      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
+        "use labeled _:b blanks (skolemized fresh per solution)")
     p.eatKw("WHERE")
     val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
     val sols = compileGroup(stringEnv(spark, triples, stats), group)
@@ -288,6 +291,9 @@ object Sparql {
       template.paths.isEmpty && template.binds.isEmpty &&
       template.subqueries.isEmpty && template.subgroups.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
+    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
+      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
+        "use labeled _:b blanks (skolemized fresh per solution)")
     p.eatKw("WHERE")
     val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
     val env = encEnvFor(spark, store, group, plainVarsOfG(group))
@@ -1055,10 +1061,12 @@ object Sparql {
             } else subgroups :+= left // plain group graph pattern
           }
         case _ =>
-          // triple(s) with predicate-object lists (`;`) and object lists
-          // (`,`): s p1 o1 , o2 ; p2 o3 .
-          val s = parseTerm(p, prefixes)
-          def emit(path: Either[Term, Path], o: Term): Unit = path match {
+          // triple(s) with predicate-object lists (`;`), object lists
+          // (`,`), and `[ po-list ]` blank-node property lists — an
+          // anonymous blank in a query pattern is a FRESH non-projectable
+          // variable (SPARQL §4.1.4), named `__bn<k>` so the internal-var
+          // conventions (no decode, hidden from SELECT *) apply
+          def emit(s: Term)(path: Either[Term, Path], o: Term): Unit = path match {
             case Left(predVar) => triples :+= TriplePattern(s, predVar, o)
             case Right(pth) => flattenEdgeSeq(pth) match {
               case Some(edges) =>
@@ -1075,20 +1083,35 @@ object Sparql {
               case None => paths :+= ((s, pth, o))
             }
           }
-          var morePreds = true
-          while (morePreds) {
-            val path: Either[Term, Path] = p.peek match {
-              case Some(TVar(_)) => Left(parseTerm(p, prefixes))
-              case _ => Right(parsePathAlt(p, prefixes))
+          def parsePo(subject: Term): Unit = {
+            var morePreds = true
+            while (morePreds) {
+              val path: Either[Term, Path] = p.peek match {
+                case Some(TVar(_)) => Left(parseTerm(p, prefixes))
+                case _ => Right(parsePathAlt(p, prefixes))
+              }
+              var moreObjs = true
+              while (moreObjs) {
+                emit(subject)(path, parseNode())
+                moreObjs = p.trySym(",")
+              }
+              morePreds = p.trySym(";") &&
+                !p.peek.exists(t => t == TSym(".") || t == TSym("}") ||
+                  t == TSym("]"))
             }
-            var moreObjs = true
-            while (moreObjs) {
-              emit(path, parseTerm(p, prefixes))
-              moreObjs = p.trySym(",")
-            }
-            morePreds = p.trySym(";") &&
-              !p.peek.exists(t => t == TSym(".") || t == TSym("}"))
           }
+          def parseNode(): Term = p.peek match {
+            case Some(TSym("[")) =>
+              p.pos += 1
+              val b = V(s"__bn${freshVar}")
+              freshVar += 1
+              if (!p.trySym("]")) { parsePo(b); p.eatSym("]") }
+              b
+            case _ => parseTerm(p, prefixes)
+          }
+          val s = parseNode()
+          // a subject-position property list may stand alone: `[ :p :o ] .`
+          if (!p.peek.exists(t => t == TSym(".") || t == TSym("}"))) parsePo(s)
           p.trySym(".") // trailing dot optional before '}'
       }
     }
@@ -1678,7 +1701,8 @@ object Sparql {
     q.group.filters.foreach(f => df = df.where(compileExpr(f)))
     val proj =
       if (q.projection.isEmpty)
-        df.columns.toSeq.filterNot(c => dedup && c == tsCol).map(col)
+        df.columns.toSeq.filterNot(c => (dedup && c == tsCol) ||
+          c.startsWith("__")).map(col)
       else q.projection.map {
         case PVar(v) => col(v)
         case PExpr(e, alias) => compileVal(e).as(alias)
@@ -1834,7 +1858,9 @@ object Sparql {
       },
       having = qRaw.having.map(extractAggsB(_, exprAggs)))
     var df = compileGroup(env, q.group)
-    val allVars = df.columns.toSeq
+    // SELECT * projects the named variables only — internal `__` vars
+    // (path-chain midpoints, anonymous-blank vars) stay hidden
+    val allVars = df.columns.toSeq.filterNot(_.startsWith("__"))
     val aggs = q.projection.collect { case a: PAgg => a }
     // Sort keys materialize BEFORE projection (ARQ's OrderBy-then-Project
     // algebra position: keys may use non-projected vars and arbitrary

@@ -140,6 +140,30 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("5", "tagged", "yes"))
   }
 
+  it should "treat [ ... ] blank property lists as fresh hidden variables" in {
+    // object position: ?x :2 [ :4 "5" ]  ==  ?x :2 ?b . ?b :4 "5"
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { ?x :2 [ :4 "5" ] } ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1")) // 1 -:2-> 3 -:4-> 5
+    // subject position, standalone, with a po-list inside
+    val res2 = run(
+      """PREFIX : <>
+        |SELECT ?o WHERE { [ :2 "3" ; :9 ?z ] . "3" :4 ?o } ORDER BY ?o""".stripMargin)
+    res2 shouldBe empty // the blank needs BOTH predicates; :9 matches nothing
+    val res3 = run(
+      """PREFIX : <>
+        |SELECT ?o WHERE { [ :2 "3" ] . "3" :4 ?o } ORDER BY ?o""".stripMargin)
+    res3 shouldBe Seq(Seq("5"), Seq("6"))
+  }
+
+  it should "hide internal variables from SELECT *" in {
+    val df = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT * WHERE { ?x :2 [ :4 ?y ] }""".stripMargin)
+    df.columns.toSeq.sorted shouldBe Seq("x", "y")
+  }
+
   it should "expand sequence property paths" in {
     // ?a :2/:4 ?c == { ?a :2 ?m . ?m :4 ?c }
     val res = run(
