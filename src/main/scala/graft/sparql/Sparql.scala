@@ -1768,9 +1768,13 @@ object Sparql {
       (a.fn match {
         case "COUNT" if a.distinct => countDistinct(col(a.arg.get))
         case "COUNT" => count(a.arg.map(col).getOrElse(lit(1)))
+        case "SUM" if a.distinct => sum_distinct(col(a.arg.get).cast("double"))
         case "SUM" => sum(col(a.arg.get).cast("double"))
         case "MIN" => min(col(a.arg.get))
         case "MAX" => max(col(a.arg.get))
+        case "AVG" if a.distinct =>
+          sum_distinct(col(a.arg.get).cast("double")) /
+            countDistinct(col(a.arg.get))
         case "AVG" => avg(col(a.arg.get).cast("double"))
         case "SAMPLE" => min(col(a.arg.get))
         case other => throw new IllegalArgumentException(
@@ -1910,9 +1914,14 @@ object Sparql {
         (a.fn match {
           case "COUNT" if a.distinct => countDistinct(res(a.arg.get))
           case "COUNT" => count(a.arg.map(res).getOrElse(lit(1)))
+          case "SUM" if a.distinct => sum_distinct(res(a.arg.get).cast("double"))
           case "SUM" => sum(res(a.arg.get).cast("double"))
           case "MIN" => min(res(a.arg.get))
           case "MAX" => max(res(a.arg.get))
+          case "AVG" if a.distinct =>
+            // avg over the distinct value set (no avg_distinct builtin)
+            sum_distinct(res(a.arg.get).cast("double")) /
+              countDistinct(res(a.arg.get))
           case "AVG" => avg(res(a.arg.get).cast("double"))
           case "GROUP_CONCAT" =>
             val items =

@@ -140,6 +140,16 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("5", "tagged", "yes"))
   }
 
+  it should "aggregate over the DISTINCT value set for SUM and AVG" in {
+    // objects of :2 are 3, 5, 5 -> distinct {3, 5}
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |SELECT (SUM(DISTINCT ?o) AS ?s) (AVG(DISTINCT ?o) AS ?a)
+        |  (SUM(?o) AS ?sa) WHERE { ?x :2 ?o }""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    res.head shouldBe ((8.0, 4.0, 13.0))
+  }
+
   it should "treat [ ... ] blank property lists as fresh hidden variables" in {
     // object position: ?x :2 [ :4 "5" ]  ==  ?x :2 ?b . ?b :4 "5"
     val res = run(
