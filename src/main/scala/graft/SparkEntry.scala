@@ -590,6 +590,14 @@ object SparkEntry {
     VectorOps.int8QuantStats(Tables.loadPar(s, d, "embeddings"))
       .orderBy("dim")
 
+  /** Two-stage MRL retrieval: 16-dim candidate scan (top-20), exact
+    * 64-dim re-rank (top-5) for the 8 query vectors.
+    */
+  private def knnMrlQ(s: SparkSession, d: String): DataFrame =
+    VectorOps.knnTwoStage(Tables.loadPar(s, d, "embeddings"),
+        queryPred = col("vec_id") < 8, dims = 16, kCand = 20, k = 5)
+      .orderBy("query_id", "rank")
+
   /** Matryoshka truncation audit at 16 of 64 dims: per-vector retained
     * L2 mass (what a 16-dim index loses).
     */
@@ -1641,6 +1649,7 @@ object SparkEntry {
     "q_domain_mix" -> (domainMixQ _),
     "q_quantize_embed" -> (quantizeEmbedQ _),
     "q_mrl_truncate" -> (mrlTruncateQ _),
+    "q_knn_mrl" -> (knnMrlQ _),
     "q_train_split" -> (trainSplitQ _),
     "q_pack_sequences" -> (packSequencesQ _),
     "q_embed_centroid" -> (embedCentroidQ _),
@@ -2803,6 +2812,27 @@ object SparkEntry {
         |  FROM q)
         |SELECT doc_id, source, n_tok, quality, cum_tok FROM r
         |WHERE cum_tok <= 400 ORDER BY doc_id""".stripMargin,
+    "q_knn_mrl" -> {
+      val qt = "list_slice(qv, 1, 16)"
+      val nt = "list_slice(e.embedding, 1, 16)"
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, embedding AS qv FROM e WHERE vec_id < 8),
+         |t AS (
+         |  SELECT query_id, e.vec_id AS neighbor_id, qv, e.embedding AS nv,
+         |    ${duckCos6(qt, nt)} AS cos_t
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> query_id),
+         |cand AS (SELECT *, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos_t DESC, neighbor_id ASC) AS cr
+         |  FROM t),
+         |f AS (
+         |  SELECT query_id, neighbor_id, ${duckCos6("qv", "nv")} AS cos
+         |  FROM cand WHERE cr <= 20),
+         |r AS (SELECT query_id, neighbor_id, cos, row_number() OVER (
+         |    PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |  FROM f)
+         |SELECT query_id, neighbor_id, cos, CAST(rank AS INT) AS rank FROM r
+         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin
+    },
     "q_mrl_truncate" -> {
       val tr = "list_slice(embedding, 1, 16)"
       s"""SELECT vec_id,

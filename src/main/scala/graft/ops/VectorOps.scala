@@ -58,6 +58,35 @@ object VectorOps {
       .drop("qv", "nv")
   }
 
+  /** Two-stage MRL retrieval: candidates by TRUNCATED-prefix cosine
+    * (`dims` of the full width — the cheap scan a Matryoshka index
+    * serves, cost scaled by dims/fullDims per pair), then an exact
+    * full-dimension re-rank of only the `kCand` survivors per query.
+    * Both stages are deterministic windows (cos desc, neighbor asc);
+    * the candidate stage bounds the expensive full-width dot products
+    * to kCand per query instead of the whole corpus.
+    */
+  def knnTwoStage(emb: DataFrame, queryPred: Column, dims: Int,
+                  kCand: Int, k: Int): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val c = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("nv"))
+    val wT = Window.partitionBy("query_id")
+      .orderBy(col("cos_t").desc, col("neighbor_id").asc)
+    val wF = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    c.crossJoin(broadcast(q))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("qv"), col("nv"),
+        cosine6(slice(col("qv"), 1, dims), slice(col("nv"), 1, dims)).as("cos_t"))
+      .withColumn("cand_rank", row_number().over(wT))
+      .where(col("cand_rank") <= kCand)
+      .select(col("query_id"), col("neighbor_id"),
+        cosine6(col("qv"), col("nv")).as("cos"))
+      .withColumn("rank", row_number().over(wF))
+      .where(col("rank") <= k)
+  }
+
   /** Centroid relation (cent_id, cv) from a predicate over the corpus. */
   def centroidsOf(emb: DataFrame, centroidPred: Column): DataFrame =
     emb.where(centroidPred)

@@ -169,6 +169,17 @@ class VectorSpec extends SparkSpec {
     m(4L)._2 shouldBe 0.707107 +- 1e-6   // diag keeps 1/sqrt(2)
   }
 
+  "knnTwoStage" should "equal brute force when candidates cover the corpus" in {
+    // kCand >= corpus size -> the truncated stage prunes nothing, so the
+    // full-dim re-rank must reproduce knnBrute exactly
+    val brute = VectorOps.knnBrute(emb, col("vec_id") < 2, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    val two = VectorOps.knnTwoStage(emb, col("vec_id") < 2,
+        dims = 2, kCand = 10, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(3))).toSet
+    two shouldBe brute
+  }
+
   "semDedup" should "prune only within clusters, via an equi-join" in {
     val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = VectorOps.semDedup(e, threshold = 0.4)
