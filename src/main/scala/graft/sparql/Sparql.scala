@@ -192,6 +192,13 @@ object Sparql {
     }
     def fail(msg: String): Nothing =
       throw new IllegalArgumentException(s"SPARQL parse error at token $pos: $msg (found ${peek.getOrElse("EOF")})")
+    /** Fresh-internal-variable counter (`__pv` path midpoints, `__bn`
+      * anonymous blanks) — QUERY-global, not per-group: nested groups
+      * join on their shared columns, so a per-group counter would let an
+      * outer `__pv0` collide with an OPTIONAL/subgroup `__pv0` and
+      * silently constrain two unrelated midpoints equal.
+      */
+    var fresh = 0
   }
 
   private val aggFns =
@@ -1007,7 +1014,6 @@ object Sparql {
     var subgroups = Seq.empty[Group]
     var existsFilters = Seq.empty[(Group, Boolean)]
     var valuesMulti = Seq.empty[(Seq[String], Seq[Seq[String]])]
-    var freshVar = 0
     while (!p.trySym("}")) {
       p.peek match {
         case Some(t) if p.isKw(t, "OPTIONAL") =>
@@ -1074,8 +1080,8 @@ object Sparql {
                 // (stays in Bgp.compile: stats-ordered, fail-fast)
                 var subject = s
                 edges.init.foreach { e =>
-                  val mid = V(s"__pv${freshVar}")
-                  freshVar += 1
+                  val mid = V(s"__pv${p.fresh}")
+                  p.fresh += 1
                   triples :+= TriplePattern(subject, C(e), mid)
                   subject = mid
                 }
@@ -1103,8 +1109,8 @@ object Sparql {
           def parseNode(): Term = p.peek match {
             case Some(TSym("[")) =>
               p.pos += 1
-              val b = V(s"__bn${freshVar}")
-              freshVar += 1
+              val b = V(s"__bn${p.fresh}")
+              p.fresh += 1
               if (!p.trySym("]")) { parsePo(b); p.eatSym("]") }
               b
             case _ => parseTerm(p, prefixes)

@@ -140,6 +140,20 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("5", "tagged", "yes"))
   }
 
+  it should "never join sibling groups on internal path-midpoint vars" in {
+    // outer path mid is 3; inner mids are 5 and 6 — a per-group fresh
+    // counter would name both `__pv0` and the group join would wrongly
+    // constrain them equal (0 rows). Correct: no shared NAMED vars, so
+    // the groups cross-join: 2 outer x 2 inner solutions.
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?a ?c ?x ?y WHERE {
+        |  { ?a :2/:4 ?c } { ?x :4/:2 ?y }
+        |} ORDER BY ?c ?x""".stripMargin)
+    res should have size 4
+    res.map(_.take(2)).toSet shouldBe Set(Seq("1", "5"), Seq("1", "6"))
+  }
+
   it should "aggregate over the DISTINCT value set for SUM and AVG" in {
     // objects of :2 are 3, 5, 5 -> distinct {3, 5}
     val res = Sparql.execute(spark, triples,
