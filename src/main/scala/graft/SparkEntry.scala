@@ -635,6 +635,13 @@ object SparkEntry {
         gramsPre = Some(graft.store.GraftStore.docGrams(s, d)))
       .orderBy("doc_id")
 
+  /** ExactSubstr-style duplicate-span removal: excise every non-first
+    * occurrence of a cross-corpus 13-gram window, rebuild the text.
+    */
+  private def removeDupSpansQ(s: SparkSession, d: String): DataFrame =
+    DedupOps.removeDupSpans(Tables.loadPar(s, d, "documents"), n = 13)
+      .orderBy("doc_id")
+
   /** Unigram-LM surprisal per document (perplexity-proxy quality filter). */
   private def surprisalQ(s: SparkSession, d: String): DataFrame =
     TextOps.unigramSurprisal(Tables.loadPar(s, d, "documents"))
@@ -1635,6 +1642,7 @@ object SparkEntry {
     "q_decontaminate" -> (decontaminateQ _),
     "q_decontaminate_fuzzy" -> (decontaminateFuzzyQ _),
     "q_dup_spans" -> (dupSpansQ _),
+    "q_remove_dup_spans" -> (removeDupSpansQ _),
     "q_surprisal" -> (surprisalQ _),
     "q_dsir_weights" -> (dsirQ _),
     "q_vocab" -> (vocabQ _),
@@ -2893,6 +2901,37 @@ object SparkEntry {
         |  FROM nl GROUP BY doc_id)
         |SELECT doc_id, n_tokens, floor(sum_nll / n_tokens * 1e6 + 0.5) / 1e6 AS avg_surprisal
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_remove_dup_spans" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |t AS (
+        |  SELECT doc_id, i - 1 AS pos, words[i] AS w
+        |  FROM ws, unnest(range(1, len(words) + 1)) r(i)),
+        |g AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |    array_to_string(list_slice(words, i, i + 12), ' ') AS gram,
+        |    doc_id * 1000000 + (i - 1) AS k
+        |  FROM ws, unnest(range(1, len(words) - 11)) r(i)
+        |  WHERE len(words) >= 13),
+        |f AS (SELECT gram, min(k) AS first_k FROM g GROUP BY gram),
+        |cov AS (
+        |  SELECT DISTINCT g.doc_id, pos + j AS pos
+        |  FROM g JOIN f USING (gram), unnest(range(0, 13)) rj(j)
+        |  WHERE k <> first_k),
+        |kept AS (
+        |  SELECT t.doc_id, t.pos, t.w
+        |  FROM t LEFT JOIN cov ON t.doc_id = cov.doc_id AND t.pos = cov.pos
+        |  WHERE cov.pos IS NULL),
+        |reb AS (
+        |  SELECT doc_id, count(*) AS n_kept,
+        |    string_agg(w, ' ' ORDER BY pos) AS clean_text
+        |  FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, count(*) AS n_tokens FROM t GROUP BY doc_id)
+        |SELECT tot.doc_id,
+        |  CAST(tot.n_tokens - COALESCE(reb.n_kept, 0) AS BIGINT) AS n_removed,
+        |  COALESCE(reb.clean_text, '') AS clean_text
+        |FROM tot LEFT JOIN reb USING (doc_id) ORDER BY tot.doc_id""".stripMargin,
     "q_dup_spans" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words

@@ -242,6 +242,49 @@ object DedupOps {
           .as("dup_ratio"))
   }
 
+  /** Cross-document duplicate-SPAN REMOVAL (the ExactSubstr dedup stage
+    * `dupSpans` only reports): every word-n-gram window that occurs
+    * anywhere earlier in the corpus — "earlier" = smallest (doc_id, pos),
+    * folded to one integer key so both engines order identically — has
+    * its covered token POSITIONS dropped from the losing documents, and
+    * the surviving tokens re-join in position order. Overlapping dup
+    * windows need no interval logic: covered positions union via a
+    * distinct. Linear stages only: token explode, lead-chain windows, one
+    * gram-keyed first-occurrence aggregate (map-side combined), a bounded
+    * ×n position explode, a (doc, pos) anti-join, one per-doc rebuild.
+    * Documents emit even when fully consumed (empty `clean_text`).
+    */
+  def removeDupSpans(docs: DataFrame, n: Int = 13): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val leads = (1 until n).map(i => lead(col("w"), i).over(w))
+    val toks = docs.select(col("doc_id"),
+      posexplode(split(TextOps.normalize(col("text")), " ")).as(Seq("pos", "w")))
+    val grams = toks
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", (col("w") +: leads): _*).as("gram"),
+        leads.last.isNotNull.as("__full"))
+      .where(col("__full"))
+      .select(col("doc_id"), col("pos"), col("gram"),
+        (col("doc_id") * 1000000L + col("pos")).as("k"))
+    val firstK = grams.groupBy("gram").agg(min(col("k")).as("first_k"))
+    val covered = grams.join(firstK, Seq("gram"))
+      .where(col("k") =!= col("first_k"))
+      .select(col("doc_id"), explode(sequence(col("pos"), col("pos") + (n - 1))).as("pos"))
+      .distinct()
+    val kept = toks.join(covered, Seq("doc_id", "pos"), "left_anti")
+    val rebuilt = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("pos"), col("w")))),
+        x => x.getField("w"))).as("clean_text"))
+    toks.groupBy("doc_id").agg(count(lit(1)).as("n_tokens"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
+
   /** 32-bit SimHash over the distinct word tokens of the normalized text.
     * Token hash = TextOps.polyHash (base-31 mod 2^32 fold), so the whole
     * fingerprint is replayable in DuckDB SQL. Bit j of the result is set

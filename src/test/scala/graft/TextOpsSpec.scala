@@ -93,6 +93,20 @@ class TextOpsSpec extends SparkSpec {
     res.contains(4L) shouldBe false // sub-window docs form no spans
   }
 
+  "removeDupSpans" should "excise non-first duplicated windows and rebuild" in {
+    val shared = "a b c d e f g h i j k l m" // exactly one 13-gram
+    val docs = Seq(
+      (1L, shared + " tail one"),      // first occurrence -> untouched
+      (2L, "head " + shared),          // loses positions 1..13
+      (3L, "short unrelated text")
+    ).toDF("doc_id", "text")
+    val m = graft.ops.DedupOps.removeDupSpans(docs, n = 13)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    m(1L) shouldBe ((0L, shared + " tail one"))
+    m(2L) shouldBe ((13L, "head"))
+    m(3L) shouldBe ((0L, "short unrelated text"))
+  }
+
   "unigramSurprisal" should "rank rare-token docs above common-token docs" in {
     val docs = Seq(
       (1L, "the the the the"),          // most common token
