@@ -266,6 +266,9 @@ object DedupOps {
         leads.last.isNotNull.as("__full"))
       .where(col("__full"))
       .select(col("doc_id"), col("pos"), col("gram"),
+        // packed (doc_id, pos) orders lexicographically as one long while
+        // pos < 1e6 — a million tokens per document, far above any
+        // chunked-pipeline doc; docs beyond that should be chunked first
         (col("doc_id") * 1000000L + col("pos")).as("k"))
     val firstK = grams.groupBy("gram").agg(min(col("k")).as("first_k"))
     val covered = grams.join(firstK, Seq("gram"))
