@@ -62,4 +62,30 @@ object RetrievalOps {
       .orderBy(col("rrf").desc, col("doc_id").asc).limit(k)
       .withColumn("rank", row_number().over(wf))
   }
+
+  /** Retrieval-quality audit: per-query recall@k and reciprocal rank of
+    * an APPROXIMATE neighbor list against the EXACT one — the
+    * index-quality monitor an ANN deployment runs after each ingest (and
+    * the quantitative answer to "what did IVF pruning cost?"). Inputs
+    * are (query_id, neighbor_id, rank) relations; the exact top-k is the
+    * relevant set; rr = 1/rank of the first relevant hit in the approx
+    * list (0 when none). Two equi-joins + one aggregate over the tiny
+    * ranked lists — never touches the embeddings themselves.
+    */
+  def retrievalEval(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val rel = exact.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.where(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"))
+      .join(rel, Seq("query_id", "neighbor_id"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_hit"), min(col("rank")).as("first_hit"))
+    rel.groupBy("query_id").agg(count(lit(1)).as("n_rel"))
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"),
+        (floor(coalesce(col("n_hit"), lit(0L)).cast("double")
+          / col("n_rel") * 1e6 + 0.5) / 1e6).as("recall"),
+        (floor(coalesce(lit(1.0) / col("first_hit"), lit(0.0)) * 1e6 + 0.5)
+          / 1e6).as("rr"))
+  }
 }

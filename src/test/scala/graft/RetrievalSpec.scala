@@ -62,4 +62,18 @@ class RetrievalSpec extends SparkSpec {
     // full-outer fuse join never sees the corpus
     plan should include("TakeOrderedAndProject")
   }
+
+  "retrievalEval" should "score recall@k and reciprocal rank per query" in {
+    import spark.implicits._
+    val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
+      (2L, 20L, 1), (2L, 21L, 2), (2L, 22L, 3))
+      .toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((1L, 11L, 1), (1L, 99L, 2), (1L, 12L, 3), // 2/3, first hit rank 1
+      (2L, 98L, 1), (2L, 97L, 2), (2L, 96L, 3))                // 0/3, no hit
+      .toDF("query_id", "neighbor_id", "rank")
+    val m = RetrievalOps.retrievalEval(approx, exact, k = 3)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    m(1L) shouldBe ((0.666667, 1.0))
+    m(2L) shouldBe ((0.0, 0.0))
+  }
 }
