@@ -46,6 +46,12 @@ import org.apache.spark.sql.functions._
   * strings, so isIRI/LANG/STR follow the store's serialization: an IRI
   * contains ':' and is neither quoted nor a `_:` blank; LANG extracts a
   * trailing `"..."@tag`; STR strips the quotes off a quoted literal.
+  * ORDER BY compares the SERIALIZED term (binary collation) — a
+  * deliberate divergence from ARQ's by-value ordering for pure-numeric
+  * literals ("10" sorts before "9"), chosen so ordering is identical in
+  * every engine that sees the stored strings (the oracle convention);
+  * numeric ordering is available by sorting on an expression key
+  * (`ORDER BY (?x * 1)` casts through the numeric grammar).
   */
 object Sparql {
 

@@ -115,6 +115,19 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
   }
 
+  it should "sort numerically via an expression ORDER BY key" in {
+    // plain ORDER BY ?x is serialized-term order ("10" < "9", the oracle
+    // convention); the numeric-grammar expression key sorts by value
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { VALUES ?x { "10" "9" "2" } } ORDER BY (?x * 1)""".stripMargin)
+    res shouldBe Seq(Seq("2"), Seq("9"), Seq("10"))
+    val lex = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE { VALUES ?x { "10" "9" "2" } } ORDER BY ?x""".stripMargin)
+    lex shouldBe Seq(Seq("10"), Seq("2"), Seq("9"))
+  }
+
   it should "compile a group that is only a VALUES block" in {
     val res = run(
       """PREFIX : <>
