@@ -1681,10 +1681,12 @@ object Sparql {
     * it compiles to `dropDuplicatesWithinWatermark` over the projected
     * columns — exact dedup for duplicates arriving within the watermark
     * horizon, bounded state (Structured Streaming's contract; a
-    * duplicate older than the horizon re-emits). Modifiers that need
-    * FULL-result state (unbounded DISTINCT / ORDER / LIMIT) are
-    * rejected — run those on the sink's output; aggregates belong to
-    * `executeStreamWindowed`.
+    * duplicate older than the horizon re-emits). `OPTIONAL` groups over
+    * STATIC patterns enrich each solution via an append-safe
+    * stream-static left join (the bounded side needs no watermark
+    * state). Modifiers that need FULL-result state (unbounded DISTINCT /
+    * ORDER / LIMIT) are rejected — run those on the sink's output;
+    * aggregates belong to `executeStreamWindowed`.
     */
   def executeStream(spark: SparkSession, streamTriples: DataFrame,
                     staticTriples: DataFrame, queryText: String,
@@ -1692,7 +1694,7 @@ object Sparql {
                     watermark: Option[String] = None,
                     tsCol: String = "ts"): DataFrame = {
     val q = parse(queryText)
-    require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
+    require(q.group.unions.isEmpty &&
       q.group.minuses.isEmpty && q.group.values.isEmpty &&
       q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
       q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
@@ -1700,6 +1702,17 @@ object Sparql {
       q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
       "executeStream supports the append-mode BGP+FILTER+BIND subset")
+    // OPTIONAL over STATIC patterns only: the enrichment side is bounded,
+    // so the stream-static left outer join is append-safe without
+    // watermark state (an optional binding that arrives in the store
+    // LATER belongs to the ingest path, like any second new edge)
+    q.group.optionals.foreach(opt =>
+      require(opt.optionals.isEmpty && opt.unions.isEmpty &&
+        opt.minuses.isEmpty && opt.paths.isEmpty && opt.binds.isEmpty &&
+        opt.subqueries.isEmpty && opt.subgroups.isEmpty &&
+        opt.existsFilters.isEmpty && opt.values.isEmpty &&
+        opt.valuesMulti.isEmpty,
+        "streaming OPTIONAL groups may contain only triple patterns and filters"))
     require(!q.distinct || watermark.nonEmpty,
       "streaming DISTINCT needs a watermark (bounded dedup state); " +
         "pass watermark=Some(\"10 minutes\") and an event-time column")
@@ -1711,6 +1724,14 @@ object Sparql {
       q.group.triples, stats, carry = if (dedup) Seq(tsCol) else Nil)
     q.group.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
     q.group.filters.foreach(f => df = df.where(compileExpr(f)))
+    val senv = stringEnv(spark, staticTriples, stats)
+    q.group.optionals.foreach { opt =>
+      val o = compileGroup(senv, opt)
+      val shared = df.columns.intersect(o.columns).toSeq
+      require(shared.nonEmpty,
+        "streaming OPTIONAL must share a variable with the stream pattern")
+      df = df.join(o, shared, "left")
+    }
     val proj =
       if (q.projection.isEmpty)
         df.columns.toSeq.filterNot(c => (dedup && c == tsCol) ||

@@ -125,7 +125,31 @@ class StreamingBgpSpec extends SparkSpec {
     handle.stats("label").cnt shouldBe 1L
   }
 
-  "Sparql.executeStream" should "run a continuous BGP query over arriving edges" in {
+  "Sparql.executeStream" should "enrich solutions with a static OPTIONAL group" in {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), staticTriples,
+      """PREFIX : <>
+        |SELECT ?c ?n ?r WHERE {
+        |  ?c :nationkey ?n .
+        |  OPTIONAL { ?n :regionkey ?r }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_opt")
+      .outputMode("append").start()
+    src.addData(
+      ("customer:7", "nationkey", "nation:1"),   // region:2 in the store
+      ("customer:8", "nationkey", "nation:99"))  // no region -> null
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sparql_stream_opt").collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+    rows shouldBe Set(
+      ("customer:7", "nation:1", Some("region:2")),
+      ("customer:8", "nation:99", None))
+  }
+
+  it should "run a continuous BGP query over arriving edges" in {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, String, String)]
     val out = graft.sparql.Sparql.executeStream(spark,
