@@ -480,6 +480,10 @@ object Sparql {
     *   - `CLEAR [SILENT] [DEFAULT|ALL]`        → empty store
     *   - `LOAD [SILENT] <source>`              → distributed N-Triples
     *     parse (skolemized blanks) + O(Δ) append
+    *   - graph management (§3.2) under single-graph semantics:
+    *     `DROP` ≡ CLEAR; `CREATE [DEFAULT]` and `COPY/MOVE/ADD DEFAULT
+    *     TO DEFAULT` are identities; any NAMED target errors, or is a
+    *     no-op under SILENT (the spec's suppressed-failure contract)
     * Blank nodes are forbidden in DELETE templates/data (§3.1.3); INSERT
     * templates skolemize them per solution like CONSTRUCT. Named-graph
     * forms (WITH/USING/GRAPH) are rejected — the store is a single graph,
@@ -555,6 +559,7 @@ object Sparql {
   private final case class UGround(insert: Boolean,
       triples: Seq[(String, String, String)]) extends UOp
   private case object UClear extends UOp
+  private case object UNoop extends UOp
   private final case class ULoad(src: String) extends UOp
   private final case class UModify(del: Option[Group], ins: Option[Group],
       where: Group) extends UOp
@@ -562,12 +567,52 @@ object Sparql {
   private def parseUpdateOp(p: P, prefixes: Map[String, String]): UOp = {
     if (p.tryKw("WITH") || p.tryKw("USING"))
       p.fail("named graphs are not supported (single-graph store)")
-    if (p.tryKw("CLEAR")) {
-      p.tryKw("SILENT")
-      if (p.tryKw("GRAPH") || p.tryKw("NAMED"))
-        p.fail("named graphs are not supported (single-graph store)")
+    // a GRAPH/NAMED target on a single-graph store is an error the op's
+    // SILENT flag downgrades to a no-op (SPARQL 1.1 Update §3.2: SILENT
+    // suppresses failure and the operation has no effect)
+    def namedTarget(silent: Boolean, op: String): UOp = {
+      // swallow the rest of the target spec: <iri> / DEFAULT after GRAPH
+      p.peek match {
+        case Some(TIri(_)) => p.pos += 1
+        case _ => ()
+      }
+      if (silent) UNoop
+      else p.fail(s"$op on a named graph is not supported (single-graph store)")
+    }
+    if (p.tryKw("CLEAR") || p.tryKw("DROP")) {
+      // DROP removes a graph, CLEAR empties it — the same thing for the
+      // always-existing default graph of a single-graph store
+      val silent = p.tryKw("SILENT")
+      if (p.tryKw("GRAPH") || p.tryKw("NAMED")) return namedTarget(silent, "CLEAR/DROP")
       p.tryKw("ALL"); p.tryKw("DEFAULT")
       return UClear
+    }
+    if (p.tryKw("CREATE")) {
+      // CREATE makes an empty named graph; the default graph always
+      // exists, so only the named form means anything — and that is the
+      // unsupported case (no-op under SILENT)
+      val silent = p.tryKw("SILENT")
+      if (p.tryKw("GRAPH") || p.tryKw("NAMED")) return namedTarget(silent, "CREATE")
+      p.tryKw("DEFAULT")
+      return UNoop
+    }
+    if (p.tryKw("COPY") || p.tryKw("MOVE") || p.tryKw("ADD")) {
+      // DEFAULT TO DEFAULT is the identity on a single-graph store; any
+      // named endpoint is unsupported (no-op under SILENT)
+      val silent = p.tryKw("SILENT")
+      var named = false
+      def endpoint(): Unit = p.peek match {
+        case Some(TIri(_)) => named = true; p.pos += 1
+        case Some(t) if p.isKw(t, "GRAPH") => p.pos += 1; endpoint()
+        case Some(t) if p.isKw(t, "DEFAULT") => p.pos += 1
+        case t => p.fail(s"expected DEFAULT or GRAPH <iri>, got $t")
+      }
+      endpoint()
+      p.eatKw("TO")
+      endpoint()
+      if (!named) return UNoop
+      if (silent) return UNoop
+      p.fail("COPY/MOVE/ADD with a named graph is not supported (single-graph store)")
     }
     if (p.tryKw("LOAD")) {
       p.tryKw("SILENT")
@@ -611,12 +656,13 @@ object Sparql {
       val w = parseGroup(p, prefixes)
       return UModify(Some(del), ins, w)
     }
-    p.fail("expected INSERT, DELETE, CLEAR or WITH")
+    p.fail("expected INSERT, DELETE, LOAD, CLEAR, DROP, CREATE, COPY, MOVE or ADD")
   }
 
   private def execUpdateOp(spark: SparkSession, h: graft.store.StoreHandle,
                            op: UOp): graft.store.StoreHandle = op match {
     case UClear => graft.store.GraftStore.empty(spark)
+    case UNoop => h
     case ULoad(src) =>
       // LOAD <source>: distributed N-Triples parse + O(Δ) append. Blank
       // labels skolemize per source (idempotent re-load, no cross-file

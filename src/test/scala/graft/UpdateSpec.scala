@@ -100,6 +100,24 @@ class UpdateSpec extends SparkSpec {
     h1.totalCnt shouldBe 0L
   }
 
+  it should "treat graph management under single-graph semantics" in {
+    val h0 = mkStore
+    // DROP == CLEAR on the default graph
+    Sparql.update(spark, h0, "DROP DEFAULT").totalCnt shouldBe 0L
+    // CREATE DEFAULT / COPY-MOVE-ADD DEFAULT TO DEFAULT are identities
+    val h1 = Sparql.update(spark, h0,
+      "CREATE DEFAULT ; COPY DEFAULT TO DEFAULT ; ADD DEFAULT TO DEFAULT")
+    rows(h1) shouldBe rows(h0)
+    // named targets: error without SILENT, no-op with it
+    an[IllegalArgumentException] should be thrownBy
+      Sparql.update(spark, h0, "CREATE GRAPH <g>")
+    an[IllegalArgumentException] should be thrownBy
+      Sparql.update(spark, h0, "COPY DEFAULT TO GRAPH <g>")
+    rows(Sparql.update(spark, h0,
+      "CREATE SILENT GRAPH <g> ; DROP SILENT GRAPH <g> ; " +
+        "MOVE SILENT DEFAULT TO GRAPH <g>")) shouldBe rows(h0)
+  }
+
   it should "answer queries over the updated ENCODED store" in {
     val h1 = Sparql.update(spark, mkStore,
       """PREFIX : <>
