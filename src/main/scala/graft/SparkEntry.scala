@@ -865,6 +865,18 @@ object SparkEntry {
       .orderBy("s", "p", "o")
   }
 
+  /** CONSTRUCT over the ENCODED store: a two-triple template (forward +
+    * inverse edge) instantiated per solution, deduplicated graph out.
+    */
+  private def sparqlConstruct(s: SparkSession, d: String): DataFrame = {
+    val st = GraftStore.forDir(s, d)
+    graft.sparql.Sparql.construct(s, st,
+      """PREFIX : <>
+        |CONSTRUCT { ?c :inRegion ?r . ?r :hasCustomer ?c }
+        |WHERE { ?c :nationkey ?n . ?n :regionkey ?r }""".stripMargin)
+      .orderBy("s", "p", "o")
+  }
+
   /** SPARQL 1.1 §17.4 term/hash builtins: MD5, ENCODE_FOR_URI, DATATYPE
     * over the string-serialized term model, oracle-checked.
     */
@@ -1608,6 +1620,7 @@ object SparkEntry {
     "q_sparql_agg" -> (sparqlAgg _),
     "q_sparql_enc_agg" -> (sparqlEncAgg _),
     "q_sparql_describe" -> (sparqlDescribe _),
+    "q_sparql_construct" -> (sparqlConstruct _),
     "q_sparql_hashfns" -> (sparqlHashfns _),
     "q_random_walks" -> (randomWalks _),
     "q_pagerank" -> (pageRankQ _),
@@ -2375,6 +2388,18 @@ object SparkEntry {
         |  replace(p_name, ' ', '%20') AS u,
         |  'http://www.w3.org/2001/XMLSchema#string' AS dt
         |FROM part ORDER BY p""".stripMargin,
+    "q_sparql_construct" ->
+      """WITH e AS (
+        |  SELECT 'customer:' || c_custkey AS c, c_nationkey AS nk FROM customer
+        |  UNION ALL
+        |  SELECT 'supplier:' || s_suppkey, s_nationkey FROM supplier),
+        |j AS (SELECT c, 'region:' || n_regionkey AS r
+        |      FROM e JOIN nation ON nk = n_nationkey)
+        |SELECT DISTINCT s, p, o FROM (
+        |  SELECT c AS s, 'inRegion' AS p, r AS o FROM j
+        |  UNION ALL
+        |  SELECT r, 'hasCustomer', c FROM j)
+        |ORDER BY s, p, o""".stripMargin,
     "q_sparql_describe" ->
       """SELECT * FROM (
         |  SELECT 'customer:1' AS s, 'a' AS p, 'Customer' AS o
