@@ -865,6 +865,21 @@ object SparkEntry {
       .orderBy("s", "p", "o")
   }
 
+  /** ASK over the ENCODED store (limit-1 existence probe on long keys),
+    * materialized as a one-row relation: a positive and a negative probe.
+    */
+  private def sparqlAsk(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val st = GraftStore.forDir(s, d)
+    val yes = graft.sparql.Sparql.ask(s, st,
+      """PREFIX : <>
+        |ASK { ?c a "Customer" . ?c :mktsegment "BUILDING" }""".stripMargin)
+    val no = graft.sparql.Sparql.ask(s, st,
+      """PREFIX : <>
+        |ASK { ?c :mktsegment "NO_SUCH_SEGMENT" }""".stripMargin)
+    Seq((yes, no)).toDF("ask_pos", "ask_neg")
+  }
+
   /** CONSTRUCT over the ENCODED store: a two-triple template (forward +
     * inverse edge) instantiated per solution, deduplicated graph out.
     */
@@ -1621,6 +1636,7 @@ object SparkEntry {
     "q_sparql_enc_agg" -> (sparqlEncAgg _),
     "q_sparql_describe" -> (sparqlDescribe _),
     "q_sparql_construct" -> (sparqlConstruct _),
+    "q_sparql_ask" -> (sparqlAsk _),
     "q_sparql_hashfns" -> (sparqlHashfns _),
     "q_random_walks" -> (randomWalks _),
     "q_pagerank" -> (pageRankQ _),
@@ -2388,6 +2404,9 @@ object SparkEntry {
         |  replace(p_name, ' ', '%20') AS u,
         |  'http://www.w3.org/2001/XMLSchema#string' AS dt
         |FROM part ORDER BY p""".stripMargin,
+    "q_sparql_ask" ->
+      """SELECT EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'BUILDING') AS ask_pos,
+        |  EXISTS(SELECT 1 FROM customer WHERE c_mktsegment = 'NO_SUCH_SEGMENT') AS ask_neg""".stripMargin,
     "q_sparql_construct" ->
       """WITH e AS (
         |  SELECT 'customer:' || c_custkey AS c, c_nationkey AS nk FROM customer
