@@ -605,6 +605,11 @@ object SparkEntry {
     VectorOps.truncateStats(Tables.loadPar(s, d, "embeddings"), k = 16)
       .orderBy("vec_id")
 
+  /** Character entropy per document (gibberish/compressibility filter). */
+  private def charEntropyQ(s: SparkSession, d: String): DataFrame =
+    TextOps.charEntropy(Tables.loadPar(s, d, "documents"))
+      .orderBy("doc_id")
+
   /** Greedy quality-first fill of a 400-token-per-domain budget. */
   private def tokenBudgetQ(s: SparkSession, d: String): DataFrame =
     TextOps.tokenBudgetFill(Tables.loadPar(s, d, "documents"),
@@ -1697,6 +1702,7 @@ object SparkEntry {
     "q_tfidf_keywords" -> (tfIdfQ _),
     "q_domain_cap" -> (domainCapQ _),
     "q_token_budget" -> (tokenBudgetQ _),
+    "q_char_entropy" -> (charEntropyQ _),
     "q_domain_mix" -> (domainMixQ _),
     "q_quantize_embed" -> (quantizeEmbedQ _),
     "q_mrl_truncate" -> (mrlTruncateQ _),
@@ -2894,6 +2900,20 @@ object SparkEntry {
         |SELECT doc_id, source, quality, rank_in_domain FROM r
         |WHERE rank_in_domain <= 5
         |ORDER BY source, rank_in_domain""".stripMargin,
+    "q_char_entropy" ->
+      """WITH ch AS (
+        |  SELECT doc_id, c
+        |  FROM (SELECT doc_id,
+        |          unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), '')) AS c
+        |        FROM documents)
+        |  WHERE length(c) > 0),
+        |freq AS (SELECT doc_id, c, count(*) AS n FROM ch GROUP BY doc_id, c),
+        |tot AS (SELECT doc_id, count(*) AS n_chars FROM ch GROUP BY doc_id)
+        |SELECT doc_id, CAST(min(n_chars) AS BIGINT) AS n_chars,
+        |  CAST(sum(CAST(floor(-(n::DOUBLE / n_chars) * ln(n::DOUBLE / n_chars)
+        |    * 1.4426950408889634 * 1e6 + 0.5) AS BIGINT)) AS BIGINT) AS entropy_micros
+        |FROM freq JOIN tot USING (doc_id)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_token_budget" ->
       """WITH q AS (
         |  SELECT doc_id, source,

@@ -283,6 +283,32 @@ object TextOps {
       .select(col("doc_id"), col("term"), col("tf"), col("weight"), col("rank"))
   }
 
+  /** Per-document CHARACTER entropy (bits) of the normalized text — the
+    * gibberish/compressibility filter: natural prose sits ~4 bits/char,
+    * repeated-character junk near 0, uniform random base36 ~5.2. One
+    * explode + two map-side-combined aggregates; per-character
+    * `-p·log2 p` terms quantize to integer MICROS and sum exactly, so
+    * the oracle replays the float math bit-for-bit. Output:
+    * (doc_id, n_chars, entropy_micros).
+    */
+  def charEntropy(docs: DataFrame): DataFrame = {
+    val chars = docs.select(col("doc_id"),
+        explode(split(normalize(col("text")), "")).as("c"))
+      .where(length(col("c")) > 0)
+    val freq = chars.groupBy("doc_id", "c").agg(count(lit(1)).as("n"))
+    val tot = chars.groupBy("doc_id").agg(count(lit(1)).as("n_chars"))
+    val p = col("n").cast("double") / col("n_chars")
+    // bits via ln(p)·(1/ln 2): both engines run the same ln + multiply
+    // (a native log2 could differ in the last bit)
+    val invLn2 = 1.4426950408889634
+    freq.join(tot, Seq("doc_id"))
+      .select(col("doc_id"), col("n_chars"),
+        floor(-p * log(p) * invLn2 * 1e6 + 0.5).cast("long").as("term_micros"))
+      .groupBy("doc_id")
+      .agg(first(col("n_chars")).as("n_chars"),
+        sum(col("term_micros")).as("entropy_micros"))
+  }
+
   /** Token-budget curation: per domain, keep the BEST-quality documents
     * whose running token total stays within `budgetPerDomain` — the
     * greedy quality-first fill of a fixed training-token budget (the

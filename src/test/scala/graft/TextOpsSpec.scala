@@ -119,6 +119,17 @@ class TextOpsSpec extends SparkSpec {
     m(1L) shouldBe math.log(2.0) +- 1e-6
   }
 
+  "charEntropy" should "separate prose from degenerate repetition" in {
+    val docs = Seq(
+      (1L, "aaaaaaaaaaaaaaaa"),               // one symbol -> 0 bits
+      (2L, "the quick brown fox jumps over")  // prose ~ 3-4 bits
+    ).toDF("doc_id", "text")
+    val m = TextOps.charEntropy(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    m(1L) shouldBe 0L
+    m(2L) should be > 3000000L // > 3 bits/char in micros
+  }
+
   "tokenBudgetFill" should "fill each domain best-quality-first within budget" in {
     val long = ("w " * 64).trim                       // 64 tokens, quality-max length
     val docs = Seq(
