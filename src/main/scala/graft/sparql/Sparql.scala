@@ -102,7 +102,8 @@ object Sparql {
   final case class PAlt(l: Path, r: Path) extends Path
   final case class PClosure(p: Path, includeZero: Boolean) extends Path // + / *
   final case class POpt(p: Path) extends Path                           // ?
-  final case class PNegSet(preds: Seq[String]) extends Path             // !(p1|p2)
+  final case class PNegSet(preds: Seq[String],                          // !(p1|^p2)
+                           invPreds: Seq[String] = Seq.empty) extends Path
 
   /** Value expressions (BIND, expression projection, operands). */
   sealed trait EExpr
@@ -1218,18 +1219,21 @@ object Sparql {
       case V(n) => p.fail(s"variable ?$n not allowed inside a property path")
     }
     val base: Path = p.peek match {
-      case Some(TSym("!")) => // negated property set: !p or !(p1|p2)
+      case Some(TSym("!")) => // negated property set: !p or !(p1|^p2|...)
         p.pos += 1
-        val preds: Seq[String] = p.peek match {
+        var fwd = Seq.empty[String]
+        var inv = Seq.empty[String]
+        def member(): Unit =
+          if (p.trySym("^")) inv :+= edgeName() else fwd :+= edgeName()
+        p.peek match {
           case Some(TSym("(")) =>
             p.pos += 1
-            var ps = Seq(edgeName())
-            while (p.trySym("|")) ps :+= edgeName()
+            member()
+            while (p.trySym("|")) member()
             p.eatSym(")")
-            ps
-          case _ => Seq(edgeName())
+          case _ => member()
         }
-        PNegSet(preds)
+        PNegSet(fwd, inv)
       case Some(TSym("(")) =>
         p.pos += 1
         val x = parsePathAlt(p, prefixes)
@@ -1597,7 +1601,7 @@ object Sparql {
 
   private def pathConsts(p: Path): Set[String] = p match {
     case PEdge(e) => Set(e)
-    case PNegSet(ps) => ps.toSet
+    case PNegSet(ps, ips) => ps.toSet ++ ips
     case PInv(x) => pathConsts(x)
     case PSeq(l, r) => pathConsts(l) ++ pathConsts(r)
     case PAlt(l, r) => pathConsts(l) ++ pathConsts(r)
@@ -2304,9 +2308,21 @@ object Sparql {
     path match {
       case PEdge(e) =>
         env.triples.where(col("p") === lit(env.cval(e))).select(col("s"), col("o"))
-      case PNegSet(preds) =>
-        env.triples.where(!col("p").isin(preds.map(env.cval): _*))
-          .select(col("s"), col("o"))
+      case PNegSet(preds, invPreds) =>
+        // §9.1: the forward component matches edges whose predicate is
+        // outside the FORWARD members; the reverse component (present
+        // only when the set has ^-members) matches reversed edges whose
+        // predicate is outside the INVERSE members
+        val parts = Seq(
+          if (preds.nonEmpty || invPreds.isEmpty)
+            Some(env.triples.where(!col("p").isin(preds.map(env.cval): _*))
+              .select(col("s"), col("o")))
+          else None,
+          if (invPreds.nonEmpty)
+            Some(env.triples.where(!col("p").isin(invPreds.map(env.cval): _*))
+              .select(col("o").as("s"), col("s").as("o")))
+          else None).flatten
+        parts.reduce(_.unionAll(_))
       case PInv(x) =>
         pathRel(env, x, extra).select(col("o").as("s"), col("s").as("o"))
       case PSeq(l, r) =>
@@ -2358,7 +2374,7 @@ object Sparql {
     */
   private def pathRelSeeded(env: Env, path: Path, extra: Seq[Any],
                             seeds: DataFrame): DataFrame = path match {
-    case PEdge(_) | PNegSet(_) | PInv(PEdge(_)) | PInv(PNegSet(_)) =>
+    case PEdge(_) | PNegSet(_, _) | PInv(PEdge(_)) | PInv(PNegSet(_, _)) =>
       // leaf scan (or reversed leaf scan) restricted to seed subjects; the
       // seed side is a handful of rows -> AQE broadcasts it
       val leaf = path match {

@@ -115,6 +115,19 @@ class SparqlSpec extends SparkSpec {
     res shouldBe Seq(Seq("1", "3"), Seq("5", "5"))
   }
 
+  it should "support inverse members in negated property sets" in {
+    // pure inverse: reversed edges whose predicate is not :2 -> the :4 edges
+    run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x !(^:2) ?y } ORDER BY ?x ?y""".stripMargin) shouldBe
+      Seq(Seq("5", "3"), Seq("6", "3"))
+    // mixed: forward edges with p != :2 plus reversed edges with p != :4
+    run(
+      """PREFIX : <>
+        |SELECT ?x ?y WHERE { ?x !(:2|^:4) ?y } ORDER BY ?x ?y""".stripMargin) shouldBe
+      Seq(Seq("3", "1"), Seq("3", "5"), Seq("3", "6"), Seq("5", "5"), Seq("5", "6"))
+  }
+
   it should "sort numerically via an expression ORDER BY key" in {
     // plain ORDER BY ?x is serialized-term order ("10" < "9", the oracle
     // convention); the numeric-grammar expression key sorts by value
