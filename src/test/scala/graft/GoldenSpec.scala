@@ -229,6 +229,18 @@ class GoldenSpec extends SparkSpec {
         |  BIND(DATATYPE(?t) AS ?dt)
         |  BIND(BNODE(?nm) AS ?b)
         |} ORDER BY ?r""".stripMargin,
+    "sparql_blank_polist" ->
+      """PREFIX : <>
+        |SELECT ?o WHERE { [ :name "NATION_3" ; :regionkey ?o ] }
+        |ORDER BY ?o""".stripMargin,
+    "sparql_npath_inv" ->
+      """PREFIX : <>
+        |SELECT ?n ?v WHERE { ?n a "Nation" . ?n !(:a|:name|^:nationkey) ?v }
+        |ORDER BY ?n ?v""".stripMargin,
+    "sparql_agg_distinct" ->
+      """PREFIX : <>
+        |SELECT (SUM(DISTINCT ?sz) AS ?s) (AVG(DISTINCT ?sz) AS ?a)
+        |WHERE { ?p a "Part" ; :size ?sz }""".stripMargin,
     "sparql_values_trailing" ->
       """PREFIX : <>
         |SELECT ?n ?nm WHERE { ?n a "Nation" . ?n :name ?nm }

@@ -229,6 +229,20 @@ QUERIES = {
                14 AS h, 45 AS m, 13.5 AS sec,
                '+05:30' AS tz, 'PT5H30M' AS dur
         FROM region ORDER BY r""",
+    # [ po-list ] blank subject: a fresh hidden variable
+    "sparql_blank_polist": """
+        SELECT 'region:' || n_regionkey AS o FROM nation
+        WHERE n_name = 'NATION_3' ORDER BY o""",
+    # negated property set with forward AND inverse members:
+    # forward edges of a nation other than a/name, no reverse edges
+    # survive the ^nationkey exclusion
+    "sparql_npath_inv": """
+        SELECT 'nation:' || n_nationkey AS n, 'region:' || n_regionkey AS v
+        FROM nation ORDER BY n, v""",
+    # SUM/AVG over the DISTINCT value set
+    "sparql_agg_distinct": """
+        SELECT sum(DISTINCT p_size)::DOUBLE AS s,
+               round(avg(DISTINCT p_size), 9) AS a FROM part""",
     # trailing ValuesClause: joined after the modifiers position in the
     # text, before projection in the algebra
     "sparql_values_trailing": """
