@@ -1108,9 +1108,16 @@ object Sparql {
           }
         case Some(TSym("{")) =>
           if (p.peekAhead(1).exists(p.isKw(_, "SELECT"))) {
-            // subquery: { SELECT ... WHERE { ... } modifiers }
+            // subquery: { SELECT ... WHERE { ... } modifiers [VALUES ...] }
             p.pos += 1
-            subqueries :+= parseQueryBody(p, prefixes)
+            var sub = parseQueryBody(p, prefixes)
+            // a trailing ValuesClause INSIDE the braces belongs to the
+            // subquery (§18.2.4.4: applied before its projection), not to
+            // the enclosing group — consuming it as a sibling VALUES would
+            // cross-join-extend when the variable isn't projected
+            if (p.tryKw("VALUES"))
+              sub = sub.copy(postValues = Some(parseDataBlock(p, prefixes)))
+            subqueries :+= sub
             p.eatSym("}")
           } else {
             val left = parseGroup(p, prefixes)
@@ -1159,18 +1166,24 @@ object Sparql {
                   t == TSym("]"))
             }
           }
-          def parseNode(): Term = p.peek match {
+          def parseNodeB(): (Term, Boolean) = p.peek match {
             case Some(TSym("[")) =>
               p.pos += 1
               val b = V(s"__bn${p.fresh}")
               p.fresh += 1
               if (!p.trySym("]")) { parsePo(b); p.eatSym("]") }
-              b
-            case _ => parseTerm(p, prefixes)
+              (b, true)
+            case _ => (parseTerm(p, prefixes), false)
           }
-          val s = parseNode()
-          // a subject-position property list may stand alone: `[ :p :o ] .`
+          def parseNode(): Term = parseNodeB()._1
+          val (s, subjectWasBracket) = parseNodeB()
+          // ONLY a subject-position `[ po-list ]` blank may stand alone
+          // (`[ :p :o ] .`); any other lone term (`?z .`, `"x" .`) is a
+          // syntax error, not a silently-dropped pattern
           if (!p.peek.exists(t => t == TSym(".") || t == TSym("}"))) parsePo(s)
+          else if (!subjectWasBracket)
+            throw new IllegalArgumentException(
+              s"parse error: subject $s has no predicate-object list")
           p.trySym(".") // trailing dot optional before '}'
       }
     }
@@ -1837,6 +1850,14 @@ object Sparql {
       "executeStreamWindowed supports the append-mode BGP+FILTER+BIND aggregate subset")
     val aggs = q.projection.collect { case a: PAgg => a }
     require(aggs.nonEmpty, "no aggregates — use executeStream")
+    // Structured Streaming rejects distinct aggregates on streaming
+    // aggregations at runtime; fail here with the module's own error
+    // instead of surfacing an engine AnalysisException mid-stream.
+    aggs.find(_.distinct).foreach { a =>
+      throw new IllegalArgumentException(
+        s"${a.fn}(DISTINCT) is not supported on streaming aggregations — " +
+          "use the batch path or dedup at the sink")
+    }
     var df = Bgp.compileStream(
       spark, streamTriples.withWatermark(tsCol, watermark), staticTriples,
       q.group.triples, stats, carry = Seq(tsCol))
@@ -1849,15 +1870,10 @@ object Sparql {
     val having = q.having.map(extractAggsB(_, havingAggs))
     val aggCols = aggs.map { a =>
       (a.fn match {
-        case "COUNT" if a.distinct => countDistinct(col(a.arg.get))
         case "COUNT" => count(a.arg.map(col).getOrElse(lit(1)))
-        case "SUM" if a.distinct => sum_distinct(col(a.arg.get).cast("double"))
         case "SUM" => sum(col(a.arg.get).cast("double"))
         case "MIN" => min(col(a.arg.get))
         case "MAX" => max(col(a.arg.get))
-        case "AVG" if a.distinct =>
-          sum_distinct(col(a.arg.get).cast("double")) /
-            countDistinct(col(a.arg.get))
         case "AVG" => avg(col(a.arg.get).cast("double"))
         case "SAMPLE" => min(col(a.arg.get))
         case other => throw new IllegalArgumentException(
@@ -1945,9 +1961,6 @@ object Sparql {
       },
       having = qRaw.having.map(extractAggsB(_, exprAggs)))
     var df = compileGroup(env, q.group)
-    // SELECT * projects the named variables only — internal `__` vars
-    // (path-chain midpoints, anonymous-blank vars) stay hidden
-    val allVars = df.columns.toSeq.filterNot(_.startsWith("__"))
     val aggs = q.projection.collect { case a: PAgg => a }
     // Sort keys materialize BEFORE projection (ARQ's OrderBy-then-Project
     // algebra position: keys may use non-projected vars and arbitrary
@@ -2002,9 +2015,14 @@ object Sparql {
           case "MIN" => min(res(a.arg.get))
           case "MAX" => max(res(a.arg.get))
           case "AVG" if a.distinct =>
-            // avg over the distinct value set (no avg_distinct builtin)
+            // avg over the distinct value set (no avg_distinct builtin).
+            // Both legs dedup in the SAME domain — the numeric value —
+            // pairing with sum_distinct; COUNT(DISTINCT) alone keeps term
+            // dedup. Mixing value-dedup sum with term-dedup count gave a
+            // wrong average when distinct lexical forms denote one number
+            // ("1" vs "1.0").
             sum_distinct(res(a.arg.get).cast("double")) /
-              countDistinct(res(a.arg.get))
+              countDistinct(res(a.arg.get).cast("double"))
           case "AVG" => avg(res(a.arg.get).cast("double"))
           case "GROUP_CONCAT" =>
             val items =
@@ -2030,7 +2048,9 @@ object Sparql {
       df = withSortKeys(df)
       df =
         if (q.projection.isEmpty)
-          df.select((allVars ++
+          // recompute the star list AFTER the postValues join — a trailing
+          // VALUES may introduce variables not bound in the WHERE group
+          df.select((df.columns.toSeq.filterNot(_.startsWith("__")) ++
             df.columns.filter(_.startsWith("__sk"))).map(col): _*)
         else projected(df)
     }

@@ -190,6 +190,48 @@ class SparqlSpec extends SparkSpec {
     res.head shouldBe ((8.0, 4.0, 13.0))
   }
 
+  it should "dedup SUM and AVG DISTINCT in the same value domain" in {
+    // "1" and "01" are distinct terms but the same number — both legs of
+    // AVG(DISTINCT) must dedup on the VALUE, or the average comes out
+    // wrong under any convention (sum sees one 1.0, count saw two terms)
+    val t = Seq(("a", "v", "1"), ("b", "v", "01"), ("c", "v", "2"))
+      .toDF("s", "p", "o")
+    val res = Sparql.execute(spark, t,
+      """PREFIX : <>
+        |SELECT (SUM(DISTINCT ?o) AS ?s) (AVG(DISTINCT ?o) AS ?a)
+        |WHERE { ?x :v ?o }""".stripMargin)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
+    res.head shouldBe ((3.0, 1.5))
+  }
+
+  it should "reject a lone non-bracket subject as a parse error" in {
+    an[IllegalArgumentException] should be thrownBy Sparql.parse(
+      """PREFIX : <>
+        |SELECT * WHERE { ?x :2 ?y . ?z }""".stripMargin)
+    an[IllegalArgumentException] should be thrownBy Sparql.parse(
+      """PREFIX : <> SELECT * WHERE { "x" }""")
+  }
+
+  it should "include trailing-VALUES-only variables in SELECT *" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT * WHERE { ?x :2 "3" } VALUES ?tag { "t1" "t2" }""".stripMargin)
+    res.toSet shouldBe Set(Seq("1", "t1"), Seq("1", "t2"))
+  }
+
+  it should "apply a subquery's trailing VALUES before its projection" in {
+    // ?b is NOT projected: the inner ValuesClause must restrict the
+    // subquery (§18.2.4.4), not cross-join-extend the enclosing group
+    run("""PREFIX : <>
+          |SELECT ?c WHERE { { SELECT ?c WHERE { ?b :4 ?c } VALUES ?b { "99" } } }""".stripMargin)
+      .shouldBe(empty)
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?c WHERE { { SELECT ?c WHERE { ?b :4 ?c } VALUES ?b { "3" } } }
+        |ORDER BY ?c""".stripMargin)
+    res shouldBe Seq(Seq("5"), Seq("6"))
+  }
+
   it should "treat [ ... ] blank property lists as fresh hidden variables" in {
     // object position: ?x :2 [ :4 "5" ]  ==  ?x :2 ?b . ?b :4 "5"
     val res = run(

@@ -255,6 +255,22 @@ class StreamingBgpSpec extends SparkSpec {
       ("2024-01-01 00:00:00", "2024-01-01 00:10:00", "region:4", 1L))
   }
 
+  it should "reject DISTINCT aggregates with the module's own error" in {
+    // Structured Streaming disallows distinct aggregates on streaming
+    // aggregations — fail at compile with a clear message, not with an
+    // engine AnalysisException when the stream starts
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    val src = MemoryStream[(Timestamp, String, String, String)]
+    val ex = the[IllegalArgumentException] thrownBy
+      graft.sparql.Sparql.executeStreamWindowed(spark,
+        src.toDF().toDF("ts", "s", "p", "o"), staticTriples,
+        """PREFIX : <>
+          |SELECT (COUNT(DISTINCT ?c) AS ?cnt) WHERE { ?c :nationkey ?n }""".stripMargin,
+        windowLen = "10 minutes", watermark = "0 seconds")
+    ex.getMessage should include("DISTINCT")
+  }
+
   it should "apply HAVING to the finalized windowed groups" in {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
