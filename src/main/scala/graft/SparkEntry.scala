@@ -441,9 +441,11 @@ object SparkEntry {
     VectorOps.dimCentroids(Tables.loadPar(s, d, "embeddings"), col("vec_id") % 8)
       .orderBy("bucket", "dim")
 
-  /** Deterministic k-means clustering over the embedding corpus (k=8,
-    * 3 fixed Lloyd iterations; spread seed init, integer-micros centroid
-    * updates — see VectorOps.kmeans for the engine-parity contract).
+  /** Deterministic k-means clustering over the embedding corpus
+    * (corpus-proportional k = greatest(8, n // 1024), 3 fixed Lloyd
+    * iterations; spread seed init, integer-micros centroid updates — see
+    * VectorOps.kmeans for the engine-parity contract; the oracle replays
+    * the same k derivation).
     */
   private def kmeansQ(s: SparkSession, d: String): DataFrame =
     graft.store.GraftStore.kmeansIndex(s, d)
@@ -708,10 +710,11 @@ object SparkEntry {
       .select("query_id", "neighbor_id", "cos", "rnk")
       .orderBy("query_id", "rnk")
 
-  /** IVF ANN: fixed seed centroids (vec_id < 16), search the query's
-    * cell. The centroids and the corpus-side cell assignment come from
-    * the shared per-corpus index (`GraftStore.ivfIndex`) — only the
-    * query batch's own cells are computed per call.
+  /** IVF ANN: corpus-proportional seed centroid count (greatest(16,
+    * n // 1024) — `VectorOps.clusterCount`, replayed by the oracle), search
+    * the query's cell. The centroids and the corpus-side cell assignment
+    * come from the shared per-corpus index (`GraftStore.ivfIndex`) — only
+    * the query batch's own cells are computed per call.
     */
   private def annIvf(s: SparkSession, d: String): DataFrame = {
     val (cent, cells) = GraftStore.ivfIndex(s, d)
@@ -1781,7 +1784,7 @@ object SparkEntry {
     * final assignment CTE `a<iters>` (vec_id, cluster, cos) — shared by
     * the q_kmeans and q_semdedup oracles.
     */
-  private def kmeansOracleCtes(k: Int = 8, iters: Int = 3): String = {
+  private def kmeansOracleCtes(iters: Int = 3): String = {
     def assign(t: Int) =
       s"""sc$t AS (SELECT e.vec_id, c.cluster, ${duckCos6("e.embedding", "c.cv")} AS cos
          |  FROM e CROSS JOIN c$t c),
@@ -1798,10 +1801,14 @@ object SparkEntry {
          |    GROUP BY 1, 2) GROUP BY cluster)""".stripMargin
     val body = (0 until iters).map(t => assign(t) + ",\n" + update(t))
       .mkString(",\n") + ",\n" + assign(iters)
+    // k replays VectorOps.clusterCount: greatest(8, n // 1024) — the
+    // corpus-proportional cluster count, derived identically on both
+    // engines so the gate holds at ANY scale factor
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |p AS (SELECT count(*) // $k AS step FROM e),
+       |p AS (SELECT greatest(8, count(*) // 1024) AS k,
+       |             count(*) // greatest(8, count(*) // 1024) AS step FROM e),
        |c0 AS (SELECT (vec_id // p.step)::INT AS cluster, embedding AS cv
-       |       FROM e, p WHERE vec_id % p.step = 0 AND vec_id < $k * p.step),
+       |       FROM e, p WHERE vec_id % p.step = 0 AND vec_id < p.k * p.step),
        |$body""".stripMargin
   }
 
@@ -2706,7 +2713,8 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin,
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 16),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
+         |        WHERE vec_id < (SELECT greatest(16, count(*) // 1024) FROM e)),
          |sc AS (SELECT e.vec_id, cent_id, ${duckCos6("e.embedding", "cv")} AS cos
          |       FROM e CROSS JOIN cent),
          |asg AS (SELECT vec_id, cent_id AS cell FROM (
@@ -2725,7 +2733,8 @@ object SparkEntry {
          |ORDER BY query_id, rnk""".stripMargin,
     "q_ann_recall" ->
       s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e WHERE vec_id < 16),
+         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
+         |        WHERE vec_id < (SELECT greatest(16, count(*) // 1024) FROM e)),
          |sc AS (SELECT e.vec_id, cent_id, ${duckCos6("e.embedding", "cv")} AS cos
          |       FROM e CROSS JOIN cent),
          |asg AS (SELECT vec_id, cent_id AS cell FROM (

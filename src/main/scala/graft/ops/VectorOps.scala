@@ -20,6 +20,20 @@ import org.apache.spark.sql.functions._
   */
 object VectorOps {
 
+  /** Corpus-proportional cluster count — THE SemDeDup/IVF scale knob.
+    * k = max(floor, n / targetClusterSize): cluster population stays
+    * ~constant as the corpus grows, so within-cluster quadratics
+    * (Σ|cluster|² candidate pairs) stay bounded instead of n²/k with a
+    * frozen k. SemDeDup (arXiv:2303.09540) uses 50k clusters for 100M
+    * docs ≈ 2k per cluster; target 1024 is the same regime. The DuckDB
+    * oracles replay the identical formula (`greatest(floor, n // target)`)
+    * so derived-k gates stay engine-exact at any scale factor.
+    */
+  def clusterCount(n: Long, targetClusterSize: Long = 1024L,
+                   floor: Int = 8): Int =
+    math.min(math.max(floor.toLong, n / targetClusterSize), Int.MaxValue.toLong)
+      .toInt
+
   /** Double-precision dot product. Uses the native codegen'd expression
     * (graft.functions.DotProductD, registered by GraftExtensions) — Spark's
     * higher-order functions would interpret the lambda per element. Same
@@ -309,8 +323,23 @@ object VectorOps {
     * downstream ops that need the vector AND its cluster in one relation
     * (semantic dedup, per-cluster diversity sampling) without re-joining
     * the corpus. Same determinism contract as `kmeans`.
+    *
+    * Nearest-centroid assignment has TWO physical shapes with identical
+    * results (max cosine6, ties to the smallest cluster id):
+    *   - k ≤ `literalMax`: the centroids ride along as literal float
+    *     arrays and the argmax is one codegen'd `greatest` over k structs
+    *     — no join, no shuffle, the cheapest possible pass;
+    *   - k > `literalMax`: a 50k-way literal expression is not a plan, so
+    *     the centroids become a BROADCAST relation and the argmax is a
+    *     map-side-combined `max(struct(cos, -cluster))` per vec_id — one
+    *     broadcast nested-loop join + one partial-aggregated shuffle of
+    *     ~n rows (NOT n·k: the combiner folds the k candidates before the
+    *     exchange). This is the 100-TB shape `ivfAssign` uses, minus
+    *     ivfAssign's window (an aggregate combines map-side; a window
+    *     cannot).
     */
-  def kmeansAssigned(emb: DataFrame, k: Int = 8, iters: Int = 3): DataFrame = {
+  def kmeansAssigned(emb: DataFrame, k: Int = 8, iters: Int = 3,
+                     literalMax: Int = 64): DataFrame = {
     val e = emb.select(col("vec_id"), col("embedding"))
     val n = e.count()
     val step = n / k
@@ -322,15 +351,28 @@ object VectorOps {
         .map(r => (r.getInt(0), r.getSeq[Float](1)))
         .sortBy(_._1)
 
-    def assigned: DataFrame = {
-      val best = greatest(cents.map { case (c, v) =>
-        struct(cosine6(col("embedding"), typedLit(v)).as("cos"),
-          lit(-c).as("nc"))
-      }: _*)
-      e.select(col("vec_id"), col("embedding"), best.as("b"))
-        .select(col("vec_id"), col("embedding"),
-          (-col("b.nc")).cast("int").as("cluster"), col("b.cos").as("cos"))
-    }
+    def assigned: DataFrame =
+      if (cents.size <= literalMax) {
+        val best = greatest(cents.map { case (c, v) =>
+          struct(cosine6(col("embedding"), typedLit(v)).as("cos"),
+            lit(-c).as("nc"))
+        }: _*)
+        e.select(col("vec_id"), col("embedding"), best.as("b"))
+          .select(col("vec_id"), col("embedding"),
+            (-col("b.nc")).cast("int").as("cluster"), col("b.cos").as("cos"))
+      } else {
+        val spark = e.sparkSession
+        import spark.implicits._
+        val cdf = cents.toDF("cluster", "cv")
+        e.crossJoin(broadcast(cdf))
+          .select(col("vec_id"), col("embedding"),
+            struct(cosine6(col("embedding"), col("cv")).as("cos"),
+              (-col("cluster")).as("nc")).as("sc"))
+          .groupBy(col("vec_id"))
+          .agg(first(col("embedding")).as("embedding"), max(col("sc")).as("b"))
+          .select(col("vec_id"), col("embedding"),
+            (-col("b.nc")).cast("int").as("cluster"), col("b.cos").as("cos"))
+      }
 
     for (_ <- 1 to iters) {
       val upd = assigned

@@ -865,22 +865,28 @@ object GraftStore {
   }
 
   private val ivfCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[(DataFrame, DataFrame)]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Lazily[(DataFrame, DataFrame)]]
 
   /** IVF index of the embeddings table — the (centroids, storage-side
-    * cell assignment) pair, materialized once per (session, dir) like
-    * `entityAdjacency`: the corpus-side assignment is an INGEST artifact
-    * (at cluster scale, the inverted-file table an ingest job writes),
-    * so every `ivfSearchWith` call reuses it and recomputes only the
-    * query batch's own cells. Centroids are the fixed seed set the
-    * pipeline standardizes on (vec_id < 16).
+    * cell assignment) pair, materialized once per (session, dir, nCent)
+    * like `entityAdjacency`: the corpus-side assignment is an INGEST
+    * artifact (at cluster scale, the inverted-file table an ingest job
+    * writes), so every `ivfSearchWith` call reuses it and recomputes only
+    * the query batch's own cells. `nCentroids` ≤ 0 derives the cell count
+    * from the corpus size (`VectorOps.clusterCount`, floor 16) so cell
+    * population stays ~constant as the corpus grows; the ANN oracles
+    * replay the same formula.
     */
-  def ivfIndex(spark: SparkSession, sfDir: String): (DataFrame, DataFrame) = {
+  def ivfIndex(spark: SparkSession, sfDir: String,
+               nCentroids: Int = 0): (DataFrame, DataFrame) = {
     evictStopped()
-    ivfCache.getOrElseUpdate((spark, sfDir), new Lazily({
+    ivfCache.getOrElseUpdate((spark, sfDir, nCentroids), new Lazily({
       val emb = graft.Tables.loadPar(spark, sfDir, "embeddings")
+      val nc =
+        if (nCentroids > 0) nCentroids
+        else graft.ops.VectorOps.clusterCount(emb.count(), floor = 16)
       val cent = graft.ops.VectorOps
-        .centroidsOf(emb, col("vec_id") < 16).localCheckpoint(true)
+        .centroidsOf(emb, col("vec_id") < nc).localCheckpoint(true)
       val cells = graft.ops.VectorOps.ivfAssign(emb, cent, probes = 1)
         .localCheckpoint(true)
       (cent, cells)
@@ -888,21 +894,27 @@ object GraftStore {
   }
 
   private val kmeansCache =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, Int), Lazily[DataFrame]]
 
   /** Deterministic k-means assignment of the embeddings table
     * (vec_id, embedding, cluster, cos), materialized once per
-    * (session, dir) — the cluster-index ingest artifact shared by the
+    * (session, dir, k) — the cluster-index ingest artifact shared by the
     * clustering gate and the semantic-dedup prune (at cluster scale, the
     * assignment table an ingest job writes next to the embeddings;
     * SemDeDup clusters once, then every curation pass reuses the
-    * bucketing).
+    * bucketing). `k` ≤ 0 derives the cluster count from the corpus size
+    * (`VectorOps.clusterCount`: n / 1024 with a floor of 8) so
+    * within-cluster quadratics stay bounded as the corpus grows; the
+    * assignment shape auto-switches to broadcast-join at large k
+    * (`VectorOps.kmeansAssigned`).
     */
-  def kmeansIndex(spark: SparkSession, sfDir: String): DataFrame = {
+  def kmeansIndex(spark: SparkSession, sfDir: String, k: Int = 0): DataFrame = {
     evictStopped()
-    kmeansCache.getOrElseUpdate((spark, sfDir), new Lazily(
-      graft.Pins.checkpoint(graft.ops.VectorOps.kmeansAssigned(
-        graft.Tables.loadPar(spark, sfDir, "embeddings"))))).value
+    kmeansCache.getOrElseUpdate((spark, sfDir, k), new Lazily({
+      val emb = graft.Tables.loadPar(spark, sfDir, "embeddings")
+      val kk = if (k > 0) k else graft.ops.VectorOps.clusterCount(emb.count())
+      graft.Pins.checkpoint(graft.ops.VectorOps.kmeansAssigned(emb, kk))
+    })).value
   }
 
   private val bpeCache = scala.collection.concurrent.TrieMap

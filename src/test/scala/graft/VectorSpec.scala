@@ -114,7 +114,51 @@ class VectorSpec extends SparkSpec {
     fin should not be seeds
   }
 
-  "semDedup" should "match a driver-side replay of the dominance rule" in {
+  it should "produce identical assignments through both physical shapes" in {
+    // the scale knob: k ≤ literalMax runs the codegen greatest-over-
+    // structs argmax; k above it runs the broadcast-join + map-side-
+    // combined max(struct) — same (cos DESC, cluster ASC) contract, so
+    // results must be bit-identical at any k
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    for (k <- Seq(4, 25)) {
+      val lit = VectorOps.kmeansAssigned(e, k = k, literalMax = 64)
+        .select("vec_id", "cluster", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+      val join = VectorOps.kmeansAssigned(e, k = k, literalMax = 0)
+        .select("vec_id", "cluster", "cos").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2))).sortBy(_._1).toSeq
+      join shouldBe lit
+    }
+  }
+
+  it should "assign via a broadcast join, not a k-way greatest, at large k" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = VectorOps.kmeansAssigned(e, k = 25, literalMax = 0)
+      .queryExecution.executedPlan.toString
+    plan should include("Broadcast")
+    plan should not include "greatest"
+    // and the argmax aggregates map-side (partial_max before the exchange)
+    plan should include("partial_max")
+  }
+
+  "clusterCount" should "grow with the corpus above the floor" in {
+    VectorOps.clusterCount(500) shouldBe 8
+    VectorOps.clusterCount(2000) shouldBe 8
+    VectorOps.clusterCount(1024L * 50) shouldBe 50
+    VectorOps.clusterCount(100L * 1000 * 1000) shouldBe 97656 // ~SemDeDup's 50k regime
+    VectorOps.clusterCount(100, targetClusterSize = 10, floor = 4) shouldBe 10
+  }
+
+  "semDedup" should "prune identically over both assignment shapes" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    def run(litMax: Int) =
+      VectorOps.semDedupOver(
+          VectorOps.kmeansAssigned(e, k = 10, literalMax = litMax), 0.4)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getBoolean(2))).toSeq
+    run(64) shouldBe run(0)
+  }
+
+  it should "match a driver-side replay of the dominance rule" in {
     val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
     val res = VectorOps.semDedup(e, threshold = 0.4).collect()
       .map(r => (r.getLong(0), r.getBoolean(2))).toMap
