@@ -1747,9 +1747,12 @@ object Sparql {
     * duplicate older than the horizon re-emits). `OPTIONAL` groups over
     * STATIC patterns enrich each solution via an append-safe
     * stream-static left join (the bounded side needs no watermark
-    * state). Modifiers that need FULL-result state (unbounded DISTINCT /
-    * ORDER / LIMIT) are rejected — run those on the sink's output;
-    * aggregates belong to `executeStreamWindowed`.
+    * state). A `UNION` compiles as the union of per-branch delta
+    * decompositions (each arm = outer ++ branch patterns, already
+    * append-safe). Modifiers that need FULL-result state (unbounded
+    * DISTINCT / ORDER / LIMIT) are rejected — run those on the sink's
+    * output; aggregates belong to `executeStreamWindowed`; MINUS,
+    * property paths, and subqueries remain unsupported in streams.
     */
   def executeStream(spark: SparkSession, streamTriples: DataFrame,
                     staticTriples: DataFrame, queryText: String,
@@ -1757,14 +1760,29 @@ object Sparql {
                     watermark: Option[String] = None,
                     tsCol: String = "ts"): DataFrame = {
     val q = parse(queryText)
-    require(q.group.unions.isEmpty &&
+    require(
       q.group.minuses.isEmpty && q.group.values.isEmpty &&
       q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
       q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
       q.group.valuesMulti.isEmpty && q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
-      "executeStream supports the append-mode BGP+FILTER+BIND subset")
+      "executeStream supports the append-mode BGP+FILTER+BIND+UNION subset")
+    // UNION: each branch compiles as ITS OWN per-pattern delta over the
+    // combined pattern set (outer triples ++ branch triples) and the arms
+    // union — Δ(T ⋈ (A ∪ B)) = Δ(T ⋈ A) ∪ Δ(T ⋈ B), each arm already
+    // append-safe, so a new edge matching any position of either branch
+    // emits exactly its batch-equivalent solutions. One UNION pair per
+    // group (m pairs would need the 2^m arm product).
+    require(q.group.unions.size <= 1,
+      "executeStream supports at most one UNION per group")
+    q.group.unions.foreach { case (l, r) => Seq(l, r).foreach(b =>
+      require(b.triples.nonEmpty && b.optionals.isEmpty && b.unions.isEmpty &&
+        b.minuses.isEmpty && b.paths.isEmpty && b.subqueries.isEmpty &&
+        b.subgroups.isEmpty && b.existsFilters.isEmpty && b.values.isEmpty &&
+        b.valuesMulti.isEmpty,
+        "streaming UNION branches may contain only triple patterns, " +
+          "filters, and BINDs")) }
     // OPTIONAL over STATIC patterns only: the enrichment side is bounded,
     // so the stream-static left outer join is append-safe without
     // watermark state (an optional binding that arrives in the store
@@ -1783,10 +1801,23 @@ object Sparql {
     val stream =
       if (dedup) streamTriples.withWatermark(tsCol, watermark.get)
       else streamTriples
-    var df = Bgp.compileStream(spark, stream, staticTriples,
-      q.group.triples, stats, carry = if (dedup) Seq(tsCol) else Nil)
-    q.group.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
-    q.group.filters.foreach(f => df = df.where(compileExpr(f)))
+    def arm(branch: Option[Group]): DataFrame = {
+      var d = Bgp.compileStream(spark, stream, staticTriples,
+        q.group.triples ++ branch.fold(Seq.empty[TriplePattern])(_.triples),
+        stats, carry = if (dedup) Seq(tsCol) else Nil)
+      (q.group.binds ++ branch.fold(Seq.empty[(EExpr, String)])(_.binds))
+        .foreach { case (e, v) => d = d.withColumn(v, compileVal(e)) }
+      (q.group.filters ++ branch.fold(Seq.empty[Expr])(_.filters))
+        .foreach(f => d = d.where(compileExpr(f)))
+      d
+    }
+    var df = q.group.unions.headOption match {
+      case None => arm(None)
+      // bag union; branch-only variables are null (unbound) in the other
+      // arm's rows, as in the batch compiler
+      case Some((l, r)) =>
+        arm(Some(l)).unionByName(arm(Some(r)), allowMissingColumns = true)
+    }
     val senv = stringEnv(spark, staticTriples, stats)
     q.group.optionals.foreach { opt =>
       val o = compileGroup(senv, opt)

@@ -176,6 +176,47 @@ class StreamingBgpSpec extends SparkSpec {
       Set(("customer:1", "region:2"), ("customer:4", "region:2"))
   }
 
+  it should "emit batch-equivalent rows for a two-branch UNION" in {
+    // Δ(T ⋈ (A ∪ B)) = Δ(T ⋈ A) ∪ Δ(T ⋈ B): each arm is its own
+    // per-pattern delta over the combined pattern set, so a new edge
+    // matching either branch (or the outer pattern) emits its solutions
+    implicit val sqlCtx = spark.sqlContext
+    val static2 = Seq(
+      ("nation:3", "regionkey", "region:4"),
+      ("nation:3", "altregion", "region:8"),
+      ("customer:0", "nationkey", "nation:1")).toDF("s", "p", "o")
+    val query =
+      """PREFIX : <>
+        |SELECT ?c ?r WHERE {
+        |  ?c :nationkey ?n .
+        |  { ?n :regionkey ?r } UNION { ?n :altregion ?r }
+        |}""".stripMargin
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), static2, query)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_union")
+      .outputMode("append").start()
+    // one streamed edge matches BOTH branches' outer pattern...
+    src.addData(("customer:1", "nationkey", "nation:3"))
+    q.processAllAvailable()
+    // ...and one matches only the second branch's pattern
+    src.addData(("nation:1", "altregion", "region:9"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sparql_stream_union").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // every batch solution here uses >= 1 streamed edge, so the stream
+    // must emit exactly the batch answer over static ∪ streamed
+    val batch = graft.sparql.Sparql.execute(spark,
+        static2.union(Seq(
+          ("customer:1", "nationkey", "nation:3"),
+          ("nation:1", "altregion", "region:9")).toDF("s", "p", "o")), query)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe batch
+    batch shouldBe Set(("customer:1", "region:4"),
+      ("customer:1", "region:8"), ("customer:0", "region:9"))
+  }
+
   it should "deduplicate SELECT DISTINCT within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
