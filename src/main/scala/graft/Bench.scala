@@ -34,17 +34,34 @@ object Bench {
     // in @Setup, outside measured iterations — BASELINE.md): warm the JVM
     // and ingest the store handle once, then measure queries.
     spark.range(1000).selectExpr("sum(id)").collect()
-    try {
-      graft.store.GraftStore.forDir(spark, sfDir)
-      graft.store.GraftStore.docGrams(spark, sfDir)
-      graft.store.GraftStore.docDupPairs(spark, sfDir, threshold = 0.5)
-      graft.store.GraftStore.entityAdjacency(spark, sfDir)
-      graft.store.GraftStore.entityAdjacencyEnc(spark, sfDir)
-      graft.store.GraftStore.ivfIndex(spark, sfDir)
-      graft.store.GraftStore.kmeansIndex(spark, sfDir)
-      if (graft.LubmData.available)
-        graft.store.GraftStore.forNTriples(spark, graft.LubmData.glob)
-    } catch { case _: Throwable => }
+    // Each artifact warms independently and a failure is VISIBLE (one
+    // stderr line with the exception class) and retried once: a transient
+    // first-touch error (observed: FileNotFoundException on the LUBM glob
+    // right after fixture extraction) must not silently un-warm an
+    // artifact and surface later as a mystery slow gate.
+    def warm(what: String)(f: => Any): Unit = {
+      def attempt(): Option[Throwable] =
+        try { f; None } catch { case e: Throwable => Some(e) }
+      attempt().foreach { e1 =>
+        System.err.println(s"[bench] warmup $what failed " +
+          s"(${e1.getClass.getSimpleName}: ${e1.getMessage}) - retrying once")
+        attempt().foreach(e2 => System.err.println(
+          s"[bench] warmup $what failed twice " +
+            s"(${e2.getClass.getSimpleName}: ${e2.getMessage}) - NOT warm"))
+      }
+    }
+    warm("store")(graft.store.GraftStore.forDir(spark, sfDir))
+    warm("docGrams")(graft.store.GraftStore.docGrams(spark, sfDir))
+    warm("docDupPairs")(
+      graft.store.GraftStore.docDupPairs(spark, sfDir, threshold = 0.5))
+    warm("entityAdjacency")(graft.store.GraftStore.entityAdjacency(spark, sfDir))
+    warm("entityAdjacencyEnc")(
+      graft.store.GraftStore.entityAdjacencyEnc(spark, sfDir))
+    warm("ivfIndex")(graft.store.GraftStore.ivfIndex(spark, sfDir))
+    warm("kmeansIndex")(graft.store.GraftStore.kmeansIndex(spark, sfDir))
+    if (graft.LubmData.available)
+      warm("lubmStore")(
+        graft.store.GraftStore.forNTriples(spark, graft.LubmData.glob))
     // Optional filter for local iteration: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     // deterministic name order: per-query timings comparable across runs.
