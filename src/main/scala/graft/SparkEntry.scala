@@ -753,14 +753,20 @@ object SparkEntry {
   // ---- Training-data pipeline: multimodal binary columns --------------
 
   /** Typed media pipeline end-to-end: binary payloads -> batched
-    * per-partition decode (stubbed codec) -> typed metadata. The oracle
-    * recomputes byte length, fake dimensions, and checksum in SQL.
+    * per-partition decode -> typed metadata. Two GENUINE PNG payloads
+    * (MediaOps.pngFixtures, fixed bytes) ride along with the text
+    * documents: their dimensions come from the REAL javax.imageio
+    * decode, the text rows from the deterministic fallback. The oracle
+    * recomputes the text rows in SQL and pins the PNG rows' constants.
     */
-  private def mediaMeta(s: SparkSession, d: String): DataFrame =
+  private def mediaMeta(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     MediaOps.extractMeta(
-        MediaOps.documentsAsMedia(s, Tables.loadPar(s, d, "documents")))
+        MediaOps.documentsAsMedia(s, Tables.loadPar(s, d, "documents"))
+          .unionByName(s.createDataset(MediaOps.pngFixtures)))
       .toDF()
       .orderBy("media_id")
+  }
 
   /** Frame sampling over the binary payload: fixed-offset windows, hex'd
     * (the video-frame-sample access pattern on an opaque byte column).
@@ -2680,12 +2686,20 @@ object SparkEntry {
         |          c -> ascii(c)::BIGINT)),
         |      (acc, x) -> (acc*31 + x) % 4294967296) AS checksum
         |  FROM documents)
-        |SELECT doc_id AS media_id, 'text' AS kind,
-        |  CAST(octet_length(encode(text)) AS INT) AS byte_len,
-        |  CAST(16 + (checksum % 240) AS INT) AS width,
-        |  CAST(16 + ((checksum // 256) % 240) AS INT) AS height,
-        |  checksum
-        |FROM cs ORDER BY media_id""".stripMargin,
+        |SELECT * FROM (
+        |  SELECT doc_id AS media_id, 'text' AS kind,
+        |    CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |    CAST(16 + (checksum % 240) AS INT) AS width,
+        |    CAST(16 + ((checksum // 256) % 240) AS INT) AS height,
+        |    checksum
+        |  FROM cs
+        |  UNION ALL
+        |  -- the two genuine PNG fixtures: fixed bytes -> pinned length,
+        |  -- checksum, and the real decoded dimensions
+        |  SELECT -1::BIGINT, 'png', 73, 3, 2, 3971401771::BIGINT
+        |  UNION ALL
+        |  SELECT -2::BIGINT, 'png', 108, 5, 7, 3482111590::BIGINT
+        |) ORDER BY media_id""".stripMargin,
     "q_media_frames" ->
       """SELECT doc_id, k AS frame_no,
         |  hex(encode(substring(text, CAST(1 + k*32 AS INT), 16))) AS frame_hex

@@ -13,11 +13,12 @@ final case class MediaFile(media_id: Long, kind: String, bytes: Array[Byte])
 final case class MediaMeta(media_id: Long, kind: String, byte_len: Int,
                            width: Int, height: Int, checksum: Long)
 
-/** Multimodal-column plumbing. The DECODE STEP IS A STUB: this environment
-  * has no image/audio codecs, so `decodeStub` derives deterministic fake
-  * dimensions from the bytes (clearly marked below). Everything around it —
-  * binary schema, typed Dataset, per-partition batching, feature columns —
-  * is real, tested, and shuffle-free.
+/** Multimodal-column plumbing. PNG/JPEG payloads take a REAL decode
+  * (`javax.imageio`, JDK-only — no new dependencies); any other payload
+  * falls back to `decodeStub`, the deterministic fake that stands in for
+  * audio/video codecs this environment lacks. Everything around the codec
+  * — binary schema, typed Dataset, per-partition batching, feature
+  * columns — is real, tested, and shuffle-free.
   */
 object MediaOps {
 
@@ -37,31 +38,75 @@ object MediaOps {
     h
   }
 
-  /** ??? REAL CODEC GOES HERE ??? — deterministic FAKE decode standing in
-    * for an image decoder: "dimensions" are derived from the checksum. A
-    * production build swaps this body for e.g. javax.imageio / ffmpeg and
-    * keeps the exact signature and batching.
+  /** ??? NON-IMAGE CODECS GO HERE ??? — deterministic FAKE decode standing
+    * in for the audio/video codecs this container lacks: "dimensions" are
+    * derived from the checksum. PNG/JPEG do NOT route here — they get the
+    * real `javax.imageio` decode below. A production build swaps this body
+    * for ffmpeg etc. and keeps the exact signature and batching.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int) = {
     val h = byteChecksum(bytes)
     ((16 + (h % 240)).toInt, (16 + ((h >> 8) % 240)).toInt)
   }
 
+  private def isPng(b: Array[Byte]): Boolean =
+    b.length > 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G'
+
+  private def isJpeg(b: Array[Byte]): Boolean =
+    b.length > 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 &&
+      (b(2) & 0xff) == 0xff
+
+  /** Decode one payload: REAL `javax.imageio` for PNG/JPEG (magic-number
+    * sniff; kind is normalized to the detected format), the deterministic
+    * fake for everything else. Returns (kind, width, height).
+    */
+  def decode(kind: String, bytes: Array[Byte]): (String, Int, Int) = {
+    val image = isPng(bytes) || isJpeg(bytes)
+    val decoded =
+      if (!image) None
+      else Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+    decoded match {
+      case Some(img) =>
+        (if (isPng(bytes)) "png" else "jpeg", img.getWidth, img.getHeight)
+      case None =>
+        val (w, h) = decodeStub(bytes)
+        (kind, w, h)
+    }
+  }
+
   /** Batched per-partition decode + feature extraction. No shuffle: this
-    * pipelines directly over the scan, and a real decoder would be
-    * initialized once per batch (grouped iterator), not per row.
+    * pipelines directly over the scan; the decoder's disk cache is off so
+    * executor tasks never touch temp files (pure in-memory decode).
     */
   def extractMeta(ds: Dataset[MediaFile]): Dataset[MediaMeta] = {
     import ds.sparkSession.implicits._
     ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(BatchSize).flatMap { batch =>
         // batch boundary = codec init boundary in a real pipeline
         batch.iterator.map { m =>
-          val (w, h) = decodeStub(m.bytes)
-          MediaMeta(m.media_id, m.kind, m.bytes.length, w, h, byteChecksum(m.bytes))
+          val (kind, w, h) = decode(m.kind, m.bytes)
+          MediaMeta(m.media_id, kind, m.bytes.length, w, h, byteChecksum(m.bytes))
         }
       }
     }
+  }
+
+  /** Two GENUINE binary image fixtures: hand-crafted minimal PNGs
+    * (8-bit grayscale, fixed bytes, so byte length and checksum are
+    * constants the oracle pins) whose dimensions the pipeline must read
+    * through the real decoder — 3x2 and 5x7.
+    */
+  def pngFixtures: Seq[MediaFile] = {
+    val b64 = java.util.Base64.getDecoder
+    Seq(
+      MediaFile(-1L, "image", b64.decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAMAAAACCAAAAAC4HznGAAAAEElEQVR42mNgUPVi4DYI" +
+          "BQADLgEAzSyr6AAAAABJRU5ErkJggg==")),
+      MediaFile(-2L, "image", b64.decode(
+        "iVBORw0KGgoAAAANSUhEUgAAAAUAAAAHCAAAAADlzNgyAAAAM0lEQVR42mNgUPXKn8LA" +
+          "bRBaNZ9BzDqhdRWDolv2hK0MOoFlsw8wmMc0LjvN4JTes/EaAAU4DqIpBDQXAAAAAElF" +
+          "TkSuQmCC")))
   }
 
   /** Documents rendered as media files (text bytes as the opaque payload —

@@ -44,6 +44,25 @@ class MediaSpec extends SparkSpec {
     fromTyped shouldBe fromSql
   }
 
+  it should "read REAL dimensions from genuine PNG payloads via imageio" in {
+    // independent decode of the fixture bytes proves the pipeline path
+    // reports what the actual image decoder sees, not the stub
+    for (f <- MediaOps.pngFixtures) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f.bytes))
+      img should not be null
+    }
+    val meta = MediaOps.extractMeta(spark.createDataset(MediaOps.pngFixtures))
+      .collect().map(m => m.media_id -> m).toMap
+    meta(-1L).kind shouldBe "png"
+    (meta(-1L).width, meta(-1L).height) shouldBe ((3, 2))
+    (meta(-2L).width, meta(-2L).height) shouldBe ((5, 7))
+    meta(-1L).byte_len shouldBe 73
+    meta(-1L).checksum shouldBe 3971401771L
+    meta(-2L).checksum shouldBe 3482111590L
+    // the stub would have derived different (checksum-based) dimensions
+    MediaOps.decodeStub(MediaOps.pngFixtures.head.bytes) should not be ((3, 2))
+  }
+
   it should "process in batches without shuffling" in {
     val many = (1L to 100L).map(i => MediaFile(i, "text", s"payload-$i".getBytes))
     val ds = spark.createDataset(many).repartition(4)
