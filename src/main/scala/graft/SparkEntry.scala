@@ -738,6 +738,26 @@ object SparkEntry {
       .orderBy("query_id")
   }
 
+  /** Multi-probe recall/cost sweep: the q_ann_recall audit at probes ∈
+    * {1, 2, 4} — the curve an IVF deployment actually tunes (recall@10 is
+    * monotone in probes; cost ∝ probed cells). The exact top-10 computes
+    * once and is shared by all three probe settings.
+    */
+  private def annRecallMpQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.loadPar(s, d, "embeddings")
+    val (cent, cells) = GraftStore.ivfIndex(s, d)
+    val exact = VectorOps.knnBrute(emb, col("vec_id") < 8, k = 10)
+    Seq(1, 2, 4).map { p =>
+      graft.ops.RetrievalOps.retrievalEval(
+          VectorOps.ivfSearchWith(emb, cent, cells, col("vec_id") < 8,
+            k = 10, probes = p),
+          exact, k = 10)
+        .withColumn("probes", lit(p))
+    }.reduce(_ unionByName _)
+      .select("probes", "query_id", "recall", "rr")
+      .orderBy("probes", "query_id")
+  }
+
   /** LSH-bucketed ANN (sign random projections, single probe, top-3). */
   private def annLshQ(s: SparkSession, d: String): DataFrame =
     VectorOps.annLsh(Tables.loadPar(s, d, "embeddings"), col("vec_id") < 8, k = 3)
@@ -1632,6 +1652,7 @@ object SparkEntry {
     "q_knn_topk" -> (knnTopk _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_recall" -> (annRecallQ _),
+    "q_ann_recall_mp" -> (annRecallMpQ _),
     "q_ann_lsh" -> (annLshQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_frames" -> (mediaFrames _),
@@ -1779,6 +1800,57 @@ object SparkEntry {
 
   private def duckCos6(a: String, b: String): String =
     s"floor((${duckDot(a, b)} / (sqrt(${duckDot(a, a)}) * sqrt(${duckDot(b, b)}))) * 1e6 + 0.5) / 1e6"
+
+  /** The IVF recall-audit replay for one `probes` setting, as a complete
+    * parenthesizable SELECT (vec_id, recall, rr): single-probe storage
+    * cells, `probes` query-side cells, recall@10 + reciprocal rank vs the
+    * brute-force top-10. Shared by q_ann_recall (probes=1) and the
+    * multi-probe sweep gate.
+    */
+  private def annRecallOracleBody(probes: Int): String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
+       |        WHERE vec_id < (SELECT greatest(16, count(*) // 1024) FROM e)),
+       |sc AS (SELECT e.vec_id, cent_id, ${duckCos6("e.embedding", "cv")} AS cos
+       |       FROM e CROSS JOIN cent),
+       |asg AS (SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn FROM sc)
+       |  WHERE rn = 1),
+       |wc AS (SELECT e.vec_id, e.embedding, asg.cell FROM e JOIN asg USING (vec_id)),
+       |qasg AS (SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn FROM sc
+       |    WHERE vec_id < 8)
+       |  WHERE rn <= $probes),
+       |q AS (SELECT e.vec_id AS query_id, e.embedding AS qv, qasg.cell
+       |      FROM e JOIN qasg USING (vec_id)),
+       |iscored AS (
+       |  SELECT query_id, n.vec_id AS neighbor_id, ${duckCos6("qv", "n.embedding")} AS cos
+       |  FROM wc n JOIN q USING (cell) WHERE n.vec_id <> query_id),
+       |approx AS (SELECT query_id, neighbor_id, rnk FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM iscored) WHERE rnk <= 10),
+       |bscored AS (
+       |  SELECT query_id, e.vec_id AS neighbor_id, ${duckCos6("qv", "e.embedding")} AS cos
+       |  FROM e CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv FROM e
+       |                     WHERE vec_id < 8) bq
+       |  WHERE e.vec_id <> query_id),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
+       |    FROM bscored) WHERE rnk <= 10),
+       |hits AS (
+       |  SELECT a.query_id, count(*) AS n_hit, min(a.rnk) AS first_hit
+       |  FROM approx a JOIN exact x
+       |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
+       |  GROUP BY a.query_id),
+       |rel AS (SELECT query_id, count(*) AS n_rel FROM exact GROUP BY query_id)
+       |SELECT rel.query_id,
+       |  floor(COALESCE(n_hit, 0)::DOUBLE / n_rel * 1e6 + 0.5) / 1e6 AS recall,
+       |  floor(COALESCE(1.0 / first_hit, 0.0) * 1e6 + 0.5) / 1e6 AS rr
+       |FROM rel LEFT JOIN hits USING (query_id)""".stripMargin
 
   /** k-means replayed in SQL: the same spread seeds, the same
     * (cos DESC, cluster ASC) argmax, the same integer-micros →
@@ -2746,43 +2818,13 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, cos, rnk FROM r WHERE rnk <= 3
          |ORDER BY query_id, rnk""".stripMargin,
     "q_ann_recall" ->
-      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-         |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
-         |        WHERE vec_id < (SELECT greatest(16, count(*) // 1024) FROM e)),
-         |sc AS (SELECT e.vec_id, cent_id, ${duckCos6("e.embedding", "cv")} AS cos
-         |       FROM e CROSS JOIN cent),
-         |asg AS (SELECT vec_id, cent_id AS cell FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn FROM sc)
-         |  WHERE rn = 1),
-         |wc AS (SELECT e.vec_id, e.embedding, asg.cell FROM e JOIN asg USING (vec_id)),
-         |q AS (SELECT vec_id AS query_id, embedding AS qv, cell FROM wc WHERE vec_id < 8),
-         |iscored AS (
-         |  SELECT query_id, n.vec_id AS neighbor_id, ${duckCos6("qv", "n.embedding")} AS cos
-         |  FROM wc n JOIN q USING (cell) WHERE n.vec_id <> query_id),
-         |approx AS (SELECT query_id, neighbor_id, rnk FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
-         |    FROM iscored) WHERE rnk <= 10),
-         |bscored AS (
-         |  SELECT query_id, e.vec_id AS neighbor_id, ${duckCos6("qv", "e.embedding")} AS cos
-         |  FROM e CROSS JOIN (SELECT vec_id AS query_id, embedding AS qv FROM e
-         |                     WHERE vec_id < 8) bq
-         |  WHERE e.vec_id <> query_id),
-         |exact AS (SELECT query_id, neighbor_id FROM (
-         |    SELECT *, row_number() OVER (
-         |      PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rnk
-         |    FROM bscored) WHERE rnk <= 10),
-         |hits AS (
-         |  SELECT a.query_id, count(*) AS n_hit, min(a.rnk) AS first_hit
-         |  FROM approx a JOIN exact x
-         |    ON a.query_id = x.query_id AND a.neighbor_id = x.neighbor_id
-         |  GROUP BY a.query_id),
-         |rel AS (SELECT query_id, count(*) AS n_rel FROM exact GROUP BY query_id)
-         |SELECT rel.query_id,
-         |  floor(COALESCE(n_hit, 0)::DOUBLE / n_rel * 1e6 + 0.5) / 1e6 AS recall,
-         |  floor(COALESCE(1.0 / first_hit, 0.0) * 1e6 + 0.5) / 1e6 AS rr
-         |FROM rel LEFT JOIN hits USING (query_id) ORDER BY rel.query_id""".stripMargin,
+      s"""SELECT query_id, recall, rr FROM (${annRecallOracleBody(1)})
+         |ORDER BY query_id""".stripMargin,
+    "q_ann_recall_mp" ->
+      Seq(1, 2, 4).map(p =>
+          s"SELECT $p AS probes, query_id, recall, rr FROM (${annRecallOracleBody(p)})")
+        .mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+          "\n) ORDER BY probes, query_id"),
     "q_text_stats" ->
       """SELECT doc_id, CAST(length(text) AS INT) AS n_char,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,

@@ -67,6 +67,29 @@ class VectorSpec extends SparkSpec {
     res should not contain (1L) // x-cell vector never searched
   }
 
+  "ivfSearchWith" should "have recall monotone in probes" in {
+    // more probed cells = a candidate superset; a candidate that displaces
+    // a relevant top-10 hit must itself be in the exact top-10, so
+    // recall@k can only rise with probes
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val cent = VectorOps.centroidsOf(e, col("vec_id") < 16)
+    val cells = VectorOps.ivfAssign(e, cent)
+    val exact = VectorOps.knnBrute(e, col("vec_id") < 8, k = 10)
+    val byProbes = Seq(1, 2, 4).map { p =>
+      p -> graft.ops.RetrievalOps.retrievalEval(
+          VectorOps.ivfSearchWith(e, cent, cells, col("vec_id") < 8,
+            k = 10, probes = p),
+          exact, k = 10)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    }.toMap
+    for (q <- byProbes(1).keys) {
+      byProbes(1)(q) should be <= byProbes(2)(q)
+      byProbes(2)(q) should be <= byProbes(4)(q)
+    }
+    // the sweep does real work: some query gains recall from probing wider
+    byProbes(4).values.sum should be > byProbes(1).values.sum
+  }
+
   "embedDupPairsBrute" should "find only near-parallel pairs" in {
     val pairs = VectorOps.embedDupPairsBrute(emb, threshold = 0.99)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
