@@ -1633,10 +1633,22 @@ object Sparql {
     g.triples.flatMap(_.consts).map(_.toString).toSet ++
       g.paths.flatMap { case (s, p, o) =>
         Seq(s, o).collect { case C(v) => v.toString } ++ pathConsts(p) } ++
-      g.values.flatMap(_._2) ++
-      g.valuesMulti.flatMap(_._2.flatten).filter(_ != null) ++
+      inlineValueConsts(g) ++
       childGroups(g).flatMap(groupConsts) ++
       g.subqueries.flatMap(sq => groupConsts(sq.group))
+
+  /** Inline-data (VALUES) constants, including subquery trailing
+    * ValuesClauses. Unlike triple-pattern constants these BIND variables
+    * that can SURFACE in projected output, so on a certified store they
+    * must land in the local decode dict even though matching needs no
+    * probe.
+    */
+  private def inlineValueConsts(g: Group): Set[String] =
+    g.values.flatMap(_._2).toSet ++
+      g.valuesMulti.flatMap(_._2.flatten).filter(_ != null) ++
+      childGroups(g).flatMap(inlineValueConsts) ++
+      g.subqueries.flatMap(sq => inlineValueConsts(sq.group) ++
+        sq.postValues.toSeq.flatMap(_._2.flatten).filter(_ != null))
 
   /** Path ENDPOINT constants only — the one constant position that can
     * SURFACE in output while absent from the store (a zero-length path
@@ -1719,7 +1731,11 @@ object Sparql {
     import graft.dict.Dictionary
     val consts = (groupConsts(g) ++ extraProbe).toSeq.sorted
     val probeSet =
-      if (store.pureHash) (pathEndpointConsts(g) ++ extraProbe).toSeq.sorted
+      if (store.pureHash)
+        // path endpoints can surface while absent; VALUES entries always
+        // surface (they bind vars) — both need decode mappings
+        (pathEndpointConsts(g) ++ inlineValueConsts(g) ++ extraProbe)
+          .toSeq.sorted
       else consts
     val present = Dictionary.lookup(store.dict, probeSet)
     val ids: Map[String, Long] =

@@ -248,7 +248,15 @@ class GoldenSpec extends SparkSpec {
     "sparql_values_postagg" ->
       """PREFIX : <>
         |SELECT ?seg (COUNT(?c) AS ?cnt) WHERE { ?c :mktsegment ?seg }
-        |GROUP BY ?seg ORDER BY ?seg VALUES ?seg { "BUILDING" "MACHINERY" }""".stripMargin)
+        |GROUP BY ?seg ORDER BY ?seg VALUES ?seg { "BUILDING" "MACHINERY" }""".stripMargin,
+    // §18.2.4.4 post-aggregation VALUES with an UNDEF wildcard cell: the
+    // (UNDEF "w") row matches every group, the bound row only BUILDING —
+    // composed on BOTH stores (see the encoded byte-identity case below)
+    "sparql_values_postagg_undef" ->
+      """PREFIX : <>
+        |SELECT ?seg (COUNT(?c) AS ?cnt) ?tag WHERE { ?c :mktsegment ?seg }
+        |GROUP BY ?seg ORDER BY ?seg ?tag
+        |VALUES (?seg ?tag) { ("BUILDING" "b") (UNDEF "w") }""".stripMargin)
 
   /** UPDATE golden cases: (update script, select over the updated store).
     * The TSVs replay the update algebra in DuckDB SQL (tools/golden.py).
@@ -292,6 +300,14 @@ class GoldenSpec extends SparkSpec {
       if (want == Seq("NO ANSWERS.")) got.length shouldBe 1
       else got shouldBe want
     }
+  }
+
+  "SPARQL golden corpus" should
+    "reproduce sparql_values_postagg_undef on the ENCODED store byte-identically" in {
+    val st = graft.store.GraftStore.ingestTriples(spark, triples)
+    val got = tsvOf(Sparql.executeEncoded(spark, st,
+      queries("sparql_values_postagg_undef")))
+    got shouldBe golden("sparql_values_postagg_undef")
   }
 
   updateCases.foreach { case (name, (script, sel)) =>

@@ -253,6 +253,14 @@ QUERIES = {
         SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer
         WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
         GROUP BY 1 ORDER BY seg""",
+    # post-aggregation VALUES with an UNDEF wildcard: (UNDEF, 'w') matches
+    # every group, ('BUILDING', 'b') only its own
+    "sparql_values_postagg_undef": """
+        SELECT seg, cnt, tag FROM (
+          SELECT c_mktsegment AS seg, count(*) AS cnt FROM customer GROUP BY 1
+        ) g JOIN (VALUES ('BUILDING', 'b'), (NULL, 'w')) v(vseg, tag)
+          ON v.vseg IS NULL OR v.vseg = g.seg
+        ORDER BY seg, tag""",
     # STRDT typed-literal constructor, DATATYPE extraction, BNODE skolem
     "sparql_strdt": """
         SELECT 'region:' || r_regionkey AS r,
