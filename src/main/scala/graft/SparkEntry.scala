@@ -798,6 +798,68 @@ object SparkEntry {
         hex(encode(expr("substring(text, 1 + frame_no * 32, 16)"), "UTF-8")).as("frame_hex"))
       .orderBy("doc_id", "frame_no")
 
+  // ---- W3C results serialization, oracle-gated on the BYTES -----------
+
+  /** The single part file of a just-written sink directory as ordered
+    * (line_no, line) rows — the shape that lets the driver hash-compare
+    * serialized BYTES against a DuckDB replay (sorting on line_no keeps
+    * file order). Bounded: serialization gates write coalesce(1)'d small
+    * results.
+    */
+  private def sinkLines(s: SparkSession, dir: java.nio.file.Path): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val part = java.nio.file.Files.list(dir).iterator().asScala
+      .filter(_.getFileName.toString.startsWith("part-")).toSeq.head
+    val lines = java.nio.file.Files.readAllLines(part).asScala.toSeq
+    import s.implicits._
+    lines.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+      .toDF("line_no", "line")
+  }
+
+  /** SPARQL results-CSV sink bytes: RFC 4180 quoting (comma and embedded
+    * DOUBLED quote in ?tricky), empty field for the unbound var — pinned
+    * line-by-line by a DuckDB replay of the same document.
+    */
+  private def resultsCsvQ(s: SparkSession, d: String): DataFrame = {
+    val res = sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?r ?nm ?tricky ?missing WHERE {
+        |  ?r a "Region" . ?r :name ?nm .
+        |  BIND(CONCAT("x,", ?nm, ",\"q\"") AS ?tricky)
+        |  OPTIONAL { ?r :nothere ?missing }
+        |} ORDER BY ?r""".stripMargin)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_results_csv")
+    graft.sparql.Results.writeCsv(res.coalesce(1), tmp.toString)
+    sinkLines(s, tmp)
+  }
+
+  /** SPARQL results-TSV sink bytes: `?var` header, terms in SPARQL
+    * surface syntax (IRIs re-wrapped, the STRDT-typed literal kept in its
+    * stored form).
+    */
+  private def resultsTsvQ(s: SparkSession, d: String): DataFrame = {
+    val res = sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?r ?nm ?typed WHERE {
+        |  ?r a "Region" . ?r :name ?nm .
+        |  BIND(STRDT(?nm, "http://www.w3.org/2001/XMLSchema#token") AS ?typed)
+        |} ORDER BY ?r""".stripMargin)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_results_tsv")
+    graft.sparql.Results.writeTsv(res.coalesce(1), tmp.toString)
+    sinkLines(s, tmp)
+  }
+
+  /** N-Triples export sink bytes for the region subgraph. */
+  private def resultsNtQ(s: SparkSession, d: String): DataFrame = {
+    val st = GraftStore.forDir(s, d)
+    val g = st.triples
+      .where(col("s").startsWith("region:") && col("p") === "name")
+      .orderBy("s", "p", "o")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_results_nt")
+    graft.store.TripleStore.writeNTriples(g.coalesce(1), tmp.toString)
+    sinkLines(s, tmp)
+  }
+
   // ---- SPARQL front-end (replaces the reference's Jena layer) ---------
 
   private def sparqlOver(s: SparkSession, d: String, q: String): DataFrame = {
@@ -1656,6 +1718,9 @@ object SparkEntry {
     "q_ann_lsh" -> (annLshQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_frames" -> (mediaFrames _),
+    "q_results_csv" -> (resultsCsvQ _),
+    "q_results_tsv" -> (resultsTsvQ _),
+    "q_results_nt" -> (resultsNtQ _),
     "q_asof_join" -> (asofJoinQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_sparql_chain" -> (sparqlChain _),
@@ -2772,6 +2837,38 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT -2::BIGINT, 'png', 108, 5, 7, 3482111590::BIGINT
         |) ORDER BY media_id""".stripMargin,
+    // serialized BYTES, line by line: the RFC 4180 / SPARQL-TSV /
+    // N-Triples documents replayed as strings in DuckDB
+    "q_results_csv" ->
+      """WITH rows AS (
+        |  SELECT 'region:' || r_regionkey AS r, r_name AS nm,
+        |         'x,' || r_name || ',"q"' AS tricky FROM region),
+        |n AS (SELECT *, row_number() OVER (ORDER BY r) AS rn FROM rows)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS line_no, 'r,nm,tricky,missing' AS line
+        |  UNION ALL
+        |  SELECT rn + 1,
+        |    r || ',' || nm || ',"' || replace(tricky, '"', '""') || '",'
+        |  FROM n
+        |) ORDER BY line_no""".stripMargin,
+    "q_results_tsv" ->
+      """WITH rows AS (
+        |  SELECT 'region:' || r_regionkey AS r, r_name AS nm FROM region),
+        |n AS (SELECT *, row_number() OVER (ORDER BY r) AS rn FROM rows)
+        |SELECT * FROM (
+        |  SELECT 1::BIGINT AS line_no,
+        |         '?r' || chr(9) || '?nm' || chr(9) || '?typed' AS line
+        |  UNION ALL
+        |  SELECT rn + 1,
+        |    '<' || r || '>' || chr(9) || '<' || nm || '>' || chr(9) ||
+        |    '"' || nm || '"^^http://www.w3.org/2001/XMLSchema#token'
+        |  FROM n
+        |) ORDER BY line_no""".stripMargin,
+    "q_results_nt" ->
+      """SELECT row_number() OVER (ORDER BY s) AS line_no,
+        |       '<' || s || '> <name> <' || o || '> .' AS line
+        |FROM (SELECT 'region:' || r_regionkey AS s, r_name AS o FROM region)
+        |ORDER BY line_no""".stripMargin,
     "q_media_frames" ->
       """SELECT doc_id, k AS frame_no,
         |  hex(encode(substring(text, CAST(1 + k*32 AS INT), 16))) AS frame_hex

@@ -152,11 +152,14 @@ object Results {
       .otherwise(c)
 
   /** SPARQL 1.1 CSV results: distributed write, one header + raw lexical
-    * values, RFC 4180 quoting by Spark's csv sink.
+    * values, RFC 4180 quoting by Spark's csv sink. `escape` is set to the
+    * quote char so embedded quotes DOUBLE (RFC 4180 §2.7) instead of
+    * Spark's default backslash-escaping.
     */
   def writeCsv(df: DataFrame, path: String): Unit =
     df.select(df.columns.map(n => csvValue(col(n)).as(n)): _*)
-      .write.mode("overwrite").option("header", "true").csv(path)
+      .write.mode("overwrite").option("header", "true")
+      .option("escape", "\"").csv(path)
 
   /** The term in SPARQL surface syntax for TSV: literals keep their
     * stored (already-escaped) form, IRIs re-wrap as `<iri>`.
