@@ -138,7 +138,16 @@ object Bgp {
     var current: DataFrame = null
     var boundVars = Set.empty[String]
     ordered.zipWithIndex.foreach { case (tp, i) =>
-      val scan = patternScan(triples, tp, i)
+      val scan0 = patternScan(triples, tp, i)
+      // stats-driven broadcast hint: a pattern whose estimated scan is
+      // small joins WITHOUT a shuffle. AQE can only convert to broadcast
+      // AFTER the map stage has run; the stats (exact counts + HLL ndv)
+      // know at plan time, which also spares the driver a round of
+      // adaptive re-planning per stage. ~250k triples ≈ a few MB encoded.
+      val scan =
+        if (stats.nonEmpty && estimate(tp, stats, totalCnt) <= 250000.0)
+          broadcast(scan0)
+        else scan0
       if (current == null) {
         current = scan
       } else if (tp.vars.isEmpty) {

@@ -77,15 +77,12 @@ object Dictionary {
       .where(col("n") > 1).limit(1).count() == 0L
   }
 
-  /** Ids of literal terms without touching any table — one 1-row job.
-    * Valid under the same collision-free certificate as `encodeByHash`.
+  /** Ids of literal terms without touching any table — driver-side, no
+    * job (`termHashLocal` is the same xxhash64 Catalyst computes). Valid
+    * under the same collision-free certificate as `encodeByHash`.
     */
-  def hashLiterals(spark: SparkSession, terms: Seq[String]): Map[String, Long] = {
-    if (terms.isEmpty) return Map.empty
-    val cols = terms.zipWithIndex.map { case (t, i) => termHash(lit(t)).as(s"c$i") }
-    val row = spark.range(1).select(cols: _*).head()
-    terms.zipWithIndex.map { case (t, i) => t -> row.getLong(i) }.toMap
-  }
+  def hashLiterals(spark: SparkSession, terms: Seq[String]): Map[String, Long] =
+    terms.iterator.map(t => t -> termHashLocal(t)).toMap
 
   /** Build a dictionary `(id: Long, term: String)` from a single-string-column
     * DataFrame (D1). Fast path: no collisions -> id = hash, one distinct plus
@@ -214,14 +211,21 @@ object Dictionary {
       hits.exists(r => r.getString(0) != r.getString(1)))
   }
 
-  /** Driver-side term→id map for a small term set, through the SAME
-    * expression as `termHash` (a local relation projection — no table
-    * scan, no per-term column explosion).
+  /** Driver-side twin of `termHash`: the EXACT xxhash64(seed 42) Catalyst
+    * evaluates, called through Spark's own hash function so locally
+    * computed ids agree with expression-encoded ids bit-for-bit (spec'd
+    * in DictionarySpec). Hashing a handful of constants must not cost a
+    * Spark action — an update script hashes a few strings per op, and
+    * even a local-relation collect pays ~0.1-0.3 s of plan/codegen cycle.
     */
-  def hashTerms(spark: SparkSession, terms: Seq[String]): Map[String, Long] = {
-    if (terms.isEmpty) return Map.empty
-    import spark.implicits._
-    terms.toDF("term").select(col("term"), termHash(col("term")).as("id"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-  }
+  def termHashLocal(s: String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s),
+      org.apache.spark.sql.types.StringType, 42L) & Long.MaxValue
+
+  /** Driver-side term→id map for a small term set — `termHashLocal`
+    * applied in a plain loop (no job, no plan).
+    */
+  def hashTerms(spark: SparkSession, terms: Seq[String]): Map[String, Long] =
+    terms.iterator.map(t => t -> termHashLocal(t)).toMap
 }

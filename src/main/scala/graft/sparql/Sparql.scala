@@ -721,19 +721,32 @@ object Sparql {
   private def applyModify(spark: SparkSession, h: graft.store.StoreHandle,
                           del: Option[Group], ins: Option[Group],
                           where: Group): graft.store.StoreHandle = {
-    val env = encEnvFor(spark, h, where, plainVarsOfG(where))
-    val encSols = compileGroup(env, where)
+    val env = graft.Prof.t("encEnvFor")(
+      encEnvFor(spark, h, where, plainVarsOfG(where)))
+    val encSols = graft.Prof.t("compileGroup")(compileGroup(env, where))
     // Driver fast path: one bounded collect of the ENCODED solutions (the
     // only execution of the WHERE), ids decoded in a single dictionary
     // probe, templates instantiated driver-side — feeding the driver-side
     // batch paths with zero intermediate checkpoints. Oversized solution
     // sets fall back to the pinned distributed flow.
-    smallModifySols(env, encSols) match {
-      case Some(sols) =>
+    // insert-template constant hashes ride the solution-decode probe, so
+    // the append's hash-claim check needs no second dictionary job
+    // (solution-derived terms are claim-safe by construction on a
+    // pure-hash store: their id IS their content hash)
+    val insConstIds: Set[Long] =
+      if (!h.pureHash) Set.empty
+      else ins.toSeq.flatMap(_.triples).flatMap(tp => Seq(tp.s, tp.p, tp.o))
+        .collect {
+          case C(v) if !v.toString.startsWith("_:") =>
+            graft.dict.Dictionary.termHashLocal(v.toString)
+        }.toSet
+    graft.Prof.t("smallModifySols")(
+      smallModifySols(env, encSols, insConstIds)) match {
+      case Some((sols, claims, probed)) =>
         var out = h
         del.foreach { t =>
           if (t.triples.nonEmpty) {
-            val all = instantiateRowsAll(t, sols)
+            val all = graft.Prof.t("instantiate(del)")(instantiateRowsAll(t, sols))
             // DELETE WHERE shape: the template IS the whole (single
             // pattern + filters only) WHERE group, so each UNDEDUPLICATED
             // solution row is 1:1 with a matching store row — the
@@ -746,19 +759,22 @@ object Sparql {
               where.subqueries.isEmpty && where.subgroups.isEmpty &&
               where.values.isEmpty && where.valuesMulti.isEmpty &&
               where.existsFilters.isEmpty
-            out =
+            out = graft.Prof.t("removeLocal*")(
               if (selfDelete)
                 graft.store.GraftStore.removeLocalPrecounted(spark, out,
                   all.distinct,
                   all.groupBy(_._2).view.mapValues(_.size.toLong).toMap)
               else
-                graft.store.GraftStore.removeLocal(spark, out, all.distinct)
+                graft.store.GraftStore.removeLocal(spark, out, all.distinct))
           }
         }
         ins.foreach { t =>
-          if (t.triples.nonEmpty)
-            out = graft.store.GraftStore.appendLocal(spark, out,
-              instantiateRows(t, sols))
+          if (t.triples.nonEmpty) {
+            val rows = graft.Prof.t("instantiate(ins)")(instantiateRows(t, sols))
+            out = graft.Prof.t("appendLocal")(
+              graft.store.GraftStore.appendLocal(spark, out, rows,
+                claims, probed))
+          }
         }
         out
       case None =>
@@ -789,15 +805,47 @@ object Sparql {
     */
   private val modifySolsCap = 65536
 
+  /** Decoded solutions held DRIVER-SIDE: the rows + schema, with the
+    * DataFrame materialized lazily — only the blank-node-skolem template
+    * path (which needs the Spark-evaluated row hash) ever builds it;
+    * plain templates instantiate straight off the local rows with no
+    * further Spark actions.
+    */
+  private final case class LocalSols(spark: SparkSession,
+      rows: Seq[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType) {
+    lazy val df: DataFrame = spark.createDataFrame(
+      new java.util.ArrayList(
+        scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava), schema)
+  }
+
   /** Bounded collect + driver-side decode of an encoded solution relation:
     * id-typed columns become their terms (one dictionary probe for ALL
     * columns), everything else — plain-valued vars, internal shadows —
     * keeps its exact type and value, so downstream template evaluation
     * (including the skolem row hash over all columns) is bit-identical to
     * the distributed decodeFinal + instantiate flow.
+    *
+    * `extraIds` ride along in the same dictionary probe (one scan serves
+    * both solution decode AND the append path's hash-claim check — see
+    * `GraftStore.appendLocal`); the returned (claims, probed) pair is
+    * that shared-probe result: id→term for every probed id found in the
+    * dictionary, and the full probed id set.
     */
-  private def smallModifySols(env: Env, encSols: DataFrame): Option[DataFrame] = {
-    val first = encSols.limit(modifySolsCap + 1).collect()
+  private def smallModifySols(env: Env, encSols: DataFrame,
+                              extraIds: Set[Long] = Set.empty)
+      : Option[(LocalSols, Map[Long, String], Set[Long])] = {
+    // CollectLimit's incremental scale-up (1, 4, 16, ... partitions) costs
+    // one driver-scheduled job per step; expected solutions are small, so
+    // scan every partition in ONE job and let the limit cut the transfer
+    val first = graft.Prof.t("smallSols.collect") {
+      val conf = env.spark.conf
+      val key = "spark.sql.limit.initialNumPartitions"
+      val prev = conf.getOption(key)
+      conf.set(key, Int.MaxValue.toString)
+      try encSols.limit(modifySolsCap + 1).collect()
+      finally prev.fold(conf.unset(key))(conf.set(key, _))
+    }
     if (first.length > modifySolsCap) return None
     val e = env.enc.get
     val schema = encSols.schema
@@ -807,12 +855,13 @@ object Sparql {
     }.toSet
     val ids = first.iterator.flatMap(r =>
       decodePos.iterator.filter(i => !r.isNullAt(i)).map(r.getLong)).toSet
+    val probed = ids ++ extraIds
     val idTerm: Map[Long, String] =
-      if (ids.isEmpty) Map.empty
-      else {
+      if (probed.isEmpty) Map.empty
+      else graft.Prof.t("smallSols.dictProbe") {
         import env.spark.implicits._
         env.dictAll
-          .join(broadcast(ids.toSeq.toDF("id")), Seq("id"), "left_semi")
+          .join(broadcast(probed.toSeq.toDF("id")), Seq("id"), "left_semi")
           .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
       }
     val newSchema = org.apache.spark.sql.types.StructType(
@@ -827,9 +876,11 @@ object Sparql {
         else idTerm.getOrElse(r.getLong(i), "_:" + r.getLong(i))
       })
     }
-    Some(env.spark.createDataFrame(
-      new java.util.ArrayList(scala.jdk.CollectionConverters
-        .SeqHasAsJava(rows).asJava), newSchema))
+    // claims = STORE-dict membership only: a query-local dict entry (an
+    // absent constant's rendering id) must not read as "already claimed",
+    // or an insert of that term would skip its dictionary delta
+    val localIds = e.localDict.iterator.map(_._1).toSet
+    Some((LocalSols(env.spark, rows, newSchema), idTerm -- localIds, probed))
   }
 
   /** `instantiate` over a LOCAL solution relation: the same template-term
@@ -839,30 +890,63 @@ object Sparql {
     * The string cast matches what the batch ingestion paths apply anyway.
     */
   private def instantiateRows(template: Group,
-                              sols: DataFrame): Seq[(String, String, String)] =
+                              sols: LocalSols): Seq[(String, String, String)] =
     instantiateRowsAll(template, sols).distinct
 
   /** `instantiateRows` WITHOUT the final dedup — callers that know the
     * solutions scan the store 1:1 (DELETE WHERE) read matched-copy
     * counts off the duplicates.
+    *
+    * Templates with neither blank-node skolems (whose row hash must be
+    * the Spark-evaluated xxhash64 for distributed-path parity) nor
+    * non-string solution columns (whose string cast must be Spark's)
+    * instantiate in a PLAIN DRIVER LOOP — zero Spark actions; everything
+    * else takes the expression path over the materialized local frame.
     */
   private def instantiateRowsAll(template: Group,
-                                 sols: DataFrame): Seq[(String, String, String)] = {
-    val rowHash =
-      pmod(xxhash64(sols.columns.toIndexedSeq.map(col): _*), lit(1000000007L))
-    def term(t: Term): Column = t match {
-      case V(n) => col(n)
-      case C(v) if v.toString.startsWith("_:") =>
-        concat(lit(v.toString + "-"), rowHash.cast("string"))
-      case C(v) => lit(v.toString)
-    }
-    template.triples.flatMap { tp =>
-      sols.select(term(tp.s).cast("string").as("s"),
-          term(tp.p).cast("string").as("p"),
-          term(tp.o).cast("string").as("o"))
-        .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
-        .collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+                                 sols: LocalSols): Seq[(String, String, String)] = {
+    val idx = sols.schema.fieldNames.zipWithIndex.toMap
+    val hasBlank = template.triples.exists(tp => Seq(tp.s, tp.p, tp.o).exists {
+      case C(v) => v.toString.startsWith("_:")
+      case _ => false
+    })
+    val templateVars = template.triples
+      .flatMap(tp => Seq(tp.s, tp.p, tp.o)).collect { case V(n) => n }.toSet
+    val allString = templateVars.forall(v => idx.get(v).forall(i =>
+      sols.schema.fields(i).dataType ==
+        org.apache.spark.sql.types.StringType))
+    if (!hasBlank && allString) {
+      def term(r: org.apache.spark.sql.Row, t: Term): String = t match {
+        case V(n) => idx.get(n) match {
+          case Some(i) if !r.isNullAt(i) => r.getString(i)
+          case _ => null // unbound template var -> row drops (CONSTRUCT rule)
+        }
+        case C(v) => v.toString
+      }
+      for {
+        tp <- template.triples
+        r <- sols.rows
+        s = term(r, tp.s); p = term(r, tp.p); o = term(r, tp.o)
+        if s != null && p != null && o != null
+      } yield (s, p, o)
+    } else {
+      val rowHash =
+        pmod(xxhash64(sols.schema.fieldNames.toIndexedSeq.map(col): _*),
+          lit(1000000007L))
+      def term(t: Term): Column = t match {
+        case V(n) => col(n)
+        case C(v) if v.toString.startsWith("_:") =>
+          concat(lit(v.toString + "-"), rowHash.cast("string"))
+        case C(v) => lit(v.toString)
+      }
+      template.triples.flatMap { tp =>
+        sols.df.select(term(tp.s).cast("string").as("s"),
+            term(tp.p).cast("string").as("p"),
+            term(tp.o).cast("string").as("o"))
+          .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull)
+          .collect()
+          .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      }
     }
   }
 

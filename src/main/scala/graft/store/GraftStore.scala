@@ -23,11 +23,29 @@ import graft.dict.Dictionary
   * they are checkpointed in-session because the driver gate is
   * self-contained per process.
   */
-final case class StoreHandle(triples: DataFrame, enc: DataFrame,
-                             dict: DataFrame, pureHash: Boolean,
-                             stats: Map[String, PredStats],
-                             encStats: Map[String, PredStats], totalCnt: Long,
-                             sketches: DataFrame)
+final class StoreHandle(val triples: DataFrame, val enc: DataFrame,
+                        val dict: DataFrame, val pureHash: Boolean,
+                        val stats: Map[String, PredStats],
+                        val encStats: Map[String, PredStats],
+                        val totalCnt: Long,
+                        sketchesThunk: => DataFrame) {
+  /** Per-predicate sketch relation, composed LAZILY: only persist /
+    * compact / reopened-append readers force it. Update ops chain the
+    * merge thunks instead of paying eager Catalyst analysis of the
+    * growing sketch tree on every handle construction (a
+    * scale-independent ~0.1 s/op planning tax otherwise).
+    */
+  lazy val sketches: DataFrame = sketchesThunk
+}
+
+object StoreHandle {
+  def apply(triples: DataFrame, enc: DataFrame, dict: DataFrame,
+            pureHash: Boolean, stats: Map[String, PredStats],
+            encStats: Map[String, PredStats], totalCnt: Long,
+            sketches: => DataFrame): StoreHandle =
+    new StoreHandle(triples, enc, dict, pureHash, stats, encStats, totalCnt,
+      sketches)
+}
 
 object GraftStore {
   /** Single-flight lazy holder: TrieMap.getOrElseUpdate may race two
@@ -222,8 +240,16 @@ object GraftStore {
     * when the batch is small. Semantics are identical; repaired
     * (non-certified) stores delegate to the distributed path.
     */
+  /** `claims`/`probed`: an optional ALREADY-RUN dictionary probe (id→term
+    * for found ids, full probed id set) the caller shared with its
+    * solution decode — terms whose content hash was probed resolve their
+    * hash-claim status driver-side; only uncovered terms (rare: e.g. a
+    * blank-rendering of an absent id) still cost a dictionary job.
+    */
   def appendLocal(spark: SparkSession, handle: StoreHandle,
-                  rows: Seq[(String, String, String)]): StoreHandle = {
+                  rows: Seq[(String, String, String)],
+                  claims: Map[Long, String] = Map.empty,
+                  probed: Set[Long] = Set.empty): StoreHandle = {
     import spark.implicits._
     if (!handle.pureHash) return append(spark, handle, rows.toDF("s", "p", "o"))
     val rowsD = rows.distinct
@@ -235,7 +261,7 @@ object GraftStore {
     val cand = rowsD.filter(t => handle.stats.contains(t._2))
     val hitSet: Set[(Long, Long, Long)] =
       if (cand.isEmpty) Set.empty
-      else {
+      else graft.Prof.t("appendLocal.dupProbe") {
         val probe = cand.map(t => (hmap(t._1), hmap(t._2), hmap(t._3)))
           .toDF("s", "p", "o")
         handle.enc
@@ -243,7 +269,8 @@ object GraftStore {
           .distinct().collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       }
-    appendLocalProbed(spark, handle, rowsD, hmap, hitSet, handle.triples)
+    appendLocalProbed(spark, handle, rowsD, hmap, hitSet, handle.triples,
+      claims, probed)
   }
 
   /** appendLocal past its encoded duplicate probe: confirm hash hits
@@ -255,7 +282,9 @@ object GraftStore {
                                 rowsD: Seq[(String, String, String)],
                                 hmap: Map[String, Long],
                                 hitSet: Set[(Long, Long, Long)],
-                                strRel: DataFrame): StoreHandle = {
+                                strRel: DataFrame,
+                                claims: Map[Long, String] = Map.empty,
+                                probed: Set[Long] = Set.empty): StoreHandle = {
     import spark.implicits._
     val candDup = rowsD.filter(t =>
       handle.stats.contains(t._2) && hitSet((hmap(t._1), hmap(t._2), hmap(t._3))))
@@ -264,20 +293,31 @@ object GraftStore {
     // distributed path: no silent triple loss on a 3x63-bit collision)
     val confirmed: Set[(String, String, String)] =
       if (candDup.isEmpty) Set.empty
-      else strRel
+      else graft.Prof.t("appendLocal.confirm")(strRel
         .join(broadcast(candDup.toDF("s", "p", "o")),
           Seq("s", "p", "o"), "left_semi")
         .distinct().collect()
-        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+        .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet)
     val newRows = rowsD.filterNot(confirmed)
     if (newRows.isEmpty) return handle
     // delta certificate: internal clash driver-side, claim clash in one
     // dictionary scan
     val terms = newRows.flatMap(t => Seq(t._1, t._2, t._3)).distinct
     val internalClash = terms.groupBy(hmap).exists(_._2.size > 1)
+    // claim status from the caller's shared probe where it covers the
+    // term's hash; a dictionary job only for the uncovered remainder
+    val (covered, uncovered) = terms.partition(t => probed(hmap(t)))
     val (present, externalClash) =
       if (internalClash) (Set.empty[String], false)
-      else Dictionary.probeClaims(spark, handle.dict, terms)
+      else {
+        val presentK = covered.filter(t => claims.get(hmap(t)).contains(t)).toSet
+        val clashK = covered.exists(t => claims.get(hmap(t)).exists(_ != t))
+        val (presentP, clashP) =
+          if (uncovered.isEmpty) (Set.empty[String], false)
+          else graft.Prof.t("appendLocal.probeClaims")(
+            Dictionary.probeClaims(spark, handle.dict, uncovered))
+        (presentK ++ presentP, clashK || clashP)
+      }
     if (internalClash || externalClash)
       return ingestTriples(spark,
         handle.triples.unionAll(newRows.toDF("s", "p", "o")))
@@ -291,8 +331,10 @@ object GraftStore {
       .toDF("s", "p", "o")
     // local-relation arms need no checkpoint (they ARE their lineage); the
     // merged sketch relation stays lazy over the checkpointed base plus
-    // tiny local deltas — compact() re-materializes it
-    val sketches = TripleStore.mergeSketches(
+    // tiny local deltas — compact() re-materializes it. `def`: handle
+    // construction must not pay the merge's Catalyst analysis (StoreHandle
+    // forces it only when a sketch reader appears)
+    def sketches = TripleStore.mergeSketches(
       handle.sketches, TripleStore.predSketchesHash(newT))
     // stats update runs entirely driver-side (no statsOf job): exact
     // counts ADD (answer-relevant — the (?,p,?) COUNT shortcut); ndv
@@ -339,12 +381,12 @@ object GraftStore {
       rowsD.flatMap(t => Seq(t._1, t._2, t._3)).distinct)
     val delH = rowsD.map(t => (t._2, hmap(t._1), hmap(t._2), hmap(t._3)))
       .toDF("pstr", "s", "p", "o")
-    val matched = handle.enc
+    val matched = graft.Prof.t("removeLocal.matchProbe")(handle.enc
       .join(broadcast(delH.select(col("s"), col("p"), col("o"))),
         Seq("s", "p", "o"), "left_semi")
       .join(broadcast(delH), Seq("s", "p", "o"))
       .groupBy(col("pstr").as("p")).agg(count(lit(1)).as("gone"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap)
     removeLocalCounted(spark, handle, rowsD, hmap, matched)
   }
 
@@ -385,10 +427,13 @@ object GraftStore {
       val left = st.cnt - matched.getOrElse(p, 0L)
       if (left > 0) Some(p -> st.copy(cnt = left)) else None
     }
-    val goneDf = matched.toSeq.toDF("p", "gone")
-    val sketches = handle.sketches.join(broadcast(goneDf), Seq("p"), "left")
-      .withColumn("cnt", col("cnt") - coalesce(col("gone"), lit(0L)))
-      .where(col("cnt") > 0).drop("gone")
+    // `def`: sketch subtraction composes lazily (see StoreHandle.sketches)
+    def sketches = {
+      val goneDf = matched.toSeq.toDF("p", "gone")
+      handle.sketches.join(broadcast(goneDf), Seq("p"), "left")
+        .withColumn("cnt", col("cnt") - coalesce(col("gone"), lit(0L)))
+        .where(col("cnt") > 0).drop("gone")
+    }
     // changed predicates are exactly matched.keys ⊆ the driver-side hash
     // map — rebuild their encoded-key entries without a dictionary job
     val encStats = matched.keys.foldLeft(handle.encStats) { (m, p) =>
@@ -434,9 +479,10 @@ object GraftStore {
           delsD.map(t => ("d", t._2, hmap(t._1), hmap(t._2), hmap(t._3))) ++
             insCand.map(t => ("i", t._2, hmap(t._1), hmap(t._2), hmap(t._3)))
           ).toDF("tag", "pstr", "s", "p", "o")
-        val res = handle.enc.join(broadcast(probe), Seq("s", "p", "o"))
-          .groupBy("tag", "pstr", "s", "p", "o")
-          .agg(count(lit(1)).as("n")).collect()
+        val res = graft.Prof.t("groundBatch.probe")(
+          handle.enc.join(broadcast(probe), Seq("s", "p", "o"))
+            .groupBy("tag", "pstr", "s", "p", "o")
+            .agg(count(lit(1)).as("n")).collect())
         val m = res.filter(_.getString(0) == "d")
           .groupBy(_.getString(1))
           .view.mapValues(_.map(_.getLong(5)).sum).toMap
@@ -679,12 +725,15 @@ object GraftStore {
       if (left > 0) Some(p -> st.copy(cnt = left)) else None
     }
     // sketches stay mergeable for later appends: counts subtract in the
-    // (tiny) sketch relation too, emptied predicates drop out
+    // (tiny) sketch relation too, emptied predicates drop out (`def`:
+    // composed lazily, see StoreHandle.sketches)
     import spark.implicits._
-    val goneDf = matched.toSeq.toDF("p", "gone")
-    val sketches = handle.sketches.join(broadcast(goneDf), Seq("p"), "left")
-      .withColumn("cnt", col("cnt") - coalesce(col("gone"), lit(0L)))
-      .where(col("cnt") > 0).drop("gone")
+    def sketches = {
+      val goneDf = matched.toSeq.toDF("p", "gone")
+      handle.sketches.join(broadcast(goneDf), Seq("p"), "left")
+        .withColumn("cnt", col("cnt") - coalesce(col("gone"), lit(0L)))
+        .where(col("cnt") > 0).drop("gone")
+    }
     val encStats = encStatsOf(spark, handle.dict, handle.pureHash, stats)
     StoreHandle(triples, enc, handle.dict, handle.pureHash, stats, encStats,
       stats.values.map(_.cnt).sum, sketches)

@@ -19,6 +19,8 @@ object ProfUpdate {
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.constraintPropagation.enabled",
         sys.env.getOrElse("SPARK_GRAFT_CONSTRAINTS", "true"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

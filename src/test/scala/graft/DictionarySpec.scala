@@ -63,4 +63,18 @@ class DictionarySpec extends SparkSpec {
     val m = Dictionary.lookup(dict, Seq("x", "zzz"))
     m.keySet shouldBe Set("x")
   }
+
+  "Dictionary.termHashLocal" should "agree bit-for-bit with the termHash expression" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the driver-side hash must be THE id function — any drift would
+    // silently corrupt the certified-store fast paths that mix locally
+    // computed and expression-encoded ids
+    val terms = Seq("", "x", "region:0", "\"lit\"@en", "nation:12",
+      "_:b1", "http://ex/α∂ß", "a" * 1000)
+    val viaExpr = terms.toDF("t")
+      .select(col("t"), Dictionary.termHash(col("t")).as("id"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    terms.foreach(t => Dictionary.termHashLocal(t) shouldBe viaExpr(t))
+  }
 }
