@@ -1849,10 +1849,13 @@ object Sparql {
     * stream-static left join (the bounded side needs no watermark
     * state). A `UNION` compiles as the union of per-branch delta
     * decompositions (each arm = outer ++ branch patterns, already
-    * append-safe). Modifiers that need FULL-result state (unbounded
-    * DISTINCT / ORDER / LIMIT) are rejected — run those on the sink's
-    * output; aggregates belong to `executeStreamWindowed`; MINUS,
-    * property paths, and subqueries remain unsupported in streams.
+    * append-safe). `MINUS` over STATIC patterns is the batch compiler's
+    * anti join against a bounded side; `VALUES` blocks are bounded
+    * constant relations (both append-safe). Modifiers that need
+    * FULL-result state (unbounded DISTINCT / ORDER / LIMIT) are
+    * rejected — run those on the sink's output; aggregates belong to
+    * `executeStreamWindowed`; property paths and subqueries remain
+    * unsupported in streams.
     */
   def executeStream(spark: SparkSession, streamTriples: DataFrame,
                     staticTriples: DataFrame, queryText: String,
@@ -1861,13 +1864,22 @@ object Sparql {
                     tsCol: String = "ts"): DataFrame = {
     val q = parse(queryText)
     require(
-      q.group.minuses.isEmpty && q.group.values.isEmpty &&
       q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
       q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
-      q.group.valuesMulti.isEmpty && q.orderBy.isEmpty &&
+      q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
-      "executeStream supports the append-mode BGP+FILTER+BIND+UNION subset")
+      "executeStream supports the append-mode " +
+        "BGP+FILTER+BIND+UNION+VALUES+static-MINUS subset")
+    // MINUS right sides evaluate against the STATIC store only (bounded →
+    // the stream-static anti join is append-safe); same restriction class
+    // as OPTIONAL
+    q.group.minuses.foreach(m =>
+      require(m.triples.nonEmpty && m.optionals.isEmpty && m.unions.isEmpty &&
+        m.minuses.isEmpty && m.paths.isEmpty && m.binds.isEmpty &&
+        m.subqueries.isEmpty && m.subgroups.isEmpty &&
+        m.existsFilters.isEmpty && m.values.isEmpty && m.valuesMulti.isEmpty,
+        "streaming MINUS groups may contain only triple patterns and filters"))
     // UNION: each branch compiles as ITS OWN per-pattern delta over the
     // combined pattern set (outer triples ++ branch triples) and the arms
     // union — Δ(T ⋈ (A ∪ B)) = Δ(T ⋈ A) ∪ Δ(T ⋈ B), each arm already
@@ -1925,6 +1937,24 @@ object Sparql {
       require(shared.nonEmpty,
         "streaming OPTIONAL must share a variable with the stream pattern")
       df = df.join(o, shared, "left")
+    }
+    // MINUS over the static store: the same anti join as the batch
+    // compiler, against a bounded side (no shared vars removes nothing)
+    q.group.minuses.foreach { m =>
+      val neg = compileGroup(senv, m)
+      val shared = df.columns.intersect(neg.columns).toSeq
+      if (shared.nonEmpty) df = df.join(neg, shared, "left_anti")
+    }
+    // VALUES: inline constant relations are bounded by construction, so
+    // the constrain/extend joins are append-safe — same shapes as batch
+    q.group.values.foreach { case (v, vals) =>
+      import spark.implicits._
+      val vdf = vals.toDF(v)
+      df = if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
+      else df.crossJoin(vdf)
+    }
+    q.group.valuesMulti.foreach { case (vars, rows) =>
+      df = joinInlineData(senv, df, vars, rows)
     }
     val proj =
       if (q.projection.isEmpty)

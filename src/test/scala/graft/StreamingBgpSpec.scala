@@ -217,6 +217,55 @@ class StreamingBgpSpec extends SparkSpec {
       ("customer:1", "region:8"), ("customer:0", "region:9"))
   }
 
+  it should "subtract static MINUS groups from arriving solutions" in {
+    implicit val sqlCtx = spark.sqlContext
+    val static2 = Seq(
+      ("nation:1", "regionkey", "region:2"),
+      ("nation:3", "regionkey", "region:4"),
+      ("nation:3", "landlocked", "true")).toDF("s", "p", "o")
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), static2,
+      """PREFIX : <>
+        |SELECT ?c ?n WHERE {
+        |  ?c :nationkey ?n .
+        |  MINUS { ?n :landlocked "true" }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_minus")
+      .outputMode("append").start()
+    src.addData(
+      ("customer:7", "nationkey", "nation:1"),  // survives
+      ("customer:8", "nationkey", "nation:3"))  // subtracted (landlocked)
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sparql_stream_minus").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("customer:7", "nation:1"))
+  }
+
+  it should "constrain and extend arriving solutions with VALUES" in {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), staticTriples,
+      """PREFIX : <>
+        |SELECT ?c ?n ?tag WHERE {
+        |  ?c :nationkey ?n .
+        |  VALUES ?n { "nation:1" }
+        |  VALUES ?tag { "t1" "t2" }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_values")
+      .outputMode("append").start()
+    src.addData(
+      ("customer:7", "nationkey", "nation:1"),  // kept, extended x2
+      ("customer:8", "nationkey", "nation:9"))  // filtered by VALUES ?n
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sparql_stream_values").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet shouldBe
+      Set(("customer:7", "nation:1", "t1"), ("customer:7", "nation:1", "t2"))
+  }
+
   it should "deduplicate SELECT DISTINCT within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
