@@ -1851,11 +1851,14 @@ object Sparql {
     * decompositions (each arm = outer ++ branch patterns, already
     * append-safe). `MINUS` over STATIC patterns is the batch compiler's
     * anti join against a bounded side; `VALUES` blocks are bounded
-    * constant relations (both append-safe). Modifiers that need
-    * FULL-result state (unbounded DISTINCT / ORDER / LIMIT) are
-    * rejected — run those on the sink's output; aggregates belong to
-    * `executeStreamWindowed`; property paths and subqueries remain
-    * unsupported in streams.
+    * constant relations (both append-safe). Property paths and
+    * subqueries evaluate against the STATIC store only — each compiles
+    * to a bounded relation joined in append-safely (stream edges do not
+    * extend path traversals and are invisible to subqueries; live-edge
+    * closure maintenance would need per-batch semi-naive IVM).
+    * Modifiers that need FULL-result state (unbounded DISTINCT / ORDER /
+    * LIMIT) are rejected — run those on the sink's output; aggregates
+    * belong to `executeStreamWindowed`.
     */
   def executeStream(spark: SparkSession, streamTriples: DataFrame,
                     staticTriples: DataFrame, queryText: String,
@@ -1864,13 +1867,12 @@ object Sparql {
                     tsCol: String = "ts"): DataFrame = {
     val q = parse(queryText)
     require(
-      q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
       q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
       q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
       "executeStream supports the append-mode " +
-        "BGP+FILTER+BIND+UNION+VALUES+static-MINUS subset")
+        "BGP+FILTER+BIND+UNION+VALUES+static-MINUS/path/subquery subset")
     // MINUS right sides evaluate against the STATIC store only (bounded →
     // the stream-static anti join is append-safe); same restriction class
     // as OPTIONAL
@@ -1913,6 +1915,11 @@ object Sparql {
     val stream =
       if (dedup) streamTriples.withWatermark(tsCol, watermark.get)
       else streamTriples
+    // filters referencing vars bound only by a path/subquery/OPTIONAL
+    // enrichment can't apply inside the arm — defer them until after the
+    // static-side joins (filters are idempotent, so applying a filter in
+    // one arm AND again post-join is harmless)
+    var deferredFilters = Seq.empty[Expr]
     def arm(branch: Option[Group]): DataFrame = {
       var d = Bgp.compileStream(spark, stream, staticTriples,
         q.group.triples ++ branch.fold(Seq.empty[TriplePattern])(_.triples),
@@ -1920,7 +1927,10 @@ object Sparql {
       (q.group.binds ++ branch.fold(Seq.empty[(EExpr, String)])(_.binds))
         .foreach { case (e, v) => d = d.withColumn(v, compileVal(e)) }
       (q.group.filters ++ branch.fold(Seq.empty[Expr])(_.filters))
-        .foreach(f => d = d.where(compileExpr(f)))
+        .foreach { f =>
+          if (exprVars(f).subsetOf(d.columns.toSet)) d = d.where(compileExpr(f))
+          else deferredFilters :+= f
+        }
       d
     }
     var df = q.group.unions.headOption match {
@@ -1931,6 +1941,26 @@ object Sparql {
         arm(Some(l)).unionByName(arm(Some(r)), allowMissingColumns = true)
     }
     val senv = stringEnv(spark, staticTriples, stats)
+    // property paths read the STATIC store only: the path relation is
+    // bounded, so the constrain/extend join is append-safe. Stream edges
+    // do NOT extend traversals — a path over live edges would need
+    // closure re-computation per batch (semi-naive IVM), out of scope.
+    q.group.paths.foreach { case (sTerm, path, oTerm) =>
+      val scan = pathScan(senv, sTerm, path, oTerm)
+      val shared = df.columns.intersect(scan.columns).toSeq
+      df = if (shared.isEmpty) df.crossJoin(scan)
+      else df.join(scan, shared, "inner")
+    }
+    // subqueries evaluate against the STATIC store only — their result
+    // relation is bounded, so the join is append-safe (same restriction
+    // class as OPTIONAL/MINUS/paths: the inner query does not see
+    // stream edges)
+    q.group.subqueries.foreach { sq =>
+      val sub = compileQuery(senv, sq)
+      val shared = df.columns.intersect(sub.columns).toSeq
+      df = if (shared.isEmpty) df.crossJoin(sub)
+      else df.join(sub, shared, "inner")
+    }
     q.group.optionals.foreach { opt =>
       val o = compileGroup(senv, opt)
       val shared = df.columns.intersect(o.columns).toSeq
@@ -1955,6 +1985,11 @@ object Sparql {
     }
     q.group.valuesMulti.foreach { case (vars, rows) =>
       df = joinInlineData(senv, df, vars, rows)
+    }
+    deferredFilters.foreach { f =>
+      val missing = exprVars(f) -- df.columns.toSet
+      require(missing.isEmpty, s"FILTER references unbound vars $missing")
+      df = df.where(compileExpr(f))
     }
     val proj =
       if (q.projection.isEmpty)
@@ -2255,6 +2290,41 @@ object Sparql {
     df
   }
 
+  /** Compile one property-path pattern to its solution relation over
+    * `env` (columns = the pattern's variable endpoints; a 1-row `__c`
+    * existence probe when both endpoints are constants). A constant
+    * endpoint seeds the evaluation — frontier expansion, cost
+    * proportional to the reachable set, not the global path relation.
+    * Shared by the batch group compiler (joined in like a pattern scan)
+    * and the streaming path (where it reads the bounded STATIC store, so
+    * the join is append-safe).
+    */
+  private def pathScan(env: Env, sTerm: Term, path: Path,
+                       oTerm: Term): DataFrame = {
+    val spark = env.spark
+    val extra: Seq[Any] = Seq(sTerm, oTerm).collect { case C(v) => env.cval(v) }
+    def seedDf(v: Any): DataFrame =
+      spark.range(1).select(lit(env.cval(v)).as("n"))
+    var scan = (sTerm, oTerm) match {
+      case (C(v), _) => pathRelSeeded(env, path, extra, seedDf(v))
+      case (_, C(v)) =>
+        // bound object: evaluate the structurally reversed path from o,
+        // then swap back
+        pathRelSeeded(env, invertPath(path), extra, seedDf(v))
+          .select(col("o").as("s"), col("s").as("o"))
+      case _ => pathRel(env, path, extra)
+    }
+    sTerm match { case C(v) => scan = scan.where(col("s") === lit(env.cval(v))); case _ => }
+    oTerm match { case C(v) => scan = scan.where(col("o") === lit(env.cval(v))); case _ => }
+    if (sTerm.isInstanceOf[V] && sTerm == oTerm)
+      scan = scan.where(col("s") === col("o"))
+    val proj = Seq(sTerm -> "s", oTerm -> "o")
+      .collect { case (V(n), c) => n -> c }.distinct
+    if (proj.isEmpty) scan.limit(1).select(lit(1).as("__c"))
+    else demoteToTerms(env,
+      scan.select(proj.map { case (n, c) => col(c).as(n) }: _*))
+  }
+
   private def compileGroup(env: Env, g: Group): DataFrame = {
     val spark = env.spark
     var df: DataFrame =
@@ -2326,29 +2396,7 @@ object Sparql {
     // path's global relation and filtering afterwards — the difference
     // between O(reach) and O(V·avg-reach) for `<c> p+ ?x` at scale.
     g.paths.foreach { case (sTerm, path, oTerm) =>
-      val extra: Seq[Any] = Seq(sTerm, oTerm).collect { case C(v) => env.cval(v) }
-      def seedDf(v: Any): DataFrame =
-        spark.range(1).select(lit(env.cval(v)).as("n"))
-      var scan = (sTerm, oTerm) match {
-        case (C(v), _) => pathRelSeeded(env, path, extra, seedDf(v))
-        case (_, C(v)) =>
-          // bound object: evaluate the structurally reversed path from o,
-          // then swap back
-          pathRelSeeded(env, invertPath(path), extra, seedDf(v))
-            .select(col("o").as("s"), col("s").as("o"))
-        case _ => pathRel(env, path, extra)
-      }
-      sTerm match { case C(v) => scan = scan.where(col("s") === lit(env.cval(v))); case _ => }
-      oTerm match { case C(v) => scan = scan.where(col("o") === lit(env.cval(v))); case _ => }
-      if (sTerm.isInstanceOf[V] && sTerm == oTerm)
-        scan = scan.where(col("s") === col("o"))
-      val proj = Seq(sTerm -> "s", oTerm -> "o")
-        .collect { case (V(n), c) => n -> c }.distinct
-      val scanP =
-        if (proj.isEmpty) scan.limit(1).select(lit(1).as("__c"))
-        else demoteToTerms(env,
-          scan.select(proj.map { case (n, c) => col(c).as(n) }: _*))
-      joinIn(scanP)
+      joinIn(pathScan(env, sTerm, path, oTerm))
     }
     // MINUS: remove solutions matching the inner group on shared vars
     g.minuses.foreach { m =>

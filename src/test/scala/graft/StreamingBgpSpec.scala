@@ -266,6 +266,92 @@ class StreamingBgpSpec extends SparkSpec {
       Set(("customer:7", "nation:1", "t1"), ("customer:7", "nation:1", "t2"))
   }
 
+  it should "join arriving edges through a static property path" in {
+    // the path relation reads the STATIC store only (bounded → the
+    // inner join is append-safe); stream edges do not extend traversals
+    implicit val sqlCtx = spark.sqlContext
+    val static2 = Seq(
+      ("cat:a", "broader", "cat:b"),
+      ("cat:b", "broader", "cat:c")).toDF("s", "p", "o")
+    val query =
+      """PREFIX : <>
+        |SELECT ?d ?root WHERE {
+        |  ?d :inCategory ?c .
+        |  ?c :broader+ ?root .
+        |}""".stripMargin
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), static2, query)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_path")
+      .outputMode("append").start()
+    src.addData(
+      ("doc:1", "inCategory", "cat:a"),   // a -> b, a -> c
+      ("doc:2", "inCategory", "cat:c"))   // no outgoing broader edge
+    q.processAllAvailable()
+    src.addData(("doc:3", "inCategory", "cat:b")) // second batch: b -> c
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sparql_stream_path").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe Set(
+      ("doc:1", "cat:b"), ("doc:1", "cat:c"), ("doc:3", "cat:c"))
+  }
+
+  it should "enrich arriving edges with a static aggregate subquery" in {
+    // the subquery evaluates against the STATIC store only — a bounded
+    // relation, joined in append-safely on its shared variable
+    implicit val sqlCtx = spark.sqlContext
+    val static2 = Seq(
+      ("nation:1", "memberOf", "region:2"),
+      ("nation:3", "memberOf", "region:2"),
+      ("nation:5", "memberOf", "region:4")).toDF("s", "p", "o")
+    val query =
+      """PREFIX : <>
+        |SELECT ?c ?r ?n WHERE {
+        |  ?c :locatedIn ?r .
+        |  { SELECT ?r (COUNT(?m) AS ?n) WHERE { ?m :memberOf ?r } GROUP BY ?r }
+        |}""".stripMargin
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), static2, query)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_subq")
+      .outputMode("append").start()
+    src.addData(
+      ("customer:7", "locatedIn", "region:2"),
+      ("customer:8", "locatedIn", "region:4"),
+      ("customer:9", "locatedIn", "region:9")) // no members -> dropped
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sparql_stream_subq").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    got shouldBe Set(
+      ("customer:7", "region:2", 2L), ("customer:8", "region:4", 1L))
+  }
+
+  it should "apply a filter over path-bound vars after the static join" in {
+    implicit val sqlCtx = spark.sqlContext
+    val static2 = Seq(
+      ("cat:a", "broader", "cat:b"),
+      ("cat:b", "broader", "cat:c")).toDF("s", "p", "o")
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), static2,
+      """PREFIX : <>
+        |SELECT ?d ?root WHERE {
+        |  ?d :inCategory ?c .
+        |  ?c :broader+ ?root .
+        |  FILTER (?root != "cat:b")
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_pathf")
+      .outputMode("append").start()
+    src.addData(("doc:1", "inCategory", "cat:a"))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sparql_stream_pathf").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("doc:1", "cat:c"))
+  }
+
   it should "deduplicate SELECT DISTINCT within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
