@@ -55,6 +55,8 @@ object Bench {
     warm("docDupPairs")(
       graft.store.GraftStore.docDupPairs(spark, sfDir, threshold = 0.5))
     warm("entityAdjacency")(graft.store.GraftStore.entityAdjacency(spark, sfDir))
+    warm("entityAdjacencyRanked")(
+      graft.store.GraftStore.entityAdjacencyRanked(spark, sfDir))
     warm("entityAdjacencyEnc")(
       graft.store.GraftStore.entityAdjacencyEnc(spark, sfDir))
     warm("ivfIndex")(graft.store.GraftStore.ivfIndex(spark, sfDir))

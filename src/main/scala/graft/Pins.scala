@@ -102,4 +102,15 @@ object Pins {
   /** Is this frame already a materialized checkpoint? */
   def isPinned(df: DataFrame): Boolean =
     df.queryExecution.analyzed.isInstanceOf[LogicalRDD]
+
+  /** Is this frame already materialized — a checkpoint OR a persisted
+    * (cached) frame? Fixpoint loops use this to leave caller-managed
+    * frames alone: re-checkpointing a CACHED frame would not only waste
+    * a materialization, it would REPLACE the InMemoryRelation (whose
+    * outputPartitioning the per-round joins rely on to skip the big-side
+    * exchange) with a partitioning-blind LogicalRDD.
+    */
+  def isMaterialized(df: DataFrame): Boolean =
+    isPinned(df) ||
+      df.storageLevel != org.apache.spark.storage.StorageLevel.NONE
 }

@@ -1052,14 +1052,22 @@ object SparkEntry {
 
   /** Bounded-round min-label propagation over the entity graph: each
     * node's label is the smallest node id within distance 4 — the
-    * deduplicate-blocking / community-seed primitive. Pure string
-    * comparisons (the STRING adjacency — min over content hashes would
-    * pick different representatives), exactly replayable in SQL.
+    * deduplicate-blocking / community-seed primitive. String-MIN
+    * semantics (min over content hashes would pick different
+    * representatives), exactly replayable in SQL — but the ITERATION
+    * runs on dense order-preserving node ranks (min(rank) ≡ min(node)),
+    * so each round shuffles fixed-width longs and the strings appear
+    * only in the single decode join at the top.
     */
-  private def labelPropQ(s: SparkSession, d: String): DataFrame =
-    graft.ops.GraphOps.minLabelPropagation(
-        GraftStore.entityAdjacency(s, d), iterations = 4)
+  private def labelPropQ(s: SparkSession, d: String): DataFrame = {
+    val (adjRk, ranks) = GraftStore.entityAdjacencyRanked(s, d)
+    val labs = graft.ops.GraphOps.minLabelPropagation(adjRk, iterations = 4)
+    val byNode = ranks.select(col("rk").as("node"), col("node").as("nodeName"))
+    val byLab = ranks.select(col("rk").as("lab"), col("node").as("labName"))
+    labs.join(byNode, Seq("node")).join(byLab, Seq("lab"))
+      .select(col("nodeName").as("node"), col("labName").as("lab"))
       .orderBy("node")
+  }
 
   /** The reference's own benchmark workload as driver gates: LUBM
     * University0 (318k triples from the reference's N-Triples fixtures)

@@ -39,7 +39,7 @@ object GraphOps {
     require(iterations >= 1, "need iterations >= 1")
     val pins = new graft.Pins
     val adj =
-      if (graft.Pins.isPinned(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
+      if (graft.Pins.isMaterialized(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
     val nodes = pins.pin(adj.select(col("s").as("node")).distinct())
     val n = nodes.count()
     val base = (1.0 - damping) / n
@@ -73,7 +73,7 @@ object GraphOps {
     require(iterations >= 1, "need iterations >= 1")
     val pins = new graft.Pins
     val adj =
-      if (graft.Pins.isPinned(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
+      if (graft.Pins.isMaterialized(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
     var labels = pins.pin(
       adj.select(col("s").as("node")).distinct()
         .withColumn("lab", col("node")))
@@ -108,6 +108,22 @@ object GraphOps {
       .withColumn("rk", row_number().over(Window.partitionBy("s").orderBy("o")))
       .withColumn("deg", count(lit(1)).over(Window.partitionBy("s")))
 
+  /** Dense ORDER-PRESERVING node ranks: (node, rk) with rk ascending in
+    * node order, so `min(rk)` picks the same representative as
+    * `min(node)` — the label-prop/connected-components iteration can run
+    * on fixed-width longs and decode once at the top, like the SPARQL
+    * encoded path. Assignment is the scalable sort + per-partition-index
+    * shape (range-partitioned global sort, then zipWithIndex's single
+    * count pass for partition offsets) — no single-partition window.
+    */
+  def orderRanks(nodes: DataFrame): DataFrame = {
+    val spark = nodes.sparkSession
+    val c = nodes.columns.head
+    val sorted = nodes.select(col(c).as("node")).distinct().orderBy("node")
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) }
+    spark.createDataFrame(rdd).toDF("node", "rk")
+  }
+
   def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,
                   walksPerStart: Int = 1, seed: String = "42"): DataFrame =
     randomWalksRanked(rankedAdjacency(edges), starts, steps, walksPerStart, seed)
@@ -120,7 +136,7 @@ object GraphOps {
     // a cached/checkpointed adjacency is used as-is; a lazy one is pinned
     // for the loop and freed at seal
     val ranked =
-      if (graft.Pins.isPinned(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
+      if (graft.Pins.isMaterialized(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
     // each step's frontier is pinned: tiny (|starts| × walksPerStart rows),
     // and without it union branch k would recompute every prior join —
     // `steps` scans of the adjacency instead of O(steps²)

@@ -990,7 +990,17 @@ object GraftStore {
     * materialized once per (session, dir) — the walk engine's index, an
     * ingest-time artifact like the gram sets: every walk batch over the
     * same graph reuses it (at cluster scale, a persisted table the ingest
-    * job writes next to the triples).
+    * job writes next to the triples, BUCKETED by `s`).
+    *
+    * Materialized as a CACHED frame, not a checkpoint, deliberately: the
+    * ranking window leaves the data hash-partitioned by `s`, and an
+    * InMemoryRelation PRESERVES that outputPartitioning where a
+    * checkpoint's LogicalRDD forgets it — so every iteration of the
+    * consumers' per-round join (`... === adj("s")`: PageRank ranks,
+    * label-prop labels, walker frontiers) shuffles ONLY its small
+    * per-node side while the |E|-sized adjacency streams exchange-free
+    * from the cache. On a fixpoint of k rounds that removes k full-edge
+    * shuffles — the dominant cost of iterative graph ops at scale.
     */
   def entityAdjacency(spark: SparkSession, sfDir: String): DataFrame = {
     evictStopped()
@@ -1000,16 +1010,20 @@ object GraftStore {
         .where(col("o").contains(":") &&
           !col("o").startsWith("\"") && !col("o").startsWith("_:"))
         .select(col("s"), col("o"))
-      graft.ops.GraphOps.rankedAdjacency(
+      val adj = graft.ops.GraphOps.rankedAdjacency(
         iriEdges.unionAll(iriEdges.select(col("o").as("s"), col("s").as("o"))))
-        .localCheckpoint(true)
+      adj.persist()
+      adj.count() // eager: consumers time their own work, not the build
+      adj
     })).value
   }
 
   /** The entity adjacency on ENCODED node ids (content hashes — sound on
     * certified stores): rank/degree joins move fixed-width longs, and a
     * consumer decodes node ids once at the top through the dictionary —
-    * the lazy-decode discipline applied to the graph family.
+    * the lazy-decode discipline applied to the graph family. Cached (not
+    * checkpointed) to keep the hash-partitioning-by-`s` visible to the
+    * per-round joins — see `entityAdjacency`.
     */
   def entityAdjacencyEnc(spark: SparkSession, sfDir: String): DataFrame = {
     evictStopped()
@@ -1021,14 +1035,45 @@ object GraftStore {
           !col("o").startsWith("\"") && !col("o").startsWith("_:"))
         .select(Dictionary.termHash(col("s")).as("s"),
           Dictionary.termHash(col("o")).as("o"))
-      graft.ops.GraphOps.rankedAdjacency(
+      val adj = graft.ops.GraphOps.rankedAdjacency(
         iriEdges.unionAll(iriEdges.select(col("o").as("s"), col("s").as("o"))))
-        .localCheckpoint(true)
+      adj.persist()
+      adj.count()
+      adj
     })).value
   }
 
   private val adjEncCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
+
+  private val adjRankCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Lazily[(DataFrame, DataFrame)]]
+
+  /** The entity adjacency on dense ORDER-PRESERVING node ranks, plus the
+    * (node, rk) dictionary — min-label propagation iterates on
+    * fixed-width longs whose `min` picks the SAME representative as the
+    * string `min` (rank order ≡ node order), and decodes once at the
+    * top. An ingest-time artifact like the other adjacencies (at cluster
+    * scale: ranks assigned by the ingest sort, both tables persisted
+    * bucketed). Cached, not checkpointed, for the same
+    * partitioning-preservation reason as `entityAdjacency`.
+    */
+  def entityAdjacencyRanked(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    evictStopped()
+    adjRankCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val adj = entityAdjacency(spark, sfDir)
+      val ranks = graft.ops.GraphOps.orderRanks(adj.select(col("s")))
+      ranks.persist(); ranks.count()
+      val o2 = ranks.select(col("node").as("o"), col("rk").as("ork"))
+      val edges = adj.select(col("s"), col("o"))
+      val adjRk = graft.ops.GraphOps.rankedAdjacency(
+        edges.join(ranks, edges("s") === ranks("node")).join(o2, Seq("o"))
+          .select(col("rk").as("s"), col("ork").as("o")))
+      adjRk.persist(); adjRk.count()
+      (adjRk, ranks)
+    })).value
+  }
 
   private val ntCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[StoreHandle]]

@@ -74,6 +74,35 @@ class GraphOpsSpec extends SparkSpec {
     one("c") shouldBe "b"
   }
 
+  "orderRanks" should "assign dense ranks in node order, so min(rank) ≡ min(node)" in {
+    val nodes = Seq("m", "a", "z", "k", "a").toDF("node")
+    val rk = GraphOps.orderRanks(nodes).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rk.size shouldBe 4 // distinct
+    rk.toSeq.sortBy(_._2).map(_._1) shouldBe Seq("a", "k", "m", "z")
+    rk.values.toSeq.sorted shouldBe Seq(0L, 1L, 2L, 3L)
+  }
+
+  it should "make rank-encoded label propagation decode to the string result" in {
+    // the iterate-on-longs discipline (SparkEntry.labelPropQ): translate
+    // the adjacency through order-preserving ranks, iterate, decode —
+    // must equal the direct string iteration exactly
+    val g = Seq(("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"),
+      ("x", "y"), ("y", "x")).toDF("s", "o")
+    val direct = GraphOps.minLabelPropagation(GraphOps.rankedAdjacency(g), 3)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val ranks = GraphOps.orderRanks(g.select("s"))
+    val o2 = ranks.select(col("node").as("o"), col("rk").as("ork"))
+    val gRk = g.join(ranks, g("s") === ranks("node")).join(o2, Seq("o"))
+      .select(col("rk").as("s"), col("ork").as("o"))
+    val labs = GraphOps.minLabelPropagation(GraphOps.rankedAdjacency(gRk), 3)
+    val byNode = ranks.select(col("rk").as("node"), col("node").as("nodeName"))
+    val byLab = ranks.select(col("rk").as("lab"), col("node").as("labName"))
+    val decoded = labs.join(byNode, Seq("node")).join(byLab, Seq("lab"))
+      .collect().map(r => r.getAs[String]("nodeName") -> r.getAs[String]("labName")).toMap
+    decoded shouldBe direct
+  }
+
   "pageRank" should "be stationary on a symmetric pair and rank hubs above leaves" in {
     // undirected pair: uniform 1/2 is the fixpoint at any damping
     val pair = Seq(("a", "b"), ("b", "a")).toDF("s", "o")
