@@ -75,17 +75,35 @@ object DedupOps {
     // one map-side-combined aggregate, joined back to the postings
     val df = dfTable.getOrElse(gramDocFreqOf(g))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
+    // materialized: the self-join reads the prefix TWICE, and an
+    // unmaterialized subtree (DF aggregate + window) would compute twice
     val prefix = inv.join(df, Seq("gram"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
-      .select(col("doc_id"), col("sz"), col("gram"))
+      .select(col("doc_id"), col("sz"), col("gram"), col("rk"))
+      .localCheckpoint(true)
+    // POSITIONAL filter (PPJoin's second filter) on top of the prefix
+    // match: grams sort in ONE global order, so a pair's shared grams
+    // beyond its last shared prefix position are at most
+    // min(remaining-in-A, remaining-in-B); with c shared prefix grams the
+    // overlap can't exceed c + that remainder, and J >= t needs overlap
+    // >= ceil(t/(1+t)·(|A|+|B|)). The pair aggregation replaces the
+    // plain `.distinct()` — same shuffle, strictly fewer survivors — and
+    // every pruned candidate saves moving two gram arrays through the
+    // exact-verify join.
     prefix.as("x").join(prefix.as("y"),
         col("x.gram") === col("y.gram") && col("x.doc_id") < col("y.doc_id") &&
           // length filter: J >= t forces t*|A| <= |B| <= |A|/t
           col("y.sz") >= ceil(lit(threshold) * col("x.sz")) &&
           col("x.sz") >= ceil(lit(threshold) * col("y.sz")))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("c"),
+        first(col("x.sz")).as("sza"), first(col("y.sz")).as("szb"),
+        max(col("x.rk")).as("lastA"), max(col("y.rk")).as("lastB"))
+      .where(col("c") +
+          least(col("sza") - col("lastA"), col("szb") - col("lastB")) >=
+        ceil(lit(threshold) / (1 + threshold) * (col("sza") + col("szb"))))
+      .select(col("doc_a"), col("doc_b"))
   }
 
   /** MinHash signatures + LSH banding candidates + exact verification.
@@ -113,8 +131,12 @@ object DedupOps {
       val bandSlice = (0 until rows).map(r => element_at(col("sigs"), b * rows + r + 1))
       xxhash64((lit(b) +: bandSlice): _*)
     }: _*)
+    // materialized: the candidate self-join reads the bucketed relation
+    // twice, and the signature aggregate (64 hashes per gram) is the
+    // expensive part — unmaterialized it would run twice
     val bucketed = g.withColumn("sigs", sigs)
       .select(col("doc_id"), posexplode(buckets).as(Seq("band", "bucket")))
+      .localCheckpoint(true)
     val cand = bucketed.as("x").join(bucketed.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
