@@ -632,6 +632,17 @@ object SparkEntry {
         testPred = col("doc_id") < 20, n = 8)
       .orderBy("doc_id")
 
+  /** Bloom-pruned decontamination (6-gram, fpp 1%): the corpus gram
+    * stream probes a driver-built Bloom filter of the test grams —
+    * per-row bit test, no join on the big side — and only survivors pay
+    * the exact verify join, so the output (and oracle) is exactly the
+    * shared-gram count relation.
+    */
+  private def decontaminateBloomQ(s: SparkSession, d: String): DataFrame =
+    DedupOps.decontaminateBloom(Tables.loadPar(s, d, "documents"),
+        testPred = col("doc_id") < 20, n = 6, fpp = 0.01)
+      .orderBy("doc_id")
+
   /** Fuzzy decontamination: train docs near-duplicating (3-gram Jaccard
     * >= 0.4) any pseudo-test doc (doc_id < 20) — the paraphrase-leakage
     * complement to the exact 8-gram probe.
@@ -1791,6 +1802,7 @@ object SparkEntry {
     "q_redact" -> (redactQ _),
     "q_self_repetition" -> (selfRepetitionQ _),
     "q_decontaminate" -> (decontaminateQ _),
+    "q_decontaminate_bloom" -> (decontaminateBloomQ _),
     "q_decontaminate_fuzzy" -> (decontaminateFuzzyQ _),
     "q_dup_spans" -> (dupSpansQ _),
     "q_remove_dup_spans" -> (removeDupSpansQ _),
@@ -2960,6 +2972,21 @@ object SparkEntry {
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(words)-6),
         |    i -> array_to_string(list_slice(words, i, i+7), ' '))) AS grams
         |  FROM ws WHERE len(words) >= 8),
+        |tg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
+        |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20)
+        |SELECT doc_id, count(DISTINCT cg.gram) AS n_shared
+        |FROM cg JOIN tg USING (gram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // the Bloom prune is exact-verified, so the oracle is the plain
+    // shared-gram count relation (6-gram variant)
+    "q_decontaminate_bloom" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(words)-4),
+        |    i -> array_to_string(list_slice(words, i, i+5), ' '))) AS grams
+        |  FROM ws WHERE len(words) >= 6),
         |tg AS (SELECT DISTINCT unnest(grams) AS gram FROM g WHERE doc_id < 20),
         |cg AS (SELECT doc_id, unnest(grams) AS gram FROM g WHERE doc_id >= 20)
         |SELECT doc_id, count(DISTINCT cg.gram) AS n_shared

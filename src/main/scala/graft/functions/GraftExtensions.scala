@@ -19,6 +19,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         DotProductD(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_bloom_contains"),
+      new ExpressionInfo(classOf[BloomMightContain].getName, "graft_bloom_contains"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2,
+          "graft_bloom_contains(filterBytes, hash) takes 2 arguments")
+        BloomMightContain(children.head, children(1))
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

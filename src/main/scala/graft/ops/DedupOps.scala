@@ -162,27 +162,65 @@ object DedupOps {
     * to the corpus, so the gram set broadcasts and the corpus side
     * streams; candidate volume ∝ actual contamination.
     */
-  def decontaminate(docs: DataFrame, testPred: Column, n: Int = 8): DataFrame = {
+  /** (doc_id, gram) word-n-gram postings of each document (duplicates
+    * kept; consumers dedup as needed). Grams via posexplode + window
+    * lead instead of the array-HOF construction: Spark's higher-order
+    * functions are interpreted (CodegenFallback), and building ~n-word
+    * concat windows per token dominated the runtime; lead() chains stay
+    * inside whole-stage codegen (measured ~2x on the corpus side).
+    */
+  def wordGramPostings(side: DataFrame, n: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // Grams via posexplode + window lead instead of the array-HOF
-    // construction: Spark's higher-order functions are interpreted
-    // (CodegenFallback), and building ~n-word concat windows per token
-    // dominated the runtime; lead() chains stay inside whole-stage
-    // codegen (measured ~2x on the corpus side).
     val w = Window.partitionBy("doc_id").orderBy("pos")
-    def grams(side: DataFrame): DataFrame = {
-      val leads = (1 until n).map(i => lead(col("w"), i).over(w))
-      side
-        .select(col("doc_id"),
-          posexplode(split(TextOps.normalize(col("text")), " ")).as(Seq("pos", "w")))
-        .select(col("doc_id"),
-          concat_ws(" ", (col("w") +: leads): _*).as("gram"),
-          leads.last.isNotNull.as("__full"))
-        .where(col("__full"))
-        .select(col("doc_id"), col("gram"))
-    }
-    val testGrams = grams(docs.where(testPred)).select("gram").distinct()
-    grams(docs.where(!testPred))
+    val leads = (1 until n).map(i => lead(col("w"), i).over(w))
+    side
+      .select(col("doc_id"),
+        posexplode(split(TextOps.normalize(col("text")), " ")).as(Seq("pos", "w")))
+      .select(col("doc_id"),
+        concat_ws(" ", (col("w") +: leads): _*).as("gram"),
+        leads.last.isNotNull.as("__full"))
+      .where(col("__full"))
+      .select(col("doc_id"), col("gram"))
+  }
+
+  def decontaminate(docs: DataFrame, testPred: Column, n: Int = 8): DataFrame = {
+    val testGrams = wordGramPostings(docs.where(testPred), n)
+      .select("gram").distinct()
+    wordGramPostings(docs.where(!testPred), n)
+      .join(broadcast(testGrams), Seq("gram"))
+      .groupBy("doc_id")
+      .agg(countDistinct(col("gram")).as("n_shared"))
+  }
+
+  /** Bloom-pruned test-set decontamination — `decontaminate`'s 100 TB
+    * shape. The distinct test grams fold into a driver-built Bloom
+    * filter (`Dataset.stat.bloomFilter`: a distributed treeAggregate;
+    * the result is a few MB at 1% fpp regardless of corpus size), and
+    * the corpus gram stream probes it with the codegen'd
+    * `graft_bloom_contains` over xxhash64(gram) — a per-row bit test
+    * with NO join and NO broadcast-hash build on the big side. Only the
+    * tiny surviving slice (actual contamination + the fpp sliver) pays
+    * the exact broadcast join, which removes every false positive — the
+    * output is IDENTICAL to `decontaminate`, so the same SQL oracle
+    * pins it. Preferable to the postings broadcast when the test set's
+    * gram relation is too big to ship as a hash table but fine as a
+    * filter (the classic n-gram-decontamination setup: Brown et al.,
+    * "Language Models are Few-Shot Learners", App. C use exactly this
+    * Bloom-filter construction).
+    */
+  def decontaminateBloom(docs: DataFrame, testPred: Column, n: Int = 8,
+                         fpp: Double = 0.01): DataFrame = {
+    // read twice (filter build + exact verify) — materialize once
+    val testGrams = wordGramPostings(docs.where(testPred), n)
+      .select("gram").distinct().localCheckpoint(true)
+    val items = math.max(testGrams.count(), 1L)
+    val bf = testGrams.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", items, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    wordGramPostings(docs.where(!testPred), n)
+      .where(call_function("graft_bloom_contains",
+        lit(bos.toByteArray), xxhash64(col("gram"))))
       .join(broadcast(testGrams), Seq("gram"))
       .groupBy("doc_id")
       .agg(countDistinct(col("gram")).as("n_shared"))

@@ -62,6 +62,41 @@ class TextOpsSpec extends SparkSpec {
     res shouldBe Map(10L -> 1L) // shares exactly the one 8-gram "one..eight"
   }
 
+  "decontaminateBloom" should "match the postings-join result exactly, even at crude fpp" in {
+    // a deliberately terrible filter (fpp 0.5) floods the prune with
+    // false positives — the exact verify join must still remove them
+    // all, so both paths produce the identical relation
+    val docs = Seq(
+      (1L, "one two three four five six seven eight nine ten"),   // test
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota"), // test
+      (10L, "one two three four five six seven eight completely different"),
+      (11L, "nothing in common with anything held out at all here"),
+      (12L, "alpha beta gamma delta epsilon zeta eta theta something else")
+    ).toDF("doc_id", "text")
+    for (fpp <- Seq(0.01, 0.5)) {
+      val bloom = graft.ops.DedupOps
+        .decontaminateBloom(docs, col("doc_id") < 10, n = 8, fpp = fpp)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val exact = graft.ops.DedupOps
+        .decontaminate(docs, col("doc_id") < 10, n = 8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      bloom shouldBe exact
+      bloom shouldBe Map(10L -> 1L, 12L -> 1L)
+    }
+  }
+
+  it should "probe with a codegen'd expression and never miss an inserted key" in {
+    // no false negatives: every inserted hash must report might-contain
+    val grams = Seq.tabulate(500)(i => s"gram token number $i").toDF("gram")
+    val bf = grams.select(xxhash64(col("gram")).as("h"))
+      .stat.bloomFilter("h", 500, 0.01)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val hits = grams.where(call_function("graft_bloom_contains",
+        lit(bos.toByteArray), xxhash64(col("gram"))))
+    hits.count() shouldBe 500L
+  }
+
   "decontaminateFuzzy" should "flag near-duplicates of test docs, not mere overlaps" in {
     val docs = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight"),   // test
