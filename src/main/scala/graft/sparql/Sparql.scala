@@ -1865,14 +1865,22 @@ object Sparql {
                     stats: Map[String, PredStats] = Map.empty,
                     watermark: Option[String] = None,
                     tsCol: String = "ts"): DataFrame = {
-    val q = parse(queryText)
+    val qRaw = parse(queryText)
+    // `{ A . { B . FILTER f } }` with a PLAIN nested group (triples +
+    // filters over its own vars only) is algebraically Join(A, B) with f
+    // over B — flatten it into the outer pattern set so the nested
+    // triples get FULL per-pattern delta semantics (they can match
+    // stream edges, unlike the bounded static-side enrichments). Filters
+    // over vars beyond the subgroup's own stay unsupported (hoisting
+    // would widen their scope).
+    val q = qRaw.copy(group = flattenPlainSubgroups(qRaw.group))
     require(
-      q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
+      q.group.subgroups.isEmpty &&
       q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
       "executeStream supports the append-mode " +
-        "BGP+FILTER+BIND+UNION+VALUES+static-MINUS/path/subquery subset")
+        "BGP+FILTER+BIND+UNION+VALUES+static-MINUS/path/subquery/EXISTS subset")
     // MINUS right sides evaluate against the STATIC store only (bounded →
     // the stream-static anti join is append-safe); same restriction class
     // as OPTIONAL
@@ -1974,6 +1982,20 @@ object Sparql {
       val neg = compileGroup(senv, m)
       val shared = df.columns.intersect(neg.columns).toSeq
       if (shared.nonEmpty) df = df.join(neg, shared, "left_anti")
+    }
+    // FILTER [NOT] EXISTS over the static store: the batch compiler's
+    // semi/anti join against a bounded side — append-safe like MINUS
+    q.group.existsFilters.foreach { case (inner, negated) =>
+      val in = compileGroup(senv, inner)
+      val shared = df.columns.intersect(in.columns).toSeq
+      df =
+        if (shared.nonEmpty)
+          df.join(in, shared, if (negated) "left_anti" else "left_semi")
+        else {
+          val marker = broadcast(in.limit(1).select(lit(1).as("__e")))
+          if (negated) df.join(marker, lit(true), "left_anti")
+          else df.crossJoin(marker).drop("__e")
+        }
     }
     // VALUES: inline constant relations are bounded by construction, so
     // the constrain/extend joins are append-safe — same shapes as batch
@@ -2288,6 +2310,29 @@ object Sparql {
       if (encTop) df = decodeFinal(env, df)
     }
     df
+  }
+
+  /** Hoist PLAIN nested groups — only triple patterns plus filters whose
+    * vars all come from those patterns — into their parent:
+    * `Join(A, {B, f})` ≡ `Join(A, B) filter f` when f's scope is B's
+    * own vars. Used by the streaming compiler so nested plain groups'
+    * triples participate in the full per-pattern delta. Non-plain
+    * subgroups stay put (and streaming rejects them).
+    */
+  private def flattenPlainSubgroups(g: Group): Group = {
+    val flat = g.subgroups.map(flattenPlainSubgroups)
+    val (plain, rest) = flat.partition { sg =>
+      val tvars = sg.triples.flatMap(_.vars).toSet
+      sg.triples.nonEmpty &&
+      sg.optionals.isEmpty && sg.unions.isEmpty && sg.minuses.isEmpty &&
+      sg.values.isEmpty && sg.paths.isEmpty && sg.binds.isEmpty &&
+      sg.subqueries.isEmpty && sg.subgroups.isEmpty &&
+      sg.existsFilters.isEmpty && sg.valuesMulti.isEmpty &&
+      sg.filters.forall(f => exprVars(f).subsetOf(tvars))
+    }
+    g.copy(triples = g.triples ++ plain.flatMap(_.triples),
+      filters = g.filters ++ plain.flatMap(_.filters),
+      subgroups = rest)
   }
 
   /** Compile one property-path pattern to its solution relation over

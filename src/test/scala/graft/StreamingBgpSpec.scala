@@ -352,6 +352,63 @@ class StreamingBgpSpec extends SparkSpec {
       Set(("doc:1", "cat:c"))
   }
 
+  it should "apply FILTER [NOT] EXISTS against the static store" in {
+    implicit val sqlCtx = spark.sqlContext
+    val static2 = Seq(
+      ("nation:1", "regionkey", "region:2"),
+      ("nation:3", "landlocked", "true")).toDF("s", "p", "o")
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), static2,
+      """PREFIX : <>
+        |SELECT ?c ?n WHERE {
+        |  ?c :nationkey ?n .
+        |  FILTER EXISTS { ?n :regionkey ?r }
+        |  FILTER NOT EXISTS { ?n :landlocked "true" }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_exists")
+      .outputMode("append").start()
+    src.addData(
+      ("customer:7", "nationkey", "nation:1"),  // has region, not landlocked
+      ("customer:8", "nationkey", "nation:3"),  // landlocked -> dropped
+      ("customer:9", "nationkey", "nation:9"))  // no region -> dropped
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sparql_stream_exists").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("customer:7", "nation:1"))
+  }
+
+  it should "flatten plain nested groups into the per-pattern delta" in {
+    // the nested group's triple must still bind to ARRIVING edges (it
+    // gets its own per-pattern delta arm), not just the static store —
+    // the flattening proof; one new edge per solution, per the
+    // stream-static contract
+    implicit val sqlCtx = spark.sqlContext
+    val static2 = staticTriples
+      .union(Seq(("customer:2", "nationkey", "nation:9")).toDF("s", "p", "o"))
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), static2,
+      """PREFIX : <>
+        |SELECT ?c ?r WHERE {
+        |  ?c :nationkey ?n .
+        |  { ?n :regionkey ?r . FILTER (?r != "region:4") }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_subgrp")
+      .outputMode("append").start()
+    // outer pattern's edge arrives; nested pattern matches from static
+    src.addData(("customer:1", "nationkey", "nation:1"))
+    q.processAllAvailable()
+    // the NESTED pattern's edge arrives; outer matches from static
+    src.addData(("nation:9", "regionkey", "region:8"))
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sparql_stream_subgrp").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("customer:1", "region:2"), ("customer:2", "region:8"))
+  }
+
   it should "deduplicate SELECT DISTINCT within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
