@@ -24,6 +24,7 @@ case class BloomMightContain(filterExpr: Expression, child: Expression)
   override def left: Expression = filterExpr
   override def right: Expression = child
   override def dataType: DataType = BooleanType
+  override def prettyName: String = "graft_bloom_contains"
 
   override def checkInputDataTypes(): TypeCheckResult =
     if (filterExpr.dataType != BinaryType)

@@ -99,4 +99,41 @@ class PlanSpec extends SparkSpec {
     "Exchange".r.findAllIn(p).length should be <= 3
     p should not include "CartesianProduct"
   }
+
+  "q_decontaminate_bloom" should
+    "probe the filter inline and broadcast only the verify side" in {
+    val p = finalPlan("q_decontaminate_bloom")
+    p should include("graft_bloom_contains") // the codegen probe, pre-join
+    p should include("Broadcast")            // exact verify join
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "a fixpoint round over the cached adjacency" should
+    "not re-shuffle the adjacency side" in {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the GraftStore adjacency discipline: persist AFTER the ranking
+    // window so InMemoryRelation keeps hashpartitioning(s) visible
+    val edges = (1 to 2000).map(i => (s"n${i % 50}", s"n${(i * 7) % 50}"))
+      .toDF("s", "o")
+    val adj = graft.ops.GraphOps.rankedAdjacency(edges)
+    adj.persist(); adj.count()
+    try {
+      val rank = adj.select(col("s").as("node")).distinct()
+        .withColumn("r", lit(1.0))
+      val round = adj.join(rank, adj("s") === rank("node"))
+        .groupBy(col("o")).agg(sum(col("r") / col("deg")).as("m"))
+      round.collect()
+      val p = round.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      p should include("InMemoryTableScan")
+      // everything ABOVE the cache scan (the InMemoryRelation section
+      // reprints the cached BUILD plan, whose exchanges already ran at
+      // artifact build): at most the small-side + aggregate shuffles —
+      // one more means the |E|-sized cached side re-partitions per round
+      val aboveCache = p.split("InMemoryRelation").head
+      "Exchange".r.findAllIn(aboveCache).length should be <= 2
+    } finally adj.unpersist()
+  }
 }
