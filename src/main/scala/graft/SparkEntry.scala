@@ -1041,8 +1041,13 @@ object SparkEntry {
         |INSERT { ?s :bulk "true" } WHERE { ?s :a "Order" . ?s :orderpriority "1-URGENT" } ;
         |DELETE DATA { <region:0> :name "AFRICA" } ;
         |INSERT DATA { <region:99> :a "Region" . <region:99> :name "ATLANTIS" }""".stripMargin)
-    h.triples.groupBy("p")
+    // audit on the ENCODED view: the count-distinct shuffles fixed-width
+    // ids (injective on a certified store, so the counts are identical)
+    // and only the ~30 predicate ids decode through the dictionary
+    val dp = h.enc.groupBy("p")
       .agg(count(lit(1)).as("cnt"), countDistinct(col("s")).as("n_subj"))
+    graft.dict.Dictionary.decodeAll(dp, h.dict, Seq("p"))
+      .select(col("p"), col("cnt"), col("n_subj"))
       .orderBy("p")
   }
 

@@ -206,6 +206,11 @@ object Sparql {
       * silently constrain two unrelated midpoints equal.
       */
     var fresh = 0
+    /** Prologue prefix map, recorded by parsePrefixes so EXPRESSION
+      * parsing (which threads only `p`) can resolve IRI/prefixed-name
+      * constants too — `FILTER (?r != <region:0>)`, `?t = :name`.
+      */
+    var prefixes: Map[String, String] = Map.empty
   }
 
   private val aggFns =
@@ -963,6 +968,7 @@ object Sparql {
         case t => p.fail(s"expected <iri>, got $t")
       }
       prefixes += (pfx -> iri)
+      p.prefixes += (pfx -> iri)
     }
     prefixes
   }
@@ -1533,6 +1539,14 @@ object Sparql {
     case Some(TVar(v)) => p.pos += 1; EVar(v)
     case Some(TNum(n)) => p.pos += 1; ENumL(n.toDouble)
     case Some(TStr(s)) => p.pos += 1; EStrL(s)
+    // IRI / prefixed-name constants denote their term string (terms are
+    // stored raw in this model, so `?r != <region:0>` string-compares)
+    case Some(TIri(i)) => p.pos += 1; EStrL(i)
+    case Some(TPName(pfx, local)) =>
+      p.pos += 1
+      if (pfx == "_" && !p.prefixes.contains("_")) EStrL("_:" + local)
+      else EStrL(p.prefixes.getOrElse(pfx,
+        p.fail(s"undeclared prefix '$pfx:'")) + local)
     case Some(TSym("(")) => p.pos += 1; val e = parseEAdd(p); p.eatSym(")"); e
     case Some(TWord(fn)) if fn.toUpperCase == "IF" &&
       p.peekAhead(1).contains(TSym("(")) =>

@@ -256,7 +256,42 @@ class GoldenSpec extends SparkSpec {
       """PREFIX : <>
         |SELECT ?seg (COUNT(?c) AS ?cnt) ?tag WHERE { ?c :mktsegment ?seg }
         |GROUP BY ?seg ORDER BY ?seg ?tag
-        |VALUES (?seg ?tag) { ("BUILDING" "b") (UNDEF "w") }""".stripMargin)
+        |VALUES (?seg ?tag) { ("BUILDING" "b") (UNDEF "w") }""".stripMargin,
+    // a property path INSIDE an existence filter (two features composed)
+    "sparql_exists_path" ->
+      """PREFIX : <>
+        |SELECT ?c WHERE {
+        |  ?c a "Customer" .
+        |  FILTER EXISTS { ?c :nationkey/:regionkey/:name "ASIA" }
+        |} ORDER BY ?c""".stripMargin,
+    // nested OPTIONAL with an inner-scope filter: failing the filter
+    // nulls ONLY the inner binding, never the outer solution
+    "sparql_nested_optional" ->
+      """PREFIX : <>
+        |SELECT ?s ?n ?r WHERE {
+        |  ?s a "Supplier" .
+        |  OPTIONAL { ?s :nationkey ?n .
+        |             OPTIONAL { ?n :regionkey ?r . FILTER (?r != <region:0>) } }
+        |} ORDER BY ?s ?n ?r""".stripMargin,
+    "sparql_groupconcat_sep" ->
+      """PREFIX : <>
+        |SELECT ?r (GROUP_CONCAT(?nm ; SEPARATOR "|") AS ?names) WHERE {
+        |  ?n :regionkey ?r . ?n :name ?nm
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin,
+    // a property path INSIDE a MINUS group
+    "sparql_minus_path" ->
+      """PREFIX : <>
+        |SELECT ?c WHERE {
+        |  ?c a "Customer" .
+        |  MINUS { ?c :nationkey/:regionkey <region:1> }
+        |} ORDER BY ?c""".stripMargin,
+    // a UNION inside an existence filter
+    "sparql_exists_union" ->
+      """PREFIX : <>
+        |SELECT ?n WHERE {
+        |  ?n a "Nation" .
+        |  FILTER EXISTS { { ?n :name "NATION_2" } UNION { ?n :name "NATION_5" } }
+        |} ORDER BY ?n""".stripMargin)
 
   /** UPDATE golden cases: (update script, select over the updated store).
     * The TSVs replay the update algebra in DuckDB SQL (tools/golden.py).

@@ -268,6 +268,34 @@ QUERIES = {
                'http://www.w3.org/2001/XMLSchema#token' AS dt,
                '_:b' || substring(md5(r_name), 1, 16) AS b
         FROM region ORDER BY r""",
+    # property path inside FILTER EXISTS
+    "sparql_exists_path": """
+        SELECT 'customer:' || c_custkey AS c FROM customer
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA' ORDER BY c""",
+    # nested OPTIONAL; the inner-scope filter nulls only the inner binding
+    "sparql_nested_optional": """
+        SELECT 'supplier:' || s_suppkey AS s, 'nation:' || s_nationkey AS n,
+               CASE WHEN n_regionkey <> 0 THEN 'region:' || n_regionkey END AS r
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY s, n, r NULLS FIRST""",
+    # GROUP_CONCAT with a custom separator (inputs sorted, the engine's
+    # documented determinism convention)
+    "sparql_groupconcat_sep": """
+        SELECT 'region:' || n_regionkey AS r,
+               string_agg(n_name, '|' ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey ORDER BY r""",
+    # property path inside MINUS
+    "sparql_minus_path": """
+        SELECT 'customer:' || c_custkey AS c FROM customer
+        WHERE c_nationkey NOT IN
+          (SELECT n_nationkey FROM nation WHERE n_regionkey = 1)
+        ORDER BY c""",
+    # UNION inside FILTER EXISTS
+    "sparql_exists_union": """
+        SELECT 'nation:' || n_nationkey AS n FROM nation
+        WHERE n_name IN ('NATION_2', 'NATION_5') ORDER BY n""",
 }
 
 os.makedirs(out, exist_ok=True)
