@@ -323,7 +323,15 @@ object Sparql {
     * CONSTRUCT paths): one select per template triple, unbound-variable
     * rows dropped, `_:label` blanks skolemized per solution row.
     */
-  private def instantiate(template: Group, sols: DataFrame): DataFrame = {
+  private def instantiate(template: Group, sols: DataFrame): DataFrame =
+    instantiateBag(template, sols).distinct()
+
+  /** Bag-semantics instantiation (no final distinct) — the streaming
+    * CONSTRUCT path, where unbounded exact dedup is impossible in
+    * append mode; the ingest sink's append dedup (or a watermarked
+    * dropDuplicates) plays the distinct's role there.
+    */
+  private def instantiateBag(template: Group, sols: DataFrame): DataFrame = {
     val rowHash =
       pmod(xxhash64(sols.columns.toIndexedSeq.map(col): _*), lit(1000000007L))
     def term(t: Term): Column = t match {
@@ -336,7 +344,41 @@ object Sparql {
       .map(tp => sols.select(term(tp.s).as("s"), term(tp.p).as("p"), term(tp.o).as("o"))
         .where(col("s").isNotNull && col("p").isNotNull && col("o").isNotNull))
       .reduce(_.unionAll(_))
-      .distinct()
+  }
+
+  /** Continuous CONSTRUCT over a live triple stream: the WHERE clause
+    * compiles through `executeStream`'s per-pattern delta (same
+    * supported subset and static-side restriction classes), and each
+    * arriving solution instantiates the template — a continuously
+    * MAINTAINED derived graph. Feeding the output to the foreachBatch
+    * ingest path closes the IVM loop (derived triples land in a store as
+    * they become derivable). Bag semantics: the batch form's final
+    * DISTINCT needs unbounded state, so duplicates may re-emit — dedup
+    * at the ingest sink (O(Δ) append already dedups) or with a
+    * watermarked dropDuplicates.
+    */
+  def constructStream(spark: SparkSession, streamTriples: DataFrame,
+                      staticTriples: DataFrame, queryText: String,
+                      stats: Map[String, PredStats] = Map.empty): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("CONSTRUCT")
+    val template = parseGroup(p, prefixes)
+    require(template.filters.isEmpty && template.optionals.isEmpty &&
+      template.unions.isEmpty && template.minuses.isEmpty &&
+      template.paths.isEmpty && template.binds.isEmpty &&
+      template.subqueries.isEmpty && template.subgroups.isEmpty,
+      "CONSTRUCT template must contain only triple patterns")
+    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
+      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
+        "use labeled _:b blanks (skolemized fresh per solution)")
+    p.eatKw("WHERE")
+    val group = parseGroup(p, prefixes)
+    val q = Query(distinct = false, projection = Seq.empty, group = group,
+      groupBy = Seq.empty, orderBy = Seq.empty, limit = None)
+    instantiateBag(template,
+      executeStreamQuery(spark, streamTriples, staticTriples, q, stats,
+        watermark = None, tsCol = "ts"))
   }
 
   /** DESCRIBE as a concise bounded description (the result shape is
@@ -1878,8 +1920,15 @@ object Sparql {
                     staticTriples: DataFrame, queryText: String,
                     stats: Map[String, PredStats] = Map.empty,
                     watermark: Option[String] = None,
-                    tsCol: String = "ts"): DataFrame = {
-    val qRaw = parse(queryText)
+                    tsCol: String = "ts"): DataFrame =
+    executeStreamQuery(spark, streamTriples, staticTriples, parse(queryText),
+      stats, watermark, tsCol)
+
+  private def executeStreamQuery(spark: SparkSession, streamTriples: DataFrame,
+                    staticTriples: DataFrame, qRaw: Query,
+                    stats: Map[String, PredStats],
+                    watermark: Option[String],
+                    tsCol: String): DataFrame = {
     // `{ A . { B . FILTER f } }` with a PLAIN nested group (triples +
     // filters over its own vars only) is algebraically Join(A, B) with f
     // over B — flatten it into the outer pattern set so the nested

@@ -409,6 +409,29 @@ class StreamingBgpSpec extends SparkSpec {
       Set(("customer:1", "region:2"), ("customer:2", "region:8"))
   }
 
+  "Sparql.constructStream" should
+    "maintain a derived graph from arriving solutions" in {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.constructStream(spark,
+      src.toDF().toDF("s", "p", "o"), staticTriples,
+      """PREFIX : <>
+        |CONSTRUCT { ?c :inRegion ?r . ?r :hasMember ?c }
+        |WHERE { ?c :nationkey ?n . ?n :regionkey ?r }""".stripMargin)
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("sparql_stream_constr")
+      .outputMode("append").start()
+    src.addData(
+      ("customer:7", "nationkey", "nation:1"),
+      ("customer:8", "nationkey", "nation:99")) // no region -> no derived
+    q.processAllAvailable()
+    q.stop()
+    spark.table("sparql_stream_constr").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet shouldBe
+      Set(("customer:7", "inRegion", "region:2"),
+        ("region:2", "hasMember", "customer:7"))
+  }
+
   it should "deduplicate SELECT DISTINCT within the watermark horizon" in {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
