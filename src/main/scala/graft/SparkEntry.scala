@@ -799,6 +799,20 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** Audio metadata over opaque payloads: WAV fixtures take the REAL
+    * RIFF chunk walk (rate/channels/bits/frames through the parser, one
+    * behind a LIST chunk), text payloads the deterministic stub — same
+    * mapPartitions batch boundary as the image path.
+    */
+  private def mediaAudio(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    MediaOps.extractAudioMeta(
+        MediaOps.documentsAsMedia(s, Tables.loadPar(s, d, "documents"))
+          .unionByName(s.createDataset(MediaOps.wavFixtures)))
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** Frame sampling over the binary payload: fixed-offset windows, hex'd
     * (the video-frame-sample access pattern on an opaque byte column).
     */
@@ -1741,6 +1755,7 @@ object SparkEntry {
     "q_ann_recall_mp" -> (annRecallMpQ _),
     "q_ann_lsh" -> (annLshQ _),
     "q_media_meta" -> (mediaMeta _),
+    "q_media_audio" -> (mediaAudio _),
     "q_media_frames" -> (mediaFrames _),
     "q_results_csv" -> (resultsCsvQ _),
     "q_results_tsv" -> (resultsTsvQ _),
@@ -2861,6 +2876,35 @@ object SparkEntry {
         |  SELECT -1::BIGINT, 'png', 73, 3, 2, 3971401771::BIGINT
         |  UNION ALL
         |  SELECT -2::BIGINT, 'png', 108, 5, 7, 3482111590::BIGINT
+        |) ORDER BY media_id""".stripMargin,
+    // stub audio headers replay off the checksum; the two genuine WAV
+    // fixtures pin the REAL RIFF-parse results as constants
+    "q_media_audio" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS checksum
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id AS media_id, 'text' AS kind,
+        |    CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |    CAST(8000 + (checksum % 36000) AS INT) AS sample_rate,
+        |    CAST(1 + ((checksum // 256) % 2) AS INT) AS channels,
+        |    CAST(8 * (1 + ((checksum // 65536) % 2)) AS INT) AS bits,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_frames,
+        |    CAST(octet_length(encode(text)) AS BIGINT) * 1000
+        |      // (8000 + (checksum % 36000)) AS duration_ms,
+        |    checksum
+        |  FROM cs
+        |  UNION ALL
+        |  SELECT -3::BIGINT, 'wav', 76, 8000, 1, 16, 16::BIGINT, 2::BIGINT,
+        |    223915826::BIGINT
+        |  UNION ALL
+        |  SELECT -4::BIGINT, 'wav', 256, 44100, 2, 8, 100::BIGINT, 2::BIGINT,
+        |    2316754067::BIGINT
         |) ORDER BY media_id""".stripMargin,
     // serialized BYTES, line by line: the RFC 4180 / SPARQL-TSV /
     // N-Triples documents replayed as strings in DuckDB

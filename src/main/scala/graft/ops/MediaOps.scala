@@ -13,6 +13,10 @@ final case class MediaFile(media_id: Long, kind: String, bytes: Array[Byte])
 final case class MediaMeta(media_id: Long, kind: String, byte_len: Int,
                            width: Int, height: Int, checksum: Long)
 
+final case class AudioMeta(media_id: Long, kind: String, byte_len: Int,
+                           sample_rate: Int, channels: Int, bits: Int,
+                           n_frames: Long, duration_ms: Long, checksum: Long)
+
 /** Multimodal-column plumbing. PNG/JPEG payloads take a REAL decode
   * (`javax.imageio`, JDK-only — no new dependencies); any other payload
   * falls back to `decodeStub`, the deterministic fake that stands in for
@@ -117,5 +121,105 @@ object MediaOps {
     docs.select(col("doc_id").as("media_id"), lit("text").as("kind"),
         encode(col("text"), "UTF-8").as("bytes"))
       .as[MediaFile]
+  }
+
+  // ---------- Audio (WAV/RIFF — a REAL header parse, pure JDK) ----------
+
+  private def isWav(b: Array[Byte]): Boolean =
+    b.length > 44 && b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def le16(b: Array[Byte], i: Int): Int =
+    (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+  private def le32(b: Array[Byte], i: Int): Long =
+    (b(i) & 0xffL) | ((b(i + 1) & 0xffL) << 8) |
+      ((b(i + 2) & 0xffL) << 16) | ((b(i + 3) & 0xffL) << 24)
+
+  /** Parse a PCM WAV's RIFF chunks: (sampleRate, channels, bitsPerSample,
+    * nFrames). Walks the chunk list (fmt may not directly precede data —
+    * LIST/INFO chunks are common), so this is the real container walk a
+    * production decoder performs before handing samples to a codec.
+    */
+  def parseWavMeta(b: Array[Byte]): (Int, Int, Int, Long) = {
+    var i = 12
+    var rate = 0; var channels = 0; var bits = 0; var blockAlign = 1
+    var frames = 0L
+    while (i + 8 <= b.length) {
+      val id = new String(b, i, 4, "US-ASCII")
+      val sz = le32(b, i + 4)
+      if (id == "fmt ") {
+        channels = le16(b, i + 10)
+        rate = le32(b, i + 12).toInt
+        blockAlign = math.max(le16(b, i + 20), 1)
+        bits = le16(b, i + 22)
+      } else if (id == "data") frames = sz / blockAlign
+      i += 8 + sz.toInt + (sz.toInt & 1) // chunks are word-aligned
+    }
+    (rate, channels, bits, frames)
+  }
+
+  /** Deterministic FAKE audio header for non-WAV payloads (the container
+    * has no mp3/flac codecs) — all integer arithmetic off the checksum,
+    * so the SQL oracle replays it exactly. A production build swaps this
+    * for the real codec and keeps the signature.
+    */
+  def audioStub(checksum: Long, byteLen: Int): (Int, Int, Int, Long) =
+    ((8000 + (checksum % 36000)).toInt, (1 + ((checksum >> 8) % 2)).toInt,
+      (8 * (1 + ((checksum >> 16) % 2))).toInt, byteLen.toLong)
+
+  /** Batched per-partition audio metadata: WAV payloads get the REAL
+    * RIFF parse, anything else the deterministic fake. duration_ms floors
+    * (frames·1000)/rate in integer space (engine-portable).
+    */
+  def extractAudioMeta(ds: Dataset[MediaFile]): Dataset[AudioMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val cs = byteChecksum(m.bytes)
+          val wav = isWav(m.bytes)
+          val (rate, ch, bits, frames) =
+            if (wav) parseWavMeta(m.bytes) else audioStub(cs, m.bytes.length)
+          AudioMeta(m.media_id, if (wav) "wav" else m.kind, m.bytes.length,
+            rate, ch, bits, frames,
+            if (rate == 0) 0L else frames * 1000L / rate, cs)
+        }
+      }
+    }
+  }
+
+  /** Two GENUINE PCM WAV fixtures (fixed bytes → pinned length/checksum;
+    * the pipeline must read rate/channels/bits/frames through the real
+    * RIFF walk): 8 kHz mono 16-bit with 16 ramp frames, and 44.1 kHz
+    * stereo 8-bit with 100 frames behind a LIST chunk (exercises the
+    * chunk skip).
+    */
+  def wavFixtures: Seq[MediaFile] = {
+    def wav(rate: Int, channels: Int, bits: Int, nFrames: Int,
+            extraChunk: Boolean): Array[Byte] = {
+      val bytesPerSample = bits / 8
+      val blockAlign = channels * bytesPerSample
+      val dataLen = nFrames * blockAlign
+      val listLen = if (extraChunk) 12 else 0 // "LIST" + size + 4-byte body
+      val riffLen = 4 + 24 + listLen + 8 + dataLen
+      val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(riffLen)
+        .put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1.toShort).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * blockAlign).putShort(blockAlign.toShort)
+        .putShort(bits.toShort)
+      if (extraChunk)
+        bb.put("LIST".getBytes("US-ASCII")).putInt(4)
+          .put("INFO".getBytes("US-ASCII"))
+      bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+      var i = 0
+      while (i < dataLen) { bb.put((i % 251).toByte); i += 1 }
+      bb.array()
+    }
+    Seq(
+      MediaFile(-3L, "audio", wav(8000, 1, 16, 16, extraChunk = false)),
+      MediaFile(-4L, "audio", wav(44100, 2, 8, 100, extraChunk = true)))
   }
 }

@@ -63,6 +63,32 @@ class MediaSpec extends SparkSpec {
     MediaOps.decodeStub(MediaOps.pngFixtures.head.bytes) should not be ((3, 2))
   }
 
+  it should "read REAL rate/channels/bits/frames from genuine WAV payloads" in {
+    val meta = MediaOps.extractAudioMeta(spark.createDataset(MediaOps.wavFixtures))
+      .collect().map(m => m.media_id -> m).toMap
+    meta(-3L).kind shouldBe "wav"
+    (meta(-3L).sample_rate, meta(-3L).channels, meta(-3L).bits,
+      meta(-3L).n_frames) shouldBe ((8000, 1, 16, 16L))
+    meta(-3L).duration_ms shouldBe 2L
+    // the second fixture hides its data chunk behind a LIST chunk — the
+    // real RIFF walk must skip it (a stub could not know these values)
+    (meta(-4L).sample_rate, meta(-4L).channels, meta(-4L).bits,
+      meta(-4L).n_frames) shouldBe ((44100, 2, 8, 100L))
+    MediaOps.audioStub(meta(-4L).checksum, 256)._1 should not be 44100
+  }
+
+  it should "fall back to the deterministic stub for non-WAV payloads" in {
+    val m = MediaFile(7L, "audio", "not a wav at all, just bytes".getBytes)
+    val got = MediaOps.extractAudioMeta(spark.createDataset(Seq(m)))
+      .collect().head
+    got.kind shouldBe "audio"
+    val cs = MediaOps.byteChecksum(m.bytes)
+    (got.sample_rate, got.channels, got.bits, got.n_frames) shouldBe {
+      val (r, c, b, f) = MediaOps.audioStub(cs, m.bytes.length)
+      (r, c, b, f)
+    }
+  }
+
   it should "process in batches without shuffling" in {
     val many = (1L to 100L).map(i => MediaFile(i, "text", s"payload-$i".getBytes))
     val ds = spark.createDataset(many).repartition(4)
