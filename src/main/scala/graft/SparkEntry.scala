@@ -1047,14 +1047,16 @@ object SparkEntry {
     * shared `forDir` handle is untouched). The result audits the updated
     * store: per-predicate triple and subject counts.
     */
+  private val updateScript =
+    """PREFIX : <>
+      |DELETE WHERE { ?s :orderstatus "P" } ;
+      |INSERT { ?s :bulk "true" } WHERE { ?s :a "Order" . ?s :orderpriority "1-URGENT" } ;
+      |DELETE DATA { <region:0> :name "AFRICA" } ;
+      |INSERT DATA { <region:99> :a "Region" . <region:99> :name "ATLANTIS" }""".stripMargin
+
   private def sparqlUpdateQ(s: SparkSession, d: String): DataFrame = {
     val st = GraftStore.forDir(s, d)
-    val h = graft.sparql.Sparql.update(s, st,
-      """PREFIX : <>
-        |DELETE WHERE { ?s :orderstatus "P" } ;
-        |INSERT { ?s :bulk "true" } WHERE { ?s :a "Order" . ?s :orderpriority "1-URGENT" } ;
-        |DELETE DATA { <region:0> :name "AFRICA" } ;
-        |INSERT DATA { <region:99> :a "Region" . <region:99> :name "ATLANTIS" }""".stripMargin)
+    val h = graft.sparql.Sparql.update(s, st, updateScript)
     // audit on the ENCODED view: the count-distinct shuffles fixed-width
     // ids (injective on a certified store, so the counts are identical)
     // and only the ~30 predicate ids decode through the dictionary
@@ -1063,6 +1065,16 @@ object SparkEntry {
     graft.dict.Dictionary.decodeAll(dp, h.dict, Seq("p"))
       .select(col("p"), col("cnt"), col("n_subj"))
       .orderBy("p")
+  }
+
+  /** Snapshot diff: exactly what the update script changed — the
+    * |Δ|-sized added/removed triple relation via encoded anti joins
+    * (GraftStore.diff), decoded once at the top.
+    */
+  private def storeDiffQ(s: SparkSession, d: String): DataFrame = {
+    val st = GraftStore.forDir(s, d)
+    val h = graft.sparql.Sparql.update(s, st, updateScript)
+    GraftStore.diff(s, st, h).orderBy("change", "s", "p", "o")
   }
 
   /** Fixed-iteration PageRank over the shared undirected entity
@@ -1764,6 +1776,7 @@ object SparkEntry {
     "q_range_join" -> (rangeJoinQ _),
     "q_sparql_chain" -> (sparqlChain _),
     "q_sparql_update" -> (sparqlUpdateQ _),
+    "q_store_diff" -> (storeDiffQ _),
     "q_sparql_filter" -> (sparqlFilter _),
     "q_sparql_union" -> (sparqlUnion _),
     "q_sparql_optional" -> (sparqlOptional _),
@@ -2158,6 +2171,51 @@ object SparkEntry {
   /** DuckDB oracles. The triple-ized BGP queries translate back to joins
     * over the base tables ('table:key' IRIs rebuilt with ||).
     */
+  /** The q_sparql_update script's algebra replayed in DuckDB SQL over
+    * the un-pivoted triple relation (`tr` = the ingested store, `u4` =
+    * the post-script store) — shared by the update-audit and store-diff
+    * oracles. */
+  private val updateAlgebraCte = """WITH tr AS (
+        |  SELECT 'region:'||r_regionkey AS s, 'a' AS p, 'Region' AS o FROM region
+        |  UNION ALL SELECT 'region:'||r_regionkey, 'name', r_name FROM region
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'a', 'Nation' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'name', n_name FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'regionkey', 'region:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'a', 'Customer' FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'name', c_name FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'mktsegment', c_mktsegment FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'nationkey', 'nation:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'a', 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'name', s_name FROM supplier
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nationkey', 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'part:'||p_partkey, 'a', 'Part' FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'name', p_name FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'brand', p_brand FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'type', p_type FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'size', p_size::VARCHAR FROM part
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'a', 'Order' FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'custkey', 'customer:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'a', 'Lineitem' FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'orderkey', 'order:'||l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'partkey', 'part:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'suppkey', 'supplier:'||l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'linestatus', l_linestatus FROM lineitem),
+        |u1 AS (SELECT s, p, o FROM tr WHERE NOT (p = 'orderstatus' AND o = 'P')),
+        |i1 AS (
+        |  SELECT DISTINCT s, 'bulk' AS p, 'true' AS o FROM tr
+        |  WHERE p = 'orderpriority' AND o = '1-URGENT'
+        |    AND s IN (SELECT s FROM tr WHERE p = 'a' AND o = 'Order')),
+        |u2 AS (SELECT * FROM u1 UNION ALL SELECT * FROM i1),
+        |u3 AS (SELECT * FROM u2
+        |       WHERE NOT (s = 'region:0' AND p = 'name' AND o = 'AFRICA')),
+        |u4 AS (SELECT * FROM u3
+        |       UNION ALL SELECT 'region:99', 'a', 'Region'
+        |       UNION ALL SELECT 'region:99', 'name', 'ATLANTIS')""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracleSql,
     "q_bgp_chain" ->
@@ -2384,49 +2442,18 @@ object SparkEntry {
     // the oracle replays the update algebra over the un-pivoted triple
     // relation: delete matched rows, union in instantiated inserts, then
     // audit per-predicate counts
-    "q_sparql_update" ->
-      """WITH tr AS (
-        |  SELECT 'region:'||r_regionkey AS s, 'a' AS p, 'Region' AS o FROM region
-        |  UNION ALL SELECT 'region:'||r_regionkey, 'name', r_name FROM region
-        |  UNION ALL SELECT 'nation:'||n_nationkey, 'a', 'Nation' FROM nation
-        |  UNION ALL SELECT 'nation:'||n_nationkey, 'name', n_name FROM nation
-        |  UNION ALL SELECT 'nation:'||n_nationkey, 'regionkey', 'region:'||n_regionkey FROM nation
-        |  UNION ALL SELECT 'customer:'||c_custkey, 'a', 'Customer' FROM customer
-        |  UNION ALL SELECT 'customer:'||c_custkey, 'name', c_name FROM customer
-        |  UNION ALL SELECT 'customer:'||c_custkey, 'mktsegment', c_mktsegment FROM customer
-        |  UNION ALL SELECT 'customer:'||c_custkey, 'nationkey', 'nation:'||c_nationkey FROM customer
-        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'a', 'Supplier' FROM supplier
-        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'name', s_name FROM supplier
-        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nationkey', 'nation:'||s_nationkey FROM supplier
-        |  UNION ALL SELECT 'part:'||p_partkey, 'a', 'Part' FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, 'name', p_name FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, 'brand', p_brand FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, 'type', p_type FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, 'size', p_size::VARCHAR FROM part
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'a', 'Order' FROM orders
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'custkey', 'customer:'||o_custkey FROM orders
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderstatus', o_orderstatus FROM orders
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderpriority', o_orderpriority FROM orders
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'a', 'Lineitem' FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'orderkey', 'order:'||l_orderkey FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'partkey', 'part:'||l_partkey FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'suppkey', 'supplier:'||l_suppkey FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'returnflag', l_returnflag FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'linestatus', l_linestatus FROM lineitem),
-        |u1 AS (SELECT s, p, o FROM tr WHERE NOT (p = 'orderstatus' AND o = 'P')),
-        |i1 AS (
-        |  SELECT DISTINCT s, 'bulk' AS p, 'true' AS o FROM tr
-        |  WHERE p = 'orderpriority' AND o = '1-URGENT'
-        |    AND s IN (SELECT s FROM tr WHERE p = 'a' AND o = 'Order')),
-        |u2 AS (SELECT * FROM u1 UNION ALL SELECT * FROM i1),
-        |u3 AS (SELECT * FROM u2
-        |       WHERE NOT (s = 'region:0' AND p = 'name' AND o = 'AFRICA')),
-        |u4 AS (SELECT * FROM u3
-        |       UNION ALL SELECT 'region:99', 'a', 'Region'
-        |       UNION ALL SELECT 'region:99', 'name', 'ATLANTIS')
+    "q_sparql_update" -> (updateAlgebraCte + """
         |SELECT p, count(*) AS cnt, count(DISTINCT s) AS n_subj
-        |FROM u4 GROUP BY p ORDER BY p""".stripMargin,
+        |FROM u4 GROUP BY p ORDER BY p""".stripMargin),
+    // set difference of the pre- and post-script stores
+    "q_store_diff" -> (updateAlgebraCte + """
+        |SELECT * FROM (
+        |  SELECT '+' AS change, s, p, o FROM
+        |    (SELECT s, p, o FROM u4 EXCEPT SELECT s, p, o FROM tr)
+        |  UNION ALL
+        |  SELECT '-', s, p, o FROM
+        |    (SELECT s, p, o FROM tr EXCEPT SELECT s, p, o FROM u4)
+        |) ORDER BY change, s, p, o""".stripMargin),
     "q_sparql_chain" ->
       """SELECT 'customer:' || c_custkey AS c, 'nation:' || c_nationkey AS n,
         |       'region:' || n_regionkey AS r

@@ -1046,6 +1046,27 @@ object GraftStore {
   private val adjEncCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
 
+  /** Triple-level diff of two store handles — one row per changed triple,
+    * `change` = "+" (present only in `after`) or "-" (only in `before`).
+    * The anti joins run on the ENCODED views (fixed-width ids; at scale
+    * both sides shuffle once on the same key), and only the |Δ|-sized
+    * difference — not the |store|-sized inputs — decodes through each
+    * side's own dictionary. The snapshot-audit primitive for incremental
+    * pipelines: what did this update script / ingest batch actually
+    * change.
+    */
+  def diff(spark: SparkSession, before: StoreHandle,
+           after: StoreHandle): DataFrame = {
+    val keys = Seq("s", "p", "o")
+    def side(a: DataFrame, b: DataFrame, dict: DataFrame, tag: String) =
+      Dictionary.decodeAll(
+          a.select(keys.map(col): _*).join(b, keys, "left_anti"), dict, keys)
+        .withColumn("change", lit(tag))
+    side(after.enc, before.enc, after.dict, "+")
+      .unionByName(side(before.enc, after.enc, before.dict, "-"))
+      .select(col("change"), col("s"), col("p"), col("o"))
+  }
+
   private val adjRankCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Lazily[(DataFrame, DataFrame)]]
 

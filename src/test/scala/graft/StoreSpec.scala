@@ -104,6 +104,24 @@ class StoreSpec extends SparkSpec {
       TripleStore.tableTriples(spark, d).where(col("p") === "nationkey").count()
   }
 
+  "GraftStore.diff" should "report exactly the added and removed triples" in {
+    import spark.implicits._
+    val before = graft.store.GraftStore.ingestTriples(spark, Seq(
+      ("a:1", "knows", "a:2"), ("a:2", "knows", "a:3"), ("a:1", "label", "\"x\"")
+    ).toDF("s", "p", "o"))
+    val mid = graft.store.GraftStore.append(spark, before,
+      Seq(("a:3", "knows", "a:4")).toDF("s", "p", "o"))
+    val after = graft.store.GraftStore.remove(spark, mid,
+      Seq(("a:1", "label", "\"x\"")).toDF("s", "p", "o"))
+    val d = graft.store.GraftStore.diff(spark, before, after)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3))).toSet
+    d shouldBe Set(
+      ("+", "a:3", "knows", "a:4"),
+      ("-", "a:1", "label", "\"x\""))
+    // a handle diffed with itself is empty
+    graft.store.GraftStore.diff(spark, before, before).count() shouldBe 0L
+  }
+
   "GraftStore.append" should "make new triples visible and keep stats exact" in {
     import spark.implicits._
     val base = graft.store.GraftStore.ingestTriples(spark, Seq(
