@@ -673,6 +673,36 @@ object SparkEntry {
     TextOps.dsirWeights(Tables.loadPar(s, d, "documents"), col("lang") === "en")
       .orderBy("doc_id")
 
+  /** Bigram-LM surprisal per document: the corpus trains its own add-1
+    * smoothed bigram model, each doc scores by average per-bigram nll
+    * (the KenLM-style perplexity filter, one step up from unigrams).
+    */
+  private def bigramSurprisalQ(s: SparkSession, d: String): DataFrame =
+    TextOps.bigramSurprisal(Tables.loadPar(s, d, "documents"))
+      .orderBy("doc_id")
+
+  /** OOV rate against the corpus' own top-16 vocabulary (the tokenizer-
+    * coverage audit; cut deterministic by count desc, word asc).
+    */
+  private def oovRateQ(s: SparkSession, d: String): DataFrame =
+    TextOps.oovRate(Tables.loadPar(s, d, "documents"), vocabSize = 16)
+      .orderBy("doc_id")
+
+  /** Model-based filtering trained in-engine: hashed-BoW + length
+    * logistic regression distilling the rule-based quality heuristic
+    * (label = qualityScore >= 0.7) with 8 full-batch GD steps — the
+    * fastText-style classifier filter behind FineWeb-Edu/DCLM-class
+    * curation, where seed labels come from a rule or a teacher and the
+    * cheap linear model generalizes them. Training replays bit-exactly
+    * in the oracle (integer-micros features/sigmoid/weights, exact
+    * integer gradients); at sf0.01 the fit genuinely separates
+    * (mean score 0.91 vs 0.38 across classes, 82 % train accuracy).
+    */
+  private def classifierQ(s: SparkSession, d: String): DataFrame =
+    TextOps.classifierScores(Tables.loadPar(s, d, "documents"),
+      TextOps.qualityScore(col("text")) >= 0.7, dim = 16, iters = 8, lr = 16.0)
+      .orderBy("doc_id")
+
   /** Cross-document duplicated 13-gram spans (substring-dedup signal). */
   private def dupSpansQ(s: SparkSession, d: String): DataFrame =
     DedupOps.dupSpans(Tables.loadPar(s, d, "documents"), n = 13)
@@ -780,6 +810,18 @@ object SparkEntry {
   private def dedupEmbed(s: SparkSession, d: String): DataFrame =
     VectorOps.embedDupPairs(Tables.loadPar(s, d, "embeddings"), threshold = 0.5)
       .orderBy("vec_a", "vec_b")
+
+  /** Embedding-space decontamination: train side (vec_id % 10 != 0)
+    * scored by max cosine against the held-out side (vec_id % 10 == 0);
+    * the bounded eval set broadcasts, the train side streams once.
+    */
+  private def decontaminateEmbedQ(s: SparkSession, d: String): DataFrame = {
+    val e = Tables.loadPar(s, d, "embeddings")
+    VectorOps.decontaminateEmbed(
+        e.where(col("vec_id") % 10 =!= 0),
+        e.where(col("vec_id") % 10 === 0), threshold = 0.5)
+      .orderBy("vec_id")
+  }
 
   // ---- Training-data pipeline: multimodal binary columns --------------
 
@@ -1840,6 +1882,10 @@ object SparkEntry {
     "q_dup_spans" -> (dupSpansQ _),
     "q_remove_dup_spans" -> (removeDupSpansQ _),
     "q_surprisal" -> (surprisalQ _),
+    "q_bigram_surprisal" -> (bigramSurprisalQ _),
+    "q_oov_rate" -> (oovRateQ _),
+    "q_quality_classifier" -> (classifierQ _),
+    "q_decontaminate_embed" -> (decontaminateEmbedQ _),
     "q_dsir_weights" -> (dsirQ _),
     "q_vocab" -> (vocabQ _),
     "q_bm25" -> (bm25Q _),
@@ -1925,6 +1971,78 @@ object SparkEntry {
     * brute-force top-10. Shared by q_ann_recall (probes=1) and the
     * multi-probe sweep gate.
     */
+  /** DuckDB replay of [[TextOps.classifierScores]] training: features once,
+    * then one (scores, gradients, weights) CTE triple per unrolled GD
+    * iteration — the same fixed-rounds oracle discipline as the k-means and
+    * BPE gates. Every intermediate quantizes to integer micros, so the only
+    * cross-engine float ops are exp/division on identical inputs.
+    */
+  private def classifierOracleSql(dim: Int, iters: Int, lr: Double): String = {
+    val nf = dim + 1
+    val quality =
+      """floor((
+        |    least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
+        |  + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
+        |      / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
+        |  + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
+        |      / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
+        |) / 3.0 * 10000.0 + 0.5) / 10000.0""".stripMargin
+    val cs = (0 until dim).map(b =>
+      s"sum(CASE WHEN b=$b THEN 1 ELSE 0 END) AS c$b").mkString(", ")
+    val xs = (0 until dim).map(b =>
+      s"CAST(floor(c$b::DOUBLE / n * 1e6 + 0.5) AS BIGINT) AS x$b").mkString(", ")
+    val xlen =
+      s"CAST(floor(least(n::DOUBLE / 64.0, 1.0) * 1e6 + 0.5) AS BIGINT) AS x$dim"
+    val ctes = new StringBuilder(
+      s"""WITH ws AS (
+         |  SELECT doc_id, CAST(CASE WHEN $quality >= 0.7 THEN 1000000 ELSE 0 END AS BIGINT) AS y6,
+         |    string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS words
+         |  FROM documents),
+         |t AS (SELECT doc_id, y6, unnest(words) AS w FROM ws),
+         |h AS (SELECT doc_id, y6, CAST(list_reduce(list_prepend(0::BIGINT,
+         |    list_transform(list_filter(string_split(w, ''), c -> c <> ''), c -> ascii(c)::BIGINT)),
+         |    (acc, x) -> (acc*31 + x) % 4294967296) % $dim AS INT) AS b FROM t),
+         |c AS (SELECT doc_id, y6, count(*) AS n, $cs FROM h GROUP BY doc_id, y6),
+         |feat AS (SELECT doc_id, y6, $xs, $xlen FROM c)""".stripMargin)
+    var prevW: Option[String] = None
+    def dotW(w: String) = (0 until nf).map(b => s"f.x$b*$w.w$b").mkString(" + ")
+    def sigP6(w: String) =
+      s"CAST(floor(1.0/(1.0 + exp(-((${dotW(w)})::DOUBLE / 1e12 + " +
+        s"$w.bias::DOUBLE / 1e6))) * 1e6 + 0.5) AS BIGINT)"
+    for (it <- 1 to iters) {
+      val (p6, from) = prevW match {
+        case None => ("500000", "feat f")
+        case Some(w) => (sigP6(w), s"feat f, $w")
+      }
+      val gs = (0 until nf).map(b => s"sum((y6 - p6) * x$b) AS g$b").mkString(", ")
+      ctes ++= s",\ns$it AS (SELECT f.*, $p6 AS p6 FROM $from)"
+      ctes ++= s",\ng$it AS (SELECT count(*) AS nd, sum(y6 - p6) AS gb, $gs FROM s$it)"
+      prevW match {
+        case None =>
+          val wb = s"CAST(floor($lr * g$it.gb::DOUBLE / g$it.nd + 0.5) AS BIGINT) AS bias"
+          val ws = (0 until nf).map(b =>
+            s"CAST(floor($lr * g$it.g$b::DOUBLE / g$it.nd / 1e6 + 0.5) AS BIGINT) AS w$b").mkString(", ")
+          ctes ++= s",\nw$it AS (SELECT $wb, $ws FROM g$it)"
+        case Some(w) =>
+          val wb = s"CAST($w.bias + floor($lr * g$it.gb::DOUBLE / g$it.nd + 0.5) AS BIGINT) AS bias"
+          val ws = (0 until nf).map(b =>
+            s"CAST($w.w$b + floor($lr * g$it.g$b::DOUBLE / g$it.nd / 1e6 + 0.5) AS BIGINT) AS w$b").mkString(", ")
+          ctes ++= s",\nw$it AS (SELECT $wb, $ws FROM $w, g$it)"
+      }
+      prevW = Some(s"w$it")
+    }
+    val w = prevW.get
+    val score = s"floor(1.0/(1.0 + exp(-((${dotW(w)})::DOUBLE / 1e12 + " +
+      s"$w.bias::DOUBLE / 1e6))) * 1e6 + 0.5) / 1e6"
+    ctes ++=
+      s"""
+         |SELECT f.doc_id, CAST(f.y6 // 1000000 AS INT) AS label,
+         |  $score AS score,
+         |  CASE WHEN $score >= 0.5 THEN 1 ELSE 0 END AS pred
+         |FROM feat f, $w ORDER BY doc_id""".stripMargin
+    ctes.toString
+  }
+
   private def annRecallOracleBody(probes: Int): String =
     s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
        |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
@@ -3289,6 +3407,48 @@ object SparkEntry {
         |  FROM nl GROUP BY doc_id)
         |SELECT doc_id, n_tokens, floor(sum_nll / n_tokens * 1e6 + 0.5) / 1e6 AS avg_surprisal
         |FROM d ORDER BY doc_id""".stripMargin,
+    "q_bigram_surprisal" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, i AS pos, words[i] AS u, words[i+1] AS v
+        |  FROM ws, unnest(range(1, len(words))) r(i)
+        |  WHERE len(words) >= 2),
+        |cb AS (SELECT u, v, count(*) AS cuv FROM b GROUP BY u, v),
+        |cu AS (SELECT u, sum(cuv) AS cu FROM cb GROUP BY u),
+        |vv AS (SELECT count(DISTINCT w) AS vsz FROM (SELECT unnest(words) AS w FROM ws)),
+        |nl AS (
+        |  SELECT b.doc_id, b.pos, ln((cu.cu + vv.vsz)::DOUBLE / (cb.cuv + 1)) AS nll
+        |  FROM b JOIN cb USING (u, v) JOIN cu USING (u), vv),
+        |d AS (
+        |  SELECT doc_id, count(*) AS n_bigrams,
+        |    list_reduce(list_prepend(0.0, list(nll ORDER BY pos)), (acc, x) -> acc + x) AS sum_nll
+        |  FROM nl GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams, floor(sum_nll / n_bigrams * 1e6 + 0.5) / 1e6 AS avg_surprisal2
+        |FROM d ORDER BY doc_id""".stripMargin,
+    "q_oov_rate" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words
+        |  FROM documents),
+        |t AS (SELECT doc_id, unnest(words) AS w FROM ws),
+        |f AS (SELECT w, count(*) AS cnt FROM t GROUP BY w),
+        |vocab AS (SELECT w FROM f ORDER BY cnt DESC, w ASC LIMIT 16),
+        |j AS (SELECT t.doc_id, CASE WHEN vocab.w IS NULL THEN 1 ELSE 0 END AS oov
+        |      FROM t LEFT JOIN vocab ON t.w = vocab.w)
+        |SELECT doc_id, count(*) AS n_tokens, sum(oov)::BIGINT AS n_oov,
+        |  floor(sum(oov)::DOUBLE / count(*) * 1e6 + 0.5) / 1e6 AS oov_rate
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_quality_classifier" -> classifierOracleSql(dim = 16, iters = 8, lr = 16.0),
+    "q_decontaminate_embed" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |tr AS (SELECT vec_id, embedding FROM e WHERE vec_id % 10 <> 0),
+         |te AS (SELECT vec_id AS tid, embedding AS tv FROM e WHERE vec_id % 10 = 0),
+         |sc AS (SELECT tr.vec_id, ${duckCos6("tr.embedding", "tv")} AS cos
+         |       FROM tr CROSS JOIN te),
+         |m AS (SELECT vec_id, max(cos) AS max_cos FROM sc GROUP BY vec_id)
+         |SELECT vec_id, max_cos, CASE WHEN max_cos >= 0.5 THEN 1 ELSE 0 END AS contaminated
+         |FROM m ORDER BY vec_id""".stripMargin,
     "q_remove_dup_spans" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS words

@@ -556,6 +556,143 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sym")).as("n_bpe"))
   }
 
+  /** Add-one-smoothed bigram language-model surprisal — the KenLM-style
+    * perplexity-proxy filter one step up from [[unigramSurprisal]]: the
+    * corpus trains its own bigram model, then every document is scored by
+    * its average per-bigram negative log-likelihood
+    * `nll(u,v) = ln((c(u)+V) / (c(u,v)+1))` (add-1 smoothing over the
+    * unigram vocabulary V). High surprisal = improbable word sequences =
+    * gibberish/boilerplate candidates. Scale shape: one bigram shuffle for
+    * the count table, a second aggregate DERIVED from it for the context
+    * counts (|bigram-types| rows, not corpus rows), one broadcast vocab
+    * scalar, one join back, one per-doc aggregate. The per-doc float sum
+    * folds in POSITION order (same discipline as unigramSurprisal) so the
+    * oracle replays it bit-for-bit; the result rounds to integer micros.
+    */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val ws = docs.select(col("doc_id"),
+      split(normalize(col("text")), " ").as("words"))
+    val toks = ws.select(explode(col("words")).as("w"))
+    val bi = ws
+      .where(size(col("words")) >= 2)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(col("words")) - 1),
+          i => struct(i.as("pos"),
+            element_at(col("words"), i).as("u"),
+            element_at(col("words"), i + 1).as("v")))).as("b"))
+      .select(col("doc_id"), col("b.pos"), col("b.u"), col("b.v"))
+    val cuv = bi.groupBy("u", "v").agg(count(lit(1)).as("cuv"))
+    val cu = cuv.groupBy("u").agg(sum("cuv").as("cu"))
+    val vocab = toks.agg(countDistinct(col("w")).as("vsz"))
+    bi.join(cuv, Seq("u", "v")).join(cu, Seq("u"))
+      .crossJoin(broadcast(vocab))
+      .withColumn("nll",
+        log((col("cu") + col("vsz")).cast("double") / (col("cuv") + 1)))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        aggregate(
+          transform(array_sort(collect_list(struct(col("pos"), col("nll")))),
+            x => x.getField("nll")),
+          lit(0.0), (acc, x) => acc + x).as("sum_nll"))
+      .select(col("doc_id"), col("n_bigrams"),
+        (floor((col("sum_nll") / col("n_bigrams")) * 1e6 + 0.5) / 1e6)
+          .as("avg_surprisal2"))
+  }
+
+  /** Out-of-vocabulary rate against the corpus' own top-`vocabSize`
+    * vocabulary — the tokenizer-coverage audit run before committing to a
+    * vocab: documents dense in OOV tokens fragment into long byte-level
+    * sequences at training time. The cut is deterministic (count desc,
+    * word asc tiebreak); the vocabulary is bounded so the membership join
+    * broadcasts; one token shuffle + one per-doc aggregate.
+    */
+  def oovRate(docs: DataFrame, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(split(normalize(col("text")), " ")).as("w"))
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("w").asc).limit(vocabSize)
+      .select(col("w"), lit(1).as("__in_vocab"))
+    toks.join(broadcast(vocab), Seq("w"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate",
+        floor(col("n_oov").cast("double") / col("n_tokens") * 1e6 + 0.5) / 1e6)
+  }
+
+  /** Hashed bag-of-words features for [[classifierScores]]: one row per
+    * doc with `y6` (label in integer micros), `x0..x{dim-1}` — term
+    * frequencies per hash bucket, normalized by document length — and a
+    * unit-scale length feature `x{dim}` (`min(n_words/64, 1)`, the same
+    * leg the rule-based [[qualityScore]] uses), all quantized to integer
+    * micros. One token shuffle, computed ONCE per training run
+    * (iterations re-scan this relation, never the corpus).
+    */
+  def hashedBowFeatures(docs: DataFrame, label: Column, dim: Int): DataFrame = {
+    val hashed = docs.select(col("doc_id"),
+        (label.cast("int").cast("long") * 1000000L).as("y6"),
+        explode(split(normalize(col("text")), " ")).as("w"))
+      .withColumn("b", (polyHash(col("w")) % dim).cast("int"))
+    val counted = hashed.groupBy(col("doc_id"), col("y6"))
+      .agg(count(lit(1)).as("n"),
+        (0 until dim).map(b =>
+          sum(when(col("b") === b, 1L).otherwise(0L)).as(s"c$b")): _*)
+    counted.select(col("doc_id") +: col("y6") +: ((0 until dim).map(b =>
+      floor(col(s"c$b").cast("double") / col("n") * 1e6 + 0.5)
+        .cast("long").as(s"x$b")) :+
+      floor(least(col("n").cast("double") / 64.0, lit(1.0)) * 1e6 + 0.5)
+        .cast("long").as(s"x$dim")): _*)
+  }
+
+  /** Model-based quality/domain filtering, trained IN the engine: a
+    * logistic-regression classifier over hashed bag-of-words features
+    * (the fastText-style linear filter behind FineWeb-Edu / DCLM-class
+    * corpus curation), fit with `iters` full-batch gradient steps and then
+    * applied to every document. Deterministic by construction — features,
+    * sigmoid outputs, and weight updates all quantize to integer micros
+    * (gradients accumulate as exact integer picos in decimal sums, safe at
+    * any corpus size), so the DuckDB oracle replays training bit-for-bit.
+    * Scale shape: the feature relation is built once (one token shuffle);
+    * each iteration is ONE codegen map pass over it plus ONE map-side-
+    * combined
+    * aggregate collapsing to a single `dim+2`-column gradient row on the
+    * driver — the same fixed-rounds discipline as [[bpeLearn]] and
+    * `VectorOps.kmeans`. Returns (doc_id, label, score, pred).
+    */
+  def classifierScores(docs: DataFrame, label: Column, dim: Int = 16,
+                       iters: Int = 8, lr: Double = 16.0): DataFrame = {
+    require(dim > 0 && iters >= 0, "classifierScores needs dim>0, iters>=0")
+    val nf = dim + 1 // hashed tf buckets + the length feature
+    val feat = hashedBowFeatures(docs, label, dim)
+    var w = Array.fill(nf)(0L)
+    var bias = 0L
+    def margin: Column =
+      (0 until nf).map(b => col(s"x$b") * lit(w(b))).reduce(_ + _)
+        .cast("double") / 1e12 + lit(bias.toDouble / 1e6)
+    def p6: Column =
+      floor(lit(1.0) / (lit(1.0) + exp(-margin)) * 1e6 + 0.5).cast("long")
+    for (_ <- 0 until iters) {
+      val err = (col("y6") - p6).as("e")
+      val g = feat.agg(
+        count(lit(1)).as("nd"),
+        sum(err.cast("decimal(28,0)")).as("gb") +:
+          (0 until nf).map(b =>
+            sum((err * col(s"x$b")).cast("decimal(38,0)")).as(s"g$b")): _*)
+        .collect()(0)
+      val nd = g.getAs[Long]("nd").toDouble
+      bias += math.floor(
+        lr * g.getAs[java.math.BigDecimal]("gb").doubleValue / nd + 0.5).toLong
+      w = Array.tabulate(nf)(b => w(b) + math.floor(
+        lr * g.getAs[java.math.BigDecimal](s"g$b").doubleValue / nd / 1e6
+          + 0.5).toLong)
+    }
+    feat.select(col("doc_id"),
+        (col("y6") / 1000000L).cast("int").as("label"),
+        (floor(lit(1.0) / (lit(1.0) + exp(-margin)) * 1e6 + 0.5) / 1e6)
+          .as("score"))
+      .withColumn("pred", (col("score") >= 0.5).cast("int"))
+  }
+
   /** Word n-grams (for n-gram Jaccard dedup). */
   def wordNgrams(text: Column, n: Int = 3): Column = {
     val words = split(TextOps.normalize(text), " ")

@@ -450,6 +450,28 @@ object VectorOps {
       .orderBy("cluster", "rank")
   }
 
+  /** Embedding-space decontamination: score every training vector by its
+    * maximum cosine against the held-out/eval set and flag those at or
+    * above the threshold — the semantic-leakage check that n-gram
+    * decontamination misses (paraphrased eval questions share no grams
+    * but sit next to each other in embedding space). The eval side of a
+    * decontamination run is bounded by construction, so it BROADCASTS and
+    * the plan is one linear codegen scan of the training side (per-pair
+    * `graft_dot`, then a map-side-combined max per vector) — no shuffle
+    * of the big side at any corpus scale.
+    */
+  def decontaminateEmbed(train: DataFrame, test: DataFrame,
+                         threshold: Double): DataFrame = {
+    val t = broadcast(
+      test.select(col("vec_id").as("__tid"), col("embedding").as("__tv")))
+    train.select(col("vec_id"), col("embedding"))
+      .crossJoin(t)
+      .select(col("vec_id"), cosine6(col("embedding"), col("__tv")).as("cos"))
+      .groupBy("vec_id")
+      .agg(max(col("cos")).as("max_cos"))
+      .withColumn("contaminated", (col("max_cos") >= threshold).cast("int"))
+  }
+
   /** Brute-force reference implementation (spec oracle for the LSH path).
     */
   def embedDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {

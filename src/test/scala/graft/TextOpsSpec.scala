@@ -338,6 +338,74 @@ class TextOpsSpec extends SparkSpec {
     res(2L) shouldBe ((2L, 3L))
   }
 
+  "bigramSurprisal" should "score repeated bigrams as less surprising" in {
+    // corpus: "a b" ×3 in doc 1, "a c" once in doc 2; V = 3
+    // c(a,b)=3, c(a,c)=1, c(b,a)=2; c(a)=4, c(b)=2
+    // doc2 bigram (a,c): nll = ln((4+3)/(1+1)) = ln(3.5)
+    val docs = Seq((1L, "a b a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = TextOps.bigramSurprisal(docs)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    m(2L)._1 shouldBe 1L
+    m(2L)._2 shouldBe (math.floor(math.log(3.5) * 1e6 + 0.5) / 1e6)
+    // doc 1's bigrams are the corpus mode → strictly less surprising
+    assert(m(1L)._2 < m(2L)._2)
+  }
+
+  it should "drop single-word documents from the output" in {
+    val docs = Seq((1L, "one"), (2L, "two words")).toDF("doc_id", "text")
+    TextOps.bigramSurprisal(docs).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq shouldBe Seq(2L)
+  }
+
+  "oovRate" should "count tokens outside the top-k vocabulary" in {
+    // freq: a×4, b×2, c×1, d×1 → top-2 = {a, b}; ties beyond broken by word
+    val docs = Seq((1L, "a a b c"), (2L, "a a b d")).toDF("doc_id", "text")
+    val m = TextOps.oovRate(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    m(1L) shouldBe ((4L, 1L)) // c is OOV
+    m(2L) shouldBe ((4L, 1L)) // d is OOV
+  }
+
+  it should "break vocabulary-cut ties deterministically by word order" in {
+    // b and c tie at 1; top-2 = {a, b} (count desc, word asc)
+    val docs = Seq((1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val m = TextOps.oovRate(docs, vocabSize = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    m(1L) shouldBe 0L
+    m(2L) shouldBe 1L // c lost the tie
+  }
+
+  "classifierScores" should "learn a separable label through the hashed features" in {
+    // label = contains the marker word; the marker's hash bucket is a
+    // perfect separator feature, so 8 GD steps must push the classes apart
+    val docs = (0L until 40L).map { i =>
+      if (i % 2 == 0) (i, "good clean prose text here")
+      else (i, "spammy junk marker gibberish blob")
+    }.toDF("doc_id", "text")
+    val res = TextOps.classifierScores(docs, col("text").contains("marker"))
+      .collect().map(r => (r.getAs[Int]("label"), r.getAs[Double]("score")))
+    val pos = res.filter(_._1 == 1).map(_._2)
+    val neg = res.filter(_._1 == 0).map(_._2)
+    assert(pos.min > neg.max,
+      s"classes must separate: pos min ${pos.min} vs neg max ${neg.max}")
+    res.foreach { case (_, s) => assert(s >= 0.0 && s <= 1.0) }
+  }
+
+  it should "be deterministic across runs" in {
+    val docs = Seq((1L, "a b c d"), (2L, "e f g h"), (3L, "a b e f"))
+      .toDF("doc_id", "text")
+    def run() = TextOps.classifierScores(docs, col("doc_id") === 1L,
+        dim = 8, iters = 3, lr = 4.0)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq.sorted
+    run() shouldBe run()
+  }
+
+  it should "score 0.5 everywhere with zero iterations" in {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    TextOps.classifierScores(docs, lit(true), dim = 4, iters = 0)
+      .collect().foreach(_.getDouble(2) shouldBe 0.5)
+  }
+
   "dimCentroids" should "compute exact per-dimension means" in {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f)),

@@ -247,6 +247,34 @@ class VectorSpec extends SparkSpec {
     two shouldBe brute
   }
 
+  "decontaminateEmbed" should "flag train vectors near any test vector" in {
+    import spark.implicits._
+    val train = Seq(
+      (1L, Seq(1.0f, 0.0f)),   // identical to test 100 → cos 1.0
+      (2L, Seq(0.0f, 1.0f)),   // orthogonal to both test vectors
+      (3L, Seq(1.0f, 1.0f))).toDF("vec_id", "embedding") // 45° → cos ~0.707
+    val test = Seq(
+      (100L, Seq(1.0f, 0.0f)),
+      (101L, Seq(-1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val m = VectorOps.decontaminateEmbed(train, test, threshold = 0.9)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getInt(2))).toMap
+    m(1L) shouldBe ((1.0, 1))
+    m(2L)._2 shouldBe 0
+    m(3L) shouldBe ((0.707107, 0))
+  }
+
+  it should "broadcast the bounded test side, never shuffle the train side" in {
+    import spark.implicits._
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val plan = VectorOps.decontaminateEmbed(
+        e.where(col("vec_id") % 10 =!= 0),
+        e.where(col("vec_id") % 10 === 0), threshold = 0.5)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastNestedLoopJoin")
+    // the only exchange is the final tiny per-vector max aggregate
+    plan should not include "SortMergeJoin"
+  }
+
   "semDedup" should "prune only within clusters, via an equi-join" in {
     val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
     val plan = VectorOps.semDedup(e, threshold = 0.4)
