@@ -122,6 +122,14 @@ object Sparql {
   final case class Or(l: Expr, r: Expr) extends Expr
   final case class Not(e: Expr) extends Expr
   final case class BFn(fn: String, args: Seq[EExpr]) extends Expr
+  /** `EXISTS { G }` in EXPRESSION position (inside &&/||/!/IF) — the
+    * standalone `FILTER [NOT] EXISTS` stays on the semi/anti-join path.
+    * Compiled by materializing a boolean marker column (left join on the
+    * shared vars) before expression compilation; [[MarkerE]] is the
+    * rewritten reference, never produced by the parser.
+    */
+  final case class ExistsE(g: Group) extends Expr
+  final case class MarkerE(name: String) extends Expr
 
   // ---------- Tokenizer ----------
   private sealed trait Tok
@@ -1521,6 +1529,14 @@ object Sparql {
 
   private def parseCond(p: P): Expr = p.peek match {
     case Some(TSym("!")) => p.pos += 1; Not(parseCond(p))
+    // expression-position EXISTS: a boolean operand like any other
+    case Some(t) if p.isKw(t, "EXISTS") &&
+      p.peekAhead(1).contains(TSym("{")) =>
+      p.pos += 1; ExistsE(parseGroup(p, p.prefixes))
+    case Some(t) if p.isKw(t, "NOT") &&
+      p.peekAhead(1).exists(p.isKw(_, "EXISTS")) &&
+      p.peekAhead(2).contains(TSym("{")) =>
+      p.pos += 2; Not(ExistsE(parseGroup(p, p.prefixes)))
     case Some(TSym("(")) => p.pos += 1; val e = parseExpr(p); p.eatSym(")"); e
     case Some(TWord(w)) if boolFns.contains(w.toUpperCase) &&
       p.peekAhead(1).contains(TSym("(")) =>
@@ -1685,12 +1701,61 @@ object Sparql {
         need.map(v => s"__str_$v"))
   }
 
-  private def applyFilter(env: Env, df: DataFrame, f: Expr): DataFrame = {
-    val (d, res, shadows) = withDecoded(env, df, exprVars(f))
-    d.where(compileExprWith(f, res)).drop(shadows: _*)
+  /** Rewrites [[ExistsE]] nodes in an expression tree into precomputed
+    * boolean marker columns on the frame: each `EXISTS { G }` compiles its
+    * group and LEFT-joins a distinct one-column flag relation on the
+    * shared variables (the same correlated-evaluation shape as the
+    * standalone FILTER EXISTS semi-join — per-solution substitution is the
+    * join), so the expression grammar treats existence as an ordinary
+    * boolean: `FILTER(EXISTS{..} || ?x > 5)`, `BIND(IF(EXISTS{..},..))`.
+    * An unbound flag (no match) coalesces to false at the [[MarkerE]].
+    */
+  private final class ExistsRewriter(env: Env, df0: DataFrame) {
+    var df: DataFrame = df0
+    var flags: Seq[String] = Seq.empty
+    private def flagFor(g: Group): String = {
+      var i = flags.size
+      while (df.columns.contains(s"__ex$i")) i += 1
+      val name = s"__ex$i"
+      val in = compileGroup(env, g)
+      val shared = df.columns.intersect(in.columns).toSeq
+      df =
+        if (shared.nonEmpty)
+          df.join(in.select(shared.map(col): _*).distinct
+            .withColumn(name, lit(true)), shared, "left")
+        else df.join(broadcast(in.limit(1).select(lit(true).as(name))),
+          lit(true), "left")
+      flags :+= name
+      name
+    }
+    def rw(e: Expr): Expr = e match {
+      case ExistsE(g) => MarkerE(flagFor(g))
+      case And(l, r) => And(rw(l), rw(r))
+      case Or(l, r) => Or(rw(l), rw(r))
+      case Not(x) => Not(rw(x))
+      case Cmp(l, op, r) => Cmp(rwV(l), op, rwV(r))
+      case BFn(fn, args) => BFn(fn, args.map(rwV))
+      case m: MarkerE => m
+    }
+    def rwV(e: EExpr): EExpr = e match {
+      case EIf(c, t, f) => EIf(rw(c), rwV(t), rwV(f))
+      case EBin(l, op, r) => EBin(rwV(l), op, rwV(r))
+      case ECall(fn, args) => ECall(fn, args.map(rwV))
+      case other => other
+    }
   }
 
-  private def applyBind(env: Env, df: DataFrame, e: EExpr, v: String): DataFrame = {
+  private def applyFilter(env: Env, df: DataFrame, f: Expr): DataFrame = {
+    val x = new ExistsRewriter(env, df)
+    val f2 = x.rw(f)
+    val (d, res, shadows) = withDecoded(env, x.df, exprVars(f2))
+    d.where(compileExprWith(f2, res)).drop(shadows: _*).drop(x.flags: _*)
+  }
+
+  private def applyBind(env: Env, df0: DataFrame, e0: EExpr, v: String): DataFrame = {
+    val x = new ExistsRewriter(env, df0)
+    val e = x.rwV(e0)
+    val df = x.df
     val (d, res, shadows) = withDecoded(env, df, valVars(e))
     val out =
       if (!df.columns.contains(v)) d.withColumn(v, compileVal(e, res))
@@ -1704,7 +1769,7 @@ object Sparql {
         val ev = compileVal(e, res)
         d.withColumn(v, coalesce(col(v), ev)).where(ev.isNull || col(v) === ev)
       }
-    out.drop(shadows: _*)
+    out.drop(shadows: _*).drop(x.flags: _*)
   }
 
   /** Encoded mode: pattern machinery emits id-typed columns; vars that are
@@ -1762,9 +1827,33 @@ object Sparql {
     case POpt(x) => pathConsts(x)
   }
 
+  /** Groups buried in expression-position EXISTS nodes (FILTER booleans
+    * and BIND bodies) — they carry pattern constants the driver must
+    * pre-encode exactly like standalone FILTER EXISTS groups.
+    */
+  private def existsGroupsB(e: Expr): Seq[Group] = e match {
+    case ExistsE(g) => Seq(g)
+    case And(l, r) => existsGroupsB(l) ++ existsGroupsB(r)
+    case Or(l, r) => existsGroupsB(l) ++ existsGroupsB(r)
+    case Not(x) => existsGroupsB(x)
+    case Cmp(l, _, r) => existsGroupsV(l) ++ existsGroupsV(r)
+    case BFn(_, args) => args.flatMap(existsGroupsV)
+    case _ => Seq.empty
+  }
+
+  private def existsGroupsV(e: EExpr): Seq[Group] = e match {
+    case EIf(c, t, f) => existsGroupsB(c) ++ existsGroupsV(t) ++ existsGroupsV(f)
+    case EBin(l, _, r) => existsGroupsV(l) ++ existsGroupsV(r)
+    case ECall(_, args) => args.flatMap(existsGroupsV)
+    case _ => Seq.empty
+  }
+
   private def childGroups(g: Group): Seq[Group] =
     g.optionals ++ g.minuses ++ g.subgroups ++
-      g.unions.flatMap { case (l, r) => Seq(l, r) } ++ g.existsFilters.map(_._1)
+      g.unions.flatMap { case (l, r) => Seq(l, r) } ++
+      g.existsFilters.map(_._1) ++
+      g.filters.flatMap(existsGroupsB) ++
+      g.binds.flatMap(b => existsGroupsV(b._1))
 
   /** Every pattern-position constant in the query tree (triple terms, path
     * edges and endpoints, VALUES entries) — the set the driver encodes.
@@ -2209,6 +2298,9 @@ object Sparql {
       case Or(l, r) => Or(extractAggsB(l, acc), extractAggsB(r, acc))
       case Not(x) => Not(extractAggsB(x, acc))
       case BFn(fn, args) => BFn(fn, args.map(extractAggs(_, acc)))
+      // EXISTS in HAVING/projection reaches compileExprWith, which raises
+      // the module's clear unsupported-position error
+      case other => other
     }
 
   /** An aggregate call appearing inside an expression -> Column. `*`
@@ -2918,6 +3010,11 @@ object Sparql {
     case Or(l, r) => exprVars(l) ++ exprVars(r)
     case Not(x) => exprVars(x)
     case BFn(_, args) => args.flatMap(valVars).toSet
+    // EXISTS correlates by join on raw (id-typed) columns — it never
+    // inspects term values, so it contributes no decode requirements;
+    // markers are boolean columns, likewise decode-free
+    case ExistsE(_) => Set.empty
+    case MarkerE(_) => Set.empty
   }
 
   private def compileVal(e: EExpr, resolve: String => Column = col(_)): Column = e match {
@@ -3061,6 +3158,10 @@ object Sparql {
     case And(l, r) => compileExprWith(l, resolve) && compileExprWith(r, resolve)
     case Or(l, r) => compileExprWith(l, resolve) || compileExprWith(r, resolve)
     case Not(x) => !compileExprWith(x, resolve)
+    case MarkerE(n) => coalesce(col(n), lit(false))
+    case ExistsE(_) => throw new IllegalArgumentException(
+      "EXISTS is supported in FILTER and BIND expressions (materialized " +
+        "positions), not here — bind it to a variable first")
     case BFn(fn, args) =>
       def a0 = compileVal(args.head, resolve)
       fn match {

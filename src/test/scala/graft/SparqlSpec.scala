@@ -352,6 +352,47 @@ class SparqlSpec extends SparkSpec {
       .shouldBe(Seq(Seq("5"), Seq("6")))
   }
 
+  it should "evaluate EXISTS in expression position inside FILTER" in {
+    // EXISTS as one operand of a disjunction: x=1 passes via the
+    // existence arm (3 has :4 edges), x=6 passes via the comparison arm
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE {
+        |  ?x :2 ?y . FILTER(EXISTS { ?y :4 ?w } || ?x = "6")
+        |} ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1"), Seq("6"))
+  }
+
+  it should "evaluate NOT EXISTS in expression position" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x WHERE {
+        |  ?x :2 ?y . FILTER(NOT EXISTS { ?y :4 ?w } && ?x != "6")
+        |} ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("5"))
+  }
+
+  it should "evaluate EXISTS inside IF in a BIND" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?x ?k WHERE {
+        |  ?x :2 ?y . BIND(IF(EXISTS { ?y :4 ?w }, "hub", "leaf") AS ?k)
+        |} ORDER BY ?x""".stripMargin)
+    res shouldBe Seq(Seq("1", "hub"), Seq("5", "leaf"), Seq("6", "leaf"))
+  }
+
+  it should "treat a disjoint EXISTS group as a global emptiness probe" in {
+    // no shared vars: the inner group's (non)emptiness decides per row
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { ?x :2 ?y . FILTER(EXISTS { ?a :4 ?b } && ?x = "1") }
+          |""".stripMargin)
+      .shouldBe(Seq(Seq("1")))
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { ?x :2 ?y . FILTER(EXISTS { ?a :99 ?b } || ?x = "1") }
+          |""".stripMargin)
+      .shouldBe(Seq(Seq("1")))
+  }
+
   it should "evaluate path alternation with bag semantics" in {
     val res = run(
       """PREFIX : <>
