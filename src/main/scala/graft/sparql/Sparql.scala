@@ -2046,10 +2046,12 @@ object Sparql {
     // combined pattern set (outer triples ++ branch triples) and the arms
     // union — Δ(T ⋈ (A ∪ B)) = Δ(T ⋈ A) ∪ Δ(T ⋈ B), each arm already
     // append-safe, so a new edge matching any position of either branch
-    // emits exactly its batch-equivalent solutions. One UNION pair per
-    // group (m pairs would need the 2^m arm product).
-    require(q.group.unions.size <= 1,
-      "executeStream supports at most one UNION per group")
+    // emits exactly its batch-equivalent solutions. m UNION blocks are m
+    // independent join factors, and the delta distributes over each, so
+    // the stream compiles to the PRODUCT of branch choices (2^m arms) —
+    // bounded, because every arm is a standing stream-static join plan.
+    require(q.group.unions.size <= 3,
+      "executeStream supports at most 3 UNION blocks per group (8 delta arms)")
     q.group.unions.foreach { case (l, r) => Seq(l, r).foreach(b =>
       require(b.triples.nonEmpty && b.optionals.isEmpty && b.unions.isEmpty &&
         b.minuses.isEmpty && b.paths.isEmpty && b.subqueries.isEmpty &&
@@ -2080,26 +2082,28 @@ object Sparql {
     // static-side joins (filters are idempotent, so applying a filter in
     // one arm AND again post-join is harmless)
     var deferredFilters = Seq.empty[Expr]
-    def arm(branch: Option[Group]): DataFrame = {
+    def arm(branches: Seq[Group]): DataFrame = {
       var d = Bgp.compileStream(spark, stream, staticTriples,
-        q.group.triples ++ branch.fold(Seq.empty[TriplePattern])(_.triples),
+        q.group.triples ++ branches.flatMap(_.triples),
         stats, carry = if (dedup) Seq(tsCol) else Nil)
-      (q.group.binds ++ branch.fold(Seq.empty[(EExpr, String)])(_.binds))
+      (q.group.binds ++ branches.flatMap(_.binds))
         .foreach { case (e, v) => d = d.withColumn(v, compileVal(e)) }
-      (q.group.filters ++ branch.fold(Seq.empty[Expr])(_.filters))
+      (q.group.filters ++ branches.flatMap(_.filters))
         .foreach { f =>
           if (exprVars(f).subsetOf(d.columns.toSet)) d = d.where(compileExpr(f))
           else deferredFilters :+= f
         }
       d
     }
-    var df = q.group.unions.headOption match {
-      case None => arm(None)
-      // bag union; branch-only variables are null (unbound) in the other
-      // arm's rows, as in the batch compiler
-      case Some((l, r)) =>
-        arm(Some(l)).unionByName(arm(Some(r)), allowMissingColumns = true)
-    }
+    // cartesian product of branch choices across the group's UNION blocks
+    val armChoices: Seq[Seq[Group]] =
+      q.group.unions.foldLeft(Seq(Seq.empty[Group])) { case (acc, (l, r)) =>
+        acc.flatMap(ch => Seq(ch :+ l, ch :+ r))
+      }
+    // bag union; branch-only variables are null (unbound) in the other
+    // arms' rows, as in the batch compiler
+    var df = armChoices.map(arm)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
     val senv = stringEnv(spark, staticTriples, stats)
     // property paths read the STATIC store only: the path relation is
     // bounded, so the constrain/extend join is append-safe. Stream edges

@@ -217,6 +217,55 @@ class StreamingBgpSpec extends SparkSpec {
       ("customer:1", "region:8"), ("customer:0", "region:9"))
   }
 
+  it should "emit batch-equivalent rows for TWO UNION blocks (4 delta arms)" in {
+    // two UNION blocks are independent join factors: the delta
+    // distributes over each, so the stream compiles the 2x2 product of
+    // branch choices and unions the four arms
+    implicit val sqlCtx = spark.sqlContext
+    val static2 = Seq(
+      ("nation:3", "regionkey", "region:4"),
+      ("nation:3", "altregion", "region:8"),
+      ("region:4", "name", "ASIA"),
+      ("region:8", "alias", "EMEA"),
+      ("region:9", "alias", "APAC"),
+      ("customer:0", "nationkey", "nation:1")).toDF("s", "p", "o")
+    val query =
+      """PREFIX : <>
+        |SELECT ?c ?r ?nm WHERE {
+        |  ?c :nationkey ?n .
+        |  { ?n :regionkey ?r } UNION { ?n :altregion ?r }
+        |  { ?r :name ?nm } UNION { ?r :alias ?nm }
+        |}""".stripMargin
+    val src = MemoryStream[(String, String, String)]
+    val out = graft.sparql.Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), static2, query)
+    val q = out.writeStream.format("memory").queryName("sparql_stream_union2")
+      .outputMode("append").start()
+    // a streamed customer edge reaches solutions through BOTH first-block
+    // branches, each continuing through a different second-block branch
+    src.addData(("customer:1", "nationkey", "nation:3"))
+    q.processAllAvailable()
+    // a streamed alt edge for nation:1 completes the static customer:0
+    // chain through the (altregion, alias) arm
+    src.addData(("nation:1", "altregion", "region:9"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sparql_stream_union2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // every batch solution here uses exactly one streamed edge (the
+    // delta contract), so the stream must emit the full batch answer
+    val batch = graft.sparql.Sparql.execute(spark,
+        static2.union(Seq(
+          ("customer:1", "nationkey", "nation:3"),
+          ("nation:1", "altregion", "region:9")).toDF("s", "p", "o")), query)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    got shouldBe batch
+    batch shouldBe Set(
+      ("customer:1", "region:4", "ASIA"),
+      ("customer:1", "region:8", "EMEA"),
+      ("customer:0", "region:9", "APAC"))
+  }
+
   it should "subtract static MINUS groups from arriving solutions" in {
     implicit val sqlCtx = spark.sqlContext
     val static2 = Seq(
