@@ -51,6 +51,19 @@ class GoldenSpec extends SparkSpec {
         |  ?c a "Customer" . ?c :nationkey ?n .
         |  ?n :regionkey ?r . ?r :name ?nm .
         |} GROUP BY ?nm ORDER BY ?nm""".stripMargin,
+    "sparql_exists_expr" ->
+      """PREFIX : <>
+        |SELECT ?c WHERE {
+        |  ?c a "Customer" . ?c :nationkey ?n .
+        |  FILTER(EXISTS { ?n :regionkey "region:0" } || ?c = "customer:1")
+        |} ORDER BY ?c""".stripMargin,
+    "sparql_if_exists" ->
+      """PREFIX : <>
+        |SELECT ?n ?k WHERE {
+        |  ?n a "Nation" .
+        |  BIND(IF(EXISTS { ?s a "Supplier" . ?s :nationkey ?n },
+        |          "has-suppliers", "none") AS ?k)
+        |} ORDER BY ?n""".stripMargin,
     "sparql_path" ->
       """PREFIX : <>
         |SELECT ?c ?r WHERE { ?c :nationkey/:regionkey ?r } ORDER BY ?c ?r""".stripMargin,

@@ -34,6 +34,16 @@ QUERIES = {
         FROM customer JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
         GROUP BY r_name ORDER BY nm""",
+    "sparql_exists_expr": """
+        SELECT 'customer:' || c_custkey AS c
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE n_regionkey = 0 OR 'customer:' || c_custkey = 'customer:1'
+        ORDER BY c""",
+    "sparql_if_exists": """
+        SELECT 'nation:' || n_nationkey AS n,
+          CASE WHEN EXISTS (SELECT 1 FROM supplier WHERE s_nationkey = n_nationkey)
+               THEN 'has-suppliers' ELSE 'none' END AS k
+        FROM nation ORDER BY n""",
     "sparql_path": """
         SELECT c, r FROM (
           SELECT 'customer:' || c_custkey AS c, 'region:' || n_regionkey AS r
