@@ -400,6 +400,16 @@ class TextOpsSpec extends SparkSpec {
     run() shouldBe run()
   }
 
+  it should "produce identical scores through the driver and distributed paths" in {
+    val docs = (0L until 30L).map(i =>
+      (i, if (i % 3 == 0) "aa bb cc dd" else "ee ff gg hh ii"))
+      .toDF("doc_id", "text")
+    def run(cap: Long) = TextOps.classifierScores(docs,
+        col("doc_id") % 3 === 0, dim = 8, iters = 4, lr = 8.0, driverCap = cap)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq.sorted
+    run(0L) shouldBe run(1L << 16)
+  }
+
   it should "score 0.5 everywhere with zero iterations" in {
     val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
     TextOps.classifierScores(docs, lit(true), dim = 4, iters = 0)
