@@ -1119,6 +1119,20 @@ object SparkEntry {
     GraftStore.diff(s, st, h).orderBy("change", "s", "p", "o")
   }
 
+  /** Named-graph surface: the quad dataset tags every triple-ized row
+    * with its entity table's graph, and a GRAPH ?g block aggregates per
+    * graph — the SPARQL 1.1 §13 semantics the reference lacks entirely
+    * (single-graph store; named-graph Update targets error).
+    */
+  private def sparqlGraphQ(s: SparkSession, d: String): DataFrame = {
+    val quads = graft.store.TripleStore.tableTriples(s, d)
+      .withColumn("g", concat(lit("graph:"), substring_index(col("s"), ":", 1)))
+    graft.sparql.Sparql.executeQuads(s, quads,
+      """PREFIX : <>
+        |SELECT ?g (COUNT(?s) AS ?cnt) WHERE { GRAPH ?g { ?s :name ?nm } }
+        |GROUP BY ?g ORDER BY ?g""".stripMargin)
+  }
+
   /** Fixed-iteration PageRank over the shared undirected entity
     * adjacency: 3 iterations, integer-pico contribution sums (order
     * independent, so the DuckDB oracle replays the recursion exactly).
@@ -1838,6 +1852,7 @@ object SparkEntry {
     "q_lubm9" -> (lubm9Q _),
     "q_label_prop" -> (labelPropQ _),
     "q_sparql_values" -> (sparqlValues _),
+    "q_sparql_graph" -> (sparqlGraphQ _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_if" -> (sparqlIf _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -2786,6 +2801,14 @@ object SparkEntry {
         |  SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |) ORDER BY c, r""".stripMargin,
+    "q_sparql_graph" ->
+      """SELECT g, cnt FROM (
+        |  SELECT 'graph:region' AS g, count(*) AS cnt FROM region WHERE r_name IS NOT NULL
+        |  UNION ALL SELECT 'graph:nation', count(*) FROM nation WHERE n_name IS NOT NULL
+        |  UNION ALL SELECT 'graph:customer', count(*) FROM customer WHERE c_name IS NOT NULL
+        |  UNION ALL SELECT 'graph:supplier', count(*) FROM supplier WHERE s_name IS NOT NULL
+        |  UNION ALL SELECT 'graph:part', count(*) FROM part WHERE p_name IS NOT NULL
+        |) ORDER BY g""".stripMargin,
     "q_sparql_values" ->
       """SELECT 'region:' || r_regionkey AS n, r_name AS nm FROM region
         |WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY n""".stripMargin,

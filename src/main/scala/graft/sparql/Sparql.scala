@@ -80,7 +80,11 @@ object Sparql {
                          having: Seq[Expr] = Seq.empty,
                          // trailing ValuesClause (§18.2.4.4): joined AFTER
                          // aggregation, BEFORE projection/modifiers
-                         postValues: Option[(Seq[String], Seq[Seq[String]])] = None)
+                         postValues: Option[(Seq[String], Seq[Seq[String]])] = None,
+                         // dataset clauses: FROM <g> (merged default
+                         // graph) and FROM NAMED <g> (GRAPH-visible set)
+                         fromGraphs: Seq[String] = Seq.empty,
+                         fromNamed: Seq[String] = Seq.empty)
   final case class Group(triples: Seq[TriplePattern], filters: Seq[Expr],
                          optionals: Seq[Group], unions: Seq[(Group, Group)],
                          minuses: Seq[Group] = Seq.empty,
@@ -90,7 +94,11 @@ object Sparql {
                          subqueries: Seq[Query] = Seq.empty,
                          subgroups: Seq[Group] = Seq.empty,
                          existsFilters: Seq[(Group, Boolean)] = Seq.empty,
-                         valuesMulti: Seq[(Seq[String], Seq[Seq[String]])] = Seq.empty)
+                         valuesMulti: Seq[(Seq[String], Seq[Seq[String]])] = Seq.empty,
+                         // GRAPH ?g { .. } / GRAPH <iri> { .. } blocks —
+                         // matched against the NAMED part of a quad
+                         // dataset (executeQuads)
+                         graphs: Seq[(Term, Group)] = Seq.empty)
 
   /** Property-path algebra (SPARQL 1.1 §9; the reference gets these from
     * ARQ). Compiled to (s, o) relations over the edge table.
@@ -1102,6 +1110,19 @@ object Sparql {
       case _ => reading = false
     }
     if (!star && proj.isEmpty) p.fail("empty projection")
+    // dataset clauses (§13.2): FROM <g> merges graphs into the query's
+    // default graph; FROM NAMED <g> restricts the GRAPH-visible set
+    var fromGraphs = Seq.empty[String]
+    var fromNamed = Seq.empty[String]
+    while (p.peek.exists(p.isKw(_, "FROM"))) {
+      p.pos += 1
+      val named = p.tryKw("NAMED")
+      parseTerm(p, prefixes) match {
+        case C(v) => if (named) fromNamed :+= v.toString
+                     else fromGraphs :+= v.toString
+        case t => p.fail(s"expected a graph IRI after FROM, got $t")
+      }
+    }
     p.eatKw("WHERE")
     var group = parseGroup(p, prefixes)
     var groupBy = Seq.empty[String]
@@ -1190,7 +1211,8 @@ object Sparql {
     var limit = num("LIMIT")
     val offset = num("OFFSET")
     if (limit.isEmpty) limit = num("LIMIT")
-    Query(distinct, proj, group, groupBy, order, limit, offset, having)
+    Query(distinct, proj, group, groupBy, order, limit, offset, having,
+      fromGraphs = fromGraphs, fromNamed = fromNamed)
   }
 
   private def parseGroup(p: P, prefixes: Map[String, String]): Group = {
@@ -1206,6 +1228,7 @@ object Sparql {
     var subqueries = Seq.empty[Query]
     var subgroups = Seq.empty[Group]
     var existsFilters = Seq.empty[(Group, Boolean)]
+    var graphs = Seq.empty[(Term, Group)]
     var valuesMulti = Seq.empty[(Seq[String], Seq[Seq[String]])]
     while (!p.trySym("}")) {
       p.peek match {
@@ -1215,6 +1238,13 @@ object Sparql {
         case Some(t) if p.isKw(t, "MINUS") =>
           p.pos += 1
           minuses :+= parseGroup(p, prefixes)
+        case Some(t) if p.isKw(t, "GRAPH") =>
+          p.pos += 1
+          val gterm = parseTerm(p, prefixes) match {
+            case v: V => v
+            case c: C => c
+          }
+          graphs :+= (gterm -> parseGroup(p, prefixes))
         case Some(t) if p.isKw(t, "BIND") =>
           p.pos += 1
           p.eatSym("(")
@@ -1328,7 +1358,7 @@ object Sparql {
       }
     }
     Group(triples, filters, optionals, unions, minuses, values, paths,
-      binds, subqueries, subgroups, existsFilters, valuesMulti)
+      binds, subqueries, subgroups, existsFilters, valuesMulti, graphs)
   }
 
   /** Some(edge names) iff the path is a pure `|`-alternation of forward
@@ -1642,7 +1672,11 @@ object Sparql {
     */
   private final case class Env(spark: SparkSession, triples: DataFrame,
                                stats: Map[String, PredStats], totalCnt: Long,
-                               enc: Option[EncEnv]) {
+                               enc: Option[EncEnv],
+                               // NAMED part of a quad dataset (s,p,o,g),
+                               // already restricted per FROM NAMED —
+                               // present only via executeQuads
+                               quads: Option[DataFrame] = None) {
     /** Encode a pattern-position constant (dictionary id in encoded mode). */
     def cval(v: Any): Any = enc match {
       case Some(e) => e.ids.getOrElse(v.toString,
@@ -1853,7 +1887,8 @@ object Sparql {
       g.unions.flatMap { case (l, r) => Seq(l, r) } ++
       g.existsFilters.map(_._1) ++
       g.filters.flatMap(existsGroupsB) ++
-      g.binds.flatMap(b => existsGroupsV(b._1))
+      g.binds.flatMap(b => existsGroupsV(b._1)) ++
+      g.graphs.map(_._2)
 
   /** Every pattern-position constant in the query tree (triple terms, path
     * edges and endpoints, VALUES entries) — the set the driver encodes.
@@ -2027,7 +2062,7 @@ object Sparql {
     // would widen their scope).
     val q = qRaw.copy(group = flattenPlainSubgroups(qRaw.group))
     require(
-      q.group.subgroups.isEmpty &&
+      q.group.subgroups.isEmpty && q.group.graphs.isEmpty &&
       q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
@@ -2547,6 +2582,10 @@ object Sparql {
     // nested plain groups and subqueries join on shared variables
     g.subgroups.foreach(sg => joinIn(compileGroup(env, sg)))
     g.subqueries.foreach(sq => joinIn(compileQuery(env, sq)))
+    // GRAPH blocks match the NAMED part of the quad dataset
+    g.graphs.foreach { case (gterm, inner) =>
+      joinIn(compileGraphBlock(env, gterm, inner))
+    }
     g.unions.foreach { case (l, r) =>
       joinIn(compileGroup(env, l)
         .unionByName(compileGroup(env, r), allowMissingColumns = true))
@@ -2652,6 +2691,92 @@ object Sparql {
         }
     }
     df
+  }
+
+  /** One quad-pattern scan: constants filter, variables project (repeat
+    * occurrences become equality filters), and the graph column rides
+    * along under `gcol` so the chained joins keep every pattern of the
+    * block inside ONE graph — SPARQL §13.3 GRAPH semantics fall out of
+    * the shared-column equi-join like every other variable.
+    */
+  private def quadScan(base: DataFrame, tp: TriplePattern,
+                       gcol: String): DataFrame = {
+    val posCols = Seq("s" -> tp.s, "p" -> tp.p, "o" -> tp.o)
+    var d = base
+    posCols.foreach {
+      case (c, C(v)) => d = d.where(col(c) === v)
+      case _ => ()
+    }
+    var seen = Map.empty[String, String]
+    var sel = Seq(col("g").as(gcol))
+    posCols.foreach {
+      case (c, V(v)) =>
+        if (seen.contains(v)) d = d.where(col(c) === col(seen(v)))
+        else { seen += v -> c; sel :+= col(c).as(v) }
+      case _ => ()
+    }
+    d.select(sel: _*)
+  }
+
+  /** Compile a `GRAPH ?g|<iri> { .. }` block over the named part of the
+    * quad dataset. The inner group supports triple patterns, FILTER, and
+    * BIND (the common §13.3 shapes); each pattern scans the named quads
+    * with the graph column carried, so the fold's equi-joins confine a
+    * block's matches to one graph and bind `?g` when the term is a
+    * variable. Runs on the string path (executeQuads); statistics-based
+    * pattern ordering is skipped — blocks are small and the named part
+    * has no per-predicate stats.
+    */
+  private def compileGraphBlock(env: Env, gterm: Term,
+                                inner: Group): DataFrame = {
+    val quads = env.quads.getOrElse(throw new IllegalArgumentException(
+      "GRAPH requires a quad dataset — use Sparql.executeQuads"))
+    require(inner.optionals.isEmpty && inner.unions.isEmpty &&
+      inner.minuses.isEmpty && inner.paths.isEmpty &&
+      inner.subqueries.isEmpty && inner.subgroups.isEmpty &&
+      inner.existsFilters.isEmpty && inner.values.isEmpty &&
+      inner.valuesMulti.isEmpty && inner.graphs.isEmpty,
+      "GRAPH blocks support triple patterns, FILTER, and BIND")
+    require(inner.triples.nonEmpty, "empty GRAPH block")
+    val (gcol, base) = gterm match {
+      case V(v) => (v, quads)
+      case C(v) => ("__gq", quads.where(col("g") === v.toString))
+    }
+    var df = inner.triples.map(quadScan(base, _, gcol)).reduce { (l, r) =>
+      val shared = l.columns.intersect(r.columns).toSeq // >= the graph col
+      l.join(r, shared, "inner")
+    }
+    inner.binds.foreach { case (e, v) => df = applyBind(env, df, e, v) }
+    inner.filters.foreach(f => df = applyFilter(env, df, f))
+    if (gcol == "__gq") df.drop(gcol) else df
+  }
+
+  /** SPARQL over a QUAD dataset — the named-graph surface the reference
+    * lacks entirely (its store is a single graph; named-graph Update
+    * targets error, §2.4). The dataset is one DataFrame (s, p, o, g):
+    * rows with NULL g form the default graph, non-null g the named
+    * graphs. §13.2 dataset clauses apply: with no FROM/FROM NAMED the
+    * default graph is the g-null slice and every named graph is
+    * GRAPH-visible; FROM <g> MERGES the listed graphs into the query's
+    * default graph, FROM NAMED <g> restricts the GRAPH-visible set, and
+    * per the spec a query carrying either clause describes its dataset
+    * exhaustively (an absent FROM with FROM NAMED present means an empty
+    * default graph, and vice versa).
+    */
+  def executeQuads(spark: SparkSession, quads: DataFrame, queryText: String,
+                   stats: Map[String, PredStats] = Map.empty): DataFrame = {
+    val q = parse(queryText)
+    val explicitDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
+    val defaultG =
+      if (!explicitDataset) quads.where(col("g").isNull).select("s", "p", "o")
+      else if (q.fromGraphs.isEmpty) quads.where(lit(false)).select("s", "p", "o")
+      else quads.where(col("g").isin(q.fromGraphs: _*)).select("s", "p", "o")
+    val named =
+      if (!explicitDataset) quads.where(col("g").isNotNull)
+      else if (q.fromNamed.isEmpty) quads.where(lit(false))
+      else quads.where(col("g").isin(q.fromNamed: _*))
+    compileQuery(
+      stringEnv(spark, defaultG, stats).copy(quads = Some(named)), q)
   }
 
   /** Join an inline DataBlock relation into a solution frame: all-bound
