@@ -1133,6 +1133,27 @@ object SparkEntry {
         |GROUP BY ?g ORDER BY ?g""".stripMargin)
   }
 
+  /** Named-graph UPDATE: a five-op script exercises ground quad data ops
+    * and the full §3.2 graph-management set (ADD/MOVE/CLEAR) over the
+    * quad dataset, then the per-graph census re-queries the result —
+    * REAL graph management where the reference (and the single-graph
+    * store path) errors on named targets.
+    */
+  private def sparqlQuadUpdateQ(s: SparkSession, d: String): DataFrame = {
+    val quads = graft.store.TripleStore.tableTriples(s, d)
+      .withColumn("g", concat(lit("graph:"), substring_index(col("s"), ":", 1)))
+    val updated = graft.sparql.Sparql.updateQuads(s, quads,
+      """INSERT DATA { GRAPH <graph:extra> {
+        |  <probe:1> <flag> "on" . <probe:2> <flag> "on" } } ;
+        |ADD GRAPH <graph:region> TO GRAPH <graph:extra> ;
+        |MOVE GRAPH <graph:nation> TO GRAPH <graph:nation2> ;
+        |CLEAR GRAPH <graph:supplier> ;
+        |DELETE DATA { GRAPH <graph:extra> { <probe:1> <flag> "on" } }""".stripMargin)
+    graft.sparql.Sparql.executeQuads(s, updated,
+      """SELECT ?g (COUNT(?s) AS ?cnt) WHERE { GRAPH ?g { ?s ?p ?o } }
+        |GROUP BY ?g ORDER BY ?g""".stripMargin)
+  }
+
   /** Fixed-iteration PageRank over the shared undirected entity
     * adjacency: 3 iterations, integer-pico contribution sums (order
     * independent, so the DuckDB oracle replays the recursion exactly).
@@ -1853,6 +1874,7 @@ object SparkEntry {
     "q_label_prop" -> (labelPropQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_graph" -> (sparqlGraphQ _),
+    "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_if" -> (sparqlIf _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -2801,6 +2823,16 @@ object SparkEntry {
         |  SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |) ORDER BY c, r""".stripMargin,
+    "q_sparql_quad_update" ->
+      """SELECT g, cnt FROM (
+        |  SELECT 'graph:customer' AS g, count(*)*4 AS cnt FROM customer
+        |  UNION ALL SELECT 'graph:extra', (SELECT count(*)*2 FROM region) + 1
+        |  UNION ALL SELECT 'graph:lineitem', count(*)*6 FROM lineitem
+        |  UNION ALL SELECT 'graph:nation2', count(*)*3 FROM nation
+        |  UNION ALL SELECT 'graph:order', count(*)*5 FROM orders
+        |  UNION ALL SELECT 'graph:part', count(*)*5 FROM part
+        |  UNION ALL SELECT 'graph:region', count(*)*2 FROM region
+        |) ORDER BY g""".stripMargin,
     "q_sparql_graph" ->
       """SELECT g, cnt FROM (
         |  SELECT 'graph:region' AS g, count(*) AS cnt FROM region WHERE r_name IS NOT NULL

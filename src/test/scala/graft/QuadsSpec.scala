@@ -1,6 +1,7 @@
 package graft
 
 import graft.sparql.Sparql
+import org.apache.spark.sql.functions.col
 
 /** Named-graph (quad dataset) surface: GRAPH blocks, dataset clauses,
   * and default-graph scoping over one (s, p, o, g) relation — the SPARQL
@@ -104,5 +105,92 @@ class QuadsSpec extends SparkSpec {
       """PREFIX : <>
         |SELECT ?s WHERE { GRAPH ?g { ?s :p ?s } }""".stripMargin)
       .collect().map(_.getString(0)).toSeq shouldBe Seq("a")
+  }
+
+  private def allQuads(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      if (r.isNullAt(3)) null else r.getString(3))).toSet
+
+  "updateQuads" should "insert and delete ground quads per graph" in {
+    val out = Sparql.updateQuads(spark, quads,
+      """PREFIX : <>
+        |INSERT DATA { <y> :type "Extra" . GRAPH <g3> { <c> :p "7" } } ;
+        |DELETE DATA { <x> :in "g1" . GRAPH <g1> { <a> :q "2" } }""".stripMargin)
+    val got = allQuads(out)
+    got should contain allOf (
+      ("y", "type", "Extra", null),      // default-graph insert
+      ("c", "p", "7", "g3"))             // named-graph insert
+    got.contains(("a", "q", "2", "g1")) shouldBe false
+    got.contains(("x", "in", "g1", null)) shouldBe false
+    got.size shouldBe quads.count() + 2 - 2
+  }
+
+  it should "apply set semantics to re-inserts" in {
+    val out = Sparql.updateQuads(spark, quads,
+      """PREFIX : <>
+        |INSERT DATA { GRAPH <g1> { <a> :p "1" } . <x> :in "g1" }""".stripMargin)
+    out.count() shouldBe quads.count() // both already present
+  }
+
+  it should "clear and drop graph targets" in {
+    Sparql.updateQuads(spark, quads, "CLEAR GRAPH <g1>")
+      .where(col("g") === "g1").count() shouldBe 0
+    Sparql.updateQuads(spark, quads, "CLEAR DEFAULT")
+      .where(col("g").isNull).count() shouldBe 0
+    Sparql.updateQuads(spark, quads, "DROP NAMED")
+      .collect().forall(_.isNullAt(3)) shouldBe true
+    Sparql.updateQuads(spark, quads, "CLEAR ALL").count() shouldBe 0
+    // CREATE is a no-op on a relation-backed dataset
+    Sparql.updateQuads(spark, quads, "CREATE GRAPH <gz>").count() shouldBe
+      quads.count()
+  }
+
+  it should "COPY, MOVE, and ADD between graphs" in {
+    // COPY overwrites the target with the source
+    val copied = Sparql.updateQuads(spark, quads, "COPY GRAPH <g1> TO GRAPH <g2>")
+    allQuads(copied.where(col("g") === "g2")) shouldBe Set(
+      ("a", "p", "1", "g2"), ("a", "q", "2", "g2"))
+    // MOVE also drops the source
+    val moved = Sparql.updateQuads(spark, quads, "MOVE GRAPH <g1> TO GRAPH <g2>")
+    moved.where(col("g") === "g1").count() shouldBe 0
+    allQuads(moved.where(col("g") === "g2")) shouldBe Set(
+      ("a", "p", "1", "g2"), ("a", "q", "2", "g2"))
+    // ADD merges under set semantics: (a :p 1) collides with g2's copy
+    // only on (s,p,o) when values match — here (a,p,1) vs (b,p,1) differ
+    val added = Sparql.updateQuads(spark, quads, "ADD GRAPH <g1> TO GRAPH <g2>")
+    allQuads(added.where(col("g") === "g2")) shouldBe Set(
+      ("b", "p", "1", "g2"), ("a", "p", "9", "g2"),
+      ("a", "p", "1", "g2"), ("a", "q", "2", "g2"))
+    // DEFAULT endpoints work too
+    val toDefault = Sparql.updateQuads(spark, quads, "ADD GRAPH <g1> TO DEFAULT")
+    toDefault.where(col("g").isNull).count() shouldBe 4 // 2 existing + 2 added
+  }
+
+  it should "run ops sequentially, each seeing the previous result" in {
+    val out = Sparql.updateQuads(spark, quads,
+      """INSERT DATA { GRAPH <g3> { <c> <p> "7" } } ;
+        |COPY GRAPH <g3> TO GRAPH <g4> ;
+        |DELETE DATA { GRAPH <g3> { <c> <p> "7" } }""".stripMargin)
+    allQuads(out.where(col("g").isin("g3", "g4"))) shouldBe Set(
+      ("c", "p", "7", "g4"))
+  }
+
+  it should "reject pattern updates and variable GRAPH targets clearly" in {
+    an[IllegalArgumentException] should be thrownBy
+      Sparql.updateQuads(spark, quads, "DELETE WHERE { ?s ?p ?o }")
+    an[IllegalArgumentException] should be thrownBy
+      Sparql.updateQuads(spark, quads,
+        """INSERT DATA { GRAPH ?g { <a> <p> "1" } }""")
+  }
+
+  it should "round-trip with executeQuads" in {
+    val out = Sparql.updateQuads(spark, quads,
+      "MOVE GRAPH <g2> TO GRAPH <g9> ; CLEAR GRAPH <g1>")
+    Sparql.executeQuads(spark, out,
+      """PREFIX : <>
+        |SELECT ?g (COUNT(?s) AS ?n) WHERE { GRAPH ?g { ?s ?p ?o } }
+        |GROUP BY ?g ORDER BY ?g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
+      Seq(("g9", 2L))
   }
 }
