@@ -531,6 +531,14 @@ object SparkEntry {
       Tables.loadPar(s, d, "documents"), Tables.loadPar(s, d, "embeddings"),
       Seq("spark", "query", "data"), queryVecId = 7L)
 
+  /** Hard-negative mining (DPR/ANCE): dense top-candidates outside the
+    * BM25 positives for the same query — the bi-encoder training signal.
+    */
+  private def hardNegativesQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.RetrievalOps.hardNegatives(
+      Tables.loadPar(s, d, "documents"), Tables.loadPar(s, d, "embeddings"),
+      Seq("spark", "query", "data"), queryVecId = 7L)
+
   /** BPE merge learning: 10 merges over the corpus word-frequency table
     * (tokenizer training; iterations touch |vocab| rows, never the
     * corpus).
@@ -1927,6 +1935,7 @@ object SparkEntry {
     "q_vocab" -> (vocabQ _),
     "q_bm25" -> (bm25Q _),
     "q_hybrid_rrf" -> (hybridRrfQ _),
+    "q_hard_negatives" -> (hardNegativesQ _),
     "q_bpe_merges" -> (bpeMergesQ _),
     "q_bpe_encode" -> (bpeEncodeQ _),
     "q_sample_stratified" -> (sampleStratifiedQ _),
@@ -2280,6 +2289,23 @@ object SparkEntry {
        |      FROM f)
        |SELECT doc_id, lrank, drank, rrf, rank FROM r WHERE rank <= 20
        |ORDER BY rank""".stripMargin
+
+  private val hardNegativesOracleSql: String =
+    s"""WITH bm AS ($bm25CoreOracleSql),
+       |pos AS (SELECT doc_id FROM (
+       |    SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id ASC) AS rn
+       |    FROM bm WHERE doc_id <> 7) WHERE rn <= 10),
+       |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 7),
+       |sc AS (SELECT e.vec_id AS doc_id, ${duckCos6("e.embedding", "q.qv")} AS cos
+       |       FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 7),
+       |cand AS (SELECT doc_id, cos FROM (
+       |    SELECT doc_id, cos, row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS rn
+       |    FROM sc) WHERE rn <= 50),
+       |neg AS (SELECT doc_id, cos FROM cand WHERE doc_id NOT IN (SELECT doc_id FROM pos)),
+       |r AS (SELECT doc_id, cos,
+       |        CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INT) AS rank
+       |      FROM neg)
+       |SELECT doc_id, cos, rank FROM r WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   private val kmeansOracleSql: String =
     kmeansOracleCtes() + "\nSELECT vec_id, cluster, cos FROM a3 ORDER BY vec_id"
@@ -3295,6 +3321,7 @@ object SparkEntry {
     // same association), so every double op replays bit-identically.
     "q_bm25" -> (bm25CoreOracleSql + "\nORDER BY doc_id"),
     "q_hybrid_rrf" -> hybridRrfOracleSql,
+    "q_hard_negatives" -> hardNegativesOracleSql,
     "q_bpe_merges" -> bpeOracleSql,
     "q_bpe_encode" -> bpeEncodeOracleSql,
     "q_tfidf_keywords" ->

@@ -63,6 +63,34 @@ object RetrievalOps {
       .withColumn("rank", row_number().over(wf))
   }
 
+  /** Hard-negative mining for retriever training (the DPR/ANCE recipe):
+    * the dense top-n candidates that the LEXICAL positives miss —
+    * semantically close to the query (hard) yet outside the BM25 top-kPos
+    * (assumed negative). These are exactly the examples a bi-encoder
+    * needs to learn what "close but wrong" means; random negatives are
+    * too easy. Both legs are bounded TakeOrderedAndProject lists, so the
+    * anti join and final cut are constant-sized at any corpus scale.
+    */
+  def hardNegatives(docs: DataFrame, emb: DataFrame, terms: Seq[String],
+                    queryVecId: Long, kPos: Int = 10, n: Int = 50,
+                    kNeg: Int = 10): DataFrame = {
+    val pos = TextOps.bm25(docs, terms)
+      .where(col("doc_id") =!= queryVecId)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(kPos)
+      .select(col("doc_id"))
+    val q = emb.where(col("vec_id") === queryVecId)
+      .select(col("embedding").as("qv"))
+    val cand = emb.where(col("vec_id") =!= queryVecId)
+      .crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        VectorOps.cosine6(col("embedding"), col("qv")).as("cos"))
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(n)
+    val w = Window.orderBy(col("cos").desc, col("doc_id").asc)
+    cand.join(broadcast(pos), Seq("doc_id"), "left_anti")
+      .orderBy(col("cos").desc, col("doc_id").asc).limit(kNeg)
+      .withColumn("rank", row_number().over(w))
+  }
+
   /** Retrieval-quality audit: per-query recall@k and reciprocal rank of
     * an APPROXIMATE neighbor list against the EXACT one — the
     * index-quality monitor an ANN deployment runs after each ingest (and

@@ -63,6 +63,27 @@ class RetrievalSpec extends SparkSpec {
     plan should include("TakeOrderedAndProject")
   }
 
+  "hardNegatives" should "return dense candidates disjoint from the BM25 positives" in {
+    import spark.implicits._
+    val docs = Tables.loadPar(spark, sfDir, "documents")
+    val emb = Tables.loadPar(spark, sfDir, "embeddings")
+    val terms = Seq("spark", "query", "data")
+    val negs = RetrievalOps.hardNegatives(docs, emb, terms, queryVecId = 7L,
+        kPos = 10, n = 50, kNeg = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+    negs.length should be <= 10
+    negs.map(_._1) should not contain 7L
+    // ranked by cosine desc, contiguous ranks from 1
+    negs.map(_._3).toSeq shouldBe (1 to negs.length)
+    negs.map(_._2).toSeq shouldBe negs.map(_._2).toSeq.sorted.reverse
+    // disjoint from the lexical positives
+    val pos = graft.ops.TextOps.bm25(docs, terms)
+      .where(col("doc_id") =!= 7L)
+      .orderBy(col("bm25").desc, col("doc_id").asc).limit(10)
+      .collect().map(_.getLong(0)).toSet
+    negs.map(_._1).toSet.intersect(pos) shouldBe Set.empty
+  }
+
   "retrievalEval" should "score recall@k and reciprocal rank per query" in {
     import spark.implicits._
     val exact = Seq((1L, 10L, 1), (1L, 11L, 2), (1L, 12L, 3),
