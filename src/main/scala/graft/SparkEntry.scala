@@ -1162,6 +1162,28 @@ object SparkEntry {
         |GROUP BY ?g ORDER BY ?g""".stripMargin)
   }
 
+  /** Named-graph PATTERN updates: WITH-scoped predicate rename,
+    * DELETE WHERE over a named graph, and an INSERT whose GRAPH ?g
+    * target comes from the WHERE bindings — the §3.1 modify surface over
+    * the quad dataset, censused per (graph, predicate).
+    */
+  private def quadModifyQ(s: SparkSession, d: String): DataFrame = {
+    val quads = graft.store.TripleStore.tableTriples(s, d)
+      .withColumn("g", concat(lit("graph:"), substring_index(col("s"), ":", 1)))
+    val updated = graft.sparql.Sparql.updateQuads(s, quads,
+      """WITH <graph:nation> DELETE { ?s <name> ?n } INSERT { ?s <name2> ?n }
+        |WHERE { ?s <name> ?n } ;
+        |DELETE WHERE { GRAPH <graph:region> { ?s <a> "Region" } } ;
+        |INSERT { GRAPH ?g { ?s <audit> "seen" } }
+        |WHERE { GRAPH ?g { ?s <a> "Supplier" } }""".stripMargin)
+    graft.sparql.Sparql.executeQuads(s, updated,
+      """SELECT ?g ?p (COUNT(?s) AS ?cnt) WHERE {
+        |  GRAPH ?g { ?s ?p ?o }
+        |  FILTER(?p IN ("name", "name2", "a", "audit"))
+        |  FILTER(?g IN ("graph:nation", "graph:region", "graph:supplier"))
+        |} GROUP BY ?g ?p ORDER BY ?g ?p""".stripMargin)
+  }
+
   /** Fixed-iteration PageRank over the shared undirected entity
     * adjacency: 3 iterations, integer-pico contribution sums (order
     * independent, so the DuckDB oracle replays the recursion exactly).
@@ -1883,6 +1905,7 @@ object SparkEntry {
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_graph" -> (sparqlGraphQ _),
     "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
+    "q_quad_modify" -> (quadModifyQ _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_if" -> (sparqlIf _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -2849,6 +2872,15 @@ object SparkEntry {
         |  SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |) ORDER BY c, r""".stripMargin,
+    "q_quad_modify" ->
+      """SELECT g, p, cnt FROM (
+        |  SELECT 'graph:nation' AS g, 'a' AS p, count(*) AS cnt FROM nation
+        |  UNION ALL SELECT 'graph:nation', 'name2', count(*) FROM nation
+        |  UNION ALL SELECT 'graph:region', 'name', count(*) FROM region
+        |  UNION ALL SELECT 'graph:supplier', 'a', count(*) FROM supplier
+        |  UNION ALL SELECT 'graph:supplier', 'audit', count(*) FROM supplier
+        |  UNION ALL SELECT 'graph:supplier', 'name', count(*) FROM supplier
+        |) ORDER BY g, p""".stripMargin,
     "q_sparql_quad_update" ->
       """SELECT g, cnt FROM (
         |  SELECT 'graph:customer' AS g, count(*)*4 AS cnt FROM customer

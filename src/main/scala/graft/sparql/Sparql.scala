@@ -2799,6 +2799,8 @@ object Sparql {
   private final case class QClear(t: QTarget) extends QuadOp
   private final case class QMove(kind: String, from: Option[String],
                                  to: Option[String]) extends QuadOp
+  private final case class QModify(withG: Option[String], del: Option[Group],
+                                   ins: Option[Group], where: Group) extends QuadOp
   private case object QNop extends QuadOp
 
   /** Ground quads of a data block: top-level triples land in the default
@@ -2858,19 +2860,45 @@ object Sparql {
       val to = graphEndpoint()
       return if (from == to) QNop else QMove(kind, from, to)
     }
+    // quad templates: triples (default or WITH graph) + GRAPH wrappers
+    // whose target may be a constant or a WHERE-bound variable
+    def quadTemplate(what: String): Group = {
+      val g = parseGroup(p, prefixes)
+      require(g.filters.isEmpty && g.optionals.isEmpty && g.unions.isEmpty &&
+        g.minuses.isEmpty && g.paths.isEmpty && g.binds.isEmpty &&
+        g.subqueries.isEmpty && g.subgroups.isEmpty,
+        s"$what template takes only triples and GRAPH blocks")
+      g.graphs.foreach { case (_, inner) => templateOnly(inner, what) }
+      g
+    }
+    val withG = if (p.tryKw("WITH")) parseTerm(p, prefixes) match {
+      case C(v) => Some(v.toString)
+      case t => p.fail(s"WITH needs a graph IRI, got $t")
+    } else None
     if (p.tryKw("INSERT")) {
-      p.eatKw("DATA")
-      return QGround(insert = true,
-        groundQuads(parseGroup(p, prefixes), "INSERT DATA"))
+      if (withG.isEmpty && p.tryKw("DATA"))
+        return QGround(insert = true,
+          groundQuads(parseGroup(p, prefixes), "INSERT DATA"))
+      val ins = quadTemplate("INSERT")
+      p.eatKw("WHERE")
+      return QModify(withG, None, Some(ins), parseGroup(p, prefixes))
     }
     if (p.tryKw("DELETE")) {
-      p.eatKw("DATA")
-      return QGround(insert = false,
-        groundQuads(parseGroup(p, prefixes), "DELETE DATA"))
+      if (withG.isEmpty && p.tryKw("DATA"))
+        return QGround(insert = false,
+          groundQuads(parseGroup(p, prefixes), "DELETE DATA"))
+      if (p.tryKw("WHERE")) { // DELETE WHERE: the pattern is the template
+        val w = parseGroup(p, prefixes)
+        return QModify(withG, Some(w), None, w)
+      }
+      val del = quadTemplate("DELETE")
+      val ins = if (p.tryKw("INSERT")) Some(quadTemplate("INSERT")) else None
+      p.eatKw("WHERE")
+      return QModify(withG, Some(del), ins, parseGroup(p, prefixes))
     }
     p.fail("updateQuads supports INSERT/DELETE DATA (with GRAPH), " +
-      "CLEAR/DROP/CREATE, and COPY/MOVE/ADD — pattern updates run on " +
-      "the store-handle path")
+      "[WITH <g>] DELETE/INSERT ... WHERE, DELETE WHERE, " +
+      "CLEAR/DROP/CREATE, and COPY/MOVE/ADD")
   }
 
   /** Apply a SPARQL 1.1 Update script to a quad dataset and return the
@@ -2881,8 +2909,15 @@ object Sparql {
     * (§3.1 sequential semantics). Scale shapes: ground data ops stream
     * the dataset once against the broadcast batch (no dataset shuffle);
     * CLEAR/DROP/COPY/MOVE are predicate filters + a retagged slice; ADD
-    * alone pays a graph-to-graph set difference, which is inherent to
-    * its merge semantics and joins only the two graphs involved.
+    * pays a graph-to-graph set difference, inherent to its merge
+    * semantics; pattern modifies evaluate their WHERE over the current
+    * state and instantiate templates like CONSTRUCT. Ops whose result
+    * references the dataset MORE THAN ONCE (inserts probe-and-union,
+    * modifies join their own WHERE) CHECKPOINT before the next op —
+    * without this the plan doubles per op and a few chained modifies
+    * exceed Catalyst analysis memory; with it the plan stays linear and
+    * superseded intermediates release when the final state seals (the
+    * same per-op materialization discipline as the store-handle engine).
     */
   def updateQuads(spark: SparkSession, quads: DataFrame,
                   updateText: String): DataFrame = {
@@ -2917,7 +2952,9 @@ object Sparql {
           col("o") === col("__o2") && col("g") <=> col("__g2"),
         "left_anti")
     }
-    ops.result().foldLeft(quads) { (q, op) => op match {
+    val pins = new graft.Pins
+    var pinned = false
+    def applyOp(q: DataFrame, op: QuadOp): DataFrame = op match {
       case QNop => q
       case QGround(true, rows) =>
         // set semantics, probe-the-big-side shape: the dataset streams
@@ -2938,6 +2975,54 @@ object Sparql {
       case QClear(QNamed(i)) => q.where(col("g").isNull || col("g") =!= i)
       case QClear(QAllNamed) => q.where(col("g").isNull)
       case QClear(QAll) => q.where(lit(false))
+      case QModify(withG, del, ins, where) =>
+        // WHERE evaluates against the CURRENT state: WITH <g> (else the
+        // true default graph) is the default slice; named graphs stay
+        // GRAPH-visible. Templates instantiate from the solutions like
+        // CONSTRUCT (unbound rows drop); delete applies before insert
+        // from the SAME solutions (§3.1.3).
+        val dflt = slice(withG)(q).select("s", "p", "o")
+        val env = stringEnv(spark, dflt, Map.empty)
+          .copy(quads = Some(q.where(col("g").isNotNull)))
+        val sols = compileGroup(env, where)
+        def inst(t: Group): DataFrame = {
+          def termCol(x: Term): Column = x match {
+            case V(v) => col(v)
+            case C(c) => lit(c.toString)
+          }
+          val parts =
+            (t.triples.map(tp =>
+              (tp, Left(withG): Either[Option[String], String])) ++
+              t.graphs.flatMap { case (gt, inner) =>
+                val tgt: Either[Option[String], String] = gt match {
+                  case C(c) => Left(Some(c.toString))
+                  case V(v) => Right(v)
+                }
+                inner.triples.map(tp => (tp, tgt))
+              }).map { case (tp, tgt) =>
+              val gcol = tgt match {
+                case Left(g) => g.map(lit(_)).getOrElse(lit(null).cast("string"))
+                case Right(v) => col(v)
+              }
+              val d = sols.select(termCol(tp.s).as("s"), termCol(tp.p).as("p"),
+                  termCol(tp.o).as("o"), gcol.as("g"))
+                .where(col("s").isNotNull && col("p").isNotNull &&
+                  col("o").isNotNull)
+              tgt match {
+                case Right(_) => d.where(col("g").isNotNull)
+                case _ => d
+              }
+            }
+          require(parts.nonEmpty, "empty modify template")
+          parts.reduce(_.unionByName(_)).dropDuplicates("s", "p", "o", "g")
+        }
+        var q2 = q
+        del.foreach(t => q2 = minus(q2, inst(t), smallRight = false))
+        ins.foreach { t =>
+          val add = inst(t)
+          q2 = q2.unionByName(minus(add, q2, smallRight = false))
+        }
+        q2
       case QMove(kind, from, to) =>
         val moved = slice(from)(q).withColumn("g",
           to.map(lit(_)).getOrElse(lit(null).cast("string")))
@@ -2954,7 +3039,18 @@ object Sparql {
             val base = q
             base.unionByName(minus(moved, base, smallRight = false))
         }
-    } }
+    }
+    val result = ops.result().foldLeft(quads) { (q, op) =>
+      val next = applyOp(q, op)
+      op match {
+        // self-referencing results: cut the lineage before the next op
+        case QGround(true, _) | _: QModify | QMove("ADD", _, _) =>
+          pinned = true
+          pins.pin(next)
+        case _ => next
+      }
+    }
+    if (pinned) pins.seal(result) else result
   }
 
   /** Join an inline DataBlock relation into a solution frame: all-bound

@@ -175,9 +175,48 @@ class QuadsSpec extends SparkSpec {
       ("c", "p", "7", "g4"))
   }
 
-  it should "reject pattern updates and variable GRAPH targets clearly" in {
-    an[IllegalArgumentException] should be thrownBy
-      Sparql.updateQuads(spark, quads, "DELETE WHERE { ?s ?p ?o }")
+  it should "rename a predicate inside a WITH graph" in {
+    val out = Sparql.updateQuads(spark, quads,
+      """WITH <g1> DELETE { ?s <q> ?o } INSERT { ?s <q2> ?o }
+        |WHERE { ?s <q> ?o }""".stripMargin)
+    allQuads(out.where(col("g") === "g1")) shouldBe Set(
+      ("a", "p", "1", "g1"), ("a", "q2", "2", "g1"))
+  }
+
+  it should "DELETE WHERE across graphs with a variable GRAPH" in {
+    val out = Sparql.updateQuads(spark, quads,
+      """DELETE WHERE { GRAPH ?g { ?s <p> "1" } }""")
+    allQuads(out).count(_._3 == "1") shouldBe 0 // gone from g1 AND g2
+    out.count() shouldBe quads.count() - 2
+    // the default graph is untouched (its rows match no GRAPH pattern)
+    out.where(col("g").isNull).count() shouldBe 2
+  }
+
+  it should "INSERT into the solution's graph via a GRAPH ?g target" in {
+    val out = Sparql.updateQuads(spark, quads,
+      """INSERT { GRAPH ?g { ?s <seen> "y" } }
+        |WHERE { GRAPH ?g { ?s <p> "1" } }""".stripMargin)
+    allQuads(out).filter(_._2 == "seen") shouldBe Set(
+      ("a", "seen", "y", "g1"), ("b", "seen", "y", "g2"))
+  }
+
+  it should "modify across graphs: default-graph WHERE, named target" in {
+    val out = Sparql.updateQuads(spark, quads,
+      """INSERT { GRAPH <meta> { ?s <from> ?o } }
+        |WHERE { ?s <in> ?o }""".stripMargin)
+    allQuads(out.where(col("g") === "meta")) shouldBe Set(
+      ("x", "from", "g1", "meta"))
+  }
+
+  it should "apply DELETE before INSERT from the same solutions" in {
+    // re-inserting the deleted quad under set semantics must survive
+    val out = Sparql.updateQuads(spark, quads,
+      """WITH <g1> DELETE { ?s <p> ?o } INSERT { ?s <p> ?o }
+        |WHERE { ?s <p> ?o }""".stripMargin)
+    allQuads(out) shouldBe allQuads(quads)
+  }
+
+  it should "reject variable GRAPH targets in ground data clearly" in {
     an[IllegalArgumentException] should be thrownBy
       Sparql.updateQuads(spark, quads,
         """INSERT DATA { GRAPH ?g { <a> <p> "1" } }""")
