@@ -136,4 +136,16 @@ class PlanSpec extends SparkSpec {
       "Exchange".r.findAllIn(aboveCache).length should be <= 2
     } finally adj.unpersist()
   }
+
+  "q_sparql_graph" should "keep GRAPH confinement an equi-join, never cartesian" in {
+    val p = finalPlan("q_sparql_graph")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "q_hard_negatives" should "cut both legs with local top-k before the anti join" in {
+    val p = finalPlan("q_hard_negatives")
+    p should include("TakeOrderedAndProject")
+    p should not include "CartesianProduct"
+  }
 }
