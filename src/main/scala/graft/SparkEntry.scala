@@ -1133,8 +1133,7 @@ object SparkEntry {
     * (single-graph store; named-graph Update targets error).
     */
   private def sparqlGraphQ(s: SparkSession, d: String): DataFrame = {
-    val quads = graft.store.TripleStore.tableTriples(s, d)
-      .withColumn("g", concat(lit("graph:"), substring_index(col("s"), ":", 1)))
+    val quads = GraftStore.quadDataset(s, d)
     graft.sparql.Sparql.executeQuads(s, quads,
       """PREFIX : <>
         |SELECT ?g (COUNT(?s) AS ?cnt) WHERE { GRAPH ?g { ?s :name ?nm } }
@@ -1148,8 +1147,7 @@ object SparkEntry {
     * store path) errors on named targets.
     */
   private def sparqlQuadUpdateQ(s: SparkSession, d: String): DataFrame = {
-    val quads = graft.store.TripleStore.tableTriples(s, d)
-      .withColumn("g", concat(lit("graph:"), substring_index(col("s"), ":", 1)))
+    val quads = GraftStore.quadDataset(s, d)
     val updated = graft.sparql.Sparql.updateQuads(s, quads,
       """INSERT DATA { GRAPH <graph:extra> {
         |  <probe:1> <flag> "on" . <probe:2> <flag> "on" } } ;
@@ -1168,8 +1166,7 @@ object SparkEntry {
     * the quad dataset, censused per (graph, predicate).
     */
   private def quadModifyQ(s: SparkSession, d: String): DataFrame = {
-    val quads = graft.store.TripleStore.tableTriples(s, d)
-      .withColumn("g", concat(lit("graph:"), substring_index(col("s"), ":", 1)))
+    val quads = GraftStore.quadDataset(s, d)
     val updated = graft.sparql.Sparql.updateQuads(s, quads,
       """WITH <graph:nation> DELETE { ?s <name> ?n } INSERT { ?s <name2> ?n }
         |WHERE { ?s <name> ?n } ;

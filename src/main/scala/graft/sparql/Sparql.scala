@@ -2940,35 +2940,56 @@ object Sparql {
     def quadsDF(rows: Seq[(String, String, String, Option[String])]) =
       rows.map { case (s, pr, o, g) => (s, pr, o, g.orNull) }
         .toDF("s", "p", "o", "g")
-    // null-safe (default-graph-aware) anti join; the broadcast hint goes
-    // on the right side only when it is a bounded ground batch — graph-
-    // to-graph set differences (ADD) leave the strategy to Catalyst/AQE
-    def minus(a: DataFrame, b: DataFrame, smallRight: Boolean): DataFrame = {
-      val r0 = b.select(col("s").as("__s2"), col("p").as("__p2"),
+    // the renamed right side + null-safe (default-graph-aware) join
+    // condition every quad set op shares
+    def renamed(b: DataFrame): DataFrame =
+      b.select(col("s").as("__s2"), col("p").as("__p2"),
         col("o").as("__o2"), col("g").as("__g2"))
-      val r = if (smallRight) broadcast(r0) else r0
-      a.join(r,
-        col("s") === col("__s2") && col("p") === col("__p2") &&
-          col("o") === col("__o2") && col("g") <=> col("__g2"),
-        "left_anti")
+    val quadCond =
+      col("s") === col("__s2") && col("p") === col("__p2") &&
+        col("o") === col("__o2") && col("g") <=> col("__g2")
+    // anti join; the broadcast hint goes on the right side only when it
+    // is a bounded (ground / materialized-Δ) batch — unbounded set
+    // differences leave the strategy to Catalyst/AQE
+    def minus(a: DataFrame, b: DataFrame, smallRight: Boolean): DataFrame = {
+      val r0 = renamed(b)
+      a.join(if (smallRight) broadcast(r0) else r0, quadCond, "left_anti")
     }
+    // fresh attribute ids for a union branch: without per-op checkpoints
+    // both branches of a self-referencing union share lineage (and expr
+    // ids), which trips UnionBase.rewriteConstraints ("key not found")
+    // during constraint propagation — an explicit alias projection
+    // decouples the branch's output attributes
+    def realias(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+    def unionQ(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(realias(b))
     val pins = new graft.Pins
     var pinned = false
+    // Materialize a |Δ|-sized intermediate and cut its lineage. The
+    // invariant this buys: the BIG quad relation only ever appears ONCE
+    // in any op's un-truncated output lineage (as the streaming side of
+    // filters, broadcast anti joins and unions), so chained scripts grow
+    // the plan LINEARLY and never checkpoint the full dataset per op —
+    // the |store|-sized writes that dominated the three-modify gate.
+    def pinSmall(df: DataFrame): DataFrame = { pinned = true; pins.pin(df) }
+    // solution sets at or under this row count take the broadcast
+    // probe-and-union shape; larger deltas fall back to shuffle joins
+    // plus a full checkpoint (the right trade once Δ rivals the store)
+    val maxBroadcastDelta =
+      spark.conf.get("spark.graft.update.broadcastMax", "1000000").toLong
     def applyOp(q: DataFrame, op: QuadOp): DataFrame = op match {
       case QNop => q
       case QGround(true, rows) =>
         // set semantics, probe-the-big-side shape: the dataset streams
         // once against the BROADCAST ground batch to find already-present
-        // quads (a bounded semi-join result), then the tiny difference
-        // unions in — the dataset itself never shuffles
+        // quads (a bounded, pinned semi-join result), then the tiny
+        // difference unions in — the dataset itself never shuffles, and
+        // its lineage is referenced once (the pin truncates `present`)
         val add = quadsDF(rows).dropDuplicates("s", "p", "o", "g")
-        val r = broadcast(add.select(col("s").as("__s2"), col("p").as("__p2"),
-          col("o").as("__o2"), col("g").as("__g2")))
-        val present = q.join(r,
-          col("s") === col("__s2") && col("p") === col("__p2") &&
-            col("o") === col("__o2") && col("g") <=> col("__g2"),
-          "left_semi")
-        q.unionByName(minus(add, present, smallRight = true))
+        val present =
+          pinSmall(q.join(broadcast(renamed(add)), quadCond, "left_semi"))
+        unionQ(q, minus(add, present, smallRight = true))
       case QGround(false, rows) =>
         minus(q, quadsDF(rows), smallRight = true)
       case QClear(QDefault) => q.where(col("g").isNotNull)
@@ -2984,7 +3005,11 @@ object Sparql {
         val dflt = slice(withG)(q).select("s", "p", "o")
         val env = stringEnv(spark, dflt, Map.empty)
           .copy(quads = Some(q.where(col("g").isNotNull)))
-        val sols = compileGroup(env, where)
+        // materialize the solution relation ONCE: both templates
+        // instantiate from it (§3.1.3 — delete and insert see the SAME
+        // bindings), and its actual size picks the physical shape below
+        val sols = pinSmall(compileGroup(env, where))
+        val small = sols.count() <= maxBroadcastDelta
         def inst(t: Group): DataFrame = {
           def termCol(x: Term): Column = x match {
             case V(v) => col(v)
@@ -3017,39 +3042,58 @@ object Sparql {
           parts.reduce(_.unionByName(_)).dropDuplicates("s", "p", "o", "g")
         }
         var q2 = q
-        del.foreach(t => q2 = minus(q2, inst(t), smallRight = false))
+        // common case (Δ fits a broadcast): the dataset STREAMS through
+        // a broadcast anti join per delete template and one broadcast
+        // semi probe per insert template — zero dataset shuffles, zero
+        // full checkpoints, linear plan growth (see pinSmall). Big-Δ
+        // fallback: shuffle joins + one full checkpoint after the op.
+        del.foreach(t => q2 = minus(q2, inst(t), smallRight = small))
         ins.foreach { t =>
-          val add = inst(t)
-          q2 = q2.unionByName(minus(add, q2, smallRight = false))
+          if (small) {
+            val add = pinSmall(inst(t))
+            val present =
+              pinSmall(q2.join(broadcast(renamed(add)), quadCond, "left_semi"))
+            q2 = unionQ(q2, minus(add, present, smallRight = true))
+          } else {
+            val add = inst(t)
+            q2 = unionQ(q2, minus(add, q2, smallRight = false))
+          }
         }
-        q2
+        if (small) q2 else { pinned = true; pins.pin(q2) }
       case QMove(kind, from, to) =>
-        val moved = slice(from)(q).withColumn("g",
-          to.map(lit(_)).getOrElse(lit(null).cast("string")))
+        // from == to parses to QNop (spec: a self-move is a no-op), so
+        // the target slice can be dropped up front in every form
+        val fromLit = from.map(lit(_)).getOrElse(lit(null).cast("string"))
+        val toLit = to.map(lit(_)).getOrElse(lit(null).cast("string"))
         def without(g: Option[String]) = g
           .map(i => col("g").isNull || col("g") =!= i)
           .getOrElse(col("g").isNotNull)
         kind match {
-          case "COPY" => // overwrite the target graph with the source
-            q.where(without(to)).unionByName(moved)
-          case "MOVE" => // overwrite target AND drop the source
-            q.where(without(to) && without(from)).unionByName(moved)
-          case "ADD" => // merge under set semantics: an inherent
-            // graph-to-graph difference — Catalyst picks the join
-            val base = q
-            base.unionByName(minus(moved, base, smallRight = false))
+          case "COPY" =>
+            // overwrite target with source in ONE narrow pass: drop the
+            // target slice, then explode source rows into (original,
+            // retagged copy) — the dataset is referenced once, no join
+            q.where(without(to)).withColumn("g",
+              explode(when(col("g") <=> fromLit, array(col("g"), toLit))
+                .otherwise(array(col("g")))))
+          case "MOVE" =>
+            // drop target, retag source: one filter + one projection
+            q.where(without(to)).withColumn("g",
+              when(col("g") <=> fromLit, toLit).otherwise(col("g")))
+          case "ADD" =>
+            // merge under set semantics: the inherent graph-to-graph
+            // difference joins ONLY the two graph slices (Catalyst/AQE
+            // pick the strategy); the |new|-sized result pins so the
+            // dataset's lineage is referenced once downstream
+            val moved = slice(from)(q).withColumn("g", toLit)
+            val fresh = pinSmall(minus(moved, slice(to)(q), smallRight = false))
+            unionQ(q, fresh)
         }
     }
-    val result = ops.result().foldLeft(quads) { (q, op) =>
-      val next = applyOp(q, op)
-      op match {
-        // self-referencing results: cut the lineage before the next op
-        case QGround(true, _) | _: QModify | QMove("ADD", _, _) =>
-          pinned = true
-          pins.pin(next)
-        case _ => next
-      }
-    }
+    // ops with a broadcastable Δ pin only |Δ|-sized intermediates inside
+    // applyOp, so the fold itself never checkpoints the full dataset;
+    // the one big-Δ fallback (QModify above) pins its own result
+    val result = ops.result().foldLeft(quads)(applyOp)
     if (pinned) pins.seal(result) else result
   }
 

@@ -76,6 +76,7 @@ object GraftStore {
     kmeansCache.keys.filter(_._1.sparkContext.isStopped).foreach(kmeansCache.remove)
     bpeCache.keys.filter(_._1.sparkContext.isStopped).foreach(bpeCache.remove)
     ntCache.keys.filter(_._1.sparkContext.isStopped).foreach(ntCache.remove)
+    quadCache.keys.filter(_._1.sparkContext.isStopped).foreach(quadCache.remove)
   }
 
   private def ingest(spark: SparkSession, sfDir: String): StoreHandle =
@@ -985,6 +986,30 @@ object GraftStore {
 
   private val adjCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
+
+  private val quadCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
+
+  /** The named-graph quad dataset over the testdata tables: every
+    * triple-ized row tagged with its entity table's graph. An ingest
+    * artifact like the adjacencies — `Sparql.updateQuads` keeps its op
+    * chains NARROW (broadcast probes + unions, no per-op checkpoints),
+    * which means the input relation is re-scanned once per
+    * self-referencing op (solutions, presence probe, seal); caching it
+    * makes each re-scan a memory stream instead of re-running the
+    * ten-table unpivot. At cluster scale the same artifact is the
+    * persisted (bucketed) quad table the scripts run against.
+    */
+  def quadDataset(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
+    quadCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val q = TripleStore.tableTriples(spark, sfDir).withColumn("g",
+        concat(lit("graph:"), substring_index(col("s"), ":", 1)))
+      q.persist()
+      q.count() // eager: consumers time their own work, not the build
+      q
+    })).value
+  }
 
   /** Ranked UNDIRECTED entity adjacency of the store's IRI edges,
     * materialized once per (session, dir) — the walk engine's index, an
