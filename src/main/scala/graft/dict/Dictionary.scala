@@ -175,7 +175,14 @@ object Dictionary {
   def decodeAll(df: DataFrame, dict: DataFrame, cols: Seq[String]): DataFrame = {
     val ids = cols.map(c => df.select(col(c).cast("long").as("id")))
       .reduce(_.unionAll(_)).distinct()
-    val slim = dict.join(ids, Seq("id"), "left_semi").localCheckpoint(true)
+    // dedup AFTER the semi filter, on the |appearing-ids|-sized slim
+    // mapping: callers may pass a union of overlapping dictionaries
+    // (snapshot diff decodes removed-only terms through before+after),
+    // and deduping the full union first would shuffle |dict| rows to
+    // serve a |delta|-sized decode. Overlapping entries are identical
+    // (id, term) pairs along an update chain, so the pick is stable.
+    val slim = dict.join(ids, Seq("id"), "left_semi")
+      .dropDuplicates("id").localCheckpoint(true)
     cols.foldLeft(df)((d, c) => decode(d, broadcast(slim), c))
   }
 

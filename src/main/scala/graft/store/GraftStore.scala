@@ -1092,12 +1092,15 @@ object GraftStore {
     // near-no-op after dedup).
     val a = after.enc.select(keys.map(col): _*).withColumn("__a", lit(1))
     val b = before.enc.select(keys.map(col): _*).withColumn("__b", lit(1))
-    val delta = a.join(b, keys, "full_outer")
+    // the |Δ|-sized survivors pin eagerly: the snapshot co-group runs
+    // ONCE (decodeAll otherwise executes its input twice — id harvest +
+    // decode joins), and the union dictionary stays raw — decodeAll
+    // dedups its slim post-filter mapping instead of shuffling |dict|
+    val delta = graft.Pins.checkpoint(a.join(b, keys, "full_outer")
       .where(col("__a").isNull || col("__b").isNull)
       .withColumn("change", when(col("__b").isNull, lit("+")).otherwise(lit("-")))
-      .select(col("change") +: keys.map(col): _*)
-    Dictionary.decodeAll(delta,
-      after.dict.unionByName(before.dict).dropDuplicates("id"), keys)
+      .select(col("change") +: keys.map(col): _*))
+    Dictionary.decodeAll(delta, after.dict.unionByName(before.dict), keys)
       .select(col("change"), col("s"), col("p"), col("o"))
   }
 
