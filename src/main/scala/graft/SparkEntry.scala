@@ -1181,6 +1181,36 @@ object SparkEntry {
         |} GROUP BY ?g ?p ORDER BY ?g ?p""".stripMargin)
   }
 
+  /** Full algebra inside a VARIABLE GRAPH block: UNION branches,
+    * OPTIONAL (null where the same graph lacks the pattern — regions
+    * have no regionkey), and MINUS, all confined per graph by the
+    * carried graph column (no graph enumeration — the plan is
+    * independent of the graph count).
+    */
+  private def quadAlgebraQ(s: SparkSession, d: String): DataFrame = {
+    graft.sparql.Sparql.executeQuads(s, GraftStore.quadDataset(s, d),
+      """PREFIX : <>
+        |SELECT ?g ?s ?rk WHERE {
+        |  GRAPH ?g {
+        |    { ?s :a "Nation" } UNION { ?s :a "Region" }
+        |    OPTIONAL { ?s :regionkey ?rk }
+        |    MINUS { ?s :name "ALGERIA" }
+        |  }
+        |} ORDER BY ?g ?s ?rk""".stripMargin)
+  }
+
+  /** Full algebra inside a CONSTANT GRAPH block: the named slice becomes
+    * the active graph and the inner group recurses through the whole
+    * compiler — here a property-path alternation.
+    */
+  private def quadConstAlgebraQ(s: SparkSession, d: String): DataFrame = {
+    graft.sparql.Sparql.executeQuads(s, GraftStore.quadDataset(s, d),
+      """PREFIX : <>
+        |SELECT ?s ?v WHERE {
+        |  GRAPH <graph:nation> { ?s :name|:regionkey ?v }
+        |} ORDER BY ?s ?v""".stripMargin)
+  }
+
   /** Fixed-iteration PageRank over the shared undirected entity
     * adjacency: 3 iterations, integer-pico contribution sums (order
     * independent, so the DuckDB oracle replays the recursion exactly).
@@ -1903,6 +1933,8 @@ object SparkEntry {
     "q_sparql_graph" -> (sparqlGraphQ _),
     "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
     "q_quad_modify" -> (quadModifyQ _),
+    "q_quad_algebra" -> (quadAlgebraQ _),
+    "q_quad_const_algebra" -> (quadConstAlgebraQ _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_if" -> (sparqlIf _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -2869,6 +2901,20 @@ object SparkEntry {
         |  SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |) ORDER BY c, r""".stripMargin,
+    "q_quad_algebra" ->
+      """SELECT g, s, rk FROM (
+        |  SELECT 'graph:nation' AS g, 'nation:' || n_nationkey AS s,
+        |         'region:' || n_regionkey AS rk
+        |  FROM nation WHERE n_name <> 'ALGERIA'
+        |  UNION ALL
+        |  SELECT 'graph:region', 'region:' || r_regionkey, NULL FROM region
+        |) ORDER BY g, s, rk""".stripMargin,
+    "q_quad_const_algebra" ->
+      """SELECT s, v FROM (
+        |  SELECT 'nation:' || n_nationkey AS s, n_name AS v FROM nation
+        |  UNION ALL
+        |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
+        |) ORDER BY s, v""".stripMargin,
     "q_quad_modify" ->
       """SELECT g, p, cnt FROM (
         |  SELECT 'graph:nation' AS g, 'a' AS p, count(*) AS cnt FROM nation

@@ -2723,36 +2723,87 @@ object Sparql {
   }
 
   /** Compile a `GRAPH ?g|<iri> { .. }` block over the named part of the
-    * quad dataset. The inner group supports triple patterns, FILTER, and
-    * BIND (the common §13.3 shapes); each pattern scans the named quads
-    * with the graph column carried, so the fold's equi-joins confine a
-    * block's matches to one graph and bind `?g` when the term is a
-    * variable. Runs on the string path (executeQuads); statistics-based
-    * pattern ordering is skipped — blocks are small and the named part
-    * has no per-predicate stats.
+    * quad dataset (§13.3: evaluate the pattern with the active graph set
+    * to the named graph).
+    *
+    * CONSTANT target: the named slice becomes the active default graph
+    * and the inner group recurses through the FULL algebra compiler —
+    * OPTIONAL, UNION, MINUS, property paths, subqueries, EXISTS, VALUES
+    * and nested GRAPH blocks all work, because nothing about them is
+    * graph-specific once the scan relation is the slice.
+    *
+    * VARIABLE target: each pattern scans the named quads with the graph
+    * column CARRIED as the bound variable, so the equi-joins confine a
+    * block's matches to one graph without enumerating graphs (the scan
+    * relation never depends on the graph count — the scale property).
+    * The carried column composes through UNION (per-branch recursion),
+    * OPTIONAL / MINUS / FILTER [NOT] EXISTS (left/anti/semi joins whose
+    * shared columns include the graph var) and plain subgroups; paths
+    * and subqueries under a variable graph would need per-graph closure
+    * state and stay rejected with a clear error.
+    *
+    * Runs on the string path (executeQuads); statistics-based pattern
+    * ordering is skipped — the named part has no per-predicate stats.
     */
   private def compileGraphBlock(env: Env, gterm: Term,
                                 inner: Group): DataFrame = {
     val quads = env.quads.getOrElse(throw new IllegalArgumentException(
       "GRAPH requires a quad dataset — use Sparql.executeQuads"))
-    require(inner.optionals.isEmpty && inner.unions.isEmpty &&
-      inner.minuses.isEmpty && inner.paths.isEmpty &&
-      inner.subqueries.isEmpty && inner.subgroups.isEmpty &&
-      inner.existsFilters.isEmpty && inner.values.isEmpty &&
-      inner.valuesMulti.isEmpty && inner.graphs.isEmpty,
-      "GRAPH blocks support triple patterns, FILTER, and BIND")
-    require(inner.triples.nonEmpty, "empty GRAPH block")
-    val (gcol, base) = gterm match {
-      case V(v) => (v, quads)
-      case C(v) => ("__gq", quads.where(col("g") === v.toString))
+    gterm match {
+      case C(v) =>
+        val slice = quads.where(col("g") === v.toString).select("s", "p", "o")
+        compileGroup(env.copy(triples = slice, stats = Map.empty), inner)
+      case V(gv) =>
+        require(inner.paths.isEmpty && inner.subqueries.isEmpty &&
+          inner.graphs.isEmpty,
+          "GRAPH ?var blocks support triple patterns, FILTER, BIND, " +
+            "OPTIONAL, UNION, MINUS, EXISTS and plain subgroups; property " +
+            "paths, subqueries and nested GRAPH need a constant graph")
+        var df: DataFrame =
+          if (inner.triples.isEmpty) null
+          else inner.triples.map(quadScan(quads, _, gv)).reduce { (l, r) =>
+            val shared = l.columns.intersect(r.columns).toSeq // >= the graph col
+            l.join(r, shared, "inner")
+          }
+        def joinIn(other: DataFrame): Unit = df =
+          if (df == null) other
+          else df.join(other, df.columns.intersect(other.columns).toSeq, "inner")
+        inner.subgroups.foreach(sg => joinIn(compileGraphBlock(env, gterm, sg)))
+        inner.unions.foreach { case (l, r) =>
+          joinIn(compileGraphBlock(env, gterm, l)
+            .unionByName(compileGraphBlock(env, gterm, r),
+              allowMissingColumns = true))
+        }
+        inner.values.foreach { case (v, vals) =>
+          import env.spark.implicits._
+          val vdf = vals.toDF(v)
+          df = if (df == null) vdf
+          else if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
+          else df.crossJoin(vdf)
+        }
+        inner.valuesMulti.foreach { case (vars, rows) =>
+          df = if (df == null) inlineRelation(env, vars, rows)
+          else joinInlineData(env, df, vars, rows)
+        }
+        require(df != null, "empty GRAPH block")
+        inner.optionals.foreach { opt =>
+          val o = compileGraphBlock(env, gterm, opt)
+          df = df.join(o, df.columns.intersect(o.columns).toSeq, "left")
+        }
+        inner.minuses.foreach { m =>
+          val o = compileGraphBlock(env, gterm, m)
+          val shared = df.columns.intersect(o.columns).toSeq
+          if (shared.nonEmpty) df = df.join(o, shared, "left_anti")
+        }
+        inner.existsFilters.foreach { case (grp, negated) =>
+          val o = compileGraphBlock(env, gterm, grp)
+          val shared = df.columns.intersect(o.columns).toSeq
+          df = df.join(o, shared, if (negated) "left_anti" else "left_semi")
+        }
+        inner.binds.foreach { case (e, v) => df = applyBind(env, df, e, v) }
+        inner.filters.foreach(f => df = applyFilter(env, df, f))
+        df
     }
-    var df = inner.triples.map(quadScan(base, _, gcol)).reduce { (l, r) =>
-      val shared = l.columns.intersect(r.columns).toSeq // >= the graph col
-      l.join(r, shared, "inner")
-    }
-    inner.binds.foreach { case (e, v) => df = applyBind(env, df, e, v) }
-    inner.filters.foreach(f => df = applyFilter(env, df, f))
-    if (gcol == "__gq") df.drop(gcol) else df
   }
 
   /** SPARQL over a QUAD dataset — the named-graph surface the reference

@@ -232,4 +232,77 @@ class QuadsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq shouldBe
       Seq(("g9", 2L))
   }
+
+  // ---- full algebra inside GRAPH blocks (§13.3 over the whole grammar) ----
+
+  "GRAPH-block algebra" should "run OPTIONAL inside a constant GRAPH" in {
+    // in g1, a has both :p and :q; nothing else has :p there
+    run("""PREFIX : <>
+          |SELECT ?s ?x WHERE { GRAPH <g2> { ?s :p ?o OPTIONAL { ?s :q ?x } } }""".stripMargin) shouldBe
+      Set(Seq("b", null), Seq("a", null))
+    run("""PREFIX : <>
+          |SELECT ?s ?x WHERE { GRAPH <g1> { ?s :p ?o OPTIONAL { ?s :q ?x } } }""".stripMargin) shouldBe
+      Set(Seq("a", "2"))
+  }
+
+  it should "run UNION and MINUS inside a constant GRAPH" in {
+    run("""PREFIX : <>
+          |SELECT ?s WHERE { GRAPH <g2> { { ?s :p "1" } UNION { ?s :p "9" } } }""".stripMargin) shouldBe
+      Set(Seq("b"), Seq("a"))
+    run("""PREFIX : <>
+          |SELECT ?s WHERE { GRAPH <g2> { ?s :p ?o MINUS { ?s :p "9" } } }""".stripMargin) shouldBe
+      Set(Seq("b"))
+  }
+
+  it should "run property paths inside a constant GRAPH" in {
+    // alternation path: :p|:q inside g1
+    run("""PREFIX : <>
+          |SELECT ?o WHERE { GRAPH <g1> { <a> :p|:q ?o } }""".stripMargin) shouldBe
+      Set(Seq("1"), Seq("2"))
+  }
+
+  it should "run a subquery inside a constant GRAPH" in {
+    Sparql.executeQuads(spark, quads,
+      """PREFIX : <>
+        |SELECT ?s ?n WHERE { GRAPH <g1> {
+        |  ?s :q ?v . { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s :p ?o } GROUP BY ?s }
+        |} }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet shouldBe
+      Set(("a", 1L))
+  }
+
+  it should "run OPTIONAL inside a variable GRAPH, confined per graph" in {
+    // :q exists only in g1 — the g2 match for a must NOT pick it up
+    run("""PREFIX : <>
+          |SELECT ?g ?s ?x WHERE { GRAPH ?g { ?s :p ?o OPTIONAL { ?s :q ?x } } }""".stripMargin) shouldBe
+      Set(Seq("g1", "a", "2"), Seq("g2", "b", null), Seq("g2", "a", null))
+  }
+
+  it should "run UNION inside a variable GRAPH with per-branch confinement" in {
+    run("""PREFIX : <>
+          |SELECT ?g ?s WHERE { GRAPH ?g { { ?s :q "2" } UNION { ?s :p "9" } } }""".stripMargin) shouldBe
+      Set(Seq("g1", "a"), Seq("g2", "a"))
+  }
+
+  it should "run MINUS and EXISTS inside a variable GRAPH" in {
+    // graphs where some ?s has :p but not :q in the SAME graph
+    run("""PREFIX : <>
+          |SELECT ?g ?s WHERE { GRAPH ?g { ?s :p ?o MINUS { ?s :q ?x } } }""".stripMargin) shouldBe
+      Set(Seq("g2", "b"), Seq("g2", "a"))
+    run("""PREFIX : <>
+          |SELECT ?g ?s WHERE { GRAPH ?g { ?s :p ?o FILTER EXISTS { ?s :q ?x } } }""".stripMargin) shouldBe
+      Set(Seq("g1", "a"))
+  }
+
+  it should "join VALUES inside a variable GRAPH" in {
+    run("""PREFIX : <>
+          |SELECT ?g ?s WHERE { GRAPH ?g { ?s :p ?o VALUES ?o { "9" } } }""".stripMargin) shouldBe
+      Set(Seq("g2", "a"))
+  }
+
+  it should "reject paths under a variable GRAPH with a clear error" in {
+    an[IllegalArgumentException] should be thrownBy
+      run("""PREFIX : <>
+            |SELECT ?g ?o WHERE { GRAPH ?g { <a> :p|:q ?o } }""".stripMargin)
+  }
 }
