@@ -1211,6 +1211,25 @@ object SparkEntry {
         |} ORDER BY ?s ?v""".stripMargin)
   }
 
+  /** CONSTRUCT over the quad dataset: template instantiation from
+    * graph-confined matches — the result is a plain (s, p, o) graph.
+    */
+  private def quadConstructQ(s: SparkSession, d: String): DataFrame = {
+    graft.sparql.Sparql.constructQuads(s, GraftStore.quadDataset(s, d),
+      """PREFIX : <>
+        |CONSTRUCT { ?s :from ?g } WHERE { GRAPH ?g { ?s :a "Region" } }""".stripMargin)
+      .orderBy("s", "p", "o")
+  }
+
+  /** DESCRIBE over the quad dataset: the CBD expands over the merged
+    * default+named graphs — outgoing triples plus incoming edges of the
+    * described resource, wherever they live.
+    */
+  private def quadDescribeQ(s: SparkSession, d: String): DataFrame = {
+    graft.sparql.Sparql.describeQuads(s, GraftStore.quadDataset(s, d),
+      "DESCRIBE <nation:3>").orderBy("s", "p", "o")
+  }
+
   /** Fixed-iteration PageRank over the shared undirected entity
     * adjacency: 3 iterations, integer-pico contribution sums (order
     * independent, so the DuckDB oracle replays the recursion exactly).
@@ -1935,6 +1954,8 @@ object SparkEntry {
     "q_quad_modify" -> (quadModifyQ _),
     "q_quad_algebra" -> (quadAlgebraQ _),
     "q_quad_const_algebra" -> (quadConstAlgebraQ _),
+    "q_quad_construct" -> (quadConstructQ _),
+    "q_quad_describe" -> (quadDescribeQ _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_if" -> (sparqlIf _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -2901,6 +2922,22 @@ object SparkEntry {
         |  SELECT 'supplier:' || s_suppkey, 'region:' || n_regionkey
         |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |) ORDER BY c, r""".stripMargin,
+    "q_quad_construct" ->
+      """SELECT 'region:' || r_regionkey AS s, 'from' AS p,
+        |       'graph:region' AS o
+        |FROM region ORDER BY s, p, o""".stripMargin,
+    "q_quad_describe" ->
+      """SELECT s, p, o FROM (
+        |  SELECT 'nation:3' AS s, 'a' AS p, 'Nation' AS o
+        |  UNION ALL SELECT 'nation:3', 'name',
+        |    (SELECT n_name FROM nation WHERE n_nationkey = 3)
+        |  UNION ALL SELECT 'nation:3', 'regionkey',
+        |    'region:' || (SELECT n_regionkey FROM nation WHERE n_nationkey = 3)
+        |  UNION ALL SELECT 'customer:' || c_custkey, 'nationkey', 'nation:3'
+        |    FROM customer WHERE c_nationkey = 3
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nationkey', 'nation:3'
+        |    FROM supplier WHERE s_nationkey = 3
+        |) ORDER BY s, p, o""".stripMargin,
     "q_quad_algebra" ->
       """SELECT g, s, rk FROM (
         |  SELECT 'graph:nation' AS g, 'nation:' || n_nationkey AS s,

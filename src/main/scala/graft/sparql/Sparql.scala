@@ -266,6 +266,26 @@ object Sparql {
     compileGroup(env, group).limit(1).count() > 0
   }
 
+  /** Dataset clauses (§13.2), legal on every query form: FROM <g> merges
+    * graphs into the query's default graph; FROM NAMED <g> restricts the
+    * GRAPH-visible set.
+    */
+  private def parseDatasetClauses(p: P, prefixes: Map[String, String])
+      : (Seq[String], Seq[String]) = {
+    var fromGraphs = Seq.empty[String]
+    var fromNamed = Seq.empty[String]
+    while (p.peek.exists(p.isKw(_, "FROM"))) {
+      p.pos += 1
+      val named = p.tryKw("NAMED")
+      parseTerm(p, prefixes) match {
+        case C(v) => if (named) fromNamed :+= v.toString
+                     else fromGraphs :+= v.toString
+        case t => p.fail(s"expected a graph IRI after FROM, got $t")
+      }
+    }
+    (fromGraphs, fromNamed)
+  }
+
   /** The grammar hangs a ValuesClause off EVERY query form (§19.8 Query
     * ::= ... ValuesClause). ASK/CONSTRUCT/DESCRIBE carry no aggregation
     * or modifiers, so the algebra position collapses to a group-level
@@ -409,7 +429,9 @@ object Sparql {
                stats: Map[String, PredStats] = Map.empty): DataFrame = {
     val p = new P(tokenize(queryText))
     val prefixes = parsePrefixes(p)
-    val (vars, consts, whereG) = parseDescribeHeader(p, prefixes)
+    val (vars, consts, whereG, fromG, fromN) = parseDescribeHeader(p, prefixes)
+    require(fromG.isEmpty && fromN.isEmpty,
+      "FROM/FROM NAMED need a quad dataset - use Sparql.describeQuads")
     import spark.implicits._
     val varSubjects = whereG match {
       case Some(g) =>
@@ -435,7 +457,9 @@ object Sparql {
                queryText: String): DataFrame = {
     val p = new P(tokenize(queryText))
     val prefixes = parsePrefixes(p)
-    val (vars, consts, whereG) = parseDescribeHeader(p, prefixes)
+    val (vars, consts, whereG, fromG, fromN) = parseDescribeHeader(p, prefixes)
+    require(fromG.isEmpty && fromN.isEmpty,
+      "FROM/FROM NAMED need a quad dataset - use Sparql.describeQuads")
     val g = whereG.getOrElse(Group(Seq.empty, Seq.empty, Seq.empty, Seq.empty))
     val env = encEnvFor(spark, store, g,
       whereG.map(plainVarsOfG).getOrElse(Set.empty), consts.toSet)
@@ -462,13 +486,14 @@ object Sparql {
   }
 
   private def parseDescribeHeader(p: P, prefixes: Map[String, String])
-      : (Seq[String], Seq[String], Option[Group]) = {
+      : (Seq[String], Seq[String], Option[Group], Seq[String], Seq[String]) = {
     p.eatKw("DESCRIBE")
     var vars = Seq.empty[String]
     var consts = Seq.empty[String]
     var reading = true
     while (reading) p.peek match {
       case Some(TVar(v)) => vars :+= v; p.pos += 1
+      case Some(t) if p.isKw(t, "FROM") => reading = false
       case Some(TIri(i)) => consts :+= i; p.pos += 1
       case Some(TPName(pfx, local)) =>
         consts :+= prefixes.getOrElse(pfx,
@@ -477,6 +502,7 @@ object Sparql {
       case _ => reading = false
     }
     require(vars.nonEmpty || consts.nonEmpty, "DESCRIBE needs a resource or variable")
+    val (fromGraphs, fromNamed) = parseDatasetClauses(p, prefixes)
     val whereG =
       if (p.tryKw("WHERE")) Some(parseGroup(p, prefixes)) else None
     // trailing ValuesClause: merge into the WHERE group (a bare
@@ -487,7 +513,7 @@ object Sparql {
         Some(withTrailingValues(p, prefixes,
           whereG.getOrElse(Group(Seq.empty, Seq.empty, Seq.empty, Seq.empty))))
       else whereG
-    (vars, consts, withVals)
+    (vars, consts, withVals, fromGraphs, fromNamed)
   }
 
   /** Concise-bounded-description core over any (s, p, o) relation:
@@ -1111,19 +1137,7 @@ object Sparql {
       case _ => reading = false
     }
     if (!star && proj.isEmpty) p.fail("empty projection")
-    // dataset clauses (§13.2): FROM <g> merges graphs into the query's
-    // default graph; FROM NAMED <g> restricts the GRAPH-visible set
-    var fromGraphs = Seq.empty[String]
-    var fromNamed = Seq.empty[String]
-    while (p.peek.exists(p.isKw(_, "FROM"))) {
-      p.pos += 1
-      val named = p.tryKw("NAMED")
-      parseTerm(p, prefixes) match {
-        case C(v) => if (named) fromNamed :+= v.toString
-                     else fromGraphs :+= v.toString
-        case t => p.fail(s"expected a graph IRI after FROM, got $t")
-      }
-    }
+    val (fromGraphs, fromNamed) = parseDatasetClauses(p, prefixes)
     p.eatKw("WHERE")
     var group = parseGroup(p, prefixes)
     var groupBy = Seq.empty[String]
@@ -2821,17 +2835,98 @@ object Sparql {
   def executeQuads(spark: SparkSession, quads: DataFrame, queryText: String,
                    stats: Map[String, PredStats] = Map.empty): DataFrame = {
     val q = parse(queryText)
-    val explicitDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
+    val env = quadEnv(spark, quads, q.fromGraphs, q.fromNamed, stats)
+    compileQuery(env, q)
+  }
+
+  /** §13.2 dataset construction over a quad relation: the (possibly
+    * FROM-merged) default graph becomes the env's triple relation, the
+    * (possibly FROM NAMED-restricted) named part stays GRAPH-visible.
+    * A query carrying either clause describes its dataset exhaustively.
+    */
+  private def quadEnv(spark: SparkSession, quads: DataFrame,
+                      fromGraphs: Seq[String], fromNamed: Seq[String],
+                      stats: Map[String, PredStats] = Map.empty): Env = {
+    val explicitDataset = fromGraphs.nonEmpty || fromNamed.nonEmpty
     val defaultG =
       if (!explicitDataset) quads.where(col("g").isNull).select("s", "p", "o")
-      else if (q.fromGraphs.isEmpty) quads.where(lit(false)).select("s", "p", "o")
-      else quads.where(col("g").isin(q.fromGraphs: _*)).select("s", "p", "o")
+      else if (fromGraphs.isEmpty) quads.where(lit(false)).select("s", "p", "o")
+      else quads.where(col("g").isin(fromGraphs: _*)).select("s", "p", "o")
     val named =
       if (!explicitDataset) quads.where(col("g").isNotNull)
-      else if (q.fromNamed.isEmpty) quads.where(lit(false))
-      else quads.where(col("g").isin(q.fromNamed: _*))
-    compileQuery(
-      stringEnv(spark, defaultG, stats).copy(quads = Some(named)), q)
+      else if (fromNamed.isEmpty) quads.where(lit(false))
+      else quads.where(col("g").isin(fromNamed: _*))
+    stringEnv(spark, defaultG, stats).copy(quads = Some(named))
+  }
+
+  /** ASK over a quad dataset — GRAPH blocks and dataset clauses apply. */
+  def askQuads(spark: SparkSession, quads: DataFrame,
+               queryText: String): Boolean = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("ASK")
+    val (fromG, fromN) = parseDatasetClauses(p, prefixes)
+    p.tryKw("WHERE")
+    val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
+    compileGroup(quadEnv(spark, quads, fromG, fromN), group)
+      .limit(1).count() > 0
+  }
+
+  /** CONSTRUCT over a quad dataset: the WHERE pattern sees the full
+    * §13 dataset (GRAPH blocks, FROM/FROM NAMED); the template
+    * instantiates one (s, p, o) graph — per §16.2 the constructed
+    * result is a plain RDF graph, not a quad set.
+    */
+  def constructQuads(spark: SparkSession, quads: DataFrame,
+                     queryText: String): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("CONSTRUCT")
+    val template = parseGroup(p, prefixes)
+    require(template.filters.isEmpty && template.optionals.isEmpty &&
+      template.unions.isEmpty && template.minuses.isEmpty &&
+      template.paths.isEmpty && template.binds.isEmpty &&
+      template.subqueries.isEmpty && template.subgroups.isEmpty &&
+      template.graphs.isEmpty,
+      "CONSTRUCT template must contain only triple patterns")
+    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
+      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
+        "use labeled _:b blanks (skolemized fresh per solution)")
+    val (fromG, fromN) = parseDatasetClauses(p, prefixes)
+    p.eatKw("WHERE")
+    val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
+    instantiate(template, compileGroup(quadEnv(spark, quads, fromG, fromN), group))
+  }
+
+  /** DESCRIBE over a quad dataset: subjects resolve against the §13
+    * dataset (WHERE may use GRAPH blocks); the CBD then expands over the
+    * UNION of the default graph and the GRAPH-visible named graphs —
+    * DESCRIBE's result form is implementation-defined (§16.4), and the
+    * merged dataset is the most useful bounded description when a
+    * resource's triples span graphs.
+    */
+  def describeQuads(spark: SparkSession, quads: DataFrame,
+                    queryText: String): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    val (vars, consts, whereG, fromG, fromN) = parseDescribeHeader(p, prefixes)
+    val env = quadEnv(spark, quads, fromG, fromN)
+    import spark.implicits._
+    val varSubjects = whereG match {
+      case Some(g) =>
+        val sols = compileGroup(env, g)
+        vars.filter(sols.columns.contains)
+          .map(v => sols.select(col(v).as("s")))
+      case None => Seq.empty
+    }
+    val constSubjects =
+      if (consts.isEmpty) Seq.empty else Seq(consts.toDF("s"))
+    val subjects = (varSubjects ++ constSubjects)
+      .reduce(_.unionAll(_)).distinct()
+    val merged = env.triples.unionByName(
+      env.quads.get.select("s", "p", "o"))
+    cbd(merged, subjects,
+      nodes => nodes.where(col("s").startsWith("_:")))
   }
 
   // ---- SPARQL 1.1 Update over a quad dataset (§3.1 ground data ops +

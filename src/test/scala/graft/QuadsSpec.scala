@@ -305,4 +305,51 @@ class QuadsSpec extends SparkSpec {
       run("""PREFIX : <>
             |SELECT ?g ?o WHERE { GRAPH ?g { <a> :p|:q ?o } }""".stripMargin)
   }
+
+  // ---- ASK / CONSTRUCT / DESCRIBE over the quad dataset ----
+
+  "quad query forms" should "answer ASK with GRAPH blocks and dataset clauses" in {
+    Sparql.askQuads(spark, quads,
+      """PREFIX : <>
+        |ASK { GRAPH ?g { ?s :p "9" } }""".stripMargin) shouldBe true
+    Sparql.askQuads(spark, quads,
+      """PREFIX : <>
+        |ASK { GRAPH ?g { ?s :p "77" } }""".stripMargin) shouldBe false
+    // FROM NAMED restricts the GRAPH-visible set: :p 9 lives in g2 only
+    Sparql.askQuads(spark, quads,
+      """PREFIX : <>
+        |ASK FROM NAMED <g1> { GRAPH ?g { ?s :p "9" } }""".stripMargin) shouldBe false
+    // FROM merges a named graph into the default graph
+    Sparql.askQuads(spark, quads,
+      """PREFIX : <>
+        |ASK FROM <g2> { ?s :p "9" }""".stripMargin) shouldBe true
+  }
+
+  it should "CONSTRUCT a plain graph from graph-confined matches" in {
+    val g = Sparql.constructQuads(spark, quads,
+      """PREFIX : <>
+        |CONSTRUCT { ?s :from ?g } WHERE { GRAPH ?g { ?s :p "1" } }""".stripMargin)
+    g.collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe Set(("a", "from", "g1"), ("b", "from", "g2"))
+    g.columns.toSeq shouldBe Seq("s", "p", "o") // a graph, not a quad set
+  }
+
+  it should "DESCRIBE across the merged dataset" in {
+    // a's triples span g1 and g2; the CBD merges both named graphs
+    Sparql.describeQuads(spark, quads, "DESCRIBE <a>")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe Set(("a", "p", "1"), ("a", "q", "2"), ("a", "p", "9"))
+    // WHERE-resolved subjects via a GRAPH block
+    Sparql.describeQuads(spark, quads,
+      """PREFIX : <>
+        |DESCRIBE ?s WHERE { GRAPH <g2> { ?s :p "1" } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe Set(("b", "p", "1"))
+  }
+
+  it should "reject dataset clauses on the single-graph DESCRIBE path" in {
+    val triples = quads.where(col("g").isNull).select("s", "p", "o")
+    an[IllegalArgumentException] should be thrownBy
+      Sparql.describe(spark, triples, "DESCRIBE <x> FROM <g1>")
+  }
 }
