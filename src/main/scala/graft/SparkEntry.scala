@@ -935,6 +935,19 @@ object SparkEntry {
     sinkLines(s, tmp)
   }
 
+  /** N-Quads export sink bytes for the region rows, once named and once
+    * retagged to the default graph — both render branches byte-pinned.
+    */
+  private def resultsNqQ(s: SparkSession, d: String): DataFrame = {
+    val q = GraftStore.quadDataset(s, d)
+      .where(col("g") === "graph:region" && col("p") === "name")
+    val both = q.unionByName(q.withColumn("g", lit(null).cast("string")))
+      .orderBy(col("g").asc_nulls_first, col("s"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_results_nq")
+    graft.store.TripleStore.writeNQuads(both.coalesce(1), tmp.toString)
+    sinkLines(s, tmp)
+  }
+
   // ---- SPARQL front-end (replaces the reference's Jena layer) ---------
 
   private def sparqlOver(s: SparkSession, d: String, q: String): DataFrame = {
@@ -1925,6 +1938,7 @@ object SparkEntry {
     "q_results_csv" -> (resultsCsvQ _),
     "q_results_tsv" -> (resultsTsvQ _),
     "q_results_nt" -> (resultsNtQ _),
+    "q_results_nq" -> (resultsNqQ _),
     "q_asof_join" -> (asofJoinQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_sparql_chain" -> (sparqlChain _),
@@ -3270,6 +3284,17 @@ object SparkEntry {
         |    '<' || r || '>' || chr(9) || '<' || nm || '>' || chr(9) ||
         |    '"' || nm || '"^^http://www.w3.org/2001/XMLSchema#token'
         |  FROM n
+        |) ORDER BY line_no""".stripMargin,
+    "q_results_nq" ->
+      """SELECT row_number() OVER (ORDER BY g NULLS FIRST, s) AS line_no,
+        |  CASE WHEN g IS NULL THEN '<' || s || '> <name> <' || o || '> .'
+        |       ELSE '<' || s || '> <name> <' || o || '> <' || g || '> .'
+        |  END AS line
+        |FROM (
+        |  SELECT 'region:' || r_regionkey AS s, r_name AS o,
+        |         'graph:region' AS g FROM region
+        |  UNION ALL
+        |  SELECT 'region:' || r_regionkey, r_name, NULL FROM region
         |) ORDER BY line_no""".stripMargin,
     "q_results_nt" ->
       """SELECT row_number() OVER (ORDER BY s) AS line_no,

@@ -153,6 +153,49 @@ object TripleStore {
       .write.mode("overwrite").text(path)
   }
 
+  /** Parse N-Quads text lines into (s, p, o, g) term strings — the quad
+    * analog of `parseNTriples` (public N-Quads 1.1 grammar): an optional
+    * fourth graph-label term before the terminating dot. Lines without
+    * one land in the default graph (g = NULL), matching the quad-dataset
+    * convention everywhere else (`Sparql.executeQuads`). The non-greedy
+    * object group backtracks correctly around literals that contain
+    * `<...>` text: the graph group must be followed by the final dot.
+    */
+  def parseNQuads(spark: SparkSession, path: String): DataFrame = {
+    val lines = spark.read.text(path)
+    val re = "^\\s*(<[^>]*>|_:\\S+)\\s+(<[^>]*>)\\s+(.*?)" +
+      "(?:\\s+(<[^>]*>|_:\\S+))?\\s*\\.\\s*$"
+    lines
+      .where(length(trim(col("value"))) > 0 && !trim(col("value")).startsWith("#"))
+      .select(
+        regexp_extract(col("value"), re, 1).as("s_raw"),
+        regexp_extract(col("value"), re, 2).as("p_raw"),
+        regexp_extract(col("value"), re, 3).as("o_raw"),
+        regexp_extract(col("value"), re, 4).as("g_raw"))
+      .where(col("s_raw") =!= "")
+      .select(cleanTerm(col("s_raw")).as("s"), cleanTerm(col("p_raw")).as("p"),
+        cleanTerm(col("o_raw")).as("o"),
+        when(col("g_raw") === "", lit(null).cast("string"))
+          .otherwise(cleanTerm(col("g_raw"))).as("g"))
+  }
+
+  /** Serialize a quad relation to N-Quads lines (the export sink
+    * matching `parseNQuads`): default-graph rows (g NULL) render as
+    * plain triples, named rows carry the graph label. Distributed text
+    * write like `writeNTriples`.
+    */
+  def writeNQuads(quads: DataFrame, path: String): Unit = {
+    def render(c: org.apache.spark.sql.Column) =
+      when(c.startsWith("\"") || c.startsWith("_:"), c)
+        .otherwise(concat(lit("<"), c, lit(">")))
+    quads
+      .select(concat_ws(" ", render(col("s")), render(col("p")),
+        render(col("o")),
+        when(col("g").isNull, lit("."))
+          .otherwise(concat(render(col("g")), lit(" .")))).as("value"))
+      .write.mode("overwrite").text(path)
+  }
+
   /** Skolemize blank nodes: rewrite `_:label` to `_:<scope>:label` so
     * labels from different files/parse sessions never collide — the
     * distributed analog of the reference's per-parse `BlankNodeNamespace`

@@ -33,6 +33,40 @@ class StoreSpec extends SparkSpec {
       ("http://ex/s2", "http://ex/lang", "\"chat\"@fr"))
   }
 
+  "parseNQuads" should "parse the optional graph label into g (NULL = default)" in {
+    val f = Files.createTempFile("graft-nq", ".nq")
+    Files.write(f, java.util.Arrays.asList(
+      "<http://ex/s1> <http://ex/p> <http://ex/o1> <http://ex/g1> .",
+      "<http://ex/s1> <http://ex/p> \"Alice\" .",
+      "# comment",
+      "<http://ex/s2> <http://ex/p> \"see <http://ex/x>\" <http://ex/g1> .",
+      "_:b0 <http://ex/p> \"5\"^^<http://www.w3.org/2001/XMLSchema#integer> _:g ."))
+    val df = TripleStore.parseNQuads(spark, f.toString)
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      r.getString(3))).toSet shouldBe Set(
+      ("http://ex/s1", "http://ex/p", "http://ex/o1", "http://ex/g1"),
+      ("http://ex/s1", "http://ex/p", "\"Alice\"", null),
+      ("http://ex/s2", "http://ex/p", "\"see <http://ex/x>\"", "http://ex/g1"),
+      ("_:b0", "http://ex/p",
+        "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>", "_:g"))
+  }
+
+  "writeNQuads" should "round-trip through parseNQuads" in {
+    import spark.implicits._
+    val quads = Seq(
+      ("http://ex/s1", "http://ex/p", "http://ex/o1", "http://ex/g1"),
+      ("http://ex/s1", "http://ex/name", "\"Alice\"", null),
+      ("_:b0", "http://ex/p", "\"chat\"@fr", "http://ex/g2"))
+      .toDF("s", "p", "o", "g")
+    val dir = Files.createTempDirectory("graft-nqout").toString
+    TripleStore.writeNQuads(quads, dir)
+    TripleStore.parseNQuads(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet shouldBe quads.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+  }
+
   "writeNTriples" should "round-trip through parseNTriples" in {
     import spark.implicits._
     val triples = Seq(
