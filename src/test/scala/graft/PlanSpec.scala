@@ -148,4 +148,43 @@ class PlanSpec extends SparkSpec {
     p should include("TakeOrderedAndProject")
     p should not include "CartesianProduct"
   }
+
+  "a small-delta quad modify" should "stream the dataset through broadcast joins, never shuffle it" in {
+    import spark.implicits._
+    // 3 named graphs, then a pattern modify whose delta is tiny: every
+    // plan the script executes (delta pins, probe, seal) must join the
+    // dataset side via BROADCAST anti/semi joins — a SortMergeJoin
+    // would mean the whole quad relation shuffled on (s,p,o,g), the
+    // shape the narrow-chain design removes. The result itself is a
+    // sealed checkpoint, so the proof captures the plans run DURING the
+    // update through a QueryExecutionListener.
+    val plans = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[String]())
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution,
+          exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val quads = (1 to 50).map(i => (s"s$i", "p", s"v$i", s"g${i % 3}"))
+        .toDF("s", "p", "o", "g")
+      val out = graft.sparql.Sparql.updateQuads(spark, quads,
+        """WITH <g1> DELETE { ?s <p> ?o } INSERT { ?s <p2> ?o }
+          |WHERE { ?s <p> ?o }""".stripMargin)
+      out.where(org.apache.spark.sql.functions.col("p") === "p2")
+        .count() shouldBe 17L // g1: i%3==1
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (plans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      plans should not be empty
+      import scala.jdk.CollectionConverters._
+      val all = plans.asScala.mkString("\n")
+      all should not include "SortMergeJoin"
+      all should not include "CartesianProduct"
+    } finally spark.listenerManager.unregister(listener)
+  }
 }
