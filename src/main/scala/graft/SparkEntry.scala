@@ -1277,6 +1277,69 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Exact per-node triangle counts over the lineitem co-occurrence
+    * graph (each lineitem links its part, supplier, and order pairwise —
+    * the co-purchase structure, so triangles are guaranteed). The
+    * degree-ordered wedge join bounds fan-out by O(√|E|) under any skew;
+    * the DuckDB oracle enumerates the same triangles with the canonical
+    * a<b<c 3-way join.
+    */
+  private def trianglesQ(s: SparkSession, d: String): DataFrame = {
+    val li = t(s, d, "lineitem")
+    val pk = concat(lit("part:"), col("l_partkey"))
+    val sk = concat(lit("supplier:"), col("l_suppkey"))
+    val ok = concat(lit("order:"), col("l_orderkey"))
+    val edges = li.select(pk.as("s"), sk.as("o"))
+      .unionAll(li.select(sk.as("s"), ok.as("o")))
+      .unionAll(li.select(ok.as("s"), pk.as("o")))
+    graft.ops.GraphOps.triangleCounts(edges).orderBy("node")
+  }
+
+  /** Turtle loader end-to-end: nation rendered as Turtle (prefixes, `a`,
+    * `;` lists, typed-integer shorthand), sharded into TWO .ttl files
+    * (the per-FILE parallelism unit — Turtle is not line-splittable),
+    * parsed back by the distributed loader. The oracle rebuilds the same
+    * triples from the table directly, so prefix expansion, rdf:type
+    * sugar, literal quoting, and xsd:integer typing are all hash-pinned.
+    */
+  private def turtleLoadQ(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val header = "@prefix n: <nation:> .\n@prefix r: <region:> .\n" +
+      "@prefix p: <prop:> .\n"
+    def render(part: Seq[(Long, String, Long)]): String =
+      header + part.map { case (k, name, rk) =>
+        s"""n:$k a "Nation" ;\n  p:name "$name" ;\n  p:region r:$rk ;\n  p:key $k .\n"""
+      }.mkString
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl-gate")
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    java.nio.file.Files.writeString(dir.resolve("part1.ttl"), render(half1))
+    java.nio.file.Files.writeString(dir.resolve("part2.ttl"), render(half2))
+    graft.store.TripleStore.parseTurtle(s, dir.toString + "/*.ttl")
+      .orderBy("s", "p", "o")
+  }
+
+  /** Delta-frontier BFS over the shared entity adjacency: minimum hop
+    * distance from the region nodes within 3 hops. Iterates on dense
+    * node ranks (fixed-width long shuffles; see `labelPropQ`) and
+    * decodes once at the top; the oracle unrolls the same three
+    * min-distance rounds.
+    */
+  private def bfsDistQ(s: SparkSession, d: String): DataFrame = {
+    val (adjRk, ranks) = GraftStore.entityAdjacencyRanked(s, d)
+    val seeds = ranks
+      .where(col("node").isin("region:0", "region:1"))
+      .select(col("rk"))
+    val dist = graft.ops.GraphOps.bfsDistances(adjRk, seeds, rounds = 3)
+    val byNode = ranks.select(col("rk").as("node"), col("node").as("nodeName"))
+    dist.join(byNode, Seq("node"))
+      .select(col("nodeName").as("node"), col("dist"))
+      .orderBy("node")
+  }
+
   /** The reference's own benchmark workload as driver gates: LUBM
     * University0 (318k triples from the reference's N-Triples fixtures)
     * with the two most join-heavy standard LUBM queries, run over the
@@ -1962,6 +2025,9 @@ object SparkEntry {
     "q_lubm2" -> (lubm2Q _),
     "q_lubm9" -> (lubm9Q _),
     "q_label_prop" -> (labelPropQ _),
+    "q_triangles" -> (trianglesQ _),
+    "q_bfs_dist" -> (bfsDistQ _),
+    "q_turtle_load" -> (turtleLoadQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_graph" -> (sparqlGraphQ _),
     "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
@@ -2823,6 +2889,72 @@ object SparkEntry {
         |    UNION ALL SELECT node, lab FROM l3) GROUP BY node
         |)
         |SELECT node, lab FROM l4 ORDER BY node""".stripMargin,
+    // Turtle loader: the oracle rebuilds the rendered triples straight
+    // from the table — prefix expansion, `a`, quoting, xsd typing pinned
+    "q_turtle_load" ->
+      """WITH tri AS (
+        |  SELECT 'nation:'||n_nationkey AS s,
+        |         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |         '"Nation"' AS o FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:name', '"'||n_name||'"' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:region', 'region:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:key',
+        |    '"'||n_nationkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM nation
+        |)
+        |SELECT s, p, o FROM tri ORDER BY s, p, o""".stripMargin,
+    // triangle counting: the oracle enumerates each triangle once via
+    // the canonical a<b<c 3-way join — same set the degree-ordered
+    // wedge join finds
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT 'part:'||l_partkey AS s, 'supplier:'||l_suppkey AS o FROM lineitem
+        |  UNION ALL SELECT 'supplier:'||l_suppkey, 'order:'||l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'order:'||l_orderkey, 'part:'||l_partkey FROM lineitem
+        |), cano AS (
+        |  SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b FROM raw WHERE s <> o
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM cano e1
+        |  JOIN cano e2 ON e2.a = e1.b
+        |  JOIN cano e3 ON e3.a = e1.a AND e3.b = e2.b
+        |), pern AS (
+        |  SELECT node, CAST(count(*) AS BIGINT) AS tri FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY node
+        |), nodes AS (
+        |  SELECT DISTINCT node FROM (
+        |    SELECT a AS node FROM cano UNION ALL SELECT b FROM cano)
+        |)
+        |SELECT nodes.node, CAST(COALESCE(pern.tri, 0) AS BIGINT) AS tri
+        |FROM nodes LEFT JOIN pern USING (node) ORDER BY node""".stripMargin,
+    // BFS distances: three unrolled min-distance rounds over the same
+    // undirected entity adjacency as the label-prop oracle
+    "q_bfs_dist" ->
+      """WITH fwd AS (
+        |  SELECT 'nation:'||n_nationkey AS s, 'region:'||n_regionkey AS o FROM nation
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'nation:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'customer:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'order:'||l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'part:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'supplier:'||l_suppkey FROM lineitem
+        |), und AS (
+        |  SELECT DISTINCT s, o FROM (SELECT s, o FROM fwd UNION ALL SELECT o, s FROM fwd)
+        |), d0 AS (
+        |  SELECT node, CAST(0 AS BIGINT) AS dist
+        |  FROM (SELECT DISTINCT s AS node FROM und) WHERE node IN ('region:0', 'region:1')
+        |), d1 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |    SELECT und.o AS node, 1 AS dist FROM und JOIN d0 ON und.s = d0.node
+        |    UNION ALL SELECT node, dist FROM d0) GROUP BY node
+        |), d2 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |    SELECT und.o AS node, 2 AS dist FROM und JOIN d1 ON und.s = d1.node
+        |    UNION ALL SELECT node, dist FROM d1) GROUP BY node
+        |), d3 AS (SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+        |    SELECT und.o AS node, 3 AS dist FROM und JOIN d2 ON und.s = d2.node
+        |    UNION ALL SELECT node, dist FROM d2) GROUP BY node
+        |)
+        |SELECT node, dist FROM d3 ORDER BY node""".stripMargin,
     // PageRank: the oracle replays the fixed-point recursion exactly —
     // integer-pico contribution sums make every float op deterministic
     "q_pagerank" ->

@@ -160,4 +160,99 @@ object GraphOps {
     }
     pins.seal(out)
   }
+
+  /** Exact per-node triangle counts via the degree-ordered wedge join
+    * ("compact-forward"): every undirected edge is directed from its
+    * lower-(degree, id) endpoint to the higher one, wedges form only at
+    * each edge's LOW endpoint, and a wedge closes by one equi-join
+    * against the canonical edge set. Wedge fan-out per node is bounded
+    * by O(√|E|) regardless of degree skew — the hub that breaks the
+    * naive neighbor self-join (a 10⁶-degree node would contribute 10¹²
+    * wedges) contributes none here, because hubs sort HIGH in the
+    * ordering and high endpoints never originate wedges. Three shuffles
+    * total (degree agg, wedge join, closing join); no iteration.
+    *
+    * Input: any (s, o) edge relation — direction, duplicates, and
+    * self-loops are ignored. Output: (node, tri) for every node with at
+    * least one edge, tri = number of distinct triangles through it.
+    * Pure order comparisons and integer counts, so a SQL oracle replays
+    * it exactly on either strings or encoded longs.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val pins = new graft.Pins
+    // canonical undirected edge set (a < b), the relation every later
+    // stage joins against — pinned once
+    val cano = pins.pin(
+      edges.select(least(col("s"), col("o")).as("a"),
+          greatest(col("s"), col("o")).as("b"))
+        .where(col("a") =!= col("b") && col("a").isNotNull && col("b").isNotNull)
+        .distinct())
+    val deg = cano.select(col("a").as("node"))
+      .unionAll(cano.select(col("b").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+    val withDeg = cano
+      .join(deg.select(col("node").as("a"), col("deg").as("dega")), Seq("a"))
+      .join(deg.select(col("node").as("b"), col("deg").as("degb")), Seq("b"))
+    val aIsLow = col("dega") < col("degb") ||
+      (col("dega") === col("degb") && col("a") < col("b"))
+    val directed = pins.pin(withDeg.select(
+      when(aIsLow, col("a")).otherwise(col("b")).as("lo"),
+      when(aIsLow, col("b")).otherwise(col("a")).as("hi")))
+    // wedges at the low endpoint; v1 < v2 picks each unordered pair once
+    val wedges = directed.select(col("lo"), col("hi").as("v1"))
+      .join(directed.select(col("lo"), col("hi").as("v2")), Seq("lo"))
+      .where(col("v1") < col("v2"))
+    // a wedge (lo; v1 < v2) closes iff {v1, v2} is a canonical edge
+    val tri = wedges.join(cano,
+      wedges("v1") === cano("a") && wedges("v2") === cano("b"))
+      .select(col("lo"), col("v1"), col("v2"))
+    val perNode = tri
+      .select(explode(array(col("lo"), col("v1"), col("v2"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("tri"))
+    pins.seal(deg.select(col("node"))
+      .join(perNode, Seq("node"), "left")
+      .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri")))
+  }
+
+  /** Minimum hop distance from a seed set, bounded at `rounds` hops —
+    * the DELTA-FRONTIER BFS: each round expands only the nodes first
+    * discovered in the previous round (one equi-join of the frontier
+    * against the pinned adjacency + one anti-join against the settled
+    * set), so total work is O(Σ|frontier_k| · d̄) — edges incident to
+    * settled nodes are never rescanned, unlike the min-aggregate
+    * relaxation (label-prop shape) which re-expands the whole reached
+    * set every round. Frontiers shrink to empty on exhausted components
+    * and the loop exits early (one bounded count per round).
+    *
+    * Output: (node, dist) for every node within `rounds` hops of any
+    * seed; unreachable nodes are absent. Deterministic — BFS layers are
+    * set-valued, no tie-breaking — so a SQL oracle replays it exactly.
+    */
+  def bfsDistances(rankedAdj: DataFrame, sources: DataFrame,
+                   rounds: Int): DataFrame = {
+    require(rounds >= 0, "need rounds >= 0")
+    val pins = new graft.Pins
+    val adj =
+      if (graft.Pins.isMaterialized(rankedAdj)) rankedAdj else pins.pin(rankedAdj)
+    var dist = pins.pin(
+      sources.select(col(sources.columns.head).as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var frontier = dist.select(col("node"))
+    var k = 1
+    var exhausted = false
+    while (k <= rounds && !exhausted) {
+      val discovered = pins.pin(
+        adj.join(frontier, adj("s") === frontier("node"))
+          .select(adj("o").as("node")).distinct()
+          .join(dist.select(col("node")), Seq("node"), "left_anti")
+          .withColumn("dist", lit(k.toLong)))
+      if (discovered.isEmpty) exhausted = true
+      else {
+        dist = pins.pin(dist.unionAll(discovered))
+        frontier = discovered.select(col("node"))
+      }
+      k += 1
+    }
+    pins.seal(dist)
+  }
 }

@@ -153,6 +153,28 @@ object TripleStore {
       .write.mode("overwrite").text(path)
   }
 
+  /** Parse Turtle documents into (s, p, o) term strings. Turtle is NOT
+    * line-splittable (prefix state, multi-line statements), so the unit
+    * of parallelism is the FILE: `wholetext` read (one row per file, one
+    * task per file), `Turtle.parse` running executor-side. A sharded
+    * corpus — the normal layout at scale — parses with full parallelism;
+    * one giant .ttl is the documented anti-pattern (convert to
+    * N-Triples, which splits per line). Blank labels skolemize under an
+    * 8-hex-digit per-FILE scope so labels from different files never
+    * collide — `skolemize` discipline, applied at parse time.
+    */
+  def parseTurtle(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val scope = f"${util.hashing.MurmurHash3.stringHash(f) & 0xffffffffL}%08x"
+        Turtle.parse(content, scope)
+      }
+      .toDF("s", "p", "o")
+  }
+
   /** Parse N-Quads text lines into (s, p, o, g) term strings — the quad
     * analog of `parseNTriples` (public N-Quads 1.1 grammar): an optional
     * fourth graph-label term before the terminating dot. Lines without

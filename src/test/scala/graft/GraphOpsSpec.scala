@@ -143,4 +143,68 @@ class GraphOpsSpec extends SparkSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
     }
   }
+
+  "triangleCounts" should "match brute-force enumeration on a seeded random graph" in {
+    // deterministic pseudo-random graph over 24 nodes: edge (i, j) iff
+    // md5-ish hash parity — dense enough for many triangles, skewed
+    // degrees, self-contained
+    val n = 24
+    val pairs = for {
+      i <- 0 until n; j <- i + 1 until n
+      if ((i * 31 + j * 17 + (i * j) % 7) % 3) == 0
+    } yield (f"n$i%02d", f"n$j%02d")
+    // feed DUPLICATED and reversed edges: the op must canonicalize
+    val messy = pairs ++ pairs.map(_.swap) ++ pairs.take(5)
+    val got = GraphOps.triangleCounts(messy.toDF("s", "o"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute force: every closed 3-subset
+    val es = pairs.toSet
+    def adj(a: String, b: String) =
+      es.contains((a, b)) || es.contains((b, a))
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val triPerNode = scala.collection.mutable.Map[String, Long]()
+      .withDefaultValue(0L)
+    for {
+      a <- nodes; b <- nodes if a < b && adj(a, b)
+      c <- nodes if b < c && adj(b, c) && adj(a, c)
+    } { triPerNode(a) += 1; triPerNode(b) += 1; triPerNode(c) += 1 }
+    val total = triPerNode.values.sum / 3
+    total should be > 10L // the fixture actually has triangles
+    got.keySet shouldBe nodes.toSet
+    nodes.foreach(v => got(v) shouldBe triPerNode(v))
+  }
+
+  it should "count zero on a triangle-free graph and 1-per-node on a triangle" in {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("s", "o")
+    GraphOps.triangleCounts(path).collect()
+      .map(r => r.getLong(1)).toSet shouldBe Set(0L)
+    val tri = Seq(("a", "b"), ("b", "c"), ("a", "c")).toDF("s", "o")
+    GraphOps.triangleCounts(tri).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap shouldBe
+      Map("a" -> 1L, "b" -> 1L, "c" -> 1L)
+  }
+
+  "bfsDistances" should "compute exact hop distances and stop at the round bound" in {
+    // chain a-b-c-d-e plus a shortcut a-d: dist(d)=1 via the shortcut
+    val chain = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("a", "d"))
+    val und = chain ++ chain.map(_.swap)
+    val adj = GraphOps.rankedAdjacency(und.toDF("s", "o"))
+    val d2 = GraphOps.bfsDistances(adj, Seq("a").toDF("n"), rounds = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d2 shouldBe Map("a" -> 0L, "b" -> 1L, "d" -> 1L, "c" -> 2L, "e" -> 2L)
+    // bound 1: only the immediate neighborhood
+    val d1 = GraphOps.bfsDistances(adj, Seq("a").toDF("n"), rounds = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d1 shouldBe Map("a" -> 0L, "b" -> 1L, "d" -> 1L)
+  }
+
+  it should "take the minimum over a multi-source seed set and exit early" in {
+    // two components; seeds in both; rounds beyond the diameter exit
+    // early on the empty frontier instead of running all 10
+    val comp = Seq(("a", "b"), ("b", "a"), ("x", "y"), ("y", "x"))
+    val adj = GraphOps.rankedAdjacency(comp.toDF("s", "o"))
+    val d = GraphOps.bfsDistances(adj, Seq("a", "y").toDF("n"), rounds = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    d shouldBe Map("a" -> 0L, "b" -> 1L, "y" -> 0L, "x" -> 1L)
+  }
 }
