@@ -1405,6 +1405,28 @@ object SparkEntry {
         |  VALUES ?nm { "ASIA" "EUROPE" }
         |} ORDER BY ?n""".stripMargin)
 
+  /** SPARQL 1.1 Federated Query: the region-name relation registered as
+    * a separate SERVICE endpoint, joined into a nation pattern — a
+    * federated join over co-resident datasets is a plain distributed
+    * join here (no per-solution endpoint round-trips). The second,
+    * SILENT block hits an unregistered endpoint and degrades to the
+    * unit solution, leaving results unchanged (§SERVICE SILENT).
+    */
+  private def sparqlServiceQ(s: SparkSession, d: String): DataFrame = {
+    val ep = t(s, d, "region").select(
+      concat(lit("region:"), col("r_regionkey")).as("s"),
+      lit("rname").as("p"),
+      col("r_name").as("o"))
+    graft.sparql.Sparql.registerEndpoint(s, "graft://endpoints/region", ep)
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?n ?nm ?rn WHERE {
+        |  ?n a "Nation" ; :name ?nm ; :regionkey ?r .
+        |  SERVICE <graft://endpoints/region> { ?r :rname ?rn }
+        |  SERVICE SILENT <graft://endpoints/missing> { ?r :nope ?x }
+        |} ORDER BY ?n""".stripMargin)
+  }
+
   /** SPARQL DISTINCT + ORDER + LIMIT (top-k plan via Catalyst). */
   private def sparqlTopk(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -2029,6 +2051,7 @@ object SparkEntry {
     "q_bfs_dist" -> (bfsDistQ _),
     "q_turtle_load" -> (turtleLoadQ _),
     "q_sparql_values" -> (sparqlValues _),
+    "q_sparql_service" -> (sparqlServiceQ _),
     "q_sparql_graph" -> (sparqlGraphQ _),
     "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
     "q_quad_modify" -> (quadModifyQ _),
@@ -3128,6 +3151,11 @@ object SparkEntry {
     "q_sparql_values" ->
       """SELECT 'region:' || r_regionkey AS n, r_name AS nm FROM region
         |WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY n""".stripMargin,
+    // SERVICE: the federated join is nation ⋈ region on the region key
+    "q_sparql_service" ->
+      """SELECT 'nation:' || n_nationkey AS n, n_name AS nm, r_name AS rn
+        |FROM nation JOIN region ON r_regionkey = n_regionkey
+        |ORDER BY n""".stripMargin,
     "q_sparql_bind" ->
       """SELECT 'part:' || p_partkey AS p, 'sz-' || p_size AS label
         |FROM part ORDER BY p""".stripMargin,

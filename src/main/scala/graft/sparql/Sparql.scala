@@ -98,7 +98,11 @@ object Sparql {
                          // GRAPH ?g { .. } / GRAPH <iri> { .. } blocks —
                          // matched against the NAMED part of a quad
                          // dataset (executeQuads)
-                         graphs: Seq[(Term, Group)] = Seq.empty)
+                         graphs: Seq[(Term, Group)] = Seq.empty,
+                         // SERVICE [SILENT] <iri> { .. } blocks (§SPARQL
+                         // 1.1 Federated Query): evaluated against a
+                         // REGISTERED endpoint relation (registerEndpoint)
+                         services: Seq[(String, Group, Boolean)] = Seq.empty)
 
   /** Property-path algebra (SPARQL 1.1 §9; the reference gets these from
     * ARQ). Compiled to (s, o) relations over the edge table.
@@ -1245,6 +1249,7 @@ object Sparql {
     var existsFilters = Seq.empty[(Group, Boolean)]
     var graphs = Seq.empty[(Term, Group)]
     var valuesMulti = Seq.empty[(Seq[String], Seq[Seq[String]])]
+    var services = Seq.empty[(String, Group, Boolean)]
     while (!p.trySym("}")) {
       p.peek match {
         case Some(t) if p.isKw(t, "OPTIONAL") =>
@@ -1263,6 +1268,17 @@ object Sparql {
             case c: C => c
           }
           graphs :+= (gterm -> parseGroup(p, prefixes))
+        case Some(t) if p.isKw(t, "SERVICE") =>
+          p.pos += 1
+          val silent = p.tryKw("SILENT")
+          val ep = parseTerm(p, prefixes) match {
+            case C(iri: String) => iri
+            case _: V => p.fail("SERVICE needs a constant endpoint IRI " +
+              "(variable endpoints are not supported — register each " +
+              "endpoint and name it explicitly)")
+            case x => p.fail(s"SERVICE needs an IRI, got $x")
+          }
+          services :+= ((ep, parseGroup(p, prefixes), silent))
         case Some(t) if p.isKw(t, "BIND") =>
           p.pos += 1
           p.eatSym("(")
@@ -1376,7 +1392,8 @@ object Sparql {
       }
     }
     Group(triples, filters, optionals, unions, minuses, values, paths,
-      binds, subqueries, subgroups, existsFilters, valuesMulti, graphs)
+      binds, subqueries, subgroups, existsFilters, valuesMulti, graphs,
+      services)
   }
 
   /** Some(edge names) iff the path is a pure `|`-alternation of forward
@@ -1727,6 +1744,31 @@ object Sparql {
   private def stringEnv(spark: SparkSession, triples: DataFrame,
                         stats: Map[String, PredStats]): Env =
     Env(spark, triples, stats, 1000000L, None)
+
+  /** SPARQL 1.1 Federated Query endpoint registry: `SERVICE <iri>`
+    * evaluates against the triple relation registered here under that
+    * IRI — federation over co-resident datasets (the lakehouse layout,
+    * where every "endpoint" is a table the cluster can scan) instead of
+    * per-solution HTTP round-trips, so a federated join is a plain
+    * distributed join. Keyed per SparkSession so concurrent sessions
+    * and tests don't bleed into each other; entries for stopped
+    * sessions are dropped on the next registration.
+    */
+  private val endpointReg =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  def registerEndpoint(spark: SparkSession, iri: String,
+                       triples: DataFrame): Unit = {
+    val it = endpointReg.keySet.iterator
+    while (it.hasNext) { val k = it.next(); if (k._1.sparkContext.isStopped) it.remove() }
+    endpointReg.put((spark, iri), triples)
+  }
+
+  def unregisterEndpoint(spark: SparkSession, iri: String): Unit =
+    endpointReg.remove((spark, iri))
+
+  private def lookupEndpoint(spark: SparkSession, iri: String): Option[DataFrame] =
+    Option(endpointReg.get((spark, iri)))
 
   /** Encoded mode: join shadow string columns (`__str_<v>`) for the
     * id-typed vars an expression inspects; returns the decorated frame,
@@ -2081,6 +2123,7 @@ object Sparql {
     val q = qRaw.copy(group = flattenPlainSubgroups(qRaw.group))
     require(
       q.group.subgroups.isEmpty && q.group.graphs.isEmpty &&
+      q.group.services.isEmpty &&
       q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
@@ -2600,6 +2643,30 @@ object Sparql {
     // nested plain groups and subqueries join on shared variables
     g.subgroups.foreach(sg => joinIn(compileGroup(env, sg)))
     g.subqueries.foreach(sq => joinIn(compileQuery(env, sq)))
+    // SERVICE blocks evaluate the inner group (full algebra, recursive)
+    // against the REGISTERED endpoint relation, then join on shared vars
+    // — federation over co-resident datasets is just another join, with
+    // no per-solution endpoint round-trips (the bound-join pathology of
+    // HTTP federation). Endpoint dictionaries are independent, so this
+    // runs on the string path; the encoded path rejects with a pointer.
+    g.services.foreach { case (iri, inner, silent) =>
+      require(env.enc.isEmpty,
+        "SERVICE is supported on the string path (Sparql.execute / " +
+          "executeQuads) — endpoint dictionaries are independent of the " +
+          "store's")
+      lookupEndpoint(env.spark, iri) match {
+        case Some(remote) =>
+          joinIn(compileGroup(stringEnv(env.spark, remote, Map.empty), inner))
+        case None if silent =>
+          // SILENT on an unreachable endpoint: the unit solution —
+          // join-identity, outer solutions pass through unchanged
+          ()
+        case None => throw new IllegalArgumentException(
+          s"SERVICE endpoint not registered: <$iri> — call " +
+            "Sparql.registerEndpoint(spark, iri, triples) first " +
+            "(or use SERVICE SILENT)")
+      }
+    }
     // GRAPH blocks match the NAMED part of the quad dataset
     g.graphs.foreach { case (gterm, inner) =>
       joinIn(compileGraphBlock(env, gterm, inner))

@@ -1,0 +1,100 @@
+package graft
+
+import graft.sparql.Sparql
+import graft.store.GraftStore
+
+/** SPARQL 1.1 Federated Query (SERVICE) over registered co-resident
+  * endpoint relations: the federated join is a plain distributed join,
+  * with SILENT degradation and full algebra inside the block.
+  */
+class FederationSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val local = Seq(
+    ("p1", "worksAt", "org1"), ("p2", "worksAt", "org2"),
+    ("p3", "worksAt", "org9"), // org9 absent from the endpoint
+    ("p1", "name", "\"ann\""), ("p2", "name", "\"bo\""),
+    ("p3", "name", "\"cy\"")
+  ).toDF("s", "p", "o")
+
+  lazy val remote = Seq(
+    ("org1", "label", "\"Acme\""), ("org2", "label", "\"Globex\""),
+    ("org2", "city", "\"Berlin\"")
+  ).toDF("s", "p", "o")
+
+  def run(q: String): Seq[Seq[String]] =
+    Sparql.execute(spark, local, q).collect()
+      .map(r => (0 until r.length).map(i => if (r.isNullAt(i)) null else r.getString(i)))
+      .toSeq
+
+  "SERVICE" should "join the inner group against the registered endpoint" in {
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?p ?l WHERE {
+        |  ?p :worksAt ?o .
+        |  SERVICE <graft://orgs> { ?o :label ?l }
+        |} ORDER BY ?p""".stripMargin)
+    res shouldBe Seq(Seq("p1", "\"Acme\""), Seq("p2", "\"Globex\""))
+  }
+
+  it should "support full algebra inside the block (OPTIONAL + FILTER)" in {
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?p ?l ?c WHERE {
+        |  ?p :worksAt ?o .
+        |  SERVICE <graft://orgs> {
+        |    ?o :label ?l .
+        |    OPTIONAL { ?o :city ?c }
+        |    FILTER (STRLEN(?l) > 0)
+        |  }
+        |} ORDER BY ?p""".stripMargin)
+    res shouldBe Seq(
+      Seq("p1", "\"Acme\"", null),
+      Seq("p2", "\"Globex\"", "\"Berlin\""))
+  }
+
+  it should "treat SILENT on an unregistered endpoint as the unit solution" in {
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?p WHERE {
+        |  ?p :worksAt ?o .
+        |  SERVICE SILENT <graft://nowhere> { ?o :label ?l }
+        |} ORDER BY ?p""".stripMargin)
+    res shouldBe Seq(Seq("p1"), Seq("p2"), Seq("p3"))
+  }
+
+  it should "error clearly on an unregistered endpoint without SILENT" in {
+    val e = intercept[IllegalArgumentException] {
+      run(
+        """PREFIX : <>
+          |SELECT ?p WHERE {
+          |  ?p :worksAt ?o .
+          |  SERVICE <graft://nowhere> { ?o :label ?l }
+          |}""".stripMargin)
+    }
+    e.getMessage should include("registerEndpoint")
+  }
+
+  it should "reject variable endpoints at parse time" in {
+    val e = intercept[Exception] {
+      run("PREFIX : <>\nSELECT ?p WHERE { SERVICE ?ep { ?s ?p ?o } }")
+    }
+    e.getMessage.toLowerCase should include("endpoint")
+  }
+
+  it should "reject SERVICE on the encoded path with a pointer to execute" in {
+    val st = GraftStore.ingestTriples(spark, local)
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    val e = intercept[IllegalArgumentException] {
+      Sparql.executeEncoded(spark, st,
+        """PREFIX : <>
+          |SELECT ?p ?l WHERE {
+          |  ?p :worksAt ?o .
+          |  SERVICE <graft://orgs> { ?o :label ?l }
+          |}""".stripMargin).collect()
+    }
+    e.getMessage should include("string path")
+  }
+}
