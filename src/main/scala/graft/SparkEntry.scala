@@ -750,6 +750,26 @@ object SparkEntry {
     DedupOps.clusters(s, GraftStore.docDupPairs(s, d, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** Canonical-document selection: within each near-dup cluster keep the
+    * HIGHEST-QUALITY member (ties → smallest doc_id) — the
+    * canonicalization step after pair mining + connected components,
+    * where min-id keep would throw away the best copy. One equi-join of
+    * the (tiny) cluster assignment against the corpus + one
+    * cluster-partitioned window; the corpus never self-joins.
+    */
+  private def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val cl = DedupOps.clusters(s, GraftStore.docDupPairs(s, d, threshold = 0.5))
+    val scored = Tables.loadPar(s, d, "documents").join(cl, Seq("doc_id"))
+      .select(col("cluster"), col("doc_id"),
+        TextOps.qualityScore(col("text")).as("quality"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("quality").desc, col("doc_id").asc)
+    scored.withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("cluster"), col("doc_id").as("keep_id"), col("quality"))
+      .orderBy("cluster")
+  }
+
   // ---- Training-data pipeline: similarity search ----------------------
 
   /** Brute-force cosine top-5 for query vectors (the ANN baseline). */
@@ -2008,6 +2028,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_dedup_embed" -> (dedupEmbed _),
     "q_corpus_clean" -> (corpusClean _),
     "q_source_stats" -> (sourceStats _),
@@ -2754,6 +2775,34 @@ object SparkEntry {
         |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.d)
         |SELECT d AS doc_id, min(r) AS cluster FROM reach
         |GROUP BY d ORDER BY doc_id""".stripMargin),
+    // keep-best canonicalization: clusters (recursive reach) joined to
+    // the replayed quality score, argmax per cluster by (quality desc,
+    // doc_id asc)
+    "q_dedup_keep_best" -> ("WITH RECURSIVE " + gramPairsCteBody + """,
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p WHERE jaccard >= 0.5),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS d FROM und),
+        |reach(d, r) AS (
+        |  SELECT d, d FROM nodes
+        |  UNION
+        |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.d),
+        |cl AS (SELECT d AS doc_id, min(r) AS cluster FROM reach GROUP BY d),
+        |q AS (
+        |  SELECT doc_id,
+        |    floor((
+        |        least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
+        |          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
+        |      + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
+        |          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
+        |    ) / 3.0 * 10000.0 + 0.5) / 10000.0 AS quality
+        |  FROM documents),
+        |best AS (
+        |  SELECT cluster, doc_id AS keep_id, quality,
+        |    row_number() OVER (PARTITION BY cluster ORDER BY quality DESC, doc_id) AS rk
+        |  FROM cl JOIN q USING (doc_id))
+        |SELECT cluster, keep_id, quality FROM best WHERE rk = 1
+        |ORDER BY cluster""".stripMargin),
     "q_dedup_simhash" -> simhashOracleSql,
     "q_corpus_clean" -> (gramPairsCte + """,
         |fpx AS (
