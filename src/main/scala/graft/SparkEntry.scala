@@ -1306,13 +1306,26 @@ object SparkEntry {
     */
   private def trianglesQ(s: SparkSession, d: String): DataFrame = {
     val li = t(s, d, "lineitem")
-    val pk = concat(lit("part:"), col("l_partkey"))
-    val sk = concat(lit("supplier:"), col("l_suppkey"))
-    val ok = concat(lit("order:"), col("l_orderkey"))
+    // count on ENCODED long node ids (entity-type tag in the low 2 bits)
+    // so every shuffle moves fixed-width longs, and decode once at the
+    // top — the encoded-iteration discipline of the other graph gates.
+    // The long↔string map is a graph isomorphism, so per-node triangle
+    // counts are unchanged (orientation tie-breaks may differ; counts
+    // are exact under any orientation).
+    val pk = col("l_partkey").cast("long") * 4
+    val sk = col("l_suppkey").cast("long") * 4 + 1
+    val ok = col("l_orderkey").cast("long") * 4 + 2
     val edges = li.select(pk.as("s"), sk.as("o"))
       .unionAll(li.select(sk.as("s"), ok.as("o")))
       .unionAll(li.select(ok.as("s"), pk.as("o")))
-    graft.ops.GraphOps.triangleCounts(edges).orderBy("node")
+    graft.ops.GraphOps.triangleCounts(edges)
+      .select(
+        concat(
+          element_at(array(lit("part:"), lit("supplier:"), lit("order:")),
+            (pmod(col("node"), lit(4)) + 1).cast("int")),
+          floor(col("node") / 4).cast("long")).as("node"),
+        col("tri"))
+      .orderBy("node")
   }
 
   /** Turtle loader end-to-end: nation rendered as Turtle (prefixes, `a`,
