@@ -1147,6 +1147,18 @@ object GraftStore {
         TripleStore.parseNTriples(spark, path)))).value
   }
 
+  /** Certified store over Turtle files — the `forNTriples` analog for the
+    * format most published RDF ships in (`TripleStore.parseTurtle`:
+    * per-FILE parallel parse, per-file blank-node scopes). Cached per
+    * (session, path) like every ingest artifact.
+    */
+  def forTurtle(spark: SparkSession, path: String): StoreHandle = {
+    evictStopped()
+    ntCache.getOrElseUpdate((spark, "ttl:" + path),
+      new Lazily(ingestTriples(spark,
+        TripleStore.parseTurtle(spark, path)))).value
+  }
+
   /** Test hook: drop cached handles (e.g. between suites). */
   def invalidate(): Unit = {
     cache.clear(); gramCache.clear(); pairCache.clear()

@@ -77,6 +77,22 @@ class FederationSpec extends SparkSpec {
     e.getMessage should include("registerEndpoint")
   }
 
+  it should "compose with quad datasets (SERVICE beside a GRAPH block)" in {
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    val quads = Seq(
+      ("p1", "worksAt", "org1", "urn:gA"),
+      ("p2", "worksAt", "org2", "urn:gB")
+    ).toDF("s", "p", "o", "g")
+    val res = Sparql.executeQuads(spark, quads,
+      """PREFIX : <>
+        |SELECT ?p ?l WHERE {
+        |  GRAPH <urn:gA> { ?p :worksAt ?o }
+        |  SERVICE <graft://orgs> { ?o :label ?l }
+        |} ORDER BY ?p""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    res shouldBe Array(("p1", "\"Acme\""))
+  }
+
   it should "reject variable endpoints at parse time" in {
     val e = intercept[Exception] {
       run("PREFIX : <>\nSELECT ?p WHERE { SERVICE ?ep { ?s ?p ?o } }")

@@ -122,6 +122,23 @@ class TurtleSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  "GraftStore.forTurtle" should "serve SPARQL over a Turtle-ingested certified store" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ttl3")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("g.ttl"),
+        """@prefix : <urn:g:> .
+          |:alice :knows :bob ; :age 31 .
+          |:bob :knows :carol .
+          |""".stripMargin)
+      val st = graft.store.GraftStore.forTurtle(spark, dir.toString + "/*.ttl")
+      val res = graft.sparql.Sparql.executeEncoded(spark, st,
+        """PREFIX : <urn:g:>
+          |SELECT ?x ?z WHERE { ?x :knows ?y . ?y :knows ?z }""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      res shouldBe Array(("urn:g:alice", "urn:g:carol"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   it should "agree with parseNTriples on equivalent content" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-ttl2")
     try {
