@@ -496,6 +496,33 @@ object SparkEntry {
       .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "split")
 
+  /** Leakage-guarded train/val split: the deterministic fingerprint
+    * split (q_train_split's rule), then any VAL doc that near-duplicates
+    * a TRAIN doc is DROPPED — near-dup pairs crossing the split boundary
+    * are eval contamination (the benchmark-inflation failure mode
+    * n-gram decontamination checks for external eval sets; this is the
+    * same guard applied to the corpus' own held-out split). The pair
+    * relation is the shared mined artifact (tiny vs the corpus), so the
+    * guard is one broadcast-scale join + one anti-join.
+    */
+  private def splitLeakFreeQ(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.loadPar(s, d, "documents")
+      .select(col("doc_id"),
+        when(TextOps.fingerprint(col("text")) % 100 < 90, "train")
+          .otherwise("val").as("split"))
+    val pairs = GraftStore.docDupPairs(s, d, threshold = 0.5)
+    val und = pairs.select(col("doc_a").as("x"), col("doc_b").as("y"))
+      .unionAll(pairs.select(col("doc_b").as("x"), col("doc_a").as("y")))
+    val trainIds = docs.where(col("split") === "train")
+      .select(col("doc_id").as("y"))
+    val leaky = und.join(trainIds, Seq("y"))
+      .select(col("x").as("doc_id")).distinct()
+    docs.where(col("split") === "train")
+      .unionAll(docs.where(col("split") === "val")
+        .join(leaky, Seq("doc_id"), "left_anti"))
+      .orderBy("doc_id")
+  }
+
   /** Greedy sequence packing: documents in doc_id order fill 2048-token
     * context windows per source; bin = running-token-count div 2048 (the
     * cumulative-sum approximation of offline packing). One window per
@@ -2042,6 +2069,7 @@ object SparkEntry {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
+    "q_split_leakfree" -> (splitLeakFreeQ _),
     "q_dedup_embed" -> (dedupEmbed _),
     "q_corpus_clean" -> (corpusClean _),
     "q_source_stats" -> (sourceStats _),
@@ -3644,6 +3672,32 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_test_matches, max(jaccard) AS max_jaccard
         |FROM p WHERE jaccard >= 0.4
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // leakage-guarded split: fingerprint split + drop val docs near-dup
+    // to any train doc (pair CTE shared with the dedup oracles)
+    "q_split_leakfree" -> (gramPairsCte + """,
+        |fpd AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(
+        |          list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS f
+        |  FROM documents),
+        |sp AS (
+        |  SELECT doc_id, CASE WHEN f % 100 < 90 THEN 'train' ELSE 'val' END AS split
+        |  FROM fpd),
+        |undp AS (
+        |  SELECT doc_a AS x, doc_b AS y FROM p WHERE jaccard >= 0.5
+        |  UNION ALL SELECT doc_b, doc_a FROM p WHERE jaccard >= 0.5),
+        |leaky AS (
+        |  SELECT DISTINCT undp.x AS doc_id FROM undp
+        |  JOIN sp ON sp.doc_id = undp.y AND sp.split = 'train')
+        |SELECT doc_id, split FROM sp WHERE split = 'train'
+        |UNION ALL
+        |SELECT sp.doc_id, sp.split FROM sp
+        |WHERE split = 'val' AND sp.doc_id NOT IN (SELECT doc_id FROM leaky)
+        |ORDER BY doc_id""".stripMargin),
     "q_train_split" ->
       """WITH fp AS (
         |  SELECT source,
