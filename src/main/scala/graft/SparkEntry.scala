@@ -910,6 +910,23 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** REAL image-transform pipeline over the genuine PNG fixtures:
+    * decode → nearest-neighbor scale-to-fit-16 → PNG re-encode → decode
+    * the artifact again. The oracle pins the exact target-dim arithmetic
+    * and the round-trip dims (proof the re-encode produced a real PNG);
+    * encoder byte counts stay OUT of the oracle (zlib settings may vary
+    * across JDKs) and are spec-asserted instead.
+    */
+  private def mediaThumb(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.ops.MediaOps.thumbnails(
+        s.createDataset(graft.ops.MediaOps.pngFixtures), maxDim = 16)
+      .toDF()
+      .select(col("media_id"), col("w"), col("h"), col("tw"), col("th"),
+        col("thumb_is_png"), col("rt_w"), col("rt_h"))
+      .orderBy("media_id")
+  }
+
   /** Frame sampling over the binary payload: fixed-offset windows, hex'd
     * (the video-frame-sample access pattern on an opaque byte column).
     */
@@ -2081,6 +2098,7 @@ object SparkEntry {
     "q_ann_lsh" -> (annLshQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_audio" -> (mediaAudio _),
+    "q_media_thumb" -> (mediaThumb _),
     "q_media_frames" -> (mediaFrames _),
     "q_results_csv" -> (resultsCsvQ _),
     "q_results_tsv" -> (resultsTsvQ _),
@@ -3479,6 +3497,14 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT -2::BIGINT, 'png', 108, 5, 7, 3482111590::BIGINT
         |) ORDER BY media_id""".stripMargin,
+    // thumbnail transform: target dims are round(dim·16/max(w,h)), and
+    // the round-trip decode of the re-encoded PNG must read them back
+    "q_media_thumb" ->
+      """SELECT * FROM (VALUES
+        |  (CAST(-2 AS BIGINT), 5, 7, 11, 16, TRUE, 11, 16),
+        |  (CAST(-1 AS BIGINT), 3, 2, 16, 11, TRUE, 16, 11))
+        |AS t(media_id, w, h, tw, th, thumb_is_png, rt_w, rt_h)
+        |ORDER BY media_id""".stripMargin,
     // stub audio headers replay off the checksum; the two genuine WAV
     // fixtures pin the REAL RIFF-parse results as constants
     "q_media_audio" ->

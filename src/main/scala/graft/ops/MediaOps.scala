@@ -17,6 +17,10 @@ final case class AudioMeta(media_id: Long, kind: String, byte_len: Int,
                            sample_rate: Int, channels: Int, bits: Int,
                            n_frames: Long, duration_ms: Long, checksum: Long)
 
+final case class MediaThumb(media_id: Long, w: Int, h: Int,
+                            tw: Int, th: Int, thumb_bytes: Int,
+                            thumb_is_png: Boolean, rt_w: Int, rt_h: Int)
+
 /** Multimodal-column plumbing. PNG/JPEG payloads take a REAL decode
   * (`javax.imageio`, JDK-only — no new dependencies); any other payload
   * falls back to `decodeStub`, the deterministic fake that stands in for
@@ -91,6 +95,50 @@ object MediaOps {
         batch.iterator.map { m =>
           val (kind, w, h) = decode(m.kind, m.bytes)
           MediaMeta(m.media_id, kind, m.bytes.length, w, h, byteChecksum(m.bytes))
+        }
+      }
+    }
+  }
+
+  /** REAL image transform pass, JDK-only end to end: decode
+    * (`javax.imageio`) → scale to fit `maxDim` (nearest-neighbor — an
+    * integer source-pixel mapping, deterministic across JVMs, unlike
+    * area-averaging filters) → re-encode PNG → decode the artifact AGAIN
+    * to verify it round-trips. Non-image payloads drop out (a thumbnail
+    * of a stub is undefined). Same per-partition, shuffle-free batch
+    * boundary as `extractMeta`; target dims are the exact arithmetic
+    * `round(dim · maxDim / max(w, h))` an oracle can pin.
+    */
+  def thumbnails(ds: Dataset[MediaFile], maxDim: Int): Dataset[MediaThumb] = {
+    import ds.sparkSession.implicits._
+    require(maxDim >= 1, "need maxDim >= 1")
+    ds.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { m =>
+        val decoded =
+          if (!isPng(m.bytes) && !isJpeg(m.bytes)) None
+          else Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.bytes)))
+        decoded.map { img =>
+          val (w, h) = (img.getWidth, img.getHeight)
+          val s = maxDim.toDouble / math.max(w, h)
+          val tw = math.max(1, math.round(w * s).toInt)
+          val th = math.max(1, math.round(h * s).toInt)
+          val out = new java.awt.image.BufferedImage(
+            tw, th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          g.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+          g.drawImage(img, 0, 0, tw, th, null)
+          g.dispose()
+          val baos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", baos)
+          val tb = baos.toByteArray
+          val rt = Option(javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(tb)))
+          MediaThumb(m.media_id, w, h, tw, th, tb.length, isPng(tb),
+            rt.map(_.getWidth).getOrElse(-1), rt.map(_.getHeight).getOrElse(-1))
         }
       }
     }

@@ -89,6 +89,32 @@ class MediaSpec extends SparkSpec {
     }
   }
 
+  "MediaOps.thumbnails" should "decode, scale, re-encode, and round-trip real PNGs" in {
+    val got = MediaOps.thumbnails(
+        spark.createDataset(MediaOps.pngFixtures), maxDim = 16)
+      .collect().sortBy(_.media_id)
+    got.map(t => (t.media_id, t.w, t.h, t.tw, t.th)) shouldBe
+      Array((-2L, 5, 7, 11, 16), (-1L, 3, 2, 16, 11))
+    // the artifact is a genuine PNG and decodes back to the target dims
+    got.foreach { t =>
+      t.thumb_is_png shouldBe true
+      (t.rt_w, t.rt_h) shouldBe (t.tw, t.th)
+      t.thumb_bytes should be > 0
+    }
+    // nearest-neighbor + fixed encoder settings: bit-stable across runs
+    val again = MediaOps.thumbnails(
+        spark.createDataset(MediaOps.pngFixtures), maxDim = 16)
+      .collect().sortBy(_.media_id)
+    again.map(_.thumb_bytes) shouldBe got.map(_.thumb_bytes)
+  }
+
+  it should "drop non-image payloads instead of faking a transform" in {
+    val mixed = MediaOps.pngFixtures :+
+      MediaFile(9L, "text", "not an image".getBytes)
+    MediaOps.thumbnails(spark.createDataset(mixed), maxDim = 8)
+      .collect().map(_.media_id).sorted shouldBe Array(-2L, -1L)
+  }
+
   it should "process in batches without shuffling" in {
     val many = (1L to 100L).map(i => MediaFile(i, "text", s"payload-$i".getBytes))
     val ds = spark.createDataset(many).repartition(4)
