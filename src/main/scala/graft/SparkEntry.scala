@@ -1276,6 +1276,19 @@ object SparkEntry {
         |} ORDER BY ?g ?s ?rk""".stripMargin)
   }
 
+  /** Non-closure property path under a VARIABLE graph target: the
+    * sequence-with-inverse `brand/^brand` (parts sharing part:1's brand)
+    * joins hop edges on (mid, graph) so the path never crosses graphs —
+    * no per-graph enumeration, the carried column does the confinement.
+    */
+  private def quadPathQ(s: SparkSession, d: String): DataFrame = {
+    graft.sparql.Sparql.executeQuads(s, GraftStore.quadDataset(s, d),
+      """PREFIX : <>
+        |SELECT ?g ?y WHERE {
+        |  GRAPH ?g { <part:1> :brand/^:brand ?y }
+        |} ORDER BY ?y""".stripMargin)
+  }
+
   /** Full algebra inside a CONSTANT GRAPH block: the named slice becomes
     * the active graph and the inner group recurses through the whole
     * compiler — here a property-path alternation.
@@ -2136,6 +2149,7 @@ object SparkEntry {
     "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
     "q_quad_modify" -> (quadModifyQ _),
     "q_quad_algebra" -> (quadAlgebraQ _),
+    "q_quad_path" -> (quadPathQ _),
     "q_quad_const_algebra" -> (quadConstAlgebraQ _),
     "q_quad_construct" -> (quadConstructQ _),
     "q_quad_describe" -> (quadDescribeQ _),
@@ -3215,6 +3229,11 @@ object SparkEntry {
         |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nationkey', 'nation:3'
         |    FROM supplier WHERE s_nationkey = 3
         |) ORDER BY s, p, o""".stripMargin,
+    // variable-graph path: brand/^brand within graph:part only
+    "q_quad_path" ->
+      """SELECT 'graph:part' AS g, 'part:' || p2.p_partkey AS y
+        |FROM part p1 JOIN part p2 ON p1.p_brand = p2.p_brand
+        |WHERE p1.p_partkey = 1 ORDER BY y""".stripMargin,
     "q_quad_algebra" ->
       """SELECT g, s, rk FROM (
         |  SELECT 'graph:nation' AS g, 'nation:' || n_nationkey AS s,

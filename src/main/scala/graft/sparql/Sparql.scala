@@ -2835,11 +2835,11 @@ object Sparql {
         val slice = quads.where(col("g") === v.toString).select("s", "p", "o")
         compileGroup(env.copy(triples = slice, stats = Map.empty), inner)
       case V(gv) =>
-        require(inner.paths.isEmpty && inner.subqueries.isEmpty &&
-          inner.graphs.isEmpty,
+        require(inner.subqueries.isEmpty && inner.graphs.isEmpty,
           "GRAPH ?var blocks support triple patterns, FILTER, BIND, " +
-            "OPTIONAL, UNION, MINUS, EXISTS and plain subgroups; property " +
-            "paths, subqueries and nested GRAPH need a constant graph")
+            "OPTIONAL, UNION, MINUS, EXISTS, non-closure property paths " +
+            "and plain subgroups; subqueries and nested GRAPH need a " +
+            "constant graph")
         var df: DataFrame =
           if (inner.triples.isEmpty) null
           else inner.triples.map(quadScan(quads, _, gv)).reduce { (l, r) =>
@@ -2865,6 +2865,26 @@ object Sparql {
         inner.valuesMulti.foreach { case (vars, rows) =>
           df = if (df == null) inlineRelation(env, vars, rows)
           else joinInlineData(env, df, vars, rows)
+        }
+        // non-closure property paths carry the graph column like any
+        // other scan: sequences join on (mid, g), alternation unions,
+        // inverse swaps — so the path stays confined to ONE graph without
+        // enumerating graphs. Closures (+ * ? {n,m}) would need a
+        // per-graph fixpoint and keep the constant-target requirement.
+        inner.paths.foreach { case (sT, pth, oT) =>
+          var rel = quadPathRel(quads, pth)
+          sT match { case C(v) => rel = rel.where(col("s") === v.toString); case _ => }
+          oT match { case C(v) => rel = rel.where(col("o") === v.toString); case _ => }
+          if (sT.isInstanceOf[V] && sT == oT)
+            rel = rel.where(col("s") === col("o"))
+          var sel = Seq(col("g").as(gv))
+          var seen = Map.empty[String, String]
+          Seq("s" -> sT, "o" -> oT).foreach {
+            case (c, V(n)) if !seen.contains(n) =>
+              seen += n -> c; sel :+= col(c).as(n)
+            case _ => ()
+          }
+          joinIn(rel.select(sel: _*))
         }
         require(df != null, "empty GRAPH block")
         inner.optionals.foreach { opt =>
@@ -3387,6 +3407,41 @@ object Sparql {
           env.spark.sparkContext.parallelize(extra.map(Row(_)), 1), schema))
       }
     withExtra.distinct().select(col("n").as("s"), col("n").as("o"))
+  }
+
+  /** Non-closure path over a QUAD relation → (s, o, g): the per-graph
+    * path algebra for `GRAPH ?var` blocks. Sequences join on (mid, g) so
+    * a multi-hop path never crosses graphs; alternation unions (bag
+    * semantics, like `pathRel`); inverse swaps endpoints within the
+    * graph. Closures reject — they would need a per-graph fixpoint.
+    */
+  private def quadPathRel(quads: DataFrame, p: Path): DataFrame = p match {
+    case PEdge(e) =>
+      quads.where(col("p") === e).select(col("s"), col("o"), col("g"))
+    case PNegSet(preds, invPreds) =>
+      val parts = Seq(
+        if (preds.nonEmpty || invPreds.isEmpty)
+          Some(quads.where(!col("p").isin(preds: _*))
+            .select(col("s"), col("o"), col("g")))
+        else None,
+        if (invPreds.nonEmpty)
+          Some(quads.where(!col("p").isin(invPreds: _*))
+            .select(col("o").as("s"), col("s").as("o"), col("g")))
+        else None).flatten
+      parts.reduce(_.unionAll(_))
+    case PInv(x) =>
+      quadPathRel(quads, x).select(col("o").as("s"), col("s").as("o"), col("g"))
+    case PSeq(l, r) =>
+      val lf = quadPathRel(quads, l)
+        .select(col("s"), col("o").as("__m"), col("g"))
+      val rf = quadPathRel(quads, r)
+        .select(col("s").as("__m"), col("o"), col("g"))
+      lf.join(rf, Seq("__m", "g")).select(col("s"), col("o"), col("g"))
+    case PAlt(l, r) =>
+      quadPathRel(quads, l).unionAll(quadPathRel(quads, r))
+    case other => throw new IllegalArgumentException(
+      s"property-path closures under GRAPH ?var need per-graph fixpoint " +
+        s"state — use a constant graph target (got: $other)")
   }
 
   /** Compile a path to an (s, o) relation. Non-closure operators keep bag

@@ -300,10 +300,10 @@ class QuadsSpec extends SparkSpec {
       Set(Seq("g2", "a"))
   }
 
-  it should "reject paths under a variable GRAPH with a clear error" in {
-    an[IllegalArgumentException] should be thrownBy
-      run("""PREFIX : <>
-            |SELECT ?g ?o WHERE { GRAPH ?g { <a> :p|:q ?o } }""".stripMargin)
+  it should "evaluate alternation from a bound subject under a variable GRAPH" in {
+    run("""PREFIX : <>
+          |SELECT ?g ?o WHERE { GRAPH ?g { <a> :p|:q ?o } }""".stripMargin) shouldBe
+      Set(Seq("g1", "1"), Seq("g1", "2"), Seq("g2", "9"))
   }
 
   // ---- ASK / CONSTRUCT / DESCRIBE over the quad dataset ----
@@ -351,5 +351,35 @@ class QuadsSpec extends SparkSpec {
     val triples = quads.where(col("g").isNull).select("s", "p", "o")
     an[IllegalArgumentException] should be thrownBy
       Sparql.describe(spark, triples, "DESCRIBE <x> FROM <g1>")
+  }
+
+  it should "evaluate non-closure property paths under a VARIABLE graph" in {
+    // two-hop chain lives entirely in g3; a cross-graph a->m / m->z pair
+    // (g1 then g2) must NOT match — the (mid, g) join confines the path
+    val chained = quads.unionByName(Seq(
+      ("a", "p", "m", "g3"), ("m", "p", "z", "g3"),
+      ("a", "p", "m", "g1"), ("m", "p", "z", "g2")
+    ).toDF("s", "p", "o", "g"))
+    Sparql.executeQuads(spark, chained,
+      """PREFIX : <>
+        |SELECT ?g ?x ?y WHERE { GRAPH ?g { ?x :p/:p ?y } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe Set(("g3", "a", "z"))
+    // alternation + inverse carry the graph column too
+    Sparql.executeQuads(spark, quads,
+      """PREFIX : <>
+        |SELECT ?g ?v WHERE { GRAPH ?g { "1" ^(:p|:q) ?v } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet shouldBe Set(("g1", "a"), ("g2", "b"))
+  }
+
+  it should "still reject closures under a variable graph, not a constant one" in {
+    an[IllegalArgumentException] should be thrownBy
+      run("""PREFIX : <>
+            |SELECT ?g ?x WHERE { GRAPH ?g { ?x :p+ ?y } }""".stripMargin)
+    // constant targets recurse through the full compiler, closures included
+    run("""PREFIX : <>
+          |SELECT ?x WHERE { GRAPH <g1> { ?x :p+ ?y } }""".stripMargin) shouldBe
+      Set(Seq("a"))
   }
 }
