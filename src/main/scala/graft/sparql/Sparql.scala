@@ -758,12 +758,17 @@ object Sparql {
     case UClear => graft.store.GraftStore.empty(spark)
     case UNoop => h
     case ULoad(src) =>
-      // LOAD <source>: distributed N-Triples parse + O(Δ) append. Blank
-      // labels skolemize per source (idempotent re-load, no cross-file
-      // label capture) — the loader's standing convention.
-      graft.store.GraftStore.append(spark, h,
-        graft.store.TripleStore.skolemize(
-          graft.store.TripleStore.parseNTriples(spark, src), src))
+      // LOAD <source>: distributed parse + O(Δ) append. Format by file
+      // extension: .ttl routes to the Turtle loader (which skolemizes
+      // per FILE already), everything else parses as N-Triples with
+      // per-SOURCE skolemization — both idempotent on re-load, no
+      // cross-file label capture (the loader's standing convention).
+      val parsed =
+        if (src.endsWith(".ttl"))
+          graft.store.TripleStore.parseTurtle(spark, src)
+        else graft.store.TripleStore.skolemize(
+          graft.store.TripleStore.parseNTriples(spark, src), src)
+      graft.store.GraftStore.append(spark, h, parsed)
     case UModify(del, ins, where) => applyModify(spark, h, del, ins, where)
     case g: UGround => // unreachable: the executor batches these
       throw new IllegalStateException(s"unbatched ground op $g")

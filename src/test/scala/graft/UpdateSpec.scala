@@ -146,6 +146,22 @@ class UpdateSpec extends SparkSpec {
     java.nio.file.Files.delete(f)
   }
 
+  it should "LOAD a Turtle file through the format-sniffing loader" in {
+    val f = java.nio.file.Files.createTempFile("graft-load", ".ttl")
+    java.nio.file.Files.writeString(f,
+      """@prefix x: <http://x/> .
+        |x:s2 a x:T ; x:p "v", 7 .
+        |""".stripMargin)
+    val h1 = Sparql.update(spark, mkStore, s"LOAD <${f.toString}>")
+    rows(h1) should contain(("http://x/s2",
+      "http://www.w3.org/1999/02/22-rdf-syntax-ns#type", "http://x/T"))
+    rows(h1) should contain(("http://x/s2", "http://x/p", "\"v\""))
+    rows(h1) should contain(("http://x/s2", "http://x/p",
+      "\"7\"^^<http://www.w3.org/2001/XMLSchema#integer>"))
+    invariants(h1)
+    java.nio.file.Files.delete(f)
+  }
+
   it should "compact tombstones and persist/reopen an updated store" in {
     val h1 = Sparql.update(spark, mkStore,
       """PREFIX : <>
