@@ -1553,6 +1553,21 @@ object SparkEntry {
         |  BIND(TZ(?d0) AS ?tz)
         |} ORDER BY ?p""".stripMargin)
 
+  /** XPath constructor casts (§17.5): xsd:integer / xsd:double /
+    * xsd:boolean as expression-position functions, with the XPath
+    * truncate-toward-zero integer semantics and error→NULL.
+    */
+  private def sparqlCast(s: SparkSession, d: String): DataFrame =
+    sparqlOver(s, d,
+      """PREFIX : <>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?p ?i ?half ?big WHERE {
+        |  ?p a "Part" ; :size ?sz .
+        |  BIND(xsd:integer(?sz) AS ?i)
+        |  BIND(xsd:double(?sz) / 2 AS ?half)
+        |  BIND(xsd:boolean(IF(?i > 25, "true", "0")) AS ?big)
+        |} ORDER BY ?p""".stripMargin)
+
   /** SPARQL negation by failure: OPTIONAL-with-filter then !BOUND. */
   private def sparqlBound(s: SparkSession, d: String): DataFrame =
     sparqlOver(s, d,
@@ -2145,6 +2160,7 @@ object SparkEntry {
     "q_turtle_load" -> (turtleLoadQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_service" -> (sparqlServiceQ _),
+    "q_sparql_cast" -> (sparqlCast _),
     "q_sparql_graph" -> (sparqlGraphQ _),
     "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
     "q_quad_modify" -> (quadModifyQ _),
@@ -3278,6 +3294,11 @@ object SparkEntry {
     "q_sparql_values" ->
       """SELECT 'region:' || r_regionkey AS n, r_name AS nm FROM region
         |WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY n""".stripMargin,
+    // XPath constructor casts over the part sizes
+    "q_sparql_cast" ->
+      """SELECT 'part:' || p_partkey AS p, CAST(p_size AS BIGINT) AS i,
+        |  p_size / 2.0 AS half, p_size > 25 AS big
+        |FROM part ORDER BY p""".stripMargin,
     // SERVICE: the federated join is nation ⋈ region on the region key
     "q_sparql_service" ->
       """SELECT 'nation:' || n_nationkey AS n, n_name AS nm, r_name AS rn

@@ -1672,9 +1672,18 @@ object Sparql {
     case Some(TIri(i)) => p.pos += 1; EStrL(i)
     case Some(TPName(pfx, local)) =>
       p.pos += 1
-      if (pfx == "_" && !p.prefixes.contains("_")) EStrL("_:" + local)
-      else EStrL(p.prefixes.getOrElse(pfx,
-        p.fail(s"undeclared prefix '$pfx:'")) + local)
+      val expanded =
+        if (pfx == "_" && !p.prefixes.contains("_")) "_:" + local
+        else p.prefixes.getOrElse(pfx,
+          p.fail(s"undeclared prefix '$pfx:'")) + local
+      // XPath constructor functions (§17.5): xsd:integer(?x) etc. parse
+      // as casts when the expanded IRI sits in the XSD namespace and an
+      // argument list follows
+      if (expanded.startsWith("http://www.w3.org/2001/XMLSchema#") &&
+        p.peek.contains(TSym("("))) {
+        val t = expanded.stripPrefix("http://www.w3.org/2001/XMLSchema#")
+        ECall("XSD_" + t.toUpperCase, parseArgList(p))
+      } else EStrL(expanded)
     case Some(TSym("(")) => p.pos += 1; val e = parseEAdd(p); p.eatSym(")"); e
     case Some(TWord(fn)) if fn.toUpperCase == "IF" &&
       p.peekAhead(1).contains(TSym("(")) =>
@@ -3756,6 +3765,21 @@ object Sparql {
       def a0 = compileVal(args.head, resolve)
       fn match {
         case "STR" => strOf(a0)
+        // XPath constructor casts (§17.5): invalid lexical forms -> NULL
+        // (type error), numeric->integer truncates toward zero (XPath
+        // fn:integer semantics; Spark's double->long cast truncates)
+        case "XSD_STRING" => strOf(a0)
+        case "XSD_INTEGER" | "XSD_LONG" | "XSD_INT" =>
+          strOf(a0).try_cast("double").try_cast("long")
+        case "XSD_DECIMAL" | "XSD_DOUBLE" | "XSD_FLOAT" =>
+          strOf(a0).try_cast("double")
+        case "XSD_BOOLEAN" =>
+          when(strOf(a0).isin("true", "1"), lit(true))
+            .when(strOf(a0).isin("false", "0"), lit(false))
+        case "XSD_DATETIME" =>
+          // normalized to the session zone (UTC everywhere in this
+          // engine), ISO lexical out
+          date_format(to_timestamp(strOf(a0)), "yyyy-MM-dd'T'HH:mm:ss")
         case "LANG" =>
           regexp_extract(a0, "^\"(?:[^\"\\\\]|\\\\.)*\"@([A-Za-z][A-Za-z0-9-]*)$", 1)
         case "STRLEN" => length(strOf(a0))

@@ -33,6 +33,20 @@ class SparqlSpec extends SparkSpec {
           |SELECT ?a WHERE { ?a :2 ?b . "1" :99 "99" }""".stripMargin) shouldBe empty
   }
 
+  it should "evaluate XPath constructor casts with error -> NULL" in {
+    val res = Sparql.execute(spark, triples,
+      """PREFIX : <>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?i ?b ?bad WHERE {
+        |  "1" :2 ?y .
+        |  BIND(xsd:integer("7.9") AS ?i)     # truncates toward zero
+        |  BIND(xsd:boolean("1") AS ?b)
+        |  BIND(xsd:integer("nope") AS ?bad)  # cast error -> NULL
+        |}""".stripMargin)
+      .collect().map(_.toSeq).toSeq
+    res shouldBe Seq(Seq(7L, true, null))
+  }
+
   it should "apply numeric FILTER with casts" in {
     val res = run(
       """PREFIX : <>
