@@ -1412,6 +1412,39 @@ object SparkEntry {
       .orderBy("s", "p", "o")
   }
 
+  /** TriG loader end-to-end: nation and region rendered as named graph
+    * blocks plus a default-graph statement, parsed back by the
+    * distributed quad loader. Default-graph rows surface as g='default'
+    * in the projection so the oracle compares without NULL-encoding
+    * ambiguity.
+    */
+  private def trigLoadQ(s: SparkSession, d: String): DataFrame = {
+    val nat = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val reg = t(s, d, "region")
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val content =
+      "@prefix n: <nation:> .\n@prefix r: <region:> .\n" +
+        "@prefix p: <prop:> .\n" +
+        "<meta:doc> p:tables \"2\" .\n" +
+        "GRAPH <graph:nation> {\n" +
+        nat.map { case (k, nm, rk) =>
+          s"""  n:$k p:name "$nm" ; p:region r:$rk .\n""" }.mkString +
+        "}\n<graph:region> {\n" +
+        reg.map { case (k, nm) => s"""  r:$k p:name "$nm" .\n""" }.mkString +
+        "}\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-trig-gate")
+    java.nio.file.Files.writeString(dir.resolve("d.trig"), content)
+    graft.store.TripleStore.parseTriG(s, dir.toString + "/*.trig")
+      .select(col("s"), col("p"), col("o"),
+        coalesce(col("g"), lit("default")).as("g"))
+      .orderBy("s", "p", "o", "g")
+  }
+
   /** Delta-frontier BFS over the shared entity adjacency: minimum hop
     * distance from the region nodes within 3 hops. Iterates on dense
     * node ranks (fixed-width long shuffles; see `labelPropQ`) and
@@ -2158,6 +2191,7 @@ object SparkEntry {
     "q_triangles" -> (trianglesQ _),
     "q_bfs_dist" -> (bfsDistQ _),
     "q_turtle_load" -> (turtleLoadQ _),
+    "q_trig_load" -> (trigLoadQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_service" -> (sparqlServiceQ _),
     "q_sparql_cast" -> (sparqlCast _),
@@ -3063,6 +3097,17 @@ object SparkEntry {
         |    '"'||n_nationkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM nation
         |)
         |SELECT s, p, o FROM tri ORDER BY s, p, o""".stripMargin,
+    // TriG loader: named blocks per table + one default-graph statement
+    "q_trig_load" ->
+      """SELECT s, p, o, g FROM (
+        |  SELECT 'nation:'||n_nationkey AS s, 'prop:name' AS p,
+        |         '"'||n_name||'"' AS o, 'graph:nation' AS g FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:region',
+        |         'region:'||n_regionkey, 'graph:nation' FROM nation
+        |  UNION ALL SELECT 'region:'||r_regionkey, 'prop:name',
+        |         '"'||r_name||'"', 'graph:region' FROM region
+        |  UNION ALL SELECT 'meta:doc', 'prop:tables', '"2"', 'default'
+        |) ORDER BY s, p, o, g""".stripMargin,
     // triangle counting: the oracle enumerates each triangle once via
     // the canonical a<b<c 3-way join — same set the degree-ordered
     // wedge join finds

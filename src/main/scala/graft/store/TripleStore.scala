@@ -175,6 +175,25 @@ object TripleStore {
       .toDF("s", "p", "o")
   }
 
+  /** Parse TriG documents into (s, p, o, g) quads — the quad sibling of
+    * `parseTurtle` (RDF 1.1 TriG: Turtle statements in the default
+    * graph, `[GRAPH] <label> { ... }` blocks in named graphs). Plain
+    * Turtle is a TriG subset, so mixed .ttl/.trig globs load together.
+    * Same per-FILE parallelism and per-file blank scoping as the Turtle
+    * loader; N-Quads remains the splittable bulk format.
+    */
+  def parseTriG(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val scope = f"${util.hashing.MurmurHash3.stringHash(f) & 0xffffffffL}%08x"
+        Turtle.parseQuads(content, scope)
+      }
+      .toDF("s", "p", "o", "g")
+  }
+
   /** Parse N-Quads text lines into (s, p, o, g) term strings — the quad
     * analog of `parseNTriples` (public N-Quads 1.1 grammar): an optional
     * fourth graph-label term before the terminating dot. Lines without

@@ -122,6 +122,42 @@ class TurtleSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  "Turtle.parseQuads (TriG)" should "route blocks to named graphs and bare statements to the default" in {
+    val got = Turtle.parseQuads(
+      """@prefix : <n:> .
+        |:s :p "default" .
+        |GRAPH :g1 { :a :p "in-g1" ; :q "also-g1" . }
+        |:g2 { :b :p "in-g2" }
+        |{ :c :p "wrapped-default" . }
+        |""".stripMargin, "t").toSet
+    got shouldBe Set(
+      ("n:s", "n:p", "\"default\"", null),
+      ("n:a", "n:p", "\"in-g1\"", "n:g1"),
+      ("n:a", "n:q", "\"also-g1\"", "n:g1"),
+      ("n:b", "n:p", "\"in-g2\"", "n:g2"),
+      ("n:c", "n:p", "\"wrapped-default\"", null))
+  }
+
+  it should "reject nested graph blocks and feed executeQuads end-to-end" in {
+    a[Turtle.ParseException] should be thrownBy Turtle.parseQuads(
+      "@prefix : <n:> .\nGRAPH :g { GRAPH :h { :a :p :o } }\n", "t")
+    val dir = java.nio.file.Files.createTempDirectory("graft-trig")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("d.trig"),
+        """@prefix : <n:> .
+          |:x :in :default .
+          |GRAPH :g1 { :a :p :v1 . :a :q :v2 . }
+          |GRAPH :g2 { :b :p :v1 . }
+          |""".stripMargin)
+      val quads = TripleStore.parseTriG(spark, dir.toString + "/*.trig")
+      val res = graft.sparql.Sparql.executeQuads(spark, quads,
+        """PREFIX : <n:>
+          |SELECT ?g ?s WHERE { GRAPH ?g { ?s :p :v1 . ?s :q :v2 } }""".stripMargin)
+        .collect().map(r => (r.getString(0), r.getString(1)))
+      res shouldBe Array(("n:g1", "n:a"))
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   "GraftStore.forTurtle" should "serve SPARQL over a Turtle-ingested certified store" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-ttl3")
     try {
