@@ -373,6 +373,23 @@ class QuadsSpec extends SparkSpec {
       .toSet shouldBe Set(("g1", "a"), ("g2", "b"))
   }
 
+  "persistQuads" should "write a graph-partitioned layout that prunes constant-GRAPH scans" in {
+    val out = "target/tmp-quads"
+    graft.store.TripleStore.persistQuads(quads, out)
+    val reopened = graft.store.TripleStore.openQuads(spark, out)
+    // content round-trips, default graph included (null partition)
+    reopened.collect().map(r => (r.getString(0), r.getString(3))).toSet shouldBe
+      quads.collect().map(r => (r.getString(0), r.getString(3))).toSet
+    // a constant GRAPH target scans ONE graph directory: the g filter
+    // lands in PartitionFilters (directory pruning), not data filters
+    val res = Sparql.executeQuads(spark, reopened,
+      """PREFIX : <>
+        |SELECT ?s ?o WHERE { GRAPH <g2> { ?s :p ?o } }""".stripMargin)
+    val plan = res.queryExecution.executedPlan.toString
+    plan should include regex "PartitionFilters: \\[[^\\]]*g2"
+    res.collect().map(_.getString(0)).toSet shouldBe Set("a", "b")
+  }
+
   it should "still reject closures under a variable graph, not a constant one" in {
     an[IllegalArgumentException] should be thrownBy
       run("""PREFIX : <>

@@ -158,6 +158,22 @@ class TurtleSpec extends SparkSpec {
     } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
   }
 
+  "Results.toTurtle then Turtle.parse" should "round-trip a graph exactly" in {
+    import spark.implicits._
+    // all four literal shapes + cross-namespace IRIs; blanks excluded
+    // (parse re-skolemizes labels per scope, by design)
+    val rows = Seq(
+      ("http://ex.org/a", "http://ex.org/p", "\"plain\""),
+      ("http://ex.org/a", "http://ex.org/p", "\"fr\"@en-GB"),
+      ("http://ex.org/a", "http://ex.org/q",
+        "\"5\"^^<http://www.w3.org/2001/XMLSchema#integer>"),
+      ("http://ex.org/b", "http://other.net/r", "http://ex.org/a"),
+      ("urn:x", "http://ex.org/p", "\"esc \\\"q\\\" \\n nl\""))
+    val ttl = graft.sparql.Results.toTurtle(rows.toDF("s", "p", "o"),
+      Map("ex" -> "http://ex.org/"))
+    Turtle.parse(ttl, "rt").toSet shouldBe rows.toSet
+  }
+
   "GraftStore.forTurtle" should "serve SPARQL over a Turtle-ingested certified store" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-ttl3")
     try {
