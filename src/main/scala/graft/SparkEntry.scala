@@ -1289,6 +1289,18 @@ object SparkEntry {
         |} ORDER BY ?y""".stripMargin)
   }
 
+  /** Closure under a VARIABLE graph: one all-graphs doubling fixpoint
+    * with the graph column in the join key — per-graph transitive
+    * closure without enumerating graphs.
+    */
+  private def quadClosureQ(s: SparkSession, d: String): DataFrame = {
+    graft.sparql.Sparql.executeQuads(s, GraftStore.quadDataset(s, d),
+      """PREFIX : <>
+        |SELECT ?g ?n WHERE {
+        |  GRAPH ?g { <region:0> ^:regionkey+ ?n }
+        |} ORDER BY ?n""".stripMargin)
+  }
+
   /** Full algebra inside a CONSTANT GRAPH block: the named slice becomes
     * the active graph and the inner group recurses through the whole
     * compiler — here a property-path alternation.
@@ -2200,6 +2212,7 @@ object SparkEntry {
     "q_quad_modify" -> (quadModifyQ _),
     "q_quad_algebra" -> (quadAlgebraQ _),
     "q_quad_path" -> (quadPathQ _),
+    "q_quad_closure" -> (quadClosureQ _),
     "q_quad_const_algebra" -> (quadConstAlgebraQ _),
     "q_quad_construct" -> (quadConstructQ _),
     "q_quad_describe" -> (quadDescribeQ _),
@@ -3290,6 +3303,10 @@ object SparkEntry {
         |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nationkey', 'nation:3'
         |    FROM supplier WHERE s_nationkey = 3
         |) ORDER BY s, p, o""".stripMargin,
+    // variable-graph closure: inverse regionkey+ confined to graph:nation
+    "q_quad_closure" ->
+      """SELECT 'graph:nation' AS g, 'nation:' || n_nationkey AS n
+        |FROM nation WHERE n_regionkey = 0 ORDER BY n""".stripMargin,
     // variable-graph path: brand/^brand within graph:part only
     "q_quad_path" ->
       """SELECT 'graph:part' AS g, 'part:' || p2.p_partkey AS y

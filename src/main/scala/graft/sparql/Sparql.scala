@@ -2851,9 +2851,9 @@ object Sparql {
       case V(gv) =>
         require(inner.subqueries.isEmpty && inner.graphs.isEmpty,
           "GRAPH ?var blocks support triple patterns, FILTER, BIND, " +
-            "OPTIONAL, UNION, MINUS, EXISTS, non-closure property paths " +
-            "and plain subgroups; subqueries and nested GRAPH need a " +
-            "constant graph")
+            "OPTIONAL, UNION, MINUS, EXISTS, property paths (closures " +
+            "included) and plain subgroups; subqueries and nested GRAPH " +
+            "need a constant graph")
         var df: DataFrame =
           if (inner.triples.isEmpty) null
           else inner.triples.map(quadScan(quads, _, gv)).reduce { (l, r) =>
@@ -2880,13 +2880,27 @@ object Sparql {
           df = if (df == null) inlineRelation(env, vars, rows)
           else joinInlineData(env, df, vars, rows)
         }
-        // non-closure property paths carry the graph column like any
-        // other scan: sequences join on (mid, g), alternation unions,
-        // inverse swaps — so the path stays confined to ONE graph without
-        // enumerating graphs. Closures (+ * ? {n,m}) would need a
-        // per-graph fixpoint and keep the constant-target requirement.
+        // property paths carry the graph column like any other scan:
+        // sequences join on (mid, g), alternation unions, inverse swaps,
+        // and closures run ONE all-graphs doubling fixpoint with g in
+        // the join key — the path stays confined to ONE graph and no
+        // plan ever enumerates graphs.
         inner.paths.foreach { case (sT, pth, oT) =>
-          var rel = quadPathRel(quads, pth)
+          // a closure with a BOUND endpoint expands a per-graph frontier
+          // from the constant — cost proportional to the reachable set
+          // in each graph, never the global closure (the quad analog of
+          // pathRelSeeded's discipline)
+          var rel = (sT, oT, pth) match {
+            case (C(v), _, PClosure(x, z)) =>
+              quadClosureSeeded(quads, quadPathRel(quads, x), v.toString, z)
+            case (_, C(v), PClosure(x, z)) =>
+              quadClosureSeeded(quads,
+                  quadPathRel(quads, x)
+                    .select(col("o").as("s"), col("s").as("o"), col("g")),
+                  v.toString, z)
+                .select(col("o").as("s"), col("s").as("o"), col("g"))
+            case _ => quadPathRel(quads, pth)
+          }
           sT match { case C(v) => rel = rel.where(col("s") === v.toString); case _ => }
           oT match { case C(v) => rel = rel.where(col("o") === v.toString); case _ => }
           if (sT.isInstanceOf[V] && sT == oT)
@@ -3453,10 +3467,91 @@ object Sparql {
       lf.join(rf, Seq("__m", "g")).select(col("s"), col("o"), col("g"))
     case PAlt(l, r) =>
       quadPathRel(quads, l).unionAll(quadPathRel(quads, r))
-    case other => throw new IllegalArgumentException(
-      s"property-path closures under GRAPH ?var need per-graph fixpoint " +
-        s"state — use a constant graph target (got: $other)")
+    case PClosure(x, includeZero) =>
+      // ONE doubling fixpoint with g in the join key closes EVERY
+      // graph's relation simultaneously — no per-graph enumeration, no
+      // per-graph driver loops; a graph only pays for its own reachable
+      // pairs. Zero-length matches all terms OF THAT graph (§9.3).
+      val c = quadEdgesClosure(quadPathRel(quads, x))
+      if (includeZero) c.unionAll(quadIdentityRel(quads)).distinct() else c
+    case POpt(x) =>
+      quadPathRel(quads, x).unionAll(quadIdentityRel(quads)).distinct()
   }
+
+  /** Transitive closure of an (s, o, g) relation: the `edgesClosure`
+    * doubling loop with the graph column riding in the join key, so
+    * edges never compose across graphs.
+    */
+  private def quadEdgesClosure(edgesRaw: DataFrame): DataFrame = {
+    val edges = edgesRaw.distinct().localCheckpoint(true)
+    var closure = edges
+    var size = closure.count()
+    var prev = -1L
+    var iter = 0
+    while (size != prev) {
+      if (iter >= 60)
+        throw new IllegalStateException(
+          s"per-graph transitive closure did not converge after $iter rounds")
+      prev = size
+      val next = closure.as("l").join(closure.as("r"),
+          col("l.o") === col("r.s") && col("l.g") === col("r.g"))
+        .select(col("l.s").as("s"), col("r.o").as("o"), col("l.g").as("g"))
+      val grown = closure.unionByName(next).distinct().localCheckpoint(true)
+      size = grown.count()
+      if (closure ne edges) graft.Pins.unpin(closure)
+      closure = grown
+      iter += 1
+    }
+    if (closure ne edges) graft.Pins.unpin(edges)
+    closure
+  }
+
+  /** Per-graph closure seeded at one constant start node: linear
+    * frontier BFS joining the step relation on (node, graph), so each
+    * graph pays only for ITS reachable set. Returns (s=const, o, g)
+    * rows; zero-length (when included) adds (const, const, g) for every
+    * graph that mentions the constant (§9.3).
+    */
+  private def quadClosureSeeded(quads: DataFrame, step: DataFrame,
+                                const: String, includeZero: Boolean): DataFrame = {
+    val pins = new graft.Pins
+    val rel = pins.pin(step)
+    var frontier = pins.pin(
+      rel.where(col("s") === const).select(col("o"), col("g")).distinct())
+    var reached = frontier
+    var grew = true
+    var iter = 0
+    while (grew) {
+      if (iter >= 60)
+        throw new IllegalStateException(
+          s"seeded per-graph closure did not converge after $iter rounds")
+      val next = pins.pin(
+        rel.join(frontier.select(col("o").as("s"), col("g")), Seq("s", "g"))
+          .select(col("o"), col("g")).distinct()
+          .join(reached, Seq("o", "g"), "left_anti"))
+      if (next.isEmpty) grew = false
+      else {
+        reached = pins.pin(reached.unionByName(next))
+        frontier = next
+      }
+      iter += 1
+    }
+    val base = reached.select(lit(const).as("s"), col("o"), col("g"))
+    val out =
+      if (!includeZero) base
+      else base.unionByName(
+        quadIdentityRel(quads).where(col("s") === const)).distinct()
+    pins.seal(out)
+  }
+
+  /** Per-graph zero-length relation: (n, n, g) for every term mentioned
+    * in graph g — the §9.3 zero-length-path domain, per active graph.
+    */
+  private def quadIdentityRel(quads: DataFrame): DataFrame =
+    quads.select(col("s").as("n"), col("g"))
+      .unionAll(quads.select(col("o").as("n"), col("g")))
+      .distinct()
+      .select(col("n").as("s"), col("n").as("o"), col("g"))
 
   /** Compile a path to an (s, o) relation. Non-closure operators keep bag
     * semantics (SPARQL path evaluation); closures and zero-length matches

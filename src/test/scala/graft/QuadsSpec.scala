@@ -390,11 +390,22 @@ class QuadsSpec extends SparkSpec {
     res.collect().map(_.getString(0)).toSet shouldBe Set("a", "b")
   }
 
-  it should "still reject closures under a variable graph, not a constant one" in {
-    an[IllegalArgumentException] should be thrownBy
-      run("""PREFIX : <>
-            |SELECT ?g ?x WHERE { GRAPH ?g { ?x :p+ ?y } }""".stripMargin)
-    // constant targets recurse through the full compiler, closures included
+  it should "run closures per graph under a variable target" in {
+    // chain a->m->z in g3 only; a->m in g1, m->z in g2 (cross-graph, must
+    // NOT close); the one fixpoint job serves all graphs
+    val chained = quads.unionByName(Seq(
+      ("a", "p", "m", "g3"), ("m", "p", "z", "g3"),
+      ("a", "p", "m", "g4"), ("m", "p", "z", "g5")
+    ).toDF("s", "p", "o", "g"))
+    Sparql.executeQuads(spark, chained,
+      """PREFIX : <>
+        |SELECT ?g ?y WHERE { GRAPH ?g { <a> :p+ ?y } }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+      .toSet shouldBe Set(
+        ("g1", "1"), ("g2", "9"),                   // single hops
+        ("g3", "m"), ("g3", "z"),                   // real 2-hop closure
+        ("g4", "m"))                                // g4/g5 never stitch
+    // constant targets keep recursing through the full compiler
     run("""PREFIX : <>
           |SELECT ?x WHERE { GRAPH <g1> { ?x :p+ ?y } }""".stripMargin) shouldBe
       Set(Seq("a"))
