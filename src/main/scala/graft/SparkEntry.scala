@@ -496,6 +496,24 @@ object SparkEntry {
       .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "split")
 
+  /** Deterministic shard manifest — the WRITE step of a training-data
+    * pipeline: docs assign to shards by content fingerprint (stable
+    * across runs and input order, unlike round-robin), and the manifest
+    * carries per-shard row/token counts plus an order-free content
+    * checksum — what a downstream loader verifies before training.
+    * One groupBy; shard count scales with the corpus, not the plan.
+    */
+  private def shardManifestQ(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents")
+      .select(col("doc_id"),
+        TextOps.fingerprint(col("text")).as("fp"),
+        TextOps.tokenCount(col("text")).cast("long").as("n_tok"))
+      .withColumn("shard", pmod(col("fp"), lit(8)).cast("long"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"),
+        sum(col("fp")).as("content_sum"))
+      .orderBy("shard")
+
   /** Leakage-guarded train/val split: the deterministic fingerprint
     * split (q_train_split's rule), then any VAL doc that near-duplicates
     * a TRAIN doc is DROPPED — near-dup pairs crossing the split boundary
@@ -2160,6 +2178,7 @@ object SparkEntry {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_split_leakfree" -> (splitLeakFreeQ _),
+    "q_shard_manifest" -> (shardManifestQ _),
     "q_dedup_embed" -> (dedupEmbed _),
     "q_corpus_clean" -> (corpusClean _),
     "q_source_stats" -> (sourceStats _),
@@ -3800,6 +3819,22 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_test_matches, max(jaccard) AS max_jaccard
         |FROM p WHERE jaccard >= 0.4
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // shard manifest: fingerprint-mod shard + per-shard counts/sums
+    "q_shard_manifest" ->
+      """WITH fpd AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(
+        |          list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS fp,
+        |    CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS BIGINT) AS n_tok
+        |  FROM documents)
+        |SELECT fp % 8 AS shard, count(*) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+        |  CAST(sum(fp) AS BIGINT) AS content_sum
+        |FROM fpd GROUP BY 1 ORDER BY shard""".stripMargin,
     // leakage-guarded split: fingerprint split + drop val docs near-dup
     // to any train doc (pair CTE shared with the dedup oracles)
     "q_split_leakfree" -> (gramPairsCte + """,
