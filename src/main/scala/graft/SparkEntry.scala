@@ -1307,6 +1307,18 @@ object SparkEntry {
         |} ORDER BY ?y""".stripMargin)
   }
 
+  /** Subquery under a VARIABLE graph (§13.3: evaluated once per active
+    * graph): the rewrite adds the graph var to the subquery's implicit
+    * group, so ONE aggregation computes every graph's count.
+    */
+  private def quadSubqueryQ(s: SparkSession, d: String): DataFrame = {
+    graft.sparql.Sparql.executeQuads(s, GraftStore.quadDataset(s, d),
+      """PREFIX : <>
+        |SELECT ?g ?cnt WHERE {
+        |  GRAPH ?g { { SELECT (COUNT(?s) AS ?cnt) WHERE { ?s :name ?o } } }
+        |} ORDER BY ?g""".stripMargin)
+  }
+
   /** Closure under a VARIABLE graph: one all-graphs doubling fixpoint
     * with the graph column in the join key — per-graph transitive
     * closure without enumerating graphs.
@@ -2232,6 +2244,7 @@ object SparkEntry {
     "q_quad_algebra" -> (quadAlgebraQ _),
     "q_quad_path" -> (quadPathQ _),
     "q_quad_closure" -> (quadClosureQ _),
+    "q_quad_subquery" -> (quadSubqueryQ _),
     "q_quad_const_algebra" -> (quadConstAlgebraQ _),
     "q_quad_construct" -> (quadConstructQ _),
     "q_quad_describe" -> (quadDescribeQ _),
@@ -3322,6 +3335,15 @@ object SparkEntry {
         |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nationkey', 'nation:3'
         |    FROM supplier WHERE s_nationkey = 3
         |) ORDER BY s, p, o""".stripMargin,
+    // variable-graph subquery: per-graph :name counts in one aggregation
+    "q_quad_subquery" ->
+      """SELECT g, cnt FROM (
+        |  SELECT 'graph:region' AS g, CAST(count(*) AS BIGINT) AS cnt FROM region
+        |  UNION ALL SELECT 'graph:nation', count(*) FROM nation
+        |  UNION ALL SELECT 'graph:customer', count(*) FROM customer
+        |  UNION ALL SELECT 'graph:supplier', count(*) FROM supplier
+        |  UNION ALL SELECT 'graph:part', count(*) FROM part
+        |) ORDER BY g""".stripMargin,
     // variable-graph closure: inverse regionkey+ confined to graph:nation
     "q_quad_closure" ->
       """SELECT 'graph:nation' AS g, 'nation:' || n_nationkey AS n

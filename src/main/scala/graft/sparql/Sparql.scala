@@ -2849,11 +2849,9 @@ object Sparql {
         val slice = quads.where(col("g") === v.toString).select("s", "p", "o")
         compileGroup(env.copy(triples = slice, stats = Map.empty), inner)
       case V(gv) =>
-        require(inner.subqueries.isEmpty && inner.graphs.isEmpty,
-          "GRAPH ?var blocks support triple patterns, FILTER, BIND, " +
-            "OPTIONAL, UNION, MINUS, EXISTS, property paths (closures " +
-            "included) and plain subgroups; subqueries and nested GRAPH " +
-            "need a constant graph")
+        // the FULL algebra is supported under a variable target — the
+        // restrictions of earlier rounds (paths, subqueries, nested
+        // GRAPH) are all compiled through the carried graph column now
         var df: DataFrame =
           if (inner.triples.isEmpty) null
           else inner.triples.map(quadScan(quads, _, gv)).reduce { (l, r) =>
@@ -2864,6 +2862,45 @@ object Sparql {
           if (df == null) other
           else df.join(other, df.columns.intersect(other.columns).toSeq, "inner")
         inner.subgroups.foreach(sg => joinIn(compileGraphBlock(env, gterm, sg)))
+        // a SUBQUERY under GRAPH ?g evaluates per active graph (§13.3):
+        // rewrite it as a regular subquery whose group is this GRAPH
+        // block, with the graph var projected and added to any GROUP BY
+        // — aggregation, HAVING, and DISTINCT then run per graph through
+        // the ONE standard query compiler, no duplicated algebra.
+        inner.subqueries.foreach { sq =>
+          require(sq.limit.isEmpty && sq.offset.isEmpty,
+            "LIMIT/OFFSET inside a variable-GRAPH subquery would apply " +
+              "globally, not per active graph — use a constant graph target")
+          def hasAgg(e: EExpr): Boolean = e match {
+            case ECall(fn, args) => aggFns.contains(fn) || args.exists(hasAgg)
+            case EBin(l, _, r) => hasAgg(l) || hasAgg(r)
+            case EIf(_, t, f) => hasAgg(t) || hasAgg(f)
+            case _ => false
+          }
+          val aggregating = sq.groupBy.nonEmpty || sq.projection.exists {
+            case _: PAgg => true
+            case PExpr(e, _) => hasAgg(e)
+            case _ => false
+          }
+          val wrapped = sq.copy(
+            group = Group(Seq.empty, Seq.empty, Seq.empty, Seq.empty,
+              graphs = Seq((V(gv), sq.group))),
+            projection =
+              if (sq.projection.isEmpty ||
+                sq.projection.exists { case PVar(`gv`) => true; case _ => false })
+                sq.projection
+              else sq.projection :+ PVar(gv),
+            groupBy =
+              if (aggregating && !sq.groupBy.contains(gv)) sq.groupBy :+ gv
+              else sq.groupBy)
+          joinIn(compileQuery(env, wrapped))
+        }
+        // nested GRAPH re-scopes to ITS target over the dataset's named
+        // graphs, independent of the enclosing active graph (§13.3) —
+        // plain recursion, joined on shared vars
+        inner.graphs.foreach { case (igt, ig) =>
+          joinIn(compileGraphBlock(env, igt, ig))
+        }
         inner.unions.foreach { case (l, r) =>
           joinIn(compileGraphBlock(env, gterm, l)
             .unionByName(compileGraphBlock(env, gterm, r),

@@ -390,6 +390,42 @@ class QuadsSpec extends SparkSpec {
     res.collect().map(_.getString(0)).toSet shouldBe Set("a", "b")
   }
 
+  it should "evaluate subqueries per graph under a variable target" in {
+    // §13.3: a subquery INSIDE GRAPH ?g evaluates once per active graph
+    // — the aggregate counts each graph's own :p triples
+    def runAny(q: String): Set[Seq[String]] =
+      Sparql.executeQuads(spark, quads, q).collect()
+        .map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.get(i).toString): Seq[String]).toSet
+    runAny("""PREFIX : <>
+          |SELECT ?g ?cnt WHERE {
+          |  GRAPH ?g { { SELECT (COUNT(?s) AS ?cnt) WHERE { ?s :p ?o } } }
+          |}""".stripMargin) shouldBe Set(Seq("g1", "1"), Seq("g2", "2"))
+    // with GROUP BY keys, per (key, graph) groups
+    runAny("""PREFIX : <>
+          |SELECT ?g ?s ?n WHERE {
+          |  GRAPH ?g { { SELECT ?s (COUNT(?o) AS ?n) WHERE { ?s ?pp ?o } GROUP BY ?s } }
+          |} ORDER BY ?g ?s""".stripMargin) shouldBe
+      Set(Seq("g1", "a", "2"), Seq("g2", "b", "1"), Seq("g2", "a", "1"))
+  }
+
+  it should "scope nested GRAPH independently of the enclosing block" in {
+    // inner GRAPH <g2> re-scopes: pairs (?a in ?g) with (?b :p same o in g2)
+    run("""PREFIX : <>
+          |SELECT ?g ?a ?b WHERE {
+          |  GRAPH ?g { ?a :p "1" GRAPH <g2> { ?b :p "1" } }
+          |} ORDER BY ?g""".stripMargin) shouldBe
+      Set(Seq("g1", "a", "b"), Seq("g2", "b", "b"))
+  }
+
+  it should "reject per-graph LIMIT inside a variable-GRAPH subquery" in {
+    an[IllegalArgumentException] should be thrownBy
+      run("""PREFIX : <>
+            |SELECT ?g ?s WHERE {
+            |  GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } LIMIT 1 } }
+            |}""".stripMargin)
+  }
+
   it should "run closures per graph under a variable target" in {
     // chain a->m->z in g3 only; a->m in g1, m->z in g2 (cross-graph, must
     // NOT close); the one fixpoint job serves all graphs
