@@ -2901,6 +2901,19 @@ object Sparql {
         inner.graphs.foreach { case (igt, ig) =>
           joinIn(compileGraphBlock(env, igt, ig))
         }
+        // SERVICE evaluates against its ENDPOINT regardless of the
+        // active graph — same join-in as at group level
+        inner.services.foreach { case (iri, ig, silent) =>
+          lookupEndpoint(env.spark, iri) match {
+            case Some(remote) =>
+              joinIn(compileGroup(stringEnv(env.spark, remote, Map.empty), ig))
+            case None if silent => ()
+            case None => throw new IllegalArgumentException(
+              s"SERVICE endpoint not registered: <$iri> — call " +
+                "Sparql.registerEndpoint(spark, iri, triples) first " +
+                "(or use SERVICE SILENT)")
+          }
+        }
         inner.unions.foreach { case (l, r) =>
           joinIn(compileGraphBlock(env, gterm, l)
             .unionByName(compileGraphBlock(env, gterm, r),

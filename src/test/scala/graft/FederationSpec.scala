@@ -93,6 +93,22 @@ class FederationSpec extends SparkSpec {
     res shouldBe Array(("p1", "\"Acme\""))
   }
 
+  it should "evaluate inside a variable GRAPH block (endpoint is graph-independent)" in {
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    val quads = Seq(
+      ("p1", "worksAt", "org1", "urn:gA"),
+      ("p2", "worksAt", "org2", "urn:gB")
+    ).toDF("s", "p", "o", "g")
+    val res = Sparql.executeQuads(spark, quads,
+      """PREFIX : <>
+        |SELECT ?g ?p ?l WHERE {
+        |  GRAPH ?g { ?p :worksAt ?o SERVICE <graft://orgs> { ?o :label ?l } }
+        |} ORDER BY ?g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    res shouldBe Array(
+      ("urn:gA", "p1", "\"Acme\""), ("urn:gB", "p2", "\"Globex\""))
+  }
+
   it should "reject variable endpoints at parse time" in {
     val e = intercept[Exception] {
       run("PREFIX : <>\nSELECT ?p WHERE { SERVICE ?ep { ?s ?p ?o } }")
