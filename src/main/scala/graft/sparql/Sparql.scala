@@ -2122,6 +2122,80 @@ object Sparql {
     executeStreamQuery(spark, streamTriples, staticTriples, parse(queryText),
       stats, watermark, tsCol)
 
+  /** Continuous SPARQL over a live QUAD stream: one GRAPH block
+    * (constant or variable target) of triple patterns + FILTER/BIND,
+    * maintained incrementally — the per-pattern delta decomposition of
+    * `executeStream` with the graph column carried through every arm, so
+    * an arriving quad only ever completes solutions INSIDE its own
+    * graph (the §13.3 confinement as a streaming join key). The static
+    * side is the already-ingested named part of the quad dataset; a
+    * constant target slices both sides to that one graph up front.
+    * Append-safe: every arm is a standing stream-static join.
+    */
+  def executeStreamQuads(spark: SparkSession, streamQuads: DataFrame,
+                         staticQuads: DataFrame,
+                         queryText: String): DataFrame = {
+    val q = parse(queryText)
+    require(streamQuads.isStreaming, "streamQuads must be a streaming DataFrame")
+    require(q.group.triples.isEmpty && q.group.graphs.size == 1 &&
+      q.group.optionals.isEmpty && q.group.unions.isEmpty &&
+      q.group.minuses.isEmpty && q.group.paths.isEmpty &&
+      q.group.subqueries.isEmpty && q.group.subgroups.isEmpty &&
+      q.group.existsFilters.isEmpty && q.group.values.isEmpty &&
+      q.group.valuesMulti.isEmpty && q.group.services.isEmpty &&
+      !q.distinct && q.orderBy.isEmpty && q.limit.isEmpty &&
+      q.having.isEmpty && q.postValues.isEmpty &&
+      q.projection.forall(!_.isInstanceOf[PAgg]),
+      "executeStreamQuads supports exactly one GRAPH block (plus " +
+        "group-level FILTERs), append mode — no aggregates/modifiers")
+    val (gterm, inner) = q.group.graphs.head
+    require(inner.triples.nonEmpty && inner.optionals.isEmpty &&
+      inner.unions.isEmpty && inner.minuses.isEmpty && inner.paths.isEmpty &&
+      inner.subqueries.isEmpty && inner.subgroups.isEmpty &&
+      inner.existsFilters.isEmpty && inner.values.isEmpty &&
+      inner.valuesMulti.isEmpty && inner.services.isEmpty &&
+      inner.graphs.isEmpty,
+      "the streaming GRAPH block may contain only triple patterns, " +
+        "FILTER, and BIND")
+    val gv = gterm match { case V(n) => n; case _ => "__g" }
+    def side(df: DataFrame): DataFrame = gterm match {
+      case C(v) => df.where(col("g") === v.toString)
+      case _ => df.where(col("g").isNotNull)
+    }
+    val stream = side(streamQuads)
+    val static0 = side(staticQuads)
+    val patterns = inner.triples
+    val outVars = patterns.flatMap(_.vars).distinct :+ gv
+    val branches = patterns.indices
+      .filter(i => patterns(i).vars.nonEmpty)
+      .map { i =>
+        var current = quadScan(stream, patterns(i), gv)
+        var bound = patterns(i).vars.toSet
+        (patterns.take(i) ++ patterns.drop(i + 1)).foreach { tp =>
+          val sc = quadScan(static0, tp, gv)
+          val shared = (tp.vars.filter(bound) :+ gv).distinct
+          current =
+            if (tp.vars.forall(bound)) current.join(sc, shared, "left_semi")
+            else current.join(sc, shared, "inner")
+          bound ++= tp.vars
+        }
+        current.select(outVars.map(col): _*)
+      }
+    require(branches.nonEmpty, "at least one pattern must bind a variable")
+    var df = branches.reduce(_.unionAll(_))
+    inner.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
+    (inner.filters ++ q.group.filters).foreach(f => df = df.where(compileExpr(f)))
+    val proj =
+      if (q.projection.isEmpty)
+        df.columns.toSeq.filterNot(_.startsWith("__")).map(col)
+      else q.projection.map {
+        case PVar(v) => col(v)
+        case PExpr(e, alias) => compileVal(e).as(alias)
+        case a => throw new IllegalArgumentException(s"unsupported $a in stream")
+      }
+    df.select(proj: _*)
+  }
+
   private def executeStreamQuery(spark: SparkSession, streamTriples: DataFrame,
                     staticTriples: DataFrame, qRaw: Query,
                     stats: Map[String, PredStats],

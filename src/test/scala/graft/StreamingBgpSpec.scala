@@ -47,6 +47,50 @@ class StreamingBgpSpec extends SparkSpec {
       ("customer:8", "nation:3", "region:4"))
   }
 
+  "executeStreamQuads" should "maintain a GRAPH-confined view over arriving quads" in {
+    implicit val sqlCtx = spark.sqlContext
+    val staticQuads = Seq(
+      ("a", "q", "2", "g1"),
+      ("b", "q", "2", "g2")
+    ).toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    // a:p in g1 completes with a:q in g1; the g2 arrival must ONLY
+    // complete against g2's static rows, and the default-graph quad
+    // (null g) never matches a GRAPH block
+    src.addData(
+      ("a", "p", "1", "g1"),
+      ("b", "p", "1", "g2"),
+      ("c", "p", "1", null),
+      ("a", "p", "1", "g9")) // graph with no static q-edge: no solution
+    val stream = src.toDF().toDF("s", "p", "o", "g")
+    val out = graft.sparql.Sparql.executeStreamQuads(spark, stream, staticQuads,
+      """PREFIX : <>
+        |SELECT ?g ?s WHERE { GRAPH ?g { ?s :p "1" . ?s :q "2" } }""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("quad_stream_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table("quad_stream_out").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("g1", "a"), ("g2", "b"))
+  }
+
+  it should "slice one graph up front for a constant target" in {
+    implicit val sqlCtx = spark.sqlContext
+    val staticQuads = Seq(("a", "q", "2", "g1"), ("b", "q", "2", "g2"))
+      .toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    src.addData(("a", "p", "1", "g1"), ("b", "p", "1", "g2"))
+    val out = graft.sparql.Sparql.executeStreamQuads(spark,
+      src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+      """PREFIX : <>
+        |SELECT ?s WHERE { GRAPH <g1> { ?s :p "1" . ?s :q "2" } }""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("quad_stream_const")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table("quad_stream_const").collect()
+      .map(_.getString(0)).toSet shouldBe Set("a")
+  }
+
   it should "keep matching as new micro-batches arrive" in {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, String, String)]
