@@ -496,6 +496,22 @@ object SparkEntry {
       .groupBy("source", "split").agg(count(lit(1)).as("n_docs"))
       .orderBy("source", "split")
 
+  /** One-row dataset card — the summary a curation run publishes with
+    * its output: volume, token mass, language spread, exact-dup
+    * pressure, quality mass (integer-e4 sum: order-free exact), and the
+    * short-doc tail. One aggregate pass; every figure deterministic.
+    */
+  private def corpusReportQ(s: SparkSession, d: String): DataFrame =
+    Tables.loadPar(s, d, "documents")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextOps.tokenCount(col("text")).cast("long")).as("n_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        countDistinct(TextOps.fingerprint(col("text"))).as("n_unique"),
+        sum(floor(TextOps.qualityScore(col("text")) * 10000 + 0.5)
+          .cast("long")).as("quality_e4_sum"),
+        sum(when(col("n_chars") < 200, 1L).otherwise(0L)).as("n_short"))
+
   /** Deterministic shard manifest — the WRITE step of a training-data
     * pipeline: docs assign to shards by content fingerprint (stable
     * across runs and input order, unlike round-robin), and the manifest
@@ -2191,6 +2207,7 @@ object SparkEntry {
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_split_leakfree" -> (splitLeakFreeQ _),
     "q_shard_manifest" -> (shardManifestQ _),
+    "q_corpus_report" -> (corpusReportQ _),
     "q_dedup_embed" -> (dedupEmbed _),
     "q_corpus_clean" -> (corpusClean _),
     "q_source_stats" -> (sourceStats _),
@@ -3841,6 +3858,26 @@ object SparkEntry {
         |SELECT doc_id, count(*) AS n_test_matches, max(jaccard) AS max_jaccard
         |FROM p WHERE jaccard >= 0.4
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // dataset card: one-row corpus summary, all integer-exact
+    "q_corpus_report" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9]+'))) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(
+        |          list_filter(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296)) AS BIGINT) AS n_unique,
+        |  CAST(sum(CAST(floor(floor((
+        |        least(len(regexp_extract_all(text, '[A-Za-z0-9]+'))/64.0, 1.0)
+        |      + greatest(0.0, 1.0 - (len(regexp_extract_all(text, '[\.,;:!\?]'))::DOUBLE
+        |          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 4.0)
+        |      + least((len(regexp_extract_all(text, '(?i)\b(the|a|an|and|or|of|to|in|is|it|that|for|on|with|as|at|by|be|this)\b'))::DOUBLE
+        |          / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1)) * 5.0, 1.0)
+        |    ) / 3.0 * 10000.0 + 0.5) / 10000.0 * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS quality_e4_sum,
+        |  CAST(sum(CASE WHEN n_chars < 200 THEN 1 ELSE 0 END) AS BIGINT) AS n_short
+        |FROM documents""".stripMargin,
     // shard manifest: fingerprint-mod shard + per-shard counts/sums
     "q_shard_manifest" ->
       """WITH fpd AS (
