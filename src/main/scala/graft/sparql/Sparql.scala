@@ -3186,6 +3186,7 @@ object Sparql {
                                  to: Option[String]) extends QuadOp
   private final case class QModify(withG: Option[String], del: Option[Group],
                                    ins: Option[Group], where: Group) extends QuadOp
+  private final case class QLoad(src: String, into: Option[String]) extends QuadOp
   private case object QNop extends QuadOp
 
   /** Ground quads of a data block: top-level triples land in the default
@@ -3231,6 +3232,22 @@ object Sparql {
         else if (p.tryKw("DEFAULT")) QDefault
         else { p.tryKw("GRAPH"); graphEndpoint().map(QNamed(_)).getOrElse(QDefault) }
       return QClear(t)
+    }
+    if (p.tryKw("LOAD")) {
+      // LOAD [SILENT] <src> [INTO GRAPH <g>] — §3.1.4, the full form the
+      // single-graph path cannot honor. TriG/N-Quads sources carry their
+      // own graph labels (INTO GRAPH then REPLACES them, per the note
+      // that a load's target overrides); Turtle/N-Triples land in the
+      // target graph, default if absent.
+      p.tryKw("SILENT")
+      val src = p.next() match {
+        case TIri(i) => i
+        case t => p.fail(s"LOAD needs an <iri>/path source, found $t")
+      }
+      val into =
+        if (p.tryKw("INTO")) { p.eatKw("GRAPH"); graphEndpoint() }
+        else None
+      return QLoad(src, into)
     }
     if (p.tryKw("CREATE")) {
       // an empty graph is indistinguishable from an absent one here
@@ -3474,6 +3491,31 @@ object Sparql {
             val fresh = pinSmall(minus(moved, slice(to)(q), smallRight = false))
             unionQ(q, fresh)
         }
+      case QLoad(src, into) =>
+        // parse by extension: quad formats carry their own labels
+        // (INTO GRAPH then replaces them); triple formats land in the
+        // target graph, default when absent. Set semantics: only rows
+        // not already present union in (|Δ|-sized pin).
+        val parsed: DataFrame =
+          if (src.endsWith(".trig"))
+            graft.store.TripleStore.parseTriG(spark, src)
+          else if (src.endsWith(".nq"))
+            graft.store.TripleStore.parseNQuads(spark, src)
+          else {
+            val t =
+              if (src.endsWith(".ttl"))
+                graft.store.TripleStore.parseTurtle(spark, src)
+              else graft.store.TripleStore.skolemize(
+                graft.store.TripleStore.parseNTriples(spark, src), src)
+            t.withColumn("g", lit(null).cast("string"))
+          }
+        val target = into match {
+          case Some(g) => parsed.withColumn("g", lit(g))
+          case None => parsed
+        }
+        val fresh = pinSmall(minus(
+          target.dropDuplicates("s", "p", "o", "g"), q, smallRight = false))
+        unionQ(q, fresh)
     }
     // ops with a broadcastable Δ pin only |Δ|-sized intermediates inside
     // applyOp, so the fold itself never checkpoints the full dataset;

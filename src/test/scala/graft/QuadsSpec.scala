@@ -426,6 +426,31 @@ class QuadsSpec extends SparkSpec {
             |}""".stripMargin)
   }
 
+  "updateQuads LOAD" should "load TriG with its own labels and Turtle INTO a graph" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-qload")
+    try {
+      java.nio.file.Files.writeString(dir.resolve("d.trig"),
+        "@prefix : <n:> .\n:x :p :y .\nGRAPH :gT { :a :p :b . }\n")
+      java.nio.file.Files.writeString(dir.resolve("t.ttl"),
+        "@prefix : <n:> .\n:c :p :d .\n")
+      val afterTrig = Sparql.updateQuads(spark, quads,
+        s"LOAD <${dir.resolve("d.trig")}>")
+      val rowsT = afterTrig.collect()
+        .map(r => (r.getString(0), r.getString(3))).toSet
+      rowsT should contain(("n:x", null)) // TriG default-graph row
+      rowsT should contain(("n:a", "n:gT")) // TriG named block kept its label
+      // Turtle INTO GRAPH <g2>: triples land in g2
+      val afterTtl = Sparql.updateQuads(spark, quads,
+        s"LOAD <${dir.resolve("t.ttl")}> INTO GRAPH <g2>")
+      afterTtl.collect().map(r => (r.getString(0), r.getString(3))).toSet should
+        contain(("n:c", "g2"))
+      // idempotent: re-loading adds nothing (set semantics)
+      val twice = Sparql.updateQuads(spark, afterTrig,
+        s"LOAD <${dir.resolve("d.trig")}>")
+      twice.count() shouldBe afterTrig.count()
+    } finally org.apache.commons.io.FileUtils.deleteQuietly(dir.toFile)
+  }
+
   it should "run closures per graph under a variable target" in {
     // chain a->m->z in g3 only; a->m in g1, m->z in g2 (cross-graph, must
     // NOT close); the one fixpoint job serves all graphs
