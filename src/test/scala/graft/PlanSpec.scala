@@ -187,4 +187,18 @@ class PlanSpec extends SparkSpec {
       all should not include "CartesianProduct"
     } finally spark.listenerManager.unregister(listener)
   }
+
+  "q_triangles" should "stay on equi-joins — degree ordering leaves no cartesian" in {
+    val p = finalPlan("q_triangles")
+    // wedge build + closing check are hash/sort joins on real keys; the
+    // plan must never fall back to a nested-loop/cartesian shape
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "q_sparql_service" should "broadcast the federated endpoint side" in {
+    val p = finalPlan("q_sparql_service")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
 }
