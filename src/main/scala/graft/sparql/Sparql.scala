@@ -323,7 +323,8 @@ object Sparql {
     require(template.filters.isEmpty && template.optionals.isEmpty &&
       template.unions.isEmpty && template.minuses.isEmpty &&
       template.paths.isEmpty && template.binds.isEmpty &&
-      template.subqueries.isEmpty && template.subgroups.isEmpty,
+      template.subqueries.isEmpty && template.subgroups.isEmpty &&
+      template.graphs.isEmpty && template.services.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
     require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
       "anonymous [] blanks are not supported in CONSTRUCT templates - " +
@@ -348,7 +349,8 @@ object Sparql {
     require(template.filters.isEmpty && template.optionals.isEmpty &&
       template.unions.isEmpty && template.minuses.isEmpty &&
       template.paths.isEmpty && template.binds.isEmpty &&
-      template.subqueries.isEmpty && template.subgroups.isEmpty,
+      template.subqueries.isEmpty && template.subgroups.isEmpty &&
+      template.graphs.isEmpty && template.services.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
     require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
       "anonymous [] blanks are not supported in CONSTRUCT templates - " +
@@ -407,7 +409,8 @@ object Sparql {
     require(template.filters.isEmpty && template.optionals.isEmpty &&
       template.unions.isEmpty && template.minuses.isEmpty &&
       template.paths.isEmpty && template.binds.isEmpty &&
-      template.subqueries.isEmpty && template.subgroups.isEmpty,
+      template.subqueries.isEmpty && template.subgroups.isEmpty &&
+      template.graphs.isEmpty && template.services.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
     require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
       "anonymous [] blanks are not supported in CONSTRUCT templates - " +
@@ -737,7 +740,8 @@ object Sparql {
         val w = parseGroup(p, prefixes)
         require(w.filters.isEmpty && w.optionals.isEmpty && w.unions.isEmpty &&
           w.minuses.isEmpty && w.paths.isEmpty && w.binds.isEmpty &&
-          w.subqueries.isEmpty && w.subgroups.isEmpty,
+          w.subqueries.isEmpty && w.subgroups.isEmpty &&
+          w.graphs.isEmpty && w.services.isEmpty,
           "DELETE WHERE takes a plain triple-pattern block")
         requireNoBlanks(w, "DELETE WHERE")
         return UModify(Some(w), None, w)
@@ -780,7 +784,8 @@ object Sparql {
     val g = parseGroup(p, prefixes)
     require(g.filters.isEmpty && g.optionals.isEmpty && g.unions.isEmpty &&
       g.minuses.isEmpty && g.paths.isEmpty && g.binds.isEmpty &&
-      g.subqueries.isEmpty && g.subgroups.isEmpty,
+      g.subqueries.isEmpty && g.subgroups.isEmpty &&
+      g.graphs.isEmpty && g.services.isEmpty,
       s"$what template must contain only triple patterns")
     g
   }
@@ -804,7 +809,8 @@ object Sparql {
   private def templateOnly(g: Group, what: String): Seq[TriplePattern] = {
     require(g.filters.isEmpty && g.optionals.isEmpty && g.unions.isEmpty &&
       g.minuses.isEmpty && g.paths.isEmpty && g.binds.isEmpty &&
-      g.subqueries.isEmpty && g.subgroups.isEmpty && g.graphs.isEmpty,
+      g.subqueries.isEmpty && g.subgroups.isEmpty && g.graphs.isEmpty &&
+      g.services.isEmpty,
       s"$what takes only triples (GRAPH targets need the quad-dataset " +
         "path, Sparql.updateQuads)")
     g.triples
@@ -857,7 +863,8 @@ object Sparql {
               where.paths.isEmpty && where.binds.isEmpty &&
               where.subqueries.isEmpty && where.subgroups.isEmpty &&
               where.values.isEmpty && where.valuesMulti.isEmpty &&
-              where.existsFilters.isEmpty
+              where.existsFilters.isEmpty && where.graphs.isEmpty &&
+              where.services.isEmpty
             out = graft.Prof.t("removeLocal*")(
               if (selfDelete)
                 graft.store.GraftStore.removeLocalPrecounted(spark, out,
@@ -2671,6 +2678,7 @@ object Sparql {
       sg.values.isEmpty && sg.paths.isEmpty && sg.binds.isEmpty &&
       sg.subqueries.isEmpty && sg.subgroups.isEmpty &&
       sg.existsFilters.isEmpty && sg.valuesMulti.isEmpty &&
+      sg.graphs.isEmpty && sg.services.isEmpty &&
       sg.filters.forall(f => exprVars(f).subsetOf(tvars))
     }
     g.copy(triples = g.triples ++ plain.flatMap(_.triples),
