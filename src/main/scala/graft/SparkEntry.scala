@@ -1323,6 +1323,24 @@ object SparkEntry {
         |} ORDER BY ?y""".stripMargin)
   }
 
+  /** The quad-algebra gate on the ENCODED path: same query and oracle
+    * as q_quad_algebra, but every join — graph confinement included —
+    * shuffles fixed-width longs off the certified encoded quad artifact
+    * (`GraftStore.quadDatasetEnc`), with one decode at the top.
+    */
+  private def quadEncAlgebraQ(s: SparkSession, d: String): DataFrame = {
+    val (enc, dict) = GraftStore.quadDatasetEnc(s, d)
+    graft.sparql.Sparql.executeQuadsEncoded(s, enc, dict,
+      """PREFIX : <>
+        |SELECT ?g ?s ?rk WHERE {
+        |  GRAPH ?g {
+        |    { ?s :a "Nation" } UNION { ?s :a "Region" }
+        |    OPTIONAL { ?s :regionkey ?rk }
+        |    MINUS { ?s :name "ALGERIA" }
+        |  }
+        |} ORDER BY ?g ?s ?rk""".stripMargin)
+  }
+
   /** Subquery under a VARIABLE graph (§13.3: evaluated once per active
     * graph): the rewrite adds the graph var to the subquery's implicit
     * group, so ONE aggregation computes every graph's count.
@@ -2262,6 +2280,7 @@ object SparkEntry {
     "q_quad_path" -> (quadPathQ _),
     "q_quad_closure" -> (quadClosureQ _),
     "q_quad_subquery" -> (quadSubqueryQ _),
+    "q_quad_enc_algebra" -> (quadEncAlgebraQ _),
     "q_quad_const_algebra" -> (quadConstAlgebraQ _),
     "q_quad_construct" -> (quadConstructQ _),
     "q_quad_describe" -> (quadDescribeQ _),
@@ -3352,6 +3371,15 @@ object SparkEntry {
         |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nationkey', 'nation:3'
         |    FROM supplier WHERE s_nationkey = 3
         |) ORDER BY s, p, o""".stripMargin,
+    // encoded quad algebra: same oracle as q_quad_algebra
+    "q_quad_enc_algebra" ->
+      """SELECT g, s, rk FROM (
+        |  SELECT 'graph:nation' AS g, 'nation:' || n_nationkey AS s,
+        |         'region:' || n_regionkey AS rk
+        |  FROM nation WHERE n_name <> 'ALGERIA'
+        |  UNION ALL
+        |  SELECT 'graph:region', 'region:' || r_regionkey, NULL FROM region
+        |) ORDER BY g, s, rk NULLS FIRST""".stripMargin,
     // variable-graph subquery: per-graph :name counts in one aggregation
     "q_quad_subquery" ->
       """SELECT g, cnt FROM (

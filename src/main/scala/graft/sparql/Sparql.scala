@@ -1975,7 +1975,8 @@ object Sparql {
     * edges and endpoints, VALUES entries) — the set the driver encodes.
     */
   private def groupConsts(g: Group): Set[String] =
-    g.triples.flatMap(_.consts).map(_.toString).toSet ++
+    g.graphs.collect { case (C(v), _) => v.toString }.toSet ++
+      g.triples.flatMap(_.consts).map(_.toString).toSet ++
       g.paths.flatMap { case (s, p, o) =>
         Seq(s, o).collect { case C(v) => v.toString } ++ pathConsts(p) } ++
       inlineValueConsts(g) ++
@@ -2928,7 +2929,8 @@ object Sparql {
       "GRAPH requires a quad dataset — use Sparql.executeQuads"))
     gterm match {
       case C(v) =>
-        val slice = quads.where(col("g") === v.toString).select("s", "p", "o")
+        val slice = quads.where(col("g") === lit(env.cval(v)))
+          .select("s", "p", "o")
         compileGroup(env.copy(triples = slice, stats = Map.empty), inner)
       case V(gv) =>
         // the FULL algebra is supported under a variable target — the
@@ -2936,7 +2938,8 @@ object Sparql {
         // GRAPH) are all compiled through the carried graph column now
         var df: DataFrame =
           if (inner.triples.isEmpty) null
-          else inner.triples.map(quadScan(quads, _, gv)).reduce { (l, r) =>
+          else inner.triples.map(tp => quadScan(quads, env.encTp(tp), gv))
+            .reduce { (l, r) =>
             val shared = l.columns.intersect(r.columns).toSeq // >= the graph col
             l.join(r, shared, "inner")
           }
@@ -3003,7 +3006,10 @@ object Sparql {
         }
         inner.values.foreach { case (v, vals) =>
           import env.spark.implicits._
-          val vdf = vals.toDF(v)
+          val vdf = demoteToTerms(env, env.enc match {
+            case Some(_) => vals.map(x => env.cval(x).asInstanceOf[Long]).toDF(v)
+            case None => vals.toDF(v)
+          })
           df = if (df == null) vdf
           else if (df.columns.contains(v)) df.join(vdf, Seq(v), "inner")
           else df.crossJoin(vdf)
@@ -3024,17 +3030,18 @@ object Sparql {
           // pathRelSeeded's discipline)
           var rel = (sT, oT, pth) match {
             case (C(v), _, PClosure(x, z)) =>
-              quadClosureSeeded(quads, quadPathRel(quads, x), v.toString, z)
+              quadClosureSeeded(quads, quadPathRel(env, quads, x),
+                env.cval(v), z)
             case (_, C(v), PClosure(x, z)) =>
               quadClosureSeeded(quads,
-                  quadPathRel(quads, x)
+                  quadPathRel(env, quads, x)
                     .select(col("o").as("s"), col("s").as("o"), col("g")),
-                  v.toString, z)
+                  env.cval(v), z)
                 .select(col("o").as("s"), col("s").as("o"), col("g"))
-            case _ => quadPathRel(quads, pth)
+            case _ => quadPathRel(env, quads, pth)
           }
-          sT match { case C(v) => rel = rel.where(col("s") === v.toString); case _ => }
-          oT match { case C(v) => rel = rel.where(col("o") === v.toString); case _ => }
+          sT match { case C(v) => rel = rel.where(col("s") === lit(env.cval(v))); case _ => }
+          oT match { case C(v) => rel = rel.where(col("o") === lit(env.cval(v))); case _ => }
           if (sT.isInstanceOf[V] && sT == oT)
             rel = rel.where(col("s") === col("o"))
           var sel = Seq(col("g").as(gv))
@@ -3104,6 +3111,45 @@ object Sparql {
       else if (fromNamed.isEmpty) quads.where(lit(false))
       else quads.where(col("g").isin(fromNamed: _*))
     stringEnv(spark, defaultG, stats).copy(quads = Some(named))
+  }
+
+  /** ENCODED quad execution — the triple side's lazy-decode discipline
+    * applied to named graphs: every join (pattern scans, graph
+    * confinement, per-graph closures, subqueries) shuffles fixed-width
+    * longs for s/p/o AND g, and projected columns decode once at the
+    * top. `encQuads` + `dict` come from `GraftStore.quadDatasetEnc` (or
+    * `TripleStore.encodeQuads` directly): certified xxhash64 ids, so
+    * query constants resolve by hashing alone — no driver probe except
+    * for the surfacing set (path endpoints, VALUES entries).
+    */
+  def executeQuadsEncoded(spark: SparkSession, encQuads: DataFrame,
+                          dict: DataFrame, queryText: String): DataFrame = {
+    import graft.dict.Dictionary
+    val q = parse(queryText)
+    val plain = plainVarsOf(q)
+    val gConsts = q.postValues.fold(q.group)(pv =>
+      q.group.copy(valuesMulti = q.group.valuesMulti :+ pv))
+    val consts =
+      (groupConsts(gConsts) ++ q.fromGraphs ++ q.fromNamed).toSeq.sorted
+    val ids = Dictionary.hashLiterals(spark, consts)
+    val probeSet =
+      (pathEndpointConsts(gConsts) ++ inlineValueConsts(gConsts)).toSeq.sorted
+    val present = Dictionary.lookup(dict, probeSet)
+    val localDict = probeSet.filterNot(present.contains).map(c => ids(c) -> c)
+    val explicitDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
+    val fromG = q.fromGraphs.map(ids)
+    val fromN = q.fromNamed.map(ids)
+    val defaultG =
+      if (!explicitDataset) encQuads.where(col("g").isNull).select("s", "p", "o")
+      else if (fromG.isEmpty) encQuads.where(lit(false)).select("s", "p", "o")
+      else encQuads.where(col("g").isin(fromG: _*)).select("s", "p", "o")
+    val named =
+      if (!explicitDataset) encQuads.where(col("g").isNotNull)
+      else if (fromN.isEmpty) encQuads.where(lit(false))
+      else encQuads.where(col("g").isin(fromN: _*))
+    val env = Env(spark, defaultG, Map.empty, 1000000L,
+      Some(EncEnv(dict, ids, localDict, plain)), quads = Some(named))
+    compileQuery(env, q, top = true)
   }
 
   /** ASK over a quad dataset — GRAPH blocks and dataset clauses apply. */
@@ -3617,39 +3663,41 @@ object Sparql {
     * semantics, like `pathRel`); inverse swaps endpoints within the
     * graph. Closures reject — they would need a per-graph fixpoint.
     */
-  private def quadPathRel(quads: DataFrame, p: Path): DataFrame = p match {
+  private def quadPathRel(env: Env, quads: DataFrame, p: Path): DataFrame = p match {
     case PEdge(e) =>
-      quads.where(col("p") === e).select(col("s"), col("o"), col("g"))
+      quads.where(col("p") === lit(env.cval(e)))
+        .select(col("s"), col("o"), col("g"))
     case PNegSet(preds, invPreds) =>
       val parts = Seq(
         if (preds.nonEmpty || invPreds.isEmpty)
-          Some(quads.where(!col("p").isin(preds: _*))
+          Some(quads.where(!col("p").isin(preds.map(env.cval): _*))
             .select(col("s"), col("o"), col("g")))
         else None,
         if (invPreds.nonEmpty)
-          Some(quads.where(!col("p").isin(invPreds: _*))
+          Some(quads.where(!col("p").isin(invPreds.map(env.cval): _*))
             .select(col("o").as("s"), col("s").as("o"), col("g")))
         else None).flatten
       parts.reduce(_.unionAll(_))
     case PInv(x) =>
-      quadPathRel(quads, x).select(col("o").as("s"), col("s").as("o"), col("g"))
+      quadPathRel(env, quads, x)
+        .select(col("o").as("s"), col("s").as("o"), col("g"))
     case PSeq(l, r) =>
-      val lf = quadPathRel(quads, l)
+      val lf = quadPathRel(env, quads, l)
         .select(col("s"), col("o").as("__m"), col("g"))
-      val rf = quadPathRel(quads, r)
+      val rf = quadPathRel(env, quads, r)
         .select(col("s").as("__m"), col("o"), col("g"))
       lf.join(rf, Seq("__m", "g")).select(col("s"), col("o"), col("g"))
     case PAlt(l, r) =>
-      quadPathRel(quads, l).unionAll(quadPathRel(quads, r))
+      quadPathRel(env, quads, l).unionAll(quadPathRel(env, quads, r))
     case PClosure(x, includeZero) =>
       // ONE doubling fixpoint with g in the join key closes EVERY
       // graph's relation simultaneously — no per-graph enumeration, no
       // per-graph driver loops; a graph only pays for its own reachable
       // pairs. Zero-length matches all terms OF THAT graph (§9.3).
-      val c = quadEdgesClosure(quadPathRel(quads, x))
+      val c = quadEdgesClosure(quadPathRel(env, quads, x))
       if (includeZero) c.unionAll(quadIdentityRel(quads)).distinct() else c
     case POpt(x) =>
-      quadPathRel(quads, x).unionAll(quadIdentityRel(quads)).distinct()
+      quadPathRel(env, quads, x).unionAll(quadIdentityRel(quads)).distinct()
   }
 
   /** Transitive closure of an (s, o, g) relation: the `edgesClosure`
@@ -3687,11 +3735,11 @@ object Sparql {
     * graph that mentions the constant (§9.3).
     */
   private def quadClosureSeeded(quads: DataFrame, step: DataFrame,
-                                const: String, includeZero: Boolean): DataFrame = {
+                                const: Any, includeZero: Boolean): DataFrame = {
     val pins = new graft.Pins
     val rel = pins.pin(step)
     var frontier = pins.pin(
-      rel.where(col("s") === const).select(col("o"), col("g")).distinct())
+      rel.where(col("s") === lit(const)).select(col("o"), col("g")).distinct())
     var reached = frontier
     var grew = true
     var iter = 0
@@ -3714,7 +3762,7 @@ object Sparql {
     val out =
       if (!includeZero) base
       else base.unionByName(
-        quadIdentityRel(quads).where(col("s") === const)).distinct()
+        quadIdentityRel(quads).where(col("s") === lit(const))).distinct()
     pins.seal(out)
   }
 

@@ -77,6 +77,7 @@ object GraftStore {
     bpeCache.keys.filter(_._1.sparkContext.isStopped).foreach(bpeCache.remove)
     ntCache.keys.filter(_._1.sparkContext.isStopped).foreach(ntCache.remove)
     quadCache.keys.filter(_._1.sparkContext.isStopped).foreach(quadCache.remove)
+    quadEncCache.keys.filter(_._1.sparkContext.isStopped).foreach(quadEncCache.remove)
   }
 
   private def ingest(spark: SparkSession, sfDir: String): StoreHandle =
@@ -1011,6 +1012,25 @@ object GraftStore {
     })).value
   }
 
+  private val quadEncCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Lazily[(DataFrame, DataFrame)]]
+
+  /** ENCODED quad dataset + dictionary, certified at build
+    * (`TripleStore.encodeQuads`) — the ingest artifact behind
+    * `Sparql.executeQuadsEncoded`: every named-graph join moves
+    * fixed-width longs, one decode at the top.
+    */
+  def quadDatasetEnc(spark: SparkSession, sfDir: String)
+      : (DataFrame, DataFrame) = {
+    evictStopped()
+    quadEncCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val (enc, dict) = TripleStore.encodeQuads(quadDataset(spark, sfDir))
+      enc.persist(); enc.count()
+      dict.persist(); dict.count()
+      (enc, dict)
+    })).value
+  }
+
   /** Ranked UNDIRECTED entity adjacency of the store's IRI edges,
     * materialized once per (session, dir) — the walk engine's index, an
     * ingest-time artifact like the gram sets: every walk batch over the
@@ -1164,5 +1184,6 @@ object GraftStore {
     cache.clear(); gramCache.clear(); pairCache.clear()
     adjCache.clear(); adjEncCache.clear(); ivfCache.clear()
     kmeansCache.clear(); bpeCache.clear(); ntCache.clear()
+    quadCache.clear(); quadEncCache.clear()
   }
 }

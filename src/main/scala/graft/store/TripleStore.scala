@@ -351,4 +351,32 @@ object TripleStore {
     */
   def openQuads(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).select("s", "p", "o", "g")
+
+  /** Dictionary-encode a quad dataset: (encoded quads, dictionary).
+    * Every term — s, p, o, AND the graph label — becomes its xxhash64
+    * id (g stays null for default-graph rows); the dictionary is the
+    * distinct term set under the same hash. The build CERTIFIES the
+    * encoding the way triple ingest does: any id claimed by two
+    * distinct terms is a collision and fails fast here, so downstream
+    * equality on ids is sound (`Sparql.executeQuadsEncoded`).
+    */
+  def encodeQuads(quads: DataFrame): (DataFrame, DataFrame) = {
+    import graft.dict.Dictionary
+    val dict = quads
+      .select(explode(array(col("s"), col("p"), col("o"), col("g"))).as("term"))
+      .where(col("term").isNotNull).distinct()
+      .select(Dictionary.termHash(col("term")).as("id"), col("term"))
+    val collisions = dict.groupBy("id")
+      .agg(count(lit(1)).as("n")).where(col("n") > 1)
+    require(collisions.isEmpty,
+      "xxhash64 collision in quad term set — use the string path " +
+        "(Sparql.executeQuads) for this dataset")
+    val enc = quads.select(
+      Dictionary.termHash(col("s")).as("s"),
+      Dictionary.termHash(col("p")).as("p"),
+      Dictionary.termHash(col("o")).as("o"),
+      when(col("g").isNull, lit(null).cast("long"))
+        .otherwise(Dictionary.termHash(col("g"))).as("g"))
+    (enc, dict)
+  }
 }

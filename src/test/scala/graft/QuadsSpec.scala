@@ -426,6 +426,48 @@ class QuadsSpec extends SparkSpec {
             |}""".stripMargin)
   }
 
+  "executeQuadsEncoded" should "match the string path across the quad algebra" in {
+    val (enc, dict) = graft.store.TripleStore.encodeQuads(quads)
+    def both(q: String): Set[Seq[String]] = {
+      val viaStrings = Sparql.executeQuads(spark, quads, q).collect()
+        .map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.get(i).toString): Seq[String]).toSet
+      val viaEnc = Sparql.executeQuadsEncoded(spark, enc, dict, q).collect()
+        .map(r => (0 until r.length).map(i =>
+          if (r.isNullAt(i)) null else r.get(i).toString): Seq[String]).toSet
+      viaEnc shouldBe viaStrings
+      viaStrings
+    }
+    // graph confinement + graph var binding
+    both("""PREFIX : <>
+            |SELECT ?g ?s WHERE { GRAPH ?g { ?s :p "1" . ?s :q "2" } }""".stripMargin) should
+      not be empty
+    // constant target, full recursion
+    both("""PREFIX : <>
+            |SELECT ?s ?o WHERE { GRAPH <g2> { ?s :p ?o } }""".stripMargin) should
+      not be empty
+    // dataset clauses
+    both("""PREFIX : <>
+            |SELECT ?s WHERE { ?s :p "1" } FROM <g1> FROM NAMED <g2>""".stripMargin)
+    // paths + closure under a variable target
+    both("""PREFIX : <>
+            |SELECT ?g ?v WHERE { GRAPH ?g { "1" ^(:p|:q) ?v } }""".stripMargin) should
+      not be empty
+    both("""PREFIX : <>
+            |SELECT ?g ?y WHERE { GRAPH ?g { <a> :p+ ?y } }""".stripMargin) should
+      not be empty
+    // per-graph subquery aggregation
+    both("""PREFIX : <>
+            |SELECT ?g ?cnt WHERE {
+            |  GRAPH ?g { { SELECT (COUNT(?s) AS ?cnt) WHERE { ?s :p ?o } } }
+            |}""".stripMargin) should not be empty
+    // OPTIONAL / MINUS / VALUES inside the block
+    both("""PREFIX : <>
+            |SELECT ?g ?s ?x WHERE {
+            |  GRAPH ?g { ?s :p "1" OPTIONAL { ?s :q ?x } MINUS { ?s :q "9" } }
+            |}""".stripMargin) should not be empty
+  }
+
   "updateQuads LOAD" should "load TriG with its own labels and Turtle INTO a graph" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-qload")
     try {
