@@ -1539,6 +1539,41 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** Connected components to CONVERGENCE over the customer—order—lineitem
+    * forest (one component per customer subtree — many components of
+    * unknown diameter, the case bounded-round label propagation cannot
+    * answer): the pointer-jumped min-label fixpoint of
+    * `GraphOps.connectedComponents`, iterated on dense order-preserving
+    * ranks (fixed-width long shuffles) and decoded once at the top. The
+    * oracle replays the fixpoint ROUND-STRUCTURE-INDEPENDENTLY as
+    * reachability-min: component id = min node reachable in the
+    * undirected closure.
+    */
+  private def componentsQ(s: SparkSession, d: String): DataFrame = {
+    val ord = t(s, d, "orders"); val li = t(s, d, "lineitem")
+    val edges = ord.select(
+        concat(lit("order:"), col("o_orderkey")).as("s"),
+        concat(lit("customer:"), col("o_custkey")).as("o"))
+      .unionAll(li.select(
+        concat(lit("lineitem:"), col("l_orderkey"), lit("-"),
+          col("l_linenumber")).as("s"),
+        concat(lit("order:"), col("l_orderkey")).as("o")))
+    val ranks = graft.ops.GraphOps.orderRanks(
+        edges.select(col("s")).unionAll(edges.select(col("o").as("s"))))
+      .localCheckpoint(true)
+    val enc = edges
+      .join(ranks.select(col("node").as("s"), col("rk").as("srk")), Seq("s"))
+      .join(ranks.select(col("node").as("o"), col("rk").as("ork")), Seq("o"))
+      .select(col("srk").as("s"), col("ork").as("o"))
+    val cc = graft.ops.GraphOps.connectedComponents(enc)
+    cc.join(ranks.select(col("rk").as("node"), col("node").as("nodeName")),
+        Seq("node"))
+      .join(ranks.select(col("rk").as("component"), col("node").as("compName")),
+        Seq("component"))
+      .select(col("nodeName").as("node"), col("compName").as("component"))
+      .orderBy("node")
+  }
+
   /** The reference's own benchmark workload as driver gates: LUBM
     * University0 (318k triples from the reference's N-Triples fixtures)
     * with the two most join-heavy standard LUBM queries, run over the
@@ -2266,6 +2301,7 @@ object SparkEntry {
     "q_lubm2" -> (lubm2Q _),
     "q_lubm9" -> (lubm9Q _),
     "q_label_prop" -> (labelPropQ _),
+    "q_components" -> (componentsQ _),
     "q_triangles" -> (trianglesQ _),
     "q_bfs_dist" -> (bfsDistQ _),
     "q_turtle_load" -> (turtleLoadQ _),
@@ -3189,6 +3225,21 @@ object SparkEntry {
         |         '"'||r_name||'"', 'graph:region' FROM region
         |  UNION ALL SELECT 'meta:doc', 'prop:tables', '"2"', 'default'
         |) ORDER BY s, p, o, g""".stripMargin,
+    // connected components to convergence: the oracle replays the
+    // fixpoint round-structure-independently as reachability-min —
+    // component id = min node reachable in the undirected closure
+    "q_components" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'order:'||o_orderkey AS s, 'customer:'||o_custkey AS o FROM orders
+        |  UNION ALL
+        |  SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'order:'||l_orderkey FROM lineitem
+        |), und AS (SELECT s, o FROM e UNION SELECT o, s FROM e),
+        |reach(d, r) AS (
+        |  SELECT s, s FROM und
+        |  UNION
+        |  SELECT u.o, reach.r FROM reach JOIN und u ON u.s = reach.d)
+        |SELECT d AS node, min(r) AS component FROM reach
+        |GROUP BY d ORDER BY node""".stripMargin,
     // triangle counting: the oracle enumerates each triangle once via
     // the canonical a<b<c 3-way join — same set the degree-ordered
     // wedge join finds

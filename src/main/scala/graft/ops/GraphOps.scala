@@ -214,6 +214,77 @@ object GraphOps {
       .select(col("node"), coalesce(col("tri"), lit(0L)).as("tri")))
   }
 
+  /** Connected components to CONVERGENCE: every node gets the smallest
+    * node id in its component. `minLabelPropagation` bounds the radius
+    * (labels travel `iterations` hops); this runs until a fixpoint, so it
+    * is correct on ANY diameter — the requirement when the component
+    * structure is unknown (corpus-scale dedup graphs, entity resolution),
+    * where GraphX Pregel on a driver-coalesced edge list (the tiny-pair-
+    * graph shape of [[graft.ops.DedupOps.clusters]]) stops being an
+    * option.
+    *
+    * Each round is min-label relaxation PLUS pointer jumping
+    * (`lab ← lab(lab)`, the Shiloach-Vishkin shortcut): labels hop to
+    * their label's label, so label trees halve in depth every round and
+    * convergence is O(log diameter) rounds instead of O(diameter) — on a
+    * 1000-hop chain ~10 rounds, not 1000. Per round: one adjacency join +
+    * one min-aggregate (relaxation), one self-join (jump), one bounded
+    * change probe. Labels are (node, lab) pairs — fixed-width when the
+    * caller iterates on ranks (see [[orderRanks]]) — and every
+    * intermediate is Pins-checkpointed, so lineage stays flat across
+    * rounds. Pure order comparisons: a SQL oracle replays the fixpoint as
+    * reachability-min (component id = min reachable node), independent of
+    * round structure.
+    *
+    * Input: any (s, o) edge relation — direction, duplicates and
+    * self-loops are ignored; nodes with no edge are absent (union
+    * singletons at the call site if needed). Output: (node, component).
+    */
+  def connectedComponents(edges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val pins = new graft.Pins
+    val base = edges.select(col("s"), col("o"))
+      .where(col("s").isNotNull && col("o").isNotNull && col("s") =!= col("o"))
+    val und = pins.pin(
+      base.unionAll(base.select(col("o").as("s"), col("s").as("o"))).distinct())
+    var labels = pins.pin(
+      und.select(col("s").as("node")).distinct().withColumn("lab", col("node")))
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"connectedComponents did not converge in $maxRounds rounds")
+      // relax: lab'(v) = min(lab(v), min over neighbors u of lab(u)).
+      // The self leg carries the node's PREVIOUS label through the same
+      // aggregate (min ignores the neighbor leg's nulls), so convergence
+      // is read off the pinned relax result with a filter — no separate
+      // old-vs-new probe join per round.
+      val relaxed = pins.pin(
+        und.join(labels, und("s") === labels("node"))
+          .select(und("o").as("node"), col("lab"),
+            when(lit(false), col("lab")).as("labOld"))
+          .unionAll(labels.select(col("node"), col("lab"),
+            col("lab").as("labOld")))
+          .groupBy("node")
+          .agg(min(col("lab")).as("lab"), min(col("labOld")).as("labOld")))
+      if (relaxed.where(col("lab") =!= col("labOld")).isEmpty) {
+        // relax fixpoint: labels are constant per component already —
+        // skip the final round's (now idempotent) jump
+        labels = relaxed.select(col("node"), col("lab"))
+        done = true
+      } else {
+        // jump: lab''(v) = lab'(lab'(v)) — the Shiloach-Vishkin shortcut;
+        // labels are node ids, so the inner join always hits
+        val r = relaxed.select(col("node"), col("lab"))
+        labels = pins.pin(
+          r.join(r.select(col("node").as("lab"), col("lab").as("lab2")),
+              Seq("lab"))
+            .select(col("node"), col("lab2").as("lab")))
+      }
+    }
+    pins.seal(labels.select(col("node"), col("lab").as("component")))
+  }
+
   /** Minimum hop distance from a seed set, bounded at `rounds` hops —
     * the DELTA-FRONTIER BFS: each round expands only the nodes first
     * discovered in the previous round (one equi-join of the frontier

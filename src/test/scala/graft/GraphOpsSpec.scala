@@ -74,6 +74,58 @@ class GraphOpsSpec extends SparkSpec {
     one("c") shouldBe "b"
   }
 
+  "connectedComponents" should "converge past any fixed round bound on a long chain" in {
+    // a 40-node path: diameter 39, far beyond what bounded-round label
+    // propagation covers — pointer jumping must still converge (in
+    // O(log 40) rounds, inside the op's default round guard)
+    val chain = (0 until 39).map(i => (f"n$i%02d", f"n${i + 1}%02d")).toDF("s", "o")
+    val cc = GraphOps.connectedComponents(chain)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cc.size shouldBe 40
+    cc.values.toSet shouldBe Set("n00")
+  }
+
+  it should "match brute-force components on a messy seeded random graph" in {
+    // sparse deterministic graph over 60 nodes -> several components of
+    // varied diameter; feed duplicate, reversed, and self-loop edges
+    val n = 60
+    val pairs = for {
+      i <- 0 until n; j <- i + 1 until n
+      if ((i * 37 + j * 11 + (i * j) % 13) % 41) == 0
+    } yield (f"n$i%02d", f"n$j%02d")
+    val messy = pairs ++ pairs.map(_.swap) ++ pairs.take(7) ++
+      Seq(("n03", "n03"))
+    val got = GraphOps.connectedComponents(messy.toDF("s", "o"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    // brute force union-find
+    val parent = scala.collection.mutable.Map[String, String]()
+    def find(x: String): String = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(if (ra < rb) rb else ra) = if (ra < rb) ra else rb
+    }
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val comp = nodes.map { v =>
+      v -> nodes.filter(u => find(u) == find(v)).min
+    }.toMap
+    comp.values.toSet.size should be > 3 // fixture has several components
+    got shouldBe comp
+  }
+
+  it should "agree with the GraphX Pregel clusters on the pair-graph shape" in {
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L), (8L, 9L), (9L, 1L))
+      .toDF("doc_a", "doc_b")
+    val viaGraphx = graft.ops.DedupOps.clusters(spark, pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaDf = GraphOps.connectedComponents(
+        pairs.select(col("doc_a").as("s"), col("doc_b").as("o")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    viaDf shouldBe viaGraphx
+  }
+
   "orderRanks" should "assign dense ranks in node order, so min(rank) ≡ min(node)" in {
     val nodes = Seq("m", "a", "z", "k", "a").toDF("node")
     val rk = GraphOps.orderRanks(nodes).collect()
