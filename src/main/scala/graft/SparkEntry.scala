@@ -888,6 +888,33 @@ object SparkEntry {
       .orderBy("probes", "query_id")
   }
 
+  /** Product-quantization ADC search: top-5 approximate inner-product
+    * neighbors per query over the per-corpus PQ index (16 subspaces × 16
+    * centroids — 8 bytes of code per vector instead of 256 bytes of
+    * floats, the in-memory-ANN story at 100 TB). The corpus pass touches
+    * only the codes table; queries stay full precision (asymmetric
+    * distance). Integer-micro LUT accumulation makes the ranking
+    * order-free, so the DuckDB oracle replays training, encoding, and
+    * the ADC scan bit-exactly.
+    */
+  private def annPqQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.loadPar(s, d, "embeddings")
+    val (cb, codes) = GraftStore.pqIndex(s, d)
+    VectorOps.pqSearch(emb, cb, codes, col("vec_id") < 8, topK = 5)
+      .orderBy("query_id", "rnk")
+  }
+
+  /** Two-stage PQ retrieval (the production ANN shape): top-100 ADC
+    * candidates from the codes table, exact rounded-inner-product
+    * re-rank of just those candidates' vectors, top-5.
+    */
+  private def annPqRerankQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.loadPar(s, d, "embeddings")
+    val (cb, codes) = GraftStore.pqIndex(s, d)
+    VectorOps.pqSearchRerank(emb, cb, codes, col("vec_id") < 8, topK = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** LSH-bucketed ANN (sign random projections, single probe, top-3). */
   private def annLshQ(s: SparkSession, d: String): DataFrame =
     VectorOps.annLsh(Tables.loadPar(s, d, "embeddings"), col("vec_id") < 8, k = 3)
@@ -2270,6 +2297,8 @@ object SparkEntry {
     "q_ann_recall" -> (annRecallQ _),
     "q_ann_recall_mp" -> (annRecallMpQ _),
     "q_ann_lsh" -> (annLshQ _),
+    "q_ann_pq" -> (annPqQ _),
+    "q_ann_pq_rerank" -> (annPqRerankQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_audio" -> (mediaAudio _),
     "q_media_thumb" -> (mediaThumb _),
@@ -2608,6 +2637,73 @@ object SparkEntry {
        |       FROM e, p WHERE vec_id % p.step = 0 AND vec_id < p.k * p.step),
        |$body""".stripMargin
   }
+
+  /** PQ replay (VectorOps.pqTrain/pqEncode/pqSearch): 16 subspaces × 16
+    * centroids, 2 unrolled k-means rounds over the sliced subvector
+    * relation (min integer-micro squared-L2, ties to the smaller
+    * cluster), encoding under the final codebook, then the ADC scan —
+    * per-query integer-micro LUT joined to the codes and summed. Ends at
+    * the `adc` CTE (query_id, neighbor_id, adcm); the two gates share it.
+    */
+  private val pqOracleCtes: String = {
+    val iters = 2
+    def assign(t: Int) =
+      s"""d$t AS (SELECT s.vec_id, s.sub, s.sv, c.cluster,
+         |  CAST(floor((${duckDot("s.sv", "s.sv")} - 2 * ${duckDot("s.sv", "c.cv")}
+         |    + ${duckDot("c.cv", "c.cv")}) * 1e6 + 0.5) AS BIGINT) AS d2m
+         |  FROM sv s JOIN c$t c USING (sub)),
+         |a$t AS (SELECT vec_id, sub, sv, cluster FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2m ASC, cluster ASC) AS rn FROM d$t) WHERE rn = 1)"""
+        .stripMargin
+    def update(t: Int) =
+      s"""c${t + 1} AS (SELECT sub, cluster, list(cd ORDER BY dim) AS cv FROM (
+         |    SELECT a$t.sub, a$t.cluster, i AS dim,
+         |      (sum(CAST(floor(sv[i]::DOUBLE * 1000000 + 0.5) AS BIGINT))::DOUBLE
+         |        / (count(*) * 1000000.0))::FLOAT AS cd
+         |    FROM a$t, range(1, 5) t(i)
+         |    GROUP BY 1, 2, 3) GROUP BY sub, cluster)""".stripMargin
+    val body = (0 until iters).map(t => assign(t) + ",\n" + update(t))
+      .mkString(",\n") + ",\n" + assign(iters)
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |p AS (SELECT count(*) // 16 AS step FROM e),
+       |sv AS (SELECT vec_id, sub, embedding[(sub*4+1):(sub*4+4)] AS sv
+       |       FROM e, (SELECT unnest(range(0, 16)) AS sub) subs),
+       |c0 AS (SELECT sub, (vec_id // p.step)::INT AS cluster, sv AS cv
+       |       FROM sv, p WHERE vec_id % p.step = 0 AND vec_id < 16 * p.step),
+       |$body,
+       |q AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM sv WHERE vec_id < 8),
+       |lut AS (SELECT query_id, c.sub, c.cluster,
+       |    CAST(floor(${duckDot("qsv", "c.cv")} * 1e6 + 0.5) AS BIGINT) AS lutm
+       |  FROM q JOIN c$iters c USING (sub)),
+       |adc AS (SELECT query_id, a.vec_id AS neighbor_id, sum(lutm) AS adcm
+       |  FROM a$iters a JOIN lut ON lut.sub = a.sub AND lut.cluster = a.cluster
+       |  WHERE a.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
+  }
+
+  private val pqOracleSql: String =
+    s"""$pqOracleCtes
+       |SELECT query_id, neighbor_id, adcm / 1000000.0 AS adc, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adcm DESC, neighbor_id ASC) AS rnk FROM adc)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Two-stage replay: top-100 ADC candidates per query, re-ranked by the
+    * exact rounded inner product of the full-width vectors.
+    */
+  private val pqRerankOracleSql: String =
+    s"""$pqOracleCtes,
+       |cand AS (SELECT query_id, neighbor_id FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adcm DESC, neighbor_id ASC) AS rn FROM adc) WHERE rn <= 100),
+       |rr AS (SELECT query_id, neighbor_id,
+       |    floor(${duckDot("qe.embedding", "ne.embedding")} * 1e6 + 0.5) / 1e6 AS ip
+       |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+       |            JOIN e ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, ip, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip DESC, neighbor_id ASC) AS rnk FROM rr)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** BPE replay: 10 unrolled merge rounds over the word-frequency table,
     * same delimiter-string representation and argmax tiebreak as
@@ -4323,6 +4419,8 @@ object SparkEntry {
         |FROM embeddings, range(1, 65) t(i)
         |GROUP BY 1, 2 ORDER BY bucket, dim""".stripMargin,
     "q_kmeans" -> kmeansOracleSql,
+    "q_ann_pq" -> pqOracleSql,
+    "q_ann_pq_rerank" -> pqRerankOracleSql,
     "q_semdedup" -> semDedupOracleSql,
     "q_diverse_sample" -> (kmeansOracleCtes() +
       """

@@ -968,6 +968,26 @@ object GraftStore {
     })).value
   }
 
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Lazily[(Seq[(Int, Int, Seq[Float])], DataFrame)]]
+
+  /** Product-quantization index of the embeddings table — the (trained
+    * codebook, corpus codes) pair, materialized once per (session, dir)
+    * like `ivfIndex`: at cluster scale the codes table is the compact
+    * ANN index an ingest job writes (m·log₂k bits per vector instead of
+    * the float vectors), and every `pqSearch` call reuses it, computing
+    * only its own query LUTs.
+    */
+  def pqIndex(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, Int, Seq[Float])], DataFrame) = {
+    evictStopped()
+    pqCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val emb = graft.Tables.loadPar(spark, sfDir, "embeddings")
+      val cb = graft.ops.VectorOps.pqTrain(emb)
+      (cb, graft.Pins.checkpoint(graft.ops.VectorOps.pqEncode(emb, cb)))
+    })).value
+  }
+
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), Lazily[(Seq[(Int, String, String, String, Long)], DataFrame)]]
 

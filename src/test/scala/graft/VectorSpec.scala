@@ -282,4 +282,97 @@ class VectorSpec extends SparkSpec {
     plan should not include "CartesianProduct"
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  "pqTrain/pqEncode" should "produce one in-range code per (vector, subspace), deterministically" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val n = e.count()
+    val cb = VectorOps.pqTrain(e)
+    cb.map(_._1).distinct.sorted shouldBe (0 until 16)
+    all(cb.map(_._3.length)) shouldBe 4 // subDim = 64 / 16
+    val codes = VectorOps.pqEncode(e, cb).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    codes.length.toLong shouldBe n * 16
+    codes.map(c => (c._1, c._2)).distinct.length.toLong shouldBe n * 16
+    all(codes.map(_._3)) should (be >= 0 and be < 16)
+    // bit-identical across runs (fixed seeds, fixed iterations)
+    VectorOps.pqTrain(e) shouldBe cb
+  }
+
+  it should "assign each subvector to its true argmin centroid" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = VectorOps.pqTrain(e)
+    val byClu = cb.map(c => (c._1, c._2) -> c._3).toMap
+    val codes = VectorOps.pqEncode(e, cb).collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    def d2(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+          acc + p.toDouble * q.toDouble }
+      math.floor((dot(a, a) - 2.0 * dot(a, b) + dot(b, b)) * 1e6 + 0.5)
+    }
+    val sample = e.where(col("vec_id") < 5).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1))
+    for ((id, v) <- sample; sub <- 0 until 16) {
+      val sv = v.slice(sub * 4, sub * 4 + 4)
+      val best = (0 until 16).flatMap(c => byClu.get((sub, c)).map(cv =>
+        (d2(sv, cv), c))).min
+      codes((id, sub)) shouldBe best._2
+    }
+  }
+
+  "pqSearch" should "score by the summed LUT, beating chance recall by a wide margin" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = VectorOps.pqTrain(e)
+    val codes = VectorOps.pqEncode(e, cb)
+    val got = VectorOps.pqSearch(e, cb, codes, col("vec_id") < 8, topK = 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+    // driver-side replay of the ADC score for one (query, neighbor) pair
+    val all = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    val codeMap = codes.collect()
+      .map(r => ((r.getLong(0), r.getInt(1)), r.getInt(2))).toMap
+    val byClu = cb.map(c => (c._1, c._2) -> c._3).toMap
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+        acc + p.toDouble * q.toDouble }
+    val (q0, n0, adc0, _) = got.head
+    val expect = (0 until 16).map { sub =>
+      math.floor(dot(all(q0).slice(sub * 4, sub * 4 + 4),
+        byClu((sub, codeMap((n0, sub))))) * 1e6 + 0.5).toLong
+    }.sum / 1e6
+    adc0 shouldBe expect
+    // pure-ADC recall@10 vs the exact inner-product top-10: chance is
+    // 10/499 ≈ 0.02 on this near-isotropic corpus (PQ's hard case)
+    def recallOf(sel: Long => Set[Long]): Double = {
+      val queries = all.keys.filter(_ < 8).toSeq
+      val rs = queries.map { q =>
+        val exact = all.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (dot(all(q), v), id) }
+          .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+        exact.intersect(sel(q)).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    recallOf(q => got.filter(_._1 == q).map(_._2).toSet) should be >= 0.25
+  }
+
+  "pqSearchRerank" should "lift recall to near-exact via the two-stage shape" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val cb = VectorOps.pqTrain(e)
+    val codes = VectorOps.pqEncode(e, cb)
+    val got = VectorOps.pqSearchRerank(e, cb, codes, col("vec_id") < 8,
+        topK = 10).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+        acc + p.toDouble * q.toDouble }
+    val queries = all.keys.filter(_ < 8).toSeq
+    val recalls = queries.map { q =>
+      val exact = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (dot(all(q), v), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+      exact.intersect(got.filter(_._1 == q).map(_._2).toSet).size / 10.0
+    }
+    (recalls.sum / recalls.size) should be >= 0.8
+  }
 }
