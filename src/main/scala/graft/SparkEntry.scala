@@ -395,6 +395,23 @@ object SparkEntry {
       TextOps.wordCount(col("text")).as("n_words"))
       .orderBy("doc_id")
 
+  /** Unicode NFC normalization audit over a deterministically DECOMPOSED
+    * copy of the corpus: the ASCII test text gains combining marks
+    * (a → a+U+0301, e → e+U+0300) via literal replaces so both engines
+    * build identical pre-NFC bytes, then the native `graft_nfc`
+    * expression composes them back and the gate pins pre/post code-point
+    * counts and the canonical-form md5 against DuckDB's nfc_normalize.
+    */
+  private def textNormalizeQ(s: SparkSession, d: String): DataFrame = {
+    val dec = replace(replace(col("text"), lit("a"), lit("a\u0301")),
+      lit("e"), lit("e\u0300"))
+    val n = TextOps.nfcNormalize(dec)
+    Tables.loadPar(s, d, "documents").select(col("doc_id"),
+        length(dec).as("raw_len"), length(n).as("nfc_len"),
+        md5(n).as("nfc_hash"))
+      .orderBy("doc_id")
+  }
+
   /** BPE-ish token counting (LLM token proxy) + first pieces. */
   private def tokenBpe(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -2383,6 +2400,7 @@ object SparkEntry {
     "q_median" -> (medianQ _),
     "q_corr" -> (corrQ _),
     "q_text_stats" -> (textStats _),
+    "q_text_normalize" -> (textNormalizeQ _),
     "q_token_bpe" -> (tokenBpe _),
     "q_chunks" -> (chunksQ _),
     "q_redact" -> (redactQ _),
@@ -3970,6 +3988,14 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_text_normalize" ->
+      """WITH dec AS (SELECT doc_id,
+        |  replace(replace(text, 'a', 'a' || chr(769)), 'e', 'e' || chr(768)) AS t
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(t) AS INT) AS raw_len,
+        |  CAST(length(nfc_normalize(t)) AS INT) AS nfc_len,
+        |  md5(nfc_normalize(t)) AS nfc_hash
+        |FROM dec ORDER BY doc_id""".stripMargin,
     "q_token_bpe" ->
       """SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, ' ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9\s]+')) AS INT) AS n_bpe,

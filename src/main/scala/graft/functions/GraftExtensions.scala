@@ -27,6 +27,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         BloomMightContain(children.head, children(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_nfc"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "graft_nfc"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "graft_nfc(text) takes 1 argument")
+        NfcNormalize(children.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_simhash"),
       new ExpressionInfo(classOf[SimHash32].getName, "graft_simhash"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

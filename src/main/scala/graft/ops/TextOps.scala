@@ -117,6 +117,16 @@ object TextOps {
   def normalize(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** Unicode NFC canonical composition (native codegen expression,
+    * `graft.functions.NfcNormalize`): web corpora mix composed and
+    * decomposed producers, so every byte-level op downstream —
+    * fingerprints, exact dedup, equality joins — must see ONE canonical
+    * form. ASCII/already-composed text short-circuits without
+    * allocation, so the pass is ~free on the common path.
+    */
+  def nfcNormalize(text: Column): Column =
+    call_function("graft_nfc", text)
+
   /** Character n-gram shingles of the normalized text (for Jaccard /
     * MinHash). Returns array<string>; distinct shingles.
     */

@@ -416,6 +416,28 @@ class TextOpsSpec extends SparkSpec {
       .collect().foreach(_.getDouble(2) shouldBe 0.5)
   }
 
+  "nfcNormalize" should "compose decomposed sequences and leave composed/ASCII untouched" in {
+    val rows = Seq(
+      (0L, "plain ascii"),
+      (1L, "cafe\u0301"),   // decomposed e + combining acute
+      (2L, "caf\u00e9"),    // already composed
+      (3L, "a\u0301e\u0300o\u0302"), // several combining marks
+      (4L, "")
+    ).toDF("id", "t")
+    val len = org.apache.spark.sql.functions.length _
+    val got = rows.select(col("id"), TextOps.nfcNormalize(col("t")).as("n"),
+        len(col("t")).as("lr"), len(TextOps.nfcNormalize(col("t"))).as("ln"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getInt(2), r.getInt(3)))).toMap
+    got(0L) shouldBe (("plain ascii", 11, 11))
+    got(1L) shouldBe (("caf\u00e9", 5, 4))
+    got(2L) shouldBe (("caf\u00e9", 4, 4))
+    got(3L) shouldBe (("\u00e1\u00e8\u00f4", 6, 3))
+    got(4L) shouldBe (("", 0, 0))
+    // null-safe
+    rows.select(TextOps.nfcNormalize(lit(null).cast("string")))
+      .head().isNullAt(0) shouldBe true
+  }
+
   "dimCentroids" should "compute exact per-dimension means" in {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f)),
