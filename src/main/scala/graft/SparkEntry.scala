@@ -412,6 +412,13 @@ object SparkEntry {
       .orderBy("doc_id")
   }
 
+  /** The Gopher rule battery (Rae et al. 2021 Table A1) over the corpus:
+    * per-rule boolean flags + the keep conjunction, every ratio decided
+    * by cross-multiplied integer comparison.
+    */
+  private def gopherFlagsQ(s: SparkSession, d: String): DataFrame =
+    TextOps.gopherFlags(Tables.loadPar(s, d, "documents")).orderBy("doc_id")
+
   /** BPE-ish token counting (LLM token proxy) + first pieces. */
   private def tokenBpe(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -2401,6 +2408,7 @@ object SparkEntry {
     "q_corr" -> (corrQ _),
     "q_text_stats" -> (textStats _),
     "q_text_normalize" -> (textNormalizeQ _),
+    "q_gopher_flags" -> (gopherFlagsQ _),
     "q_token_bpe" -> (tokenBpe _),
     "q_chunks" -> (chunksQ _),
     "q_redact" -> (redactQ _),
@@ -3988,6 +3996,37 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_tokens,
         |  CAST(len(regexp_split_to_array(trim(text), '\s+')) AS INT) AS n_words
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_gopher_flags" ->
+      """WITH c AS (SELECT doc_id,
+        |  len(regexp_extract_all(text, '\S+')) AS words,
+        |  length(regexp_replace(text, '\s', '', 'g')) AS chars,
+        |  len(regexp_extract_all(text, '\S*[A-Za-z]\S*')) AS alpha_words,
+        |  len(regexp_extract_all(text, '#|\.\.\.')) AS symbols,
+        |  length(text) - length(replace(text, chr(10), '')) + 1 AS lines,
+        |  len(regexp_extract_all(text, '(?m)^[ \t]*[-*•]')) AS bullet_lines,
+        |  len(regexp_extract_all(text, '(?m)(\.\.\.|…)[ \t]*$')) AS ellipsis_lines,
+        |  (CASE WHEN regexp_matches(text, '(?i)\bthe\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '(?i)\bbe\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '(?i)\bto\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '(?i)\bof\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '(?i)\band\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '(?i)\bthat\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '(?i)\bhave\b') THEN 1 ELSE 0 END
+        |   + CASE WHEN regexp_matches(text, '(?i)\bwith\b') THEN 1 ELSE 0 END) AS stop_hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(words AS INT) AS n_words,
+        |  words >= 50 AND words <= 100000 AS ok_words,
+        |  chars >= words * 3 AND chars <= words * 10 AS ok_wordlen,
+        |  symbols * 10 <= words AS ok_symbols,
+        |  bullet_lines * 10 <= lines * 9 AS ok_bullets,
+        |  ellipsis_lines * 10 <= lines * 3 AS ok_ellipsis,
+        |  alpha_words * 5 >= words * 4 AS ok_alpha,
+        |  stop_hits >= 2 AS ok_stopwords,
+        |  (words >= 50 AND words <= 100000) AND (chars >= words * 3 AND chars <= words * 10)
+        |    AND symbols * 10 <= words AND bullet_lines * 10 <= lines * 9
+        |    AND ellipsis_lines * 10 <= lines * 3 AND alpha_words * 5 >= words * 4
+        |    AND stop_hits >= 2 AS keep
+        |FROM c ORDER BY doc_id""".stripMargin,
     "q_text_normalize" ->
       """WITH dec AS (SELECT doc_id,
         |  replace(replace(text, 'a', 'a' || chr(769)), 'e', 'e' || chr(768)) AS t

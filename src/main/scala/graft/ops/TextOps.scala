@@ -756,4 +756,50 @@ object TextOps {
           i => concat_ws(" ", slice(words, i + 1, lit(n)))),
         s => size(split(s, " ")) === n))
   }
+
+  /** The Gopher quality-filter rule set (Rae et al. 2021, "Scaling
+    * Language Models: Methods, Analysis & Insights from Training
+    * Gopher", Table A1) — the published heuristic battery most
+    * web-corpus pipelines start from. One boolean flag per rule plus
+    * the conjunction `keep`:
+    *   - 50 ≤ word count ≤ 100,000;
+    *   - mean word length in [3, 10] characters;
+    *   - symbol-to-word ratio ("#" or "...") ≤ 0.1;
+    *   - ≤ 90 % of lines start with a bullet, ≤ 30 % end with "...";
+    *   - ≥ 80 % of words contain at least one alphabetic character;
+    *   - at least two of the eight listed English function words.
+    * Every rule is a pure codegen'd expression over INTEGER counts —
+    * ratio thresholds compare cross-multiplied integers, so both
+    * engines decide each flag exactly, never through a float. One
+    * narrow map pass; trivially 100 TB-safe.
+    */
+  def gopherFlags(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val words = size(regexp_extract_all(text, lit("\\S+"), lit(0)))
+    val chars = length(regexp_replace(text, "\\s", ""))
+    val alphaWords =
+      size(regexp_extract_all(text, lit("\\S*[A-Za-z]\\S*"), lit(0)))
+    val symbols = size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0)))
+    val lines = length(text) - length(regexp_replace(text, "\\n", "")) + 1
+    val bulletLines =
+      size(regexp_extract_all(text, lit("(?m)^[ \\t]*[-*\u2022]"), lit(0)))
+    val ellipsisLines =
+      size(regexp_extract_all(text, lit("(?m)(\\.\\.\\.|\u2026)[ \\t]*$"),
+        lit(0)))
+    val stopHits = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+      .map(w => when(text.rlike("(?i)\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+    docs.select(col("doc_id"), words.as("n_words"),
+        (words >= 50 && words <= 100000).as("ok_words"),
+        (chars >= words * 3 && chars <= words * 10).as("ok_wordlen"),
+        (symbols * 10 <= words).as("ok_symbols"),
+        (bulletLines * 10 <= lines * 9).as("ok_bullets"),
+        (ellipsisLines * 10 <= lines * 3).as("ok_ellipsis"),
+        (alphaWords * 5 >= words * 4).as("ok_alpha"),
+        (stopHits >= 2).as("ok_stopwords"))
+      .withColumn("keep",
+        col("ok_words") && col("ok_wordlen") && col("ok_symbols") &&
+          col("ok_bullets") && col("ok_ellipsis") && col("ok_alpha") &&
+          col("ok_stopwords"))
+  }
 }

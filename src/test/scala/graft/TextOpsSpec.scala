@@ -438,6 +438,28 @@ class TextOpsSpec extends SparkSpec {
       .head().isNullAt(0) shouldBe true
   }
 
+  "gopherFlags" should "decide each published rule exactly on crafted fixtures" in {
+    val fifty = (1 to 50).map(i => s"word$i").mkString(" ") // 50 alpha words
+    val docs = Seq(
+      (0L, fifty + " the of and"),                    // passes everything
+      (1L, "the of and a few words only"),            // too short
+      (2L, fifty + " the of " + ("### " * 9).trim),   // symbol-heavy
+      (3L, (1 to 50).map(_ => "no-vowel-alpha 123456789").mkString(" ")), // digits drag alpha share
+      (4L, "- bullet one\n- bullet two\n- bullet three\nthe of and " + fifty),
+      (5L, fifty + " the of trailing...\nand more...\nplain line")
+    ).toDF("doc_id", "text")
+    val m = TextOps.gopherFlags(docs).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    m(0L).getAs[Boolean]("keep") shouldBe true
+    m(1L).getAs[Boolean]("ok_words") shouldBe false
+    m(2L).getAs[Boolean]("ok_symbols") shouldBe false
+    m(2L).getAs[Boolean]("ok_words") shouldBe true
+    m(3L).getAs[Boolean]("ok_alpha") shouldBe false // half the tokens are digit runs
+    m(4L).getAs[Boolean]("ok_bullets") shouldBe true // 3 of 4 lines = 75% ≤ 90%
+    m(5L).getAs[Boolean]("ok_ellipsis") shouldBe false // 2 of 3 lines > 30%
+    m(0L).getAs[Boolean]("ok_stopwords") shouldBe true
+  }
+
   "dimCentroids" should "compute exact per-dimension means" in {
     val emb = Seq(
       (0L, Seq(1.0f, 2.0f)),
