@@ -1343,6 +1343,47 @@ object SparkEntry {
         |} GROUP BY ?g ?p ORDER BY ?g ?p""".stripMargin)
   }
 
+  /** The q_sparql_quad_update script executed on the ENCODED quad
+    * dataset (`Sparql.updateQuadsEnc`): ground inserts, graph
+    * management, and deletes all join on dictionary ids; new terms and
+    * graph labels extend the dictionary with certified hash ids. The
+    * census then runs encoded too — same final dataset, so the string
+    * gate's oracle pins this path bit-for-bit.
+    */
+  private def quadEncUpdateQ(s: SparkSession, d: String): DataFrame = {
+    val (enc, dict) = GraftStore.quadDatasetEnc(s, d)
+    val (enc2, dict2) = graft.sparql.Sparql.updateQuadsEnc(s, enc, dict,
+      """INSERT DATA { GRAPH <graph:extra> {
+        |  <probe:1> <flag> "on" . <probe:2> <flag> "on" } } ;
+        |ADD GRAPH <graph:region> TO GRAPH <graph:extra> ;
+        |MOVE GRAPH <graph:nation> TO GRAPH <graph:nation2> ;
+        |CLEAR GRAPH <graph:supplier> ;
+        |DELETE DATA { GRAPH <graph:extra> { <probe:1> <flag> "on" } }""".stripMargin)
+    graft.sparql.Sparql.executeQuadsEncoded(s, enc2, dict2,
+      """SELECT ?g (COUNT(?s) AS ?cnt) WHERE { GRAPH ?g { ?s ?p ?o } }
+        |GROUP BY ?g ORDER BY ?g""".stripMargin)
+  }
+
+  /** The q_quad_modify pattern-update script on the ENCODED dataset:
+    * WITH-scoped rename, DELETE WHERE, and a GRAPH ?g insert target
+    * bound by the WHERE — solutions, templates, and set ops all on ids.
+    */
+  private def quadEncModifyQ(s: SparkSession, d: String): DataFrame = {
+    val (enc, dict) = GraftStore.quadDatasetEnc(s, d)
+    val (enc2, dict2) = graft.sparql.Sparql.updateQuadsEnc(s, enc, dict,
+      """WITH <graph:nation> DELETE { ?s <name> ?n } INSERT { ?s <name2> ?n }
+        |WHERE { ?s <name> ?n } ;
+        |DELETE WHERE { GRAPH <graph:region> { ?s <a> "Region" } } ;
+        |INSERT { GRAPH ?g { ?s <audit> "seen" } }
+        |WHERE { GRAPH ?g { ?s <a> "Supplier" } }""".stripMargin)
+    graft.sparql.Sparql.executeQuadsEncoded(s, enc2, dict2,
+      """SELECT ?g ?p (COUNT(?s) AS ?cnt) WHERE {
+        |  GRAPH ?g { ?s ?p ?o }
+        |  FILTER(?p IN ("name", "name2", "a", "audit"))
+        |  FILTER(?g IN ("graph:nation", "graph:region", "graph:supplier"))
+        |} GROUP BY ?g ?p ORDER BY ?g ?p""".stripMargin)
+  }
+
   /** Full algebra inside a VARIABLE GRAPH block: UNION branches,
     * OPTIONAL (null where the same graph lacks the pattern — regions
     * have no regionkey), and MINUS, all confined per graph by the
@@ -2365,6 +2406,8 @@ object SparkEntry {
     "q_sparql_graph" -> (sparqlGraphQ _),
     "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
     "q_quad_modify" -> (quadModifyQ _),
+    "q_quad_enc_update" -> (quadEncUpdateQ _),
+    "q_quad_enc_modify" -> (quadEncModifyQ _),
     "q_quad_algebra" -> (quadAlgebraQ _),
     "q_quad_path" -> (quadPathQ _),
     "q_quad_closure" -> (quadClosureQ _),
@@ -2730,6 +2773,31 @@ object SparkEntry {
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY ip DESC, neighbor_id ASC) AS rnk FROM rr)
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** The quad-update census replays — shared by the string gates and
+    * their ENCODED twins (same scripts, same final dataset, so the same
+    * oracle pins both paths).
+    */
+  private val quadUpdateOracleSql: String =
+    """SELECT g, cnt FROM (
+      |  SELECT 'graph:customer' AS g, count(*)*4 AS cnt FROM customer
+      |  UNION ALL SELECT 'graph:extra', (SELECT count(*)*2 FROM region) + 1
+      |  UNION ALL SELECT 'graph:lineitem', count(*)*6 FROM lineitem
+      |  UNION ALL SELECT 'graph:nation2', count(*)*3 FROM nation
+      |  UNION ALL SELECT 'graph:order', count(*)*5 FROM orders
+      |  UNION ALL SELECT 'graph:part', count(*)*5 FROM part
+      |  UNION ALL SELECT 'graph:region', count(*)*2 FROM region
+      |) ORDER BY g""".stripMargin
+
+  private val quadModifyOracleSql: String =
+    """SELECT g, p, cnt FROM (
+      |  SELECT 'graph:nation' AS g, 'a' AS p, count(*) AS cnt FROM nation
+      |  UNION ALL SELECT 'graph:nation', 'name2', count(*) FROM nation
+      |  UNION ALL SELECT 'graph:region', 'name', count(*) FROM region
+      |  UNION ALL SELECT 'graph:supplier', 'a', count(*) FROM supplier
+      |  UNION ALL SELECT 'graph:supplier', 'audit', count(*) FROM supplier
+      |  UNION ALL SELECT 'graph:supplier', 'name', count(*) FROM supplier
+      |) ORDER BY g, p""".stripMargin
 
   /** BPE replay: 10 unrolled merge rounds over the word-frequency table,
     * same delimiter-string representation and argmax tiebreak as
@@ -3585,25 +3653,10 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'nation:' || n_nationkey, 'region:' || n_regionkey FROM nation
         |) ORDER BY s, v""".stripMargin,
-    "q_quad_modify" ->
-      """SELECT g, p, cnt FROM (
-        |  SELECT 'graph:nation' AS g, 'a' AS p, count(*) AS cnt FROM nation
-        |  UNION ALL SELECT 'graph:nation', 'name2', count(*) FROM nation
-        |  UNION ALL SELECT 'graph:region', 'name', count(*) FROM region
-        |  UNION ALL SELECT 'graph:supplier', 'a', count(*) FROM supplier
-        |  UNION ALL SELECT 'graph:supplier', 'audit', count(*) FROM supplier
-        |  UNION ALL SELECT 'graph:supplier', 'name', count(*) FROM supplier
-        |) ORDER BY g, p""".stripMargin,
-    "q_sparql_quad_update" ->
-      """SELECT g, cnt FROM (
-        |  SELECT 'graph:customer' AS g, count(*)*4 AS cnt FROM customer
-        |  UNION ALL SELECT 'graph:extra', (SELECT count(*)*2 FROM region) + 1
-        |  UNION ALL SELECT 'graph:lineitem', count(*)*6 FROM lineitem
-        |  UNION ALL SELECT 'graph:nation2', count(*)*3 FROM nation
-        |  UNION ALL SELECT 'graph:order', count(*)*5 FROM orders
-        |  UNION ALL SELECT 'graph:part', count(*)*5 FROM part
-        |  UNION ALL SELECT 'graph:region', count(*)*2 FROM region
-        |) ORDER BY g""".stripMargin,
+    "q_quad_modify" -> quadModifyOracleSql,
+    "q_quad_enc_modify" -> quadModifyOracleSql,
+    "q_sparql_quad_update" -> quadUpdateOracleSql,
+    "q_quad_enc_update" -> quadUpdateOracleSql,
     "q_sparql_graph" ->
       """SELECT g, cnt FROM (
         |  SELECT 'graph:region' AS g, count(*) AS cnt FROM region WHERE r_name IS NOT NULL

@@ -3578,6 +3578,254 @@ object Sparql {
     if (pinned) pins.seal(result) else result
   }
 
+  /** ENCODED named-graph Update — the [[updateQuads]] surface executed on
+    * dictionary ids: every op's joins (ground probes, template deltas,
+    * graph slicing, the modify WHERE) move fixed-width longs for s/p/o
+    * AND g, completing the encoded quad lifecycle (ingest →
+    * [[executeQuadsEncoded]] → update). Returns the (updated encoded
+    * dataset, updated dictionary).
+    *
+    * Dictionary maintenance: new terms — ground INSERT DATA rows,
+    * insert-template constants, retarget graph labels, LOAD payloads —
+    * take their certified xxhash64 id and EXTEND the dictionary; a new
+    * term whose id collides with a different existing term fails fast,
+    * like the index build (`TripleStore.encodeQuads`). Deleted terms
+    * stay in the dictionary (ids are content hashes — idempotent, and a
+    * stale entry is harmless). Pattern-modify templates must draw from
+    * id-typed WHERE vars (pattern/GRAPH positions); value-typed
+    * (BIND-computed) template vars reject with a pointer to the string
+    * path — re-entering term space mid-script would force a per-op
+    * dictionary round trip.
+    */
+  def updateQuadsEnc(spark: SparkSession, encQuads: DataFrame, dict: DataFrame,
+                     updateText: String): (DataFrame, DataFrame) = {
+    import graft.dict.Dictionary
+    val p = new P(tokenize(updateText))
+    var prefixes = Map.empty[String, String]
+    val ops = Vector.newBuilder[QuadOp]
+    var more = p.peek.nonEmpty
+    while (more) {
+      prefixes = prefixes ++ parsePrefixes(p)
+      ops += parseQuadUpdateOp(p, prefixes)
+      more = p.trySym(";") && p.peek.nonEmpty
+    }
+    if (p.peek.nonEmpty)
+      p.fail(s"unexpected tokens after update operation: ${p.peek.get}")
+    import spark.implicits._
+    def hid(t: String): Long = Dictionary.termHashLocal(t)
+    var d = dict
+    /** Driver-side dictionary extension for a bounded constant set. */
+    def extendDictLocal(terms: Seq[String]): Unit = {
+      val uniq = terms.distinct
+      if (uniq.nonEmpty) {
+        val present = Dictionary.lookup(d, uniq)
+        val fresh = uniq.filterNot(present.contains).map(t => (hid(t), t))
+        if (fresh.nonEmpty) {
+          val clash = d.where(col("id").isin(fresh.map(_._1): _*)).limit(1)
+          require(clash.isEmpty,
+            "xxhash64 collision between a new term and an existing one — " +
+              "use the string path (Sparql.updateQuads) for this batch")
+          d = d.unionByName(fresh.toDF("id", "term"))
+        }
+      }
+    }
+    /** Distributed extension for unbounded term relations (LOAD). The
+      * fresh rows checkpoint UNTRACKED — the dictionary result must
+      * outlive this call's pin release.
+      */
+    def extendDictDF(terms: DataFrame): Unit = {
+      val cand = terms.select(col(terms.columns.head).cast("string").as("term"))
+        .where(col("term").isNotNull).distinct()
+        .select(Dictionary.termHash(col("term")).as("id"), col("term"))
+      val clash = cand.join(d.select(col("id"), col("term").as("__t2")),
+          Seq("id")).where(col("term") =!= col("__t2")).limit(1)
+      require(clash.isEmpty,
+        "xxhash64 collision between a loaded term and an existing one — " +
+          "use the string path (Sparql.updateQuads) for this source")
+      val fresh = graft.Pins.checkpoint(cand.join(d, Seq("id"), "left_anti"))
+      d = d.unionByName(fresh)
+    }
+    def slice(g: Option[String])(q: DataFrame): DataFrame = g match {
+      case None => q.where(col("g").isNull)
+      case Some(i) => q.where(col("g") === hid(i))
+    }
+    def quadsDF(rows: Seq[(String, String, String, Option[String])]) =
+      rows.map { case (s, pr, o, g) => (hid(s), hid(pr), hid(o), g.map(hid)) }
+        .toDF("s", "p", "o", "g")
+    def renamed(b: DataFrame): DataFrame =
+      b.select(col("s").as("__s2"), col("p").as("__p2"),
+        col("o").as("__o2"), col("g").as("__g2"))
+    val quadCond =
+      col("s") === col("__s2") && col("p") === col("__p2") &&
+        col("o") === col("__o2") && col("g") <=> col("__g2")
+    def minus(a: DataFrame, b: DataFrame, smallRight: Boolean): DataFrame = {
+      val r0 = renamed(b)
+      a.join(if (smallRight) broadcast(r0) else r0, quadCond, "left_anti")
+    }
+    def realias(df: DataFrame): DataFrame =
+      df.select(df.columns.map(c => col(c).as(c)).toSeq: _*)
+    def unionQ(a: DataFrame, b: DataFrame): DataFrame =
+      a.unionByName(realias(b))
+    val pins = new graft.Pins
+    var pinned = false
+    def pinSmall(df: DataFrame): DataFrame = { pinned = true; pins.pin(df) }
+    val maxBroadcastDelta =
+      spark.conf.get("spark.graft.update.broadcastMax", "1000000").toLong
+    /** Constants an insert template writes (they enter the dictionary). */
+    def templateTerms(t: Group, withG: Option[String]): Seq[String] = {
+      def ofTriples(tps: Seq[TriplePattern]): Seq[String] =
+        tps.flatMap(tp => Seq(tp.s, tp.p, tp.o).collect { case C(c) => c.toString })
+      ofTriples(t.triples) ++ withG.toSeq ++
+        t.graphs.flatMap { case (gt, inner) =>
+          (gt match { case C(c) => Seq(c.toString); case _ => Seq.empty }) ++
+            ofTriples(inner.triples)
+        }
+    }
+    def applyOp(q: DataFrame, op: QuadOp): DataFrame = op match {
+      case QNop => q
+      case QGround(true, rows) =>
+        extendDictLocal(rows.flatMap { case (s, pr, o, g) =>
+          Seq(s, pr, o) ++ g.toSeq })
+        val add = quadsDF(rows).dropDuplicates("s", "p", "o", "g")
+        val present =
+          pinSmall(q.join(broadcast(renamed(add)), quadCond, "left_semi"))
+        unionQ(q, minus(add, present, smallRight = true))
+      case QGround(false, rows) =>
+        // ids of absent terms match nothing — no dictionary work
+        minus(q, quadsDF(rows), smallRight = true)
+      case QClear(QDefault) => q.where(col("g").isNotNull)
+      case QClear(QNamed(i)) => q.where(col("g").isNull || col("g") =!= hid(i))
+      case QClear(QAllNamed) => q.where(col("g").isNull)
+      case QClear(QAll) => q.where(lit(false))
+      case QModify(withG, del, ins, where) =>
+        val consts = (groupConsts(where) ++ withG).toSeq.sorted
+        val ids = Dictionary.hashLiterals(spark, consts)
+        val probeSet =
+          (pathEndpointConsts(where) ++ inlineValueConsts(where)).toSeq.sorted
+        val present0 = Dictionary.lookup(d, probeSet)
+        val localDict =
+          probeSet.filterNot(present0.contains).map(c => ids(c) -> c)
+        val dflt = slice(withG)(q).select("s", "p", "o")
+        val env = Env(spark, dflt, Map.empty, 1000000L,
+          Some(EncEnv(d, ids, localDict, plainVarsOfG(where))),
+          quads = Some(q.where(col("g").isNotNull)))
+        val sols = pinSmall(compileGroup(env, where))
+        // templates must instantiate from ID-typed columns
+        val tmplVars = (del.toSeq ++ ins.toSeq).flatMap { t =>
+          t.triples.flatMap(_.vars) ++
+            t.graphs.flatMap { case (gt, inner) =>
+              (gt match { case V(v) => Seq(v); case _ => Seq.empty }) ++
+                inner.triples.flatMap(_.vars)
+            }
+        }.distinct
+        tmplVars.foreach { v =>
+          require(sols.schema(v).dataType ==
+            org.apache.spark.sql.types.LongType,
+            s"template var ?$v is value-typed (BIND/expression) — the " +
+              "encoded path instantiates from pattern positions only; " +
+              "use Sparql.updateQuads for this script")
+        }
+        ins.foreach(t => extendDictLocal(templateTerms(t, withG)))
+        val small = sols.count() <= maxBroadcastDelta
+        def inst(t: Group): DataFrame = {
+          def termCol(x: Term): Column = x match {
+            case V(v) => col(v)
+            case C(c) => lit(hid(c.toString))
+          }
+          val parts =
+            (t.triples.map(tp =>
+              (tp, Left(withG): Either[Option[String], String])) ++
+              t.graphs.flatMap { case (gt, inner) =>
+                val tgt: Either[Option[String], String] = gt match {
+                  case C(c) => Left(Some(c.toString))
+                  case V(v) => Right(v)
+                }
+                inner.triples.map(tp => (tp, tgt))
+              }).map { case (tp, tgt) =>
+              val gcol = tgt match {
+                case Left(g) =>
+                  g.map(i => lit(hid(i))).getOrElse(lit(null).cast("long"))
+                case Right(v) => col(v)
+              }
+              val df0 = sols.select(termCol(tp.s).as("s"),
+                  termCol(tp.p).as("p"), termCol(tp.o).as("o"), gcol.as("g"))
+                .where(col("s").isNotNull && col("p").isNotNull &&
+                  col("o").isNotNull)
+              tgt match {
+                case Right(_) => df0.where(col("g").isNotNull)
+                case _ => df0
+              }
+            }
+          require(parts.nonEmpty, "empty modify template")
+          parts.reduce(_.unionByName(_)).dropDuplicates("s", "p", "o", "g")
+        }
+        var q2 = q
+        del.foreach(t => q2 = minus(q2, inst(t), smallRight = small))
+        ins.foreach { t =>
+          if (small) {
+            val add = pinSmall(inst(t))
+            val present =
+              pinSmall(q2.join(broadcast(renamed(add)), quadCond, "left_semi"))
+            q2 = unionQ(q2, minus(add, present, smallRight = true))
+          } else {
+            val add = inst(t)
+            q2 = unionQ(q2, minus(add, q2, smallRight = false))
+          }
+        }
+        if (small) q2 else { pinned = true; pins.pin(q2) }
+      case QMove(kind, from, to) =>
+        to.foreach(t => extendDictLocal(Seq(t)))
+        val fromLit = from.map(i => lit(hid(i))).getOrElse(lit(null).cast("long"))
+        val toLit = to.map(i => lit(hid(i))).getOrElse(lit(null).cast("long"))
+        def without(g: Option[String]) = g
+          .map(i => col("g").isNull || col("g") =!= hid(i))
+          .getOrElse(col("g").isNotNull)
+        kind match {
+          case "COPY" =>
+            q.where(without(to)).withColumn("g",
+              explode(when(col("g") <=> fromLit, array(col("g"), toLit))
+                .otherwise(array(col("g")))))
+          case "MOVE" =>
+            q.where(without(to)).withColumn("g",
+              when(col("g") <=> fromLit, toLit).otherwise(col("g")))
+          case "ADD" =>
+            val moved = slice(from)(q).withColumn("g", toLit)
+            val fresh = pinSmall(minus(moved, slice(to)(q), smallRight = false))
+            unionQ(q, fresh)
+        }
+      case QLoad(src, into) =>
+        val parsed: DataFrame =
+          if (src.endsWith(".trig"))
+            graft.store.TripleStore.parseTriG(spark, src)
+          else if (src.endsWith(".nq"))
+            graft.store.TripleStore.parseNQuads(spark, src)
+          else {
+            val t =
+              if (src.endsWith(".ttl"))
+                graft.store.TripleStore.parseTurtle(spark, src)
+              else graft.store.TripleStore.skolemize(
+                graft.store.TripleStore.parseNTriples(spark, src), src)
+            t.withColumn("g", lit(null).cast("string"))
+          }
+        val target = (into match {
+          case Some(g) => parsed.withColumn("g", lit(g))
+          case None => parsed
+        }).dropDuplicates("s", "p", "o", "g")
+        extendDictDF(target.select(
+          explode(array(col("s"), col("p"), col("o"), col("g"))).as("term")))
+        val encTarget = target.select(
+          Dictionary.termHash(col("s")).as("s"),
+          Dictionary.termHash(col("p")).as("p"),
+          Dictionary.termHash(col("o")).as("o"),
+          when(col("g").isNull, lit(null).cast("long"))
+            .otherwise(Dictionary.termHash(col("g"))).as("g"))
+        val fresh = pinSmall(minus(encTarget, q, smallRight = false))
+        unionQ(q, fresh)
+    }
+    val result = ops.result().foldLeft(encQuads)(applyOp)
+    (if (pinned) pins.seal(result) else result, d)
+  }
+
   /** Join an inline DataBlock relation into a solution frame: all-bound
     * blocks take a plain equi-join on the shared vars; blocks with UNDEF
     * cells use a per-row compatibility join (null-is-wildcard condition

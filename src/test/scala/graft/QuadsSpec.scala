@@ -426,6 +426,50 @@ class QuadsSpec extends SparkSpec {
             |}""".stripMargin)
   }
 
+  "updateQuadsEnc" should "match the string path across the update surface" in {
+    def both(script: String): Unit = {
+      val viaStrings = allQuads(Sparql.updateQuads(spark, quads, script))
+      val (enc0, dict0) = graft.store.TripleStore.encodeQuads(quads)
+      val (encOut, dictOut) = Sparql.updateQuadsEnc(spark, enc0, dict0, script)
+      val dec = allQuads(graft.dict.Dictionary
+        .decodeAll(encOut, dictOut, Seq("s", "p", "o", "g")))
+      dec shouldBe viaStrings
+    }
+    // ground inserts extend the dictionary; deletes of absent terms no-op
+    both("""PREFIX : <>
+        |INSERT DATA { <y> :type "Extra" . GRAPH <g3> { <c> :p "7" } } ;
+        |DELETE DATA { <x> :in "g1" . GRAPH <g1> { <a> :q "2" } . <zz> :nope "0" }"""
+      .stripMargin)
+    // set semantics on re-inserts
+    both("""PREFIX : <>
+        |INSERT DATA { GRAPH <g1> { <a> :p "1" } . <x> :in "g1" }""".stripMargin)
+    // graph management (new graph labels enter the dictionary)
+    both("COPY GRAPH <g1> TO GRAPH <gc> ; MOVE GRAPH <g2> TO GRAPH <gm> ; " +
+      "ADD GRAPH <g1> TO DEFAULT")
+    both("CLEAR GRAPH <g1> ; CLEAR DEFAULT ; CREATE GRAPH <gz>")
+    // pattern modify: WITH rename, DELETE WHERE, GRAPH ?g insert target
+    both("""WITH <g1> DELETE { ?s <q> ?o } INSERT { ?s <q2> ?o }
+        |WHERE { ?s <q> ?o }""".stripMargin)
+    both("""INSERT { GRAPH ?g { ?s <audit> "seen" } }
+        |WHERE { GRAPH ?g { ?s <p> "1" } }""".stripMargin)
+    both("DELETE WHERE { GRAPH <g2> { ?s <p> ?o } }")
+    // sequential visibility
+    both("""INSERT DATA { GRAPH <g3> { <c> <p> "7" } } ;
+        |COPY GRAPH <g3> TO GRAPH <g4> ;
+        |DELETE DATA { GRAPH <g3> { <c> <p> "7" } }""".stripMargin)
+  }
+
+  it should "reject value-typed template vars with a pointer to the string path" in {
+    val (enc0, dict0) = graft.store.TripleStore.encodeQuads(quads)
+    val e = intercept[IllegalArgumentException] {
+      Sparql.updateQuadsEnc(spark, enc0, dict0,
+        """INSERT { GRAPH <g9> { ?s <len> ?n } }
+          |WHERE { GRAPH <g1> { ?s <p> ?o } BIND(STRLEN(?o) AS ?n) }"""
+          .stripMargin)._1.count()
+    }
+    e.getMessage should include("updateQuads")
+  }
+
   "executeQuadsEncoded" should "match the string path across the quad algebra" in {
     val (enc, dict) = graft.store.TripleStore.encodeQuads(quads)
     def both(q: String): Set[Seq[String]] = {
