@@ -939,6 +939,18 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** Binary-quantized two-stage retrieval: Hamming scan over the
+    * 1-bit-per-dimension signature table (16 bytes/vector, codegen'd
+    * bit_count(xor) kernel), exact inner-product re-rank of the top-100
+    * candidates — the quantization tier below PQ.
+    */
+  private def annBinaryQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.loadPar(s, d, "embeddings")
+    VectorOps.binarySearchRerank(emb, GraftStore.binaryIndex(s, d),
+        col("vec_id") < 8, topK = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** LSH-bucketed ANN (sign random projections, single probe, top-3). */
   private def annLshQ(s: SparkSession, d: String): DataFrame =
     VectorOps.annLsh(Tables.loadPar(s, d, "embeddings"), col("vec_id") < 8, k = 3)
@@ -2364,6 +2376,7 @@ object SparkEntry {
     "q_ann_lsh" -> (annLshQ _),
     "q_ann_pq" -> (annPqQ _),
     "q_ann_pq_rerank" -> (annPqRerankQ _),
+    "q_ann_binary" -> (annBinaryQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_audio" -> (mediaAudio _),
     "q_media_thumb" -> (mediaThumb _),
@@ -4539,6 +4552,32 @@ object SparkEntry {
     "q_kmeans" -> kmeansOracleSql,
     "q_ann_pq" -> pqOracleSql,
     "q_ann_pq_rerank" -> pqRerankOracleSql,
+    // binary-signature replay: two 32-bit sign words per vector (a
+    // 64-bit shift overflows DuckDB's BIGINT shift), Hamming top-100,
+    // exact inner-product re-rank
+    "q_ann_binary" ->
+      s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+         |sig AS (SELECT vec_id,
+         |  CAST(list_sum(list_transform(range(0, 32),
+         |    i -> CASE WHEN embedding[i+1] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig0,
+         |  CAST(list_sum(list_transform(range(0, 32),
+         |    i -> CASE WHEN embedding[i+33] > 0 THEN (1::BIGINT << i) ELSE 0 END)) AS BIGINT) AS sig1
+         |  FROM e),
+         |q AS (SELECT vec_id AS query_id, sig0 AS q0, sig1 AS q1 FROM sig WHERE vec_id < 8),
+         |cand AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, s.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id ORDER BY
+         |      bit_count(xor(s.sig0, q.q0)) + bit_count(xor(s.sig1, q.q1)) ASC,
+         |      s.vec_id ASC) AS rn
+         |  FROM sig s CROSS JOIN q WHERE s.vec_id <> q.query_id) WHERE rn <= 100),
+         |rr AS (SELECT query_id, neighbor_id,
+         |    floor(${duckDot("qe.embedding", "ne.embedding")} * 1e6 + 0.5) / 1e6 AS ip
+         |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
+         |            JOIN e ne ON ne.vec_id = cand.neighbor_id)
+         |SELECT query_id, neighbor_id, ip, rnk FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY ip DESC, neighbor_id ASC) AS rnk FROM rr)
+         |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin,
     "q_semdedup" -> semDedupOracleSql,
     "q_diverse_sample" -> (kmeansOracleCtes() +
       """

@@ -655,6 +655,68 @@ object VectorOps {
       .where(col("rnk") <= topK)
   }
 
+  // ------------------------------------------------------------ binary ANN
+
+  /** One 32-bit sign word of the embedding: bit i set iff
+    * dim (32w + i + 1) > 0. Two words cover the 64-dim corpus — the
+    * 1-bit-per-dimension quantization tier below PQ (8 bytes/vector
+    * here, 32× smaller than the floats), with Hamming distance as the
+    * similarity proxy (sign agreement ∝ angular closeness, the SimHash
+    * argument). The build is a one-shot ingest fold; the SEARCH kernel
+    * is pure codegen'd `bit_count(xor)`.
+    */
+  def signWord(emb: Column, w: Int): Column =
+    aggregate(transform(sequence(lit(0), lit(31)),
+      i => when(element_at(emb, lit(w * 32) + i + lit(1)) > lit(0.0),
+        // shiftleft needs a literal shift width; 2^i is exact in double
+        // for i ≤ 31, so the cast is the same integer both engines get
+        // from 1 << i
+        pow(lit(2.0), i).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Binary signature table (vec_id, sig0, sig1) of a 64-dim corpus. */
+  def binarySigs(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      signWord(col("embedding"), 0).as("sig0"),
+      signWord(col("embedding"), 1).as("sig1"))
+
+  /** Two-stage binary-quantized retrieval: Hamming distance over the
+    * signature table selects `candidates` per query (the corpus pass
+    * touches 16 bytes per vector, never the floats; `bit_count(xor)` is
+    * a codegen'd integer kernel), then the candidates' vectors re-rank
+    * by exact rounded inner product. Ties break (distance asc,
+    * neighbor_id asc) so both engines rank identically. Output:
+    * (query_id, neighbor_id, ip, rnk).
+    */
+  def binarySearchRerank(emb: DataFrame, sigs: DataFrame, queryPred: Column,
+                         topK: Int, candidates: Int = 100): DataFrame = {
+    val q = sigs.join(emb.where(queryPred).select("vec_id"), Seq("vec_id"))
+      .select(col("vec_id").as("query_id"),
+        col("sig0").as("q0"), col("sig1").as("q1"))
+    val ham = bit_count(col("sig0").bitwiseXOR(col("q0"))) +
+      bit_count(col("sig1").bitwiseXOR(col("q1")))
+    val wc = Window.partitionBy("query_id")
+      .orderBy(col("ham").asc, col("neighbor_id").asc)
+    val cand = sigs.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), ham.as("ham"))
+      .withColumn("rn", row_number().over(wc))
+      .where(col("rn") <= candidates)
+      .select(col("query_id"), col("neighbor_id"))
+    val qv = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val nv = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ip").desc, col("neighbor_id").asc)
+    cand.join(nv, Seq("neighbor_id"))
+      .join(broadcast(qv), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(dotD(col("qv"), col("nv")) * 1e6 + 0.5) / 1e6).as("ip"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+  }
+
   /** Brute-force reference implementation (spec oracle for the LSH path).
     */
   def embedDupPairsBrute(emb: DataFrame, threshold: Double): DataFrame = {

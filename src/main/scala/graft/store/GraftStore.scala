@@ -988,6 +988,21 @@ object GraftStore {
     })).value
   }
 
+  private val binCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Lazily[DataFrame]]
+
+  /** Binary (1-bit-per-dimension) signature table of the embeddings —
+    * the smallest ANN tier, materialized once per (session, dir) like
+    * `pqIndex`; search passes touch only the 16-byte rows.
+    */
+  def binaryIndex(spark: SparkSession, sfDir: String): DataFrame = {
+    evictStopped()
+    binCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      graft.Pins.checkpoint(graft.ops.VectorOps.binarySigs(
+        graft.Tables.loadPar(spark, sfDir, "embeddings")))
+    })).value
+  }
+
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), Lazily[(Seq[(Int, String, String, String, Long)], DataFrame)]]
 

@@ -356,6 +356,37 @@ class VectorSpec extends SparkSpec {
     recallOf(q => got.filter(_._1 == q).map(_._2).toSet) should be >= 0.25
   }
 
+  "binarySigs" should "set exactly the sign bits of each 32-dim word" in {
+    val v = (1 to 64).map(i =>
+      if (i == 1 || i == 33 || i == 64) 0.5f else -0.5f)
+    val one = Seq((7L, v)).toDF("vec_id", "embedding")
+    val r = VectorOps.binarySigs(one).head()
+    r.getLong(1) shouldBe 1L                      // dim 1 -> bit 0 of word 0
+    r.getLong(2) shouldBe (1L | (1L << 31))       // dims 33, 64 -> bits 0, 31
+    // zero is NOT positive: all-zero vector has empty signature
+    val z = Seq((8L, Seq.fill(64)(0.0f))).toDF("vec_id", "embedding")
+    VectorOps.binarySigs(z).head().getLong(1) shouldBe 0L
+  }
+
+  "binarySearchRerank" should "recall most exact neighbors through the Hamming prefilter" in {
+    val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
+    val got = VectorOps.binarySearchRerank(e, VectorOps.binarySigs(e),
+        col("vec_id") < 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val all = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (acc, (p, q)) =>
+        acc + p.toDouble * q.toDouble }
+    val queries = all.keys.filter(_ < 8).toSeq
+    val recalls = queries.map { q =>
+      val exact = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (dot(all(q), v), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+      exact.intersect(got.filter(_._1 == q).map(_._2).toSet).size / 10.0
+    }
+    (recalls.sum / recalls.size) should be >= 0.6
+  }
+
   "pqSearchRerank" should "lift recall to near-exact via the two-stage shape" in {
     val e = Tables.loadPar(spark, "/root/testdata/sf0.001", "embeddings")
     val cb = VectorOps.pqTrain(e)
