@@ -1007,6 +1007,21 @@ object SparkEntry {
       .orderBy("media_id")
   }
 
+  /** MP4 container metadata through the REAL ISO-BMFF box walk (brand,
+    * mvhd timescale/duration in both v0 and v1 layouts, per-trak
+    * hdlr census) over the genuine fixtures; text payloads replay the
+    * deterministic stub. Same shuffle-free batch boundary as the other
+    * media extractors.
+    */
+  private def mediaVideo(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    MediaOps.extractVideoMeta(
+        MediaOps.documentsAsMedia(s, Tables.loadPar(s, d, "documents"))
+          .unionByName(s.createDataset(MediaOps.mp4Fixtures)))
+      .toDF()
+      .orderBy("media_id")
+  }
+
   /** REAL image-transform pipeline over the genuine PNG fixtures:
     * decode → nearest-neighbor scale-to-fit-16 → PNG re-encode → decode
     * the artifact again. The oracle pins the exact target-dim arithmetic
@@ -2379,6 +2394,7 @@ object SparkEntry {
     "q_ann_binary" -> (annBinaryQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_audio" -> (mediaAudio _),
+    "q_media_video" -> (mediaVideo _),
     "q_media_thumb" -> (mediaThumb _),
     "q_media_frames" -> (mediaFrames _),
     "q_results_csv" -> (resultsCsvQ _),
@@ -3960,6 +3976,36 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT -4::BIGINT, 'wav', 256, 44100, 2, 8, 100::BIGINT, 2::BIGINT,
         |    2316754067::BIGINT
+        |) ORDER BY media_id""".stripMargin,
+    // stub video headers replay off the checksum; the two genuine MP4
+    // fixtures pin the REAL box-walk results as constants
+    "q_media_video" ->
+      """WITH cs AS (
+        |  SELECT doc_id, text,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        list_transform(list_filter(string_split(text, ''), c -> c <> ''),
+        |          c -> ascii(c)::BIGINT)),
+        |      (acc, x) -> (acc*31 + x) % 4294967296) AS checksum
+        |  FROM documents)
+        |SELECT * FROM (
+        |  SELECT doc_id AS media_id, 'text' AS kind,
+        |    CAST(octet_length(encode(text)) AS INT) AS byte_len,
+        |    CASE WHEN checksum % 2 = 0 THEN 'fake' ELSE 'stub' END AS brand,
+        |    CAST(600 + (checksum % 59400) AS INT) AS timescale,
+        |    CAST(octet_length(encode(text)) AS BIGINT) * 1000
+        |      // (600 + (checksum % 59400)) AS duration_ms,
+        |    CAST(1 + ((checksum // 256) % 3) AS INT) AS n_tracks,
+        |    CAST((checksum // 65536) % 2 AS INT) AS n_video,
+        |    CAST((checksum // 16777216) % 2 AS INT) AS n_audio,
+        |    checksum
+        |  FROM cs
+        |  UNION ALL
+        |  SELECT -5::BIGINT, 'mp4', 217, 'isom', 1000, 5000::BIGINT, 1, 1, 0,
+        |    3680393462::BIGINT
+        |  UNION ALL
+        |  SELECT -6::BIGINT, 'mp4', 294, 'mp42', 600, 2500::BIGINT, 2, 1, 1,
+        |    2261071687::BIGINT
         |) ORDER BY media_id""".stripMargin,
     // serialized BYTES, line by line: the RFC 4180 / SPARQL-TSV /
     // N-Triples documents replayed as strings in DuckDB

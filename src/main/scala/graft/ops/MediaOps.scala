@@ -21,6 +21,11 @@ final case class MediaThumb(media_id: Long, w: Int, h: Int,
                             tw: Int, th: Int, thumb_bytes: Int,
                             thumb_is_png: Boolean, rt_w: Int, rt_h: Int)
 
+final case class VideoMeta(media_id: Long, kind: String, byte_len: Int,
+                           brand: String, timescale: Int, duration_ms: Long,
+                           n_tracks: Int, n_video: Int, n_audio: Int,
+                           checksum: Long)
+
 /** Multimodal-column plumbing. PNG/JPEG payloads take a REAL decode
   * (`javax.imageio`, JDK-only — no new dependencies); any other payload
   * falls back to `decodeStub`, the deterministic fake that stands in for
@@ -269,5 +274,147 @@ object MediaOps {
     Seq(
       MediaFile(-3L, "audio", wav(8000, 1, 16, 16, extraChunk = false)),
       MediaFile(-4L, "audio", wav(44100, 2, 8, 100, extraChunk = true)))
+  }
+
+  // ------- Video (MP4 / ISO-BMFF — a REAL box walk, pure JDK) -------
+
+  private def isMp4(b: Array[Byte]): Boolean =
+    b.length > 12 && b(4) == 'f' && b(5) == 't' && b(6) == 'y' && b(7) == 'p'
+
+  private def be32(b: Array[Byte], i: Int): Long =
+    ((b(i) & 0xffL) << 24) | ((b(i + 1) & 0xffL) << 16) |
+      ((b(i + 2) & 0xffL) << 8) | (b(i + 3) & 0xffL)
+  private def be64(b: Array[Byte], i: Int): Long =
+    (be32(b, i) << 32) | be32(b, i + 4)
+
+  /** Parse the MP4 container boxes a production pipeline reads before
+    * touching any codec: ftyp's major brand, moov/mvhd's timescale and
+    * duration (v0 32-bit and v1 64-bit layouts), and the trak census via
+    * each mdia/hdlr handler type (`vide`/`soun`). The walk is
+    * size-driven (64-bit largesize honored), so unknown boxes skip
+    * cleanly. Returns (brand, timescale, durationMs, nTracks, nVideo,
+    * nAudio).
+    */
+  def parseMp4Meta(b: Array[Byte]): (String, Int, Long, Int, Int, Int) = {
+    var brand = ""
+    var timescale = 0
+    var duration = 0L
+    var nTracks = 0; var nVideo = 0; var nAudio = 0
+    def walk(from: Int, to: Int, depth: List[String]): Unit = {
+      var i = from
+      while (i + 8 <= to) {
+        val sz0 = be32(b, i)
+        val tp = new String(b, i + 4, 4, "US-ASCII")
+        val (sz, hdr) =
+          if (sz0 == 1L && i + 16 <= to) (be64(b, i + 8), 16)
+          else if (sz0 == 0L) ((to - i).toLong, 8)
+          else (sz0, 8)
+        if (sz < hdr) return // malformed size: stop the walk
+        val end = math.min(to.toLong, i + sz).toInt
+        tp match {
+          case "ftyp" if i + 12 <= to =>
+            brand = new String(b, i + 8, 4, "US-ASCII")
+          case "moov" => walk(i + hdr, end, "moov" :: depth)
+          case "trak" => nTracks += 1; walk(i + hdr, end, "trak" :: depth)
+          case "mdia" => walk(i + hdr, end, "mdia" :: depth)
+          case "mvhd" if depth.headOption.contains("moov") =>
+            val v = b(i + hdr) & 0xff
+            if (v == 1) {
+              timescale = be32(b, i + hdr + 4 + 16).toInt
+              duration = be64(b, i + hdr + 4 + 20)
+            } else {
+              timescale = be32(b, i + hdr + 4 + 8).toInt
+              duration = be32(b, i + hdr + 4 + 12)
+            }
+          case "hdlr" if depth.headOption.contains("mdia") =>
+            val ht = new String(b, i + hdr + 8, 4, "US-ASCII")
+            if (ht == "vide") nVideo += 1
+            else if (ht == "soun") nAudio += 1
+          case _ => ()
+        }
+        i = end
+      }
+    }
+    walk(0, b.length, Nil)
+    val durMs = if (timescale == 0) 0L else duration * 1000L / timescale
+    (brand, timescale, durMs, nTracks, nVideo, nAudio)
+  }
+
+  /** Deterministic FAKE video header for non-MP4 payloads (no real video
+    * codec in this container) — integer arithmetic off the checksum, so
+    * the SQL oracle replays it. A production build swaps this for
+    * ffprobe-style parsing and keeps the signature.
+    */
+  def videoStub(checksum: Long, byteLen: Int): (String, Int, Long, Int, Int, Int) = {
+    val ts = (600 + (checksum % 59400)).toInt
+    val tracks = (1 + ((checksum >> 8) % 3)).toInt
+    ((if (checksum % 2 == 0) "fake" else "stub"), ts,
+      byteLen.toLong * 1000L / ts, tracks,
+      ((checksum >> 16) % 2).toInt, ((checksum >> 24) % 2).toInt)
+  }
+
+  /** Batched per-partition video metadata: MP4 payloads get the REAL
+    * ISO-BMFF box walk, anything else the deterministic fake. Same
+    * shuffle-free batch boundary as the image/audio extractors.
+    */
+  def extractVideoMeta(ds: Dataset[MediaFile]): Dataset[VideoMeta] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { it =>
+      it.grouped(BatchSize).flatMap { batch =>
+        batch.iterator.map { m =>
+          val cs = byteChecksum(m.bytes)
+          val mp4 = isMp4(m.bytes)
+          val (brand, ts, durMs, tracks, nv, na) =
+            if (mp4) parseMp4Meta(m.bytes) else videoStub(cs, m.bytes.length)
+          VideoMeta(m.media_id, if (mp4) "mp4" else m.kind, m.bytes.length,
+            brand, ts, durMs, tracks, nv, na, cs)
+        }
+      }
+    }
+  }
+
+  /** Two GENUINE minimal MP4 fixtures (fixed bytes → pinned length and
+    * checksum; the pipeline must read brand/timescale/duration/tracks
+    * through the real box walk): an `isom` v0-mvhd file with one video
+    * track, and an `mp42` v1-mvhd (64-bit duration layout) file with a
+    * video and an audio track.
+    */
+  def mp4Fixtures: Seq[MediaFile] = {
+    def box(tp: String, body: Array[Byte]*): Array[Byte] = {
+      val len = 8 + body.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len) // big-endian by default
+      bb.putInt(len).put(tp.getBytes("US-ASCII"))
+      body.foreach(bb.put)
+      bb.array()
+    }
+    def full(version: Int, payload: Array[Byte]): Array[Byte] =
+      Array[Byte](version.toByte, 0, 0, 0) ++ payload
+    def mvhd0(timescale: Int, duration: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(96)
+      bb.putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      bb.putInt(0x00010000).putShort(0x0100.toShort) // rate, volume
+      // reserved + matrix + pre_defined + next_track_id stay zero
+      box("mvhd", full(0, bb.array()))
+    }
+    def mvhd1(timescale: Int, duration: Long): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(108)
+      bb.putLong(0L).putLong(0L).putInt(timescale).putLong(duration)
+      bb.putInt(0x00010000).putShort(0x0100.toShort)
+      box("mvhd", full(1, bb.array()))
+    }
+    def hdlr(ht: String): Array[Byte] =
+      box("hdlr", full(0, Array[Byte](0, 0, 0, 0) ++
+        ht.getBytes("US-ASCII") ++ new Array[Byte](13)))
+    def trak(ht: String): Array[Byte] = box("trak", box("mdia", hdlr(ht)))
+    def ftyp(brand: String): Array[Byte] =
+      box("ftyp", brand.getBytes("US-ASCII") ++
+        Array[Byte](0, 0, 2, 0) ++ brand.getBytes("US-ASCII"))
+    val a = ftyp("isom") ++
+      box("moov", mvhd0(1000, 5000), trak("vide")) ++
+      box("mdat", Array.tabulate[Byte](24)(i => (i * 7 % 251).toByte))
+    val bf = ftyp("mp42") ++
+      box("moov", mvhd1(600, 1500L), trak("vide"), trak("soun")) ++
+      box("mdat", Array.tabulate[Byte](40)(i => (i * 11 % 251).toByte))
+    Seq(MediaFile(-5L, "video", a), MediaFile(-6L, "video", bf))
   }
 }

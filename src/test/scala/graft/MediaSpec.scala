@@ -115,6 +115,34 @@ class MediaSpec extends SparkSpec {
       .collect().map(_.media_id).sorted shouldBe Array(-2L, -1L)
   }
 
+  "extractVideoMeta" should "read brand, timescale, duration, and the track census through the real box walk" in {
+    val metas = MediaOps.extractVideoMeta(
+        spark.createDataset(MediaOps.mp4Fixtures))
+      .collect().map(m => m.media_id -> m).toMap
+    println(s"MP4FIX a: len=${metas(-5L).byte_len} cs=${metas(-5L).checksum}")
+    println(s"MP4FIX b: len=${metas(-6L).byte_len} cs=${metas(-6L).checksum}")
+    val a = metas(-5L)
+    a.kind shouldBe "mp4"
+    a.brand shouldBe "isom"
+    a.timescale shouldBe 1000
+    a.duration_ms shouldBe 5000L
+    (a.n_tracks, a.n_video, a.n_audio) shouldBe ((1, 1, 0))
+    val b = metas(-6L)
+    b.brand shouldBe "mp42"
+    b.timescale shouldBe 600
+    b.duration_ms shouldBe 2500L // v1 64-bit duration layout
+    (b.n_tracks, b.n_video, b.n_audio) shouldBe ((2, 1, 1))
+  }
+
+  it should "fall back to the deterministic stub for non-MP4 payloads" in {
+    val t = MediaFile(9L, "text", "not a video".getBytes)
+    val m = MediaOps.extractVideoMeta(spark.createDataset(Seq(t, t)))
+      .collect()
+    m(0) shouldBe m(1) // deterministic
+    m(0).kind shouldBe "text"
+    m(0).timescale should be >= 600
+  }
+
   it should "process in batches without shuffling" in {
     val many = (1L to 100L).map(i => MediaFile(i, "text", s"payload-$i".getBytes))
     val ds = spark.createDataset(many).repartition(4)
