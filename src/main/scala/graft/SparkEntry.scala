@@ -2333,6 +2333,15 @@ object SparkEntry {
         "user_id")
       .orderBy("user_id", "window_start")
 
+  /** Gap-based sessionization (30-min gap): ordinal session ids per
+    * user via lag + running sum sharing ONE window partitioning, then a
+    * per-session integer rollup — the join-key complement to the merged
+    * session_window gate.
+    */
+  private def sessionizeQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventOps.sessionize(Tables.events(s, d), gapMinutes = 30)
+      .orderBy("user_id", "session_no")
+
   /** Sliding windows (2h length, 1h slide) over events. */
   private def slidingWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStreams.formatted(
@@ -2395,6 +2404,7 @@ object SparkEntry {
     "q_media_meta" -> (mediaMeta _),
     "q_media_audio" -> (mediaAudio _),
     "q_media_video" -> (mediaVideo _),
+    "q_sessionize" -> (sessionizeQ _),
     "q_media_thumb" -> (mediaThumb _),
     "q_media_frames" -> (mediaFrames _),
     "q_results_csv" -> (resultsCsvQ _),
@@ -4719,6 +4729,18 @@ object SparkEntry {
         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
         |  FROM events GROUP BY user_id)
         |WHERE v < c AND c < p ORDER BY user_id""".stripMargin,
+    // ordinal sessionization: the lag + running-sum recursion replayed
+    // in exact integer micros
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |l AS (SELECT *, lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS prev FROM e),
+        |m AS (SELECT *, CASE WHEN prev IS NULL OR us - prev > 1800000000
+        |                     THEN 1 ELSE 0 END AS brk FROM l),
+        |s AS (SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_no FROM m)
+        |SELECT user_id, session_no, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us, max(us) - min(us) AS dur_us
+        |FROM s GROUP BY 1, 2 ORDER BY user_id, session_no""".stripMargin,
     "q_session_window" ->
       """WITH x AS (
         |  SELECT user_id, ts, value,

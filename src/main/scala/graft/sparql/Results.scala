@@ -110,11 +110,7 @@ object Results {
     * predicates and objects sort lexicographically, predicate-object
     * lists group with `;` / `,`.
     */
-  def toTurtle(graph: DataFrame, prefixes: Map[String, String] = Map.empty,
-               limit: Int = 10000): String = {
-    val rows = graph.select(col("s"), col("p"), col("o")).limit(limit + 1).collect()
-    require(rows.length <= limit,
-      s"graph exceeds $limit triples - raise the limit or use the N-Triples sink")
+  private def turtleTerm(prefixes: Map[String, String])(v: String): String = {
     def pn(iri: String): String =
       prefixes.toSeq.filter { case (_, ns) => iri.startsWith(ns) }
         .sortBy(-_._2.length).collectFirst {
@@ -123,24 +119,68 @@ object Results {
             .matches("[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?") =>
             s"$p:${iri.substring(ns.length)}"
         }.getOrElse(s"<$iri>")
-    def term(v: String): String = v match {
+    v match {
       case litRe(_, _, dt) if dt != null =>
         v.substring(0, v.length - dt.length - 4) + s"^^${pn(dt)}"
       case lit if lit.startsWith("\"") => lit
       case b if b.startsWith("_:") => b
       case iri => pn(iri)
     }
+  }
+
+  /** Predicate-object-grouped Turtle stanzas of a sorted triple set,
+    * indented by `indent` — shared by the Turtle and TriG writers.
+    */
+  private def turtleStanzas(triples: Seq[(String, String, String)],
+                            prefixes: Map[String, String],
+                            indent: String): Seq[String] = {
+    val term = turtleTerm(prefixes) _
+    triples.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, ts) =>
+      val poList = ts.groupBy(_._2).toSeq.sortBy(_._1).map { case (p, os) =>
+        s"${term(p)} " + os.map(_._3).sorted.map(term).mkString(" , ")
+      }.mkString(s" ;\n$indent  ")
+      s"$indent${term(s)} $poList ."
+    }
+  }
+
+  def toTurtle(graph: DataFrame, prefixes: Map[String, String] = Map.empty,
+               limit: Int = 10000): String = {
+    val rows = graph.select(col("s"), col("p"), col("o")).limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"graph exceeds $limit triples - raise the limit or use the N-Triples sink")
     val header = prefixes.toSeq.sortBy(_._1)
       .map { case (p, ns) => s"@prefix $p: <$ns> ." }
     val triples = rows
       .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq.sorted
-    val stanzas = triples.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, ts) =>
-      val poList = ts.groupBy(_._2).toSeq.sortBy(_._1).map { case (p, os) =>
-        s"${term(p)} " + os.map(_._3).sorted.map(term).mkString(" , ")
-      }.mkString(" ;\n  ")
-      s"${term(s)} $poList ."
+    (header ++ turtleStanzas(triples, prefixes, "")).mkString("\n")
+  }
+
+  /** TriG serialization of a quad dataset (driver-side bounded, the
+    * protocol-response twin of [[toTurtle]]): default-graph triples as
+    * plain stanzas first, then one `<g> { ... }` block per named graph
+    * in sorted order — the writer half of `TripleStore.parseTriG`
+    * (round-tripped in ResultsSpec). Graphs/subjects/predicates/objects
+    * all sort, so the document is deterministic.
+    */
+  def toTrig(quads: DataFrame, prefixes: Map[String, String] = Map.empty,
+             limit: Int = 10000): String = {
+    val rows = quads.select(col("s"), col("p"), col("o"), col("g"))
+      .limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"dataset exceeds $limit quads - raise the limit or use the N-Quads sink")
+    val term = turtleTerm(prefixes) _
+    val header = prefixes.toSeq.sortBy(_._1)
+      .map { case (p, ns) => s"@prefix $p: <$ns> ." }
+    val byGraph = rows
+      .map(r => (Option(r.getString(3)),
+        (r.getString(0), r.getString(1), r.getString(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq.sorted).toMap
+    val dflt = byGraph.getOrElse(None, Seq.empty)
+    val named = byGraph.collect { case (Some(g), ts) => (g, ts) }.toSeq.sortBy(_._1)
+    val blocks = turtleStanzas(dflt, prefixes, "") ++ named.map { case (g, ts) =>
+      s"${term(g)} {\n" + turtleStanzas(ts, prefixes, "  ").mkString("\n") + "\n}"
     }
-    (header ++ stanzas).mkString("\n")
+    (header ++ blocks).mkString("\n")
   }
 
   /** The literal's lexical form for CSV (IRIs/bnodes pass through bare,

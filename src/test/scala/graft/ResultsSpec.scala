@@ -61,6 +61,38 @@ class ResultsSpec extends SparkSpec {
     ttl.linesIterator.count(_.endsWith(" .")) shouldBe 3 // 2 prefixes + 1 stanza
   }
 
+  "toTrig" should "round-trip a quad dataset through parseTriG" in {
+    import spark.implicits._
+    val quads = Seq(
+      ("person:1", "name", "\"Ada\"", null),
+      ("person:1", "knows", "person:2", null),
+      ("person:2", "name", "\"Bob\"", "graph:a"),
+      ("person:2", "age", "\"36\"^^<http://www.w3.org/2001/XMLSchema#integer>", "graph:a"),
+      ("person:3", "name", "\"Eve\"", "graph:b")
+    ).toDF("s", "p", "o", "g")
+    val trig = Results.toTrig(quads)
+    // default graph first, then sorted named blocks
+    trig should include("<graph:a> {")
+    trig should include("<graph:b> {")
+    trig.indexOf("<person:1>") should be < trig.indexOf("<graph:a>")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trig_rt")
+    java.nio.file.Files.writeString(tmp.resolve("out.trig"), trig)
+    val back = graft.store.TripleStore.parseTriG(spark, tmp.toString + "/*.trig")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    back shouldBe quads.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), if (r.isNullAt(3)) null else r.getString(3))).toSet
+  }
+
+  it should "compact terms inside blocks with the prefix table" in {
+    import spark.implicits._
+    val quads = Seq(("person:1", "name", "\"Ada\"", "graph:a"))
+      .toDF("s", "p", "o", "g")
+    val trig = Results.toTrig(quads, prefixes = Map("ex" -> "person:"))
+    trig should startWith("@prefix ex: <person:> .")
+    trig should include("  ex:1 <name> \"Ada\" .")
+  }
+
   it should "omit unbound variables and refuse oversized results" in {
     val df = Sparql.execute(spark, triples,
       """PREFIX : <>
