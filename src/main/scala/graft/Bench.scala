@@ -61,6 +61,9 @@ object Bench {
       graft.store.GraftStore.entityAdjacencyEnc(spark, sfDir))
     warm("ivfIndex")(graft.store.GraftStore.ivfIndex(spark, sfDir))
     warm("kmeansIndex")(graft.store.GraftStore.kmeansIndex(spark, sfDir))
+    warm("pqIndex")(graft.store.GraftStore.pqIndex(spark, sfDir))
+    warm("binaryIndex")(graft.store.GraftStore.binaryIndex(spark, sfDir))
+    warm("quadDatasetEnc")(graft.store.GraftStore.quadDatasetEnc(spark, sfDir))
     if (graft.LubmData.available)
       warm("lubmStore")(
         graft.store.GraftStore.forNTriples(spark, graft.LubmData.glob))

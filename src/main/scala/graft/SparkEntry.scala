@@ -2342,6 +2342,21 @@ object SparkEntry {
     graft.ops.EventOps.sessionize(Tables.events(s, d), gapMinutes = 30)
       .orderBy("user_id", "session_no")
 
+  /** Ordered view→click→purchase funnel per user (each stage strictly
+    * after the previous one's completion; min-time recursion) — the
+    * ordered-progression complement of q_funnel's first-timestamp
+    * filter.
+    */
+  private def funnelStepsQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventOps.funnel(Tables.events(s, d),
+        Seq("view", "click", "purchase"))
+      .orderBy("user_id")
+
+  /** Weekly cohort retention matrix over the event log. */
+  private def cohortQ(s: SparkSession, d: String): DataFrame =
+    graft.ops.EventOps.cohortRetention(Tables.events(s, d))
+      .orderBy("cohort_w", "week")
+
   /** Sliding windows (2h length, 1h slide) over events. */
   private def slidingWindow(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStreams.formatted(
@@ -2405,6 +2420,8 @@ object SparkEntry {
     "q_media_audio" -> (mediaAudio _),
     "q_media_video" -> (mediaVideo _),
     "q_sessionize" -> (sessionizeQ _),
+    "q_funnel_steps" -> (funnelStepsQ _),
+    "q_cohort_retention" -> (cohortQ _),
     "q_media_thumb" -> (mediaThumb _),
     "q_media_frames" -> (mediaFrames _),
     "q_results_csv" -> (resultsCsvQ _),
@@ -4729,6 +4746,29 @@ object SparkEntry {
         |    min(CASE WHEN event_type = 'purchase' THEN ts END) AS p
         |  FROM events GROUP BY user_id)
         |WHERE v < c AND c < p ORDER BY user_id""".stripMargin,
+    // ordered funnel: per-stage min-time recursion (each stage strictly
+    // after the previous), left-joined progression
+    "q_funnel_steps" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t_1 FROM e
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(us) AS t_2 FROM e JOIN s1 USING (user_id)
+        |       WHERE event_type = 'click' AND us > t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(us) AS t_3 FROM e JOIN s2 USING (user_id)
+        |       WHERE event_type = 'purchase' AND us > t_2 GROUP BY 1)
+        |SELECT s1.user_id, t_1, t_2, t_3,
+        |  CAST(1 + CASE WHEN t_2 IS NULL THEN 0 ELSE 1 END
+        |         + CASE WHEN t_3 IS NULL THEN 0 ELSE 1 END AS INT) AS stage
+        |FROM s1 LEFT JOIN s2 USING (user_id) LEFT JOIN s3 USING (user_id)
+        |ORDER BY user_id""".stripMargin,
+    // weekly cohort retention: integer epoch-week bucketing
+    "q_cohort_retention" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week FROM events),
+        |c AS (SELECT user_id, min(week) AS cohort_w FROM e GROUP BY 1),
+        |d AS (SELECT DISTINCT user_id, week FROM e)
+        |SELECT cohort_w, week, count(DISTINCT user_id) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort_w, week""".stripMargin,
     // ordinal sessionization: the lag + running-sum recursion replayed
     // in exact integer micros
     "q_sessionize" ->

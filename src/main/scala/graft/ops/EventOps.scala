@@ -48,4 +48,51 @@ object EventOps {
         min(col("us")).as("start_us"), max(col("us")).as("end_us"))
       .withColumn("dur_us", col("end_us") - col("start_us"))
   }
+
+  /** Ordered funnel progression per user: the earliest time each stage
+    * completes STRICTLY AFTER the previous stage's completion (first
+    * `stages(0)`, then the first `stages(1)` after it, ...). Set-valued
+    * min recursion — no tie-breaking, so a SQL oracle replays it
+    * exactly. Output: (user_id, t_1..t_n nullable epoch-micros, stage =
+    * number of stages reached). Scale shape: one filtered min-aggregate
+    * per stage (map-side combined) + one |users|-sized equi-join per
+    * level — the event log streams once per stage, nothing larger than
+    * the user set ever shuffles.
+    */
+  def funnel(events: DataFrame, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one funnel stage")
+    val e = events.select(col("user_id"), col("event_type"),
+      unix_micros(col("ts")).as("us"))
+    var acc = e.where(col("event_type") === stages.head)
+      .groupBy("user_id").agg(min(col("us")).as("t_1"))
+    for (k <- 2 to stages.length) {
+      val prev = s"t_${k - 1}"
+      val next = e.where(col("event_type") === stages(k - 1))
+        .join(acc.select(col("user_id"), col(prev)), Seq("user_id"))
+        .where(col("us") > col(prev))
+        .groupBy("user_id").agg(min(col("us")).as(s"t_$k"))
+      acc = acc.join(next.select(col("user_id"), col(s"t_$k")),
+        Seq("user_id"), "left")
+    }
+    val stageCnt = (1 to stages.length)
+      .map(k => when(col(s"t_$k").isNotNull, 1).otherwise(0))
+      .reduce(_ + _)
+    acc.withColumn("stage", stageCnt)
+  }
+
+  /** Weekly cohort retention: each user's cohort is the epoch-week of
+    * their FIRST event; the cell (cohort_w, week) counts distinct
+    * cohort users active that week. Weeks are integer epoch-micros
+    * divisions (7·86400·10⁶), so both engines bucket identically.
+    * Two aggregates + one |users|-sized join.
+    */
+  def cohortRetention(events: DataFrame): DataFrame = {
+    val weekUs = 7L * 86400L * 1000000L
+    val e = events.select(col("user_id"),
+      (unix_micros(col("ts")) / weekUs).cast("long").as("week"))
+    val cohort = e.groupBy("user_id").agg(min(col("week")).as("cohort_w"))
+    e.distinct().join(cohort, Seq("user_id"))
+      .groupBy(col("cohort_w"), col("week"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
 }
