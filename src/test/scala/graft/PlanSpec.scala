@@ -201,4 +201,35 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "CartesianProduct"
   }
+
+  "q_ann_pq" should "broadcast the per-query LUT against the codes table" in {
+    val p = finalPlan("q_ann_pq")
+    // the corpus-side pass is codes ⋈ broadcast(LUT) + a partial-agg sum;
+    // the float vectors never enter a shuffle join
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  "q_ann_binary" should "keep the Hamming scan broadcast-only" in {
+    val p = finalPlan("q_ann_binary")
+    // signature scan: corpus sigs × broadcast query sigs; rerank joins
+    // the bounded candidate set — nothing sort-merge-joins the corpus
+    p should include("Broadcast")
+    p should not include "SortMergeJoin"
+  }
+
+  "q_funnel_steps" should "partial-aggregate each stage before its users-sized join" in {
+    val p = finalPlan("q_funnel_steps")
+    // per-stage min is map-side combined (partial then final HashAggregate)
+    p should include("partial_min")
+    p should not include "CartesianProduct"
+  }
+
+  "q_sessionize" should "share one window partitioning for lag and the running sum" in {
+    val p = finalPlan("q_sessionize")
+    // lag + running sum + rollup over the same (user_id; us, event_id)
+    // ordering: exactly ONE hashpartitioning(user_id...) exchange
+    val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    exchanges shouldBe 1
+  }
 }
