@@ -2271,6 +2271,40 @@ object SparkEntry {
         date_format(col("p"), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("first_purchase"))
       .orderBy("user_id")
 
+  /** The result relation the JSON/XML protocol-serialization gates
+    * render: IRIs, plain / lang-tagged / typed literals, bnodes, and an
+    * UNBOUND column on odd keys (exercising every term branch and the
+    * omit-unbound rule), ordered by the subject term.
+    */
+  private def resultsTermsDf(s: SparkSession, d: String): DataFrame =
+    t(s, d, "region").select(
+        concat(lit("region:"), col("r_regionkey")).as("r"),
+        concat(lit("\""), col("r_name"), lit("\"")).as("nm"),
+        concat(lit("\""), lower(col("r_name")), lit("\"@en")).as("lng"),
+        concat(lit("\""), col("r_regionkey"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")).as("num"),
+        when(col("r_regionkey") % 2 === 0,
+          concat(lit("_:b"), col("r_regionkey"))).as("bn"))
+      .orderBy("r")
+
+  /** W3C SPARQL results-JSON BYTES: the whole protocol document as one
+    * row, hash-pinned against a DuckDB string replay (structure,
+    * escaping-free region names, lang/datatype attrs, bnode label
+    * stripping, unbound omission).
+    */
+  private def resultsJsonQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq((1L, graft.sparql.Results.toJson(resultsTermsDf(s, d))))
+      .toDF("line_no", "line")
+  }
+
+  /** W3C SPARQL results-XML BYTES, same discipline. */
+  private def resultsXmlQ(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Seq((1L, graft.sparql.Results.toXml(resultsTermsDf(s, d))))
+      .toDF("line_no", "line")
+  }
+
   // ---- Events / time-series ------------------------------------------
 
   /** Time-series resample: complete hourly spine per user (gap filling via
@@ -2425,6 +2459,8 @@ object SparkEntry {
     "q_media_thumb" -> (mediaThumb _),
     "q_media_frames" -> (mediaFrames _),
     "q_results_csv" -> (resultsCsvQ _),
+    "q_results_json" -> (resultsJsonQ _),
+    "q_results_xml" -> (resultsXmlQ _),
     "q_results_tsv" -> (resultsTsvQ _),
     "q_results_nt" -> (resultsNtQ _),
     "q_results_nq" -> (resultsNqQ _),
@@ -4034,6 +4070,43 @@ object SparkEntry {
         |  SELECT -6::BIGINT, 'mp4', 294, 'mp42', 600, 2500::BIGINT, 2, 1, 1,
         |    2261071687::BIGINT
         |) ORDER BY media_id""".stripMargin,
+    // the whole results-JSON protocol document replayed as one string
+    "q_results_json" ->
+      """WITH rows AS (SELECT r_regionkey AS k, r_name AS nm FROM region),
+        |rj AS (SELECT k,
+        |  '{"r":{"type":"uri","value":"region:' || k || '"},"nm":{"type":"literal","value":"'
+        |  || nm || '"},"lng":{"type":"literal","value":"' || lower(nm)
+        |  || '","xml:lang":"en"},"num":{"type":"literal","value":"' || k
+        |  || '","datatype":"http://www.w3.org/2001/XMLSchema#integer"}'
+        |  || CASE WHEN k % 2 = 0
+        |     THEN ',"bn":{"type":"bnode","value":"b' || k || '"}' ELSE '' END
+        |  || '}' AS row_json FROM rows)
+        |SELECT 1::BIGINT AS line_no,
+        |  '{"head":{"vars":["r","nm","lng","num","bn"]},"results":{"bindings":['
+        |  || string_agg(row_json, ',' ORDER BY 'region:' || k)
+        |  || ']}}' AS line
+        |FROM rj""".stripMargin,
+    // ... and the results-XML document
+    "q_results_xml" ->
+      """WITH rows AS (SELECT r_regionkey AS k, r_name AS nm FROM region),
+        |rx AS (SELECT k,
+        |  '<result><binding name="r"><uri>region:' || k
+        |  || '</uri></binding><binding name="nm"><literal>' || nm
+        |  || '</literal></binding><binding name="lng"><literal xml:lang="en">'
+        |  || lower(nm)
+        |  || '</literal></binding><binding name="num"><literal datatype="http://www.w3.org/2001/XMLSchema#integer">'
+        |  || k || '</literal></binding>'
+        |  || CASE WHEN k % 2 = 0
+        |     THEN '<binding name="bn"><bnode>b' || k || '</bnode></binding>'
+        |     ELSE '' END
+        |  || '</result>' AS row_xml FROM rows)
+        |SELECT 1::BIGINT AS line_no,
+        |  '<?xml version="1.0"?><sparql xmlns="http://www.w3.org/2005/sparql-results#"><head>'
+        |  || '<variable name="r"/><variable name="nm"/><variable name="lng"/><variable name="num"/><variable name="bn"/>'
+        |  || '</head><results>'
+        |  || string_agg(row_xml, '' ORDER BY 'region:' || k)
+        |  || '</results></sparql>' AS line
+        |FROM rx""".stripMargin,
     // serialized BYTES, line by line: the RFC 4180 / SPARQL-TSV /
     // N-Triples documents replayed as strings in DuckDB
     "q_results_csv" ->
