@@ -51,6 +51,24 @@ class GoldenSpec extends SparkSpec {
         |  ?c a "Customer" . ?c :nationkey ?n .
         |  ?n :regionkey ?r . ?r :name ?nm .
         |} GROUP BY ?nm ORDER BY ?nm""".stripMargin,
+    // trailing VALUES INSIDE a subquery restricts BEFORE the subquery's
+    // projection (§18.2.4.4) — ?n filters inside even though the outer
+    // group never mentions it
+    "sparql_subquery_values" ->
+      """PREFIX : <>
+        |SELECT ?seg ?n WHERE {
+        |  ?c :mktsegment ?seg .
+        |  { SELECT ?c ?n WHERE { ?c :nationkey ?n } VALUES ?n { "nation:3" "nation:9" } }
+        |} ORDER BY ?seg ?c""".stripMargin,
+    // XPath constructor casts inside aggregates + HAVING over the same
+    // aggregate expression
+    "sparql_cast_agg" ->
+      """PREFIX : <>
+        |PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        |SELECT ?brand (SUM(xsd:integer(?sz)) AS ?tot) WHERE {
+        |  ?p a "Part" . ?p :brand ?brand . ?p :size ?sz
+        |} GROUP BY ?brand HAVING (SUM(xsd:integer(?sz)) > 100)
+        |ORDER BY ?brand""".stripMargin,
     "sparql_exists_expr" ->
       """PREFIX : <>
         |SELECT ?c WHERE {
