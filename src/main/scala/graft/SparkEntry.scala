@@ -835,6 +835,19 @@ object SparkEntry {
     DedupOps.clusters(s, GraftStore.docDupPairs(s, d, threshold = 0.5))
       .orderBy("doc_id")
 
+  /** The same cluster assignment through the pure-DataFrame convergence
+    * CC (`GraphOps.connectedComponents`) instead of driver-coalesced
+    * GraphX Pregel — the shape that holds when the near-dup pair graph
+    * itself outgrows a handful of partitions. Identical output contract
+    * (component = min doc_id), so the two gates share one oracle.
+    */
+  private def dedupClustersDist(s: SparkSession, d: String): DataFrame =
+    graft.ops.GraphOps.connectedComponents(
+        GraftStore.docDupPairs(s, d, threshold = 0.5)
+          .select(col("doc_a").as("s"), col("doc_b").as("o")))
+      .select(col("node").as("doc_id"), col("component").as("cluster"))
+      .orderBy("doc_id")
+
   /** Canonical-document selection: within each near-dup cluster keep the
     * HIGHEST-QUALITY member (ties → smallest doc_id) — the
     * canonicalization step after pair mining + connected components,
@@ -2434,6 +2447,7 @@ object SparkEntry {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_clusters_dist" -> (dedupClustersDist _),
     "q_dedup_keep_best" -> (dedupKeepBest _),
     "q_split_leakfree" -> (splitLeakFreeQ _),
     "q_shard_manifest" -> (shardManifestQ _),
@@ -2866,6 +2880,22 @@ object SparkEntry {
        |    ORDER BY ip DESC, neighbor_id ASC) AS rnk FROM rr)
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  /** The near-dup cluster-assignment replay (recursive reachability-min
+    * over the verified pair graph) — shared by the GraphX gate and its
+    * distributed-CC twin (identical output contract).
+    */
+  private lazy val dedupClustersOracleSql: String =
+    "WITH RECURSIVE " + gramPairsCteBody + """,
+        |e AS (SELECT doc_a AS a, doc_b AS b FROM p WHERE jaccard >= 0.5),
+        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
+        |nodes AS (SELECT DISTINCT a AS d FROM und),
+        |reach(d, r) AS (
+        |  SELECT d, d FROM nodes
+        |  UNION
+        |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.d)
+        |SELECT d AS doc_id, min(r) AS cluster FROM reach
+        |GROUP BY d ORDER BY doc_id""".stripMargin
+
   /** The quad-update census replays — shared by the string gates and
     * their ENCODED twins (same scripts, same final dataset, so the same
     * oracle pins both paths).
@@ -3287,16 +3317,8 @@ object SparkEntry {
     "q_dedup_minhash" -> (gramPairsCte + """
         |SELECT doc_a, doc_b, jaccard FROM p WHERE jaccard >= 0.8
         |ORDER BY doc_a, doc_b""".stripMargin),
-    "q_dedup_clusters" -> ("WITH RECURSIVE " + gramPairsCteBody + """,
-        |e AS (SELECT doc_a AS a, doc_b AS b FROM p WHERE jaccard >= 0.5),
-        |und AS (SELECT a, b FROM e UNION SELECT b, a FROM e),
-        |nodes AS (SELECT DISTINCT a AS d FROM und),
-        |reach(d, r) AS (
-        |  SELECT d, d FROM nodes
-        |  UNION
-        |  SELECT u.b, reach.r FROM reach JOIN und u ON u.a = reach.d)
-        |SELECT d AS doc_id, min(r) AS cluster FROM reach
-        |GROUP BY d ORDER BY doc_id""".stripMargin),
+    "q_dedup_clusters" -> dedupClustersOracleSql,
+    "q_dedup_clusters_dist" -> dedupClustersOracleSql,
     // keep-best canonicalization: clusters (recursive reach) joined to
     // the replayed quality score, argmax per cluster by (quality desc,
     // doc_id asc)
