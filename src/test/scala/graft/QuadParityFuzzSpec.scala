@@ -107,6 +107,67 @@ class QuadParityFuzzSpec extends SparkSpec {
     s"SELECT $distinct* WHERE { $group }"
   }
 
+  private def genScript(rnd: scala.util.Random): String = {
+    val graphs = Seq("<g1>", "<g2>", "<g3>")
+    val gOrD = () => if (rnd.nextInt(4) == 0) None else Some(graphs(rnd.nextInt(3)))
+    def quad(): String = {
+      val sPool = Seq("<s1>", "<s2>", "<s3>", "<n1>", "<n2>")
+      val s = sPool(rnd.nextInt(sPool.length))
+      val p = Seq("<p>", "<q>", "<x>")(rnd.nextInt(3))
+      val o = Seq("\"0\"", "\"w1\"", "<s4>")(rnd.nextInt(3))
+      s"$s $p $o"
+    }
+    def ground(kw: String): String = {
+      val qs = (1 to 1 + rnd.nextInt(2)).map(_ => quad())
+      gOrD() match {
+        case Some(g) => s"$kw DATA { GRAPH $g { ${qs.mkString(" . ")} } }"
+        case None => s"$kw DATA { ${qs.mkString(" . ")} }"
+      }
+    }
+    def op(): String = rnd.nextInt(7) match {
+      case 0 => ground("INSERT")
+      case 1 => ground("DELETE")
+      case 2 => gOrD() match {
+        case Some(g) => s"CLEAR GRAPH $g"
+        case None => "CLEAR DEFAULT"
+      }
+      case 3 =>
+        val kind = Seq("COPY", "MOVE", "ADD")(rnd.nextInt(3))
+        val a = graphs(rnd.nextInt(3)); val b = graphs(rnd.nextInt(3))
+        val src = if (rnd.nextInt(5) == 0) "DEFAULT" else s"GRAPH $a"
+        val dst = if (rnd.nextInt(5) == 0) "DEFAULT" else s"GRAPH $b"
+        s"$kind $src TO $dst"
+      case 4 =>
+        val g = graphs(rnd.nextInt(3))
+        s"WITH $g DELETE { ?s <p> ?o } INSERT { ?s <p2> ?o } WHERE { ?s <p> ?o }"
+      case 5 =>
+        val g = graphs(rnd.nextInt(3))
+        s"DELETE WHERE { GRAPH $g { ?s <q> ?o } }"
+      case _ =>
+        "INSERT { GRAPH ?g { ?s <seen> \"1\" } } WHERE { GRAPH ?g { ?s <p> \"0\" } }"
+    }
+    (1 to 1 + rnd.nextInt(2)).map(_ => op()).mkString(" ;\n")
+  }
+
+  "string and encoded quad updates" should "agree on 30 random scripts" in {
+    val (enc0, dict0) = encPair
+    val rnd = new scala.util.Random(777L)
+    def canon(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    (1 to 30).foreach { i =>
+      val script = genScript(rnd)
+      withClue(s"case $i:\n$script\n") {
+        val viaStrings = canon(Sparql.updateQuads(spark, quads, script))
+        val (encOut, dictOut) =
+          Sparql.updateQuadsEnc(spark, enc0, dict0, script)
+        val viaEnc = canon(graft.dict.Dictionary
+          .decodeAll(encOut, dictOut, Seq("s", "p", "o", "g")))
+        viaEnc shouldBe viaStrings
+      }
+    }
+  }
+
   "string and encoded quad paths" should "agree on 100 random algebra compositions" in {
     val (enc, dict) = encPair
     val rnd = new scala.util.Random(20260814L)
