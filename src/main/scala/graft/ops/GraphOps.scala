@@ -246,8 +246,14 @@ object GraphOps {
       .where(col("s").isNotNull && col("o").isNotNull && col("s") =!= col("o"))
     val und = pins.pin(
       base.unionAll(base.select(col("o").as("s"), col("s").as("o"))).distinct())
+    // seed labels with the FIRST relaxation folded in: lab₀(v) =
+    // min(v, neighbors of v) comes straight off the adjacency with one
+    // aggregate — same cost as the plain distinct-nodes init, one full
+    // relax round (join + aggregate) cheaper overall
     var labels = pins.pin(
-      und.select(col("s").as("node")).distinct().withColumn("lab", col("node")))
+      und.select(col("s").as("node"), col("o").as("lab"))
+        .unionAll(und.select(col("s").as("node"), col("s").as("lab")))
+        .groupBy("node").agg(min(col("lab")).as("lab")))
     var round = 0
     var done = false
     while (!done) {
