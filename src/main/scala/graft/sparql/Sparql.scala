@@ -2157,14 +2157,34 @@ object Sparql {
       "executeStreamQuads supports exactly one GRAPH block (plus " +
         "group-level FILTERs), append mode — no aggregates/modifiers")
     val (gterm, inner) = q.group.graphs.head
-    require(inner.triples.nonEmpty && inner.optionals.isEmpty &&
-      inner.unions.isEmpty && inner.minuses.isEmpty && inner.paths.isEmpty &&
+    require(inner.triples.nonEmpty && inner.minuses.isEmpty &&
+      inner.paths.isEmpty &&
       inner.subqueries.isEmpty && inner.subgroups.isEmpty &&
       inner.existsFilters.isEmpty && inner.values.isEmpty &&
       inner.valuesMulti.isEmpty && inner.services.isEmpty &&
       inner.graphs.isEmpty,
       "the streaming GRAPH block may contain only triple patterns, " +
-        "FILTER, and BIND")
+        "FILTER, BIND, UNION, and static OPTIONAL")
+    // UNION branches get FULL delta semantics (the combined pattern set
+    // per branch choice, like executeStream); bounded arm count
+    require(inner.unions.size <= 3,
+      "executeStreamQuads supports at most 3 UNION blocks (8 delta arms)")
+    inner.unions.foreach { case (l, r) => Seq(l, r).foreach(b =>
+      require(b.triples.nonEmpty && b.optionals.isEmpty && b.unions.isEmpty &&
+        b.minuses.isEmpty && b.paths.isEmpty && b.subqueries.isEmpty &&
+        b.subgroups.isEmpty && b.existsFilters.isEmpty && b.values.isEmpty &&
+        b.valuesMulti.isEmpty && b.graphs.isEmpty,
+        "streaming UNION branches may contain only triple patterns, " +
+          "filters, and BINDs")) }
+    // OPTIONAL enriches from the STATIC named part only (bounded side,
+    // append-safe left join) — the executeStream restriction class
+    inner.optionals.foreach(opt =>
+      require(opt.triples.nonEmpty && opt.optionals.isEmpty &&
+        opt.unions.isEmpty && opt.minuses.isEmpty && opt.paths.isEmpty &&
+        opt.binds.isEmpty && opt.subqueries.isEmpty && opt.subgroups.isEmpty &&
+        opt.existsFilters.isEmpty && opt.values.isEmpty &&
+        opt.valuesMulti.isEmpty && opt.graphs.isEmpty,
+        "streaming OPTIONAL groups may contain only triple patterns and filters"))
     val gv = gterm match { case V(n) => n; case _ => "__g" }
     def side(df: DataFrame): DataFrame = gterm match {
       case C(v) => df.where(col("g") === v.toString)
@@ -2172,27 +2192,63 @@ object Sparql {
     }
     val stream = side(streamQuads)
     val static0 = side(staticQuads)
-    val patterns = inner.triples
-    val outVars = patterns.flatMap(_.vars).distinct :+ gv
-    val branches = patterns.indices
-      .filter(i => patterns(i).vars.nonEmpty)
-      .map { i =>
-        var current = quadScan(stream, patterns(i), gv)
-        var bound = patterns(i).vars.toSet
-        (patterns.take(i) ++ patterns.drop(i + 1)).foreach { tp =>
-          val sc = quadScan(static0, tp, gv)
-          val shared = (tp.vars.filter(bound) :+ gv).distinct
-          current =
-            if (tp.vars.forall(bound)) current.join(sc, shared, "left_semi")
-            else current.join(sc, shared, "inner")
-          bound ++= tp.vars
+    // per-pattern delta arms for ONE combined pattern set
+    def deltaArms(patterns: Seq[TriplePattern]): Seq[DataFrame] = {
+      val outVars = patterns.flatMap(_.vars).distinct :+ gv
+      patterns.indices
+        .filter(i => patterns(i).vars.nonEmpty)
+        .map { i =>
+          var current = quadScan(stream, patterns(i), gv)
+          var bound = patterns(i).vars.toSet
+          (patterns.take(i) ++ patterns.drop(i + 1)).foreach { tp =>
+            val sc = quadScan(static0, tp, gv)
+            val shared = (tp.vars.filter(bound) :+ gv).distinct
+            current =
+              if (tp.vars.forall(bound)) current.join(sc, shared, "left_semi")
+              else current.join(sc, shared, "inner")
+            bound ++= tp.vars
+          }
+          current.select(outVars.map(col): _*)
         }
-        current.select(outVars.map(col): _*)
+    }
+    // cartesian product of branch choices across the UNION blocks; each
+    // choice's pattern set gets its own full delta decomposition
+    val choices: Seq[Seq[Group]] =
+      inner.unions.foldLeft(Seq(Seq.empty[Group])) { case (acc, (l, r)) =>
+        acc.flatMap(ch => Seq(ch :+ l, ch :+ r))
       }
-    require(branches.nonEmpty, "at least one pattern must bind a variable")
-    var df = branches.reduce(_.unionAll(_))
-    inner.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
-    (inner.filters ++ q.group.filters).foreach(f => df = df.where(compileExpr(f)))
+    var deferredFilters = Seq.empty[Expr]
+    val arms = choices.map { ch =>
+      val patterns = inner.triples ++ ch.flatMap(_.triples)
+      val armBranches = deltaArms(patterns)
+      require(armBranches.nonEmpty, "at least one pattern must bind a variable")
+      var d = armBranches.reduce(_.unionAll(_))
+      (inner.binds ++ ch.flatMap(_.binds))
+        .foreach { case (e, v) => d = d.withColumn(v, compileVal(e)) }
+      (inner.filters ++ q.group.filters ++ ch.flatMap(_.filters)).foreach { f =>
+        if (exprVars(f).subsetOf(d.columns.toSet)) d = d.where(compileExpr(f))
+        else deferredFilters :+= f
+      }
+      d
+    }
+    var df = arms.reduce(_.unionByName(_, allowMissingColumns = true))
+    // static-side OPTIONAL enrichment, graph-confined via the carried gv
+    inner.optionals.foreach { opt =>
+      var o: DataFrame = null
+      opt.triples.foreach { tp =>
+        val sc = quadScan(static0, tp, gv)
+        o = if (o == null) sc else {
+          val shared = o.columns.intersect(sc.columns).toSeq
+          if (shared.isEmpty) o.crossJoin(sc) else o.join(sc, shared)
+        }
+      }
+      opt.filters.foreach(f => o = o.where(compileExpr(f)))
+      val shared = df.columns.intersect(o.columns).toSeq
+      require(shared.length > 1, // gv is always shared; need a real var too
+        "streaming OPTIONAL must share a variable with the stream pattern")
+      df = df.join(o, shared, "left")
+    }
+    deferredFilters.foreach(f => df = df.where(compileExpr(f)))
     val proj =
       if (q.projection.isEmpty)
         df.columns.toSeq.filterNot(_.startsWith("__")).map(col)

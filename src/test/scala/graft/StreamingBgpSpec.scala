@@ -91,6 +91,53 @@ class StreamingBgpSpec extends SparkSpec {
       .map(_.getString(0)).toSet shouldBe Set("a")
   }
 
+  it should "emit batch-equivalent rows for a UNION inside the GRAPH block" in {
+    implicit val sqlCtx = spark.sqlContext
+    val staticQuads = Seq(
+      ("a", "q", "2", "g1"),
+      ("b", "r", "3", "g1")
+    ).toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    // each arriving quad completes through EITHER union branch
+    src.addData(("a", "p", "1", "g1"), ("b", "p", "1", "g1"),
+      ("c", "p", "1", "g1")) // c matches neither branch
+    val out = graft.sparql.Sparql.executeStreamQuads(spark,
+      src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+      """PREFIX : <>
+        |SELECT ?g ?s WHERE { GRAPH ?g { ?s :p "1"
+        |  { ?s :q "2" } UNION { ?s :r "3" } } }""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("quad_stream_union")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table("quad_stream_union").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("g1", "a"), ("g1", "b"))
+  }
+
+  it should "enrich from static OPTIONAL patterns, confined per graph" in {
+    implicit val sqlCtx = spark.sqlContext
+    val staticQuads = Seq(
+      ("a", "q", "2", "g1"),
+      ("b", "q", "2", "g2"),
+      ("a", "label", "A", "g1"),
+      ("b", "label", "WRONG-GRAPH", "g1") // b's label lives in g1, not g2
+    ).toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    src.addData(("a", "p", "1", "g1"), ("b", "p", "1", "g2"))
+    val out = graft.sparql.Sparql.executeStreamQuads(spark,
+      src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+      """PREFIX : <>
+        |SELECT ?g ?s ?l WHERE { GRAPH ?g { ?s :p "1" . ?s :q "2"
+        |  OPTIONAL { ?s :label ?l } } }""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("quad_stream_opt")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table("quad_stream_opt").collect()
+      .map(r => (r.getString(0), r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2))).toSet shouldBe
+      Set(("g1", "a", "A"), ("g2", "b", null)) // unbound, not cross-graph
+  }
+
   it should "keep matching as new micro-batches arrive" in {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, String, String)]
