@@ -2157,14 +2157,23 @@ object Sparql {
       "executeStreamQuads supports exactly one GRAPH block (plus " +
         "group-level FILTERs), append mode — no aggregates/modifiers")
     val (gterm, inner) = q.group.graphs.head
-    require(inner.triples.nonEmpty && inner.minuses.isEmpty &&
+    require(inner.triples.nonEmpty &&
       inner.paths.isEmpty &&
       inner.subqueries.isEmpty && inner.subgroups.isEmpty &&
       inner.existsFilters.isEmpty && inner.values.isEmpty &&
       inner.valuesMulti.isEmpty && inner.services.isEmpty &&
       inner.graphs.isEmpty,
       "the streaming GRAPH block may contain only triple patterns, " +
-        "FILTER, BIND, UNION, and static OPTIONAL")
+        "FILTER, BIND, UNION, static OPTIONAL, and static MINUS")
+    // MINUS subtracts against the STATIC named part only (bounded anti
+    // join, append-safe) — the executeStream restriction class
+    inner.minuses.foreach(m =>
+      require(m.triples.nonEmpty && m.optionals.isEmpty && m.unions.isEmpty &&
+        m.minuses.isEmpty && m.paths.isEmpty && m.binds.isEmpty &&
+        m.subqueries.isEmpty && m.subgroups.isEmpty &&
+        m.existsFilters.isEmpty && m.values.isEmpty && m.valuesMulti.isEmpty &&
+        m.graphs.isEmpty,
+        "streaming MINUS groups may contain only triple patterns and filters"))
     // UNION branches get FULL delta semantics (the combined pattern set
     // per branch choice, like executeStream); bounded arm count
     require(inner.unions.size <= 3,
@@ -2247,6 +2256,22 @@ object Sparql {
       require(shared.length > 1, // gv is always shared; need a real var too
         "streaming OPTIONAL must share a variable with the stream pattern")
       df = df.join(o, shared, "left")
+    }
+    // static-side MINUS: graph-confined anti join on the shared vars
+    inner.minuses.foreach { m =>
+      var sub: DataFrame = null
+      m.triples.foreach { tp =>
+        val sc = quadScan(static0, tp, gv)
+        sub = if (sub == null) sc else {
+          val shared = sub.columns.intersect(sc.columns).toSeq
+          if (shared.isEmpty) sub.crossJoin(sc) else sub.join(sc, shared)
+        }
+      }
+      m.filters.foreach(f => sub = sub.where(compileExpr(f)))
+      val shared = df.columns.intersect(sub.columns).toSeq
+      require(shared.length > 1,
+        "streaming MINUS must share a variable with the stream pattern")
+      df = df.join(sub, shared, "left_anti")
     }
     deferredFilters.foreach(f => df = df.where(compileExpr(f)))
     val proj =

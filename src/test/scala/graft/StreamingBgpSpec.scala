@@ -138,6 +138,29 @@ class StreamingBgpSpec extends SparkSpec {
       Set(("g1", "a", "A"), ("g2", "b", null)) // unbound, not cross-graph
   }
 
+  it should "subtract static MINUS groups inside the GRAPH block per graph" in {
+    implicit val sqlCtx = spark.sqlContext
+    val staticQuads = Seq(
+      ("a", "q", "2", "g1"),
+      ("b", "q", "2", "g2"),
+      ("a", "blocked", "1", "g1"),
+      ("b", "blocked", "1", "g1") // b is blocked in g1 only, not its g2
+    ).toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    src.addData(("a", "p", "1", "g1"), ("b", "p", "1", "g2"))
+    val out = graft.sparql.Sparql.executeStreamQuads(spark,
+      src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+      """PREFIX : <>
+        |SELECT ?g ?s WHERE { GRAPH ?g { ?s :p "1" . ?s :q "2"
+        |  MINUS { ?s :blocked "1" } } }""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("quad_stream_minus")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table("quad_stream_minus").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("g2", "b")) // a removed in g1; b's block lives in another graph
+  }
+
   it should "keep matching as new micro-batches arrive" in {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, String, String)]
