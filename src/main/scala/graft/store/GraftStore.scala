@@ -1003,6 +1003,45 @@ object GraftStore {
     })).value
   }
 
+  /** Durable ANN index artifacts: the PQ (codebook, codes) pair, the
+    * binary signature table, and the IVF (centroids, cells) pair written
+    * as parquet under one directory — what an ingest job ships next to
+    * the embeddings so query sessions OPEN indexes instead of
+    * re-training/re-encoding the corpus. Codebooks/centroids are tiny
+    * driver-side constants; codes/sigs/cells are the corpus-sized (but
+    * 30-250× compressed) tables.
+    */
+  def persistAnnIndexes(spark: SparkSession, sfDir: String,
+                        path: String): Unit = {
+    import spark.implicits._
+    val (cb, codes) = pqIndex(spark, sfDir)
+    cb.toDF("sub", "cluster", "cv").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/pq_codebook")
+    codes.write.mode("overwrite").parquet(s"$path/pq_codes")
+    binaryIndex(spark, sfDir).write.mode("overwrite")
+      .parquet(s"$path/binary_sigs")
+    val (cent, cells) = ivfIndex(spark, sfDir)
+    cent.coalesce(1).write.mode("overwrite").parquet(s"$path/ivf_centroids")
+    cells.write.mode("overwrite").parquet(s"$path/ivf_cells")
+  }
+
+  /** The persisted ANN artifacts, reopened: (pq codebook, pq codes,
+    * binary sigs, ivf centroids, ivf cells). Codebook collects driver
+    * side (m·k rows) — the same shape `pqSearch` consumes.
+    */
+  def openAnnIndexes(spark: SparkSession, path: String)
+      : (Seq[(Int, Int, Seq[Float])], DataFrame, DataFrame,
+         DataFrame, DataFrame) = {
+    val cb = spark.read.parquet(s"$path/pq_codebook").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Float](2): Seq[Float]))
+      .sortBy(c => (c._1, c._2)).toSeq
+    (cb,
+      spark.read.parquet(s"$path/pq_codes"),
+      spark.read.parquet(s"$path/binary_sigs"),
+      spark.read.parquet(s"$path/ivf_centroids"),
+      spark.read.parquet(s"$path/ivf_cells"))
+  }
+
   private val bpeCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String, Int), Lazily[(Seq[(Int, String, String, String, Long)], DataFrame)]]
 

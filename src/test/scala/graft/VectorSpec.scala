@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.VectorOps
+import graft.store.GraftStore
 import org.apache.spark.sql.functions._
 
 /** Similarity search over hand-built vectors with known geometry. */
@@ -385,6 +386,27 @@ class VectorSpec extends SparkSpec {
       exact.intersect(got.filter(_._1 == q).map(_._2).toSet).size / 10.0
     }
     (recalls.sum / recalls.size) should be >= 0.6
+  }
+
+  "persistAnnIndexes/openAnnIndexes" should "round-trip every ANN artifact identically" in {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.loadPar(spark, d, "embeddings")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ann_idx").toString
+    GraftStore.persistAnnIndexes(spark, d, tmp)
+    val (cb2, codes2, sigs2, cent2, cells2) = GraftStore.openAnnIndexes(spark, tmp)
+    // PQ search over REOPENED artifacts == session-built artifacts
+    val (cb, codes) = GraftStore.pqIndex(spark, d)
+    cb2 shouldBe cb
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).toSet
+    rows(VectorOps.pqSearch(e, cb2, codes2, col("vec_id") < 4, topK = 5)) shouldBe
+      rows(VectorOps.pqSearch(e, cb, codes, col("vec_id") < 4, topK = 5))
+    rows(VectorOps.binarySearchRerank(e, sigs2, col("vec_id") < 4, topK = 5)) shouldBe
+      rows(VectorOps.binarySearchRerank(e, GraftStore.binaryIndex(spark, d),
+        col("vec_id") < 4, topK = 5))
+    val (cent, cells) = GraftStore.ivfIndex(spark, d)
+    rows(VectorOps.ivfSearchWith(e, cent2, cells2, col("vec_id") < 4, k = 5)) shouldBe
+      rows(VectorOps.ivfSearchWith(e, cent, cells, col("vec_id") < 4, k = 5))
   }
 
   "pqSearchRerank" should "lift recall to near-exact via the two-stage shape" in {
