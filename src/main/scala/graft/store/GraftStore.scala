@@ -1003,6 +1003,24 @@ object GraftStore {
     })).value
   }
 
+  /** Durable ENCODED quad dataset: the certified (ids, dictionary) pair
+    * written as parquet — the ingest artifact behind
+    * `Sparql.executeQuadsEncoded`/`updateQuadsEnc`, shipped so query
+    * sessions skip the encode pass entirely.
+    */
+  def persistQuadsEnc(spark: SparkSession, sfDir: String,
+                      path: String): Unit = {
+    val (enc, dict) = quadDatasetEnc(spark, sfDir)
+    enc.write.mode("overwrite").parquet(s"$path/quads_enc")
+    dict.write.mode("overwrite").parquet(s"$path/quads_dict")
+  }
+
+  /** Reopen a persisted encoded quad dataset: (encoded quads, dict). */
+  def openQuadsEnc(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) =
+    (spark.read.parquet(s"$path/quads_enc"),
+      spark.read.parquet(s"$path/quads_dict"))
+
   /** Durable ANN index artifacts: the PQ (codebook, codes) pair, the
     * binary signature table, and the IVF (centroids, cells) pair written
     * as parquet under one directory — what an ingest job ships next to

@@ -470,6 +470,21 @@ class QuadsSpec extends SparkSpec {
     e.getMessage should include("updateQuads")
   }
 
+  "persistQuadsEnc/openQuadsEnc" should "answer identically through the reopened artifact" in {
+    val d = "/root/testdata/sf0.001"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_qenc").toString
+    graft.store.GraftStore.persistQuadsEnc(spark, d, tmp)
+    val (enc2, dict2) = graft.store.GraftStore.openQuadsEnc(spark, tmp)
+    val (enc1, dict1) = graft.store.GraftStore.quadDatasetEnc(spark, d)
+    val q = """SELECT ?g (COUNT(?s) AS ?cnt) WHERE { GRAPH ?g { ?s ?p ?o } }
+              |GROUP BY ?g ORDER BY ?g""".stripMargin
+    def rows(enc: org.apache.spark.sql.DataFrame,
+             dict: org.apache.spark.sql.DataFrame) =
+      Sparql.executeQuadsEncoded(spark, enc, dict, q).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+    rows(enc2, dict2) shouldBe rows(enc1, dict1)
+  }
+
   "executeQuadsEncoded" should "match the string path across the quad algebra" in {
     val (enc, dict) = graft.store.TripleStore.encodeQuads(quads)
     def both(q: String): Set[Seq[String]] = {
