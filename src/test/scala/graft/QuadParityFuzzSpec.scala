@@ -168,11 +168,14 @@ class QuadParityFuzzSpec extends SparkSpec {
     }
   }
 
+  // deeper local hunts: sbt -Dgraft.fuzz.n=500 "testOnly graft.QuadParityFuzzSpec"
+  private val fuzzN = sys.props.getOrElse("graft.fuzz.n", "100").toInt
+
   "string and encoded quad paths" should "agree on 100 random algebra compositions" in {
     val (enc, dict) = encPair
     val rnd = new scala.util.Random(20260814L)
     var nonEmpty = 0
-    (1 to 100).foreach { i =>
+    (1 to fuzzN).foreach { i =>
       val q = gen(rnd)
       withClue(s"case $i: $q\n") {
         def rows(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] = {
@@ -190,6 +193,6 @@ class QuadParityFuzzSpec extends SparkSpec {
       }
     }
     // the generator must actually exercise joins, not vacuous empties
-    nonEmpty should be >= 30
+    nonEmpty should be >= fuzzN * 3 / 10
   }
 }
