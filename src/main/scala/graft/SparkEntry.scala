@@ -964,6 +964,20 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF+PQ (the FAISS IVFPQ composition): inverted-file cell pruning
+    * (2 probes), ADC ranking over just those cells' code rows, exact
+    * re-rank of the top-50 — all three index inputs per-corpus ingest
+    * artifacts, the full corpus touched by nothing.
+    */
+  private def annIvfPqQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.loadPar(s, d, "embeddings")
+    val (cent, cells) = GraftStore.ivfIndex(s, d)
+    val (cb, codes) = GraftStore.pqIndex(s, d)
+    VectorOps.ivfPqSearch(emb, cent, cells, cb, codes,
+        col("vec_id") < 8, topK = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** LSH-bucketed ANN (sign random projections, single probe, top-3). */
   private def annLshQ(s: SparkSession, d: String): DataFrame =
     VectorOps.annLsh(Tables.loadPar(s, d, "embeddings"), col("vec_id") < 8, k = 3)
@@ -1491,6 +1505,19 @@ object SparkEntry {
     */
   private def quadClosureQ(s: SparkSession, d: String): DataFrame = {
     graft.sparql.Sparql.executeQuads(s, GraftStore.quadDataset(s, d),
+      """PREFIX : <>
+        |SELECT ?g ?n WHERE {
+        |  GRAPH ?g { <region:0> ^:regionkey+ ?n }
+        |} ORDER BY ?n""".stripMargin)
+  }
+
+  /** The per-graph closure on the ENCODED quad path: the inverse
+    * transitive path expands on dictionary ids with the graph label in
+    * the fixpoint join key — same oracle as the string twin.
+    */
+  private def quadEncClosureQ(s: SparkSession, d: String): DataFrame = {
+    val (enc, dict) = GraftStore.quadDatasetEnc(s, d)
+    graft.sparql.Sparql.executeQuadsEncoded(s, enc, dict,
       """PREFIX : <>
         |SELECT ?g ?n WHERE {
         |  GRAPH ?g { <region:0> ^:regionkey+ ?n }
@@ -2464,6 +2491,7 @@ object SparkEntry {
     "q_ann_pq" -> (annPqQ _),
     "q_ann_pq_rerank" -> (annPqRerankQ _),
     "q_ann_binary" -> (annBinaryQ _),
+    "q_ann_ivfpq" -> (annIvfPqQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_audio" -> (mediaAudio _),
     "q_media_video" -> (mediaVideo _),
@@ -2517,6 +2545,7 @@ object SparkEntry {
     "q_quad_algebra" -> (quadAlgebraQ _),
     "q_quad_path" -> (quadPathQ _),
     "q_quad_closure" -> (quadClosureQ _),
+    "q_quad_enc_closure" -> (quadEncClosureQ _),
     "q_quad_subquery" -> (quadSubqueryQ _),
     "q_quad_enc_algebra" -> (quadEncAlgebraQ _),
     "q_quad_const_algebra" -> (quadConstAlgebraQ _),
@@ -2880,6 +2909,10 @@ object SparkEntry {
        |    ORDER BY ip DESC, neighbor_id ASC) AS rnk FROM rr)
        |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
+  private val quadClosureOracleSql: String =
+    """SELECT 'graph:nation' AS g, 'nation:' || n_nationkey AS n
+      |FROM nation WHERE n_regionkey = 0 ORDER BY n""".stripMargin
+
   /** The near-dup cluster-assignment replay (recursive reachability-min
     * over the verified pair graph) — shared by the GraphX gate and its
     * distributed-CC twin (identical output contract).
@@ -2920,6 +2953,46 @@ object SparkEntry {
       |  UNION ALL SELECT 'graph:supplier', 'audit', count(*) FROM supplier
       |  UNION ALL SELECT 'graph:supplier', 'name', count(*) FROM supplier
       |) ORDER BY g, p""".stripMargin
+
+  /** IVFPQ replay: the PQ CTE prefix (training, codes, per-query LUT)
+    * composed with the IVF cell replay — candidates are the 2 probed
+    * cells' members, ADC-ranked to 50, exactly re-ranked to 5.
+    */
+  private val ivfPqOracleSql: String =
+    s"""$pqOracleCtes,
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
+       |        WHERE vec_id < (SELECT greatest(16, count(*) // 1024) FROM e)),
+       |isc AS (SELECT e.vec_id, cent_id, ${duckCos6("e.embedding", "cv")} AS cos
+       |       FROM e CROSS JOIN cent),
+       |asg AS (SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn FROM isc)
+       |  WHERE rn = 1),
+       |qasg AS (SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn FROM isc
+       |    WHERE vec_id < 8)
+       |  WHERE rn <= 2),
+       |cand AS (SELECT qasg.vec_id AS query_id, asg.vec_id AS neighbor_id
+       |         FROM qasg JOIN asg ON asg.cell = qasg.cell
+       |         WHERE asg.vec_id <> qasg.vec_id),
+       |padc AS (SELECT c.query_id, c.neighbor_id, sum(l.lutm) AS adcm
+       |         FROM cand c JOIN a2 a ON a.vec_id = c.neighbor_id
+       |         JOIN lut l ON l.query_id = c.query_id AND l.sub = a.sub
+       |                   AND l.cluster = a.cluster
+       |         GROUP BY 1, 2),
+       |cand50 AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adcm DESC, neighbor_id ASC) AS rn FROM padc)
+       |  WHERE rn <= 50),
+       |rr AS (SELECT query_id, neighbor_id,
+       |    floor(${duckDot("qe.embedding", "ne.embedding")} * 1e6 + 0.5) / 1e6 AS ip
+       |  FROM cand50 JOIN e qe ON qe.vec_id = cand50.query_id
+       |              JOIN e ne ON ne.vec_id = cand50.neighbor_id)
+       |SELECT query_id, neighbor_id, ip, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip DESC, neighbor_id ASC) AS rnk FROM rr)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
 
   /** BPE replay: 10 unrolled merge rounds over the word-frequency table,
     * same delimiter-string representation and argmax tiebreak as
@@ -3745,9 +3818,8 @@ object SparkEntry {
         |  UNION ALL SELECT 'graph:part', count(*) FROM part
         |) ORDER BY g""".stripMargin,
     // variable-graph closure: inverse regionkey+ confined to graph:nation
-    "q_quad_closure" ->
-      """SELECT 'graph:nation' AS g, 'nation:' || n_nationkey AS n
-        |FROM nation WHERE n_regionkey = 0 ORDER BY n""".stripMargin,
+    "q_quad_closure" -> quadClosureOracleSql,
+    "q_quad_enc_closure" -> quadClosureOracleSql,
     // variable-graph path: brand/^brand within graph:part only
     "q_quad_path" ->
       """SELECT 'graph:part' AS g, 'part:' || p2.p_partkey AS y
@@ -4720,6 +4792,7 @@ object SparkEntry {
     "q_kmeans" -> kmeansOracleSql,
     "q_ann_pq" -> pqOracleSql,
     "q_ann_pq_rerank" -> pqRerankOracleSql,
+    "q_ann_ivfpq" -> ivfPqOracleSql,
     // binary-signature replay: two 32-bit sign words per vector (a
     // 64-bit shift overflows DuckDB's BIGINT shift), Hamming top-100,
     // exact inner-product re-rank

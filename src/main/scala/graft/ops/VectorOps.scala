@@ -626,6 +626,28 @@ object VectorOps {
         (col("adcm") / 1e6).as("adc"), col("rnk"))
   }
 
+  /** Exact inner-product re-rank of a bounded (query_id, neighbor_id)
+    * candidate relation: only the candidates' vectors are fetched, the
+    * rounded-micros ip makes the ranking engine-portable. The shared
+    * second stage of every two-stage retrieval here (PQ, binary, IVFPQ).
+    */
+  def exactRerank(emb: DataFrame, cand: DataFrame, queryPred: Column,
+                  topK: Int): DataFrame = {
+    val q = emb.where(queryPred)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val n = emb.select(col("vec_id").as("neighbor_id"),
+      col("embedding").as("nv"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("ip").desc, col("neighbor_id").asc)
+    cand.select(col("query_id"), col("neighbor_id"))
+      .join(n, Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        (floor(dotD(col("qv"), col("nv")) * 1e6 + 0.5) / 1e6).as("ip"))
+      .withColumn("rnk", row_number().over(w))
+      .where(col("rnk") <= topK)
+  }
+
   /** Two-stage PQ retrieval — the production ANN shape: the ADC scan
     * generates `candidates` ids per query from the codes table alone
     * (never touching the float vectors), then ONLY those candidates'
@@ -638,21 +660,51 @@ object VectorOps {
     */
   def pqSearchRerank(emb: DataFrame, codebook: Seq[(Int, Int, Seq[Float])],
                      codes: DataFrame, queryPred: Column, topK: Int,
-                     candidates: Int = 100): DataFrame = {
-    val cand = pqSearch(emb, codebook, codes, queryPred, candidates)
+                     candidates: Int = 100): DataFrame =
+    exactRerank(emb,
+      pqSearch(emb, codebook, codes, queryPred, candidates), queryPred, topK)
+
+  /** IVF + PQ — the canonical billion-scale composition (FAISS IVFPQ):
+    * the inverted file prunes the corpus to the query's `probes` cells,
+    * the ADC scan ranks ONLY those cells' code rows (integer-micro LUT
+    * sums), and the top `rerank` candidates re-rank exactly. The full
+    * corpus is touched by NOTHING: the cells table prunes, the codes
+    * table scores, the float vectors appear only for |Q|·rerank rows.
+    * All three inputs are ingest artifacts (`GraftStore.ivfIndex` /
+    * `pqIndex`). Output: (query_id, neighbor_id, ip, rnk).
+    */
+  def ivfPqSearch(emb: DataFrame, cent: DataFrame, cells: DataFrame,
+                  codebook: Seq[(Int, Int, Seq[Float])], codes: DataFrame,
+                  queryPred: Column, topK: Int, probes: Int = 2,
+                  rerank: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = codebook.head._3.length
+    val m = codebook.map(_._1).max + 1
+    val qCells = ivfAssign(emb.where(queryPred), cent, probes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    val cand = qCells
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
       .select(col("query_id"), col("neighbor_id"))
-    val q = emb.where(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val n = emb.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nv"))
+    val cdf = codebook.toDF("sub", "cluster", "cv")
+    val lut = subVectors(emb.where(queryPred), m, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cdf, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cluster").as("code"),
+        floor(dotD(col("sv"), col("cv")) * 1e6 + 0.5).cast("long").as("lutm"))
     val w = Window.partitionBy("query_id")
-      .orderBy(col("ip").desc, col("neighbor_id").asc)
-    cand.join(n, Seq("neighbor_id"))
-      .join(broadcast(q), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (floor(dotD(col("qv"), col("nv")) * 1e6 + 0.5) / 1e6).as("ip"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= topK)
+      .orderBy(col("adcm").desc, col("neighbor_id").asc)
+    val adcCand = cand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"))
+      .agg(sum(col("lutm")).as("adcm"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= rerank)
+    exactRerank(emb, adcCand, queryPred, topK)
   }
 
   // ------------------------------------------------------------ binary ANN
@@ -702,19 +754,7 @@ object VectorOps {
       .select(col("query_id"), col("vec_id").as("neighbor_id"), ham.as("ham"))
       .withColumn("rn", row_number().over(wc))
       .where(col("rn") <= candidates)
-      .select(col("query_id"), col("neighbor_id"))
-    val qv = emb.where(queryPred)
-      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    val nv = emb.select(col("vec_id").as("neighbor_id"),
-      col("embedding").as("nv"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("ip").desc, col("neighbor_id").asc)
-    cand.join(nv, Seq("neighbor_id"))
-      .join(broadcast(qv), Seq("query_id"))
-      .select(col("query_id"), col("neighbor_id"),
-        (floor(dotD(col("qv"), col("nv")) * 1e6 + 0.5) / 1e6).as("ip"))
-      .withColumn("rnk", row_number().over(w))
-      .where(col("rnk") <= topK)
+    exactRerank(emb, cand, queryPred, topK)
   }
 
   /** Brute-force reference implementation (spec oracle for the LSH path).

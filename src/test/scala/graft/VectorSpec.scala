@@ -388,6 +388,34 @@ class VectorSpec extends SparkSpec {
     (recalls.sum / recalls.size) should be >= 0.6
   }
 
+  "ivfPqSearch" should "stay inside the probed cells and still recall well" in {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.loadPar(spark, d, "embeddings")
+    val (cent, cells) = GraftStore.ivfIndex(spark, d)
+    val (cb, codes) = GraftStore.pqIndex(spark, d)
+    val got = VectorOps.ivfPqSearch(e, cent, cells, cb, codes,
+        col("vec_id") < 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // every returned neighbor lives in one of its query's probed cells
+    val cellOf = cells.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = VectorOps.ivfAssign(e.where(col("vec_id") < 8), cent, 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    got.foreach { case (q, n) => probed(q) should contain(cellOf(n)) }
+    // recall vs exact IP top-10, within the IVF contract (cell pruning
+    // caps it; the PQ stage must not lose what the cells contain)
+    val all = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (a, (p, q)) => a + p.toDouble * q.toDouble }
+    val recalls = all.keys.filter(_ < 8).toSeq.map { q =>
+      val exact = all.toSeq.filter(_._1 != q)
+        .map { case (id, v) => (dot(all(q), v), id) }
+        .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+      exact.intersect(got.filter(_._1 == q).map(_._2).toSet).size / 10.0
+    }
+    (recalls.sum / recalls.size) should be >= 0.2 // 2-probe cell cap dominates
+  }
+
   "persistAnnIndexes/openAnnIndexes" should "round-trip every ANN artifact identically" in {
     val d = "/root/testdata/sf0.001"
     val e = Tables.loadPar(spark, d, "embeddings")
