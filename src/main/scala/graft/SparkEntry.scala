@@ -419,6 +419,13 @@ object SparkEntry {
   private def gopherFlagsQ(s: SparkSession, d: String): DataFrame =
     TextOps.gopherFlags(Tables.loadPar(s, d, "documents")).orderBy("doc_id")
 
+  /** Corpus drift: KL(src0..4 ‖ rest) over smoothed unigrams — the
+    * distributional-representativeness audit for a split or domain.
+    */
+  private def corpusDriftQ(s: SparkSession, d: String): DataFrame =
+    TextOps.unigramKl(Tables.loadPar(s, d, "documents"),
+      col("source").isin("src0", "src1", "src2", "src3", "src4"))
+
   /** BPE-ish token counting (LLM token proxy) + first pieces. */
   private def tokenBpe(s: SparkSession, d: String): DataFrame =
     Tables.loadPar(s, d, "documents").select(
@@ -2587,6 +2594,7 @@ object SparkEntry {
     "q_text_stats" -> (textStats _),
     "q_text_normalize" -> (textNormalizeQ _),
     "q_gopher_flags" -> (gopherFlagsQ _),
+    "q_corpus_drift" -> (corpusDriftQ _),
     "q_token_bpe" -> (tokenBpe _),
     "q_chunks" -> (chunksQ _),
     "q_redact" -> (redactQ _),
@@ -4333,6 +4341,24 @@ object SparkEntry {
         |    AND ellipsis_lines * 10 <= lines * 3 AND alpha_words * 5 >= words * 4
         |    AND stop_hits >= 2 AS keep
         |FROM c ORDER BY doc_id""".stripMargin,
+    // unigram KL drift: per-word terms quantized to integer nanos, so
+    // the sum is order-free on both engines
+    "q_corpus_drift" ->
+      """WITH toks AS (
+        |  SELECT source IN ('src0','src1','src2','src3','src4') AS t,
+        |    unnest(string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS w
+        |  FROM documents),
+        |c AS (SELECT w, sum(CASE WHEN t THEN 1 ELSE 0 END)::BIGINT AS ca,
+        |             sum(CASE WHEN t THEN 0 ELSE 1 END)::BIGINT AS cb
+        |      FROM toks GROUP BY w),
+        |tot AS (SELECT count(*)::BIGINT AS v, sum(ca)::BIGINT AS ta,
+        |               sum(cb)::BIGINT AS tb FROM c)
+        |SELECT v AS n_vocab, ta AS tot_target, tb AS tot_rest,
+        |  sum(CAST(floor(p * ln(p/q) * 1e9 + 0.5) AS BIGINT)) / 1e9 AS kl
+        |FROM (SELECT v, ta, tb,
+        |        (ca+1)::DOUBLE / (ta+v) AS p, (cb+1)::DOUBLE / (tb+v) AS q
+        |      FROM c, tot)
+        |GROUP BY 1, 2, 3""".stripMargin,
     "q_text_normalize" ->
       """WITH dec AS (SELECT doc_id,
         |  replace(replace(text, 'a', 'a' || chr(769)), 'e', 'e' || chr(768)) AS t

@@ -217,6 +217,34 @@ object TextOps {
           .as("avg_surprisal"))
   }
 
+  /** Unigram-distribution drift between two corpus slices:
+    * KL(target ‖ rest) over add-1-smoothed unigram distributions — the
+    * domain-shift / split-drift audit (is the validation slice
+    * distributionally representative? did this source drift from the
+    * corpus?). Per-word KL terms quantize to integer NANOS before the
+    * sum, so the total is order-free and replays exactly in SQL; the
+    * whole op is one token aggregate + one broadcast scalar join + one
+    * map-side-combined sum. Output: one row (n_vocab, tot_target,
+    * tot_rest, kl).
+    */
+  def unigramKl(docs: DataFrame, isTarget: Column): DataFrame = {
+    val toks = docs.select(isTarget.as("t"),
+      explode(split(normalize(col("text")), " ")).as("w"))
+    val counts = toks.groupBy("w").agg(
+      sum(when(col("t"), 1L).otherwise(0L)).as("ca"),
+      sum(when(col("t"), 0L).otherwise(1L)).as("cb"))
+    val tot = counts.agg(count(lit(1)).as("v"),
+      sum(col("ca")).as("ta"), sum(col("cb")).as("tb"))
+    counts.crossJoin(broadcast(tot))
+      .withColumn("p", (col("ca") + 1).cast("double") / (col("ta") + col("v")))
+      .withColumn("q", (col("cb") + 1).cast("double") / (col("tb") + col("v")))
+      .withColumn("term",
+        floor(col("p") * log(col("p") / col("q")) * 1e9 + 0.5).cast("long"))
+      .groupBy(col("v").as("n_vocab"), col("ta").as("tot_target"),
+        col("tb").as("tot_rest"))
+      .agg((sum(col("term")) / 1e9).as("kl"))
+  }
+
   /** BM25 retrieval scores for a literal query-term set — the corpus-
     * search primitive (filtering a pretraining corpus by topical queries,
     * building eval retrieval sets). Two scans, both linear:

@@ -218,6 +218,15 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
   }
 
+  "q_ann_ivfpq" should "never join the float vectors outside the bounded rerank" in {
+    val p = finalPlan("q_ann_ivfpq")
+    // cells prune via broadcast, the ADC joins codes against the
+    // broadcast LUT, and only the |Q|·rerank candidate set reaches the
+    // embedding columns — no corpus-wide cartesian anywhere
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
   "q_funnel_steps" should "partial-aggregate each stage before its users-sized join" in {
     val p = finalPlan("q_funnel_steps")
     // per-stage min is map-side combined (partial then final HashAggregate)
