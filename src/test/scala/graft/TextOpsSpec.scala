@@ -438,6 +438,23 @@ class TextOpsSpec extends SparkSpec {
       .head().isNullAt(0) shouldBe true
   }
 
+  "unigramKl" should "be ~zero on identical slices and positive under drift" in {
+    val same = Seq(
+      (1L, "alpha beta gamma delta", true),
+      (2L, "alpha beta gamma delta", false)
+    ).toDF("doc_id", "text", "t")
+    val klSame = TextOps.unigramKl(same, col("t")).head().getDouble(3)
+    klSame shouldBe 0.0 +- 1e-9
+    val drift = Seq(
+      (1L, "alpha alpha alpha beta", true),
+      (2L, "gamma gamma delta delta", false)
+    ).toDF("doc_id", "text", "t")
+    val klDrift = TextOps.unigramKl(drift, col("t")).head().getDouble(3)
+    klDrift should be > 0.5
+    // deterministic across runs (order-free integer-nano sum)
+    TextOps.unigramKl(drift, col("t")).head().getDouble(3) shouldBe klDrift
+  }
+
   "gopherFlags" should "decide each published rule exactly on crafted fixtures" in {
     val fifty = (1 to 50).map(i => s"word$i").mkString(" ") // 50 alpha words
     val docs = Seq(
