@@ -120,8 +120,16 @@ object GraphOps {
     val spark = nodes.sparkSession
     val c = nodes.columns.head
     val sorted = nodes.select(col(c).as("node")).distinct().orderBy("node")
-    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) => (r.getString(0), i) }
-    spark.createDataFrame(rdd).toDF("node", "rk")
+    // generic over the node type (string terms OR encoded long ids —
+    // the doc'd iteration currency), so read Any, not getString
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      sorted.schema.fields.head.copy(name = "node"),
+      org.apache.spark.sql.types.StructField(
+        "rk", org.apache.spark.sql.types.LongType, nullable = false)))
+    val rdd = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row(r.get(0), i)
+    }
+    spark.createDataFrame(rdd, schema)
   }
 
   def randomWalks(edges: DataFrame, starts: DataFrame, steps: Int,

@@ -123,9 +123,25 @@ object Results {
       case litRe(_, _, dt) if dt != null =>
         v.substring(0, v.length - dt.length - 4) + s"^^${pn(dt)}"
       case lit if lit.startsWith("\"") => lit
-      case b if b.startsWith("_:") => b
+      case b if b.startsWith("_:") => "_:" + blankPn(b.substring(2))
       case iri => pn(iri)
     }
+  }
+
+  /** Rewrite a store blank label to a W3C-valid BLANK_NODE_LABEL: store
+    * labels are `scope:label` with a ':' separator, but the Turtle/TriG
+    * grammars forbid ':' in blank labels, so serializing them verbatim
+    * produces documents external parsers (and `Turtle.parse`) reject.
+    * The escape is injective ('_' doubles itself, so decodes are
+    * unambiguous) and emits only PN-safe chars — distinct store labels
+    * stay distinct, and the output parses anywhere.
+    */
+  def blankPn(label: String): String = label.flatMap {
+    case '_' => "__"
+    case ':' => "_c"
+    case '.' => "_d"
+    case c if c.isLetterOrDigit || c == '-' => c.toString
+    case c => f"_u${c.toInt}%04x"
   }
 
   /** Predicate-object-grouped Turtle stanzas of a sorted triple set,

@@ -872,7 +872,17 @@ object GraftStore {
     * collected.
     */
   def open(spark: SparkSession, path: String): StoreHandle = {
-    val triples = spark.read.parquet(s"$path/triples").select("s", "p", "o")
+    // explicit schema pins the partition column `p` to string: a
+    // numeric-looking predicate term (legal under the unquoted
+    // table-store convention) would otherwise reopen as int via
+    // partition-column type inference ("01" -> 1), breaking term
+    // equality after a persist/open round-trip
+    val tripleSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    val triples = spark.read.schema(tripleSchema)
+      .parquet(s"$path/triples").select("s", "p", "o")
     val enc = spark.read.parquet(s"$path/enc")
     val dict = spark.read.parquet(s"$path/dict")
     val pureHash = spark.read.parquet(s"$path/meta").head().getBoolean(0)

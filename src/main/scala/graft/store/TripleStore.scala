@@ -159,9 +159,12 @@ object TripleStore {
     * task per file), `Turtle.parse` running executor-side. A sharded
     * corpus — the normal layout at scale — parses with full parallelism;
     * one giant .ttl is the documented anti-pattern (convert to
-    * N-Triples, which splits per line). Blank labels skolemize under an
-    * 8-hex-digit per-FILE scope so labels from different files never
-    * collide — `skolemize` discipline, applied at parse time.
+    * N-Triples, which splits per line). Blank labels skolemize under a
+    * 16-hex-digit (63-bit xxhash64 of the file path) per-FILE scope so
+    * labels from different files never collide — `skolemize`
+    * discipline, applied at parse time. 63 bits keeps the birthday
+    * bound safe at sharded-corpus file counts (a 32-bit scope collides
+    * with ~50% probability at only ~77k files).
     */
   def parseTurtle(spark: SparkSession, path: String): DataFrame = {
     import spark.implicits._
@@ -169,7 +172,7 @@ object TripleStore {
       .select(input_file_name().as("f"), col("value"))
       .as[(String, String)]
       .flatMap { case (f, content) =>
-        val scope = f"${util.hashing.MurmurHash3.stringHash(f) & 0xffffffffL}%08x"
+        val scope = f"${graft.dict.Dictionary.termHashLocal(f)}%016x"
         Turtle.parse(content, scope)
       }
       .toDF("s", "p", "o")
@@ -188,7 +191,7 @@ object TripleStore {
       .select(input_file_name().as("f"), col("value"))
       .as[(String, String)]
       .flatMap { case (f, content) =>
-        val scope = f"${util.hashing.MurmurHash3.stringHash(f) & 0xffffffffL}%08x"
+        val scope = f"${graft.dict.Dictionary.termHashLocal(f)}%016x"
         Turtle.parseQuads(content, scope)
       }
       .toDF("s", "p", "o", "g")
@@ -347,10 +350,22 @@ object TripleStore {
 
   /** Reopen a graph-partitioned quad dataset. Spark reads the partition
     * column back as `g` (null for the default-graph directory), so the
-    * result plugs straight into `Sparql.executeQuads`.
+    * result plugs straight into `Sparql.executeQuads`. Partition-column
+    * TYPE INFERENCE is a trap here: a numeric-looking graph label like
+    * "42" or "01" would reopen as an int `g` ("01" → 1), silently
+    * breaking `GRAPH <g>` / FROM NAMED string equality after a
+    * persist/open round-trip — so the read pins `g` to string via an
+    * explicit full schema (partition column included), which disables
+    * inference for exactly this read without touching session config.
     */
-  def openQuads(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).select("s", "p", "o", "g")
+  def openQuads(spark: SparkSession, path: String): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("g", org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema).parquet(path).select("s", "p", "o", "g")
+  }
 
   /** Dictionary-encode a quad dataset: (encoded quads, dictionary).
     * Every term — s, p, o, AND the graph label — becomes its xxhash64

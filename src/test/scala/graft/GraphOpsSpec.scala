@@ -135,6 +135,15 @@ class GraphOpsSpec extends SparkSpec {
     rk.values.toSeq.sorted shouldBe Seq(0L, 1L, 2L, 3L)
   }
 
+  it should "accept encoded long node ids, not just strings" in {
+    // the doc recommends orderRanks for encoded-id iteration — node
+    // column typed long must work (generic Row.get, no getString cast)
+    val nodes = Seq(42L, 7L, 99L, 7L).toDF("node")
+    val rk = GraphOps.orderRanks(nodes).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rk shouldBe Map(7L -> 0L, 42L -> 1L, 99L -> 2L)
+  }
+
   it should "make rank-encoded label propagation decode to the string result" in {
     // the iterate-on-longs discipline (SparkEntry.labelPropQ): translate
     // the adjacency through order-preserving ranks, iterate, decode —

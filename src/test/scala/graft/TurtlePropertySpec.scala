@@ -9,8 +9,11 @@ import org.scalacheck.rng.Seed
   * characters) serialize via `Results.toTurtle` and must parse back to
   * the identical term set — pinning quoting, escaping, prefix
   * compression, and `;`/`,` grouping against each other across 100
-  * seeded samples. (Blank nodes are excluded: the parser re-skolemizes
-  * labels per scope, by design.)
+  * seeded samples. Blank nodes round-trip too: the writer rewrites the
+  * store's `scope:label` form to a colon-free BLANK_NODE_LABEL
+  * (`Results.blankPn`) and the parser re-skolemizes under the new
+  * scope, so the expected term set maps blanks through the same two
+  * deterministic steps.
   */
 class TurtlePropertySpec extends SparkSpec {
   import spark.implicits._
@@ -46,10 +49,15 @@ class TurtlePropertySpec extends SparkSpec {
     case _ => "\"" + escape(lex) + "\"^^<" + dt + ">"
   }
 
+  // store-form blank labels: scope:label with '_'/'.'/':' stressing the
+  // writer's PN escaping
+  private val blankGen: Gen[String] = Gen.oneOf(
+    "_:f00d:b1", "_:f00d:b_2", "_:f00d:gen3", "_:f00d:x.y", "_:f00d:a-b")
+
   private val tripleGen: Gen[(String, String, String)] = for {
-    s <- iriGen
+    s <- Gen.frequency(4 -> iriGen, 1 -> blankGen)
     p <- iriGen
-    o <- Gen.frequency(2 -> iriGen, 3 -> literalGen)
+    o <- Gen.frequency(2 -> iriGen, 3 -> literalGen, 1 -> blankGen)
   } yield (s, p, o)
 
   private val graphGen: Gen[List[(String, String, String)]] =
@@ -62,8 +70,13 @@ class TurtlePropertySpec extends SparkSpec {
       val ttl = graft.sparql.Results.toTurtle(
         rows.toDF("s", "p", "o"), prefixes)
       val back = Turtle.parse(ttl, s"rt$i").toSet
+      def expect(t: String): String =
+        if (t.startsWith("_:"))
+          s"_:rt$i:" + graft.sparql.Results.blankPn(t.substring(2))
+        else t
+      val want = rows.map { case (s, p, o) => (expect(s), p, expect(o)) }.toSet
       withClue(s"seed $i, turtle:\n$ttl\n") {
-        back shouldBe rows.toSet
+        back shouldBe want
       }
     }
   }

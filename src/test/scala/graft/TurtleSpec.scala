@@ -99,6 +99,30 @@ class TurtleSpec extends SparkSpec {
     rests.map(_._3) should contain(RDF + "nil")
   }
 
+  it should "keep generated blanks distinct from explicit _:genN labels" in {
+    // the anonymous [] would naively take gen1 — colliding with the
+    // explicit _:gen1 that appears LATER in the document
+    val got = p(
+      """@prefix : <n:> .
+        |[ :anon "yes" ] .
+        |_:gen1 :explicit "yes" .
+        |""".stripMargin)
+    val anon = got.collect { case (s, _, o) if o == "\"yes\"" => s }
+    anon should have size 2 // Set: the two subjects are distinct
+    got should contain(("_:t:gen1", "n:explicit", "\"yes\""))
+  }
+
+  it should "resolve fragment refs keeping the base query string, and allow trailing ';' in TriG blocks" in {
+    val got = p(
+      """@base <http://e/x?q=1> .
+        |<#f> <p:one> "v" .
+        |""".stripMargin)
+    got should contain(("http://e/x?q=1#f", "p:one", "\"v\""))
+    val quads = Turtle.parseQuads(
+      "@prefix : <n:> .\n:g { :s :p :o ; }\n", "t")
+    quads shouldBe Seq(("n:s", "n:p", "n:o", "n:g"))
+  }
+
   it should "reject a lone non-bracketed subject and undeclared prefixes" in {
     a[Turtle.ParseException] should be thrownBy p("@prefix : <n:> .\n:s .\n")
     a[Turtle.ParseException] should be thrownBy p("x:s x:p x:o .\n")
