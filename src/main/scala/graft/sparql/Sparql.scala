@@ -2580,6 +2580,19 @@ object Sparql {
       case other => other
     }
 
+  /** SUM(DISTINCT ?x) in the SPARQL §18.5.1 domain: Distinct removes
+    * duplicate RDF TERMS, then Sum adds their numeric values — so
+    * distinct lexical forms of one number ("1", "01") contribute
+    * separately, the SAME domain COUNT(DISTINCT) dedups. collect_set
+    * carries the per-group distinct term set (the exposure GROUP_CONCAT
+    * already accepts; grouped-aggregate cardinality, not the relation);
+    * non-numeric terms add 0, the engine's ignore-non-numerics cast
+    * convention for SUM.
+    */
+  private def sumDistinctTerms(term: Column): Column =
+    aggregate(collect_set(term), lit(0.0),
+      (acc, x) => acc + coalesce(x.cast("double"), lit(0.0)))
+
   /** An aggregate call appearing inside an expression -> Column. `*`
     * parses as the variable "*" (COUNT(*) only).
     */
@@ -2660,19 +2673,21 @@ object Sparql {
         (a.fn match {
           case "COUNT" if a.distinct => countDistinct(res(a.arg.get))
           case "COUNT" => count(a.arg.map(res).getOrElse(lit(1)))
-          case "SUM" if a.distinct => sum_distinct(res(a.arg.get).cast("double"))
+          case "SUM" if a.distinct => sumDistinctTerms(res(a.arg.get))
           case "SUM" => sum(res(a.arg.get).cast("double"))
           case "MIN" => min(res(a.arg.get))
           case "MAX" => max(res(a.arg.get))
           case "AVG" if a.distinct =>
-            // avg over the distinct value set (no avg_distinct builtin).
-            // Both legs dedup in the SAME domain — the numeric value —
-            // pairing with sum_distinct; COUNT(DISTINCT) alone keeps term
-            // dedup. Mixing value-dedup sum with term-dedup count gave a
-            // wrong average when distinct lexical forms denote one number
-            // ("1" vs "1.0").
-            sum_distinct(res(a.arg.get).cast("double")) /
-              countDistinct(res(a.arg.get).cast("double"))
+            // avg over the distinct TERM set (no avg_distinct builtin):
+            // ONE dedup domain — the RDF term — shared by COUNT, SUM and
+            // AVG per SPARQL §18.5.1 Distinct (it removes duplicate
+            // TERMS, so "1" and "01" are two members summing to 2, not
+            // one). The denominator counts the same distinct-numeric-term
+            // set the sum ranges over, keeping the engine's
+            // ignore-non-numeric cast convention consistent across legs.
+            sumDistinctTerms(res(a.arg.get)) /
+              countDistinct(when(res(a.arg.get).cast("double").isNotNull,
+                res(a.arg.get)))
           case "AVG" => avg(res(a.arg.get).cast("double"))
           case "GROUP_CONCAT" =>
             val items =

@@ -204,18 +204,30 @@ class SparqlSpec extends SparkSpec {
     res.head shouldBe ((8.0, 4.0, 13.0))
   }
 
-  it should "dedup SUM and AVG DISTINCT in the same value domain" in {
-    // "1" and "01" are distinct terms but the same number — both legs of
-    // AVG(DISTINCT) must dedup on the VALUE, or the average comes out
-    // wrong under any convention (sum sees one 1.0, count saw two terms)
-    val t = Seq(("a", "v", "1"), ("b", "v", "01"), ("c", "v", "2"))
+  it should "dedup COUNT, SUM and AVG DISTINCT in ONE domain: the RDF term (§18.5.1)" in {
+    // "1", "01" and "1.0" are THREE distinct terms denoting one number.
+    // SPARQL §18.5.1 Distinct removes duplicate TERMS, so all three
+    // aggregates see a 3-member set: COUNT=3, SUM=3, AVG=1 — mixing
+    // term-dedup COUNT with value-dedup SUM would give COUNT=3 / SUM=1.
+    val t = Seq(("a", "v", "1"), ("b", "v", "01"), ("c", "v", "1.0"),
+      ("d", "v", "01"))
       .toDF("s", "p", "o")
     val res = Sparql.execute(spark, t,
       """PREFIX : <>
-        |SELECT (SUM(DISTINCT ?o) AS ?s) (AVG(DISTINCT ?o) AS ?a)
+        |SELECT (COUNT(DISTINCT ?o) AS ?c) (SUM(DISTINCT ?o) AS ?s)
+        |  (AVG(DISTINCT ?o) AS ?a)
         |WHERE { ?x :v ?o }""".stripMargin)
-      .collect().map(r => (r.getDouble(0), r.getDouble(1)))
-    res.head shouldBe ((3.0, 1.5))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    res.head shouldBe ((3L, 3.0, 1.0))
+    // same query, encoded store: identical domain discipline
+    val store = graft.store.GraftStore.ingestTriples(spark, t)
+    val enc = graft.sparql.Sparql.executeEncoded(spark, store,
+      """PREFIX : <>
+        |SELECT (COUNT(DISTINCT ?o) AS ?c) (SUM(DISTINCT ?o) AS ?s)
+        |  (AVG(DISTINCT ?o) AS ?a)
+        |WHERE { ?x :v ?o }""".stripMargin)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    enc.head shouldBe ((3L, 3.0, 1.0))
   }
 
   it should "reject a lone non-bracket subject as a parse error" in {
