@@ -985,6 +985,21 @@ object SparkEntry {
       .orderBy("query_id", "rnk")
   }
 
+  /** IVF + RESIDUAL-PQ: the codebook trains on x − centroid(cell(x))
+    * (Jégou 2011 §IV — the canonical FAISS composition), queries rank by
+    * raw-query LUT + per-cell centroid offset, then exact-rerank. Same
+    * probes/rerank budget as [[annIvfPqQ]]; VectorSpec asserts recall@10
+    * ≥ the raw-codebook composition.
+    */
+  private def annIvfPqResQ(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.loadPar(s, d, "embeddings")
+    val (cent, cells) = GraftStore.ivfIndex(s, d)
+    val (cb, codes) = GraftStore.pqResIndex(s, d)
+    VectorOps.ivfPqSearchResidual(emb, cent, cells, cb, codes,
+        col("vec_id") < 8, topK = 5)
+      .orderBy("query_id", "rnk")
+  }
+
   /** LSH-bucketed ANN (sign random projections, single probe, top-3). */
   private def annLshQ(s: SparkSession, d: String): DataFrame =
     VectorOps.annLsh(Tables.loadPar(s, d, "embeddings"), col("vec_id") < 8, k = 3)
@@ -1156,6 +1171,54 @@ object SparkEntry {
     val tmp = java.nio.file.Files.createTempDirectory("graft_results_nq")
     graft.store.TripleStore.writeNQuads(both.coalesce(1), tmp.toString)
     sinkLines(s, tmp)
+  }
+
+  /** Turtle WRITER bytes pinned against an independent string replay:
+    * prefix compaction, `;` predicate-object grouping, typed-literal
+    * `^^xsd:` compaction and blank-label PN escaping all byte-hashed by
+    * the DuckDB oracle — the round-trip fuzz (TurtlePropertySpec) pins
+    * writer∘parser, this pins the writer ALONE, so a simultaneous
+    * writer+parser bug class can't survive.
+    */
+  private def resultsTtlQ(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val g = n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("name").as("p"),
+        concat(lit("\""), col("n_name"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#token>")).as("o"))
+      .unionByName(n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("regionkey").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o")))
+      .unionByName(s.range(1).select(
+        lit("_:doc:b1").as("s"), lit("note").as("p"), lit("\"x\"").as("o")))
+    val doc = graft.sparql.Results.toTurtle(g,
+      Map("n" -> "nation:", "r" -> "region:",
+        "xsd" -> "http://www.w3.org/2001/XMLSchema#"))
+    import s.implicits._
+    doc.split("\n", -1).toSeq.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+      .toDF("line_no", "line")
+  }
+
+  /** TriG WRITER bytes (default-graph stanzas + one named block),
+    * byte-hashed against the DuckDB string replay like [[resultsTtlQ]].
+    */
+  private def resultsTrigQ(s: SparkSession, d: String): DataFrame = {
+    val r = t(s, d, "region")
+    val quads = r.select(
+        concat(lit("region:"), col("r_regionkey")).as("s"),
+        lit("name").as("p"),
+        concat(lit("\""), col("r_name"), lit("\"")).as("o"),
+        lit(null).cast("string").as("g"))
+      .unionByName(r.select(
+        concat(lit("region:"), col("r_regionkey")).as("s"),
+        lit("touched").as("p"), lit("\"y\"").as("o"),
+        lit("graph:region").as("g")))
+    val doc = graft.sparql.Results.toTrig(quads, Map("r" -> "region:"))
+    import s.implicits._
+    doc.split("\n", -1).toSeq.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+      .toDF("line_no", "line")
   }
 
   // ---- SPARQL front-end (replaces the reference's Jena layer) ---------
@@ -1506,6 +1569,35 @@ object SparkEntry {
         |} ORDER BY ?g""".stripMargin)
   }
 
+  /** Per-graph LIMIT: a subquery with ORDER BY + LIMIT under `GRAPH ?g`
+    * slices PER ACTIVE GRAPH (§13.3 — the subquery evaluates once per
+    * graph) via a `row_number` window partitioned on the carried graph
+    * column: ONE shuffle on ?g, no graph enumeration, no global sort.
+    */
+  private def quadLimitQ(s: SparkSession, d: String): DataFrame = {
+    graft.sparql.Sparql.executeQuads(s, GraftStore.quadDataset(s, d),
+      """PREFIX : <>
+        |SELECT ?g ?s ?n WHERE {
+        |  GRAPH ?g {
+        |    { SELECT ?s ?n WHERE { ?s :name ?n } ORDER BY ?n ?s LIMIT 2 }
+        |  }
+        |} ORDER BY ?g ?n ?s""".stripMargin)
+  }
+
+  /** [[quadLimitQ]] over the ENCODED quad dataset — the window keys
+    * order on decoded term strings, everything below stays on long ids.
+    */
+  private def quadEncLimitQ(s: SparkSession, d: String): DataFrame = {
+    val (enc, dict) = GraftStore.quadDatasetEnc(s, d)
+    graft.sparql.Sparql.executeQuadsEncoded(s, enc, dict,
+      """PREFIX : <>
+        |SELECT ?g ?s ?n WHERE {
+        |  GRAPH ?g {
+        |    { SELECT ?s ?n WHERE { ?s :name ?n } ORDER BY ?n ?s LIMIT 2 }
+        |  }
+        |} ORDER BY ?g ?n ?s""".stripMargin)
+  }
+
   /** Closure under a VARIABLE graph: one all-graphs doubling fixpoint
     * with the graph column in the join key — per-graph transitive
     * closure without enumerating graphs.
@@ -1819,6 +1911,28 @@ object SparkEntry {
       col("r_name").as("o"))
     graft.sparql.Sparql.registerEndpoint(s, "graft://endpoints/region", ep)
     sparqlOver(s, d,
+      """PREFIX : <>
+        |SELECT ?n ?nm ?rn WHERE {
+        |  ?n a "Nation" ; :name ?nm ; :regionkey ?r .
+        |  SERVICE <graft://endpoints/region> { ?r :rname ?rn }
+        |  SERVICE SILENT <graft://endpoints/missing> { ?r :nope ?x }
+        |} ORDER BY ?n""".stripMargin)
+  }
+
+  /** The SAME federated query over the ENCODED store: the SERVICE block
+    * still evaluates on the string path (endpoint dictionaries are
+    * independent of the store's), and its bound vars are value-typed —
+    * co-occurring pattern vars demote to term strings at their sources,
+    * so the federated join compares one consistent domain while the
+    * pure-store joins below stay on long ids.
+    */
+  private def sparqlServiceEncQ(s: SparkSession, d: String): DataFrame = {
+    val ep = t(s, d, "region").select(
+      concat(lit("region:"), col("r_regionkey")).as("s"),
+      lit("rname").as("p"),
+      col("r_name").as("o"))
+    graft.sparql.Sparql.registerEndpoint(s, "graft://endpoints/region", ep)
+    sparqlEncOver(s, d,
       """PREFIX : <>
         |SELECT ?n ?nm ?rn WHERE {
         |  ?n a "Nation" ; :name ?nm ; :regionkey ?r .
@@ -2499,6 +2613,7 @@ object SparkEntry {
     "q_ann_pq_rerank" -> (annPqRerankQ _),
     "q_ann_binary" -> (annBinaryQ _),
     "q_ann_ivfpq" -> (annIvfPqQ _),
+    "q_ann_ivfpq_res" -> (annIvfPqResQ _),
     "q_media_meta" -> (mediaMeta _),
     "q_media_audio" -> (mediaAudio _),
     "q_media_video" -> (mediaVideo _),
@@ -2513,6 +2628,8 @@ object SparkEntry {
     "q_results_tsv" -> (resultsTsvQ _),
     "q_results_nt" -> (resultsNtQ _),
     "q_results_nq" -> (resultsNqQ _),
+    "q_results_ttl" -> (resultsTtlQ _),
+    "q_results_trig" -> (resultsTrigQ _),
     "q_asof_join" -> (asofJoinQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_sparql_chain" -> (sparqlChain _),
@@ -2543,6 +2660,7 @@ object SparkEntry {
     "q_trig_load" -> (trigLoadQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_service" -> (sparqlServiceQ _),
+    "q_sparql_service_enc" -> (sparqlServiceEncQ _),
     "q_sparql_cast" -> (sparqlCast _),
     "q_sparql_graph" -> (sparqlGraphQ _),
     "q_sparql_quad_update" -> (sparqlQuadUpdateQ _),
@@ -2554,6 +2672,8 @@ object SparkEntry {
     "q_quad_closure" -> (quadClosureQ _),
     "q_quad_enc_closure" -> (quadEncClosureQ _),
     "q_quad_subquery" -> (quadSubqueryQ _),
+    "q_quad_limit" -> (quadLimitQ _),
+    "q_quad_enc_limit" -> (quadEncLimitQ _),
     "q_quad_enc_algebra" -> (quadEncAlgebraQ _),
     "q_quad_const_algebra" -> (quadConstAlgebraQ _),
     "q_quad_construct" -> (quadConstructQ _),
@@ -2857,7 +2977,13 @@ object SparkEntry {
     * per-query integer-micro LUT joined to the codes and summed. Ends at
     * the `adc` CTE (query_id, neighbor_id, adcm); the two gates share it.
     */
-  private val pqOracleCtes: String = {
+  /** The deterministic PQ-TRAIN replay (2 rounds of per-subspace k-means,
+    * integer-micro means) over `src` (vec_id, embedding) — emits CTEs
+    * p, sv, c0..c2, d0/a0, d1/a1, a2; the trained codebook is c2 and the
+    * corpus assignment a2. Parameterized so the residual-IVFPQ oracle
+    * trains on the residual relation with the SAME arithmetic.
+    */
+  private def pqTrainCtes(src: String): String = {
     val iters = 2
     def assign(t: Int) =
       s"""d$t AS (SELECT s.vec_id, s.sub, s.sv, c.cluster,
@@ -2877,21 +3003,24 @@ object SparkEntry {
          |    GROUP BY 1, 2, 3) GROUP BY sub, cluster)""".stripMargin
     val body = (0 until iters).map(t => assign(t) + ",\n" + update(t))
       .mkString(",\n") + ",\n" + assign(iters)
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
-       |p AS (SELECT count(*) // 16 AS step FROM e),
+    s"""p AS (SELECT count(*) // 16 AS step FROM $src),
        |sv AS (SELECT vec_id, sub, embedding[(sub*4+1):(sub*4+4)] AS sv
-       |       FROM e, (SELECT unnest(range(0, 16)) AS sub) subs),
+       |       FROM $src, (SELECT unnest(range(0, 16)) AS sub) subs),
        |c0 AS (SELECT sub, (vec_id // p.step)::INT AS cluster, sv AS cv
        |       FROM sv, p WHERE vec_id % p.step = 0 AND vec_id < 16 * p.step),
-       |$body,
+       |$body""".stripMargin
+  }
+
+  private val pqOracleCtes: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |${pqTrainCtes("e")},
        |q AS (SELECT vec_id AS query_id, sub, sv AS qsv FROM sv WHERE vec_id < 8),
        |lut AS (SELECT query_id, c.sub, c.cluster,
        |    CAST(floor(${duckDot("qsv", "c.cv")} * 1e6 + 0.5) AS BIGINT) AS lutm
-       |  FROM q JOIN c$iters c USING (sub)),
+       |  FROM q JOIN c2 c USING (sub)),
        |adc AS (SELECT query_id, a.vec_id AS neighbor_id, sum(lutm) AS adcm
-       |  FROM a$iters a JOIN lut ON lut.sub = a.sub AND lut.cluster = a.cluster
+       |  FROM a2 a JOIN lut ON lut.sub = a.sub AND lut.cluster = a.cluster
        |  WHERE a.vec_id <> lut.query_id GROUP BY 1, 2)""".stripMargin
-  }
 
   private val pqOracleSql: String =
     s"""$pqOracleCtes
@@ -2912,6 +3041,69 @@ object SparkEntry {
        |    floor(${duckDot("qe.embedding", "ne.embedding")} * 1e6 + 0.5) / 1e6 AS ip
        |  FROM cand JOIN e qe ON qe.vec_id = cand.query_id
        |            JOIN e ne ON ne.vec_id = cand.neighbor_id)
+       |SELECT query_id, neighbor_id, ip, rnk FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY ip DESC, neighbor_id ASC) AS rnk FROM rr)
+       |WHERE rnk <= 5 ORDER BY query_id, rnk""".stripMargin
+
+  /** Residual-IVFPQ replay: IVF assignment, residual relation, PQ train
+    * on residuals (same CTE chain, src swapped), RAW-query LUT + scalar
+    * per-(query, cell) centroid offsets (ip(q, c + r̂) = ip(q, c) +
+    * ip(q, r̂)), ADC-rank to 50, exact rerank to 5.
+    */
+  private val ivfPqResOracleSql: String =
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+       |cent AS (SELECT vec_id AS cent_id, embedding AS cv FROM e
+       |        WHERE vec_id < (SELECT greatest(16, count(*) // 1024) FROM e)),
+       |isc AS (SELECT e.vec_id, cent_id, ${duckCos6("e.embedding", "cv")} AS cos
+       |       FROM e CROSS JOIN cent),
+       |asg AS (SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn FROM isc)
+       |  WHERE rn = 1),
+       |qasg AS (SELECT vec_id, cent_id AS cell FROM (
+       |    SELECT *, row_number() OVER (
+       |      PARTITION BY vec_id ORDER BY cos DESC, cent_id ASC) AS rn FROM isc
+       |    WHERE vec_id < 8)
+       |  WHERE rn <= 2),
+       |res AS (SELECT e.vec_id,
+       |    list_transform(range(1, len(e.embedding)+1),
+       |      i -> (e.embedding[i] - c.cv[i])::FLOAT) AS embedding
+       |  FROM e JOIN asg a ON a.vec_id = e.vec_id
+       |         JOIN cent c ON c.cent_id = a.cell),
+       |${pqTrainCtes("res")},
+       |qsv AS (SELECT vec_id AS query_id, sub,
+       |        embedding[(sub*4+1):(sub*4+4)] AS qsv
+       |     FROM e, (SELECT unnest(range(0, 16)) AS sub) s2 WHERE vec_id < 8),
+       |lut AS (SELECT query_id, c.sub, c.cluster,
+       |    CAST(floor(${duckDot("qsv", "c.cv")} * 1e6 + 0.5) AS BIGINT) AS lutm
+       |  FROM qsv JOIN c2 c USING (sub)),
+       |qoff AS (SELECT q.vec_id AS query_id, q.cell,
+       |    CAST(floor(${duckDot("qe.embedding", "c.cv")} * 1e6 + 0.5) AS BIGINT)
+       |      AS offm
+       |  FROM qasg q JOIN e qe ON qe.vec_id = q.vec_id
+       |       JOIN cent c ON c.cent_id = q.cell),
+       |cand AS (SELECT qasg.vec_id AS query_id, asg.vec_id AS neighbor_id,
+       |         asg.cell
+       |         FROM qasg JOIN asg ON asg.cell = qasg.cell
+       |         WHERE asg.vec_id <> qasg.vec_id),
+       |padc AS (SELECT c.query_id, c.neighbor_id, c.cell, sum(l.lutm) AS resm
+       |         FROM cand c JOIN a2 a ON a.vec_id = c.neighbor_id
+       |         JOIN lut l ON l.query_id = c.query_id AND l.sub = a.sub
+       |                   AND l.cluster = a.cluster
+       |         GROUP BY 1, 2, 3),
+       |cand50 AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT p2.query_id, p2.neighbor_id,
+       |      row_number() OVER (PARTITION BY p2.query_id
+       |        ORDER BY (p2.resm + o.offm) DESC, p2.neighbor_id ASC) AS rn
+       |    FROM padc p2 JOIN qoff o ON o.query_id = p2.query_id
+       |         AND o.cell = p2.cell)
+       |  WHERE rn <= 50),
+       |rr AS (SELECT query_id, neighbor_id,
+       |    floor(${duckDot("qe.embedding", "ne.embedding")} * 1e6 + 0.5) / 1e6
+       |      AS ip
+       |  FROM cand50 JOIN e qe ON qe.vec_id = cand50.query_id
+       |            JOIN e ne ON ne.vec_id = cand50.neighbor_id)
        |SELECT query_id, neighbor_id, ip, rnk FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY ip DESC, neighbor_id ASC) AS rnk FROM rr)
@@ -2951,6 +3143,27 @@ object SparkEntry {
       |  UNION ALL SELECT 'graph:part', count(*)*5 FROM part
       |  UNION ALL SELECT 'graph:region', count(*)*2 FROM region
       |) ORDER BY g""".stripMargin
+
+  /** Per-graph top-2 names (ties broken by subject) — the DuckDB replay
+    * of the `GRAPH ?g { { SELECT ... ORDER BY ... LIMIT 2 } }` slice.
+    */
+  private val quadLimitOracleSql: String =
+    """WITH t AS (
+      |  SELECT 'graph:region' AS g, 'region:' || r_regionkey AS s,
+      |         r_name AS n FROM region
+      |  UNION ALL SELECT 'graph:nation', 'nation:' || n_nationkey, n_name
+      |    FROM nation
+      |  UNION ALL SELECT 'graph:customer', 'customer:' || c_custkey, c_name
+      |    FROM customer
+      |  UNION ALL SELECT 'graph:supplier', 'supplier:' || s_suppkey, s_name
+      |    FROM supplier
+      |  UNION ALL SELECT 'graph:part', 'part:' || p_partkey, p_name
+      |    FROM part
+      |)
+      |SELECT g, s, n FROM (
+      |  SELECT *, row_number() OVER (PARTITION BY g ORDER BY n, s) AS rn
+      |  FROM t)
+      |WHERE rn <= 2 ORDER BY g, n, s""".stripMargin
 
   private val quadModifyOracleSql: String =
     """SELECT g, p, cnt FROM (
@@ -3859,6 +4072,8 @@ object SparkEntry {
         |  UNION ALL SELECT 'graph:supplier', count(*) FROM supplier WHERE s_name IS NOT NULL
         |  UNION ALL SELECT 'graph:part', count(*) FROM part WHERE p_name IS NOT NULL
         |) ORDER BY g""".stripMargin,
+    "q_quad_limit" -> quadLimitOracleSql,
+    "q_quad_enc_limit" -> quadLimitOracleSql,
     "q_sparql_values" ->
       """SELECT 'region:' || r_regionkey AS n, r_name AS nm FROM region
         |WHERE r_name IN ('ASIA', 'EUROPE') ORDER BY n""".stripMargin,
@@ -3869,6 +4084,10 @@ object SparkEntry {
         |FROM part ORDER BY p""".stripMargin,
     // SERVICE: the federated join is nation ⋈ region on the region key
     "q_sparql_service" ->
+      """SELECT 'nation:' || n_nationkey AS n, n_name AS nm, r_name AS rn
+        |FROM nation JOIN region ON r_regionkey = n_regionkey
+        |ORDER BY n""".stripMargin,
+    "q_sparql_service_enc" ->
       """SELECT 'nation:' || n_nationkey AS n, n_name AS nm, r_name AS rn
         |FROM nation JOIN region ON r_regionkey = n_regionkey
         |ORDER BY n""".stripMargin,
@@ -4252,6 +4471,38 @@ object SparkEntry {
         |       '<' || s || '> <name> <' || o || '> .' AS line
         |FROM (SELECT 'region:' || r_regionkey AS s, r_name AS o FROM region)
         |ORDER BY line_no""".stripMargin,
+    "q_results_ttl" ->
+      """WITH t AS (SELECT 'nation:' || n_nationkey AS s, n_name AS nm,
+        |                  n_regionkey AS rk FROM nation),
+        |o AS (SELECT t.*, row_number() OVER (ORDER BY s) AS rn FROM t),
+        |lines AS (
+        |  SELECT 1 AS ord, '@prefix n: <nation:> .' AS line
+        |  UNION ALL SELECT 2, '@prefix r: <region:> .'
+        |  UNION ALL SELECT 3, '@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .'
+        |  UNION ALL SELECT 4, '_:doc_cb1 <note> "x" .'
+        |  UNION ALL SELECT 3 + 2*rn,
+        |    'n:' || substr(s, 8) || ' <name> "' || nm || '"^^xsd:token ;'
+        |    FROM o
+        |  UNION ALL SELECT 4 + 2*rn, '  <regionkey> r:' || rk || ' .' FROM o
+        |)
+        |SELECT row_number() OVER (ORDER BY ord) AS line_no, line
+        |FROM lines ORDER BY line_no""".stripMargin,
+    "q_results_trig" ->
+      """WITH t AS (SELECT 'region:' || r_regionkey AS s, r_name AS nm
+        |           FROM region),
+        |o AS (SELECT t.*, row_number() OVER (ORDER BY s) AS rn,
+        |             count(*) OVER () AS n FROM t),
+        |lines AS (
+        |  SELECT 1 AS ord, '@prefix r: <region:> .' AS line
+        |  UNION ALL SELECT 1 + rn,
+        |    'r:' || substr(s, 8) || ' <name> "' || nm || '" .' FROM o
+        |  UNION ALL SELECT 2 + n, '<graph:region> {' FROM o WHERE rn = 1
+        |  UNION ALL SELECT 2 + n + rn,
+        |    '  r:' || substr(s, 8) || ' <touched> "y" .' FROM o
+        |  UNION ALL SELECT 3 + 2*n, '}' FROM o WHERE rn = 1
+        |)
+        |SELECT row_number() OVER (ORDER BY ord) AS line_no, line
+        |FROM lines ORDER BY line_no""".stripMargin,
     "q_media_frames" ->
       """SELECT doc_id, k AS frame_no,
         |  hex(encode(substring(text, CAST(1 + k*32 AS INT), 16))) AS frame_hex
@@ -4819,6 +5070,7 @@ object SparkEntry {
     "q_ann_pq" -> pqOracleSql,
     "q_ann_pq_rerank" -> pqRerankOracleSql,
     "q_ann_ivfpq" -> ivfPqOracleSql,
+    "q_ann_ivfpq_res" -> ivfPqResOracleSql,
     // binary-signature replay: two 32-bit sign words per vector (a
     // 64-bit shift overflows DuckDB's BIGINT shift), Hamming top-100,
     // exact inner-product re-rank

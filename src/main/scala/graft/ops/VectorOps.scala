@@ -707,6 +707,92 @@ object VectorOps {
     exactRerank(emb, adcCand, queryPred, topK)
   }
 
+  /** Residual relation x − centroid(cell(x)) — what IVF leaves for PQ to
+    * encode (Jégou et al. 2011 §IV: quantize the residual, not the raw
+    * vector; residual energy is much smaller than vector energy, so the
+    * same code budget spends on a tighter domain). One broadcast of the
+    * (small) centroid table against the corpus; float subtraction, the
+    * same arithmetic the DuckDB replay performs.
+    */
+  def residuals(emb: DataFrame, cent: DataFrame, cells: DataFrame): DataFrame =
+    emb.join(cells, Seq("vec_id"))
+      .join(broadcast(cent.select(col("cent_id").as("cell"), col("cv"))),
+        Seq("cell"))
+      .select(col("vec_id"),
+        zip_with(col("embedding"), col("cv"),
+          (x, c) => (x - c).cast("float")).as("embedding"))
+
+  /** PQ codebook trained on IVF RESIDUALS — the canonical FAISS IVFPQ
+    * composition. Same deterministic k-means as [[pqTrain]], over the
+    * residual relation.
+    */
+  def pqTrainResidual(emb: DataFrame, cent: DataFrame, cells: DataFrame,
+                      m: Int = 16, k: Int = 16, iters: Int = 2)
+      : Seq[(Int, Int, Seq[Float])] =
+    pqTrain(residuals(emb, cent, cells), m, k, iters)
+
+  /** Corpus codes against a RESIDUAL codebook. */
+  def pqEncodeResidual(emb: DataFrame, cent: DataFrame, cells: DataFrame,
+                       codebook: Seq[(Int, Int, Seq[Float])]): DataFrame =
+    pqEncode(residuals(emb, cent, cells), codebook)
+
+  /** IVF + residual-PQ search. The inner-product metric collapses the
+    * per-(query, probed-cell) LUTs of the L2 formulation to ONE
+    * cell-independent LUT plus a scalar offset:
+    * ip(q, c + r̂) = ip(q, c) + ip(q, r̂) — the LUT is the RAW query
+    * subvectors against the residual codebook, and each (query, cell)
+    * pair contributes a single centroid inner-product offset (a
+    * |Q|·probes-row broadcast). Approximation error is the residual
+    * quantization error alone — strictly tighter than raw-vector PQ
+    * under IVF at the same code budget. Output: (query_id, neighbor_id,
+    * ip, rnk), exact-reranked like [[ivfPqSearch]].
+    */
+  def ivfPqSearchResidual(emb: DataFrame, cent: DataFrame, cells: DataFrame,
+                          codebook: Seq[(Int, Int, Seq[Float])],
+                          codes: DataFrame, queryPred: Column, topK: Int,
+                          probes: Int = 2, rerank: Int = 50): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val subDim = codebook.head._3.length
+    val m = codebook.map(_._1).max + 1
+    val qCells = ivfAssign(emb.where(queryPred), cent, probes)
+      .select(col("vec_id").as("query_id"), col("cell"))
+    // per-(query, probed cell) centroid offset, integer micros
+    val qOff = qCells
+      .join(broadcast(cent.select(col("cent_id").as("cell"), col("cv"))),
+        Seq("cell"))
+      .join(emb.where(queryPred)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+        Seq("query_id"))
+      .select(col("query_id"), col("cell"),
+        floor(dotD(col("qv"), col("cv")) * 1e6 + 0.5).cast("long").as("offm"))
+    val cand = qCells
+      .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+        Seq("cell"))
+      .where(col("neighbor_id") =!= col("query_id"))
+      .select(col("query_id"), col("neighbor_id"), col("cell"))
+    val cdf = codebook.toDF("sub", "cluster", "cv")
+    val lut = subVectors(emb.where(queryPred), m, subDim)
+      .withColumnRenamed("vec_id", "query_id")
+      .join(cdf, Seq("sub"))
+      .select(col("query_id"), col("sub"), col("cluster").as("code"),
+        floor(dotD(col("sv"), col("cv")) * 1e6 + 0.5).cast("long").as("lutm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adcm").desc, col("neighbor_id").asc)
+    val adcCand = cand
+      .join(codes.withColumnRenamed("vec_id", "neighbor_id"),
+        Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("neighbor_id"), col("cell"))
+      .agg(sum(col("lutm")).as("resm"))
+      .join(broadcast(qOff), Seq("query_id", "cell"))
+      .select(col("query_id"), col("neighbor_id"),
+        (col("resm") + col("offm")).as("adcm"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= rerank)
+    exactRerank(emb, adcCand, queryPred, topK)
+  }
+
   // ------------------------------------------------------------ binary ANN
 
   /** One 32-bit sign word of the embedding: bit i set iff

@@ -142,6 +142,14 @@ object Sparql {
     */
   final case class ExistsE(g: Group) extends Expr
   final case class MarkerE(name: String) extends Expr
+  /** Encoded-mode rewrites of PURE TERM-EQUALITY predicates (`=`, `IN`,
+    * `sameTerm` against string constants / between id vars): the
+    * dictionary is a bijection, so term equality ⟺ id equality, and the
+    * predicate runs on the raw long column with NO decode join. Never
+    * produced by the parser — [[encTermEqRewrite]] emits them.
+    */
+  final case class IdEq(v: String, ids: Seq[Long]) extends Expr
+  final case class IdEqVar(a: String, b: String) extends Expr
 
   // ---------- Tokenizer ----------
   private sealed trait Tok
@@ -1851,6 +1859,8 @@ object Sparql {
       case Cmp(l, op, r) => Cmp(rwV(l), op, rwV(r))
       case BFn(fn, args) => BFn(fn, args.map(rwV))
       case m: MarkerE => m
+      case i: IdEq => i
+      case i: IdEqVar => i
     }
     def rwV(e: EExpr): EExpr = e match {
       case EIf(c, t, f) => EIf(rw(c), rwV(t), rwV(f))
@@ -1860,9 +1870,63 @@ object Sparql {
     }
   }
 
+  /** Encoded mode: rewrite pure TERM-equality predicates on id-typed vars
+    * into id-space predicates. Term equality ⟺ id equality (the
+    * dictionary is a bijection; a constant absent from the store hashes
+    * to an id that matches nothing — also correct), so `?p IN ("a","b")`,
+    * `?x = "c"`, `?x != "c"` and `sameTerm` never need the decode join —
+    * at scale that removes a |relation| ⋈ |dict| join per filter.
+    * Conservative: only all-string-constant argument lists (a numeric
+    * literal switches `=` to VALUE comparison, which is not term
+    * equality), only LongType non-plain vars, and never for constants
+    * that could collide with the `_:<id>` rendering of dictionary-absent
+    * ids.
+    */
+  private def encTermEqRewrite(env: Env, df: DataFrame, f: Expr): Expr =
+    env.enc match {
+      case None => f
+      case Some(e) =>
+        def idTyped(v: String): Boolean =
+          df.columns.contains(v) && !e.plainVars.contains(v) &&
+            !v.startsWith("__") &&
+            df.schema(v).dataType == org.apache.spark.sql.types.LongType
+        def constOf(x: EExpr): Option[String] = x match {
+          case EStrL(s) if !s.startsWith("_:") => Some(s)
+          case _ => None
+        }
+        def h(s: String): Long = graft.dict.Dictionary.termHashLocal(s)
+        def rw(x: Expr): Expr = x match {
+          case And(l, r) => And(rw(l), rw(r))
+          case Or(l, r) => Or(rw(l), rw(r))
+          case Not(y) => Not(rw(y))
+          case BFn("IN", EVar(v) +: rest)
+              if idTyped(v) && rest.nonEmpty &&
+                rest.forall(constOf(_).isDefined) =>
+            IdEq(v, rest.map(c => h(constOf(c).get)))
+          case BFn("SAMETERM", Seq(EVar(a), EVar(b)))
+              if idTyped(a) && idTyped(b) => IdEqVar(a, b)
+          case BFn("SAMETERM", Seq(EVar(v), c))
+              if idTyped(v) && constOf(c).isDefined =>
+            IdEq(v, Seq(h(constOf(c).get)))
+          case BFn("SAMETERM", Seq(c, EVar(v)))
+              if idTyped(v) && constOf(c).isDefined =>
+            IdEq(v, Seq(h(constOf(c).get)))
+          case Cmp(EVar(v), "=", c) if idTyped(v) && constOf(c).isDefined =>
+            IdEq(v, Seq(h(constOf(c).get)))
+          case Cmp(c, "=", EVar(v)) if idTyped(v) && constOf(c).isDefined =>
+            IdEq(v, Seq(h(constOf(c).get)))
+          case Cmp(EVar(v), "!=", c) if idTyped(v) && constOf(c).isDefined =>
+            Not(IdEq(v, Seq(h(constOf(c).get))))
+          case Cmp(c, "!=", EVar(v)) if idTyped(v) && constOf(c).isDefined =>
+            Not(IdEq(v, Seq(h(constOf(c).get))))
+          case other => other
+        }
+        rw(f)
+    }
+
   private def applyFilter(env: Env, df: DataFrame, f: Expr): DataFrame = {
     val x = new ExistsRewriter(env, df)
-    val f2 = x.rw(f)
+    val f2 = encTermEqRewrite(env, x.df, x.rw(f))
     val (d, res, shadows) = withDecoded(env, x.df, exprVars(f2))
     d.where(compileExprWith(f2, res)).drop(shadows: _*).drop(x.flags: _*)
   }
@@ -1924,9 +1988,10 @@ object Sparql {
       else {
         // decode joins re-append columns -> restore projection order
         val order = df.columns.toSeq
-        graft.dict.Dictionary.decodeAll(
-          df.localCheckpoint(true), env.dictAll, cols)
-          .select(order.map(col): _*)
+        val pinned = graft.Prof.t("decodeFinal.pin")(df.localCheckpoint(true))
+        graft.Prof.t("decodeFinal.join")(graft.dict.Dictionary.decodeAll(
+          pinned, env.dictAll, cols)
+          .select(order.map(col): _*))
       }
   }
 
@@ -2019,7 +2084,7 @@ object Sparql {
 
   private def plainVarsOfG(g: Group): Set[String] =
     g.binds.map(_._2).toSet ++ childGroups(g).flatMap(plainVarsOfG) ++
-      g.subqueries.flatMap(plainVarsOf)
+      g.subqueries.flatMap(plainVarsOf) ++ serviceBoundVars(g)
 
   private def patternVarsOfG(g: Group): Set[String] =
     g.triples.flatMap(_.vars).toSet ++
@@ -2027,6 +2092,21 @@ object Sparql {
       g.values.map(_._1) ++ g.valuesMulti.flatMap(_._1) ++
       childGroups(g).flatMap(patternVarsOfG) ++
       g.subqueries.flatMap(sq => patternVarsOfG(sq.group))
+
+  /** Vars bound inside SERVICE blocks anywhere in the tree. On the
+    * encoded path these are VALUE-typed (the endpoint's dictionary is
+    * independent of the store's, so its block compiles on the string
+    * path and yields term strings) — adding them to `plainVars` makes
+    * every pattern-machinery co-occurrence demote to term strings, which
+    * is exactly the existing contaminated-var discipline for BIND
+    * targets and aliases.
+    */
+  private def serviceBoundVars(g: Group): Set[String] =
+    g.services.flatMap { case (_, inner, _) =>
+      patternVarsOfG(inner) ++ plainVarsOfG(inner) ++ serviceBoundVars(inner)
+    }.toSet ++
+      childGroups(g).flatMap(serviceBoundVars) ++
+      g.subqueries.flatMap(sq => serviceBoundVars(sq.group))
 
   /** Full SPARQL lifecycle over the ENCODED store — the reference's
     * execution model end-to-end (`GraphulaStageGenerator.scala:33-131`,
@@ -2623,7 +2703,7 @@ object Sparql {
         case other => other
       },
       having = qRaw.having.map(extractAggsB(_, exprAggs)))
-    var df = compileGroup(env, q.group)
+    var df = graft.Prof.t("compileQuery.group")(compileGroup(env, q.group))
     val aggs = q.projection.collect { case a: PAgg => a }
     // Sort keys materialize BEFORE projection (ARQ's OrderBy-then-Project
     // algebra position: keys may use non-projected vars and arbitrary
@@ -2631,7 +2711,19 @@ object Sparql {
     // sorted LAST — after the final decode, whose joins would not
     // preserve a pre-existing sort. Under DISTINCT the spec restricts
     // keys to projected vars, so that path sorts post-distinct directly.
-    val shadowSort = q.orderBy.nonEmpty && !q.distinct
+    // Sort keys that are all PROJECTED variables survive projection with
+    // their values intact, so they sort directly on the (decoded) output
+    // columns — same machinery as the DISTINCT path. That skips the __sk
+    // shadow decode (a |result| ⋈ |dict| join per key) that general keys
+    // (expressions / non-projected vars) still need.
+    val projectedVars: Set[String] = q.projection.collect {
+      case PVar(v) => v
+      case a: PAgg => a.alias
+      case PExpr(_, alias) => alias
+    }.toSet
+    val simpleKeys = q.orderBy.nonEmpty &&
+      q.orderBy.forall { case (OVar(v), _) => projectedVars(v); case _ => false }
+    val shadowSort = q.orderBy.nonEmpty && !q.distinct && !simpleKeys
     def withSortKeys(d: DataFrame): DataFrame =
       if (!shadowSort) d
       else {
@@ -2840,13 +2932,13 @@ object Sparql {
     // against the REGISTERED endpoint relation, then join on shared vars
     // — federation over co-resident datasets is just another join, with
     // no per-solution endpoint round-trips (the bound-join pathology of
-    // HTTP federation). Endpoint dictionaries are independent, so this
-    // runs on the string path; the encoded path rejects with a pointer.
+    // HTTP federation). Endpoint dictionaries are independent of the
+    // store's, so the block ALWAYS compiles on the string path; under an
+    // ENCODED env the bridge is the plainVars discipline — every
+    // SERVICE-bound var is registered value-typed (`serviceBoundVars`),
+    // so co-occurring pattern vars demote to term strings and the
+    // federated join compares one consistent domain.
     g.services.foreach { case (iri, inner, silent) =>
-      require(env.enc.isEmpty,
-        "SERVICE is supported on the string path (Sparql.execute / " +
-          "executeQuads) — endpoint dictionaries are independent of the " +
-          "store's")
       lookupEndpoint(env.spark, iri) match {
         case Some(remote) =>
           joinIn(compileGroup(stringEnv(env.spark, remote, Map.empty), inner))
@@ -3049,9 +3141,6 @@ object Sparql {
         // — aggregation, HAVING, and DISTINCT then run per graph through
         // the ONE standard query compiler, no duplicated algebra.
         inner.subqueries.foreach { sq =>
-          require(sq.limit.isEmpty && sq.offset.isEmpty,
-            "LIMIT/OFFSET inside a variable-GRAPH subquery would apply " +
-              "globally, not per active graph — use a constant graph target")
           def hasAgg(e: EExpr): Boolean = e match {
             case ECall(fn, args) => aggFns.contains(fn) || args.exists(hasAgg)
             case EBin(l, _, r) => hasAgg(l) || hasAgg(r)
@@ -3074,7 +3163,42 @@ object Sparql {
             groupBy =
               if (aggregating && !sq.groupBy.contains(gv)) sq.groupBy :+ gv
               else sq.groupBy)
-          joinIn(compileQuery(env, wrapped))
+          if (sq.limit.isEmpty && sq.offset.isEmpty)
+            joinIn(compileQuery(env, wrapped))
+          else {
+            // LIMIT/OFFSET under GRAPH ?g slice PER ACTIVE GRAPH (§13.3:
+            // the subquery evaluates once per graph): a `row_number`
+            // window partitioned by the graph var, ordered by the
+            // subquery's keys on decoded TERM strings — ONE shuffle on
+            // the graph column, no per-graph enumeration, no global
+            // sort. A keyless LIMIT orders by all projected columns for
+            // a deterministic slice (SPARQL leaves the choice open).
+            val keys: Seq[(String, Boolean)] = sq.orderBy.map {
+              case (OVar(v), asc) => (v, asc)
+              case (OExpr(_), _) => throw new IllegalArgumentException(
+                "ORDER BY expressions with LIMIT under a variable GRAPH " +
+                  "target are not supported — alias the expression in " +
+                  "the subquery's SELECT and order by the alias")
+            }
+            val base = compileQuery(env,
+              wrapped.copy(orderBy = Seq.empty, limit = None, offset = None))
+            val effKeys =
+              if (keys.nonEmpty) keys
+              else base.columns.filterNot(_ == gv).sorted.map((_, true)).toSeq
+            val (d, res, shadows) =
+              withDecoded(env, base, effKeys.map(_._1).toSet)
+            val w = org.apache.spark.sql.expressions.Window
+              .partitionBy(col(gv))
+              .orderBy(effKeys.map { case (v, asc) =>
+                if (asc) res(v).asc else res(v).desc }: _*)
+            val lo = sq.offset.getOrElse(0)
+            val hi = sq.limit.map(l => lo.toLong + l)
+            val ranked = d.withColumn("__pgrn", row_number().over(w))
+              .where(col("__pgrn") > lo &&
+                hi.map(col("__pgrn") <= _).getOrElse(lit(true)))
+              .drop("__pgrn").drop(shadows: _*)
+            joinIn(ranked)
+          }
         }
         // nested GRAPH re-scopes to ITS target over the dataset's named
         // graphs, independent of the enclosing active graph (§13.3) —
@@ -3227,10 +3351,12 @@ object Sparql {
       q.group.copy(valuesMulti = q.group.valuesMulti :+ pv))
     val consts =
       (groupConsts(gConsts) ++ q.fromGraphs ++ q.fromNamed).toSeq.sorted
-    val ids = Dictionary.hashLiterals(spark, consts)
+    val ids = graft.Prof.t("quadsEnc.hashLiterals")(
+      Dictionary.hashLiterals(spark, consts))
     val probeSet =
       (pathEndpointConsts(gConsts) ++ inlineValueConsts(gConsts)).toSeq.sorted
-    val present = Dictionary.lookup(dict, probeSet)
+    val present = graft.Prof.t("quadsEnc.constProbe")(
+      Dictionary.lookup(dict, probeSet))
     val localDict = probeSet.filterNot(present.contains).map(c => ids(c) -> c)
     val explicitDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
     val fromG = q.fromGraphs.map(ids)
@@ -3245,7 +3371,7 @@ object Sparql {
       else encQuads.where(col("g").isin(fromN: _*))
     val env = Env(spark, defaultG, Map.empty, 1000000L,
       Some(EncEnv(dict, ids, localDict, plain)), quads = Some(named))
-    compileQuery(env, q, top = true)
+    graft.Prof.t("quadsEnc.compileQuery")(compileQuery(env, q, top = true))
   }
 
   /** ASK over a quad dataset — GRAPH blocks and dataset clauses apply. */
@@ -3710,12 +3836,62 @@ object Sparql {
     import spark.implicits._
     def hid(t: String): Long = Dictionary.termHashLocal(t)
     var d = dict
+    val opsV = ops.result()
+    /** Constants an insert template writes (they enter the dictionary). */
+    def templateConsts(t: Group, withG: Option[String]): Seq[String] = {
+      def ofTriples(tps: Seq[TriplePattern]): Seq[String] =
+        tps.flatMap(tp => Seq(tp.s, tp.p, tp.o).collect { case C(c) => c.toString })
+      ofTriples(t.triples) ++ withG.toSeq ++
+        t.graphs.flatMap { case (gt, inner) =>
+          (gt match { case C(c) => Seq(c.toString); case _ => Seq.empty }) ++
+            ofTriples(inner.triples)
+        }
+    }
+    // SCRIPT-WIDE constant pre-probe: every term any op can introduce is
+    // a parse-time constant (ground quads, insert-template constants,
+    // MOVE targets — solution-derived inserts instantiate from id-typed
+    // pattern positions and never extend the dictionary), so ONE
+    // dictionary job answers presence + hash-claim safety for the whole
+    // script and the per-op extension becomes a driver-side set update.
+    // A LOAD op disables the shortcut: loaded terms enter the dictionary
+    // mid-script, and a later constant could clash with one of them —
+    // the per-op probe sees that, a start-of-script probe cannot.
+    val hasLoad = opsV.exists { case _: QLoad => true; case _ => false }
+    val scriptConsts: Set[String] =
+      if (hasLoad) Set.empty
+      else opsV.flatMap {
+        case QGround(true, rows) =>
+          rows.flatMap { case (s, pr, o, g) => Seq(s, pr, o) ++ g.toSeq }
+        case QModify(withG, _, ins, _) =>
+          ins.toSeq.flatMap(t => templateConsts(t, withG))
+        case QMove(_, _, to) => to.toSeq
+        case _ => Seq.empty
+      }.toSet
+    val knownPresent: scala.collection.mutable.Set[String] =
+      if (scriptConsts.isEmpty) scala.collection.mutable.Set.empty
+      else {
+        val (present, clash) = graft.Prof.t("quadsEnc.preProbe")(
+          Dictionary.probeClaims(spark, d, scriptConsts.toSeq.sorted))
+        require(!clash,
+          "xxhash64 collision between a new term and an existing one — " +
+            "use the string path (Sparql.updateQuads) for this batch")
+        scala.collection.mutable.Set(present.toSeq: _*)
+      }
     /** Driver-side dictionary extension for a bounded constant set. */
     def extendDictLocal(terms: Seq[String]): Unit = {
       val uniq = terms.distinct
-      if (uniq.nonEmpty) {
-        val present = Dictionary.lookup(d, uniq)
-        val fresh = uniq.filterNot(present.contains).map(t => (hid(t), t))
+      val (covered, uncovered) =
+        if (hasLoad) (Seq.empty[String], uniq)
+        else uniq.partition(scriptConsts.contains)
+      val freshCovered = covered.filterNot(knownPresent)
+      if (freshCovered.nonEmpty) {
+        // claim-safety came from the script-wide pre-probe; no job here
+        d = d.unionByName(freshCovered.map(t => (hid(t), t)).toDF("id", "term"))
+        knownPresent ++= freshCovered
+      }
+      if (uncovered.nonEmpty) {
+        val present = Dictionary.lookup(d, uncovered)
+        val fresh = uncovered.filterNot(present.contains).map(t => (hid(t), t))
         if (fresh.nonEmpty) {
           val clash = d.where(col("id").isin(fresh.map(_._1): _*)).limit(1)
           require(clash.isEmpty,
@@ -3767,16 +3943,6 @@ object Sparql {
     def pinSmall(df: DataFrame): DataFrame = { pinned = true; pins.pin(df) }
     val maxBroadcastDelta =
       spark.conf.get("spark.graft.update.broadcastMax", "1000000").toLong
-    /** Constants an insert template writes (they enter the dictionary). */
-    def templateTerms(t: Group, withG: Option[String]): Seq[String] = {
-      def ofTriples(tps: Seq[TriplePattern]): Seq[String] =
-        tps.flatMap(tp => Seq(tp.s, tp.p, tp.o).collect { case C(c) => c.toString })
-      ofTriples(t.triples) ++ withG.toSeq ++
-        t.graphs.flatMap { case (gt, inner) =>
-          (gt match { case C(c) => Seq(c.toString); case _ => Seq.empty }) ++
-            ofTriples(inner.triples)
-        }
-    }
     def applyOp(q: DataFrame, op: QuadOp): DataFrame = op match {
       case QNop => q
       case QGround(true, rows) =>
@@ -3821,7 +3987,7 @@ object Sparql {
               "encoded path instantiates from pattern positions only; " +
               "use Sparql.updateQuads for this script")
         }
-        ins.foreach(t => extendDictLocal(templateTerms(t, withG)))
+        ins.foreach(t => extendDictLocal(templateConsts(t, withG)))
         val small = sols.count() <= maxBroadcastDelta
         def inst(t: Group): DataFrame = {
           def termCol(x: Term): Column = x match {
@@ -3918,8 +4084,9 @@ object Sparql {
         val fresh = pinSmall(minus(encTarget, q, smallRight = false))
         unionQ(q, fresh)
     }
-    val result = ops.result().foldLeft(encQuads)(applyOp)
-    (if (pinned) pins.seal(result) else result, d)
+    val result = opsV.foldLeft(encQuads)((q, op) =>
+      graft.Prof.t(s"quadsEnc.op:${op.getClass.getSimpleName}")(applyOp(q, op)))
+    (graft.Prof.t("quadsEnc.seal")(if (pinned) pins.seal(result) else result), d)
   }
 
   /** Join an inline DataBlock relation into a solution frame: all-bound
@@ -4405,6 +4572,9 @@ object Sparql {
     // markers are boolean columns, likewise decode-free
     case ExistsE(_) => Set.empty
     case MarkerE(_) => Set.empty
+    // id-space predicates run on the raw long columns — decode-free
+    case IdEq(_, _) => Set.empty
+    case IdEqVar(_, _) => Set.empty
   }
 
   private def compileVal(e: EExpr, resolve: String => Column = col(_)): Column = e match {
@@ -4564,6 +4734,10 @@ object Sparql {
     case Or(l, r) => compileExprWith(l, resolve) || compileExprWith(r, resolve)
     case Not(x) => !compileExprWith(x, resolve)
     case MarkerE(n) => coalesce(col(n), lit(false))
+    // raw id columns deliberately (NOT resolve: a sibling predicate may
+    // have decoded the same var to its __str shadow)
+    case IdEq(v, ids) => col(v).isin(ids: _*)
+    case IdEqVar(a, b) => col(a) === col(b)
     case ExistsE(_) => throw new IllegalArgumentException(
       "EXISTS is supported in FILTER and BIND expressions (materialized " +
         "positions), not here — bind it to a variable first")

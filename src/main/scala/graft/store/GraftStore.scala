@@ -998,6 +998,26 @@ object GraftStore {
     })).value
   }
 
+  private val pqResCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Lazily[(Seq[(Int, Int, Seq[Float])], DataFrame)]]
+
+  /** RESIDUAL product-quantization index (codebook trained on
+    * x − centroid(cell(x)), codes likewise) — the IVFPQ composition's
+    * native artifact pair, materialized once per (session, dir) against
+    * the same IVF index `ivfPqSearchResidual` probes with.
+    */
+  def pqResIndex(spark: SparkSession, sfDir: String)
+      : (Seq[(Int, Int, Seq[Float])], DataFrame) = {
+    evictStopped()
+    pqResCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val emb = graft.Tables.loadPar(spark, sfDir, "embeddings")
+      val (cent, cells) = ivfIndex(spark, sfDir)
+      val cb = graft.ops.VectorOps.pqTrainResidual(emb, cent, cells)
+      (cb, graft.Pins.checkpoint(
+        graft.ops.VectorOps.pqEncodeResidual(emb, cent, cells, cb)))
+    })).value
+  }
+
   private val binCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Lazily[DataFrame]]
 

@@ -116,17 +116,41 @@ class FederationSpec extends SparkSpec {
     e.getMessage.toLowerCase should include("endpoint")
   }
 
-  it should "reject SERVICE on the encoded path with a pointer to execute" in {
+  it should "match the string path on the ENCODED store (plainVars bridge)" in {
     val st = GraftStore.ingestTriples(spark, local)
     Sparql.registerEndpoint(spark, "graft://orgs", remote)
-    val e = intercept[IllegalArgumentException] {
-      Sparql.executeEncoded(spark, st,
-        """PREFIX : <>
-          |SELECT ?p ?l WHERE {
-          |  ?p :worksAt ?o .
-          |  SERVICE <graft://orgs> { ?o :label ?l }
-          |}""".stripMargin).collect()
-    }
-    e.getMessage should include("string path")
+    val q =
+      """PREFIX : <>
+        |SELECT ?p ?l ?c WHERE {
+        |  ?p :worksAt ?o .
+        |  SERVICE <graft://orgs> {
+        |    ?o :label ?l
+        |    OPTIONAL { ?o :city ?c }
+        |  }
+        |  SERVICE SILENT <graft://nowhere> { ?o :nope ?x }
+        |} ORDER BY ?p""".stripMargin
+    val viaString = run(q)
+    val viaEncoded = Sparql.executeEncoded(spark, st, q).collect()
+      .map(r => (0 until r.length).map(i =>
+        if (r.isNullAt(i)) null else r.getString(i))).toSeq
+    viaEncoded shouldBe viaString
+    viaEncoded.nonEmpty shouldBe true
+  }
+
+  it should "join SERVICE vars against the store's own terms when shared (encoded)" in {
+    // ?o also surfaces in the projection: the var is SERVICE-bound AND
+    // pattern-bound -> demoted at the pattern source, projected as a term
+    val st = GraftStore.ingestTriples(spark, local)
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    val q =
+      """PREFIX : <>
+        |SELECT ?p ?o ?l WHERE {
+        |  ?p :worksAt ?o .
+        |  SERVICE <graft://orgs> { ?o :label ?l }
+        |} ORDER BY ?p""".stripMargin
+    val viaEncoded = Sparql.executeEncoded(spark, st, q).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    viaEncoded shouldBe Array(
+      ("p1", "org1", "\"Acme\""), ("p2", "org2", "\"Globex\""))
   }
 }

@@ -418,12 +418,29 @@ class QuadsSpec extends SparkSpec {
       Set(Seq("g1", "a", "b"), Seq("g2", "b", "b"))
   }
 
-  it should "reject per-graph LIMIT inside a variable-GRAPH subquery" in {
-    an[IllegalArgumentException] should be thrownBy
-      run("""PREFIX : <>
-            |SELECT ?g ?s WHERE {
-            |  GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } LIMIT 1 } }
-            |}""".stripMargin)
+  it should "slice LIMIT/OFFSET per active graph in a variable-GRAPH subquery" in {
+    // g1 holds {a p 1}, g2 holds {b p 1, a p 9}: LIMIT 1 ordered by ?o ?s
+    // keeps the smallest (o, s) row of EACH graph — not one global row
+    run("""PREFIX : <>
+          |SELECT ?g ?s ?o WHERE {
+          |  GRAPH ?g {
+          |    { SELECT ?s ?o WHERE { ?s :p ?o } ORDER BY ?o ?s LIMIT 1 }
+          |  }
+          |}""".stripMargin) shouldBe
+      Set(Seq("g1", "a", "1"), Seq("g2", "b", "1"))
+    // OFFSET skips per graph too: g1 exhausts, g2 yields its second row
+    run("""PREFIX : <>
+          |SELECT ?g ?s ?o WHERE {
+          |  GRAPH ?g {
+          |    { SELECT ?s ?o WHERE { ?s :p ?o } ORDER BY ?o ?s LIMIT 1 OFFSET 1 }
+          |  }
+          |}""".stripMargin) shouldBe Set(Seq("g2", "a", "9"))
+    // keyless LIMIT: deterministic all-column order, one row per graph
+    run("""PREFIX : <>
+          |SELECT ?g ?s WHERE {
+          |  GRAPH ?g { { SELECT ?s WHERE { ?s :p ?o } LIMIT 2 } }
+          |}""".stripMargin) shouldBe
+      Set(Seq("g1", "a"), Seq("g2", "a"), Seq("g2", "b"))
   }
 
   "updateQuadsEnc" should "match the string path across the update surface" in {

@@ -416,6 +416,40 @@ class VectorSpec extends SparkSpec {
     (recalls.sum / recalls.size) should be >= 0.2 // 2-probe cell cap dominates
   }
 
+  "ivfPqSearchResidual" should "recall at least as well as the raw-codebook composition" in {
+    val d = "/root/testdata/sf0.001"
+    val e = Tables.loadPar(spark, d, "embeddings")
+    val (cent, cells) = GraftStore.ivfIndex(spark, d)
+    val all = e.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def dot(x: Seq[Float], y: Seq[Float]) =
+      x.zip(y).foldLeft(0.0) { case (a, (p, q)) => a + p.toDouble * q.toDouble }
+    def recallOf(got: Array[(Long, Long)]): Double = {
+      val rs = all.keys.filter(_ < 8).toSeq.map { q =>
+        val exact = all.toSeq.filter(_._1 != q)
+          .map { case (id, v) => (dot(all(q), v), id) }
+          .sortBy { case (s, id) => (-s, id) }.take(10).map(_._2).toSet
+        exact.intersect(got.filter(_._1 == q).map(_._2).toSet).size / 10.0
+      }
+      rs.sum / rs.size
+    }
+    val (cbRaw, codesRaw) = GraftStore.pqIndex(spark, d)
+    val raw = VectorOps.ivfPqSearch(e, cent, cells, cbRaw, codesRaw,
+      col("vec_id") < 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val (cbRes, codesRes) = GraftStore.pqResIndex(spark, d)
+    val res = VectorOps.ivfPqSearchResidual(e, cent, cells, cbRes, codesRes,
+      col("vec_id") < 8, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // same probes/rerank budget: residual codes must not lose recall
+    recallOf(res) should be >= recallOf(raw)
+    // residual results stay inside the probed-cell contract too
+    val cellOf = cells.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = VectorOps.ivfAssign(e.where(col("vec_id") < 8), cent, 2)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    res.foreach { case (q, n) => probed(q) should contain(cellOf(n)) }
+  }
+
   "persistAnnIndexes/openAnnIndexes" should "round-trip every ANN artifact identically" in {
     val d = "/root/testdata/sf0.001"
     val e = Tables.loadPar(spark, d, "embeddings")
