@@ -481,8 +481,13 @@ object GraftStore {
           delsD.map(t => ("d", t._2, hmap(t._1), hmap(t._2), hmap(t._3))) ++
             insCand.map(t => ("i", t._2, hmap(t._1), hmap(t._2), hmap(t._3)))
           ).toDF("tag", "pstr", "s", "p", "o")
+        // predicate pre-filter: the probe tuples cover few predicates, so
+        // a codegen'd `p IN (...)` drops ~all store rows before the join
+        // probe (and lets the in-memory scan skip batches by p stats)
+        val pids = (delsD ++ insCand).map(t => hmap(t._2)).distinct
         val res = graft.Prof.t("groundBatch.probe")(
-          handle.enc.join(broadcast(probe), Seq("s", "p", "o"))
+          handle.enc.where(col("p").isin(pids: _*))
+            .join(broadcast(probe), Seq("s", "p", "o"))
             .groupBy("tag", "pstr", "s", "p", "o")
             .agg(count(lit(1)).as("n")).collect())
         val m = res.filter(_.getString(0) == "d")
