@@ -2225,7 +2225,7 @@ object Sparql {
                          queryText: String): DataFrame = {
     val q = parse(queryText)
     require(streamQuads.isStreaming, "streamQuads must be a streaming DataFrame")
-    require(q.group.triples.isEmpty && q.group.graphs.size == 1 &&
+    require(q.group.triples.isEmpty && q.group.graphs.nonEmpty &&
       q.group.optionals.isEmpty && q.group.unions.isEmpty &&
       q.group.minuses.isEmpty && q.group.paths.isEmpty &&
       q.group.subqueries.isEmpty && q.group.subgroups.isEmpty &&
@@ -2234,8 +2234,10 @@ object Sparql {
       !q.distinct && q.orderBy.isEmpty && q.limit.isEmpty &&
       q.having.isEmpty && q.postValues.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
-      "executeStreamQuads supports exactly one GRAPH block (plus " +
+      "executeStreamQuads supports GRAPH blocks (plus " +
         "group-level FILTERs), append mode — no aggregates/modifiers")
+    if (q.group.graphs.size > 1)
+      return executeStreamQuadsMulti(spark, streamQuads, staticQuads, q)
     val (gterm, inner) = q.group.graphs.head
     require(inner.triples.nonEmpty &&
       inner.paths.isEmpty &&
@@ -2354,6 +2356,102 @@ object Sparql {
       df = df.join(sub, shared, "left_anti")
     }
     deferredFilters.foreach(f => df = df.where(compileExpr(f)))
+    val proj =
+      if (q.projection.isEmpty)
+        df.columns.toSeq.filterNot(_.startsWith("__")).map(col)
+      else q.projection.map {
+        case PVar(v) => col(v)
+        case PExpr(e, alias) => compileVal(e).as(alias)
+        case a => throw new IllegalArgumentException(s"unsupported $a in stream")
+      }
+    df.select(proj: _*)
+  }
+
+  /** MULTIPLE GRAPH blocks over a live quad stream: the join of the
+    * blocks decomposes per (block, pattern) —
+    * Δ(B₁ ⋈ … ⋈ Bₙ) = ⋃ᵢ (B₁ˢᵗᵃᵗ ⋈ … ⋈ Δ(Bᵢ) ⋈ … ⋈ Bₙˢᵗᵃᵗ), and Δ(Bᵢ)
+    * itself decomposes per pattern like the single-block path: one arm
+    * scans the STREAM for pattern j of block i with every other pattern
+    * of block i AND every other block entirely static. Each block's
+    * matches stay confined to its own active graph by its carried graph
+    * column; blocks sharing a graph var join on it (same-graph
+    * correlation), distinct vars range independently. Append-safe:
+    * every arm is a standing stream-static join. Multi-block groups
+    * support triple patterns + FILTER + BIND per block (the
+    * UNION/OPTIONAL/MINUS enrichments remain single-block features).
+    */
+  private def executeStreamQuadsMulti(spark: SparkSession,
+                                      streamQuads: DataFrame,
+                                      staticQuads: DataFrame,
+                                      q: Query): DataFrame = {
+    val blocks = q.group.graphs
+    blocks.foreach { case (_, b) =>
+      require(b.triples.nonEmpty && b.optionals.isEmpty && b.unions.isEmpty &&
+        b.minuses.isEmpty && b.paths.isEmpty && b.subqueries.isEmpty &&
+        b.subgroups.isEmpty && b.existsFilters.isEmpty && b.values.isEmpty &&
+        b.valuesMulti.isEmpty && b.graphs.isEmpty && b.services.isEmpty,
+        "multi-block streaming GRAPH groups may contain only triple " +
+          "patterns, FILTER, and BIND — UNION/OPTIONAL/MINUS enrichments " +
+          "need the single-block form")
+    }
+    val gvs = blocks.zipWithIndex.map { case ((gt, _), i) =>
+      gt match { case V(n) => n; case _ => s"__g$i" } }
+    def side(df: DataFrame, gt: Term): DataFrame = gt match {
+      case C(v) => df.where(col("g") === v.toString)
+      case _ => df.where(col("g").isNotNull)
+    }
+    /** Join block `i`'s patterns over `base` (all-static compile), with
+      * pattern `streamIdx` scanning the stream instead when set.
+      */
+    def blockRel(i: Int, streamIdx: Int = -1): DataFrame = {
+      val (gt, b) = blocks(i)
+      val gv = gvs(i)
+      val static0 = side(staticQuads, gt)
+      var d: DataFrame = null
+      var bound = Set.empty[String]
+      val order = // stream pattern (if any) seeds the join
+        if (streamIdx < 0) b.triples.indices
+        else streamIdx +: b.triples.indices.filterNot(_ == streamIdx)
+      order.foreach { j =>
+        val base = if (j == streamIdx) side(streamQuads, gt) else static0
+        val sc = quadScan(base, b.triples(j), gv)
+        d =
+          if (d == null) sc
+          else {
+            val shared = (b.triples(j).vars.filter(bound) :+ gv).distinct
+            if (j != streamIdx && b.triples(j).vars.forall(bound))
+              d.join(sc, shared, "left_semi")
+            else d.join(sc, shared, "inner")
+          }
+        bound ++= b.triples(j).vars
+      }
+      b.binds.foreach { case (e, v) => d = d.withColumn(v, compileVal(e)) }
+      b.filters.foreach { f =>
+        require(exprVars(f).subsetOf(d.columns.toSet),
+          "multi-block streaming FILTER vars must be bound inside the block")
+        d = d.where(compileExpr(f))
+      }
+      d
+    }
+    def joinBlocks(parts: Seq[DataFrame]): DataFrame =
+      parts.reduce { (l, r) =>
+        val shared = l.columns.intersect(r.columns).toSeq
+        if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared, "inner")
+      }
+    val arms = for {
+      i <- blocks.indices
+      j <- blocks(i)._2.triples.indices
+      if blocks(i)._2.triples(j).vars.nonEmpty
+    } yield joinBlocks(
+      blockRel(i, streamIdx = j) +:
+        blocks.indices.filterNot(_ == i).map(k => blockRel(k)))
+    require(arms.nonEmpty, "at least one pattern must bind a variable")
+    var df = arms.reduce(_.unionByName(_, allowMissingColumns = true))
+    q.group.filters.foreach { f =>
+      require(exprVars(f).subsetOf(df.columns.toSet),
+        "group-level streaming FILTER vars must be bound by the blocks")
+      df = df.where(compileExpr(f))
+    }
     val proj =
       if (q.projection.isEmpty)
         df.columns.toSeq.filterNot(_.startsWith("__")).map(col)

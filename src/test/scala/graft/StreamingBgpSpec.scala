@@ -161,6 +161,59 @@ class StreamingBgpSpec extends SparkSpec {
       Set(("g2", "b")) // a removed in g1; b's block lives in another graph
   }
 
+  it should "join MULTIPLE GRAPH blocks with per-(block, pattern) deltas" in {
+    implicit val sqlCtx = spark.sqlContext
+    // cross-graph correlation on ?s: block 1 matches in ?g1, block 2 in
+    // ?g2 — an arrival into EITHER block completes against the other
+    // block's static rows (batch equivalence on arriving quads)
+    val staticQuads = Seq(
+      ("a", "q", "2", "g1"),   // completes block 1 for the a:p arrival
+      ("a", "meta", "m", "gm"), // completes block 2 for both a-arrivals
+      ("b", "meta", "m", "gm")
+    ).toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    src.addData(
+      ("a", "p", "1", "g1"),  // block-1 arrival: needs static a:q@g1 + a:meta@gm
+      ("b", "p", "1", "g1"),  // no static b:q@g1 -> no solution
+      ("a", "x", "9", "g7"))  // matches neither block's patterns
+    val out = graft.sparql.Sparql.executeStreamQuads(spark,
+      src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+      """PREFIX : <>
+        |SELECT ?g1 ?g2 ?s WHERE {
+        |  GRAPH ?g1 { ?s :p "1" . ?s :q "2" }
+        |  GRAPH ?g2 { ?s :meta ?m }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("quad_stream_multi")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("quad_stream_multi").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    // batch replay over the SAME quads (arrivals against statics):
+    // only 'a' completes both blocks
+    got shouldBe Set(("g1", "gm", "a"))
+    // a block-2 arrival completes against block 1's statics too: add the
+    // stream edge into the meta graph for a subject whose block-1 rows
+    // are ALL static
+    val src2 = MemoryStream[(String, String, String, String)]
+    src2.addData(("c", "meta", "m2", "gm"))
+    val static2 = Seq(
+      ("c", "p", "1", "g3"), ("c", "q", "2", "g3")
+    ).toDF("s", "p", "o", "g")
+    val out2 = graft.sparql.Sparql.executeStreamQuads(spark,
+      src2.toDF().toDF("s", "p", "o", "g"), static2,
+      """PREFIX : <>
+        |SELECT ?g1 ?g2 ?s ?m WHERE {
+        |  GRAPH ?g1 { ?s :p "1" . ?s :q "2" }
+        |  GRAPH ?g2 { ?s :meta ?m }
+        |}""".stripMargin)
+    val q2 = out2.writeStream.format("memory").queryName("quad_stream_multi2")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    spark.table("quad_stream_multi2").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(3)))
+      .toSet shouldBe Set(("g3", "gm", "c", "m2"))
+  }
+
   it should "keep matching as new micro-batches arrive" in {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, String, String)]
