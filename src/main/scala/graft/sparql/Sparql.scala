@@ -2463,71 +2463,20 @@ object Sparql {
     df.select(proj: _*)
   }
 
-  private def executeStreamQuery(spark: SparkSession, streamTriples: DataFrame,
-                    staticTriples: DataFrame, qRaw: Query,
-                    stats: Map[String, PredStats],
-                    watermark: Option[String],
-                    tsCol: String): DataFrame = {
-    // `{ A . { B . FILTER f } }` with a PLAIN nested group (triples +
-    // filters over its own vars only) is algebraically Join(A, B) with f
-    // over B — flatten it into the outer pattern set so the nested
-    // triples get FULL per-pattern delta semantics (they can match
-    // stream edges, unlike the bounded static-side enrichments). Filters
-    // over vars beyond the subgroup's own stay unsupported (hoisting
-    // would widen their scope).
-    val q = qRaw.copy(group = flattenPlainSubgroups(qRaw.group))
-    require(
-      q.group.subgroups.isEmpty && q.group.graphs.isEmpty &&
-      q.group.services.isEmpty &&
-      q.orderBy.isEmpty &&
-      q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
-      q.projection.forall(!_.isInstanceOf[PAgg]),
-      "executeStream supports the append-mode " +
-        "BGP+FILTER+BIND+UNION+VALUES+static-MINUS/path/subquery/EXISTS subset")
-    // MINUS right sides evaluate against the STATIC store only (bounded →
-    // the stream-static anti join is append-safe); same restriction class
-    // as OPTIONAL
-    q.group.minuses.foreach(m =>
-      require(m.triples.nonEmpty && m.optionals.isEmpty && m.unions.isEmpty &&
-        m.minuses.isEmpty && m.paths.isEmpty && m.binds.isEmpty &&
-        m.subqueries.isEmpty && m.subgroups.isEmpty &&
-        m.existsFilters.isEmpty && m.values.isEmpty && m.valuesMulti.isEmpty,
-        "streaming MINUS groups may contain only triple patterns and filters"))
-    // UNION: each branch compiles as ITS OWN per-pattern delta over the
-    // combined pattern set (outer triples ++ branch triples) and the arms
-    // union — Δ(T ⋈ (A ∪ B)) = Δ(T ⋈ A) ∪ Δ(T ⋈ B), each arm already
-    // append-safe, so a new edge matching any position of either branch
-    // emits exactly its batch-equivalent solutions. m UNION blocks are m
-    // independent join factors, and the delta distributes over each, so
-    // the stream compiles to the PRODUCT of branch choices (2^m arms) —
-    // bounded, because every arm is a standing stream-static join plan.
-    require(q.group.unions.size <= 3,
-      "executeStream supports at most 3 UNION blocks per group (8 delta arms)")
-    q.group.unions.foreach { case (l, r) => Seq(l, r).foreach(b =>
-      require(b.triples.nonEmpty && b.optionals.isEmpty && b.unions.isEmpty &&
-        b.minuses.isEmpty && b.paths.isEmpty && b.subqueries.isEmpty &&
-        b.subgroups.isEmpty && b.existsFilters.isEmpty && b.values.isEmpty &&
-        b.valuesMulti.isEmpty,
-        "streaming UNION branches may contain only triple patterns, " +
-          "filters, and BINDs")) }
-    // OPTIONAL over STATIC patterns only: the enrichment side is bounded,
-    // so the stream-static left outer join is append-safe without
-    // watermark state (an optional binding that arrives in the store
-    // LATER belongs to the ingest path, like any second new edge)
-    q.group.optionals.foreach(opt =>
-      require(opt.optionals.isEmpty && opt.unions.isEmpty &&
-        opt.minuses.isEmpty && opt.paths.isEmpty && opt.binds.isEmpty &&
-        opt.subqueries.isEmpty && opt.subgroups.isEmpty &&
-        opt.existsFilters.isEmpty && opt.values.isEmpty &&
-        opt.valuesMulti.isEmpty,
-        "streaming OPTIONAL groups may contain only triple patterns and filters"))
-    require(!q.distinct || watermark.nonEmpty,
-      "streaming DISTINCT needs a watermark (bounded dedup state); " +
-        "pass watermark=Some(\"10 minutes\") and an event-time column")
-    val dedup = q.distinct
-    val stream =
-      if (dedup) streamTriples.withWatermark(tsCol, watermark.get)
-      else streamTriples
+  /** The PRE-MODIFIER streaming solution relation of a group: per-pattern
+    * delta arms over the UNION branch choices, binds, filters (deferred
+    * past the static joins when they reference enrichment-bound vars),
+    * then the bounded static-side enrichments — property paths,
+    * subqueries, OPTIONAL, MINUS, FILTER [NOT] EXISTS, VALUES — each an
+    * append-safe stream-static join. Shared by `executeStream`
+    * (projection/dedup on top) and `executeStreamWindowed` (windowed
+    * aggregation on top; `carry` keeps the event-time column flowing
+    * through the delta arms).
+    */
+  private def streamSolutionRel(spark: SparkSession, stream: DataFrame,
+                                staticTriples: DataFrame, q: Query,
+                                stats: Map[String, PredStats],
+                                carry: Seq[String]): DataFrame = {
     // filters referencing vars bound only by a path/subquery/OPTIONAL
     // enrichment can't apply inside the arm — defer them until after the
     // static-side joins (filters are idempotent, so applying a filter in
@@ -2536,7 +2485,7 @@ object Sparql {
     def arm(branches: Seq[Group]): DataFrame = {
       var d = Bgp.compileStream(spark, stream, staticTriples,
         q.group.triples ++ branches.flatMap(_.triples),
-        stats, carry = if (dedup) Seq(tsCol) else Nil)
+        stats, carry = carry)
       (q.group.binds ++ branches.flatMap(_.binds))
         .foreach { case (e, v) => d = d.withColumn(v, compileVal(e)) }
       (q.group.filters ++ branches.flatMap(_.filters))
@@ -2620,6 +2569,76 @@ object Sparql {
       require(missing.isEmpty, s"FILTER references unbound vars $missing")
       df = df.where(compileExpr(f))
     }
+    df
+  }
+
+  /** The feature-guard set shared by the plain and windowed stream
+    * compilers: MINUS/UNION/OPTIONAL enrichment groups restricted to the
+    * append-safe shapes, at most 3 UNION blocks (8 delta arms).
+    */
+  private def requireStreamGroupShapes(q: Query): Unit = {
+    q.group.minuses.foreach(m =>
+      require(m.triples.nonEmpty && m.optionals.isEmpty && m.unions.isEmpty &&
+        m.minuses.isEmpty && m.paths.isEmpty && m.binds.isEmpty &&
+        m.subqueries.isEmpty && m.subgroups.isEmpty &&
+        m.existsFilters.isEmpty && m.values.isEmpty && m.valuesMulti.isEmpty,
+        "streaming MINUS groups may contain only triple patterns and filters"))
+    require(q.group.unions.size <= 3,
+      "executeStream supports at most 3 UNION blocks per group (8 delta arms)")
+    q.group.unions.foreach { case (l, r) => Seq(l, r).foreach(b =>
+      require(b.triples.nonEmpty && b.optionals.isEmpty && b.unions.isEmpty &&
+        b.minuses.isEmpty && b.paths.isEmpty && b.subqueries.isEmpty &&
+        b.subgroups.isEmpty && b.existsFilters.isEmpty && b.values.isEmpty &&
+        b.valuesMulti.isEmpty,
+        "streaming UNION branches may contain only triple patterns, " +
+          "filters, and BINDs")) }
+    q.group.optionals.foreach(opt =>
+      require(opt.optionals.isEmpty && opt.unions.isEmpty &&
+        opt.minuses.isEmpty && opt.paths.isEmpty && opt.binds.isEmpty &&
+        opt.subqueries.isEmpty && opt.subgroups.isEmpty &&
+        opt.existsFilters.isEmpty && opt.values.isEmpty &&
+        opt.valuesMulti.isEmpty,
+        "streaming OPTIONAL groups may contain only triple patterns and filters"))
+  }
+
+  private def executeStreamQuery(spark: SparkSession, streamTriples: DataFrame,
+                    staticTriples: DataFrame, qRaw: Query,
+                    stats: Map[String, PredStats],
+                    watermark: Option[String],
+                    tsCol: String): DataFrame = {
+    // `{ A . { B . FILTER f } }` with a PLAIN nested group (triples +
+    // filters over its own vars only) is algebraically Join(A, B) with f
+    // over B — flatten it into the outer pattern set so the nested
+    // triples get FULL per-pattern delta semantics (they can match
+    // stream edges, unlike the bounded static-side enrichments). Filters
+    // over vars beyond the subgroup's own stay unsupported (hoisting
+    // would widen their scope).
+    val q = qRaw.copy(group = flattenPlainSubgroups(qRaw.group))
+    require(
+      q.group.subgroups.isEmpty && q.group.graphs.isEmpty &&
+      q.group.services.isEmpty &&
+      q.orderBy.isEmpty &&
+      q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
+      q.projection.forall(!_.isInstanceOf[PAgg]),
+      "executeStream supports the append-mode " +
+        "BGP+FILTER+BIND+UNION+VALUES+static-MINUS/path/subquery/EXISTS subset")
+    // UNION: each branch compiles as ITS OWN per-pattern delta over the
+    // combined pattern set (outer triples ++ branch triples) and the arms
+    // union — Δ(T ⋈ (A ∪ B)) = Δ(T ⋈ A) ∪ Δ(T ⋈ B), each arm already
+    // append-safe, so a new edge matching any position of either branch
+    // emits exactly its batch-equivalent solutions. MINUS/OPTIONAL
+    // enrich from the STATIC store only (bounded sides, append-safe) —
+    // the shared guard set spells out the allowed shapes.
+    requireStreamGroupShapes(q)
+    require(!q.distinct || watermark.nonEmpty,
+      "streaming DISTINCT needs a watermark (bounded dedup state); " +
+        "pass watermark=Some(\"10 minutes\") and an event-time column")
+    val dedup = q.distinct
+    val stream =
+      if (dedup) streamTriples.withWatermark(tsCol, watermark.get)
+      else streamTriples
+    val df = streamSolutionRel(spark, stream, staticTriples, q, stats,
+      carry = if (dedup) Seq(tsCol) else Nil)
     val proj =
       if (q.projection.isEmpty)
         df.columns.toSeq.filterNot(c => (dedup && c == tsCol) ||
@@ -2665,14 +2684,21 @@ object Sparql {
                             sessionGap: Option[String] = None): DataFrame = {
     require(slide.isEmpty || sessionGap.isEmpty,
       "pick sliding OR session windows, not both")
-    val q = parse(queryText)
-    require(q.group.unions.isEmpty && q.group.optionals.isEmpty &&
-      q.group.minuses.isEmpty && q.group.values.isEmpty &&
-      q.group.paths.isEmpty && q.group.subqueries.isEmpty &&
-      q.group.subgroups.isEmpty && q.group.existsFilters.isEmpty &&
-      q.group.valuesMulti.isEmpty && !q.distinct && q.orderBy.isEmpty &&
+    val q = {
+      val q0 = parse(queryText)
+      q0.copy(group = flattenPlainSubgroups(q0.group))
+    }
+    require(q.group.subgroups.isEmpty && q.group.graphs.isEmpty &&
+      q.group.services.isEmpty && !q.distinct && q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty,
-      "executeStreamWindowed supports the append-mode BGP+FILTER+BIND aggregate subset")
+      "executeStreamWindowed supports the append-mode " +
+        "BGP+FILTER+BIND+UNION+VALUES+static-OPTIONAL/MINUS/path/" +
+        "subquery/EXISTS aggregate subset")
+    // the same enrichment shapes as executeStream — UNION delta arms,
+    // static-side OPTIONAL/MINUS/paths/subqueries/EXISTS/VALUES — feed
+    // the windowed aggregation (each solution keeps its arriving edge's
+    // event time through the arm's carry column)
+    requireStreamGroupShapes(q)
     val aggs = q.projection.collect { case a: PAgg => a }
     require(aggs.nonEmpty, "no aggregates — use executeStream")
     // Structured Streaming rejects distinct aggregates on streaming
@@ -2683,11 +2709,9 @@ object Sparql {
         s"${a.fn}(DISTINCT) is not supported on streaming aggregations — " +
           "use the batch path or dedup at the sink")
     }
-    var df = Bgp.compileStream(
-      spark, streamTriples.withWatermark(tsCol, watermark), staticTriples,
-      q.group.triples, stats, carry = Seq(tsCol))
-    q.group.binds.foreach { case (e, v) => df = df.withColumn(v, compileVal(e)) }
-    q.group.filters.foreach(f => df = df.where(compileExpr(f)))
+    val df = streamSolutionRel(spark,
+      streamTriples.withWatermark(tsCol, watermark), staticTriples, q,
+      stats, carry = Seq(tsCol))
     // HAVING: lift its aggregate calls into extra (shadow) agg columns,
     // filter the finalized groups, drop the shadows. Append mode is fine
     // with a post-aggregation filter — windows emit once, already final.

@@ -772,6 +772,47 @@ class StreamingBgpSpec extends SparkSpec {
     rows shouldBe Set(("region:2", 2L))
   }
 
+  it should "aggregate over UNION delta arms and static-OPTIONAL enrichment" in {
+    implicit val sqlCtx = spark.sqlContext
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    val statics = Seq(
+      ("nation:1", "regionkey", "region:2"),
+      ("nation:3", "regionkey", "region:4"),
+      ("region:2", "rname", "\"EU\"") // region:4 has no rname -> null group
+    ).toDF("s", "p", "o")
+    val src = MemoryStream[(Timestamp, String, String, String)]
+    // customers arrive via EITHER predicate (UNION); rname enriches from
+    // the static store (OPTIONAL) and groups the windowed count
+    val out = graft.sparql.Sparql.executeStreamWindowed(spark,
+      src.toDF().toDF("ts", "s", "p", "o"), statics,
+      """PREFIX : <>
+        |SELECT ?r ?rn (COUNT(?c) AS ?cnt) WHERE {
+        |  { ?c :nationkey ?n } UNION { ?c :natkey2 ?n }
+        |  ?n :regionkey ?r .
+        |  OPTIONAL { ?r :rname ?rn }
+        |} GROUP BY ?r ?rn""".stripMargin,
+      windowLen = "10 minutes", watermark = "0 seconds")
+    val q = out.writeStream.format("memory").queryName("sparql_stream_wua")
+      .outputMode("append").start()
+    src.addData(
+      (ts("2024-01-01 00:01:00"), "customer:7", "nationkey", "nation:1"),
+      (ts("2024-01-01 00:02:00"), "customer:8", "natkey2", "nation:1"),
+      (ts("2024-01-01 00:03:00"), "customer:9", "natkey2", "nation:3"))
+    q.processAllAvailable()
+    src.addData((ts("2024-01-01 00:25:00"), "customer:10", "nationkey", "nation:1"))
+    q.processAllAvailable()
+    q.stop()
+    // both UNION arrivals for nation:1 count in one (region, rname) group;
+    // nation:3's region enriches to a null rname
+    val rows = spark.table("sparql_stream_wua").collect()
+      .map(r => (r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3), r.getLong(4))).toSet
+    rows shouldBe Set(
+      ("region:2", "\"EU\"", 2L),
+      ("region:4", null, 1L))
+  }
+
   it should "support sliding windows (each solution in len/slide of them)" in {
     implicit val sqlCtx = spark.sqlContext
     import java.sql.Timestamp
