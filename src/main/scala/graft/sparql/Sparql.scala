@@ -2525,6 +2525,23 @@ object Sparql {
       df = if (shared.isEmpty) df.crossJoin(sub)
       else df.join(sub, shared, "inner")
     }
+    // SERVICE joins the registered endpoint relation — bounded static
+    // side by construction (the registry holds co-resident datasets), so
+    // the stream-endpoint join is append-safe like a subquery's
+    q.group.services.foreach { case (iri, inner, silent) =>
+      lookupEndpoint(spark, iri) match {
+        case Some(remote) =>
+          val svc = compileGroup(stringEnv(spark, remote, Map.empty), inner)
+          val shared = df.columns.intersect(svc.columns).toSeq
+          df = if (shared.isEmpty) df.crossJoin(svc)
+          else df.join(svc, shared, "inner")
+        case None if silent => ()
+        case None => throw new IllegalArgumentException(
+          s"SERVICE endpoint not registered: <$iri> — call " +
+            "Sparql.registerEndpoint(spark, iri, triples) first " +
+            "(or use SERVICE SILENT)")
+      }
+    }
     q.group.optionals.foreach { opt =>
       val o = compileGroup(senv, opt)
       val shared = df.columns.intersect(o.columns).toSeq
@@ -2616,12 +2633,11 @@ object Sparql {
     val q = qRaw.copy(group = flattenPlainSubgroups(qRaw.group))
     require(
       q.group.subgroups.isEmpty && q.group.graphs.isEmpty &&
-      q.group.services.isEmpty &&
       q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty && q.having.isEmpty &&
       q.projection.forall(!_.isInstanceOf[PAgg]),
-      "executeStream supports the append-mode " +
-        "BGP+FILTER+BIND+UNION+VALUES+static-MINUS/path/subquery/EXISTS subset")
+      "executeStream supports the append-mode BGP+FILTER+BIND+UNION+" +
+        "VALUES+SERVICE+static-MINUS/path/subquery/EXISTS subset")
     // UNION: each branch compiles as ITS OWN per-pattern delta over the
     // combined pattern set (outer triples ++ branch triples) and the arms
     // union — Δ(T ⋈ (A ∪ B)) = Δ(T ⋈ A) ∪ Δ(T ⋈ B), each arm already
@@ -2689,11 +2705,11 @@ object Sparql {
       q0.copy(group = flattenPlainSubgroups(q0.group))
     }
     require(q.group.subgroups.isEmpty && q.group.graphs.isEmpty &&
-      q.group.services.isEmpty && !q.distinct && q.orderBy.isEmpty &&
+      !q.distinct && q.orderBy.isEmpty &&
       q.limit.isEmpty && q.postValues.isEmpty,
       "executeStreamWindowed supports the append-mode " +
-        "BGP+FILTER+BIND+UNION+VALUES+static-OPTIONAL/MINUS/path/" +
-        "subquery/EXISTS aggregate subset")
+        "BGP+FILTER+BIND+UNION+VALUES+SERVICE+static-OPTIONAL/MINUS/" +
+        "path/subquery/EXISTS aggregate subset")
     // the same enrichment shapes as executeStream — UNION delta arms,
     // static-side OPTIONAL/MINUS/paths/subqueries/EXISTS/VALUES — feed
     // the windowed aggregation (each solution keeps its arriving edge's

@@ -137,6 +137,30 @@ class FederationSpec extends SparkSpec {
     viaEncoded.nonEmpty shouldBe true
   }
 
+  it should "join a STREAM against the registered endpoint (append-safe)" in {
+    // the endpoint relation is bounded and static by construction, so a
+    // live stream enriches through it like any stream-static join
+    implicit val sqlCtx = spark.sqlContext
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    val src = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(String, String, String)]
+    src.addData(("p1", "worksAt", "org1"), ("p9", "worksAt", "org9"))
+    val out = Sparql.executeStream(spark,
+      src.toDF().toDF("s", "p", "o"), local.limit(0),
+      """PREFIX : <>
+        |SELECT ?p ?l WHERE {
+        |  ?p :worksAt ?o .
+        |  SERVICE <graft://orgs> { ?o :label ?l }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("fed_stream")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table("fed_stream").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("p1", "\"Acme\"")) // org9 absent from the endpoint
+  }
+
   it should "join SERVICE vars against the store's own terms when shared (encoded)" in {
     // ?o also surfaces in the projection: the var is SERVICE-bound AND
     // pattern-bound -> demoted at the pattern source, projected as a term
