@@ -241,4 +241,29 @@ class PlanSpec extends SparkSpec {
     val exchanges = "hashpartitioning\\(user_id".r.findAllIn(p).length
     exchanges shouldBe 1
   }
+
+  "q_quad_limit" should "rank per graph in ONE window, no graph enumeration" in {
+    val p = finalPlan("q_quad_limit")
+    // the per-graph slice is a single row_number window partitioned on
+    // the carried graph column — one Window node, no per-graph plans,
+    // no cartesian
+    "row_number".r.findAllIn(p).length should be >= 1
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
+
+  "q_ann_ivfpq_res" should "keep the residual ADC corpus-pass broadcast-only" in {
+    val p = finalPlan("q_ann_ivfpq_res")
+    // residual LUT + per-(query, cell) offsets both broadcast against
+    // the codes/candidate tables; the float vectors appear only in the
+    // bounded rerank — nothing cartesians or sort-merge-joins the corpus
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
+
+  "q_sparql_service_enc" should "broadcast the endpoint on the ENCODED path too" in {
+    val p = finalPlan("q_sparql_service_enc")
+    p should include("BroadcastHashJoin")
+    p should not include "CartesianProduct"
+  }
 }
