@@ -97,6 +97,23 @@ class QuadParityFuzzSpec extends SparkSpec {
       }
       parts += f
     }
+    // term-EQUALITY filter family, generated independently: the encoded
+    // path rewrites =/IN/sameTerm on id vars to id-space predicates
+    // (encTermEqRewrite) — parity here proves the rewrite, including the
+    // "absent constant hashes match nothing" branch
+    if (rnd.nextInt(4) == 0 && bound.nonEmpty) {
+      val v = bound(rnd.nextInt(bound.length))
+      def cOrAbsent(): String =
+        if (rnd.nextInt(5) == 0) "\"zzz-absent\""
+        else consts(rnd.nextInt(consts.length))
+      parts += (rnd.nextInt(3) match {
+        case 0 => s"FILTER($v = ${cOrAbsent()})"
+        case 1 =>
+          val items = (0 to 1 + rnd.nextInt(2)).map(_ => cOrAbsent()).distinct
+          s"FILTER($v IN (${items.mkString(", ")}))"
+        case _ => s"FILTER(sameTerm($v, ${cOrAbsent()}))"
+      })
+    }
     val body = parts.mkString(" ")
     val group = rnd.nextInt(3) match {
       case 0 => body                       // default graph
@@ -193,6 +210,7 @@ class QuadParityFuzzSpec extends SparkSpec {
       }
     }
     // the generator must actually exercise joins, not vacuous empties
-    nonEmpty should be >= fuzzN * 3 / 10
+    // (the eq-filter family empties some compositions by design)
+    nonEmpty should be >= fuzzN / 4
   }
 }
