@@ -1523,7 +1523,8 @@ object SparkEntry {
         |    OPTIONAL { ?s :regionkey ?rk }
         |    MINUS { ?s :name "ALGERIA" }
         |  }
-        |} ORDER BY ?g ?s ?rk""".stripMargin)
+        |} ORDER BY ?g ?s ?rk""".stripMargin,
+      GraftStore.quadStats(s, d)._1)
   }
 
   /** Non-closure property path under a VARIABLE graph target: the
@@ -1536,7 +1537,8 @@ object SparkEntry {
       """PREFIX : <>
         |SELECT ?g ?y WHERE {
         |  GRAPH ?g { <part:1> :brand/^:brand ?y }
-        |} ORDER BY ?y""".stripMargin)
+        |} ORDER BY ?y""".stripMargin,
+      GraftStore.quadStats(s, d)._1)
   }
 
   /** The quad-algebra gate on the ENCODED path: same query and oracle
@@ -1554,7 +1556,8 @@ object SparkEntry {
         |    OPTIONAL { ?s :regionkey ?rk }
         |    MINUS { ?s :name "ALGERIA" }
         |  }
-        |} ORDER BY ?g ?s ?rk""".stripMargin)
+        |} ORDER BY ?g ?s ?rk""".stripMargin,
+      GraftStore.quadStats(s, d)._2)
   }
 
   /** Subquery under a VARIABLE graph (§13.3: evaluated once per active
@@ -1566,7 +1569,8 @@ object SparkEntry {
       """PREFIX : <>
         |SELECT ?g ?cnt WHERE {
         |  GRAPH ?g { { SELECT (COUNT(?s) AS ?cnt) WHERE { ?s :name ?o } } }
-        |} ORDER BY ?g""".stripMargin)
+        |} ORDER BY ?g""".stripMargin,
+      GraftStore.quadStats(s, d)._1)
   }
 
   /** Per-graph LIMIT: a subquery with ORDER BY + LIMIT under `GRAPH ?g`
@@ -1581,7 +1585,8 @@ object SparkEntry {
         |  GRAPH ?g {
         |    { SELECT ?s ?n WHERE { ?s :name ?n } ORDER BY ?n ?s LIMIT 2 }
         |  }
-        |} ORDER BY ?g ?n ?s""".stripMargin)
+        |} ORDER BY ?g ?n ?s""".stripMargin,
+      GraftStore.quadStats(s, d)._1)
   }
 
   /** [[quadLimitQ]] over the ENCODED quad dataset — the window keys
@@ -1595,7 +1600,8 @@ object SparkEntry {
         |  GRAPH ?g {
         |    { SELECT ?s ?n WHERE { ?s :name ?n } ORDER BY ?n ?s LIMIT 2 }
         |  }
-        |} ORDER BY ?g ?n ?s""".stripMargin)
+        |} ORDER BY ?g ?n ?s""".stripMargin,
+      GraftStore.quadStats(s, d)._2)
   }
 
   /** Closure under a VARIABLE graph: one all-graphs doubling fixpoint
@@ -1607,7 +1613,8 @@ object SparkEntry {
       """PREFIX : <>
         |SELECT ?g ?n WHERE {
         |  GRAPH ?g { <region:0> ^:regionkey+ ?n }
-        |} ORDER BY ?n""".stripMargin)
+        |} ORDER BY ?n""".stripMargin,
+      GraftStore.quadStats(s, d)._1)
   }
 
   /** The per-graph closure on the ENCODED quad path: the inverse
@@ -1620,7 +1627,8 @@ object SparkEntry {
       """PREFIX : <>
         |SELECT ?g ?n WHERE {
         |  GRAPH ?g { <region:0> ^:regionkey+ ?n }
-        |} ORDER BY ?n""".stripMargin)
+        |} ORDER BY ?n""".stripMargin,
+      GraftStore.quadStats(s, d)._2)
   }
 
   /** Full algebra inside a CONSTANT GRAPH block: the named slice becomes
@@ -1632,7 +1640,8 @@ object SparkEntry {
       """PREFIX : <>
         |SELECT ?s ?v WHERE {
         |  GRAPH <graph:nation> { ?s :name|:regionkey ?v }
-        |} ORDER BY ?s ?v""".stripMargin)
+        |} ORDER BY ?s ?v""".stripMargin,
+      GraftStore.quadStats(s, d)._1)
   }
 
   /** CONSTRUCT over the quad dataset: template instantiation from

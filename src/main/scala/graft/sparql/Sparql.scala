@@ -3257,14 +3257,24 @@ object Sparql {
       case C(v) =>
         val slice = quads.where(col("g") === lit(env.cval(v)))
           .select("s", "p", "o")
-        compileGroup(env.copy(triples = slice, stats = Map.empty), inner)
+        // dataset-wide per-predicate stats apply to a graph slice
+        // (soundly: a predicate absent from the DATASET is absent from
+        // every graph, so Bgp's zero-cardinality fail-fast stays valid;
+        // within-slice ordering is an over-estimate, still far better
+        // than query order)
+        compileGroup(env.copy(triples = slice), inner)
       case V(gv) =>
         // the FULL algebra is supported under a variable target — the
         // restrictions of earlier rounds (paths, subqueries, nested
-        // GRAPH) are all compiled through the carried graph column now
+        // GRAPH) are all compiled through the carried graph column now.
+        // Pattern JOIN ORDER is stats-greedy like the triple-side BGP
+        // (fewest estimated rows first, preferring shared-variable
+        // connectivity) — the ordering runs on the ENCODED patterns, so
+        // the stats keys line up on both store paths.
         var df: DataFrame =
           if (inner.triples.isEmpty) null
-          else inner.triples.map(tp => quadScan(quads, env.encTp(tp), gv))
+          else Bgp.order(inner.triples.map(env.encTp), env.stats, env.totalCnt)
+            .map(tp => quadScan(quads, tp, gv))
             .reduce { (l, r) =>
             val shared = l.columns.intersect(r.columns).toSeq // >= the graph col
             l.join(r, shared, "inner")
@@ -3481,7 +3491,14 @@ object Sparql {
     * for the surfacing set (path endpoints, VALUES entries).
     */
   def executeQuadsEncoded(spark: SparkSession, encQuads: DataFrame,
-                          dict: DataFrame, queryText: String): DataFrame = {
+                          dict: DataFrame, queryText: String,
+                          // per-predicate stats keyed by the ENCODED id's
+                          // decimal string (certified stores hash
+                          // deterministically, so GraftStore.quadStats
+                          // derives them driver-side) — advisory: they
+                          // drive pattern ordering, never results
+                          stats: Map[String, PredStats] = Map.empty)
+      : DataFrame = {
     import graft.dict.Dictionary
     val q = parse(queryText)
     val plain = plainVarsOf(q)
@@ -3507,7 +3524,9 @@ object Sparql {
       if (!explicitDataset) encQuads.where(col("g").isNotNull)
       else if (fromN.isEmpty) encQuads.where(lit(false))
       else encQuads.where(col("g").isin(fromN: _*))
-    val env = Env(spark, defaultG, Map.empty, 1000000L,
+    val total =
+      if (stats.nonEmpty) stats.values.map(_.cnt).sum else 1000000L
+    val env = Env(spark, defaultG, stats, total,
       Some(EncEnv(dict, ids, localDict, plain)), quads = Some(named))
     graft.Prof.t("quadsEnc.compileQuery")(compileQuery(env, q, top = true))
   }

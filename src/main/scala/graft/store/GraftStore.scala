@@ -1139,6 +1139,36 @@ object GraftStore {
     })).value
   }
 
+  private val quadStatsCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String),
+      Lazily[(Map[String, graft.bgp.PredStats], Map[String, graft.bgp.PredStats])]]
+
+  /** Per-predicate stats of the quad dataset (count + approx-distinct
+    * subjects/objects), keyed BOTH ways: by predicate term (string path)
+    * and by the certified encoded id's decimal string (encoded path —
+    * `TripleStore.encodeQuads` refuses collisions, so the driver-side
+    * hash IS the id). An ingest artifact like the stats of the triple
+    * store: it feeds the GRAPH-block pattern ordering (advisory) and
+    * Bgp's dataset-absent fail-fast (sound: dataset-wide keys cover
+    * every graph).
+    */
+  def quadStats(spark: SparkSession, sfDir: String)
+      : (Map[String, graft.bgp.PredStats], Map[String, graft.bgp.PredStats]) = {
+    evictStopped()
+    quadStatsCache.getOrElseUpdate((spark, sfDir), new Lazily({
+      val q = quadDataset(spark, sfDir)
+      val rows = q.groupBy("p").agg(count(lit(1)).as("cnt"),
+          approx_count_distinct(col("s")).as("ns"),
+          approx_count_distinct(col("o")).as("no"))
+        .collect()
+      val term = rows.map(r => r.getString(0) ->
+        graft.bgp.PredStats(r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+      val byId = term.map { case (k, v) =>
+        graft.dict.Dictionary.termHashLocal(k).toString -> v }
+      (term, byId)
+    })).value
+  }
+
   private val quadEncCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Lazily[(DataFrame, DataFrame)]]
 
