@@ -54,7 +54,7 @@ object Bgp {
     * reference's cardinality fetch (`Graphula.scala:144-167`): bound
     * positions divide by their distinct count.
     */
-  private def estimate(tp: TriplePattern, stats: Map[String, PredStats],
+  private[graft] def estimate(tp: TriplePattern, stats: Map[String, PredStats],
                        totalCnt: Long): Double = {
     val base: Option[PredStats] = tp.p match {
       case C(p) => Some(stats.getOrElse(p.toString, PredStats(0L, 1L, 1L)))

@@ -3274,7 +3274,15 @@ object Sparql {
         var df: DataFrame =
           if (inner.triples.isEmpty) null
           else Bgp.order(inner.triples.map(env.encTp), env.stats, env.totalCnt)
-            .map(tp => quadScan(quads, tp, gv))
+            .map { tp =>
+              val sc = quadScan(quads, tp, gv)
+              // stats-driven broadcast hint, same threshold as Bgp: a
+              // small pattern scan joins the block without a shuffle
+              if (env.stats.nonEmpty &&
+                Bgp.estimate(tp, env.stats, env.totalCnt) <= 250000.0)
+                broadcast(sc)
+              else sc
+            }
             .reduce { (l, r) =>
             val shared = l.columns.intersect(r.columns).toSeq // >= the graph col
             l.join(r, shared, "inner")
