@@ -3275,7 +3275,12 @@ object Sparql {
           if (inner.triples.isEmpty) null
           else Bgp.order(inner.triples.map(env.encTp), env.stats, env.totalCnt)
             .map { tp =>
-              val sc = quadScan(quads, tp, gv)
+              // encoded mode: vars that are ALSO value-typed somewhere
+              // (SERVICE-bound, BIND targets, aliases) demote to term
+              // strings RIGHT AT THE SOURCE — the same contaminated-var
+              // discipline as every other pattern-machinery scan, so
+              // joins across the block boundary compare one domain
+              val sc = demoteToTerms(env, quadScan(quads, tp, gv))
               // stats-driven broadcast hint, same threshold as Bgp: a
               // small pattern scan joins the block without a shuffle
               if (env.stats.nonEmpty &&
@@ -3427,7 +3432,9 @@ object Sparql {
               seen += n -> c; sel :+= col(c).as(n)
             case _ => ()
           }
-          joinIn(rel.select(sel: _*))
+          // contaminated endpoint vars demote at the source (see the
+          // pattern scans above)
+          joinIn(demoteToTerms(env, rel.select(sel: _*)))
         }
         require(df != null, "empty GRAPH block")
         inner.optionals.foreach { opt =>

@@ -137,6 +137,24 @@ class FederationSpec extends SparkSpec {
     viaEncoded.nonEmpty shouldBe true
   }
 
+  it should "compose with ENCODED quad datasets (GRAPH + SERVICE)" in {
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    val quads = Seq(
+      ("p1", "worksAt", "org1", "urn:gA"),
+      ("p2", "worksAt", "org2", "urn:gB")
+    ).toDF("s", "p", "o", "g")
+    val (enc, dict) = graft.store.TripleStore.encodeQuads(quads)
+    val res = Sparql.executeQuadsEncoded(spark, enc, dict,
+      """PREFIX : <>
+        |SELECT ?g ?p ?l WHERE {
+        |  GRAPH ?g { ?p :worksAt ?o }
+        |  SERVICE <graft://orgs> { ?o :label ?l }
+        |} ORDER BY ?g""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    res shouldBe Array(
+      ("urn:gA", "p1", "\"Acme\""), ("urn:gB", "p2", "\"Globex\""))
+  }
+
   it should "join a STREAM against the registered endpoint (append-safe)" in {
     // the endpoint relation is bounded and static by construction, so a
     // live stream enriches through it like any stream-static join
