@@ -542,6 +542,20 @@ class QuadsSpec extends SparkSpec {
             |SELECT ?g ?s ?x WHERE {
             |  GRAPH ?g { ?s :p "1" OPTIONAL { ?s :q ?x } MINUS { ?s :q "9" } }
             |}""".stripMargin) should not be empty
+    // a BIND target REUSED by a later pattern in the same variable-GRAPH
+    // block: ?b is value-typed, so the later scan's ?b position demotes
+    // to term strings at the source (the contaminated-var discipline)
+    both("""PREFIX : <>
+            |SELECT ?g ?s ?w WHERE {
+            |  GRAPH ?g { ?s :p "1" . BIND(?s AS ?b) ?b :q ?w }
+            |}""".stripMargin) should not be empty
+    // id-space equality filters inside the block (encTermEqRewrite) and
+    // on the graph var itself
+    both("""PREFIX : <>
+            |SELECT ?g ?s ?o WHERE {
+            |  GRAPH ?g { ?s :p ?o FILTER(?o IN ("1", "9", "zzz")) }
+            |  FILTER(?g = "g2")
+            |}""".stripMargin) should not be empty
   }
 
   "updateQuads LOAD" should "load TriG with its own labels and Turtle INTO a graph" in {
