@@ -1663,6 +1663,28 @@ object SparkEntry {
       "DESCRIBE <nation:3>").orderBy("s", "p", "o")
   }
 
+  /** [[quadConstructQ]] over the ENCODED quad dataset: the WHERE
+    * compiles on long keys, only the template vars decode, and the
+    * instantiation is byte-identical to the string path (same oracle).
+    */
+  private def quadEncConstructQ(s: SparkSession, d: String): DataFrame = {
+    val (enc, dict) = GraftStore.quadDatasetEnc(s, d)
+    graft.sparql.Sparql.constructQuadsEncoded(s, enc, dict,
+      """PREFIX : <>
+        |CONSTRUCT { ?s :from ?g } WHERE { GRAPH ?g { ?s :a "Region" } }""".stripMargin)
+      .orderBy("s", "p", "o")
+  }
+
+  /** [[quadDescribeQ]] over the ENCODED quad dataset: CBD expansion on
+    * long keys (blank membership via a slim dictionary id set), one
+    * decode at the top (same oracle as the string twin).
+    */
+  private def quadEncDescribeQ(s: SparkSession, d: String): DataFrame = {
+    val (enc, dict) = GraftStore.quadDatasetEnc(s, d)
+    graft.sparql.Sparql.describeQuadsEncoded(s, enc, dict,
+      "DESCRIBE <nation:3>").orderBy("s", "p", "o")
+  }
+
   /** Fixed-iteration PageRank over the shared undirected entity
     * adjacency: 3 iterations, integer-pico contribution sums (order
     * independent, so the DuckDB oracle replays the recursion exactly).
@@ -2687,6 +2709,8 @@ object SparkEntry {
     "q_quad_const_algebra" -> (quadConstAlgebraQ _),
     "q_quad_construct" -> (quadConstructQ _),
     "q_quad_describe" -> (quadDescribeQ _),
+    "q_quad_enc_construct" -> (quadEncConstructQ _),
+    "q_quad_enc_describe" -> (quadEncDescribeQ _),
     "q_sparql_bind" -> (sparqlBind _),
     "q_sparql_if" -> (sparqlIf _),
     "q_sparql_bound" -> (sparqlBound _),
@@ -4017,7 +4041,23 @@ object SparkEntry {
       """SELECT 'region:' || r_regionkey AS s, 'from' AS p,
         |       'graph:region' AS o
         |FROM region ORDER BY s, p, o""".stripMargin,
+    "q_quad_enc_construct" ->
+      """SELECT 'region:' || r_regionkey AS s, 'from' AS p,
+        |       'graph:region' AS o
+        |FROM region ORDER BY s, p, o""".stripMargin,
     "q_quad_describe" ->
+      """SELECT s, p, o FROM (
+        |  SELECT 'nation:3' AS s, 'a' AS p, 'Nation' AS o
+        |  UNION ALL SELECT 'nation:3', 'name',
+        |    (SELECT n_name FROM nation WHERE n_nationkey = 3)
+        |  UNION ALL SELECT 'nation:3', 'regionkey',
+        |    'region:' || (SELECT n_regionkey FROM nation WHERE n_nationkey = 3)
+        |  UNION ALL SELECT 'customer:' || c_custkey, 'nationkey', 'nation:3'
+        |    FROM customer WHERE c_nationkey = 3
+        |  UNION ALL SELECT 'supplier:' || s_suppkey, 'nationkey', 'nation:3'
+        |    FROM supplier WHERE s_nationkey = 3
+        |) ORDER BY s, p, o""".stripMargin,
+    "q_quad_enc_describe" ->
       """SELECT s, p, o FROM (
         |  SELECT 'nation:3' AS s, 'a' AS p, 'Nation' AS o
         |  UNION ALL SELECT 'nation:3', 'name',

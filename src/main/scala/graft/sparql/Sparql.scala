@@ -3514,13 +3514,27 @@ object Sparql {
                           // drive pattern ordering, never results
                           stats: Map[String, PredStats] = Map.empty)
       : DataFrame = {
-    import graft.dict.Dictionary
     val q = parse(queryText)
-    val plain = plainVarsOf(q)
     val gConsts = q.postValues.fold(q.group)(pv =>
       q.group.copy(valuesMulti = q.group.valuesMulti :+ pv))
+    val env = quadEncEnv(spark, encQuads, dict, gConsts, plainVarsOf(q),
+      q.fromGraphs, q.fromNamed, stats)
+    graft.Prof.t("quadsEnc.compileQuery")(compileQuery(env, q, top = true))
+  }
+
+  /** The ENCODED quad environment for one group: hash every pattern
+    * constant driver-side, probe only the surfacing set (path endpoints,
+    * VALUES entries) against the dictionary, slice the §13.2 dataset on
+    * encoded graph ids. Shared by the four encoded quad query forms.
+    */
+  private def quadEncEnv(spark: SparkSession, encQuads: DataFrame,
+                         dict: DataFrame, gConsts: Group,
+                         plain: Set[String],
+                         fromGraphs: Seq[String], fromNamed: Seq[String],
+                         stats: Map[String, PredStats] = Map.empty): Env = {
+    import graft.dict.Dictionary
     val consts =
-      (groupConsts(gConsts) ++ q.fromGraphs ++ q.fromNamed).toSeq.sorted
+      (groupConsts(gConsts) ++ fromGraphs ++ fromNamed).toSeq.sorted
     val ids = graft.Prof.t("quadsEnc.hashLiterals")(
       Dictionary.hashLiterals(spark, consts))
     val probeSet =
@@ -3528,9 +3542,9 @@ object Sparql {
     val present = graft.Prof.t("quadsEnc.constProbe")(
       Dictionary.lookup(dict, probeSet))
     val localDict = probeSet.filterNot(present.contains).map(c => ids(c) -> c)
-    val explicitDataset = q.fromGraphs.nonEmpty || q.fromNamed.nonEmpty
-    val fromG = q.fromGraphs.map(ids)
-    val fromN = q.fromNamed.map(ids)
+    val explicitDataset = fromGraphs.nonEmpty || fromNamed.nonEmpty
+    val fromG = fromGraphs.map(ids)
+    val fromN = fromNamed.map(ids)
     val defaultG =
       if (!explicitDataset) encQuads.where(col("g").isNull).select("s", "p", "o")
       else if (fromG.isEmpty) encQuads.where(lit(false)).select("s", "p", "o")
@@ -3541,9 +3555,124 @@ object Sparql {
       else encQuads.where(col("g").isin(fromN: _*))
     val total =
       if (stats.nonEmpty) stats.values.map(_.cnt).sum else 1000000L
-    val env = Env(spark, defaultG, stats, total,
+    Env(spark, defaultG, stats, total,
       Some(EncEnv(dict, ids, localDict, plain)), quads = Some(named))
-    graft.Prof.t("quadsEnc.compileQuery")(compileQuery(env, q, top = true))
+  }
+
+  /** ASK over an ENCODED quad dataset: the existence probe runs on long
+    * keys end-to-end — no decode stage at all.
+    */
+  def askQuadsEncoded(spark: SparkSession, encQuads: DataFrame,
+                      dict: DataFrame, queryText: String): Boolean = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("ASK")
+    val (fromG, fromN) = parseDatasetClauses(p, prefixes)
+    p.tryKw("WHERE")
+    val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
+    val env = quadEncEnv(spark, encQuads, dict, group, plainVarsOfG(group),
+      fromG, fromN)
+    compileGroup(env, group).limit(1).count() > 0
+  }
+
+  /** CONSTRUCT over an ENCODED quad dataset: the WHERE pattern compiles
+    * on long keys; ONLY the template's variables decode (one slim pass),
+    * then the template instantiates exactly like the string path.
+    */
+  def constructQuadsEncoded(spark: SparkSession, encQuads: DataFrame,
+                            dict: DataFrame, queryText: String): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    p.eatKw("CONSTRUCT")
+    val template = parseGroup(p, prefixes)
+    require(template.filters.isEmpty && template.optionals.isEmpty &&
+      template.unions.isEmpty && template.minuses.isEmpty &&
+      template.paths.isEmpty && template.binds.isEmpty &&
+      template.subqueries.isEmpty && template.subgroups.isEmpty &&
+      template.graphs.isEmpty,
+      "CONSTRUCT template must contain only triple patterns")
+    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
+      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
+        "use labeled _:b blanks (skolemized fresh per solution)")
+    val (fromG, fromN) = parseDatasetClauses(p, prefixes)
+    p.eatKw("WHERE")
+    val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
+    val env = quadEncEnv(spark, encQuads, dict, group, plainVarsOfG(group),
+      fromG, fromN)
+    instantiate(template, decodeFinal(env, compileGroup(env, group)))
+  }
+
+  /** DESCRIBE over an ENCODED quad dataset — [[describeQuads]] semantics
+    * (CBD over the merged default + GRAPH-visible graphs) with the
+    * expansion on long keys: subjects resolve encoded, blank-node ids
+    * come from ONE dictionary slice (`_:` prefix scan), and only the
+    * final description decodes.
+    */
+  def describeQuadsEncoded(spark: SparkSession, encQuads: DataFrame,
+                           dict: DataFrame, queryText: String): DataFrame = {
+    val p = new P(tokenize(queryText))
+    val prefixes = parsePrefixes(p)
+    val (vars, consts, whereG, fromG, fromN) = parseDescribeHeader(p, prefixes)
+    val emptyG = Group(Seq.empty, Seq.empty, Seq.empty, Seq.empty)
+    val env = quadEncEnv(spark, encQuads, dict,
+      whereG.getOrElse(emptyG), plainVarsOfG(whereG.getOrElse(emptyG)),
+      fromG, fromN)
+    import spark.implicits._
+    val varSubjects = whereG match {
+      case Some(g) =>
+        val sols = compileGroup(env, g)
+        vars.filter(sols.columns.contains)
+          .map(v => sols.select(col(v).as("s")))
+      case None => Seq.empty
+    }
+    val constSubjects =
+      if (consts.isEmpty) Seq.empty
+      else Seq(consts.map(graft.dict.Dictionary.termHashLocal).toDF("s"))
+    val subjects = (varSubjects ++ constSubjects)
+      .reduce(_.unionAll(_)).distinct()
+    val merged = env.triples.unionByName(
+      env.quads.get.select("s", "p", "o"))
+    // blank ids: one slim dictionary scan — the CBD recursion tests
+    // blankness by (broadcast) semi-join instead of a string prefix test
+    val blanks = dict.where(col("term").startsWith("_:")).select(col("id"))
+    val out = cbdEncoded(spark, merged, subjects, blanks)
+    graft.dict.Dictionary.decodeAll(
+      out.localCheckpoint(true), env.dictAll, Seq("s", "p", "o"))
+  }
+
+  /** Concise Bounded Description over an ENCODED triple relation — the
+    * exact shape of the string-path [[cbd]]: outgoing ∪ incoming edges
+    * of the subjects, then the blank-OBJECT closure folds each blank's
+    * own outgoing description in (blank membership via the broadcast
+    * blank-id set instead of a string prefix test).
+    */
+  private def cbdEncoded(spark: SparkSession, triples: DataFrame,
+                         subjects0: DataFrame, blanks: DataFrame): DataFrame = {
+    val pins = new graft.Pins
+    val subjects = pins.pin(subjects0.select(col("s")).distinct())
+    val outgoing = triples.join(broadcast(subjects), Seq("s"), "left_semi")
+    val incoming = triples.join(
+      broadcast(subjects.select(col("s").as("o"))), Seq("o"), "left_semi")
+      .select(col("s"), col("p"), col("o"))
+    var described = outgoing.unionAll(incoming)
+    var expanded = subjects
+    def blankObjs(df: DataFrame): DataFrame =
+      pins.pin(df.select(col("o").as("s")).distinct()
+        .join(broadcast(blanks.select(col("id").as("s"))), Seq("s"), "left_semi")
+        .join(expanded, Seq("s"), "left_anti"))
+    var frontier = blankObjs(described)
+    var rounds = 0
+    while (!frontier.isEmpty) {
+      if (rounds >= 50)
+        throw new IllegalStateException(
+          s"DESCRIBE blank-node closure did not converge after $rounds rounds")
+      val step = pins.pin(triples.join(broadcast(frontier), Seq("s"), "left_semi"))
+      described = described.unionAll(step)
+      expanded = pins.pin(expanded.unionAll(frontier))
+      frontier = blankObjs(step)
+      rounds += 1
+    }
+    pins.seal(described.distinct())
   }
 
   /** ASK over a quad dataset — GRAPH blocks and dataset clauses apply. */

@@ -558,6 +558,30 @@ class QuadsSpec extends SparkSpec {
             |}""".stripMargin) should not be empty
   }
 
+  "the other encoded quad query forms" should "match their string twins" in {
+    val (enc, dict) = graft.store.TripleStore.encodeQuads(quads)
+    // ASK: encoded existence probes agree with the string path
+    Sparql.askQuadsEncoded(spark, enc, dict,
+      """PREFIX : <>
+        |ASK { GRAPH ?g { ?s :p "1" . ?s :q "2" } }""".stripMargin) shouldBe
+      Sparql.askQuads(spark, quads,
+        """PREFIX : <>
+          |ASK { GRAPH ?g { ?s :p "1" . ?s :q "2" } }""".stripMargin)
+    Sparql.askQuadsEncoded(spark, enc, dict,
+      "PREFIX : <>\nASK { GRAPH <g1> { ?s :p \"nope\" } }") shouldBe false
+    // CONSTRUCT: the instantiated graphs are identical
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(String, String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val cq =
+      """PREFIX : <>
+        |CONSTRUCT { ?s :inGraph ?g } WHERE { GRAPH ?g { ?s :p ?o } }""".stripMargin
+    rows(Sparql.constructQuadsEncoded(spark, enc, dict, cq)) shouldBe
+      rows(Sparql.constructQuads(spark, quads, cq))
+    // DESCRIBE: the CBDs agree (incoming + outgoing edges of <a>)
+    rows(Sparql.describeQuadsEncoded(spark, enc, dict, "DESCRIBE <a>")) shouldBe
+      rows(Sparql.describeQuads(spark, quads, "DESCRIBE <a>"))
+  }
+
   "updateQuads LOAD" should "load TriG with its own labels and Turtle INTO a graph" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-qload")
     try {
