@@ -117,7 +117,14 @@ class QuadParityFuzzSpec extends SparkSpec {
     val body = parts.mkString(" ")
     val group = rnd.nextInt(3) match {
       case 0 => body                       // default graph
-      case 1 => s"GRAPH ?g { $body }"      // variable target
+      case 1 =>
+        // per-graph LIMIT: a KEYLESS subquery slice orders by all
+        // projected columns, so the per-graph row_number is
+        // deterministic on both paths (full-row ties pick identical
+        // rows) — fuzzing the §13.3 per-active-graph semantics
+        if (rnd.nextInt(4) == 0)
+          s"GRAPH ?g { { SELECT * WHERE { $body } LIMIT ${1 + rnd.nextInt(2)} } }"
+        else s"GRAPH ?g { $body }"         // variable target
       case _ => s"GRAPH <g${rnd.nextInt(3) + 1}> { $body }" // constant target
     }
     val distinct = if (rnd.nextBoolean()) "DISTINCT " else ""
