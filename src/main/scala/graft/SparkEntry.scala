@@ -1863,6 +1863,42 @@ object SparkEntry {
       .orderBy("node")
   }
 
+  /** RDFS materialization over the driver-testdata store: a schema-sized
+    * TBox (class hierarchy over the table types, a property hierarchy
+    * over the FK predicates, domain/range on the DERIVED properties so
+    * inheritance must fire) is closed on the driver, the ABox rules run
+    * as single broadcast-join passes (ReasonOps), and the gate pins the
+    * closure's per-predicate / per-class census. The DuckDB oracle
+    * replays the closure independently with recursive CTEs.
+    */
+  private def rdfsClosureQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val tbox = s.createDataFrame(Seq(
+      ("Customer", ReasonOps.SubClassOf, "Agent"),
+      ("Supplier", ReasonOps.SubClassOf, "Agent"),
+      ("Agent", ReasonOps.SubClassOf, "Entity"),
+      ("Nation", ReasonOps.SubClassOf, "Place"),
+      ("Region", ReasonOps.SubClassOf, "Place"),
+      ("Place", ReasonOps.SubClassOf, "Entity"),
+      ("Order", ReasonOps.SubClassOf, "Event"),
+      ("Lineitem", ReasonOps.SubClassOf, "Event"),
+      ("nationkey", ReasonOps.SubPropertyOf, "locatedIn"),
+      ("regionkey", ReasonOps.SubPropertyOf, "locatedIn"),
+      ("locatedIn", ReasonOps.SubPropertyOf, "within"),
+      ("custkey", ReasonOps.SubPropertyOf, "party"),
+      ("suppkey", ReasonOps.SubPropertyOf, "party"),
+      ("locatedIn", ReasonOps.Domain, "Locatable"),
+      ("locatedIn", ReasonOps.Range, "Place"),
+      ("party", ReasonOps.Domain, "Transaction"),
+      ("party", ReasonOps.Range, "Agent"))).toDF("s", "p", "o")
+    val base = TripleStore.tableTriples(s, d).unionAll(tbox)
+    ReasonOps.rdfsClosure(base)
+      .groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p", "cls")
+  }
+
   /** The reference's own benchmark workload as driver gates: LUBM
     * University0 (318k triples from the reference's N-Triples fixtures)
     * with the two most join-heavy standard LUBM queries, run over the
@@ -2685,6 +2721,7 @@ object SparkEntry {
     "q_lubm9" -> (lubm9Q _),
     "q_label_prop" -> (labelPropQ _),
     "q_components" -> (componentsQ _),
+    "q_rdfs_closure" -> (rdfsClosureQ _),
     "q_triangles" -> (trianglesQ _),
     "q_bfs_dist" -> (bfsDistQ _),
     "q_turtle_load" -> (turtleLoadQ _),
@@ -3871,6 +3908,90 @@ object SparkEntry {
         |  SELECT u.o, reach.r FROM reach JOIN und u ON u.s = reach.d)
         |SELECT d AS node, min(r) AS component FROM reach
         |GROUP BY d ORDER BY node""".stripMargin,
+    // RDFS closure replayed independently: recursive CTEs close the
+    // hierarchy pairs, then each rho-df rule is one join — no reuse of
+    // the engine's effective-map construction
+    "q_rdfs_closure" ->
+      """WITH RECURSIVE tr AS (
+        |  SELECT 'region:'||r_regionkey AS s, 'a' AS p, 'Region' AS o FROM region
+        |  UNION ALL SELECT 'region:'||r_regionkey, 'name', r_name FROM region
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'a', 'Nation' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'name', n_name FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'regionkey', 'region:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'a', 'Customer' FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'name', c_name FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'mktsegment', c_mktsegment FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'nationkey', 'nation:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'a', 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'name', s_name FROM supplier
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nationkey', 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'part:'||p_partkey, 'a', 'Part' FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'name', p_name FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'brand', p_brand FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'type', p_type FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'size', p_size::VARCHAR FROM part
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'a', 'Order' FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'custkey', 'customer:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'a', 'Lineitem' FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'orderkey', 'order:'||l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'partkey', 'part:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'suppkey', 'supplier:'||l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'linestatus', l_linestatus FROM lineitem),
+        |tbox(s, p, o) AS (SELECT * FROM (VALUES
+        |  ('Customer','rdfs:subClassOf','Agent'),
+        |  ('Supplier','rdfs:subClassOf','Agent'),
+        |  ('Agent','rdfs:subClassOf','Entity'),
+        |  ('Nation','rdfs:subClassOf','Place'),
+        |  ('Region','rdfs:subClassOf','Place'),
+        |  ('Place','rdfs:subClassOf','Entity'),
+        |  ('Order','rdfs:subClassOf','Event'),
+        |  ('Lineitem','rdfs:subClassOf','Event'),
+        |  ('nationkey','rdfs:subPropertyOf','locatedIn'),
+        |  ('regionkey','rdfs:subPropertyOf','locatedIn'),
+        |  ('locatedIn','rdfs:subPropertyOf','within'),
+        |  ('custkey','rdfs:subPropertyOf','party'),
+        |  ('suppkey','rdfs:subPropertyOf','party'),
+        |  ('locatedIn','rdfs:domain','Locatable'),
+        |  ('locatedIn','rdfs:range','Place'),
+        |  ('party','rdfs:domain','Transaction'),
+        |  ('party','rdfs:range','Agent')) v(s, p, o)),
+        |spc(a, b) AS (
+        |  SELECT s, o FROM tbox WHERE p = 'rdfs:subPropertyOf'
+        |  UNION
+        |  SELECT spc.a, t2.o FROM spc JOIN tbox t2
+        |    ON t2.p = 'rdfs:subPropertyOf' AND t2.s = spc.b),
+        |scc(a, b) AS (
+        |  SELECT s, o FROM tbox WHERE p = 'rdfs:subClassOf'
+        |  UNION
+        |  SELECT scc.a, t2.o FROM scc JOIN tbox t2
+        |    ON t2.p = 'rdfs:subClassOf' AND t2.s = scc.b),
+        |base AS (SELECT * FROM tr UNION ALL SELECT * FROM tbox),
+        |props AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT b.s, spc.b AS p, b.o FROM base b JOIN spc ON b.p = spc.a),
+        |typed AS (
+        |  SELECT s, o FROM props WHERE p = 'a'
+        |  UNION ALL
+        |  SELECT pr.s, tb.o FROM props pr
+        |    JOIN tbox tb ON tb.p = 'rdfs:domain' AND tb.s = pr.p
+        |  UNION ALL
+        |  SELECT pr.o, tb.o FROM props pr
+        |    JOIN tbox tb ON tb.p = 'rdfs:range' AND tb.s = pr.p),
+        |closure AS (
+        |  SELECT DISTINCT s, p, o FROM (
+        |    SELECT s, p, o FROM props
+        |    UNION ALL SELECT s, 'a', o FROM typed
+        |    UNION ALL SELECT ty.s, 'a', scc.b FROM typed ty JOIN scc ON ty.o = scc.a
+        |    UNION ALL SELECT a, 'rdfs:subPropertyOf', b FROM spc
+        |    UNION ALL SELECT a, 'rdfs:subClassOf', b FROM scc))
+        |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns
+        |FROM closure GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     // triangle counting: the oracle enumerates each triangle once via
     // the canonical a<b<c 3-way join — same set the degree-ordered
     // wedge join finds

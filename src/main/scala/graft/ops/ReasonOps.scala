@@ -1,0 +1,143 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** RDFS forward-chaining materialization (the rho-df core: rdfs2/3 domain
+  * and range, rdfs5/7 sub-property, rdfs9/11 sub-class), Spark-first.
+  *
+  * The reference has no inference surface at all (it delegates query
+  * processing to Jena and never registers a reasoner — `Sparql.scala`
+  * builds plain `QueryEngineMain` plans), but RDFS closure is table
+  * stakes for an RDF analytics engine and the standard pre-processing
+  * step for LUBM-class workloads, so the engine provides it as an
+  * extension with the scale shape that survives 100 TB:
+  *
+  *   - the TBox (all `rdfs:subClassOf` / `rdfs:subPropertyOf` /
+  *     `rdfs:domain` / `rdfs:range` statements) is SCHEMA-sized — it is
+  *     collected once (capped, fail-fast) and transitively closed on the
+  *     driver in memory, so the quadratic-ish closure never touches the
+  *     cluster;
+  *   - every ABox rule is then exactly ONE broadcast hash join against a
+  *     driver-built derivation table (no fixpoint over the data): with
+  *     the property hierarchy pre-closed, sub-property expansion (rdfs7)
+  *     is a single pass, domain/range typing (rdfs2/3) fires off the
+  *     EFFECTIVE maps (dom*(p) = union of declared domains over p and
+  *     all its super-properties, so inherited domains need no second
+  *     round), and sub-class expansion (rdfs9) runs once over all type
+  *     assertions, base and derived;
+  *   - the only wide operator is the final `distinct` that dedups the
+  *     union of base and derived triples — one shuffle of the output.
+  *
+  * Deliberately out of scope (documented, standard for rho-df engines):
+  * TBox statements ABOUT the type predicate itself (a super-property of
+  * `rdf:type`, or a domain/range declared on it) and the RDFS axiomatic
+  * triples (rdfs4a/4b `rdfs:Resource` typing, container-membership
+  * properties) — both explode output size without analytic value.
+  */
+object ReasonOps {
+
+  val SubClassOf    = "rdfs:subClassOf"
+  val SubPropertyOf = "rdfs:subPropertyOf"
+  val Domain        = "rdfs:domain"
+  val Range         = "rdfs:range"
+  private val TboxPreds = Seq(SubClassOf, SubPropertyOf, Domain, Range)
+
+  /** Proper transitive closure of a (small, driver-side) edge list:
+    * every (a, b) with a path a -> ... -> b of length >= 1 and a != b.
+    * BFS with a visited set, so cycles terminate (a cycle member reaches
+    * every other member but never itself — reflexive pairs carry no
+    * information for expansion and are dropped).
+    */
+  private[graft] def transitive(edges: Seq[(String, String)]): Seq[(String, String)] = {
+    val adj = edges.groupBy(_._1).map { case (k, es) => (k, es.map(_._2).distinct) }
+    adj.keys.toSeq.sorted.flatMap { a =>
+      val seen = scala.collection.mutable.Set[String]()
+      val queue = scala.collection.mutable.Queue(adj(a): _*)
+      while (queue.nonEmpty) {
+        val b = queue.dequeue()
+        if (seen.add(b)) queue ++= adj.getOrElse(b, Nil)
+      }
+      (seen - a).toSeq.sorted.map((a, _))
+    }
+  }
+
+  /** The RDFS closure of `triples` (columns s, p, o in the store term
+    * convention; `typePred` is the store's rdf:type predicate — the
+    * driver-testdata stores use plain "a"). Returns base UNION inferred,
+    * deduplicated, including the closed TBox statements themselves
+    * (rdfs5/rdfs11: transitive `subPropertyOf` / `subClassOf` pairs).
+    */
+  def rdfsClosure(triples: DataFrame, typePred: String = "a",
+                  tboxCap: Int = 1 << 20): DataFrame = {
+    val spark = triples.sparkSession
+    import spark.implicits._
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+
+    // The TBox is the schema: collect once, closed on the driver. The cap
+    // is a safety net against a mis-shaped input (an ABox predicate named
+    // rdfs:subClassOf), not a tuning knob.
+    val tbox = t.where(col("p").isin(TboxPreds: _*))
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    require(tbox.length <= tboxCap,
+      s"TBox exceeds $tboxCap statements — not schema-shaped; raise tboxCap " +
+        "only if the ontology is genuinely this large")
+
+    val spPairs = transitive(tbox.collect { case (s, SubPropertyOf, o) => (s, o) })
+    val scPairs = transitive(tbox.collect { case (s, SubClassOf, o) => (s, o) })
+    val spMap = spPairs.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    val domDecl = tbox.collect { case (s, Domain, o) => (s, o) }
+    val rngDecl = tbox.collect { case (s, Range, o) => (s, o) }
+
+    // Effective domain/range: dom*(p) = union of declared domains over
+    // {p} and sp*(p), so domains inherited through the property hierarchy
+    // fire in the SAME single pass as declared ones.
+    def effective(decl: Seq[(String, String)]): Seq[(String, String)] = {
+      val byProp = decl.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+      val props = (byProp.keySet ++ spMap.keySet).toSeq.sorted
+      props.flatMap { p =>
+        val classes = (Seq(p) ++ spMap.getOrElse(p, Nil))
+          .flatMap(q => byProp.getOrElse(q, Nil)).distinct.sorted
+        classes.map((p, _))
+      }
+    }
+
+    def pairDf(pairs: Seq[(String, String)], a: String, b: String): DataFrame =
+      spark.createDataFrame(pairs).toDF(a, b)
+
+    val derived = scala.collection.mutable.ListBuffer[DataFrame]()
+    // rdfs7: (s p o), p sp* q  =>  (s q o)
+    if (spPairs.nonEmpty)
+      derived += t.join(broadcast(pairDf(spPairs, "p", "q")), "p")
+        .select(col("s"), col("q").as("p"), col("o"))
+    // rdfs2: (s p o), dom*(p) ∋ C  =>  (s type C)
+    val domEff = effective(domDecl)
+    if (domEff.nonEmpty)
+      derived += t.join(broadcast(pairDf(domEff, "p", "c")), "p")
+        .select(col("s"), lit(typePred).as("p"), col("c").as("o"))
+    // rdfs3: (s p o), rng*(p) ∋ C  =>  (o type C)
+    val rngEff = effective(rngDecl)
+    if (rngEff.nonEmpty)
+      derived += t.join(broadcast(pairDf(rngEff, "p", "c")), "p")
+        .select(col("o").as("s"), lit(typePred).as("p"), col("c").as("o"))
+    // rdfs9: (s type C), C sc* D  =>  (s type D) — over base AND derived
+    // type assertions (domain/range-produced types expand too).
+    if (scPairs.nonEmpty) {
+      val allTypes = (t.where(col("p") === typePred).select("s", "o") +:
+        derived.toSeq.map(_.where(col("p") === typePred).select("s", "o")))
+        .reduce(_.unionAll(_))
+      derived += allTypes.join(broadcast(pairDf(scPairs, "o", "d")), "o")
+        .select(col("s"), lit(typePred).as("p"), col("d").as("o"))
+    }
+    // rdfs5 / rdfs11: the closed hierarchy statements themselves.
+    val tboxClosed =
+      spPairs.map { case (a, b) => (a, SubPropertyOf, b) } ++
+        scPairs.map { case (a, b) => (a, SubClassOf, b) }
+    if (tboxClosed.nonEmpty)
+      derived += spark.createDataFrame(tboxClosed).toDF("s", "p", "o")
+
+    (t +: derived.toSeq).reduce(_.unionAll(_)).distinct()
+  }
+}
