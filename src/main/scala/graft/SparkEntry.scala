@@ -1777,6 +1777,39 @@ object SparkEntry {
       .orderBy("s", "p", "o")
   }
 
+  /** RDF/XML loader end-to-end: nation rendered with the syntax variety
+    * that exercises the parser (typed node elements, property
+    * attributes, xml:lang, rdf:resource, rdf:datatype), written as two
+    * files, parsed back by the distributed loader.
+    */
+  private def rdfXmlLoadQ(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    def esc(x: String) = x.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;").replace("\"", "&quot;")
+    def render(part: Seq[(Long, String, Long)]): String =
+      "<?xml version=\"1.0\"?>\n" +
+        "<rdf:RDF xmlns:rdf=\"http://www.w3.org/1999/02/22-rdf-syntax-ns#\"" +
+        " xmlns:p=\"prop:\" xmlns:t=\"type:\">\n" +
+        part.map { case (k, name, rk) =>
+          s"""  <t:Nation rdf:about="nation:$k" p:abbr="${esc(name.take(3))}">
+             |    <p:name xml:lang="en">${esc(name)}</p:name>
+             |    <p:region rdf:resource="region:$rk"/>
+             |    <p:key rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">$k</p:key>
+             |  </t:Nation>
+             |""".stripMargin
+        }.mkString + "</rdf:RDF>\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-rdfxml-gate")
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    java.nio.file.Files.writeString(dir.resolve("part1.rdf"), render(half1))
+    java.nio.file.Files.writeString(dir.resolve("part2.rdf"), render(half2))
+    graft.store.TripleStore.parseRdfXml(s, dir.toString + "/*.rdf")
+      .orderBy("s", "p", "o")
+  }
+
   /** TriG loader end-to-end: nation and region rendered as named graph
     * blocks plus a default-graph statement, parsed back by the
     * distributed quad loader. Default-graph rows surface as g='default'
@@ -2725,6 +2758,7 @@ object SparkEntry {
     "q_triangles" -> (trianglesQ _),
     "q_bfs_dist" -> (bfsDistQ _),
     "q_turtle_load" -> (turtleLoadQ _),
+    "q_rdfxml_load" -> (rdfXmlLoadQ _),
     "q_trig_load" -> (trigLoadQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_service" -> (sparqlServiceQ _),
@@ -3878,6 +3912,23 @@ object SparkEntry {
         |         '"Nation"' AS o FROM nation
         |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:name', '"'||n_name||'"' FROM nation
         |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:region', 'region:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:key',
+        |    '"'||n_nationkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM nation
+        |)
+        |SELECT s, p, o FROM tri ORDER BY s, p, o""".stripMargin,
+    // RDF/XML loader: typed node elements, property attributes, lang
+    // tags, resource refs, datatyped text — replayed as plain SQL
+    "q_rdfxml_load" ->
+      """WITH tri AS (
+        |  SELECT 'nation:'||n_nationkey AS s,
+        |         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |         'type:Nation' AS o FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:abbr',
+        |    '"'||substr(n_name, 1, 3)||'"' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:name',
+        |    '"'||n_name||'"@en' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:region',
+        |    'region:'||n_regionkey FROM nation
         |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:key',
         |    '"'||n_nationkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM nation
         |)

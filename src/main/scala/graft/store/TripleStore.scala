@@ -178,6 +178,25 @@ object TripleStore {
       .toDF("s", "p", "o")
   }
 
+  /** Parse RDF/XML documents into (s, p, o) — the legacy-interop sibling
+    * of `parseTurtle` (W3C RDF 1.1 XML syntax, the default export of
+    * many older triple stores). Same per-FILE parallelism (`wholetext`,
+    * one StAX parse per file executor-side) and the same 63-bit per-file
+    * blank scoping; relative IRIs resolve against each file's own
+    * `file:` URI unless the document carries xml:base.
+    */
+  def parseRdfXml(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val scope = f"${graft.dict.Dictionary.termHashLocal(f)}%016x"
+        RdfXml.parse(content, scope, baseIri = f)
+      }
+      .toDF("s", "p", "o")
+  }
+
   /** Parse TriG documents into (s, p, o, g) quads — the quad sibling of
     * `parseTurtle` (RDF 1.1 TriG: Turtle statements in the default
     * graph, `[GRAPH] <label> { ... }` blocks in named graphs). Plain
