@@ -1221,6 +1221,33 @@ object SparkEntry {
       .toDF("line_no", "line")
   }
 
+  /** RDF/XML WRITER bytes (QName splitting, rdf:datatype / xml:lang /
+    * rdf:resource / rdf:nodeID forms), byte-hashed against the DuckDB
+    * string replay like [[resultsTtlQ]].
+    */
+  private def resultsRdfXmlQ(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val g = n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("prop:key").as("p"),
+        concat(lit("\""), col("n_nationkey"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")).as("o"))
+      .unionByName(n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("prop:name").as("p"),
+        concat(lit("\""), col("n_name"), lit("\"@en")).as("o")))
+      .unionByName(n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("prop:region").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o")))
+      .unionByName(s.range(1).select(
+        lit("_:doc:b1").as("s"), lit("prop:note").as("p"), lit("\"x\"").as("o")))
+    val doc = graft.sparql.Results.toRdfXml(g, Map("p" -> "prop:"))
+    import s.implicits._
+    doc.split("\n", -1).toSeq.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+      .toDF("line_no", "line")
+  }
+
   // ---- SPARQL front-end (replaces the reference's Jena layer) ---------
 
   private def sparqlOver(s: SparkSession, d: String, q: String): DataFrame = {
@@ -2730,6 +2757,7 @@ object SparkEntry {
     "q_results_nq" -> (resultsNqQ _),
     "q_results_ttl" -> (resultsTtlQ _),
     "q_results_trig" -> (resultsTrigQ _),
+    "q_results_rdfxml" -> (resultsRdfXmlQ _),
     "q_asof_join" -> (asofJoinQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_sparql_chain" -> (sparqlChain _),
@@ -4721,6 +4749,34 @@ object SparkEntry {
         |  UNION ALL SELECT 2 + n + rn,
         |    '  r:' || substr(s, 8) || ' <touched> "y" .' FROM o
         |  UNION ALL SELECT 3 + 2*n, '}' FROM o WHERE rn = 1
+        |)
+        |SELECT row_number() OVER (ORDER BY ord) AS line_no, line
+        |FROM lines ORDER BY line_no""".stripMargin,
+    // RDF/XML writer bytes: one Description stanza per subject (blank
+    // first by store-term sort), three property forms per nation
+    "q_results_rdfxml" ->
+      """WITH t AS (SELECT 'nation:' || n_nationkey AS s, n_name AS nm,
+        |                  n_nationkey AS k, n_regionkey AS rk FROM nation),
+        |o AS (SELECT t.*, row_number() OVER (ORDER BY s) AS rn,
+        |             count(*) OVER () AS n FROM t),
+        |lines AS (
+        |  SELECT 1 AS ord, '<?xml version="1.0"?>' AS line
+        |  UNION ALL SELECT 2,
+        |    '<rdf:RDF xmlns:p="prop:" xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#">'
+        |  UNION ALL SELECT 3, '  <rdf:Description rdf:nodeID="bdoc_cb1">'
+        |  UNION ALL SELECT 4, '    <p:note>x</p:note>'
+        |  UNION ALL SELECT 5, '  </rdf:Description>'
+        |  UNION ALL SELECT 5 + 5*(rn-1) + 1,
+        |    '  <rdf:Description rdf:about="' || s || '">' FROM o
+        |  UNION ALL SELECT 5 + 5*(rn-1) + 2,
+        |    '    <p:key rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">'
+        |      || k || '</p:key>' FROM o
+        |  UNION ALL SELECT 5 + 5*(rn-1) + 3,
+        |    '    <p:name xml:lang="en">' || nm || '</p:name>' FROM o
+        |  UNION ALL SELECT 5 + 5*(rn-1) + 4,
+        |    '    <p:region rdf:resource="region:' || rk || '"/>' FROM o
+        |  UNION ALL SELECT 5 + 5*(rn-1) + 5, '  </rdf:Description>' FROM o
+        |  UNION ALL SELECT 6 + 5*n, '</rdf:RDF>' FROM o WHERE rn = 1
         |)
         |SELECT row_number() OVER (ORDER BY ord) AS line_no, line
         |FROM lines ORDER BY line_no""".stripMargin,

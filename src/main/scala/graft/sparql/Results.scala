@@ -199,6 +199,114 @@ object Results {
     (header ++ blocks).mkString("\n")
   }
 
+  /** RDF/XML serialization of a bounded graph — the writer half of
+    * `TripleStore.parseRdfXml` (round-tripped in RdfXmlSpec, byte-pinned
+    * by the q_results_rdfxml gate). Property elements must be QNames, so
+    * each predicate IRI splits at the longest caller namespace whose
+    * remainder is an NCName, else automatically before its longest
+    * NCName suffix; auto namespaces get deterministic nsK prefixes in
+    * sorted order. Subjects, predicates and objects sort, so the
+    * document is deterministic. Blank nodes emit NCName-safe
+    * rdf:nodeID labels ('b' + the injective blankPn escape) — the usual
+    * label-renaming round-trip, isomorphic not byte-identical. Literals
+    * containing control characters XML 1.0 cannot carry are rejected
+    * (use the N-Triples sink); '\r' survives as a character reference.
+    */
+  def toRdfXml(graph: DataFrame, namespaces: Map[String, String] = Map.empty,
+               limit: Int = 10000): String = {
+    val RDFNS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+    val rows = graph.select(col("s"), col("p"), col("o")).limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"graph exceeds $limit triples - raise the limit or use the N-Triples sink")
+    val triples = rows
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq.sorted
+    def escT(v: String) = v.replace("&", "&amp;").replace("<", "&lt;")
+      .replace(">", "&gt;")
+    def escA(v: String) = escT(v).replace("\"", "&quot;")
+    def ncName(v: String) = v.nonEmpty && (v.head.isLetter || v.head == '_') &&
+      v.forall(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.')
+    def split(p: String): (String, String) =
+      namespaces.values.toSeq.distinct.sortBy(-_.length)
+        .collectFirst {
+          case ns if p.startsWith(ns) && ncName(p.substring(ns.length)) =>
+            (ns, p.substring(ns.length))
+        }
+        .getOrElse {
+          val tail = p.reverseIterator
+            .takeWhile(c => c.isLetterOrDigit || c == '_' || c == '-' || c == '.')
+            .length
+          var i = p.length - tail
+          while (i < p.length && !(p(i).isLetter || p(i) == '_')) i += 1
+          require(i > 0 && i < p.length,
+            s"predicate IRI '$p' has no namespace/NCName split for RDF/XML " +
+              "- register its namespace explicitly")
+          (p.substring(0, i), p.substring(i))
+        }
+    val splits = triples.map(t => (t._2, split(t._2))).toMap
+    val prefixOf = scala.collection.mutable.LinkedHashMap(RDFNS -> "rdf")
+    namespaces.toSeq.sortBy(_._1).foreach { case (pfx, ns) =>
+      if (!prefixOf.contains(ns)) prefixOf(ns) = pfx
+    }
+    val taken = scala.collection.mutable.Set(prefixOf.values.toSeq: _*) += "xml"
+    splits.values.map(_._1).toSeq.distinct.sorted.foreach { ns =>
+      if (!prefixOf.contains(ns)) {
+        var k = 1
+        while (taken.contains(s"ns$k")) k += 1
+        taken += s"ns$k"; prefixOf(ns) = s"ns$k"
+      }
+    }
+    def unescapeLex(v: String): String = {
+      val sb = new StringBuilder; var i = 0
+      while (i < v.length) {
+        val c = v.charAt(i)
+        if (c == '\\' && i + 1 < v.length) {
+          v.charAt(i + 1) match {
+            case 'n' => sb.append('\n')
+            case 't' => sb.append('\t')
+            case 'r' => sb.append('\r')
+            case 'b' => sb.append('\b')
+            case 'f' => sb.append('\f')
+            case other => sb.append(other)
+          }
+          i += 2
+        } else { sb.append(c); i += 1 }
+      }
+      sb.result()
+    }
+    def textContent(lexEscaped: String): String = {
+      val raw = unescapeLex(lexEscaped)
+      require(raw.forall(c => c >= ' ' || c == '\n' || c == '\t' || c == '\r'),
+        "literal contains control characters XML 1.0 cannot represent " +
+          "- use the N-Triples sink")
+      escT(raw).replace("\r", "&#xD;")
+    }
+    val body = triples.groupBy(_._1).toSeq.sortBy(_._1).flatMap { case (s, ts) =>
+      val subjAttr =
+        if (s.startsWith("_:")) s"""rdf:nodeID="b${blankPn(s.substring(2))}""""
+        else s"""rdf:about="${escA(s)}""""
+      val props = ts.map(t => (t._2, t._3)).sorted.map { case (p, o) =>
+        val (ns, local) = splits(p)
+        val q = s"${prefixOf(ns)}:$local"
+        o match {
+          case litRe(lex, lang, dt) if dt != null =>
+            s"""    <$q rdf:datatype="${escA(dt)}">${textContent(lex)}</$q>"""
+          case litRe(lex, lang, _) if lang != null =>
+            s"""    <$q xml:lang="$lang">${textContent(lex)}</$q>"""
+          case litRe(lex, _, _) =>
+            s"""    <$q>${textContent(lex)}</$q>"""
+          case b if b.startsWith("_:") =>
+            s"""    <$q rdf:nodeID="b${blankPn(b.substring(2))}"/>"""
+          case iri => s"""    <$q rdf:resource="${escA(iri)}"/>"""
+        }
+      }
+      s"  <rdf:Description $subjAttr>" +: props :+ "  </rdf:Description>"
+    }
+    val decls = prefixOf.toSeq.map { case (ns, pfx) => (pfx, ns) }.sortBy(_._1)
+      .map { case (pfx, ns) => s"""xmlns:$pfx="${escA(ns)}"""" }
+    (Seq("<?xml version=\"1.0\"?>", s"<rdf:RDF ${decls.mkString(" ")}>") ++
+      body :+ "</rdf:RDF>").mkString("\n")
+  }
+
   /** The literal's lexical form for CSV (IRIs/bnodes pass through bare,
     * per the W3C CSV rules).
     */

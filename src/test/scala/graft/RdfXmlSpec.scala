@@ -175,6 +175,41 @@ class RdfXmlSpec extends SparkSpec {
     an[RdfXml.ParseException] should be thrownBy p("<rdf:RDF <unclosed")
   }
 
+  "Results.toRdfXml" should "round-trip ground graphs through RdfXml.parse" in {
+    import spark.implicits._
+    val g = Seq(
+      ("http://ex.org/a", "http://ex.org/name", "\"Li \\\"q\\\" ne\\nx\""),
+      ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b"),
+      ("http://ex.org/a", "http://ex.org/age",
+        "\"42\"^^<http://www.w3.org/2001/XMLSchema#int>"),
+      ("http://ex.org/b", "http://ex.org/tag", "\"wort\"@de"),
+      ("http://ex.org/b", "http://ex.org/esc", "\"a<b&c>d\"")
+    )
+    val doc = graft.sparql.Results.toRdfXml(g.toDF("s", "p", "o"))
+    RdfXml.parse(doc, "Z").toSet shouldBe g.toSet
+  }
+
+  it should "round-trip blank nodes up to relabeling" in {
+    import spark.implicits._
+    val g = Seq(
+      ("_:f:x", "http://ex.org/name", "\"anon\""),
+      ("http://ex.org/a", "http://ex.org/ref", "_:f:x"))
+    val doc = graft.sparql.Results.toRdfXml(g.toDF("s", "p", "o"))
+    val back = RdfXml.parse(doc, "Z")
+    back should have size 2
+    val b = back.collect { case (s, "http://ex.org/name", "\"anon\"") => s }
+    b should have size 1
+    b.head should startWith("_:Z:")
+    back should contain(("http://ex.org/a", "http://ex.org/ref", b.head))
+  }
+
+  it should "reject predicates with no QName split" in {
+    import spark.implicits._
+    val g = Seq(("http://ex.org/a", "name", "\"x\"")).toDF("s", "p", "o")
+    an[IllegalArgumentException] should be thrownBy
+      graft.sparql.Results.toRdfXml(g)
+  }
+
   "TripleStore.parseRdfXml" should "scope blanks per file" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-rdfxml-spec")
     val doc =
