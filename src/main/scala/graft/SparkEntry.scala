@@ -1959,6 +1959,57 @@ object SparkEntry {
       .orderBy("p", "cls")
   }
 
+  /** owl:sameAs smushing over an aliased nation graph: 2- and 3-member
+    * identity clusters (chained sameAs, so single-hop rewriting would be
+    * WRONG), canonicalized distributed via rank-encoded connected
+    * components. The oracle replays the expected rewrite directly.
+    */
+  private def owlSameAsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val base = n.select(concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("name").as("p"), col("n_name").as("o"))
+      .unionByName(n.select(concat(lit("alias:"), col("n_nationkey")).as("s"),
+        lit("regionkey").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o")))
+      .unionByName(n.where(col("n_nationkey") % 2 === 0).select(
+        concat(lit("alias:"), col("n_nationkey")).as("s"),
+        lit(ReasonOps.SameAs).as("p"),
+        concat(lit("nation:"), col("n_nationkey")).as("o")))
+      .unionByName(n.where(col("n_nationkey") % 4 === 0).select(
+        concat(lit("alias2:"), col("n_nationkey")).as("s"),
+        lit(ReasonOps.SameAs).as("p"),
+        concat(lit("alias:"), col("n_nationkey")).as("o")))
+    val (rewritten, _) = ReasonOps.sameAsCanonicalize(base)
+    rewritten.orderBy("s", "p", "o")
+  }
+
+  /** OWL property rules over a nation chain: a transitive `next` ring
+    * road (closes by iterated squaring, log2(25) rounds), its declared
+    * inverse `prev` (must cover the CLOSED chain, not just base edges),
+    * and a symmetric `borders`. Census by predicate keeps the gate
+    * stable while pinning every rule's row count.
+    */
+  private def owlClosureQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val base = n.where(col("n_nationkey") < 24).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("next").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 1).as("o"))
+      .unionByName(n.where(col("n_nationkey") < 5).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("borders").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 5).as("o")))
+      .unionByName(s.createDataFrame(Seq(
+        ("next", "a", ReasonOps.TransitiveProperty),
+        ("prev", ReasonOps.InverseOf, "next"),
+        ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o"))
+    ReasonOps.owlClosure(base)
+      .groupBy("p").agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p")
+  }
+
   /** The reference's own benchmark workload as driver gates: LUBM
     * University0 (318k triples from the reference's N-Triples fixtures)
     * with the two most join-heavy standard LUBM queries, run over the
@@ -2783,6 +2834,8 @@ object SparkEntry {
     "q_label_prop" -> (labelPropQ _),
     "q_components" -> (componentsQ _),
     "q_rdfs_closure" -> (rdfsClosureQ _),
+    "q_owl_sameas" -> (owlSameAsQ _),
+    "q_owl_closure" -> (owlClosureQ _),
     "q_triangles" -> (trianglesQ _),
     "q_bfs_dist" -> (bfsDistQ _),
     "q_turtle_load" -> (turtleLoadQ _),
@@ -4071,6 +4124,49 @@ object SparkEntry {
         |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM closure GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // sameAs smushing: the oracle applies the expected cluster
+    // representatives directly (alias2 < alias < nation in term order)
+    "q_owl_sameas" ->
+      """WITH n AS (SELECT n_nationkey AS k, n_name AS nm, n_regionkey AS rk
+        |           FROM nation),
+        |tri AS (
+        |  SELECT CASE WHEN k % 4 = 0 THEN 'alias2:'||k
+        |              WHEN k % 2 = 0 THEN 'alias:'||k
+        |              ELSE 'nation:'||k END AS s,
+        |         'name' AS p, nm AS o FROM n
+        |  UNION ALL
+        |  SELECT CASE WHEN k % 4 = 0 THEN 'alias2:'||k
+        |              ELSE 'alias:'||k END,
+        |         'regionkey', 'region:'||rk FROM n
+        |)
+        |SELECT s, p, o FROM tri ORDER BY s, p, o""".stripMargin,
+    // OWL property rules: the oracle recloses the next-chain with a
+    // recursive CTE and derives prev/borders independently
+    "q_owl_closure" ->
+      """WITH RECURSIVE nxt(a, b) AS (
+        |  SELECT 'nation:'||n_nationkey, 'nation:'||(n_nationkey+1)
+        |  FROM nation WHERE n_nationkey < 24
+        |  UNION
+        |  SELECT nxt.a, 'nation:'||(n_nationkey+1) FROM nxt
+        |  JOIN nation ON 'nation:'||n_nationkey = nxt.b AND n_nationkey < 24
+        |),
+        |bord AS (SELECT 'nation:'||n_nationkey AS a,
+        |                'nation:'||(n_nationkey+5) AS b
+        |         FROM nation WHERE n_nationkey < 5),
+        |tri AS (
+        |  SELECT 'next' AS p, a AS s, b AS o FROM nxt
+        |  UNION ALL SELECT 'prev', b, a FROM nxt
+        |  UNION ALL SELECT 'borders', a, b FROM bord
+        |  UNION ALL SELECT 'borders', b, a FROM bord
+        |  UNION ALL SELECT 'a', 'next',
+        |    'http://www.w3.org/2002/07/owl#TransitiveProperty'
+        |  UNION ALL SELECT 'a', 'borders',
+        |    'http://www.w3.org/2002/07/owl#SymmetricProperty'
+        |  UNION ALL SELECT 'http://www.w3.org/2002/07/owl#inverseOf',
+        |    'prev', 'next'
+        |)
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns
+        |FROM (SELECT DISTINCT * FROM tri) GROUP BY p ORDER BY p""".stripMargin,
     // triangle counting: the oracle enumerates each triangle once via
     // the canonical a<b<c 3-way join — same set the degree-ordered
     // wedge join finds

@@ -140,4 +140,150 @@ object ReasonOps {
 
     (t +: derived.toSeq).reduce(_.unionAll(_)).distinct()
   }
+
+  val InverseOf          = "http://www.w3.org/2002/07/owl#inverseOf"
+  val SymmetricProperty  = "http://www.w3.org/2002/07/owl#SymmetricProperty"
+  val TransitiveProperty = "http://www.w3.org/2002/07/owl#TransitiveProperty"
+  val SameAs             = "http://www.w3.org/2002/07/owl#sameAs"
+
+  /** All-pairs transitive closure of an edge relation by iterated
+    * squaring: each round joins the path set with itself, so a graph of
+    * diameter d closes in ceil(log2 d) rounds — the only shape that
+    * survives long chains at scale (linear relaxation pays d rounds).
+    * Output size is the real cost ceiling (reachability can be
+    * quadratic in a component); that is inherent to materialization,
+    * not the algorithm. Self-loops are dropped (irreflexive closure).
+    */
+  def transitiveClosure(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+    val Seq(c0, c1) = edges.columns.take(2).toSeq
+    var paths = edges.select(col(c0).as("a"), col(c1).as("b"))
+      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    var n = paths.count()
+    var round = 0
+    var done = n == 0
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"transitiveClosure did not converge in $maxRounds doubling rounds")
+      val next = paths.as("x")
+        .join(paths.as("y"), col("x.b") === col("y.a"))
+        .select(col("x.a").as("a"), col("y.b").as("b"))
+        .where(col("a") =!= col("b"))
+        .unionByName(paths).distinct().localCheckpoint(true)
+      val m = next.count()
+      // next ⊇ paths (union), so equal counts == fixpoint
+      done = m == n
+      paths = next; n = m
+    }
+    paths
+  }
+
+  /** OWL property-rule materialization (the horn subset RDFS lacks):
+    * `owl:inverseOf` (both directions), `owl:SymmetricProperty`, and
+    * `owl:TransitiveProperty` — declarations are schema-sized and close
+    * on the driver (inverseOf is made symmetric; a property inverse to
+    * a symmetric one is itself symmetric-closed through the derived
+    * pass), inverse/symmetric derivation is one broadcast join, and
+    * each declared transitive property closes by iterated squaring over
+    * ITS edge set only (after inverse/symmetric derivation, so inverse
+    * edges participate in chains). owl:sameAs is deliberately separate
+    * ([[sameAsCanonicalize]]): identity sets are DATA-sized and must
+    * never reach the driver.
+    */
+  def owlClosure(triples: DataFrame, typePred: String = "a",
+                 tboxCap: Int = 1 << 20): DataFrame = {
+    val spark = triples.sparkSession
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val tbox = t.where(col("p") === InverseOf ||
+        (col("p") === typePred &&
+          col("o").isin(SymmetricProperty, TransitiveProperty)))
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    require(tbox.length <= tboxCap,
+      s"OWL property declarations exceed $tboxCap — not schema-shaped")
+    val inv = tbox.collect { case (a, InverseOf, b) => (a, b) }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val sym = tbox.collect {
+      case (p, _, SymmetricProperty) => p
+    }.distinct
+    val trans = tbox.collect {
+      case (p, _, TransitiveProperty) => p
+    }.distinct.sorted
+
+    // one inverse + symmetric derivation pass over a triple set
+    def invSym(rel: DataFrame): Seq[DataFrame] = {
+      val buf = scala.collection.mutable.ListBuffer[DataFrame]()
+      if (inv.nonEmpty) {
+        val invDf = spark.createDataFrame(inv).toDF("p", "q")
+        buf += rel.join(broadcast(invDf), "p")
+          .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
+      }
+      if (sym.nonEmpty)
+        buf += rel.where(col("p").isin(sym: _*))
+          .select(col("o").as("s"), col("p"), col("s").as("o"))
+      buf.toSeq
+    }
+    // pass 1: inverse/symmetric over base, so derived edges join chains
+    val pass1 = invSym(t)
+    val withInv = (t +: pass1).reduce(_.unionAll(_))
+    // each declared transitive property closes over ITS edge set
+    val closed = trans.map { p =>
+      val edges = withInv.where(col("p") === p).select("s", "o")
+      transitiveClosure(edges)
+        .select(col("a").as("s"), lit(p).as("p"), col("b").as("o"))
+    }
+    // pass 2: inverse/symmetric of CLOSURE-derived edges (the inverse of
+    // a closed chain). This is the fixpoint for the declared rules:
+    // closure(inverse(S)) = inverse(closure(S)), so a transitive q
+    // already subsumes its pass-2 rows, and a non-transitive q gains
+    // exactly inverse(closure(p)) — nothing feeds back.
+    val pass2 = closed.flatMap(invSym)
+    (Seq(withInv) ++ closed ++ pass2).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** owl:sameAs smushing, the entity-resolution canonicalization: the
+    * sameAs statements form an undirected identity graph whose
+    * connected components are computed DISTRIBUTED (GraphOps CC over
+    * rank-encoded long ids, O(log d) pointer-jumped rounds — sameAs
+    * sets are data-sized outputs of entity resolution, never
+    * driver-collectable), each cluster takes its minimum member as the
+    * canonical term, and every subject/object rewrites through the
+    * mapping with two joins. Returns (rewritten triples with the
+    * sameAs statements dropped, the member → canonical mapping for
+    * provenance). The mapping join is plan-hinted broadcast only by
+    * Spark's own size estimate — no assumption that identities are
+    * small.
+    */
+  def sameAsCanonicalize(triples: DataFrame, sameAsPred: String = SameAs)
+      : (DataFrame, DataFrame) = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val pairs = t.where(col("p") === sameAsPred).select("s", "o")
+    val nodes = pairs.select(col("s").as("node"))
+      .unionAll(pairs.select(col("o").as("node")))
+    val ranks = GraphOps.orderRanks(nodes).localCheckpoint(true)
+    val enc = pairs
+      .join(ranks.select(col("node").as("s"), col("rk").as("srk")), Seq("s"))
+      .join(ranks.select(col("node").as("o"), col("rk").as("ork")), Seq("o"))
+      .select(col("srk").as("s"), col("ork").as("o"))
+    // component id = min RANK = rank of the min member (orderRanks is
+    // order-preserving), so decoding the component rank IS the min term
+    val cc = GraphOps.connectedComponents(enc)
+    val mapping = cc
+      .join(ranks.select(col("rk").as("node"), col("node").as("member")),
+        Seq("node"))
+      .join(ranks.select(col("rk").as("component"), col("node").as("canon")),
+        Seq("component"))
+      .select(col("member"), col("canon"))
+      .localCheckpoint(true)
+    val rewritten = t.where(col("p") =!= sameAsPred)
+      .join(mapping.withColumnRenamed("member", "s"), Seq("s"), "left")
+      .select(coalesce(col("canon"), col("s")).as("s"), col("p"), col("o"))
+      .join(mapping.withColumnRenamed("member", "o")
+        .withColumnRenamed("canon", "canon2"), Seq("o"), "left")
+      .select(col("s"), col("p"), coalesce(col("canon2"), col("o")).as("o"))
+      .distinct()
+    (rewritten, mapping)
+  }
 }

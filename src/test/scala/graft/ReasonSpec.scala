@@ -98,6 +98,71 @@ class ReasonSpec extends SparkSpec {
     got should not contain (("B", SubClassOf, "B"))
   }
 
+  "ReasonOps.transitiveClosure" should "close a chain in log rounds" in {
+    val e = Seq(("1", "2"), ("2", "3"), ("3", "4")).toDF("a", "b")
+    // diameter 3 closes in 2 doubling rounds + 1 fixpoint-confirm round
+    ReasonOps.transitiveClosure(e, maxRounds = 3).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set("1" -> "2", "1" -> "3", "1" -> "4",
+        "2" -> "3", "2" -> "4", "3" -> "4")
+  }
+
+  it should "terminate on cycles without self pairs" in {
+    val e = Seq(("a", "b"), ("b", "a")).toDF("a", "b")
+    ReasonOps.transitiveClosure(e).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set("a" -> "b", "b" -> "a")
+  }
+
+  "ReasonOps.owlClosure" should "invert CLOSED chains, not just base edges" in {
+    val g = Seq(
+      ("p", "a", ReasonOps.TransitiveProperty),
+      ("q", ReasonOps.InverseOf, "p"),
+      ("x", "p", "y"), ("y", "p", "z")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlClosure(g))
+    got should contain(("x", "p", "z"))
+    // inverse of the DERIVED x->z edge (the pass-2 fixpoint)
+    got should contain(("z", "q", "x"))
+    got should contain(("y", "q", "x"))
+    got should contain(("z", "q", "y"))
+    // and base q edges feed p chains through the inverse
+    val g2 = Seq(
+      ("p", "a", ReasonOps.TransitiveProperty),
+      ("q", ReasonOps.InverseOf, "p"),
+      ("x", "p", "y"), ("z", "q", "y")
+    ).toDF("s", "p", "o")
+    tset(ReasonOps.owlClosure(g2)) should contain(("x", "p", "z"))
+  }
+
+  it should "close a symmetric transitive property both ways" in {
+    val g = Seq(
+      ("r", "a", ReasonOps.SymmetricProperty),
+      ("r", "a", ReasonOps.TransitiveProperty),
+      ("x", "r", "y"), ("y", "r", "z")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlClosure(g))
+    for (a <- Seq("x", "y", "z"); b <- Seq("x", "y", "z") if a != b)
+      got should contain((a, "r", b))
+  }
+
+  "ReasonOps.sameAsCanonicalize" should "smush chained identities to the min" in {
+    val g = Seq(
+      ("b", ReasonOps.SameAs, "c"),
+      ("c", ReasonOps.SameAs, "a"),       // chain: {a, b, c} one cluster
+      ("b", "knows", "d"),
+      ("d", "knows", "c"),
+      ("e", "knows", "e")                  // untouched
+    ).toDF("s", "p", "o")
+    val (rewritten, mapping) = ReasonOps.sameAsCanonicalize(g)
+    tset(rewritten) shouldBe Set(
+      ("a", "knows", "d"),
+      ("d", "knows", "a"),
+      ("e", "knows", "e"))
+    mapping.collect().map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("a", "a"), ("b", "a"), ("c", "a"))
+  }
+
   it should "fail fast on a non-schema-shaped TBox" in {
     val g = (1 to 100).map(i => (s"s$i", SubClassOf, s"o$i")).toDF("s", "p", "o")
     val e = intercept[IllegalArgumentException] {
