@@ -1221,6 +1221,38 @@ object SparkEntry {
       .toDF("line_no", "line")
   }
 
+  /** W3C results-JSON round trip: a result with lang literals, typed
+    * literals and UNBOUND cells serializes through toJson and parses
+    * back through fromJson (the federation-client half); the oracle is
+    * the direct relation, so writer∘parser must be the identity.
+    */
+  private def resultsJsonRtQ(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val df = n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("nat"),
+        concat(lit("\""), col("n_name"), lit("\"@en")).as("nm"),
+        when(col("n_nationkey") % 3 === 0,
+          concat(lit("\""), col("n_regionkey"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>"))).as("rk"))
+      .orderBy("nat")
+    graft.sparql.Results.fromJson(s, graft.sparql.Results.toJson(df))
+      .orderBy("nat")
+  }
+
+  /** W3C results-XML round trip (toXml ∘ fromXml identity), with a
+    * blank-node column on top of the JSON gate's shapes.
+    */
+  private def resultsXmlRtQ(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val df = n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("nat"),
+        concat(lit("\""), col("n_name"), lit("\"")).as("nm"),
+        when(col("n_nationkey") % 2 === 0, lit("_:doc:b1")).as("bn"))
+      .orderBy("nat")
+    graft.sparql.Results.fromXml(s, graft.sparql.Results.toXml(df))
+      .orderBy("nat")
+  }
+
   /** RDF/XML WRITER bytes (QName splitting, rdf:datatype / xml:lang /
     * rdf:resource / rdf:nodeID forms), byte-hashed against the DuckDB
     * string replay like [[resultsTtlQ]].
@@ -2809,6 +2841,8 @@ object SparkEntry {
     "q_results_ttl" -> (resultsTtlQ _),
     "q_results_trig" -> (resultsTrigQ _),
     "q_results_rdfxml" -> (resultsRdfXmlQ _),
+    "q_results_json_rt" -> (resultsJsonRtQ _),
+    "q_results_xml_rt" -> (resultsXmlRtQ _),
     "q_asof_join" -> (asofJoinQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_sparql_chain" -> (sparqlChain _),
@@ -4848,6 +4882,16 @@ object SparkEntry {
         |)
         |SELECT row_number() OVER (ORDER BY ord) AS line_no, line
         |FROM lines ORDER BY line_no""".stripMargin,
+    "q_results_json_rt" ->
+      """SELECT 'nation:'||n_nationkey AS nat, '"'||n_name||'"@en' AS nm,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN
+        |    '"'||n_regionkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        |  END AS rk
+        |FROM nation ORDER BY nat""".stripMargin,
+    "q_results_xml_rt" ->
+      """SELECT 'nation:'||n_nationkey AS nat, '"'||n_name||'"' AS nm,
+        |  CASE WHEN n_nationkey % 2 = 0 THEN '_:doc:b1' END AS bn
+        |FROM nation ORDER BY nat""".stripMargin,
     // RDF/XML writer bytes: one Description stanza per subject (blank
     // first by store-term sort), three property forms per nation
     "q_results_rdfxml" ->

@@ -1,7 +1,8 @@
 package graft.sparql
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 
 /** W3C SPARQL 1.1 Query Results serialization — the interop surface a
   * Jena-based deployment gets from `ResultSetFormatter` (the reference
@@ -21,6 +22,41 @@ import org.apache.spark.sql.functions._
 object Results {
 
   private val litRe = """^"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?$""".r
+
+  /** Store-convention literal escape (the exact inverse pair used by the
+    * Turtle/N-Triples parsers): lexical forms travel inside the store
+    * with `\\ \" \n \r \t` escapes; serialization boundaries unescape to
+    * the RAW lexical form and re-escape per the carrier format.
+    */
+  private[graft] def escapeLex(s: String): String = s.flatMap {
+    case '\\' => "\\\\"
+    case '"' => "\\\""
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c => c.toString
+  }
+
+  private[graft] def unescapeLex(v: String): String = {
+    val sb = new StringBuilder; var i = 0
+    while (i < v.length) {
+      val c = v.charAt(i)
+      if (c == '\\' && i + 1 < v.length) {
+        v.charAt(i + 1) match {
+          case 'n' => sb.append('\n')
+          case 't' => sb.append('\t')
+          case 'r' => sb.append('\r')
+          case '\\' => sb.append('\\')
+          case '"' => sb.append('"')
+          // not an escapeLex production (a mal-escaped lone backslash in
+          // the data): preserve it verbatim rather than eat the backslash
+          case other => sb.append('\\').append(other)
+        }
+        i += 2
+      } else { sb.append(c); i += 1 }
+    }
+    sb.result()
+  }
 
   /** SPARQL 1.1 Query Results JSON (driver-side; at most `limit` rows,
     * throws beyond it rather than silently truncating).
@@ -45,7 +81,9 @@ object Results {
           if (lang != null) s""","xml:lang":"${esc(lang)}""""
           else if (dt != null) s""","datatype":"${esc(dt)}""""
           else ""
-        s"""{"type":"literal","value":"${esc(lex)}"$extra}"""
+        // the W3C value is the RAW lexical form: store escapes unescape
+        // first, then JSON re-escapes (a stored \n becomes JSON "\n")
+        s"""{"type":"literal","value":"${esc(unescapeLex(lex))}"$extra}"""
       case b if b.startsWith("_:") =>
         s"""{"type":"bnode","value":"${esc(b.substring(2))}"}"""
       case i => s"""{"type":"uri","value":"${esc(i)}"}"""
@@ -74,10 +112,9 @@ object Results {
       case '>' => "&gt;"
       case '&' => "&amp;"
       case '"' => "&quot;"
+      case '\r' => "&#13;" // survives XML line-end normalization
       case c => c.toString
     }
-    def unescapeLex(lex: String): String =
-      lex.replaceAll("""\\(.)""", "$1")
     def term(v: String): String = v match {
       case litRe(lex, lang, dt) =>
         val attrs =
@@ -99,6 +136,194 @@ object Results {
     """<?xml version="1.0"?>""" +
       """<sparql xmlns="http://www.w3.org/2005/sparql-results#">""" +
       s"<head>$head</head><results>$results</results></sparql>"
+  }
+
+  /** The store-convention term for a parsed results binding. */
+  private def bindingTerm(tpe: String, value: String, lang: Option[String],
+                          dt: Option[String]): String = tpe match {
+    case "uri" => value
+    case "bnode" => "_:" + value
+    case "literal" | "typed-literal" => // typed-literal: legacy alias
+      "\"" + escapeLex(value) + "\"" +
+        lang.map("@" + _).orElse(dt.map("^^<" + _ + ">")).getOrElse("")
+    case other =>
+      throw new IllegalArgumentException(s"unknown binding type '$other'")
+  }
+
+  private def bindingsDf(spark: SparkSession, vars: Seq[String],
+                         rows: Seq[Map[String, String]]): DataFrame = {
+    val schema = StructType(vars.map(StructField(_, StringType, nullable = true)))
+    val data = rows.map(m => Row.fromSeq(vars.map(m.get(_).orNull)))
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+        .SeqHasAsJava(data).asJava), schema)
+  }
+
+  /** Parse a SPARQL 1.1 Query Results JSON document into a DataFrame —
+    * the CLIENT half of [[toJson]], what a federation consumer does
+    * with a protocol response (register the result as a SERVICE
+    * endpoint relation). Columns follow `head.vars` in document order;
+    * vars absent from a row's bindings are null; terms re-enter the
+    * store convention. Driver-side and document-bounded by nature.
+    */
+  def fromJson(spark: SparkSession, doc: String): DataFrame = {
+    val root = Json.parse(doc) match {
+      case m: Map[_, _] => m.asInstanceOf[Map[String, Any]]
+      case _ => throw new IllegalArgumentException("results doc is not a JSON object")
+    }
+    val head = root.getOrElse("head", Map.empty)
+      .asInstanceOf[Map[String, Any]]
+    val vars = head.getOrElse("vars", Vector.empty)
+      .asInstanceOf[Vector[Any]].map(_.toString)
+    val bindings = root.get("results").toSeq
+      .flatMap(_.asInstanceOf[Map[String, Any]]
+        .getOrElse("bindings", Vector.empty).asInstanceOf[Vector[Any]])
+    val rows = bindings.map { b =>
+      b.asInstanceOf[Map[String, Any]].map { case (v, t) =>
+        val m = t.asInstanceOf[Map[String, Any]]
+        v -> bindingTerm(m("type").toString, m("value").toString,
+          m.get("xml:lang").map(_.toString), m.get("datatype").map(_.toString))
+      }
+    }
+    bindingsDf(spark, vars, rows)
+  }
+
+  /** Parse a SPARQL Query Results XML document into a DataFrame — the
+    * client half of [[toXml]] (StAX, DTD/external entities disabled).
+    */
+  def fromXml(spark: SparkSession, doc: String): DataFrame = {
+    import javax.xml.stream.{XMLInputFactory, XMLStreamConstants}
+    val f = XMLInputFactory.newInstance()
+    f.setProperty(XMLInputFactory.IS_COALESCING, java.lang.Boolean.TRUE)
+    f.setProperty(XMLInputFactory.SUPPORT_DTD, java.lang.Boolean.FALSE)
+    f.setProperty(XMLInputFactory.IS_SUPPORTING_EXTERNAL_ENTITIES,
+      java.lang.Boolean.FALSE)
+    val r = f.createXMLStreamReader(new java.io.StringReader(doc))
+    val vars = scala.collection.mutable.ArrayBuffer[String]()
+    val rows = scala.collection.mutable.ArrayBuffer[Map[String, String]]()
+    var row = Map.empty[String, String]
+    var bindName: String = null
+    try {
+      while (r.hasNext) r.next() match {
+        case XMLStreamConstants.START_ELEMENT => r.getLocalName match {
+          case "variable" => vars += r.getAttributeValue(null, "name")
+          case "result" => row = Map.empty
+          case "binding" => bindName = r.getAttributeValue(null, "name")
+          case t @ ("uri" | "bnode" | "literal") =>
+            val lang = Option(r.getAttributeValue(
+              "http://www.w3.org/XML/1998/namespace", "lang"))
+            val dt = Option(r.getAttributeValue(null, "datatype"))
+            row += bindName -> bindingTerm(t, r.getElementText, lang, dt)
+          case _ => ()
+        }
+        case XMLStreamConstants.END_ELEMENT if r.getLocalName == "result" =>
+          rows += row
+        case _ => ()
+      }
+    } finally r.close()
+    bindingsDf(spark, vars.toSeq, rows.toSeq)
+  }
+
+  /** Minimal strict JSON reader (objects → Map, arrays → Vector,
+    * numbers → BigDecimal, strings with full \\uXXXX escapes) — enough
+    * for results documents without pulling a dependency.
+    */
+  private object Json {
+    def parse(s: String): Any = {
+      val p = new P(s)
+      val v = p.value()
+      p.ws()
+      require(p.pos >= s.length, s"trailing JSON content at ${p.pos}")
+      v
+    }
+    private final class P(in: String) {
+      var pos = 0
+      def ws(): Unit =
+        while (pos < in.length && in.charAt(pos).isWhitespace) pos += 1
+      private def fail(msg: String): Nothing =
+        throw new IllegalArgumentException(s"$msg at offset $pos")
+      private def expect(c: Char): Unit = {
+        ws()
+        if (pos >= in.length || in.charAt(pos) != c) fail(s"expected '$c'")
+        pos += 1
+      }
+      def value(): Any = {
+        ws()
+        if (pos >= in.length) fail("unexpected end")
+        in.charAt(pos) match {
+          case '{' => obj()
+          case '[' => arr()
+          case '"' => str()
+          case 't' => lit("true", java.lang.Boolean.TRUE)
+          case 'f' => lit("false", java.lang.Boolean.FALSE)
+          case 'n' => lit("null", null)
+          case _ => num()
+        }
+      }
+      private def lit(kw: String, v: Any): Any = {
+        if (!in.regionMatches(pos, kw, 0, kw.length)) fail(s"expected $kw")
+        pos += kw.length; v
+      }
+      private def obj(): Map[String, Any] = {
+        expect('{'); ws()
+        val m = scala.collection.mutable.LinkedHashMap[String, Any]()
+        if (pos < in.length && in.charAt(pos) == '}') { pos += 1; return m.toMap }
+        var more = true
+        while (more) {
+          ws(); val k = str(); expect(':'); m(k) = value(); ws()
+          if (pos < in.length && in.charAt(pos) == ',') pos += 1
+          else { expect('}'); more = false }
+        }
+        m.toMap
+      }
+      private def arr(): Vector[Any] = {
+        expect('['); ws()
+        val b = Vector.newBuilder[Any]
+        if (pos < in.length && in.charAt(pos) == ']') { pos += 1; return b.result() }
+        var more = true
+        while (more) {
+          b += value(); ws()
+          if (pos < in.length && in.charAt(pos) == ',') pos += 1
+          else { expect(']'); more = false }
+        }
+        b.result()
+      }
+      private def str(): String = {
+        expect('"')
+        val sb = new StringBuilder
+        while (pos < in.length && in.charAt(pos) != '"') {
+          val c = in.charAt(pos)
+          if (c == '\\') {
+            pos += 1
+            if (pos >= in.length) fail("dangling escape")
+            in.charAt(pos) match {
+              case '"' => sb.append('"'); pos += 1
+              case '\\' => sb.append('\\'); pos += 1
+              case '/' => sb.append('/'); pos += 1
+              case 'b' => sb.append('\b'); pos += 1
+              case 'f' => sb.append('\f'); pos += 1
+              case 'n' => sb.append('\n'); pos += 1
+              case 'r' => sb.append('\r'); pos += 1
+              case 't' => sb.append('\t'); pos += 1
+              case 'u' =>
+                if (pos + 4 >= in.length) fail("short \\u escape")
+                sb.append(Integer.parseInt(in.substring(pos + 1, pos + 5), 16).toChar)
+                pos += 5
+              case other => fail(s"bad escape '\\$other'")
+            }
+          } else { sb.append(c); pos += 1 }
+        }
+        expect('"')
+        sb.result()
+      }
+      private def num(): BigDecimal = {
+        val start = pos
+        while (pos < in.length &&
+          ("+-.eE0123456789".indexOf(in.charAt(pos)) >= 0)) pos += 1
+        if (pos == start) fail("expected a JSON value")
+        BigDecimal(in.substring(start, pos))
+      }
+    }
   }
 
   /** Turtle serialization of an (s, p, o) GRAPH result (CONSTRUCT /
@@ -254,24 +479,6 @@ object Results {
         while (taken.contains(s"ns$k")) k += 1
         taken += s"ns$k"; prefixOf(ns) = s"ns$k"
       }
-    }
-    def unescapeLex(v: String): String = {
-      val sb = new StringBuilder; var i = 0
-      while (i < v.length) {
-        val c = v.charAt(i)
-        if (c == '\\' && i + 1 < v.length) {
-          v.charAt(i + 1) match {
-            case 'n' => sb.append('\n')
-            case 't' => sb.append('\t')
-            case 'r' => sb.append('\r')
-            case 'b' => sb.append('\b')
-            case 'f' => sb.append('\f')
-            case other => sb.append(other)
-          }
-          i += 2
-        } else { sb.append(c); i += 1 }
-      }
-      sb.result()
     }
     def textContent(lexEscaped: String): String = {
       val raw = unescapeLex(lexEscaped)

@@ -120,6 +120,39 @@ class ResultsSpec extends SparkSpec {
     lines should contain("knows,_:b0")
   }
 
+  "fromJson" should "round-trip terms, escapes and unbound cells" in {
+    import spark.implicits._
+    val df = Seq(
+      ("iri:a", "\"li \\\"q\\\" ne\\nx\"", Some("_:s:b1")),
+      ("iri:b", "\"wort\"@de", None),
+      ("iri:c", "\"7\"^^<http://www.w3.org/2001/XMLSchema#int>", Some("iri:d"))
+    ).toDF("s", "v", "w")
+    val doc = Results.toJson(df)
+    // W3C JSON carries the RAW lexical form: the stored \n becomes a
+    // real JSON \n escape, not a double-escaped backslash
+    doc should include("li \\\"q\\\" ne\\nx")
+    doc should not include "\\\\n"
+    val back = Results.fromJson(spark, doc)
+    back.columns.toSeq shouldBe Seq("s", "v", "w")
+    back.collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.getString(2)))).toSet shouldBe df.collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+  }
+
+  "fromXml" should "round-trip terms, escapes and unbound cells" in {
+    import spark.implicits._
+    val df = Seq(
+      ("iri:a", "\"a<b&c>d \\\"q\\\"\"", Some("_:s:b1")),
+      ("iri:b", "\"wort\"@de", None),
+      ("iri:c", "\"7\"^^<http://www.w3.org/2001/XMLSchema#int>", Some("iri:d"))
+    ).toDF("s", "v", "w")
+    val back = Results.fromXml(spark, Results.toXml(df))
+    back.columns.toSeq shouldBe Seq("s", "v", "w")
+    back.collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.getString(2)))).toSet shouldBe df.collect()
+      .map(r => (r.getString(0), r.getString(1), Option(r.getString(2)))).toSet
+  }
+
   "writeTsv" should "write ?var header + SPARQL-syntax terms" in {
     val dir = Files.createTempDirectory("graft_tsv").toString
     Results.writeTsv(q("ORDER BY ?p").coalesce(1), dir)
