@@ -1963,7 +1963,7 @@ object SparkEntry {
     * closure's per-predicate / per-class census. The DuckDB oracle
     * replays the closure independently with recursive CTEs.
     */
-  private def rdfsClosureQ(s: SparkSession, d: String): DataFrame = {
+  private def rdfsClosureOver(s: SparkSession, d: String): DataFrame = {
     import graft.ops.ReasonOps
     val tbox = s.createDataFrame(Seq(
       ("Customer", ReasonOps.SubClassOf, "Agent"),
@@ -1985,11 +1985,29 @@ object SparkEntry {
       ("party", ReasonOps.Range, "Agent"))).toDF("s", "p", "o")
     val base = TripleStore.tableTriples(s, d).unionAll(tbox)
     ReasonOps.rdfsClosure(base)
+  }
+
+  private def rdfsClosureQ(s: SparkSession, d: String): DataFrame =
+    rdfsClosureOver(s, d)
       .groupBy(col("p"),
         when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
       .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
       .orderBy("p", "cls")
-  }
+
+  /** Entailment-regime querying: plain SPARQL over the MATERIALIZED
+    * RDFS closure — the query matches only INFERRED triples (`within`
+    * exists solely through the sub-property chain, `a Place` solely
+    * through sub-class/range rules), while the oracle computes the same
+    * answer directly from the base tables, independent of any closure
+    * replay.
+    */
+  private def rdfsSparqlQ(s: SparkSession, d: String): DataFrame =
+    graft.sparql.Sparql.execute(s, rdfsClosureOver(s, d),
+      """PREFIX : <>
+        |SELECT ?r (COUNT(?x) AS ?n) WHERE {
+        |  ?x :within ?r .
+        |  ?r a "Place" .
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)
 
   /** owl:sameAs smushing over an aliased nation graph: 2- and 3-member
     * identity clusters (chained sameAs, so single-hop rewriting would be
@@ -2868,6 +2886,7 @@ object SparkEntry {
     "q_label_prop" -> (labelPropQ _),
     "q_components" -> (componentsQ _),
     "q_rdfs_closure" -> (rdfsClosureQ _),
+    "q_rdfs_sparql" -> (rdfsSparqlQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
     "q_owl_closure" -> (owlClosureQ _),
     "q_triangles" -> (trianglesQ _),
@@ -4158,6 +4177,15 @@ object SparkEntry {
         |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM closure GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // entailment-regime query: the oracle answers from the BASE tables
+    // (within = nationkey/regionkey chains, Place = nations+regions),
+    // fully independent of the closure construction
+    "q_rdfs_sparql" ->
+      """WITH w AS (
+        |  SELECT 'nation:'||c_nationkey AS r FROM customer
+        |  UNION ALL SELECT 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'region:'||n_regionkey FROM nation)
+        |SELECT r, count(*) AS n FROM w GROUP BY r ORDER BY r""".stripMargin,
     // sameAs smushing: the oracle applies the expected cluster
     // representatives directly (alias2 < alias < nation in term order)
     "q_owl_sameas" ->
