@@ -69,11 +69,16 @@ object ReasonOps {
     * (rdfs5/rdfs11: transitive `subPropertyOf` / `subClassOf` pairs).
     */
   def rdfsClosure(triples: DataFrame, typePred: String = "a",
-                  tboxCap: Int = 1 << 20): DataFrame = {
+                  tboxCap: Int = 1 << 20, pinInput: Boolean = true): DataFrame = {
     val spark = triples.sparkSession
     import spark.implicits._
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
-    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    // The derivation reads the input ~6x (TBox probe + one pass per rule
+    // + the final union); pin it once when it fits executor storage.
+    // At full-corpus scale pass pinInput=false - columnar re-scans of
+    // the source (no shuffle, filters pushed) beat caching 100 TB.
+    val t0 = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val t = if (pinInput) t0.localCheckpoint(true) else t0
 
     // The TBox is the schema: collect once, closed on the driver. The cap
     // is a safety net against a mis-shaped input (an ABox predicate named
