@@ -1869,6 +1869,35 @@ object SparkEntry {
       .orderBy("s", "p", "o")
   }
 
+  /** JSON-LD loader end-to-end: nation rendered with the construct
+    * variety that exercises the subset (context terms with @type
+    * coercion, compact IRIs, @vocab, value objects, number typing),
+    * written as two files, parsed back by the distributed loader.
+    */
+  private def jsonLdLoadQ(s: SparkSession, d: String): DataFrame = {
+    val rows = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    def render(part: Seq[(Long, String, Long)]): String =
+      """{"@context": {"@vocab": "prop:", "n": "nation:", "r": "region:",""" +
+        """ "region": {"@id": "prop:region", "@type": "@id"}},""" +
+        "\n\"@graph\": [\n" +
+        part.map { case (k, name, rk) =>
+          s"""  {"@id": "n:$k", "@type": "Nation",
+             |   "name": {"@value": "${esc(name)}", "@language": "en"},
+             |   "region": "r:$rk", "key": $k}""".stripMargin
+        }.mkString(",\n") + "\n]}\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonld-gate")
+    val (half1, half2) = rows.splitAt(rows.length / 2)
+    java.nio.file.Files.writeString(dir.resolve("part1.jsonld"), render(half1))
+    java.nio.file.Files.writeString(dir.resolve("part2.jsonld"), render(half2))
+    graft.store.TripleStore.parseJsonLd(s, dir.toString + "/*.jsonld")
+      .orderBy("s", "p", "o")
+  }
+
   /** TriG loader end-to-end: nation and region rendered as named graph
     * blocks plus a default-graph statement, parsed back by the
     * distributed quad loader. Default-graph rows surface as g='default'
@@ -2893,6 +2922,7 @@ object SparkEntry {
     "q_bfs_dist" -> (bfsDistQ _),
     "q_turtle_load" -> (turtleLoadQ _),
     "q_rdfxml_load" -> (rdfXmlLoadQ _),
+    "q_jsonld_load" -> (jsonLdLoadQ _),
     "q_trig_load" -> (trigLoadQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_service" -> (sparqlServiceQ _),
@@ -4059,6 +4089,21 @@ object SparkEntry {
         |         'type:Nation' AS o FROM nation
         |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:abbr',
         |    '"'||substr(n_name, 1, 3)||'"' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:name',
+        |    '"'||n_name||'"@en' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:region',
+        |    'region:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:key',
+        |    '"'||n_nationkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>' FROM nation
+        |)
+        |SELECT s, p, o FROM tri ORDER BY s, p, o""".stripMargin,
+    // JSON-LD loader: @vocab/@type expansion, @id coercion, value
+    // objects, scalar typing — replayed as plain SQL
+    "q_jsonld_load" ->
+      """WITH tri AS (
+        |  SELECT 'nation:'||n_nationkey AS s,
+        |         'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+        |         'prop:Nation' AS o FROM nation
         |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:name',
         |    '"'||n_name||'"@en' FROM nation
         |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:region',

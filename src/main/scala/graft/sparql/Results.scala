@@ -226,9 +226,10 @@ object Results {
 
   /** Minimal strict JSON reader (objects → Map, arrays → Vector,
     * numbers → BigDecimal, strings with full \\uXXXX escapes) — enough
-    * for results documents without pulling a dependency.
+    * for results documents and the JSON-LD loader without pulling a
+    * dependency.
     */
-  private object Json {
+  private[graft] object Json {
     def parse(s: String): Any = {
       val p = new P(s)
       val v = p.value()

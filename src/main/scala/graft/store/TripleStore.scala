@@ -197,6 +197,24 @@ object TripleStore {
       .toDF("s", "p", "o")
   }
 
+  /** Parse JSON-LD documents into (s, p, o) — the modern-web-interop
+    * sibling of `parseTurtle` (W3C JSON-LD 1.0 core subset; see
+    * [[JsonLd]] for the documented boundaries). Same per-FILE
+    * parallelism and 63-bit per-file blank scoping as the other
+    * document loaders.
+    */
+  def parseJsonLd(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val scope = f"${graft.dict.Dictionary.termHashLocal(f)}%016x"
+        JsonLd.parse(content, scope)
+      }
+      .toDF("s", "p", "o")
+  }
+
   /** Parse TriG documents into (s, p, o, g) quads — the quad sibling of
     * `parseTurtle` (RDF 1.1 TriG: Turtle statements in the default
     * graph, `[GRAPH] <label> { ... }` blocks in named graphs). Plain

@@ -1,0 +1,101 @@
+package graft
+
+import graft.store.{JsonLd, TripleStore}
+
+/** JSON-LD core-subset parser: contexts (terms, prefixes, @vocab, @id
+  * coercion), node/value objects, lists, scalar typing, blank scoping,
+  * and the documented rejects.
+  */
+class JsonLdSpec extends SparkSpec {
+
+  private val RDF = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+  private val XSD = "http://www.w3.org/2001/XMLSchema#"
+
+  private def p(doc: String): Set[(String, String, String)] =
+    JsonLd.parse(doc, "T").toSet
+
+  "JsonLd.parse" should "expand terms, prefixes and @vocab" in {
+    p("""{"@context": {"@vocab": "http://v.org/", "ex": "http://ex.org/",
+        |              "friend": "http://ex.org/knows"},
+        | "@id": "http://ex.org/a", "@type": "Person",
+        | "name": "Alice", "friend": {"@id": "ex:b"}, "ex:age": 42}
+        |""".stripMargin) shouldBe Set(
+      ("http://ex.org/a", RDF + "type", "http://v.org/Person"),
+      ("http://ex.org/a", "http://v.org/name", "\"Alice\""),
+      ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b"),
+      ("http://ex.org/a", "http://ex.org/age",
+        "\"42\"^^<" + XSD + "integer>"))
+  }
+
+  it should "type scalars per the JSON-LD value rules" in {
+    p("""{"@context": {"@vocab": "v:"}, "@id": "x:a",
+        | "i": 7, "d": 2.5, "b": true, "s": "str"}""".stripMargin) shouldBe Set(
+      ("x:a", "v:i", "\"7\"^^<" + XSD + "integer>"),
+      ("x:a", "v:d", "\"2.5\"^^<" + XSD + "double>"),
+      ("x:a", "v:b", "\"true\"^^<" + XSD + "boolean>"),
+      ("x:a", "v:s", "\"str\""))
+  }
+
+  it should "handle value objects, arrays, @id coercion and datatype coercion" in {
+    p("""{"@context": {"@vocab": "v:",
+        |   "link": {"@id": "v:link", "@type": "@id"},
+        |   "stamp": {"@id": "v:stamp", "@type": "v:dt"}},
+        | "@id": "x:a",
+        | "lbl": [{"@value": "Wort", "@language": "de"},
+        |         {"@value": "P1D", "@type": "v:dur"}],
+        | "link": ["x:b", "x:c"], "stamp": "2020"}""".stripMargin) shouldBe Set(
+      ("x:a", "v:lbl", "\"Wort\"@de"),
+      ("x:a", "v:lbl", "\"P1D\"^^<v:dur>"),
+      ("x:a", "v:link", "x:b"),
+      ("x:a", "v:link", "x:c"),
+      ("x:a", "v:stamp", "\"2020\"^^<v:dt>"))
+  }
+
+  it should "nest node objects and build @list chains" in {
+    val got = p(
+      """{"@context": {"@vocab": "v:"}, "@id": "x:a",
+        | "child": {"@type": "Kid", "name": "Bo"},
+        | "seq": {"@list": ["one", "two"]},
+        | "none": {"@list": []}}""".stripMargin)
+    val kid = got.collect { case ("x:a", "v:child", o) => o }.head
+    kid should startWith("_:T:gen")
+    got should contain((kid, RDF + "type", "v:Kid"))
+    got should contain((kid, "v:name", "\"Bo\""))
+    val head = got.collect { case ("x:a", "v:seq", o) => o }.head
+    got should contain((head, RDF + "first", "\"one\""))
+    val rest = got.collect { case (s, p2, o) if s == head && p2 == RDF + "rest" => o }.head
+    got should contain((rest, RDF + "first", "\"two\""))
+    got should contain((rest, RDF + "rest", RDF + "nil"))
+    got should contain(("x:a", "v:none", RDF + "nil"))
+  }
+
+  it should "keep explicit blank labels and a top-level @graph array" in {
+    p("""{"@context": {"@vocab": "v:"},
+        | "@graph": [
+        |   {"@id": "_:x", "name": "anon"},
+        |   {"@id": "x:a", "ref": {"@id": "_:x"}}
+        | ]}""".stripMargin) shouldBe Set(
+      ("_:T:x", "v:name", "\"anon\""),
+      ("x:a", "v:ref", "_:T:x"))
+  }
+
+  it should "reject the documented out-of-subset constructs" in {
+    an[JsonLd.ParseException] should be thrownBy
+      p("""{"@context": "http://remote.org/ctx"}""")
+    an[JsonLd.ParseException] should be thrownBy
+      p("""{"@id": "x:a", "@reverse": {"p": {"@id": "x:b"}}}""")
+    an[JsonLd.ParseException] should be thrownBy
+      p("""{"@id": "g:1", "@graph": [{"@id": "x:a"}]}""")
+    an[JsonLd.ParseException] should be thrownBy p("""{"unclosed": """)
+  }
+
+  "TripleStore.parseJsonLd" should "scope generated blanks per file" in {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonld-spec")
+    val doc = """{"@context": {"@vocab": "v:"}, "name": "anon"}"""
+    java.nio.file.Files.writeString(dir.resolve("f1.jsonld"), doc)
+    java.nio.file.Files.writeString(dir.resolve("f2.jsonld"), doc)
+    val rows = TripleStore.parseJsonLd(spark, dir.toString + "/*.jsonld").collect()
+    rows should have length 2
+    rows.map(_.getString(0)).distinct should have length 2
+  }
+}
