@@ -1253,6 +1253,23 @@ object SparkEntry {
       .orderBy("nat")
   }
 
+  /** TSV results round trip: the DISTRIBUTED write + DISTRIBUTED read
+    * pair (writeTsv ∘ readTsv identity — the bulk-results path, unlike
+    * the driver-side JSON/XML documents), with unbound cells.
+    */
+  private def resultsTsvRtQ(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val df = n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("nat"),
+        concat(lit("\""), col("n_name"), lit("\"@en")).as("nm"),
+        when(col("n_nationkey") % 3 === 0,
+          concat(lit("\""), col("n_regionkey"),
+            lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>"))).as("rk"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tsv_rt").toString
+    graft.sparql.Results.writeTsv(df, tmp)
+    graft.sparql.Results.readTsv(s, tmp).orderBy("nat")
+  }
+
   /** RDF/XML WRITER bytes (QName splitting, rdf:datatype / xml:lang /
     * rdf:resource / rdf:nodeID forms), byte-hashed against the DuckDB
     * string replay like [[resultsTtlQ]].
@@ -2890,6 +2907,7 @@ object SparkEntry {
     "q_results_rdfxml" -> (resultsRdfXmlQ _),
     "q_results_json_rt" -> (resultsJsonRtQ _),
     "q_results_xml_rt" -> (resultsXmlRtQ _),
+    "q_results_tsv_rt" -> (resultsTsvRtQ _),
     "q_asof_join" -> (asofJoinQ _),
     "q_range_join" -> (rangeJoinQ _),
     "q_sparql_chain" -> (sparqlChain _),
@@ -4956,6 +4974,12 @@ object SparkEntry {
         |SELECT row_number() OVER (ORDER BY ord) AS line_no, line
         |FROM lines ORDER BY line_no""".stripMargin,
     "q_results_json_rt" ->
+      """SELECT 'nation:'||n_nationkey AS nat, '"'||n_name||'"@en' AS nm,
+        |  CASE WHEN n_nationkey % 3 = 0 THEN
+        |    '"'||n_regionkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>'
+        |  END AS rk
+        |FROM nation ORDER BY nat""".stripMargin,
+    "q_results_tsv_rt" ->
       """SELECT 'nation:'||n_nationkey AS nat, '"'||n_name||'"@en' AS nm,
         |  CASE WHEN n_nationkey % 3 = 0 THEN
         |    '"'||n_regionkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>'

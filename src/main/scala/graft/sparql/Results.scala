@@ -548,4 +548,24 @@ object Results {
     df.select(df.columns.map(n => tsvTerm(col(n)).as(s"?$n")): _*)
       .write.mode("overwrite").option("header", "true")
       .option("delimiter", "\t").option("quote", "\u0000").csv(path)
+
+  /** Read SPARQL 1.1 TSV results back into a relation — the DISTRIBUTED
+    * client half of [[writeTsv]] (TSV is line-splittable, unlike the
+    * JSON/XML documents, so this is the bulk-results ingest path).
+    * `?var` headers become columns, `<iri>` unwraps, literals and
+    * blanks keep their SPARQL-surface form (= the store convention),
+    * empty cells are unbound nulls. The W3C CSV form is NOT given a
+    * reader: it erases term kind (IRI vs literal) by design, so reading
+    * it back would have to guess — use TSV.
+    */
+  def readTsv(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.option("header", "true").option("delimiter", "\t")
+      .option("quote", "\u0000").csv(path)
+    val df = raw.toDF(raw.columns.map(_.stripPrefix("?")).toSeq: _*)
+    df.select(df.columns.map { n =>
+      val c = col(n)
+      when(c.startsWith("<") && c.endsWith(">"),
+        c.substr(lit(2), length(c) - 2)).otherwise(c).as(n)
+    }.toSeq: _*)
+  }
 }
