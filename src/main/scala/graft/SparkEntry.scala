@@ -2009,9 +2009,9 @@ object SparkEntry {
     * closure's per-predicate / per-class census. The DuckDB oracle
     * replays the closure independently with recursive CTEs.
     */
-  private def rdfsClosureOver(s: SparkSession, d: String): DataFrame = {
+  private def rdfsTestTbox(s: SparkSession): DataFrame = {
     import graft.ops.ReasonOps
-    val tbox = s.createDataFrame(Seq(
+    s.createDataFrame(Seq(
       ("Customer", ReasonOps.SubClassOf, "Agent"),
       ("Supplier", ReasonOps.SubClassOf, "Agent"),
       ("Agent", ReasonOps.SubClassOf, "Entity"),
@@ -2029,9 +2029,11 @@ object SparkEntry {
       ("locatedIn", ReasonOps.Range, "Place"),
       ("party", ReasonOps.Domain, "Transaction"),
       ("party", ReasonOps.Range, "Agent"))).toDF("s", "p", "o")
-    val base = TripleStore.tableTriples(s, d).unionAll(tbox)
-    ReasonOps.rdfsClosure(base)
   }
+
+  private def rdfsClosureOver(s: SparkSession, d: String): DataFrame =
+    graft.ops.ReasonOps.rdfsClosure(
+      TripleStore.tableTriples(s, d).unionAll(rdfsTestTbox(s)))
 
   private def rdfsClosureQ(s: SparkSession, d: String): DataFrame =
     rdfsClosureOver(s, d)
@@ -2039,6 +2041,28 @@ object SparkEntry {
         when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
       .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
       .orderBy("p", "cls")
+
+  /** Incremental maintenance: the store splits into a base (everything
+    * but customers) materialized with rdfsClosure and a customer DELTA
+    * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
+    * the full-rematerialization recursive-CTE replay over the whole
+    * store (the same SQL as q_rdfs_closure), so incremental == full is
+    * checked end-to-end by hash.
+    */
+  private def rdfsDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val tbox = rdfsTestTbox(s)
+    val all = TripleStore.tableTriples(s, d)
+    val delta = all.where(col("s").startsWith("customer:"))
+    val base = all.where(!col("s").startsWith("customer:")).unionAll(tbox)
+    ReasonOps.rdfsClosure(base)
+      .unionAll(ReasonOps.rdfsDelta(tbox, delta))
+      .distinct()
+      .groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p", "cls")
+  }
 
   /** Entailment-regime querying: plain SPARQL over the MATERIALIZED
     * RDFS closure — the query matches only INFERRED triples (`within`
@@ -2934,6 +2958,7 @@ object SparkEntry {
     "q_components" -> (componentsQ _),
     "q_rdfs_closure" -> (rdfsClosureQ _),
     "q_rdfs_sparql" -> (rdfsSparqlQ _),
+    "q_rdfs_delta" -> (rdfsDeltaQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
     "q_owl_closure" -> (owlClosureQ _),
     "q_triangles" -> (trianglesQ _),
@@ -3726,6 +3751,88 @@ object SparkEntry {
         |       UNION ALL SELECT 'region:99', 'a', 'Region'
         |       UNION ALL SELECT 'region:99', 'name', 'ATLANTIS')""".stripMargin
 
+  private val rdfsClosureOracle =
+    """WITH RECURSIVE tr AS (
+        |  SELECT 'region:'||r_regionkey AS s, 'a' AS p, 'Region' AS o FROM region
+        |  UNION ALL SELECT 'region:'||r_regionkey, 'name', r_name FROM region
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'a', 'Nation' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'name', n_name FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'regionkey', 'region:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'a', 'Customer' FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'name', c_name FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'mktsegment', c_mktsegment FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'nationkey', 'nation:'||c_nationkey FROM customer
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'a', 'Supplier' FROM supplier
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'name', s_name FROM supplier
+        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nationkey', 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'part:'||p_partkey, 'a', 'Part' FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'name', p_name FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'brand', p_brand FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'type', p_type FROM part
+        |  UNION ALL SELECT 'part:'||p_partkey, 'size', p_size::VARCHAR FROM part
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'a', 'Order' FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'custkey', 'customer:'||o_custkey FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderstatus', o_orderstatus FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderpriority', o_orderpriority FROM orders
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'a', 'Lineitem' FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'orderkey', 'order:'||l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'partkey', 'part:'||l_partkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'suppkey', 'supplier:'||l_suppkey FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'returnflag', l_returnflag FROM lineitem
+        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'linestatus', l_linestatus FROM lineitem),
+        |tbox(s, p, o) AS (SELECT * FROM (VALUES
+        |  ('Customer','rdfs:subClassOf','Agent'),
+        |  ('Supplier','rdfs:subClassOf','Agent'),
+        |  ('Agent','rdfs:subClassOf','Entity'),
+        |  ('Nation','rdfs:subClassOf','Place'),
+        |  ('Region','rdfs:subClassOf','Place'),
+        |  ('Place','rdfs:subClassOf','Entity'),
+        |  ('Order','rdfs:subClassOf','Event'),
+        |  ('Lineitem','rdfs:subClassOf','Event'),
+        |  ('nationkey','rdfs:subPropertyOf','locatedIn'),
+        |  ('regionkey','rdfs:subPropertyOf','locatedIn'),
+        |  ('locatedIn','rdfs:subPropertyOf','within'),
+        |  ('custkey','rdfs:subPropertyOf','party'),
+        |  ('suppkey','rdfs:subPropertyOf','party'),
+        |  ('locatedIn','rdfs:domain','Locatable'),
+        |  ('locatedIn','rdfs:range','Place'),
+        |  ('party','rdfs:domain','Transaction'),
+        |  ('party','rdfs:range','Agent')) v(s, p, o)),
+        |spc(a, b) AS (
+        |  SELECT s, o FROM tbox WHERE p = 'rdfs:subPropertyOf'
+        |  UNION
+        |  SELECT spc.a, t2.o FROM spc JOIN tbox t2
+        |    ON t2.p = 'rdfs:subPropertyOf' AND t2.s = spc.b),
+        |scc(a, b) AS (
+        |  SELECT s, o FROM tbox WHERE p = 'rdfs:subClassOf'
+        |  UNION
+        |  SELECT scc.a, t2.o FROM scc JOIN tbox t2
+        |    ON t2.p = 'rdfs:subClassOf' AND t2.s = scc.b),
+        |base AS (SELECT * FROM tr UNION ALL SELECT * FROM tbox),
+        |props AS (
+        |  SELECT * FROM base
+        |  UNION ALL
+        |  SELECT b.s, spc.b AS p, b.o FROM base b JOIN spc ON b.p = spc.a),
+        |typed AS (
+        |  SELECT s, o FROM props WHERE p = 'a'
+        |  UNION ALL
+        |  SELECT pr.s, tb.o FROM props pr
+        |    JOIN tbox tb ON tb.p = 'rdfs:domain' AND tb.s = pr.p
+        |  UNION ALL
+        |  SELECT pr.o, tb.o FROM props pr
+        |    JOIN tbox tb ON tb.p = 'rdfs:range' AND tb.s = pr.p),
+        |closure AS (
+        |  SELECT DISTINCT s, p, o FROM (
+        |    SELECT s, p, o FROM props
+        |    UNION ALL SELECT s, 'a', o FROM typed
+        |    UNION ALL SELECT ty.s, 'a', scc.b FROM typed ty JOIN scc ON ty.o = scc.a
+        |    UNION ALL SELECT a, 'rdfs:subPropertyOf', b FROM spc
+        |    UNION ALL SELECT a, 'rdfs:subClassOf', b FROM scc))
+        |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns
+        |FROM closure GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracleSql,
     "q_bgp_chain" ->
@@ -4159,87 +4266,10 @@ object SparkEntry {
     // RDFS closure replayed independently: recursive CTEs close the
     // hierarchy pairs, then each rho-df rule is one join — no reuse of
     // the engine's effective-map construction
-    "q_rdfs_closure" ->
-      """WITH RECURSIVE tr AS (
-        |  SELECT 'region:'||r_regionkey AS s, 'a' AS p, 'Region' AS o FROM region
-        |  UNION ALL SELECT 'region:'||r_regionkey, 'name', r_name FROM region
-        |  UNION ALL SELECT 'nation:'||n_nationkey, 'a', 'Nation' FROM nation
-        |  UNION ALL SELECT 'nation:'||n_nationkey, 'name', n_name FROM nation
-        |  UNION ALL SELECT 'nation:'||n_nationkey, 'regionkey', 'region:'||n_regionkey FROM nation
-        |  UNION ALL SELECT 'customer:'||c_custkey, 'a', 'Customer' FROM customer
-        |  UNION ALL SELECT 'customer:'||c_custkey, 'name', c_name FROM customer
-        |  UNION ALL SELECT 'customer:'||c_custkey, 'mktsegment', c_mktsegment FROM customer
-        |  UNION ALL SELECT 'customer:'||c_custkey, 'nationkey', 'nation:'||c_nationkey FROM customer
-        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'a', 'Supplier' FROM supplier
-        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'name', s_name FROM supplier
-        |  UNION ALL SELECT 'supplier:'||s_suppkey, 'nationkey', 'nation:'||s_nationkey FROM supplier
-        |  UNION ALL SELECT 'part:'||p_partkey, 'a', 'Part' FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, 'name', p_name FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, 'brand', p_brand FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, 'type', p_type FROM part
-        |  UNION ALL SELECT 'part:'||p_partkey, 'size', p_size::VARCHAR FROM part
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'a', 'Order' FROM orders
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'custkey', 'customer:'||o_custkey FROM orders
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderstatus', o_orderstatus FROM orders
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderpriority', o_orderpriority FROM orders
-        |  UNION ALL SELECT 'order:'||o_orderkey, 'orderdate', strftime(o_orderdate, '%Y-%m-%d') FROM orders
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'a', 'Lineitem' FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'orderkey', 'order:'||l_orderkey FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'partkey', 'part:'||l_partkey FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'suppkey', 'supplier:'||l_suppkey FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'returnflag', l_returnflag FROM lineitem
-        |  UNION ALL SELECT 'lineitem:'||l_orderkey||'-'||l_linenumber, 'linestatus', l_linestatus FROM lineitem),
-        |tbox(s, p, o) AS (SELECT * FROM (VALUES
-        |  ('Customer','rdfs:subClassOf','Agent'),
-        |  ('Supplier','rdfs:subClassOf','Agent'),
-        |  ('Agent','rdfs:subClassOf','Entity'),
-        |  ('Nation','rdfs:subClassOf','Place'),
-        |  ('Region','rdfs:subClassOf','Place'),
-        |  ('Place','rdfs:subClassOf','Entity'),
-        |  ('Order','rdfs:subClassOf','Event'),
-        |  ('Lineitem','rdfs:subClassOf','Event'),
-        |  ('nationkey','rdfs:subPropertyOf','locatedIn'),
-        |  ('regionkey','rdfs:subPropertyOf','locatedIn'),
-        |  ('locatedIn','rdfs:subPropertyOf','within'),
-        |  ('custkey','rdfs:subPropertyOf','party'),
-        |  ('suppkey','rdfs:subPropertyOf','party'),
-        |  ('locatedIn','rdfs:domain','Locatable'),
-        |  ('locatedIn','rdfs:range','Place'),
-        |  ('party','rdfs:domain','Transaction'),
-        |  ('party','rdfs:range','Agent')) v(s, p, o)),
-        |spc(a, b) AS (
-        |  SELECT s, o FROM tbox WHERE p = 'rdfs:subPropertyOf'
-        |  UNION
-        |  SELECT spc.a, t2.o FROM spc JOIN tbox t2
-        |    ON t2.p = 'rdfs:subPropertyOf' AND t2.s = spc.b),
-        |scc(a, b) AS (
-        |  SELECT s, o FROM tbox WHERE p = 'rdfs:subClassOf'
-        |  UNION
-        |  SELECT scc.a, t2.o FROM scc JOIN tbox t2
-        |    ON t2.p = 'rdfs:subClassOf' AND t2.s = scc.b),
-        |base AS (SELECT * FROM tr UNION ALL SELECT * FROM tbox),
-        |props AS (
-        |  SELECT * FROM base
-        |  UNION ALL
-        |  SELECT b.s, spc.b AS p, b.o FROM base b JOIN spc ON b.p = spc.a),
-        |typed AS (
-        |  SELECT s, o FROM props WHERE p = 'a'
-        |  UNION ALL
-        |  SELECT pr.s, tb.o FROM props pr
-        |    JOIN tbox tb ON tb.p = 'rdfs:domain' AND tb.s = pr.p
-        |  UNION ALL
-        |  SELECT pr.o, tb.o FROM props pr
-        |    JOIN tbox tb ON tb.p = 'rdfs:range' AND tb.s = pr.p),
-        |closure AS (
-        |  SELECT DISTINCT s, p, o FROM (
-        |    SELECT s, p, o FROM props
-        |    UNION ALL SELECT s, 'a', o FROM typed
-        |    UNION ALL SELECT ty.s, 'a', scc.b FROM typed ty JOIN scc ON ty.o = scc.a
-        |    UNION ALL SELECT a, 'rdfs:subPropertyOf', b FROM spc
-        |    UNION ALL SELECT a, 'rdfs:subClassOf', b FROM scc))
-        |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
-        |       count(*) AS n, count(DISTINCT s) AS ns
-        |FROM closure GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rdfs_closure" -> rdfsClosureOracle,
+    // incremental == full: the engine maintains the customer delta with
+    // rdfsDelta, the oracle rematerializes everything from scratch
+    "q_rdfs_delta" -> rdfsClosureOracle,
     // entailment-regime query: the oracle answers from the BASE tables
     // (within = nationkey/regionkey chains, Place = nations+regions),
     // fully independent of the closure construction

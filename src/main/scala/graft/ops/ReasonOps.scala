@@ -70,8 +70,6 @@ object ReasonOps {
     */
   def rdfsClosure(triples: DataFrame, typePred: String = "a",
                   tboxCap: Int = 1 << 20, pinInput: Boolean = true): DataFrame = {
-    val spark = triples.sparkSession
-    import spark.implicits._
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     // The derivation reads the input ~6x (TBox probe + one pass per rule
     // + the final union); pin it once when it fits executor storage.
@@ -79,17 +77,63 @@ object ReasonOps {
     // the source (no shuffle, filters pushed) beat caching 100 TB.
     val t0 = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
     val t = if (pinInput) t0.localCheckpoint(true) else t0
+    val tbox = collectTbox(t, tboxCap)
+    val derived = rdfsDerive(tbox, t, typePred, includeTboxClosure = true)
+    (t +: derived).reduce(_.unionAll(_)).distinct()
+  }
 
-    // The TBox is the schema: collect once, closed on the driver. The cap
-    // is a safety net against a mis-shaped input (an ABox predicate named
-    // rdfs:subClassOf), not a tuning knob.
+  /** INCREMENTAL RDFS maintenance, the O(|delta|) twin of [[rdfsClosure]]
+    * matching the store's O(delta) append discipline: with the TBox
+    * driver-closed, every rho-df ABox rule is SINGLE-premise (each
+    * derivation depends on exactly one ABox triple plus schema maps), so
+    *
+    *   rdfsClosure(base UNION delta) ==
+    *     rdfsClosure(base) UNION rdfsDelta(tboxSource, delta)
+    *
+    * as long as delta carries no TBox statements — schema changes alter
+    * the maps every pass used, so they require re-materialization, and
+    * the op FAIL-FASTS if delta contains a TBox predicate rather than
+    * silently under-deriving. `tboxSource` is any relation holding the
+    * (unchanged) schema statements — typically the base graph or the
+    * already-materialized closure. Returns the increment (delta plus its
+    * derivations, deduped); union it with the existing closure.
+    */
+  def rdfsDelta(tboxSource: DataFrame, delta: DataFrame,
+                typePred: String = "a", tboxCap: Int = 1 << 20): DataFrame = {
+    val Seq(cs, cp, co) = delta.columns.take(3).toSeq
+    val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val d = d0.localCheckpoint(true)
+    require(d.where(col("p").isin(TboxPreds: _*)).isEmpty,
+      "delta contains TBox statements - schema changes require " +
+        "re-materialization (rdfsClosure), not incremental maintenance")
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      tboxCap)
+    val derived = rdfsDerive(tbox, d, typePred, includeTboxClosure = false)
+    (d +: derived).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** Collect + cap the schema statements (driver-sized by contract). */
+  private def collectTbox(t: DataFrame, tboxCap: Int)
+      : Array[(String, String, String)] = {
     val tbox = t.where(col("p").isin(TboxPreds: _*))
       .limit(tboxCap + 1).collect()
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     require(tbox.length <= tboxCap,
-      s"TBox exceeds $tboxCap statements — not schema-shaped; raise tboxCap " +
+      s"TBox exceeds $tboxCap statements - not schema-shaped; raise tboxCap " +
         "only if the ontology is genuinely this large")
+    tbox
+  }
 
+  /** The rho-df rule passes over an ABox relation `t` given a collected
+    * TBox: one broadcast join per rule, sub-class expansion over base
+    * AND derived types. Shared by the full and the delta paths.
+    */
+  private def rdfsDerive(tbox: Array[(String, String, String)], t: DataFrame,
+                         typePred: String,
+                         includeTboxClosure: Boolean): Seq[DataFrame] = {
+    val spark = t.sparkSession
     val spPairs = transitive(tbox.collect { case (s, SubPropertyOf, o) => (s, o) })
     val scPairs = transitive(tbox.collect { case (s, SubClassOf, o) => (s, o) })
     val spMap = spPairs.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
@@ -117,17 +161,17 @@ object ReasonOps {
     if (spPairs.nonEmpty)
       derived += t.join(broadcast(pairDf(spPairs, "p", "q")), "p")
         .select(col("s"), col("q").as("p"), col("o"))
-    // rdfs2: (s p o), dom*(p) ∋ C  =>  (s type C)
+    // rdfs2: (s p o), dom*(p) contains C  =>  (s type C)
     val domEff = effective(domDecl)
     if (domEff.nonEmpty)
       derived += t.join(broadcast(pairDf(domEff, "p", "c")), "p")
         .select(col("s"), lit(typePred).as("p"), col("c").as("o"))
-    // rdfs3: (s p o), rng*(p) ∋ C  =>  (o type C)
+    // rdfs3: (s p o), rng*(p) contains C  =>  (o type C)
     val rngEff = effective(rngDecl)
     if (rngEff.nonEmpty)
       derived += t.join(broadcast(pairDf(rngEff, "p", "c")), "p")
         .select(col("o").as("s"), lit(typePred).as("p"), col("c").as("o"))
-    // rdfs9: (s type C), C sc* D  =>  (s type D) — over base AND derived
+    // rdfs9: (s type C), C sc* D  =>  (s type D) - over base AND derived
     // type assertions (domain/range-produced types expand too).
     if (scPairs.nonEmpty) {
       val allTypes = (t.where(col("p") === typePred).select("s", "o") +:
@@ -140,10 +184,9 @@ object ReasonOps {
     val tboxClosed =
       spPairs.map { case (a, b) => (a, SubPropertyOf, b) } ++
         scPairs.map { case (a, b) => (a, SubClassOf, b) }
-    if (tboxClosed.nonEmpty)
+    if (includeTboxClosure && tboxClosed.nonEmpty)
       derived += spark.createDataFrame(tboxClosed).toDF("s", "p", "o")
-
-    (t +: derived.toSeq).reduce(_.unionAll(_)).distinct()
+    derived.toSeq
   }
 
   val InverseOf          = "http://www.w3.org/2002/07/owl#inverseOf"

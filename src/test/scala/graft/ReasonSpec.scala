@@ -98,6 +98,31 @@ class ReasonSpec extends SparkSpec {
     got should not contain (("B", SubClassOf, "B"))
   }
 
+  "ReasonOps.rdfsDelta" should "equal full rematerialization on base + delta" in {
+    val tbox = Seq(
+      ("worksFor", SubPropertyOf, "affiliated"),
+      ("affiliated", Domain, "Person"),
+      ("affiliated", Range, "Org"),
+      ("Person", SubClassOf, "Agent"))
+    val base = tbox ++ Seq(("a", "worksFor", "x"), ("b", "a", "Person"))
+    val delta = Seq(("c", "worksFor", "y"), ("d", "a", "Person"))
+    val full = ReasonOps.rdfsClosure((base ++ delta).toDF("s", "p", "o"))
+    val incremental = ReasonOps.rdfsClosure(base.toDF("s", "p", "o"))
+      .unionAll(ReasonOps.rdfsDelta(tbox.toDF("s", "p", "o"),
+        delta.toDF("s", "p", "o")))
+      .distinct()
+    tset(incremental) shouldBe tset(full)
+  }
+
+  it should "reject TBox statements in a delta" in {
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.rdfsDelta(
+        Seq(("A", SubClassOf, "B")).toDF("s", "p", "o"),
+        Seq(("C", SubClassOf, "D")).toDF("s", "p", "o")).collect()
+    }
+    e.getMessage should include("re-materialization")
+  }
+
   "ReasonOps.transitiveClosure" should "close a chain in log rounds" in {
     val e = Seq(("1", "2"), ("2", "3"), ("3", "4")).toDF("a", "b")
     // diameter 3 closes in 2 doubling rounds + 1 fixpoint-confirm round
