@@ -114,6 +114,35 @@ object ReasonOps {
     (d +: derived).reduce(_.unionAll(_)).distinct()
   }
 
+  /** STREAMING RDFS materialization: [[rdfsDelta]] over a live triple
+    * stream. Every rho-df rule is a broadcast join against a
+    * driver-built table, so the whole derivation is stateless and
+    * append-safe — each micro-batch emits exactly its own increment
+    * (single-premise rules never need cross-batch state). No dedup is
+    * applied (distinct on a stream is stateful); increments may repeat
+    * what an earlier batch or the base closure already holds — dedup at
+    * the sink or with a watermarked dropDuplicates downstream. TBox
+    * statements ARRIVING ON THE STREAM fail the batch at runtime
+    * (raise_error) — schema changes re-materialize, same contract as
+    * the batch delta path.
+    */
+  def rdfsDeltaStream(tboxSource: DataFrame, stream: DataFrame,
+                      typePred: String = "a",
+                      tboxCap: Int = 1 << 20): DataFrame = {
+    val Seq(cs, cp, co) = stream.columns.take(3).toSeq
+    val guard = when(col(cp).isin(TboxPreds: _*),
+      raise_error(concat(lit("TBox statement on the stream ("), col(cp),
+        lit(") - schema changes require re-materialization"))))
+      .otherwise(col(cp))
+    val d = stream.select(col(cs).as("s"), guard.as("p"), col(co).as("o"))
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      tboxCap)
+    val derived = rdfsDerive(tbox, d, typePred, includeTboxClosure = false)
+    (d +: derived).reduce(_.unionAll(_))
+  }
+
   /** Collect + cap the schema statements (driver-sized by contract). */
   private def collectTbox(t: DataFrame, tboxCap: Int)
       : Array[(String, String, String)] = {

@@ -114,6 +114,27 @@ class ReasonSpec extends SparkSpec {
     tset(incremental) shouldBe tset(full)
   }
 
+  "ReasonOps.rdfsDeltaStream" should "emit the batch increment on a live stream" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val tbox = Seq(
+      ("worksFor", SubPropertyOf, "affiliated"),
+      ("affiliated", Domain, "Person"),
+      ("Person", SubClassOf, "Agent")).toDF("s", "p", "o")
+    val deltaRows = Seq(("a", "worksFor", "x"), ("b", "a", "Person"))
+    val src = MemoryStream[(String, String, String)]
+    src.addData(deltaRows: _*)
+    val out = ReasonOps.rdfsDeltaStream(tbox, src.toDF().toDF("s", "p", "o"))
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("rdfs_stream_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("rdfs_stream_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    got shouldBe tset(ReasonOps.rdfsDelta(tbox, deltaRows.toDF("s", "p", "o")))
+  }
+
   it should "reject TBox statements in a delta" in {
     val e = intercept[IllegalArgumentException] {
       ReasonOps.rdfsDelta(
