@@ -266,4 +266,27 @@ class PlanSpec extends SparkSpec {
     p should include("BroadcastHashJoin")
     p should not include "CartesianProduct"
   }
+
+  "q_rdfs_closure" should "run every rule as a broadcast join" in {
+    // the driver-built derivation tables must broadcast; nothing may
+    // sort-merge or cartesian the corpus - the only wide op is the
+    // final distinct
+    val p = finalPlan("q_rdfs_closure")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_rdfs_delta" should "keep the incremental path broadcast-only too" in {
+    val p = finalPlan("q_rdfs_delta")
+    p should include("BroadcastHashJoin")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_sameas" should "never cartesian while smushing" in {
+    val p = finalPlan("q_owl_sameas")
+    p should not include "CartesianProduct"
+    p should not include "BroadcastNestedLoopJoin"
+  }
 }
