@@ -1221,6 +1221,38 @@ object SparkEntry {
       .toDF("line_no", "line")
   }
 
+  /** JSON-LD WRITER bytes (compaction, native scalar typing, @value
+    * objects, blank labels), byte-hashed against the DuckDB string
+    * replay like [[resultsTtlQ]].
+    */
+  private def resultsJsonLdQ(s: SparkSession, d: String): DataFrame = {
+    val n = t(s, d, "nation")
+    val rdfType = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val g = n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit(rdfType).as("p"), lit("type:Nation").as("o"))
+      .unionByName(n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("prop:key").as("p"),
+        concat(lit("\""), col("n_nationkey"),
+          lit("\"^^<http://www.w3.org/2001/XMLSchema#integer>")).as("o")))
+      .unionByName(n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("prop:name").as("p"),
+        concat(lit("\""), col("n_name"), lit("\"@en")).as("o")))
+      .unionByName(n.select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("prop:region").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o")))
+      .unionByName(s.range(1).select(
+        lit("_:doc:b1").as("s"), lit("prop:note").as("p"), lit("\"x\"").as("o")))
+    val doc = graft.sparql.Results.toJsonLd(g,
+      Map("n" -> "nation:", "p" -> "prop:", "r" -> "region:", "t" -> "type:"))
+    import s.implicits._
+    doc.split("\n", -1).toSeq.zipWithIndex.map { case (l, i) => (i + 1L, l) }
+      .toDF("line_no", "line")
+  }
+
   /** W3C results-JSON round trip: a result with lang literals, typed
     * literals and UNBOUND cells serializes through toJson and parses
     * back through fromJson (the federation-client half); the oracle is
@@ -2929,6 +2961,7 @@ object SparkEntry {
     "q_results_ttl" -> (resultsTtlQ _),
     "q_results_trig" -> (resultsTrigQ _),
     "q_results_rdfxml" -> (resultsRdfXmlQ _),
+    "q_results_jsonld" -> (resultsJsonLdQ _),
     "q_results_json_rt" -> (resultsJsonRtQ _),
     "q_results_xml_rt" -> (resultsXmlRtQ _),
     "q_results_tsv_rt" -> (resultsTsvRtQ _),
@@ -5000,6 +5033,26 @@ object SparkEntry {
         |  UNION ALL SELECT 2 + n + rn,
         |    '  r:' || substr(s, 8) || ' <touched> "y" .' FROM o
         |  UNION ALL SELECT 3 + 2*n, '}' FROM o WHERE rn = 1
+        |)
+        |SELECT row_number() OVER (ORDER BY ord) AS line_no, line
+        |FROM lines ORDER BY line_no""".stripMargin,
+    // JSON-LD writer bytes: context header line, blank node first (term
+    // sort), one compacted node object per nation, trailing-comma rule
+    "q_results_jsonld" ->
+      """WITH t AS (SELECT 'nation:' || n_nationkey AS s, n_name AS nm,
+        |                  n_nationkey AS k, n_regionkey AS rk FROM nation),
+        |o AS (SELECT t.*, row_number() OVER (ORDER BY s) AS rn,
+        |             count(*) OVER () AS n FROM t),
+        |lines AS (
+        |  SELECT 1 AS ord,
+        |    '{"@context":{"n":"nation:","p":"prop:","r":"region:","t":"type:"},"@graph":[' AS line
+        |  UNION ALL SELECT 2, '{"@id":"_:bdoc_cb1","p:note":"x"},'
+        |  UNION ALL SELECT 2 + rn,
+        |    '{"@id":"n:' || k || '","@type":"t:Nation","p:key":' || k ||
+        |    ',"p:name":{"@value":"' || nm || '","@language":"en"}' ||
+        |    ',"p:region":{"@id":"r:' || rk || '"}}' ||
+        |    CASE WHEN rn < n THEN ',' ELSE '' END FROM o
+        |  UNION ALL SELECT 3 + n, ']}' FROM o WHERE rn = 1
         |)
         |SELECT row_number() OVER (ORDER BY ord) AS line_no, line
         |FROM lines ORDER BY line_no""".stripMargin,

@@ -515,6 +515,80 @@ object Results {
       body :+ "</rdf:RDF>").mkString("\n")
   }
 
+  /** JSON-LD serialization of a bounded graph — the writer half of
+    * `TripleStore.parseJsonLd` (round-tripped in JsonLdSpec, byte-pinned
+    * by the q_results_jsonld gate). Compacted, deterministic layout: one
+    * `@graph` node object per subject (sorted by subject term, one per
+    * line), properties sorted by full predicate IRI after @id/@type,
+    * multi-values as sorted arrays. IRIs compact against the caller
+    * `context` (longest namespace with a non-empty remainder); canonical
+    * xsd:integer/boolean literals emit as native JSON scalars (the
+    * loader's §8.2 inverse), other typed/lang literals as @value
+    * objects. Blank nodes emit `_:b`-prefixed blankPn labels — the
+    * usual renaming round trip.
+    */
+  def toJsonLd(graph: DataFrame, context: Map[String, String] = Map.empty,
+               limit: Int = 10000): String = {
+    val RDFT = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+    val XSD = "http://www.w3.org/2001/XMLSchema#"
+    val rows = graph.select(col("s"), col("p"), col("o")).limit(limit + 1).collect()
+    require(rows.length <= limit,
+      s"graph exceeds $limit triples - raise the limit or use the N-Triples sink")
+    val triples = rows
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq.sorted
+    def jesc(s: String): String = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+    def compact(iri: String): String =
+      context.toSeq.sortBy { case (_, ns) => -ns.length }.collectFirst {
+        case (pfx, ns) if iri.startsWith(ns) && iri.length > ns.length =>
+          s"$pfx:${iri.substring(ns.length)}"
+      }.getOrElse(iri)
+    def idOf(term: String): String =
+      if (term.startsWith("_:")) "_:b" + blankPn(term.substring(2))
+      else compact(term)
+    val intRe = "^-?(0|[1-9][0-9]*)$".r
+    def value(o: String): String = o match {
+      case litRe(lex, lang, dt) =>
+        val raw = unescapeLex(lex)
+        if (dt == XSD + "integer" && intRe.matches(raw)) raw
+        else if (dt == XSD + "boolean" && (raw == "true" || raw == "false")) raw
+        else if (lang != null)
+          s"""{"@value":"${jesc(raw)}","@language":"${jesc(lang)}"}"""
+        else if (dt != null)
+          s"""{"@value":"${jesc(raw)}","@type":"${jesc(compact(dt))}"}"""
+        else s""""${jesc(raw)}""""
+      case term => s"""{"@id":"${jesc(idOf(term))}"}"""
+    }
+    val nodes = triples.groupBy(_._1).toSeq.sortBy(_._1).map { case (s, ts) =>
+      val (typeTs, propTs) = ts.partition(_._2 == RDFT)
+      val typePart =
+        if (typeTs.isEmpty) ""
+        else {
+          val cs = typeTs.map(t => s""""${jesc(compact(t._3))}"""").sorted.distinct
+          val v = if (cs.length == 1) cs.head else cs.mkString("[", ",", "]")
+          s""","@type":$v"""
+        }
+      val props = propTs.groupBy(_._2).toSeq.sortBy(_._1).map { case (p, os) =>
+        val vs = os.map(_._3).distinct.map(value).sorted
+        val v = if (vs.length == 1) vs.head else vs.mkString("[", ",", "]")
+        s""""${jesc(compact(p))}":$v"""
+      }
+      (s"""{"@id":"${jesc(idOf(s))}"$typePart""" +:
+        props).mkString("", ",", "}")
+    }
+    val ctx = context.toSeq.sortBy(_._1)
+      .map { case (p, ns) => s""""${jesc(p)}":"${jesc(ns)}"""" }
+      .mkString("{", ",", "}")
+    s"""{"@context":$ctx,"@graph":[\n${nodes.mkString(",\n")}\n]}"""
+  }
+
   /** The literal's lexical form for CSV (IRIs/bnodes pass through bare,
     * per the W3C CSV rules).
     */

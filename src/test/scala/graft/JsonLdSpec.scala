@@ -89,6 +89,35 @@ class JsonLdSpec extends SparkSpec {
     an[JsonLd.ParseException] should be thrownBy p("""{"unclosed": """)
   }
 
+  "Results.toJsonLd" should "round-trip ground graphs through JsonLd.parse" in {
+    import spark.implicits._
+    val g = Seq(
+      ("http://ex.org/a", RDF + "type", "http://ex.org/Person"),
+      ("http://ex.org/a", "http://ex.org/name", "\"Li \\\"q\\\" ne\\nx\""),
+      ("http://ex.org/a", "http://ex.org/age", "\"42\"^^<" + XSD + "integer>"),
+      ("http://ex.org/a", "http://ex.org/ok", "\"true\"^^<" + XSD + "boolean>"),
+      ("http://ex.org/a", "http://ex.org/knows", "http://ex.org/b"),
+      ("http://ex.org/b", "http://ex.org/tag", "\"wort\"@de"),
+      ("http://ex.org/b", "http://ex.org/when", "\"2020\"^^<http://ex.org/dt>")
+    )
+    val doc = graft.sparql.Results.toJsonLd(g.toDF("s", "p", "o"),
+      Map("ex" -> "http://ex.org/"))
+    JsonLd.parse(doc, "Z").toSet shouldBe g.toSet
+  }
+
+  it should "round-trip blank nodes up to relabeling" in {
+    import spark.implicits._
+    val g = Seq(
+      ("_:f:x", "http://ex.org/name", "\"anon\""),
+      ("http://ex.org/a", "http://ex.org/ref", "_:f:x"))
+    val doc = graft.sparql.Results.toJsonLd(g.toDF("s", "p", "o"))
+    val back = JsonLd.parse(doc, "Z")
+    back should have size 2
+    val b = back.collect { case (s, "http://ex.org/name", "\"anon\"") => s }
+    b should have size 1
+    back should contain(("http://ex.org/a", "http://ex.org/ref", b.head))
+  }
+
   "TripleStore.parseJsonLd" should "scope generated blanks per file" in {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonld-spec")
     val doc = """{"@context": {"@vocab": "v:"}, "name": "anon"}"""
