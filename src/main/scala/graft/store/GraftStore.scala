@@ -900,6 +900,33 @@ object GraftStore {
     h
   }
 
+  /** The materialized RDFS closure as an INGEST ARTIFACT beside the ANN
+    * indexes: reason once at ingest (`ReasonOps.rdfsClosure`), persist
+    * in the same predicate-partitioned layout as the base store (so
+    * constant-predicate scans over the closure directory-prune exactly
+    * like base scans), and query sessions OPEN it instead of
+    * re-deriving. Later O(Δ) appends maintain it durably:
+    * `persistClosureAppend(ReasonOps.rdfsDelta(tbox, delta), path)`
+    * writes only the increment's files (dedup across increments is the
+    * documented cost of append-mode maintenance — compact by
+    * re-persisting the distinct closure when the overlap grows).
+    */
+  def persistClosure(closure: DataFrame, path: String): Unit =
+    TripleStore.persist(closure, s"$path/rdfs_closure")
+
+  def persistClosureAppend(increment: DataFrame, path: String): Unit =
+    TripleStore.persistAppend(increment, s"$path/rdfs_closure")
+
+  def openClosure(spark: SparkSession, path: String): DataFrame = {
+    // explicit schema: same partition-column-typing pin as `open`
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("s", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("o", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("p", org.apache.spark.sql.types.StringType)))
+    spark.read.schema(schema).parquet(s"$path/rdfs_closure")
+      .select("s", "p", "o")
+  }
+
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
 

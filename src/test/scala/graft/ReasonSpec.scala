@@ -135,6 +135,21 @@ class ReasonSpec extends SparkSpec {
     got shouldBe tset(ReasonOps.rdfsDelta(tbox, deltaRows.toDF("s", "p", "o")))
   }
 
+  "GraftStore closure artifacts" should "persist, append increments, reopen" in {
+    import graft.store.GraftStore
+    val tbox = Seq(
+      ("worksFor", SubPropertyOf, "affiliated"),
+      ("Person", SubClassOf, "Agent")).toDF("s", "p", "o")
+    val base = tbox.unionAll(Seq(("a", "worksFor", "x")).toDF("s", "p", "o"))
+    val delta = Seq(("b", "a", "Person")).toDF("s", "p", "o")
+    val path = java.nio.file.Files.createTempDirectory("graft-closure").toString
+    GraftStore.persistClosure(ReasonOps.rdfsClosure(base), path)
+    GraftStore.persistClosureAppend(ReasonOps.rdfsDelta(tbox, delta), path)
+    val reopened = GraftStore.openClosure(spark, path)
+    tset(reopened.distinct()) shouldBe
+      tset(ReasonOps.rdfsClosure(base.unionAll(delta)))
+  }
+
   it should "reject TBox statements in a delta" in {
     val e = intercept[IllegalArgumentException] {
       ReasonOps.rdfsDelta(
