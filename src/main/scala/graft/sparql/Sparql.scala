@@ -327,16 +327,13 @@ object Sparql {
     val p = new P(tokenize(queryText))
     val prefixes = parsePrefixes(p)
     p.eatKw("CONSTRUCT")
-    val template = parseGroup(p, prefixes)
+    val template = templateAnonBlanks(parseGroup(p, prefixes))
     require(template.filters.isEmpty && template.optionals.isEmpty &&
       template.unions.isEmpty && template.minuses.isEmpty &&
       template.paths.isEmpty && template.binds.isEmpty &&
       template.subqueries.isEmpty && template.subgroups.isEmpty &&
       template.graphs.isEmpty && template.services.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
-    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
-      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
-        "use labeled _:b blanks (skolemized fresh per solution)")
     p.eatKw("WHERE")
     val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
     val sols = compileGroup(stringEnv(spark, triples, stats), group)
@@ -353,16 +350,13 @@ object Sparql {
     val p = new P(tokenize(queryText))
     val prefixes = parsePrefixes(p)
     p.eatKw("CONSTRUCT")
-    val template = parseGroup(p, prefixes)
+    val template = templateAnonBlanks(parseGroup(p, prefixes))
     require(template.filters.isEmpty && template.optionals.isEmpty &&
       template.unions.isEmpty && template.minuses.isEmpty &&
       template.paths.isEmpty && template.binds.isEmpty &&
       template.subqueries.isEmpty && template.subgroups.isEmpty &&
       template.graphs.isEmpty && template.services.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
-    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
-      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
-        "use labeled _:b blanks (skolemized fresh per solution)")
     p.eatKw("WHERE")
     val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
     val env = encEnvFor(spark, store, group, plainVarsOfG(group))
@@ -373,6 +367,23 @@ object Sparql {
     * CONSTRUCT paths): one select per template triple, unbound-variable
     * rows dropped, `_:label` blanks skolemized per solution row.
     */
+  /** CONSTRUCT templates: an anonymous `[ ... ]` is a TEMPLATE blank
+    * node — fresh per solution (SPARQL 1.1 sec 16.2.1) — so the parser's
+    * hidden `__bn` vars rewrite to labeled blank constants and skolemize
+    * through the same per-solution row-hash path as explicit `_:b`
+    * labels. Distinct anonymous blanks stay distinct (the hidden vars
+    * are query-global fresh). Applied ONLY to CONSTRUCT templates:
+    * update DELETE templates must keep rejecting blanks.
+    */
+  private def templateAnonBlanks(template: Group): Group = {
+    def fix(t: Term): Term = t match {
+      case V(n) if n.startsWith("__bn") => C("_:" + n)
+      case other => other
+    }
+    template.copy(triples = template.triples.map(tp =>
+      TriplePattern(fix(tp.s), fix(tp.p), fix(tp.o))))
+  }
+
   private def instantiate(template: Group, sols: DataFrame): DataFrame =
     instantiateBag(template, sols).distinct()
 
@@ -413,16 +424,13 @@ object Sparql {
     val p = new P(tokenize(queryText))
     val prefixes = parsePrefixes(p)
     p.eatKw("CONSTRUCT")
-    val template = parseGroup(p, prefixes)
+    val template = templateAnonBlanks(parseGroup(p, prefixes))
     require(template.filters.isEmpty && template.optionals.isEmpty &&
       template.unions.isEmpty && template.minuses.isEmpty &&
       template.paths.isEmpty && template.binds.isEmpty &&
       template.subqueries.isEmpty && template.subgroups.isEmpty &&
       template.graphs.isEmpty && template.services.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
-    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
-      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
-        "use labeled _:b blanks (skolemized fresh per solution)")
     p.eatKw("WHERE")
     val group = parseGroup(p, prefixes)
     val q = Query(distinct = false, projection = Seq.empty, group = group,
@@ -3584,16 +3592,13 @@ object Sparql {
     val p = new P(tokenize(queryText))
     val prefixes = parsePrefixes(p)
     p.eatKw("CONSTRUCT")
-    val template = parseGroup(p, prefixes)
+    val template = templateAnonBlanks(parseGroup(p, prefixes))
     require(template.filters.isEmpty && template.optionals.isEmpty &&
       template.unions.isEmpty && template.minuses.isEmpty &&
       template.paths.isEmpty && template.binds.isEmpty &&
       template.subqueries.isEmpty && template.subgroups.isEmpty &&
       template.graphs.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
-    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
-      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
-        "use labeled _:b blanks (skolemized fresh per solution)")
     val (fromG, fromN) = parseDatasetClauses(p, prefixes)
     p.eatKw("WHERE")
     val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))
@@ -3698,16 +3703,13 @@ object Sparql {
     val p = new P(tokenize(queryText))
     val prefixes = parsePrefixes(p)
     p.eatKw("CONSTRUCT")
-    val template = parseGroup(p, prefixes)
+    val template = templateAnonBlanks(parseGroup(p, prefixes))
     require(template.filters.isEmpty && template.optionals.isEmpty &&
       template.unions.isEmpty && template.minuses.isEmpty &&
       template.paths.isEmpty && template.binds.isEmpty &&
       template.subqueries.isEmpty && template.subgroups.isEmpty &&
       template.graphs.isEmpty,
       "CONSTRUCT template must contain only triple patterns")
-    require(!template.triples.exists(_.vars.exists(_.startsWith("__bn"))),
-      "anonymous [] blanks are not supported in CONSTRUCT templates - " +
-        "use labeled _:b blanks (skolemized fresh per solution)")
     val (fromG, fromN) = parseDatasetClauses(p, prefixes)
     p.eatKw("WHERE")
     val group = withTrailingValues(p, prefixes, parseGroup(p, prefixes))

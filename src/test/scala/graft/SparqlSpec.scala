@@ -855,6 +855,21 @@ class SparqlSpec extends SparkSpec {
     res.collect { case (b, "to", _) => b }.toSet shouldBe blanks
   }
 
+  it should "treat anonymous [] in CONSTRUCT templates as fresh template blanks" in {
+    // [ :to ?c ] is sugar for a labeled template blank (SPARQL §16.2.1):
+    // fresh per solution, shared across the expansion's triples
+    val res = Sparql.construct(spark, triples,
+      """PREFIX : <>
+        |CONSTRUCT { ?a :via [ :to ?c ] }
+        |WHERE { ?a :2 ?b . ?b :4 ?c }""".stripMargin)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    res.length shouldBe 4
+    val blanks = res.collect { case (_, "via", b) => b }.toSet
+    blanks.size shouldBe 2
+    blanks.foreach(_ should startWith("_:"))
+    res.collect { case (b, "to", _) => b }.toSet shouldBe blanks
+  }
+
   it should "evaluate term-inspection and hash builtins (SPARQL 1.1 §17.4)" in {
     val t2 = Seq(
       ("a", "v", "\"hi\"@en"), ("b", "v", "\"raw\""), ("c", "v", "42"),
