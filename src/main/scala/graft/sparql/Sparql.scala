@@ -1299,12 +1299,13 @@ object Sparql {
         case Some(t) if p.isKw(t, "SERVICE") =>
           p.pos += 1
           val silent = p.tryKw("SILENT")
+          // a VARIABLE endpoint travels as "?var" (an IRI can never
+          // start with '?'): the compiler unions the block over every
+          // registered endpoint with the var bound to the endpoint IRI
           val ep = parseTerm(p, prefixes) match {
             case C(iri: String) => iri
-            case _: V => p.fail("SERVICE needs a constant endpoint IRI " +
-              "(variable endpoints are not supported — register each " +
-              "endpoint and name it explicitly)")
-            case x => p.fail(s"SERVICE needs an IRI, got $x")
+            case V(v) => "?" + v
+            case x => p.fail(s"SERVICE needs an IRI or variable, got $x")
           }
           services :+= ((ep, parseGroup(p, prefixes), silent))
         case Some(t) if p.isKw(t, "BIND") =>
@@ -1807,6 +1808,54 @@ object Sparql {
   private def lookupEndpoint(spark: SparkSession, iri: String): Option[DataFrame] =
     Option(endpointReg.get((spark, iri)))
 
+  /** The SERVICE block's solution relation, shared by every compile
+    * path. Constant endpoints look up the registry (SILENT miss = the
+    * unit solution, None). A VARIABLE endpoint ("?var") unions the
+    * block over EVERY endpoint registered in this session — sorted by
+    * IRI for determinism — with the var bound to the endpoint IRI (or
+    * filtered on it when the block itself binds the var): the
+    * bounded-registry reading of SPARQL 1.1 Federated Query §2.4, whose
+    * variable-endpoint evaluation is implementation-defined. The
+    * registry is bounded, so the union is a bounded plan, never a
+    * per-solution endpoint round-trip.
+    */
+  private def serviceSolutions(spark: SparkSession, ep: String,
+                               silent: Boolean,
+                               compile: DataFrame => DataFrame)
+      : Option[DataFrame] = {
+    if (ep.startsWith("?")) {
+      val v = ep.substring(1)
+      val eps = {
+        val b = Seq.newBuilder[(String, DataFrame)]
+        val it = endpointReg.entrySet.iterator
+        while (it.hasNext) {
+          val e = it.next()
+          if (e.getKey._1 eq spark) b += ((e.getKey._2, e.getValue))
+        }
+        b.result().sortBy(_._1)
+      }
+      val arms = eps.map { case (iri, remote) =>
+        val svc = compile(remote)
+        if (svc.columns.contains(v)) svc.where(col(v) === iri)
+        else svc.withColumn(v, lit(iri))
+      }
+      arms.reduceOption(_.unionByName(_)).orElse {
+        if (silent) None
+        else throw new IllegalArgumentException(
+          "SERVICE ?" + v + " found no registered endpoints — call " +
+            "Sparql.registerEndpoint(spark, iri, triples) first " +
+            "(or use SERVICE SILENT)")
+      }
+    } else lookupEndpoint(spark, ep) match {
+      case Some(remote) => Some(compile(remote))
+      case None if silent => None
+      case None => throw new IllegalArgumentException(
+        s"SERVICE endpoint not registered: <$ep> — call " +
+          "Sparql.registerEndpoint(spark, iri, triples) first " +
+          "(or use SERVICE SILENT)")
+    }
+  }
+
   /** Encoded mode: join shadow string columns (`__str_<v>`) for the
     * id-typed vars an expression inspects; returns the decorated frame,
     * the var resolver for expression compilation, and the shadow columns
@@ -2110,8 +2159,9 @@ object Sparql {
     * targets and aliases.
     */
   private def serviceBoundVars(g: Group): Set[String] =
-    g.services.flatMap { case (_, inner, _) =>
-      patternVarsOfG(inner) ++ plainVarsOfG(inner) ++ serviceBoundVars(inner)
+    g.services.flatMap { case (ep, inner, _) =>
+      (if (ep.startsWith("?")) Set(ep.substring(1)) else Set.empty[String]) ++
+        patternVarsOfG(inner) ++ plainVarsOfG(inner) ++ serviceBoundVars(inner)
     }.toSet ++
       childGroups(g).flatMap(serviceBoundVars) ++
       g.subqueries.flatMap(sq => serviceBoundVars(sq.group))
@@ -2537,18 +2587,13 @@ object Sparql {
     // side by construction (the registry holds co-resident datasets), so
     // the stream-endpoint join is append-safe like a subquery's
     q.group.services.foreach { case (iri, inner, silent) =>
-      lookupEndpoint(spark, iri) match {
-        case Some(remote) =>
-          val svc = compileGroup(stringEnv(spark, remote, Map.empty), inner)
+      serviceSolutions(spark, iri, silent,
+        remote => compileGroup(stringEnv(spark, remote, Map.empty), inner))
+        .foreach { svc =>
           val shared = df.columns.intersect(svc.columns).toSeq
           df = if (shared.isEmpty) df.crossJoin(svc)
           else df.join(svc, shared, "inner")
-        case None if silent => ()
-        case None => throw new IllegalArgumentException(
-          s"SERVICE endpoint not registered: <$iri> — call " +
-            "Sparql.registerEndpoint(spark, iri, triples) first " +
-            "(or use SERVICE SILENT)")
-      }
+        }
     }
     q.group.optionals.foreach { opt =>
       val o = compileGroup(senv, opt)
@@ -3085,18 +3130,11 @@ object Sparql {
     // so co-occurring pattern vars demote to term strings and the
     // federated join compares one consistent domain.
     g.services.foreach { case (iri, inner, silent) =>
-      lookupEndpoint(env.spark, iri) match {
-        case Some(remote) =>
-          joinIn(compileGroup(stringEnv(env.spark, remote, Map.empty), inner))
-        case None if silent =>
-          // SILENT on an unreachable endpoint: the unit solution —
-          // join-identity, outer solutions pass through unchanged
-          ()
-        case None => throw new IllegalArgumentException(
-          s"SERVICE endpoint not registered: <$iri> — call " +
-            "Sparql.registerEndpoint(spark, iri, triples) first " +
-            "(or use SERVICE SILENT)")
-      }
+      // SILENT on an unreachable endpoint: the unit solution —
+      // join-identity, outer solutions pass through unchanged
+      serviceSolutions(env.spark, iri, silent,
+        remote => compileGroup(stringEnv(env.spark, remote, Map.empty), inner))
+        .foreach(joinIn)
     }
     // GRAPH blocks match the NAMED part of the quad dataset
     g.graphs.foreach { case (gterm, inner) =>
@@ -3378,15 +3416,9 @@ object Sparql {
         // SERVICE evaluates against its ENDPOINT regardless of the
         // active graph — same join-in as at group level
         inner.services.foreach { case (iri, ig, silent) =>
-          lookupEndpoint(env.spark, iri) match {
-            case Some(remote) =>
-              joinIn(compileGroup(stringEnv(env.spark, remote, Map.empty), ig))
-            case None if silent => ()
-            case None => throw new IllegalArgumentException(
-              s"SERVICE endpoint not registered: <$iri> — call " +
-                "Sparql.registerEndpoint(spark, iri, triples) first " +
-                "(or use SERVICE SILENT)")
-          }
+          serviceSolutions(env.spark, iri, silent,
+            remote => compileGroup(stringEnv(env.spark, remote, Map.empty), ig))
+            .foreach(joinIn)
         }
         inner.unions.foreach { case (l, r) =>
           joinIn(compileGraphBlock(env, gterm, l)

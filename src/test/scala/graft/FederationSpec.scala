@@ -109,13 +109,6 @@ class FederationSpec extends SparkSpec {
       ("urn:gA", "p1", "\"Acme\""), ("urn:gB", "p2", "\"Globex\""))
   }
 
-  it should "reject variable endpoints at parse time" in {
-    val e = intercept[Exception] {
-      run("PREFIX : <>\nSELECT ?p WHERE { SERVICE ?ep { ?s ?p ?o } }")
-    }
-    e.getMessage.toLowerCase should include("endpoint")
-  }
-
   it should "match the string path on the ENCODED store (plainVars bridge)" in {
     val st = GraftStore.ingestTriples(spark, local)
     Sparql.registerEndpoint(spark, "graft://orgs", remote)
@@ -194,5 +187,38 @@ class FederationSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1), r.getString(2)))
     viaEncoded shouldBe Array(
       ("p1", "org1", "\"Acme\""), ("p2", "org2", "\"Globex\""))
+  }
+
+  it should "union a VARIABLE endpoint over every registered endpoint" in {
+    val remote2 = Seq(("org9", "label", "\"Niners\"")).toDF("s", "p", "o")
+    Sparql.registerEndpoint(spark, "graft://orgs", remote)
+    Sparql.registerEndpoint(spark, "graft://more", remote2)
+    try {
+      val res = run(
+        """PREFIX : <>
+          |SELECT ?p ?ep ?l WHERE {
+          |  ?p :worksAt ?o .
+          |  SERVICE ?ep { ?o :label ?l }
+          |} ORDER BY ?p""".stripMargin)
+      res shouldBe Seq(
+        Seq("p1", "graft://orgs", "\"Acme\""),
+        Seq("p2", "graft://orgs", "\"Globex\""),
+        Seq("p3", "graft://more", "\"Niners\""))
+    } finally Sparql.unregisterEndpoint(spark, "graft://more")
+  }
+
+  it should "treat SILENT ?ep with an empty registry as the unit solution" in {
+    Sparql.unregisterEndpoint(spark, "graft://orgs")
+    val res = run(
+      """PREFIX : <>
+        |SELECT ?p WHERE {
+        |  ?p :name ?n .
+        |  SERVICE SILENT ?ep { ?o :label ?l }
+        |} ORDER BY ?p""".stripMargin)
+    res shouldBe Seq(Seq("p1"), Seq("p2"), Seq("p3"))
+    an[IllegalArgumentException] should be thrownBy run(
+      """PREFIX : <>
+        |SELECT ?p WHERE { ?p :name ?n .
+        |  SERVICE ?ep { ?o :label ?l } }""".stripMargin)
   }
 }
