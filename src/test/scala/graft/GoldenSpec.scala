@@ -368,6 +368,24 @@ class GoldenSpec extends SparkSpec {
     }
   }
 
+  "SPARQL golden corpus" should "reproduce sparql_service_var exactly" in {
+    import org.apache.spark.sql.functions.col
+    Sparql.registerEndpoint(spark, "graft://nations",
+      triples.where(col("s").startsWith("nation:")))
+    Sparql.registerEndpoint(spark, "graft://regions",
+      triples.where(col("s").startsWith("region:")))
+    try {
+      val got = tsvOf(Sparql.execute(spark, triples,
+        """PREFIX : <>
+          |SELECT ?ep ?x ?nm WHERE { SERVICE ?ep { ?x :name ?nm } }
+          |ORDER BY ?ep ?x ?nm""".stripMargin))
+      got shouldBe golden("sparql_service_var")
+    } finally {
+      Sparql.unregisterEndpoint(spark, "graft://nations")
+      Sparql.unregisterEndpoint(spark, "graft://regions")
+    }
+  }
+
   "SPARQL golden corpus" should
     "reproduce sparql_values_postagg_undef on the ENCODED store byte-identically" in {
     val st = graft.store.GraftStore.ingestTriples(spark, triples)

@@ -26,6 +26,13 @@ QUERIES = {
           UNION ALL SELECT 'supplier:' || s_suppkey, NULL FROM supplier
           UNION ALL SELECT 'part:' || p_partkey, NULL FROM part
         ) ORDER BY x, m NULLS FIRST""",
+    "sparql_service_var": """
+        SELECT ep, x, nm FROM (
+          SELECT 'graft://nations' AS ep, 'nation:' || n_nationkey AS x,
+                 n_name AS nm FROM nation
+          UNION ALL SELECT 'graft://regions', 'region:' || r_regionkey, r_name
+          FROM region
+        ) ORDER BY ep, x, nm""",
     "sparql_minus": """
         SELECT 'customer:' || c_custkey AS c FROM customer
         WHERE c_mktsegment <> 'BUILDING' ORDER BY c""",
