@@ -2074,6 +2074,33 @@ object SparkEntry {
       .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
       .orderBy("p", "cls")
 
+  /** The closure on the ENCODED store — the production currency: the
+    * whole derivation runs on fixed-width long ids (content-derived, so
+    * even the vocabulary ids are driver-computed on a pure-hash store:
+    * zero dictionary probes), with ONE slim-dict decode at the top.
+    * Same recursive-CTE oracle as the string twin.
+    */
+  private def rdfsEncClosureQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.dict.Dictionary
+    val base = TripleStore.tableTriples(s, d).unionAll(rdfsTestTbox(s))
+    val st = GraftStore.ingestTriples(s, base)
+    val terms = Seq(ReasonOps.SubClassOf, ReasonOps.SubPropertyOf,
+      ReasonOps.Domain, ReasonOps.Range, "a")
+    val id: String => Long =
+      if (st.pureHash) Dictionary.termHashLocal
+      else Dictionary.lookup(st.dict, terms)
+    val ids = ReasonOps.RdfsIds(id(ReasonOps.SubClassOf),
+      id(ReasonOps.SubPropertyOf), id(ReasonOps.Domain),
+      id(ReasonOps.Range), id("a"))
+    val enc = ReasonOps.rdfsClosureEncoded(st.enc.select("s", "p", "o"), ids)
+    Dictionary.decodeAll(enc, st.dict, Seq("s", "p", "o"))
+      .groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p", "cls")
+  }
+
   /** Incremental maintenance: the store splits into a base (everything
     * but customers) materialized with rdfsClosure and a customer DELTA
     * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
@@ -2992,6 +3019,7 @@ object SparkEntry {
     "q_rdfs_closure" -> (rdfsClosureQ _),
     "q_rdfs_sparql" -> (rdfsSparqlQ _),
     "q_rdfs_delta" -> (rdfsDeltaQ _),
+    "q_rdfs_enc_closure" -> (rdfsEncClosureQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
     "q_owl_closure" -> (owlClosureQ _),
     "q_triangles" -> (trianglesQ _),
@@ -4303,6 +4331,8 @@ object SparkEntry {
     // incremental == full: the engine maintains the customer delta with
     // rdfsDelta, the oracle rematerializes everything from scratch
     "q_rdfs_delta" -> rdfsClosureOracle,
+    // the ENCODED derivation must land on the same census
+    "q_rdfs_enc_closure" -> rdfsClosureOracle,
     // entailment-regime query: the oracle answers from the BASE tables
     // (within = nationkey/regionkey chains, Place = nations+regions),
     // fully independent of the closure construction

@@ -43,22 +43,30 @@ object ReasonOps {
   val Range         = "rdfs:range"
   private val TboxPreds = Seq(SubClassOf, SubPropertyOf, Domain, Range)
 
+  /** The RDFS vocabulary as ENCODED ids (see [[rdfsClosureEncoded]]). */
+  final case class RdfsIds(subClassOf: Long, subPropertyOf: Long,
+                           domain: Long, range: Long, typePred: Long)
+
   /** Proper transitive closure of a (small, driver-side) edge list:
     * every (a, b) with a path a -> ... -> b of length >= 1 and a != b.
     * BFS with a visited set, so cycles terminate (a cycle member reaches
     * every other member but never itself — reflexive pairs carry no
     * information for expansion and are dropped).
     */
-  private[graft] def transitive(edges: Seq[(String, String)]): Seq[(String, String)] = {
+  private[graft] def transitive(edges: Seq[(String, String)]): Seq[(String, String)] =
+    transitiveAny(edges).map { case (a, b) =>
+      (a.asInstanceOf[String], b.asInstanceOf[String]) }
+
+  private def transitiveAny(edges: Seq[(Any, Any)]): Seq[(Any, Any)] = {
     val adj = edges.groupBy(_._1).map { case (k, es) => (k, es.map(_._2).distinct) }
-    adj.keys.toSeq.sorted.flatMap { a =>
-      val seen = scala.collection.mutable.Set[String]()
+    adj.keys.toSeq.sortBy(_.toString).flatMap { a =>
+      val seen = scala.collection.mutable.Set[Any]()
       val queue = scala.collection.mutable.Queue(adj(a): _*)
       while (queue.nonEmpty) {
         val b = queue.dequeue()
         if (seen.add(b)) queue ++= adj.getOrElse(b, Nil)
       }
-      (seen - a).toSeq.sorted.map((a, _))
+      (seen - a).toSeq.sortBy(_.toString).map((a, _))
     }
   }
 
@@ -77,8 +85,36 @@ object ReasonOps {
     // the source (no shuffle, filters pushed) beat caching 100 TB.
     val t0 = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
     val t = if (pinInput) t0.localCheckpoint(true) else t0
-    val tbox = collectTbox(t, tboxCap)
-    val derived = rdfsDerive(tbox, t, typePred, includeTboxClosure = true)
+    val tbox = collectTbox(t,
+      Seq(SubClassOf, SubPropertyOf, Domain, Range), tboxCap)
+    val derived = rdfsDerive(tbox, t,
+      SubClassOf, SubPropertyOf, Domain, Range, typePred,
+      includeTboxClosure = true)
+    (t +: derived).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** RDFS closure over an ENCODED (long-id) triple relation — the
+    * production-currency twin of [[rdfsClosure]], proving the design
+    * thesis end-to-end: the rule passes never touch a string. The
+    * vocabulary arrives as ids ([[RdfsIds]]); on a pure-hash store they
+    * are DRIVER-COMPUTABLE (`Dictionary.termHashLocal` of the store's
+    * term forms — no job, no dictionary probe), on a collision-repaired
+    * store resolve them once with `Dictionary.lookup`. Output ids all
+    * pre-exist in the dictionary (closure only recombines existing
+    * terms), so the one decode at the top is the ordinary slim-dict
+    * join.
+    */
+  def rdfsClosureEncoded(encTriples: DataFrame, ids: RdfsIds,
+                         tboxCap: Int = 1 << 20,
+                         pinInput: Boolean = true): DataFrame = {
+    val Seq(cs, cp, co) = encTriples.columns.take(3).toSeq
+    val t0 = encTriples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val t = if (pinInput) t0.localCheckpoint(true) else t0
+    val tbox = collectTbox(t,
+      Seq(ids.subClassOf, ids.subPropertyOf, ids.domain, ids.range), tboxCap)
+    val derived = rdfsDerive(tbox, t,
+      ids.subClassOf, ids.subPropertyOf, ids.domain, ids.range, ids.typePred,
+      includeTboxClosure = true)
     (t +: derived).reduce(_.unionAll(_)).distinct()
   }
 
@@ -109,8 +145,10 @@ object ReasonOps {
     val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
     val tbox = collectTbox(
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
-      tboxCap)
-    val derived = rdfsDerive(tbox, d, typePred, includeTboxClosure = false)
+      Seq(SubClassOf, SubPropertyOf, Domain, Range), tboxCap)
+    val derived = rdfsDerive(tbox, d,
+      SubClassOf, SubPropertyOf, Domain, Range, typePred,
+      includeTboxClosure = false)
     (d +: derived).reduce(_.unionAll(_)).distinct()
   }
 
@@ -138,17 +176,21 @@ object ReasonOps {
     val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
     val tbox = collectTbox(
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
-      tboxCap)
-    val derived = rdfsDerive(tbox, d, typePred, includeTboxClosure = false)
+      Seq(SubClassOf, SubPropertyOf, Domain, Range), tboxCap)
+    val derived = rdfsDerive(tbox, d,
+      SubClassOf, SubPropertyOf, Domain, Range, typePred,
+      includeTboxClosure = false)
     (d +: derived).reduce(_.unionAll(_))
   }
 
-  /** Collect + cap the schema statements (driver-sized by contract). */
-  private def collectTbox(t: DataFrame, tboxCap: Int)
-      : Array[(String, String, String)] = {
-    val tbox = t.where(col("p").isin(TboxPreds: _*))
+  /** Collect + cap the schema statements (driver-sized by contract) —
+    * generic over the term type (string terms or encoded long ids).
+    */
+  private def collectTbox(t: DataFrame, preds: Seq[Any], tboxCap: Int)
+      : Array[(Any, Any, Any)] = {
+    val tbox = t.where(col("p").isin(preds: _*))
       .limit(tboxCap + 1).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .map(r => (r.get(0), r.get(1), r.get(2)))
     require(tbox.length <= tboxCap,
       s"TBox exceeds $tboxCap statements - not schema-shaped; raise tboxCap " +
         "only if the ontology is genuinely this large")
@@ -157,33 +199,48 @@ object ReasonOps {
 
   /** The rho-df rule passes over an ABox relation `t` given a collected
     * TBox: one broadcast join per rule, sub-class expansion over base
-    * AND derived types. Shared by the full and the delta paths.
+    * AND derived types. Shared by the full, delta, streaming, and
+    * ENCODED paths — generic over the term type, so the same code runs
+    * on string terms and on long ids (the derivation tables take `t`'s
+    * column type).
     */
-  private def rdfsDerive(tbox: Array[(String, String, String)], t: DataFrame,
-                         typePred: String,
+  private def rdfsDerive(tbox: Array[(Any, Any, Any)], t: DataFrame,
+                         subClassOf: Any, subPropertyOf: Any,
+                         domain: Any, range: Any, typePred: Any,
                          includeTboxClosure: Boolean): Seq[DataFrame] = {
     val spark = t.sparkSession
-    val spPairs = transitive(tbox.collect { case (s, SubPropertyOf, o) => (s, o) })
-    val scPairs = transitive(tbox.collect { case (s, SubClassOf, o) => (s, o) })
+    val dt = t.schema.fields.head.dataType
+    val spPairs = transitiveAny(tbox.collect {
+      case (s, p, o) if p == subPropertyOf => (s, o) })
+    val scPairs = transitiveAny(tbox.collect {
+      case (s, p, o) if p == subClassOf => (s, o) })
     val spMap = spPairs.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
-    val domDecl = tbox.collect { case (s, Domain, o) => (s, o) }
-    val rngDecl = tbox.collect { case (s, Range, o) => (s, o) }
+    val domDecl = tbox.collect { case (s, p, o) if p == domain => (s, o) }
+    val rngDecl = tbox.collect { case (s, p, o) if p == range => (s, o) }
 
     // Effective domain/range: dom*(p) = union of declared domains over
     // {p} and sp*(p), so domains inherited through the property hierarchy
     // fire in the SAME single pass as declared ones.
-    def effective(decl: Seq[(String, String)]): Seq[(String, String)] = {
+    def effective(decl: Seq[(Any, Any)]): Seq[(Any, Any)] = {
       val byProp = decl.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
-      val props = (byProp.keySet ++ spMap.keySet).toSeq.sorted
+      val props = (byProp.keySet ++ spMap.keySet).toSeq.sortBy(_.toString)
       props.flatMap { p =>
         val classes = (Seq(p) ++ spMap.getOrElse(p, Nil))
-          .flatMap(q => byProp.getOrElse(q, Nil)).distinct.sorted
+          .flatMap(q => byProp.getOrElse(q, Nil)).distinct.sortBy(_.toString)
         classes.map((p, _))
       }
     }
 
-    def pairDf(pairs: Seq[(String, String)], a: String, b: String): DataFrame =
-      spark.createDataFrame(pairs).toDF(a, b)
+    def rowsDf(rows: Seq[Seq[Any]], names: Seq[String]): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        new java.util.ArrayList(
+          rows.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava),
+        org.apache.spark.sql.types.StructType(names.map(
+          org.apache.spark.sql.types.StructField(_, dt, nullable = false))))
+    }
+    def pairDf(pairs: Seq[(Any, Any)], a: String, b: String): DataFrame =
+      rowsDf(pairs.map(x => Seq(x._1, x._2)), Seq(a, b))
 
     val derived = scala.collection.mutable.ListBuffer[DataFrame]()
     // rdfs7: (s p o), p sp* q  =>  (s q o)
@@ -211,12 +268,13 @@ object ReasonOps {
     }
     // rdfs5 / rdfs11: the closed hierarchy statements themselves.
     val tboxClosed =
-      spPairs.map { case (a, b) => (a, SubPropertyOf, b) } ++
-        scPairs.map { case (a, b) => (a, SubClassOf, b) }
+      spPairs.map { case (a, b) => Seq(a, subPropertyOf, b) } ++
+        scPairs.map { case (a, b) => Seq(a, subClassOf, b) }
     if (includeTboxClosure && tboxClosed.nonEmpty)
-      derived += spark.createDataFrame(tboxClosed).toDF("s", "p", "o")
+      derived += rowsDf(tboxClosed, Seq("s", "p", "o"))
     derived.toSeq
   }
+
 
   val InverseOf          = "http://www.w3.org/2002/07/owl#inverseOf"
   val SymmetricProperty  = "http://www.w3.org/2002/07/owl#SymmetricProperty"

@@ -98,6 +98,34 @@ class ReasonSpec extends SparkSpec {
     got should not contain (("B", SubClassOf, "B"))
   }
 
+  "ReasonOps.rdfsClosureEncoded" should "derive on long ids exactly like strings" in {
+    // string fixture and its long-id encoding share structure; the
+    // encoded closure must be the id-image of the string closure
+    val terms = Seq("sc", "sp", "dom", "rng", "ty", "P", "A", "p", "q",
+      "C", "x", "y")
+    val id = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toMap
+    val g = Seq(
+      ("p", "sp", "q"), ("q", "dom", "C"), ("C", "sc", "A"),
+      ("x", "p", "y"), ("y", "ty", "C"))
+    val strClosure = {
+      // rename the vocab into the default string constants to reuse
+      // rdfsClosure, then map back
+      val m = Map("sc" -> ReasonOps.SubClassOf, "sp" -> ReasonOps.SubPropertyOf,
+        "dom" -> ReasonOps.Domain, "rng" -> ReasonOps.Range, "ty" -> "a")
+      def f(t: String) = m.getOrElse(t, t)
+      val inv = m.map(_.swap)
+      tset(ReasonOps.rdfsClosure(
+        g.map { case (s, p, o) => (f(s), f(p), f(o)) }.toDF("s", "p", "o")))
+        .map { case (s, p, o) =>
+          (inv.getOrElse(s, s), inv.getOrElse(p, p), inv.getOrElse(o, o)) }
+    }
+    val encClosure = ReasonOps.rdfsClosureEncoded(
+      g.map { case (s, p, o) => (id(s), id(p), id(o)) }.toDF("s", "p", "o"),
+      ReasonOps.RdfsIds(id("sc"), id("sp"), id("dom"), id("rng"), id("ty")))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    encClosure shouldBe strClosure.map { case (s, p, o) => (id(s), id(p), id(o)) }
+  }
+
   "ReasonOps.rdfsDelta" should "equal full rematerialization on base + delta" in {
     val tbox = Seq(
       ("worksFor", SubPropertyOf, "affiliated"),
