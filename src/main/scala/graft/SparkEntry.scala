@@ -2083,21 +2083,43 @@ object SparkEntry {
   private def rdfsEncClosureQ(s: SparkSession, d: String): DataFrame = {
     import graft.ops.ReasonOps
     import graft.dict.Dictionary
-    val base = TripleStore.tableTriples(s, d).unionAll(rdfsTestTbox(s))
-    val st = GraftStore.ingestTriples(s, base)
-    val terms = Seq(ReasonOps.SubClassOf, ReasonOps.SubPropertyOf,
-      ReasonOps.Domain, ReasonOps.Range, "a")
-    val id: String => Long =
-      if (st.pureHash) Dictionary.termHashLocal
-      else Dictionary.lookup(st.dict, terms)
+    val st = GraftStore.forDir(s, d) // the shared cached ingest
+    // content-derived ids let the driver encode the schema-sized TBox
+    // with NO job and no dictionary coordination — the whole point of
+    // the hash dictionary (a collision-repaired store would pre-ingest
+    // the TBox instead; testdata stores certify pure)
+    require(st.pureHash, "rdfsEncClosureQ expects a pure-hash store")
+    val id: String => Long = Dictionary.termHashLocal
+    val tboxRows = rdfsTestTbox(s).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    import s.implicits._
+    val encTbox = tboxRows.map { case (a, b, c) => (id(a), id(b), id(c)) }
+      .toSeq.toDF("s", "p", "o")
     val ids = ReasonOps.RdfsIds(id(ReasonOps.SubClassOf),
       id(ReasonOps.SubPropertyOf), id(ReasonOps.Domain),
       id(ReasonOps.Range), id("a"))
-    val enc = ReasonOps.rdfsClosureEncoded(st.enc.select("s", "p", "o"), ids)
-    Dictionary.decodeAll(enc, st.dict, Seq("s", "p", "o"))
-      .groupBy(col("p"),
-        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+    val enc = ReasonOps.rdfsClosureEncoded(
+      st.enc.select("s", "p", "o").unionAll(encTbox), ids)
+    // the encoded discipline end-to-end: census on IDS (ids are
+    // bijective with terms, so the distinct-subject counts agree), then
+    // decode the ~40 census rows — never the 10^6-row closure. TBox-only
+    // terms (Agent, rdfs:subClassOf, ...) are absent from the store
+    // dictionary, so decode joins dict + their driver-built entries.
+    val censusEnc = enc.groupBy(col("p"),
+        when(col("p") === ids.typePred, col("o")).otherwise(lit(-1L)).as("clsId"))
       .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+    val tboxDict = tboxRows.flatMap(t => Seq(t._1, t._2, t._3)).distinct
+      .map(t => (id(t), t)).toSeq.toDF("id", "term")
+    // distinct: shared terms (Customer, a, ...) exist in BOTH sides with
+    // identical (id, term) rows under the pure hash — dedup or the
+    // decode joins would duplicate census rows
+    val dictPlus = st.dict.select("id", "term").unionByName(tboxDict).distinct()
+    censusEnc
+      .join(dictPlus.select(col("id").as("p"), col("term").as("pT")), Seq("p"))
+      .join(dictPlus.select(col("id").as("clsId"), col("term").as("cT")),
+        Seq("clsId"), "left")
+      .select(col("pT").as("p"), coalesce(col("cT"), lit("-")).as("cls"),
+        col("n"), col("ns"))
       .orderBy("p", "cls")
   }
 
