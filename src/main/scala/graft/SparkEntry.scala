@@ -2136,8 +2136,11 @@ object SparkEntry {
     val all = TripleStore.tableTriples(s, d)
     val delta = all.where(col("s").startsWith("customer:"))
     val base = all.where(!col("s").startsWith("customer:")).unionAll(tbox)
-    ReasonOps.rdfsClosure(base)
-      .unionAll(ReasonOps.rdfsDelta(tbox, delta))
+    // dedup ONCE over the composed union, not per leg (dedup = false);
+    // keep the input PIN — unpinned re-derivation measured 2x slower
+    // (the 6x unpivot re-scan dominates; same trade as rdfsClosure docs)
+    ReasonOps.rdfsClosure(base, dedup = false)
+      .unionAll(ReasonOps.rdfsDelta(tbox, delta, dedup = false))
       .distinct()
       .groupBy(col("p"),
         when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))

@@ -77,7 +77,8 @@ object ReasonOps {
     * (rdfs5/rdfs11: transitive `subPropertyOf` / `subClassOf` pairs).
     */
   def rdfsClosure(triples: DataFrame, typePred: String = "a",
-                  tboxCap: Int = 1 << 20, pinInput: Boolean = true): DataFrame = {
+                  tboxCap: Int = 1 << 20, pinInput: Boolean = true,
+                  dedup: Boolean = true): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     // The derivation reads the input ~6x (TBox probe + one pass per rule
     // + the final union); pin it once when it fits executor storage.
@@ -90,7 +91,11 @@ object ReasonOps {
     val derived = rdfsDerive(tbox, t,
       SubClassOf, SubPropertyOf, Domain, Range, typePred,
       includeTboxClosure = true)
-    (t +: derived).reduce(_.unionAll(_)).distinct()
+    val all = (t +: derived).reduce(_.unionAll(_))
+    // dedup=false: callers composing several closure legs (e.g. base +
+    // incremental maintenance) dedup ONCE over the union instead of
+    // paying a full-output shuffle per leg
+    if (dedup) all.distinct() else all
   }
 
   /** RDFS closure over an ENCODED (long-id) triple relation — the
@@ -135,7 +140,8 @@ object ReasonOps {
     * derivations, deduped); union it with the existing closure.
     */
   def rdfsDelta(tboxSource: DataFrame, delta: DataFrame,
-                typePred: String = "a", tboxCap: Int = 1 << 20): DataFrame = {
+                typePred: String = "a", tboxCap: Int = 1 << 20,
+                dedup: Boolean = true): DataFrame = {
     val Seq(cs, cp, co) = delta.columns.take(3).toSeq
     val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
     val d = d0.localCheckpoint(true)
@@ -149,7 +155,8 @@ object ReasonOps {
     val derived = rdfsDerive(tbox, d,
       SubClassOf, SubPropertyOf, Domain, Range, typePred,
       includeTboxClosure = false)
-    (d +: derived).reduce(_.unionAll(_)).distinct()
+    val all = (d +: derived).reduce(_.unionAll(_))
+    if (dedup) all.distinct() else all
   }
 
   /** STREAMING RDFS materialization: [[rdfsDelta]] over a live triple
