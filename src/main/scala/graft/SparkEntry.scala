@@ -2214,6 +2214,47 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** The OWL rules on ENCODED ids: the same constructed graph as
+    * [[owlClosureQ]] hash-encodes in a plain projection (content-derived
+    * ids, no dictionary job), the inverse/symmetric/transitive closure
+    * runs on longs, the census aggregates on ids, and only the handful
+    * of census predicates decode through a driver-built dictionary.
+    * Same oracle as the string twin.
+    */
+  private def owlEncClosureQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.dict.Dictionary
+    val n = t(s, d, "nation")
+    val base = n.where(col("n_nationkey") < 24).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("next").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 1).as("o"))
+      .unionByName(n.where(col("n_nationkey") < 5).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("borders").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 5).as("o")))
+      .unionByName(s.createDataFrame(Seq(
+        ("next", "a", ReasonOps.TransitiveProperty),
+        ("prev", ReasonOps.InverseOf, "next"),
+        ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o"))
+    val enc = base.select(
+      Dictionary.termHash(col("s")).as("s"),
+      Dictionary.termHash(col("p")).as("p"),
+      Dictionary.termHash(col("o")).as("o"))
+    val id: String => Long = Dictionary.termHashLocal
+    val ids = ReasonOps.OwlIds(id(ReasonOps.InverseOf),
+      id(ReasonOps.SymmetricProperty), id(ReasonOps.TransitiveProperty),
+      id("a"))
+    val censusEnc = ReasonOps.owlClosureEncoded(enc, ids)
+      .groupBy("p").agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+    import s.implicits._
+    val predDict = Seq("next", "prev", "borders", "a", ReasonOps.InverseOf)
+      .map(t => (id(t), t)).toDF("p", "pT")
+    censusEnc.join(broadcast(predDict), Seq("p"))
+      .select(col("pT").as("p"), col("n"), col("ns"))
+      .orderBy("p")
+  }
+
   /** The reference's own benchmark workload as driver gates: LUBM
     * University0 (318k triples from the reference's N-Triples fixtures)
     * with the two most join-heavy standard LUBM queries, run over the
@@ -3047,6 +3088,7 @@ object SparkEntry {
     "q_rdfs_enc_closure" -> (rdfsEncClosureQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
     "q_owl_closure" -> (owlClosureQ _),
+    "q_owl_enc_closure" -> (owlEncClosureQ _),
     "q_triangles" -> (trianglesQ _),
     "q_bfs_dist" -> (bfsDistQ _),
     "q_turtle_load" -> (turtleLoadQ _),
@@ -3837,6 +3879,32 @@ object SparkEntry {
         |       UNION ALL SELECT 'region:99', 'a', 'Region'
         |       UNION ALL SELECT 'region:99', 'name', 'ATLANTIS')""".stripMargin
 
+  private val owlClosureOracle =
+    """WITH RECURSIVE nxt(a, b) AS (
+        |  SELECT 'nation:'||n_nationkey, 'nation:'||(n_nationkey+1)
+        |  FROM nation WHERE n_nationkey < 24
+        |  UNION
+        |  SELECT nxt.a, 'nation:'||(n_nationkey+1) FROM nxt
+        |  JOIN nation ON 'nation:'||n_nationkey = nxt.b AND n_nationkey < 24
+        |),
+        |bord AS (SELECT 'nation:'||n_nationkey AS a,
+        |                'nation:'||(n_nationkey+5) AS b
+        |         FROM nation WHERE n_nationkey < 5),
+        |tri AS (
+        |  SELECT 'next' AS p, a AS s, b AS o FROM nxt
+        |  UNION ALL SELECT 'prev', b, a FROM nxt
+        |  UNION ALL SELECT 'borders', a, b FROM bord
+        |  UNION ALL SELECT 'borders', b, a FROM bord
+        |  UNION ALL SELECT 'a', 'next',
+        |    'http://www.w3.org/2002/07/owl#TransitiveProperty'
+        |  UNION ALL SELECT 'a', 'borders',
+        |    'http://www.w3.org/2002/07/owl#SymmetricProperty'
+        |  UNION ALL SELECT 'http://www.w3.org/2002/07/owl#inverseOf',
+        |    'prev', 'next'
+        |)
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns
+        |FROM (SELECT DISTINCT * FROM tri) GROUP BY p ORDER BY p""".stripMargin
+
   private val rdfsClosureOracle =
     """WITH RECURSIVE tr AS (
         |  SELECT 'region:'||r_regionkey AS s, 'a' AS p, 'Region' AS o FROM region
@@ -4385,31 +4453,9 @@ object SparkEntry {
         |SELECT s, p, o FROM tri ORDER BY s, p, o""".stripMargin,
     // OWL property rules: the oracle recloses the next-chain with a
     // recursive CTE and derives prev/borders independently
-    "q_owl_closure" ->
-      """WITH RECURSIVE nxt(a, b) AS (
-        |  SELECT 'nation:'||n_nationkey, 'nation:'||(n_nationkey+1)
-        |  FROM nation WHERE n_nationkey < 24
-        |  UNION
-        |  SELECT nxt.a, 'nation:'||(n_nationkey+1) FROM nxt
-        |  JOIN nation ON 'nation:'||n_nationkey = nxt.b AND n_nationkey < 24
-        |),
-        |bord AS (SELECT 'nation:'||n_nationkey AS a,
-        |                'nation:'||(n_nationkey+5) AS b
-        |         FROM nation WHERE n_nationkey < 5),
-        |tri AS (
-        |  SELECT 'next' AS p, a AS s, b AS o FROM nxt
-        |  UNION ALL SELECT 'prev', b, a FROM nxt
-        |  UNION ALL SELECT 'borders', a, b FROM bord
-        |  UNION ALL SELECT 'borders', b, a FROM bord
-        |  UNION ALL SELECT 'a', 'next',
-        |    'http://www.w3.org/2002/07/owl#TransitiveProperty'
-        |  UNION ALL SELECT 'a', 'borders',
-        |    'http://www.w3.org/2002/07/owl#SymmetricProperty'
-        |  UNION ALL SELECT 'http://www.w3.org/2002/07/owl#inverseOf',
-        |    'prev', 'next'
-        |)
-        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns
-        |FROM (SELECT DISTINCT * FROM tri) GROUP BY p ORDER BY p""".stripMargin,
+    "q_owl_closure" -> owlClosureOracle,
+    // the ENCODED owl derivation must land on the same census
+    "q_owl_enc_closure" -> owlClosureOracle,
     // triangle counting: the oracle enumerates each triangle once via
     // the canonical a<b<c 3-way join — same set the degree-ordered
     // wedge join finds

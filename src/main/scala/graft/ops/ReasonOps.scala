@@ -47,6 +47,11 @@ object ReasonOps {
   final case class RdfsIds(subClassOf: Long, subPropertyOf: Long,
                            domain: Long, range: Long, typePred: Long)
 
+  /** The OWL property vocabulary as ENCODED ids (see
+    * [[owlClosureEncoded]]). */
+  final case class OwlIds(inverseOf: Long, symmetricProperty: Long,
+                          transitiveProperty: Long, typePred: Long)
+
   /** Proper transitive closure of a (small, driver-side) edge list:
     * every (a, b) with a path a -> ... -> b of length >= 1 and a != b.
     * BFS with a visited set, so cycles terminate (a cycle member reaches
@@ -333,34 +338,56 @@ object ReasonOps {
     * never reach the driver.
     */
   def owlClosure(triples: DataFrame, typePred: String = "a",
-                 tboxCap: Int = 1 << 20): DataFrame = {
+                 tboxCap: Int = 1 << 20): DataFrame =
+    owlClosureCore(triples, InverseOf, SymmetricProperty,
+      TransitiveProperty, typePred, tboxCap)
+
+  /** [[owlClosure]] over an ENCODED (long-id) triple relation — like
+    * [[rdfsClosureEncoded]], the rules and the iterated-squaring
+    * closure run entirely on fixed-width ids.
+    */
+  def owlClosureEncoded(encTriples: DataFrame, ids: OwlIds,
+                        tboxCap: Int = 1 << 20): DataFrame =
+    owlClosureCore(encTriples, ids.inverseOf, ids.symmetricProperty,
+      ids.transitiveProperty, ids.typePred, tboxCap)
+
+  private def owlClosureCore(triples: DataFrame, inverseOf: Any,
+                             symmetricProperty: Any, transitiveProperty: Any,
+                             typePred: Any, tboxCap: Int): DataFrame = {
     val spark = triples.sparkSession
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    val tbox = t.where(col("p") === InverseOf ||
+    val dt = t.schema.fields.head.dataType
+    val tbox = t.where(col("p") === inverseOf ||
         (col("p") === typePred &&
-          col("o").isin(SymmetricProperty, TransitiveProperty)))
+          col("o").isin(symmetricProperty, transitiveProperty)))
       .limit(tboxCap + 1).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .map(r => (r.get(0), r.get(1), r.get(2)))
     require(tbox.length <= tboxCap,
       s"OWL property declarations exceed $tboxCap — not schema-shaped")
-    val inv = tbox.collect { case (a, InverseOf, b) => (a, b) }
+    val inv = tbox.collect { case (a, p, b) if p == inverseOf => (a, b) }
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
     val sym = tbox.collect {
-      case (p, _, SymmetricProperty) => p
+      case (p, _, o) if o == symmetricProperty => p
     }.distinct
     val trans = tbox.collect {
-      case (p, _, TransitiveProperty) => p
-    }.distinct.sorted
+      case (p, _, o) if o == transitiveProperty => p
+    }.distinct.sortBy(_.toString)
 
+    def pairDf(pairs: Seq[(Any, Any)], a: String, b: String): DataFrame = {
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(
+        new java.util.ArrayList(
+          pairs.map(x => org.apache.spark.sql.Row(x._1, x._2)).asJava),
+        org.apache.spark.sql.types.StructType(Seq(a, b).map(
+          org.apache.spark.sql.types.StructField(_, dt, nullable = false))))
+    }
     // one inverse + symmetric derivation pass over a triple set
     def invSym(rel: DataFrame): Seq[DataFrame] = {
       val buf = scala.collection.mutable.ListBuffer[DataFrame]()
-      if (inv.nonEmpty) {
-        val invDf = spark.createDataFrame(inv).toDF("p", "q")
-        buf += rel.join(broadcast(invDf), "p")
+      if (inv.nonEmpty)
+        buf += rel.join(broadcast(pairDf(inv, "p", "q")), "p")
           .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
-      }
       if (sym.nonEmpty)
         buf += rel.where(col("p").isin(sym: _*))
           .select(col("o").as("s"), col("p"), col("s").as("o"))
