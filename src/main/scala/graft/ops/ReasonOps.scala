@@ -164,6 +164,30 @@ object ReasonOps {
     if (dedup) all.distinct() else all
   }
 
+  /** [[rdfsDelta]] over ENCODED (long-id) relations — O(|Δ|) closure
+    * maintenance on the production currency, pairing with
+    * [[rdfsClosureEncoded]]. Same single-premise identity and the same
+    * fail-fast on TBox ids in the delta.
+    */
+  def rdfsDeltaEncoded(tboxSource: DataFrame, delta: DataFrame,
+                       ids: RdfsIds, tboxCap: Int = 1 << 20): DataFrame = {
+    val tboxIds = Seq(ids.subClassOf, ids.subPropertyOf, ids.domain, ids.range)
+    val Seq(cs, cp, co) = delta.columns.take(3).toSeq
+    val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val d = d0.localCheckpoint(true)
+    require(d.where(col("p").isin(tboxIds: _*)).isEmpty,
+      "delta contains TBox statements - schema changes require " +
+        "re-materialization (rdfsClosureEncoded), not incremental maintenance")
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      tboxIds, tboxCap)
+    val derived = rdfsDerive(tbox, d,
+      ids.subClassOf, ids.subPropertyOf, ids.domain, ids.range, ids.typePred,
+      includeTboxClosure = false)
+    (d +: derived).reduce(_.unionAll(_)).distinct()
+  }
+
   /** STREAMING RDFS materialization: [[rdfsDelta]] over a live triple
     * stream. Every rho-df rule is a broadcast join against a
     * driver-built table, so the whole derivation is stateless and
@@ -424,7 +448,7 @@ object ReasonOps {
     * Spark's own size estimate — no assumption that identities are
     * small.
     */
-  def sameAsCanonicalize(triples: DataFrame, sameAsPred: String = SameAs)
+  def sameAsCanonicalize(triples: DataFrame, sameAsPred: Any = SameAs)
       : (DataFrame, DataFrame) = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))

@@ -126,6 +126,39 @@ class ReasonSpec extends SparkSpec {
     encClosure shouldBe strClosure.map { case (s, p, o) => (id(s), id(p), id(o)) }
   }
 
+  "ReasonOps.rdfsDeltaEncoded" should "maintain the encoded closure in O(delta)" in {
+    val terms = Seq("sc", "sp", "dom", "rng", "ty", "P", "A", "p", "q",
+      "C", "x", "y", "z")
+    val id = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toMap
+    val ids = ReasonOps.RdfsIds(id("sc"), id("sp"), id("dom"), id("rng"), id("ty"))
+    def enc(g: Seq[(String, String, String)]) =
+      g.map { case (s, p, o) => (id(s), id(p), id(o)) }.toDF("s", "p", "o")
+    val tbox = Seq(("p", "sp", "q"), ("q", "dom", "C"), ("C", "sc", "A"))
+    val base = tbox ++ Seq(("x", "p", "y"))
+    val delta = Seq(("z", "p", "x"), ("y", "ty", "C"))
+    val full = ReasonOps.rdfsClosureEncoded(enc(base ++ delta), ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val incremental = ReasonOps.rdfsClosureEncoded(enc(base), ids)
+      .unionAll(ReasonOps.rdfsDeltaEncoded(enc(tbox), enc(delta), ids))
+      .distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    incremental shouldBe full
+  }
+
+  "ReasonOps.sameAsCanonicalize" should "smush LONG-id relations too" in {
+    // the op is type-generic: rank encoding + CC + rewrite joins all
+    // run on whatever the term column type is
+    val g = Seq(
+      (20L, 1L, 30L),   // 1 = sameAs id
+      (30L, 1L, 10L),   // chain {10, 20, 30}, canon = min = 10
+      (20L, 5L, 99L),
+      (98L, 5L, 30L)
+    ).toDF("s", "p", "o")
+    val (rewritten, _) = ReasonOps.sameAsCanonicalize(g, sameAsPred = 1L)
+    rewritten.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet shouldBe Set((10L, 5L, 99L), (98L, 5L, 10L))
+  }
+
   "ReasonOps.rdfsDelta" should "equal full rematerialization on base + delta" in {
     val tbox = Seq(
       ("worksFor", SubPropertyOf, "affiliated"),
