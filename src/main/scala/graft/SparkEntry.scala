@@ -2123,6 +2123,43 @@ object SparkEntry {
       .orderBy("p", "cls")
   }
 
+  /** §13-aware reasoning: per-named-graph closure over a quad dataset —
+    * customer facts in one graph, supplier facts in another, nation
+    * facts in the default graph, ONE global TBox. Every derivation must
+    * land in its premise's graph (single-premise rules make that
+    * well-defined); the census keys on (graph, predicate, class) so any
+    * cross-graph leak breaks the hash.
+    */
+  private def rdfsQuadsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val quads = t(s, d, "customer").select(
+        concat(lit("customer:"), col("c_custkey")).as("s"),
+        lit("nationkey").as("p"),
+        concat(lit("nation:"), col("c_nationkey")).as("o"),
+        lit("graph:customer").as("g"))
+      .unionByName(t(s, d, "supplier").select(
+        concat(lit("supplier:"), col("s_suppkey")).as("s"),
+        lit("nationkey").as("p"),
+        concat(lit("nation:"), col("s_nationkey")).as("o"),
+        lit("graph:supplier").as("g")))
+      .unionByName(t(s, d, "nation").select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("regionkey").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o"),
+        lit(null).cast("string").as("g")))
+    val tbox = s.createDataFrame(Seq(
+      ("nationkey", ReasonOps.SubPropertyOf, "locatedIn"),
+      ("regionkey", ReasonOps.SubPropertyOf, "locatedIn"),
+      ("locatedIn", ReasonOps.Domain, "Locatable"),
+      ("locatedIn", ReasonOps.Range, "Place"),
+      ("Locatable", ReasonOps.SubClassOf, "Thing"))).toDF("s", "p", "o")
+    ReasonOps.rdfsClosureQuads(quads, tbox)
+      .groupBy(coalesce(col("g"), lit("default")).as("g"), col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("g", "p", "cls")
+  }
+
   /** Incremental maintenance: the store splits into a base (everything
     * but customers) materialized with rdfsClosure and a customer DELTA
     * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
@@ -3086,6 +3123,7 @@ object SparkEntry {
     "q_rdfs_sparql" -> (rdfsSparqlQ _),
     "q_rdfs_delta" -> (rdfsDeltaQ _),
     "q_rdfs_enc_closure" -> (rdfsEncClosureQ _),
+    "q_rdfs_quads" -> (rdfsQuadsQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
     "q_owl_closure" -> (owlClosureQ _),
     "q_owl_enc_closure" -> (owlEncClosureQ _),
@@ -4426,6 +4464,35 @@ object SparkEntry {
     "q_rdfs_delta" -> rdfsClosureOracle,
     // the ENCODED derivation must land on the same census
     "q_rdfs_enc_closure" -> rdfsClosureOracle,
+    // per-graph closure: the oracle derives each graph's rows by hand
+    // (single-premise rules keep derivations in their premise's graph)
+    "q_rdfs_quads" ->
+      """WITH q AS (
+        |  SELECT 'graph:customer' AS g, 'customer:'||c_custkey AS s,
+        |         'nationkey' AS p, 'nation:'||c_nationkey AS o FROM customer
+        |  UNION ALL SELECT 'graph:supplier', 'supplier:'||s_suppkey,
+        |         'nationkey', 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'default', 'nation:'||n_nationkey,
+        |         'regionkey', 'region:'||n_regionkey FROM nation
+        |),
+        |der AS (
+        |  SELECT g, s, 'locatedIn' AS p, o FROM q
+        |  UNION ALL SELECT g, s, 'a', 'Locatable' FROM q
+        |  UNION ALL SELECT g, s, 'a', 'Thing' FROM q
+        |  UNION ALL SELECT g, o, 'a', 'Place' FROM q
+        |),
+        |tb AS (
+        |  SELECT 'default' AS g, 'nationkey' AS s,
+        |         'rdfs:subPropertyOf' AS p, 'locatedIn' AS o
+        |  UNION ALL SELECT 'default', 'regionkey',
+        |         'rdfs:subPropertyOf', 'locatedIn'
+        |  UNION ALL SELECT 'default', 'Locatable', 'rdfs:subClassOf', 'Thing'
+        |),
+        |cl AS (SELECT DISTINCT * FROM (
+        |  SELECT * FROM q UNION ALL SELECT * FROM der UNION ALL SELECT * FROM tb))
+        |SELECT g, p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns
+        |FROM cl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     // entailment-regime query: the oracle answers from the BASE tables
     // (within = nationkey/regionkey chains, Place = nations+regions),
     // fully independent of the closure construction

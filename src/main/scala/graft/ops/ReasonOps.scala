@@ -233,6 +233,107 @@ object ReasonOps {
     tbox
   }
 
+  /** RDFS closure over a NAMED-GRAPH quad dataset — §13-aware
+    * reasoning. The TBox is GLOBAL (`tboxSource`: the default graph or
+    * a dedicated schema relation), and every ABox rule runs with the
+    * graph column CARRIED: the rules are single-premise, so per-graph
+    * derivation is well-defined — each inferred quad lands in its
+    * premise's graph and graphs never leak into each other. The closed
+    * TBox statements themselves land in the DEFAULT graph (g = null).
+    */
+  def rdfsClosureQuads(quads: DataFrame, tboxSource: DataFrame,
+                       typePred: String = "a", tboxCap: Int = 1 << 20,
+                       pinInput: Boolean = true): DataFrame = {
+    val spark = quads.sparkSession
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q0 = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val q = if (pinInput) q0.localCheckpoint(true) else q0
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      Seq(SubClassOf, SubPropertyOf, Domain, Range), tboxCap)
+    val dt = q.schema.fields.head.dataType
+    val maps = rdfsMaps(tbox, SubClassOf, SubPropertyOf, Domain, Range)
+    def pairs(ps: Seq[(Any, Any)], a: String, b: String): DataFrame =
+      pairDfAny(spark, ps, a, b, dt)
+    val derived = scala.collection.mutable.ListBuffer[DataFrame]()
+    if (maps.spPairs.nonEmpty)
+      derived += q.join(broadcast(pairs(maps.spPairs, "p", "q2")), "p")
+        .select(col("s"), col("q2").as("p"), col("o"), col("g"))
+    if (maps.domEff.nonEmpty)
+      derived += q.join(broadcast(pairs(maps.domEff, "p", "c")), "p")
+        .select(col("s"), lit(typePred).as("p"), col("c").as("o"), col("g"))
+    if (maps.rngEff.nonEmpty)
+      derived += q.join(broadcast(pairs(maps.rngEff, "p", "c")), "p")
+        .select(col("o").as("s"), lit(typePred).as("p"),
+          col("c").as("o"), col("g"))
+    if (maps.scPairs.nonEmpty) {
+      val allTypes = (q.where(col("p") === typePred).select("s", "o", "g") +:
+        derived.toSeq.map(_.where(col("p") === typePred)
+          .select("s", "o", "g"))).reduce(_.unionAll(_))
+      derived += allTypes.join(broadcast(pairs(maps.scPairs, "o", "d")), "o")
+        .select(col("s"), lit(typePred).as("p"), col("d").as("o"), col("g"))
+    }
+    val tboxClosed =
+      maps.spPairs.map { case (a, b) => Seq(a, SubPropertyOf, b, null) } ++
+        maps.scPairs.map { case (a, b) => Seq(a, SubClassOf, b, null) }
+    if (tboxClosed.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      derived += spark.createDataFrame(
+        new java.util.ArrayList(
+          tboxClosed.map(r => org.apache.spark.sql.Row.fromSeq(r)).asJava),
+        org.apache.spark.sql.types.StructType(
+          Seq("s", "p", "o").map(
+            org.apache.spark.sql.types.StructField(_, dt, nullable = false)) :+
+            org.apache.spark.sql.types.StructField("g", dt, nullable = true)))
+    }
+    (q +: derived.toSeq).reduce(_.unionAll(_)).distinct()
+  }
+
+  private final case class RdfsMaps(spPairs: Seq[(Any, Any)],
+                                    scPairs: Seq[(Any, Any)],
+                                    domEff: Seq[(Any, Any)],
+                                    rngEff: Seq[(Any, Any)])
+
+  /** The driver-side schema maps every rule pass consumes: closed
+    * property/class hierarchies and EFFECTIVE domain/range (declared
+    * unions over {p} ∪ sp*(p), so inherited declarations fire in one
+    * pass).
+    */
+  private def rdfsMaps(tbox: Array[(Any, Any, Any)], subClassOf: Any,
+                       subPropertyOf: Any, domain: Any,
+                       range: Any): RdfsMaps = {
+    val spPairs = transitiveAny(tbox.collect {
+      case (s, p, o) if p == subPropertyOf => (s, o) })
+    val scPairs = transitiveAny(tbox.collect {
+      case (s, p, o) if p == subClassOf => (s, o) })
+    val spMap = spPairs.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+    def effective(decl: Seq[(Any, Any)]): Seq[(Any, Any)] = {
+      val byProp = decl.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
+      val props = (byProp.keySet ++ spMap.keySet).toSeq.sortBy(_.toString)
+      props.flatMap { p =>
+        val classes = (Seq(p) ++ spMap.getOrElse(p, Nil))
+          .flatMap(qq => byProp.getOrElse(qq, Nil)).distinct.sortBy(_.toString)
+        classes.map((p, _))
+      }
+    }
+    RdfsMaps(spPairs, scPairs,
+      effective(tbox.collect { case (s, p, o) if p == domain => (s, o) }),
+      effective(tbox.collect { case (s, p, o) if p == range => (s, o) }))
+  }
+
+  private def pairDfAny(spark: SparkSession, pairs: Seq[(Any, Any)],
+                        a: String, b: String,
+                        dt: org.apache.spark.sql.types.DataType): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    spark.createDataFrame(
+      new java.util.ArrayList(
+        pairs.map(x => org.apache.spark.sql.Row(x._1, x._2)).asJava),
+      org.apache.spark.sql.types.StructType(Seq(a, b).map(
+        org.apache.spark.sql.types.StructField(_, dt, nullable = false))))
+  }
+
   /** The rho-df rule passes over an ABox relation `t` given a collected
     * TBox: one broadcast join per rule, sub-class expansion over base
     * AND derived types. Shared by the full, delta, streaming, and

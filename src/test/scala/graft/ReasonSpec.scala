@@ -126,6 +126,33 @@ class ReasonSpec extends SparkSpec {
     encClosure shouldBe strClosure.map { case (s, p, o) => (id(s), id(p), id(o)) }
   }
 
+  "ReasonOps.rdfsClosureQuads" should "keep derivations in their premise's graph" in {
+    val tbox = Seq(
+      ("p", SubPropertyOf, "q"),
+      ("q", Domain, "C"),
+      ("C", SubClassOf, "D")).toDF("s", "p", "o")
+    val quads = Seq(
+      ("a", "p", "b", "g1"),
+      ("c", "p", "d", "g2"),
+      ("e", "a", "C", null.asInstanceOf[String])  // default graph
+    ).toDF("s", "p", "o", "g")
+    val got = ReasonOps.rdfsClosureQuads(quads, tbox).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)).getOrElse("default"))).toSet
+    got shouldBe Set(
+      // base
+      ("a", "p", "b", "g1"), ("c", "p", "d", "g2"), ("e", "a", "C", "default"),
+      // rdfs7/2/9 in g1 ONLY for g1's premise
+      ("a", "q", "b", "g1"), ("a", "a", "C", "g1"), ("a", "a", "D", "g1"),
+      // and in g2 for g2's premise
+      ("c", "q", "d", "g2"), ("c", "a", "C", "g2"), ("c", "a", "D", "g2"),
+      // default-graph typing expands in the default graph
+      ("e", "a", "D", "default"),
+      // closed TBox statements land in the default graph
+      ("p", SubPropertyOf, "q", "default"),
+      ("C", SubClassOf, "D", "default"))
+  }
+
   "ReasonOps.rdfsDeltaEncoded" should "maintain the encoded closure in O(delta)" in {
     val terms = Seq("sc", "sp", "dom", "rng", "ty", "P", "A", "p", "q",
       "C", "x", "y", "z")
