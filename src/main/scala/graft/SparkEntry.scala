@@ -2123,6 +2123,36 @@ object SparkEntry {
       .orderBy("p", "cls")
   }
 
+  /** Per-graph OWL: the nation next-chain SPLIT across two named graphs
+    * — each graph's transitive closure must stay inside its graph (the
+    * shared node nation:12 would bridge them if the squaring join ever
+    * dropped the graph key), inverse prev covers each graph's closed
+    * chain, symmetric borders lives in the default graph.
+    */
+  private def owlQuadsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val quads = n.where(col("n_nationkey") < 24).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("next").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 1).as("o"),
+        when(col("n_nationkey") < 12, "graph:west")
+          .otherwise("graph:east").as("g"))
+      .unionByName(n.where(col("n_nationkey") < 5).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("borders").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 5).as("o"),
+        lit(null).cast("string").as("g")))
+    val tbox = s.createDataFrame(Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o")
+    ReasonOps.owlClosureQuads(quads, tbox)
+      .groupBy(coalesce(col("g"), lit("default")).as("g"), col("p"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("g", "p")
+  }
+
   /** §13-aware reasoning: per-named-graph closure over a quad dataset —
     * customer facts in one graph, supplier facts in another, nation
     * facts in the default graph, ONE global TBox. Every derivation must
@@ -3124,6 +3154,7 @@ object SparkEntry {
     "q_rdfs_delta" -> (rdfsDeltaQ _),
     "q_rdfs_enc_closure" -> (rdfsEncClosureQ _),
     "q_rdfs_quads" -> (rdfsQuadsQ _),
+    "q_owl_quads" -> (owlQuadsQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
     "q_owl_closure" -> (owlClosureQ _),
     "q_owl_enc_closure" -> (owlEncClosureQ _),
@@ -4464,6 +4495,34 @@ object SparkEntry {
     "q_rdfs_delta" -> rdfsClosureOracle,
     // the ENCODED derivation must land on the same census
     "q_rdfs_enc_closure" -> rdfsClosureOracle,
+    // per-graph OWL: the oracle recloses each graph's chain with the
+    // graph key INSIDE the recursion
+    "q_owl_quads" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT CASE WHEN n_nationkey < 12 THEN 'graph:west'
+        |              ELSE 'graph:east' END AS g,
+        |         'nation:'||n_nationkey AS a,
+        |         'nation:'||(n_nationkey+1) AS b
+        |  FROM nation WHERE n_nationkey < 24
+        |),
+        |nxt(g, a, b) AS (
+        |  SELECT * FROM e
+        |  UNION
+        |  SELECT nxt.g, nxt.a, e.b FROM nxt
+        |  JOIN e ON e.g = nxt.g AND e.a = nxt.b
+        |),
+        |bord AS (SELECT 'default' AS g, 'nation:'||n_nationkey AS a,
+        |                'nation:'||(n_nationkey+5) AS b
+        |         FROM nation WHERE n_nationkey < 5),
+        |tri AS (
+        |  SELECT g, 'next' AS p, a AS s, b AS o FROM nxt
+        |  UNION ALL SELECT g, 'prev', b, a FROM nxt
+        |  UNION ALL SELECT g, 'borders', a, b FROM bord
+        |  UNION ALL SELECT g, 'borders', b, a FROM bord
+        |)
+        |SELECT g, p, count(*) AS n, count(DISTINCT s) AS ns
+        |FROM (SELECT DISTINCT * FROM tri) GROUP BY g, p
+        |ORDER BY g, p""".stripMargin,
     // per-graph closure: the oracle derives each graph's rows by hand
     // (single-premise rules keep derivations in their premise's graph)
     "q_rdfs_quads" ->

@@ -426,9 +426,14 @@ object ReasonOps {
     * quadratic in a component); that is inherent to materialization,
     * not the algorithm. Self-loops are dropped (irreflexive closure).
     */
-  def transitiveClosure(edges: DataFrame, maxRounds: Int = 16): DataFrame = {
+  def transitiveClosure(edges: DataFrame, maxRounds: Int = 16,
+                        groupCols: Seq[String] = Nil): DataFrame = {
+    // groupCols partition the closure (e.g. a named-graph column):
+    // chains only extend WITHIN a group — the squaring join adds the
+    // group columns to its key, so per-group reachability never leaks
     val Seq(c0, c1) = edges.columns.take(2).toSeq
-    var paths = edges.select(col(c0).as("a"), col(c1).as("b"))
+    val gsel = groupCols.map(col)
+    var paths = edges.select(col(c0).as("a") +: col(c1).as("b") +: gsel: _*)
       .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
     var n = paths.count()
     var round = 0
@@ -437,11 +442,27 @@ object ReasonOps {
       round += 1
       require(round <= maxRounds,
         s"transitiveClosure did not converge in $maxRounds doubling rounds")
-      val next = paths.as("x")
-        .join(paths.as("y"), col("x.b") === col("y.a"))
-        .select(col("x.a").as("a"), col("y.b").as("b"))
+      val cond = groupCols.foldLeft(col("x.b") === col("y.a")) {
+        (c, g) => c && (col(s"x.$g") <=> col(s"y.$g"))
+      }
+      val step0 = paths.as("x")
+        .join(paths.as("y"), cond)
+        .select(col("x.a").as("a") +: col("y.b").as("b") +:
+          groupCols.map(g => col(s"x.$g").as(g)): _*)
         .where(col("a") =!= col("b"))
-        .unionByName(paths).distinct().localCheckpoint(true)
+      // grouped mode strips the join's constraints before the union:
+      // Spark 4.1's Union constraint rewrite trips over the null-safe
+      // self-join condition's dropped y-side attributes ("key not
+      // found" in UnionBase.rewriteConstraints). localCheckpoint is NOT
+      // enough (LogicalRDD retains origin constraints); an RDD
+      // round-trip produces a constraint-free leaf. Grouped path sets
+      // are the small per-graph relations, so the lost codegen span is
+      // noise.
+      val step =
+        if (groupCols.nonEmpty)
+          edges.sparkSession.createDataFrame(step0.rdd, step0.schema)
+        else step0
+      val next = step.unionByName(paths).distinct().localCheckpoint(true)
       val m = next.count()
       // next ⊇ paths (union), so equal counts == fixpoint
       done = m == n
@@ -475,6 +496,60 @@ object ReasonOps {
                         tboxCap: Int = 1 << 20): DataFrame =
     owlClosureCore(encTriples, ids.inverseOf, ids.symmetricProperty,
       ids.transitiveProperty, ids.typePred, tboxCap)
+
+  /** [[owlClosure]] over a NAMED-GRAPH quad dataset: global OWL
+    * property declarations (`tboxSource`), rules with the graph column
+    * CARRIED — inverse/symmetric are single-premise (graph-preserving
+    * by construction), and each transitive property closes PER GRAPH:
+    * the squaring join keys on the graph column, so chains never cross
+    * graphs.
+    */
+  def owlClosureQuads(quads: DataFrame, tboxSource: DataFrame,
+                      typePred: String = "a",
+                      tboxCap: Int = 1 << 20): DataFrame = {
+    val spark = quads.sparkSession
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g")).localCheckpoint(true)
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = tboxSource
+      .select(col(ts).as("s"), col(tp).as("p"), col(to).as("o"))
+      .where(col("p") === InverseOf ||
+        (col("p") === typePred &&
+          col("o").isin(SymmetricProperty, TransitiveProperty)))
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    require(tbox.length <= tboxCap,
+      s"OWL property declarations exceed $tboxCap — not schema-shaped")
+    val inv = tbox.collect { case (a, InverseOf, b) => (a, b) }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    val sym = tbox.collect { case (pp, _, SymmetricProperty) => pp }.distinct
+    val trans = tbox.collect {
+      case (pp, _, TransitiveProperty) => pp
+    }.distinct.sorted
+    val dt = q.schema.fields.head.dataType
+    def invSym(rel: DataFrame): Seq[DataFrame] = {
+      val buf = scala.collection.mutable.ListBuffer[DataFrame]()
+      if (inv.nonEmpty)
+        buf += rel.join(broadcast(pairDfAny(spark,
+            inv.map(x => (x._1: Any, x._2: Any)), "p", "q2", dt)), "p")
+          .select(col("o").as("s"), col("q2").as("p"),
+            col("s").as("o"), col("g"))
+      if (sym.nonEmpty)
+        buf += rel.where(col("p").isin(sym: _*))
+          .select(col("o").as("s"), col("p"), col("s").as("o"), col("g"))
+      buf.toSeq
+    }
+    val pass1 = invSym(q)
+    val withInv = (q +: pass1).reduce(_.unionAll(_))
+    val closed = trans.map { pp =>
+      val edges = withInv.where(col("p") === pp).select("s", "o", "g")
+      transitiveClosure(edges, groupCols = Seq("g"))
+        .select(col("a").as("s"), lit(pp).as("p"), col("b").as("o"), col("g"))
+    }
+    val pass2 = closed.flatMap(invSym)
+    (Seq(withInv) ++ closed ++ pass2).reduce(_.unionAll(_)).distinct()
+  }
 
   private def owlClosureCore(triples: DataFrame, inverseOf: Any,
                              symmetricProperty: Any, transitiveProperty: Any,

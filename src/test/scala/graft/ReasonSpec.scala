@@ -153,6 +153,26 @@ class ReasonSpec extends SparkSpec {
       ("C", SubClassOf, "D", "default"))
   }
 
+  "ReasonOps.owlClosureQuads" should "close transitive chains per graph only" in {
+    val tbox = Seq(
+      ("p", "a", ReasonOps.TransitiveProperty),
+      ("r", ReasonOps.InverseOf, "p")).toDF("s", "p", "o")
+    val quads = Seq(
+      ("x", "p", "y", "g1"), ("y", "p", "z", "g1"), // chain inside g1
+      ("y", "p", "w", "g2")                          // y->w lives in g2
+    ).toDF("s", "p", "o", "g")
+    val got = ReasonOps.owlClosureQuads(quads, tbox).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    got shouldBe Set(
+      ("x", "p", "y", "g1"), ("y", "p", "z", "g1"), ("y", "p", "w", "g2"),
+      // closed INSIDE g1; x->y(g1)->w(g2) must NOT appear anywhere
+      ("x", "p", "z", "g1"),
+      // inverse of base and of closure-derived edges, graph-preserving
+      ("y", "r", "x", "g1"), ("z", "r", "y", "g1"), ("z", "r", "x", "g1"),
+      ("w", "r", "y", "g2"))
+  }
+
   "ReasonOps.rdfsDeltaEncoded" should "maintain the encoded closure in O(delta)" in {
     val terms = Seq("sc", "sp", "dom", "rng", "ty", "P", "A", "p", "q",
       "C", "x", "y", "z")
