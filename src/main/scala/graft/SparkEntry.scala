@@ -2190,6 +2190,109 @@ object SparkEntry {
       .orderBy("g", "p", "cls")
   }
 
+  /** The per-graph RDFS closure on ENCODED quads — the production
+    * currency for named-graph corpora: the same dataset as
+    * [[rdfsQuadsQ]] hash-encodes in a plain projection, the per-graph
+    * rule passes run on long ids with the graph id carried, the census
+    * aggregates on ids, and only the handful of census terms decode
+    * through a driver-built dictionary. Same oracle as the string twin.
+    */
+  private def rdfsEncQuadsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.dict.Dictionary
+    val hid = Dictionary.termHash _
+    val quads = t(s, d, "customer").select(
+        hid(concat(lit("customer:"), col("c_custkey"))).as("s"),
+        hid(lit("nationkey")).as("p"),
+        hid(concat(lit("nation:"), col("c_nationkey"))).as("o"),
+        hid(lit("graph:customer")).as("g"))
+      .unionByName(t(s, d, "supplier").select(
+        hid(concat(lit("supplier:"), col("s_suppkey"))).as("s"),
+        hid(lit("nationkey")).as("p"),
+        hid(concat(lit("nation:"), col("s_nationkey"))).as("o"),
+        hid(lit("graph:supplier")).as("g")))
+      .unionByName(t(s, d, "nation").select(
+        hid(concat(lit("nation:"), col("n_nationkey"))).as("s"),
+        hid(lit("regionkey")).as("p"),
+        hid(concat(lit("region:"), col("n_regionkey"))).as("o"),
+        lit(null).cast("long").as("g")))
+    val id: String => Long = Dictionary.termHashLocal
+    import s.implicits._
+    val tboxRows = Seq(
+      ("nationkey", ReasonOps.SubPropertyOf, "locatedIn"),
+      ("regionkey", ReasonOps.SubPropertyOf, "locatedIn"),
+      ("locatedIn", ReasonOps.Domain, "Locatable"),
+      ("locatedIn", ReasonOps.Range, "Place"),
+      ("Locatable", ReasonOps.SubClassOf, "Thing"))
+    val tbox = tboxRows.map { case (a, b, c) => (id(a), id(b), id(c)) }
+      .toDF("s", "p", "o")
+    val ids = ReasonOps.RdfsIds(id(ReasonOps.SubClassOf),
+      id(ReasonOps.SubPropertyOf), id(ReasonOps.Domain),
+      id(ReasonOps.Range), id("a"))
+    val censusEnc =
+      ReasonOps.rdfsClosureQuadsEncoded(quads, tbox, ids)
+        .groupBy(coalesce(col("g"), lit(id("default"))).as("g"), col("p"),
+          when(col("p") === ids.typePred, col("o")).otherwise(lit(-1L)).as("clsId"))
+        .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+    // census terms are schema-sized: graphs, predicates, classes
+    val censusTerms = Seq("default", "graph:customer", "graph:supplier",
+      "nationkey", "regionkey", "locatedIn", "a", "Locatable", "Place",
+      "Thing", ReasonOps.SubPropertyOf, ReasonOps.SubClassOf)
+    val dict = censusTerms.map(tm => (id(tm), tm)).toDF("id", "term")
+    censusEnc
+      .join(broadcast(dict.select(col("id").as("g"), col("term").as("gT"))), Seq("g"))
+      .join(broadcast(dict.select(col("id").as("p"), col("term").as("pT"))), Seq("p"))
+      .join(broadcast(dict.select(col("id").as("clsId"), col("term").as("cT"))),
+        Seq("clsId"), "left")
+      .select(col("gT").as("g"), col("pT").as("p"),
+        coalesce(col("cT"), lit("-")).as("cls"), col("n"), col("ns"))
+      .orderBy("g", "p", "cls")
+  }
+
+  /** Per-graph OWL on ENCODED quads: [[owlQuadsQ]]'s split next-chain
+    * hash-encodes, each graph's transitive closure squares on long ids
+    * with the graph id in the join key, and the census decodes through
+    * a driver-built dictionary. Same oracle as the string twin.
+    */
+  private def owlEncQuadsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.dict.Dictionary
+    val hid = Dictionary.termHash _
+    val n = t(s, d, "nation")
+    val quads = n.where(col("n_nationkey") < 24).select(
+        hid(concat(lit("nation:"), col("n_nationkey"))).as("s"),
+        hid(lit("next")).as("p"),
+        hid(concat(lit("nation:"), col("n_nationkey") + 1)).as("o"),
+        when(col("n_nationkey") < 12, hid(lit("graph:west")))
+          .otherwise(hid(lit("graph:east"))).as("g"))
+      .unionByName(n.where(col("n_nationkey") < 5).select(
+        hid(concat(lit("nation:"), col("n_nationkey"))).as("s"),
+        hid(lit("borders")).as("p"),
+        hid(concat(lit("nation:"), col("n_nationkey") + 5)).as("o"),
+        lit(null).cast("long").as("g")))
+    val id: String => Long = Dictionary.termHashLocal
+    import s.implicits._
+    val decls = Seq(
+      (id("next"), id("a"), id(ReasonOps.TransitiveProperty)),
+      (id("prev"), id(ReasonOps.InverseOf), id("next")),
+      (id("borders"), id("a"), id(ReasonOps.SymmetricProperty)))
+      .toDF("s", "p", "o")
+    val ids = ReasonOps.OwlIds(id(ReasonOps.InverseOf),
+      id(ReasonOps.SymmetricProperty), id(ReasonOps.TransitiveProperty),
+      id("a"))
+    val censusEnc = ReasonOps.owlClosureQuadsEncoded(quads, decls, ids)
+      .groupBy(coalesce(col("g"), lit(id("default"))).as("g"), col("p"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+    val censusTerms = Seq("default", "graph:west", "graph:east",
+      "next", "prev", "borders")
+    val dict = censusTerms.map(tm => (id(tm), tm)).toDF("id", "term")
+    censusEnc
+      .join(broadcast(dict.select(col("id").as("g"), col("term").as("gT"))), Seq("g"))
+      .join(broadcast(dict.select(col("id").as("p"), col("term").as("pT"))), Seq("p"))
+      .select(col("gT").as("g"), col("pT").as("p"), col("n"), col("ns"))
+      .orderBy("g", "p")
+  }
+
   /** Incremental maintenance: the store splits into a base (everything
     * but customers) materialized with rdfsClosure and a customer DELTA
     * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
@@ -2201,18 +2304,116 @@ object SparkEntry {
     import graft.ops.ReasonOps
     val tbox = rdfsTestTbox(s)
     val all = TripleStore.tableTriples(s, d)
-    val delta = all.where(col("s").startsWith("customer:"))
+    // the arriving batch: the customer legs straight off the customer
+    // table (identical rows to the unpivot's customer slice, without
+    // paying the full 8-table unpivot scan per maintenance run)
+    val cu = t(s, d, "customer")
+    val ck = concat(lit("customer:"), col("c_custkey"))
+    val delta = cu.select(ck.as("s"), lit("a").as("p"), lit("Customer").as("o"))
+      .unionAll(cu.select(ck.as("s"), lit("name").as("p"), col("c_name").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("mktsegment").as("p"),
+        col("c_mktsegment").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("nationkey").as("p"),
+        concat(lit("nation:"), col("c_nationkey")).as("o")))
     val base = all.where(!col("s").startsWith("customer:")).unionAll(tbox)
-    // dedup ONCE over the composed union, not per leg (dedup = false);
-    // keep the input PIN — unpinned re-derivation measured 2x slower
-    // (the 6x unpivot re-scan dominates; same trade as rdfsClosure docs)
-    ReasonOps.rdfsClosure(base, dedup = false)
-      .unionAll(ReasonOps.rdfsDelta(tbox, delta, dedup = false))
-      .distinct()
+    // O(Δ) end-to-end: the base closure is the session's MATERIALIZED
+    // ingest artifact (reason once, maintenance batches open it — the
+    // persistClosure lifecycle in-session), the increment derives from
+    // the delta alone, and the composition dedups the increment
+    // against the artifact with broadcast semi/anti joins — the
+    // closure relation is never re-shuffled, only scanned. The n_inc
+    // census column counts exactly the novel rows, pinning the gate to
+    // the incremental path (a full re-materialization double-counts
+    // or zeroes it).
+    val closure = GraftStore.reasonArtifact(s, d, "rdfs_nocust_closure") {
+      ReasonOps.rdfsClosure(base)
+    }
+    val inc = ReasonOps.rdfsDelta(tbox, delta)
+    val fresh = ReasonOps.incrementNovel(closure, inc)
+    closure.withColumn("inc", lit(0L))
+      .unionAll(fresh.withColumn("inc", lit(1L)))
+      .groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        sum("inc").as("n_inc"))
+      .orderBy("p", "cls")
+  }
+
+  /** DRed retraction as a gate: the pre-delete store materializes, a
+    * DELETE of every %7==0 customer's type + nationkey triples
+    * maintains through [[ReasonOps.rdfsRetract]] (over-delete →
+    * slab-bounded re-derive → one broadcast anti-join), and the ORACLE
+    * rematerializes from the post-delete base — maintain ==
+    * rematerialize checked end-to-end by hash. The fixture makes the
+    * survivor logic real: (customer a Agent) must SURVIVE via the
+    * orders-side `custkey` range rule, (nation a Place) via other
+    * customers' premises, while (customer a Customer) and the
+    * locatedIn/within chain genuinely die.
+    */
+  private def rdfsDeltaDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    // session artifacts: the pinned pre-delete base (the retract's
+    // premise slab scans it) and its materialized closure (the thing
+    // being maintained) — the gate measures the RETRACTION, not the
+    // one-time ingest
+    val all = GraftStore.reasonArtifact(s, d, "rdfs_all_pinned") {
+      TripleStore.tableTriples(s, d).unionAll(rdfsTestTbox(s))
+    }
+    val cust = t(s, d, "customer").where(col("c_custkey") % 7 === 0)
+    val del = cust.select(concat(lit("customer:"), col("c_custkey")).as("s"),
+        lit("a").as("p"), lit("Customer").as("o"))
+      .unionAll(cust.select(
+        concat(lit("customer:"), col("c_custkey")).as("s"),
+        lit("nationkey").as("p"),
+        concat(lit("nation:"), col("c_nationkey")).as("o")))
+    val closure = GraftStore.reasonArtifact(s, d, "rdfs_all_closure") {
+      ReasonOps.rdfsClosure(all, pinInput = false)
+    }
+    ReasonOps.rdfsRetract(closure, all, del)
       .groupBy(col("p"),
         when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
       .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
       .orderBy("p", "cls")
+  }
+
+  /** Incremental OWL: the nation next-chain materializes WITHOUT edges
+    * 7→8 and 15→16, then the two bridge edges arrive as a delta —
+    * [[ReasonOps.owlDelta]] must derive every chain crossing one or
+    * BOTH bridges (plus their `prev` inverses) from Δ-sized bridge
+    * joins, never re-squaring the existing path set. Census adds
+    * `n_inc` (novel rows per predicate) so the oracle distinguishes the
+    * incremental path from a silent re-materialization.
+    */
+  private def owlDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val edges = n.where(col("n_nationkey") < 24).select(
+      col("n_nationkey").as("k"),
+      concat(lit("nation:"), col("n_nationkey")).as("s"),
+      lit("next").as("p"),
+      concat(lit("nation:"), col("n_nationkey") + 1).as("o"))
+    val decls = s.createDataFrame(Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o")
+    val base = edges.where(!col("k").isin(7, 15)).select("s", "p", "o")
+      .unionByName(n.where(col("n_nationkey") < 5).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("borders").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 5).as("o")))
+      .unionByName(decls)
+    val delta = edges.where(col("k").isin(7, 15)).select("s", "p", "o")
+    // the persisted artifact: pinned once, scanned (never shuffled) by
+    // the delta's bridge joins and the novelty probe
+    val closure = ReasonOps.owlClosure(base).localCheckpoint(true)
+    val inc = ReasonOps.owlDelta(closure, delta, decls)
+    val fresh = ReasonOps.incrementNovel(closure, inc)
+    closure.withColumn("inc", lit(0L))
+      .unionAll(fresh.withColumn("inc", lit(1L)))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        sum("inc").as("n_inc"))
+      .orderBy("p")
   }
 
   /** Entailment-regime querying: plain SPARQL over the MATERIALIZED
@@ -3152,9 +3353,13 @@ object SparkEntry {
     "q_rdfs_closure" -> (rdfsClosureQ _),
     "q_rdfs_sparql" -> (rdfsSparqlQ _),
     "q_rdfs_delta" -> (rdfsDeltaQ _),
+    "q_rdfs_delta_del" -> (rdfsDeltaDelQ _),
     "q_rdfs_enc_closure" -> (rdfsEncClosureQ _),
     "q_rdfs_quads" -> (rdfsQuadsQ _),
+    "q_rdfs_enc_quads" -> (rdfsEncQuadsQ _),
     "q_owl_quads" -> (owlQuadsQ _),
+    "q_owl_enc_quads" -> (owlEncQuadsQ _),
+    "q_owl_delta" -> (owlDeltaQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
     "q_owl_closure" -> (owlClosureQ _),
     "q_owl_enc_closure" -> (owlEncClosureQ _),
@@ -3948,20 +4153,22 @@ object SparkEntry {
         |       UNION ALL SELECT 'region:99', 'a', 'Region'
         |       UNION ALL SELECT 'region:99', 'name', 'ATLANTIS')""".stripMargin
 
-  private val owlClosureOracle =
-    """WITH RECURSIVE nxt(a, b) AS (
+  /** The recursive next-chain closure + derived tri set over an edge
+    * seed restricted by `edgeFilter` — shared by the full, encoded, and
+    * incremental OWL oracles (`sfx` disambiguates CTE names).
+    */
+  private def owlTriCtes(sfx: String, edgeFilter: String): String =
+    s"""nxt$sfx(a, b) AS (
         |  SELECT 'nation:'||n_nationkey, 'nation:'||(n_nationkey+1)
-        |  FROM nation WHERE n_nationkey < 24
+        |  FROM nation WHERE n_nationkey < 24 AND ($edgeFilter)
         |  UNION
-        |  SELECT nxt.a, 'nation:'||(n_nationkey+1) FROM nxt
-        |  JOIN nation ON 'nation:'||n_nationkey = nxt.b AND n_nationkey < 24
+        |  SELECT nxt$sfx.a, 'nation:'||(n_nationkey+1) FROM nxt$sfx
+        |  JOIN nation ON 'nation:'||n_nationkey = nxt$sfx.b
+        |   AND n_nationkey < 24 AND ($edgeFilter)
         |),
-        |bord AS (SELECT 'nation:'||n_nationkey AS a,
-        |                'nation:'||(n_nationkey+5) AS b
-        |         FROM nation WHERE n_nationkey < 5),
-        |tri AS (
-        |  SELECT 'next' AS p, a AS s, b AS o FROM nxt
-        |  UNION ALL SELECT 'prev', b, a FROM nxt
+        |tri$sfx AS (
+        |  SELECT 'next' AS p, a AS s, b AS o FROM nxt$sfx
+        |  UNION ALL SELECT 'prev', b, a FROM nxt$sfx
         |  UNION ALL SELECT 'borders', a, b FROM bord
         |  UNION ALL SELECT 'borders', b, a FROM bord
         |  UNION ALL SELECT 'a', 'next',
@@ -3970,12 +4177,41 @@ object SparkEntry {
         |    'http://www.w3.org/2002/07/owl#SymmetricProperty'
         |  UNION ALL SELECT 'http://www.w3.org/2002/07/owl#inverseOf',
         |    'prev', 'next'
-        |)
+        |)""".stripMargin
+
+  private val owlBordCte =
+    """bord AS (SELECT 'nation:'||n_nationkey AS a,
+        |                'nation:'||(n_nationkey+5) AS b
+        |         FROM nation WHERE n_nationkey < 5)""".stripMargin
+
+  private val owlClosureOracle =
+    s"""WITH RECURSIVE $owlBordCte,
+        |${owlTriCtes("", "TRUE")}
         |SELECT p, count(*) AS n, count(DISTINCT s) AS ns
         |FROM (SELECT DISTINCT * FROM tri) GROUP BY p ORDER BY p""".stripMargin
 
-  private val rdfsClosureOracle =
-    """WITH RECURSIVE tr AS (
+  /** Incremental-OWL census: full closure counts plus `n_inc` = rows the
+    * delta (edges 7->8 and 15->16) genuinely ADDED over the base-only
+    * closure — pins the gate to the incremental path (an accidental
+    * re-materialization that double-counted, or an under-derived
+    * increment, breaks the column).
+    */
+  private val owlDeltaOracle =
+    s"""WITH RECURSIVE $owlBordCte,
+        |${owlTriCtes("", "TRUE")},
+        |${owlTriCtes("b", "n_nationkey NOT IN (7, 15)")},
+        |f AS (SELECT p, count(*) AS n, count(DISTINCT s) AS ns
+        |      FROM (SELECT DISTINCT * FROM tri) GROUP BY p),
+        |bb AS (SELECT p, count(*) AS nb
+        |       FROM (SELECT DISTINCT * FROM trib) GROUP BY p)
+        |SELECT f.p, f.n, f.ns, f.n - COALESCE(bb.nb, 0) AS n_inc
+        |FROM f LEFT JOIN bb ON f.p = bb.p ORDER BY f.p""".stripMargin
+
+  /** The base unpivot + TBox + closed-hierarchy CTEs shared by every
+    * RDFS oracle (full, incremental, retraction).
+    */
+  private val rdfsTrTboxCtes =
+    """tr AS (
         |  SELECT 'region:'||r_regionkey AS s, 'a' AS p, 'Region' AS o FROM region
         |  UNION ALL SELECT 'region:'||r_regionkey, 'name', r_name FROM region
         |  UNION ALL SELECT 'nation:'||n_nationkey, 'a', 'Nation' FROM nation
@@ -4031,30 +4267,132 @@ object SparkEntry {
         |  SELECT s, o FROM tbox WHERE p = 'rdfs:subClassOf'
         |  UNION
         |  SELECT scc.a, t2.o FROM scc JOIN tbox t2
-        |    ON t2.p = 'rdfs:subClassOf' AND t2.s = scc.b),
-        |base AS (SELECT * FROM tr UNION ALL SELECT * FROM tbox),
-        |props AS (
-        |  SELECT * FROM base
+        |    ON t2.p = 'rdfs:subClassOf' AND t2.s = scc.b)""".stripMargin
+
+  /** The rho-df derivation CTE chain over an ABox relation `trRel`
+    * (a filtered view of `tr` for incremental/retraction oracles);
+    * `sfx` disambiguates CTE names so one query can close two ABoxes.
+    */
+  private def rdfsClosureCtes(sfx: String, trRel: String): String =
+    s"""base$sfx AS (SELECT * FROM $trRel UNION ALL SELECT * FROM tbox),
+        |props$sfx AS (
+        |  SELECT * FROM base$sfx
         |  UNION ALL
-        |  SELECT b.s, spc.b AS p, b.o FROM base b JOIN spc ON b.p = spc.a),
-        |typed AS (
-        |  SELECT s, o FROM props WHERE p = 'a'
+        |  SELECT b.s, spc.b AS p, b.o FROM base$sfx b JOIN spc ON b.p = spc.a),
+        |typed$sfx AS (
+        |  SELECT s, o FROM props$sfx WHERE p = 'a'
         |  UNION ALL
-        |  SELECT pr.s, tb.o FROM props pr
+        |  SELECT pr.s, tb.o FROM props$sfx pr
         |    JOIN tbox tb ON tb.p = 'rdfs:domain' AND tb.s = pr.p
         |  UNION ALL
-        |  SELECT pr.o, tb.o FROM props pr
+        |  SELECT pr.o, tb.o FROM props$sfx pr
         |    JOIN tbox tb ON tb.p = 'rdfs:range' AND tb.s = pr.p),
-        |closure AS (
+        |closure$sfx AS (
         |  SELECT DISTINCT s, p, o FROM (
-        |    SELECT s, p, o FROM props
-        |    UNION ALL SELECT s, 'a', o FROM typed
-        |    UNION ALL SELECT ty.s, 'a', scc.b FROM typed ty JOIN scc ON ty.o = scc.a
+        |    SELECT s, p, o FROM props$sfx
+        |    UNION ALL SELECT s, 'a', o FROM typed$sfx
+        |    UNION ALL SELECT ty.s, 'a', scc.b FROM typed$sfx ty JOIN scc ON ty.o = scc.a
         |    UNION ALL SELECT a, 'rdfs:subPropertyOf', b FROM spc
-        |    UNION ALL SELECT a, 'rdfs:subClassOf', b FROM scc))
+        |    UNION ALL SELECT a, 'rdfs:subClassOf', b FROM scc))""".stripMargin
+
+  private val rdfsClosureOracle =
+    s"""WITH RECURSIVE $rdfsTrTboxCtes,
+        |${rdfsClosureCtes("", "tr")}
         |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM closure GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Incremental-maintenance census: full closure counts plus `n_inc` =
+    * rows the customer delta genuinely ADDED over the base-only closure
+    * — identical set semantics to the full rematerialization, but the
+    * extra column pins the gate to the incremental path (accidental
+    * re-materialization that double-counted, or an under-derived
+    * increment, breaks it).
+    */
+  private val rdfsDeltaOracle =
+    s"""WITH RECURSIVE $rdfsTrTboxCtes,
+        |${rdfsClosureCtes("", "tr")},
+        |tr2 AS (SELECT * FROM tr WHERE s NOT LIKE 'customer:%'),
+        |${rdfsClosureCtes("2", "tr2")},
+        |f AS (SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |             count(*) AS n, count(DISTINCT s) AS ns
+        |      FROM closure GROUP BY 1, 2),
+        |b AS (SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |             count(*) AS nb
+        |      FROM closure2 GROUP BY 1, 2)
+        |SELECT f.p, f.cls, f.n, f.ns, f.n - COALESCE(b.nb, 0) AS n_inc
+        |FROM f LEFT JOIN b ON f.p = b.p AND f.cls = b.cls
+        |ORDER BY f.p, f.cls""".stripMargin
+
+  /** DRed-retraction oracle: the engine maintains the closure through a
+    * DELETE of every %7==0 customer's type + nationkey triples; the
+    * oracle rematerializes from the POST-delete base with the same
+    * recursive-CTE machinery.
+    */
+  private val rdfsDeltaDelOracle =
+    s"""WITH RECURSIVE $rdfsTrTboxCtes,
+        |trd AS (SELECT * FROM tr WHERE NOT (p IN ('a', 'nationkey')
+        |        AND s LIKE 'customer:%'
+        |        AND TRY_CAST(substr(s, 10) AS BIGINT) % 7 = 0)),
+        |${rdfsClosureCtes("d", "trd")}
+        |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns
+        |FROM closured GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  private val owlQuadsOracle =
+    """WITH RECURSIVE e AS (
+        |  SELECT CASE WHEN n_nationkey < 12 THEN 'graph:west'
+        |              ELSE 'graph:east' END AS g,
+        |         'nation:'||n_nationkey AS a,
+        |         'nation:'||(n_nationkey+1) AS b
+        |  FROM nation WHERE n_nationkey < 24
+        |),
+        |nxt(g, a, b) AS (
+        |  SELECT * FROM e
+        |  UNION
+        |  SELECT nxt.g, nxt.a, e.b FROM nxt
+        |  JOIN e ON e.g = nxt.g AND e.a = nxt.b
+        |),
+        |bord AS (SELECT 'default' AS g, 'nation:'||n_nationkey AS a,
+        |                'nation:'||(n_nationkey+5) AS b
+        |         FROM nation WHERE n_nationkey < 5),
+        |tri AS (
+        |  SELECT g, 'next' AS p, a AS s, b AS o FROM nxt
+        |  UNION ALL SELECT g, 'prev', b, a FROM nxt
+        |  UNION ALL SELECT g, 'borders', a, b FROM bord
+        |  UNION ALL SELECT g, 'borders', b, a FROM bord
+        |)
+        |SELECT g, p, count(*) AS n, count(DISTINCT s) AS ns
+        |FROM (SELECT DISTINCT * FROM tri) GROUP BY g, p
+        |ORDER BY g, p""".stripMargin
+
+  private val rdfsQuadsOracle =
+    """WITH q AS (
+        |  SELECT 'graph:customer' AS g, 'customer:'||c_custkey AS s,
+        |         'nationkey' AS p, 'nation:'||c_nationkey AS o FROM customer
+        |  UNION ALL SELECT 'graph:supplier', 'supplier:'||s_suppkey,
+        |         'nationkey', 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'default', 'nation:'||n_nationkey,
+        |         'regionkey', 'region:'||n_regionkey FROM nation
+        |),
+        |der AS (
+        |  SELECT g, s, 'locatedIn' AS p, o FROM q
+        |  UNION ALL SELECT g, s, 'a', 'Locatable' FROM q
+        |  UNION ALL SELECT g, s, 'a', 'Thing' FROM q
+        |  UNION ALL SELECT g, o, 'a', 'Place' FROM q
+        |),
+        |tb AS (
+        |  SELECT 'default' AS g, 'nationkey' AS s,
+        |         'rdfs:subPropertyOf' AS p, 'locatedIn' AS o
+        |  UNION ALL SELECT 'default', 'regionkey',
+        |         'rdfs:subPropertyOf', 'locatedIn'
+        |  UNION ALL SELECT 'default', 'Locatable', 'rdfs:subClassOf', 'Thing'
+        |),
+        |cl AS (SELECT DISTINCT * FROM (
+        |  SELECT * FROM q UNION ALL SELECT * FROM der UNION ALL SELECT * FROM tb))
+        |SELECT g, p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns
+        |FROM cl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracleSql,
@@ -4490,68 +4828,23 @@ object SparkEntry {
     // hierarchy pairs, then each rho-df rule is one join — no reuse of
     // the engine's effective-map construction
     "q_rdfs_closure" -> rdfsClosureOracle,
-    // incremental == full: the engine maintains the customer delta with
-    // rdfsDelta, the oracle rematerializes everything from scratch
-    "q_rdfs_delta" -> rdfsClosureOracle,
+    // incremental == full, pinned to the delta path by the n_inc column
+    // (full-minus-base census counts)
+    "q_rdfs_delta" -> rdfsDeltaOracle,
+    // DRed retraction: maintain through a DELETE == rematerialize from
+    // the post-delete base
+    "q_rdfs_delta_del" -> rdfsDeltaDelOracle,
     // the ENCODED derivation must land on the same census
     "q_rdfs_enc_closure" -> rdfsClosureOracle,
     // per-graph OWL: the oracle recloses each graph's chain with the
     // graph key INSIDE the recursion
-    "q_owl_quads" ->
-      """WITH RECURSIVE e AS (
-        |  SELECT CASE WHEN n_nationkey < 12 THEN 'graph:west'
-        |              ELSE 'graph:east' END AS g,
-        |         'nation:'||n_nationkey AS a,
-        |         'nation:'||(n_nationkey+1) AS b
-        |  FROM nation WHERE n_nationkey < 24
-        |),
-        |nxt(g, a, b) AS (
-        |  SELECT * FROM e
-        |  UNION
-        |  SELECT nxt.g, nxt.a, e.b FROM nxt
-        |  JOIN e ON e.g = nxt.g AND e.a = nxt.b
-        |),
-        |bord AS (SELECT 'default' AS g, 'nation:'||n_nationkey AS a,
-        |                'nation:'||(n_nationkey+5) AS b
-        |         FROM nation WHERE n_nationkey < 5),
-        |tri AS (
-        |  SELECT g, 'next' AS p, a AS s, b AS o FROM nxt
-        |  UNION ALL SELECT g, 'prev', b, a FROM nxt
-        |  UNION ALL SELECT g, 'borders', a, b FROM bord
-        |  UNION ALL SELECT g, 'borders', b, a FROM bord
-        |)
-        |SELECT g, p, count(*) AS n, count(DISTINCT s) AS ns
-        |FROM (SELECT DISTINCT * FROM tri) GROUP BY g, p
-        |ORDER BY g, p""".stripMargin,
+    "q_owl_quads" -> owlQuadsOracle,
+    "q_owl_enc_quads" -> owlQuadsOracle,
+    "q_rdfs_enc_quads" -> rdfsQuadsOracle,
     // per-graph closure: the oracle derives each graph's rows by hand
-    // (single-premise rules keep derivations in their premise's graph)
-    "q_rdfs_quads" ->
-      """WITH q AS (
-        |  SELECT 'graph:customer' AS g, 'customer:'||c_custkey AS s,
-        |         'nationkey' AS p, 'nation:'||c_nationkey AS o FROM customer
-        |  UNION ALL SELECT 'graph:supplier', 'supplier:'||s_suppkey,
-        |         'nationkey', 'nation:'||s_nationkey FROM supplier
-        |  UNION ALL SELECT 'default', 'nation:'||n_nationkey,
-        |         'regionkey', 'region:'||n_regionkey FROM nation
-        |),
-        |der AS (
-        |  SELECT g, s, 'locatedIn' AS p, o FROM q
-        |  UNION ALL SELECT g, s, 'a', 'Locatable' FROM q
-        |  UNION ALL SELECT g, s, 'a', 'Thing' FROM q
-        |  UNION ALL SELECT g, o, 'a', 'Place' FROM q
-        |),
-        |tb AS (
-        |  SELECT 'default' AS g, 'nationkey' AS s,
-        |         'rdfs:subPropertyOf' AS p, 'locatedIn' AS o
-        |  UNION ALL SELECT 'default', 'regionkey',
-        |         'rdfs:subPropertyOf', 'locatedIn'
-        |  UNION ALL SELECT 'default', 'Locatable', 'rdfs:subClassOf', 'Thing'
-        |),
-        |cl AS (SELECT DISTINCT * FROM (
-        |  SELECT * FROM q UNION ALL SELECT * FROM der UNION ALL SELECT * FROM tb))
-        |SELECT g, p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
-        |       count(*) AS n, count(DISTINCT s) AS ns
-        |FROM cl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // (single-premise rules keep derivations in their premise's graph;
+    // the ENCODED twin must land on the same decoded census)
+    "q_rdfs_quads" -> rdfsQuadsOracle,
     // entailment-regime query: the oracle answers from the BASE tables
     // (within = nationkey/regionkey chains, Place = nations+regions),
     // fully independent of the closure construction
@@ -4582,6 +4875,9 @@ object SparkEntry {
     "q_owl_closure" -> owlClosureOracle,
     // the ENCODED owl derivation must land on the same census
     "q_owl_enc_closure" -> owlClosureOracle,
+    // incremental OWL: maintain through two bridge edges == full, with
+    // n_inc pinning the increment (full-minus-base per predicate)
+    "q_owl_delta" -> owlDeltaOracle,
     // triangle counting: the oracle enumerates each triangle once via
     // the canonical a<b<c 3-way join — same set the degree-ordered
     // wedge join finds

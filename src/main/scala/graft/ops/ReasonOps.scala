@@ -29,6 +29,28 @@ import org.apache.spark.sql.functions._
   *   - the only wide operator is the final `distinct` that dedups the
   *     union of base and derived triples — one shuffle of the output.
   *
+  * Maintenance discipline (the O(Δ) thesis end-to-end):
+  *   - [[rdfsDelta]] derives an increment from inserted triples alone;
+  *   - [[incrementNovel]] / [[composeIncrement]] fold that increment into
+  *     an existing closure WITHOUT re-shuffling the closure (two
+  *     broadcast joins, |Δ|-sized output);
+  *   - [[rdfsRetract]] maintains a closure through DELETEs with
+  *     delete–rederive (DRed): over-delete the consequences of the
+  *     removed triples, re-derive survivors from the |Δ|-fan-in slab of
+  *     the remaining base, subtract — the closure itself only streams
+  *     through one broadcast anti-join.
+  *
+  * Vocabulary renderings: the string-path entry points recognize BOTH
+  * the prefixed short forms (`rdfs:subClassOf`, type predicate `a` — the
+  * table-store convention the driver gates use) and the full W3C IRIs
+  * that the engine's own Turtle/TriG/RDF-XML/JSON-LD loaders emit, in
+  * the same pass. Emitted closure statements (rdfs5/11 pairs, derived
+  * type assertions) use the rendering the collected TBox itself uses —
+  * full IRIs as soon as any schema statement arrives IRI-rendered, the
+  * short forms otherwise — so loader-ingested graphs and table-store
+  * graphs both round-trip without configuration. Encoded paths take the
+  * vocabulary as explicit ids ([[RdfsIds]]/[[OwlIds]]) and are exact.
+  *
   * Deliberately out of scope (documented, standard for rho-df engines):
   * TBox statements ABOUT the type predicate itself (a super-property of
   * `rdf:type`, or a domain/range declared on it) and the RDFS axiomatic
@@ -41,7 +63,13 @@ object ReasonOps {
   val SubPropertyOf = "rdfs:subPropertyOf"
   val Domain        = "rdfs:domain"
   val Range         = "rdfs:range"
-  private val TboxPreds = Seq(SubClassOf, SubPropertyOf, Domain, Range)
+
+  /** The full-IRI renderings the engine's RDF loaders produce. */
+  val SubClassOfIri    = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
+  val SubPropertyOfIri = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
+  val DomainIri        = "http://www.w3.org/2000/01/rdf-schema#domain"
+  val RangeIri         = "http://www.w3.org/2000/01/rdf-schema#range"
+  val TypeIri          = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
   /** The RDFS vocabulary as ENCODED ids (see [[rdfsClosureEncoded]]). */
   final case class RdfsIds(subClassOf: Long, subPropertyOf: Long,
@@ -51,6 +79,48 @@ object ReasonOps {
     * [[owlClosureEncoded]]). */
   final case class OwlIds(inverseOf: Long, symmetricProperty: Long,
                           transitiveProperty: Long, typePred: Long)
+
+  /** The four TBox roles plus the type predicate, each as the SET of
+    * renderings matched in premises and ONE canonical emission form.
+    * String paths match both the short and IRI renderings; encoded
+    * paths are singleton/exact.
+    */
+  private final case class Voc(sc: Set[Any], sp: Set[Any], dom: Set[Any],
+                               rng: Set[Any], ty: Set[Any],
+                               emitSc: Any, emitSp: Any, emitTy: Any) {
+    def tboxPreds: Seq[Any] = (sc ++ sp ++ dom ++ rng).toSeq
+  }
+
+  /** Dual-rendering string vocabulary; emission resolves to the IRI
+    * forms iff the COLLECTED TBox uses them (see [[resolveEmit]]).
+    * An explicitly-passed non-default type predicate is honored exactly.
+    */
+  private def stringVoc(typePred: String): Voc = {
+    val ty: Set[Any] =
+      if (typePred == "a") Set("a", TypeIri) else Set(typePred)
+    Voc(Set(SubClassOf, SubClassOfIri), Set(SubPropertyOf, SubPropertyOfIri),
+      Set(Domain, DomainIri), Set(Range, RangeIri), ty,
+      SubClassOf, SubPropertyOf, typePred)
+  }
+
+  private def encVoc(ids: RdfsIds): Voc =
+    Voc(Set(ids.subClassOf), Set(ids.subPropertyOf), Set(ids.domain),
+      Set(ids.range), Set(ids.typePred),
+      ids.subClassOf, ids.subPropertyOf, ids.typePred)
+
+  /** Pick the emission rendering off the collected TBox: any IRI-form
+    * schema statement flips emission to the IRI constants (type too,
+    * when the type predicate was the dual-matched default — an
+    * IRI-schema'd graph types with `rdf:type`, not `"a"`).
+    */
+  private def resolveEmit(voc: Voc, tbox: Array[(Any, Any, Any)]): Voc = {
+    val iriForms: Set[Any] =
+      Set(SubClassOfIri, SubPropertyOfIri, DomainIri, RangeIri)
+    if (voc.sc.size > 1 && tbox.exists(t => iriForms.contains(t._2)))
+      voc.copy(emitSc = SubClassOfIri, emitSp = SubPropertyOfIri,
+        emitTy = if (voc.ty.contains(TypeIri)) TypeIri else voc.emitTy)
+    else voc
+  }
 
   /** Proper transitive closure of a (small, driver-side) edge list:
     * every (a, b) with a path a -> ... -> b of length >= 1 and a != b.
@@ -77,7 +147,8 @@ object ReasonOps {
 
   /** The RDFS closure of `triples` (columns s, p, o in the store term
     * convention; `typePred` is the store's rdf:type predicate — the
-    * driver-testdata stores use plain "a"). Returns base UNION inferred,
+    * driver-testdata stores use plain "a", and the default also matches
+    * loader-emitted full `rdf:type` IRIs). Returns base UNION inferred,
     * deduplicated, including the closed TBox statements themselves
     * (rdfs5/rdfs11: transitive `subPropertyOf` / `subClassOf` pairs).
     */
@@ -91,10 +162,9 @@ object ReasonOps {
     // the source (no shuffle, filters pushed) beat caching 100 TB.
     val t0 = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
     val t = if (pinInput) t0.localCheckpoint(true) else t0
-    val tbox = collectTbox(t,
-      Seq(SubClassOf, SubPropertyOf, Domain, Range), tboxCap)
-    val derived = rdfsDerive(tbox, t,
-      SubClassOf, SubPropertyOf, Domain, Range, typePred,
+    val voc = stringVoc(typePred)
+    val tbox = collectTbox(t, voc.tboxPreds, tboxCap)
+    val derived = rdfsDerive(tbox, t, resolveEmit(voc, tbox),
       includeTboxClosure = true)
     val all = (t +: derived).reduce(_.unionAll(_))
     // dedup=false: callers composing several closure legs (e.g. base +
@@ -120,11 +190,9 @@ object ReasonOps {
     val Seq(cs, cp, co) = encTriples.columns.take(3).toSeq
     val t0 = encTriples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
     val t = if (pinInput) t0.localCheckpoint(true) else t0
-    val tbox = collectTbox(t,
-      Seq(ids.subClassOf, ids.subPropertyOf, ids.domain, ids.range), tboxCap)
-    val derived = rdfsDerive(tbox, t,
-      ids.subClassOf, ids.subPropertyOf, ids.domain, ids.range, ids.typePred,
-      includeTboxClosure = true)
+    val voc = encVoc(ids)
+    val tbox = collectTbox(t, voc.tboxPreds, tboxCap)
+    val derived = rdfsDerive(tbox, t, voc, includeTboxClosure = true)
     (t +: derived).reduce(_.unionAll(_)).distinct()
   }
 
@@ -138,27 +206,29 @@ object ReasonOps {
     *
     * as long as delta carries no TBox statements — schema changes alter
     * the maps every pass used, so they require re-materialization, and
-    * the op FAIL-FASTS if delta contains a TBox predicate rather than
-    * silently under-deriving. `tboxSource` is any relation holding the
-    * (unchanged) schema statements — typically the base graph or the
-    * already-materialized closure. Returns the increment (delta plus its
-    * derivations, deduped); union it with the existing closure.
+    * the op FAIL-FASTS if delta contains a TBox predicate (either
+    * rendering) rather than silently under-deriving. `tboxSource` is any
+    * relation holding the (unchanged) schema statements — typically the
+    * base graph or the already-materialized closure. Returns the
+    * increment (delta plus its derivations, deduped); fold it into the
+    * existing closure with [[composeIncrement]] — NOT a full-union
+    * distinct.
     */
   def rdfsDelta(tboxSource: DataFrame, delta: DataFrame,
                 typePred: String = "a", tboxCap: Int = 1 << 20,
                 dedup: Boolean = true): DataFrame = {
+    val voc = stringVoc(typePred)
     val Seq(cs, cp, co) = delta.columns.take(3).toSeq
     val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
     val d = d0.localCheckpoint(true)
-    require(d.where(col("p").isin(TboxPreds: _*)).isEmpty,
+    require(d.where(col("p").isin(voc.tboxPreds: _*)).isEmpty,
       "delta contains TBox statements - schema changes require " +
         "re-materialization (rdfsClosure), not incremental maintenance")
     val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
     val tbox = collectTbox(
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
-      Seq(SubClassOf, SubPropertyOf, Domain, Range), tboxCap)
-    val derived = rdfsDerive(tbox, d,
-      SubClassOf, SubPropertyOf, Domain, Range, typePred,
+      voc.tboxPreds, tboxCap)
+    val derived = rdfsDerive(tbox, d, resolveEmit(voc, tbox),
       includeTboxClosure = false)
     val all = (d +: derived).reduce(_.unionAll(_))
     if (dedup) all.distinct() else all
@@ -171,21 +241,159 @@ object ReasonOps {
     */
   def rdfsDeltaEncoded(tboxSource: DataFrame, delta: DataFrame,
                        ids: RdfsIds, tboxCap: Int = 1 << 20): DataFrame = {
-    val tboxIds = Seq(ids.subClassOf, ids.subPropertyOf, ids.domain, ids.range)
+    val voc = encVoc(ids)
     val Seq(cs, cp, co) = delta.columns.take(3).toSeq
     val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
     val d = d0.localCheckpoint(true)
-    require(d.where(col("p").isin(tboxIds: _*)).isEmpty,
+    require(d.where(col("p").isin(voc.tboxPreds: _*)).isEmpty,
       "delta contains TBox statements - schema changes require " +
         "re-materialization (rdfsClosureEncoded), not incremental maintenance")
     val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
     val tbox = collectTbox(
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
-      tboxIds, tboxCap)
-    val derived = rdfsDerive(tbox, d,
-      ids.subClassOf, ids.subPropertyOf, ids.domain, ids.range, ids.typePred,
-      includeTboxClosure = false)
+      voc.tboxPreds, tboxCap)
+    val derived = rdfsDerive(tbox, d, voc, includeTboxClosure = false)
     (d +: derived).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** The rows of `increment` NOT already present in `existing`, computed
+    * WITHOUT shuffling `existing`: the increment broadcasts as a
+    * semi-probe over one narrow scan of the existing relation (the hits
+    * are at most |Δ| rows), and the increment anti-joins against the
+    * broadcast hits. Null-safe on every column, so quad relations with a
+    * null default-graph column dedup correctly. `existing` may be the
+    * deduplicated closure OR its raw (pre-distinct) legs — duplicate
+    * hits are harmless to the existence check, and the legs variant
+    * avoids materializing the closure twice in one plan.
+    *
+    * This is the composition half of the O(Δ) maintenance contract: the
+    * naive `(closure ∪ increment).distinct()` re-shuffles the FULL
+    * closure per maintenance batch — the exact cost the incremental
+    * derivation exists to avoid. Here the only work proportional to the
+    * closure is one columnar scan. PlanSpec asserts the plan carries no
+    * shuffle exchange.
+    */
+  def incrementNovel(existing: DataFrame, increment: DataFrame): DataFrame = {
+    val raw = incrementNovelRaw(existing, increment)
+    // constraint-stripping RDD round-trip on the Δ-sized output: the
+    // null-safe anti-join's constraints reference the dropped probe
+    // attributes, and Spark 4.1's Union constraint rewrite throws
+    // "key not found" when the novel rows later feed a union (the
+    // normal composition). Same workaround + reasoning as
+    // [[transitiveClosure]]'s grouped mode; the broadcast-only shape
+    // below the boundary is unchanged (PlanSpec asserts it on the raw
+    // plan).
+    existing.sparkSession.createDataFrame(raw.rdd, raw.schema)
+  }
+
+  /** The novelty anti-join itself, pre the constraint-stripping
+    * boundary — exposed for plan assertions. */
+  private[graft] def incrementNovelRaw(existing: DataFrame,
+                                       increment: DataFrame): DataFrame = {
+    val cols = increment.columns.toSeq
+    val ex = existing.select(cols.map(col): _*)
+    // round-trip BEFORE the pin: Dataset.localCheckpoint builds its
+    // LogicalRDD via fromDataset, whose constraint rewrite throws on a
+    // derivation increment's nested union constraints (same Spark 4.1
+    // issue as above); createDataFrame(rdd, schema) skips that path
+    val inc = increment.sparkSession
+      .createDataFrame(increment.rdd, increment.schema).localCheckpoint(true)
+    val probe = inc.toDF(cols.map("__i_" + _): _*)
+    val condE = cols.map(c => col(c) <=> col("__i_" + c)).reduce(_ && _)
+    val hits = ex.join(broadcast(probe), condE, "left_semi")
+      .toDF(cols.map("__h_" + _): _*)
+    val condH = cols.map(c => col(c) <=> col("__h_" + c)).reduce(_ && _)
+    inc.join(broadcast(hits), condH, "left_anti")
+  }
+
+  /** Fold a derived increment into an existing closure: the closure plus
+    * the increment's novel rows ([[incrementNovel]]) — set-equal to
+    * `(closure ∪ increment).distinct()` when `closure` is itself
+    * duplicate-free, with no shuffle of the closure.
+    */
+  def composeIncrement(closure: DataFrame, increment: DataFrame): DataFrame =
+    closure.unionAll(
+      incrementNovel(closure, increment).select(closure.columns.map(col): _*))
+
+  /** DRed-style (delete–rederive) retraction: maintain a materialized
+    * RDFS closure through base-triple DELETEs without re-materializing.
+    * `base` is the PRE-delete base graph (schema statements included),
+    * `deletions` the removed base triples — TBox deletions fail fast
+    * (schema changes re-materialize, the same contract as [[rdfsDelta]]).
+    *
+    * Single-premise rho-df makes DRed one bounded pass:
+    *
+    *   1. over-delete O = deletions ∪ derive(deletions) — every
+    *      consequence the removed triples could have contributed
+    *      (one broadcast-join pass, |Δ|-sized);
+    *   2. every surviving derivation's base premise shares a subject or
+    *      object with some over-deleted row's SUBJECT, so the candidate
+    *      premise slab is the remaining base semi-joined (broadcast)
+    *      against O's subject keys — fan-in-of-Δ sized, never the corpus;
+    *   3. survivors = O ∩ (slab ∪ derive(slab)); the removal set
+    *      R = O − survivors is what actually leaves the closure;
+    *   4. the closure streams through ONE broadcast anti-join against R
+    *      — it is never shuffled, the same discipline as
+    *      [[incrementNovel]].
+    *
+    * Returns the maintained closure, set-equal to
+    * `rdfsClosure(base − deletions)`.
+    */
+  def rdfsRetract(closure: DataFrame, base: DataFrame, deletions: DataFrame,
+                  typePred: String = "a", tboxCap: Int = 1 << 20): DataFrame =
+    rdfsRetractCore(closure, base, deletions, stringVoc(typePred), tboxCap,
+      "rdfsClosure")
+
+  /** [[rdfsRetract]] over ENCODED (long-id) relations. */
+  def rdfsRetractEncoded(closure: DataFrame, base: DataFrame,
+                         deletions: DataFrame, ids: RdfsIds,
+                         tboxCap: Int = 1 << 20): DataFrame =
+    rdfsRetractCore(closure, base, deletions, encVoc(ids), tboxCap,
+      "rdfsClosureEncoded")
+
+  private def rdfsRetractCore(closure: DataFrame, base: DataFrame,
+                              deletions: DataFrame, voc0: Voc, tboxCap: Int,
+                              rematName: String): DataFrame = {
+    val Seq(ds, dp, do_) = deletions.columns.take(3).toSeq
+    val del = deletions
+      .select(col(ds).as("s"), col(dp).as("p"), col(do_).as("o"))
+      .localCheckpoint(true)
+    require(del.where(col("p").isin(voc0.tboxPreds: _*)).isEmpty,
+      "deletions contain TBox statements - schema changes require " +
+        s"re-materialization ($rematName), not incremental retraction")
+    val Seq(bs, bp, bo) = base.columns.take(3).toSeq
+    val b = base.select(col(bs).as("s"), col(bp).as("p"), col(bo).as("o"))
+    val tbox = collectTbox(b, voc0.tboxPreds, tboxCap)
+    val voc = resolveEmit(voc0, tbox)
+    // 1. over-delete: the deleted triples and every direct consequence
+    val over = (del +: rdfsDerive(tbox, del, voc, includeTboxClosure = false))
+      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+    // 2. candidate premise slab: remaining base rows sharing a subject
+    //    or object with an over-deleted SUBJECT (single-premise rules
+    //    only ever move a consequence's subject to its premise's subject
+    //    or object position) — two broadcast semi-joins, narrow scans
+    val keys = over.select(col("s").as("__k")).distinct()
+    val slab0 = b.join(broadcast(keys), col("s") === col("__k"), "left_semi")
+      .unionAll(b.join(broadcast(keys), col("o") === col("__k"), "left_semi"))
+    val delProbe = del.toDF("__d_s", "__d_p", "__d_o")
+    val slab = slab0.join(broadcast(delProbe),
+        col("s") === col("__d_s") && col("p") === col("__d_p") &&
+          col("o") === col("__d_o"), "left_anti")
+      .localCheckpoint(true)
+    // 3. survivors re-derive from the slab; R = over-deleted minus them
+    val rederived = (slab +: rdfsDerive(tbox, slab, voc,
+      includeTboxClosure = false)).reduce(_.unionAll(_))
+      .toDF("__r_s", "__r_p", "__r_o")
+    val removal = over.join(broadcast(rederived),
+        col("s") === col("__r_s") && col("p") === col("__r_p") &&
+          col("o") === col("__r_o"), "left_anti")
+      .toDF("__x_s", "__x_p", "__x_o")
+    // 4. the closure streams through one broadcast anti-join — no shuffle
+    val Seq(zs, zp, zo) = closure.columns.take(3).toSeq
+    closure.select(col(zs).as("s"), col(zp).as("p"), col(zo).as("o"))
+      .join(broadcast(removal),
+        col("s") === col("__x_s") && col("p") === col("__x_p") &&
+          col("o") === col("__x_o"), "left_anti")
   }
 
   /** STREAMING RDFS materialization: [[rdfsDelta]] over a live triple
@@ -196,15 +404,16 @@ object ReasonOps {
     * applied (distinct on a stream is stateful); increments may repeat
     * what an earlier batch or the base closure already holds — dedup at
     * the sink or with a watermarked dropDuplicates downstream. TBox
-    * statements ARRIVING ON THE STREAM fail the batch at runtime
-    * (raise_error) — schema changes re-materialize, same contract as
-    * the batch delta path.
+    * statements ARRIVING ON THE STREAM (either rendering) fail the
+    * batch at runtime (raise_error) — schema changes re-materialize,
+    * same contract as the batch delta path.
     */
   def rdfsDeltaStream(tboxSource: DataFrame, stream: DataFrame,
                       typePred: String = "a",
                       tboxCap: Int = 1 << 20): DataFrame = {
+    val voc0 = stringVoc(typePred)
     val Seq(cs, cp, co) = stream.columns.take(3).toSeq
-    val guard = when(col(cp).isin(TboxPreds: _*),
+    val guard = when(col(cp).isin(voc0.tboxPreds: _*),
       raise_error(concat(lit("TBox statement on the stream ("), col(cp),
         lit(") - schema changes require re-materialization"))))
       .otherwise(col(cp))
@@ -212,9 +421,8 @@ object ReasonOps {
     val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
     val tbox = collectTbox(
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
-      Seq(SubClassOf, SubPropertyOf, Domain, Range), tboxCap)
-    val derived = rdfsDerive(tbox, d,
-      SubClassOf, SubPropertyOf, Domain, Range, typePred,
+      voc0.tboxPreds, tboxCap)
+    val derived = rdfsDerive(tbox, d, resolveEmit(voc0, tbox),
       includeTboxClosure = false)
     (d +: derived).reduce(_.unionAll(_))
   }
@@ -243,7 +451,23 @@ object ReasonOps {
     */
   def rdfsClosureQuads(quads: DataFrame, tboxSource: DataFrame,
                        typePred: String = "a", tboxCap: Int = 1 << 20,
-                       pinInput: Boolean = true): DataFrame = {
+                       pinInput: Boolean = true): DataFrame =
+    rdfsClosureQuadsCore(quads, tboxSource, stringVoc(typePred), tboxCap,
+      pinInput)
+
+  /** [[rdfsClosureQuads]] over ENCODED (long-id) quad relations — the
+    * production currency for named-graph corpora: per-graph derivation
+    * on fixed-width ids, vocabulary as [[RdfsIds]], one slim-dict
+    * decode at the top as usual.
+    */
+  def rdfsClosureQuadsEncoded(quads: DataFrame, tboxSource: DataFrame,
+                              ids: RdfsIds, tboxCap: Int = 1 << 20,
+                              pinInput: Boolean = true): DataFrame =
+    rdfsClosureQuadsCore(quads, tboxSource, encVoc(ids), tboxCap, pinInput)
+
+  private def rdfsClosureQuadsCore(quads: DataFrame, tboxSource: DataFrame,
+                                   voc0: Voc, tboxCap: Int,
+                                   pinInput: Boolean): DataFrame = {
     val spark = quads.sparkSession
     val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
     val q0 = quads.select(col(cs).as("s"), col(cp).as("p"),
@@ -252,9 +476,10 @@ object ReasonOps {
     val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
     val tbox = collectTbox(
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
-      Seq(SubClassOf, SubPropertyOf, Domain, Range), tboxCap)
+      voc0.tboxPreds, tboxCap)
+    val voc = resolveEmit(voc0, tbox)
     val dt = q.schema.fields.head.dataType
-    val maps = rdfsMaps(tbox, SubClassOf, SubPropertyOf, Domain, Range)
+    val maps = rdfsMaps(tbox, voc)
     def pairs(ps: Seq[(Any, Any)], a: String, b: String): DataFrame =
       pairDfAny(spark, ps, a, b, dt)
     val derived = scala.collection.mutable.ListBuffer[DataFrame]()
@@ -263,21 +488,22 @@ object ReasonOps {
         .select(col("s"), col("q2").as("p"), col("o"), col("g"))
     if (maps.domEff.nonEmpty)
       derived += q.join(broadcast(pairs(maps.domEff, "p", "c")), "p")
-        .select(col("s"), lit(typePred).as("p"), col("c").as("o"), col("g"))
+        .select(col("s"), lit(voc.emitTy).as("p"), col("c").as("o"), col("g"))
     if (maps.rngEff.nonEmpty)
       derived += q.join(broadcast(pairs(maps.rngEff, "p", "c")), "p")
-        .select(col("o").as("s"), lit(typePred).as("p"),
+        .select(col("o").as("s"), lit(voc.emitTy).as("p"),
           col("c").as("o"), col("g"))
     if (maps.scPairs.nonEmpty) {
-      val allTypes = (q.where(col("p") === typePred).select("s", "o", "g") +:
-        derived.toSeq.map(_.where(col("p") === typePred)
+      val allTypes = (q.where(col("p").isin(voc.ty.toSeq: _*))
+        .select("s", "o", "g") +:
+        derived.toSeq.map(_.where(col("p").isin(voc.ty.toSeq: _*))
           .select("s", "o", "g"))).reduce(_.unionAll(_))
       derived += allTypes.join(broadcast(pairs(maps.scPairs, "o", "d")), "o")
-        .select(col("s"), lit(typePred).as("p"), col("d").as("o"), col("g"))
+        .select(col("s"), lit(voc.emitTy).as("p"), col("d").as("o"), col("g"))
     }
     val tboxClosed =
-      maps.spPairs.map { case (a, b) => Seq(a, SubPropertyOf, b, null) } ++
-        maps.scPairs.map { case (a, b) => Seq(a, SubClassOf, b, null) }
+      maps.spPairs.map { case (a, b) => Seq(a, voc.emitSp, b, null) } ++
+        maps.scPairs.map { case (a, b) => Seq(a, voc.emitSc, b, null) }
     if (tboxClosed.nonEmpty) {
       import scala.jdk.CollectionConverters._
       derived += spark.createDataFrame(
@@ -301,13 +527,11 @@ object ReasonOps {
     * unions over {p} ∪ sp*(p), so inherited declarations fire in one
     * pass).
     */
-  private def rdfsMaps(tbox: Array[(Any, Any, Any)], subClassOf: Any,
-                       subPropertyOf: Any, domain: Any,
-                       range: Any): RdfsMaps = {
+  private def rdfsMaps(tbox: Array[(Any, Any, Any)], voc: Voc): RdfsMaps = {
     val spPairs = transitiveAny(tbox.collect {
-      case (s, p, o) if p == subPropertyOf => (s, o) })
+      case (s, p, o) if voc.sp.contains(p) => (s, o) })
     val scPairs = transitiveAny(tbox.collect {
-      case (s, p, o) if p == subClassOf => (s, o) })
+      case (s, p, o) if voc.sc.contains(p) => (s, o) })
     val spMap = spPairs.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
     def effective(decl: Seq[(Any, Any)]): Seq[(Any, Any)] = {
       val byProp = decl.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
@@ -319,8 +543,8 @@ object ReasonOps {
       }
     }
     RdfsMaps(spPairs, scPairs,
-      effective(tbox.collect { case (s, p, o) if p == domain => (s, o) }),
-      effective(tbox.collect { case (s, p, o) if p == range => (s, o) }))
+      effective(tbox.collect { case (s, p, o) if voc.dom.contains(p) => (s, o) }),
+      effective(tbox.collect { case (s, p, o) if voc.rng.contains(p) => (s, o) }))
   }
 
   private def pairDfAny(spark: SparkSession, pairs: Seq[(Any, Any)],
@@ -336,37 +560,17 @@ object ReasonOps {
 
   /** The rho-df rule passes over an ABox relation `t` given a collected
     * TBox: one broadcast join per rule, sub-class expansion over base
-    * AND derived types. Shared by the full, delta, streaming, and
-    * ENCODED paths — generic over the term type, so the same code runs
-    * on string terms and on long ids (the derivation tables take `t`'s
-    * column type).
+    * AND derived types. Shared by the full, delta, streaming, retract,
+    * and ENCODED paths — generic over the term type, so the same code
+    * runs on string terms and on long ids (the derivation tables take
+    * `t`'s column type).
     */
   private def rdfsDerive(tbox: Array[(Any, Any, Any)], t: DataFrame,
-                         subClassOf: Any, subPropertyOf: Any,
-                         domain: Any, range: Any, typePred: Any,
+                         voc: Voc,
                          includeTboxClosure: Boolean): Seq[DataFrame] = {
     val spark = t.sparkSession
     val dt = t.schema.fields.head.dataType
-    val spPairs = transitiveAny(tbox.collect {
-      case (s, p, o) if p == subPropertyOf => (s, o) })
-    val scPairs = transitiveAny(tbox.collect {
-      case (s, p, o) if p == subClassOf => (s, o) })
-    val spMap = spPairs.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
-    val domDecl = tbox.collect { case (s, p, o) if p == domain => (s, o) }
-    val rngDecl = tbox.collect { case (s, p, o) if p == range => (s, o) }
-
-    // Effective domain/range: dom*(p) = union of declared domains over
-    // {p} and sp*(p), so domains inherited through the property hierarchy
-    // fire in the SAME single pass as declared ones.
-    def effective(decl: Seq[(Any, Any)]): Seq[(Any, Any)] = {
-      val byProp = decl.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
-      val props = (byProp.keySet ++ spMap.keySet).toSeq.sortBy(_.toString)
-      props.flatMap { p =>
-        val classes = (Seq(p) ++ spMap.getOrElse(p, Nil))
-          .flatMap(q => byProp.getOrElse(q, Nil)).distinct.sortBy(_.toString)
-        classes.map((p, _))
-      }
-    }
+    val maps = rdfsMaps(tbox, voc)
 
     def rowsDf(rows: Seq[Seq[Any]], names: Seq[String]): DataFrame = {
       import scala.jdk.CollectionConverters._
@@ -381,32 +585,32 @@ object ReasonOps {
 
     val derived = scala.collection.mutable.ListBuffer[DataFrame]()
     // rdfs7: (s p o), p sp* q  =>  (s q o)
-    if (spPairs.nonEmpty)
-      derived += t.join(broadcast(pairDf(spPairs, "p", "q")), "p")
+    if (maps.spPairs.nonEmpty)
+      derived += t.join(broadcast(pairDf(maps.spPairs, "p", "q")), "p")
         .select(col("s"), col("q").as("p"), col("o"))
     // rdfs2: (s p o), dom*(p) contains C  =>  (s type C)
-    val domEff = effective(domDecl)
-    if (domEff.nonEmpty)
-      derived += t.join(broadcast(pairDf(domEff, "p", "c")), "p")
-        .select(col("s"), lit(typePred).as("p"), col("c").as("o"))
+    if (maps.domEff.nonEmpty)
+      derived += t.join(broadcast(pairDf(maps.domEff, "p", "c")), "p")
+        .select(col("s"), lit(voc.emitTy).as("p"), col("c").as("o"))
     // rdfs3: (s p o), rng*(p) contains C  =>  (o type C)
-    val rngEff = effective(rngDecl)
-    if (rngEff.nonEmpty)
-      derived += t.join(broadcast(pairDf(rngEff, "p", "c")), "p")
-        .select(col("o").as("s"), lit(typePred).as("p"), col("c").as("o"))
+    if (maps.rngEff.nonEmpty)
+      derived += t.join(broadcast(pairDf(maps.rngEff, "p", "c")), "p")
+        .select(col("o").as("s"), lit(voc.emitTy).as("p"), col("c").as("o"))
     // rdfs9: (s type C), C sc* D  =>  (s type D) - over base AND derived
     // type assertions (domain/range-produced types expand too).
-    if (scPairs.nonEmpty) {
-      val allTypes = (t.where(col("p") === typePred).select("s", "o") +:
-        derived.toSeq.map(_.where(col("p") === typePred).select("s", "o")))
+    if (maps.scPairs.nonEmpty) {
+      val allTypes = (t.where(col("p").isin(voc.ty.toSeq: _*))
+        .select("s", "o") +:
+        derived.toSeq.map(_.where(col("p").isin(voc.ty.toSeq: _*))
+          .select("s", "o")))
         .reduce(_.unionAll(_))
-      derived += allTypes.join(broadcast(pairDf(scPairs, "o", "d")), "o")
-        .select(col("s"), lit(typePred).as("p"), col("d").as("o"))
+      derived += allTypes.join(broadcast(pairDf(maps.scPairs, "o", "d")), "o")
+        .select(col("s"), lit(voc.emitTy).as("p"), col("d").as("o"))
     }
     // rdfs5 / rdfs11: the closed hierarchy statements themselves.
     val tboxClosed =
-      spPairs.map { case (a, b) => Seq(a, subPropertyOf, b) } ++
-        scPairs.map { case (a, b) => Seq(a, subClassOf, b) }
+      maps.spPairs.map { case (a, b) => Seq(a, voc.emitSp, b) } ++
+        maps.scPairs.map { case (a, b) => Seq(a, voc.emitSc, b) }
     if (includeTboxClosure && tboxClosed.nonEmpty)
       derived += rowsDf(tboxClosed, Seq("s", "p", "o"))
     derived.toSeq
@@ -497,6 +701,34 @@ object ReasonOps {
     owlClosureCore(encTriples, ids.inverseOf, ids.symmetricProperty,
       ids.transitiveProperty, ids.typePred, tboxCap)
 
+  /** The OWL property declarations of a relation, driver-collected and
+    * capped: symmetrized inverseOf pairs, symmetric-property terms,
+    * transitive-property terms.
+    */
+  private def owlDecls(rel: DataFrame, inverseOf: Any, symmetricProperty: Any,
+                       transitiveProperty: Any, typePred: Any, tboxCap: Int)
+      : (Seq[(Any, Any)], Seq[Any], Seq[Any]) = {
+    val Seq(cs, cp, co) = rel.columns.take(3).toSeq
+    val tbox = rel
+      .select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+      .where(col("p") === inverseOf ||
+        (col("p") === typePred &&
+          col("o").isin(symmetricProperty, transitiveProperty)))
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    require(tbox.length <= tboxCap,
+      s"OWL property declarations exceed $tboxCap — not schema-shaped")
+    val inv = tbox.collect { case (a, p, b) if p == inverseOf => (a, b) }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toSeq
+    val sym = tbox.collect {
+      case (p, _, o) if o == symmetricProperty => p
+    }.distinct.toSeq
+    val trans = tbox.collect {
+      case (p, _, o) if o == transitiveProperty => p
+    }.distinct.sortBy(_.toString).toSeq
+    (inv, sym, trans)
+  }
+
   /** [[owlClosure]] over a NAMED-GRAPH quad dataset: global OWL
     * property declarations (`tboxSource`), rules with the graph column
     * CARRIED — inverse/symmetric are single-premise (graph-preserving
@@ -506,33 +738,34 @@ object ReasonOps {
     */
   def owlClosureQuads(quads: DataFrame, tboxSource: DataFrame,
                       typePred: String = "a",
-                      tboxCap: Int = 1 << 20): DataFrame = {
+                      tboxCap: Int = 1 << 20): DataFrame =
+    owlClosureQuadsCore(quads, tboxSource, InverseOf, SymmetricProperty,
+      TransitiveProperty, typePred, tboxCap)
+
+  /** [[owlClosureQuads]] over ENCODED (long-id) quad relations — the
+    * per-graph rules and squaring closures run on fixed-width ids,
+    * vocabulary as [[OwlIds]].
+    */
+  def owlClosureQuadsEncoded(quads: DataFrame, tboxSource: DataFrame,
+                             ids: OwlIds, tboxCap: Int = 1 << 20): DataFrame =
+    owlClosureQuadsCore(quads, tboxSource, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
+
+  private def owlClosureQuadsCore(quads: DataFrame, tboxSource: DataFrame,
+                                  inverseOf: Any, symmetricProperty: Any,
+                                  transitiveProperty: Any, typePred: Any,
+                                  tboxCap: Int): DataFrame = {
     val spark = quads.sparkSession
     val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
     val q = quads.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"), col(cg).as("g")).localCheckpoint(true)
-    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
-    val tbox = tboxSource
-      .select(col(ts).as("s"), col(tp).as("p"), col(to).as("o"))
-      .where(col("p") === InverseOf ||
-        (col("p") === typePred &&
-          col("o").isin(SymmetricProperty, TransitiveProperty)))
-      .limit(tboxCap + 1).collect()
-      .map(r => (r.getString(0), r.getString(1), r.getString(2)))
-    require(tbox.length <= tboxCap,
-      s"OWL property declarations exceed $tboxCap — not schema-shaped")
-    val inv = tbox.collect { case (a, InverseOf, b) => (a, b) }
-      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
-    val sym = tbox.collect { case (pp, _, SymmetricProperty) => pp }.distinct
-    val trans = tbox.collect {
-      case (pp, _, TransitiveProperty) => pp
-    }.distinct.sorted
+    val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
+      symmetricProperty, transitiveProperty, typePred, tboxCap)
     val dt = q.schema.fields.head.dataType
     def invSym(rel: DataFrame): Seq[DataFrame] = {
       val buf = scala.collection.mutable.ListBuffer[DataFrame]()
       if (inv.nonEmpty)
-        buf += rel.join(broadcast(pairDfAny(spark,
-            inv.map(x => (x._1: Any, x._2: Any)), "p", "q2", dt)), "p")
+        buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q2", dt)), "p")
           .select(col("o").as("s"), col("q2").as("p"),
             col("s").as("o"), col("g"))
       if (sym.nonEmpty)
@@ -558,35 +791,14 @@ object ReasonOps {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
     val dt = t.schema.fields.head.dataType
-    val tbox = t.where(col("p") === inverseOf ||
-        (col("p") === typePred &&
-          col("o").isin(symmetricProperty, transitiveProperty)))
-      .limit(tboxCap + 1).collect()
-      .map(r => (r.get(0), r.get(1), r.get(2)))
-    require(tbox.length <= tboxCap,
-      s"OWL property declarations exceed $tboxCap — not schema-shaped")
-    val inv = tbox.collect { case (a, p, b) if p == inverseOf => (a, b) }
-      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
-    val sym = tbox.collect {
-      case (p, _, o) if o == symmetricProperty => p
-    }.distinct
-    val trans = tbox.collect {
-      case (p, _, o) if o == transitiveProperty => p
-    }.distinct.sortBy(_.toString)
+    val (inv, sym, trans) = owlDecls(t, inverseOf, symmetricProperty,
+      transitiveProperty, typePred, tboxCap)
 
-    def pairDf(pairs: Seq[(Any, Any)], a: String, b: String): DataFrame = {
-      import scala.jdk.CollectionConverters._
-      spark.createDataFrame(
-        new java.util.ArrayList(
-          pairs.map(x => org.apache.spark.sql.Row(x._1, x._2)).asJava),
-        org.apache.spark.sql.types.StructType(Seq(a, b).map(
-          org.apache.spark.sql.types.StructField(_, dt, nullable = false))))
-    }
     // one inverse + symmetric derivation pass over a triple set
     def invSym(rel: DataFrame): Seq[DataFrame] = {
       val buf = scala.collection.mutable.ListBuffer[DataFrame]()
       if (inv.nonEmpty)
-        buf += rel.join(broadcast(pairDf(inv, "p", "q")), "p")
+        buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q", dt)), "p")
           .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
       if (sym.nonEmpty)
         buf += rel.where(col("p").isin(sym: _*))
@@ -609,6 +821,102 @@ object ReasonOps {
     // exactly inverse(closure(p)) — nothing feeds back.
     val pass2 = closed.flatMap(invSym)
     (Seq(withInv) ++ closed ++ pass2).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** INCREMENTAL OWL maintenance, the O(|Δ|) twin of [[owlClosure]]:
+    * given the EXISTING materialized closure and a batch of new edges,
+    * derive exactly the increment — without re-squaring the world.
+    * Property DECLARATIONS in the delta fail fast (schema change →
+    * re-materialize), the same contract as [[rdfsDelta]].
+    *
+    *   - inverse/symmetric rules are single-premise: one broadcast pass
+    *     over the delta;
+    *   - for each declared transitive property, any NEW path through
+    *     the updated edge set decomposes into alternating existing-path
+    *     segments and new edges: with E the (already transitively
+    *     closed) existing paths and D the new edges, every new path is
+    *     a chain of "bridges" B = D ∪ E⋈D (an optional existing prefix
+    *     ending in a new edge), optionally followed by one existing
+    *     suffix. So the increment is B⁺ ∪ B⁺⋈E where B⁺ is the iterated
+    *     -squaring closure of the |Δ|·fan-in-sized bridge set — E is
+    *     only ever SCANNED against a broadcast probe, never shuffled
+    *     and never re-squared;
+    *   - a final inverse/symmetric pass covers the inverses of the new
+    *     closed chains (the same pass-2 fixpoint as [[owlClosure]]).
+    *
+    * Returns the increment (deduped); fold it into the closure with
+    * [[composeIncrement]]. Identity:
+    * `owlClosure(base ∪ Δ) == composeIncrement(owlClosure(base), owlDelta(owlClosure(base), Δ, decls))`.
+    */
+  def owlDelta(closure: DataFrame, delta: DataFrame, tboxSource: DataFrame,
+               typePred: String = "a", tboxCap: Int = 1 << 20): DataFrame =
+    owlDeltaCore(closure, delta, tboxSource, InverseOf, SymmetricProperty,
+      TransitiveProperty, typePred, tboxCap)
+
+  /** [[owlDelta]] over ENCODED (long-id) relations. */
+  def owlDeltaEncoded(closure: DataFrame, delta: DataFrame,
+                      tboxSource: DataFrame, ids: OwlIds,
+                      tboxCap: Int = 1 << 20): DataFrame =
+    owlDeltaCore(closure, delta, tboxSource, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
+
+  private def owlDeltaCore(closure: DataFrame, delta: DataFrame,
+                           tboxSource: DataFrame, inverseOf: Any,
+                           symmetricProperty: Any, transitiveProperty: Any,
+                           typePred: Any, tboxCap: Int): DataFrame = {
+    val spark = delta.sparkSession
+    val Seq(cs, cp, co) = delta.columns.take(3).toSeq
+    val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+      .localCheckpoint(true)
+    require(d0.where(col("p") === inverseOf ||
+        (col("p") === typePred &&
+          col("o").isin(symmetricProperty, transitiveProperty))).isEmpty,
+      "delta contains OWL property declarations - schema changes require " +
+        "re-materialization (owlClosure), not incremental maintenance")
+    val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
+      symmetricProperty, transitiveProperty, typePred, tboxCap)
+    val Seq(zs, zp, zo) = closure.columns.take(3).toSeq
+    val e = closure.select(col(zs).as("s"), col(zp).as("p"), col(zo).as("o"))
+    val dt = d0.schema.fields.head.dataType
+    def invSym(rel: DataFrame): Seq[DataFrame] = {
+      val buf = scala.collection.mutable.ListBuffer[DataFrame]()
+      if (inv.nonEmpty)
+        buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q", dt)), "p")
+          .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
+      if (sym.nonEmpty)
+        buf += rel.where(col("p").isin(sym: _*))
+          .select(col("o").as("s"), col("p"), col("s").as("o"))
+      buf.toSeq
+    }
+    // pass 1 over the delta only — single-premise rules need no context
+    val d1 = (d0 +: invSym(d0)).reduce(_.unionAll(_)).distinct()
+      .localCheckpoint(true)
+    // per transitive property: bridge set B = D ∪ (E ⋈ D), close B by
+    // squaring (|Δ|-sized), then one existing suffix — E only streams
+    // against broadcast probes
+    val newClosed = trans.map { pp =>
+      val dEdges = d1.where(col("p") === pp).select(col("s").as("a"),
+        col("o").as("b")).where(col("a") =!= col("b")).distinct()
+        .localCheckpoint(true)
+      val ePaths = e.where(col("p") === pp)
+        .select(col("s").as("a"), col("o").as("b"))
+      val dProbe = dEdges.toDF("__d_a", "__d_b")
+      val bridge = dEdges.unionAll(
+          ePaths.join(broadcast(dProbe), col("b") === col("__d_a"))
+            .select(col("a"), col("__d_b").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+      val bPlus = transitiveClosure(bridge).localCheckpoint(true)
+      val bProbe = bPlus.toDF("__b_a", "__b_b")
+      val withSuffix = bPlus.unionAll(
+          e.where(col("p") === pp)
+            .join(broadcast(bProbe), col("s") === col("__b_b"))
+            .select(col("__b_a").as("a"), col("o").as("b")))
+        .where(col("a") =!= col("b")).distinct()
+      withSuffix.select(col("a").as("s"), lit(pp).as("p"), col("b").as("o"))
+    }
+    // pass 2: inverses/symmetric of the new closed chains
+    val pass2 = newClosed.flatMap(invSym)
+    (Seq(d1) ++ newClosed ++ pass2).reduce(_.unionAll(_)).distinct()
   }
 
   /** owl:sameAs smushing, the entity-resolution canonicalization: the

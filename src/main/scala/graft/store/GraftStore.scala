@@ -78,6 +78,23 @@ object GraftStore {
     ntCache.keys.filter(_._1.sparkContext.isStopped).foreach(ntCache.remove)
     quadCache.keys.filter(_._1.sparkContext.isStopped).foreach(quadCache.remove)
     quadEncCache.keys.filter(_._1.sparkContext.isStopped).foreach(quadEncCache.remove)
+    reasonCache.keys.filter(_._1.sparkContext.isStopped).foreach(reasonCache.remove)
+  }
+
+  private val reasonCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Lazily[DataFrame]]
+
+  /** A materialized reasoning artifact (e.g. the base closure a
+    * maintenance batch composes against), built + pinned once per
+    * (session, dir, name) — the in-session analog of the
+    * [[persistClosure]] ingest lifecycle: reason once at ingest,
+    * maintenance batches OPEN the artifact instead of re-deriving it.
+    */
+  def reasonArtifact(spark: SparkSession, sfDir: String, name: String)
+                    (build: => DataFrame): DataFrame = {
+    evictStopped()
+    reasonCache.getOrElseUpdate((spark, sfDir, name),
+      new Lazily(build.localCheckpoint(true))).value
   }
 
   private def ingest(spark: SparkSession, sfDir: String): StoreHandle =

@@ -278,10 +278,16 @@ class PlanSpec extends SparkSpec {
   }
 
   "q_rdfs_delta" should "keep the incremental path broadcast-only too" in {
+    // the composition plan: pinned closure ∪ novel rows (each a
+    // leaf behind its constraint-stripping boundary) feeding the census
+    // — the ONLY exchange is the census aggregation itself; the
+    // broadcast-only novelty probe is asserted on its raw plan in
+    // ReasonSpec ("compose to the full-union distinct without
+    // shuffling")
     val p = finalPlan("q_rdfs_delta")
-    p should include("BroadcastHashJoin")
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
+    p.split("Exchange hashpartitioning").length - 1 should be <= 2
   }
 
   "q_owl_sameas" should "never cartesian while smushing" in {

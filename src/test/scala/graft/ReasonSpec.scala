@@ -339,4 +339,222 @@ class ReasonSpec extends SparkSpec {
     }
     e.getMessage should include("TBox")
   }
+
+  "ReasonOps string vocabulary" should "recognize full-IRI schema statements and emit IRIs" in {
+    // loader-ingested graphs carry the W3C IRIs, not the prefixed short
+    // forms — the closure must collect the TBox, derive, AND emit its
+    // closed statements in the SAME rendering the data uses
+    val g = Seq(
+      ("worksFor", ReasonOps.SubPropertyOfIri, "employedBy"),
+      ("employedBy", ReasonOps.SubPropertyOfIri, "affiliated"),
+      ("employedBy", ReasonOps.DomainIri, "Person"),
+      ("Person", ReasonOps.SubClassOfIri, "Agent"),
+      ("alice", "worksFor", "acme"),
+      ("bob", ReasonOps.TypeIri, "Person")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.rdfsClosure(g))
+    got should contain allOf (
+      ("alice", "employedBy", "acme"),
+      ("alice", "affiliated", "acme"),
+      ("alice", ReasonOps.TypeIri, "Person"),
+      ("alice", ReasonOps.TypeIri, "Agent"),
+      ("bob", ReasonOps.TypeIri, "Agent"),
+      ("worksFor", ReasonOps.SubPropertyOfIri, "affiliated"))
+    // no short-form statements invented for an IRI-rendered graph
+    got.map(_._2) should not contain SubPropertyOf
+    got.filter(t => t._2 == "a") shouldBe empty
+  }
+
+  it should "fire the delta TBox fail-fast on full-IRI schema statements too" in {
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.rdfsDelta(
+        Seq(("A", SubClassOf, "B")).toDF("s", "p", "o"),
+        Seq(("C", ReasonOps.SubClassOfIri, "D")).toDF("s", "p", "o")).collect()
+    }
+    e.getMessage should include("re-materialization")
+  }
+
+  "ReasonOps.incrementNovel" should "compose to the full-union distinct without shuffling" in {
+    val closure = Seq(("a", "p", "b"), ("c", "p", "d")).toDF("s", "p", "o")
+      .localCheckpoint(true)
+    val inc = Seq(("c", "p", "d"), ("e", "p", "f")).toDF("s", "p", "o")
+    val composed = ReasonOps.composeIncrement(closure, inc)
+    tset(composed) shouldBe Set(("a", "p", "b"), ("c", "p", "d"), ("e", "p", "f"))
+    // the O(Δ) contract: the plan carries NO shuffle exchange — the
+    // closure only streams against broadcast probes (asserted on the
+    // raw plan, below the constraint-stripping boundary)
+    val plan = ReasonOps.incrementNovelRaw(closure, inc)
+      .queryExecution.executedPlan.toString
+    plan should not include "Exchange hashpartitioning"
+    plan should include ("BroadcastHashJoin")
+  }
+
+  it should "dedup null-valued graph columns null-safely" in {
+    val closure = Seq(("a", "p", "b", null.asInstanceOf[String]))
+      .toDF("s", "p", "o", "g").localCheckpoint(true)
+    val inc = Seq(("a", "p", "b", null.asInstanceOf[String]),
+      ("a", "p", "b", "g1")).toDF("s", "p", "o", "g")
+    ReasonOps.incrementNovel(closure, inc).collect()
+      .map(r => (r.getString(0), Option(r.getString(3)))) shouldBe
+      Array(("a", Some("g1")))
+  }
+
+  "ReasonOps.rdfsRetract" should "equal rematerialization through mixed insert+delete" in {
+    val tbox = Seq(
+      ("worksFor", SubPropertyOf, "affiliated"),
+      ("affiliated", Domain, "Person"),
+      ("affiliated", Range, "Org"),
+      ("Person", SubClassOf, "Agent"))
+    val base = tbox ++ Seq(
+      ("a", "worksFor", "x"), ("b", "a", "Person"),
+      ("a", "name", "Alice"), ("c", "worksFor", "x"))
+    val ins = Seq(("d", "worksFor", "y"), ("e", "a", "Person"))
+    val del = Seq(("a", "worksFor", "x"), ("b", "a", "Person"))
+    val baseDf = base.toDF("s", "p", "o")
+    val tboxDf = tbox.toDF("s", "p", "o")
+    // maintain: closure(base) -> +ins via composeIncrement -> -del via DRed
+    val closure0 = ReasonOps.rdfsClosure(baseDf).localCheckpoint(true)
+    val afterIns = ReasonOps.composeIncrement(closure0,
+      ReasonOps.rdfsDelta(tboxDf, ins.toDF("s", "p", "o"))).localCheckpoint(true)
+    val baseAfterIns = baseDf.unionAll(ins.toDF("s", "p", "o"))
+    val maintained = ReasonOps.rdfsRetract(afterIns, baseAfterIns,
+      del.toDF("s", "p", "o"))
+    // rematerialize: closure over (base + ins - del)
+    val remat = ReasonOps.rdfsClosure(
+      (base ++ ins).filterNot(del.contains).toDF("s", "p", "o"))
+    tset(maintained) shouldBe tset(remat)
+    // and the retract genuinely removed something while keeping a
+    // survivor: (x a Org) must survive via c's remaining premise
+    tset(maintained) should contain(("x", "a", "Org"))
+    tset(maintained) should not contain (("a", "a", "Person"))
+  }
+
+  it should "keep a derivation alive when another premise rederives it" in {
+    val g = Seq(
+      ("p", Domain, "C"),
+      ("a", "p", "x"), ("a", "p", "y")).toDF("s", "p", "o")
+    val closure = ReasonOps.rdfsClosure(g).localCheckpoint(true)
+    // deleting ONE of the two p-edges must keep (a type C)
+    val kept = ReasonOps.rdfsRetract(closure, g,
+      Seq(("a", "p", "x")).toDF("s", "p", "o"))
+    tset(kept) should contain(("a", "a", "C"))
+    tset(kept) should not contain (("a", "p", "x"))
+    // deleting BOTH removes it
+    val gone = ReasonOps.rdfsRetract(closure, g,
+      Seq(("a", "p", "x"), ("a", "p", "y")).toDF("s", "p", "o"))
+    tset(gone) should not contain (("a", "a", "C"))
+  }
+
+  it should "reject TBox statements in the deletions" in {
+    val g = Seq(("A", SubClassOf, "B")).toDF("s", "p", "o")
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.rdfsRetract(ReasonOps.rdfsClosure(g), g, g)
+    }
+    e.getMessage should include("re-materialization")
+  }
+
+  "ReasonOps.rdfsRetractEncoded" should "maintain encoded closures through deletes" in {
+    val terms = Seq("sc", "sp", "dom", "rng", "ty", "P", "A", "p", "q",
+      "C", "x", "y", "z")
+    val id = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toMap
+    val ids = ReasonOps.RdfsIds(id("sc"), id("sp"), id("dom"), id("rng"), id("ty"))
+    def enc(g: Seq[(String, String, String)]) =
+      g.map { case (s, p, o) => (id(s), id(p), id(o)) }.toDF("s", "p", "o")
+    val tbox = Seq(("p", "sp", "q"), ("q", "dom", "C"), ("C", "sc", "A"))
+    val base = tbox ++ Seq(("x", "p", "y"), ("z", "p", "y"))
+    val del = Seq(("x", "p", "y"))
+    val closure = ReasonOps.rdfsClosureEncoded(enc(base), ids).localCheckpoint(true)
+    val maintained = ReasonOps.rdfsRetractEncoded(closure, enc(base), enc(del), ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val remat = ReasonOps.rdfsClosureEncoded(enc(base.filterNot(del.contains)), ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    maintained shouldBe remat
+  }
+
+  "ReasonOps.owlDelta" should "equal full rematerialization on base + delta" in {
+    val decls = Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("near", "a", ReasonOps.SymmetricProperty))
+    // base chain 1->2->3 and 5->6; delta bridges 3->5 and 6->7, plus a
+    // symmetric edge — new paths must cross MULTIPLE delta edges and
+    // pick up existing prefixes AND suffixes
+    val base = decls ++ Seq(
+      ("n1", "next", "n2"), ("n2", "next", "n3"), ("n5", "next", "n6"),
+      ("a", "near", "b"))
+    val delta = Seq(("n3", "next", "n5"), ("n6", "next", "n7"),
+      ("c", "near", "d"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+      .localCheckpoint(true)
+    val inc = ReasonOps.owlDelta(closure, delta.toDF("s", "p", "o"),
+      decls.toDF("s", "p", "o"))
+    val maintained = ReasonOps.composeIncrement(closure, inc)
+    val full = ReasonOps.owlClosure((base ++ delta).toDF("s", "p", "o"))
+    tset(maintained) shouldBe tset(full)
+    // spot-check the long bridge: 1 -> 7 crosses both delta edges, and
+    // its inverse arrives through the pass-2 rule
+    tset(maintained) should contain(("n1", "next", "n7"))
+    tset(maintained) should contain(("n7", "prev", "n1"))
+  }
+
+  it should "reject property declarations in a delta" in {
+    val decls = Seq(("next", "a", ReasonOps.TransitiveProperty))
+    val closure = ReasonOps.owlClosure(decls.toDF("s", "p", "o"))
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.owlDelta(closure,
+        Seq(("jump", "a", ReasonOps.TransitiveProperty)).toDF("s", "p", "o"),
+        decls.toDF("s", "p", "o")).collect()
+    }
+    e.getMessage should include("re-materialization")
+  }
+
+  "encoded quad reasoning" should "match the string twins exactly" in {
+    val terms = Seq("sc", "sp", "dom", "rng", "ty", "p", "q", "C", "D",
+      "u", "b", "c", "d", "e", "g1", "g2", "inv", "symP", "transP",
+      "r", "x", "y", "z", "w")
+    val id = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toMap
+    def encQ(rows: Seq[(String, String, String, String)]) =
+      rows.map { case (s, p, o, g) =>
+        (id(s), id(p), id(o), Option(g).map(id)) }.toDF("s", "p", "o", "g")
+    def encT(rows: Seq[(String, String, String)]) =
+      rows.map { case (s, p, o) => (id(s), id(p), id(o)) }.toDF("s", "p", "o")
+    // RDFS quads
+    val rTbox = Seq(("p", "sp", "q"), ("q", "dom", "C"), ("C", "sc", "D"))
+    val rQuads = Seq(("u", "p", "b", "g1"), ("c", "p", "d", "g2"),
+      ("e", "ty", "C", null))
+    val rids = ReasonOps.RdfsIds(id("sc"), id("sp"), id("dom"), id("rng"), id("ty"))
+    val gotR = ReasonOps.rdfsClosureQuadsEncoded(encQ(rQuads), encT(rTbox), rids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    // expected: the id-image of the string-path result on the same shape
+    val strTbox = Seq(("p", SubPropertyOf, "q"), ("q", Domain, "C"),
+      ("C", SubClassOf, "D")).toDF("s", "p", "o")
+    val strQuads = Seq(("u", "p", "b", "g1"), ("c", "p", "d", "g2"),
+      ("e", "a", "C", null.asInstanceOf[String])).toDF("s", "p", "o", "g")
+    val m = Map(SubPropertyOf -> "sp", SubClassOf -> "sc", Domain -> "dom",
+      Range -> "rng", "a" -> "ty")
+    val expR = ReasonOps.rdfsClosureQuads(strQuads, strTbox).collect()
+      .map { r =>
+        def f(t: String) = id(m.getOrElse(t, t))
+        (f(r.getString(0)), f(r.getString(1)), f(r.getString(2)),
+          if (r.isNullAt(3)) -1L else f(r.getString(3)))
+      }.toSet
+    gotR shouldBe expR
+    // OWL quads: per-graph transitive closure + inverse on long ids
+    val oDecls = Seq((id("p"), id("ty"), id("transP")),
+      (id("r"), id("inv"), id("p"))).toDF("s", "p", "o")
+    val oQuads = Seq(("x", "p", "y", "g1"), ("y", "p", "z", "g1"),
+      ("y", "p", "w", "g2"))
+    val oids = ReasonOps.OwlIds(id("inv"), id("symP"), id("transP"), id("ty"))
+    val gotO = ReasonOps.owlClosureQuadsEncoded(encQ(oQuads), oDecls, oids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val strODecls = Seq(("p", "a", ReasonOps.TransitiveProperty),
+      ("r", ReasonOps.InverseOf, "p")).toDF("s", "p", "o")
+    val strOQuads = oQuads.toDF("s", "p", "o", "g")
+    val expO = ReasonOps.owlClosureQuads(strOQuads, strODecls).collect()
+      .map(r => (id(r.getString(0)), id(r.getString(1)), id(r.getString(2)),
+        if (r.isNullAt(3)) -1L else id(r.getString(3)))).toSet
+    gotO shouldBe expO
+  }
 }
