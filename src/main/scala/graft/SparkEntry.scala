@@ -1947,6 +1947,54 @@ object SparkEntry {
       .orderBy("s", "p", "o")
   }
 
+  /** JSON-LD NAMED GRAPHS end-to-end (§6.13 graph objects), pairing
+    * with the TriG gate: nation facts inside a node-level `@graph`
+    * (graph object in a @graph array), region facts inside a TOP-LEVEL
+    * graph object, plus a default-graph node exercising `@reverse`
+    * (edge lands flipped), a null property value (entry removal, §6.1),
+    * and a whole-valued EXPONENT number (1.5e1 — must type xsd:double
+    * off the source lexeme, not the numeric value). Parsed back by the
+    * distributed quad loader; default graph surfaces as g='default'.
+    */
+  private def jsonLdQuadsQ(s: SparkSession, d: String): DataFrame = {
+    val nat = t(s, d, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1)
+    val reg = t(s, d, "region")
+      .select(col("r_regionkey").cast("long"), col("r_name"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    def esc(x: String) = x.replace("\\", "\\\\").replace("\"", "\\\"")
+    val ctx = """{"@vocab": "prop:", "n": "nation:", "r": "region:",""" +
+      """ "region": {"@id": "prop:region", "@type": "@id"}}"""
+    val f1 =
+      s"""{"@context": $ctx,
+         |"@graph": [
+         |  {"@id": "meta:doc", "tables": "2", "skipme": null,
+         |   "ratio": 1.5e1,
+         |   "@reverse": {"describes": {"@id": "meta:catalog"}}},
+         |  {"@id": "graph:nation", "@graph": [
+         |""".stripMargin +
+        nat.map { case (k, name, rk) =>
+          s"""    {"@id": "n:$k", "name": "${esc(name)}",""" +
+            s""" "region": "r:$rk", "key": $k}"""
+        }.mkString(",\n") + "\n  ]}\n]}\n"
+    val f2 =
+      s"""{"@context": $ctx, "@id": "graph:region", "@graph": [
+         |""".stripMargin +
+        reg.map { case (k, name) =>
+          s"""  {"@id": "r:$k", "name": "${esc(name)}"}"""
+        }.mkString(",\n") + "\n]}\n"
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonldq-gate")
+    java.nio.file.Files.writeString(dir.resolve("part1.jsonld"), f1)
+    java.nio.file.Files.writeString(dir.resolve("part2.jsonld"), f2)
+    graft.store.TripleStore.parseJsonLdQuads(s, dir.toString + "/*.jsonld")
+      .select(col("s"), col("p"), col("o"),
+        coalesce(col("g"), lit("default")).as("g"))
+      .orderBy("s", "p", "o", "g")
+  }
+
   /** TriG loader end-to-end: nation and region rendered as named graph
     * blocks plus a default-graph statement, parsed back by the
     * distributed quad loader. Default-graph rows surface as g='default'
@@ -2425,6 +2473,28 @@ object SparkEntry {
     */
   private def rdfsSparqlQ(s: SparkSession, d: String): DataFrame =
     graft.sparql.Sparql.execute(s, rdfsClosureOver(s, d),
+      """PREFIX : <>
+        |SELECT ?r (COUNT(?x) AS ?n) WHERE {
+        |  ?x :within ?r .
+        |  ?r a "Place" .
+        |} GROUP BY ?r ORDER BY ?r""".stripMargin)
+
+  /** Query-time entailment by REWRITE: the same question as
+    * [[rdfsSparqlQ]], but answered over [[ReasonOps.rdfsEntailed]] — a
+    * LAZY closure relation with nothing materialized or pinned.
+    * Catalyst pushes each pattern's constants through the derivation
+    * legs: `?x :within ?r` folds every rule leg whose emitted
+    * predicate isn't `within` to empty and filters the sub-property
+    * pair table down to within's sub-properties (the classic
+    * subPropertyOf expansion), `?r a "Place"` pushes the class
+    * constant INTO the broadcast subclass pairs (the subclass-set
+    * rewrite). Hash-matches the materialized path and the same
+    * base-table oracle.
+    */
+  private def rdfsRewriteQ(s: SparkSession, d: String): DataFrame =
+    graft.sparql.Sparql.execute(s,
+      graft.ops.ReasonOps.rdfsEntailed(
+        TripleStore.tableTriples(s, d).unionAll(rdfsTestTbox(s))),
       """PREFIX : <>
         |SELECT ?r (COUNT(?x) AS ?n) WHERE {
         |  ?x :within ?r .
@@ -3352,6 +3422,7 @@ object SparkEntry {
     "q_components" -> (componentsQ _),
     "q_rdfs_closure" -> (rdfsClosureQ _),
     "q_rdfs_sparql" -> (rdfsSparqlQ _),
+    "q_rdfs_rewrite" -> (rdfsRewriteQ _),
     "q_rdfs_delta" -> (rdfsDeltaQ _),
     "q_rdfs_delta_del" -> (rdfsDeltaDelQ _),
     "q_rdfs_enc_closure" -> (rdfsEncClosureQ _),
@@ -3369,6 +3440,7 @@ object SparkEntry {
     "q_rdfxml_load" -> (rdfXmlLoadQ _),
     "q_jsonld_load" -> (jsonLdLoadQ _),
     "q_trig_load" -> (trigLoadQ _),
+    "q_jsonld_quads" -> (jsonLdQuadsQ _),
     "q_sparql_values" -> (sparqlValues _),
     "q_sparql_service" -> (sparqlServiceQ _),
     "q_sparql_service_enc" -> (sparqlServiceEncQ _),
@@ -4394,6 +4466,13 @@ object SparkEntry {
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM cl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  private val rdfsSparqlOracle =
+    """WITH w AS (
+        |  SELECT 'nation:'||c_nationkey AS r FROM customer
+        |  UNION ALL SELECT 'nation:'||s_nationkey FROM supplier
+        |  UNION ALL SELECT 'region:'||n_regionkey FROM nation)
+        |SELECT r, count(*) AS n FROM w GROUP BY r ORDER BY r""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "q_ann_lsh" -> annLshOracleSql,
     "q_bgp_chain" ->
@@ -4785,6 +4864,27 @@ object SparkEntry {
         |SELECT s, p, o FROM tri ORDER BY s, p, o""".stripMargin,
     // JSON-LD loader: @vocab/@type expansion, @id coercion, value
     // objects, scalar typing — replayed as plain SQL
+    // JSON-LD named graphs: graph objects -> quads, @reverse flipped,
+    // null removed, exponent lexeme typed double — plain SQL replay
+    "q_jsonld_quads" ->
+      """WITH q AS (
+        |  SELECT 'meta:doc' AS s, 'prop:tables' AS p, '"2"' AS o,
+        |         'default' AS g
+        |  UNION ALL SELECT 'meta:catalog', 'prop:describes', 'meta:doc',
+        |         'default'
+        |  UNION ALL SELECT 'meta:doc', 'prop:ratio',
+        |         '"15.0"^^<http://www.w3.org/2001/XMLSchema#double>',
+        |         'default'
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:name',
+        |         '"'||n_name||'"', 'graph:nation' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:region',
+        |         'region:'||n_regionkey, 'graph:nation' FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'prop:key',
+        |         '"'||n_nationkey||'"^^<http://www.w3.org/2001/XMLSchema#integer>',
+        |         'graph:nation' FROM nation
+        |  UNION ALL SELECT 'region:'||r_regionkey, 'prop:name',
+        |         '"'||r_name||'"', 'graph:region' FROM region)
+        |SELECT s, p, o, g FROM q ORDER BY s, p, o, g""".stripMargin,
     "q_jsonld_load" ->
       """WITH tri AS (
         |  SELECT 'nation:'||n_nationkey AS s,
@@ -4848,12 +4948,10 @@ object SparkEntry {
     // entailment-regime query: the oracle answers from the BASE tables
     // (within = nationkey/regionkey chains, Place = nations+regions),
     // fully independent of the closure construction
-    "q_rdfs_sparql" ->
-      """WITH w AS (
-        |  SELECT 'nation:'||c_nationkey AS r FROM customer
-        |  UNION ALL SELECT 'nation:'||s_nationkey FROM supplier
-        |  UNION ALL SELECT 'region:'||n_regionkey FROM nation)
-        |SELECT r, count(*) AS n FROM w GROUP BY r ORDER BY r""".stripMargin,
+    "q_rdfs_sparql" -> rdfsSparqlOracle,
+    // query-time entailment by rewrite: NO materialized closure, same
+    // answers, same base-table oracle
+    "q_rdfs_rewrite" -> rdfsSparqlOracle,
     // sameAs smushing: the oracle applies the expected cluster
     // representatives directly (alias2 < alias < nation in term order)
     "q_owl_sameas" ->

@@ -196,6 +196,29 @@ object ReasonOps {
     (t +: derived).reduce(_.unionAll(_)).distinct()
   }
 
+  /** QUERY-TIME RDFS entailment: the closure as a LAZY relation —
+    * nothing is materialized, pinned, or shuffled up front. Query
+    * engines (SPARQL, SQL) evaluate patterns against this relation and
+    * Catalyst specializes each pattern scan through the closed TBox
+    * maps: a constant-class type pattern's object filter pushes INTO
+    * the broadcast subclass-pair table (leaving exactly the subclass
+    * set — the classic query rewrite), a constant-predicate pattern's
+    * filter pushes into the sub-property pairs and all the way to the
+    * base parquet scan, and rule legs whose emitted predicate
+    * contradicts the filter constant-fold to empty. The standard
+    * alternative when the corpus is too large to re-materialize; each
+    * pattern pays a narrow distinct over its own slice instead of a
+    * full-closure refresh.
+    */
+  def rdfsEntailed(triples: DataFrame, typePred: String = "a",
+                   tboxCap: Int = 1 << 20): DataFrame =
+    rdfsClosure(triples, typePred, tboxCap, pinInput = false)
+
+  /** [[rdfsEntailed]] over an ENCODED (long-id) triple relation. */
+  def rdfsEntailedEncoded(encTriples: DataFrame, ids: RdfsIds,
+                          tboxCap: Int = 1 << 20): DataFrame =
+    rdfsClosureEncoded(encTriples, ids, tboxCap, pinInput = false)
+
   /** INCREMENTAL RDFS maintenance, the O(|delta|) twin of [[rdfsClosure]]
     * matching the store's O(delta) append discipline: with the TBox
     * driver-closed, every rho-df ABox rule is SINGLE-premise (each

@@ -227,17 +227,27 @@ object Results {
   /** Minimal strict JSON reader (objects → Map, arrays → Vector,
     * numbers → BigDecimal, strings with full \\uXXXX escapes) — enough
     * for results documents and the JSON-LD loader without pulling a
-    * dependency.
+    * dependency. [[parseRaw]] returns numbers as [[RawNum]] (the
+    * unparsed lexeme) instead — JSON-LD number-to-RDF typing depends on
+    * whether the SOURCE carried a fraction/exponent, which the numeric
+    * value alone cannot recover (1e2 == 100).
     */
   private[graft] object Json {
-    def parse(s: String): Any = {
+    final case class RawNum(lex: String) {
+      def dec: BigDecimal = BigDecimal(lex)
+    }
+    def parse(s: String): Any = run(s, raw = false)
+    def parseRaw(s: String): Any = run(s, raw = true)
+    private def run(s: String, raw: Boolean): Any = {
       val p = new P(s)
+      p.raw = raw
       val v = p.value()
       p.ws()
       require(p.pos >= s.length, s"trailing JSON content at ${p.pos}")
       v
     }
     private final class P(in: String) {
+      var raw = false
       var pos = 0
       def ws(): Unit =
         while (pos < in.length && in.charAt(pos).isWhitespace) pos += 1
@@ -317,12 +327,14 @@ object Results {
         expect('"')
         sb.result()
       }
-      private def num(): BigDecimal = {
+      private def num(): Any = {
         val start = pos
         while (pos < in.length &&
           ("+-.eE0123456789".indexOf(in.charAt(pos)) >= 0)) pos += 1
         if (pos == start) fail("expected a JSON value")
-        BigDecimal(in.substring(start, pos))
+        val lex = in.substring(start, pos)
+        val d = BigDecimal(lex) // validates the lexeme in BOTH modes
+        if (raw) RawNum(lex) else d
       }
     }
   }

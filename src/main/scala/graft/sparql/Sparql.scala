@@ -2496,10 +2496,17 @@ object Sparql {
         val shared = l.columns.intersect(r.columns).toSeq
         if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared, "inner")
       }
+    // every pattern seeds a delta arm; an ALL-CONSTANT pattern has no
+    // arm (nothing to bind), so a stream quad completing the join
+    // through it would be silently swallowed — reject up front instead
+    for (b <- blocks; tp <- b._2.triples)
+      require(tp.vars.nonEmpty,
+        s"streaming quad blocks require every pattern to bind a " +
+          s"variable ($tp is all-constant — its stream arrival could " +
+          "not seed a delta arm and would be silently ignored)")
     val arms = for {
       i <- blocks.indices
       j <- blocks(i)._2.triples.indices
-      if blocks(i)._2.triples(j).vars.nonEmpty
     } yield joinBlocks(
       blockRel(i, streamIdx = j) +:
         blocks.indices.filterNot(_ == i).map(k => blockRel(k)))
@@ -4209,6 +4216,17 @@ object Sparql {
           Dictionary.probeClaims(spark, d, scriptConsts.toSeq.sorted))
         require(!clash,
           "xxhash64 collision between a new term and an existing one — " +
+            "use the string path (Sparql.updateQuads) for this batch")
+        // the pre-probe certifies fresh-vs-EXISTING claims; two fresh
+        // terms in ONE script colliding with each other would each pass
+        // that check and silently share an id (the old per-op path saw
+        // the first claim land before probing the second) — require the
+        // fresh set's ids to be claim-free among themselves too
+        val freshDup = scriptConsts.toSeq.filterNot(present)
+          .groupBy(hid).values.find(_.distinct.size > 1)
+        require(freshDup.isEmpty,
+          "xxhash64 collision between two new terms in one script " +
+            s"(${freshDup.toSeq.flatten.distinct.mkString(", ")}) — " +
             "use the string path (Sparql.updateQuads) for this batch")
         scala.collection.mutable.Set(present.toSeq: _*)
       }

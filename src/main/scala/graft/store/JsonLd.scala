@@ -15,18 +15,27 @@ package graft.store
   * `{"@id":…, "@type":"@id"|dt}` (§5.1), prefix (compact-IRI) expansion
   * and `@vocab` (§6.2), node objects with `@id` / `@type` (string or
   * array), `_:` blank identifiers, nested node objects and arrays of
-  * values (§6.3-6.9), value objects `{"@value":…, "@language"|"@type"}`
-  * (§6.10), `@list` (§6.11), a top-level `@graph` node array (§6.13,
-  * default graph only). JSON scalars type per §8.2: strings are plain
-  * literals, whole numbers xsd:integer, fractional numbers xsd:double
-  * (Java canonical form), booleans xsd:boolean.
+  * values (§6.3-6.9), `@reverse` maps (§6.12 — each entry emits the
+  * edge flipped, object → subject), value objects
+  * `{"@value":…, "@language"|"@type"}` (§6.10), `@list` (§6.11),
+  * named graphs (§6.13): a top-level `@graph` beside only `@context`
+  * is the default graph, a node object carrying `@graph` is a GRAPH
+  * OBJECT whose `@id` names the graph its contents land in —
+  * [[parseQuads]] surfaces them as (s, p, o, g) rows (g null =
+  * default graph), pairing with the TriG/N-Quads loaders, while the
+  * triple-only [[parse]] REJECTS named-graph content loudly rather
+  * than silently merging it. JSON scalars type per §8.2 data
+  * round-tripping: strings are plain literals, numbers whose SOURCE
+  * LEXEME carries no fraction or exponent are xsd:integer, all others
+  * (1.5, 1e2, 1.0) xsd:double in canonical Java form, booleans
+  * xsd:boolean. A `null` property value is an entry REMOVAL (§6.1):
+  * the entry is skipped, never an error and never a triple.
   *
   * NOT supported (rejected or ignored, never silently mis-read):
-  * `@reverse`, `@index`, `@nest`, `@included`, keyword aliasing,
-  * scoped/array/remote contexts (remote fetch would be an egress
-  * dependency), named graphs inside node objects (use TriG/N-Quads),
-  * and `@json` literals. Term convention and two-phase blank-node
-  * scoping match the Turtle parser.
+  * `@index`, `@nest`, `@included`, keyword aliasing, scoped/array/
+  * remote contexts (remote fetch would be an egress dependency), and
+  * `@json` literals. Term convention and two-phase blank-node scoping
+  * match the Turtle parser.
   */
 object JsonLd {
 
@@ -35,9 +44,26 @@ object JsonLd {
 
   final class ParseException(msg: String) extends RuntimeException(msg)
 
+  /** Triples-only entry: named-graph content (graph objects) fails
+    * loudly with a pointer to [[parseQuads]].
+    */
   def parse(content: String, scope: String): Seq[(String, String, String)] = {
+    val quads = parseQuads(content, scope)
+    quads.find(_._4.isDefined).foreach { q =>
+      throw new ParseException(
+        s"document carries named graph <${q._4.get}> - use parseQuads " +
+          "(quad dataset ingest) for named-graph JSON-LD")
+    }
+    quads.map(q => (q._1, q._2, q._3))
+  }
+
+  /** Quad entry: graph objects land their contents in the graph named
+    * by their `@id`; everything else is the default graph (g = None).
+    */
+  def parseQuads(content: String, scope: String)
+      : Seq[(String, String, String, Option[String])] = {
     val root =
-      try graft.sparql.Results.Json.parse(content)
+      try graft.sparql.Results.Json.parseRaw(content)
       catch {
         case e: IllegalArgumentException =>
           throw new ParseException(s"malformed JSON: ${e.getMessage}")
@@ -47,13 +73,21 @@ object JsonLd {
 
   private type Ctx = Map[String, TermDef]
   private final case class TermDef(iri: String, typeCoercion: Option[String])
+  private type Quad = (String, String, String, Option[String])
 
   private final class Parser(scope: String) {
-    private val out = scala.collection.mutable.ArrayBuffer[(String, String, String)]()
+    private val out = scala.collection.mutable.ArrayBuffer[Quad]()
     private var blankCounter = 0
     private val explicitLabels = scala.collection.mutable.Set[String]()
+    /** The graph current statements land in (None = default graph);
+      * graph objects push their `@id` for the span of their contents.
+      */
+    private var curGraph: Option[String] = None
 
     private def fail(msg: String): Nothing = throw new ParseException(msg)
+
+    private def emit(s: String, p: String, o: String): Unit =
+      out += ((s, p, o, curGraph))
 
     private def freshBlank(): String = {
       blankCounter += 1; s"_:$scope: $blankCounter"
@@ -62,7 +96,7 @@ object JsonLd {
       explicitLabels += l
       s"_:$scope:$l"
     }
-    private def finished: Seq[(String, String, String)] = {
+    private def finished: Seq[Quad] = {
       val marker = s"_:$scope: "
       var k = 0
       val names = scala.collection.mutable.Map[String, String]()
@@ -73,7 +107,7 @@ object JsonLd {
           while (explicitLabels.contains(s"gen$k")) k += 1
           s"_:$scope:gen$k"
         })
-      out.toSeq.map(t => (fin(t._1), fin(t._2), fin(t._3)))
+      out.toSeq.map(t => (fin(t._1), fin(t._2), fin(t._3), t._4.map(fin)))
     }
 
     private def escapeLex(s: String): String = s.flatMap {
@@ -85,22 +119,21 @@ object JsonLd {
       case c => c.toString
     }
 
-    def document(root: Any): Seq[(String, String, String)] = {
+    def document(root: Any): Seq[Quad] = {
       root match {
         case m: Map[_, _] =>
           val obj = m.asInstanceOf[Map[String, Any]]
           val ctx = context(obj.get("@context"))
           obj.get("@graph") match {
-            case Some(g: Vector[_]) =>
-              // a top-level @graph beside only @context is the default
-              // graph; anything else alongside would make it a NAMED
-              // graph node, out of the subset
-              val extra = obj.keySet -- Set("@context", "@graph")
-              if (extra.nonEmpty)
-                fail(s"named graphs are not in the JSON-LD subset " +
-                  s"(top-level @graph with ${extra.mkString(",")}); use TriG")
-              g.foreach(n => node(n, ctx))
-            case Some(_) => fail("@graph must be an array")
+            case Some(g) if (obj.keySet -- Set("@context", "@graph")).isEmpty =>
+              // a top-level @graph beside only @context is the DEFAULT
+              // graph (§6.13)
+              values(g).foreach(n => node(n, ctx))
+            case Some(_) =>
+              // @graph beside @id (or other entries): a named GRAPH
+              // OBJECT — parse as a node so its contents land in the
+              // graph it names
+              node(obj, ctx)
             case None => node(obj, ctx)
           }
         case v: Vector[_] => v.foreach(n => node(n, Map.empty))
@@ -165,13 +198,13 @@ object JsonLd {
       if (s.startsWith("_:")) explicitBlank(s.substring(2))
       else expand(ctx, s)
 
-    /** Emit a node object's triples; returns its subject term. */
+    /** Emit a node object's statements; returns its subject term. */
     private def node(v: Any, outerCtx: Ctx): String = v match {
       case m: Map[_, _] =>
         val obj = m.asInstanceOf[Map[String, Any]]
         val ctx = obj.get("@context")
           .map(c => outerCtx ++ context(Some(c))).getOrElse(outerCtx)
-        for (kw <- Seq("@reverse", "@index", "@nest", "@included", "@graph"))
+        for (kw <- Seq("@index", "@nest", "@included"))
           if (obj.contains(kw)) fail(s"$kw is not in the JSON-LD subset")
         val subj = obj.get("@id") match {
           case Some(s: String) => idTerm(ctx, s)
@@ -187,14 +220,43 @@ object JsonLd {
             }
             case _ => fail("@type must be a string or array")
           }
-          types.foreach(c => out += ((subj, RDF + "type", expand(ctx, c))))
+          types.foreach(c => emit(subj, RDF + "type", expand(ctx, c)))
+        }
+        // §6.12: each @reverse entry emits the edge FLIPPED — the
+        // referenced node becomes the subject; values must be node
+        // references, a literal cannot take subject position
+        obj.get("@reverse").foreach {
+          case rm: Map[_, _] =>
+            rm.asInstanceOf[Map[String, Any]].foreach { case (k, value) =>
+              val pred = expand(ctx, k)
+              values(value).filter(_ != null).foreach {
+                case s: String => emit(idTerm(ctx, s), pred, subj)
+                case nm: Map[_, _] =>
+                  val om = nm.asInstanceOf[Map[String, Any]]
+                  if (om.contains("@value") || om.contains("@list"))
+                    fail("@reverse values must be node references")
+                  emit(node(nm, ctx), pred, subj)
+                case other => fail(s"@reverse value must be a node: $other")
+              }
+            }
+          case _ => fail("@reverse must be a map of properties")
+        }
+        // §6.13: a node carrying @graph is a GRAPH OBJECT — its
+        // contents land in the graph its subject names
+        obj.get("@graph").foreach { g =>
+          val prev = curGraph
+          curGraph = Some(subj)
+          values(g).filter(_ != null).foreach(n => node(n, ctx))
+          curGraph = prev
         }
         obj.foreach { case (k, value) =>
           if (!k.startsWith("@")) {
             val pred = expand(ctx, k)
             val coerce = ctx.get(k).flatMap(_.typeCoercion)
-            values(value).foreach(o =>
-              out += ((subj, pred, objectTerm(o, ctx, coerce))))
+            // §6.1: null values (and null array members) REMOVE the
+            // entry — skipped, never emitted
+            values(value).filter(_ != null).foreach(o =>
+              emit(subj, pred, objectTerm(o, ctx, coerce)))
           }
         }
         subj
@@ -209,6 +271,17 @@ object JsonLd {
       case other => Seq(other)
     }
 
+    /** §8.2 data round-tripping: the TYPE depends on the source LEXEME —
+      * a fraction or exponent makes the number xsd:double even when its
+      * VALUE is whole (1e2, 1.0); only a bare integer lexeme is
+      * xsd:integer.
+      */
+    private def numTerm(n: graft.sparql.Results.Json.RawNum): String =
+      if (n.lex.exists(c => c == '.' || c == 'e' || c == 'E'))
+        "\"" + n.dec.toDouble.toString + "\"^^<" + XSD + "double>"
+      else
+        "\"" + n.dec.toBigInt.toString + "\"^^<" + XSD + "integer>"
+
     /** The object term for one value in property position. */
     private def objectTerm(v: Any, ctx: Ctx, coerce: Option[String]): String =
       v match {
@@ -217,12 +290,7 @@ object JsonLd {
           case Some(dt) => "\"" + escapeLex(s) + "\"^^<" + dt + ">"
           case None => "\"" + escapeLex(s) + "\""
         }
-        case n: BigDecimal =>
-          if (n.isWhole)
-            "\"" + n.toBigInt.toString + "\"^^<" + XSD + "integer>"
-          else // §8.2: fractional JSON numbers are xsd:double (canonical
-            // Java form; exponent inputs land here too)
-            "\"" + n.toDouble.toString + "\"^^<" + XSD + "double>"
+        case n: graft.sparql.Results.Json.RawNum => numTerm(n)
         case b: java.lang.Boolean =>
           "\"" + b.toString + "\"^^<" + XSD + "boolean>"
         case null => fail("null is not a JSON-LD value")
@@ -231,8 +299,8 @@ object JsonLd {
           if (obj.contains("@value")) {
             val raw = obj("@value") match {
               case s: String => s
-              case n: BigDecimal =>
-                return objectTerm(n, ctx, None) // typed by the scalar rule
+              case n: graft.sparql.Results.Json.RawNum =>
+                return numTerm(n) // typed by the scalar rule
               case b: java.lang.Boolean => return objectTerm(b, ctx, None)
               case _ => fail("@value must be a scalar")
             }
@@ -252,10 +320,10 @@ object JsonLd {
             else {
               val cells = items.map(_ => freshBlank())
               cells.indices.foreach { i =>
-                out += ((cells(i), RDF + "first",
-                  objectTerm(items(i), ctx, None)))
-                out += ((cells(i), RDF + "rest",
-                  if (i + 1 < cells.length) cells(i + 1) else RDF + "nil"))
+                emit(cells(i), RDF + "first",
+                  objectTerm(items(i), ctx, None))
+                emit(cells(i), RDF + "rest",
+                  if (i + 1 < cells.length) cells(i + 1) else RDF + "nil")
               }
               cells.head
             }

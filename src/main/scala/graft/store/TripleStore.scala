@@ -215,6 +215,25 @@ object TripleStore {
       .toDF("s", "p", "o")
   }
 
+  /** Parse JSON-LD documents into (s, p, o, g) quads — the named-graph
+    * sibling of `parseJsonLd`, pairing with the TriG/N-Quads loaders:
+    * graph objects (§6.13 node-level `@graph`) land their contents in
+    * the graph their `@id` names, everything else in the default graph
+    * (g = NULL). Same per-FILE parallelism and blank scoping.
+    */
+  def parseJsonLdQuads(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path)
+      .select(input_file_name().as("f"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (f, content) =>
+        val scope = f"${graft.dict.Dictionary.termHashLocal(f)}%016x"
+        JsonLd.parseQuads(content, scope)
+          .map(q => (q._1, q._2, q._3, q._4.orNull))
+      }
+      .toDF("s", "p", "o", "g")
+  }
+
   /** Parse TriG documents into (s, p, o, g) quads — the quad sibling of
     * `parseTurtle` (RDF 1.1 TriG: Turtle statements in the default
     * graph, `[GRAPH] <label> { ... }` blocks in named graphs). Plain

@@ -83,10 +83,53 @@ class JsonLdSpec extends SparkSpec {
     an[JsonLd.ParseException] should be thrownBy
       p("""{"@context": "http://remote.org/ctx"}""")
     an[JsonLd.ParseException] should be thrownBy
-      p("""{"@id": "x:a", "@reverse": {"p": {"@id": "x:b"}}}""")
-    an[JsonLd.ParseException] should be thrownBy
-      p("""{"@id": "g:1", "@graph": [{"@id": "x:a"}]}""")
+      p("""{"@id": "x:a", "@index": "i", "p": "v"}""")
+    // named-graph content on the TRIPLES entry points at parseQuads
+    val e = the[JsonLd.ParseException] thrownBy
+      p("""{"@id": "g:1", "@graph": [{"@id": "x:a", "p": "v"}]}""")
+    e.getMessage should include("parseQuads")
     an[JsonLd.ParseException] should be thrownBy p("""{"unclosed": """)
+  }
+
+  it should "flip @reverse entries (object becomes subject)" in {
+    p("""{"@context": {"@vocab": "v:"}, "@id": "x:a",
+        | "@reverse": {"childOf": [{"@id": "x:b"}, "x:c"]}}""".stripMargin) shouldBe
+      Set(("x:b", "v:childOf", "x:a"), ("x:c", "v:childOf", "x:a"))
+  }
+
+  it should "skip null property values as entry removal" in {
+    p("""{"@context": {"@vocab": "v:"}, "@id": "x:a",
+        | "gone": null, "some": ["kept", null], "name": "A"}""".stripMargin) shouldBe
+      Set(("x:a", "v:some", "\"kept\""), ("x:a", "v:name", "\"A\""))
+  }
+
+  it should "type whole-valued exponent and fraction numbers as xsd:double" in {
+    p("""{"@context": {"@vocab": "v:"}, "@id": "x:a",
+        | "e": 1e2, "f": 1.0, "i": 100, "v": {"@value": 2e1}}""".stripMargin) shouldBe
+      Set(
+        ("x:a", "v:e", "\"100.0\"^^<" + XSD + "double>"),
+        ("x:a", "v:f", "\"1.0\"^^<" + XSD + "double>"),
+        ("x:a", "v:i", "\"100\"^^<" + XSD + "integer>"),
+        ("x:a", "v:v", "\"20.0\"^^<" + XSD + "double>"))
+  }
+
+  "JsonLd.parseQuads" should "land graph-object contents in the named graph" in {
+    val got = JsonLd.parseQuads(
+      """{"@context": {"@vocab": "v:"},
+        |"@graph": [
+        |  {"@id": "x:top", "kind": "meta"},
+        |  {"@id": "g:1", "creator": "alice", "@graph": [
+        |    {"@id": "x:a", "p": "in-g1",
+        |     "q": {"@id": "x:nested", "r": "also-g1"}}]}
+        |]}""".stripMargin, "T").toSet
+    got shouldBe Set(
+      // default graph: the top node AND the graph object's own property
+      ("x:top", "v:kind", "\"meta\"", None),
+      ("g:1", "v:creator", "\"alice\"", None),
+      // named graph g:1: direct and NESTED node statements
+      ("x:a", "v:p", "\"in-g1\"", Some("g:1")),
+      ("x:a", "v:q", "x:nested", Some("g:1")),
+      ("x:nested", "v:r", "\"also-g1\"", Some("g:1")))
   }
 
   "Results.toJsonLd" should "round-trip ground graphs through JsonLd.parse" in {

@@ -91,6 +91,23 @@ class StreamingBgpSpec extends SparkSpec {
       .map(_.getString(0)).toSet shouldBe Set("a")
   }
 
+  it should "reject an all-constant pattern in multi-block streaming quads" in {
+    implicit val sqlCtx = spark.sqlContext
+    val staticQuads = Seq(("a", "q", "2", "g1")).toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    // the constant-only pattern in the second block could never seed a
+    // delta arm: its stream arrival would complete the cross-block join
+    // without emission — must reject up front, not swallow
+    val e = intercept[IllegalArgumentException] {
+      graft.sparql.Sparql.executeStreamQuads(spark,
+        src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+        """PREFIX : <>
+          |SELECT ?s WHERE { GRAPH <g1> { ?s :p "1" }
+          |                  GRAPH <g2> { :a :flag "on" } }""".stripMargin)
+    }
+    e.getMessage should include("all-constant")
+  }
+
   it should "emit batch-equivalent rows for a UNION inside the GRAPH block" in {
     implicit val sqlCtx = spark.sqlContext
     val staticQuads = Seq(
