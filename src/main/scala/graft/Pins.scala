@@ -33,17 +33,28 @@ import org.apache.spark.sql.execution.LogicalRDD
   * (best-effort), so long-lived sessions don't leak the checkpoint dir.
   */
 final class Pins {
+  // synchronized: update scripts pin hazard-free ops' deltas from
+  // CONCURRENT prefetch threads (Sparql.update*)
   private val tracked = scala.collection.mutable.ListBuffer.empty[DataFrame]
+  private def add(df: DataFrame): DataFrame =
+    synchronized { tracked += df; df }
 
   /** Eagerly checkpoint `df` (strategy above) and track it for release. */
-  def pin(df: DataFrame): DataFrame = {
-    val c = Pins.checkpoint(df)
-    tracked += c
-    c
-  }
+  def pin(df: DataFrame): DataFrame = add(Pins.checkpoint(df))
 
   /** Track an already-checkpointed frame for release. */
-  def track(df: DataFrame): DataFrame = { tracked += df; df }
+  def track(df: DataFrame): DataFrame = add(df)
+
+  /** Checkpoint `df` and return its row count, in ONE job: the
+    * checkpoint is created lazily and the count action materializes it.
+    * The separate pin-then-count sequence pays the per-job scheduling
+    * floor twice — measured ~0.15 s per extra job at local[32] — for
+    * work the count job already does.
+    */
+  def pinCounted(df: DataFrame): (DataFrame, Long) = {
+    val c = add(Pins.checkpointLazy(df))
+    (c, c.count())
+  }
 
   /** Materialize `result` into its own (untracked) checkpoint, then free
     * every tracked intermediate. The returned frame owns its blocks and
@@ -57,8 +68,8 @@ final class Pins {
 
   /** Free all tracked checkpoints (callers must not use them afterwards). */
   def release(): Unit = {
-    tracked.foreach(Pins.unpin)
-    tracked.clear()
+    val t = synchronized { val l = tracked.toList; tracked.clear(); l }
+    t.foreach(Pins.unpin)
   }
 }
 
@@ -77,6 +88,21 @@ object Pins {
         "spark.graft.pins.reliable=true needs sparkContext.setCheckpointDir")
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
+  }
+
+  /** LAZY checkpoint under the session's strategy — materialized by the
+    * caller's next action (see [[Pins.pinCounted]]).
+    */
+  private[graft] def checkpointLazy(df: DataFrame): DataFrame = {
+    val sc = df.sparkSession.sparkContext
+    val reliable =
+      df.sparkSession.conf.get("spark.graft.pins.reliable", "auto") match {
+        case "true"  => true
+        case "false" => false
+        case _       => sc.getCheckpointDir.isDefined && !sc.isLocal
+      }
+    if (reliable) df.checkpoint(eager = false)
+    else df.localCheckpoint(eager = false)
   }
 
   /** Drop the storage behind an eager checkpoint: block-manager blocks

@@ -640,29 +640,246 @@ object Sparql {
     // batching the reference gets from a single LMDB write txn per load
     // (sparql/.../Sparql.scala:78-113). Cuts the dominant cost of update
     // scripts: per-op store/dictionary probe passes.
-    var h = store
-    var run = List.empty[UGround]
-    def flush(): Unit = if (run.nonEmpty) {
-      val last = scala.collection.mutable.LinkedHashMap
-        .empty[(String, String, String), Boolean]
-      for (g <- run; t <- g.triples) last(t) = g.insert
-      import spark.implicits._
-      val dels = last.collect { case (t, false) => t }.toSeq
-      val inss = last.collect { case (t, true) => t }.toSeq
-      // remove-before-append: the sets are disjoint (last-mention-wins),
-      // and append's duplicate probe makes re-inserts of surviving
-      // triples no-ops — final membership matches the sequential replay.
-      // Ground triples are parse-time constants, so the whole batch goes
-      // through the fused driver-side path (one shared store probe).
-      h = graft.store.GraftStore.applyGroundBatch(spark, h, dels, inss)
-      run = Nil
+    //
+    // ASYNC WHERE PREFETCH over read/write-DISJOINT ops: a modify op's
+    // WHERE evaluation (the script's dominant jobs — store scan, bounded
+    // collect, dictionary probe) depends only on the rows its patterns
+    // can match, so when no EARLIER op's writes unify with this op's
+    // reads or writes (triple-pattern summaries: constants must differ
+    // in some position) the WHERE may evaluate against the PRE-SCRIPT
+    // store — and all such ops' probe jobs submit CONCURRENTLY, turning
+    // the measured per-op scheduling floor from a sum into a max. The
+    // HANDLE chain itself still applies strictly in op order.
+    val opsV = ops.result()
+    val prefetchable = prefetchableModifies(opsV)
+    val pool =
+      if (prefetchable.isEmpty) None
+      else Some(java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(prefetchable.size, 4)))
+    // one CollectLimit scale-up conf for the whole script (the per-call
+    // save/restore in smallModifySols is then a same-value no-op, so
+    // concurrent prefetches cannot race it to a stale value)
+    val limitKey = "spark.sql.limit.initialNumPartitions"
+    val limitPrev = spark.conf.getOption(limitKey)
+    spark.conf.set(limitKey, Int.MaxValue.toString)
+    try {
+      val pre: Map[Int, java.util.concurrent.Future[
+          Option[(LocalSols, Map[Long, String], Set[Long])]]] =
+        pool match {
+          case None => Map.empty
+          case Some(p) => prefetchable.map { i =>
+            val m = opsV(i).asInstanceOf[UModify]
+            i -> p.submit(new java.util.concurrent.Callable[
+                Option[(LocalSols, Map[Long, String], Set[Long])]] {
+              def call() = prepareModifySols(spark, store, m.ins, m.where)
+            })
+          }.toMap
+        }
+      var h = store
+      var run = List.empty[UGround]
+      def flush(): Unit = if (run.nonEmpty) {
+        val last = scala.collection.mutable.LinkedHashMap
+          .empty[(String, String, String), Boolean]
+        for (g <- run; t <- g.triples) last(t) = g.insert
+        val dels = last.collect { case (t, false) => t }.toSeq
+        val inss = last.collect { case (t, true) => t }.toSeq
+        // remove-before-append: the sets are disjoint (last-mention-wins),
+        // and append's duplicate probe makes re-inserts of surviving
+        // triples no-ops — final membership matches the sequential replay.
+        // Ground triples are parse-time constants, so the whole batch goes
+        // through the fused driver-side path (one shared store probe).
+        h = graft.store.GraftStore.applyGroundBatch(spark, h, dels, inss)
+        run = Nil
+      }
+      opsV.zipWithIndex.foreach {
+        case (g: UGround, _) => run = run :+ g
+        case (UModify(del, ins, where), i) if pre.contains(i) =>
+          flush()
+          val fetched =
+            try pre(i).get()
+            catch { case e: java.util.concurrent.ExecutionException =>
+              throw e.getCause }
+          h = applyModify(spark, h, del, ins, where, Some(fetched))
+        case (op, _) => flush(); h = execUpdateOp(spark, h, op)
+      }
+      flush()
+      h
+    } finally {
+      pool.foreach(_.shutdown())
+      limitPrev.fold(spark.conf.unset(limitKey))(spark.conf.set(limitKey, _))
     }
-    ops.result().foreach {
-      case g: UGround => run = run :+ g
-      case op => flush(); h = execUpdateOp(spark, h, op)
+  }
+
+  /** Triple-pattern summary for update hazard analysis: a constant per
+    * position or None = wildcard (variables, and blank-node template
+    * constants — those skolemize per solution).
+    */
+  private final case class Pat3(s: Option[String], p: Option[String],
+                                o: Option[String])
+  private def pat3Of(tp: TriplePattern): Pat3 = {
+    def c(t: Term): Option[String] = t match {
+      case C(v) if !v.toString.startsWith("_:") => Some(v.toString)
+      case _ => None
     }
-    flush()
-    h
+    Pat3(c(tp.s), c(tp.p), c(tp.o))
+  }
+  private def pat3sUnify(a: Pat3, b: Pat3): Boolean = {
+    def ov(x: Option[String], y: Option[String]) =
+      x.isEmpty || y.isEmpty || x == y
+    ov(a.s, b.s) && ov(a.p, b.p) && ov(a.o, b.o)
+  }
+
+  /** Quad-pattern summary (the [[Pat3]] of the named-graph paths): a
+    * constant per position or None = wildcard; the graph position
+    * distinguishes "any graph" (outer None — a GRAPH variable) from the
+    * default graph (Some(None)) and a named constant (Some(Some(iri))).
+    */
+  private final case class Pat4(s: Option[String], p: Option[String],
+                                o: Option[String], g: Option[Option[String]])
+  private def pat4sUnify(a: Pat4, b: Pat4): Boolean = {
+    def ov(x: Option[String], y: Option[String]) =
+      x.isEmpty || y.isEmpty || x == y
+    def ovg(x: Option[Option[String]], y: Option[Option[String]]) =
+      x.isEmpty || y.isEmpty || x == y
+    ov(a.s, b.s) && ov(a.p, b.p) && ov(a.o, b.o) && ovg(a.g, b.g)
+  }
+
+  /** [[prefetchableModifies]] for the quad-dataset update paths —
+    * pattern summaries carry the graph position, and the dictionary-
+    * validity guard covers the op's WHERE-side probe constants too
+    * (their presence snapshot must not be invalidated by an earlier
+    * op's new terms).
+    */
+  private def prefetchableQuadModifies(opsV: Vector[QuadOp]): Seq[Int] = {
+    def cOf(t: Term): Option[String] = t match {
+      case C(v) if !v.toString.startsWith("_:") => Some(v.toString)
+      case _ => None
+    }
+    def tpPat(tp: TriplePattern, g: Option[Option[String]]): Pat4 =
+      Pat4(cOf(tp.s), cOf(tp.p), cOf(tp.o), g)
+    def gOf(t: Term): Option[Option[String]] = t match {
+      case C(v) => Some(Some(v.toString))
+      case _ => None
+    }
+    def plainInner(g: Group): Boolean =
+      g.optionals.isEmpty && g.unions.isEmpty && g.minuses.isEmpty &&
+        g.paths.isEmpty && g.subqueries.isEmpty && g.subgroups.isEmpty &&
+        g.existsFilters.isEmpty && g.graphs.isEmpty && g.services.isEmpty
+    def readPats(withG: Option[String], w: Group): Option[Seq[Pat4]] =
+      if (!(w.optionals.isEmpty && w.unions.isEmpty && w.minuses.isEmpty &&
+        w.paths.isEmpty && w.subqueries.isEmpty && w.subgroups.isEmpty &&
+        w.existsFilters.isEmpty && w.services.isEmpty &&
+        w.graphs.forall(x => plainInner(x._2)))) None
+      else Some(
+        w.triples.map(tpPat(_, Some(withG))) ++
+          w.graphs.flatMap { case (gt, inner) =>
+            inner.triples.map(tpPat(_, gOf(gt))) })
+    def tmplPats(withG: Option[String], t: Group): Seq[Pat4] =
+      t.triples.map(tpPat(_, Some(withG))) ++
+        t.graphs.flatMap { case (gt, inner) =>
+          inner.triples.map(tpPat(_, gOf(gt))) }
+    def writes(op: QuadOp): Option[Seq[Pat4]] = op match {
+      case QGround(_, rows) => Some(rows.map { case (s, p, o, g) =>
+        Pat4(Some(s), Some(p), Some(o), Some(g)) })
+      case QModify(withG, del, ins, _) =>
+        Some((del.toSeq ++ ins.toSeq).flatMap(tmplPats(withG, _)))
+      case QClear(QDefault) => Some(Seq(Pat4(None, None, None, Some(None))))
+      case QClear(QNamed(i)) => Some(Seq(Pat4(None, None, None, Some(Some(i)))))
+      case QClear(_) => Some(Seq(Pat4(None, None, None, None)))
+      case QMove(_, from, to) => Some(Seq(
+        Pat4(None, None, None, Some(from)), Pat4(None, None, None, Some(to))))
+      case QNop => Some(Seq.empty)
+      case _: QLoad => None
+    }
+    def newTerms(op: QuadOp): Set[String] = op match {
+      case QGround(true, rows) =>
+        rows.flatMap { case (s, p, o, g) => Seq(s, p, o) ++ g.toSeq }.toSet
+      case QModify(withG, _, ins, _) =>
+        ins.toSeq.flatMap { t =>
+          (t.triples.flatMap(tp => Seq(tp.s, tp.p, tp.o)) ++
+            t.graphs.flatMap { case (gt, inner) =>
+              gt +: inner.triples.flatMap(tp => Seq(tp.s, tp.p, tp.o)) })
+            .collect { case C(v) => v.toString }
+        }.toSet ++ withG.toSet
+      case QMove(_, _, to) => to.toSet
+      case _ => Set.empty
+    }
+    val out = Seq.newBuilder[Int]
+    var priorWrites: Option[Seq[Pat4]] = Some(Seq.empty)
+    var priorTerms = Set.empty[String]
+    opsV.zipWithIndex.foreach { case (op, i) =>
+      op match {
+        case QModify(withG, _, _, where) if priorWrites.isDefined =>
+          readPats(withG, where) match {
+            case Some(reads) =>
+              val mine = reads ++ writes(op).get
+              val probeTerms = pathEndpointConsts(where) ++
+                inlineValueConsts(where) ++ newTerms(op)
+              val clean =
+                priorWrites.get.forall(w => !mine.exists(pat4sUnify(w, _))) &&
+                  probeTerms.intersect(priorTerms).isEmpty
+              if (clean) out += i
+            case None => ()
+          }
+        case _ => ()
+      }
+      priorWrites = (priorWrites, writes(op)) match {
+        case (Some(a), Some(b)) => Some(a ++ b)
+        case _ => None
+      }
+      priorTerms = priorTerms ++ newTerms(op)
+    }
+    out.result()
+  }
+
+  /** Indices of modify ops whose WHERE may evaluate against the
+    * PRE-SCRIPT store: every earlier op's writes must be summarizable
+    * and unify with none of this op's read or write patterns, and no
+    * earlier op may introduce a dictionary term this op's insert
+    * templates also introduce (the prefetched claim probe must stay
+    * valid). The first modify op always qualifies.
+    */
+  private def prefetchableModifies(opsV: Vector[UOp]): Seq[Int] = {
+    def writes(op: UOp): Option[Seq[Pat3]] = op match {
+      case UModify(del, ins, _) =>
+        Some((del.toSeq ++ ins.toSeq).flatMap(_.triples).map(pat3Of))
+      case UGround(_, ts) =>
+        Some(ts.map { case (s, p, o) => Pat3(Some(s), Some(p), Some(o)) })
+      case UNoop => Some(Seq.empty)
+      case _ => None // UClear / ULoad: unbounded effect
+    }
+    def newTerms(op: UOp): Set[String] = op match {
+      case UModify(_, ins, _) =>
+        ins.toSeq.flatMap(_.triples).flatMap(tp => Seq(tp.s, tp.p, tp.o))
+          .collect { case C(v) => v.toString }.toSet
+      case UGround(true, ts) =>
+        ts.flatMap { case (s, p, o) => Seq(s, p, o) }.toSet
+      case _ => Set.empty
+    }
+    def plain(g: Group): Boolean =
+      g.optionals.isEmpty && g.unions.isEmpty && g.minuses.isEmpty &&
+        g.paths.isEmpty && g.subqueries.isEmpty && g.subgroups.isEmpty &&
+        g.existsFilters.isEmpty && g.graphs.isEmpty && g.services.isEmpty
+    val out = Seq.newBuilder[Int]
+    var priorWrites: Option[Seq[Pat3]] = Some(Seq.empty)
+    var priorTerms = Set.empty[String]
+    opsV.zipWithIndex.foreach { case (op, i) =>
+      op match {
+        case UModify(del, ins, where) if plain(where) && priorWrites.isDefined =>
+          val reads = where.triples.map(pat3Of)
+          val mine = reads ++ writes(op).get
+          val clean = priorWrites.get.forall(w => !mine.exists(pat3sUnify(w, _))) &&
+            newTerms(op).intersect(priorTerms).isEmpty
+          if (clean) out += i
+        case _ => ()
+      }
+      priorWrites = (priorWrites, writes(op)) match {
+        case (Some(a), Some(b)) => Some(a ++ b)
+        case _ => None
+      }
+      priorTerms = priorTerms ++ newTerms(op)
+    }
+    out.result()
   }
 
   /** Parsed update operation. Ground data ops keep their (driver-side)
@@ -839,17 +1056,18 @@ object Sparql {
     * from the same pinned decoded solutions (unbound-template rows drop,
     * like CONSTRUCT), delete then insert.
     */
-  private def applyModify(spark: SparkSession, h: graft.store.StoreHandle,
-                          del: Option[Group], ins: Option[Group],
-                          where: Group): graft.store.StoreHandle = {
+  /** The WHERE-evaluation half of a modify op: compile against `h`,
+    * bounded-collect + decode (one dictionary probe). Side-effect-free
+    * on the handle, so hazard-free ops prefetch it CONCURRENTLY against
+    * the pre-script store (see [[update]]).
+    */
+  private def prepareModifySols(spark: SparkSession,
+                                h: graft.store.StoreHandle,
+                                ins: Option[Group], where: Group)
+      : Option[(LocalSols, Map[Long, String], Set[Long])] = {
     val env = graft.Prof.t("encEnvFor")(
       encEnvFor(spark, h, where, plainVarsOfG(where)))
     val encSols = graft.Prof.t("compileGroup")(compileGroup(env, where))
-    // Driver fast path: one bounded collect of the ENCODED solutions (the
-    // only execution of the WHERE), ids decoded in a single dictionary
-    // probe, templates instantiated driver-side — feeding the driver-side
-    // batch paths with zero intermediate checkpoints. Oversized solution
-    // sets fall back to the pinned distributed flow.
     // insert-template constant hashes ride the solution-decode probe, so
     // the append's hash-claim check needs no second dictionary job
     // (solution-derived terms are claim-safe by construction on a
@@ -862,7 +1080,20 @@ object Sparql {
             graft.dict.Dictionary.termHashLocal(v.toString)
         }.toSet
     graft.Prof.t("smallModifySols")(
-      smallModifySols(env, encSols, insConstIds)) match {
+      smallModifySols(env, encSols, insConstIds))
+  }
+
+  private def applyModify(spark: SparkSession, h: graft.store.StoreHandle,
+                          del: Option[Group], ins: Option[Group],
+                          where: Group,
+                          pre: Option[Option[(LocalSols, Map[Long, String],
+                            Set[Long])]] = None): graft.store.StoreHandle = {
+    // Driver fast path: one bounded collect of the ENCODED solutions (the
+    // only execution of the WHERE), ids decoded in a single dictionary
+    // probe, templates instantiated driver-side — feeding the driver-side
+    // batch paths with zero intermediate checkpoints. Oversized solution
+    // sets fall back to the pinned distributed flow.
+    pre.getOrElse(prepareModifySols(spark, h, ins, where)) match {
       case Some((sols, claims, probed)) =>
         var out = h
         del.foreach { t =>
@@ -900,6 +1131,11 @@ object Sparql {
         }
         out
       case None =>
+        // oversized solutions: recompile against the CURRENT handle (a
+        // prefetched big-sols result carries no data) and run the
+        // pinned distributed flow
+        val env = encEnvFor(spark, h, where, plainVarsOfG(where))
+        val encSols = compileGroup(env, where)
         val pins = new graft.Pins
         val solsRaw = decodeFinal(env, encSols)
         // pin (eager checkpoint) only when BOTH templates read the
@@ -4028,8 +4264,14 @@ object Sparql {
         // materialize the solution relation ONCE: both templates
         // instantiate from it (§3.1.3 — delete and insert see the SAME
         // bindings), and its actual size picks the physical shape below
-        val sols = pinSmall(compileGroup(env, where))
-        val small = sols.count() <= maxBroadcastDelta
+        // ONE job pins the solutions AND counts them (lazy checkpoint
+        // materialized by the count) — the pin-then-count sequence paid
+        // the per-job scheduling floor twice
+        val (sols, solsCnt) = graft.Prof.t("  qmod.pinSols+count") {
+          pinned = true
+          pins.pinCounted(compileGroup(env, where))
+        }
+        val small = solsCnt <= maxBroadcastDelta
         def inst(t: Group): DataFrame = {
           def termCol(x: Term): Column = x match {
             case V(v) => col(v)
@@ -4070,7 +4312,11 @@ object Sparql {
         del.foreach(t => q2 = minus(q2, inst(t), smallRight = small))
         ins.foreach { t =>
           if (small) {
-            val add = pinSmall(inst(t))
+            // add is a NARROW map of the pinned solutions — no pin of
+            // its own (each consumer recomputes it from sols for the
+            // cost of a small shuffle, cheaper than another
+            // eager-checkpoint job)
+            val add = inst(t)
             val present =
               pinSmall(q2.join(broadcast(renamed(add)), quadCond, "left_semi"))
             q2 = unionQ(q2, minus(add, present, smallRight = true))
@@ -4137,9 +4383,15 @@ object Sparql {
     }
     // ops with a broadcastable Δ pin only |Δ|-sized intermediates inside
     // applyOp, so the fold itself never checkpoints the full dataset;
-    // the one big-Δ fallback (QModify above) pins its own result
+    // the one big-Δ fallback (QModify above) pins its own result.
+    // Like [[updateQuadsEnc]], the DEFAULT result is the LAZY
+    // composition (base + pinned broadcast deltas — the tombstone-lazy
+    // update discipline); a full-pass materialization is the COMPACTION
+    // choice behind spark.graft.update.materialize=true.
     val result = ops.result().foldLeft(quads)(applyOp)
-    if (pinned) pins.seal(result) else result
+    val materialize =
+      spark.conf.get("spark.graft.update.materialize", "false").toBoolean
+    if (pinned && materialize) pins.seal(result) else result
   }
 
   /** ENCODED named-graph Update — the [[updateQuads]] surface executed on
@@ -4296,7 +4548,86 @@ object Sparql {
     def pinSmall(df: DataFrame): DataFrame = { pinned = true; pins.pin(df) }
     val maxBroadcastDelta =
       spark.conf.get("spark.graft.update.broadcastMax", "1000000").toLong
-    def applyOp(q: DataFrame, op: QuadOp): DataFrame = op match {
+    /** The WHERE-evaluation half of a modify op against an explicit
+      * relation + dictionary SNAPSHOT — hazard-free ops prefetch it
+      * CONCURRENTLY against the pre-script dataset (see the fold below);
+      * ONE job pins the solutions AND counts them (lazy checkpoint
+      * materialized by the count — the pin-then-count sequence paid the
+      * per-job scheduling floor twice).
+      */
+    /** Template instantiation from a pinned solution relation (shared
+      * by the apply step and the concurrent delta prefetch). */
+    def instTmpl(sols: DataFrame, withG: Option[String], t: Group): DataFrame = {
+      def termCol(x: Term): Column = x match {
+        case V(v) => col(v)
+        case C(c) => lit(hid(c.toString))
+      }
+      val parts =
+        (t.triples.map(tp =>
+          (tp, Left(withG): Either[Option[String], String])) ++
+          t.graphs.flatMap { case (gt, inner) =>
+            val tgt: Either[Option[String], String] = gt match {
+              case C(c) => Left(Some(c.toString))
+              case V(v) => Right(v)
+            }
+            inner.triples.map(tp => (tp, tgt))
+          }).map { case (tp, tgt) =>
+          val gcol = tgt match {
+            case Left(g) =>
+              g.map(i => lit(hid(i))).getOrElse(lit(null).cast("long"))
+            case Right(v) => col(v)
+          }
+          val df0 = sols.select(termCol(tp.s).as("s"),
+              termCol(tp.p).as("p"), termCol(tp.o).as("o"), gcol.as("g"))
+            .where(col("s").isNotNull && col("p").isNotNull &&
+              col("o").isNotNull)
+          tgt match {
+            case Right(_) => df0.where(col("g").isNotNull)
+            case _ => df0
+          }
+        }
+      require(parts.nonEmpty, "empty modify template")
+      parts.reduce(_.unionByName(_)).dropDuplicates("s", "p", "o", "g")
+    }
+    def prepQModify(q: DataFrame, dict: DataFrame, withG: Option[String],
+                    where: Group): (DataFrame, Long) = {
+      val consts = (groupConsts(where) ++ withG).toSeq.sorted
+      val ids = Dictionary.hashLiterals(spark, consts)
+      val probeSet =
+        (pathEndpointConsts(where) ++ inlineValueConsts(where)).toSeq.sorted
+      val present0 = Dictionary.lookup(dict, probeSet)
+      val localDict =
+        probeSet.filterNot(present0.contains).map(c => ids(c) -> c)
+      val dflt = slice(withG)(q).select("s", "p", "o")
+      val env = Env(spark, dflt, Map.empty, 1000000L,
+        Some(EncEnv(dict, ids, localDict, plainVarsOfG(where))),
+        quads = Some(q.where(col("g").isNotNull)))
+      graft.Prof.t("  qmod.pinSols+count") {
+        pinned = true
+        pins.pinCounted(compileGroup(env, where))
+      }
+    }
+    /** The FULL delta prefetch for a hazard-free modify op against the
+      * pre-script snapshot: solutions, and — for the broadcastable
+      * single-insert shape — the already-present probe too, so the
+      * apply step runs NO jobs of its own.
+      */
+    def prepQModifyDelta(q0: DataFrame, dict: DataFrame, m: QModify)
+        : (DataFrame, Long, Option[DataFrame]) = {
+      val (sols, cnt) = prepQModify(q0, dict, m.withG, m.where)
+      val pres =
+        if (cnt <= maxBroadcastDelta && m.ins.size == 1) {
+          val afterDel = m.del.foldLeft(q0)((qq, t) =>
+            minus(qq, instTmpl(sols, m.withG, t), smallRight = true))
+          val add = instTmpl(sols, m.withG, m.ins.get)
+          Some(graft.Prof.t("  qmod.pinPresent(pre)")(pinSmall(
+            afterDel.join(broadcast(renamed(add)), quadCond, "left_semi"))))
+        } else None
+      (sols, cnt, pres)
+    }
+    def applyOp(q: DataFrame, op: QuadOp,
+                prep: Option[(DataFrame, Long, Option[DataFrame])] = None)
+        : DataFrame = op match {
       case QNop => q
       case QGround(true, rows) =>
         extendDictLocal(rows.flatMap { case (s, pr, o, g) =>
@@ -4313,18 +4644,10 @@ object Sparql {
       case QClear(QAllNamed) => q.where(col("g").isNull)
       case QClear(QAll) => q.where(lit(false))
       case QModify(withG, del, ins, where) =>
-        val consts = (groupConsts(where) ++ withG).toSeq.sorted
-        val ids = Dictionary.hashLiterals(spark, consts)
-        val probeSet =
-          (pathEndpointConsts(where) ++ inlineValueConsts(where)).toSeq.sorted
-        val present0 = Dictionary.lookup(d, probeSet)
-        val localDict =
-          probeSet.filterNot(present0.contains).map(c => ids(c) -> c)
-        val dflt = slice(withG)(q).select("s", "p", "o")
-        val env = Env(spark, dflt, Map.empty, 1000000L,
-          Some(EncEnv(d, ids, localDict, plainVarsOfG(where))),
-          quads = Some(q.where(col("g").isNotNull)))
-        val sols = pinSmall(compileGroup(env, where))
+        val (sols, solsCnt, prePresent) = prep.getOrElse {
+          val (ss, cc) = prepQModify(q, d, withG, where)
+          (ss, cc, None)
+        }
         // templates must instantiate from ID-typed columns
         val tmplVars = (del.toSeq ++ ins.toSeq).flatMap { t =>
           t.triples.flatMap(_.vars) ++
@@ -4341,46 +4664,22 @@ object Sparql {
               "use Sparql.updateQuads for this script")
         }
         ins.foreach(t => extendDictLocal(templateConsts(t, withG)))
-        val small = sols.count() <= maxBroadcastDelta
-        def inst(t: Group): DataFrame = {
-          def termCol(x: Term): Column = x match {
-            case V(v) => col(v)
-            case C(c) => lit(hid(c.toString))
-          }
-          val parts =
-            (t.triples.map(tp =>
-              (tp, Left(withG): Either[Option[String], String])) ++
-              t.graphs.flatMap { case (gt, inner) =>
-                val tgt: Either[Option[String], String] = gt match {
-                  case C(c) => Left(Some(c.toString))
-                  case V(v) => Right(v)
-                }
-                inner.triples.map(tp => (tp, tgt))
-              }).map { case (tp, tgt) =>
-              val gcol = tgt match {
-                case Left(g) =>
-                  g.map(i => lit(hid(i))).getOrElse(lit(null).cast("long"))
-                case Right(v) => col(v)
-              }
-              val df0 = sols.select(termCol(tp.s).as("s"),
-                  termCol(tp.p).as("p"), termCol(tp.o).as("o"), gcol.as("g"))
-                .where(col("s").isNotNull && col("p").isNotNull &&
-                  col("o").isNotNull)
-              tgt match {
-                case Right(_) => df0.where(col("g").isNotNull)
-                case _ => df0
-              }
-            }
-          require(parts.nonEmpty, "empty modify template")
-          parts.reduce(_.unionByName(_)).dropDuplicates("s", "p", "o", "g")
-        }
+        val small = solsCnt <= maxBroadcastDelta
+        def inst(t: Group): DataFrame = instTmpl(sols, withG, t)
         var q2 = q
         del.foreach(t => q2 = minus(q2, inst(t), smallRight = small))
         ins.foreach { t =>
           if (small) {
-            val add = pinSmall(inst(t))
-            val present =
-              pinSmall(q2.join(broadcast(renamed(add)), quadCond, "left_semi"))
+            // add is a NARROW map of the pinned solutions — no pin of
+            // its own (the broadcast build and the final seal each
+            // recompute it from sols for the cost of a small shuffle,
+            // cheaper than another eager-checkpoint job here); a
+            // prefetched present probe (hazard-free op) skips the
+            // apply-time store scan entirely
+            val add = inst(t)
+            val present = prePresent.getOrElse(
+              graft.Prof.t("  qmod.pinPresent")(pinSmall(
+                q2.join(broadcast(renamed(add)), quadCond, "left_semi"))))
             q2 = unionQ(q2, minus(add, present, smallRight = true))
           } else {
             val add = inst(t)
@@ -4437,9 +4736,52 @@ object Sparql {
         val fresh = pinSmall(minus(encTarget, q, smallRight = false))
         unionQ(q, fresh)
     }
-    val result = opsV.foldLeft(encQuads)((q, op) =>
-      graft.Prof.t(s"quadsEnc.op:${op.getClass.getSimpleName}")(applyOp(q, op)))
-    (graft.Prof.t("quadsEnc.seal")(if (pinned) pins.seal(result) else result), d)
+    // ASYNC WHERE PREFETCH over read/write-DISJOINT ops (same discipline
+    // as the triple-store path, with the GRAPH position in the pattern
+    // summaries): hazard-free modify ops evaluate their WHERE against
+    // the PRE-SCRIPT dataset + dictionary snapshot, all probe jobs
+    // in flight concurrently; the relation fold stays strictly ordered.
+    val prefIdx = prefetchableQuadModifies(opsV)
+    val prePool =
+      if (prefIdx.isEmpty) None
+      else Some(java.util.concurrent.Executors.newFixedThreadPool(
+        math.min(prefIdx.size, 4)))
+    val d0 = d
+    val preF: Map[Int, java.util.concurrent.Future[
+        (DataFrame, Long, Option[DataFrame])]] =
+      prePool match {
+        case None => Map.empty
+        case Some(pl) => prefIdx.map { i =>
+          val m = opsV(i).asInstanceOf[QModify]
+          i -> pl.submit(new java.util.concurrent.Callable[
+              (DataFrame, Long, Option[DataFrame])] {
+            def call() = prepQModifyDelta(encQuads, d0, m)
+          })
+        }.toMap
+      }
+    def awaitPre(f: java.util.concurrent.Future[
+        (DataFrame, Long, Option[DataFrame])]) =
+      try f.get()
+      catch { case e: java.util.concurrent.ExecutionException =>
+        throw e.getCause }
+    val result =
+      try opsV.zipWithIndex.foldLeft(encQuads) { case (q, (op, i)) =>
+        graft.Prof.t(s"quadsEnc.op:${op.getClass.getSimpleName}")(
+          applyOp(q, op, preF.get(i).map(awaitPre)))
+      } finally prePool.foreach(_.shutdown())
+    // The DEFAULT result is the LAZY composition: the unchanged base
+    // relation plus |Δ|-sized PINNED deltas applied as broadcast
+    // joins/unions — the store's own tombstone-lazy update discipline.
+    // At corpus scale a small update must never rewrite the store;
+    // materialization is a COMPACTION decision, opted into with
+    // spark.graft.update.materialize=true (pins.seal: one full pass,
+    // intermediates released). Lazily-returned results keep their
+    // delta pins alive (ownership transfers to the relation).
+    val materialize =
+      spark.conf.get("spark.graft.update.materialize", "false").toBoolean
+    (if (pinned && materialize)
+      graft.Prof.t("quadsEnc.seal")(pins.seal(result))
+    else result, d)
   }
 
   /** Join an inline DataBlock relation into a solution frame: all-bound
