@@ -1616,6 +1616,50 @@ object SparkEntry {
         |} GROUP BY ?g ?p ORDER BY ?g ?p""".stripMargin)
   }
 
+  /** DRed retraction for OWL closures: the next-chain (plus a 6→9
+    * SHORTCUT edge and symmetric borders) materializes, then a DELETE
+    * of edges 7→8, 15→16 and one borders edge maintains through
+    * [[ReasonOps.owlRetract]]. The shortcut makes the survivor logic
+    * real: paths crossing 7→8 REROUTE through 6→9 and must survive
+    * (the frontier re-derivation mixes certain pairs with remaining
+    * base edges), while everything isolated by 15→16 — and both
+    * directions of the deleted symmetric edge — genuinely dies. The
+    * oracle recloses the post-delete edge set from scratch.
+    */
+  private def owlDeltaDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val base = n.where(col("n_nationkey") < 24).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("next").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 1).as("o"))
+      .unionByName(s.createDataFrame(Seq(("nation:6", "next", "nation:9")))
+        .toDF("s", "p", "o"))
+      .unionByName(n.where(col("n_nationkey") < 5).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("borders").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 5).as("o")))
+      .unionByName(s.createDataFrame(Seq(
+        ("next", "a", ReasonOps.TransitiveProperty),
+        ("prev", ReasonOps.InverseOf, "next"),
+        ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o"))
+    val decls = s.createDataFrame(Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o")
+    val del = s.createDataFrame(Seq(
+      ("nation:7", "next", "nation:8"),
+      ("nation:15", "next", "nation:16"),
+      ("nation:2", "borders", "nation:7"))).toDF("s", "p", "o")
+    val closure = GraftStore.reasonArtifact(s, d, "owl_predelete_closure") {
+      ReasonOps.owlClosure(base)
+    }
+    ReasonOps.owlRetract(closure, base, del, decls)
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p")
+  }
+
   /** Full algebra inside a VARIABLE GRAPH block: UNION branches,
     * OPTIONAL (null where the same graph lacks the pattern — regions
     * have no regionkey), and MINUS, all confined per graph by the
@@ -3431,6 +3475,7 @@ object SparkEntry {
     "q_owl_quads" -> (owlQuadsQ _),
     "q_owl_enc_quads" -> (owlEncQuadsQ _),
     "q_owl_delta" -> (owlDeltaQ _),
+    "q_owl_delta_del" -> (owlDeltaDelQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
     "q_owl_closure" -> (owlClosureQ _),
     "q_owl_enc_closure" -> (owlEncClosureQ _),
@@ -4976,6 +5021,35 @@ object SparkEntry {
     // incremental OWL: maintain through two bridge edges == full, with
     // n_inc pinning the increment (full-minus-base per predicate)
     "q_owl_delta" -> owlDeltaOracle,
+    // OWL DRed retraction: maintain through a DELETE (with a shortcut
+    // reroute survivor) == reclose the post-delete edge set
+    "q_owl_delta_del" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT 'nation:'||n_nationkey AS a,
+        |         'nation:'||(n_nationkey+1) AS b
+        |  FROM nation WHERE n_nationkey < 24 AND n_nationkey NOT IN (7, 15)
+        |  UNION ALL SELECT 'nation:6', 'nation:9'),
+        |nxt(a, b) AS (
+        |  SELECT * FROM e
+        |  UNION
+        |  SELECT nxt.a, e.b FROM nxt JOIN e ON e.a = nxt.b),
+        |bordd AS (SELECT 'nation:'||n_nationkey AS a,
+        |                 'nation:'||(n_nationkey+5) AS b
+        |          FROM nation WHERE n_nationkey < 5 AND n_nationkey <> 2),
+        |tri AS (
+        |  SELECT 'next' AS p, a AS s, b AS o FROM nxt
+        |  UNION ALL SELECT 'prev', b, a FROM nxt
+        |  UNION ALL SELECT 'borders', a, b FROM bordd
+        |  UNION ALL SELECT 'borders', b, a FROM bordd
+        |  UNION ALL SELECT 'a', 'next',
+        |    'http://www.w3.org/2002/07/owl#TransitiveProperty'
+        |  UNION ALL SELECT 'a', 'borders',
+        |    'http://www.w3.org/2002/07/owl#SymmetricProperty'
+        |  UNION ALL SELECT 'http://www.w3.org/2002/07/owl#inverseOf',
+        |    'prev', 'next'
+        |)
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns
+        |FROM (SELECT DISTINCT * FROM tri) GROUP BY p ORDER BY p""".stripMargin,
     // triangle counting: the oracle enumerates each triangle once via
     // the canonical a<b<c 3-way join — same set the degree-ordered
     // wedge join finds

@@ -942,6 +942,169 @@ object ReasonOps {
     (Seq(d1) ++ newClosed ++ pass2).reduce(_.unionAll(_)).distinct()
   }
 
+  /** DRed-style retraction for OWL property-rule closures, completing
+    * the maintenance matrix ([[rdfsRetract]] × [[owlDelta]]): maintain a
+    * materialized closure through base-edge DELETEs without re-squaring.
+    * Declarations in the deletions fail fast (schema change →
+    * re-materialize), the same contract as [[owlDelta]].
+    *
+    *   1. over-delete: the deleted edges, their inverse/symmetric images
+    *      (single-premise), and — per transitive property — every closed
+    *      path THROUGH a deleted edge: O_p = (E·d)·E computed with two
+    *      broadcast joins against the existing path set E (E streams,
+    *      never shuffles), plus the inverse images of those paths;
+    *   2. re-derive survivors inside the over-deleted scope: a pair
+    *      survives iff it reaches over G' = certain ∪ B, where `certain`
+    *      is E minus the over-deletion (pairs whose derivations cannot
+    *      have used a deleted edge — sound shortcuts) and B the
+    *      remaining base edges (with inverse/symmetric images). The
+    *      frontier starts at the over-deleted SOURCES and expands by
+    *      composition until fixpoint — each round one streamed scan of
+    *      `certain`/B against the broadcast frontier, and the round
+    *      count is bounded by how often a rerouted path must leave the
+    *      certain region (≈ deleted-edge count, not graph diameter);
+    *   3. removal = over-deletion − survivors (inverse/symmetric rows
+    *      survive through their underlying direction); the closure
+    *      streams through ONE broadcast anti-join.
+    *
+    * Returns the maintained closure, set-equal to
+    * `owlClosure(base − deletions)`.
+    */
+  def owlRetract(closure: DataFrame, base: DataFrame, deletions: DataFrame,
+                 tboxSource: DataFrame, typePred: String = "a",
+                 tboxCap: Int = 1 << 20, maxRounds: Int = 16): DataFrame =
+    owlRetractCore(closure, base, deletions, tboxSource, InverseOf,
+      SymmetricProperty, TransitiveProperty, typePred, tboxCap, maxRounds)
+
+  /** [[owlRetract]] over ENCODED (long-id) relations. */
+  def owlRetractEncoded(closure: DataFrame, base: DataFrame,
+                        deletions: DataFrame, tboxSource: DataFrame,
+                        ids: OwlIds, tboxCap: Int = 1 << 20,
+                        maxRounds: Int = 16): DataFrame =
+    owlRetractCore(closure, base, deletions, tboxSource, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
+      maxRounds)
+
+  private def owlRetractCore(closure: DataFrame, base: DataFrame,
+                             deletions: DataFrame, tboxSource: DataFrame,
+                             inverseOf: Any, symmetricProperty: Any,
+                             transitiveProperty: Any, typePred: Any,
+                             tboxCap: Int, maxRounds: Int): DataFrame = {
+    val spark = deletions.sparkSession
+    def spo(df: DataFrame): DataFrame = {
+      val Seq(cs, cp, co) = df.columns.take(3).toSeq
+      df.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    }
+    val del = spo(deletions).localCheckpoint(true)
+    require(del.where(col("p") === inverseOf ||
+        (col("p") === typePred &&
+          col("o").isin(symmetricProperty, transitiveProperty))).isEmpty,
+      "deletions contain OWL property declarations - schema changes " +
+        "require re-materialization (owlClosure), not incremental retraction")
+    val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
+      symmetricProperty, transitiveProperty, typePred, tboxCap)
+    val e = spo(closure)
+    val dt = del.schema.fields.head.dataType
+    def invSym(rel: DataFrame): Seq[DataFrame] = {
+      val buf = scala.collection.mutable.ListBuffer[DataFrame]()
+      if (inv.nonEmpty)
+        buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q", dt)), "p")
+          .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
+      if (sym.nonEmpty)
+        buf += rel.where(col("p").isin(sym: _*))
+          .select(col("o").as("s"), col("p"), col("s").as("o"))
+      buf.toSeq
+    }
+    def tripleAnti(a: DataFrame, b: DataFrame): DataFrame = {
+      val probe = b.toDF("__x_s", "__x_p", "__x_o")
+      a.join(broadcast(probe),
+        col("s") === col("__x_s") && col("p") === col("__x_p") &&
+          col("o") === col("__x_o"), "left_anti")
+    }
+    val baseRem = tripleAnti(spo(base), del)
+    // 1. over-delete: deleted edges + single-premise images ...
+    val dDirect = (del +: invSym(del)).reduce(_.unionAll(_)).distinct()
+      .localCheckpoint(true)
+    // ... + per transitive property, all paths through a deleted edge
+    val oPs: Seq[(Any, DataFrame)] = trans.map { pp =>
+      val dp = dDirect.where(col("p") === pp)
+        .select(col("s").as("a"), col("o").as("b"))
+      val ep = e.where(col("p") === pp).select(col("s").as("a"), col("o").as("b"))
+      val dProbe = dp.toDF("__d_a", "__d_b")
+      val lPre = dp.unionAll(
+          ep.join(broadcast(dProbe), col("b") === col("__d_a"))
+            .select(col("a"), col("__d_b").as("b")))
+        .distinct().localCheckpoint(true)
+      val lProbe = lPre.toDF("__l_a", "__l_b")
+      val op = lPre.unionAll(
+          ep.join(broadcast(lProbe), col("a") === col("__l_b"))
+            .select(col("__l_a").as("a"), col("b")))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      (pp, op)
+    }
+    def opRows(pp: Any, op: DataFrame): DataFrame =
+      op.select(col("a").as("s"), lit(pp).as("p"), col("b").as("o"))
+    val oAll = (dDirect +:
+      (oPs.map { case (pp, op) => opRows(pp, op) } ++
+        oPs.flatMap { case (pp, op) => invSym(opRows(pp, op)) }))
+      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+    // 2. survivors: frontier reachability per transitive property over
+    //    certain pairs + remaining base edges, sources = over-deleted
+    val fPs: Seq[(Any, DataFrame)] = oPs.map { case (pp, op) =>
+      val oProbe = op.toDF("__o_a", "__o_b")
+      val certain = e.where(col("p") === pp)
+        .select(col("s").as("a"), col("o").as("b"))
+        .join(broadcast(oProbe),
+          col("a") === col("__o_a") && col("b") === col("__o_b"), "left_anti")
+      val bNew = (baseRem.where(col("p") === pp).select("s", "o") +:
+        invSym(baseRem).map(_.where(col("p") === pp).select("s", "o")))
+        .reduce(_.unionAll(_)).toDF("a", "b")
+      val srcs = op.select(col("a")).distinct().toDF("__src")
+      def fromSrcs(rel: DataFrame): DataFrame =
+        rel.join(broadcast(srcs), col("a") === col("__src"), "left_semi")
+      var f = fromSrcs(certain).unionAll(fromSrcs(bNew))
+        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      var n = f.count()
+      var round = 0
+      var done = n == 0
+      while (!done) {
+        round += 1
+        require(round <= maxRounds,
+          s"owlRetract survivor re-derivation did not converge in " +
+            s"$maxRounds rounds")
+        val fProbe = f.toDF("__f_a", "__f_b")
+        def extend(rel: DataFrame): DataFrame =
+          rel.join(broadcast(fProbe), col("a") === col("__f_b"))
+            .select(col("__f_a").as("a"), col("b"))
+        val next = f.unionAll(extend(certain)).unionAll(extend(bNew))
+          .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+        val m = next.count()
+        done = m == n
+        f = next; n = m
+      }
+      (pp, f)
+    }
+    // 3. removal = over-deletion minus everything re-derivable: remaining
+    //    base + its single-premise images + per-p surviving reach pairs
+    //    + their images — evaluated as one streamed semi against the
+    //    broadcast over-deletion, then the closure anti-joins the
+    //    removal (never shuffling)
+    val validLegs: Seq[DataFrame] =
+      (baseRem +: invSym(baseRem)) ++
+        fPs.flatMap { case (pp, f) =>
+          val rows = opRows(pp, f.select(col("a"), col("b")))
+          rows +: invSym(rows)
+        }
+    val oProbe = oAll.toDF("__q_s", "__q_p", "__q_o")
+    val hits = validLegs.reduce(_.unionAll(_))
+      .join(broadcast(oProbe),
+        col("s") === col("__q_s") && col("p") === col("__q_p") &&
+          col("o") === col("__q_o"), "left_semi")
+      .distinct().localCheckpoint(true)
+    val removal = tripleAnti(oAll, hits)
+    tripleAnti(e, removal)
+  }
+
   /** owl:sameAs smushing, the entity-resolution canonicalization: the
     * sameAs statements form an undirected identity graph whose
     * connected components are computed DISTRIBUTED (GraphOps CC over

@@ -259,6 +259,29 @@ class ReasonSpec extends SparkSpec {
       tset(ReasonOps.rdfsClosure(base.unionAll(delta)))
   }
 
+  it should "maintain a REOPENED closure through a DELETE and re-persist" in {
+    // the full DRed lifecycle on the persisted artifact: reason once,
+    // persist, reopen in a "later session", retract, re-persist
+    // (retraction rewrites — the compaction step of tombstone-lazy
+    // maintenance), reopen again
+    import graft.store.GraftStore
+    val tbox = Seq(
+      ("worksFor", SubPropertyOf, "affiliated"),
+      ("affiliated", Domain, "Person")).toDF("s", "p", "o")
+    val abox = Seq(("a", "worksFor", "x"), ("b", "worksFor", "x"))
+    val base = tbox.unionAll(abox.toDF("s", "p", "o"))
+    val del = Seq(("a", "worksFor", "x")).toDF("s", "p", "o")
+    val p1 = java.nio.file.Files.createTempDirectory("graft-closure-d1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-closure-d2").toString
+    GraftStore.persistClosure(ReasonOps.rdfsClosure(base), p1)
+    val maintained = ReasonOps.rdfsRetract(
+      GraftStore.openClosure(spark, p1), base, del)
+    GraftStore.persistClosure(maintained, p2)
+    tset(GraftStore.openClosure(spark, p2)) shouldBe
+      tset(ReasonOps.rdfsClosure(
+        tbox.unionAll(Seq(("b", "worksFor", "x")).toDF("s", "p", "o"))))
+  }
+
   it should "reject TBox statements in a delta" in {
     val e = intercept[IllegalArgumentException] {
       ReasonOps.rdfsDelta(
@@ -536,6 +559,66 @@ class ReasonSpec extends SparkSpec {
     // its inverse arrives through the pass-2 rule
     tset(maintained) should contain(("n1", "next", "n7"))
     tset(maintained) should contain(("n7", "prev", "n1"))
+  }
+
+  "ReasonOps.owlRetract" should "equal rematerialization, rerouting through surviving edges" in {
+    val decls = Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("near", "a", ReasonOps.SymmetricProperty))
+    // chain 1..5 plus a 2->4 shortcut: deleting 3->4 must KEEP every
+    // pair reroutable via the shortcut (1->4, 2->5, ...) and DROP the
+    // pairs that genuinely needed the edge (3->4, 3->5); the symmetric
+    // edge dies in BOTH directions
+    val base = decls ++ Seq(
+      ("n1", "next", "n2"), ("n2", "next", "n3"), ("n3", "next", "n4"),
+      ("n4", "next", "n5"), ("n2", "next", "n4"),
+      ("a", "near", "b"), ("c", "near", "d"))
+    val del = Seq(("n3", "next", "n4"), ("a", "near", "b"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+      .localCheckpoint(true)
+    val maintained = ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
+      del.toDF("s", "p", "o"), decls.toDF("s", "p", "o"))
+    val remat = ReasonOps.owlClosure(
+      base.filterNot(del.contains).toDF("s", "p", "o"))
+    tset(maintained) shouldBe tset(remat)
+    tset(maintained) should contain(("n1", "next", "n5")) // rerouted
+    tset(maintained) should contain(("n5", "prev", "n1")) // inverse too
+    tset(maintained) should not contain (("n3", "next", "n4"))
+    tset(maintained) should not contain (("n3", "next", "n5"))
+    tset(maintained) should not contain (("b", "near", "a")) // sym image
+    tset(maintained) should contain(("d", "near", "c"))      // untouched
+  }
+
+  it should "reject property declarations in the deletions" in {
+    val decls = Seq(("next", "a", ReasonOps.TransitiveProperty))
+    val g = (decls ++ Seq(("x", "next", "y"))).toDF("s", "p", "o")
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.owlRetract(ReasonOps.owlClosure(g), g,
+        decls.toDF("s", "p", "o"), decls.toDF("s", "p", "o")).collect()
+    }
+    e.getMessage should include("re-materialization")
+  }
+
+  "ReasonOps.owlRetractEncoded" should "maintain encoded closures through deletes" in {
+    val terms = Seq("inv", "symP", "transP", "ty", "next", "prev",
+      "n1", "n2", "n3", "n4", "n5")
+    val id = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toMap
+    val ids = ReasonOps.OwlIds(id("inv"), id("symP"), id("transP"), id("ty"))
+    def enc(g: Seq[(String, String, String)]) =
+      g.map { case (s, p, o) => (id(s), id(p), id(o)) }.toDF("s", "p", "o")
+    val decls = Seq(("next", "ty", "transP"), ("prev", "inv", "next"))
+    val base = decls ++ Seq(
+      ("n1", "next", "n2"), ("n2", "next", "n3"), ("n3", "next", "n4"),
+      ("n2", "next", "n4"))
+    val del = Seq(("n3", "next", "n4"))
+    val closure = ReasonOps.owlClosureEncoded(enc(base), ids).localCheckpoint(true)
+    val maintained = ReasonOps.owlRetractEncoded(closure, enc(base),
+      enc(del), enc(decls), ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val remat = ReasonOps.owlClosureEncoded(enc(base.filterNot(del.contains)), ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    maintained shouldBe remat
   }
 
   it should "reject property declarations in a delta" in {
