@@ -219,6 +219,20 @@ object ReasonOps {
                           tboxCap: Int = 1 << 20): DataFrame =
     rdfsClosureEncoded(encTriples, ids, tboxCap, pinInput = false)
 
+  /** [[rdfsEntailed]] over a NAMED-GRAPH quad dataset (lazy per-graph
+    * closure relation — pattern constants push through the TBox maps
+    * AND the graph column). */
+  def rdfsEntailedQuads(quads: DataFrame, tboxSource: DataFrame,
+                        typePred: String = "a",
+                        tboxCap: Int = 1 << 20): DataFrame =
+    rdfsClosureQuads(quads, tboxSource, typePred, tboxCap, pinInput = false)
+
+  /** [[rdfsEntailedQuads]] over ENCODED (long-id) quad relations. */
+  def rdfsEntailedQuadsEncoded(quads: DataFrame, tboxSource: DataFrame,
+                               ids: RdfsIds,
+                               tboxCap: Int = 1 << 20): DataFrame =
+    rdfsClosureQuadsEncoded(quads, tboxSource, ids, tboxCap, pinInput = false)
+
   /** INCREMENTAL RDFS maintenance, the O(|delta|) twin of [[rdfsClosure]]
     * matching the store's O(delta) append discipline: with the TBox
     * driver-closed, every rho-df ABox rule is SINGLE-premise (each
@@ -506,14 +520,21 @@ object ReasonOps {
     def pairs(ps: Seq[(Any, Any)], a: String, b: String): DataFrame =
       pairDfAny(spark, ps, a, b, dt)
     val derived = scala.collection.mutable.ListBuffer[DataFrame]()
+    // same driver-known predicate pre-filters as rdfsDerive (pushed
+    // scans / pruned unpivot legs on the lazy quad entailment relation)
+    def keyed(ps: Seq[(Any, Any)]): DataFrame =
+      q.where(col("p").isin(ps.map(_._1).distinct: _*))
     if (maps.spPairs.nonEmpty)
-      derived += q.join(broadcast(pairs(maps.spPairs, "p", "q2")), "p")
+      derived += keyed(maps.spPairs)
+        .join(broadcast(pairs(maps.spPairs, "p", "q2")), "p")
         .select(col("s"), col("q2").as("p"), col("o"), col("g"))
     if (maps.domEff.nonEmpty)
-      derived += q.join(broadcast(pairs(maps.domEff, "p", "c")), "p")
+      derived += keyed(maps.domEff)
+        .join(broadcast(pairs(maps.domEff, "p", "c")), "p")
         .select(col("s"), lit(voc.emitTy).as("p"), col("c").as("o"), col("g"))
     if (maps.rngEff.nonEmpty)
-      derived += q.join(broadcast(pairs(maps.rngEff, "p", "c")), "p")
+      derived += keyed(maps.rngEff)
+        .join(broadcast(pairs(maps.rngEff, "p", "c")), "p")
         .select(col("o").as("s"), lit(voc.emitTy).as("p"),
           col("c").as("o"), col("g"))
     if (maps.scPairs.nonEmpty) {
@@ -607,17 +628,28 @@ object ReasonOps {
       rowsDf(pairs.map(x => Seq(x._1, x._2)), Seq(a, b))
 
     val derived = scala.collection.mutable.ListBuffer[DataFrame]()
+    // Each rule pre-filters its scan by the DRIVER-KNOWN predicate keys
+    // of its map: the static isin pushes into the source scans — and on
+    // an unpivot/union source whose legs carry constant predicates,
+    // whole non-matching legs constant-fold away, which is what makes
+    // the LAZY entailment relation (rdfsEntailed) read only the slices
+    // a query pattern actually needs.
+    def keyed(pairs: Seq[(Any, Any)]): DataFrame =
+      t.where(col("p").isin(pairs.map(_._1).distinct: _*))
     // rdfs7: (s p o), p sp* q  =>  (s q o)
     if (maps.spPairs.nonEmpty)
-      derived += t.join(broadcast(pairDf(maps.spPairs, "p", "q")), "p")
+      derived += keyed(maps.spPairs)
+        .join(broadcast(pairDf(maps.spPairs, "p", "q")), "p")
         .select(col("s"), col("q").as("p"), col("o"))
     // rdfs2: (s p o), dom*(p) contains C  =>  (s type C)
     if (maps.domEff.nonEmpty)
-      derived += t.join(broadcast(pairDf(maps.domEff, "p", "c")), "p")
+      derived += keyed(maps.domEff)
+        .join(broadcast(pairDf(maps.domEff, "p", "c")), "p")
         .select(col("s"), lit(voc.emitTy).as("p"), col("c").as("o"))
     // rdfs3: (s p o), rng*(p) contains C  =>  (o type C)
     if (maps.rngEff.nonEmpty)
-      derived += t.join(broadcast(pairDf(maps.rngEff, "p", "c")), "p")
+      derived += keyed(maps.rngEff)
+        .join(broadcast(pairDf(maps.rngEff, "p", "c")), "p")
         .select(col("o").as("s"), lit(voc.emitTy).as("p"), col("c").as("o"))
     // rdfs9: (s type C), C sc* D  =>  (s type D) - over base AND derived
     // type assertions (domain/range-produced types expand too).
@@ -660,8 +692,11 @@ object ReasonOps {
     // group columns to its key, so per-group reachability never leaks
     val Seq(c0, c1) = edges.columns.take(2).toSeq
     val gsel = groupCols.map(col)
-    var paths = edges.select(col(c0).as("a") +: col(c1).as("b") +: gsel: _*)
-      .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+    // LAZY checkpoint + count = ONE job per round (the eager
+    // pin-then-count sequence paid the per-job scheduling floor twice)
+    var paths = graft.Pins.checkpointLazy(
+      edges.select(col(c0).as("a") +: col(c1).as("b") +: gsel: _*)
+        .where(col("a") =!= col("b")).distinct())
     var n = paths.count()
     var round = 0
     var done = n == 0
@@ -689,7 +724,8 @@ object ReasonOps {
         if (groupCols.nonEmpty)
           edges.sparkSession.createDataFrame(step0.rdd, step0.schema)
         else step0
-      val next = step.unionByName(paths).distinct().localCheckpoint(true)
+      val next = graft.Pins.checkpointLazy(
+        step.unionByName(paths).distinct())
       val m = next.count()
       // next ⊇ paths (union), so equal counts == fixpoint
       done = m == n
@@ -1062,8 +1098,9 @@ object ReasonOps {
       val srcs = op.select(col("a")).distinct().toDF("__src")
       def fromSrcs(rel: DataFrame): DataFrame =
         rel.join(broadcast(srcs), col("a") === col("__src"), "left_semi")
-      var f = fromSrcs(certain).unionAll(fromSrcs(bNew))
-        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+      var f = graft.Pins.checkpointLazy(
+        fromSrcs(certain).unionAll(fromSrcs(bNew))
+          .where(col("a") =!= col("b")).distinct())
       var n = f.count()
       var round = 0
       var done = n == 0
@@ -1076,8 +1113,9 @@ object ReasonOps {
         def extend(rel: DataFrame): DataFrame =
           rel.join(broadcast(fProbe), col("a") === col("__f_b"))
             .select(col("__f_a").as("a"), col("b"))
-        val next = f.unionAll(extend(certain)).unionAll(extend(bNew))
-          .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
+        val next = graft.Pins.checkpointLazy(
+          f.unionAll(extend(certain)).unionAll(extend(bNew))
+            .where(col("a") =!= col("b")).distinct())
         val m = next.count()
         done = m == n
         f = next; n = m

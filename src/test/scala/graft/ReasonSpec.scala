@@ -438,6 +438,23 @@ class ReasonSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
   }
 
+  it should "cover quad datasets lazily too" in {
+    val tbox = Seq(("p", SubPropertyOf, "q"), ("q", Domain, "C"))
+      .toDF("s", "p", "o")
+    val quads = Seq(("x", "p", "y", "g1"), ("z", "p", "w", "g2"))
+      .toDF("s", "p", "o", "g")
+    val ent = ReasonOps.rdfsEntailedQuads(quads, tbox)
+    val got = ent.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), Option(r.getString(3)))).toSet
+    val mat = ReasonOps.rdfsClosureQuads(quads, tbox).collect()
+      .map(r => (r.getString(0), r.getString(1),
+        r.getString(2), Option(r.getString(3)))).toSet
+    got shouldBe mat
+    // a graph-confined pattern filter reads only its graph's slice
+    ent.where(col("p") === "q" && col("g") === "g1").collect()
+      .map(_.getString(0)).toSet shouldBe Set("x")
+  }
+
   "ReasonOps.incrementNovel" should "compose to the full-union distinct without shuffling" in {
     val closure = Seq(("a", "p", "b"), ("c", "p", "d")).toDF("s", "p", "o")
       .localCheckpoint(true)
