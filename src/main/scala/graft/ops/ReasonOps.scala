@@ -515,6 +515,20 @@ object ReasonOps {
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
       voc0.tboxPreds, tboxCap)
     val voc = resolveEmit(voc0, tbox)
+    val derived = rdfsDeriveQuads(tbox, q, voc, includeTboxClosure = true)
+    (q +: derived).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** The per-graph rho-df rule passes (graph column CARRIED through
+    * every rule — single-premise, so derivations land in their
+    * premise's graph) — shared by the batch quad closures and the
+    * STREAMING quad delta (stream-safe: broadcast joins and unions of
+    * append-only frames, no stateful op).
+    */
+  private def rdfsDeriveQuads(tbox: Array[(Any, Any, Any)], q: DataFrame,
+                              voc: Voc,
+                              includeTboxClosure: Boolean): Seq[DataFrame] = {
+    val spark = q.sparkSession
     val dt = q.schema.fields.head.dataType
     val maps = rdfsMaps(tbox, voc)
     def pairs(ps: Seq[(Any, Any)], a: String, b: String): DataFrame =
@@ -548,7 +562,7 @@ object ReasonOps {
     val tboxClosed =
       maps.spPairs.map { case (a, b) => Seq(a, voc.emitSp, b, null) } ++
         maps.scPairs.map { case (a, b) => Seq(a, voc.emitSc, b, null) }
-    if (tboxClosed.nonEmpty) {
+    if (includeTboxClosure && tboxClosed.nonEmpty) {
       import scala.jdk.CollectionConverters._
       derived += spark.createDataFrame(
         new java.util.ArrayList(
@@ -558,7 +572,34 @@ object ReasonOps {
             org.apache.spark.sql.types.StructField(_, dt, nullable = false)) :+
             org.apache.spark.sql.types.StructField("g", dt, nullable = true)))
     }
-    (q +: derived.toSeq).reduce(_.unionAll(_)).distinct()
+    derived.toSeq
+  }
+
+  /** STREAMING per-named-graph RDFS maintenance: [[rdfsDeltaStream]]
+    * over a live QUAD stream — each arriving quad's derivations land in
+    * ITS graph (single-premise rules, graph column carried), the whole
+    * derivation is stateless broadcast joins (append-safe, no dedup —
+    * same contract as the triple variant), and TBox statements ARRIVING
+    * ON THE STREAM (either rendering) fail the batch at runtime.
+    */
+  def rdfsDeltaStreamQuads(tboxSource: DataFrame, stream: DataFrame,
+                           typePred: String = "a",
+                           tboxCap: Int = 1 << 20): DataFrame = {
+    val voc0 = stringVoc(typePred)
+    val Seq(cs, cp, co, cg) = stream.columns.take(4).toSeq
+    val guard = when(col(cp).isin(voc0.tboxPreds: _*),
+      raise_error(concat(lit("TBox statement on the stream ("), col(cp),
+        lit(") - schema changes require re-materialization"))))
+      .otherwise(col(cp))
+    val d = stream.select(col(cs).as("s"), guard.as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      voc0.tboxPreds, tboxCap)
+    val derived = rdfsDeriveQuads(tbox, d, resolveEmit(voc0, tbox),
+      includeTboxClosure = false)
+    (d +: derived).reduce(_.unionAll(_))
   }
 
   private final case class RdfsMaps(spPairs: Seq[(Any, Any)],

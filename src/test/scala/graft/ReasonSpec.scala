@@ -244,6 +244,54 @@ class ReasonSpec extends SparkSpec {
     got shouldBe tset(ReasonOps.rdfsDelta(tbox, deltaRows.toDF("s", "p", "o")))
   }
 
+  "ReasonOps.rdfsDeltaStreamQuads" should "emit per-graph increments on a live quad stream" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val tbox = Seq(
+      ("p", SubPropertyOf, "q"),
+      ("q", Domain, "C"),
+      ("C", SubClassOf, "D")).toDF("s", "p", "o")
+    val rows = Seq(("a", "p", "b", "g1"), ("c", "p", "d", "g2"),
+      ("e", "a", "C", null.asInstanceOf[String]))
+    val src = MemoryStream[(String, String, String, String)]
+    src.addData(rows: _*)
+    val out = ReasonOps.rdfsDeltaStreamQuads(tbox,
+      src.toDF().toDF("s", "p", "o", "g"))
+    out.isStreaming shouldBe true
+    val q = out.writeStream.format("memory").queryName("rdfs_qstream_out")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = spark.table("rdfs_qstream_out").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2),
+        Option(r.getString(3)).getOrElse("default"))).toSet
+    // exactly the batch closure minus the closed-TBox statements,
+    // derivations confined to their premise's graph
+    got shouldBe Set(
+      ("a", "p", "b", "g1"), ("a", "q", "b", "g1"),
+      ("a", "a", "C", "g1"), ("a", "a", "D", "g1"),
+      ("c", "p", "d", "g2"), ("c", "q", "d", "g2"),
+      ("c", "a", "C", "g2"), ("c", "a", "D", "g2"),
+      ("e", "a", "C", "default"), ("e", "a", "D", "default"))
+  }
+
+  it should "fail the batch on TBox statements arriving on the stream" in {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val tbox = Seq(("C", SubClassOf, "D")).toDF("s", "p", "o")
+    val src = MemoryStream[(String, String, String, String)]
+    src.addData(("A", SubClassOf, "B", "g1"))
+    val out = ReasonOps.rdfsDeltaStreamQuads(tbox,
+      src.toDF().toDF("s", "p", "o", "g"))
+    val q = out.writeStream.format("memory").queryName("rdfs_qstream_bad")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.awaitTermination(60000)
+    }
+    e.getMessage should include("re-materialization")
+  }
+
   "GraftStore closure artifacts" should "persist, append increments, reopen" in {
     import graft.store.GraftStore
     val tbox = Seq(
