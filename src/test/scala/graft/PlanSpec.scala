@@ -295,4 +295,35 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p should not include "BroadcastNestedLoopJoin"
   }
+
+  "q_rdfs_delta_del" should "retract with broadcast joins only" in {
+    // DRed: the closure artifact streams through one broadcast
+    // anti-join against the removal set; slab probes are broadcast
+    // semis — nothing sort-merges or cartesians
+    val p = finalPlan("q_rdfs_delta_del")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_delta" should "maintain without re-squaring the path set" in {
+    // the increment's bridge joins broadcast the Δ side; the composed
+    // census never sort-merges the closure
+    val p = finalPlan("q_owl_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_delta_del" should "retract with broadcast joins only" in {
+    val p = finalPlan("q_owl_delta_del")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_rdfs_rewrite" should "answer under entailment with no materialization" in {
+    // the lazy closure relation: pattern constants push through the
+    // TBox maps, every join against a pair table is broadcast
+    val p = finalPlan("q_rdfs_rewrite")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
 }
