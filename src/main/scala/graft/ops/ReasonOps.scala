@@ -111,15 +111,59 @@ object ReasonOps {
   /** Pick the emission rendering off the collected TBox: any IRI-form
     * schema statement flips emission to the IRI constants (type too,
     * when the type predicate was the dual-matched default — an
-    * IRI-schema'd graph types with `rdf:type`, not `"a"`).
+    * IRI-schema'd graph types with `rdf:type`, not `"a"`). A TBox that
+    * MIXES renderings fails fast: whichever emission form were chosen,
+    * the closure would hold the same logical fact under two renderings
+    * that never dedup, and queries filtering on the other rendering
+    * would silently miss derived facts — canonicalize the schema to one
+    * rendering before reasoning instead.
     */
   private def resolveEmit(voc: Voc, tbox: Array[(Any, Any, Any)]): Voc = {
     val iriForms: Set[Any] =
       Set(SubClassOfIri, SubPropertyOfIri, DomainIri, RangeIri)
-    if (voc.sc.size > 1 && tbox.exists(t => iriForms.contains(t._2)))
-      voc.copy(emitSc = SubClassOfIri, emitSp = SubPropertyOfIri,
-        emitTy = if (voc.ty.contains(TypeIri)) TypeIri else voc.emitTy)
-    else voc
+    val shortForms: Set[Any] =
+      Set(SubClassOf, SubPropertyOf, Domain, Range)
+    if (voc.sc.size > 1) {
+      val hasIri = tbox.exists(t => iriForms.contains(t._2))
+      val hasShort = tbox.exists(t => shortForms.contains(t._2))
+      require(!(hasIri && hasShort),
+        "TBox mixes short-form (rdfs:subClassOf) and full-IRI " +
+          "(rdf-schema#subClassOf) renderings - the closure would emit " +
+          "the same fact under two forms that never dedup; canonicalize " +
+          "the schema to ONE rendering before reasoning")
+      if (hasIri)
+        voc.copy(emitSc = SubClassOfIri, emitSp = SubPropertyOfIri,
+          emitTy = if (voc.ty.contains(TypeIri)) TypeIri else voc.emitTy)
+      else voc
+    } else voc
+  }
+
+  /** Default row cap for maintenance deltas and every Δ-derived set the
+    * maintenance ops BROADCAST (over-deletes, premise slabs, bridge
+    * sets, frontier probes). The maintenance contract is "Δ is small";
+    * the cap makes a violation fail FAST with a re-materialization
+    * pointer instead of letting an explicit `broadcast()` hint — which
+    * AQE will not demote — OOM the driver. 2M rows of three ~30-byte
+    * terms is ~200 MB broadcast-side, comfortably inside a large-cluster
+    * driver; raise it only with the driver memory to match.
+    */
+  val DefaultDeltaCap: Long = 1L << 21
+
+  /** Pin `df` (lazy checkpoint + count = ONE job, the [[graft.Pins]]
+    * discipline) and fail fast when it exceeds the maintenance-broadcast
+    * cap. Every Δ-derived frame the maintenance ops broadcast passes
+    * through here, so the cap bounds ALL of them.
+    */
+  private def pinCapped(df: DataFrame, cap: Long, what: String,
+                        remat: String): DataFrame = {
+    val c = graft.Pins.checkpointLazy(df)
+    val n = c.count()
+    require(n <= cap,
+      s"$what has $n rows - exceeds deltaCap=$cap. Maintenance " +
+        s"broadcasts are delta-sized by contract; a change set this " +
+        s"large is faster and safer to re-materialize ($remat). Raise " +
+        "deltaCap only if the driver can hold the broadcast.")
+    c
   }
 
   /** Proper transitive closure of a (small, driver-side) edge list:
@@ -253,11 +297,12 @@ object ReasonOps {
     */
   def rdfsDelta(tboxSource: DataFrame, delta: DataFrame,
                 typePred: String = "a", tboxCap: Int = 1 << 20,
-                dedup: Boolean = true): DataFrame = {
+                dedup: Boolean = true,
+                deltaCap: Long = DefaultDeltaCap): DataFrame = {
     val voc = stringVoc(typePred)
     val Seq(cs, cp, co) = delta.columns.take(3).toSeq
     val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    val d = d0.localCheckpoint(true)
+    val d = pinCapped(d0, deltaCap, "rdfsDelta increment", "rdfsClosure")
     require(d.where(col("p").isin(voc.tboxPreds: _*)).isEmpty,
       "delta contains TBox statements - schema changes require " +
         "re-materialization (rdfsClosure), not incremental maintenance")
@@ -277,11 +322,13 @@ object ReasonOps {
     * fail-fast on TBox ids in the delta.
     */
   def rdfsDeltaEncoded(tboxSource: DataFrame, delta: DataFrame,
-                       ids: RdfsIds, tboxCap: Int = 1 << 20): DataFrame = {
+                       ids: RdfsIds, tboxCap: Int = 1 << 20,
+                       deltaCap: Long = DefaultDeltaCap): DataFrame = {
     val voc = encVoc(ids)
     val Seq(cs, cp, co) = delta.columns.take(3).toSeq
     val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    val d = d0.localCheckpoint(true)
+    val d = pinCapped(d0, deltaCap, "rdfsDeltaEncoded increment",
+      "rdfsClosureEncoded")
     require(d.where(col("p").isin(voc.tboxPreds: _*)).isEmpty,
       "delta contains TBox statements - schema changes require " +
         "re-materialization (rdfsClosureEncoded), not incremental maintenance")
@@ -290,6 +337,51 @@ object ReasonOps {
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
       voc.tboxPreds, tboxCap)
     val derived = rdfsDerive(tbox, d, voc, includeTboxClosure = false)
+    (d +: derived).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** [[rdfsDelta]] over a NAMED-GRAPH quad dataset — O(|Δ|) maintenance
+    * of a PER-GRAPH closure ([[rdfsClosureQuads]]): the rho-df rules are
+    * single-premise, so each inserted quad's derivations land in ITS
+    * graph and the incremental identity holds per graph,
+    *
+    *   rdfsClosureQuads(base ∪ Δ) ==
+    *     rdfsClosureQuads(base) ∪ rdfsDeltaQuads(tbox, Δ)
+    *
+    * (composed with [[composeIncrement]], graph column included in the
+    * novelty key — null-safe, so default-graph rows dedup correctly).
+    * The TBox stays GLOBAL (`tboxSource`) and unchanged: TBox predicates
+    * in the delta fail fast, same contract as [[rdfsDelta]].
+    */
+  def rdfsDeltaQuads(tboxSource: DataFrame, delta: DataFrame,
+                     typePred: String = "a", tboxCap: Int = 1 << 20,
+                     deltaCap: Long = DefaultDeltaCap): DataFrame =
+    rdfsDeltaQuadsCore(tboxSource, delta, stringVoc(typePred), tboxCap,
+      deltaCap, "rdfsClosureQuads")
+
+  /** [[rdfsDeltaQuads]] over ENCODED (long-id) quad relations. */
+  def rdfsDeltaQuadsEncoded(tboxSource: DataFrame, delta: DataFrame,
+                            ids: RdfsIds, tboxCap: Int = 1 << 20,
+                            deltaCap: Long = DefaultDeltaCap): DataFrame =
+    rdfsDeltaQuadsCore(tboxSource, delta, encVoc(ids), tboxCap, deltaCap,
+      "rdfsClosureQuadsEncoded")
+
+  private def rdfsDeltaQuadsCore(tboxSource: DataFrame, delta: DataFrame,
+                                 voc0: Voc, tboxCap: Int, deltaCap: Long,
+                                 rematName: String): DataFrame = {
+    val Seq(cs, cp, co, cg) = delta.columns.take(4).toSeq
+    val d0 = delta.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val d = pinCapped(d0, deltaCap, "rdfsDeltaQuads increment", rematName)
+    require(d.where(col("p").isin(voc0.tboxPreds: _*)).isEmpty,
+      "delta contains TBox statements - schema changes require " +
+        s"re-materialization ($rematName), not incremental maintenance")
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      voc0.tboxPreds, tboxCap)
+    val derived = rdfsDeriveQuads(tbox, d, resolveEmit(voc0, tbox),
+      includeTboxClosure = false)
     (d +: derived).reduce(_.unionAll(_)).distinct()
   }
 
@@ -310,8 +402,9 @@ object ReasonOps {
     * closure is one columnar scan. PlanSpec asserts the plan carries no
     * shuffle exchange.
     */
-  def incrementNovel(existing: DataFrame, increment: DataFrame): DataFrame = {
-    val raw = incrementNovelRaw(existing, increment)
+  def incrementNovel(existing: DataFrame, increment: DataFrame,
+                     deltaCap: Long = DefaultDeltaCap): DataFrame = {
+    val raw = incrementNovelRaw(existing, increment, deltaCap)
     // constraint-stripping RDD round-trip on the Δ-sized output: the
     // null-safe anti-join's constraints reference the dropped probe
     // attributes, and Spark 4.1's Union constraint rewrite throws
@@ -326,15 +419,20 @@ object ReasonOps {
   /** The novelty anti-join itself, pre the constraint-stripping
     * boundary — exposed for plan assertions. */
   private[graft] def incrementNovelRaw(existing: DataFrame,
-                                       increment: DataFrame): DataFrame = {
+                                       increment: DataFrame,
+                                       deltaCap: Long = DefaultDeltaCap)
+      : DataFrame = {
     val cols = increment.columns.toSeq
     val ex = existing.select(cols.map(col): _*)
     // round-trip BEFORE the pin: Dataset.localCheckpoint builds its
     // LogicalRDD via fromDataset, whose constraint rewrite throws on a
     // derivation increment's nested union constraints (same Spark 4.1
-    // issue as above); createDataFrame(rdd, schema) skips that path
-    val inc = increment.sparkSession
-      .createDataFrame(increment.rdd, increment.schema).localCheckpoint(true)
+    // issue as above); createDataFrame(rdd, schema) skips that path.
+    // The pin is capped: BOTH broadcasts below (the increment probe and
+    // the hit set, |hits| <= |inc|) are bounded by it.
+    val inc = pinCapped(increment.sparkSession
+        .createDataFrame(increment.rdd, increment.schema),
+      deltaCap, "incrementNovel increment", "the full closure")
     val probe = inc.toDF(cols.map("__i_" + _): _*)
     val condE = cols.map(c => col(c) <=> col("__i_" + c)).reduce(_ && _)
     val hits = ex.join(broadcast(probe), condE, "left_semi")
@@ -377,60 +475,110 @@ object ReasonOps {
     * `rdfsClosure(base − deletions)`.
     */
   def rdfsRetract(closure: DataFrame, base: DataFrame, deletions: DataFrame,
-                  typePred: String = "a", tboxCap: Int = 1 << 20): DataFrame =
-    rdfsRetractCore(closure, base, deletions, stringVoc(typePred), tboxCap,
-      "rdfsClosure")
+                  typePred: String = "a", tboxCap: Int = 1 << 20,
+                  deltaCap: Long = DefaultDeltaCap): DataFrame =
+    rdfsRetractCore(closure, base, deletions, stringVoc(typePred), None,
+      tboxCap, deltaCap, "rdfsClosure", hasGraph = false)
 
   /** [[rdfsRetract]] over ENCODED (long-id) relations. */
   def rdfsRetractEncoded(closure: DataFrame, base: DataFrame,
                          deletions: DataFrame, ids: RdfsIds,
-                         tboxCap: Int = 1 << 20): DataFrame =
-    rdfsRetractCore(closure, base, deletions, encVoc(ids), tboxCap,
-      "rdfsClosureEncoded")
+                         tboxCap: Int = 1 << 20,
+                         deltaCap: Long = DefaultDeltaCap): DataFrame =
+    rdfsRetractCore(closure, base, deletions, encVoc(ids), None, tboxCap,
+      deltaCap, "rdfsClosureEncoded", hasGraph = false)
 
+  /** [[rdfsRetract]] over a NAMED-GRAPH quad dataset — DRed maintenance
+    * of a PER-GRAPH closure ([[rdfsClosureQuads]]) through quad DELETEs.
+    * Single-premise rules never cross graphs, so the over-delete, the
+    * premise slab, and the survivor re-derivation all key on
+    * (term, graph): a deletion in one graph cannot kill — or resurrect —
+    * a derivation in another. The TBox is GLOBAL (`tboxSource`), and
+    * TBox deletions fail fast as on the triple path. Returns the
+    * maintained closure, set-equal to
+    * `rdfsClosureQuads(base − deletions, tboxSource)`.
+    */
+  def rdfsRetractQuads(closure: DataFrame, base: DataFrame,
+                       deletions: DataFrame, tboxSource: DataFrame,
+                       typePred: String = "a", tboxCap: Int = 1 << 20,
+                       deltaCap: Long = DefaultDeltaCap): DataFrame =
+    rdfsRetractCore(closure, base, deletions, stringVoc(typePred),
+      Some(tboxSource), tboxCap, deltaCap, "rdfsClosureQuads",
+      hasGraph = true)
+
+  /** [[rdfsRetractQuads]] over ENCODED (long-id) quad relations. */
+  def rdfsRetractQuadsEncoded(closure: DataFrame, base: DataFrame,
+                              deletions: DataFrame, tboxSource: DataFrame,
+                              ids: RdfsIds, tboxCap: Int = 1 << 20,
+                              deltaCap: Long = DefaultDeltaCap): DataFrame =
+    rdfsRetractCore(closure, base, deletions, encVoc(ids),
+      Some(tboxSource), tboxCap, deltaCap, "rdfsClosureQuadsEncoded",
+      hasGraph = true)
+
+  /** The shared DRed core, triple and quad shaped: on the quad path the
+    * graph column rides every key (null-safe — derivations in the
+    * default graph carry g = null) so retraction stays confined to each
+    * deletion's graph. The TBox comes from `tboxSource` when given (the
+    * quad contract: global schema relation) and from `base` otherwise.
+    */
   private def rdfsRetractCore(closure: DataFrame, base: DataFrame,
-                              deletions: DataFrame, voc0: Voc, tboxCap: Int,
-                              rematName: String): DataFrame = {
-    val Seq(ds, dp, do_) = deletions.columns.take(3).toSeq
-    val del = deletions
-      .select(col(ds).as("s"), col(dp).as("p"), col(do_).as("o"))
-      .localCheckpoint(true)
+                              deletions: DataFrame, voc0: Voc,
+                              tboxSource: Option[DataFrame], tboxCap: Int,
+                              deltaCap: Long, rematName: String,
+                              hasGraph: Boolean): DataFrame = {
+    val width = if (hasGraph) 4 else 3
+    val names = Seq("s", "p", "o", "g").take(width)
+    def norm(df: DataFrame): DataFrame =
+      df.select(df.columns.take(width).toSeq.zip(names)
+        .map { case (c, n) => col(c).as(n) }: _*)
+    // quad keys are (term, graph) — g null-safe for the default graph
+    def eqCond(cols: Seq[String], pfx: String) =
+      cols.map(c => if (c == "g") col(c) <=> col(pfx + c)
+                    else col(c) === col(pfx + c)).reduce(_ && _)
+    def anti(a: DataFrame, b: DataFrame): DataFrame = {
+      val probe = b.toDF(names.map("__x_" + _): _*)
+      a.join(broadcast(probe), eqCond(names, "__x_"), "left_anti")
+    }
+    def derive(df: DataFrame, tbox: Array[(Any, Any, Any)], voc: Voc) =
+      if (hasGraph) rdfsDeriveQuads(tbox, df, voc, includeTboxClosure = false)
+      else rdfsDerive(tbox, df, voc, includeTboxClosure = false)
+    val del = pinCapped(norm(deletions), deltaCap,
+      "retraction set", rematName)
     require(del.where(col("p").isin(voc0.tboxPreds: _*)).isEmpty,
       "deletions contain TBox statements - schema changes require " +
         s"re-materialization ($rematName), not incremental retraction")
-    val Seq(bs, bp, bo) = base.columns.take(3).toSeq
-    val b = base.select(col(bs).as("s"), col(bp).as("p"), col(bo).as("o"))
-    val tbox = collectTbox(b, voc0.tboxPreds, tboxCap)
+    val b = norm(base)
+    val tbox = collectTbox(tboxSource.map { ts =>
+        val Seq(xs, xp, xo) = ts.columns.take(3).toSeq
+        ts.select(col(xs).as("s"), col(xp).as("p"), col(xo).as("o"))
+      }.getOrElse(b.select("s", "p", "o")),
+      voc0.tboxPreds, tboxCap)
     val voc = resolveEmit(voc0, tbox)
-    // 1. over-delete: the deleted triples and every direct consequence
-    val over = (del +: rdfsDerive(tbox, del, voc, includeTboxClosure = false))
-      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
+    // 1. over-delete: the deleted rows and every direct consequence
+    val over = pinCapped(
+      (del +: derive(del, tbox, voc)).reduce(_.unionAll(_)).distinct(),
+      deltaCap, "over-delete set", rematName)
     // 2. candidate premise slab: remaining base rows sharing a subject
-    //    or object with an over-deleted SUBJECT (single-premise rules
-    //    only ever move a consequence's subject to its premise's subject
-    //    or object position) — two broadcast semi-joins, narrow scans
-    val keys = over.select(col("s").as("__k")).distinct()
-    val slab0 = b.join(broadcast(keys), col("s") === col("__k"), "left_semi")
-      .unionAll(b.join(broadcast(keys), col("o") === col("__k"), "left_semi"))
-    val delProbe = del.toDF("__d_s", "__d_p", "__d_o")
-    val slab = slab0.join(broadcast(delProbe),
-        col("s") === col("__d_s") && col("p") === col("__d_p") &&
-          col("o") === col("__d_o"), "left_anti")
-      .localCheckpoint(true)
+    //    or object with an over-deleted SUBJECT — in the SAME graph on
+    //    the quad path (single-premise rules only ever move a
+    //    consequence's subject to its premise's subject or object
+    //    position, and never across graphs) — broadcast semi-joins,
+    //    narrow scans
+    val keyCols = if (hasGraph) Seq("s", "g") else Seq("s")
+    val keys = over.select(keyCols.map(c => col(c).as("__k_" + c)): _*)
+      .distinct()
+    def semiOn(pos: String): DataFrame = {
+      val cond = (col(pos) === col("__k_s")) +:
+        (if (hasGraph) Seq(col("g") <=> col("__k_g")) else Nil)
+      b.join(broadcast(keys), cond.reduce(_ && _), "left_semi")
+    }
+    val slab = pinCapped(anti(semiOn("s").unionAll(semiOn("o")), del),
+      deltaCap, "premise slab (fan-in of the over-delete)", rematName)
     // 3. survivors re-derive from the slab; R = over-deleted minus them
-    val rederived = (slab +: rdfsDerive(tbox, slab, voc,
-      includeTboxClosure = false)).reduce(_.unionAll(_))
-      .toDF("__r_s", "__r_p", "__r_o")
-    val removal = over.join(broadcast(rederived),
-        col("s") === col("__r_s") && col("p") === col("__r_p") &&
-          col("o") === col("__r_o"), "left_anti")
-      .toDF("__x_s", "__x_p", "__x_o")
+    val rederived = (slab +: derive(slab, tbox, voc)).reduce(_.unionAll(_))
+    val removal = anti(over, rederived)
     // 4. the closure streams through one broadcast anti-join — no shuffle
-    val Seq(zs, zp, zo) = closure.columns.take(3).toSeq
-    closure.select(col(zs).as("s"), col(zp).as("p"), col(zo).as("o"))
-      .join(broadcast(removal),
-        col("s") === col("__x_s") && col("p") === col("__x_p") &&
-          col("o") === col("__x_o"), "left_anti")
+    anti(norm(closure), removal)
   }
 
   /** STREAMING RDFS materialization: [[rdfsDelta]] over a live triple
@@ -726,8 +874,15 @@ object ReasonOps {
     * quadratic in a component); that is inherent to materialization,
     * not the algorithm. Self-loops are dropped (irreflexive closure).
     */
+  /** Count of fixpoint derivations STARTED (one per [[transitiveClosure]]
+    * call) — lets specs assert that a lazily-entailed relation restricted
+    * to non-transitive predicates ([[owlEntailed]]) runs NO fixpoint.
+    */
+  private[graft] val fixpointRuns = new java.util.concurrent.atomic.AtomicLong(0)
+
   def transitiveClosure(edges: DataFrame, maxRounds: Int = 16,
                         groupCols: Seq[String] = Nil): DataFrame = {
+    fixpointRuns.incrementAndGet()
     // groupCols partition the closure (e.g. a named-graph column):
     // chains only extend WITHIN a group — the squaring join adds the
     // group columns to its key, so per-group reachability never leaks
@@ -855,73 +1010,125 @@ object ReasonOps {
                                   inverseOf: Any, symmetricProperty: Any,
                                   transitiveProperty: Any, typePred: Any,
                                   tboxCap: Int): DataFrame = {
-    val spark = quads.sparkSession
     val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
     val q = quads.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"), col(cg).as("g")).localCheckpoint(true)
     val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
       symmetricProperty, transitiveProperty, typePred, tboxCap)
-    val dt = q.schema.fields.head.dataType
-    def invSym(rel: DataFrame): Seq[DataFrame] = {
-      val buf = scala.collection.mutable.ListBuffer[DataFrame]()
-      if (inv.nonEmpty)
-        buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q2", dt)), "p")
-          .select(col("o").as("s"), col("q2").as("p"),
-            col("s").as("o"), col("g"))
-      if (sym.nonEmpty)
-        buf += rel.where(col("p").isin(sym: _*))
-          .select(col("o").as("s"), col("p"), col("s").as("o"), col("g"))
-      buf.toSeq
-    }
-    val pass1 = invSym(q)
-    val withInv = (q +: pass1).reduce(_.unionAll(_))
-    val closed = trans.map { pp =>
-      val edges = withInv.where(col("p") === pp).select("s", "o", "g")
-      transitiveClosure(edges, groupCols = Seq("g"))
-        .select(col("a").as("s"), lit(pp).as("p"), col("b").as("o"), col("g"))
-    }
-    val pass2 = closed.flatMap(invSym)
-    (Seq(withInv) ++ closed ++ pass2).reduce(_.unionAll(_)).distinct()
+    owlCloseCore(q, inv, sym, trans, hasGraph = true)
   }
 
   private def owlClosureCore(triples: DataFrame, inverseOf: Any,
                              symmetricProperty: Any, transitiveProperty: Any,
                              typePred: Any, tboxCap: Int): DataFrame = {
-    val spark = triples.sparkSession
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    val dt = t.schema.fields.head.dataType
     val (inv, sym, trans) = owlDecls(t, inverseOf, symmetricProperty,
       transitiveProperty, typePred, tboxCap)
+    owlCloseCore(t, inv, sym, trans, hasGraph = false)
+  }
 
-    // one inverse + symmetric derivation pass over a triple set
-    def invSym(rel: DataFrame): Seq[DataFrame] = {
-      val buf = scala.collection.mutable.ListBuffer[DataFrame]()
-      if (inv.nonEmpty)
-        buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q", dt)), "p")
-          .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
-      if (sym.nonEmpty)
-        buf += rel.where(col("p").isin(sym: _*))
-          .select(col("o").as("s"), col("p"), col("s").as("o"))
-      buf.toSeq
+  /** One inverse + symmetric derivation pass over a triple or quad
+    * relation (both rules are single-premise, so the graph column — when
+    * present — is carried untouched: derivations land in their premise's
+    * graph).
+    */
+  private def owlInvSym(rel: DataFrame, inv: Seq[(Any, Any)], sym: Seq[Any],
+                        hasGraph: Boolean): Seq[DataFrame] = {
+    val spark = rel.sparkSession
+    val dt = rel.schema.fields.head.dataType
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    val buf = scala.collection.mutable.ListBuffer[DataFrame]()
+    if (inv.nonEmpty)
+      buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q2", dt)), "p")
+        .select(Seq(col("o").as("s"), col("q2").as("p"),
+          col("s").as("o")) ++ gsel: _*)
+    if (sym.nonEmpty)
+      buf += rel.where(col("p").isin(sym: _*))
+        .select(Seq(col("o").as("s"), col("p"), col("s").as("o")) ++ gsel: _*)
+    buf.toSeq
+  }
+
+  /** The OWL property-rule passes over a relation given collected
+    * declarations — shared by the triple/quad/encoded closures, the
+    * lazy entailment relation, and the retraction fallback:
+    *
+    *   - pass 1: inverse/symmetric over the input, so derived edges
+    *     join chains;
+    *   - each declared transitive property closes over ITS edge set by
+    *     iterated squaring (PER GRAPH on the quad path: the squaring
+    *     join keys on the graph column, chains never cross graphs);
+    *   - pass 2: inverse/symmetric of the closure-derived edges. This
+    *     is the fixpoint for the declared rules:
+    *     closure(inverse(S)) = inverse(closure(S)), so a transitive q
+    *     already subsumes its pass-2 rows, and a non-transitive q gains
+    *     exactly inverse(closure(p)) — nothing feeds back.
+    */
+  private def owlCloseCore(rel: DataFrame, inv: Seq[(Any, Any)],
+                           sym: Seq[Any], trans: Seq[Any],
+                           hasGraph: Boolean): DataFrame = {
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    val pass1 = owlInvSym(rel, inv, sym, hasGraph)
+    val withInv = (rel +: pass1).reduce(_.unionAll(_))
+    val closed = trans.map { pp =>
+      val edges = withInv.where(col("p") === pp)
+        .select(Seq(col("s"), col("o")) ++ gsel: _*)
+      transitiveClosure(edges, groupCols = if (hasGraph) Seq("g") else Nil)
+        .select(Seq(col("a").as("s"), lit(pp).as("p"),
+          col("b").as("o")) ++ gsel: _*)
     }
-    // pass 1: inverse/symmetric over base, so derived edges join chains
-    val pass1 = invSym(t)
-    val withInv = (t +: pass1).reduce(_.unionAll(_))
-    // each declared transitive property closes over ITS edge set
-    val closed = trans.map { p =>
-      val edges = withInv.where(col("p") === p).select("s", "o")
-      transitiveClosure(edges)
-        .select(col("a").as("s"), lit(p).as("p"), col("b").as("o"))
-    }
-    // pass 2: inverse/symmetric of CLOSURE-derived edges (the inverse of
-    // a closed chain). This is the fixpoint for the declared rules:
-    // closure(inverse(S)) = inverse(closure(S)), so a transitive q
-    // already subsumes its pass-2 rows, and a non-transitive q gains
-    // exactly inverse(closure(p)) — nothing feeds back.
-    val pass2 = closed.flatMap(invSym)
+    val pass2 = closed.flatMap(c => owlInvSym(c, inv, sym, hasGraph))
     (Seq(withInv) ++ closed ++ pass2).reduce(_.unionAll(_)).distinct()
   }
+
+  /** QUERY-TIME OWL entailment: the property-rule closure as a LAZY
+    * relation, the [[rdfsEntailed]] analog — nothing is pinned up front,
+    * and the inverse/symmetric legs are pure broadcast-join rewrites
+    * Catalyst specializes per pattern (a constant-predicate filter
+    * pushes into the inverse pair table and down to the base scan, and
+    * non-matching legs constant-fold away). Transitive properties still
+    * DERIVE (a fixpoint cannot be expressed lazily), but only the
+    * slices a query can touch: `patternPreds` — the predicate constants
+    * the caller's patterns mention — prunes the squaring rounds to the
+    * declared transitive properties among them (plus those whose
+    * INVERSE is mentioned: pass 2 exposes inverse(closure(p)) under the
+    * inverse predicate). With `patternPreds` given, the relation is
+    * exact FOR THOSE predicates (and for every non-transitive one);
+    * unlisted transitive slices are under-derived — the price of
+    * skipping their fixpoints. Empty `patternPreds` (the default)
+    * closes everything and is exact everywhere.
+    */
+  def owlEntailed(triples: DataFrame, typePred: String = "a",
+                  tboxCap: Int = 1 << 20,
+                  patternPreds: Seq[Any] = Nil): DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val (inv, sym, trans) = owlDecls(t, InverseOf, SymmetricProperty,
+      TransitiveProperty, typePred, tboxCap)
+    owlCloseCore(t, inv, sym, transNeeded(trans, inv, patternPreds),
+      hasGraph = false)
+  }
+
+  /** [[owlEntailed]] over an ENCODED (long-id) triple relation. */
+  def owlEntailedEncoded(encTriples: DataFrame, ids: OwlIds,
+                         tboxCap: Int = 1 << 20,
+                         patternPreds: Seq[Any] = Nil): DataFrame = {
+    val Seq(cs, cp, co) = encTriples.columns.take(3).toSeq
+    val t = encTriples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val (inv, sym, trans) = owlDecls(t, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
+    owlCloseCore(t, inv, sym, transNeeded(trans, inv, patternPreds),
+      hasGraph = false)
+  }
+
+  /** The transitive properties a pattern-predicate set can observe:
+    * the mentioned ones, plus those whose inverse is mentioned. */
+  private def transNeeded(trans: Seq[Any], inv: Seq[(Any, Any)],
+                          patternPreds: Seq[Any]): Seq[Any] =
+    if (patternPreds.isEmpty) trans
+    else trans.filter(p => patternPreds.contains(p) ||
+      inv.exists { case (a, b) => a == p && patternPreds.contains(b) })
 
   /** INCREMENTAL OWL maintenance, the O(|Δ|) twin of [[owlClosure]]:
     * given the EXISTING materialized closure and a batch of new edges,
@@ -949,73 +1156,108 @@ object ReasonOps {
     * `owlClosure(base ∪ Δ) == composeIncrement(owlClosure(base), owlDelta(owlClosure(base), Δ, decls))`.
     */
   def owlDelta(closure: DataFrame, delta: DataFrame, tboxSource: DataFrame,
-               typePred: String = "a", tboxCap: Int = 1 << 20): DataFrame =
+               typePred: String = "a", tboxCap: Int = 1 << 20,
+               deltaCap: Long = DefaultDeltaCap): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, InverseOf, SymmetricProperty,
-      TransitiveProperty, typePred, tboxCap)
+      TransitiveProperty, typePred, tboxCap, deltaCap, hasGraph = false)
 
   /** [[owlDelta]] over ENCODED (long-id) relations. */
   def owlDeltaEncoded(closure: DataFrame, delta: DataFrame,
                       tboxSource: DataFrame, ids: OwlIds,
-                      tboxCap: Int = 1 << 20): DataFrame =
+                      tboxCap: Int = 1 << 20,
+                      deltaCap: Long = DefaultDeltaCap): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, ids.inverseOf,
-      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
+      deltaCap, hasGraph = false)
+
+  /** [[owlDelta]] over a NAMED-GRAPH quad dataset — O(|Δ|) maintenance
+    * of a PER-GRAPH closure ([[owlClosureQuads]]): inverse/symmetric
+    * stay single-premise (graph carried), and each transitive
+    * property's bridge set composes WITHIN a graph — the bridge joins
+    * and the bridge-set squaring all key on the graph column, so new
+    * chains never cross graphs and the per-graph existing path set is
+    * only ever scanned against broadcast probes.
+    */
+  def owlDeltaQuads(closure: DataFrame, delta: DataFrame,
+                    tboxSource: DataFrame, typePred: String = "a",
+                    tboxCap: Int = 1 << 20,
+                    deltaCap: Long = DefaultDeltaCap): DataFrame =
+    owlDeltaCore(closure, delta, tboxSource, InverseOf, SymmetricProperty,
+      TransitiveProperty, typePred, tboxCap, deltaCap, hasGraph = true)
+
+  /** [[owlDeltaQuads]] over ENCODED (long-id) quad relations. */
+  def owlDeltaQuadsEncoded(closure: DataFrame, delta: DataFrame,
+                           tboxSource: DataFrame, ids: OwlIds,
+                           tboxCap: Int = 1 << 20,
+                           deltaCap: Long = DefaultDeltaCap): DataFrame =
+    owlDeltaCore(closure, delta, tboxSource, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
+      deltaCap, hasGraph = true)
 
   private def owlDeltaCore(closure: DataFrame, delta: DataFrame,
                            tboxSource: DataFrame, inverseOf: Any,
                            symmetricProperty: Any, transitiveProperty: Any,
-                           typePred: Any, tboxCap: Int): DataFrame = {
-    val spark = delta.sparkSession
-    val Seq(cs, cp, co) = delta.columns.take(3).toSeq
-    val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-      .localCheckpoint(true)
+                           typePred: Any, tboxCap: Int, deltaCap: Long,
+                           hasGraph: Boolean): DataFrame = {
+    val width = if (hasGraph) 4 else 3
+    val names = Seq("s", "p", "o", "g").take(width)
+    def norm(df: DataFrame): DataFrame =
+      df.select(df.columns.take(width).toSeq.zip(names)
+        .map { case (c, n) => col(c).as(n) }: _*)
+    val remat = if (hasGraph) "owlClosureQuads" else "owlClosure"
+    val d0 = pinCapped(norm(delta), deltaCap, "owlDelta increment", remat)
     require(d0.where(col("p") === inverseOf ||
         (col("p") === typePred &&
           col("o").isin(symmetricProperty, transitiveProperty))).isEmpty,
       "delta contains OWL property declarations - schema changes require " +
-        "re-materialization (owlClosure), not incremental maintenance")
+        s"re-materialization ($remat), not incremental maintenance")
     val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
       symmetricProperty, transitiveProperty, typePred, tboxCap)
-    val Seq(zs, zp, zo) = closure.columns.take(3).toSeq
-    val e = closure.select(col(zs).as("s"), col(zp).as("p"), col(zo).as("o"))
-    val dt = d0.schema.fields.head.dataType
-    def invSym(rel: DataFrame): Seq[DataFrame] = {
-      val buf = scala.collection.mutable.ListBuffer[DataFrame]()
-      if (inv.nonEmpty)
-        buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q", dt)), "p")
-          .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
-      if (sym.nonEmpty)
-        buf += rel.where(col("p").isin(sym: _*))
-          .select(col("o").as("s"), col("p"), col("s").as("o"))
-      buf.toSeq
-    }
+    val e = norm(closure)
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    // graph-confined composition: paths only extend within a graph
+    def gEq(pfx: String) =
+      if (hasGraph) Seq(col("g") <=> col(pfx + "g")) else Nil
     // pass 1 over the delta only — single-premise rules need no context
-    val d1 = (d0 +: invSym(d0)).reduce(_.unionAll(_)).distinct()
-      .localCheckpoint(true)
+    val d1 = pinCapped(
+      (d0 +: owlInvSym(d0, inv, sym, hasGraph)).reduce(_.unionAll(_))
+        .distinct(),
+      deltaCap, "owlDelta inverse/symmetric pass", remat)
     // per transitive property: bridge set B = D ∪ (E ⋈ D), close B by
-    // squaring (|Δ|-sized), then one existing suffix — E only streams
-    // against broadcast probes
+    // squaring (|Δ|-sized, per graph when hasGraph), then one existing
+    // suffix — E only streams against broadcast probes
     val newClosed = trans.map { pp =>
-      val dEdges = d1.where(col("p") === pp).select(col("s").as("a"),
-        col("o").as("b")).where(col("a") =!= col("b")).distinct()
-        .localCheckpoint(true)
+      val dEdges = pinCapped(
+        d1.where(col("p") === pp)
+          .select(Seq(col("s").as("a"), col("o").as("b")) ++ gsel: _*)
+          .where(col("a") =!= col("b")).distinct(),
+        deltaCap, "owlDelta new-edge set", remat)
       val ePaths = e.where(col("p") === pp)
-        .select(col("s").as("a"), col("o").as("b"))
-      val dProbe = dEdges.toDF("__d_a", "__d_b")
+        .select(Seq(col("s").as("a"), col("o").as("b")) ++ gsel: _*)
+      val dProbe = dEdges.toDF(
+        Seq("__d_a", "__d_b") ++ (if (hasGraph) Seq("__d_g") else Nil): _*)
       val bridge = dEdges.unionAll(
-          ePaths.join(broadcast(dProbe), col("b") === col("__d_a"))
-            .select(col("a"), col("__d_b").as("b")))
+          ePaths.join(broadcast(dProbe),
+            (Seq(col("b") === col("__d_a")) ++ gEq("__d_")).reduce(_ && _))
+            .select(Seq(col("a"), col("__d_b").as("b")) ++ gsel: _*))
         .where(col("a") =!= col("b")).distinct()
-      val bPlus = transitiveClosure(bridge).localCheckpoint(true)
-      val bProbe = bPlus.toDF("__b_a", "__b_b")
+      val bPlus = pinCapped(
+        transitiveClosure(bridge,
+          groupCols = if (hasGraph) Seq("g") else Nil),
+        deltaCap, "owlDelta closed bridge set", remat)
+      val bProbe = bPlus.toDF(
+        Seq("__b_a", "__b_b") ++ (if (hasGraph) Seq("__b_g") else Nil): _*)
       val withSuffix = bPlus.unionAll(
           e.where(col("p") === pp)
-            .join(broadcast(bProbe), col("s") === col("__b_b"))
-            .select(col("__b_a").as("a"), col("o").as("b")))
+            .join(broadcast(bProbe),
+              (Seq(col("s") === col("__b_b")) ++ gEq("__b_")).reduce(_ && _))
+            .select(Seq(col("__b_a").as("a"), col("o").as("b")) ++ gsel: _*))
         .where(col("a") =!= col("b")).distinct()
-      withSuffix.select(col("a").as("s"), lit(pp).as("p"), col("b").as("o"))
+      withSuffix.select(Seq(col("a").as("s"), lit(pp).as("p"),
+        col("b").as("o")) ++ gsel: _*)
     }
     // pass 2: inverses/symmetric of the new closed chains
-    val pass2 = newClosed.flatMap(invSym)
+    val pass2 = newClosed.flatMap(c => owlInvSym(c, inv, sym, hasGraph))
     (Seq(d1) ++ newClosed ++ pass2).reduce(_.unionAll(_)).distinct()
   }
 
@@ -1049,140 +1291,242 @@ object ReasonOps {
     */
   def owlRetract(closure: DataFrame, base: DataFrame, deletions: DataFrame,
                  tboxSource: DataFrame, typePred: String = "a",
-                 tboxCap: Int = 1 << 20, maxRounds: Int = 16): DataFrame =
+                 tboxCap: Int = 1 << 20, maxRounds: Int = 16,
+                 deltaCap: Long = DefaultDeltaCap): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, InverseOf,
-      SymmetricProperty, TransitiveProperty, typePred, tboxCap, maxRounds)
+      SymmetricProperty, TransitiveProperty, typePred, tboxCap, maxRounds,
+      deltaCap, hasGraph = false)
 
   /** [[owlRetract]] over ENCODED (long-id) relations. */
   def owlRetractEncoded(closure: DataFrame, base: DataFrame,
                         deletions: DataFrame, tboxSource: DataFrame,
                         ids: OwlIds, tboxCap: Int = 1 << 20,
-                        maxRounds: Int = 16): DataFrame =
+                        maxRounds: Int = 16,
+                        deltaCap: Long = DefaultDeltaCap): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
-      maxRounds)
+      maxRounds, deltaCap, hasGraph = false)
+
+  /** [[owlRetract]] over a NAMED-GRAPH quad dataset — DRed maintenance
+    * of a PER-GRAPH closure ([[owlClosureQuads]]) through quad DELETEs:
+    * the over-delete path joins, the survivor frontier, and every
+    * removal probe key on the graph column (null-safe for the default
+    * graph), so a deletion in one graph never disturbs another's
+    * chains. Same declarations contract as [[owlDeltaQuads]].
+    */
+  def owlRetractQuads(closure: DataFrame, base: DataFrame,
+                      deletions: DataFrame, tboxSource: DataFrame,
+                      typePred: String = "a", tboxCap: Int = 1 << 20,
+                      maxRounds: Int = 16,
+                      deltaCap: Long = DefaultDeltaCap): DataFrame =
+    owlRetractCore(closure, base, deletions, tboxSource, InverseOf,
+      SymmetricProperty, TransitiveProperty, typePred, tboxCap, maxRounds,
+      deltaCap, hasGraph = true)
+
+  /** [[owlRetractQuads]] over ENCODED (long-id) quad relations. */
+  def owlRetractQuadsEncoded(closure: DataFrame, base: DataFrame,
+                             deletions: DataFrame, tboxSource: DataFrame,
+                             ids: OwlIds, tboxCap: Int = 1 << 20,
+                             maxRounds: Int = 16,
+                             deltaCap: Long = DefaultDeltaCap): DataFrame =
+    owlRetractCore(closure, base, deletions, tboxSource, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
+      maxRounds, deltaCap, hasGraph = true)
+
+  /** Control-flow escape for the survivor frontier: thrown (stackless)
+    * when the fixpoint exceeds `maxRounds`, caught by the core to FALL
+    * BACK to re-materializing the remaining base — always correct, just
+    * not incremental — instead of failing a legitimate retraction.
+    */
+  private object RetractNonConvergence
+    extends Exception(null, null, false, false)
 
   private def owlRetractCore(closure: DataFrame, base: DataFrame,
                              deletions: DataFrame, tboxSource: DataFrame,
                              inverseOf: Any, symmetricProperty: Any,
                              transitiveProperty: Any, typePred: Any,
-                             tboxCap: Int, maxRounds: Int): DataFrame = {
-    val spark = deletions.sparkSession
-    def spo(df: DataFrame): DataFrame = {
-      val Seq(cs, cp, co) = df.columns.take(3).toSeq
-      df.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+                             tboxCap: Int, maxRounds: Int, deltaCap: Long,
+                             hasGraph: Boolean): DataFrame = {
+    val width = if (hasGraph) 4 else 3
+    val names = Seq("s", "p", "o", "g").take(width)
+    val abNames = Seq("a", "b") ++ (if (hasGraph) Seq("g") else Nil)
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    val remat = if (hasGraph) "owlClosureQuads" else "owlClosure"
+    def norm(df: DataFrame): DataFrame =
+      df.select(df.columns.take(width).toSeq.zip(names)
+        .map { case (c, n) => col(c).as(n) }: _*)
+    def gEq(pfx: String) =
+      if (hasGraph) Seq(col("g") <=> col(pfx + "g")) else Nil
+    def rowAnti(a: DataFrame, b: DataFrame): DataFrame = {
+      val probe = b.toDF(names.map("__x_" + _): _*)
+      a.join(broadcast(probe),
+        (Seq(col("s") === col("__x_s"), col("p") === col("__x_p"),
+          col("o") === col("__x_o")) ++ gEq("__x_")).reduce(_ && _),
+        "left_anti")
     }
-    val del = spo(deletions).localCheckpoint(true)
+    val del = pinCapped(norm(deletions), deltaCap, "retraction set", remat)
     require(del.where(col("p") === inverseOf ||
         (col("p") === typePred &&
           col("o").isin(symmetricProperty, transitiveProperty))).isEmpty,
       "deletions contain OWL property declarations - schema changes " +
-        "require re-materialization (owlClosure), not incremental retraction")
+        s"require re-materialization ($remat), not incremental retraction")
     val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
       symmetricProperty, transitiveProperty, typePred, tboxCap)
-    val e = spo(closure)
-    val dt = del.schema.fields.head.dataType
-    def invSym(rel: DataFrame): Seq[DataFrame] = {
-      val buf = scala.collection.mutable.ListBuffer[DataFrame]()
-      if (inv.nonEmpty)
-        buf += rel.join(broadcast(pairDfAny(spark, inv, "p", "q", dt)), "p")
-          .select(col("o").as("s"), col("q").as("p"), col("s").as("o"))
-      if (sym.nonEmpty)
-        buf += rel.where(col("p").isin(sym: _*))
-          .select(col("o").as("s"), col("p"), col("s").as("o"))
-      buf.toSeq
-    }
-    def tripleAnti(a: DataFrame, b: DataFrame): DataFrame = {
-      val probe = b.toDF("__x_s", "__x_p", "__x_o")
-      a.join(broadcast(probe),
-        col("s") === col("__x_s") && col("p") === col("__x_p") &&
-          col("o") === col("__x_o"), "left_anti")
-    }
-    val baseRem = tripleAnti(spo(base), del)
-    // 1. over-delete: deleted edges + single-premise images ...
-    val dDirect = (del +: invSym(del)).reduce(_.unionAll(_)).distinct()
-      .localCheckpoint(true)
-    // ... + per transitive property, all paths through a deleted edge
-    val oPs: Seq[(Any, DataFrame)] = trans.map { pp =>
-      val dp = dDirect.where(col("p") === pp)
-        .select(col("s").as("a"), col("o").as("b"))
-      val ep = e.where(col("p") === pp).select(col("s").as("a"), col("o").as("b"))
-      val dProbe = dp.toDF("__d_a", "__d_b")
-      val lPre = dp.unionAll(
-          ep.join(broadcast(dProbe), col("b") === col("__d_a"))
-            .select(col("a"), col("__d_b").as("b")))
-        .distinct().localCheckpoint(true)
-      val lProbe = lPre.toDF("__l_a", "__l_b")
-      val op = lPre.unionAll(
-          ep.join(broadcast(lProbe), col("a") === col("__l_b"))
-            .select(col("__l_a").as("a"), col("b")))
-        .where(col("a") =!= col("b")).distinct().localCheckpoint(true)
-      (pp, op)
-    }
-    def opRows(pp: Any, op: DataFrame): DataFrame =
-      op.select(col("a").as("s"), lit(pp).as("p"), col("b").as("o"))
-    val oAll = (dDirect +:
-      (oPs.map { case (pp, op) => opRows(pp, op) } ++
-        oPs.flatMap { case (pp, op) => invSym(opRows(pp, op)) }))
-      .reduce(_.unionAll(_)).distinct().localCheckpoint(true)
-    // 2. survivors: frontier reachability per transitive property over
-    //    certain pairs + remaining base edges, sources = over-deleted
-    val fPs: Seq[(Any, DataFrame)] = oPs.map { case (pp, op) =>
-      val oProbe = op.toDF("__o_a", "__o_b")
-      val certain = e.where(col("p") === pp)
-        .select(col("s").as("a"), col("o").as("b"))
-        .join(broadcast(oProbe),
-          col("a") === col("__o_a") && col("b") === col("__o_b"), "left_anti")
-      val bNew = (baseRem.where(col("p") === pp).select("s", "o") +:
-        invSym(baseRem).map(_.where(col("p") === pp).select("s", "o")))
-        .reduce(_.unionAll(_)).toDF("a", "b")
-      val srcs = op.select(col("a")).distinct().toDF("__src")
-      def fromSrcs(rel: DataFrame): DataFrame =
-        rel.join(broadcast(srcs), col("a") === col("__src"), "left_semi")
-      var f = graft.Pins.checkpointLazy(
-        fromSrcs(certain).unionAll(fromSrcs(bNew))
-          .where(col("a") =!= col("b")).distinct())
-      var n = f.count()
-      var round = 0
-      var done = n == 0
-      while (!done) {
-        round += 1
-        require(round <= maxRounds,
-          s"owlRetract survivor re-derivation did not converge in " +
-            s"$maxRounds rounds")
-        val fProbe = f.toDF("__f_a", "__f_b")
-        def extend(rel: DataFrame): DataFrame =
-          rel.join(broadcast(fProbe), col("a") === col("__f_b"))
-            .select(col("__f_a").as("a"), col("b"))
-        val next = graft.Pins.checkpointLazy(
-          f.unionAll(extend(certain)).unionAll(extend(bNew))
-            .where(col("a") =!= col("b")).distinct())
-        val m = next.count()
-        done = m == n
-        f = next; n = m
+    val e = norm(closure)
+    val baseRem = rowAnti(norm(base), del)
+    try {
+      // 1. over-delete: deleted edges + single-premise images ...
+      val dDirect = pinCapped(
+        (del +: owlInvSym(del, inv, sym, hasGraph)).reduce(_.unionAll(_))
+          .distinct(),
+        deltaCap, "over-delete direct images", remat)
+      // ... + per transitive property, all paths through a deleted edge
+      // (within the edge's graph on the quad path)
+      val oPs: Seq[(Any, DataFrame)] = trans.map { pp =>
+        val dp = dDirect.where(col("p") === pp)
+          .select(Seq(col("s").as("a"), col("o").as("b")) ++ gsel: _*)
+        val ep = e.where(col("p") === pp)
+          .select(Seq(col("s").as("a"), col("o").as("b")) ++ gsel: _*)
+        val dProbe = dp.toDF(abNames.map("__d_" + _): _*)
+        val lPre = pinCapped(dp.unionAll(
+            ep.join(broadcast(dProbe),
+              (Seq(col("b") === col("__d_a")) ++ gEq("__d_")).reduce(_ && _))
+              .select(Seq(col("a"), col("__d_b").as("b")) ++ gsel: _*))
+          .distinct(), deltaCap, "paths into a deleted edge", remat)
+        val lProbe = lPre.toDF(abNames.map("__l_" + _): _*)
+        val op = pinCapped(lPre.unionAll(
+            ep.join(broadcast(lProbe),
+              (Seq(col("a") === col("__l_b")) ++ gEq("__l_")).reduce(_ && _))
+              .select(Seq(col("__l_a").as("a"), col("b")) ++ gsel: _*))
+          .where(col("a") =!= col("b")).distinct(),
+          deltaCap, "paths through a deleted edge", remat)
+        (pp, op)
       }
-      (pp, f)
-    }
-    // 3. removal = over-deletion minus everything re-derivable: remaining
-    //    base + its single-premise images + per-p surviving reach pairs
-    //    + their images — evaluated as one streamed semi against the
-    //    broadcast over-deletion, then the closure anti-joins the
-    //    removal (never shuffling)
-    val validLegs: Seq[DataFrame] =
-      (baseRem +: invSym(baseRem)) ++
-        fPs.flatMap { case (pp, f) =>
-          val rows = opRows(pp, f.select(col("a"), col("b")))
-          rows +: invSym(rows)
+      def opRows(pp: Any, op: DataFrame): DataFrame =
+        op.select(Seq(col("a").as("s"), lit(pp).as("p"),
+          col("b").as("o")) ++ gsel: _*)
+      val oAll = pinCapped((dDirect +:
+          (oPs.map { case (pp, op) => opRows(pp, op) } ++
+            oPs.flatMap { case (pp, op) =>
+              owlInvSym(opRows(pp, op), inv, sym, hasGraph) }))
+          .reduce(_.unionAll(_)).distinct(),
+        deltaCap, "over-delete set", remat)
+      // 2. survivors: frontier reachability per transitive property over
+      //    certain pairs + remaining base edges, sources = over-deleted.
+      //    The frontier SQUARES each round (f extends by f as well as by
+      //    one more certain/base segment), so round count is LOGARITHMIC
+      //    in the longest rerouted path — the transitiveClosure shape —
+      //    instead of linear in how often a reroute leaves the certain
+      //    region. Non-convergence inside maxRounds falls back to
+      //    re-materialization (always correct) rather than failing.
+      val fPs: Seq[(Any, DataFrame)] = oPs.map { case (pp, op) =>
+        val oProbe = op.toDF(abNames.map("__o_" + _): _*)
+        val certain = e.where(col("p") === pp)
+          .select(Seq(col("s").as("a"), col("o").as("b")) ++ gsel: _*)
+          .join(broadcast(oProbe),
+            (Seq(col("a") === col("__o_a"), col("b") === col("__o_b")) ++
+              gEq("__o_")).reduce(_ && _), "left_anti")
+        val bNew = (baseRem.where(col("p") === pp)
+            .select(Seq(col("s"), col("o")) ++ gsel: _*) +:
+          owlInvSym(baseRem, inv, sym, hasGraph).map(
+            _.where(col("p") === pp)
+              .select(Seq(col("s"), col("o")) ++ gsel: _*)))
+          .reduce(_.unionAll(_)).toDF(abNames: _*)
+        val srcs = op.select(Seq(col("a").as("__src")) ++
+          (if (hasGraph) Seq(col("g").as("__src_g")) else Nil): _*)
+          .distinct()
+        def fromSrcs(rel: DataFrame): DataFrame =
+          rel.join(broadcast(srcs),
+            (Seq(col("a") === col("__src")) ++
+              (if (hasGraph) Seq(col("g") <=> col("__src_g")) else Nil))
+              .reduce(_ && _), "left_semi")
+        var f = graft.Pins.checkpointLazy(
+          fromSrcs(certain).unionAll(fromSrcs(bNew))
+            .where(col("a") =!= col("b")).distinct())
+        var n = f.count()
+        var round = 0
+        var done = n == 0
+        while (!done) {
+          round += 1
+          // the frontier is BROADCAST each round — an oversized one
+          // (dense reachability from the over-deleted sources) is the
+          // same driver hazard as an oversized delta: fall back
+          if (round > maxRounds || n > deltaCap) throw RetractNonConvergence
+          val fProbe = f.toDF(abNames.map("__f_" + _): _*)
+          def extend(rel: DataFrame): DataFrame =
+            rel.join(broadcast(fProbe),
+              (Seq(col("a") === col("__f_b")) ++ gEq("__f_"))
+                .reduce(_ && _))
+              .select(Seq(col("__f_a").as("a"), col("b")) ++ gsel: _*)
+          val next = graft.Pins.checkpointLazy(
+            f.unionAll(extend(certain)).unionAll(extend(bNew))
+              .unionAll(extend(f)) // squaring: logarithmic rounds
+              .where(col("a") =!= col("b")).distinct())
+          val m = next.count()
+          done = m == n
+          f = next; n = m
         }
-    val oProbe = oAll.toDF("__q_s", "__q_p", "__q_o")
-    val hits = validLegs.reduce(_.unionAll(_))
-      .join(broadcast(oProbe),
-        col("s") === col("__q_s") && col("p") === col("__q_p") &&
-          col("o") === col("__q_o"), "left_semi")
-      .distinct().localCheckpoint(true)
-    val removal = tripleAnti(oAll, hits)
-    tripleAnti(e, removal)
+        (pp, f)
+      }
+      // 3. removal = over-deletion minus everything re-derivable:
+      //    remaining base + its single-premise images + per-p surviving
+      //    reach pairs + their images — evaluated as one streamed semi
+      //    against the broadcast over-deletion, then the closure
+      //    anti-joins the removal (never shuffling)
+      val validLegs: Seq[DataFrame] =
+        (baseRem +: owlInvSym(baseRem, inv, sym, hasGraph)) ++
+          fPs.flatMap { case (pp, f) =>
+            val rows = opRows(pp,
+              f.select(Seq(col("a"), col("b")) ++ gsel: _*))
+            rows +: owlInvSym(rows, inv, sym, hasGraph)
+          }
+      val oProbe = oAll.toDF(names.map("__q_" + _): _*)
+      val hits = pinCapped(validLegs.reduce(_.unionAll(_))
+          .join(broadcast(oProbe),
+            (Seq(col("s") === col("__q_s"), col("p") === col("__q_p"),
+              col("o") === col("__q_o")) ++ gEq("__q_")).reduce(_ && _),
+            "left_semi")
+          .distinct(),
+        deltaCap, "re-derivable over-delete survivors", remat)
+      val removal = rowAnti(oAll, hits)
+      rowAnti(e, removal)
+    } catch {
+      case RetractNonConvergence =>
+        // adversarial reroute structure (survivor paths crossing more
+        // than 2^maxRounds segments): re-close the remaining base —
+        // always correct, one full materialization instead of a failure
+        owlCloseCore(baseRem, inv, sym, trans, hasGraph)
+    }
   }
+
+  /** STREAMING OWL maintenance: a [[ClosureMaintainer]] folding each
+    * micro-batch of new edges into a materialized closure via
+    * [[owlDelta]] + [[incrementNovel]]. The transitive rules are
+    * MULTI-premise (in-batch edges chain with each other and with
+    * existing paths), so unlike the stateless RDFS stream this runs the
+    * batch delta under `foreachBatch` — the Spark-idiomatic home for a
+    * per-batch driver fixpoint; the bridge-set squaring, the deltaCap
+    * guards, and the declarations fail-fast (schema change on the
+    * stream fails the batch, same contract as [[rdfsDeltaStream]]) all
+    * apply unchanged. `initialClosure` is the materialized base closure
+    * (e.g. a [[graft.store.GraftStore.reasonArtifact]]).
+    */
+  def owlMaintainStream(initialClosure: DataFrame, tboxSource: DataFrame,
+                        typePred: String = "a", tboxCap: Int = 1 << 20,
+                        deltaCap: Long = DefaultDeltaCap): ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (c, b) => owlDelta(c, b, tboxSource, typePred, tboxCap, deltaCap))
+
+  /** [[owlMaintainStream]] over a NAMED-GRAPH quad stream — per-graph
+    * closure maintenance through [[owlDeltaQuads]]. */
+  def owlMaintainStreamQuads(initialClosure: DataFrame,
+                             tboxSource: DataFrame,
+                             typePred: String = "a",
+                             tboxCap: Int = 1 << 20,
+                             deltaCap: Long = DefaultDeltaCap)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (c, b) => owlDeltaQuads(c, b, tboxSource, typePred, tboxCap, deltaCap))
 
   /** owl:sameAs smushing, the entity-resolution canonicalization: the
     * sameAs statements form an undirected identity graph whose
@@ -1228,4 +1572,51 @@ object ReasonOps {
       .distinct()
     (rewritten, mapping)
   }
+}
+
+/** Streaming closure state: folds micro-batches of new edges into a
+  * MATERIALIZED closure with a batch O(Δ) delta function — built by
+  * [[ReasonOps.owlMaintainStream]] / [[ReasonOps.owlMaintainStreamQuads]].
+  * Each batch arrives as a STATIC frame (`foreachBatch`), so the whole
+  * batch maintenance machinery — bridge-set fixpoints, deltaCap guards,
+  * declaration fail-fasts — applies unchanged, and batches compose
+  * exactly: after batches b1..bn,
+  * `current == closure(base ∪ b1 ∪ … ∪ bn)`. The state is one pinned
+  * frame; each update pins the new closure and releases the superseded
+  * one, so storage stays one-closure-sized for the stream's life.
+  */
+final class ClosureMaintainer private[ops] (
+    initial: org.apache.spark.sql.DataFrame,
+    deltaFn: (org.apache.spark.sql.DataFrame,
+              org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions.col
+  @volatile private var closureV: DataFrame = initial.localCheckpoint(true)
+
+  /** The latest maintained closure (pinned, safe to query repeatedly). */
+  def current: DataFrame = closureV
+
+  /** Fold one batch of new edges into the closure (synchronized — the
+    * streaming engine serializes foreachBatch calls, but direct callers
+    * may race). */
+  def update(batch: DataFrame): Unit = synchronized {
+    if (!batch.isEmpty) {
+      val prev = closureV
+      val inc = deltaFn(prev, batch)
+      val fresh = ReasonOps.incrementNovel(prev, inc)
+      val u = prev.unionAll(fresh.select(prev.columns.map(col): _*))
+      // constraint-stripping RDD round-trip before the pin: the same
+      // Spark 4.1 localCheckpoint/Union constraint-rewrite hazard as
+      // ReasonOps.incrementNovelRaw
+      closureV = u.sparkSession.createDataFrame(u.rdd, u.schema)
+        .localCheckpoint(true)
+      graft.Pins.unpin(prev) // superseded — the new pin owns the state
+    }
+  }
+
+  /** Attach to a streaming relation: one [[update]] per micro-batch. */
+  def attach(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.outputMode("append")
+      .foreachBatch((b: DataFrame, _: Long) => update(b))
+      .start()
 }

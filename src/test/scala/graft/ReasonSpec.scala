@@ -746,4 +746,267 @@ class ReasonSpec extends SparkSpec {
         if (r.isNullAt(3)) -1L else id(r.getString(3)))).toSet
     gotO shouldBe expO
   }
+
+  private def qset(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+      if (r.isNullAt(3)) null else r.getString(3))).toSet
+
+  "ReasonOps.rdfsDeltaQuads" should "maintain per-graph closures exactly, string and encoded" in {
+    val tbox = Seq(("p", SubPropertyOf, "q"), ("q", Domain, "C"),
+      ("C", SubClassOf, "D")).toDF("s", "p", "o")
+    val base = Seq(("u", "p", "b", "g1"), ("e", "a", "C", null))
+    val delta = Seq(("c", "p", "d", "g2"), ("f", "p", "h", "g1"))
+    def qdf(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("s", "p", "o", "g")
+    val closure = ReasonOps.rdfsClosureQuads(qdf(base), tbox)
+      .localCheckpoint(true)
+    val inc = ReasonOps.rdfsDeltaQuads(tbox, qdf(delta))
+    val maintained = ReasonOps.composeIncrement(closure, inc)
+    val full = ReasonOps.rdfsClosureQuads(qdf(base ++ delta), tbox)
+    qset(maintained) shouldBe qset(full)
+    // derivations land in the DELTA quad's graph, not anywhere else
+    qset(maintained) should contain(("c", "q", "d", "g2"))
+    qset(maintained) should contain(("c", "a", "D", "g2"))
+    qset(maintained) should not contain (("c", "q", "d", "g1"))
+    // encoded twin on the same shape
+    val terms = Seq("sc", "sp", "dom", "rng", "ty", "p", "q", "C", "D",
+      "u", "b", "c", "d", "e", "f", "h", "g1", "g2")
+    val id = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toMap
+    def encQ(rows: Seq[(String, String, String, String)]) =
+      rows.map { case (s, p, o, g) =>
+        (id(s), id(p), id(o), Option(g).map(id)) }.toDF("s", "p", "o", "g")
+    val encTbox = Seq((id("p"), id("sp"), id("q")), (id("q"), id("dom"), id("C")),
+      (id("C"), id("sc"), id("D"))).toDF("s", "p", "o")
+    val ids = ReasonOps.RdfsIds(id("sc"), id("sp"), id("dom"), id("rng"), id("ty"))
+    val encBase = base.map { case (s, p, o, g) =>
+      (s, if (p == "a") "ty" else p, o, g) }
+    val encClosure = ReasonOps.rdfsClosureQuadsEncoded(encQ(encBase), encTbox, ids)
+      .localCheckpoint(true)
+    val encInc = ReasonOps.rdfsDeltaQuadsEncoded(encTbox, encQ(delta), ids)
+    val encMaint = ReasonOps.composeIncrement(encClosure, encInc)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val encFull = ReasonOps.rdfsClosureQuadsEncoded(
+        encQ(encBase ++ delta), encTbox, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    encMaint shouldBe encFull
+  }
+
+  "ReasonOps.rdfsRetractQuads" should "equal per-graph rematerialization and never cross graphs" in {
+    val tbox = Seq(("p", SubPropertyOf, "q"), ("q", Domain, "C"),
+      ("C", SubClassOf, "D")).toDF("s", "p", "o")
+    // the SAME triple lives in g1 and g2: deleting the g1 copy must kill
+    // the g1 derivations ONLY
+    val base = Seq(("u", "p", "b", "g1"), ("u", "p", "b", "g2"),
+      ("e", "a", "C", null))
+    val del = Seq(("u", "p", "b", "g1"))
+    def qdf(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("s", "p", "o", "g")
+    val closure = ReasonOps.rdfsClosureQuads(qdf(base), tbox)
+      .localCheckpoint(true)
+    val maintained = ReasonOps.rdfsRetractQuads(closure, qdf(base),
+      qdf(del), tbox)
+    val remat = ReasonOps.rdfsClosureQuads(qdf(base.filterNot(del.contains)),
+      tbox)
+    qset(maintained) shouldBe qset(remat)
+    qset(maintained) should not contain (("u", "q", "b", "g1"))
+    qset(maintained) should contain(("u", "q", "b", "g2"))
+    qset(maintained) should contain(("u", "a", "D", "g2"))
+    // encoded twin
+    val terms = Seq("sc", "sp", "dom", "rng", "ty", "p", "q", "C", "D",
+      "u", "b", "e", "g1", "g2")
+    val id = terms.zipWithIndex.map { case (t, i) => (t, i.toLong) }.toMap
+    def encQ(rows: Seq[(String, String, String, String)]) =
+      rows.map { case (s, p, o, g) =>
+        (id(s), id(if (p == "a") "ty" else p), id(o), Option(g).map(id)) }
+        .toDF("s", "p", "o", "g")
+    val encTbox = Seq((id("p"), id("sp"), id("q")), (id("q"), id("dom"), id("C")),
+      (id("C"), id("sc"), id("D"))).toDF("s", "p", "o")
+    val ids = ReasonOps.RdfsIds(id("sc"), id("sp"), id("dom"), id("rng"), id("ty"))
+    val encClosure = ReasonOps.rdfsClosureQuadsEncoded(encQ(base), encTbox, ids)
+      .localCheckpoint(true)
+    val encMaint = ReasonOps.rdfsRetractQuadsEncoded(encClosure, encQ(base),
+        encQ(del), encTbox, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    val encRemat = ReasonOps.rdfsClosureQuadsEncoded(
+        encQ(base.filterNot(del.contains)), encTbox, ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSet
+    encMaint shouldBe encRemat
+  }
+
+  "ReasonOps.owlDeltaQuads" should "bridge chains within graphs only" in {
+    val decls = Seq(("p", "a", ReasonOps.TransitiveProperty),
+      ("r", ReasonOps.InverseOf, "p")).toDF("s", "p", "o")
+    val base = Seq(("x", "p", "y", "g1"), ("y", "p", "z", "g1"),
+      ("x", "p", "y", "g2"))
+    val delta = Seq(("z", "p", "w", "g1"), ("y", "p", "v", "g2"))
+    def qdf(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("s", "p", "o", "g")
+    val closure = ReasonOps.owlClosureQuads(qdf(base), decls)
+      .localCheckpoint(true)
+    val inc = ReasonOps.owlDeltaQuads(closure, qdf(delta), decls)
+    val maintained = ReasonOps.composeIncrement(closure, inc)
+    val full = ReasonOps.owlClosureQuads(qdf(base ++ delta), decls)
+    qset(maintained) shouldBe qset(full)
+    // bridge crossing existing prefix in g1, and its pass-2 inverse
+    qset(maintained) should contain(("x", "p", "w", "g1"))
+    qset(maintained) should contain(("w", "r", "x", "g1"))
+    // g2's delta edge chains with g2's base edge, never with g1's
+    qset(maintained) should contain(("x", "p", "v", "g2"))
+    qset(maintained) should not contain (("x", "p", "v", "g1"))
+    qset(maintained) should not contain (("x", "p", "w", "g2"))
+  }
+
+  "ReasonOps.owlRetractQuads" should "reroute within a graph, leaving other graphs intact" in {
+    val decls = Seq(("p", "a", ReasonOps.TransitiveProperty),
+      ("r", ReasonOps.InverseOf, "p")).toDF("s", "p", "o")
+    // g1: chain 1->2->3->4 plus 2->4 shortcut; g2 holds the SAME 2->3
+    // edge — deleting g1's copy must keep every g2 pair
+    val base = Seq(("n1", "p", "n2", "g1"), ("n2", "p", "n3", "g1"),
+      ("n3", "p", "n4", "g1"), ("n2", "p", "n4", "g1"),
+      ("n2", "p", "n3", "g2"), ("n3", "p", "n4", "g2"))
+    val del = Seq(("n2", "p", "n3", "g1"))
+    def qdf(rows: Seq[(String, String, String, String)]) =
+      rows.toDF("s", "p", "o", "g")
+    val closure = ReasonOps.owlClosureQuads(qdf(base), decls)
+      .localCheckpoint(true)
+    val maintained = ReasonOps.owlRetractQuads(closure, qdf(base),
+      qdf(del), decls)
+    val remat = ReasonOps.owlClosureQuads(qdf(base.filterNot(del.contains)),
+      decls)
+    qset(maintained) shouldBe qset(remat)
+    qset(maintained) should contain(("n1", "p", "n4", "g1")) // via shortcut
+    qset(maintained) should not contain (("n2", "p", "n3", "g1"))
+    qset(maintained) should not contain (("n1", "p", "n3", "g1"))
+    qset(maintained) should contain(("n2", "p", "n4", "g2")) // g2 untouched
+    qset(maintained) should contain(("n4", "r", "n2", "g2"))
+  }
+
+  "maintenance deltaCap" should "fail fast on an oversized delta with a re-materialization pointer" in {
+    val tbox = Seq(("p", SubPropertyOf, "q")).toDF("s", "p", "o")
+    val delta = (1 to 5).map(i => (s"s$i", "p", s"o$i")).toDF("s", "p", "o")
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.rdfsDelta(tbox, delta, deltaCap = 2)
+    }
+    e.getMessage should include("deltaCap")
+    e.getMessage should include("rdfsClosure")
+  }
+
+  "ReasonOps.owlRetract" should "fall back to re-materialization when the frontier outgrows the cap" in {
+    val decls = Seq(("p", "a", ReasonOps.TransitiveProperty))
+    // src fans out to five certain targets; the over-delete itself is one
+    // row, but the survivor frontier from src is 5 > deltaCap=3 — the
+    // broadcast-hazard fallback must re-close the remaining base instead
+    // of failing
+    val base = decls ++ Seq(("src", "p", "x")) ++
+      (1 to 5).map(i => ("src", "p", s"c$i"))
+    val del = Seq(("src", "p", "x"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+      .localCheckpoint(true)
+    val maintained = ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
+      del.toDF("s", "p", "o"), decls.toDF("s", "p", "o"), deltaCap = 3)
+    val remat = ReasonOps.owlClosure(
+      base.filterNot(del.contains).toDF("s", "p", "o"))
+    tset(maintained) shouldBe tset(remat)
+  }
+
+  "ReasonOps.owlEntailed" should "match the materialized closure lazily" in {
+    val base = Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("borders", "a", ReasonOps.SymmetricProperty),
+      ("n1", "next", "n2"), ("n2", "next", "n3"),
+      ("a", "borders", "b")).toDF("s", "p", "o")
+    tset(ReasonOps.owlEntailed(base)) shouldBe tset(ReasonOps.owlClosure(base))
+  }
+
+  it should "run NO fixpoint for non-transitive pattern predicates" in {
+    val base = Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("borders", "a", ReasonOps.SymmetricProperty),
+      ("n1", "next", "n2"), ("n2", "next", "n3"),
+      ("a", "borders", "b")).toDF("s", "p", "o")
+    val before = ReasonOps.fixpointRuns.get()
+    val borders = ReasonOps.owlEntailed(base, patternPreds = Seq("borders"))
+      .where(col("p") === "borders")
+    tset(borders) shouldBe Set(("a", "borders", "b"), ("b", "borders", "a"))
+    ReasonOps.fixpointRuns.get() shouldBe before // no squaring round ran
+    // the INVERSE of a transitive property still needs its fixpoint:
+    // prev exposes inverse(closure(next)) through pass 2
+    val prevRel = ReasonOps.owlEntailed(base, patternPreds = Seq("prev"))
+      .where(col("p") === "prev")
+    tset(prevRel) should contain(("n3", "prev", "n1"))
+    ReasonOps.fixpointRuns.get() should be > before
+  }
+
+  "rendering discipline" should "fail fast on a TBox mixing short and IRI renderings" in {
+    val g = Seq(
+      ("A", SubClassOf, "B"),
+      ("B", ReasonOps.SubClassOfIri, "C"),
+      ("x", "a", "A")).toDF("s", "p", "o")
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.rdfsClosure(g)
+    }
+    e.getMessage should include("rendering")
+  }
+
+  "ReasonOps.owlMaintainStream" should "equal the batch closure across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val decls = Seq(("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"))
+    val base = decls ++ Seq(("n1", "next", "n2"))
+    val m = ReasonOps.owlMaintainStream(
+      ReasonOps.owlClosure(base.toDF("s", "p", "o")),
+      decls.toDF("s", "p", "o"))
+    val src = MemoryStream[(String, String, String)]
+    val q = m.attach(src.toDF().toDF("s", "p", "o"))
+    try {
+      src.addData(("n2", "next", "n3"))
+      q.processAllAvailable()
+      src.addData(("n3", "next", "n4")) // chains across BATCHES
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = ReasonOps.owlClosure(
+      (base ++ Seq(("n2", "next", "n3"), ("n3", "next", "n4")))
+        .toDF("s", "p", "o"))
+    tset(m.current) shouldBe tset(full)
+    tset(m.current) should contain(("n1", "next", "n4"))
+    tset(m.current) should contain(("n4", "prev", "n1"))
+  }
+
+  it should "maintain per-graph quad closures and fail batches carrying declarations" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val decls = Seq(("p", "a", ReasonOps.TransitiveProperty))
+      .toDF("s", "p", "o")
+    val base = Seq(("x", "p", "y", "g1"), ("x", "p", "y", "g2"))
+    val m = ReasonOps.owlMaintainStreamQuads(
+      ReasonOps.owlClosureQuads(base.toDF("s", "p", "o", "g"), decls), decls)
+    val src = MemoryStream[(String, String, String, String)]
+    val q = m.attach(src.toDF().toDF("s", "p", "o", "g"))
+    try {
+      src.addData(("y", "p", "z", "g1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = ReasonOps.owlClosureQuads(
+      (base :+ ("y", "p", "z", "g1")).toDF("s", "p", "o", "g"), decls)
+    qset(m.current) shouldBe qset(full)
+    qset(m.current) should contain(("x", "p", "z", "g1"))
+    qset(m.current) should not contain (("x", "p", "z", "g2"))
+    // a declaration arriving ON the stream fails its batch
+    val m2 = ReasonOps.owlMaintainStreamQuads(m.current, decls)
+    val src2 = MemoryStream[(String, String, String, String)]
+    val q2 = m2.attach(src2.toDF().toDF("s", "p", "o", "g"))
+    try {
+      src2.addData(("jump", "a", ReasonOps.TransitiveProperty, "g1"))
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q2.processAllAvailable()
+      }
+    } finally q2.stop()
+  }
 }
