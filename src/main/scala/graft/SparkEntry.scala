@@ -2385,6 +2385,233 @@ object SparkEntry {
       .orderBy("g", "p")
   }
 
+  private def rdfsQuadsTestTbox(s: SparkSession): DataFrame = {
+    import graft.ops.ReasonOps
+    s.createDataFrame(Seq(
+      ("nationkey", ReasonOps.SubPropertyOf, "locatedIn"),
+      ("regionkey", ReasonOps.SubPropertyOf, "locatedIn"),
+      ("locatedIn", ReasonOps.Domain, "Locatable"),
+      ("locatedIn", ReasonOps.Range, "Place"),
+      ("Locatable", ReasonOps.SubClassOf, "Thing"))).toDF("s", "p", "o")
+  }
+
+  /** The customer slice of the [[rdfsQuadsQ]] dataset (graph:customer),
+    * optionally filtered — the arriving/deleted batch of the quad
+    * maintenance gates. */
+  private def customerQuads(s: SparkSession, d: String,
+                            pred: Column = lit(true)): DataFrame =
+    t(s, d, "customer").where(pred).select(
+      concat(lit("customer:"), col("c_custkey")).as("s"),
+      lit("nationkey").as("p"),
+      concat(lit("nation:"), col("c_nationkey")).as("o"),
+      lit("graph:customer").as("g"))
+
+  /** The supplier + nation slices of the [[rdfsQuadsQ]] dataset. */
+  private def supplierNationQuads(s: SparkSession, d: String): DataFrame =
+    t(s, d, "supplier").select(
+        concat(lit("supplier:"), col("s_suppkey")).as("s"),
+        lit("nationkey").as("p"),
+        concat(lit("nation:"), col("s_nationkey")).as("o"),
+        lit("graph:supplier").as("g"))
+      .unionByName(t(s, d, "nation").select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("regionkey").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o"),
+        lit(null).cast("string").as("g")))
+
+  /** (graph, predicate, class) census over a per-graph closure — any
+    * cross-graph leak or wrong-graph derivation breaks the hash. */
+  private def quadRdfsCensus(cl: DataFrame): DataFrame =
+    cl.groupBy(coalesce(col("g"), lit("default")).as("g"), col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("g", "p", "cls")
+
+  /** O(Δ) maintenance of a PER-GRAPH closure: the supplier + nation
+    * graphs materialize ([[ReasonOps.rdfsClosureQuads]], session
+    * artifact), the customer graph arrives as a quad DELTA maintained
+    * with [[ReasonOps.rdfsDeltaQuads]] + broadcast novelty composition —
+    * the closure is never re-shuffled, and every derivation lands in
+    * its premise's graph. `n_inc` counts exactly the novel rows, so the
+    * oracle (full per-graph rematerialization minus base-only) pins the
+    * gate to the incremental path.
+    */
+  private def rdfsQuadsDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val tbox = rdfsQuadsTestTbox(s)
+    val closure = GraftStore.reasonArtifact(s, d, "rdfs_quads_nocust") {
+      ReasonOps.rdfsClosureQuads(supplierNationQuads(s, d), tbox)
+    }
+    val inc = ReasonOps.rdfsDeltaQuads(tbox, customerQuads(s, d))
+    val fresh = ReasonOps.incrementNovel(closure, inc)
+    closure.withColumn("inc", lit(0L))
+      .unionAll(fresh.withColumn("inc", lit(1L)))
+      .groupBy(coalesce(col("g"), lit("default")).as("g"), col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        sum("inc").as("n_inc"))
+      .orderBy("g", "p", "cls")
+  }
+
+  /** DRed retraction on the PER-GRAPH closure: the full quad closure
+    * materializes (session artifact), then every %5==0 customer's
+    * nationkey quad DELETEs from graph:customer —
+    * [[ReasonOps.rdfsRetractQuads]] over-deletes, re-derives survivors
+    * from the graph-confined premise slab (other customers keep their
+    * nations' derived types alive IN graph:customer; the supplier and
+    * default graphs are untouched by construction), and streams the
+    * closure through one broadcast anti-join. The oracle rematerializes
+    * per graph from the post-delete quads.
+    */
+  private def rdfsQuadsDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val tbox = rdfsQuadsTestTbox(s)
+    val quads = GraftStore.reasonArtifact(s, d, "rdfs_quads_all_pinned") {
+      customerQuads(s, d).unionByName(supplierNationQuads(s, d))
+    }
+    val closure = GraftStore.reasonArtifact(s, d, "rdfs_quads_all_closure") {
+      ReasonOps.rdfsClosureQuads(quads, tbox, pinInput = false)
+    }
+    val del = customerQuads(s, d, col("c_custkey") % 5 === 0)
+    quadRdfsCensus(
+      ReasonOps.rdfsRetractQuads(closure, quads, del, tbox))
+  }
+
+  /** The per-graph closure as a PERSISTED ARTIFACT: reason once, persist
+    * in the graph-partitioned layout
+    * ([[GraftStore.persistClosureQuads]]), and census the REOPENED
+    * relation — the ingest-once / open-many lifecycle for named-graph
+    * corpora, hash-identical to deriving in place (q_rdfs_quads'
+    * oracle). The persist runs once per testdata dir (an ingest step, a
+    * _SUCCESS-guarded idempotent write); the measured query is the
+    * directory-pruned scan + census.
+    */
+  private def rdfsQuadsArtifactQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_qclosure_" +
+      java.lang.Integer.toHexString(d.hashCode)
+    if (!new java.io.File(s"$path/closure_quads/_SUCCESS").exists()) {
+      val quads = customerQuads(s, d).unionByName(supplierNationQuads(s, d))
+      GraftStore.persistClosureQuads(
+        ReasonOps.rdfsClosureQuads(quads, rdfsQuadsTestTbox(s)), path)
+    }
+    quadRdfsCensus(GraftStore.openClosureQuads(s, path))
+  }
+
+  /** Incremental OWL on the PER-GRAPH closure: the split next-chain
+    * ([[owlQuadsQ]]) materializes WITHOUT edges 7→8 (west) and 15→16
+    * (east); the two bridge edges then arrive as a quad delta —
+    * [[ReasonOps.owlDeltaQuads]] must bridge each graph's chains from
+    * Δ-sized joins keyed on the graph column, never re-squaring the
+    * existing paths and never letting west chains cross into east.
+    * `n_inc` pins the incremental path per (graph, predicate).
+    */
+  private def owlQuadsDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val edges = n.where(col("n_nationkey") < 24).select(
+      col("n_nationkey").as("k"),
+      concat(lit("nation:"), col("n_nationkey")).as("s"),
+      lit("next").as("p"),
+      concat(lit("nation:"), col("n_nationkey") + 1).as("o"),
+      when(col("n_nationkey") < 12, "graph:west")
+        .otherwise("graph:east").as("g"))
+    val borders = n.where(col("n_nationkey") < 5).select(
+      concat(lit("nation:"), col("n_nationkey")).as("s"),
+      lit("borders").as("p"),
+      concat(lit("nation:"), col("n_nationkey") + 5).as("o"),
+      lit(null).cast("string").as("g"))
+    val decls = s.createDataFrame(Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o")
+    val base = edges.where(!col("k").isin(7, 15))
+      .select("s", "p", "o", "g").unionByName(borders)
+    val delta = edges.where(col("k").isin(7, 15)).select("s", "p", "o", "g")
+    val closure = GraftStore.reasonArtifact(s, d, "owl_quads_nobridge") {
+      ReasonOps.owlClosureQuads(base, decls)
+    }
+    val inc = ReasonOps.owlDeltaQuads(closure, delta, decls)
+    val fresh = ReasonOps.incrementNovel(closure, inc)
+    closure.withColumn("inc", lit(0L))
+      .unionAll(fresh.withColumn("inc", lit(1L)))
+      .groupBy(coalesce(col("g"), lit("default")).as("g"), col("p"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        sum("inc").as("n_inc"))
+      .orderBy("g", "p")
+  }
+
+  /** DRed retraction on the PER-GRAPH OWL closure: the split chain plus
+    * a west-graph 6→9 SHORTCUT materializes, then edges 7→8 (west) and
+    * 15→16 (east) DELETE — [[ReasonOps.owlRetractQuads]] must reroute
+    * west paths through the shortcut (survivor frontier keyed on the
+    * graph), genuinely kill everything isolated by 15→16 in east, and
+    * leave the default borders graph untouched. The oracle recloses the
+    * post-delete edge set per graph.
+    */
+  private def owlQuadsDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val edges = n.where(col("n_nationkey") < 24).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("next").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 1).as("o"),
+        when(col("n_nationkey") < 12, "graph:west")
+          .otherwise("graph:east").as("g"))
+      .unionByName(s.createDataFrame(
+        Seq(("nation:6", "next", "nation:9", "graph:west")))
+        .toDF("s", "p", "o", "g"))
+    val borders = n.where(col("n_nationkey") < 5).select(
+      concat(lit("nation:"), col("n_nationkey")).as("s"),
+      lit("borders").as("p"),
+      concat(lit("nation:"), col("n_nationkey") + 5).as("o"),
+      lit(null).cast("string").as("g"))
+    val decls = s.createDataFrame(Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o")
+    val base = edges.unionByName(borders)
+    val del = s.createDataFrame(Seq(
+      ("nation:7", "next", "nation:8", "graph:west"),
+      ("nation:15", "next", "nation:16", "graph:east")))
+      .toDF("s", "p", "o", "g")
+    val closure = GraftStore.reasonArtifact(s, d, "owl_quads_predelete") {
+      ReasonOps.owlClosureQuads(base, decls)
+    }
+    ReasonOps.owlRetractQuads(closure, base, del, decls)
+      .groupBy(coalesce(col("g"), lit("default")).as("g"), col("p"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("g", "p")
+  }
+
+  /** Query-time OWL entailment by REWRITE: the [[owlClosureQ]] census
+    * answered over [[ReasonOps.owlEntailed]] — a LAZY closure relation,
+    * nothing pinned up front; the inverse/symmetric legs are broadcast
+    * rewrites Catalyst specializes per pattern, and only the declared
+    * transitive properties derive. Hash-matches the materialized path's
+    * oracle (ReasonSpec proves the non-transitive-pattern case runs
+    * zero fixpoint rounds).
+    */
+  private def owlRewriteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val base = n.where(col("n_nationkey") < 24).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("next").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 1).as("o"))
+      .unionByName(n.where(col("n_nationkey") < 5).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("borders").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 5).as("o")))
+      .unionByName(s.createDataFrame(Seq(
+        ("next", "a", ReasonOps.TransitiveProperty),
+        ("prev", ReasonOps.InverseOf, "next"),
+        ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o"))
+    ReasonOps.owlEntailed(base)
+      .groupBy("p").agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p")
+  }
+
   /** Incremental maintenance: the store splits into a base (everything
     * but customers) materialized with rdfsClosure and a customer DELTA
     * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
@@ -3472,8 +3699,14 @@ object SparkEntry {
     "q_rdfs_enc_closure" -> (rdfsEncClosureQ _),
     "q_rdfs_quads" -> (rdfsQuadsQ _),
     "q_rdfs_enc_quads" -> (rdfsEncQuadsQ _),
+    "q_rdfs_quads_delta" -> (rdfsQuadsDeltaQ _),
+    "q_rdfs_quads_del" -> (rdfsQuadsDelQ _),
+    "q_rdfs_quads_artifact" -> (rdfsQuadsArtifactQ _),
     "q_owl_quads" -> (owlQuadsQ _),
     "q_owl_enc_quads" -> (owlEncQuadsQ _),
+    "q_owl_quads_delta" -> (owlQuadsDeltaQ _),
+    "q_owl_quads_del" -> (owlQuadsDelQ _),
+    "q_owl_rewrite" -> (owlRewriteQ _),
     "q_owl_delta" -> (owlDeltaQ _),
     "q_owl_delta_del" -> (owlDeltaDelQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
@@ -4456,60 +4689,142 @@ object SparkEntry {
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM closured GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  private val owlQuadsOracle =
-    """WITH RECURSIVE e AS (
+  /** The per-graph OWL derivation CTE chain over the split next-chain;
+    * `edgeFilter` selects the chain edges, `extraEdges` injects literal
+    * rows (the q_owl_quads_del shortcut), `sfx` disambiguates so one
+    * query can close two edge sets (incremental/retraction oracles).
+    */
+  private def owlQuadCtes(sfx: String, edgeFilter: String,
+                          extraEdges: String = ""): String =
+    s"""e$sfx AS (
         |  SELECT CASE WHEN n_nationkey < 12 THEN 'graph:west'
         |              ELSE 'graph:east' END AS g,
         |         'nation:'||n_nationkey AS a,
         |         'nation:'||(n_nationkey+1) AS b
-        |  FROM nation WHERE n_nationkey < 24
+        |  FROM nation WHERE n_nationkey < 24 AND ($edgeFilter)$extraEdges
         |),
-        |nxt(g, a, b) AS (
-        |  SELECT * FROM e
+        |nxt$sfx(g, a, b) AS (
+        |  SELECT * FROM e$sfx
         |  UNION
-        |  SELECT nxt.g, nxt.a, e.b FROM nxt
-        |  JOIN e ON e.g = nxt.g AND e.a = nxt.b
+        |  SELECT nxt$sfx.g, nxt$sfx.a, e$sfx.b FROM nxt$sfx
+        |  JOIN e$sfx ON e$sfx.g = nxt$sfx.g AND e$sfx.a = nxt$sfx.b
         |),
-        |bord AS (SELECT 'default' AS g, 'nation:'||n_nationkey AS a,
+        |tri$sfx AS (
+        |  SELECT g, 'next' AS p, a AS s, b AS o FROM nxt$sfx
+        |  UNION ALL SELECT g, 'prev', b, a FROM nxt$sfx
+        |  UNION ALL SELECT g, 'borders', a, b FROM qbord
+        |  UNION ALL SELECT g, 'borders', b, a FROM qbord
+        |)""".stripMargin
+
+  private val owlQuadBordCte =
+    """qbord AS (SELECT 'default' AS g, 'nation:'||n_nationkey AS a,
         |                'nation:'||(n_nationkey+5) AS b
-        |         FROM nation WHERE n_nationkey < 5),
-        |tri AS (
-        |  SELECT g, 'next' AS p, a AS s, b AS o FROM nxt
-        |  UNION ALL SELECT g, 'prev', b, a FROM nxt
-        |  UNION ALL SELECT g, 'borders', a, b FROM bord
-        |  UNION ALL SELECT g, 'borders', b, a FROM bord
-        |)
+        |         FROM nation WHERE n_nationkey < 5)""".stripMargin
+
+  private val owlQuadsOracle =
+    s"""WITH RECURSIVE $owlQuadBordCte,
+        |${owlQuadCtes("", "TRUE")}
         |SELECT g, p, count(*) AS n, count(DISTINCT s) AS ns
         |FROM (SELECT DISTINCT * FROM tri) GROUP BY g, p
         |ORDER BY g, p""".stripMargin
 
-  private val rdfsQuadsOracle =
-    """WITH q AS (
+  /** Per-graph incremental-OWL census: full per-graph closure plus
+    * `n_inc` = rows the two bridge edges genuinely ADDED over the
+    * bridge-less closure, per (graph, predicate) — an accidental
+    * re-materialization or a cross-graph bridge breaks the column.
+    */
+  private val owlQuadsDeltaOracle =
+    s"""WITH RECURSIVE $owlQuadBordCte,
+        |${owlQuadCtes("", "TRUE")},
+        |${owlQuadCtes("b", "n_nationkey NOT IN (7, 15)")},
+        |f AS (SELECT g, p, count(*) AS n, count(DISTINCT s) AS ns
+        |      FROM (SELECT DISTINCT * FROM tri) GROUP BY g, p),
+        |bb AS (SELECT g, p, count(*) AS nb
+        |       FROM (SELECT DISTINCT * FROM trib) GROUP BY g, p)
+        |SELECT f.g, f.p, f.n, f.ns, f.n - COALESCE(bb.nb, 0) AS n_inc
+        |FROM f LEFT JOIN bb ON f.g = bb.g AND f.p = bb.p
+        |ORDER BY f.g, f.p""".stripMargin
+
+  /** Per-graph DRed oracle: the engine maintains the closure (with the
+    * west 6→9 shortcut) through the 7→8 / 15→16 deletes; the oracle
+    * recloses the POST-delete edge set per graph from scratch.
+    */
+  private val owlQuadsDelOracle =
+    s"""WITH RECURSIVE $owlQuadBordCte,
+        |${owlQuadCtes("d", "n_nationkey NOT IN (7, 15)",
+           "\n  UNION ALL SELECT 'graph:west', 'nation:6', 'nation:9'")}
+        |SELECT g, p, count(*) AS n, count(DISTINCT s) AS ns
+        |FROM (SELECT DISTINCT * FROM trid) GROUP BY g, p
+        |ORDER BY g, p""".stripMargin
+
+  /** The per-graph rho-df derivation CTE chain over the three-graph quad
+    * dataset; `custFilter` selects the customer slice (the incremental /
+    * retraction oracles close with and without parts of it).
+    */
+  private def rdfsQuadCtes(sfx: String, custFilter: String): String =
+    s"""q$sfx AS (
         |  SELECT 'graph:customer' AS g, 'customer:'||c_custkey AS s,
         |         'nationkey' AS p, 'nation:'||c_nationkey AS o FROM customer
+        |  WHERE $custFilter
         |  UNION ALL SELECT 'graph:supplier', 'supplier:'||s_suppkey,
         |         'nationkey', 'nation:'||s_nationkey FROM supplier
         |  UNION ALL SELECT 'default', 'nation:'||n_nationkey,
         |         'regionkey', 'region:'||n_regionkey FROM nation
         |),
-        |der AS (
-        |  SELECT g, s, 'locatedIn' AS p, o FROM q
-        |  UNION ALL SELECT g, s, 'a', 'Locatable' FROM q
-        |  UNION ALL SELECT g, s, 'a', 'Thing' FROM q
-        |  UNION ALL SELECT g, o, 'a', 'Place' FROM q
+        |der$sfx AS (
+        |  SELECT g, s, 'locatedIn' AS p, o FROM q$sfx
+        |  UNION ALL SELECT g, s, 'a', 'Locatable' FROM q$sfx
+        |  UNION ALL SELECT g, s, 'a', 'Thing' FROM q$sfx
+        |  UNION ALL SELECT g, o, 'a', 'Place' FROM q$sfx
         |),
-        |tb AS (
+        |cl$sfx AS (SELECT DISTINCT * FROM (
+        |  SELECT * FROM q$sfx UNION ALL SELECT * FROM der$sfx
+        |  UNION ALL SELECT * FROM qtb))""".stripMargin
+
+  private val rdfsQuadTbCte =
+    """qtb AS (
         |  SELECT 'default' AS g, 'nationkey' AS s,
         |         'rdfs:subPropertyOf' AS p, 'locatedIn' AS o
         |  UNION ALL SELECT 'default', 'regionkey',
         |         'rdfs:subPropertyOf', 'locatedIn'
         |  UNION ALL SELECT 'default', 'Locatable', 'rdfs:subClassOf', 'Thing'
-        |),
-        |cl AS (SELECT DISTINCT * FROM (
-        |  SELECT * FROM q UNION ALL SELECT * FROM der UNION ALL SELECT * FROM tb))
+        |)""".stripMargin
+
+  private val rdfsQuadsOracle =
+    s"""WITH $rdfsQuadTbCte,
+        |${rdfsQuadCtes("", "TRUE")}
         |SELECT g, p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM cl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Per-graph incremental census: full closure counts plus `n_inc` =
+    * rows the customer graph's arrival genuinely ADDED over the
+    * supplier+nation-only closure, per (graph, predicate, class).
+    */
+  private val rdfsQuadsDeltaOracle =
+    s"""WITH $rdfsQuadTbCte,
+        |${rdfsQuadCtes("", "TRUE")},
+        |${rdfsQuadCtes("b", "FALSE")},
+        |f AS (SELECT g, p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |             count(*) AS n, count(DISTINCT s) AS ns
+        |      FROM cl GROUP BY 1, 2, 3),
+        |b AS (SELECT g, p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |             count(*) AS nb
+        |      FROM clb GROUP BY 1, 2, 3)
+        |SELECT f.g, f.p, f.cls, f.n, f.ns, f.n - COALESCE(b.nb, 0) AS n_inc
+        |FROM f LEFT JOIN b ON f.g = b.g AND f.p = b.p AND f.cls = b.cls
+        |ORDER BY f.g, f.p, f.cls""".stripMargin
+
+  /** Per-graph DRed oracle: the engine maintains the quad closure
+    * through a DELETE of every %5==0 customer's nationkey quad; the
+    * oracle rematerializes per graph from the post-delete quads.
+    */
+  private val rdfsQuadsDelOracle =
+    s"""WITH $rdfsQuadTbCte,
+        |${rdfsQuadCtes("d", "c_custkey % 5 <> 0")}
+        |SELECT g, p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns
+        |FROM cld GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
   private val rdfsSparqlOracle =
     """WITH w AS (
@@ -4985,6 +5300,12 @@ object SparkEntry {
     // graph key INSIDE the recursion
     "q_owl_quads" -> owlQuadsOracle,
     "q_owl_enc_quads" -> owlQuadsOracle,
+    "q_owl_quads_delta" -> owlQuadsDeltaOracle,
+    "q_owl_quads_del" -> owlQuadsDelOracle,
+    "q_owl_rewrite" -> owlClosureOracle,
+    "q_rdfs_quads_delta" -> rdfsQuadsDeltaOracle,
+    "q_rdfs_quads_del" -> rdfsQuadsDelOracle,
+    "q_rdfs_quads_artifact" -> rdfsQuadsOracle,
     "q_rdfs_enc_quads" -> rdfsQuadsOracle,
     // per-graph closure: the oracle derives each graph's rows by hand
     // (single-premise rules keep derivations in their premise's graph;

@@ -944,6 +944,29 @@ object GraftStore {
       .select("s", "p", "o")
   }
 
+  /** PER-GRAPH closure artifacts — the quad analog of [[persistClosure]]:
+    * a materialized `rdfsClosureQuads`/`owlClosureQuads` persists in the
+    * GRAPH-partitioned layout (`TripleStore.persistQuads`: one directory
+    * per named graph, default graph in the null partition), so a
+    * `GRAPH <g>` / FROM NAMED slice over the closure directory-prunes
+    * exactly like a base quad scan. Query sessions OPEN the artifact
+    * instead of re-deriving; maintenance batches fold increments with
+    * `persistClosureQuadsAppend` (`rdfsDeltaQuads` output) or re-persist
+    * after a retraction (`rdfsRetractQuads` / `owlRetractQuads`) — the
+    * ingest-once / open-many lifecycle the triple closure has.
+    */
+  def persistClosureQuads(closure: DataFrame, path: String): Unit =
+    TripleStore.persistQuads(closure, s"$path/closure_quads")
+
+  def persistClosureQuadsAppend(increment: DataFrame, path: String): Unit =
+    increment
+      .repartition(col("g"))
+      .sortWithinPartitions("s", "p", "o")
+      .write.mode("append").partitionBy("g").parquet(s"$path/closure_quads")
+
+  def openClosureQuads(spark: SparkSession, path: String): DataFrame =
+    TripleStore.openQuads(spark, s"$path/closure_quads")
+
   private val gramCache =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), Lazily[DataFrame]]
 

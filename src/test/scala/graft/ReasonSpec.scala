@@ -330,6 +330,37 @@ class ReasonSpec extends SparkSpec {
         tbox.unionAll(Seq(("b", "worksFor", "x")).toDF("s", "p", "o"))))
   }
 
+  it should "run the QUAD lifecycle: persist, append, reopen, retract, re-persist" in {
+    import graft.store.GraftStore
+    def qs(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3))).toSet
+    val tbox = Seq(
+      ("worksFor", SubPropertyOf, "affiliated"),
+      ("affiliated", Domain, "Person")).toDF("s", "p", "o")
+    val base = Seq(("a", "worksFor", "x", "g1"), ("b", "worksFor", "x", "g2"))
+      .toDF("s", "p", "o", "g")
+    val delta = Seq(("c", "worksFor", "y", "g1")).toDF("s", "p", "o", "g")
+    val p1 = java.nio.file.Files.createTempDirectory("graft-qclosure1").toString
+    val p2 = java.nio.file.Files.createTempDirectory("graft-qclosure2").toString
+    // persist the materialized per-graph closure, fold an O(Δ) increment
+    GraftStore.persistClosureQuads(ReasonOps.rdfsClosureQuads(base, tbox), p1)
+    GraftStore.persistClosureQuadsAppend(
+      ReasonOps.rdfsDeltaQuads(tbox, delta), p1)
+    val reopened = GraftStore.openClosureQuads(spark, p1)
+    qs(reopened.distinct()) shouldBe
+      qs(ReasonOps.rdfsClosureQuads(base.unionByName(delta), tbox))
+    // retract against the REOPENED artifact, re-persist (compaction)
+    val del = Seq(("a", "worksFor", "x", "g1")).toDF("s", "p", "o", "g")
+    val maintained = ReasonOps.rdfsRetractQuads(reopened.distinct(),
+      base.unionByName(delta), del, tbox)
+    GraftStore.persistClosureQuads(maintained, p2)
+    qs(GraftStore.openClosureQuads(spark, p2)) shouldBe
+      qs(ReasonOps.rdfsClosureQuads(
+        Seq(("b", "worksFor", "x", "g2"), ("c", "worksFor", "y", "g1"))
+          .toDF("s", "p", "o", "g"), tbox))
+  }
+
   it should "reject TBox statements in a delta" in {
     val e = intercept[IllegalArgumentException] {
       ReasonOps.rdfsDelta(
