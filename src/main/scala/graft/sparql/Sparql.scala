@@ -815,9 +815,16 @@ object Sparql {
               val mine = reads ++ writes(op).get
               val probeTerms = pathEndpointConsts(where) ++
                 inlineValueConsts(where) ++ newTerms(op)
+              // HASHED disjointness: a fresh term that xxhash64-collides
+              // with a DIFFERENT fresh term of an earlier op would share
+              // an id under a stale prefetched claim probe where the
+              // sequential path raises externalClash — string equality
+              // alone misses exactly that case (hash equality subsumes
+              // it: equal strings hash equal)
+              val h = graft.dict.Dictionary.termHashLocal _
               val clean =
                 priorWrites.get.forall(w => !mine.exists(pat4sUnify(w, _))) &&
-                  probeTerms.intersect(priorTerms).isEmpty
+                  probeTerms.map(h).intersect(priorTerms.map(h)).isEmpty
               if (clean) out += i
             case None => ()
           }
@@ -868,8 +875,14 @@ object Sparql {
         case UModify(del, ins, where) if plain(where) && priorWrites.isDefined =>
           val reads = where.triples.map(pat3Of)
           val mine = reads ++ writes(op).get
+          // HASHED fresh-term disjointness (same reasoning as the quad
+          // path): an insert term colliding with a DIFFERENT earlier
+          // fresh term must disqualify the prefetch — its pre-script
+          // claim probe could not see the earlier op's claim, silently
+          // sharing an id where the sequential path raises externalClash
+          val h = graft.dict.Dictionary.termHashLocal _
           val clean = priorWrites.get.forall(w => !mine.exists(pat3sUnify(w, _))) &&
-            newTerms(op).intersect(priorTerms).isEmpty
+            newTerms(op).map(h).intersect(priorTerms.map(h)).isEmpty
           if (clean) out += i
         case _ => ()
       }
@@ -2551,9 +2564,9 @@ object Sparql {
         m.graphs.isEmpty,
         "streaming MINUS groups may contain only triple patterns and filters"))
     // UNION branches get FULL delta semantics (the combined pattern set
-    // per branch choice, like executeStream); bounded arm count
-    require(inner.unions.size <= 3,
-      "executeStreamQuads supports at most 3 UNION blocks (8 delta arms)")
+    // per branch choice, like executeStream); arm-budget bounded
+    requireArmBudget(
+      streamArmCount(inner.triples.size, inner.unions), "executeStreamQuads")
     inner.unions.foreach { case (l, r) => Seq(l, r).foreach(b =>
       require(b.triples.nonEmpty && b.optionals.isEmpty && b.unions.isEmpty &&
         b.minuses.isEmpty && b.paths.isEmpty && b.subqueries.isEmpty &&
@@ -2732,17 +2745,34 @@ object Sparql {
         val shared = l.columns.intersect(r.columns).toSeq
         if (shared.isEmpty) l.crossJoin(r) else l.join(r, shared, "inner")
       }
-    // every pattern seeds a delta arm; an ALL-CONSTANT pattern has no
-    // arm (nothing to bind), so a stream quad completing the join
-    // through it would be silently swallowed — reject up front instead
-    for (b <- blocks; tp <- b._2.triples)
-      require(tp.vars.nonEmpty,
-        s"streaming quad blocks require every pattern to bind a " +
-          s"variable ($tp is all-constant — its stream arrival could " +
-          "not seed a delta arm and would be silently ignored)")
+    // An ALL-CONSTANT pattern cannot seed a delta arm — it is a TRUTH
+    // CHECK, not a binder. Under a VARIABLE graph term it still binds
+    // ?g, so a stream arrival in a new graph would change results and
+    // be silently swallowed by later arms: reject. Under a CONSTANT
+    // graph term the pattern is fully ground — if the STATIC side
+    // satisfies it, it joins as a bounded static relation (a stream
+    // re-arrival of an already-true quad adds nothing); if the static
+    // side does NOT, only a stream arrival could ever satisfy it, and
+    // arrivals never join the static side of later arms: reject with
+    // the fix spelled out.
+    for ((gt, b) <- blocks; tp <- b.triples if tp.vars.isEmpty) {
+      require(gt.isInstanceOf[C],
+        s"streaming quad blocks under a VARIABLE graph require every " +
+          s"pattern to bind a variable ($tp is all-constant - a stream " +
+          "arrival in a new graph would be silently ignored)")
+      require(!quadScan(side(staticQuads, gt), tp, "__probe_g")
+          .limit(1).isEmpty,
+        s"all-constant streaming pattern $tp is not satisfied by the " +
+          "static dataset - only a stream arrival could satisfy it, and " +
+          "stream quads never join later arms' static side (it would be " +
+          "silently ignored); add the quad to the static dataset or bind " +
+          "a variable")
+    }
+    // ground patterns are static truth checks inside blockRel, never arms
     val arms = for {
       i <- blocks.indices
       j <- blocks(i)._2.triples.indices
+      if blocks(i)._2.triples(j).vars.nonEmpty
     } yield joinBlocks(
       blockRel(i, streamIdx = j) +:
         blocks.indices.filterNot(_ == i).map(k => blockRel(k)))
@@ -2885,9 +2915,28 @@ object Sparql {
     df
   }
 
+  /** The per-(branch-choice × pattern) delta-arm count of a streaming
+    * group's UNION expansion, and its budget: the expansion is
+    * exponential in UNION BLOCKS but the real cost is the ARM count —
+    * every arm is a standing stream-static join plan — so the guard
+    * bounds arms, not blocks (three 1-pattern-branch blocks cost 8
+    * arms × patterns; a 4th block is fine if the total stays small).
+    */
+  private val StreamArmBudget = 64
+  private def streamArmCount(baseTriples: Int,
+                             unions: Seq[(Group, Group)]): Int =
+    unions.foldLeft(Seq(baseTriples)) { case (acc, (l, r)) =>
+      acc.flatMap(n => Seq(n + l.triples.size, n + r.triples.size))
+    }.sum
+  private def requireArmBudget(arms: Int, where: String): Unit =
+    require(arms <= StreamArmBudget,
+      s"$where: the UNION expansion needs $arms delta arms - exceeds " +
+        s"the arm budget of $StreamArmBudget (every arm is a standing " +
+        "stream-static join); reduce UNION branches or patterns per block")
+
   /** The feature-guard set shared by the plain and windowed stream
     * compilers: MINUS/UNION/OPTIONAL enrichment groups restricted to the
-    * append-safe shapes, at most 3 UNION blocks (8 delta arms).
+    * append-safe shapes, UNION expansion bounded by the arm budget.
     */
   private def requireStreamGroupShapes(q: Query): Unit = {
     q.group.minuses.foreach(m =>
@@ -2896,8 +2945,8 @@ object Sparql {
         m.subqueries.isEmpty && m.subgroups.isEmpty &&
         m.existsFilters.isEmpty && m.values.isEmpty && m.valuesMulti.isEmpty,
         "streaming MINUS groups may contain only triple patterns and filters"))
-    require(q.group.unions.size <= 3,
-      "executeStream supports at most 3 UNION blocks per group (8 delta arms)")
+    requireArmBudget(
+      streamArmCount(q.group.triples.size, q.group.unions), "executeStream")
     q.group.unions.foreach { case (l, r) => Seq(l, r).foreach(b =>
       require(b.triples.nonEmpty && b.optionals.isEmpty && b.unions.isEmpty &&
         b.minuses.isEmpty && b.paths.isEmpty && b.subqueries.isEmpty &&
@@ -4174,6 +4223,18 @@ object Sparql {
     * exceed Catalyst analysis memory; with it the plan stays linear and
     * superseded intermediates release when the final state seals (the
     * same per-op materialization discipline as the store-handle engine).
+    *
+    * RESULT OWNERSHIP: the returned relation is LAZY by default — the
+    * unchanged base plus the script's pinned |Δ|-sized delta frames
+    * applied as broadcast joins/unions, so a small update never
+    * rewrites the dataset. The delta pins' ownership TRANSFERS to the
+    * returned relation: they stay in executor storage for its life
+    * (they are reachable from the plan and must not be released), and
+    * each ACTION on the result re-runs the |Δ|-sized composition legs —
+    * cheap, but a consumer scanning the result many times should
+    * checkpoint it once. Set `spark.graft.update.materialize=true` to
+    * get that compaction built in: the result seals into one
+    * self-owned frame and every intermediate pin releases immediately.
     */
   def updateQuads(spark: SparkSession, quads: DataFrame,
                   updateText: String): DataFrame = {
@@ -4412,6 +4473,10 @@ object Sparql {
     * (BIND-computed) template vars reject with a pointer to the string
     * path — re-entering term space mid-script would force a per-op
     * dictionary round trip.
+    *
+    * RESULT OWNERSHIP: lazy by default with pin ownership transferred to
+    * the returned relation — see [[updateQuads]]; the same
+    * `spark.graft.update.materialize=true` compaction conf applies.
     */
   def updateQuadsEnc(spark: SparkSession, encQuads: DataFrame, dict: DataFrame,
                      updateText: String): (DataFrame, DataFrame) = {

@@ -1323,6 +1323,15 @@ object GraftStore {
     * side's own dictionary. The snapshot-audit primitive for incremental
     * pipelines: what did this update script / ingest batch actually
     * change.
+    *
+    * LAZY-handle discipline (audited; StoreSpec pins the job bound): a
+    * post-update handle's relations are lazy compositions whose delta
+    * legs re-run per ACTION, so every multi-pass consumer here seals
+    * first — the co-group output checkpoints before decode (one
+    * execution of `after.enc`/`before.enc`), and `decodeAll` reads the
+    * union dictionary exactly once (one slim semi-join, itself
+    * checkpointed before the three per-column decode joins). Each input
+    * relation executes exactly once per diff.
     */
   def diff(spark: SparkSession, before: StoreHandle,
            after: StoreHandle): DataFrame = {

@@ -231,6 +231,74 @@ class StreamingBgpSpec extends SparkSpec {
       .toSet shouldBe Set(("g3", "gm", "c", "m2"))
   }
 
+  it should "treat a statically-satisfied all-constant pattern as a truth check" in {
+    implicit val sqlCtx = spark.sqlContext
+    val staticQuads = Seq(
+      ("cfg", "mode", "live", "gcfg"), // satisfies the ground pattern
+      ("a", "q", "2", "g1")
+    ).toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    src.addData(("a", "p", "1", "g1"))
+    val out = graft.sparql.Sparql.executeStreamQuads(spark,
+      src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+      """PREFIX : <>
+        |SELECT ?g1 ?s WHERE {
+        |  GRAPH ?g1 { ?s :p "1" . ?s :q "2" }
+        |  GRAPH <gcfg> { <cfg> :mode "live" }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("quad_stream_ground")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table("quad_stream_ground").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("g1", "a"))
+    // NOT satisfied statically: only a stream arrival could satisfy it,
+    // and arrivals never join later arms' static side - reject
+    val e = intercept[IllegalArgumentException] {
+      graft.sparql.Sparql.executeStreamQuads(spark,
+        src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+        """PREFIX : <>
+          |SELECT ?g1 ?s WHERE {
+          |  GRAPH ?g1 { ?s :p "1" }
+          |  GRAPH <gcfg> { <cfg> :mode "offline" }
+          |}""".stripMargin)
+    }
+    e.getMessage should include("silently ignored")
+    // under a VARIABLE graph an all-constant pattern still binds ?g, so
+    // a stream arrival in a new graph would be swallowed - reject
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sparql.Sparql.executeStreamQuads(spark,
+        src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+        """PREFIX : <>
+          |SELECT ?g1 ?g2 ?s WHERE {
+          |  GRAPH ?g1 { ?s :p "1" }
+          |  GRAPH ?g2 { <cfg> :mode "live" }
+          |}""".stripMargin)
+    }
+    e2.getMessage should include("bind a variable")
+  }
+
+  it should "bound UNION expansion by ARM count, not block count" in {
+    implicit val sqlCtx = spark.sqlContext
+    val src = MemoryStream[(String, String, String, String)]
+    val staticQuads = Seq(("a", "q", "2", "g1")).toDF("s", "p", "o", "g")
+    // four single-pattern-branch UNION blocks over one base pattern:
+    // 2^4 choices x 5 patterns = 80 arms > the 64-arm budget (the old
+    // guard rejected on BLOCK count; the cost is the arm count)
+    val unions = (1 to 4)
+      .map(i => s"{ ?s :u$i ?v$i } UNION { ?s :w$i ?v$i }").mkString("\n")
+    val e = intercept[IllegalArgumentException] {
+      graft.sparql.Sparql.executeStreamQuads(spark,
+        src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+        s"""PREFIX : <>
+           |SELECT ?s WHERE { GRAPH ?g {
+           |  ?s :p "1" .
+           |  $unions
+           |} }""".stripMargin)
+    }
+    e.getMessage should include("arm budget")
+  }
+
   it should "keep matching as new micro-batches arrive" in {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, String, String)]
