@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** Round count of the most recent connectedComponents convergence —
+    * scale-evidence telemetry (tools.ScaleProbe records it at two SFs to
+    * confirm the O(log d) round count stays flat under 10× data).
+    */
+  private[graft] val lastCcRounds = new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Fixed-iteration PageRank over a ranked adjacency (use an UNDIRECTED
     * adjacency and every node has out-degree ≥ 1, so no dangling-mass
     * term is needed). Per iteration: one join (ranks → edges) and one
@@ -353,6 +359,7 @@ object GraphOps {
         labels = jumped
       }
     }
+    lastCcRounds.set(round)
     // seal: the result frame owns its blocks (Pins discipline), every
     // loop intermediate is released immediately
     val schema = org.apache.spark.sql.types.StructType(Seq(
@@ -414,6 +421,7 @@ object GraphOps {
             .select(col("node"), col("lab2").as("lab")))
       }
     }
+    lastCcRounds.set(round)
     pins.seal(labels.select(col("node"), col("lab").as("component")))
   }
 

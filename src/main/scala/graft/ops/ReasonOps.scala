@@ -880,6 +880,12 @@ object ReasonOps {
     */
   private[graft] val fixpointRuns = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Round count of the most recent [[transitiveClosure]] convergence —
+    * scale-evidence telemetry (rounds must stay ~flat under 10× data:
+    * they track graph DIAMETER, not row count).
+    */
+  private[graft] val lastFixpointRounds = new java.util.concurrent.atomic.AtomicLong(0)
+
   def transitiveClosure(edges: DataFrame, maxRounds: Int = 16,
                         groupCols: Seq[String] = Nil): DataFrame = {
     fixpointRuns.incrementAndGet()
@@ -927,6 +933,7 @@ object ReasonOps {
       done = m == n
       paths = next; n = m
     }
+    lastFixpointRounds.set(round)
     paths
   }
 
@@ -1120,6 +1127,35 @@ object ReasonOps {
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
     owlCloseCore(t, inv, sym, transNeeded(trans, inv, patternPreds),
       hasGraph = false)
+  }
+
+  /** [[owlEntailed]] over a NAMED-GRAPH quad dataset (lazy per-graph
+    * closure relation — pattern constants prune the property slices AND
+    * the graph column; only the observable transitive properties square,
+    * per graph). */
+  def owlEntailedQuads(quads: DataFrame, tboxSource: DataFrame,
+                       typePred: String = "a", tboxCap: Int = 1 << 20,
+                       patternPreds: Seq[Any] = Nil): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val (inv, sym, trans) = owlDecls(tboxSource, InverseOf,
+      SymmetricProperty, TransitiveProperty, typePred, tboxCap)
+    owlCloseCore(q, inv, sym, transNeeded(trans, inv, patternPreds),
+      hasGraph = true)
+  }
+
+  /** [[owlEntailedQuads]] over ENCODED (long-id) quad relations. */
+  def owlEntailedQuadsEncoded(quads: DataFrame, tboxSource: DataFrame,
+                              ids: OwlIds, tboxCap: Int = 1 << 20,
+                              patternPreds: Seq[Any] = Nil): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val (inv, sym, trans) = owlDecls(tboxSource, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
+    owlCloseCore(q, inv, sym, transNeeded(trans, inv, patternPreds),
+      hasGraph = true)
   }
 
   /** The transitive properties a pattern-predicate set can observe:

@@ -1,0 +1,68 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Scale-evidence spot-run: execute the iterative / heaviest gates at
+  * two scale factors and record, per gate, the wall time AND the
+  * fixpoint ROUND count (connected-components pointer-jump rounds,
+  * transitive-closure squaring rounds). The design claim under test is
+  * that round counts track graph DIAMETER, not row count — so at 10×
+  * the data the rounds must stay ~flat and only per-round work grows;
+  * a round count that climbs with SF (or a plan that flips to a
+  * nested-loop join) is the scale bug this probe exists to catch
+  * before a 100× cluster run does.
+  *
+  *   sbt "runMain graft.tools.ScaleProbe"         # sf0.01 then sf0.1
+  *
+  * Prints one JSON line per (sf, gate): {"sf":..,"gate":..,"sec":..,
+  * "ccRounds":..,"fixpointRounds":..} (min of REPEAT runs, rounds from
+  * the final run).
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val repeat = sys.env.getOrElse("SPARK_GRAFT_REPEAT", "2").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.cleaner.periodicGC.interval", "60min")
+      .withExtensions(new graft.functions.GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
+    spark.range(1000).selectExpr("sum(id)").collect()
+    val gates = Seq(
+      // pointer-jumped CC + the wedge join: the slowest judge gates
+      "q_components", "q_triangles", "q_pagerank", "q_label_prop",
+      // reasoning: materialization, O(Δ) maintenance, DRed, per-graph
+      "q_rdfs_closure", "q_owl_closure", "q_rdfs_delta", "q_rdfs_delta_del",
+      "q_owl_delta", "q_owl_delta_del", "q_rdfs_quads_delta",
+      "q_owl_quads_del", "q_store_diff")
+    for (sf <- Seq("sf0.01", "sf0.1")) {
+      val dir = s"/root/testdata/$sf"
+      for (g <- gates) {
+        val fn = graft.SparkEntry.queries(g)
+        var best = Double.MaxValue
+        var cc = 0L
+        var fp = 0L
+        for (_ <- 1 to repeat) {
+          System.gc()
+          graft.ops.GraphOps.lastCcRounds.set(0)
+          graft.ops.ReasonOps.lastFixpointRounds.set(0)
+          val t0 = System.nanoTime()
+          fn(spark, dir).collect()
+          val sec = (System.nanoTime() - t0) / 1e9
+          if (sec < best) best = sec
+          cc = graft.ops.GraphOps.lastCcRounds.get()
+          fp = graft.ops.ReasonOps.lastFixpointRounds.get()
+        }
+        println(f"""{"sf":"$sf","gate":"$g","sec":$best%.2f,""" +
+          s""""ccRounds":$cc,"fixpointRounds":$fp}""")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -326,4 +326,50 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
   }
+
+  "q_rdfs_quads_delta" should "maintain the per-graph closure broadcast-only" in {
+    // the quad composition: pinned per-graph closure ∪ novel quads —
+    // graph-keyed novelty probes broadcast, the only exchange is the
+    // census aggregation
+    val p = finalPlan("q_rdfs_quads_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p.split("Exchange hashpartitioning").length - 1 should be <= 2
+  }
+
+  "q_rdfs_quads_del" should "retract per graph with broadcast joins only" in {
+    // quad DRed: the per-graph closure streams through one broadcast
+    // anti-join on (s, p, o, g); the graph-confined slab probes are
+    // broadcast semis
+    val p = finalPlan("q_rdfs_quads_del")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_quads_delta" should "bridge per graph without re-squaring" in {
+    val p = finalPlan("q_owl_quads_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_quads_del" should "retract per graph with broadcast joins only" in {
+    val p = finalPlan("q_owl_quads_del")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_rewrite" should "answer under lazy OWL entailment without sort-merge" in {
+    val p = finalPlan("q_owl_rewrite")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_rdfs_quads_artifact" should "census the reopened artifact off a columnar scan" in {
+    // the persisted per-graph closure: a parquet scan (graph-partitioned
+    // layout) into the census — no join at all in the read path
+    val p = finalPlan("q_rdfs_quads_artifact")
+    p should include("Scan parquet")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
 }

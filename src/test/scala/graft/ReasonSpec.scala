@@ -974,6 +974,20 @@ class ReasonSpec extends SparkSpec {
     ReasonOps.fixpointRuns.get() should be > before
   }
 
+  it should "cover quad datasets lazily with per-graph confinement" in {
+    val decls = Seq(("p", "a", ReasonOps.TransitiveProperty),
+      ("r", ReasonOps.InverseOf, "p")).toDF("s", "p", "o")
+    val quads = Seq(("x", "p", "y", "g1"), ("y", "p", "z", "g1"),
+      ("y", "p", "w", "g2")).toDF("s", "p", "o", "g")
+    qset(ReasonOps.owlEntailedQuads(quads, decls)) shouldBe
+      qset(ReasonOps.owlClosureQuads(quads, decls))
+    // non-transitive pattern predicates skip the per-graph fixpoints too
+    val before = ReasonOps.fixpointRuns.get()
+    ReasonOps.owlEntailedQuads(quads, decls, patternPreds = Seq("q"))
+      .where(col("p") === "q").collect()
+    ReasonOps.fixpointRuns.get() shouldBe before
+  }
+
   "rendering discipline" should "fail fast on a TBox mixing short and IRI renderings" in {
     val g = Seq(
       ("A", SubClassOf, "B"),
