@@ -1494,9 +1494,16 @@ object ReasonOps {
               (Seq(col("a") === col("__f_b")) ++ gEq("__f_"))
                 .reduce(_ && _))
               .select(Seq(col("__f_a").as("a"), col("b")) ++ gsel: _*)
+          // squaring (f extends by f) makes rounds logarithmic in the
+          // longest reroute, but costs one extra broadcast-join leg per
+          // round — skip it while reroutes are still shallow (the
+          // common 1-2 segment case converges without it; from round 3
+          // the halving dominates), the same shallow-case economy as
+          // connectedComponents' skipped first jump
+          val sq = if (round >= 3) Seq(extend(f)) else Nil
           val next = graft.Pins.checkpointLazy(
-            f.unionAll(extend(certain)).unionAll(extend(bNew))
-              .unionAll(extend(f)) // squaring: logarithmic rounds
+            (Seq(f, extend(certain), extend(bNew)) ++ sq)
+              .reduce(_.unionAll(_))
               .where(col("a") =!= col("b")).distinct())
           val m = next.count()
           done = m == n
