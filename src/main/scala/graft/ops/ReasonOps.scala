@@ -145,7 +145,9 @@ object ReasonOps {
     * pointer instead of letting an explicit `broadcast()` hint — which
     * AQE will not demote — OOM the driver. 2M rows of three ~30-byte
     * terms is ~200 MB broadcast-side, comfortably inside a large-cluster
-    * driver; raise it only with the driver memory to match.
+    * driver; raise it only with the driver memory to match — per call
+    * via the `deltaCap` parameter, or per session via
+    * `spark.graft.reason.deltaCap` (an explicit parameter wins).
     */
   val DefaultDeltaCap: Long = 1L << 21
 
@@ -156,13 +158,18 @@ object ReasonOps {
     */
   private def pinCapped(df: DataFrame, cap: Long, what: String,
                         remat: String): DataFrame = {
+    val eff =
+      if (cap != DefaultDeltaCap) cap // explicit parameter wins
+      else df.sparkSession.conf
+        .get("spark.graft.reason.deltaCap", cap.toString).toLong
     val c = graft.Pins.checkpointLazy(df)
     val n = c.count()
-    require(n <= cap,
-      s"$what has $n rows - exceeds deltaCap=$cap. Maintenance " +
+    require(n <= eff,
+      s"$what has $n rows - exceeds deltaCap=$eff. Maintenance " +
         s"broadcasts are delta-sized by contract; a change set this " +
         s"large is faster and safer to re-materialize ($remat). Raise " +
-        "deltaCap only if the driver can hold the broadcast.")
+        "deltaCap (parameter or spark.graft.reason.deltaCap) only if " +
+        "the driver can hold the broadcast.")
     c
   }
 
@@ -1570,6 +1577,33 @@ object ReasonOps {
       : ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
       (c, b) => owlDeltaQuads(c, b, tboxSource, typePred, tboxCap, deltaCap))
+
+  /** STREAMING RDFS maintenance as a STATEFUL closure (the
+    * [[owlMaintainStream]] shape for rho-df): [[rdfsDeltaStream]] is the
+    * stateless per-batch increment emitter — right when a sink dedups —
+    * but a consumer that wants the MAINTAINED closure queryable between
+    * batches folds increments here instead: each micro-batch runs
+    * [[rdfsDelta]] (TBox-in-batch fail-fast included) + broadcast
+    * novelty composition into one pinned state frame. Single-premise
+    * rules make batches compose exactly regardless of chaining.
+    */
+  def rdfsMaintainStream(initialClosure: DataFrame, tboxSource: DataFrame,
+                         typePred: String = "a", tboxCap: Int = 1 << 20,
+                         deltaCap: Long = DefaultDeltaCap): ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (_, b) => rdfsDelta(tboxSource, b, typePred, tboxCap,
+        deltaCap = deltaCap))
+
+  /** [[rdfsMaintainStream]] over a NAMED-GRAPH quad stream — per-graph
+    * closure maintenance through [[rdfsDeltaQuads]]. */
+  def rdfsMaintainStreamQuads(initialClosure: DataFrame,
+                              tboxSource: DataFrame,
+                              typePred: String = "a",
+                              tboxCap: Int = 1 << 20,
+                              deltaCap: Long = DefaultDeltaCap)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (_, b) => rdfsDeltaQuads(tboxSource, b, typePred, tboxCap, deltaCap))
 
   /** owl:sameAs smushing, the entity-resolution canonicalization: the
     * sameAs statements form an undirected identity graph whose

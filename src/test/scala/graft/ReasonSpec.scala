@@ -999,6 +999,44 @@ class ReasonSpec extends SparkSpec {
     e.getMessage should include("rendering")
   }
 
+  it should "honor the session deltaCap conf when no explicit cap is given" in {
+    val tbox = Seq(("p", SubPropertyOf, "q")).toDF("s", "p", "o")
+    val delta = (1 to 5).map(i => (s"s$i", "p", s"o$i")).toDF("s", "p", "o")
+    spark.conf.set("spark.graft.reason.deltaCap", "2")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        ReasonOps.rdfsDelta(tbox, delta)
+      }
+      e.getMessage should include("deltaCap=2")
+      // an explicit parameter overrides the conf
+      ReasonOps.rdfsDelta(tbox, delta, deltaCap = 100).count() should be > 0L
+    } finally spark.conf.unset("spark.graft.reason.deltaCap")
+  }
+
+  "ReasonOps.rdfsMaintainStream" should "maintain per-graph quad closures across batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tbox = Seq(("p", SubPropertyOf, "q"), ("q", Domain, "C"))
+      .toDF("s", "p", "o")
+    val base = Seq(("u", "p", "b", "g1")).toDF("s", "p", "o", "g")
+    val m = ReasonOps.rdfsMaintainStreamQuads(
+      ReasonOps.rdfsClosureQuads(base, tbox), tbox)
+    val src = MemoryStream[(String, String, String, String)]
+    val q = m.attach(src.toDF().toDF("s", "p", "o", "g"))
+    try {
+      src.addData(("c", "p", "d", "g2"))
+      q.processAllAvailable()
+      src.addData(("e", "p", "f", "g1"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = ReasonOps.rdfsClosureQuads(
+      (Seq(("u", "p", "b", "g1"), ("c", "p", "d", "g2"),
+        ("e", "p", "f", "g1"))).toDF("s", "p", "o", "g"), tbox)
+    qset(m.current) shouldBe qset(full)
+    qset(m.current) should contain(("c", "a", "C", "g2"))
+    qset(m.current) should not contain (("c", "a", "C", "g1"))
+  }
+
   "ReasonOps.owlMaintainStream" should "equal the batch closure across micro-batches" in {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
