@@ -2488,7 +2488,9 @@ object SparkEntry {
     */
   private def rdfsQuadsArtifactQ(s: SparkSession, d: String): DataFrame = {
     import graft.ops.ReasonOps
-    val path = s"${System.getProperty("java.io.tmpdir")}/graft_qclosure_" +
+    // version suffix guards against a STALE cached artifact when the
+    // fixture/closure logic changes across rounds — bump it with them
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_qclosure_v1_" +
       java.lang.Integer.toHexString(d.hashCode)
     if (!new java.io.File(s"$path/closure_quads/_SUCCESS").exists()) {
       val quads = customerQuads(s, d).unionByName(supplierNationQuads(s, d))

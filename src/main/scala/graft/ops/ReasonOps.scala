@@ -56,6 +56,23 @@ import org.apache.spark.sql.functions._
   * `rdf:type`, or a domain/range declared on it) and the RDFS axiomatic
   * triples (rdfs4a/4b `rdfs:Resource` typing, container-membership
   * properties) — both explode output size without analytic value.
+  *
+  * THE MAINTENANCE MATRIX (every cell string AND encoded):
+  * {{{
+  *                     triples                 named-graph quads
+  * materialize     rdfsClosure / owlClosure    rdfsClosureQuads / owlClosureQuads
+  * insert (O(Δ))   rdfsDelta / owlDelta        rdfsDeltaQuads / owlDeltaQuads
+  * delete (DRed)   rdfsRetract / owlRetract    rdfsRetractQuads / owlRetractQuads
+  * lazy entailment rdfsEntailed / owlEntailed  rdfsEntailedQuads / owlEntailedQuads
+  * streaming       rdfsDeltaStream (stateless) rdfsDeltaStreamQuads (stateless)
+  *                 rdfs/owlMaintainStream      rdfs/owlMaintainStreamQuads
+  * compose         incrementNovel / composeIncrement   (graph-aware, null-safe)
+  * persist         GraftStore.persistClosure(..Append) / persistClosureQuads(..Append)
+  * }}}
+  * Every Δ-derived broadcast passes a `deltaCap` guard (fail-fast with a
+  * re-materialization pointer; `spark.graft.reason.deltaCap` overrides
+  * session-wide), and the owlRetract frontier falls back to
+  * re-materialization instead of failing on overflow/non-convergence.
   */
 object ReasonOps {
 
