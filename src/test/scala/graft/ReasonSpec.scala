@@ -999,6 +999,19 @@ class ReasonSpec extends SparkSpec {
     e.getMessage should include("rendering")
   }
 
+  it should "guard the OWL maintenance broadcasts too" in {
+    val decls = Seq(("next", "a", ReasonOps.TransitiveProperty))
+      .toDF("s", "p", "o")
+    val closure = ReasonOps.owlClosure(decls)
+    val delta = (1 to 5).map(i => (s"n$i", "next", s"n${i + 1}"))
+      .toDF("s", "p", "o")
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.owlDelta(closure, delta, decls, deltaCap = 2)
+    }
+    e.getMessage should include("deltaCap")
+    e.getMessage should include("owlClosure")
+  }
+
   it should "honor the session deltaCap conf when no explicit cap is given" in {
     val tbox = Seq(("p", SubPropertyOf, "q")).toDF("s", "p", "o")
     val delta = (1 to 5).map(i => (s"s$i", "p", s"o$i")).toDF("s", "p", "o")
