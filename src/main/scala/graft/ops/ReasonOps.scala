@@ -173,20 +173,28 @@ object ReasonOps {
     * cap. Every Δ-derived frame the maintenance ops broadcast passes
     * through here, so the cap bounds ALL of them.
     */
+  /** The effective maintenance-broadcast cap: a NON-default `deltaCap`
+    * parameter wins; otherwise the `spark.graft.reason.deltaCap` session
+    * conf applies when set. Note the contract is "non-default parameter
+    * wins" — passing `DefaultDeltaCap` explicitly is indistinguishable
+    * from omitting the parameter, so a session conf still applies; to
+    * force the built-in value against a conf, pass it off by one.
+    */
+  private def effectiveDeltaCap(spark: SparkSession, cap: Long): Long =
+    if (cap != DefaultDeltaCap) cap
+    else spark.conf.get("spark.graft.reason.deltaCap", cap.toString).toLong
+
   private def pinCapped(df: DataFrame, cap: Long, what: String,
                         remat: String): DataFrame = {
-    val eff =
-      if (cap != DefaultDeltaCap) cap // explicit parameter wins
-      else df.sparkSession.conf
-        .get("spark.graft.reason.deltaCap", cap.toString).toLong
+    val eff = effectiveDeltaCap(df.sparkSession, cap)
     val c = graft.Pins.checkpointLazy(df)
     val n = c.count()
     require(n <= eff,
       s"$what has $n rows - exceeds deltaCap=$eff. Maintenance " +
         s"broadcasts are delta-sized by contract; a change set this " +
         s"large is faster and safer to re-materialize ($remat). Raise " +
-        "deltaCap (parameter or spark.graft.reason.deltaCap) only if " +
-        "the driver can hold the broadcast.")
+        "deltaCap (non-default parameter, or spark.graft.reason.deltaCap " +
+        "session-wide) only if the driver can hold the broadcast.")
     c
   }
 
@@ -910,6 +918,11 @@ object ReasonOps {
     */
   private[graft] val lastFixpointRounds = new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Round count of the most recent [[owlRetract]] survivor-frontier
+    * convergence (max across the retraction's transitive properties) —
+    * the DRed twin of [[lastFixpointRounds]] for the scale probe. */
+  private[graft] val lastFrontierRounds = new java.util.concurrent.atomic.AtomicLong(0)
+
   def transitiveClosure(edges: DataFrame, maxRounds: Int = 16,
                         groupCols: Seq[String] = Nil): DataFrame = {
     fixpointRuns.incrementAndGet()
@@ -1434,6 +1447,10 @@ object ReasonOps {
       symmetricProperty, transitiveProperty, typePred, tboxCap)
     val e = norm(closure)
     val baseRem = rowAnti(norm(base), del)
+    // the frontier-size fallback check below must honor the same
+    // session conf the pinCapped broadcasts do
+    val effCap = effectiveDeltaCap(deletions.sparkSession, deltaCap)
+    lastFrontierRounds.set(0) // per-retraction telemetry (max over props)
     try {
       // 1. over-delete: deleted edges + single-premise images ...
       val dDirect = pinCapped(
@@ -1511,7 +1528,7 @@ object ReasonOps {
           // the frontier is BROADCAST each round — an oversized one
           // (dense reachability from the over-deleted sources) is the
           // same driver hazard as an oversized delta: fall back
-          if (round > maxRounds || n > deltaCap) throw RetractNonConvergence
+          if (round > maxRounds || n > effCap) throw RetractNonConvergence
           val fProbe = f.toDF(abNames.map("__f_" + _): _*)
           def extend(rel: DataFrame): DataFrame =
             rel.join(broadcast(fProbe),
@@ -1533,6 +1550,7 @@ object ReasonOps {
           done = m == n
           f = next; n = m
         }
+        lastFrontierRounds.set(math.max(lastFrontierRounds.get(), round))
         (pp, f)
       }
       // 3. removal = over-deletion minus everything re-derivable:
@@ -1582,7 +1600,8 @@ object ReasonOps {
                         typePred: String = "a", tboxCap: Int = 1 << 20,
                         deltaCap: Long = DefaultDeltaCap): ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
-      (c, b) => owlDelta(c, b, tboxSource, typePred, tboxCap, deltaCap))
+      (c, b) => owlDelta(c, b, tboxSource, typePred, tboxCap, deltaCap),
+      deltaCap)
 
   /** [[owlMaintainStream]] over a NAMED-GRAPH quad stream — per-graph
     * closure maintenance through [[owlDeltaQuads]]. */
@@ -1593,7 +1612,8 @@ object ReasonOps {
                              deltaCap: Long = DefaultDeltaCap)
       : ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
-      (c, b) => owlDeltaQuads(c, b, tboxSource, typePred, tboxCap, deltaCap))
+      (c, b) => owlDeltaQuads(c, b, tboxSource, typePred, tboxCap, deltaCap),
+      deltaCap)
 
   /** STREAMING RDFS maintenance as a STATEFUL closure (the
     * [[owlMaintainStream]] shape for rho-df): [[rdfsDeltaStream]] is the
@@ -1609,7 +1629,8 @@ object ReasonOps {
                          deltaCap: Long = DefaultDeltaCap): ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
       (_, b) => rdfsDelta(tboxSource, b, typePred, tboxCap,
-        deltaCap = deltaCap))
+        deltaCap = deltaCap),
+      deltaCap)
 
   /** [[rdfsMaintainStream]] over a NAMED-GRAPH quad stream — per-graph
     * closure maintenance through [[rdfsDeltaQuads]]. */
@@ -1620,7 +1641,8 @@ object ReasonOps {
                               deltaCap: Long = DefaultDeltaCap)
       : ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
-      (_, b) => rdfsDeltaQuads(tboxSource, b, typePred, tboxCap, deltaCap))
+      (_, b) => rdfsDeltaQuads(tboxSource, b, typePred, tboxCap, deltaCap),
+      deltaCap)
 
   /** owl:sameAs smushing, the entity-resolution canonicalization: the
     * sameAs statements form an undirected identity graph whose
@@ -1670,24 +1692,38 @@ object ReasonOps {
 
 /** Streaming closure state: folds micro-batches of new edges into a
   * MATERIALIZED closure with a batch O(Δ) delta function — built by
-  * [[ReasonOps.owlMaintainStream]] / [[ReasonOps.owlMaintainStreamQuads]].
-  * Each batch arrives as a STATIC frame (`foreachBatch`), so the whole
-  * batch maintenance machinery — bridge-set fixpoints, deltaCap guards,
-  * declaration fail-fasts — applies unchanged, and batches compose
-  * exactly: after batches b1..bn,
-  * `current == closure(base ∪ b1 ∪ … ∪ bn)`. The state is one pinned
-  * frame; each update pins the new closure and releases the superseded
-  * one, so storage stays one-closure-sized for the stream's life.
+  * [[ReasonOps.owlMaintainStream]] / [[ReasonOps.owlMaintainStreamQuads]]
+  * / [[ReasonOps.rdfsMaintainStream]] (+Quads). Each batch arrives as a
+  * STATIC frame (`foreachBatch`), so the whole batch maintenance
+  * machinery — bridge-set fixpoints, deltaCap guards, declaration
+  * fail-fasts — applies unchanged, and batches compose exactly: after
+  * batches b1..bn, `current == closure(base ∪ b1 ∪ … ∪ bn)`.
+  *
+  * State storage and reader safety: a frame returned by [[current]]
+  * stays VALID until the SECOND subsequent batch commit — each update
+  * retires the superseded closure one GENERATION late (the superseded
+  * frame is released only when the next update supersedes its
+  * successor), so a reader that grabbed `current` and is still
+  * executing while one batch lands never has its checkpoint blocks
+  * unpersisted under it. Storage is bounded at two closure frames plus
+  * the in-flight batch's Δ-sized intermediates (those release via
+  * ContextCleaner after a driver GC — on a long-running stream keep
+  * `spark.cleaner.periodicGC.interval` modest). Readers that must hold
+  * a snapshot across many batches should checkpoint their own copy.
   */
 final class ClosureMaintainer private[ops] (
     initial: org.apache.spark.sql.DataFrame,
     deltaFn: (org.apache.spark.sql.DataFrame,
-              org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame) {
+              org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
+    deltaCap: Long = ReasonOps.DefaultDeltaCap) {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions.col
   @volatile private var closureV: DataFrame = initial.localCheckpoint(true)
+  // the one-generation retirement slot (see class doc)
+  private var retiring: DataFrame = null
 
-  /** The latest maintained closure (pinned, safe to query repeatedly). */
+  /** The latest maintained closure (pinned; valid at least until the
+    * second batch commit after this call). */
   def current: DataFrame = closureV
 
   /** Fold one batch of new edges into the closure (synchronized — the
@@ -1697,14 +1733,19 @@ final class ClosureMaintainer private[ops] (
     if (!batch.isEmpty) {
       val prev = closureV
       val inc = deltaFn(prev, batch)
-      val fresh = ReasonOps.incrementNovel(prev, inc)
+      // the composition honors the SAME cap the delta ran under
+      val fresh = ReasonOps.incrementNovel(prev, inc, deltaCap)
       val u = prev.unionAll(fresh.select(prev.columns.map(col): _*))
       // constraint-stripping RDD round-trip before the pin: the same
       // Spark 4.1 localCheckpoint/Union constraint-rewrite hazard as
       // ReasonOps.incrementNovelRaw
       closureV = u.sparkSession.createDataFrame(u.rdd, u.schema)
         .localCheckpoint(true)
-      graft.Pins.unpin(prev) // superseded — the new pin owns the state
+      // retire one generation late: `prev` may still back a reader's
+      // in-flight `current` query; the grandparent cannot (its readers
+      // had a full batch interval to finish, per the documented contract)
+      if (retiring != null) graft.Pins.unpin(retiring)
+      retiring = prev
     }
   }
 

@@ -2590,6 +2590,25 @@ object Sparql {
     }
     val stream = side(streamQuads)
     val static0 = side(staticQuads)
+    // all-constant patterns are static TRUTH CHECKS, never delta arms —
+    // the same guard set as the multi-block path: under a variable
+    // graph they'd still bind ?g (a new-graph stream arrival would be
+    // swallowed), and an unsatisfied ground pattern could only ever be
+    // satisfied by a stream arrival (which later arms never see)
+    (inner.triples ++
+      inner.unions.flatMap { case (l, r) => l.triples ++ r.triples })
+      .filter(_.vars.isEmpty).foreach { tp =>
+        require(gterm.isInstanceOf[C],
+          s"streaming quad blocks under a VARIABLE graph require every " +
+            s"pattern to bind a variable ($tp is all-constant - a stream " +
+            "arrival in a new graph would be silently ignored)")
+        require(!quadScan(static0, tp, "__probe_g").limit(1).isEmpty,
+          s"all-constant streaming pattern $tp is not satisfied by the " +
+            "static dataset - only a stream arrival could satisfy it, " +
+            "and stream quads never join later arms' static side (it " +
+            "would be silently ignored); add the quad to the static " +
+            "dataset or bind a variable")
+      }
     // per-pattern delta arms for ONE combined pattern set
     def deltaArms(patterns: Seq[TriplePattern]): Seq[DataFrame] = {
       val outVars = patterns.flatMap(_.vars).distinct :+ gv
@@ -2769,6 +2788,11 @@ object Sparql {
           "a variable")
     }
     // ground patterns are static truth checks inside blockRel, never arms
+    // — and every arm is a standing join of ALL blocks, so the multi
+    // path is bounded by the same arm budget as the UNION expansions
+    requireArmBudget(
+      blocks.map(_._2.triples.count(_.vars.nonEmpty)).sum,
+      "executeStreamQuads (multi-block)")
     val arms = for {
       i <- blocks.indices
       j <- blocks(i)._2.triples.indices

@@ -959,10 +959,8 @@ object GraftStore {
     TripleStore.persistQuads(closure, s"$path/closure_quads")
 
   def persistClosureQuadsAppend(increment: DataFrame, path: String): Unit =
-    increment
-      .repartition(col("g"))
-      .sortWithinPartitions("s", "p", "o")
-      .write.mode("append").partitionBy("g").parquet(s"$path/closure_quads")
+    TripleStore.persistQuads(increment, s"$path/closure_quads",
+      mode = "append")
 
   def openClosureQuads(spark: SparkSession, path: String): DataFrame =
     TripleStore.openQuads(spark, s"$path/closure_quads")

@@ -398,11 +398,12 @@ object TripleStore {
     * min/max skipping under the graph directory. The quad analog of the
     * p-partitioned triple layout above.
     */
-  def persistQuads(quads: DataFrame, path: String): Unit =
+  def persistQuads(quads: DataFrame, path: String,
+                   mode: String = "overwrite"): Unit =
     quads
       .repartition(col("g"))
       .sortWithinPartitions("s", "p", "o")
-      .write.mode("overwrite").partitionBy("g").parquet(path)
+      .write.mode(mode).partitionBy("g").parquet(path)
 
   /** Reopen a graph-partitioned quad dataset. Spark reads the partition
     * column back as `g` (null for the default-graph directory), so the

@@ -48,19 +48,26 @@ object ScaleProbe {
         var best = Double.MaxValue
         var cc = 0L
         var fp = 0L
-        for (_ <- 1 to repeat) {
+        var fr = 0L
+        for (i <- 1 to repeat) {
           System.gc()
           graft.ops.GraphOps.lastCcRounds.set(0)
           graft.ops.ReasonOps.lastFixpointRounds.set(0)
+          graft.ops.ReasonOps.lastFrontierRounds.set(0)
           val t0 = System.nanoTime()
           fn(spark, dir).collect()
           val sec = (System.nanoTime() - t0) / 1e9
           if (sec < best) best = sec
-          cc = graft.ops.GraphOps.lastCcRounds.get()
-          fp = graft.ops.ReasonOps.lastFixpointRounds.get()
+          // counters from the FIRST (cold) run: session artifacts cache
+          // from run 2 on, so later runs under-report derivation rounds
+          if (i == 1) {
+            cc = graft.ops.GraphOps.lastCcRounds.get()
+            fp = graft.ops.ReasonOps.lastFixpointRounds.get()
+            fr = graft.ops.ReasonOps.lastFrontierRounds.get()
+          }
         }
         println(f"""{"sf":"$sf","gate":"$g","sec":$best%.2f,""" +
-          s""""ccRounds":$cc,"fixpointRounds":$fp}""")
+          s""""ccRounds":$cc,"fixpointRounds":$fp,"frontierRounds":$fr}""")
       }
     }
     spark.stop()

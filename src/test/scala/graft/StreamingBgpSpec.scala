@@ -278,6 +278,46 @@ class StreamingBgpSpec extends SparkSpec {
     e2.getMessage should include("bind a variable")
   }
 
+  it should "apply the ground-pattern truth check on the single-block path too" in {
+    implicit val sqlCtx = spark.sqlContext
+    val staticQuads = Seq(
+      ("cfg", "mode", "live", "g1"),
+      ("a", "q", "2", "g1")).toDF("s", "p", "o", "g")
+    val src = MemoryStream[(String, String, String, String)]
+    src.addData(("a", "p", "1", "g1"))
+    val out = graft.sparql.Sparql.executeStreamQuads(spark,
+      src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+      """PREFIX : <>
+        |SELECT ?s WHERE {
+        |  GRAPH <g1> { ?s :p "1" . ?s :q "2" . <cfg> :mode "live" }
+        |}""".stripMargin)
+    val q = out.writeStream.format("memory").queryName("quad_stream_ground1")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    spark.table("quad_stream_ground1").collect()
+      .map(_.getString(0)).toSet shouldBe Set("a")
+    // unsatisfied ground pattern: fail fast, same as the multi path
+    val e = intercept[IllegalArgumentException] {
+      graft.sparql.Sparql.executeStreamQuads(spark,
+        src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+        """PREFIX : <>
+          |SELECT ?s WHERE {
+          |  GRAPH <g1> { ?s :p "1" . <cfg> :mode "offline" }
+          |}""".stripMargin)
+    }
+    e.getMessage should include("silently ignored")
+    // variable graph + ground pattern: the ?g binding hazard
+    val e2 = intercept[IllegalArgumentException] {
+      graft.sparql.Sparql.executeStreamQuads(spark,
+        src.toDF().toDF("s", "p", "o", "g"), staticQuads,
+        """PREFIX : <>
+          |SELECT ?g ?s WHERE {
+          |  GRAPH ?g { ?s :p "1" . <cfg> :mode "live" }
+          |}""".stripMargin)
+    }
+    e2.getMessage should include("bind a variable")
+  }
+
   it should "bound UNION expansion by ARM count, not block count" in {
     implicit val sqlCtx = spark.sqlContext
     val src = MemoryStream[(String, String, String, String)]
