@@ -2614,6 +2614,36 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** Query-time OWL entailment over NAMED GRAPHS: the [[owlQuadsQ]]
+    * census answered over [[ReasonOps.owlEntailedQuads]] — the lazy
+    * per-graph closure relation; nothing pinned up front, only the
+    * declared transitive properties square (per graph). Hash-matches
+    * the materialized per-graph path's oracle.
+    */
+  private def owlQuadsRewriteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val quads = n.where(col("n_nationkey") < 24).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("next").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 1).as("o"),
+        when(col("n_nationkey") < 12, "graph:west")
+          .otherwise("graph:east").as("g"))
+      .unionByName(n.where(col("n_nationkey") < 5).select(
+        concat(lit("nation:"), col("n_nationkey")).as("s"),
+        lit("borders").as("p"),
+        concat(lit("nation:"), col("n_nationkey") + 5).as("o"),
+        lit(null).cast("string").as("g")))
+    val tbox = s.createDataFrame(Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("prev", ReasonOps.InverseOf, "next"),
+      ("borders", "a", ReasonOps.SymmetricProperty))).toDF("s", "p", "o")
+    ReasonOps.owlEntailedQuads(quads, tbox)
+      .groupBy(coalesce(col("g"), lit("default")).as("g"), col("p"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("g", "p")
+  }
+
   /** Incremental maintenance: the store splits into a base (everything
     * but customers) materialized with rdfsClosure and a customer DELTA
     * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
@@ -3709,6 +3739,7 @@ object SparkEntry {
     "q_owl_quads_delta" -> (owlQuadsDeltaQ _),
     "q_owl_quads_del" -> (owlQuadsDelQ _),
     "q_owl_rewrite" -> (owlRewriteQ _),
+    "q_owl_quads_rewrite" -> (owlQuadsRewriteQ _),
     "q_owl_delta" -> (owlDeltaQ _),
     "q_owl_delta_del" -> (owlDeltaDelQ _),
     "q_owl_sameas" -> (owlSameAsQ _),
@@ -5305,6 +5336,7 @@ object SparkEntry {
     "q_owl_quads_delta" -> owlQuadsDeltaOracle,
     "q_owl_quads_del" -> owlQuadsDelOracle,
     "q_owl_rewrite" -> owlClosureOracle,
+    "q_owl_quads_rewrite" -> owlQuadsOracle,
     "q_rdfs_quads_delta" -> rdfsQuadsDeltaOracle,
     "q_rdfs_quads_del" -> rdfsQuadsDelOracle,
     "q_rdfs_quads_artifact" -> rdfsQuadsOracle,

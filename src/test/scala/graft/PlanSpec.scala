@@ -364,6 +364,12 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  "q_owl_quads_rewrite" should "stay broadcast-only under per-graph lazy entailment" in {
+    val p = finalPlan("q_owl_quads_rewrite")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   "q_rdfs_quads_artifact" should "census the reopened artifact off a columnar scan" in {
     // the persisted per-graph closure: a parquet scan (graph-partitioned
     // layout) into the census — no join at all in the read path
