@@ -81,16 +81,41 @@ object ReasonOps {
   val Domain        = "rdfs:domain"
   val Range         = "rdfs:range"
 
+  /** The OWL equivalence vocabulary (short table-store renderings) —
+    * handled by the SCHEMA machinery, not the property-rule closure:
+    * `owl:equivalentClass`/`owl:equivalentProperty` are single-premise
+    * bidirectional subsumption (a ≡ b ⊨ a ⊑ b ∧ b ⊑ a), so the driver
+    * folds their symmetric closure into the closed class/property
+    * hierarchies and every rho-df rule — and with it the ENTIRE
+    * maintenance matrix (delta, DRed retract, quads, encoded, lazy,
+    * streaming) — fires through equivalences with no new passes. The
+    * closure additionally emits the equivalence statements' own
+    * symmetric-transitive closure (a ≡ b ≡ c ⊨ a ≡ c, both directions).
+    * Scope note (documented, standard): equivalences ENTAILED by
+    * subsumption cycles (a ⊑ b, b ⊑ a declared separately) are NOT
+    * re-emitted as `owl:equivalentClass` statements — the subsumption
+    * consequences themselves are complete either way.
+    */
+  val EquivalentClass    = "owl:equivalentClass"
+  val EquivalentProperty = "owl:equivalentProperty"
+
   /** The full-IRI renderings the engine's RDF loaders produce. */
   val SubClassOfIri    = "http://www.w3.org/2000/01/rdf-schema#subClassOf"
   val SubPropertyOfIri = "http://www.w3.org/2000/01/rdf-schema#subPropertyOf"
   val DomainIri        = "http://www.w3.org/2000/01/rdf-schema#domain"
   val RangeIri         = "http://www.w3.org/2000/01/rdf-schema#range"
   val TypeIri          = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+  val EquivalentClassIri    = "http://www.w3.org/2002/07/owl#equivalentClass"
+  val EquivalentPropertyIri = "http://www.w3.org/2002/07/owl#equivalentProperty"
 
-  /** The RDFS vocabulary as ENCODED ids (see [[rdfsClosureEncoded]]). */
+  /** The RDFS vocabulary as ENCODED ids (see [[rdfsClosureEncoded]]).
+    * The OWL equivalence ids are optional — `None` simply means the
+    * encoded TBox carries no equivalence axioms to match.
+    */
   final case class RdfsIds(subClassOf: Long, subPropertyOf: Long,
-                           domain: Long, range: Long, typePred: Long)
+                           domain: Long, range: Long, typePred: Long,
+                           equivalentClass: Option[Long] = None,
+                           equivalentProperty: Option[Long] = None)
 
   /** The OWL property vocabulary as ENCODED ids (see
     * [[owlClosureEncoded]]). */
@@ -104,8 +129,10 @@ object ReasonOps {
     */
   private final case class Voc(sc: Set[Any], sp: Set[Any], dom: Set[Any],
                                rng: Set[Any], ty: Set[Any],
-                               emitSc: Any, emitSp: Any, emitTy: Any) {
-    def tboxPreds: Seq[Any] = (sc ++ sp ++ dom ++ rng).toSeq
+                               ec: Set[Any], ep: Set[Any],
+                               emitSc: Any, emitSp: Any, emitTy: Any,
+                               emitEc: Any, emitEp: Any) {
+    def tboxPreds: Seq[Any] = (sc ++ sp ++ dom ++ rng ++ ec ++ ep).toSeq
   }
 
   /** Dual-rendering string vocabulary; emission resolves to the IRI
@@ -117,13 +144,20 @@ object ReasonOps {
       if (typePred == "a") Set("a", TypeIri) else Set(typePred)
     Voc(Set(SubClassOf, SubClassOfIri), Set(SubPropertyOf, SubPropertyOfIri),
       Set(Domain, DomainIri), Set(Range, RangeIri), ty,
-      SubClassOf, SubPropertyOf, typePred)
+      Set(EquivalentClass, EquivalentClassIri),
+      Set(EquivalentProperty, EquivalentPropertyIri),
+      SubClassOf, SubPropertyOf, typePred,
+      EquivalentClass, EquivalentProperty)
   }
 
   private def encVoc(ids: RdfsIds): Voc =
     Voc(Set(ids.subClassOf), Set(ids.subPropertyOf), Set(ids.domain),
       Set(ids.range), Set(ids.typePred),
-      ids.subClassOf, ids.subPropertyOf, ids.typePred)
+      ids.equivalentClass.toSet, ids.equivalentProperty.toSet,
+      ids.subClassOf, ids.subPropertyOf, ids.typePred,
+      // emission ids: when the equivalence id is absent, no equivalence
+      // statement can be collected, so the emission form is never read
+      ids.equivalentClass.getOrElse(0L), ids.equivalentProperty.getOrElse(0L))
 
   /** Pick the emission rendering off the collected TBox: any IRI-form
     * schema statement flips emission to the IRI constants (type too,
@@ -137,9 +171,11 @@ object ReasonOps {
     */
   private def resolveEmit(voc: Voc, tbox: Array[(Any, Any, Any)]): Voc = {
     val iriForms: Set[Any] =
-      Set(SubClassOfIri, SubPropertyOfIri, DomainIri, RangeIri)
+      Set(SubClassOfIri, SubPropertyOfIri, DomainIri, RangeIri,
+        EquivalentClassIri, EquivalentPropertyIri)
     val shortForms: Set[Any] =
-      Set(SubClassOf, SubPropertyOf, Domain, Range)
+      Set(SubClassOf, SubPropertyOf, Domain, Range,
+        EquivalentClass, EquivalentProperty)
     if (voc.sc.size > 1) {
       val hasIri = tbox.exists(t => iriForms.contains(t._2))
       val hasShort = tbox.exists(t => shortForms.contains(t._2))
@@ -150,7 +186,8 @@ object ReasonOps {
           "the schema to ONE rendering before reasoning")
       if (hasIri)
         voc.copy(emitSc = SubClassOfIri, emitSp = SubPropertyOfIri,
-          emitTy = if (voc.ty.contains(TypeIri)) TypeIri else voc.emitTy)
+          emitTy = if (voc.ty.contains(TypeIri)) TypeIri else voc.emitTy,
+          emitEc = EquivalentClassIri, emitEp = EquivalentPropertyIri)
       else voc
     } else voc
   }
@@ -164,38 +201,47 @@ object ReasonOps {
     * terms is ~200 MB broadcast-side, comfortably inside a large-cluster
     * driver; raise it only with the driver memory to match — per call
     * via the `deltaCap` parameter, or per session via
-    * `spark.graft.reason.deltaCap` (an explicit parameter wins).
+    * `spark.graft.reason.deltaCap` (an EXPLICIT parameter always wins,
+    * including `Some(DefaultDeltaCap)`; `None` defers to the conf).
     */
   val DefaultDeltaCap: Long = 1L << 21
+
+  /** The effective maintenance-broadcast cap: an explicit `deltaCap`
+    * parameter (`Some(n)`, any value — the built-in default included)
+    * always wins; `None` defers to the `spark.graft.reason.deltaCap`
+    * session conf, and to [[DefaultDeltaCap]] when that is unset too.
+    */
+  private def effectiveDeltaCap(spark: SparkSession, cap: Option[Long]): Long =
+    cap.getOrElse(
+      spark.conf.get("spark.graft.reason.deltaCap",
+        DefaultDeltaCap.toString).toLong)
 
   /** Pin `df` (lazy checkpoint + count = ONE job, the [[graft.Pins]]
     * discipline) and fail fast when it exceeds the maintenance-broadcast
     * cap. Every Δ-derived frame the maintenance ops broadcast passes
-    * through here, so the cap bounds ALL of them.
+    * through here, so the cap bounds ALL of them. On ANY failure —
+    * including the cap violation itself — the lazily-checkpointed frame
+    * is unpinned before rethrowing, so the guard path never leaks the
+    * oversized frame it exists to keep out of memory.
     */
-  /** The effective maintenance-broadcast cap: a NON-default `deltaCap`
-    * parameter wins; otherwise the `spark.graft.reason.deltaCap` session
-    * conf applies when set. Note the contract is "non-default parameter
-    * wins" — passing `DefaultDeltaCap` explicitly is indistinguishable
-    * from omitting the parameter, so a session conf still applies; to
-    * force the built-in value against a conf, pass it off by one.
-    */
-  private def effectiveDeltaCap(spark: SparkSession, cap: Long): Long =
-    if (cap != DefaultDeltaCap) cap
-    else spark.conf.get("spark.graft.reason.deltaCap", cap.toString).toLong
-
-  private def pinCapped(df: DataFrame, cap: Long, what: String,
+  private def pinCapped(df: DataFrame, cap: Option[Long], what: String,
                         remat: String): DataFrame = {
     val eff = effectiveDeltaCap(df.sparkSession, cap)
     val c = graft.Pins.checkpointLazy(df)
-    val n = c.count()
-    require(n <= eff,
-      s"$what has $n rows - exceeds deltaCap=$eff. Maintenance " +
-        s"broadcasts are delta-sized by contract; a change set this " +
-        s"large is faster and safer to re-materialize ($remat). Raise " +
-        "deltaCap (non-default parameter, or spark.graft.reason.deltaCap " +
-        "session-wide) only if the driver can hold the broadcast.")
-    c
+    try {
+      val n = c.count()
+      require(n <= eff,
+        s"$what has $n rows - exceeds deltaCap=$eff. Maintenance " +
+          s"broadcasts are delta-sized by contract; a change set this " +
+          s"large is faster and safer to re-materialize ($remat). Raise " +
+          "deltaCap (explicit parameter, or spark.graft.reason.deltaCap " +
+          "session-wide) only if the driver can hold the broadcast.")
+      c
+    } catch {
+      case t: Throwable =>
+        try graft.Pins.unpin(c) catch { case _: Throwable => () }
+        throw t
+    }
   }
 
   /** Proper transitive closure of a (small, driver-side) edge list:
@@ -330,7 +376,7 @@ object ReasonOps {
   def rdfsDelta(tboxSource: DataFrame, delta: DataFrame,
                 typePred: String = "a", tboxCap: Int = 1 << 20,
                 dedup: Boolean = true,
-                deltaCap: Long = DefaultDeltaCap): DataFrame = {
+                deltaCap: Option[Long] = None): DataFrame = {
     val voc = stringVoc(typePred)
     val Seq(cs, cp, co) = delta.columns.take(3).toSeq
     val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
@@ -355,7 +401,7 @@ object ReasonOps {
     */
   def rdfsDeltaEncoded(tboxSource: DataFrame, delta: DataFrame,
                        ids: RdfsIds, tboxCap: Int = 1 << 20,
-                       deltaCap: Long = DefaultDeltaCap): DataFrame = {
+                       deltaCap: Option[Long] = None): DataFrame = {
     val voc = encVoc(ids)
     val Seq(cs, cp, co) = delta.columns.take(3).toSeq
     val d0 = delta.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
@@ -387,19 +433,19 @@ object ReasonOps {
     */
   def rdfsDeltaQuads(tboxSource: DataFrame, delta: DataFrame,
                      typePred: String = "a", tboxCap: Int = 1 << 20,
-                     deltaCap: Long = DefaultDeltaCap): DataFrame =
+                     deltaCap: Option[Long] = None): DataFrame =
     rdfsDeltaQuadsCore(tboxSource, delta, stringVoc(typePred), tboxCap,
       deltaCap, "rdfsClosureQuads")
 
   /** [[rdfsDeltaQuads]] over ENCODED (long-id) quad relations. */
   def rdfsDeltaQuadsEncoded(tboxSource: DataFrame, delta: DataFrame,
                             ids: RdfsIds, tboxCap: Int = 1 << 20,
-                            deltaCap: Long = DefaultDeltaCap): DataFrame =
+                            deltaCap: Option[Long] = None): DataFrame =
     rdfsDeltaQuadsCore(tboxSource, delta, encVoc(ids), tboxCap, deltaCap,
       "rdfsClosureQuadsEncoded")
 
   private def rdfsDeltaQuadsCore(tboxSource: DataFrame, delta: DataFrame,
-                                 voc0: Voc, tboxCap: Int, deltaCap: Long,
+                                 voc0: Voc, tboxCap: Int, deltaCap: Option[Long],
                                  rematName: String): DataFrame = {
     val Seq(cs, cp, co, cg) = delta.columns.take(4).toSeq
     val d0 = delta.select(col(cs).as("s"), col(cp).as("p"),
@@ -435,7 +481,7 @@ object ReasonOps {
     * shuffle exchange.
     */
   def incrementNovel(existing: DataFrame, increment: DataFrame,
-                     deltaCap: Long = DefaultDeltaCap): DataFrame = {
+                     deltaCap: Option[Long] = None): DataFrame = {
     val raw = incrementNovelRaw(existing, increment, deltaCap)
     // constraint-stripping RDD round-trip on the Δ-sized output: the
     // null-safe anti-join's constraints reference the dropped probe
@@ -452,7 +498,7 @@ object ReasonOps {
     * boundary — exposed for plan assertions. */
   private[graft] def incrementNovelRaw(existing: DataFrame,
                                        increment: DataFrame,
-                                       deltaCap: Long = DefaultDeltaCap)
+                                       deltaCap: Option[Long] = None)
       : DataFrame = {
     val cols = increment.columns.toSeq
     val ex = existing.select(cols.map(col): _*)
@@ -508,7 +554,7 @@ object ReasonOps {
     */
   def rdfsRetract(closure: DataFrame, base: DataFrame, deletions: DataFrame,
                   typePred: String = "a", tboxCap: Int = 1 << 20,
-                  deltaCap: Long = DefaultDeltaCap): DataFrame =
+                  deltaCap: Option[Long] = None): DataFrame =
     rdfsRetractCore(closure, base, deletions, stringVoc(typePred), None,
       tboxCap, deltaCap, "rdfsClosure", hasGraph = false)
 
@@ -516,7 +562,7 @@ object ReasonOps {
   def rdfsRetractEncoded(closure: DataFrame, base: DataFrame,
                          deletions: DataFrame, ids: RdfsIds,
                          tboxCap: Int = 1 << 20,
-                         deltaCap: Long = DefaultDeltaCap): DataFrame =
+                         deltaCap: Option[Long] = None): DataFrame =
     rdfsRetractCore(closure, base, deletions, encVoc(ids), None, tboxCap,
       deltaCap, "rdfsClosureEncoded", hasGraph = false)
 
@@ -533,7 +579,7 @@ object ReasonOps {
   def rdfsRetractQuads(closure: DataFrame, base: DataFrame,
                        deletions: DataFrame, tboxSource: DataFrame,
                        typePred: String = "a", tboxCap: Int = 1 << 20,
-                       deltaCap: Long = DefaultDeltaCap): DataFrame =
+                       deltaCap: Option[Long] = None): DataFrame =
     rdfsRetractCore(closure, base, deletions, stringVoc(typePred),
       Some(tboxSource), tboxCap, deltaCap, "rdfsClosureQuads",
       hasGraph = true)
@@ -542,7 +588,7 @@ object ReasonOps {
   def rdfsRetractQuadsEncoded(closure: DataFrame, base: DataFrame,
                               deletions: DataFrame, tboxSource: DataFrame,
                               ids: RdfsIds, tboxCap: Int = 1 << 20,
-                              deltaCap: Long = DefaultDeltaCap): DataFrame =
+                              deltaCap: Option[Long] = None): DataFrame =
     rdfsRetractCore(closure, base, deletions, encVoc(ids),
       Some(tboxSource), tboxCap, deltaCap, "rdfsClosureQuadsEncoded",
       hasGraph = true)
@@ -556,7 +602,7 @@ object ReasonOps {
   private def rdfsRetractCore(closure: DataFrame, base: DataFrame,
                               deletions: DataFrame, voc0: Voc,
                               tboxSource: Option[DataFrame], tboxCap: Int,
-                              deltaCap: Long, rematName: String,
+                              deltaCap: Option[Long], rematName: String,
                               hasGraph: Boolean): DataFrame = {
     val width = if (hasGraph) 4 else 3
     val names = Seq("s", "p", "o", "g").take(width)
@@ -741,7 +787,9 @@ object ReasonOps {
     }
     val tboxClosed =
       maps.spPairs.map { case (a, b) => Seq(a, voc.emitSp, b, null) } ++
-        maps.scPairs.map { case (a, b) => Seq(a, voc.emitSc, b, null) }
+        maps.scPairs.map { case (a, b) => Seq(a, voc.emitSc, b, null) } ++
+        maps.ecPairs.map { case (a, b) => Seq(a, voc.emitEc, b, null) } ++
+        maps.epPairs.map { case (a, b) => Seq(a, voc.emitEp, b, null) }
     if (includeTboxClosure && tboxClosed.nonEmpty) {
       import scala.jdk.CollectionConverters._
       derived += spark.createDataFrame(
@@ -785,18 +833,34 @@ object ReasonOps {
   private final case class RdfsMaps(spPairs: Seq[(Any, Any)],
                                     scPairs: Seq[(Any, Any)],
                                     domEff: Seq[(Any, Any)],
-                                    rngEff: Seq[(Any, Any)])
+                                    rngEff: Seq[(Any, Any)],
+                                    ecPairs: Seq[(Any, Any)],
+                                    epPairs: Seq[(Any, Any)])
 
   /** The driver-side schema maps every rule pass consumes: closed
     * property/class hierarchies and EFFECTIVE domain/range (declared
     * unions over {p} ∪ sp*(p), so inherited declarations fire in one
-    * pass).
+    * pass). OWL equivalence axioms fold in here — each
+    * `owl:equivalentClass`/`owl:equivalentProperty` statement
+    * symmetrizes into a bidirectional subsumption edge BEFORE the
+    * transitive closure, so subsumption chains cross equivalences
+    * (A ⊑ B, B ≡ C, C ⊑ D ⊨ A ⊑ D), domain/range inherit through
+    * equivalent properties, and every downstream rule pass (and with it
+    * the whole delta/retract/lazy/streaming maintenance matrix) fires
+    * through equivalences with no new machinery. The closed equivalence
+    * relations themselves (`ecPairs`/`epPairs`: symmetric-transitive,
+    * irreflexive) are kept for emission.
     */
   private def rdfsMaps(tbox: Array[(Any, Any, Any)], voc: Voc): RdfsMaps = {
+    def sym(preds: Set[Any]): Seq[(Any, Any)] =
+      tbox.collect { case (s, p, o) if preds.contains(p) => (s, o) }
+        .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toSeq
+    val ecSym = sym(voc.ec)
+    val epSym = sym(voc.ep)
     val spPairs = transitiveAny(tbox.collect {
-      case (s, p, o) if voc.sp.contains(p) => (s, o) })
+      case (s, p, o) if voc.sp.contains(p) => (s, o) }.toSeq ++ epSym)
     val scPairs = transitiveAny(tbox.collect {
-      case (s, p, o) if voc.sc.contains(p) => (s, o) })
+      case (s, p, o) if voc.sc.contains(p) => (s, o) }.toSeq ++ ecSym)
     val spMap = spPairs.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
     def effective(decl: Seq[(Any, Any)]): Seq[(Any, Any)] = {
       val byProp = decl.groupBy(_._1).map { case (k, v) => (k, v.map(_._2)) }
@@ -809,7 +873,8 @@ object ReasonOps {
     }
     RdfsMaps(spPairs, scPairs,
       effective(tbox.collect { case (s, p, o) if voc.dom.contains(p) => (s, o) }),
-      effective(tbox.collect { case (s, p, o) if voc.rng.contains(p) => (s, o) }))
+      effective(tbox.collect { case (s, p, o) if voc.rng.contains(p) => (s, o) }),
+      transitiveAny(ecSym), transitiveAny(epSym))
   }
 
   private def pairDfAny(spark: SparkSession, pairs: Seq[(Any, Any)],
@@ -883,10 +948,15 @@ object ReasonOps {
       derived += allTypes.join(broadcast(pairDf(maps.scPairs, "o", "d")), "o")
         .select(col("s"), lit(voc.emitTy).as("p"), col("d").as("o"))
     }
-    // rdfs5 / rdfs11: the closed hierarchy statements themselves.
+    // rdfs5 / rdfs11 + the closed equivalence relations: the closed
+    // hierarchy statements themselves (equivalences emit BOTH their
+    // symmetric-transitive closure and, via sc/spPairs, their mutual
+    // subsumption pairs).
     val tboxClosed =
       maps.spPairs.map { case (a, b) => Seq(a, voc.emitSp, b) } ++
-        maps.scPairs.map { case (a, b) => Seq(a, voc.emitSc, b) }
+        maps.scPairs.map { case (a, b) => Seq(a, voc.emitSc, b) } ++
+        maps.ecPairs.map { case (a, b) => Seq(a, voc.emitEc, b) } ++
+        maps.epPairs.map { case (a, b) => Seq(a, voc.emitEp, b) }
     if (includeTboxClosure && tboxClosed.nonEmpty)
       derived += rowsDf(tboxClosed, Seq("s", "p", "o"))
     derived.toSeq
@@ -1230,7 +1300,7 @@ object ReasonOps {
     */
   def owlDelta(closure: DataFrame, delta: DataFrame, tboxSource: DataFrame,
                typePred: String = "a", tboxCap: Int = 1 << 20,
-               deltaCap: Long = DefaultDeltaCap): DataFrame =
+               deltaCap: Option[Long] = None): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, InverseOf, SymmetricProperty,
       TransitiveProperty, typePred, tboxCap, deltaCap, hasGraph = false)
 
@@ -1238,7 +1308,7 @@ object ReasonOps {
   def owlDeltaEncoded(closure: DataFrame, delta: DataFrame,
                       tboxSource: DataFrame, ids: OwlIds,
                       tboxCap: Int = 1 << 20,
-                      deltaCap: Long = DefaultDeltaCap): DataFrame =
+                      deltaCap: Option[Long] = None): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
       deltaCap, hasGraph = false)
@@ -1254,7 +1324,7 @@ object ReasonOps {
   def owlDeltaQuads(closure: DataFrame, delta: DataFrame,
                     tboxSource: DataFrame, typePred: String = "a",
                     tboxCap: Int = 1 << 20,
-                    deltaCap: Long = DefaultDeltaCap): DataFrame =
+                    deltaCap: Option[Long] = None): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, InverseOf, SymmetricProperty,
       TransitiveProperty, typePred, tboxCap, deltaCap, hasGraph = true)
 
@@ -1262,7 +1332,7 @@ object ReasonOps {
   def owlDeltaQuadsEncoded(closure: DataFrame, delta: DataFrame,
                            tboxSource: DataFrame, ids: OwlIds,
                            tboxCap: Int = 1 << 20,
-                           deltaCap: Long = DefaultDeltaCap): DataFrame =
+                           deltaCap: Option[Long] = None): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
       deltaCap, hasGraph = true)
@@ -1270,7 +1340,7 @@ object ReasonOps {
   private def owlDeltaCore(closure: DataFrame, delta: DataFrame,
                            tboxSource: DataFrame, inverseOf: Any,
                            symmetricProperty: Any, transitiveProperty: Any,
-                           typePred: Any, tboxCap: Int, deltaCap: Long,
+                           typePred: Any, tboxCap: Int, deltaCap: Option[Long],
                            hasGraph: Boolean): DataFrame = {
     val width = if (hasGraph) 4 else 3
     val names = Seq("s", "p", "o", "g").take(width)
@@ -1365,7 +1435,7 @@ object ReasonOps {
   def owlRetract(closure: DataFrame, base: DataFrame, deletions: DataFrame,
                  tboxSource: DataFrame, typePred: String = "a",
                  tboxCap: Int = 1 << 20, maxRounds: Int = 16,
-                 deltaCap: Long = DefaultDeltaCap): DataFrame =
+                 deltaCap: Option[Long] = None): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, InverseOf,
       SymmetricProperty, TransitiveProperty, typePred, tboxCap, maxRounds,
       deltaCap, hasGraph = false)
@@ -1375,7 +1445,7 @@ object ReasonOps {
                         deletions: DataFrame, tboxSource: DataFrame,
                         ids: OwlIds, tboxCap: Int = 1 << 20,
                         maxRounds: Int = 16,
-                        deltaCap: Long = DefaultDeltaCap): DataFrame =
+                        deltaCap: Option[Long] = None): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
       maxRounds, deltaCap, hasGraph = false)
@@ -1391,7 +1461,7 @@ object ReasonOps {
                       deletions: DataFrame, tboxSource: DataFrame,
                       typePred: String = "a", tboxCap: Int = 1 << 20,
                       maxRounds: Int = 16,
-                      deltaCap: Long = DefaultDeltaCap): DataFrame =
+                      deltaCap: Option[Long] = None): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, InverseOf,
       SymmetricProperty, TransitiveProperty, typePred, tboxCap, maxRounds,
       deltaCap, hasGraph = true)
@@ -1401,7 +1471,7 @@ object ReasonOps {
                              deletions: DataFrame, tboxSource: DataFrame,
                              ids: OwlIds, tboxCap: Int = 1 << 20,
                              maxRounds: Int = 16,
-                             deltaCap: Long = DefaultDeltaCap): DataFrame =
+                             deltaCap: Option[Long] = None): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
       maxRounds, deltaCap, hasGraph = true)
@@ -1418,7 +1488,7 @@ object ReasonOps {
                              deletions: DataFrame, tboxSource: DataFrame,
                              inverseOf: Any, symmetricProperty: Any,
                              transitiveProperty: Any, typePred: Any,
-                             tboxCap: Int, maxRounds: Int, deltaCap: Long,
+                             tboxCap: Int, maxRounds: Int, deltaCap: Option[Long],
                              hasGraph: Boolean): DataFrame = {
     val width = if (hasGraph) 4 else 3
     val names = Seq("s", "p", "o", "g").take(width)
@@ -1598,7 +1668,7 @@ object ReasonOps {
     */
   def owlMaintainStream(initialClosure: DataFrame, tboxSource: DataFrame,
                         typePred: String = "a", tboxCap: Int = 1 << 20,
-                        deltaCap: Long = DefaultDeltaCap): ClosureMaintainer =
+                        deltaCap: Option[Long] = None): ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
       (c, b) => owlDelta(c, b, tboxSource, typePred, tboxCap, deltaCap),
       deltaCap)
@@ -1609,7 +1679,7 @@ object ReasonOps {
                              tboxSource: DataFrame,
                              typePred: String = "a",
                              tboxCap: Int = 1 << 20,
-                             deltaCap: Long = DefaultDeltaCap)
+                             deltaCap: Option[Long] = None)
       : ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
       (c, b) => owlDeltaQuads(c, b, tboxSource, typePred, tboxCap, deltaCap),
@@ -1626,7 +1696,7 @@ object ReasonOps {
     */
   def rdfsMaintainStream(initialClosure: DataFrame, tboxSource: DataFrame,
                          typePred: String = "a", tboxCap: Int = 1 << 20,
-                         deltaCap: Long = DefaultDeltaCap): ClosureMaintainer =
+                         deltaCap: Option[Long] = None): ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
       (_, b) => rdfsDelta(tboxSource, b, typePred, tboxCap,
         deltaCap = deltaCap),
@@ -1638,10 +1708,61 @@ object ReasonOps {
                               tboxSource: DataFrame,
                               typePred: String = "a",
                               tboxCap: Int = 1 << 20,
-                              deltaCap: Long = DefaultDeltaCap)
+                              deltaCap: Option[Long] = None)
       : ClosureMaintainer =
     new ClosureMaintainer(initialClosure,
       (_, b) => rdfsDeltaQuads(tboxSource, b, typePred, tboxCap, deltaCap),
+      deltaCap)
+
+  /** [[rdfsMaintainStream]] on the ENCODED (long-id) currency — the
+    * production wiring: the stream carries id triples, the maintained
+    * closure stays id-typed end to end ([[rdfsDeltaEncoded]] per batch).
+    * Recover after a restart by constructing from a persisted artifact
+    * ([[graft.store.GraftStore.openClosure]]) and attaching with a
+    * `checkpointLocation` so the source replays from its committed
+    * offsets (see [[ClosureMaintainer.attach]]).
+    */
+  def rdfsMaintainStreamEncoded(initialClosure: DataFrame,
+                                tboxSource: DataFrame, ids: RdfsIds,
+                                tboxCap: Int = 1 << 20,
+                                deltaCap: Option[Long] = None)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (_, b) => rdfsDeltaEncoded(tboxSource, b, ids, tboxCap, deltaCap),
+      deltaCap)
+
+  /** [[rdfsMaintainStreamQuads]] on the ENCODED currency
+    * ([[rdfsDeltaQuadsEncoded]] per batch). */
+  def rdfsMaintainStreamQuadsEncoded(initialClosure: DataFrame,
+                                     tboxSource: DataFrame, ids: RdfsIds,
+                                     tboxCap: Int = 1 << 20,
+                                     deltaCap: Option[Long] = None)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (_, b) => rdfsDeltaQuadsEncoded(tboxSource, b, ids, tboxCap, deltaCap),
+      deltaCap)
+
+  /** [[owlMaintainStream]] on the ENCODED currency ([[owlDeltaEncoded]]
+    * per batch; same restart story as [[rdfsMaintainStreamEncoded]]). */
+  def owlMaintainStreamEncoded(initialClosure: DataFrame,
+                               tboxSource: DataFrame, ids: OwlIds,
+                               tboxCap: Int = 1 << 20,
+                               deltaCap: Option[Long] = None)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (c, b) => owlDeltaEncoded(c, b, tboxSource, ids, tboxCap, deltaCap),
+      deltaCap)
+
+  /** [[owlMaintainStreamQuads]] on the ENCODED currency
+    * ([[owlDeltaQuadsEncoded]] per batch). */
+  def owlMaintainStreamQuadsEncoded(initialClosure: DataFrame,
+                                    tboxSource: DataFrame, ids: OwlIds,
+                                    tboxCap: Int = 1 << 20,
+                                    deltaCap: Option[Long] = None)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (c, b) => owlDeltaQuadsEncoded(c, b, tboxSource, ids, tboxCap,
+        deltaCap),
       deltaCap)
 
   /** owl:sameAs smushing, the entity-resolution canonicalization: the
@@ -1688,6 +1809,143 @@ object ReasonOps {
       .distinct()
     (rewritten, mapping)
   }
+
+  /** INCREMENTAL owl:sameAs maintenance — the O(Δ) twin of
+    * [[sameAsCanonicalize]], completing the maintenance matrix's sameAs
+    * column: fold a batch of NEW identity pairs (the daily output of
+    * entity resolution) into an already-canonicalized corpus WITHOUT
+    * re-running connected components over the full identity graph or
+    * rewriting the corpus.
+    *
+    *   1. the new pairs' endpoints resolve through the existing
+    *      member → canonical mapping (Δ probes BROADCAST; the
+    *      data-sized mapping only streams), giving merge edges in
+    *      canonical space — an edge between two terms of one existing
+    *      cluster collapses to a self-loop and drops out;
+    *   2. connected components run over the Δ-sized merge-edge set
+    *      alone (rank-encoded, distributed — same discipline as the
+    *      batch path, never driver-collected); each merged group's new
+    *      canonical is its minimum member, which — because every
+    *      existing canonical IS its cluster's minimum — equals the
+    *      global minimum over all merged clusters' members;
+    *   3. the RELABEL map (old canonical or newly-mapped term → new
+    *      canonical, Δ-sized) broadcasts: the mapping streams through
+    *      one broadcast join to re-point re-labeled canons and gains
+    *      the newly-mapped terms' rows; the corpus splits into the
+    *      UNTOUCHED rows (two broadcast anti probes — never shuffled)
+    *      and the Δ-fan-in-sized touched slice, which rewrites,
+    *      dedups, and folds back via [[incrementNovel]] (rows that
+    *      collapse onto existing rows drop, so the result stays
+    *      duplicate-free — set-equal to re-canonicalizing from
+    *      scratch).
+    *
+    * `rewritten`/`mapping` are [[sameAsCanonicalize]]'s outputs (or a
+    * previous [[sameAsDelta]]'s); `newPairs` is a two-column relation
+    * of identity pairs. Every Δ-derived broadcast passes the
+    * [[DefaultDeltaCap]] guard. Returns the maintained
+    * (rewritten, mapping) pair. Identity:
+    * `sameAsDelta(sameAsCanonicalize(t)..., d) ==
+    *  sameAsCanonicalize(t ∪ sameAs(d))` (set-equality on both frames).
+    */
+  def sameAsDelta(rewritten: DataFrame, mapping: DataFrame,
+                  newPairs: DataFrame,
+                  deltaCap: Option[Long] = None): (DataFrame, DataFrame) = {
+    val Seq(ca, cb) = newPairs.columns.take(2).toSeq
+    val np = pinCapped(
+      newPairs.select(col(ca).as("s"), col(cb).as("o"))
+        .where(col("s") =!= col("o")).distinct(),
+      deltaCap, "sameAs delta pairs", "sameAsCanonicalize")
+    val mCols = mapping.columns.take(2).toSeq
+    val m = mapping.select(col(mCols.head).as("member"),
+      col(mCols(1)).as("canon"))
+    // 1. endpoints → current canonical space (mapping streams, Δ probes
+    //    broadcast)
+    val endpoints = np.select(col("s").as("term"))
+      .unionAll(np.select(col("o").as("term"))).distinct()
+    val resolved = pinCapped(
+      m.join(broadcast(endpoints), col("member") === col("term"))
+        .select(col("member"), col("canon")),
+      deltaCap, "resolved sameAs endpoints", "sameAsCanonicalize")
+    val edges = np
+      .join(broadcast(resolved.toDF("__m_s", "__c_s")),
+        col("s") === col("__m_s"), "left")
+      .join(broadcast(resolved.toDF("__m_o", "__c_o")),
+        col("o") === col("__m_o"), "left")
+      .select(coalesce(col("__c_s"), col("s")).as("s"),
+        coalesce(col("__c_o"), col("o")).as("o"))
+      .where(col("s") =!= col("o"))
+    // 2. Δ-sized CC in canonical space; min rank = min term = the merged
+    //    cluster's global minimum member (old canons are their clusters'
+    //    minima)
+    val nodes = edges.select(col("s").as("node"))
+      .unionAll(edges.select(col("o").as("node")))
+    val ranks = pinCapped(GraphOps.orderRanks(nodes), deltaCap,
+      "sameAs merge-node ranks", "sameAsCanonicalize")
+    val encE = edges
+      .join(ranks.select(col("node").as("s"), col("rk").as("srk")), Seq("s"))
+      .join(ranks.select(col("node").as("o"), col("rk").as("ork")), Seq("o"))
+      .select(col("srk").as("s"), col("ork").as("o"))
+    val cc = GraphOps.connectedComponents(encE)
+    val ccMembers = pinCapped(cc
+        .join(ranks.select(col("rk").as("node"), col("node").as("member")),
+          Seq("node"))
+        .join(ranks.select(col("rk").as("component"),
+          col("node").as("canonNew")), Seq("component"))
+        .select(col("member"), col("canonNew")),
+      deltaCap, "merged-cluster member map", "sameAsCanonicalize")
+    val relabel = pinCapped(
+      ccMembers.where(col("member") =!= col("canonNew"))
+        .select(col("member").as("oldc"), col("canonNew")),
+      deltaCap, "canonical relabel map", "sameAsCanonicalize")
+    // 3a. maintained mapping: existing rows re-point through the
+    //     broadcast relabel; newly-mapped terms (Δ-CC nodes absent from
+    //     the mapping) append — including the merged roots' self-rows,
+    //     matching the batch path's convention
+    val m2 = m
+      .join(broadcast(relabel.toDF("__rc", "__rn")),
+        col("canon") === col("__rc"), "left")
+      .select(col("member"), coalesce(col("__rn"), col("canon")).as("canon"))
+    val memberHits = pinCapped(
+      m.join(broadcast(ccMembers.select(col("member").as("__pm"))),
+          col("member") === col("__pm"), "left_semi")
+        .select(col("member").as("__hm")).distinct(),
+      deltaCap, "already-mapped merge members", "sameAsCanonicalize")
+    val newRows = ccMembers
+      .join(broadcast(memberHits), col("member") === col("__hm"), "left_anti")
+      .select(col("member"), col("canonNew").as("canon"))
+    val mapping2 = m2.unionAll(newRows)
+    // 3b. maintained corpus: untouched rows stream through two broadcast
+    //     anti probes (the corpus is NEVER shuffled); the touched slice
+    //     (Δ fan-in) rewrites + dedups, and only its genuinely novel
+    //     rows fold back
+    val rCols = rewritten.columns.take(3).toSeq
+    val r = rewritten.select(col(rCols.head).as("s"), col(rCols(1)).as("p"),
+      col(rCols(2)).as("o"))
+    // oldc is unique by construction (one ccMembers row per merge node),
+    // so no distinct — a distinct here would put a Δ-sized shuffle into
+    // every downstream corpus plan
+    val tKeys = relabel.select(col("oldc").as("__t"))
+    val sHit = r.join(broadcast(tKeys), col("s") === col("__t"), "left_semi")
+    val sMiss = r.join(broadcast(tKeys), col("s") === col("__t"), "left_anti")
+    val oHit = sMiss.join(broadcast(tKeys), col("o") === col("__t"),
+      "left_semi")
+    val untouched = sMiss.join(broadcast(tKeys), col("o") === col("__t"),
+      "left_anti")
+    val touched = pinCapped(sHit.unionAll(oHit), deltaCap,
+      "re-labeled corpus slice (fan-in of the merged canons)",
+      "sameAsCanonicalize")
+    val rew = touched
+      .join(broadcast(relabel.toDF("__r_s", "__n_s")),
+        col("s") === col("__r_s"), "left")
+      .join(broadcast(relabel.toDF("__r_o", "__n_o")),
+        col("o") === col("__r_o"), "left")
+      .select(coalesce(col("__n_s"), col("s")).as("s"), col("p"),
+        coalesce(col("__n_o"), col("o")).as("o"))
+      .distinct()
+    val rewritten2 = untouched.unionAll(
+      incrementNovel(untouched, rew, deltaCap))
+    (rewritten2, mapping2)
+  }
 }
 
 /** Streaming closure state: folds micro-batches of new edges into a
@@ -1700,30 +1958,48 @@ object ReasonOps {
   * batches b1..bn, `current == closure(base ∪ b1 ∪ … ∪ bn)`.
   *
   * State storage and reader safety: a frame returned by [[current]]
-  * stays VALID until the SECOND subsequent batch commit — each update
-  * retires the superseded closure one GENERATION late (the superseded
-  * frame is released only when the next update supersedes its
-  * successor), so a reader that grabbed `current` and is still
-  * executing while one batch lands never has its checkpoint blocks
-  * unpersisted under it. Storage is bounded at two closure frames plus
-  * the in-flight batch's Δ-sized intermediates (those release via
-  * ContextCleaner after a driver GC — on a long-running stream keep
-  * `spark.cleaner.periodicGC.interval` modest). Readers that must hold
-  * a snapshot across many batches should checkpoint their own copy.
+  * stays VALID until `retireDepth + 1` subsequent batch commits — each
+  * update retires superseded closures `retireDepth` GENERATIONS late
+  * (default 1: the superseded frame is released only when the next
+  * update supersedes its successor), so a reader that grabbed `current`
+  * and is still executing while one batch lands never has its
+  * checkpoint blocks unpersisted under it. Readers racing FASTER
+  * commits raise `spark.graft.stream.retireDepth` (read at
+  * construction) — storage is bounded at `retireDepth + 1` closure
+  * frames plus the in-flight batch's Δ-sized intermediates (those
+  * release via ContextCleaner after a driver GC — on a long-running
+  * stream keep `spark.cleaner.periodicGC.interval` modest). Readers
+  * that must hold a snapshot across many batches should checkpoint
+  * their own copy.
+  *
+  * Restart: the maintained closure lives in session memory — a driver
+  * restart loses it. The durable recover path is persist-open-replay:
+  * checkpoint the SOURCE by attaching with a `checkpointLocation`
+  * ([[attach]]), periodically persist [[current]]
+  * ([[graft.store.GraftStore.persistClosure]] /
+  * `persistClosureQuads`), and on restart construct the maintainer
+  * from the reopened artifact ([[graft.store.GraftStore.openClosure]] /
+  * `openClosureQuads`) — re-attaching with the same checkpoint replays
+  * exactly the batches committed after the persisted generation
+  * (updates are idempotent: [[ReasonOps.incrementNovel]] composition
+  * makes a replayed batch a no-op on a closure that already holds it).
   */
 final class ClosureMaintainer private[ops] (
     initial: org.apache.spark.sql.DataFrame,
     deltaFn: (org.apache.spark.sql.DataFrame,
               org.apache.spark.sql.DataFrame) => org.apache.spark.sql.DataFrame,
-    deltaCap: Long = ReasonOps.DefaultDeltaCap) {
+    deltaCap: Option[Long] = None) {
   import org.apache.spark.sql.DataFrame
   import org.apache.spark.sql.functions.col
   @volatile private var closureV: DataFrame = initial.localCheckpoint(true)
-  // the one-generation retirement slot (see class doc)
-  private var retiring: DataFrame = null
+  // retirement queue, bounded at retireDepth frames (see class doc)
+  private val retireDepth: Int = math.max(1,
+    initial.sparkSession.conf
+      .get("spark.graft.stream.retireDepth", "1").toInt)
+  private val retiring = scala.collection.mutable.Queue[DataFrame]()
 
-  /** The latest maintained closure (pinned; valid at least until the
-    * second batch commit after this call). */
+  /** The latest maintained closure (pinned; valid at least until
+    * `retireDepth + 1` batch commits after this call). */
   def current: DataFrame = closureV
 
   /** Fold one batch of new edges into the closure (synchronized — the
@@ -1741,17 +2017,26 @@ final class ClosureMaintainer private[ops] (
       // ReasonOps.incrementNovelRaw
       closureV = u.sparkSession.createDataFrame(u.rdd, u.schema)
         .localCheckpoint(true)
-      // retire one generation late: `prev` may still back a reader's
-      // in-flight `current` query; the grandparent cannot (its readers
-      // had a full batch interval to finish, per the documented contract)
-      if (retiring != null) graft.Pins.unpin(retiring)
-      retiring = prev
+      // retire `retireDepth` generations late: `prev` may still back a
+      // reader's in-flight `current` query; a frame leaving the queue
+      // had `retireDepth` full batch intervals for its readers to
+      // finish, per the documented contract
+      retiring.enqueue(prev)
+      while (retiring.size > retireDepth) graft.Pins.unpin(retiring.dequeue())
     }
   }
 
-  /** Attach to a streaming relation: one [[update]] per micro-batch. */
-  def attach(stream: DataFrame): org.apache.spark.sql.streaming.StreamingQuery =
-    stream.writeStream.outputMode("append")
+  /** Attach to a streaming relation: one [[update]] per micro-batch.
+    * Pass `checkpointLocation` on any stream that must survive a driver
+    * restart: the source's committed offsets persist there, so a
+    * restarted maintainer (constructed from a persisted closure
+    * artifact — see the class doc's recover path) re-attaches and
+    * replays exactly the uncommitted tail.
+    */
+  def attach(stream: DataFrame, checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream.outputMode("append")
       .foreachBatch((b: DataFrame, _: Long) => update(b))
-      .start()
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
 }

@@ -2947,12 +2947,30 @@ object Sparql {
     * arms × patterns; a 4th block is fine if the total stays small).
     */
   private val StreamArmBudget = 64
+  // Arithmetic fold, NOT a materialized 2^|unions| choice expansion:
+  // after k blocks the choice total is 2·total + choices·(|l|+|r|)
+  // (every prior choice splits in two, each side adding one branch's
+  // patterns), with choices doubling — and the fold EXITS as soon as
+  // the running total exceeds the budget, so a query with dozens of
+  // UNION blocks fails the guard in O(|unions|) driver work instead of
+  // OOMing inside it. Saturating Long arithmetic; once past the budget
+  // the exact count no longer matters.
   private def streamArmCount(baseTriples: Int,
-                             unions: Seq[(Group, Group)]): Int =
-    unions.foldLeft(Seq(baseTriples)) { case (acc, (l, r)) =>
-      acc.flatMap(n => Seq(n + l.triples.size, n + r.triples.size))
-    }.sum
-  private def requireArmBudget(arms: Int, where: String): Unit =
+                             unions: Seq[(Group, Group)]): Long = {
+    var choices = 1L
+    var total = baseTriples.toLong
+    val it = unions.iterator
+    while (it.hasNext && total <= StreamArmBudget) {
+      val (l, r) = it.next()
+      total = 2L * total + choices * (l.triples.size + r.triples.size).toLong
+      // clamp the choice multiplier (degenerate all-empty-branch runs
+      // would otherwise overflow it before total ever moves); any later
+      // non-empty branch still blows past the budget immediately
+      choices = math.min(choices * 2L, 1L << 20)
+    }
+    total
+  }
+  private def requireArmBudget(arms: Long, where: String): Unit =
     require(arms <= StreamArmBudget,
       s"$where: the UNION expansion needs $arms delta arms - exceeds " +
         s"the arm budget of $StreamArmBudget (every arm is a standing " +

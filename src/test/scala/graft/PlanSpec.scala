@@ -378,4 +378,25 @@ class PlanSpec extends SparkSpec {
     p should not include "SortMergeJoin"
     p should not include "CartesianProduct"
   }
+
+  "q_owl_equiv_delta" should "maintain equivalence-bridged closures broadcast-only" in {
+    // the equivalence axioms live in the driver-closed hierarchy maps,
+    // so the O(Δ) composition is the ordinary broadcast novelty shape
+    val p = finalPlan("q_owl_equiv_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_sameas_delta" should "never re-shuffle the canonicalized corpus" in {
+    // incremental sameAs: the corpus enters only as the STREAM side of
+    // broadcast anti/semi probes (untouched split) and one broadcast
+    // novelty anti-join; the Δ-sized merge CC and relabel maps are
+    // pinned before this plan. No sort-merge, no cartesian, and no
+    // hash-partition exchange over the corpus — the only exchange is
+    // the final ORDER BY's range partitioning.
+    val p = finalPlan("q_sameas_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+    p.split("Exchange hashpartitioning").length - 1 shouldBe 0
+  }
 }

