@@ -2827,6 +2827,45 @@ object SparkEntry {
       .orderBy("s", "p", "o")
   }
 
+  /** owl:FunctionalProperty / owl:InverseFunctionalProperty entity
+    * resolution, iterated to FIXPOINT: every third customer has a `dup:`
+    * twin sharing its inverse-functional `email` (round-1 merge), and
+    * the twin holds a SECOND value of the functional `acct` — a
+    * collision only VISIBLE after the subject merge (round-2 cascade),
+    * whose account carries a payload row that must collapse onto the
+    * canonical account's. The census pins the corpus AND the final
+    * member → canonical mapping (`__maps_to` rows); the oracle derives
+    * the expected post-fixpoint counts directly from the construction.
+    */
+  private def owlFunctionalQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val ck = concat(lit("customer:"), col("c_custkey"))
+    val dupk = cu.where(col("c_custkey") % 3 === 0)
+    val base = cu.select(ck.as("s"), lit("email").as("p"),
+        concat(lit("em:"), col("c_custkey")).as("o"))
+      .unionAll(dupk.select(concat(lit("dup:"), col("c_custkey")).as("s"),
+        lit("email").as("p"), concat(lit("em:"), col("c_custkey")).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("acct").as("p"),
+        concat(lit("acct:"), col("c_custkey")).as("o")))
+      .unionAll(dupk.select(concat(lit("dup:"), col("c_custkey")).as("s"),
+        lit("acct").as("p"),
+        concat(lit("alt:"), col("c_custkey")).as("o")))
+      .unionAll(cu.select(concat(lit("acct:"), col("c_custkey")).as("s"),
+        lit("balclass").as("p"), (col("c_custkey") % 5).cast("string").as("o")))
+      .unionAll(dupk.select(concat(lit("alt:"), col("c_custkey")).as("s"),
+        lit("balclass").as("p"), (col("c_custkey") % 5).cast("string").as("o")))
+      .unionAll(s.createDataFrame(Seq(
+        ("email", "a", ReasonOps.InverseFunctionalProperty),
+        ("acct", "a", ReasonOps.FunctionalProperty))).toDF("s", "p", "o"))
+    val (rw, mp) = ReasonOps.functionalCanonicalize(base)
+    rw.unionAll(mp.select(col("member").as("s"), lit("__maps_to").as("p"),
+        col("canon").as("o")))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p")
+  }
+
   /** Incremental maintenance: the store splits into a base (everything
     * but customers) materialized with rdfsClosure and a customer DELTA
     * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
@@ -3925,6 +3964,7 @@ object SparkEntry {
     "q_owl_quads_rewrite" -> (owlQuadsRewriteQ _),
     "q_owl_equiv" -> (owlEquivQ _),
     "q_owl_equiv_delta" -> (owlEquivDeltaQ _),
+    "q_owl_functional" -> (owlFunctionalQ _),
     "q_sameas_delta" -> (sameAsDeltaQ _),
     "q_owl_delta" -> (owlDeltaQ _),
     "q_owl_delta_del" -> (owlDeltaDelQ _),
@@ -5692,6 +5732,21 @@ object SparkEntry {
     "q_owl_quads_rewrite" -> owlQuadsRewriteOracle,
     "q_owl_equiv" -> owlEquivOracle,
     "q_owl_equiv_delta" -> owlEquivDeltaOracle,
+    // functional-property ER: expected post-fixpoint counts derived
+    // straight from the construction (every third customer gains a
+    // dup twin that merges away, its alt account folding into the
+    // canonical one)
+    "q_owl_functional" ->
+      """WITH c AS (SELECT count(*) AS nc,
+        |                  count(*) FILTER (WHERE c_custkey % 3 = 0) AS nm
+        |           FROM customer)
+        |SELECT * FROM (
+        |  SELECT '__maps_to' AS p, 4*nm AS n, 4*nm AS ns FROM c
+        |  UNION ALL SELECT 'a', 2, 2 FROM c
+        |  UNION ALL SELECT 'acct', nc, nc FROM c
+        |  UNION ALL SELECT 'balclass', nc, nc FROM c
+        |  UNION ALL SELECT 'email', nc, nc FROM c
+        |) ORDER BY p""".stripMargin,
     "q_sameas_delta" -> sameAsDeltaOracle,
     "q_rdfs_quads_delta" -> rdfsQuadsDeltaOracle,
     "q_rdfs_quads_del" -> rdfsQuadsDelOracle,

@@ -117,7 +117,16 @@ object DedupOps {
 
   /** Same, over a pre-built (shared/cached) gram-set relation. */
   def minhashPairsOver(g: DataFrame, threshold: Double = 0.8,
-                       numHashes: Int = 64, bands: Int = 16): DataFrame = {
+                       numHashes: Int = 64, bands: Int = 16): DataFrame =
+    verifyPairs(minhashCandidates(g, numHashes, bands), g, threshold)
+
+  /** The LSH banding candidate set alone (pre-verification) — exposed so
+    * the scale probe can measure CANDIDATE VOLUME growth across scale
+    * factors (the 100 TB risk of banded LSH is a bucket whose population
+    * grows superlinearly, which the verified output hides).
+    */
+  def minhashCandidates(g: DataFrame, numHashes: Int = 64,
+                        bands: Int = 16): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rows = numHashes / bands
     // one aggregate with an array accumulator (vs numHashes separate
@@ -137,12 +146,11 @@ object DedupOps {
     val bucketed = g.withColumn("sigs", sigs)
       .select(col("doc_id"), posexplode(buckets).as(Seq("band", "bucket")))
       .localCheckpoint(true)
-    val cand = bucketed.as("x").join(bucketed.as("y"),
+    bucketed.as("x").join(bucketed.as("y"),
         col("x.band") === col("y.band") && col("x.bucket") === col("y.bucket") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    verifyPairs(cand, g, threshold)
   }
 
   /** Exact-Jaccard verification of candidate pairs (LSH/blocking output is

@@ -65,10 +65,16 @@ import org.apache.spark.sql.functions._
   * delete (DRed)   rdfsRetract / owlRetract    rdfsRetractQuads / owlRetractQuads
   * lazy entailment rdfsEntailed / owlEntailed  rdfsEntailedQuads / owlEntailedQuads
   * streaming       rdfsDeltaStream (stateless) rdfsDeltaStreamQuads (stateless)
-  *                 rdfs/owlMaintainStream      rdfs/owlMaintainStreamQuads
+  *                 rdfs/owlMaintainStream(Encoded)  rdfs/owlMaintainStreamQuads(Encoded)
   * compose         incrementNovel / composeIncrement   (graph-aware, null-safe)
   * persist         GraftStore.persistClosure(..Append) / persistClosureQuads(..Append)
+  * identity        sameAsCanonicalize (materialize) / sameAsDelta (O(Δ) merge)
   * }}}
+  * The RDFS rows (and through them every maintenance cell) also handle
+  * `owl:equivalentClass` / `owl:equivalentProperty`: equivalences fold
+  * into the driver-closed hierarchies as bidirectional subsumption (see
+  * [[EquivalentClass]]), so no extra rule pass exists anywhere in the
+  * matrix.
   * Every Δ-derived broadcast passes a `deltaCap` guard (fail-fast with a
   * re-materialization pointer; `spark.graft.reason.deltaCap` overrides
   * session-wide), and the owlRetract frontier falls back to
@@ -967,6 +973,9 @@ object ReasonOps {
   val SymmetricProperty  = "http://www.w3.org/2002/07/owl#SymmetricProperty"
   val TransitiveProperty = "http://www.w3.org/2002/07/owl#TransitiveProperty"
   val SameAs             = "http://www.w3.org/2002/07/owl#sameAs"
+  val FunctionalProperty = "http://www.w3.org/2002/07/owl#FunctionalProperty"
+  val InverseFunctionalProperty =
+    "http://www.w3.org/2002/07/owl#InverseFunctionalProperty"
 
   /** All-pairs transitive closure of an edge relation by iterated
     * squaring: each round joins the path set with itself, so a graph of
@@ -1946,6 +1955,113 @@ object ReasonOps {
       incrementNovel(untouched, rew, deltaCap))
     (rewritten2, mapping2)
   }
+
+  /** The identity pairs IMPLIED by `owl:FunctionalProperty` /
+    * `owl:InverseFunctionalProperty` declarations — the classic
+    * entity-resolution rules:
+    *
+    *   p functional ∧ (x p y₁) ∧ (x p y₂)  ⊨  y₁ sameAs y₂
+    *   p inverse-functional ∧ (x₁ p y) ∧ (x₂ p y)  ⊨  x₁ sameAs x₂
+    *
+    * Declarations are schema-sized (collected, capped); each declared
+    * property derives with ONE aggregation of its own slice — the
+    * group's members pair as a STAR to the group minimum (min-aggregate
+    * + one join back on the group key, never an all-pairs join within a
+    * group), which is connectivity-equivalent to all pairs for the CC
+    * that consumes them. Returns (a, b) pairs with a = the group min.
+    */
+  def functionalIdentityPairs(triples: DataFrame, typePred: String = "a",
+                              tboxCap: Int = 1 << 20): DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val ty: Seq[Any] =
+      if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
+    val declRows = t.where(col("p").isin(ty: _*) &&
+        col("o").isin(FunctionalProperty, InverseFunctionalProperty))
+      .limit(tboxCap + 1).collect()
+    require(declRows.length <= tboxCap,
+      s"functional-property declarations exceed $tboxCap - not schema-shaped")
+    val fps = declRows.collect {
+      case r if r.get(2) == FunctionalProperty => r.get(0) }.distinct.toSeq
+    val ifps = declRows.collect {
+      case r if r.get(2) == InverseFunctionalProperty => r.get(0)
+    }.distinct.toSeq
+    def starPairs(props: Seq[Any], keyCol: String, valCol: String)
+        : Option[DataFrame] =
+      if (props.isEmpty) None
+      else Some {
+        // one shuffle of the declared properties' slice on (p, key):
+        // min per group, then the slice joins back — each multi-member
+        // group emits |group|-1 star edges to its minimum
+        val rows = t.where(col("p").isin(props: _*))
+          .select(col("p"), col(keyCol).as("k"), col(valCol).as("v"))
+        val mins = rows.groupBy("p", "k")
+          .agg(min("v").as("cv"), count(lit(1)).as("cnt"))
+          .where(col("cnt") > 1)
+          .select(col("p"), col("k"), col("cv"))
+        rows.join(mins, Seq("p", "k"))
+          .where(col("v") =!= col("cv"))
+          .select(col("cv").as("a"), col("v").as("b"))
+      }
+    (starPairs(fps, "s", "o").toSeq ++ starPairs(ifps, "o", "s").toSeq)
+      .reduceOption(_.unionAll(_))
+      .map(_.distinct())
+      .getOrElse(t.select(col("s").as("a"), col("o").as("b")).limit(0))
+  }
+
+  /** Entity canonicalization under functional-property semantics,
+    * iterated to FIXPOINT: merging two entities can create new
+    * functional collisions (the merged subject now holds both values of
+    * a functional property; the merged object now keys two subjects of
+    * an inverse-functional one), so each round derives
+    * [[functionalIdentityPairs]] over the current canonical corpus and
+    * re-canonicalizes over the ACCUMULATED pair set until no new pair
+    * appears. Rounds track identity-CASCADE depth (how many merges must
+    * land before the last collision becomes visible) — not corpus size;
+    * real ER graphs settle in 1–3. Explicit `owl:sameAs` statements in
+    * the corpus participate (they canonicalize in round 1, exactly the
+    * [[sameAsCanonicalize]] + functional composition OWL requires).
+    * Returns the final (rewritten corpus, member → canonical mapping) —
+    * ONE CC over the accumulated pairs, so the mapping needs no
+    * cross-round composition.
+    */
+  def functionalCanonicalize(triples: DataFrame, typePred: String = "a",
+                             tboxCap: Int = 1 << 20, maxRounds: Int = 8)
+      : (DataFrame, DataFrame) = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+      .localCheckpoint(true)
+    def withPairs(pairs: Option[DataFrame]): DataFrame =
+      pairs.fold(t)(ps => t.unionAll(ps.select(col("a").as("s"),
+        lit(SameAs).as("p"), col("b").as("o"))))
+    var all: Option[DataFrame] = None
+    var result = sameAsCanonicalize(t)
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"functional canonicalization did not settle in $maxRounds rounds")
+      val pairs = graft.Pins.checkpointLazy(
+        functionalIdentityPairs(result._1, typePred, tboxCap))
+      if (pairs.isEmpty) done = true
+      else {
+        all = Some(all.fold(pairs)(a =>
+          graft.Pins.checkpointLazy(a.unionAll(pairs).distinct())))
+        // re-canonicalize from the ORIGINAL corpus over the accumulated
+        // pairs: CC unions chains across rounds, so the final mapping
+        // needs no cross-round composition
+        result = sameAsCanonicalize(withPairs(all))
+      }
+    }
+    lastFunctionalRounds.set(round)
+    result
+  }
+
+  /** Round count of the most recent [[functionalCanonicalize]] fixpoint
+    * (identity-cascade depth + 1) — scale-evidence telemetry. */
+  private[graft] val lastFunctionalRounds =
+    new java.util.concurrent.atomic.AtomicLong(0)
 }
 
 /** Streaming closure state: folds micro-batches of new edges into a

@@ -69,6 +69,42 @@ object ScaleProbe {
         println(f"""{"sf":"$sf","gate":"$g","sec":$best%.2f,""" +
           s""""ccRounds":$cc,"fixpointRounds":$fp,"frontierRounds":$fr}""")
       }
+      // ---- pipeline-family candidate volumes (r10-verdict #7) ----
+      // The dedup/ANN 100 TB claims rest on CANDIDATE volume staying
+      // near-linear in corpus size: PPJoin prefix postings, LSH band
+      // buckets, and IVF probe lists each quietly go quadratic when the
+      // data distribution defeats the blocking. Measure the candidate
+      // set itself (the verified output hides it) at both SFs.
+      {
+        import org.apache.spark.sql.functions._
+        import graft.ops.{DedupOps, VectorOps}
+        import graft.store.GraftStore
+        def probe(name: String, docs: Long)(mk: => org.apache.spark.sql.DataFrame): Unit = {
+          val t0 = System.nanoTime()
+          val pairs = mk.count()
+          val sec = (System.nanoTime() - t0) / 1e9
+          println(f"""{"sf":"$sf","probe":"$name","rows":$docs,""" +
+            f""""candidates":$pairs,"sec":$sec%.2f}""")
+        }
+        val g = GraftStore.docGrams(spark, dir)
+        val nDocs = g.count()
+        probe("cand_ngram_prefix", nDocs) {
+          DedupOps.prefixCandidates(g, threshold = 0.5)
+        }
+        probe("cand_minhash_lsh", nDocs) {
+          DedupOps.minhashCandidates(g)
+        }
+        val emb = graft.Tables.loadPar(spark, dir, "embeddings")
+        val nVec = emb.count()
+        val (cent, cells) = GraftStore.ivfIndex(spark, dir)
+        probe("cand_ivf_probe2", nVec) {
+          VectorOps.ivfAssign(emb.where(col("vec_id") < 8), cent, probes = 2)
+            .select(col("vec_id").as("query_id"), col("cell"))
+            .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")),
+              Seq("cell"))
+            .where(col("neighbor_id") =!= col("query_id"))
+        }
+      }
     }
     spark.stop()
   }

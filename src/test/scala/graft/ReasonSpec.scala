@@ -1288,6 +1288,59 @@ class ReasonSpec extends SparkSpec {
     pset(m3) shouldBe pset(mb)
   }
 
+  "ReasonOps.functionalIdentityPairs" should "derive star pairs for functional and inverse-functional collisions" in {
+    val g = Seq(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("acct", "a", ReasonOps.FunctionalProperty),
+      ("x1", "email", "e1"), ("x2", "email", "e1"), ("x3", "email", "e2"),
+      ("y", "acct", "a2"), ("y", "acct", "a1"), ("z", "acct", "a3")
+    ).toDF("s", "p", "o")
+    pset(ReasonOps.functionalIdentityPairs(g)
+      .select(org.apache.spark.sql.functions.col("a"),
+        org.apache.spark.sql.functions.col("b"))) shouldBe
+      Set(("x1", "x2"), ("a1", "a2"))
+  }
+
+  "ReasonOps.functionalCanonicalize" should "iterate merge cascades to fixpoint" in {
+    val g = Seq(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("acct", "a", ReasonOps.FunctionalProperty),
+      // round 1: cust ~ dup via the shared inverse-functional email
+      ("cust", "email", "e"), ("dup", "email", "e"),
+      // round 2 (visible only AFTER the subject merge): the merged
+      // subject holds two values of the functional acct
+      ("cust", "acct", "acctA"), ("dup", "acct", "acctB"),
+      ("acctA", "bal", "10"), ("acctB", "bal", "10")
+    ).toDF("s", "p", "o")
+    val (rw, mp) = ReasonOps.functionalCanonicalize(g)
+    tset(rw) shouldBe Set(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("acct", "a", ReasonOps.FunctionalProperty),
+      ("cust", "email", "e"),
+      ("cust", "acct", "acctA"),
+      ("acctA", "bal", "10"))
+    pset(mp) shouldBe Set(("cust", "cust"), ("dup", "cust"),
+      ("acctA", "acctA"), ("acctB", "acctA"))
+    // 2 merge rounds + the empty settling round
+    ReasonOps.lastFunctionalRounds.get() shouldBe 3
+  }
+
+  it should "compose with explicit sameAs statements" in {
+    val g = Seq(
+      ("acct", "a", ReasonOps.FunctionalProperty),
+      ("b", ReasonOps.SameAs, "c"),
+      ("b", "acct", "a2"), ("c", "acct", "a1")
+    ).toDF("s", "p", "o")
+    val (rw, mp) = ReasonOps.functionalCanonicalize(g)
+    // b ~ c merge first (explicit identity), which makes the merged
+    // subject's two acct values collide
+    tset(rw) shouldBe Set(
+      ("acct", "a", ReasonOps.FunctionalProperty),
+      ("b", "acct", "a1"))
+    pset(mp) shouldBe Set(("b", "b"), ("c", "b"),
+      ("a1", "a1"), ("a2", "a1"))
+  }
+
   "encoded streaming maintainers" should "maintain encoded closures batch-for-batch" in {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
