@@ -2866,6 +2866,53 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** The O(Δ) maintenance twin of [[owlFunctionalQ]]: the base corpus —
+    * customers, their accounts, AND the dup twins' emails — reaches a
+    * canonicalized fixpoint as session artifacts (the email merges land
+    * HERE), then the twins' `alt:` account rows arrive as a batch:
+    * [[ReasonOps.functionalDelta]] must resolve `dup:k` through the
+    * existing mapping to `customer:k`, detect the functional-acct
+    * collision in exactly the touched groups (broadcast semis — the
+    * corpus never shuffles, PlanSpec-asserted), and fold the `alt:`
+    * payload onto the canonical account. The census differs from
+    * q_owl_functional's (`no` = distinct objects), so the two gates
+    * hash independently.
+    */
+  private def owlFunctionalDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val ck = concat(lit("customer:"), col("c_custkey"))
+    val dupk = cu.where(col("c_custkey") % 3 === 0)
+    val base = cu.select(ck.as("s"), lit("email").as("p"),
+        concat(lit("em:"), col("c_custkey")).as("o"))
+      .unionAll(dupk.select(concat(lit("dup:"), col("c_custkey")).as("s"),
+        lit("email").as("p"), concat(lit("em:"), col("c_custkey")).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("acct").as("p"),
+        concat(lit("acct:"), col("c_custkey")).as("o")))
+      .unionAll(cu.select(concat(lit("acct:"), col("c_custkey")).as("s"),
+        lit("balclass").as("p"), (col("c_custkey") % 5).cast("string").as("o")))
+      .unionAll(s.createDataFrame(Seq(
+        ("email", "a", ReasonOps.InverseFunctionalProperty),
+        ("acct", "a", ReasonOps.FunctionalProperty))).toDF("s", "p", "o"))
+    val rewritten = GraftStore.reasonArtifact(s, d, "func_base_rw") {
+      ReasonOps.functionalCanonicalize(base)._1
+    }
+    val mapping = GraftStore.reasonArtifact(s, d, "func_base_map") {
+      ReasonOps.functionalCanonicalize(base)._2
+    }
+    val delta = dupk.select(concat(lit("dup:"), col("c_custkey")).as("s"),
+        lit("acct").as("p"), concat(lit("alt:"), col("c_custkey")).as("o"))
+      .unionAll(dupk.select(concat(lit("alt:"), col("c_custkey")).as("s"),
+        lit("balclass").as("p"),
+        (col("c_custkey") % 5).cast("string").as("o")))
+    val (rw, mp) = ReasonOps.functionalDelta(rewritten, mapping, delta)
+    rw.unionAll(mp.select(col("member").as("s"), lit("__maps_to").as("p"),
+        col("canon").as("o")))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("o")).as("no"))
+      .orderBy("p")
+  }
+
   /** Incremental maintenance: the store splits into a base (everything
     * but customers) materialized with rdfsClosure and a customer DELTA
     * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
@@ -3965,6 +4012,7 @@ object SparkEntry {
     "q_owl_equiv" -> (owlEquivQ _),
     "q_owl_equiv_delta" -> (owlEquivDeltaQ _),
     "q_owl_functional" -> (owlFunctionalQ _),
+    "q_owl_functional_delta" -> (owlFunctionalDeltaQ _),
     "q_sameas_delta" -> (sameAsDeltaQ _),
     "q_owl_delta" -> (owlDeltaQ _),
     "q_owl_delta_del" -> (owlDeltaDelQ _),
@@ -5745,6 +5793,20 @@ object SparkEntry {
         |  UNION ALL SELECT 'a', 2, 2 FROM c
         |  UNION ALL SELECT 'acct', nc, nc FROM c
         |  UNION ALL SELECT 'balclass', nc, nc FROM c
+        |  UNION ALL SELECT 'email', nc, nc FROM c
+        |) ORDER BY p""".stripMargin,
+    // incremental functional ER: same final state as q_owl_functional,
+    // asked with a DIFFERENT census (no = distinct objects) so the two
+    // gates hash independently
+    "q_owl_functional_delta" ->
+      """WITH c AS (SELECT count(*) AS nc,
+        |                  count(*) FILTER (WHERE c_custkey % 3 = 0) AS nm
+        |           FROM customer)
+        |SELECT * FROM (
+        |  SELECT '__maps_to' AS p, 4*nm AS n, 2*nm AS no FROM c
+        |  UNION ALL SELECT 'a', 2, 2 FROM c
+        |  UNION ALL SELECT 'acct', nc, nc FROM c
+        |  UNION ALL SELECT 'balclass', nc, LEAST(nc, 5) FROM c
         |  UNION ALL SELECT 'email', nc, nc FROM c
         |) ORDER BY p""".stripMargin,
     "q_sameas_delta" -> sameAsDeltaOracle,

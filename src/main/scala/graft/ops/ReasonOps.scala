@@ -1791,33 +1791,120 @@ object ReasonOps {
       : (DataFrame, DataFrame) = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    val pairs = t.where(col("p") === sameAsPred).select("s", "o")
-    val nodes = pairs.select(col("s").as("node"))
-      .unionAll(pairs.select(col("o").as("node")))
-    val ranks = GraphOps.orderRanks(nodes).localCheckpoint(true)
-    val enc = pairs
-      .join(ranks.select(col("node").as("s"), col("rk").as("srk")), Seq("s"))
-      .join(ranks.select(col("node").as("o"), col("rk").as("ork")), Seq("o"))
-      .select(col("srk").as("s"), col("ork").as("o"))
-    // component id = min RANK = rank of the min member (orderRanks is
-    // order-preserving), so decoding the component rank IS the min term
-    val cc = GraphOps.connectedComponents(enc)
-    val mapping = cc
-      .join(ranks.select(col("rk").as("node"), col("node").as("member")),
-        Seq("node"))
-      .join(ranks.select(col("rk").as("component"), col("node").as("canon")),
-        Seq("component"))
-      .select(col("member"), col("canon"))
-      .localCheckpoint(true)
-    val rewritten = t.where(col("p") =!= sameAsPred)
-      .join(mapping.withColumnRenamed("member", "s"), Seq("s"), "left")
+    val mapping = identityMapping(
+      t.where(col("p") === sameAsPred).select("s", "o"))
+    (applyMapping(t.where(col("p") =!= sameAsPred), mapping), mapping)
+  }
+
+  /** The member → canonical mapping of an identity-pair relation
+    * (canonical = each connected component's minimum member; one row
+    * per identity-graph node, roots included), pinned.
+    *
+    * Two physical paths, the broadcast-small discipline Spark itself
+    * applies to joins: an identity graph whose EDGE COUNT fits
+    * `spark.graft.identity.driverCap` (default 2²⁰) collapses with a
+    * driver-side union-find — one count job + one collect instead of
+    * the rank/CC/jump job chain, which is pure scheduling latency for
+    * the Δ-sized pair sets the functional fixpoint and sameAs
+    * maintenance produce. Larger graphs (corpus-scale entity
+    * resolution — identity sets are DATA-sized by contract) take the
+    * distributed path: CC over rank-encoded ids (component id = min
+    * rank = rank of the min member, since [[GraphOps.orderRanks]] is
+    * order-preserving), decoded back through the rank table. String
+    * ordering on the driver path compares UTF-8 BYTES, matching
+    * Spark's binary string ordering exactly.
+    */
+  def identityMapping(pairs0: DataFrame): DataFrame = {
+    val Seq(ca, cb) = pairs0.columns.take(2).toSeq
+    val pairs = pairs0.select(col(ca).as("s"), col(cb).as("o"))
+    val cap = pairs0.sparkSession.conf
+      .get("spark.graft.identity.driverCap", (1L << 20).toString).toLong
+    val pinned = graft.Pins.checkpointLazy(pairs)
+    val n = pinned.count()
+    if (n <= cap) identityMappingLocal(pinned)
+    else {
+      val nodes = pinned.select(col("s").as("node"))
+        .unionAll(pinned.select(col("o").as("node")))
+      val ranks = GraphOps.orderRanks(nodes).localCheckpoint(true)
+      val enc = pinned
+        .join(ranks.select(col("node").as("s"), col("rk").as("srk")), Seq("s"))
+        .join(ranks.select(col("node").as("o"), col("rk").as("ork")), Seq("o"))
+        .select(col("srk").as("s"), col("ork").as("o"))
+      val cc = GraphOps.connectedComponents(enc)
+      cc.join(ranks.select(col("rk").as("node"), col("node").as("member")),
+          Seq("node"))
+        .join(ranks.select(col("rk").as("component"), col("node").as("canon")),
+          Seq("component"))
+        .select(col("member"), col("canon"))
+        .localCheckpoint(true)
+    }
+  }
+
+  /** UTF-8 byte order for driver-side canon selection — MUST match the
+    * executor path's min semantics (Spark compares strings as binary
+    * UTF-8; JVM String.compareTo differs on supplementary characters).
+    */
+  private def minTermLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x < y
+    case (x: String, y: String) =>
+      val xb = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val yb = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val m = math.min(xb.length, yb.length)
+      var i = 0
+      while (i < m) {
+        val c = (xb(i) & 0xff) - (yb(i) & 0xff)
+        if (c != 0) return c < 0
+        i += 1
+      }
+      xb.length < yb.length
+    case (x, y) => x.toString < y.toString
+  }
+
+  /** Driver union-find over a capped edge set, union-by-min so every
+    * root stays its component's minimum member. */
+  private def identityMappingLocal(pairs: DataFrame): DataFrame = {
+    val spark = pairs.sparkSession
+    val dt = pairs.schema.fields.head.dataType
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) {
+        val nx = parent.get(c); parent.put(c, r); c = nx
+      }
+      r
+    }
+    pairs.collect().foreach { row =>
+      val a = row.get(0); val b = row.get(1)
+      parent.putIfAbsent(a, a); parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) {
+        if (minTermLess(ra, rb)) parent.put(rb, ra)
+        else parent.put(ra, rb)
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val rows = parent.keySet().asScala.toSeq
+      .map(k => org.apache.spark.sql.Row(k, find(k)))
+    spark.createDataFrame(
+      new java.util.ArrayList(rows.asJava),
+      org.apache.spark.sql.types.StructType(Seq("member", "canon").map(
+        org.apache.spark.sql.types.StructField(_, dt, nullable = false))))
+  }
+
+  /** Rewrite a triple relation's subjects and objects through a
+    * member → canonical mapping (two left joins + coalesce, deduped).
+    * The mapping join broadcasts only by Spark's own size estimate —
+    * identity sets are data-sized by contract.
+    */
+  def applyMapping(t: DataFrame, mapping: DataFrame): DataFrame =
+    t.join(mapping.withColumnRenamed("member", "s"), Seq("s"), "left")
       .select(coalesce(col("canon"), col("s")).as("s"), col("p"), col("o"))
       .join(mapping.withColumnRenamed("member", "o")
         .withColumnRenamed("canon", "canon2"), Seq("o"), "left")
       .select(col("s"), col("p"), coalesce(col("canon2"), col("o")).as("o"))
       .distinct()
-    (rewritten, mapping)
-  }
 
   /** INCREMENTAL owl:sameAs maintenance — the O(Δ) twin of
     * [[sameAsCanonicalize]], completing the maintenance matrix's sameAs
@@ -1859,6 +1946,18 @@ object ReasonOps {
   def sameAsDelta(rewritten: DataFrame, mapping: DataFrame,
                   newPairs: DataFrame,
                   deltaCap: Option[Long] = None): (DataFrame, DataFrame) = {
+    val (rw, mp, _) = sameAsDeltaCore(rewritten, mapping, newPairs, deltaCap)
+    (rw, mp)
+  }
+
+  /** [[sameAsDelta]] plus the pinned Δ-sized RELABEL map (old canonical
+    * or newly-mapped term → new canonical) — [[functionalDelta]] needs
+    * it to find the groups a merge may have given new collisions.
+    */
+  private def sameAsDeltaCore(rewritten: DataFrame, mapping: DataFrame,
+                              newPairs: DataFrame,
+                              deltaCap: Option[Long])
+      : (DataFrame, DataFrame, DataFrame) = {
     val Seq(ca, cb) = newPairs.columns.take(2).toSeq
     val np = pinCapped(
       newPairs.select(col(ca).as("s"), col(cb).as("o"))
@@ -1883,24 +1982,13 @@ object ReasonOps {
       .select(coalesce(col("__c_s"), col("s")).as("s"),
         coalesce(col("__c_o"), col("o")).as("o"))
       .where(col("s") =!= col("o"))
-    // 2. Δ-sized CC in canonical space; min rank = min term = the merged
-    //    cluster's global minimum member (old canons are their clusters'
-    //    minima)
-    val nodes = edges.select(col("s").as("node"))
-      .unionAll(edges.select(col("o").as("node")))
-    val ranks = pinCapped(GraphOps.orderRanks(nodes), deltaCap,
-      "sameAs merge-node ranks", "sameAsCanonicalize")
-    val encE = edges
-      .join(ranks.select(col("node").as("s"), col("rk").as("srk")), Seq("s"))
-      .join(ranks.select(col("node").as("o"), col("rk").as("ork")), Seq("o"))
-      .select(col("srk").as("s"), col("ork").as("o"))
-    val cc = GraphOps.connectedComponents(encE)
-    val ccMembers = pinCapped(cc
-        .join(ranks.select(col("rk").as("node"), col("node").as("member")),
-          Seq("node"))
-        .join(ranks.select(col("rk").as("component"),
-          col("node").as("canonNew")), Seq("component"))
-        .select(col("member"), col("canonNew")),
+    // 2. Δ-sized identity resolution in canonical space
+    //    ([[identityMapping]]: driver union-find under the cap,
+    //    distributed CC above it); the merged cluster's new canonical =
+    //    its minimum member, because every old canon is its own
+    //    cluster's minimum
+    val ccMembers = pinCapped(
+      identityMapping(edges).toDF("member", "canonNew"),
       deltaCap, "merged-cluster member map", "sameAsCanonicalize")
     val relabel = pinCapped(
       ccMembers.where(col("member") =!= col("canonNew"))
@@ -1953,7 +2041,7 @@ object ReasonOps {
       .distinct()
     val rewritten2 = untouched.unionAll(
       incrementNovel(untouched, rew, deltaCap))
-    (rewritten2, mapping2)
+    (rewritten2, mapping2, relabel)
   }
 
   /** The identity pairs IMPLIED by `owl:FunctionalProperty` /
@@ -1974,6 +2062,14 @@ object ReasonOps {
                               tboxCap: Int = 1 << 20): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    val (fps, ifps) = functionalDecls(t, typePred, tboxCap)
+    starPairsAll(t, fps, ifps)
+  }
+
+  /** Collect + cap the functional / inverse-functional property
+    * declarations (schema-sized by contract). */
+  private def functionalDecls(t: DataFrame, typePred: String, tboxCap: Int)
+      : (Seq[Any], Seq[Any]) = {
     val ty: Seq[Any] =
       if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
     val declRows = t.where(col("p").isin(ty: _*) &&
@@ -1981,11 +2077,17 @@ object ReasonOps {
       .limit(tboxCap + 1).collect()
     require(declRows.length <= tboxCap,
       s"functional-property declarations exceed $tboxCap - not schema-shaped")
-    val fps = declRows.collect {
-      case r if r.get(2) == FunctionalProperty => r.get(0) }.distinct.toSeq
-    val ifps = declRows.collect {
-      case r if r.get(2) == InverseFunctionalProperty => r.get(0)
-    }.distinct.toSeq
+    (declRows.collect {
+        case r if r.get(2) == FunctionalProperty => r.get(0) }.distinct.toSeq,
+      declRows.collect {
+        case r if r.get(2) == InverseFunctionalProperty => r.get(0)
+      }.distinct.toSeq)
+  }
+
+  /** The star-pair derivation over a relation given collected
+    * declarations (see [[functionalIdentityPairs]]). */
+  private def starPairsAll(t: DataFrame, fps: Seq[Any], ifps: Seq[Any])
+      : DataFrame = {
     def starPairs(props: Seq[Any], keyCol: String, valCol: String)
         : Option[DataFrame] =
       if (props.isEmpty) None
@@ -2031,37 +2133,177 @@ object ReasonOps {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
       .localCheckpoint(true)
-    def withPairs(pairs: Option[DataFrame]): DataFrame =
-      pairs.fold(t)(ps => t.unionAll(ps.select(col("a").as("s"),
-        lit(SameAs).as("p"), col("b").as("o"))))
-    var all: Option[DataFrame] = None
-    var result = sameAsCanonicalize(t)
+    val (fps, ifps) = functionalDecls(t, typePred, tboxCap)
+    val declPreds = fps ++ ifps
+    // the fixpoint only ever touches the DECLARED properties' slice —
+    // collisions can't appear anywhere else — so each round
+    // re-canonicalizes the slice, never the corpus; the full corpus is
+    // rewritten exactly ONCE at the end through the final mapping
+    val slice =
+      if (declPreds.isEmpty) t.limit(0)
+      else t.where(col("p").isin(declPreds: _*)).localCheckpoint(true)
+    val sp0 = t.where(col("p") === SameAs)
+      .select(col("s").as("a"), col("o").as("b"))
+    // explicit identities participate from round 0; when there are none
+    // (the common pure-ER corpus) skip their CC entirely
+    var all: Option[DataFrame] =
+      if (sp0.isEmpty) None
+      else Some(graft.Pins.checkpointLazy(sp0.distinct()))
+    def emptyMapping: DataFrame =
+      t.select(col("s").as("member"), col("s").as("canon")).limit(0)
+    var mapping = all.map(identityMapping).getOrElse(emptyMapping)
+    var curSlice = all.fold(slice)(_ => applyMapping(slice, mapping))
     var round = 0
     var done = false
     while (!done) {
       round += 1
       require(round <= maxRounds,
         s"functional canonicalization did not settle in $maxRounds rounds")
-      val pairs = graft.Pins.checkpointLazy(
-        functionalIdentityPairs(result._1, typePred, tboxCap))
+      val pairs = graft.Pins.checkpointLazy(starPairsAll(curSlice, fps, ifps))
       if (pairs.isEmpty) done = true
       else {
+        // accumulate and re-derive the mapping from ALL pairs: CC
+        // unions chains across rounds, so the final mapping needs no
+        // cross-round composition
         all = Some(all.fold(pairs)(a =>
           graft.Pins.checkpointLazy(a.unionAll(pairs).distinct())))
-        // re-canonicalize from the ORIGINAL corpus over the accumulated
-        // pairs: CC unions chains across rounds, so the final mapping
-        // needs no cross-round composition
-        result = sameAsCanonicalize(withPairs(all))
+        mapping = identityMapping(all.get)
+        curSlice = applyMapping(slice, mapping)
       }
     }
     lastFunctionalRounds.set(round)
-    result
+    (applyMapping(t.where(col("p") =!= SameAs), mapping), mapping)
   }
 
-  /** Round count of the most recent [[functionalCanonicalize]] fixpoint
-    * (identity-cascade depth + 1) — scale-evidence telemetry. */
+  /** Round count of the most recent [[functionalCanonicalize]] /
+    * [[functionalDelta]] fixpoint (identity-cascade depth + 1) —
+    * scale-evidence telemetry. */
   private[graft] val lastFunctionalRounds =
     new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** INCREMENTAL functional-property entity resolution — the O(Δ) twin
+    * of [[functionalCanonicalize]], completing the identity column of
+    * the maintenance matrix: fold a batch of NEW triples (optionally
+    * carrying explicit `owl:sameAs` rows) into an
+    * already-canonicalized corpus without re-deriving collisions
+    * corpus-wide or re-running CC over the full identity graph.
+    *
+    * The precondition is that (rewritten, mapping) is a
+    * [[functionalCanonicalize]] fixpoint: no group anywhere holds an
+    * unresolved collision. New collisions can then appear ONLY in
+    *   - groups that RECEIVE delta rows (round 1: the delta's own
+    *     (property, key) groups, fetched complete with one broadcast
+    *     semi-join per key shape — Δ-fan-in sized), and
+    *   - groups whose KEY was just merged (later rounds: an fp group
+    *     keyed by a merged subject unions two value sets; an ifp group
+    *     keyed by a merged object unions two subject sets) — rows
+    *     keyed by the round's new canons, again broadcast semis.
+    * Each round derives star pairs over the touched slice alone and
+    * folds them through [[sameAsDelta]]'s broadcast machinery, so the
+    * corpus only ever streams — never shuffles — and rounds track
+    * cascade depth exactly as in the batch op. Declarations arriving
+    * in the delta fail fast (a new functional axiom changes semantics
+    * corpus-wide → re-canonicalize). Identity:
+    * `functionalDelta(functionalCanonicalize(t)..., Δ) ==
+    *  functionalCanonicalize(t ∪ Δ)` (set-equality on both frames).
+    */
+  def functionalDelta(rewritten: DataFrame, mapping: DataFrame,
+                      newTriples: DataFrame, typePred: String = "a",
+                      tboxCap: Int = 1 << 20, maxRounds: Int = 8,
+                      deltaCap: Option[Long] = None)
+      : (DataFrame, DataFrame) = {
+    val Seq(cs, cp, co) = newTriples.columns.take(3).toSeq
+    val d0 = pinCapped(
+      newTriples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+        .distinct(),
+      deltaCap, "functional delta", "functionalCanonicalize")
+    val rCols = rewritten.columns.take(3).toSeq
+    val r = rewritten.select(col(rCols.head).as("s"), col(rCols(1)).as("p"),
+      col(rCols(2)).as("o"))
+    val mCols = mapping.columns.take(2).toSeq
+    var mp = mapping.select(col(mCols.head).as("member"),
+      col(mCols(1)).as("canon"))
+    // declarations ride the canonicalized corpus; NEW ones fail fast
+    val (fps, ifps) = functionalDecls(r, typePred, tboxCap)
+    val ty: Seq[Any] =
+      if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
+    require(d0.where(col("p").isin(ty: _*) &&
+        col("o").isin(FunctionalProperty, InverseFunctionalProperty)).isEmpty,
+      "delta contains functional-property declarations - schema changes " +
+        "require re-canonicalization (functionalCanonicalize), not " +
+        "incremental maintenance")
+    // resolve every delta term through the existing mapping (Δ probes
+    // broadcast; the data-sized mapping only streams)
+    val dSame0 = d0.where(col("p") === SameAs)
+    val dRest = d0.where(col("p") =!= SameAs)
+    val terms = dRest.select(col("s").as("term"))
+      .unionAll(dRest.select(col("o").as("term")))
+      .unionAll(dSame0.select(col("s").as("term")))
+      .unionAll(dSame0.select(col("o").as("term"))).distinct()
+    val resolved = pinCapped(
+      mp.join(broadcast(terms), col("member") === col("term"))
+        .select(col("member"), col("canon")),
+      deltaCap, "resolved delta terms", "functionalCanonicalize")
+    def resolve(df: DataFrame): DataFrame = df
+      .join(broadcast(resolved.toDF("__m_s", "__c_s")),
+        col("s") === col("__m_s"), "left")
+      .join(broadcast(resolved.toDF("__m_o", "__c_o")),
+        col("o") === col("__m_o"), "left")
+      .select(coalesce(col("__c_s"), col("s")).as("s"), col("p"),
+        coalesce(col("__c_o"), col("o")).as("o"))
+    val dRows = pinCapped(resolve(dRest).distinct(), deltaCap,
+      "canonicalized delta rows", "functionalCanonicalize")
+    // the corpus gains the delta's novel rows (broadcast novelty)
+    var rw = r.unionAll(incrementNovel(r, dRows, deltaCap))
+    // explicit identities seed round 1 alongside the derived pairs
+    var seed: Option[DataFrame] = {
+      val sp = resolve(dSame0)
+        .select(col("s").as("a"), col("o").as("b"))
+        .where(col("a") =!= col("b"))
+      if (sp.isEmpty) None else Some(sp)
+    }
+    // round 1's touched groups: the delta rows' own keys
+    var touchedKeysF: DataFrame = dRows.where(col("p").isin(fps: _*))
+      .select(col("p").as("__kp"), col("s").as("__kk")).distinct()
+    var touchedKeysI: DataFrame = dRows.where(col("p").isin(ifps: _*))
+      .select(col("p").as("__kp"), col("o").as("__kk")).distinct()
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"functional delta did not settle in $maxRounds rounds")
+      val sliceF =
+        if (fps.isEmpty) rw.limit(0)
+        else rw.join(broadcast(touchedKeysF),
+          col("p") === col("__kp") && col("s") === col("__kk"), "left_semi")
+      val sliceI =
+        if (ifps.isEmpty) rw.limit(0)
+        else rw.join(broadcast(touchedKeysI),
+          col("p") === col("__kp") && col("o") === col("__kk"), "left_semi")
+      val slice = pinCapped(sliceF.unionAll(sliceI), deltaCap,
+        "touched collision groups (fan-in of the delta)",
+        "functionalCanonicalize")
+      val derived = starPairsAll(slice, fps, ifps)
+      val pairs = seed.fold(derived)(sp => derived.unionAll(sp).distinct())
+      seed = None
+      if (pairs.isEmpty) done = true
+      else {
+        val (rw2, mp2, relabel) = sameAsDeltaCore(rw, mp, pairs, deltaCap)
+        rw = rw2; mp = mp2
+        // next round: groups whose KEY just merged
+        val newCanons = relabel.select(col("canonNew").as("__nc")).distinct()
+        touchedKeysF = rw.where(col("p").isin(fps: _*))
+          .join(broadcast(newCanons), col("s") === col("__nc"), "left_semi")
+          .select(col("p").as("__kp"), col("s").as("__kk")).distinct()
+        touchedKeysI = rw.where(col("p").isin(ifps: _*))
+          .join(broadcast(newCanons), col("o") === col("__nc"), "left_semi")
+          .select(col("p").as("__kp"), col("o").as("__kk")).distinct()
+      }
+    }
+    lastFunctionalRounds.set(round)
+    (rw, mp)
+  }
 }
 
 /** Streaming closure state: folds micro-batches of new edges into a

@@ -1341,6 +1341,66 @@ class ReasonSpec extends SparkSpec {
       ("a1", "a1"), ("a2", "a1"))
   }
 
+  "ReasonOps.functionalDelta" should "match batch re-canonicalization through a cascade" in {
+    val base = Seq(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("acct", "a", ReasonOps.FunctionalProperty),
+      ("cust", "email", "e"),
+      ("cust", "acct", "acctA"), ("acctA", "bal", "10"),
+      ("other", "email", "e2")).toDF("s", "p", "o")
+    val delta = Seq(
+      ("dup", "email", "e"),           // round 1: dup ~ cust
+      ("dup", "acct", "acctB"),        // round 2: acctB ~ acctA (post-merge)
+      ("acctB", "bal", "10")).toDF("s", "p", "o")
+    val (r1, m1) = ReasonOps.functionalCanonicalize(base)
+    val (r2, m2) = ReasonOps.functionalDelta(
+      r1.localCheckpoint(true), m1.localCheckpoint(true), delta)
+    val (rb, mb) = ReasonOps.functionalCanonicalize(base.unionAll(delta))
+    tset(r2) shouldBe tset(rb)
+    pset(m2) shouldBe pset(mb)
+  }
+
+  it should "resolve delta terms through the existing mapping and accept explicit sameAs" in {
+    val base = Seq(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("cust", "email", "e"), ("dup", "email", "e"),
+      ("cust", "city", "berlin")).toDF("s", "p", "o")
+    val (r1, m1) = ReasonOps.functionalCanonicalize(base)
+    // delta references the MERGED member `dup` and carries an explicit
+    // identity for a third alias
+    val delta = Seq(
+      ("dup", "city", "koeln"),
+      ("alias", ReasonOps.SameAs, "cust"),
+      ("alias", "zip", "10117")).toDF("s", "p", "o")
+    val (r2, m2) = ReasonOps.functionalDelta(
+      r1.localCheckpoint(true), m1.localCheckpoint(true), delta)
+    val (rb, mb) = ReasonOps.functionalCanonicalize(base.unionAll(delta))
+    tset(r2) shouldBe tset(rb)
+    pset(m2) shouldBe pset(mb)
+  }
+
+  it should "chain across batches and reject declarations in the delta" in {
+    val base = Seq(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("cust", "email", "e")).toDF("s", "p", "o")
+    val d1 = Seq(("dup", "email", "e")).toDF("s", "p", "o")
+    val d2 = Seq(("dup2", "email", "e")).toDF("s", "p", "o")
+    val (r1, m1) = ReasonOps.functionalCanonicalize(base)
+    val (r2, m2) = ReasonOps.functionalDelta(
+      r1.localCheckpoint(true), m1.localCheckpoint(true), d1)
+    val (r3, m3) = ReasonOps.functionalDelta(
+      r2.localCheckpoint(true), m2.localCheckpoint(true), d2)
+    val (rb, mb) = ReasonOps.functionalCanonicalize(
+      base.unionAll(d1).unionAll(d2))
+    tset(r3) shouldBe tset(rb)
+    pset(m3) shouldBe pset(mb)
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.functionalDelta(r3, m3,
+        Seq(("ssn", "a", ReasonOps.FunctionalProperty)).toDF("s", "p", "o"))
+    }
+    e.getMessage should include("re-canonicalization")
+  }
+
   "encoded streaming maintainers" should "maintain encoded closures batch-for-batch" in {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
