@@ -2788,6 +2788,129 @@ object SparkEntry {
       .orderBy("p", "cls")
   }
 
+  /** The property-chain fixture TBox (OWL 2 RL prp-spo2): `inRegion ⊒
+    * cn ∘ nr` (a plain two-step composition), `regionCust ⊒ natOf ∘
+    * custOf` whose premises exist ONLY as inverse images (natOf/custOf
+    * are declared owl:inverseOf nr/cn — pass 1 must feed the chain),
+    * and the self-chain `locIn ⊒ locIn ∘ locIn`, which IS transitivity
+    * and forces the chain fixpoint through multiple rounds (the
+    * customer → nation → region → world path is three hops deep).
+    */
+  private val owlChainTboxRows: Seq[(String, String, String)] = {
+    import graft.ops.ReasonOps._
+    def axiom(head: String, body: Seq[String]) = {
+      val nodes = body.indices.map(i => s"_:$head$i")
+      (head, PropertyChainAxiom, nodes.head) +: body.indices.flatMap { i =>
+        Seq((nodes(i), RdfFirst, body(i)),
+          (nodes(i), RdfRest,
+            if (i == body.length - 1) RdfNil else nodes(i + 1)))
+      }
+    }
+    axiom("inRegion", Seq("cn", "nr")) ++
+      axiom("regionCust", Seq("natOf", "custOf")) ++
+      axiom("locIn", Seq("locIn", "locIn")) ++ Seq(
+      ("natOf", InverseOf, "nr"),
+      ("custOf", InverseOf, "cn"))
+  }
+
+  private def owlChainTbox(s: SparkSession): DataFrame =
+    s.createDataFrame(owlChainTboxRows).toDF("s", "p", "o")
+
+  /** The geography slice of the chain ABox (the maintenance gate's
+    * materialized base): nation → region hops plus the locIn spine's
+    * upper levels. */
+  private def owlChainGeoAbox(s: SparkSession, d: String): DataFrame = {
+    val na = t(s, d, "nation")
+    val re = t(s, d, "region")
+    val nk = concat(lit("nation:"), col("n_nationkey"))
+    val nr = concat(lit("region:"), col("n_regionkey"))
+    na.select(nk.as("s"), lit("nr").as("p"), nr.as("o"))
+      .unionAll(na.select(nk.as("s"), lit("locIn").as("p"), nr.as("o")))
+      .unionAll(re.select(concat(lit("region:"), col("r_regionkey")).as("s"),
+        lit("locIn").as("p"), lit("world").as("o")))
+  }
+
+  /** The customer slice (the maintenance gate's arriving batch):
+    * customer → nation hops on both the chain premise and the locIn
+    * spine. */
+  private def owlChainCustomerAbox(s: SparkSession, d: String): DataFrame = {
+    val cu = t(s, d, "customer")
+    val ck = concat(lit("customer:"), col("c_custkey"))
+    val cn = concat(lit("nation:"), col("c_nationkey"))
+    cu.select(ck.as("s"), lit("cn").as("p"), cn.as("o"))
+      .unionAll(cu.select(ck.as("s"), lit("locIn").as("p"), cn.as("o")))
+  }
+
+  private def chainCensus(closure: DataFrame): DataFrame =
+    closure.groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("p")
+
+  /** owl:propertyChainAxiom materialization ([[ReasonOps.owlClosure]]):
+    * compositions fire through inverse-derived premises, and the
+    * self-chain reaches the full locIn transitive closure through the
+    * chain fixpoint. The oracle independently replays the chains as
+    * joins and the self-chain as a recursive CTE.
+    */
+  private def owlChainQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val abox = owlChainGeoAbox(s, d).unionAll(owlChainCustomerAbox(s, d))
+    chainCensus(ReasonOps.owlClosure(abox.unionAll(owlChainTbox(s))))
+  }
+
+  /** The maintenance twin of [[owlChainQ]]: the geography slice
+    * materializes once (session artifact), the customer slice arrives
+    * as an O(Δ) batch through [[ReasonOps.owlDelta]] — chain
+    * conclusions with a Δ premise (inRegion), conclusions whose premise
+    * is ITSELF Δ-derived (regionCust through the custOf inverse image),
+    * and multi-round self-chain extensions (customer → world needs the
+    * round-1 customer → region conclusion) must all fire on the
+    * incremental path; `n_inc` pins exactly the novel rows.
+    */
+  private def owlChainDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val tbox = owlChainTbox(s)
+    val closure = GraftStore.reasonArtifact(s, d, "owl_chain_base") {
+      ReasonOps.owlClosure(owlChainGeoAbox(s, d).unionAll(tbox))
+    }
+    val inc = ReasonOps.owlDelta(closure, owlChainCustomerAbox(s, d), tbox)
+    val fresh = ReasonOps.incrementNovel(closure, inc)
+    closure.withColumn("inc", lit(0L))
+      .unionAll(fresh.withColumn("inc", lit(1L)))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"), sum("inc").as("n_inc"))
+      .orderBy("p")
+  }
+
+  /** The per-graph twin of [[owlChainQ]] ([[ReasonOps.owlClosureQuads]]):
+    * customers split into `even`/`odd` named graphs by key parity, the
+    * geography spine lives in BOTH graphs, and every chain composition
+    * (including the recursive locIn one) must stay confined to its
+    * graph — the census keys on (g, p), so a cross-graph composition
+    * breaks the hash.
+    */
+  private def owlChainQuadsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val ck = concat(lit("customer:"), col("c_custkey"))
+    val cn = concat(lit("nation:"), col("c_nationkey"))
+    val gc = when(col("c_custkey") % 2 === 0, "even").otherwise("odd")
+    val cust = cu.select(ck.as("s"), lit("cn").as("p"), cn.as("o"),
+        gc.as("g"))
+      .unionAll(cu.select(ck.as("s"), lit("locIn").as("p"), cn.as("o"),
+        gc.as("g")))
+    val geo = owlChainGeoAbox(s, d)
+    val quads = cust
+      .unionAll(geo.withColumn("g", lit("even")))
+      .unionAll(geo.withColumn("g", lit("odd")))
+    ReasonOps.owlClosureQuads(quads, owlChainTbox(s))
+      .groupBy("g", "p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("g", "p")
+  }
+
   /** Incremental owl:sameAs maintenance: the base identity graph
     * (alias:k ~ nation:k for even k) canonicalizes once (session
     * artifacts), then the alias2 layer (alias2:k ~ alias:k for k%4==0)
@@ -4011,6 +4134,9 @@ object SparkEntry {
     "q_owl_quads_rewrite" -> (owlQuadsRewriteQ _),
     "q_owl_equiv" -> (owlEquivQ _),
     "q_owl_equiv_delta" -> (owlEquivDeltaQ _),
+    "q_owl_chain" -> (owlChainQ _),
+    "q_owl_chain_delta" -> (owlChainDeltaQ _),
+    "q_owl_chain_quads" -> (owlChainQuadsQ _),
     "q_owl_functional" -> (owlFunctionalQ _),
     "q_owl_functional_delta" -> (owlFunctionalDeltaQ _),
     "q_sameas_delta" -> (sameAsDeltaQ _),
@@ -4951,6 +5077,88 @@ object SparkEntry {
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** The chain fixture's TBox rows as a SQL VALUES list — built from
+    * the SAME Scala rows the gate feeds the engine, so the two can
+    * never drift. */
+  private def chainTbValues: String =
+    owlChainTboxRows.map { case (a, b, c) => s"('$a','$b','$c')" }
+      .mkString(", ")
+
+  /** The chain-closure replay CTEs: the ABox unpivot (customer slice
+    * gated by `withCust` for the base-only twin), the self-chain's
+    * recursive locIn closure, and the union of every derivation the
+    * engine's chain rules produce — inverse images, the two plain
+    * compositions (regionCust through the inverse images), and the
+    * recursive locIn rows.
+    */
+  private def owlChainCtes(sfx: String, withCust: String,
+                           withTb: Boolean = true): String =
+    s"""ab$sfx AS (
+        |  SELECT 'customer:'||c_custkey AS s, 'cn' AS p,
+        |         'nation:'||c_nationkey AS o FROM customer WHERE $withCust
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'locIn',
+        |         'nation:'||c_nationkey FROM customer WHERE $withCust
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'nr',
+        |         'region:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'nation:'||n_nationkey, 'locIn',
+        |         'region:'||n_regionkey FROM nation
+        |  UNION ALL SELECT 'region:'||r_regionkey, 'locIn', 'world'
+        |         FROM region),
+        |lc$sfx AS (SELECT s, o FROM ab$sfx WHERE p = 'locIn'
+        |  UNION SELECT l.s, b.o FROM lc$sfx l
+        |        JOIN ab$sfx b ON b.p = 'locIn' AND l.o = b.s),
+        |cl$sfx AS (
+        |  SELECT s, p, o FROM ab$sfx
+        |${if (withTb) "  UNION SELECT s, p, o FROM chain_tb" else ""}
+        |  UNION SELECT o, 'natOf', s FROM ab$sfx WHERE p = 'nr'
+        |  UNION SELECT o, 'custOf', s FROM ab$sfx WHERE p = 'cn'
+        |  UNION SELECT c.s, 'inRegion', n.o FROM ab$sfx c
+        |        JOIN ab$sfx n ON c.p = 'cn' AND n.p = 'nr' AND c.o = n.s
+        |  UNION SELECT n.o, 'regionCust', c.s FROM ab$sfx c
+        |        JOIN ab$sfx n ON c.p = 'cn' AND n.p = 'nr' AND c.o = n.s
+        |  UNION SELECT s, 'locIn', o FROM lc$sfx)""".stripMargin
+
+  private val owlChainOracle =
+    s"""WITH RECURSIVE chain_tb(s, p, o) AS (VALUES $chainTbValues),
+        |${owlChainCtes("", "TRUE")}
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM (SELECT DISTINCT s, p, o FROM cl) GROUP BY p ORDER BY p""".stripMargin
+
+  /** Chain maintenance census: full counts plus `n_inc` = rows the
+    * customer batch genuinely ADDED over the geography-only closure —
+    * pins the O(Δ) path across all three chain shapes (a
+    * re-materialization double-counts, an under-derived increment
+    * zeroes the customer-reaching groups).
+    */
+  private val owlChainDeltaOracle =
+    s"""WITH RECURSIVE chain_tb(s, p, o) AS (VALUES $chainTbValues),
+        |${owlChainCtes("", "TRUE")},
+        |${owlChainCtes("b", "FALSE")},
+        |f AS (SELECT p, count(*) AS n, count(DISTINCT s) AS ns,
+        |             count(DISTINCT o) AS no
+        |      FROM (SELECT DISTINCT s, p, o FROM cl) GROUP BY p),
+        |bb AS (SELECT p, count(*) AS nb
+        |       FROM (SELECT DISTINCT s, p, o FROM clb) GROUP BY p)
+        |SELECT f.p, f.n, f.ns, f.no, f.n - COALESCE(bb.nb, 0) AS n_inc
+        |FROM f LEFT JOIN bb ON f.p = bb.p ORDER BY f.p""".stripMargin
+
+  /** Per-graph chain replay: the even/odd customer slices each close
+    * independently WITH the full geography spine (it lives in both
+    * graphs), no TBox rows in the output (the quad closure takes its
+    * TBox separately). */
+  private val owlChainQuadsOracle =
+    s"""WITH RECURSIVE chain_tb(s, p, o) AS (VALUES $chainTbValues),
+        |${owlChainCtes("e", "c_custkey % 2 = 0", withTb = false)},
+        |${owlChainCtes("d", "c_custkey % 2 = 1", withTb = false)}
+        |SELECT * FROM (
+        |  SELECT 'even' AS g, p, count(*) AS n, count(DISTINCT s) AS ns
+        |  FROM (SELECT DISTINCT s, p, o FROM cle) GROUP BY p
+        |  UNION ALL
+        |  SELECT 'odd', p, count(*), count(DISTINCT s)
+        |  FROM (SELECT DISTINCT s, p, o FROM cld) GROUP BY p
+        |) ORDER BY g, p""".stripMargin
+
   /** Equivalence maintenance census: full counts plus `n_inc` = rows
     * the customer batch genuinely ADDED over the supplier-only closure
     * — pins the O(Δ) path (a re-materialization double-counts, an
@@ -5780,6 +5988,9 @@ object SparkEntry {
     "q_owl_quads_rewrite" -> owlQuadsRewriteOracle,
     "q_owl_equiv" -> owlEquivOracle,
     "q_owl_equiv_delta" -> owlEquivDeltaOracle,
+    "q_owl_chain" -> owlChainOracle,
+    "q_owl_chain_delta" -> owlChainDeltaOracle,
+    "q_owl_chain_quads" -> owlChainQuadsOracle,
     // functional-property ER: expected post-fixpoint counts derived
     // straight from the construction (every third customer gains a
     // dup twin that merges away, its alt account folding into the

@@ -123,10 +123,51 @@ object ReasonOps {
                            equivalentClass: Option[Long] = None,
                            equivalentProperty: Option[Long] = None)
 
+  /** The OWL property-chain vocabulary (OWL 2 RL rule prp-spo2):
+    * `p owl:propertyChainAxiom (p1 … pn)` declares that the COMPOSITION
+    * of p1 … pn entails p. The axiom's object is an rdf:list, so the
+    * TBox collection also gathers `rdf:first`/`rdf:rest` rows and walks
+    * the lists on the driver (capped, loud failure on malformed or
+    * cyclic lists). String paths match both renderings below.
+    */
+  val PropertyChainAxiom    = "owl:propertyChainAxiom"
+  val PropertyChainAxiomIri = "http://www.w3.org/2002/07/owl#propertyChainAxiom"
+  val RdfFirst    = "rdf:first"
+  val RdfFirstIri = "http://www.w3.org/1999/02/22-rdf-syntax-ns#first"
+  val RdfRest     = "rdf:rest"
+  val RdfRestIri  = "http://www.w3.org/1999/02/22-rdf-syntax-ns#rest"
+  val RdfNil      = "rdf:nil"
+  val RdfNilIri   = "http://www.w3.org/1999/02/22-rdf-syntax-ns#nil"
+
   /** The OWL property vocabulary as ENCODED ids (see
-    * [[owlClosureEncoded]]). */
+    * [[owlClosureEncoded]]). The chain-vocabulary ids are optional —
+    * `None` simply means the encoded TBox carries no chain axioms to
+    * match (the same contract as [[RdfsIds]]' equivalence ids).
+    */
   final case class OwlIds(inverseOf: Long, symmetricProperty: Long,
-                          transitiveProperty: Long, typePred: Long)
+                          transitiveProperty: Long, typePred: Long,
+                          propertyChainAxiom: Option[Long] = None,
+                          listFirst: Option[Long] = None,
+                          listRest: Option[Long] = None,
+                          listNil: Option[Long] = None)
+
+  /** The chain-axiom vocabulary renderings matched in a TBox — string
+    * paths match short + IRI forms, encoded paths the exact ids (empty
+    * sets when the ids are absent: no chain axioms can match). */
+  private final case class ChainVoc(pca: Set[Any], first: Set[Any],
+                                    rest: Set[Any], nil: Set[Any]) {
+    def declPreds: Seq[Any] = (pca ++ first ++ rest).toSeq
+  }
+
+  private val StringChainVoc = ChainVoc(
+    Set[Any](PropertyChainAxiom, PropertyChainAxiomIri),
+    Set[Any](RdfFirst, RdfFirstIri),
+    Set[Any](RdfRest, RdfRestIri),
+    Set[Any](RdfNil, RdfNilIri))
+
+  private def encChainVoc(ids: OwlIds): ChainVoc = ChainVoc(
+    ids.propertyChainAxiom.toSet[Any], ids.listFirst.toSet[Any],
+    ids.listRest.toSet[Any], ids.listNil.toSet[Any])
 
   /** The four TBox roles plus the type predicate, each as the SET of
     * renderings matched in premises and ONE canonical emission form.
@@ -1068,7 +1109,7 @@ object ReasonOps {
   def owlClosure(triples: DataFrame, typePred: String = "a",
                  tboxCap: Int = 1 << 20): DataFrame =
     owlClosureCore(triples, InverseOf, SymmetricProperty,
-      TransitiveProperty, typePred, tboxCap)
+      TransitiveProperty, typePred, tboxCap, StringChainVoc)
 
   /** [[owlClosure]] over an ENCODED (long-id) triple relation — like
     * [[rdfsClosureEncoded]], the rules and the iterated-squaring
@@ -1077,21 +1118,31 @@ object ReasonOps {
   def owlClosureEncoded(encTriples: DataFrame, ids: OwlIds,
                         tboxCap: Int = 1 << 20): DataFrame =
     owlClosureCore(encTriples, ids.inverseOf, ids.symmetricProperty,
-      ids.transitiveProperty, ids.typePred, tboxCap)
+      ids.transitiveProperty, ids.typePred, tboxCap, encChainVoc(ids))
 
   /** The OWL property declarations of a relation, driver-collected and
     * capped: symmetrized inverseOf pairs, symmetric-property terms,
-    * transitive-property terms.
+    * transitive-property terms, and property-chain axioms (head →
+    * ordered body, the `chainVoc`-matched `owl:propertyChainAxiom`
+    * statements with their rdf:lists walked on the driver). Corpora
+    * whose ABox carries heavy UNRELATED rdf:list data share the cap
+    * with the declarations — raise `tboxCap` or pre-filter; the walk
+    * itself only touches nodes reachable from a chain axiom.
     */
   private def owlDecls(rel: DataFrame, inverseOf: Any, symmetricProperty: Any,
-                       transitiveProperty: Any, typePred: Any, tboxCap: Int)
-      : (Seq[(Any, Any)], Seq[Any], Seq[Any]) = {
+                       transitiveProperty: Any, typePred: Any, tboxCap: Int,
+                       chainVoc: ChainVoc)
+      : (Seq[(Any, Any)], Seq[Any], Seq[Any], Seq[(Any, Seq[Any])]) = {
     val Seq(cs, cp, co) = rel.columns.take(3).toSeq
+    val chainPreds = chainVoc.declPreds
+    val chainCond =
+      if (chainPreds.isEmpty) lit(false) else col("p").isin(chainPreds: _*)
     val tbox = rel
       .select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
       .where(col("p") === inverseOf ||
         (col("p") === typePred &&
-          col("o").isin(symmetricProperty, transitiveProperty)))
+          col("o").isin(symmetricProperty, transitiveProperty)) ||
+        chainCond)
       .limit(tboxCap + 1).collect()
       .map(r => (r.get(0), r.get(1), r.get(2)))
     require(tbox.length <= tboxCap,
@@ -1104,7 +1155,34 @@ object ReasonOps {
     val trans = tbox.collect {
       case (p, _, o) if o == transitiveProperty => p
     }.distinct.sortBy(_.toString).toSeq
-    (inv, sym, trans)
+    val firsts = tbox.collect {
+      case (n, p, v) if chainVoc.first(p) => (n, v) }.groupBy(_._1)
+    val rests = tbox.collect {
+      case (n, p, v) if chainVoc.rest(p) => (n, v) }.groupBy(_._1)
+    def listCell(m: Map[Any, Array[(Any, Any)]], node: Any, role: String,
+                 head: Any): Any = {
+      val vs = m.getOrElse(node,
+        Array.empty[(Any, Any)]).map(_._2).distinct
+      require(vs.length == 1, s"owl:propertyChainAxiom for $head: rdf " +
+        s"list node $node has ${vs.length} $role values (malformed list)")
+      vs.head
+    }
+    val chains = tbox.collect { case (h, p, l) if chainVoc.pca(p) => (h, l) }
+      .distinct.toSeq.map { case (h, l) =>
+        val buf = scala.collection.mutable.ListBuffer[Any]()
+        val seen = scala.collection.mutable.Set[Any]()
+        var node = l
+        while (!chainVoc.nil(node)) {
+          require(seen.add(node),
+            s"owl:propertyChainAxiom list for $h is cyclic at $node")
+          buf += listCell(firsts, node, "rdf:first", h)
+          node = listCell(rests, node, "rdf:rest", h)
+        }
+        require(buf.nonEmpty, s"owl:propertyChainAxiom for $h names an " +
+          "empty chain (rdf:nil object)")
+        (h, buf.toSeq)
+      }.sortBy(_._1.toString)
+    (inv, sym, trans, chains)
   }
 
   /** [[owlClosure]] over a NAMED-GRAPH quad dataset: global OWL
@@ -1118,7 +1196,7 @@ object ReasonOps {
                       typePred: String = "a",
                       tboxCap: Int = 1 << 20): DataFrame =
     owlClosureQuadsCore(quads, tboxSource, InverseOf, SymmetricProperty,
-      TransitiveProperty, typePred, tboxCap)
+      TransitiveProperty, typePred, tboxCap, StringChainVoc)
 
   /** [[owlClosureQuads]] over ENCODED (long-id) quad relations — the
     * per-graph rules and squaring closures run on fixed-width ids,
@@ -1127,28 +1205,31 @@ object ReasonOps {
   def owlClosureQuadsEncoded(quads: DataFrame, tboxSource: DataFrame,
                              ids: OwlIds, tboxCap: Int = 1 << 20): DataFrame =
     owlClosureQuadsCore(quads, tboxSource, ids.inverseOf,
-      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
+      encChainVoc(ids))
 
   private def owlClosureQuadsCore(quads: DataFrame, tboxSource: DataFrame,
                                   inverseOf: Any, symmetricProperty: Any,
                                   transitiveProperty: Any, typePred: Any,
-                                  tboxCap: Int): DataFrame = {
+                                  tboxCap: Int, chainVoc: ChainVoc)
+      : DataFrame = {
     val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
     val q = quads.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"), col(cg).as("g")).localCheckpoint(true)
-    val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
-      symmetricProperty, transitiveProperty, typePred, tboxCap)
-    owlCloseCore(q, inv, sym, trans, hasGraph = true)
+    val (inv, sym, trans, chains) = owlDecls(tboxSource, inverseOf,
+      symmetricProperty, transitiveProperty, typePred, tboxCap, chainVoc)
+    owlCloseCore(q, inv, sym, trans, hasGraph = true, chains)
   }
 
   private def owlClosureCore(triples: DataFrame, inverseOf: Any,
                              symmetricProperty: Any, transitiveProperty: Any,
-                             typePred: Any, tboxCap: Int): DataFrame = {
+                             typePred: Any, tboxCap: Int,
+                             chainVoc: ChainVoc): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    val (inv, sym, trans) = owlDecls(t, inverseOf, symmetricProperty,
-      transitiveProperty, typePred, tboxCap)
-    owlCloseCore(t, inv, sym, trans, hasGraph = false)
+    val (inv, sym, trans, chains) = owlDecls(t, inverseOf, symmetricProperty,
+      transitiveProperty, typePred, tboxCap, chainVoc)
+    owlCloseCore(t, inv, sym, trans, hasGraph = false, chains)
   }
 
   /** One inverse + symmetric derivation pass over a triple or quad
@@ -1187,7 +1268,7 @@ object ReasonOps {
     *     already subsumes its pass-2 rows, and a non-transitive q gains
     *     exactly inverse(closure(p)) — nothing feeds back.
     */
-  private def owlCloseCore(rel: DataFrame, inv: Seq[(Any, Any)],
+  private def owlCloseBody(rel: DataFrame, inv: Seq[(Any, Any)],
                            sym: Seq[Any], trans: Seq[Any],
                            hasGraph: Boolean): DataFrame = {
     val gsel = if (hasGraph) Seq(col("g")) else Nil
@@ -1202,6 +1283,107 @@ object ReasonOps {
     }
     val pass2 = closed.flatMap(c => owlInvSym(c, inv, sym, hasGraph))
     (Seq(withInv) ++ closed ++ pass2).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** Round count of the most recent property-chain fixpoint convergence
+    * (0 when no chain axiom fired) — scale-evidence telemetry: rounds
+    * track chain-FEED depth (how often one chain's conclusions enable
+    * another match), not row count, and a self-feeding chain
+    * (`p ∘ p ⊑ p`) doubles its reach per round, so rounds stay
+    * logarithmic in path length. */
+  private[graft] val lastChainRounds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** One full chain-derivation pass (OWL 2 RL prp-spo2): for each axiom
+    * `head ⊒ p1 ∘ … ∘ pn`, the n property slices of `rel` join along
+    * the composition (keyed equi-joins — the slices SHUFFLE on the
+    * chain key, the scale-correct shape for materialization; on the
+    * quad path every hop also keys on the graph column, so compositions
+    * never cross graphs).
+    */
+  private def deriveChains(rel: DataFrame, chains: Seq[(Any, Seq[Any])],
+                           hasGraph: Boolean): DataFrame = {
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    chains.map { case (head, body) =>
+      var cur = rel.where(col("p") === body.head)
+        .select(Seq(col("s").as("__c0"), col("o").as("__cc")) ++ gsel: _*)
+      body.tail.foreach { pi =>
+        val nxt = rel.where(col("p") === pi)
+          .select(Seq(col("s").as("__ns"), col("o").as("__no")) ++
+            (if (hasGraph) Seq(col("g").as("__ng")) else Nil): _*)
+        cur = cur.join(nxt,
+            (Seq(col("__cc") === col("__ns")) ++
+              (if (hasGraph) Seq(col("g") <=> col("__ng")) else Nil))
+              .reduce(_ && _))
+          .select(Seq(col("__c0"), col("__no").as("__cc")) ++ gsel: _*)
+      }
+      cur.select(Seq(col("__c0").as("s"), lit(head).as("p"),
+        col("__cc").as("o")) ++ gsel: _*)
+    }.reduce(_.unionAll(_))
+  }
+
+  /** The transitive properties a chain conclusion can reach: the chain
+    * heads themselves plus properties whose INVERSE is a head (pass 1
+    * lands the conclusions' inverse images there) — only these need
+    * re-squaring inside the chain fixpoint; every other transitive
+    * slice is unchanged and already closed. */
+  private def chainFeedable(trans: Seq[Any], inv: Seq[(Any, Any)],
+                            chains: Seq[(Any, Seq[Any])]): Seq[Any] = {
+    val heads = chains.map(_._1).toSet
+    trans.filter(p => heads.contains(p) ||
+      inv.exists { case (a, b) => a == p && heads.contains(b) })
+  }
+
+  /** The chain axioms a pattern-predicate set can observe: heads
+    * mentioned directly, plus heads whose inverse is mentioned — the
+    * [[transNeeded]] analog; unlisted chains are skipped (under-derived
+    * for their heads only), the same documented contract as pruned
+    * transitive slices. */
+  private def chainsNeeded(chains: Seq[(Any, Seq[Any])],
+                           inv: Seq[(Any, Any)], patternPreds: Seq[Any])
+      : Seq[(Any, Seq[Any])] =
+    if (patternPreds.isEmpty) chains
+    else chains.filter { case (h, _) => patternPreds.contains(h) ||
+      inv.exists { case (a, b) => a == h && patternPreds.contains(b) } }
+
+  /** [[owlCloseBody]] plus the property-chain fixpoint: chain
+    * conclusions can feed inverse/symmetric/transitive rules AND other
+    * chains (a self-chain `p ∘ p ⊑ p` IS transitivity), so the closure
+    * iterates derive-chains → re-close until the row count converges.
+    * Each round re-squares ONLY the [[chainFeedable]] transitive slices
+    * (the others are untouched and already closed — re-running their
+    * [[transitiveClosure]] from a closed set would converge in one
+    * round but still pay the slice self-join). Materialization-shaped
+    * on purpose: round-1 chain conclusions are output-sized, so the
+    * loop shuffles (distinct) rather than broadcasting — the O(Δ)
+    * broadcast discipline belongs to [[owlDeltaCore]]'s seminaive twin.
+    */
+  private def owlCloseCore(rel: DataFrame, inv: Seq[(Any, Any)],
+                           sym: Seq[Any], trans: Seq[Any],
+                           hasGraph: Boolean,
+                           chains: Seq[(Any, Seq[Any])] = Nil,
+                           maxRounds: Int = 16): DataFrame = {
+    val base = owlCloseBody(rel, inv, sym, trans, hasGraph)
+    if (chains.isEmpty) { lastChainRounds.set(0); return base }
+    val transFeed = chainFeedable(trans, inv, chains)
+    var closure = graft.Pins.checkpointLazy(base)
+    var n = closure.count()
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"property-chain fixpoint did not converge in $maxRounds rounds")
+      val derived = deriveChains(closure, chains, hasGraph)
+      val next = graft.Pins.checkpointLazy(
+        owlCloseBody(closure.unionAll(derived), inv, sym, transFeed,
+          hasGraph))
+      val m = next.count()
+      done = m == n
+      closure = next; n = m
+    }
+    lastChainRounds.set(round)
+    closure
   }
 
   /** QUERY-TIME OWL entailment: the property-rule closure as a LAZY
@@ -1226,10 +1408,10 @@ object ReasonOps {
                   patternPreds: Seq[Any] = Nil): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    val (inv, sym, trans) = owlDecls(t, InverseOf, SymmetricProperty,
-      TransitiveProperty, typePred, tboxCap)
+    val (inv, sym, trans, chains) = owlDecls(t, InverseOf, SymmetricProperty,
+      TransitiveProperty, typePred, tboxCap, StringChainVoc)
     owlCloseCore(t, inv, sym, transNeeded(trans, inv, patternPreds),
-      hasGraph = false)
+      hasGraph = false, chainsNeeded(chains, inv, patternPreds))
   }
 
   /** [[owlEntailed]] over an ENCODED (long-id) triple relation. */
@@ -1239,10 +1421,11 @@ object ReasonOps {
     val Seq(cs, cp, co) = encTriples.columns.take(3).toSeq
     val t = encTriples.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"))
-    val (inv, sym, trans) = owlDecls(t, ids.inverseOf,
-      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
+    val (inv, sym, trans, chains) = owlDecls(t, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
+      encChainVoc(ids))
     owlCloseCore(t, inv, sym, transNeeded(trans, inv, patternPreds),
-      hasGraph = false)
+      hasGraph = false, chainsNeeded(chains, inv, patternPreds))
   }
 
   /** [[owlEntailed]] over a NAMED-GRAPH quad dataset (lazy per-graph
@@ -1255,10 +1438,11 @@ object ReasonOps {
     val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
     val q = quads.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"), col(cg).as("g"))
-    val (inv, sym, trans) = owlDecls(tboxSource, InverseOf,
-      SymmetricProperty, TransitiveProperty, typePred, tboxCap)
+    val (inv, sym, trans, chains) = owlDecls(tboxSource, InverseOf,
+      SymmetricProperty, TransitiveProperty, typePred, tboxCap,
+      StringChainVoc)
     owlCloseCore(q, inv, sym, transNeeded(trans, inv, patternPreds),
-      hasGraph = true)
+      hasGraph = true, chainsNeeded(chains, inv, patternPreds))
   }
 
   /** [[owlEntailedQuads]] over ENCODED (long-id) quad relations. */
@@ -1268,10 +1452,11 @@ object ReasonOps {
     val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
     val q = quads.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"), col(cg).as("g"))
-    val (inv, sym, trans) = owlDecls(tboxSource, ids.inverseOf,
-      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap)
+    val (inv, sym, trans, chains) = owlDecls(tboxSource, ids.inverseOf,
+      ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
+      encChainVoc(ids))
     owlCloseCore(q, inv, sym, transNeeded(trans, inv, patternPreds),
-      hasGraph = true)
+      hasGraph = true, chainsNeeded(chains, inv, patternPreds))
   }
 
   /** The transitive properties a pattern-predicate set can observe:
@@ -1311,7 +1496,8 @@ object ReasonOps {
                typePred: String = "a", tboxCap: Int = 1 << 20,
                deltaCap: Option[Long] = None): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, InverseOf, SymmetricProperty,
-      TransitiveProperty, typePred, tboxCap, deltaCap, hasGraph = false)
+      TransitiveProperty, typePred, tboxCap, deltaCap, hasGraph = false,
+      StringChainVoc)
 
   /** [[owlDelta]] over ENCODED (long-id) relations. */
   def owlDeltaEncoded(closure: DataFrame, delta: DataFrame,
@@ -1320,7 +1506,7 @@ object ReasonOps {
                       deltaCap: Option[Long] = None): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
-      deltaCap, hasGraph = false)
+      deltaCap, hasGraph = false, encChainVoc(ids))
 
   /** [[owlDelta]] over a NAMED-GRAPH quad dataset — O(|Δ|) maintenance
     * of a PER-GRAPH closure ([[owlClosureQuads]]): inverse/symmetric
@@ -1335,7 +1521,8 @@ object ReasonOps {
                     tboxCap: Int = 1 << 20,
                     deltaCap: Option[Long] = None): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, InverseOf, SymmetricProperty,
-      TransitiveProperty, typePred, tboxCap, deltaCap, hasGraph = true)
+      TransitiveProperty, typePred, tboxCap, deltaCap, hasGraph = true,
+      StringChainVoc)
 
   /** [[owlDeltaQuads]] over ENCODED (long-id) quad relations. */
   def owlDeltaQuadsEncoded(closure: DataFrame, delta: DataFrame,
@@ -1344,13 +1531,14 @@ object ReasonOps {
                            deltaCap: Option[Long] = None): DataFrame =
     owlDeltaCore(closure, delta, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
-      deltaCap, hasGraph = true)
+      deltaCap, hasGraph = true, encChainVoc(ids))
 
   private def owlDeltaCore(closure: DataFrame, delta: DataFrame,
                            tboxSource: DataFrame, inverseOf: Any,
                            symmetricProperty: Any, transitiveProperty: Any,
                            typePred: Any, tboxCap: Int, deltaCap: Option[Long],
-                           hasGraph: Boolean): DataFrame = {
+                           hasGraph: Boolean, chainVoc: ChainVoc,
+                           maxRounds: Int = 16): DataFrame = {
     val width = if (hasGraph) 4 else 3
     val names = Seq("s", "p", "o", "g").take(width)
     def norm(df: DataFrame): DataFrame =
@@ -1358,14 +1546,108 @@ object ReasonOps {
         .map { case (c, n) => col(c).as(n) }: _*)
     val remat = if (hasGraph) "owlClosureQuads" else "owlClosure"
     val d0 = pinCapped(norm(delta), deltaCap, "owlDelta increment", remat)
+    val chainDeclPreds = chainVoc.declPreds
+    val chainDeclCond = if (chainDeclPreds.isEmpty) lit(false)
+      else col("p").isin(chainDeclPreds: _*)
     require(d0.where(col("p") === inverseOf ||
         (col("p") === typePred &&
-          col("o").isin(symmetricProperty, transitiveProperty))).isEmpty,
+          col("o").isin(symmetricProperty, transitiveProperty)) ||
+        chainDeclCond).isEmpty,
       "delta contains OWL property declarations - schema changes require " +
         s"re-materialization ($remat), not incremental maintenance")
-    val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
-      symmetricProperty, transitiveProperty, typePred, tboxCap)
+    val (inv, sym, trans, chains) = owlDecls(tboxSource, inverseOf,
+      symmetricProperty, transitiveProperty, typePred, tboxCap, chainVoc)
     val e = norm(closure)
+    val inc0 = pinCapped(
+      owlDeltaStep(e, d0, inv, sym, trans, hasGraph, deltaCap, remat),
+      deltaCap, "owlDelta increment (closed)", remat)
+    if (chains.isEmpty) return inc0
+    // chain outer loop, seminaive: every chain conclusion not yet
+    // derived has at least one premise in the newest step, so each
+    // round derives [[deriveChainsDelta]] over (Δ-broadcast × streamed
+    // closure slices), keeps the novel rows, and re-closes them under
+    // inverse/symmetric/transitive through the SAME O(Δ) step — the
+    // closure itself never re-shuffles and every frame is capped.
+    var updated = e.unionAll(inc0)
+    var dcur = inc0
+    var total = inc0
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds, "owlDelta property-chain loop did not " +
+        s"converge in $maxRounds rounds — re-materialize ($remat)")
+      val chainNew = deriveChainsDelta(updated, dcur, chains, hasGraph)
+      val novel = pinCapped(
+        incrementNovel(updated, chainNew.distinct(), deltaCap),
+        deltaCap, "owlDelta chain conclusions", remat)
+      if (novel.isEmpty) done = true
+      else {
+        val step = pinCapped(
+          novel.unionAll(
+            owlDeltaStep(updated, novel, inv, sym, trans, hasGraph,
+              deltaCap, remat)).distinct(),
+          deltaCap, "owlDelta chain step", remat)
+        updated = updated.unionAll(step)
+        total = total.unionAll(step)
+        dcur = step
+      }
+    }
+    lastChainRounds.set(round)
+    total.distinct()
+  }
+
+  /** Seminaive chain derivation for the delta path: for each axiom and
+    * each body position j, the newest-step slice at position j
+    * BROADCASTS and extends right then left through the accumulated
+    * relation's streamed property slices — every conclusion with ≥1
+    * premise in `dcur` is derived, the closure never shuffles, and the
+    * accumulated probe stays Δ·fan-in-sized (capped by the caller).
+    */
+  private def deriveChainsDelta(all: DataFrame, dcur: DataFrame,
+                                chains: Seq[(Any, Seq[Any])],
+                                hasGraph: Boolean): DataFrame = {
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    val probeNames =
+      Seq("__pa", "__pb") ++ (if (hasGraph) Seq("__pg") else Nil)
+    def gEqP = if (hasGraph) Seq(col("g") <=> col("__pg")) else Nil
+    val variants = for {
+      (head, body) <- chains
+      j <- body.indices
+    } yield {
+      var acc = dcur.where(col("p") === body(j))
+        .select(Seq(col("s").as("__ca"), col("o").as("__cb")) ++ gsel: _*)
+      for (i <- j + 1 until body.length) {
+        val probe = acc.toDF(probeNames: _*)
+        acc = all.where(col("p") === body(i))
+          .join(broadcast(probe),
+            (Seq(col("s") === col("__pb")) ++ gEqP).reduce(_ && _))
+          .select(Seq(col("__pa").as("__ca"),
+            col("o").as("__cb")) ++ gsel: _*)
+      }
+      for (i <- (j - 1) to 0 by -1) {
+        val probe = acc.toDF(probeNames: _*)
+        acc = all.where(col("p") === body(i))
+          .join(broadcast(probe),
+            (Seq(col("o") === col("__pa")) ++ gEqP).reduce(_ && _))
+          .select(Seq(col("s").as("__ca"),
+            col("__pb").as("__cb")) ++ gsel: _*)
+      }
+      acc.select(Seq(col("__ca").as("s"), lit(head).as("p"),
+        col("__cb").as("o")) ++ gsel: _*)
+    }
+    variants.reduce(_.unionAll(_))
+  }
+
+  /** One O(Δ) inverse/symmetric/transitive increment over an existing
+    * CLOSED relation `e` and a normalized, pinned delta `d0` — the body
+    * shared by [[owlDeltaCore]]'s direct path and its per-round chain
+    * steps. Returns the closed increment (deduped; includes `d0`). */
+  private def owlDeltaStep(e: DataFrame, d0: DataFrame,
+                           inv: Seq[(Any, Any)], sym: Seq[Any],
+                           trans: Seq[Any], hasGraph: Boolean,
+                           deltaCap: Option[Long], remat: String)
+      : DataFrame = {
     val gsel = if (hasGraph) Seq(col("g")) else Nil
     // graph-confined composition: paths only extend within a graph
     def gEq(pfx: String) =
@@ -1447,7 +1729,7 @@ object ReasonOps {
                  deltaCap: Option[Long] = None): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, InverseOf,
       SymmetricProperty, TransitiveProperty, typePred, tboxCap, maxRounds,
-      deltaCap, hasGraph = false)
+      deltaCap, hasGraph = false, StringChainVoc)
 
   /** [[owlRetract]] over ENCODED (long-id) relations. */
   def owlRetractEncoded(closure: DataFrame, base: DataFrame,
@@ -1457,7 +1739,7 @@ object ReasonOps {
                         deltaCap: Option[Long] = None): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
-      maxRounds, deltaCap, hasGraph = false)
+      maxRounds, deltaCap, hasGraph = false, encChainVoc(ids))
 
   /** [[owlRetract]] over a NAMED-GRAPH quad dataset — DRed maintenance
     * of a PER-GRAPH closure ([[owlClosureQuads]]) through quad DELETEs:
@@ -1473,7 +1755,7 @@ object ReasonOps {
                       deltaCap: Option[Long] = None): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, InverseOf,
       SymmetricProperty, TransitiveProperty, typePred, tboxCap, maxRounds,
-      deltaCap, hasGraph = true)
+      deltaCap, hasGraph = true, StringChainVoc)
 
   /** [[owlRetractQuads]] over ENCODED (long-id) quad relations. */
   def owlRetractQuadsEncoded(closure: DataFrame, base: DataFrame,
@@ -1483,7 +1765,7 @@ object ReasonOps {
                              deltaCap: Option[Long] = None): DataFrame =
     owlRetractCore(closure, base, deletions, tboxSource, ids.inverseOf,
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
-      maxRounds, deltaCap, hasGraph = true)
+      maxRounds, deltaCap, hasGraph = true, encChainVoc(ids))
 
   /** Control-flow escape for the survivor frontier: thrown (stackless)
     * when the fixpoint exceeds `maxRounds`, caught by the core to FALL
@@ -1498,7 +1780,8 @@ object ReasonOps {
                              inverseOf: Any, symmetricProperty: Any,
                              transitiveProperty: Any, typePred: Any,
                              tboxCap: Int, maxRounds: Int, deltaCap: Option[Long],
-                             hasGraph: Boolean): DataFrame = {
+                             hasGraph: Boolean, chainVoc: ChainVoc)
+      : DataFrame = {
     val width = if (hasGraph) 4 else 3
     val names = Seq("s", "p", "o", "g").take(width)
     val abNames = Seq("a", "b") ++ (if (hasGraph) Seq("g") else Nil)
@@ -1517,15 +1800,27 @@ object ReasonOps {
         "left_anti")
     }
     val del = pinCapped(norm(deletions), deltaCap, "retraction set", remat)
+    val chainDeclPreds = chainVoc.declPreds
+    val chainDeclCond = if (chainDeclPreds.isEmpty) lit(false)
+      else col("p").isin(chainDeclPreds: _*)
     require(del.where(col("p") === inverseOf ||
         (col("p") === typePred &&
-          col("o").isin(symmetricProperty, transitiveProperty))).isEmpty,
+          col("o").isin(symmetricProperty, transitiveProperty)) ||
+        chainDeclCond).isEmpty,
       "deletions contain OWL property declarations - schema changes " +
         s"require re-materialization ($remat), not incremental retraction")
-    val (inv, sym, trans) = owlDecls(tboxSource, inverseOf,
-      symmetricProperty, transitiveProperty, typePred, tboxCap)
+    val (inv, sym, trans, chains) = owlDecls(tboxSource, inverseOf,
+      symmetricProperty, transitiveProperty, typePred, tboxCap, chainVoc)
     val e = norm(closure)
     val baseRem = rowAnti(norm(base), del)
+    // DRed under chain axioms needs per-conclusion premise provenance
+    // (a multi-premise rule's over-delete/re-derive frontier is no
+    // longer a per-property path reroute) — deliberately re-materialize
+    // the remaining base instead: always correct, the same sound
+    // fallback as frontier non-convergence below. Incremental
+    // chain-aware retraction is a future-work surface.
+    if (chains.nonEmpty)
+      return owlCloseCore(baseRem, inv, sym, trans, hasGraph, chains)
     // the frontier-size fallback check below must honor the same
     // session conf the pinCapped broadcasts do
     val effCap = effectiveDeltaCap(deletions.sparkSession, deltaCap)

@@ -40,7 +40,9 @@ object ScaleProbe {
       // reasoning: materialization, O(Δ) maintenance, DRed, per-graph
       "q_rdfs_closure", "q_owl_closure", "q_rdfs_delta", "q_rdfs_delta_del",
       "q_owl_delta", "q_owl_delta_del", "q_rdfs_quads_delta",
-      "q_owl_quads_del", "q_store_diff")
+      "q_owl_quads_del", "q_store_diff",
+      // property chains: materialize fixpoint + seminaive delta loop
+      "q_owl_chain", "q_owl_chain_delta")
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       for (g <- gates) {
@@ -49,11 +51,13 @@ object ScaleProbe {
         var cc = 0L
         var fp = 0L
         var fr = 0L
+        var ch = 0L
         for (i <- 1 to repeat) {
           System.gc()
           graft.ops.GraphOps.lastCcRounds.set(0)
           graft.ops.ReasonOps.lastFixpointRounds.set(0)
           graft.ops.ReasonOps.lastFrontierRounds.set(0)
+          graft.ops.ReasonOps.lastChainRounds.set(0)
           val t0 = System.nanoTime()
           fn(spark, dir).collect()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -64,10 +68,12 @@ object ScaleProbe {
             cc = graft.ops.GraphOps.lastCcRounds.get()
             fp = graft.ops.ReasonOps.lastFixpointRounds.get()
             fr = graft.ops.ReasonOps.lastFrontierRounds.get()
+            ch = graft.ops.ReasonOps.lastChainRounds.get()
           }
         }
         println(f"""{"sf":"$sf","gate":"$g","sec":$best%.2f,""" +
-          s""""ccRounds":$cc,"fixpointRounds":$fp,"frontierRounds":$fr}""")
+          s""""ccRounds":$cc,"fixpointRounds":$fp,"frontierRounds":$fr,""" +
+          s""""chainRounds":$ch}""")
       }
       // ---- pipeline-family candidate volumes (r10-verdict #7) ----
       // The dedup/ANN 100 TB claims rest on CANDIDATE volume staying

@@ -1467,4 +1467,214 @@ class ReasonSpec extends SparkSpec {
         .toDF("s", "p", "o", "g")), tbox)
     qset(m2.current) shouldBe qset(expected)
   }
+
+  // ------------------------------------------------------------------
+  // owl:propertyChainAxiom (OWL 2 RL prp-spo2)
+  // ------------------------------------------------------------------
+
+  import graft.ops.ReasonOps.{PropertyChainAxiom => PCA, RdfFirst, RdfRest, RdfNil}
+
+  /** TBox rows for `head owl:propertyChainAxiom (body...)`. */
+  private def chainAxiom(head: String, body: Seq[String]): Seq[(String, String, String)] = {
+    val nodes = body.indices.map(i => s"_:$head$i")
+    (head, PCA, nodes.head) +: body.indices.flatMap { i =>
+      Seq((nodes(i), RdfFirst, body(i)),
+        (nodes(i), RdfRest, if (i == body.length - 1) RdfNil else nodes(i + 1)))
+    }
+  }
+
+  "ReasonOps.owlClosure property chains" should "derive a two-step composition" in {
+    val g = (chainAxiom("grand", Seq("par", "par")) ++ Seq(
+      ("a", "par", "b"), ("b", "par", "c"), ("c", "par", "d")
+    )).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlClosure(g))
+    got should contain allOf (("a", "grand", "c"), ("b", "grand", "d"))
+    got should not contain ("a", "grand", "d") // length-3, not a chain match
+  }
+
+  it should "compose premises that only exist as inverse images" in {
+    // reg --natOf--> nat --custOf--> cust, both premises only exist as
+    // INVERSES of the asserted directions
+    val g = (chainAxiom("regionCust", Seq("natOf", "custOf")) ++ Seq(
+      ("natOf", ReasonOps.InverseOf, "inRegion"),
+      ("custOf", ReasonOps.InverseOf, "inNation"),
+      ("n1", "inRegion", "r1"), ("c1", "inNation", "n1"),
+      ("c2", "inNation", "n1")
+    )).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlClosure(g))
+    got should contain allOf (("r1", "regionCust", "c1"), ("r1", "regionCust", "c2"))
+  }
+
+  it should "reach the transitive closure through a self-chain" in {
+    // locIn o locIn => locIn IS transitivity, exercised via the chain
+    // fixpoint (depth-3 path needs two rounds)
+    val g = (chainAxiom("locIn", Seq("locIn", "locIn")) ++ Seq(
+      ("c", "locIn", "n"), ("n", "locIn", "r"), ("r", "locIn", "w")
+    )).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlClosure(g))
+    val viaTrans = tset(ReasonOps.owlClosure(Seq(
+      ("locIn", "a", ReasonOps.TransitiveProperty),
+      ("c", "locIn", "n"), ("n", "locIn", "r"), ("r", "locIn", "w")
+    ).toDF("s", "p", "o")))
+    got.filter(_._2 == "locIn") shouldBe viaTrans.filter(_._2 == "locIn")
+    got should contain ("c", "locIn", "w")
+  }
+
+  it should "feed chain conclusions into a transitive head" in {
+    // the chain derives two hop edges; the head is transitive so the
+    // hops must then CHAIN
+    val g = (chainAxiom("hop", Seq("e1", "e2")) ++ Seq(
+      ("hop", "a", ReasonOps.TransitiveProperty),
+      ("x", "e1", "m1"), ("m1", "e2", "y"),
+      ("y", "e1", "m2"), ("m2", "e2", "z")
+    )).toDF("s", "p", "o")
+    tset(ReasonOps.owlClosure(g)) should contain ("x", "hop", "z")
+  }
+
+  it should "feed one chain's conclusions into another chain" in {
+    val g = (chainAxiom("ab", Seq("a1", "a2")) ++
+      chainAxiom("abc", Seq("ab", "a3")) ++ Seq(
+      ("x", "a1", "m"), ("m", "a2", "y"), ("y", "a3", "z")
+    )).toDF("s", "p", "o")
+    tset(ReasonOps.owlClosure(g)) should contain ("x", "abc", "z")
+  }
+
+  it should "fail loudly on a cyclic or malformed chain list" in {
+    val cyc = Seq(
+      ("h", PCA, "_:x"), ("_:x", RdfFirst, "p"), ("_:x", RdfRest, "_:x"),
+      ("u", "p", "v")).toDF("s", "p", "o")
+    the[IllegalArgumentException] thrownBy
+      ReasonOps.owlClosure(cyc).count() should have message
+      "requirement failed: owl:propertyChainAxiom list for h is cyclic at _:x"
+    val broken = Seq(
+      ("h", PCA, "_:x"), ("_:x", RdfFirst, "p"),
+      ("u", "p", "v")).toDF("s", "p", "o")
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.owlClosure(broken).count()).getMessage should include ("rdf:rest")
+  }
+
+  it should "close per graph on the quad path" in {
+    val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
+    val q = Seq(
+      ("a", "par", "b", "g1"), ("b", "par", "c", "g1"),
+      ("a", "par", "b", "g2"), // g2 lacks the second hop
+      ("b", "par", "c", "g3")
+    ).toDF("s", "p", "o", "g")
+    val got = ReasonOps.owlClosureQuads(q, tbox)
+      .where(col("p") === "grand").collect()
+      .map(r => (r.getString(0), r.getString(2), r.getString(3))).toSet
+    got shouldBe Set(("a", "c", "g1")) // premises never combine across graphs
+  }
+
+  it should "run encoded with OwlIds chain vocabulary" in {
+    // terms as longs: par=1 grand=2 pca=10 first=11 rest=12 nil=13
+    // nodes a=100 b=101 c=102, list nodes 200 201
+    val enc = Seq(
+      (2L, 10L, 200L), (200L, 11L, 1L), (200L, 12L, 201L),
+      (201L, 11L, 1L), (201L, 12L, 13L),
+      (100L, 1L, 101L), (101L, 1L, 102L)
+    ).toDF("s", "p", "o")
+    val ids = ReasonOps.OwlIds(inverseOf = 90L, symmetricProperty = 91L,
+      transitiveProperty = 92L, typePred = 93L,
+      propertyChainAxiom = Some(10L), listFirst = Some(11L),
+      listRest = Some(12L), listNil = Some(13L))
+    val got = ReasonOps.owlClosureEncoded(enc, ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got should contain ((100L, 2L, 102L))
+  }
+
+  "ReasonOps.owlDelta property chains" should "match re-materialization" in {
+    val tbox = (chainAxiom("grand", Seq("par", "par")) ++
+      chainAxiom("locIn", Seq("locIn", "locIn"))).toDF("s", "p", "o")
+    val base = chainAxiom("grand", Seq("par", "par")) ++
+      chainAxiom("locIn", Seq("locIn", "locIn")) ++ Seq(
+      ("n", "locIn", "r"), ("r", "locIn", "w"),
+      ("b", "par", "c"))
+    // the batch connects into existing paths on both sides AND extends
+    // the self-chain two rounds deep (c -> n -> r -> w)
+    val delta = Seq(("a", "par", "b"), ("c", "locIn", "n"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+    val inc = ReasonOps.owlDelta(closure, delta.toDF("s", "p", "o"), tbox)
+    val got = tset(ReasonOps.composeIncrement(closure, inc))
+    val full = ReasonOps.owlClosure((base ++ delta).toDF("s", "p", "o"))
+    got shouldBe tset(full)
+    got should contain allOf (("a", "grand", "c"), ("c", "locIn", "w"))
+  }
+
+  it should "match re-materialization per graph on the quad path" in {
+    val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
+    val base = Seq(("a", "par", "b", "g1"), ("a", "par", "b", "g2"))
+    val delta = Seq(("b", "par", "c", "g1")) // completes g1 only
+    val closure = ReasonOps.owlClosureQuads(base.toDF("s", "p", "o", "g"), tbox)
+    val inc = ReasonOps.owlDeltaQuads(closure,
+      delta.toDF("s", "p", "o", "g"), tbox)
+    val got = qset(ReasonOps.composeIncrement(closure, inc))
+    got shouldBe qset(ReasonOps.owlClosureQuads(
+      (base ++ delta).toDF("s", "p", "o", "g"), tbox))
+    got should contain (("a", "grand", "c", "g1"))
+    got.map(t => (t._1, t._2, t._3, t._4)).filter(_._2 == "grand")
+      .map(_._4) shouldBe Set("g1")
+  }
+
+  it should "fail fast on a chain axiom arriving in the delta" in {
+    val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
+    val closure = ReasonOps.owlClosure(
+      (chainAxiom("grand", Seq("par", "par")) ++ Seq(("a", "par", "b")))
+        .toDF("s", "p", "o"))
+    val decl = Seq(("other", PCA, "_:z")).toDF("s", "p", "o")
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.owlDelta(closure, decl, tbox).count())
+      .getMessage should include ("re-materialization")
+  }
+
+  "ReasonOps.owlRetract property chains" should "re-materialize to the exact remaining closure" in {
+    val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
+    val base = chainAxiom("grand", Seq("par", "par")) ++ Seq(
+      ("a", "par", "b"), ("b", "par", "c"), ("c", "par", "d"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+    val del = Seq(("b", "par", "c")).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
+      del, tbox))
+    got shouldBe tset(ReasonOps.owlClosure(
+      base.filterNot(_ == (("b", "par", "c"))).toDF("s", "p", "o")))
+    // the deleted middle hop breaks BOTH compositions
+    got.filter(_._2 == "grand") shouldBe empty
+  }
+
+  "ReasonOps.owlMaintainStream property chains" should "equal the batch closure across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val decls = chainAxiom("grand", Seq("par", "par")) ++
+      chainAxiom("locIn", Seq("locIn", "locIn"))
+    val base = decls ++ Seq(("r", "locIn", "w"), ("b", "par", "c"))
+    val m = ReasonOps.owlMaintainStream(
+      ReasonOps.owlClosure(base.toDF("s", "p", "o")),
+      decls.toDF("s", "p", "o"))
+    val src = MemoryStream[(String, String, String)]
+    val q = m.attach(src.toDF().toDF("s", "p", "o"))
+    try {
+      src.addData(("a", "par", "b"), ("n", "locIn", "r"))
+      q.processAllAvailable()
+      src.addData(("c", "locIn", "n")) // composes across BATCHES
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = ReasonOps.owlClosure((base ++ Seq(("a", "par", "b"),
+      ("n", "locIn", "r"), ("c", "locIn", "n"))).toDF("s", "p", "o"))
+    tset(m.current) shouldBe tset(full)
+    tset(m.current) should contain allOf
+      (("a", "grand", "c"), ("c", "locIn", "w"))
+  }
+
+  "ReasonOps.owlEntailed property chains" should "prune unmentioned chain heads" in {
+    val g = (chainAxiom("grand", Seq("par", "par")) ++ Seq(
+      ("a", "par", "b"), ("b", "par", "c")
+    )).toDF("s", "p", "o")
+    // head mentioned: derived
+    tset(ReasonOps.owlEntailed(g, patternPreds = Seq("grand"))) should
+      contain ("a", "grand", "c")
+    // head not mentioned: the chain is skipped (under-derived by contract)
+    tset(ReasonOps.owlEntailed(g, patternPreds = Seq("par"))) should
+      not contain ("a", "grand", "c")
+  }
+
 }
