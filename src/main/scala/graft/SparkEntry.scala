@@ -2911,6 +2911,150 @@ object SparkEntry {
       .orderBy("g", "p")
   }
 
+  /** The OWL 2 RL restriction fixture TBox: a someValuesFrom class
+    * with a superclass (HasOrder = ∃placed.Order ⊑ Active), an
+    * allValuesFrom class reached through subclass membership (Buyer ⊑
+    * AllPurch = ∀placed.Purchase), a NESTED someValuesFrom over the
+    * avf-derived type (PurchBuyer = ∃placed.Purchase — needs fixpoint
+    * round 2), and a hasValue class firing BOTH directions (Gold =
+    * status∋gold, Vip ⊑ Gold).
+    */
+  private val owlRlTboxRows: Seq[(String, String, String)] = {
+    import graft.ops.ReasonOps._
+    Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("HasOrder", SubClassOf, "Active"),
+      ("Buyer", SubClassOf, "AllPurch"),
+      ("AllPurch", OnProperty, "placed"),
+      ("AllPurch", AllValuesFrom, "Purchase"),
+      ("PurchBuyer", OnProperty, "placed"),
+      ("PurchBuyer", SomeValuesFrom, "Purchase"),
+      ("Gold", OnProperty, "status"),
+      ("Gold", HasValue, "gold"),
+      ("Vip", SubClassOf, "Gold"))
+  }
+
+  private def owlRlAbox(s: SparkSession, d: String): DataFrame = {
+    val or = t(s, d, "orders")
+    val cu = t(s, d, "customer")
+    val ok = concat(lit("order:"), col("o_orderkey"))
+    val ck = concat(lit("customer:"), col("o_custkey"))
+    val cck = concat(lit("customer:"), col("c_custkey"))
+    or.select(ck.as("s"), lit("placed").as("p"), ok.as("o"))
+      .unionAll(or.select(ok.as("s"), lit("a").as("p"),
+        lit("Order").as("o")))
+      .unionAll(cu.where(col("c_custkey") % 3 === 0)
+        .select(cck.as("s"), lit("a").as("p"), lit("Buyer").as("o")))
+      .unionAll(cu.where(col("c_custkey") % 5 === 0)
+        .select(cck.as("s"), lit("status").as("p"), lit("gold").as("o")))
+      .unionAll(cu.where(col("c_custkey") % 7 === 0)
+        .select(cck.as("s"), lit("a").as("p"), lit("Vip").as("o")))
+  }
+
+  /** OWL 2 RL restriction-class closure ([[ReasonOps.owlRlClosure]]):
+    * svf members flow up subClassOf, avf pushes onto members' objects,
+    * hasValue fires both directions through subclass membership, and
+    * the nested ∃placed.Purchase types settle in fixpoint round 2. The
+    * oracle characterizes every derived set directly from the tables.
+    */
+  private def owlRlQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val closure = ReasonOps.owlRlClosure(
+      owlRlAbox(s, d).unionAll(
+        s.createDataFrame(owlRlTboxRows).toDF("s", "p", "o")))
+    closure.groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p", "cls")
+  }
+
+  /** The per-graph twin ([[ReasonOps.owlRlClosureQuads]]): every
+    * customer's rows (orders included) land in the `even`/`odd` graph
+    * of their key parity, so each graph's closure must equal the
+    * parity-restricted characterization — a restriction joining across
+    * graphs breaks the (g, p, cls) census.
+    */
+  private def owlRlQuadsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val or = t(s, d, "orders")
+    val cu = t(s, d, "customer")
+    val ok = concat(lit("order:"), col("o_orderkey"))
+    val ck = concat(lit("customer:"), col("o_custkey"))
+    val cck = concat(lit("customer:"), col("c_custkey"))
+    val go = when(col("o_custkey") % 2 === 0, "even").otherwise("odd")
+    val gc = when(col("c_custkey") % 2 === 0, "even").otherwise("odd")
+    val quads = or.select(ck.as("s"), lit("placed").as("p"), ok.as("o"),
+        go.as("g"))
+      .unionAll(or.select(ok.as("s"), lit("a").as("p"),
+        lit("Order").as("o"), go.as("g")))
+      .unionAll(cu.where(col("c_custkey") % 3 === 0)
+        .select(cck.as("s"), lit("a").as("p"), lit("Buyer").as("o"),
+          gc.as("g")))
+      .unionAll(cu.where(col("c_custkey") % 5 === 0)
+        .select(cck.as("s"), lit("status").as("p"), lit("gold").as("o"),
+          gc.as("g")))
+      .unionAll(cu.where(col("c_custkey") % 7 === 0)
+        .select(cck.as("s"), lit("a").as("p"), lit("Vip").as("o"),
+          gc.as("g")))
+    val tbox = s.createDataFrame(owlRlTboxRows).toDF("s", "p", "o")
+    // the closed TBox statements land in the default graph (g = null) —
+    // surface them as a 'schema' census group
+    ReasonOps.owlRlClosureQuads(quads, tbox)
+      .groupBy(coalesce(col("g"), lit("schema")).as("g"), col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("g", "p", "cls")
+  }
+
+  /** The orders-only slice of the RL ABox — the maintenance gate's
+    * materialized base (HasOrder/Active derive here; everything
+    * customer-typed arrives in the batch). */
+  private def owlRlOrdersAbox(s: SparkSession, d: String): DataFrame = {
+    val or = t(s, d, "orders")
+    val ok = concat(lit("order:"), col("o_orderkey"))
+    val ck = concat(lit("customer:"), col("o_custkey"))
+    or.select(ck.as("s"), lit("placed").as("p"), ok.as("o"))
+      .unionAll(or.select(ok.as("s"), lit("a").as("p"),
+        lit("Order").as("o")))
+  }
+
+  private def owlRlCustomerBatch(s: SparkSession, d: String): DataFrame = {
+    val cu = t(s, d, "customer")
+    val cck = concat(lit("customer:"), col("c_custkey"))
+    cu.where(col("c_custkey") % 3 === 0)
+      .select(cck.as("s"), lit("a").as("p"), lit("Buyer").as("o"))
+      .unionAll(cu.where(col("c_custkey") % 5 === 0)
+        .select(cck.as("s"), lit("status").as("p"), lit("gold").as("o")))
+      .unionAll(cu.where(col("c_custkey") % 7 === 0)
+        .select(cck.as("s"), lit("a").as("p"), lit("Vip").as("o")))
+  }
+
+  /** The maintenance twin of [[owlRlQ]]: the orders slice materializes
+    * once (session artifact), the customer slice arrives as an O(Δ)
+    * batch through [[ReasonOps.owlRlDelta]] — avf must fire Δ
+    * membership against EXISTING edges (buyers' orders → Purchase),
+    * the nested svf must settle in delta round 2 (PurchBuyer), and
+    * hasValue must fire both directions across the batch; `n_inc` pins
+    * exactly the novel rows.
+    */
+  private def owlRlDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val tbox = s.createDataFrame(owlRlTboxRows).toDF("s", "p", "o")
+    val closure = GraftStore.reasonArtifact(s, d, "owl_rl_base") {
+      ReasonOps.owlRlClosure(owlRlOrdersAbox(s, d).unionAll(tbox))
+    }
+    val inc = ReasonOps.owlRlDelta(closure, owlRlCustomerBatch(s, d), tbox)
+    val fresh = ReasonOps.incrementNovel(closure, inc)
+    closure.withColumn("inc", lit(0L))
+      .unionAll(fresh.withColumn("inc", lit(1L)))
+      .groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        sum("inc").as("n_inc"))
+      .orderBy("p", "cls")
+  }
+
   /** Incremental owl:sameAs maintenance: the base identity graph
     * (alias:k ~ nation:k for even k) canonicalizes once (session
     * artifacts), then the alias2 layer (alias2:k ~ alias:k for k%4==0)
@@ -4137,6 +4281,9 @@ object SparkEntry {
     "q_owl_chain" -> (owlChainQ _),
     "q_owl_chain_delta" -> (owlChainDeltaQ _),
     "q_owl_chain_quads" -> (owlChainQuadsQ _),
+    "q_owl_rl" -> (owlRlQ _),
+    "q_owl_rl_quads" -> (owlRlQuadsQ _),
+    "q_owl_rl_delta" -> (owlRlDeltaQ _),
     "q_owl_functional" -> (owlFunctionalQ _),
     "q_owl_functional_delta" -> (owlFunctionalDeltaQ _),
     "q_sameas_delta" -> (sameAsDeltaQ _),
@@ -5159,6 +5306,109 @@ object SparkEntry {
         |  FROM (SELECT DISTINCT s, p, o FROM cld) GROUP BY p
         |) ORDER BY g, p""".stripMargin
 
+  private def rlTbValues: String =
+    owlRlTboxRows.map { case (a, b, c) => s"('$a','$b','$c')" }
+      .mkString(", ")
+
+  /** The OWL RL replay CTEs: the ABox unpivot (everything keyed by a
+    * customer parity condition for the per-graph twin) and the DIRECT
+    * characterization of every set the restriction fixpoint derives —
+    * svf members (customers with an order), their Active superclass,
+    * avf members via subclass (buyers), avf-pushed Purchase types,
+    * the round-2 nested svf (PurchBuyer), and the hasValue sets in
+    * both directions (gold status holders typed Gold; Gold members —
+    * hv2-typed or Vip-subclassed — given the status row).
+    */
+  private def owlRlClCte(sfx: String, cond: String => String,
+                         withTb: Boolean): String = {
+    def c(k: String) = cond(k)
+    s"""rlab$sfx AS (
+        |  SELECT 'customer:'||o_custkey AS s, 'placed' AS p,
+        |         'order:'||o_orderkey AS o FROM orders WHERE ${c("o_custkey")}
+        |  UNION ALL SELECT 'order:'||o_orderkey, 'a', 'Order'
+        |         FROM orders WHERE ${c("o_custkey")}
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'a', 'Buyer'
+        |         FROM customer WHERE c_custkey % 3 = 0 AND ${c("c_custkey")}
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'status', 'gold'
+        |         FROM customer WHERE c_custkey % 5 = 0 AND ${c("c_custkey")}
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'a', 'Vip'
+        |         FROM customer WHERE c_custkey % 7 = 0 AND ${c("c_custkey")}),
+        |cl$sfx AS (
+        |  SELECT s, p, o FROM rlab$sfx
+        |${if (withTb) "  UNION SELECT s, p, o FROM rl_tb" else ""}
+        |  UNION SELECT DISTINCT 'customer:'||o_custkey, 'a', 'HasOrder'
+        |        FROM orders WHERE ${c("o_custkey")}
+        |  UNION SELECT DISTINCT 'customer:'||o_custkey, 'a', 'Active'
+        |        FROM orders WHERE ${c("o_custkey")}
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'AllPurch'
+        |        FROM customer WHERE c_custkey % 3 = 0 AND ${c("c_custkey")}
+        |  UNION SELECT DISTINCT 'order:'||o_orderkey, 'a', 'Purchase'
+        |        FROM orders WHERE o_custkey % 3 = 0 AND ${c("o_custkey")}
+        |  UNION SELECT DISTINCT 'customer:'||o_custkey, 'a', 'PurchBuyer'
+        |        FROM orders WHERE o_custkey % 3 = 0 AND ${c("o_custkey")}
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'Gold'
+        |        FROM customer
+        |        WHERE (c_custkey % 5 = 0 OR c_custkey % 7 = 0)
+        |          AND ${c("c_custkey")}
+        |  UNION SELECT 'customer:'||c_custkey, 'status', 'gold'
+        |        FROM customer
+        |        WHERE (c_custkey % 5 = 0 OR c_custkey % 7 = 0)
+        |          AND ${c("c_custkey")})""".stripMargin
+  }
+
+  private val owlRlOracle =
+    s"""WITH rl_tb(s, p, o) AS (VALUES $rlTbValues),
+        |${owlRlClCte("", _ => "TRUE", withTb = true)}
+        |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns
+        |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** RL maintenance census: full counts plus `n_inc` = rows the
+    * customer batch genuinely ADDED over the orders-only closure (the
+    * base derives HasOrder/Active only) — pins the O(Δ) path across
+    * the avf/nested-svf/hasValue shapes.
+    */
+  private val owlRlDeltaOracle =
+    s"""WITH rl_tb(s, p, o) AS (VALUES $rlTbValues),
+        |${owlRlClCte("", _ => "TRUE", withTb = true)},
+        |clb AS (
+        |  SELECT 'customer:'||o_custkey AS s, 'placed' AS p,
+        |         'order:'||o_orderkey AS o FROM orders
+        |  UNION SELECT 'order:'||o_orderkey, 'a', 'Order' FROM orders
+        |  UNION SELECT s, p, o FROM rl_tb
+        |  UNION SELECT DISTINCT 'customer:'||o_custkey, 'a', 'HasOrder'
+        |        FROM orders
+        |  UNION SELECT DISTINCT 'customer:'||o_custkey, 'a', 'Active'
+        |        FROM orders),
+        |f AS (SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |             count(*) AS n, count(DISTINCT s) AS ns
+        |      FROM cl GROUP BY 1, 2),
+        |bb AS (SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |              count(*) AS nb
+        |       FROM clb GROUP BY 1, 2)
+        |SELECT f.p, f.cls, f.n, f.ns, f.n - COALESCE(bb.nb, 0) AS n_inc
+        |FROM f LEFT JOIN bb ON f.p = bb.p AND f.cls = bb.cls
+        |ORDER BY f.p, f.cls""".stripMargin
+
+  /** Per-graph RL replay plus the closed-TBox 'schema' group (the
+    * engine emits the closed subclass pairs in the default graph). */
+  private val owlRlQuadsOracle =
+    s"""WITH rl_tb(s, p, o) AS (VALUES $rlTbValues),
+        |${owlRlClCte("e", k => s"$k % 2 = 0", withTb = false)},
+        |${owlRlClCte("d", k => s"$k % 2 = 1", withTb = false)}
+        |SELECT * FROM (
+        |  SELECT 'even' AS g, p,
+        |         CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |         count(*) AS n, count(DISTINCT s) AS ns
+        |  FROM cle GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT 'odd', p, CASE WHEN p = 'a' THEN o ELSE '-' END,
+        |         count(*), count(DISTINCT s)
+        |  FROM cld GROUP BY 2, 3
+        |  UNION ALL
+        |  SELECT 'schema', 'rdfs:subClassOf', '-', 3, 3
+        |) ORDER BY g, p, cls""".stripMargin
+
   /** Equivalence maintenance census: full counts plus `n_inc` = rows
     * the customer batch genuinely ADDED over the supplier-only closure
     * — pins the O(Δ) path (a re-materialization double-counts, an
@@ -5991,6 +6241,9 @@ object SparkEntry {
     "q_owl_chain" -> owlChainOracle,
     "q_owl_chain_delta" -> owlChainDeltaOracle,
     "q_owl_chain_quads" -> owlChainQuadsOracle,
+    "q_owl_rl" -> owlRlOracle,
+    "q_owl_rl_quads" -> owlRlQuadsOracle,
+    "q_owl_rl_delta" -> owlRlDeltaOracle,
     // functional-property ER: expected post-fixpoint counts derived
     // straight from the construction (every third customer gains a
     // dup twin that merges away, its alt account folding into the

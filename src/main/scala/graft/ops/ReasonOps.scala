@@ -1958,6 +1958,481 @@ object ReasonOps {
     }
   }
 
+  // ------------------------------------------------------------------
+  // OWL 2 RL restriction classes: owl:hasValue (cls-hv1/hv2),
+  // owl:someValuesFrom (cls-svf1/svf2), owl:allValuesFrom (cls-avf)
+  // ------------------------------------------------------------------
+
+  val OnProperty        = "owl:onProperty"
+  val OnPropertyIri     = "http://www.w3.org/2002/07/owl#onProperty"
+  val SomeValuesFrom    = "owl:someValuesFrom"
+  val SomeValuesFromIri = "http://www.w3.org/2002/07/owl#someValuesFrom"
+  val AllValuesFrom     = "owl:allValuesFrom"
+  val AllValuesFromIri  = "http://www.w3.org/2002/07/owl#allValuesFrom"
+  val HasValue          = "owl:hasValue"
+  val HasValueIri       = "http://www.w3.org/2002/07/owl#hasValue"
+  val OwlThing          = "owl:Thing"
+  val OwlThingIri       = "http://www.w3.org/2002/07/owl#Thing"
+
+  /** The restriction vocabulary as ENCODED ids; `rdfs` carries the
+    * subclass/type machinery the restriction fixpoint interleaves
+    * with. `owlThing` is optional (enables cls-svf2). */
+  final case class RlIds(rdfs: RdfsIds, onProperty: Long,
+                         someValuesFrom: Long, allValuesFrom: Long,
+                         hasValue: Long, owlThing: Option[Long] = None)
+
+  private final case class RlVoc(on: Set[Any], svf: Set[Any],
+                                 avf: Set[Any], hv: Set[Any],
+                                 thing: Set[Any], ty: Set[Any],
+                                 emitTy: Any) {
+    def declPreds: Seq[Any] = (on ++ svf ++ avf ++ hv).toSeq
+  }
+
+  private def stringRlVoc(typePred: String): RlVoc = {
+    val ty: Set[Any] =
+      if (typePred == "a") Set("a", TypeIri) else Set(typePred)
+    RlVoc(Set(OnProperty, OnPropertyIri),
+      Set(SomeValuesFrom, SomeValuesFromIri),
+      Set(AllValuesFrom, AllValuesFromIri),
+      Set(HasValue, HasValueIri),
+      Set(OwlThing, OwlThingIri), ty, typePred)
+  }
+
+  private def encRlVoc(ids: RlIds): RlVoc =
+    RlVoc(Set(ids.onProperty), Set(ids.someValuesFrom),
+      Set(ids.allValuesFrom), Set(ids.hasValue),
+      ids.owlThing.toSet[Any], Set(ids.rdfs.typePred), ids.rdfs.typePred)
+
+  private final case class Restriction(r: Any, p: Any, kind: Int,
+                                       filler: Any)
+  private val SvfKind = 0
+  private val AvfKind = 1
+  private val HvKind  = 2
+
+  /** Driver-collected, capped restriction declarations: each
+    * `someValuesFrom`/`allValuesFrom`/`hasValue` statement pairs with
+    * its node's single `owl:onProperty` (anything else fails loudly —
+    * an OWL RL restriction has exactly one). */
+  private def collectRestrictions(rel: DataFrame, voc: RlVoc,
+                                  tboxCap: Int): Seq[Restriction] = {
+    val Seq(cs, cp, co) = rel.columns.take(3).toSeq
+    val rows = rel.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+      .where(col("p").isin(voc.declPreds: _*))
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    require(rows.length <= tboxCap,
+      s"OWL restriction declarations exceed $tboxCap — not schema-shaped")
+    val on = rows.filter(r => voc.on(r._2)).groupBy(_._1)
+    def mk(kindSet: Set[Any], kind: Int): Seq[Restriction] =
+      rows.filter(r => kindSet(r._2)).toSeq.map { case (r, _, filler) =>
+        val ps = on.getOrElse(r, Array.empty[(Any, Any, Any)])
+          .map(_._3).distinct
+        require(ps.length == 1, s"owl:Restriction $r needs exactly one " +
+          s"owl:onProperty (found ${ps.length})")
+        Restriction(r, ps.head, kind, filler)
+      }
+    (mk(voc.svf, SvfKind) ++ mk(voc.avf, AvfKind) ++ mk(voc.hv, HvKind))
+      .distinct.sortBy(_.r.toString)
+  }
+
+  /** One restriction-rule pass over a relation: per declaration the
+    * ABox rule fires as a keyed semi-join (svf1: the p-slice against
+    * the filler's type set; avf: the p-slice against the restriction's
+    * member set) or a map-side projection (hv1/hv2, svf2) — all
+    * equi-joins AQE sizes freely; on the quad path every join and every
+    * emission carries the graph column. */
+  private def restrictionDerive(rel: DataFrame, restr: Seq[Restriction],
+                                voc: RlVoc, hasGraph: Boolean): DataFrame = {
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    def gJoin(pfx: String) =
+      if (hasGraph) Seq(col("g") <=> col(pfx + "g")) else Nil
+    val types = rel.where(col("p").isin(voc.ty.toSeq: _*))
+    def typed(x: org.apache.spark.sql.Column, r: Any) =
+      Seq(x, lit(voc.emitTy).as("p"), lit(r).as("o")) ++ gsel
+    val legs = restr.flatMap {
+      case Restriction(r, p, SvfKind, v) if voc.thing(v) =>
+        // cls-svf2: x p y ⊨ x a R
+        Seq(rel.where(col("p") === p).select(typed(col("s"), r): _*))
+      case Restriction(r, p, SvfKind, v) =>
+        // cls-svf1: x p y, y a v ⊨ x a R
+        val ys = types.where(col("o") === v).select(
+          col("s").as("__y") +:
+            (if (hasGraph) Seq(col("g").as("__yg")) else Nil): _*)
+        Seq(rel.where(col("p") === p)
+          .join(ys, (Seq(col("o") === col("__y")) ++ gJoin("__y"))
+            .reduce(_ && _), "left_semi")
+          .select(typed(col("s"), r): _*))
+      case Restriction(r, p, AvfKind, v) =>
+        // cls-avf: x a R, x p y ⊨ y a v
+        val xs = types.where(col("o") === r).select(
+          col("s").as("__x") +:
+            (if (hasGraph) Seq(col("g").as("__xg")) else Nil): _*)
+        Seq(rel.where(col("p") === p)
+          .join(xs, (Seq(col("s") === col("__x")) ++ gJoin("__x"))
+            .reduce(_ && _), "left_semi")
+          .select(Seq(col("o").as("s"), lit(voc.emitTy).as("p"),
+            lit(v).as("o")) ++ gsel: _*))
+      case Restriction(r, p, HvKind, v) =>
+        // cls-hv1: x a R ⊨ x p v ; cls-hv2: x p v ⊨ x a R
+        Seq(
+          types.where(col("o") === r)
+            .select(Seq(col("s"), lit(p).as("p"), lit(v).as("o")) ++
+              gsel: _*),
+          rel.where(col("p") === p && col("o") === v)
+            .select(typed(col("s"), r): _*))
+      case other => throw new IllegalStateException(other.toString)
+    }
+    legs.reduce(_.unionAll(_))
+  }
+
+  /** Round count of the most recent restriction fixpoint (0 when no
+    * restriction fired) — rounds track restriction NESTING depth (a
+    * derived type enabling the next svf/avf premise), not row count. */
+  private[graft] val lastRlRounds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def owlRlCore(t: DataFrame, voc: RlVoc,
+                        restr: Seq[Restriction],
+                        rdfsClose: DataFrame => DataFrame,
+                        rdfsExpand: DataFrame => Seq[DataFrame],
+                        hasGraph: Boolean, maxRounds: Int): DataFrame = {
+    var closure = graft.Pins.checkpointLazy(rdfsClose(t))
+    var n = closure.count()
+    if (restr.isEmpty) { lastRlRounds.set(0); return closure }
+    // per round: one restriction pass over the accumulated closure and
+    // the rho-df expansion of ITS conclusions only (one-pass complete
+    // over the closed schema maps — re-closing the full relation would
+    // re-pay ~6 full scans per round), then one distinct-union +
+    // count, the transitiveClosure convergence shape. Conclusions are
+    // output-sized in materialization, so nothing broadcasts here; the
+    // O(Δ) broadcast discipline belongs to [[owlRlDeltaCore]].
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds,
+        s"owl:Restriction fixpoint did not converge in $maxRounds rounds")
+      // pin the restriction conclusions EAGERLY: the rho-df expansion
+      // scans them once per rule leg, and those legs run as CONCURRENT
+      // union branches of the convergence job — a lazy pin races its
+      // own first materialization across branches and recomputes the
+      // restriction semi-joins per leg
+      val derived =
+        restrictionDerive(closure, restr, voc, hasGraph).distinct()
+          .localCheckpoint(true)
+      val next = graft.Pins.checkpointLazy(
+        (Seq(closure, derived) ++ rdfsExpand(derived))
+          .reduce(_.unionAll(_)).distinct())
+      val m = next.count()
+      done = m == n
+      closure = next; n = m
+    }
+    lastRlRounds.set(round)
+    closure
+  }
+
+  /** OWL 2 RL restriction-class closure: RDFS (rho-df + equivalences)
+    * interleaved to fixpoint with the restriction rules —
+    * `owl:someValuesFrom` (cls-svf1, and cls-svf2 for `owl:Thing`),
+    * `owl:allValuesFrom` (cls-avf), and `owl:hasValue` (cls-hv1/hv2) —
+    * so restriction-derived types flow up `rdfs:subClassOf`, subclass
+    * members reach their restriction superclasses' hv/avf rules, and a
+    * derived type can enable the NEXT restriction's premise (rounds
+    * track nesting depth, [[lastRlRounds]]). Restriction declarations
+    * are driver-collected and capped; each restriction node needs
+    * exactly one `owl:onProperty`.
+    *
+    * Scope (documented): the PROPERTY vocabulary (inverse/symmetric/
+    * transitive/chains) is [[owlClosure]]'s domain — compose the two
+    * closures when a corpus uses both (run [[owlClosure]] first, feed
+    * its output here; a corpus whose restriction conclusions feed
+    * property rules needs an outer iteration the caller owns).
+    * Insert maintenance has an O(Δ) twin ([[owlRlDelta]] and the
+    * streaming [[owlRlMaintainStream]]); DRed retraction does not —
+    * retract by re-running this closure over the remaining base.
+    * Emission uses `typePred` as passed; corpora rendered with full
+    * `rdf:type` IRIs should pass the IRI.
+    */
+  def owlRlClosure(triples: DataFrame, typePred: String = "a",
+                   tboxCap: Int = 1 << 20, maxRounds: Int = 16)
+      : DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val voc = stringRlVoc(typePred)
+    val restr = collectRestrictions(t, voc, tboxCap)
+    val voc0 = stringVoc(typePred)
+    val tbox = collectTbox(t, voc0.tboxPreds, tboxCap)
+    val vocE = resolveEmit(voc0, tbox)
+    owlRlCore(t, voc, restr,
+      df => rdfsClosure(df, typePred, tboxCap),
+      df => rdfsDerive(tbox, df, vocE, includeTboxClosure = false),
+      hasGraph = false, maxRounds)
+  }
+
+  /** [[owlRlClosure]] over an ENCODED (long-id) triple relation. */
+  def owlRlClosureEncoded(encTriples: DataFrame, ids: RlIds,
+                          tboxCap: Int = 1 << 20, maxRounds: Int = 16)
+      : DataFrame = {
+    val Seq(cs, cp, co) = encTriples.columns.take(3).toSeq
+    val t = encTriples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val voc = encRlVoc(ids)
+    val restr = collectRestrictions(t, voc, tboxCap)
+    val voc0 = encVoc(ids.rdfs)
+    val tbox = collectTbox(t, voc0.tboxPreds, tboxCap)
+    owlRlCore(t, voc, restr,
+      df => rdfsClosureEncoded(df, ids.rdfs, tboxCap),
+      df => rdfsDerive(tbox, df, voc0, includeTboxClosure = false),
+      hasGraph = false, maxRounds)
+  }
+
+  /** [[owlRlClosure]] over a NAMED-GRAPH quad dataset: global
+    * restriction declarations (`tboxSource`), per-graph rule firing —
+    * every restriction join keys on the graph column, so a premise in
+    * one graph never types a subject in another. */
+  def owlRlClosureQuads(quads: DataFrame, tboxSource: DataFrame,
+                        typePred: String = "a", tboxCap: Int = 1 << 20,
+                        maxRounds: Int = 16): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val voc = stringRlVoc(typePred)
+    val restr = collectRestrictions(tboxSource, voc, tboxCap)
+    val voc0 = stringVoc(typePred)
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      voc0.tboxPreds, tboxCap)
+    val vocE = resolveEmit(voc0, tbox)
+    owlRlCore(q, voc, restr,
+      df => rdfsClosureQuads(df, tboxSource, typePred, tboxCap),
+      df => rdfsDeriveQuads(tbox, df, vocE, includeTboxClosure = false),
+      hasGraph = true, maxRounds)
+  }
+
+  /** [[owlRlClosureQuads]] over ENCODED (long-id) quad relations. */
+  def owlRlClosureQuadsEncoded(quads: DataFrame, tboxSource: DataFrame,
+                               ids: RlIds, tboxCap: Int = 1 << 20,
+                               maxRounds: Int = 16): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val voc = encRlVoc(ids)
+    val restr = collectRestrictions(tboxSource, voc, tboxCap)
+    val voc0 = encVoc(ids.rdfs)
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      voc0.tboxPreds, tboxCap)
+    owlRlCore(q, voc, restr,
+      df => rdfsClosureQuadsEncoded(df, tboxSource, ids.rdfs, tboxCap),
+      df => rdfsDeriveQuads(tbox, df, voc0, includeTboxClosure = false),
+      hasGraph = true, maxRounds)
+  }
+
+  /** One seminaive restriction pass for the delta path: per
+    * declaration, BOTH premise positions get a variant with the
+    * newest-step slice broadcast and the accumulated relation's slices
+    * streamed — so every conclusion with ≥1 premise in `dcur` derives
+    * and the closure never shuffles (conclusions with both premises
+    * new appear from both variants and dedup downstream). */
+  private def restrictionDeriveDelta(all: DataFrame, dcur: DataFrame,
+                                     restr: Seq[Restriction], voc: RlVoc,
+                                     hasGraph: Boolean): DataFrame = {
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    def probeNames(n: Int) = (1 to n).map(i => s"__d$i") ++
+      (if (hasGraph) Seq("__dg") else Nil)
+    def gJoin = if (hasGraph) Seq(col("g") <=> col("__dg")) else Nil
+    val tyCond = col("p").isin(voc.ty.toSeq: _*)
+    val types = all.where(tyCond)
+    val dTypes = dcur.where(tyCond)
+    def typed(x: org.apache.spark.sql.Column, r: Any, g: Seq[org.apache.spark.sql.Column]) =
+      Seq(x, lit(voc.emitTy).as("p"), lit(r).as("o")) ++ g
+    val legs = restr.flatMap {
+      case Restriction(r, p, SvfKind, v) if voc.thing(v) =>
+        Seq(dcur.where(col("p") === p).select(typed(col("s"), r, gsel): _*))
+      case Restriction(r, p, SvfKind, v) =>
+        // Δ edge ⋈ accumulated filler types (x from Δ, broadcast both
+        // roles: the Δ slice is the probe, the type scan streams)
+        val dP = dcur.where(col("p") === p)
+          .select(Seq(col("s"), col("o")) ++ gsel: _*)
+          .toDF(probeNames(2): _*)
+        val a = types.where(col("o") === v)
+          .join(broadcast(dP),
+            (Seq(col("s") === col("__d2")) ++ gJoin).reduce(_ && _))
+          .select(typed(col("__d1").as("s"), r,
+            if (hasGraph) Seq(col("__dg").as("g")) else Nil): _*)
+        // accumulated edge ⋈ Δ filler types (y newly typed)
+        val dT = dTypes.where(col("o") === v)
+          .select(col("s") +: gsel: _*).toDF(probeNames(1): _*)
+        val b = all.where(col("p") === p)
+          .join(broadcast(dT),
+            (Seq(col("o") === col("__d1")) ++ gJoin).reduce(_ && _))
+          .select(typed(col("s"), r, gsel): _*)
+        Seq(a, b)
+      case Restriction(r, p, AvfKind, v) =>
+        // Δ membership ⋈ accumulated edges
+        val dM = dTypes.where(col("o") === r)
+          .select(col("s") +: gsel: _*).toDF(probeNames(1): _*)
+        val a = all.where(col("p") === p)
+          .join(broadcast(dM),
+            (Seq(col("s") === col("__d1")) ++ gJoin).reduce(_ && _))
+          .select(Seq(col("o").as("s"), lit(voc.emitTy).as("p"),
+            lit(v).as("o")) ++ gsel: _*)
+        // accumulated membership ⋈ Δ edges
+        val dP = dcur.where(col("p") === p)
+          .select(Seq(col("s"), col("o")) ++ gsel: _*)
+          .toDF(probeNames(2): _*)
+        val b = types.where(col("o") === r)
+          .join(broadcast(dP),
+            (Seq(col("s") === col("__d1")) ++ gJoin).reduce(_ && _))
+          .select(Seq(col("__d2").as("s"), lit(voc.emitTy).as("p"),
+            lit(v).as("o")) ++
+            (if (hasGraph) Seq(col("__dg").as("g")) else Nil): _*)
+        Seq(a, b)
+      case Restriction(r, p, HvKind, v) =>
+        Seq(
+          dTypes.where(col("o") === r)
+            .select(Seq(col("s"), lit(p).as("p"), lit(v).as("o")) ++
+              gsel: _*),
+          dcur.where(col("p") === p && col("o") === v)
+            .select(typed(col("s"), r, gsel): _*))
+      case other => throw new IllegalStateException(other.toString)
+    }
+    legs.reduce(_.unionAll(_))
+  }
+
+  private def owlRlDeltaCore(closure: DataFrame, delta: DataFrame,
+                             voc: RlVoc, restr: Seq[Restriction],
+                             rdfsDeltaFn: DataFrame => DataFrame,
+                             hasGraph: Boolean, deltaCap: Option[Long],
+                             maxRounds: Int): DataFrame = {
+    val width = if (hasGraph) 4 else 3
+    val names = Seq("s", "p", "o", "g").take(width)
+    def norm(df: DataFrame): DataFrame =
+      df.select(df.columns.take(width).toSeq.zip(names)
+        .map { case (c, n) => col(c).as(n) }: _*)
+    val remat = if (hasGraph) "owlRlClosureQuads" else "owlRlClosure"
+    val d0 = pinCapped(norm(delta), deltaCap, "owlRlDelta increment", remat)
+    val declPreds = voc.declPreds
+    require(declPreds.isEmpty ||
+      d0.where(col("p").isin(declPreds: _*)).isEmpty,
+      "delta contains owl:Restriction declarations - schema changes " +
+        s"require re-materialization ($remat), not incremental maintenance")
+    val e = norm(closure)
+    // seed: the rdfs increment of the batch (single-premise rules; its
+    // own declaration guard fails fast on rdfs TBox rows in the delta)
+    val inc0 = pinCapped(norm(rdfsDeltaFn(d0)).distinct(), deltaCap,
+      "owlRlDelta rdfs seed", remat)
+    if (restr.isEmpty) return inc0
+    var updated = e.unionAll(inc0)
+    var dcur = inc0
+    var total = inc0
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds, "owlRlDelta restriction loop did not " +
+        s"converge in $maxRounds rounds — re-materialize ($remat)")
+      val rnew = restrictionDeriveDelta(updated, dcur, restr, voc, hasGraph)
+      val novel = pinCapped(
+        incrementNovel(updated, rnew.distinct(), deltaCap),
+        deltaCap, "owlRlDelta restriction conclusions", remat)
+      if (novel.isEmpty) done = true
+      else {
+        val step = pinCapped(
+          novel.unionAll(norm(rdfsDeltaFn(novel))).distinct(),
+          deltaCap, "owlRlDelta restriction step", remat)
+        updated = updated.unionAll(step)
+        total = total.unionAll(step)
+        dcur = step
+      }
+    }
+    lastRlRounds.set(round)
+    total.distinct()
+  }
+
+  /** INCREMENTAL OWL RL maintenance, the O(|Δ|) twin of
+    * [[owlRlClosure]]: the batch seeds through [[rdfsDelta]]
+    * (single-premise rho-df + equivalences), then the restriction
+    * rules fire seminaively — per declaration BOTH premise positions
+    * get a broadcast-Δ variant against the streamed closure slices —
+    * and each round's novel conclusions re-flow through [[rdfsDelta]]
+    * (subclass expansion of restriction-derived types) until dry.
+    * Restriction declarations in the delta fail fast; every frame is
+    * `pinCapped`; the closure is only ever scanned. Identity:
+    * `owlRlClosure(base ∪ Δ) == composeIncrement(owlRlClosure(base), owlRlDelta(closure, Δ, tbox))`.
+    */
+  def owlRlDelta(closure: DataFrame, delta: DataFrame,
+                 tboxSource: DataFrame, typePred: String = "a",
+                 tboxCap: Int = 1 << 20, deltaCap: Option[Long] = None,
+                 maxRounds: Int = 16): DataFrame = {
+    val voc = stringRlVoc(typePred)
+    val restr = collectRestrictions(tboxSource, voc, tboxCap)
+    owlRlDeltaCore(closure, delta, voc, restr,
+      d => rdfsDelta(tboxSource, d, typePred, tboxCap,
+        deltaCap = deltaCap),
+      hasGraph = false, deltaCap, maxRounds)
+  }
+
+  /** [[owlRlDelta]] over ENCODED (long-id) relations. */
+  def owlRlDeltaEncoded(closure: DataFrame, delta: DataFrame,
+                        tboxSource: DataFrame, ids: RlIds,
+                        tboxCap: Int = 1 << 20,
+                        deltaCap: Option[Long] = None,
+                        maxRounds: Int = 16): DataFrame = {
+    val voc = encRlVoc(ids)
+    val restr = collectRestrictions(tboxSource, voc, tboxCap)
+    owlRlDeltaCore(closure, delta, voc, restr,
+      d => rdfsDeltaEncoded(tboxSource, d, ids.rdfs, tboxCap, deltaCap),
+      hasGraph = false, deltaCap, maxRounds)
+  }
+
+  /** [[owlRlDelta]] over a NAMED-GRAPH quad dataset — per-graph O(Δ)
+    * maintenance of [[owlRlClosureQuads]]: every seminaive restriction
+    * variant keys on the graph column. */
+  def owlRlDeltaQuads(closure: DataFrame, delta: DataFrame,
+                      tboxSource: DataFrame, typePred: String = "a",
+                      tboxCap: Int = 1 << 20,
+                      deltaCap: Option[Long] = None,
+                      maxRounds: Int = 16): DataFrame = {
+    val voc = stringRlVoc(typePred)
+    val restr = collectRestrictions(tboxSource, voc, tboxCap)
+    owlRlDeltaCore(closure, delta, voc, restr,
+      d => rdfsDeltaQuads(tboxSource, d, typePred, tboxCap, deltaCap),
+      hasGraph = true, deltaCap, maxRounds)
+  }
+
+  /** [[owlRlDeltaQuads]] over ENCODED (long-id) quad relations. */
+  def owlRlDeltaQuadsEncoded(closure: DataFrame, delta: DataFrame,
+                             tboxSource: DataFrame, ids: RlIds,
+                             tboxCap: Int = 1 << 20,
+                             deltaCap: Option[Long] = None,
+                             maxRounds: Int = 16): DataFrame = {
+    val voc = encRlVoc(ids)
+    val restr = collectRestrictions(tboxSource, voc, tboxCap)
+    owlRlDeltaCore(closure, delta, voc, restr,
+      d => rdfsDeltaQuadsEncoded(tboxSource, d, ids.rdfs, tboxCap,
+        deltaCap),
+      hasGraph = true, deltaCap, maxRounds)
+  }
+
+  /** STREAMING OWL RL maintenance: a [[ClosureMaintainer]] folding
+    * each micro-batch into a materialized restriction closure via
+    * [[owlRlDelta]] + [[incrementNovel]] — the restriction analog of
+    * [[owlMaintainStream]] (two-premise rules: batch edges compose
+    * with existing types and vice versa, so the delta runs under
+    * `foreachBatch`). */
+  def owlRlMaintainStream(initialClosure: DataFrame,
+                          tboxSource: DataFrame, typePred: String = "a",
+                          tboxCap: Int = 1 << 20,
+                          deltaCap: Option[Long] = None)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (c, b) => owlRlDelta(c, b, tboxSource, typePred, tboxCap, deltaCap),
+      deltaCap)
+
   /** STREAMING OWL maintenance: a [[ClosureMaintainer]] folding each
     * micro-batch of new edges into a materialized closure via
     * [[owlDelta]] + [[incrementNovel]]. The transitive rules are

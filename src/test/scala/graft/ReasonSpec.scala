@@ -1677,4 +1677,239 @@ class ReasonSpec extends SparkSpec {
       not contain ("a", "grand", "c")
   }
 
+
+  // ------------------------------------------------------------------
+  // OWL 2 RL restriction classes (owlRlClosure)
+  // ------------------------------------------------------------------
+
+  import graft.ops.ReasonOps.{OnProperty, SomeValuesFrom, AllValuesFrom, HasValue, OwlThing}
+
+  "ReasonOps.owlRlClosure" should "type someValuesFrom members and flow them up subClassOf" in {
+    val g = Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("HasOrder", SubClassOf, "Active"),
+      ("c1", "placed", "o1"), ("o1", "a", "Order"),
+      ("c2", "placed", "x1") // x1 is NOT an Order
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (("c1", "a", "HasOrder"), ("c1", "a", "Active"))
+    got should not contain ("c2", "a", "HasOrder")
+  }
+
+  it should "type every edge subject under someValuesFrom owl:Thing" in {
+    val g = Seq(
+      ("Linked", OnProperty, "rel"),
+      ("Linked", SomeValuesFrom, OwlThing),
+      ("u", "rel", "v")
+    ).toDF("s", "p", "o")
+    tset(ReasonOps.owlRlClosure(g)) should contain (("u", "a", "Linked"))
+  }
+
+  it should "fire hasValue in BOTH directions, through subclass membership" in {
+    val g = Seq(
+      ("Gold", OnProperty, "status"),
+      ("Gold", HasValue, "gold"),
+      ("Vip", SubClassOf, "Gold"), // declared Vip => member of Gold => hv1
+      ("a1", "a", "Vip"),
+      ("a2", "status", "gold") // hv2: the value types the holder
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (("a1", "status", "gold"), ("a2", "a", "Gold"))
+    got should not contain ("a2", "a", "Vip") // no reverse subclass flow
+  }
+
+  it should "push allValuesFrom onto every object of a member" in {
+    val g = Seq(
+      ("Buyer", SubClassOf, "AllPurch"),
+      ("AllPurch", OnProperty, "placed"),
+      ("AllPurch", AllValuesFrom, "Purchase"),
+      ("b1", "a", "Buyer"),
+      ("b1", "placed", "o1"), ("b1", "placed", "o2"),
+      ("c1", "placed", "o3") // not a Buyer: o3 untyped
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (("o1", "a", "Purchase"), ("o2", "a", "Purchase"))
+    got should not contain ("o3", "a", "Purchase")
+  }
+
+  it should "iterate nested restrictions to fixpoint" in {
+    // round 1: avf types b1's orders Purchase; round 2: svf over the
+    // DERIVED Purchase type reaches PurchBuyer
+    val g = Seq(
+      ("Buyer", SubClassOf, "AllPurch"),
+      ("AllPurch", OnProperty, "placed"),
+      ("AllPurch", AllValuesFrom, "Purchase"),
+      ("PurchBuyer", OnProperty, "placed"),
+      ("PurchBuyer", SomeValuesFrom, "Purchase"),
+      ("b1", "a", "Buyer"), ("b1", "placed", "o1")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (("o1", "a", "Purchase"), ("b1", "a", "PurchBuyer"))
+    ReasonOps.lastRlRounds.get() should be >= 2L
+  }
+
+  it should "fail loudly on a restriction without exactly one onProperty" in {
+    val g = Seq(
+      ("R", SomeValuesFrom, "D"),
+      ("x", "p", "y")
+    ).toDF("s", "p", "o")
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.owlRlClosure(g).count()).getMessage should
+      include ("exactly one owl:onProperty")
+  }
+
+  it should "run encoded with RlIds vocabulary" in {
+    // ids: placed=1 a=2 Order=3 HasOrder=4 sc=5 onProp=10 svf=11 avf=12 hv=13
+    val enc = Seq(
+      (4L, 10L, 1L), (4L, 11L, 3L),
+      (100L, 1L, 200L), (200L, 2L, 3L)
+    ).toDF("s", "p", "o")
+    val ids = ReasonOps.RlIds(
+      rdfs = ReasonOps.RdfsIds(subClassOf = 5L, subPropertyOf = 6L,
+        domain = 7L, range = 8L, typePred = 2L),
+      onProperty = 10L, someValuesFrom = 11L, allValuesFrom = 12L,
+      hasValue = 13L)
+    val got = ReasonOps.owlRlClosureEncoded(enc, ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got should contain ((100L, 2L, 4L))
+  }
+
+  it should "confine restriction joins per graph on the quad path" in {
+    val tbox = Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order")
+    ).toDF("s", "p", "o")
+    val q = Seq(
+      ("c1", "placed", "o1", "g1"), ("o1", "a", "Order", "g1"),
+      ("c2", "placed", "o2", "g2"), ("o2", "a", "Order", "g3")
+    ).toDF("s", "p", "o", "g")
+    val got = qset(ReasonOps.owlRlClosureQuads(q, tbox))
+    got should contain (("c1", "a", "HasOrder", "g1"))
+    // c2's premise types o2 in ANOTHER graph: no cross-graph firing
+    got.filter(t => t._1 == "c2" && t._2 == "a") shouldBe empty
+  }
+
+
+  "ReasonOps.owlRlDelta" should "match re-materialization across all rule shapes" in {
+    val tbox = Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("HasOrder", SubClassOf, "Active"),
+      ("Buyer", SubClassOf, "AllPurch"),
+      ("AllPurch", OnProperty, "placed"),
+      ("AllPurch", AllValuesFrom, "Purchase"),
+      ("PurchBuyer", OnProperty, "placed"),
+      ("PurchBuyer", SomeValuesFrom, "Purchase"),
+      ("Gold", OnProperty, "status"),
+      ("Gold", HasValue, "gold"),
+      ("Vip", SubClassOf, "Gold")).toDF("s", "p", "o")
+    val base = Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("HasOrder", SubClassOf, "Active"),
+      ("Buyer", SubClassOf, "AllPurch"),
+      ("AllPurch", OnProperty, "placed"),
+      ("AllPurch", AllValuesFrom, "Purchase"),
+      ("PurchBuyer", OnProperty, "placed"),
+      ("PurchBuyer", SomeValuesFrom, "Purchase"),
+      ("Gold", OnProperty, "status"),
+      ("Gold", HasValue, "gold"),
+      ("Vip", SubClassOf, "Gold"),
+      ("c1", "placed", "o1"), ("o1", "a", "Order"),
+      ("c2", "placed", "o2"), ("o2", "a", "Order"))
+    // the batch brings: Buyer membership (avf fires against EXISTING
+    // edges; its Purchase types then satisfy the nested svf in round
+    // 2), a new edge under an existing Order type (svf1 edge variant),
+    // Vip membership (hv1 through subclass), and a status row (hv2)
+    val delta = Seq(
+      ("c1", "a", "Buyer"),
+      ("c3", "placed", "o1"),
+      ("c2", "a", "Vip"),
+      ("c4", "status", "gold"))
+    val closure = ReasonOps.owlRlClosure(base.toDF("s", "p", "o"))
+    val inc = ReasonOps.owlRlDelta(closure, delta.toDF("s", "p", "o"), tbox)
+    val got = tset(ReasonOps.composeIncrement(closure, inc))
+    got shouldBe tset(ReasonOps.owlRlClosure(
+      (base ++ delta).toDF("s", "p", "o")))
+    got should contain allOf (
+      ("o1", "a", "Purchase"),       // avf: Δ membership x existing edge
+      ("c1", "a", "PurchBuyer"),     // nested svf, delta round 2
+      ("c3", "a", "HasOrder"),       // svf1: Δ edge x existing type
+      ("c3", "a", "PurchBuyer"),     // Δ edge x Δ-derived Purchase type
+      ("c2", "status", "gold"),      // hv1 through Vip subclass
+      ("c4", "a", "Gold"))           // hv2
+  }
+
+  it should "match re-materialization per graph on the quad path" in {
+    val tbox = Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order")).toDF("s", "p", "o")
+    val base = Seq(("o1", "a", "Order", "g1"), ("o1", "a", "Order", "g2"))
+    val delta = Seq(("c1", "placed", "o1", "g1")) // fires in g1 only
+    val closure = ReasonOps.owlRlClosureQuads(
+      base.toDF("s", "p", "o", "g"), tbox)
+    val inc = ReasonOps.owlRlDeltaQuads(closure,
+      delta.toDF("s", "p", "o", "g"), tbox)
+    val got = qset(ReasonOps.composeIncrement(closure, inc))
+    got shouldBe qset(ReasonOps.owlRlClosureQuads(
+      (base ++ delta).toDF("s", "p", "o", "g"), tbox))
+    got should contain (("c1", "a", "HasOrder", "g1"))
+    got.filter(t => t._3 == "HasOrder").map(_._4) shouldBe Set("g1")
+  }
+
+  it should "run encoded and fail fast on restriction declarations in the delta" in {
+    // ids: placed=1 a=2 Order=3 HasOrder=4 sc=5 onProp=10 svf=11
+    val tbox = Seq((4L, 10L, 1L), (4L, 11L, 3L)).toDF("s", "p", "o")
+    val base = Seq((4L, 10L, 1L), (4L, 11L, 3L), (200L, 2L, 3L))
+    val delta = Seq((100L, 1L, 200L))
+    val ids = ReasonOps.RlIds(
+      rdfs = ReasonOps.RdfsIds(subClassOf = 5L, subPropertyOf = 6L,
+        domain = 7L, range = 8L, typePred = 2L),
+      onProperty = 10L, someValuesFrom = 11L, allValuesFrom = 12L,
+      hasValue = 13L)
+    val closure = ReasonOps.owlRlClosureEncoded(
+      base.toDF("s", "p", "o"), ids)
+    val inc = ReasonOps.owlRlDeltaEncoded(closure,
+      delta.toDF("s", "p", "o"), tbox, ids)
+    val got = ReasonOps.composeIncrement(closure, inc).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got shouldBe ReasonOps.owlRlClosureEncoded(
+      (base ++ delta).toDF("s", "p", "o"), ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    got should contain ((100L, 2L, 4L))
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.owlRlDeltaEncoded(closure,
+        Seq((9L, 10L, 1L)).toDF("s", "p", "o"), tbox, ids).count())
+      .getMessage should include ("re-materialization")
+  }
+
+  "ReasonOps.owlRlMaintainStream" should "equal the batch closure across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tboxRows = Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("Gold", OnProperty, "status"),
+      ("Gold", HasValue, "gold"))
+    val tbox = tboxRows.toDF("s", "p", "o")
+    val base = tboxRows ++ Seq(("o1", "a", "Order"))
+    val m = ReasonOps.owlRlMaintainStream(
+      ReasonOps.owlRlClosure(base.toDF("s", "p", "o")), tbox)
+    val src = MemoryStream[(String, String, String)]
+    val q = m.attach(src.toDF().toDF("s", "p", "o"))
+    try {
+      src.addData(("c1", "placed", "o1"))
+      q.processAllAvailable()
+      src.addData(("c1", "status", "gold")) // second batch, second rule
+      q.processAllAvailable()
+    } finally q.stop()
+    val full = ReasonOps.owlRlClosure((base ++ Seq(
+      ("c1", "placed", "o1"), ("c1", "status", "gold")))
+      .toDF("s", "p", "o"))
+    tset(m.current) shouldBe tset(full)
+    tset(m.current) should contain allOf
+      (("c1", "a", "HasOrder"), ("c1", "a", "Gold"))
+  }
+
 }
