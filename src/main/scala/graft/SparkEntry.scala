@@ -3055,6 +3055,94 @@ object SparkEntry {
       .orderBy("p", "cls")
   }
 
+  /** The joint property+class closure ([[ReasonOps.owlFullClosure]]):
+    * hasValue emits located edges for HQ customers (class → property),
+    * the transitive property phase extends them to `world` (property),
+    * and the someValuesFrom phase types every world-reacher `Reaches`
+    * (property → class) — three joint rounds, no caller-owned loop.
+    * The oracle characterizes the located closure and each membership
+    * set directly.
+    */
+  private def owlFullQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val na = t(s, d, "nation")
+    val re = t(s, d, "region")
+    val cu = t(s, d, "customer")
+    val nk = concat(lit("nation:"), col("n_nationkey"))
+    val cck = concat(lit("customer:"), col("c_custkey"))
+    val tbox = Seq(
+      ("located", "a", TransitiveProperty),
+      ("Reaches", OnProperty, "located"),
+      ("Reaches", SomeValuesFrom, "Place"),
+      ("HQ", OnProperty, "located"),
+      ("HQ", HasValue, "nation:0"))
+    val abox = na.select(nk.as("s"), lit("located").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o"))
+      .unionAll(re.select(concat(lit("region:"), col("r_regionkey")).as("s"),
+        lit("located").as("p"), lit("world").as("o")))
+      .unionAll(cu.where(col("c_custkey") % 10 === 0)
+        .select(cck.as("s"), lit("a").as("p"), lit("HQ").as("o")))
+      .unionAll(s.createDataFrame(
+        Seq(("world", "a", "Place")) ++ tbox).toDF("s", "p", "o"))
+    ReasonOps.owlFullClosure(abox)
+      .groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("p", "cls")
+  }
+
+  /** OWL RL consistency report ([[ReasonOps.consistencyReport]]): six
+    * violation families seeded at distinct key moduli — disjoint
+    * classes (k%6), irreflexive self-loops (k%5), asymmetric pairs
+    * (k%7, both directions report), functional conflicts (k%4, both
+    * offending rows), disjoint properties (k%9, both edges), and a
+    * post-merge reflexive differentFrom (k%11). The oracle
+    * characterizes each family directly from the moduli.
+    */
+  private def consistencyQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val tbox = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("follows", "a", IrreflexiveProperty),
+      ("parentCo", "a", AsymmetricProperty),
+      ("email", "a", FunctionalProperty),
+      ("likes", PropertyDisjointWith, "dislikes"))
+    val abox = cu.select(ck.as("s"), lit("a").as("p"),
+        lit("Person").as("o"))
+      .unionAll(cu.where(k % 6 === 0).select(ck.as("s"),
+        lit("a").as("p"), lit("Company").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("follows").as("p"),
+        concat(lit("customer:"),
+          when(k % 5 === 0, k).otherwise(k + 1)).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("parentCo").as("p"),
+        concat(lit("customer:"), k + 1).as("o")))
+      .unionAll(cu.where(k % 7 === 0)
+        .select(concat(lit("customer:"), k + 1).as("s"),
+          lit("parentCo").as("p"), ck.as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("email").as("p"),
+        concat(lit("m1:"), k).as("o")))
+      .unionAll(cu.where(k % 4 === 0).select(ck.as("s"),
+        lit("email").as("p"), concat(lit("m2:"), k).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("likes").as("p"),
+        concat(lit("item:"), k).as("o")))
+      .unionAll(cu.where(k % 9 === 0).select(ck.as("s"),
+        lit("dislikes").as("p"), concat(lit("item:"), k).as("o")))
+      .unionAll(cu.where(k % 11 === 0).select(ck.as("s"),
+        lit(DifferentFrom).as("p"), ck.as("o")))
+      .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
+    ReasonOps.consistencyReport(abox)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("kind")
+  }
+
   /** Incremental owl:sameAs maintenance: the base identity graph
     * (alias:k ~ nation:k for even k) canonicalizes once (session
     * artifacts), then the alias2 layer (alias2:k ~ alias:k for k%4==0)
@@ -4284,6 +4372,8 @@ object SparkEntry {
     "q_owl_rl" -> (owlRlQ _),
     "q_owl_rl_quads" -> (owlRlQuadsQ _),
     "q_owl_rl_delta" -> (owlRlDeltaQ _),
+    "q_owl_full" -> (owlFullQ _),
+    "q_consistency" -> (consistencyQ _),
     "q_owl_functional" -> (owlFunctionalQ _),
     "q_owl_functional_delta" -> (owlFunctionalDeltaQ _),
     "q_sameas_delta" -> (sameAsDeltaQ _),
@@ -5390,6 +5480,80 @@ object SparkEntry {
         |FROM f LEFT JOIN bb ON f.p = bb.p AND f.cls = bb.cls
         |ORDER BY f.p, f.cls""".stripMargin
 
+  /** Joint-fixpoint replay: the located closure (base hops + the
+    * transitive extensions, including the hasValue-seeded customer
+    * paths through nation:0), the HQ/Place base memberships, and the
+    * Reaches set = every world-reacher across both rule families. */
+  private val owlFullOracle =
+    """WITH full_tb(s, p, o) AS (VALUES
+        |  ('located','a','http://www.w3.org/2002/07/owl#TransitiveProperty'),
+        |  ('Reaches','owl:onProperty','located'),
+        |  ('Reaches','owl:someValuesFrom','Place'),
+        |  ('HQ','owl:onProperty','located'),
+        |  ('HQ','owl:hasValue','nation:0'),
+        |  ('world','a','Place')),
+        |r0 AS (SELECT 'region:'||n_regionkey AS r FROM nation
+        |       WHERE n_nationkey = 0),
+        |cl AS (
+        |  SELECT s, p, o FROM full_tb
+        |  UNION SELECT 'nation:'||n_nationkey, 'located',
+        |        'region:'||n_regionkey FROM nation
+        |  UNION SELECT 'nation:'||n_nationkey, 'located', 'world'
+        |        FROM nation
+        |  UNION SELECT 'region:'||r_regionkey, 'located', 'world'
+        |        FROM region
+        |  UNION SELECT 'customer:'||c_custkey, 'located', 'nation:0'
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'located',
+        |        (SELECT r FROM r0)
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'located', 'world'
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'HQ'
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'Reaches'
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'nation:'||n_nationkey, 'a', 'Reaches' FROM nation
+        |  UNION SELECT 'region:'||r_regionkey, 'a', 'Reaches' FROM region)
+        |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** Each violation family characterized directly from its modulus. */
+  private val consistencyOracle =
+    """WITH v AS (
+        |  SELECT 'cax-dw' AS kind, 'customer:'||c_custkey AS s,
+        |         'Person' AS p, 'Company' AS o
+        |  FROM customer WHERE c_custkey % 6 = 0
+        |  UNION ALL SELECT 'prp-irp', 'customer:'||c_custkey, 'follows',
+        |         'customer:'||c_custkey
+        |  FROM customer WHERE c_custkey % 5 = 0
+        |  UNION ALL SELECT 'prp-asyp', 'customer:'||c_custkey,
+        |         'parentCo', 'customer:'||(c_custkey+1)
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT 'prp-asyp', 'customer:'||(c_custkey+1),
+        |         'parentCo', 'customer:'||c_custkey
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL SELECT 'functional-conflict',
+        |         'customer:'||c_custkey, 'email', 'm1:'||c_custkey
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL SELECT 'functional-conflict',
+        |         'customer:'||c_custkey, 'email', 'm2:'||c_custkey
+        |  FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL SELECT 'prp-pdw', 'customer:'||c_custkey, 'likes',
+        |         'item:'||c_custkey
+        |  FROM customer WHERE c_custkey % 9 = 0
+        |  UNION ALL SELECT 'prp-pdw', 'customer:'||c_custkey,
+        |         'dislikes', 'item:'||c_custkey
+        |  FROM customer WHERE c_custkey % 9 = 0
+        |  UNION ALL SELECT 'eq-diff1', 'customer:'||c_custkey,
+        |         'owl:differentFrom', 'customer:'||c_custkey
+        |  FROM customer WHERE c_custkey % 11 = 0)
+        |SELECT kind, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM v GROUP BY kind ORDER BY kind""".stripMargin
+
   /** Per-graph RL replay plus the closed-TBox 'schema' group (the
     * engine emits the closed subclass pairs in the default graph). */
   private val owlRlQuadsOracle =
@@ -6244,6 +6408,8 @@ object SparkEntry {
     "q_owl_rl" -> owlRlOracle,
     "q_owl_rl_quads" -> owlRlQuadsOracle,
     "q_owl_rl_delta" -> owlRlDeltaOracle,
+    "q_owl_full" -> owlFullOracle,
+    "q_consistency" -> consistencyOracle,
     // functional-property ER: expected post-fixpoint counts derived
     // straight from the construction (every third customer gains a
     // dup twin that merges away, its alt account folding into the

@@ -2418,6 +2418,340 @@ object ReasonOps {
       hasGraph = true, deltaCap, maxRounds)
   }
 
+  // ------------------------------------------------------------------
+  // Consistency checking: the OWL RL violation-detection rules as a
+  // data-quality REPORT (cax-dw, prp-irp, prp-asyp, prp-pdw, eq-diff1,
+  // and a functional-conflict report)
+  // ------------------------------------------------------------------
+
+  val DisjointWith         = "owl:disjointWith"
+  val DisjointWithIri      = "http://www.w3.org/2002/07/owl#disjointWith"
+  val PropertyDisjointWith = "owl:propertyDisjointWith"
+  val PropertyDisjointWithIri =
+    "http://www.w3.org/2002/07/owl#propertyDisjointWith"
+  val IrreflexiveProperty  = "owl:IrreflexiveProperty"
+  val IrreflexivePropertyIri =
+    "http://www.w3.org/2002/07/owl#IrreflexiveProperty"
+  val AsymmetricProperty   = "owl:AsymmetricProperty"
+  val AsymmetricPropertyIri =
+    "http://www.w3.org/2002/07/owl#AsymmetricProperty"
+  val DifferentFrom        = "owl:differentFrom"
+  val DifferentFromIri     = "http://www.w3.org/2002/07/owl#differentFrom"
+
+  /** The consistency vocabulary as ENCODED ids; absent ids (`None`)
+    * simply match no declarations of that kind. `typePred` keys the
+    * class-membership and property-characteristic lookups;
+    * `functionalProperty` enables the conflict REPORT (the merge
+    * path is [[functionalCanonicalize]]). */
+  final case class CheckIds(typePred: Long,
+                            disjointWith: Option[Long] = None,
+                            propertyDisjointWith: Option[Long] = None,
+                            irreflexiveProperty: Option[Long] = None,
+                            asymmetricProperty: Option[Long] = None,
+                            differentFrom: Option[Long] = None,
+                            functionalProperty: Option[Long] = None)
+
+  private final case class CheckVoc(ty: Set[Any], dw: Set[Any],
+                                    pdw: Set[Any], irr: Set[Any],
+                                    asy: Set[Any], diff: Set[Any],
+                                    fp: Set[Any])
+
+  private def stringCheckVoc(typePred: String): CheckVoc = {
+    val ty: Set[Any] =
+      if (typePred == "a") Set("a", TypeIri) else Set(typePred)
+    CheckVoc(ty,
+      Set(DisjointWith, DisjointWithIri),
+      Set(PropertyDisjointWith, PropertyDisjointWithIri),
+      Set(IrreflexiveProperty, IrreflexivePropertyIri),
+      Set(AsymmetricProperty, AsymmetricPropertyIri),
+      Set(DifferentFrom, DifferentFromIri),
+      Set(FunctionalProperty))
+  }
+
+  private def encCheckVoc(ids: CheckIds): CheckVoc =
+    CheckVoc(Set(ids.typePred), ids.disjointWith.toSet[Any],
+      ids.propertyDisjointWith.toSet[Any],
+      ids.irreflexiveProperty.toSet[Any],
+      ids.asymmetricProperty.toSet[Any], ids.differentFrom.toSet[Any],
+      ids.functionalProperty.toSet[Any])
+
+  /** OWL RL consistency REPORT: every constraint violation in the
+    * relation, one row per offending fact —
+    *
+    *   - `cax-dw` (`owl:disjointWith`, symmetrized): a subject typed
+    *     into BOTH classes of a disjointness axiom; reported once per
+    *     (subject, axiom) under the FIRST class's rendering;
+    *   - `prp-pdw` (`owl:propertyDisjointWith`, symmetrized): one
+    *     (s, o) pair asserted under both properties;
+    *   - `prp-irp` (`owl:IrreflexiveProperty`): a self-edge;
+    *   - `prp-asyp` (`owl:AsymmetricProperty`): an edge whose reverse
+    *     also holds (both directions report);
+    *   - `eq-diff1` (`owl:differentFrom`): a reflexive differentFrom —
+    *     the shape an upstream [[sameAsCanonicalize]] merge produces
+    *     when the corpus asserted the merged terms distinct;
+    *   - `functional-conflict` (`owl:FunctionalProperty`): a subject
+    *     with ≥2 distinct objects under a functional property — the
+    *     REPORT twin of [[functionalCanonicalize]]'s merge (merging is
+    *     right for entity resolution; literal-valued conflicts are
+    *     data-quality findings).
+    *
+    * Returns columns `(kind, s, p, o)` (`g` carried on the quad path —
+    * checks run per graph). Run it on the CLOSURE to validate
+    * entailed facts too — on the base to validate only assertions.
+    * Declarations driver-collect capped; an empty result is the
+    * consistency proof.
+    */
+  def consistencyReport(triples: DataFrame, typePred: String = "a",
+                        tboxCap: Int = 1 << 20): DataFrame =
+    consistencyCore(triples, stringCheckVoc(typePred), hasGraph = false,
+      tboxCap)
+
+  /** [[consistencyReport]] over an ENCODED (long-id) relation. */
+  def consistencyReportEncoded(encTriples: DataFrame, ids: CheckIds,
+                               tboxCap: Int = 1 << 20): DataFrame =
+    consistencyCore(encTriples, encCheckVoc(ids), hasGraph = false,
+      tboxCap)
+
+  /** [[consistencyReport]] over a NAMED-GRAPH quad dataset — every
+    * check keys on the graph column (a violation needs both premises
+    * in ONE graph); declarations come from the global `tboxSource`. */
+  def consistencyReportQuads(quads: DataFrame, tboxSource: DataFrame,
+                             typePred: String = "a",
+                             tboxCap: Int = 1 << 20): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    consistencyCoreDecls(q, tboxSource, stringCheckVoc(typePred),
+      hasGraph = true, tboxCap)
+  }
+
+  /** [[consistencyReportQuads]] over ENCODED (long-id) quads. */
+  def consistencyReportQuadsEncoded(quads: DataFrame,
+                                    tboxSource: DataFrame, ids: CheckIds,
+                                    tboxCap: Int = 1 << 20): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    consistencyCoreDecls(q, tboxSource, encCheckVoc(ids),
+      hasGraph = true, tboxCap)
+  }
+
+  private def consistencyCore(triples: DataFrame, voc: CheckVoc,
+                              hasGraph: Boolean, tboxCap: Int): DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    consistencyCoreDecls(t, t, voc, hasGraph, tboxCap)
+  }
+
+  private def consistencyCoreDecls(rel: DataFrame, declSource: DataFrame,
+                                   voc: CheckVoc, hasGraph: Boolean,
+                                   tboxCap: Int): DataFrame = {
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    def gEq(pfx: String) =
+      if (hasGraph) Seq(col("g") <=> col(pfx + "g")) else Nil
+    val Seq(ds, dp, dob) = declSource.columns.take(3).toSeq
+    val declPreds: Seq[Any] = (voc.dw ++ voc.pdw ++ voc.diff).toSeq
+    val charObjs: Seq[Any] = (voc.irr ++ voc.asy ++ voc.fp).toSeq
+    val declCond =
+      if (declPreds.isEmpty) lit(false)
+      else col("p").isin(declPreds: _*)
+    val charCond =
+      if (charObjs.isEmpty) lit(false)
+      else col("p").isin(voc.ty.toSeq: _*) && col("o").isin(charObjs: _*)
+    val decls = declSource
+      .select(col(ds).as("s"), col(dp).as("p"), col(dob).as("o"))
+      .where(declCond || charCond)
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    require(decls.length <= tboxCap,
+      s"consistency declarations exceed $tboxCap — not schema-shaped")
+    // cax-dw keeps the DECLARED orientation only — the report row
+    // names both classes, so the mirrored leg would just duplicate it;
+    // prp-pdw symmetrizes because each orientation reports a DIFFERENT
+    // offending edge
+    val dwPairs = decls.collect {
+      case (a, p, b) if voc.dw(p) => (a, b) }.distinct.toSeq
+    val pdwPairs = decls.collect {
+      case (a, p, b) if voc.pdw(p) => (a, b) }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toSeq
+    val irrProps = decls.collect {
+      case (p, _, o) if voc.irr(o) => p }.distinct.toSeq
+    val asyProps = decls.collect {
+      case (p, _, o) if voc.asy(o) => p }.distinct.toSeq
+    val fpProps = decls.collect {
+      case (p, _, o) if voc.fp(o) => p }.distinct.toSeq
+    val diffPreds = voc.diff.toSeq
+    val tyCond = col("p").isin(voc.ty.toSeq: _*)
+    val types = rel.where(tyCond)
+    def out(kind: String, s: org.apache.spark.sql.Column,
+            p: org.apache.spark.sql.Column, o: org.apache.spark.sql.Column,
+            g: Seq[org.apache.spark.sql.Column]): Seq[org.apache.spark.sql.Column] =
+      Seq(lit(kind).as("kind"), s.as("s"), p.as("p"), o.as("o")) ++ g
+    val legs = scala.collection.mutable.ListBuffer[DataFrame]()
+    // cax-dw: membership in both classes of a disjointness axiom
+    dwPairs.foreach { case (c1, c2) =>
+      val m2 = types.where(col("o") === c2).select(
+        col("s").as("__m") +:
+          (if (hasGraph) Seq(col("g").as("__mg")) else Nil): _*)
+      legs += types.where(col("o") === c1)
+        .join(m2, (Seq(col("s") === col("__m")) ++ gEq("__m"))
+          .reduce(_ && _), "left_semi")
+        .select(out("cax-dw", col("s"), lit(c1), lit(c2), gsel): _*)
+    }
+    // prp-pdw: one (s, o) pair under both properties
+    pdwPairs.foreach { case (p1, p2) =>
+      val e2 = rel.where(col("p") === p2).select(
+        Seq(col("s").as("__2s"), col("o").as("__2o")) ++
+          (if (hasGraph) Seq(col("g").as("__2g")) else Nil): _*)
+      legs += rel.where(col("p") === p1)
+        .join(e2, (Seq(col("s") === col("__2s"),
+          col("o") === col("__2o")) ++ gEq("__2")).reduce(_ && _),
+          "left_semi")
+        .select(out("prp-pdw", col("s"), lit(p1), col("o"), gsel): _*)
+    }
+    // prp-irp: self-edges under an irreflexive property
+    if (irrProps.nonEmpty)
+      legs += rel.where(col("p").isin(irrProps: _*) &&
+          col("s") === col("o"))
+        .select(out("prp-irp", col("s"), col("p"), col("o"), gsel): _*)
+    // prp-asyp: both directions under an asymmetric property
+    asyProps.foreach { pp =>
+      val rev = rel.where(col("p") === pp).select(
+        Seq(col("o").as("__rs"), col("s").as("__ro")) ++
+          (if (hasGraph) Seq(col("g").as("__rg")) else Nil): _*)
+      legs += rel.where(col("p") === pp)
+        .join(rev, (Seq(col("s") === col("__rs"),
+          col("o") === col("__ro")) ++ gEq("__r")).reduce(_ && _),
+          "left_semi")
+        .select(out("prp-asyp", col("s"), col("p"), col("o"), gsel): _*)
+    }
+    // eq-diff1: a reflexive differentFrom (post-merge contradiction)
+    if (diffPreds.nonEmpty)
+      legs += rel.where(col("p").isin(diffPreds: _*) &&
+          col("s") === col("o"))
+        .select(out("eq-diff1", col("s"), col("p"), col("o"), gsel): _*)
+    // functional-conflict: ≥2 distinct objects under a functional
+    // property — every offending edge reports
+    if (fpProps.nonEmpty) {
+      val slice = rel.where(col("p").isin(fpProps: _*))
+      val keys = Seq(col("s"), col("p")) ++ gsel
+      val multi = slice.groupBy(keys: _*)
+        .agg(countDistinct(col("o")).as("__n"))
+        .where(col("__n") >= 2)
+        .select((Seq(col("s").as("__fs"), col("p").as("__fp")) ++
+          (if (hasGraph) Seq(col("g").as("__fg")) else Nil)): _*)
+      legs += slice.join(multi,
+          (Seq(col("s") === col("__fs"), col("p") === col("__fp")) ++
+            gEq("__f")).reduce(_ && _), "left_semi")
+        .select(out("functional-conflict", col("s"), col("p"), col("o"),
+          gsel): _*)
+    }
+    // empty seed in the relation's own currency (keeps the union typed
+    // when no declaration of any kind is present)
+    val empty = rel.where(lit(false))
+      .select(out("", col("s"), col("p"), col("o"), gsel): _*)
+    (empty +: legs.toSeq).reduce(_.unionAll(_)).distinct()
+  }
+
+  /** Round count of the most recent [[owlFullClosure]] joint fixpoint
+    * (property phase + class phase per round; the final no-change
+    * round counts) — rounds track how often one family's conclusions
+    * feed the other, not row count. */
+  private[graft] val lastFullRounds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def owlFullCore(t0: DataFrame,
+                          propClose: DataFrame => DataFrame,
+                          classClose: DataFrame => DataFrame,
+                          maxRounds: Int): DataFrame = {
+    var closure = t0
+    var n = -1L
+    var round = 0
+    var done = false
+    while (!done) {
+      round += 1
+      require(round <= maxRounds, "owlFullClosure joint fixpoint did " +
+        s"not converge in $maxRounds rounds")
+      val next = graft.Pins.checkpointLazy(classClose(propClose(closure)))
+      val m = next.count()
+      done = m == n
+      closure = next; n = m
+    }
+    lastFullRounds.set(round)
+    closure
+  }
+
+  /** The COMPLETE OWL-style closure: the property family
+    * ([[owlClosure]] — inverse/symmetric/transitive/property chains)
+    * and the class family ([[owlRlClosure]] — rho-df, equivalences,
+    * restrictions) iterated to a JOINT fixpoint, so a restriction
+    * conclusion can feed a property rule (a hasValue-emitted edge of a
+    * transitive property) and a property conclusion can feed a class
+    * rule (a chain- or closure-derived edge satisfying a
+    * someValuesFrom premise) with no caller-owned outer loop. Each
+    * family's closure is idempotent and monotone, so alternating them
+    * until the row count stabilizes IS the least fixpoint; rounds
+    * track cross-family feeding depth ([[lastFullRounds]]) — 2 for
+    * corpora where the families never feed each other (the second
+    * round just confirms). Materialization-shaped; maintain by
+    * re-running (the per-family O(Δ) twins do not cross families).
+    */
+  def owlFullClosure(triples: DataFrame, typePred: String = "a",
+                     tboxCap: Int = 1 << 20, maxRounds: Int = 8)
+      : DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    owlFullCore(t,
+      df => owlClosure(df, typePred, tboxCap),
+      df => owlRlClosure(df, typePred, tboxCap),
+      maxRounds)
+  }
+
+  /** [[owlFullClosure]] over ENCODED (long-id) relations — the
+    * property vocabulary as [[OwlIds]], the class vocabulary as
+    * [[RlIds]]. */
+  def owlFullClosureEncoded(encTriples: DataFrame, owlIds: OwlIds,
+                            rlIds: RlIds, tboxCap: Int = 1 << 20,
+                            maxRounds: Int = 8): DataFrame = {
+    val Seq(cs, cp, co) = encTriples.columns.take(3).toSeq
+    val t = encTriples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    owlFullCore(t,
+      df => owlClosureEncoded(df, owlIds, tboxCap),
+      df => owlRlClosureEncoded(df, rlIds, tboxCap),
+      maxRounds)
+  }
+
+  /** [[owlFullClosure]] over a NAMED-GRAPH quad dataset — both
+    * families run per graph with the global `tboxSource`. */
+  def owlFullClosureQuads(quads: DataFrame, tboxSource: DataFrame,
+                          typePred: String = "a", tboxCap: Int = 1 << 20,
+                          maxRounds: Int = 8): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    owlFullCore(q,
+      df => owlClosureQuads(df, tboxSource, typePred, tboxCap),
+      df => owlRlClosureQuads(df, tboxSource, typePred, tboxCap),
+      maxRounds)
+  }
+
+  /** [[owlFullClosureQuads]] over ENCODED (long-id) quad relations. */
+  def owlFullClosureQuadsEncoded(quads: DataFrame, tboxSource: DataFrame,
+                                 owlIds: OwlIds, rlIds: RlIds,
+                                 tboxCap: Int = 1 << 20,
+                                 maxRounds: Int = 8): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    owlFullCore(q,
+      df => owlClosureQuadsEncoded(df, tboxSource, owlIds, tboxCap),
+      df => owlRlClosureQuadsEncoded(df, tboxSource, rlIds, tboxCap),
+      maxRounds)
+  }
+
   /** STREAMING OWL RL maintenance: a [[ClosureMaintainer]] folding
     * each micro-batch into a materialized restriction closure via
     * [[owlRlDelta]] + [[incrementNovel]] — the restriction analog of

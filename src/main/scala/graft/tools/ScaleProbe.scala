@@ -42,7 +42,9 @@ object ScaleProbe {
       "q_owl_delta", "q_owl_delta_del", "q_rdfs_quads_delta",
       "q_owl_quads_del", "q_store_diff",
       // property chains: materialize fixpoint + seminaive delta loop
-      "q_owl_chain", "q_owl_chain_delta")
+      "q_owl_chain", "q_owl_chain_delta",
+      // restriction + joint fixpoints
+      "q_owl_rl", "q_owl_rl_delta", "q_owl_full")
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       for (g <- gates) {
@@ -52,12 +54,16 @@ object ScaleProbe {
         var fp = 0L
         var fr = 0L
         var ch = 0L
+        var rl = 0L
+        var fu = 0L
         for (i <- 1 to repeat) {
           System.gc()
           graft.ops.GraphOps.lastCcRounds.set(0)
           graft.ops.ReasonOps.lastFixpointRounds.set(0)
           graft.ops.ReasonOps.lastFrontierRounds.set(0)
           graft.ops.ReasonOps.lastChainRounds.set(0)
+          graft.ops.ReasonOps.lastRlRounds.set(0)
+          graft.ops.ReasonOps.lastFullRounds.set(0)
           val t0 = System.nanoTime()
           fn(spark, dir).collect()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -69,11 +75,13 @@ object ScaleProbe {
             fp = graft.ops.ReasonOps.lastFixpointRounds.get()
             fr = graft.ops.ReasonOps.lastFrontierRounds.get()
             ch = graft.ops.ReasonOps.lastChainRounds.get()
+            rl = graft.ops.ReasonOps.lastRlRounds.get()
+            fu = graft.ops.ReasonOps.lastFullRounds.get()
           }
         }
         println(f"""{"sf":"$sf","gate":"$g","sec":$best%.2f,""" +
           s""""ccRounds":$cc,"fixpointRounds":$fp,"frontierRounds":$fr,""" +
-          s""""chainRounds":$ch}""")
+          s""""chainRounds":$ch,"rlRounds":$rl,"fullRounds":$fu}""")
       }
       // ---- pipeline-family candidate volumes (r10-verdict #7) ----
       // The dedup/ANN 100 TB claims rest on CANDIDATE volume staying

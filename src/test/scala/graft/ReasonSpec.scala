@@ -1912,4 +1912,161 @@ class ReasonSpec extends SparkSpec {
       (("c1", "a", "HasOrder"), ("c1", "a", "Gold"))
   }
 
+
+  "ReasonOps.owlFullClosure" should "reach the joint property+class fixpoint" in {
+    // class -> property: HQ members get a located edge (hv1) under a
+    // TRANSITIVE property, so the next property phase extends it;
+    // property -> class: only the transitive closure reaches 'world',
+    // so the svf membership needs the property phase first
+    val g = Seq(
+      ("located", "a", ReasonOps.TransitiveProperty),
+      ("world", "a", "Place"),
+      ("Reaches", OnProperty, "located"),
+      ("Reaches", SomeValuesFrom, "Place"),
+      ("HQ", OnProperty, "located"),
+      ("HQ", HasValue, "zone"),
+      ("zone", "located", "region"), ("region", "located", "world"),
+      ("acme", "a", "HQ")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlFullClosure(g))
+    // hv1 emitted acme->zone, transitivity extended it to world,
+    // svf then typed acme through the EXTENDED edge
+    got should contain allOf (
+      ("acme", "located", "zone"),
+      ("acme", "located", "world"),
+      ("acme", "a", "Reaches"),
+      ("zone", "a", "Reaches"))
+    ReasonOps.lastFullRounds.get() should be >= 3L
+  }
+
+  it should "be idempotent and equal the composed closures when families do not feed" in {
+    val g = Seq(
+      ("next", "a", ReasonOps.TransitiveProperty),
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("n1", "next", "n2"), ("n2", "next", "n3"),
+      ("c1", "placed", "o1"), ("o1", "a", "Order")
+    ).toDF("s", "p", "o")
+    val full = tset(ReasonOps.owlFullClosure(g))
+    full shouldBe tset(ReasonOps.owlRlClosure(ReasonOps.owlClosure(g)))
+    ReasonOps.lastFullRounds.get() shouldBe 2L // second round confirms
+  }
+
+  it should "run per graph on quads and encoded" in {
+    val tbox = Seq(
+      ("located", "a", ReasonOps.TransitiveProperty),
+      ("Reaches", OnProperty, "located"),
+      ("Reaches", SomeValuesFrom, "Place")).toDF("s", "p", "o")
+    val q = Seq(
+      ("world", "a", "Place", "g1"),
+      ("a1", "located", "b1", "g1"), ("b1", "located", "world", "g1"),
+      ("a2", "located", "b2", "g2"), ("b2", "located", "world", "g2")
+      // g2 has no Place typing: no Reaches membership there
+    ).toDF("s", "p", "o", "g")
+    val got = qset(ReasonOps.owlFullClosureQuads(q, tbox))
+    got should contain allOf (
+      ("a1", "located", "world", "g1"),
+      ("a1", "a", "Reaches", "g1"),
+      ("a2", "located", "world", "g2"))
+    got.filter(t => t._3 == "Reaches").map(_._4) shouldBe Set("g1")
+
+    // encoded: located=1 a=2 Place=3 Reaches=4 trans-prop=92 world=300
+    val enc = Seq(
+      (1L, 2L, 92L), (300L, 2L, 3L), (4L, 10L, 1L), (4L, 11L, 3L),
+      (100L, 1L, 200L), (200L, 1L, 300L)
+    ).toDF("s", "p", "o")
+    val owlIds = ReasonOps.OwlIds(inverseOf = 90L,
+      symmetricProperty = 91L, transitiveProperty = 92L, typePred = 2L)
+    val rlIds = ReasonOps.RlIds(
+      rdfs = ReasonOps.RdfsIds(subClassOf = 5L, subPropertyOf = 6L,
+        domain = 7L, range = 8L, typePred = 2L),
+      onProperty = 10L, someValuesFrom = 11L, allValuesFrom = 12L,
+      hasValue = 13L)
+    val gotE = ReasonOps.owlFullClosureEncoded(enc, owlIds, rlIds)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    gotE should contain allOf ((100L, 1L, 300L), (100L, 2L, 4L))
+  }
+
+
+  // ------------------------------------------------------------------
+  // consistencyReport (OWL RL violation detection)
+  // ------------------------------------------------------------------
+
+  import graft.ops.ReasonOps.{DisjointWith, PropertyDisjointWith,
+    IrreflexiveProperty, AsymmetricProperty, DifferentFrom}
+
+  private def vset(df: org.apache.spark.sql.DataFrame): Set[(String, String, String, String)] =
+    df.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(2), r.getString(3))).toSet
+
+  "ReasonOps.consistencyReport" should "detect every violation family exactly once" in {
+    val g = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("knows", "a", IrreflexiveProperty),
+      ("parentOf", "a", AsymmetricProperty),
+      ("email", "a", ReasonOps.FunctionalProperty),
+      ("hates", PropertyDisjointWith, "loves"),
+      // violations
+      ("x1", "a", "Person"), ("x1", "a", "Company"),
+      ("x2", "knows", "x2"),
+      ("x3", "parentOf", "x4"), ("x4", "parentOf", "x3"),
+      ("x5", "email", "a@x"), ("x5", "email", "b@x"),
+      ("x6", "hates", "x7"), ("x6", "loves", "x7"),
+      ("x8", DifferentFrom, "x8"),
+      // clean rows
+      ("y1", "a", "Person"), ("y2", "knows", "y3"),
+      ("y4", "parentOf", "y5"), ("y6", "email", "one@x"),
+      ("y7", DifferentFrom, "y8")
+    ).toDF("s", "p", "o")
+    val got = vset(ReasonOps.consistencyReport(g))
+    got shouldBe Set(
+      ("cax-dw", "x1", "Person", "Company"),
+      ("prp-irp", "x2", "knows", "x2"),
+      ("prp-asyp", "x3", "parentOf", "x4"),
+      ("prp-asyp", "x4", "parentOf", "x3"),
+      ("functional-conflict", "x5", "email", "a@x"),
+      ("functional-conflict", "x5", "email", "b@x"),
+      ("prp-pdw", "x6", "hates", "x7"),
+      ("prp-pdw", "x6", "loves", "x7"),
+      ("eq-diff1", "x8", DifferentFrom, "x8"))
+  }
+
+  it should "return empty on a consistent relation (the proof shape)" in {
+    val g = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("y1", "a", "Person"), ("y2", "a", "Company")
+    ).toDF("s", "p", "o")
+    ReasonOps.consistencyReport(g).isEmpty shouldBe true
+    // no declarations at all: also empty, same schema
+    val plain = Seq(("a", "b", "c")).toDF("s", "p", "o")
+    val r = ReasonOps.consistencyReport(plain)
+    r.columns.toSeq shouldBe Seq("kind", "s", "p", "o")
+    r.isEmpty shouldBe true
+  }
+
+  it should "confine checks per graph on quads and run encoded" in {
+    val tbox = Seq(("Person", DisjointWith, "Company"))
+      .toDF("s", "p", "o")
+    val q = Seq(
+      ("x1", "a", "Person", "g1"), ("x1", "a", "Company", "g1"),
+      ("x2", "a", "Person", "g1"), ("x2", "a", "Company", "g2")
+    ).toDF("s", "p", "o", "g")
+    val got = ReasonOps.consistencyReportQuads(q, tbox).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4))).toSet
+    got shouldBe Set(("cax-dw", "x1", "g1"))
+
+    // encoded: a=2 dw=20 Person=30 Company=31 fp=21 email=40
+    val enc = Seq(
+      (30L, 20L, 31L), (40L, 2L, 21L),
+      (100L, 2L, 30L), (100L, 2L, 31L),
+      (101L, 40L, 500L), (101L, 40L, 501L), (102L, 40L, 502L)
+    ).toDF("s", "p", "o")
+    val ids = ReasonOps.CheckIds(typePred = 2L,
+      disjointWith = Some(20L), functionalProperty = Some(21L))
+    val gotE = ReasonOps.consistencyReportEncoded(enc, ids).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    gotE shouldBe Set(("cax-dw", 100L),
+      ("functional-conflict", 101L))
+  }
+
 }
