@@ -3093,6 +3093,125 @@ object SparkEntry {
       .orderBy("p", "cls")
   }
 
+  /** The [[owlFullQ]] fixture queried through the SPARQL ENGINE: the
+    * joint property+class closure is just a relation, so the full
+    * query surface (BGP join, aggregation, ORDER) runs over entailed
+    * facts — the world-reachers grouped by their (partly derived)
+    * types. */
+  private def owlFullSparqlQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val na = t(s, d, "nation")
+    val re = t(s, d, "region")
+    val cu = t(s, d, "customer")
+    val nk = concat(lit("nation:"), col("n_nationkey"))
+    val cck = concat(lit("customer:"), col("c_custkey"))
+    val abox = na.select(nk.as("s"), lit("located").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o"))
+      .unionAll(re.select(concat(lit("region:"), col("r_regionkey")).as("s"),
+        lit("located").as("p"), lit("world").as("o")))
+      .unionAll(cu.where(col("c_custkey") % 10 === 0)
+        .select(cck.as("s"), lit("a").as("p"), lit("HQ").as("o")))
+      .unionAll(s.createDataFrame(Seq(
+        ("world", "a", "Place"),
+        ("located", "a", TransitiveProperty),
+        ("Reaches", OnProperty, "located"),
+        ("Reaches", SomeValuesFrom, "Place"),
+        ("HQ", OnProperty, "located"),
+        ("HQ", HasValue, "nation:0"))).toDF("s", "p", "o"))
+    graft.sparql.Sparql.execute(s, ReasonOps.owlFullClosure(abox),
+      """PREFIX : <>
+        |SELECT ?cls (COUNT(?x) AS ?n) WHERE {
+        |  ?x :located "world" .
+        |  ?x a ?cls .
+        |} GROUP BY ?cls ORDER BY ?cls""".stripMargin)
+  }
+
+  /** Composite-key entity resolution ([[ReasonOps.hasKeyIdentityPairs]]
+    * through [[ReasonOps.functionalCanonicalize]]): `Cust` keyed on
+    * (city, code), so customers agreeing on BOTH collapse — groups are
+    * the key residues (k mod lcm(20,50) = 100), canonical = the
+    * group's lexicographic-min label. The census covers the rewritten
+    * corpus AND the mapping (`__maps_to` rows).
+    */
+  private def owlHasKeyQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val keyTbox = Seq(
+      ("Cust", ReasonOps.HasKey, "_:hk0"),
+      ("_:hk0", ReasonOps.RdfFirst, "city"),
+      ("_:hk0", ReasonOps.RdfRest, "_:hk1"),
+      ("_:hk1", ReasonOps.RdfFirst, "code"),
+      ("_:hk1", ReasonOps.RdfRest, ReasonOps.RdfNil))
+    val abox = cu.select(ck.as("s"), lit("a").as("p"), lit("Cust").as("o"))
+      .unionAll(cu.select(ck.as("s"), lit("city").as("p"),
+        concat(lit("city:"), k % 20).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("code").as("p"),
+        concat(lit("code:"), k % 50).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("name").as("p"),
+        col("c_name").as("o")))
+      .unionAll(s.createDataFrame(keyTbox).toDF("s", "p", "o"))
+    val (rw, mp) = ReasonOps.functionalCanonicalize(abox)
+    rw.unionAll(mp.select(col("member").as("s"),
+        lit("__maps_to").as("p"), col("canon").as("o")))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("p")
+  }
+
+  /** The boolean class-expression fixture TBox: an intersection and a
+    * union over the same base classes, plus an intersection whose
+    * FIRST conjunct is restriction-derived (needs fixpoint round 2).
+    */
+  private val owlBoolTboxRows: Seq[(String, String, String)] = {
+    import graft.ops.ReasonOps._
+    def listOf(owner: String, pred: String, parts: Seq[String]) = {
+      val nodes = parts.indices.map(i => s"_:$owner$i")
+      (owner, pred, nodes.head) +: parts.indices.flatMap { i =>
+        Seq((nodes(i), RdfFirst, parts(i)),
+          (nodes(i), RdfRest,
+            if (i == parts.length - 1) RdfNil else nodes(i + 1)))
+      }
+    }
+    listOf("GoldBuyer", IntersectionOf, Seq("Gold", "Buyer")) ++
+      listOf("Party", UnionOf, Seq("Gold", "Buyer")) ++
+      listOf("VipOrderer", IntersectionOf, Seq("HasOrder", "Gold")) ++
+      Seq(("HasOrder", OnProperty, "placed"),
+        ("HasOrder", SomeValuesFrom, "Order"))
+  }
+
+  /** Boolean class expressions through the RL fixpoint
+    * ([[ReasonOps.owlRlClosure]]): the plain intersection and union
+    * fire in round 1; `VipOrderer` needs the restriction-derived
+    * `HasOrder` conjunct, settling in round 2. Census vs a direct
+    * modulus/DISTINCT-custkey characterization.
+    */
+  private def owlBooleanQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val or = t(s, d, "orders")
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ok = concat(lit("order:"), col("o_orderkey"))
+    val ck = concat(lit("customer:"), col("o_custkey"))
+    val cck = concat(lit("customer:"), k)
+    val abox = or.select(ck.as("s"), lit("placed").as("p"), ok.as("o"))
+      .unionAll(or.select(ok.as("s"), lit("a").as("p"),
+        lit("Order").as("o")))
+      .unionAll(cu.where(k % 5 === 0).select(cck.as("s"),
+        lit("a").as("p"), lit("Gold").as("o")))
+      .unionAll(cu.where(k % 3 === 0).select(cck.as("s"),
+        lit("a").as("p"), lit("Buyer").as("o")))
+      .unionAll(s.createDataFrame(owlBoolTboxRows).toDF("s", "p", "o"))
+    ReasonOps.owlRlClosure(abox)
+      .groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p", "cls")
+  }
+
   /** OWL RL consistency report ([[ReasonOps.consistencyReport]]): six
     * violation families seeded at distinct key moduli — disjoint
     * classes (k%6), irreflexive self-loops (k%5), asymmetric pairs
@@ -4374,6 +4493,9 @@ object SparkEntry {
     "q_owl_rl_delta" -> (owlRlDeltaQ _),
     "q_owl_full" -> (owlFullQ _),
     "q_consistency" -> (consistencyQ _),
+    "q_owl_full_sparql" -> (owlFullSparqlQ _),
+    "q_owl_haskey" -> (owlHasKeyQ _),
+    "q_owl_boolean" -> (owlBooleanQ _),
     "q_owl_functional" -> (owlFunctionalQ _),
     "q_owl_functional_delta" -> (owlFunctionalDeltaQ _),
     "q_sameas_delta" -> (sameAsDeltaQ _),
@@ -5520,6 +5642,75 @@ object SparkEntry {
         |       count(DISTINCT o) AS no
         |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** World-reachers by type: HQ = the hasValue-seeded customers;
+    * Reaches = every nation + region + HQ customer (all reach `world`
+    * only through the joint fixpoint). */
+  private val owlFullSparqlOracle =
+    """SELECT cls, n FROM (
+        |  SELECT 'HQ' AS cls, count(*) AS n FROM customer
+        |  WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT 'Reaches',
+        |         (SELECT count(*) FROM nation) +
+        |         (SELECT count(*) FROM region) +
+        |         (SELECT count(*) FROM customer WHERE c_custkey % 10 = 0)
+        |) ORDER BY cls""".stripMargin
+
+  /** Boolean-expression replay: Gold∩Buyer = k%15, Gold∪Buyer =
+    * k%5 ∪ k%3, HasOrder = the distinct order-placing customers,
+    * VipOrderer = those among them with k%5 (the round-2 set). */
+  private val owlBooleanOracle = {
+    val tb = owlBoolTboxRows
+      .map { case (a, b, c) => s"('$a','$b','$c')" }.mkString(", ")
+    s"""WITH bt(s, p, o) AS (VALUES $tb),
+        |cl AS (
+        |  SELECT s, p, o FROM bt
+        |  UNION SELECT 'customer:'||o_custkey, 'placed',
+        |        'order:'||o_orderkey FROM orders
+        |  UNION SELECT 'order:'||o_orderkey, 'a', 'Order' FROM orders
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'Gold'
+        |        FROM customer WHERE c_custkey % 5 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'Buyer'
+        |        FROM customer WHERE c_custkey % 3 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'GoldBuyer'
+        |        FROM customer WHERE c_custkey % 15 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'Party'
+        |        FROM customer
+        |        WHERE c_custkey % 5 = 0 OR c_custkey % 3 = 0
+        |  UNION SELECT DISTINCT 'customer:'||o_custkey, 'a', 'HasOrder'
+        |        FROM orders
+        |  UNION SELECT DISTINCT 'customer:'||o_custkey, 'a', 'VipOrderer'
+        |        FROM orders WHERE o_custkey % 5 = 0)
+        |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns
+        |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+  }
+
+  /** Key-residue groups with lexicographic-min canonicals (Spark's
+    * binary string min), the rewritten per-canon rows, and the full
+    * member → canonical mapping. */
+  private val owlHasKeyOracle =
+    """WITH canon AS (
+        |  SELECT c_custkey AS k, c_name,
+        |         min('customer:'||c_custkey)
+        |           OVER (PARTITION BY c_custkey % 100) AS cs,
+        |         c_custkey % 20 AS g20, c_custkey % 50 AS g50
+        |  FROM customer),
+        |rws AS (
+        |  SELECT DISTINCT cs AS s, 'a' AS p, 'Cust' AS o FROM canon
+        |  UNION ALL SELECT DISTINCT cs, 'city', 'city:'||g20 FROM canon
+        |  UNION ALL SELECT DISTINCT cs, 'code', 'code:'||g50 FROM canon
+        |  UNION ALL SELECT cs, 'name', c_name FROM canon
+        |  UNION ALL SELECT 'Cust', 'owl:hasKey', '_:hk0'
+        |  UNION ALL SELECT '_:hk0', 'rdf:first', 'city'
+        |  UNION ALL SELECT '_:hk0', 'rdf:rest', '_:hk1'
+        |  UNION ALL SELECT '_:hk1', 'rdf:first', 'code'
+        |  UNION ALL SELECT '_:hk1', 'rdf:rest', 'rdf:nil'
+        |  UNION ALL SELECT 'customer:'||k, '__maps_to', cs FROM canon)
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM rws GROUP BY p ORDER BY p""".stripMargin
+
   /** Each violation family characterized directly from its modulus. */
   private val consistencyOracle =
     """WITH v AS (
@@ -6410,6 +6601,9 @@ object SparkEntry {
     "q_owl_rl_delta" -> owlRlDeltaOracle,
     "q_owl_full" -> owlFullOracle,
     "q_consistency" -> consistencyOracle,
+    "q_owl_full_sparql" -> owlFullSparqlOracle,
+    "q_owl_haskey" -> owlHasKeyOracle,
+    "q_owl_boolean" -> owlBooleanOracle,
     // functional-property ER: expected post-fixpoint counts derived
     // straight from the construction (every third customer gains a
     // dup twin that merges away, its alt account folding into the

@@ -1155,34 +1155,43 @@ object ReasonOps {
     val trans = tbox.collect {
       case (p, _, o) if o == transitiveProperty => p
     }.distinct.sortBy(_.toString).toSeq
-    val firsts = tbox.collect {
-      case (n, p, v) if chainVoc.first(p) => (n, v) }.groupBy(_._1)
-    val rests = tbox.collect {
-      case (n, p, v) if chainVoc.rest(p) => (n, v) }.groupBy(_._1)
-    def listCell(m: Map[Any, Array[(Any, Any)]], node: Any, role: String,
-                 head: Any): Any = {
-      val vs = m.getOrElse(node,
-        Array.empty[(Any, Any)]).map(_._2).distinct
-      require(vs.length == 1, s"owl:propertyChainAxiom for $head: rdf " +
+    val chains = walkRdfLists(tbox, chainVoc.pca, chainVoc.first,
+      chainVoc.rest, chainVoc.nil, "owl:propertyChainAxiom")
+    (inv, sym, trans, chains)
+  }
+
+  /** Walk driver-collected rdf:lists: every (owner, axiomPred,
+    * listNode) row among `rows` resolves to (owner, ordered members) —
+    * loud failure on cyclic, empty, or malformed lists. Shared by the
+    * chain-axiom and hasKey collectors. */
+  private def walkRdfLists(rows: Array[(Any, Any, Any)], axiom: Set[Any],
+                           first: Set[Any], rest: Set[Any], nil: Set[Any],
+                           what: String): Seq[(Any, Seq[Any])] = {
+    val firsts = rows.collect {
+      case (n, p, v) if first(p) => (n, v) }.groupBy(_._1)
+    val rests = rows.collect {
+      case (n, p, v) if rest(p) => (n, v) }.groupBy(_._1)
+    def cell(m: Map[Any, Array[(Any, Any)]], node: Any, role: String,
+             owner: Any): Any = {
+      val vs = m.getOrElse(node, Array.empty[(Any, Any)]).map(_._2).distinct
+      require(vs.length == 1, s"$what for $owner: rdf " +
         s"list node $node has ${vs.length} $role values (malformed list)")
       vs.head
     }
-    val chains = tbox.collect { case (h, p, l) if chainVoc.pca(p) => (h, l) }
+    rows.collect { case (h, p, l) if axiom(p) => (h, l) }
       .distinct.toSeq.map { case (h, l) =>
         val buf = scala.collection.mutable.ListBuffer[Any]()
         val seen = scala.collection.mutable.Set[Any]()
         var node = l
-        while (!chainVoc.nil(node)) {
-          require(seen.add(node),
-            s"owl:propertyChainAxiom list for $h is cyclic at $node")
-          buf += listCell(firsts, node, "rdf:first", h)
-          node = listCell(rests, node, "rdf:rest", h)
+        while (!nil(node)) {
+          require(seen.add(node), s"$what list for $h is cyclic at $node")
+          buf += cell(firsts, node, "rdf:first", h)
+          node = cell(rests, node, "rdf:rest", h)
         }
-        require(buf.nonEmpty, s"owl:propertyChainAxiom for $h names an " +
-          "empty chain (rdf:nil object)")
+        require(buf.nonEmpty,
+          s"$what for $h names an empty chain (rdf:nil object)")
         (h, buf.toSeq)
       }.sortBy(_._1.toString)
-    (inv, sym, trans, chains)
   }
 
   /** [[owlClosure]] over a NAMED-GRAPH quad dataset: global OWL
@@ -1976,15 +1985,24 @@ object ReasonOps {
 
   /** The restriction vocabulary as ENCODED ids; `rdfs` carries the
     * subclass/type machinery the restriction fixpoint interleaves
-    * with. `owlThing` is optional (enables cls-svf2). */
+    * with. `owlThing` is optional (enables cls-svf2); the boolean
+    * class expressions need their axiom AND rdf-list ids. */
   final case class RlIds(rdfs: RdfsIds, onProperty: Long,
                          someValuesFrom: Long, allValuesFrom: Long,
-                         hasValue: Long, owlThing: Option[Long] = None)
+                         hasValue: Long, owlThing: Option[Long] = None,
+                         intersectionOf: Option[Long] = None,
+                         unionOf: Option[Long] = None,
+                         listFirst: Option[Long] = None,
+                         listRest: Option[Long] = None,
+                         listNil: Option[Long] = None)
 
   private final case class RlVoc(on: Set[Any], svf: Set[Any],
                                  avf: Set[Any], hv: Set[Any],
                                  thing: Set[Any], ty: Set[Any],
-                                 emitTy: Any) {
+                                 emitTy: Any,
+                                 int: Set[Any], uni: Set[Any],
+                                 first: Set[Any], rest: Set[Any],
+                                 nil: Set[Any]) {
     def declPreds: Seq[Any] = (on ++ svf ++ avf ++ hv).toSeq
   }
 
@@ -1995,13 +2013,29 @@ object ReasonOps {
       Set(SomeValuesFrom, SomeValuesFromIri),
       Set(AllValuesFrom, AllValuesFromIri),
       Set(HasValue, HasValueIri),
-      Set(OwlThing, OwlThingIri), ty, typePred)
+      Set(OwlThing, OwlThingIri), ty, typePred,
+      Set(IntersectionOf, IntersectionOfIri),
+      Set(UnionOf, UnionOfIri),
+      Set(RdfFirst, RdfFirstIri), Set(RdfRest, RdfRestIri),
+      Set(RdfNil, RdfNilIri))
   }
 
   private def encRlVoc(ids: RlIds): RlVoc =
     RlVoc(Set(ids.onProperty), Set(ids.someValuesFrom),
       Set(ids.allValuesFrom), Set(ids.hasValue),
-      ids.owlThing.toSet[Any], Set(ids.rdfs.typePred), ids.rdfs.typePred)
+      ids.owlThing.toSet[Any], Set(ids.rdfs.typePred), ids.rdfs.typePred,
+      ids.intersectionOf.toSet[Any], ids.unionOf.toSet[Any],
+      ids.listFirst.toSet[Any], ids.listRest.toSet[Any],
+      ids.listNil.toSet[Any])
+
+  /** The boolean class-expression vocabulary (OWL 2 RL rules cls-int1,
+    * cls-int2, cls-uni): `C owl:intersectionOf (C1 … Cn)` /
+    * `C owl:unionOf (C1 … Cn)` — conjunct/disjunct lists walked like
+    * the chain axioms'. */
+  val IntersectionOf    = "owl:intersectionOf"
+  val IntersectionOfIri = "http://www.w3.org/2002/07/owl#intersectionOf"
+  val UnionOf           = "owl:unionOf"
+  val UnionOfIri        = "http://www.w3.org/2002/07/owl#unionOf"
 
   private final case class Restriction(r: Any, p: Any, kind: Int,
                                        filler: Any)
@@ -2009,15 +2043,28 @@ object ReasonOps {
   private val AvfKind = 1
   private val HvKind  = 2
 
-  /** Driver-collected, capped restriction declarations: each
-    * `someValuesFrom`/`allValuesFrom`/`hasValue` statement pairs with
-    * its node's single `owl:onProperty` (anything else fails loudly —
-    * an OWL RL restriction has exactly one). */
-  private def collectRestrictions(rel: DataFrame, voc: RlVoc,
-                                  tboxCap: Int): Seq[Restriction] = {
+  /** The collected class-rule schema: property restrictions plus the
+    * boolean class expressions. */
+  private final case class RlSchema(restr: Seq[Restriction],
+                                    inters: Seq[(Any, Seq[Any])],
+                                    unions: Seq[(Any, Seq[Any])]) {
+    def isEmpty: Boolean =
+      restr.isEmpty && inters.isEmpty && unions.isEmpty
+  }
+
+  /** Driver-collected, capped class-rule schema: each `someValuesFrom`
+    * / `allValuesFrom` / `hasValue` statement pairs with its node's
+    * single `owl:onProperty` (anything else fails loudly — an OWL RL
+    * restriction has exactly one), and the boolean class expressions'
+    * conjunct/disjunct rdf:lists walk on the driver. */
+  private def collectRlSchema(rel: DataFrame, voc: RlVoc,
+                              tboxCap: Int): RlSchema = {
     val Seq(cs, cp, co) = rel.columns.take(3).toSeq
+    val allPreds =
+      (voc.declPreds ++ voc.int ++ voc.uni ++ voc.first ++ voc.rest)
+        .distinct
     val rows = rel.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-      .where(col("p").isin(voc.declPreds: _*))
+      .where(col("p").isin(allPreds: _*))
       .limit(tboxCap + 1).collect()
       .map(r => (r.get(0), r.get(1), r.get(2)))
     require(rows.length <= tboxCap,
@@ -2031,8 +2078,13 @@ object ReasonOps {
           s"owl:onProperty (found ${ps.length})")
         Restriction(r, ps.head, kind, filler)
       }
-    (mk(voc.svf, SvfKind) ++ mk(voc.avf, AvfKind) ++ mk(voc.hv, HvKind))
-      .distinct.sortBy(_.r.toString)
+    RlSchema(
+      (mk(voc.svf, SvfKind) ++ mk(voc.avf, AvfKind) ++ mk(voc.hv, HvKind))
+        .distinct.sortBy(_.r.toString),
+      walkRdfLists(rows, voc.int, voc.first, voc.rest, voc.nil,
+        "owl:intersectionOf"),
+      walkRdfLists(rows, voc.uni, voc.first, voc.rest, voc.nil,
+        "owl:unionOf"))
   }
 
   /** One restriction-rule pass over a relation: per declaration the
@@ -2041,8 +2093,9 @@ object ReasonOps {
     * member set) or a map-side projection (hv1/hv2, svf2) — all
     * equi-joins AQE sizes freely; on the quad path every join and every
     * emission carries the graph column. */
-  private def restrictionDerive(rel: DataFrame, restr: Seq[Restriction],
+  private def restrictionDerive(rel: DataFrame, schema: RlSchema,
                                 voc: RlVoc, hasGraph: Boolean): DataFrame = {
+    val restr = schema.restr
     val gsel = if (hasGraph) Seq(col("g")) else Nil
     def gJoin(pfx: String) =
       if (hasGraph) Seq(col("g") <=> col(pfx + "g")) else Nil
@@ -2082,7 +2135,28 @@ object ReasonOps {
             .select(typed(col("s"), r): _*))
       case other => throw new IllegalStateException(other.toString)
     }
-    legs.reduce(_.unionAll(_))
+    // cls-int1/int2: intersection members both ways (int1 = one keyed
+    // semi-join per extra conjunct); cls-uni: any disjunct types the
+    // union class
+    val intLegs = schema.inters.flatMap { case (c, parts) =>
+      val all = parts.tail.foldLeft(
+          types.where(col("o") === parts.head)
+            .select(col("s") +: gsel: _*)) { (acc, ci) =>
+        val probe = types.where(col("o") === ci).select(
+          col("s").as("__is") +:
+            (if (hasGraph) Seq(col("g").as("__ig")) else Nil): _*)
+        acc.join(probe, (Seq(col("s") === col("__is")) ++ gJoin("__i"))
+          .reduce(_ && _), "left_semi")
+      }
+      all.select(typed(col("s"), c): _*) +:
+        parts.map(ci => types.where(col("o") === c)
+          .select(typed(col("s"), ci): _*))
+    }
+    val uniLegs = schema.unions.map { case (c, parts) =>
+      types.where(col("o").isin(parts: _*))
+        .select(typed(col("s"), c): _*)
+    }
+    (legs ++ intLegs ++ uniLegs).reduce(_.unionAll(_))
   }
 
   /** Round count of the most recent restriction fixpoint (0 when no
@@ -2092,13 +2166,13 @@ object ReasonOps {
     new java.util.concurrent.atomic.AtomicLong(0)
 
   private def owlRlCore(t: DataFrame, voc: RlVoc,
-                        restr: Seq[Restriction],
+                        schema: RlSchema,
                         rdfsClose: DataFrame => DataFrame,
                         rdfsExpand: DataFrame => Seq[DataFrame],
                         hasGraph: Boolean, maxRounds: Int): DataFrame = {
     var closure = graft.Pins.checkpointLazy(rdfsClose(t))
     var n = closure.count()
-    if (restr.isEmpty) { lastRlRounds.set(0); return closure }
+    if (schema.isEmpty) { lastRlRounds.set(0); return closure }
     // per round: one restriction pass over the accumulated closure and
     // the rho-df expansion of ITS conclusions only (one-pass complete
     // over the closed schema maps — re-closing the full relation would
@@ -2118,7 +2192,7 @@ object ReasonOps {
       // own first materialization across branches and recomputes the
       // restriction semi-joins per leg
       val derived =
-        restrictionDerive(closure, restr, voc, hasGraph).distinct()
+        restrictionDerive(closure, schema, voc, hasGraph).distinct()
           .localCheckpoint(true)
       val next = graft.Pins.checkpointLazy(
         (Seq(closure, derived) ++ rdfsExpand(derived))
@@ -2160,11 +2234,11 @@ object ReasonOps {
     val t = triples.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"))
     val voc = stringRlVoc(typePred)
-    val restr = collectRestrictions(t, voc, tboxCap)
+    val schema = collectRlSchema(t, voc, tboxCap)
     val voc0 = stringVoc(typePred)
     val tbox = collectTbox(t, voc0.tboxPreds, tboxCap)
     val vocE = resolveEmit(voc0, tbox)
-    owlRlCore(t, voc, restr,
+    owlRlCore(t, voc, schema,
       df => rdfsClosure(df, typePred, tboxCap),
       df => rdfsDerive(tbox, df, vocE, includeTboxClosure = false),
       hasGraph = false, maxRounds)
@@ -2178,10 +2252,10 @@ object ReasonOps {
     val t = encTriples.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"))
     val voc = encRlVoc(ids)
-    val restr = collectRestrictions(t, voc, tboxCap)
+    val schema = collectRlSchema(t, voc, tboxCap)
     val voc0 = encVoc(ids.rdfs)
     val tbox = collectTbox(t, voc0.tboxPreds, tboxCap)
-    owlRlCore(t, voc, restr,
+    owlRlCore(t, voc, schema,
       df => rdfsClosureEncoded(df, ids.rdfs, tboxCap),
       df => rdfsDerive(tbox, df, voc0, includeTboxClosure = false),
       hasGraph = false, maxRounds)
@@ -2198,14 +2272,14 @@ object ReasonOps {
     val q = quads.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"), col(cg).as("g"))
     val voc = stringRlVoc(typePred)
-    val restr = collectRestrictions(tboxSource, voc, tboxCap)
+    val schema = collectRlSchema(tboxSource, voc, tboxCap)
     val voc0 = stringVoc(typePred)
     val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
     val tbox = collectTbox(
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
       voc0.tboxPreds, tboxCap)
     val vocE = resolveEmit(voc0, tbox)
-    owlRlCore(q, voc, restr,
+    owlRlCore(q, voc, schema,
       df => rdfsClosureQuads(df, tboxSource, typePred, tboxCap),
       df => rdfsDeriveQuads(tbox, df, vocE, includeTboxClosure = false),
       hasGraph = true, maxRounds)
@@ -2219,13 +2293,13 @@ object ReasonOps {
     val q = quads.select(col(cs).as("s"), col(cp).as("p"),
       col(co).as("o"), col(cg).as("g"))
     val voc = encRlVoc(ids)
-    val restr = collectRestrictions(tboxSource, voc, tboxCap)
+    val schema = collectRlSchema(tboxSource, voc, tboxCap)
     val voc0 = encVoc(ids.rdfs)
     val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
     val tbox = collectTbox(
       tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
       voc0.tboxPreds, tboxCap)
-    owlRlCore(q, voc, restr,
+    owlRlCore(q, voc, schema,
       df => rdfsClosureQuadsEncoded(df, tboxSource, ids.rdfs, tboxCap),
       df => rdfsDeriveQuads(tbox, df, voc0, includeTboxClosure = false),
       hasGraph = true, maxRounds)
@@ -2238,8 +2312,9 @@ object ReasonOps {
     * and the closure never shuffles (conclusions with both premises
     * new appear from both variants and dedup downstream). */
   private def restrictionDeriveDelta(all: DataFrame, dcur: DataFrame,
-                                     restr: Seq[Restriction], voc: RlVoc,
+                                     schema: RlSchema, voc: RlVoc,
                                      hasGraph: Boolean): DataFrame = {
+    val restr = schema.restr
     val gsel = if (hasGraph) Seq(col("g")) else Nil
     def probeNames(n: Int) = (1 to n).map(i => s"__d$i") ++
       (if (hasGraph) Seq("__dg") else Nil)
@@ -2300,11 +2375,36 @@ object ReasonOps {
             .select(typed(col("s"), r, gsel): _*))
       case other => throw new IllegalStateException(other.toString)
     }
-    legs.reduce(_.unionAll(_))
+    // cls-int1 seminaive: the Δ membership at each conjunct position
+    // broadcasts and the other conjuncts' accumulated type slices
+    // stream; cls-int2/cls-uni are map-side on the Δ
+    val intLegs = schema.inters.flatMap { case (c, parts) =>
+      val a = parts.indices.map { j =>
+        var acc = dTypes.where(col("o") === parts(j))
+          .select(col("s").as("__ca") +: gsel: _*)
+        for (i <- parts.indices if i != j) {
+          val probe = acc.toDF(probeNames(1): _*)
+          acc = types.where(col("o") === parts(i))
+            .join(broadcast(probe),
+              (Seq(col("s") === col("__d1")) ++ gJoin).reduce(_ && _))
+            .select(col("__d1").as("__ca") +:
+              (if (hasGraph) Seq(col("__dg").as("g")) else Nil): _*)
+        }
+        acc.select(typed(col("__ca").as("s"), c, gsel): _*)
+      }
+      val b = parts.map(ci => dTypes.where(col("o") === c)
+        .select(typed(col("s"), ci, gsel): _*))
+      a ++ b
+    }
+    val uniLegs = schema.unions.map { case (c, parts) =>
+      dTypes.where(col("o").isin(parts: _*))
+        .select(typed(col("s"), c, gsel): _*)
+    }
+    (legs ++ intLegs ++ uniLegs).reduce(_.unionAll(_))
   }
 
   private def owlRlDeltaCore(closure: DataFrame, delta: DataFrame,
-                             voc: RlVoc, restr: Seq[Restriction],
+                             voc: RlVoc, schema: RlSchema,
                              rdfsDeltaFn: DataFrame => DataFrame,
                              hasGraph: Boolean, deltaCap: Option[Long],
                              maxRounds: Int): DataFrame = {
@@ -2315,7 +2415,9 @@ object ReasonOps {
         .map { case (c, n) => col(c).as(n) }: _*)
     val remat = if (hasGraph) "owlRlClosureQuads" else "owlRlClosure"
     val d0 = pinCapped(norm(delta), deltaCap, "owlRlDelta increment", remat)
-    val declPreds = voc.declPreds
+    val declPreds =
+      (voc.declPreds ++ voc.int ++ voc.uni ++ voc.first ++ voc.rest)
+        .distinct
     require(declPreds.isEmpty ||
       d0.where(col("p").isin(declPreds: _*)).isEmpty,
       "delta contains owl:Restriction declarations - schema changes " +
@@ -2325,7 +2427,7 @@ object ReasonOps {
     // own declaration guard fails fast on rdfs TBox rows in the delta)
     val inc0 = pinCapped(norm(rdfsDeltaFn(d0)).distinct(), deltaCap,
       "owlRlDelta rdfs seed", remat)
-    if (restr.isEmpty) return inc0
+    if (schema.isEmpty) return inc0
     var updated = e.unionAll(inc0)
     var dcur = inc0
     var total = inc0
@@ -2335,7 +2437,8 @@ object ReasonOps {
       round += 1
       require(round <= maxRounds, "owlRlDelta restriction loop did not " +
         s"converge in $maxRounds rounds — re-materialize ($remat)")
-      val rnew = restrictionDeriveDelta(updated, dcur, restr, voc, hasGraph)
+      val rnew = restrictionDeriveDelta(updated, dcur, schema, voc,
+        hasGraph)
       val novel = pinCapped(
         incrementNovel(updated, rnew.distinct(), deltaCap),
         deltaCap, "owlRlDelta restriction conclusions", remat)
@@ -2369,8 +2472,8 @@ object ReasonOps {
                  tboxCap: Int = 1 << 20, deltaCap: Option[Long] = None,
                  maxRounds: Int = 16): DataFrame = {
     val voc = stringRlVoc(typePred)
-    val restr = collectRestrictions(tboxSource, voc, tboxCap)
-    owlRlDeltaCore(closure, delta, voc, restr,
+    val schema = collectRlSchema(tboxSource, voc, tboxCap)
+    owlRlDeltaCore(closure, delta, voc, schema,
       d => rdfsDelta(tboxSource, d, typePred, tboxCap,
         deltaCap = deltaCap),
       hasGraph = false, deltaCap, maxRounds)
@@ -2383,8 +2486,8 @@ object ReasonOps {
                         deltaCap: Option[Long] = None,
                         maxRounds: Int = 16): DataFrame = {
     val voc = encRlVoc(ids)
-    val restr = collectRestrictions(tboxSource, voc, tboxCap)
-    owlRlDeltaCore(closure, delta, voc, restr,
+    val schema = collectRlSchema(tboxSource, voc, tboxCap)
+    owlRlDeltaCore(closure, delta, voc, schema,
       d => rdfsDeltaEncoded(tboxSource, d, ids.rdfs, tboxCap, deltaCap),
       hasGraph = false, deltaCap, maxRounds)
   }
@@ -2398,8 +2501,8 @@ object ReasonOps {
                       deltaCap: Option[Long] = None,
                       maxRounds: Int = 16): DataFrame = {
     val voc = stringRlVoc(typePred)
-    val restr = collectRestrictions(tboxSource, voc, tboxCap)
-    owlRlDeltaCore(closure, delta, voc, restr,
+    val schema = collectRlSchema(tboxSource, voc, tboxCap)
+    owlRlDeltaCore(closure, delta, voc, schema,
       d => rdfsDeltaQuads(tboxSource, d, typePred, tboxCap, deltaCap),
       hasGraph = true, deltaCap, maxRounds)
   }
@@ -2411,8 +2514,8 @@ object ReasonOps {
                              deltaCap: Option[Long] = None,
                              maxRounds: Int = 16): DataFrame = {
     val voc = encRlVoc(ids)
-    val restr = collectRestrictions(tboxSource, voc, tboxCap)
-    owlRlDeltaCore(closure, delta, voc, restr,
+    val schema = collectRlSchema(tboxSource, voc, tboxCap)
+    owlRlDeltaCore(closure, delta, voc, schema,
       d => rdfsDeltaQuadsEncoded(tboxSource, d, ids.rdfs, tboxCap,
         deltaCap),
       hasGraph = true, deltaCap, maxRounds)
@@ -3170,6 +3273,73 @@ object ReasonOps {
     starPairsAll(t, fps, ifps)
   }
 
+  /** The composite-key vocabulary (OWL 2 rule prp-key):
+    * `C owl:hasKey (p1 … pn)` — two members of C agreeing on EVERY key
+    * property are the same individual. The axiom's object is an
+    * rdf:list, walked like [[PropertyChainAxiom]]'s. */
+  val HasKey    = "owl:hasKey"
+  val HasKeyIri = "http://www.w3.org/2002/07/owl#hasKey"
+
+  /** Collect + cap the `owl:hasKey` axioms: (class, ordered key
+    * properties), lists driver-walked. */
+  private def hasKeyDecls(t: DataFrame, tboxCap: Int)
+      : Seq[(Any, Seq[Any])] = {
+    val hk = Set[Any](HasKey, HasKeyIri)
+    val first = Set[Any](RdfFirst, RdfFirstIri)
+    val rest = Set[Any](RdfRest, RdfRestIri)
+    val nil = Set[Any](RdfNil, RdfNilIri)
+    val rows = t.where(col("p").isin((hk ++ first ++ rest).toSeq: _*))
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    require(rows.length <= tboxCap,
+      s"owl:hasKey declarations exceed $tboxCap - not schema-shaped")
+    walkRdfLists(rows, hk, first, rest, nil, "owl:hasKey")
+  }
+
+  /** The identity pairs IMPLIED by `owl:hasKey` axioms (prp-key): per
+    * axiom, the class members join their key-property slices (one
+    * keyed equi-join per key position), the full key tuples group, and
+    * every multi-member tuple emits star edges to its minimum — the
+    * composite-key twin of [[functionalIdentityPairs]], never
+    * all-pairs within a group. Members with several values under one
+    * key property match on EVERY combination (join semantics = the
+    * OWL rule's). Feed the pairs to [[identityMapping]] /
+    * [[sameAsCanonicalize]], or use [[functionalCanonicalize]], which
+    * folds key collisions into its merge-cascade fixpoint.
+    */
+  def hasKeyIdentityPairs(triples: DataFrame, typePred: String = "a",
+                          tboxCap: Int = 1 << 20): DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+    hasKeyStarPairs(t, hasKeyDecls(t, tboxCap), typePred)
+  }
+
+  private def hasKeyStarPairs(t: DataFrame, keys: Seq[(Any, Seq[Any])],
+                              typePred: String): DataFrame = {
+    val ty: Seq[Any] =
+      if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
+    val legs = keys.map { case (cls, props) =>
+      var acc = t.where(col("p").isin(ty: _*) && col("o") === cls)
+        .select(col("s").as("__x"))
+      props.zipWithIndex.foreach { case (pi, i) =>
+        val slice = t.where(col("p") === pi)
+          .select(col("s").as("__xs"), col("o").as(s"__v$i"))
+        acc = acc.join(slice, col("__x") === col("__xs")).drop("__xs")
+      }
+      val tuples = acc.distinct()
+      val vcols = props.indices.map(i => col(s"__v$i"))
+      val mins = tuples.groupBy(vcols: _*)
+        .agg(min(col("__x")).as("__cv"), count(lit(1)).as("__cnt"))
+        .where(col("__cnt") > 1)
+        .select(vcols :+ col("__cv"): _*)
+      tuples.join(mins, props.indices.map(i => s"__v$i").toSeq)
+        .where(col("__x") =!= col("__cv"))
+        .select(col("__cv").as("a"), col("__x").as("b"))
+    }
+    legs.reduceOption(_.unionAll(_)).map(_.distinct())
+      .getOrElse(t.select(col("s").as("a"), col("o").as("b")).limit(0))
+  }
+
   /** Collect + cap the functional / inverse-functional property
     * declarations (schema-sized by contract). */
   private def functionalDecls(t: DataFrame, typePred: String, tboxCap: Int)
@@ -3229,7 +3399,11 @@ object ReasonOps {
     * [[sameAsCanonicalize]] + functional composition OWL requires).
     * Returns the final (rewritten corpus, member → canonical mapping) —
     * ONE CC over the accumulated pairs, so the mapping needs no
-    * cross-round composition.
+    * cross-round composition. `owl:hasKey` axioms participate
+    * (prp-key, [[hasKeyIdentityPairs]]): composite-key collisions
+    * derive each round over the canonicalized slice, so a merge that
+    * completes another entity's key tuple cascades exactly like a
+    * functional collision.
     */
   def functionalCanonicalize(triples: DataFrame, typePred: String = "a",
                              tboxCap: Int = 1 << 20, maxRounds: Int = 8)
@@ -3238,14 +3412,25 @@ object ReasonOps {
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
       .localCheckpoint(true)
     val (fps, ifps) = functionalDecls(t, typePred, tboxCap)
-    val declPreds = fps ++ ifps
-    // the fixpoint only ever touches the DECLARED properties' slice —
-    // collisions can't appear anywhere else — so each round
-    // re-canonicalizes the slice, never the corpus; the full corpus is
-    // rewritten exactly ONCE at the end through the final mapping
+    val keys = hasKeyDecls(t, tboxCap)
+    val keyProps = keys.flatMap(_._2).distinct
+    val keyClasses = keys.map(_._1).distinct
+    val tySeq: Seq[Any] =
+      if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
+    val declPreds = (fps ++ ifps ++ keyProps).distinct
+    // the fixpoint only ever touches the DECLARED properties' slice
+    // (plus the key classes' membership rows) — collisions can't
+    // appear anywhere else — so each round re-canonicalizes the slice,
+    // never the corpus; the full corpus is rewritten exactly ONCE at
+    // the end through the final mapping
+    val keyMemberCond =
+      if (keyClasses.isEmpty) lit(false)
+      else col("p").isin(tySeq: _*) && col("o").isin(keyClasses: _*)
     val slice =
-      if (declPreds.isEmpty) t.limit(0)
-      else t.where(col("p").isin(declPreds: _*)).localCheckpoint(true)
+      if (declPreds.isEmpty && keys.isEmpty) t.limit(0)
+      else t.where((if (declPreds.isEmpty) lit(false)
+          else col("p").isin(declPreds: _*)) || keyMemberCond)
+        .localCheckpoint(true)
     val sp0 = t.where(col("p") === SameAs)
       .select(col("s").as("a"), col("o").as("b"))
     // explicit identities participate from round 0; when there are none
@@ -3263,7 +3448,11 @@ object ReasonOps {
       round += 1
       require(round <= maxRounds,
         s"functional canonicalization did not settle in $maxRounds rounds")
-      val pairs = graft.Pins.checkpointLazy(starPairsAll(curSlice, fps, ifps))
+      val fpPairs = starPairsAll(curSlice, fps, ifps)
+      val pairs = graft.Pins.checkpointLazy(
+        if (keys.isEmpty) fpPairs
+        else fpPairs.unionAll(
+          hasKeyStarPairs(curSlice, keys, typePred)).distinct())
       if (pairs.isEmpty) done = true
       else {
         // accumulate and re-derive the mapping from ALL pairs: CC
@@ -3336,6 +3525,15 @@ object ReasonOps {
       "delta contains functional-property declarations - schema changes " +
         "require re-canonicalization (functionalCanonicalize), not " +
         "incremental maintenance")
+    // composite keys are batch-only: a key collision can involve ANY
+    // subset of the key tuple arriving across batches, so incremental
+    // maintenance under owl:hasKey would silently under-merge —
+    // re-canonicalize instead
+    require(hasKeyDecls(r, tboxCap).isEmpty &&
+        d0.where(col("p").isin(HasKey, HasKeyIri)).isEmpty,
+      "owl:hasKey axioms present - composite-key resolution requires " +
+        "re-canonicalization (functionalCanonicalize), not incremental " +
+        "maintenance")
     // resolve every delta term through the existing mapping (Δ probes
     // broadcast; the data-sized mapping only streams)
     val dSame0 = d0.where(col("p") === SameAs)

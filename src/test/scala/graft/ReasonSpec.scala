@@ -2069,4 +2069,161 @@ class ReasonSpec extends SparkSpec {
       ("functional-conflict", 101L))
   }
 
+
+  // ------------------------------------------------------------------
+  // owl:hasKey (prp-key) composite-key entity resolution
+  // ------------------------------------------------------------------
+
+  import graft.ops.ReasonOps.{HasKey}
+
+  private def keyAxiom(cls: String, props: Seq[String]): Seq[(String, String, String)] = {
+    val nodes = props.indices.map(i => s"_:k$cls$i")
+    (cls, HasKey, nodes.head) +: props.indices.flatMap { i =>
+      Seq((nodes(i), RdfFirst, props(i)),
+        (nodes(i), RdfRest,
+          if (i == props.length - 1) RdfNil else nodes(i + 1)))
+    }
+  }
+
+  "ReasonOps.hasKeyIdentityPairs" should "derive star pairs per full key-tuple collision" in {
+    val g = (keyAxiom("Cust", Seq("city", "code")) ++ Seq(
+      ("c1", "a", "Cust"), ("c1", "city", "rome"), ("c1", "code", "77"),
+      ("c2", "a", "Cust"), ("c2", "city", "rome"), ("c2", "code", "77"),
+      ("c3", "a", "Cust"), ("c3", "city", "rome"), ("c3", "code", "78"),
+      ("c4", "city", "rome"), ("c4", "code", "77"), // NOT a member
+      ("c5", "a", "Cust"), ("c5", "city", "rome") // incomplete tuple
+    )).toDF("s", "p", "o")
+    val got = ReasonOps.hasKeyIdentityPairs(g).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    got shouldBe Set(("c1", "c2")) // only the full-tuple member pair
+  }
+
+  it should "match every combination under multi-valued key properties" in {
+    val g = (keyAxiom("Cust", Seq("email")) ++ Seq(
+      ("c1", "a", "Cust"), ("c1", "email", "a@x"), ("c1", "email", "b@x"),
+      ("c2", "a", "Cust"), ("c2", "email", "b@x"),
+      ("c3", "a", "Cust"), ("c3", "email", "c@x")
+    )).toDF("s", "p", "o")
+    ReasonOps.hasKeyIdentityPairs(g).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet shouldBe
+      Set(("c1", "c2"))
+  }
+
+  "ReasonOps.functionalCanonicalize with hasKey" should "cascade a functional merge into a key merge" in {
+    import graft.ops.ReasonOps.InverseFunctionalProperty
+    // round 1: y1/y2 merge on the inverse-functional ssn; the merged
+    // entity now carries BOTH city values... no: key tuple completes —
+    // y2 holds the city, y1 holds the code; post-merge the canonical
+    // entity has the full (city, code) tuple colliding with z
+    val g = (keyAxiom("Cust", Seq("city", "code")) ++ Seq(
+      ("ssn", "a", InverseFunctionalProperty),
+      ("y1", "ssn", "s-9"), ("y2", "ssn", "s-9"),
+      ("y1", "a", "Cust"), ("y2", "a", "Cust"),
+      ("y1", "code", "77"), ("y2", "city", "rome"),
+      ("z", "a", "Cust"), ("z", "city", "rome"), ("z", "code", "77")
+    )).toDF("s", "p", "o")
+    val (rw, mapping) = ReasonOps.functionalCanonicalize(g)
+    val mp = mapping.collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    // all three collapse to one canonical entity
+    mp("y1") shouldBe mp("y2")
+    mp("y2") shouldBe mp("z")
+    ReasonOps.lastFunctionalRounds.get() should be >= 2L
+    // the rewritten corpus carries ONE canonical (city, code) tuple
+    tset(rw).filter(t => t._2 == "code") shouldBe
+      Set((mp("z"), "code", "77"))
+  }
+
+  it should "fail fast in functionalDelta when hasKey axioms are present" in {
+    val base = keyAxiom("Cust", Seq("city")) ++ Seq(
+      ("c1", "a", "Cust"), ("c1", "city", "rome"))
+    val (rw, mp) = ReasonOps.functionalCanonicalize(base.toDF("s", "p", "o"))
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.functionalDelta(rw, mp,
+        Seq(("c9", "city", "oslo")).toDF("s", "p", "o"))._1.count())
+      .getMessage should include ("owl:hasKey")
+  }
+
+  it should "fail loudly on a malformed key list" in {
+    val g = Seq(
+      ("Cust", HasKey, "_:k"), ("_:k", RdfFirst, "city"),
+      ("c1", "a", "Cust")
+    ).toDF("s", "p", "o")
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.hasKeyIdentityPairs(g).count()).getMessage should
+      include ("rdf:rest")
+  }
+
+
+  // ------------------------------------------------------------------
+  // owl:intersectionOf / owl:unionOf (cls-int1/int2, cls-uni)
+  // ------------------------------------------------------------------
+
+  import graft.ops.ReasonOps.{IntersectionOf, UnionOf}
+
+  private def listOf(owner: String, pred: String, parts: Seq[String]): Seq[(String, String, String)] = {
+    val nodes = parts.indices.map(i => s"_:$owner$i")
+    (owner, pred, nodes.head) +: parts.indices.flatMap { i =>
+      Seq((nodes(i), RdfFirst, parts(i)),
+        (nodes(i), RdfRest,
+          if (i == parts.length - 1) RdfNil else nodes(i + 1)))
+    }
+  }
+
+  "ReasonOps.owlRlClosure boolean expressions" should "type intersections both ways and unions one way" in {
+    val g = (listOf("GoldBuyer", IntersectionOf, Seq("Gold", "Buyer")) ++
+      listOf("Party", UnionOf, Seq("Person", "Company")) ++ Seq(
+      ("x1", "a", "Gold"), ("x1", "a", "Buyer"),
+      ("x2", "a", "Gold"), // only one conjunct
+      ("x3", "a", "GoldBuyer"), // int2: decomposes
+      ("u1", "a", "Person"), ("u2", "a", "Company"), ("u3", "a", "Party")
+    )).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (
+      ("x1", "a", "GoldBuyer"),
+      ("x3", "a", "Gold"), ("x3", "a", "Buyer"),
+      ("u1", "a", "Party"), ("u2", "a", "Party"))
+    got should not contain ("x2", "a", "GoldBuyer")
+    // cls-uni is one-way: u3's membership does not pick a disjunct
+    got should not contain ("u3", "a", "Person")
+  }
+
+  it should "compose boolean expressions with restrictions and subclass flow" in {
+    // svf types HasOrder; the intersection of HasOrder and Gold then
+    // fires (round 2), and the union class catches it via subclass
+    val g = (listOf("GoldOrderer", IntersectionOf, Seq("HasOrder", "Gold")) ++ Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("GoldOrderer", SubClassOf, "Vip"),
+      ("c1", "placed", "o1"), ("o1", "a", "Order"),
+      ("c1", "a", "Gold"),
+      ("c2", "placed", "o1") // not Gold: no intersection
+    )).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (
+      ("c1", "a", "GoldOrderer"), ("c1", "a", "Vip"))
+    got should not contain ("c2", "a", "GoldOrderer")
+  }
+
+  "ReasonOps.owlRlDelta boolean expressions" should "match re-materialization across int/uni shapes" in {
+    val tbox = (listOf("GoldBuyer", IntersectionOf, Seq("Gold", "Buyer")) ++
+      listOf("Party", UnionOf, Seq("Person", "Company")))
+      .toDF("s", "p", "o")
+    val base = listOf("GoldBuyer", IntersectionOf, Seq("Gold", "Buyer")) ++
+      listOf("Party", UnionOf, Seq("Person", "Company")) ++ Seq(
+      ("x1", "a", "Gold"), ("u1", "a", "Person"))
+    // Δ completes x1's intersection, brings a fresh union member, and
+    // an int2 decomposition
+    val delta = Seq(("x1", "a", "Buyer"), ("u2", "a", "Company"),
+      ("x9", "a", "GoldBuyer"))
+    val closure = ReasonOps.owlRlClosure(base.toDF("s", "p", "o"))
+    val inc = ReasonOps.owlRlDelta(closure, delta.toDF("s", "p", "o"), tbox)
+    val got = tset(ReasonOps.composeIncrement(closure, inc))
+    got shouldBe tset(ReasonOps.owlRlClosure(
+      (base ++ delta).toDF("s", "p", "o")))
+    got should contain allOf (
+      ("x1", "a", "GoldBuyer"), ("u2", "a", "Party"),
+      ("x9", "a", "Gold"), ("x9", "a", "Buyer"))
+  }
+
 }
