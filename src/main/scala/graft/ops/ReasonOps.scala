@@ -1095,16 +1095,20 @@ object ReasonOps {
   }
 
   /** OWL property-rule materialization (the horn subset RDFS lacks):
-    * `owl:inverseOf` (both directions), `owl:SymmetricProperty`, and
-    * `owl:TransitiveProperty` — declarations are schema-sized and close
-    * on the driver (inverseOf is made symmetric; a property inverse to
-    * a symmetric one is itself symmetric-closed through the derived
-    * pass), inverse/symmetric derivation is one broadcast join, and
-    * each declared transitive property closes by iterated squaring over
-    * ITS edge set only (after inverse/symmetric derivation, so inverse
-    * edges participate in chains). owl:sameAs is deliberately separate
-    * ([[sameAsCanonicalize]]): identity sets are DATA-sized and must
-    * never reach the driver.
+    * `owl:inverseOf` (both directions), `owl:SymmetricProperty`,
+    * `owl:TransitiveProperty`, and `owl:propertyChainAxiom` —
+    * declarations are schema-sized and close on the driver (inverseOf
+    * is made symmetric; a property inverse to a symmetric one is
+    * itself symmetric-closed through the derived pass; chain axioms'
+    * rdf:lists walk on the driver), inverse/symmetric derivation is
+    * one broadcast join, each declared transitive property closes by
+    * iterated squaring over ITS edge set only (after inverse/symmetric
+    * derivation, so inverse edges participate in chains), and property
+    * chains iterate with the other rules to fixpoint
+    * ([[owlCloseCore]]'s chain loop — a self-chain `p∘p ⊑ p` IS
+    * transitivity and stays logarithmic). owl:sameAs is deliberately
+    * separate ([[sameAsCanonicalize]]): identity sets are DATA-sized
+    * and must never reach the driver.
     */
   def owlClosure(triples: DataFrame, typePred: String = "a",
                  tboxCap: Int = 1 << 20): DataFrame =
@@ -1495,7 +1499,12 @@ object ReasonOps {
     *     only ever SCANNED against a broadcast probe, never shuffled
     *     and never re-squared;
     *   - a final inverse/symmetric pass covers the inverses of the new
-    *     closed chains (the same pass-2 fixpoint as [[owlClosure]]).
+    *     closed chains (the same pass-2 fixpoint as [[owlClosure]]);
+    *   - `owl:propertyChainAxiom` conclusions derive SEMINAIVELY
+    *     ([[deriveChainsDelta]]): per body position the newest step
+    *     broadcasts against the streamed closure slices, and each
+    *     round's novel conclusions re-close through the same O(Δ)
+    *     machinery until dry — the closure never re-shuffles.
     *
     * Returns the increment (deduped); fold it into the closure with
     * [[composeIncrement]]. Identity:

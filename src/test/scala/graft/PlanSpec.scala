@@ -387,6 +387,24 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
   }
 
+  "q_owl_chain_delta" should "maintain chain closures broadcast-only" in {
+    // the seminaive chain loop broadcasts the newest step against the
+    // streamed closure slices and pins every intermediate frame, so
+    // the gate's FINAL plan is the artifact scan + broadcast novelty
+    // shapes + the census — the closure never enters a shuffle join
+    val p = finalPlan("q_owl_chain_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_rl_delta" should "maintain restriction closures broadcast-only" in {
+    // same contract: both premise positions of every restriction rule
+    // broadcast their Δ side; the closure only streams
+    val p = finalPlan("q_owl_rl_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
   "q_sameas_delta" should "never re-shuffle the canonicalized corpus" in {
     // incremental sameAs: the corpus enters only as the STREAM side of
     // broadcast anti/semi probes (untouched split) and one broadcast
