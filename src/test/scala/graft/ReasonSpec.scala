@@ -2226,4 +2226,57 @@ class ReasonSpec extends SparkSpec {
       ("x9", "a", "Gold"), ("x9", "a", "Buyer"))
   }
 
+
+  "the encoded-quads reasoning twins" should "match their string twins per graph" in {
+    // one fixture exercises owlRlClosureQuadsEncoded (svf),
+    // owlRlDeltaQuadsEncoded, owlFullClosureQuadsEncoded (trans+svf),
+    // and consistencyReportQuadsEncoded (disjointWith) — ids:
+    // a=2 sc=5 sp=6 dom=7 rng=8 onProp=10 svf=11 avf=12 hv=13
+    // placed=1 Order=3 HasOrder=4 trans=92 inv=90 symm=91 dw=20 Bad=31
+    val rlIds = ReasonOps.RlIds(
+      rdfs = ReasonOps.RdfsIds(5L, 6L, 7L, 8L, 2L),
+      onProperty = 10L, someValuesFrom = 11L, allValuesFrom = 12L,
+      hasValue = 13L)
+    val owlIds = ReasonOps.OwlIds(90L, 91L, 92L, 2L)
+    val tbox = Seq((4L, 10L, 1L), (4L, 11L, 3L), (1L, 2L, 92L),
+      (4L, 20L, 31L)).toDF("s", "p", "o")
+    val q = Seq(
+      (200L, 2L, 3L, 900L), // o1 a Order in g900
+      (100L, 1L, 200L, 900L), // c1 placed o1 in g900
+      (100L, 1L, 200L, 901L), // same edge in g901, but no Order typing
+      (100L, 2L, 31L, 900L) // c1 a Bad in g900 -> disjoint with HasOrder
+    ).toDF("s", "p", "o", "g")
+    def qs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSet
+
+    val rl = qs(ReasonOps.owlRlClosureQuadsEncoded(q, tbox, rlIds))
+    rl should contain ((100L, 2L, 4L, 900L)) // svf fires in g900 only
+    rl.filter(t => t._3 == 4L).map(_._4) shouldBe Set(900L)
+
+    // delta parity: the Order typing for g901 arrives as a batch
+    val d = Seq((200L, 2L, 3L, 901L)).toDF("s", "p", "o", "g")
+    val inc = ReasonOps.owlRlDeltaQuadsEncoded(
+      ReasonOps.owlRlClosureQuadsEncoded(q, tbox, rlIds), d, tbox, rlIds)
+    qs(ReasonOps.composeIncrement(
+      ReasonOps.owlRlClosureQuadsEncoded(q, tbox, rlIds), inc)) shouldBe
+      qs(ReasonOps.owlRlClosureQuadsEncoded(q.unionAll(d), tbox, rlIds))
+
+    // joint fixpoint: placed is transitive; c0 -> c1 -> o1 reaches the
+    // Order only through the property phase, then svf types c0
+    val q2 = q.unionAll(Seq((99L, 1L, 100L, 900L))
+      .toDF("s", "p", "o", "g"))
+    qs(ReasonOps.owlFullClosureQuadsEncoded(q2, tbox, owlIds, rlIds)) should
+      contain ((99L, 2L, 4L, 900L))
+
+    // consistency: HasOrder disjointWith Bad — c1 holds both in g900
+    val closure = ReasonOps.owlRlClosureQuadsEncoded(q, tbox, rlIds)
+    val checkIds = ReasonOps.CheckIds(typePred = 2L,
+      disjointWith = Some(20L))
+    val viol = ReasonOps.consistencyReportQuadsEncoded(closure, tbox,
+      checkIds).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4))).toSet
+    viol shouldBe Set(("cax-dw", 100L, 900L))
+  }
+
 }
