@@ -3275,10 +3275,19 @@ object ReasonOps {
     * that consumes them. Returns (a, b) pairs with a = the group min.
     */
   def functionalIdentityPairs(triples: DataFrame, typePred: String = "a",
-                              tboxCap: Int = 1 << 20): DataFrame = {
+                              tboxCap: Int = 1 << 20): DataFrame =
+    functionalIdentityPairsCore(triples, stringErVoc(typePred), tboxCap)
+
+  /** [[functionalIdentityPairs]] over an ENCODED (long-id) relation. */
+  def functionalIdentityPairsEncoded(encTriples: DataFrame, ids: ErIds,
+                                     tboxCap: Int = 1 << 20): DataFrame =
+    functionalIdentityPairsCore(encTriples, encErVoc(ids), tboxCap)
+
+  private def functionalIdentityPairsCore(triples: DataFrame, voc: ErVoc,
+                                          tboxCap: Int): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    val (fps, ifps) = functionalDecls(t, typePred, tboxCap)
+    val (fps, ifps) = functionalDecls(t, voc, tboxCap)
     starPairsAll(t, fps, ifps)
   }
 
@@ -3291,18 +3300,17 @@ object ReasonOps {
 
   /** Collect + cap the `owl:hasKey` axioms: (class, ordered key
     * properties), lists driver-walked. */
-  private def hasKeyDecls(t: DataFrame, tboxCap: Int)
+  private def hasKeyDecls(t: DataFrame, voc: ErVoc, tboxCap: Int)
       : Seq[(Any, Seq[Any])] = {
-    val hk = Set[Any](HasKey, HasKeyIri)
-    val first = Set[Any](RdfFirst, RdfFirstIri)
-    val rest = Set[Any](RdfRest, RdfRestIri)
-    val nil = Set[Any](RdfNil, RdfNilIri)
-    val rows = t.where(col("p").isin((hk ++ first ++ rest).toSeq: _*))
+    val preds = (voc.hk ++ voc.first ++ voc.rest).toSeq
+    if (voc.hk.isEmpty) return Nil
+    val rows = t.where(col("p").isin(preds: _*))
       .limit(tboxCap + 1).collect()
       .map(r => (r.get(0), r.get(1), r.get(2)))
     require(rows.length <= tboxCap,
       s"owl:hasKey declarations exceed $tboxCap - not schema-shaped")
-    walkRdfLists(rows, hk, first, rest, nil, "owl:hasKey")
+    walkRdfLists(rows, voc.hk, voc.first, voc.rest, voc.nil,
+      "owl:hasKey")
   }
 
   /** The identity pairs IMPLIED by `owl:hasKey` axioms (prp-key): per
@@ -3317,16 +3325,25 @@ object ReasonOps {
     * folds key collisions into its merge-cascade fixpoint.
     */
   def hasKeyIdentityPairs(triples: DataFrame, typePred: String = "a",
-                          tboxCap: Int = 1 << 20): DataFrame = {
+                          tboxCap: Int = 1 << 20): DataFrame =
+    hasKeyIdentityPairsCore(triples, stringErVoc(typePred), tboxCap)
+
+  /** [[hasKeyIdentityPairs]] over an ENCODED (long-id) relation (the
+    * key-list ids ride [[ErIds]]). */
+  def hasKeyIdentityPairsEncoded(encTriples: DataFrame, ids: ErIds,
+                                 tboxCap: Int = 1 << 20): DataFrame =
+    hasKeyIdentityPairsCore(encTriples, encErVoc(ids), tboxCap)
+
+  private def hasKeyIdentityPairsCore(triples: DataFrame, voc: ErVoc,
+                                      tboxCap: Int): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-    hasKeyStarPairs(t, hasKeyDecls(t, tboxCap), typePred)
+    hasKeyStarPairs(t, hasKeyDecls(t, voc, tboxCap), voc)
   }
 
   private def hasKeyStarPairs(t: DataFrame, keys: Seq[(Any, Seq[Any])],
-                              typePred: String): DataFrame = {
-    val ty: Seq[Any] =
-      if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
+                              voc: ErVoc): DataFrame = {
+    val ty: Seq[Any] = voc.ty
     val legs = keys.map { case (cls, props) =>
       var acc = t.where(col("p").isin(ty: _*) && col("o") === cls)
         .select(col("s").as("__x"))
@@ -3351,19 +3368,50 @@ object ReasonOps {
 
   /** Collect + cap the functional / inverse-functional property
     * declarations (schema-sized by contract). */
-  private def functionalDecls(t: DataFrame, typePred: String, tboxCap: Int)
+  /** The entity-resolution vocabulary as ENCODED ids — the production
+    * currency for [[functionalCanonicalizeEncoded]] and friends.
+    * Optional ids simply match no declarations of their kind; the
+    * list ids enable `owl:hasKey`. */
+  final case class ErIds(typePred: Long, sameAs: Long,
+                         functionalProperty: Option[Long] = None,
+                         inverseFunctionalProperty: Option[Long] = None,
+                         hasKey: Option[Long] = None,
+                         listFirst: Option[Long] = None,
+                         listRest: Option[Long] = None,
+                         listNil: Option[Long] = None)
+
+  private final case class ErVoc(ty: Seq[Any], sameAs: Any,
+                                 fp: Set[Any], ifp: Set[Any],
+                                 hk: Set[Any], first: Set[Any],
+                                 rest: Set[Any], nil: Set[Any])
+
+  private def stringErVoc(typePred: String): ErVoc =
+    ErVoc(if (typePred == "a") Seq("a", TypeIri) else Seq(typePred),
+      SameAs, Set[Any](FunctionalProperty),
+      Set[Any](InverseFunctionalProperty),
+      Set[Any](HasKey, HasKeyIri), Set[Any](RdfFirst, RdfFirstIri),
+      Set[Any](RdfRest, RdfRestIri), Set[Any](RdfNil, RdfNilIri))
+
+  private def encErVoc(ids: ErIds): ErVoc =
+    ErVoc(Seq(ids.typePred), ids.sameAs,
+      ids.functionalProperty.toSet[Any],
+      ids.inverseFunctionalProperty.toSet[Any], ids.hasKey.toSet[Any],
+      ids.listFirst.toSet[Any], ids.listRest.toSet[Any],
+      ids.listNil.toSet[Any])
+
+  private def functionalDecls(t: DataFrame, voc: ErVoc, tboxCap: Int)
       : (Seq[Any], Seq[Any]) = {
-    val ty: Seq[Any] =
-      if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
-    val declRows = t.where(col("p").isin(ty: _*) &&
-        col("o").isin(FunctionalProperty, InverseFunctionalProperty))
+    val charObjs = (voc.fp ++ voc.ifp).toSeq
+    if (charObjs.isEmpty) return (Nil, Nil)
+    val declRows = t.where(col("p").isin(voc.ty: _*) &&
+        col("o").isin(charObjs: _*))
       .limit(tboxCap + 1).collect()
     require(declRows.length <= tboxCap,
       s"functional-property declarations exceed $tboxCap - not schema-shaped")
     (declRows.collect {
-        case r if r.get(2) == FunctionalProperty => r.get(0) }.distinct.toSeq,
+        case r if voc.fp(r.get(2)) => r.get(0) }.distinct.toSeq,
       declRows.collect {
-        case r if r.get(2) == InverseFunctionalProperty => r.get(0)
+        case r if voc.ifp(r.get(2)) => r.get(0)
       }.distinct.toSeq)
   }
 
@@ -3416,16 +3464,32 @@ object ReasonOps {
     */
   def functionalCanonicalize(triples: DataFrame, typePred: String = "a",
                              tboxCap: Int = 1 << 20, maxRounds: Int = 8)
+      : (DataFrame, DataFrame) =
+    functionalCanonicalizeCore(triples, stringErVoc(typePred), tboxCap,
+      maxRounds)
+
+  /** [[functionalCanonicalize]] over an ENCODED (long-id) relation —
+    * production-currency entity resolution: the collision groups, the
+    * CC (long min = canonical id), and the corpus rewrite all run on
+    * fixed-width ids; vocabulary as [[ErIds]]. */
+  def functionalCanonicalizeEncoded(encTriples: DataFrame, ids: ErIds,
+                                    tboxCap: Int = 1 << 20,
+                                    maxRounds: Int = 8)
+      : (DataFrame, DataFrame) =
+    functionalCanonicalizeCore(encTriples, encErVoc(ids), tboxCap,
+      maxRounds)
+
+  private def functionalCanonicalizeCore(triples: DataFrame, voc: ErVoc,
+                                         tboxCap: Int, maxRounds: Int)
       : (DataFrame, DataFrame) = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
       .localCheckpoint(true)
-    val (fps, ifps) = functionalDecls(t, typePred, tboxCap)
-    val keys = hasKeyDecls(t, tboxCap)
+    val (fps, ifps) = functionalDecls(t, voc, tboxCap)
+    val keys = hasKeyDecls(t, voc, tboxCap)
     val keyProps = keys.flatMap(_._2).distinct
     val keyClasses = keys.map(_._1).distinct
-    val tySeq: Seq[Any] =
-      if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
+    val tySeq: Seq[Any] = voc.ty
     val declPreds = (fps ++ ifps ++ keyProps).distinct
     // the fixpoint only ever touches the DECLARED properties' slice
     // (plus the key classes' membership rows) — collisions can't
@@ -3440,7 +3504,7 @@ object ReasonOps {
       else t.where((if (declPreds.isEmpty) lit(false)
           else col("p").isin(declPreds: _*)) || keyMemberCond)
         .localCheckpoint(true)
-    val sp0 = t.where(col("p") === SameAs)
+    val sp0 = t.where(col("p") === voc.sameAs)
       .select(col("s").as("a"), col("o").as("b"))
     // explicit identities participate from round 0; when there are none
     // (the common pure-ER corpus) skip their CC entirely
@@ -3461,7 +3525,7 @@ object ReasonOps {
       val pairs = graft.Pins.checkpointLazy(
         if (keys.isEmpty) fpPairs
         else fpPairs.unionAll(
-          hasKeyStarPairs(curSlice, keys, typePred)).distinct())
+          hasKeyStarPairs(curSlice, keys, voc)).distinct())
       if (pairs.isEmpty) done = true
       else {
         // accumulate and re-derive the mapping from ALL pairs: CC
@@ -3474,7 +3538,7 @@ object ReasonOps {
       }
     }
     lastFunctionalRounds.set(round)
-    (applyMapping(t.where(col("p") =!= SameAs), mapping), mapping)
+    (applyMapping(t.where(col("p") =!= voc.sameAs), mapping), mapping)
   }
 
   /** Round count of the most recent [[functionalCanonicalize]] /
@@ -3513,6 +3577,23 @@ object ReasonOps {
                       newTriples: DataFrame, typePred: String = "a",
                       tboxCap: Int = 1 << 20, maxRounds: Int = 8,
                       deltaCap: Option[Long] = None)
+      : (DataFrame, DataFrame) =
+    functionalDeltaCore(rewritten, mapping, newTriples,
+      stringErVoc(typePred), tboxCap, maxRounds, deltaCap)
+
+  /** [[functionalDelta]] over an ENCODED (long-id) relation. */
+  def functionalDeltaEncoded(rewritten: DataFrame, mapping: DataFrame,
+                             newTriples: DataFrame, ids: ErIds,
+                             tboxCap: Int = 1 << 20, maxRounds: Int = 8,
+                             deltaCap: Option[Long] = None)
+      : (DataFrame, DataFrame) =
+    functionalDeltaCore(rewritten, mapping, newTriples, encErVoc(ids),
+      tboxCap, maxRounds, deltaCap)
+
+  private def functionalDeltaCore(rewritten: DataFrame, mapping: DataFrame,
+                                  newTriples: DataFrame, voc: ErVoc,
+                                  tboxCap: Int, maxRounds: Int,
+                                  deltaCap: Option[Long])
       : (DataFrame, DataFrame) = {
     val Seq(cs, cp, co) = newTriples.columns.take(3).toSeq
     val d0 = pinCapped(
@@ -3526,11 +3607,11 @@ object ReasonOps {
     var mp = mapping.select(col(mCols.head).as("member"),
       col(mCols(1)).as("canon"))
     // declarations ride the canonicalized corpus; NEW ones fail fast
-    val (fps, ifps) = functionalDecls(r, typePred, tboxCap)
-    val ty: Seq[Any] =
-      if (typePred == "a") Seq("a", TypeIri) else Seq(typePred)
-    require(d0.where(col("p").isin(ty: _*) &&
-        col("o").isin(FunctionalProperty, InverseFunctionalProperty)).isEmpty,
+    val (fps, ifps) = functionalDecls(r, voc, tboxCap)
+    val ty: Seq[Any] = voc.ty
+    val charObjs = (voc.fp ++ voc.ifp).toSeq
+    require(charObjs.isEmpty || d0.where(col("p").isin(ty: _*) &&
+        col("o").isin(charObjs: _*)).isEmpty,
       "delta contains functional-property declarations - schema changes " +
         "require re-canonicalization (functionalCanonicalize), not " +
         "incremental maintenance")
@@ -3538,15 +3619,16 @@ object ReasonOps {
     // subset of the key tuple arriving across batches, so incremental
     // maintenance under owl:hasKey would silently under-merge —
     // re-canonicalize instead
-    require(hasKeyDecls(r, tboxCap).isEmpty &&
-        d0.where(col("p").isin(HasKey, HasKeyIri)).isEmpty,
+    require(hasKeyDecls(r, voc, tboxCap).isEmpty &&
+        (voc.hk.isEmpty ||
+          d0.where(col("p").isin(voc.hk.toSeq: _*)).isEmpty),
       "owl:hasKey axioms present - composite-key resolution requires " +
         "re-canonicalization (functionalCanonicalize), not incremental " +
         "maintenance")
     // resolve every delta term through the existing mapping (Δ probes
     // broadcast; the data-sized mapping only streams)
-    val dSame0 = d0.where(col("p") === SameAs)
-    val dRest = d0.where(col("p") =!= SameAs)
+    val dSame0 = d0.where(col("p") === voc.sameAs)
+    val dRest = d0.where(col("p") =!= voc.sameAs)
     val terms = dRest.select(col("s").as("term"))
       .unionAll(dRest.select(col("o").as("term")))
       .unionAll(dSame0.select(col("s").as("term")))

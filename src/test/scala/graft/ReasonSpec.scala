@@ -2279,4 +2279,53 @@ class ReasonSpec extends SparkSpec {
     viol shouldBe Set(("cax-dw", 100L, 900L))
   }
 
+
+  "the encoded entity-resolution twins" should "canonicalize, cascade, and maintain on fixed-width ids" in {
+    // ids: a=2 sameAs=50 ifp=51 fp=52 hasKey=53 first=54 rest=55 nil=56
+    // props: ssn=60 acct=61 city=62 / key list node=300
+    // round 1: 100,101 collide on the inverse-functional ssn; round 2:
+    // the merged SUBJECT holds acct values 800 and 801, so the
+    // functional acct merges the VALUES — and 102's acct row rewrites
+    // through the value merge
+    val ids = ReasonOps.ErIds(typePred = 2L, sameAs = 50L,
+      functionalProperty = Some(52L), inverseFunctionalProperty = Some(51L),
+      hasKey = Some(53L), listFirst = Some(54L), listRest = Some(55L),
+      listNil = Some(56L))
+    val base = Seq(
+      (60L, 2L, 51L), (61L, 2L, 52L),
+      (100L, 60L, 900L), (101L, 60L, 900L),
+      (100L, 61L, 800L), (101L, 61L, 801L),
+      (102L, 61L, 801L), (103L, 61L, 802L))
+    val (rw, mp) = ReasonOps.functionalCanonicalizeEncoded(
+      base.toDF("s", "p", "o"), ids)
+    val m = mp.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    m(101L) shouldBe 100L // long min is the canonical id
+    m(801L) shouldBe 800L // the round-2 value merge
+    rw.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet should contain ((102L, 61L, 800L))
+    ReasonOps.lastFunctionalRounds.get() should be >= 2L
+
+    // O(Δ) twin: a fresh ssn collision folds in incrementally
+    val (rw2, mp2) = ReasonOps.functionalDeltaEncoded(rw, mp,
+      Seq((104L, 60L, 900L)).toDF("s", "p", "o"), ids)
+    val m2 = mp2.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    m2(104L) shouldBe 100L
+    // parity with a from-scratch re-canonicalization
+    val (rwAll, _) = ReasonOps.functionalCanonicalizeEncoded(
+      (base :+ (104L, 60L, 900L)).toDF("s", "p", "o"), ids)
+    rw2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet shouldBe
+      rwAll.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+
+    // hasKey on ids: class 70, key (city) — 200/201 share city 700
+    val keyed = Seq(
+      (70L, 53L, 300L), (300L, 54L, 62L), (300L, 55L, 56L),
+      (200L, 2L, 70L), (201L, 2L, 70L), (202L, 2L, 70L),
+      (200L, 62L, 700L), (201L, 62L, 700L), (202L, 62L, 701L))
+    ReasonOps.hasKeyIdentityPairsEncoded(keyed.toDF("s", "p", "o"), ids)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((200L, 201L))
+  }
+
 }
