@@ -1415,6 +1415,15 @@ object ReasonOps {
     * unlisted transitive slices are under-derived — the price of
     * skipping their fixpoints. Empty `patternPreds` (the default)
     * closes everything and is exact everywhere.
+    *
+    * CHAIN-AXIOM CAVEAT (documented): when [[chainsNeeded]] leaves any
+    * `owl:propertyChainAxiom` observable, the chain fixpoint cannot be
+    * expressed lazily (its convergence is count-driven), so
+    * construction runs the closure EAGERLY — the returned relation is
+    * then materialization-shaped, not query-time-lazy. Pass
+    * `patternPreds` that avoid every chain head (and head-inverse) to
+    * keep the lazy contract, or materialize with [[owlClosure]] + an
+    * artifact when chain heads are genuinely queried.
     */
   def owlEntailed(triples: DataFrame, typePred: String = "a",
                   tboxCap: Int = 1 << 20,
@@ -1551,6 +1560,29 @@ object ReasonOps {
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
       deltaCap, hasGraph = true, encChainVoc(ids))
 
+  /** The declaration filter the property-family maintenance guards
+    * share: inverse/symmetric/transitive declarations and chain-axiom
+    * rows always match; the rdf:first/rdf:rest list-cell predicates
+    * match only under `chainsDeclared` (a cell can then extend an
+    * existing axiom's body across the batch boundary — without any
+    * declared chain there is no body to extend, and list cells are
+    * ordinary ABox data). */
+  private def owlDeltaDeclCond(inverseOf: Any, symmetricProperty: Any,
+                               transitiveProperty: Any, typePred: Any,
+                               chainVoc: ChainVoc, chainsDeclared: Boolean)
+      : org.apache.spark.sql.Column = {
+    val axiomPreds = chainVoc.pca.toSeq
+    val listPreds = (chainVoc.first ++ chainVoc.rest).toSeq
+    val axiomCond = if (axiomPreds.isEmpty) lit(false)
+      else col("p").isin(axiomPreds: _*)
+    val listCond = if (!chainsDeclared || listPreds.isEmpty) lit(false)
+      else col("p").isin(listPreds: _*)
+    col("p") === inverseOf ||
+      (col("p") === typePred &&
+        col("o").isin(symmetricProperty, transitiveProperty)) ||
+      axiomCond || listCond
+  }
+
   private def owlDeltaCore(closure: DataFrame, delta: DataFrame,
                            tboxSource: DataFrame, inverseOf: Any,
                            symmetricProperty: Any, transitiveProperty: Any,
@@ -1564,22 +1596,23 @@ object ReasonOps {
         .map { case (c, n) => col(c).as(n) }: _*)
     val remat = if (hasGraph) "owlClosureQuads" else "owlClosure"
     val d0 = pinCapped(norm(delta), deltaCap, "owlDelta increment", remat)
-    val chainDeclPreds = chainVoc.declPreds
-    val chainDeclCond = if (chainDeclPreds.isEmpty) lit(false)
-      else col("p").isin(chainDeclPreds: _*)
-    require(d0.where(col("p") === inverseOf ||
-        (col("p") === typePred &&
-          col("o").isin(symmetricProperty, transitiveProperty)) ||
-        chainDeclCond).isEmpty,
-      "delta contains OWL property declarations - schema changes require " +
-        s"re-materialization ($remat), not incremental maintenance")
     val (inv, sym, trans, chains) = owlDecls(tboxSource, inverseOf,
       symmetricProperty, transitiveProperty, typePred, tboxCap, chainVoc)
+    // schema guard: chain-axiom rows always reject; rdf:first/rdf:rest
+    // CELLS reject only when the TBox actually carries chain axioms (a
+    // list cell could then extend an existing axiom's body) — ordinary
+    // rdf:list ABox data in a chain-free corpus maintains incrementally
+    require(d0.where(owlDeltaDeclCond(inverseOf, symmetricProperty,
+        transitiveProperty, typePred, chainVoc, chains.nonEmpty)).isEmpty,
+      "delta contains OWL property declarations (or, under declared " +
+        "owl:propertyChainAxiom schemas, rdf:first/rdf:rest list cells " +
+        "that could extend an axiom body) - schema changes require " +
+        s"re-materialization ($remat), not incremental maintenance")
     val e = norm(closure)
     val inc0 = pinCapped(
       owlDeltaStep(e, d0, inv, sym, trans, hasGraph, deltaCap, remat),
       deltaCap, "owlDelta increment (closed)", remat)
-    if (chains.isEmpty) return inc0
+    if (chains.isEmpty) { lastChainRounds.set(0); return inc0 }
     // chain outer loop, seminaive: every chain conclusion not yet
     // derived has at least one premise in the newest step, so each
     // round derives [[deriveChainsDelta]] over (Δ-broadcast × streamed
@@ -1595,7 +1628,8 @@ object ReasonOps {
       round += 1
       require(round <= maxRounds, "owlDelta property-chain loop did not " +
         s"converge in $maxRounds rounds — re-materialize ($remat)")
-      val chainNew = deriveChainsDelta(updated, dcur, chains, hasGraph)
+      val chainNew = deriveChainsDelta(updated, dcur, chains, hasGraph,
+        deltaCap, remat)
       val novel = pinCapped(
         incrementNovel(updated, chainNew.distinct(), deltaCap),
         deltaCap, "owlDelta chain conclusions", remat)
@@ -1620,11 +1654,19 @@ object ReasonOps {
     * BROADCASTS and extends right then left through the accumulated
     * relation's streamed property slices — every conclusion with ≥1
     * premise in `dcur` is derived, the closure never shuffles, and the
-    * accumulated probe stays Δ·fan-in-sized (capped by the caller).
+    * accumulated probe stays Δ·fan-in-sized. The FIRST probe of each
+    * variant is a filtered slice of the (already caller-pinned) `dcur`
+    * and inherits its cap for free; every SUBSEQUENT probe is a
+    * Δ × closure join result whose size grows with chain fan-out, so
+    * it re-enters [[pinCapped]] before re-broadcasting — the same
+    * discipline as [[owlDeltaStep]]'s dEdges/bridge/bPlus frames (and
+    * zero extra jobs for the common 2-element chain bodies, whose one
+    * extension result is never re-broadcast).
     */
   private def deriveChainsDelta(all: DataFrame, dcur: DataFrame,
                                 chains: Seq[(Any, Seq[Any])],
-                                hasGraph: Boolean): DataFrame = {
+                                hasGraph: Boolean, deltaCap: Option[Long],
+                                remat: String): DataFrame = {
     val gsel = if (hasGraph) Seq(col("g")) else Nil
     val probeNames =
       Seq("__pa", "__pb") ++ (if (hasGraph) Seq("__pg") else Nil)
@@ -1635,21 +1677,30 @@ object ReasonOps {
     } yield {
       var acc = dcur.where(col("p") === body(j))
         .select(Seq(col("s").as("__ca"), col("o").as("__cb")) ++ gsel: _*)
+      var joined = false
+      def probeOf(a: DataFrame): DataFrame = {
+        val capped = if (joined)
+          pinCapped(a, deltaCap, "owlDelta chain hop probe", remat)
+        else a
+        capped.toDF(probeNames: _*)
+      }
       for (i <- j + 1 until body.length) {
-        val probe = acc.toDF(probeNames: _*)
+        val probe = probeOf(acc)
         acc = all.where(col("p") === body(i))
           .join(broadcast(probe),
             (Seq(col("s") === col("__pb")) ++ gEqP).reduce(_ && _))
           .select(Seq(col("__pa").as("__ca"),
             col("o").as("__cb")) ++ gsel: _*)
+        joined = true
       }
       for (i <- (j - 1) to 0 by -1) {
-        val probe = acc.toDF(probeNames: _*)
+        val probe = probeOf(acc)
         acc = all.where(col("p") === body(i))
           .join(broadcast(probe),
             (Seq(col("o") === col("__pa")) ++ gEqP).reduce(_ && _))
           .select(Seq(col("s").as("__ca"),
             col("__pb").as("__cb")) ++ gsel: _*)
+        joined = true
       }
       acc.select(Seq(col("__ca").as("s"), lit(head).as("p"),
         col("__cb").as("o")) ++ gsel: _*)
@@ -1738,6 +1789,16 @@ object ReasonOps {
     *      survive through their underlying direction); the closure
     *      streams through ONE broadcast anti-join.
     *
+    * CHAIN-AXIOM DEGRADATION (documented, the [[functionalDelta]]
+    * hasKey analog): when the TBox declares any
+    * `owl:propertyChainAxiom`, DRed's per-property path-reroute frontier
+    * no longer covers the multi-premise chain rules, so this op falls
+    * back to RE-MATERIALIZING the remaining base ([[owlClosure]] of
+    * `base − deletions`) — always correct, but O(closure) per deletion
+    * batch rather than O(Δ). Callers maintaining chain-bearing corpora
+    * under heavy deletes should batch deletions accordingly;
+    * [[lastRetractRematerialized]] reports which path ran.
+    *
     * Returns the maintained closure, set-equal to
     * `owlClosure(base − deletions)`.
     */
@@ -1785,6 +1846,13 @@ object ReasonOps {
       ids.symmetricProperty, ids.transitiveProperty, ids.typePred, tboxCap,
       maxRounds, deltaCap, hasGraph = true, encChainVoc(ids))
 
+  /** Whether the most recent [[owlRetract]] (any variant) took the
+    * documented re-materialization fallback (chain axioms declared, or
+    * frontier non-convergence) instead of the O(Δ) DRed path —
+    * telemetry for callers watching maintenance cost. */
+  private[graft] val lastRetractRematerialized =
+    new java.util.concurrent.atomic.AtomicBoolean(false)
+
   /** Control-flow escape for the survivor frontier: thrown (stackless)
     * when the fixpoint exceeds `maxRounds`, caught by the core to FALL
     * BACK to re-materializing the remaining base — always correct, just
@@ -1818,25 +1886,25 @@ object ReasonOps {
         "left_anti")
     }
     val del = pinCapped(norm(deletions), deltaCap, "retraction set", remat)
-    val chainDeclPreds = chainVoc.declPreds
-    val chainDeclCond = if (chainDeclPreds.isEmpty) lit(false)
-      else col("p").isin(chainDeclPreds: _*)
-    require(del.where(col("p") === inverseOf ||
-        (col("p") === typePred &&
-          col("o").isin(symmetricProperty, transitiveProperty)) ||
-        chainDeclCond).isEmpty,
-      "deletions contain OWL property declarations - schema changes " +
-        s"require re-materialization ($remat), not incremental retraction")
     val (inv, sym, trans, chains) = owlDecls(tboxSource, inverseOf,
       symmetricProperty, transitiveProperty, typePred, tboxCap, chainVoc)
+    // same conditional list-cell scope as owlDeltaCore's guard
+    require(del.where(owlDeltaDeclCond(inverseOf, symmetricProperty,
+        transitiveProperty, typePred, chainVoc, chains.nonEmpty)).isEmpty,
+      "deletions contain OWL property declarations (or, under declared " +
+        "owl:propertyChainAxiom schemas, rdf:first/rdf:rest list cells) " +
+        s"- schema changes require re-materialization ($remat), not " +
+        "incremental retraction")
     val e = norm(closure)
     val baseRem = rowAnti(norm(base), del)
     // DRed under chain axioms needs per-conclusion premise provenance
     // (a multi-premise rule's over-delete/re-derive frontier is no
     // longer a per-property path reroute) — deliberately re-materialize
     // the remaining base instead: always correct, the same sound
-    // fallback as frontier non-convergence below. Incremental
-    // chain-aware retraction is a future-work surface.
+    // fallback as frontier non-convergence below, and DOCUMENTED in the
+    // public scaladoc (+ lastRetractRematerialized telemetry).
+    // Incremental chain-aware retraction is a future-work surface.
+    lastRetractRematerialized.set(chains.nonEmpty)
     if (chains.nonEmpty)
       return owlCloseCore(baseRem, inv, sym, trans, hasGraph, chains)
     // the frontier-size fallback check below must honor the same
@@ -1972,6 +2040,7 @@ object ReasonOps {
         // adversarial reroute structure (survivor paths crossing more
         // than 2^maxRounds segments): re-close the remaining base —
         // always correct, one full materialization instead of a failure
+        lastRetractRematerialized.set(true)
         owlCloseCore(baseRem, inv, sym, trans, hasGraph)
     }
   }
@@ -2424,19 +2493,29 @@ object ReasonOps {
         .map { case (c, n) => col(c).as(n) }: _*)
     val remat = if (hasGraph) "owlRlClosureQuads" else "owlRlClosure"
     val d0 = pinCapped(norm(delta), deltaCap, "owlRlDelta increment", remat)
+    // restriction/intersection/union axiom rows always reject; the
+    // rdf:first/rdf:rest list-cell predicates reject only when the TBox
+    // actually carries boolean class expressions (a cell could then
+    // extend an existing conjunct/disjunct list) — plain rdf:list ABox
+    // data in a boolean-free corpus maintains incrementally
+    val listDeclared = schema.inters.nonEmpty || schema.unions.nonEmpty
     val declPreds =
-      (voc.declPreds ++ voc.int ++ voc.uni ++ voc.first ++ voc.rest)
+      ((voc.declPreds ++ voc.int ++ voc.uni) ++
+        (if (listDeclared) (voc.first ++ voc.rest).toSeq else Nil))
         .distinct
     require(declPreds.isEmpty ||
       d0.where(col("p").isin(declPreds: _*)).isEmpty,
-      "delta contains owl:Restriction declarations - schema changes " +
-        s"require re-materialization ($remat), not incremental maintenance")
+      "delta contains owl:Restriction/boolean-class declarations (or, " +
+        "under declared intersectionOf/unionOf schemas, rdf:first/" +
+        "rdf:rest list cells that could extend a conjunct list) - " +
+        s"schema changes require re-materialization ($remat), not " +
+        "incremental maintenance")
     val e = norm(closure)
     // seed: the rdfs increment of the batch (single-premise rules; its
     // own declaration guard fails fast on rdfs TBox rows in the delta)
     val inc0 = pinCapped(norm(rdfsDeltaFn(d0)).distinct(), deltaCap,
       "owlRlDelta rdfs seed", remat)
-    if (schema.isEmpty) return inc0
+    if (schema.isEmpty) { lastRlRounds.set(0); return inc0 }
     var updated = e.unionAll(inc0)
     var dcur = inc0
     var total = inc0

@@ -1627,6 +1627,52 @@ class ReasonSpec extends SparkSpec {
       .getMessage should include ("re-materialization")
   }
 
+  it should "scope the list-cell guard to chain-bearing TBoxes" in {
+    // plain rdf:list ABox data (a cell without any declared chain) is
+    // NOT schema: the chain-free delta path maintains it incrementally
+    val tbox = Seq(("trans", "a", ReasonOps.TransitiveProperty)).toDF("s", "p", "o")
+    val base = Seq(("trans", "a", ReasonOps.TransitiveProperty), ("a", "trans", "b"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+    val listDelta = Seq(("_:l0", "rdf:first", "x"),
+      ("_:l0", "rdf:rest", "rdf:nil"), ("b", "trans", "c"))
+      .toDF("s", "p", "o")
+    val got = tset(ReasonOps.composeIncrement(closure,
+      ReasonOps.owlDelta(closure, listDelta, tbox)))
+    got shouldBe tset(ReasonOps.owlClosure(
+      (base ++ Seq(("_:l0", "rdf:first", "x"),
+        ("_:l0", "rdf:rest", "rdf:nil"), ("b", "trans", "c")))
+        .toDF("s", "p", "o")))
+    // under a DECLARED chain the same cells stay schema-guarded (they
+    // could extend an axiom body across the batch boundary)
+    val ctbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
+    val cclosure = ReasonOps.owlClosure(
+      (chainAxiom("grand", Seq("par", "par")) ++ Seq(("a", "par", "b")))
+        .toDF("s", "p", "o"))
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.owlDelta(cclosure,
+        Seq(("_:l9", "rdf:first", "par")).toDF("s", "p", "o"), ctbox)
+        .count())
+      .getMessage should include ("list cells")
+  }
+
+  it should "report the re-materialization fallback via telemetry" in {
+    val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
+    val base = chainAxiom("grand", Seq("par", "par")) ++ Seq(
+      ("a", "par", "b"), ("b", "par", "c"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+    ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
+      Seq(("b", "par", "c")).toDF("s", "p", "o"), tbox).count()
+    ReasonOps.lastRetractRematerialized.get() shouldBe true
+    // chain-free retraction takes the O(Δ) DRed path
+    val tbox2 = Seq(("trans", "a", ReasonOps.TransitiveProperty)).toDF("s", "p", "o")
+    val base2 = Seq(("trans", "a", ReasonOps.TransitiveProperty), ("a", "trans", "b"),
+      ("b", "trans", "c"))
+    val closure2 = ReasonOps.owlClosure(base2.toDF("s", "p", "o"))
+    ReasonOps.owlRetract(closure2, base2.toDF("s", "p", "o"),
+      Seq(("b", "trans", "c")).toDF("s", "p", "o"), tbox2).count()
+    ReasonOps.lastRetractRematerialized.get() shouldBe false
+  }
+
   "ReasonOps.owlRetract property chains" should "re-materialize to the exact remaining closure" in {
     val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
     val base = chainAxiom("grand", Seq("par", "par")) ++ Seq(
