@@ -3093,6 +3093,55 @@ object SparkEntry {
       .orderBy("p", "cls")
   }
 
+  /** The O(Δ) maintenance twin of [[owlFullQ]]
+    * ([[ReasonOps.owlFullDelta]]): the located spine (nations →
+    * regions → world) reaches a JOINT fixpoint as a session artifact,
+    * then the HQ memberships arrive as a batch — the increment must
+    * run class → property → class (hasValue emits each HQ customer's
+    * located edge, the transitive phase extends it through the
+    * EXISTING spine to `world`, someValuesFrom then types the customer
+    * `Reaches` through the extended edge), all against streamed
+    * accumulators with Δ-broadcasts only. `n_inc` pins exactly the
+    * novel rows, so a re-materialization (double count) or an
+    * under-derived increment (missing cross-family feed) breaks the
+    * hash.
+    */
+  private def owlFullDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val na = t(s, d, "nation")
+    val re = t(s, d, "region")
+    val cu = t(s, d, "customer")
+    val nk = concat(lit("nation:"), col("n_nationkey"))
+    val cck = concat(lit("customer:"), col("c_custkey"))
+    val tbox = s.createDataFrame(Seq(
+      ("world", "a", "Place"),
+      ("located", "a", TransitiveProperty),
+      ("Reaches", OnProperty, "located"),
+      ("Reaches", SomeValuesFrom, "Place"),
+      ("HQ", OnProperty, "located"),
+      ("HQ", HasValue, "nation:0"))).toDF("s", "p", "o")
+    val base = na.select(nk.as("s"), lit("located").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o"))
+      .unionAll(re.select(concat(lit("region:"), col("r_regionkey")).as("s"),
+        lit("located").as("p"), lit("world").as("o")))
+      .unionAll(tbox)
+    val closure = GraftStore.reasonArtifact(s, d, "owl_full_base") {
+      ReasonOps.owlFullClosure(base)
+    }
+    val delta = cu.where(col("c_custkey") % 10 === 0)
+      .select(cck.as("s"), lit("a").as("p"), lit("HQ").as("o"))
+    val inc = ReasonOps.owlFullDelta(closure, delta, tbox)
+    val fresh = ReasonOps.incrementNovel(closure, inc)
+    closure.withColumn("inc", lit(0L))
+      .unionAll(fresh.withColumn("inc", lit(1L)))
+      .groupBy(col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"), sum("inc").as("n_inc"))
+      .orderBy("p", "cls")
+  }
+
   /** The [[owlFullQ]] fixture queried through the SPARQL ENGINE: the
     * joint property+class closure is just a relation, so the full
     * query surface (BGP join, aggregation, ORDER) runs over entailed
@@ -4492,6 +4541,7 @@ object SparkEntry {
     "q_owl_rl_quads" -> (owlRlQuadsQ _),
     "q_owl_rl_delta" -> (owlRlDeltaQ _),
     "q_owl_full" -> (owlFullQ _),
+    "q_owl_full_delta" -> (owlFullDeltaQ _),
     "q_consistency" -> (consistencyQ _),
     "q_owl_full_sparql" -> (owlFullSparqlQ _),
     "q_owl_haskey" -> (owlHasKeyQ _),
@@ -5642,6 +5692,65 @@ object SparkEntry {
         |       count(DISTINCT o) AS no
         |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
+  /** Joint-maintenance census: the [[owlFullOracle]] replay plus
+    * `n_inc` = rows the HQ batch genuinely ADDED over the spine-only
+    * joint closure (the base derives only the nation/region located
+    * extensions and their Reaches memberships — every customer row is
+    * increment).
+    */
+  private val owlFullDeltaOracle =
+    """WITH full_tb(s, p, o) AS (VALUES
+        |  ('located','a','http://www.w3.org/2002/07/owl#TransitiveProperty'),
+        |  ('Reaches','owl:onProperty','located'),
+        |  ('Reaches','owl:someValuesFrom','Place'),
+        |  ('HQ','owl:onProperty','located'),
+        |  ('HQ','owl:hasValue','nation:0'),
+        |  ('world','a','Place')),
+        |r0 AS (SELECT 'region:'||n_regionkey AS r FROM nation
+        |       WHERE n_nationkey = 0),
+        |cl AS (
+        |  SELECT s, p, o FROM full_tb
+        |  UNION SELECT 'nation:'||n_nationkey, 'located',
+        |        'region:'||n_regionkey FROM nation
+        |  UNION SELECT 'nation:'||n_nationkey, 'located', 'world'
+        |        FROM nation
+        |  UNION SELECT 'region:'||r_regionkey, 'located', 'world'
+        |        FROM region
+        |  UNION SELECT 'customer:'||c_custkey, 'located', 'nation:0'
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'located',
+        |        (SELECT r FROM r0)
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'located', 'world'
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'HQ'
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'customer:'||c_custkey, 'a', 'Reaches'
+        |        FROM customer WHERE c_custkey % 10 = 0
+        |  UNION SELECT 'nation:'||n_nationkey, 'a', 'Reaches' FROM nation
+        |  UNION SELECT 'region:'||r_regionkey, 'a', 'Reaches' FROM region),
+        |clb AS (
+        |  SELECT s, p, o FROM full_tb
+        |  UNION SELECT 'nation:'||n_nationkey, 'located',
+        |        'region:'||n_regionkey FROM nation
+        |  UNION SELECT 'nation:'||n_nationkey, 'located', 'world'
+        |        FROM nation
+        |  UNION SELECT 'region:'||r_regionkey, 'located', 'world'
+        |        FROM region
+        |  UNION SELECT 'nation:'||n_nationkey, 'a', 'Reaches' FROM nation
+        |  UNION SELECT 'region:'||r_regionkey, 'a', 'Reaches' FROM region),
+        |f AS (SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |             count(*) AS n, count(DISTINCT s) AS ns,
+        |             count(DISTINCT o) AS no
+        |      FROM cl GROUP BY 1, 2),
+        |bb AS (SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |              count(*) AS nb
+        |       FROM clb GROUP BY 1, 2)
+        |SELECT f.p, f.cls, f.n, f.ns, f.no,
+        |       f.n - COALESCE(bb.nb, 0) AS n_inc
+        |FROM f LEFT JOIN bb ON f.p = bb.p AND f.cls = bb.cls
+        |ORDER BY f.p, f.cls""".stripMargin
+
   /** World-reachers by type: HQ = the hasValue-seeded customers;
     * Reaches = every nation + region + HQ customer (all reach `world`
     * only through the joint fixpoint). */
@@ -6600,6 +6709,7 @@ object SparkEntry {
     "q_owl_rl_quads" -> owlRlQuadsOracle,
     "q_owl_rl_delta" -> owlRlDeltaOracle,
     "q_owl_full" -> owlFullOracle,
+    "q_owl_full_delta" -> owlFullDeltaOracle,
     "q_consistency" -> consistencyOracle,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,

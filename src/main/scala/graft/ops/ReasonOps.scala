@@ -2885,8 +2885,10 @@ object ReasonOps {
     * until the row count stabilizes IS the least fixpoint; rounds
     * track cross-family feeding depth ([[lastFullRounds]]) — 2 for
     * corpora where the families never feed each other (the second
-    * round just confirms). Materialization-shaped; maintain by
-    * re-running (the per-family O(Δ) twins do not cross families).
+    * round just confirms). Insert maintenance has an O(Δ) twin that
+    * alternates the family deltas until dry ([[owlFullDelta]], plus
+    * the streaming [[owlFullMaintainStream]]); retraction re-runs this
+    * closure over the remaining base.
     */
   def owlFullClosure(triples: DataFrame, typePred: String = "a",
                      tboxCap: Int = 1 << 20, maxRounds: Int = 8)
@@ -2942,6 +2944,173 @@ object ReasonOps {
       df => owlRlClosureQuadsEncoded(df, tboxSource, rlIds, tboxCap),
       maxRounds)
   }
+
+  /** INCREMENTAL maintenance of the JOINT property+class closure — the
+    * O(Δ) twin of [[owlFullClosure]], closing the maintenance matrix's
+    * last cell: fold a batch of new edges into a jointly-closed corpus
+    * without re-running either family's full fixpoint.
+    *
+    * The batch alternates the two PROVEN family deltas over one
+    * increment until dry, which is [[owlFullClosure]]'s own least-
+    * fixpoint argument applied to increments:
+    *
+    *   - the PROPERTY phase runs [[owlDelta]] against the property-
+    *     closed accumulator (novel rows only, via [[incrementNovel]]);
+    *     its conclusions become pending input for the class family;
+    *   - the CLASS phase runs [[owlRlDelta]] against the RL-closed
+    *     accumulator; its novel conclusions feed back to the property
+    *     family (a hasValue-emitted edge extending a transitive chain,
+    *     a chain-derived edge satisfying a someValuesFrom premise);
+    *   - TWO accumulators, one per family: after a property phase the
+    *     property accumulator is exactly propertyClosure(previous ∪
+    *     pending) — the precondition the next [[owlDelta]] call needs —
+    *     and symmetrically for the class side; the corpus-sized frames
+    *     only ever stream against Δ-broadcasts (each family's own
+    *     discipline), every pending/novel frame is `pinCapped`, and
+    *     rounds track cross-family feeding depth ([[lastFullRounds]]),
+    *     not rows.
+    *
+    * Declarations in the delta fail fast through each family's own
+    * guard (schema change → re-materialize with [[owlFullClosure]]).
+    * Returns the increment (deduped); fold with [[composeIncrement]].
+    * Identity: `owlFullClosure(base ∪ Δ) ==
+    * composeIncrement(owlFullClosure(base), owlFullDelta(closure, Δ, tbox))`.
+    */
+  def owlFullDelta(closure: DataFrame, delta: DataFrame,
+                   tboxSource: DataFrame, typePred: String = "a",
+                   tboxCap: Int = 1 << 20, deltaCap: Option[Long] = None,
+                   maxRounds: Int = 8): DataFrame =
+    owlFullDeltaCore(closure, delta, hasGraph = false,
+      (acc, d) => owlDelta(acc, d, tboxSource, typePred, tboxCap, deltaCap),
+      (acc, d) => owlRlDelta(acc, d, tboxSource, typePred, tboxCap,
+        deltaCap),
+      deltaCap, maxRounds, "owlFullClosure")
+
+  /** [[owlFullDelta]] over ENCODED (long-id) relations. */
+  def owlFullDeltaEncoded(closure: DataFrame, delta: DataFrame,
+                          tboxSource: DataFrame, owlIds: OwlIds,
+                          rlIds: RlIds, tboxCap: Int = 1 << 20,
+                          deltaCap: Option[Long] = None,
+                          maxRounds: Int = 8): DataFrame =
+    owlFullDeltaCore(closure, delta, hasGraph = false,
+      (acc, d) => owlDeltaEncoded(acc, d, tboxSource, owlIds, tboxCap,
+        deltaCap),
+      (acc, d) => owlRlDeltaEncoded(acc, d, tboxSource, rlIds, tboxCap,
+        deltaCap),
+      deltaCap, maxRounds, "owlFullClosureEncoded")
+
+  /** [[owlFullDelta]] over a NAMED-GRAPH quad dataset — per-graph O(Δ)
+    * maintenance of [[owlFullClosureQuads]] (each family's quad delta
+    * keys every join on the graph column). */
+  def owlFullDeltaQuads(closure: DataFrame, delta: DataFrame,
+                        tboxSource: DataFrame, typePred: String = "a",
+                        tboxCap: Int = 1 << 20,
+                        deltaCap: Option[Long] = None,
+                        maxRounds: Int = 8): DataFrame =
+    owlFullDeltaCore(closure, delta, hasGraph = true,
+      (acc, d) => owlDeltaQuads(acc, d, tboxSource, typePred, tboxCap,
+        deltaCap),
+      (acc, d) => owlRlDeltaQuads(acc, d, tboxSource, typePred, tboxCap,
+        deltaCap),
+      deltaCap, maxRounds, "owlFullClosureQuads")
+
+  /** [[owlFullDeltaQuads]] over ENCODED (long-id) quad relations. */
+  def owlFullDeltaQuadsEncoded(closure: DataFrame, delta: DataFrame,
+                               tboxSource: DataFrame, owlIds: OwlIds,
+                               rlIds: RlIds, tboxCap: Int = 1 << 20,
+                               deltaCap: Option[Long] = None,
+                               maxRounds: Int = 8): DataFrame =
+    owlFullDeltaCore(closure, delta, hasGraph = true,
+      (acc, d) => owlDeltaQuadsEncoded(acc, d, tboxSource, owlIds,
+        tboxCap, deltaCap),
+      (acc, d) => owlRlDeltaQuadsEncoded(acc, d, tboxSource, rlIds,
+        tboxCap, deltaCap),
+      deltaCap, maxRounds, "owlFullClosureQuadsEncoded")
+
+  private def owlFullDeltaCore(closure: DataFrame, delta: DataFrame,
+                               hasGraph: Boolean,
+                               propDelta: (DataFrame, DataFrame) => DataFrame,
+                               classDelta: (DataFrame, DataFrame) => DataFrame,
+                               deltaCap: Option[Long], maxRounds: Int,
+                               remat: String): DataFrame = {
+    val width = if (hasGraph) 4 else 3
+    val names = Seq("s", "p", "o", "g").take(width)
+    def norm(df: DataFrame): DataFrame =
+      df.select(df.columns.take(width).toSeq.zip(names)
+        .map { case (c, n) => col(c).as(n) }: _*)
+    val d0 = pinCapped(norm(delta).distinct(), deltaCap,
+      "owlFullDelta increment", remat)
+    // two family-closed accumulators over the SAME joint closure: the
+    // joint fixpoint is closed under both families, so each starts
+    // valid for its family's delta precondition
+    var accP = norm(closure)
+    var accC = norm(closure)
+    var dP: Option[DataFrame] = Some(d0) // pending property-family input
+    var dC: Option[DataFrame] = Some(d0) // pending class-family input
+    val novels = scala.collection.mutable.ListBuffer[DataFrame]()
+    var round = 0
+    while (dP.nonEmpty || dC.nonEmpty) {
+      round += 1
+      require(round <= maxRounds, "owlFullDelta joint fixpoint did not " +
+        s"converge in $maxRounds rounds — re-materialize ($remat)")
+      dP.foreach { d =>
+        val novelP = pinCapped(incrementNovel(accP, propDelta(accP, d),
+          deltaCap), deltaCap, "owlFullDelta property-phase novelty",
+          remat)
+        if (!novelP.isEmpty) {
+          accP = accP.unionAll(novelP)
+          novels += novelP
+          // the class family has not processed these conclusions yet
+          dC = Some(dC.fold(novelP)(p =>
+            pinCapped(p.unionAll(novelP).distinct(), deltaCap,
+              "owlFullDelta pending class input", remat)))
+        }
+        dP = None
+      }
+      dC.foreach { d =>
+        val novelC = pinCapped(incrementNovel(accC, classDelta(accC, d),
+          deltaCap), deltaCap, "owlFullDelta class-phase novelty", remat)
+        if (!novelC.isEmpty) {
+          accC = accC.unionAll(novelC)
+          novels += novelC
+          val fp = pinCapped(incrementNovel(accP, novelC, deltaCap),
+            deltaCap, "owlFullDelta pending property input", remat)
+          if (!fp.isEmpty) dP = Some(fp)
+        }
+        dC = None
+      }
+    }
+    lastFullRounds.set(round)
+    if (novels.isEmpty) d0.where(lit(false))
+    else novels.reduce(_.unionAll(_)).distinct()
+  }
+
+  /** STREAMING joint property+class maintenance: a [[ClosureMaintainer]]
+    * folding each micro-batch into a materialized [[owlFullClosure]]
+    * via [[owlFullDelta]] — cross-family conclusions (chain edges
+    * satisfying restriction premises and vice versa) compose across
+    * batches exactly as the batch op proves. */
+  def owlFullMaintainStream(initialClosure: DataFrame,
+                            tboxSource: DataFrame, typePred: String = "a",
+                            tboxCap: Int = 1 << 20,
+                            deltaCap: Option[Long] = None)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (c, b) => owlFullDelta(c, b, tboxSource, typePred, tboxCap, deltaCap),
+      deltaCap)
+
+  /** [[owlFullMaintainStream]] over a NAMED-GRAPH quad stream
+    * ([[owlFullDeltaQuads]] per batch). */
+  def owlFullMaintainStreamQuads(initialClosure: DataFrame,
+                                 tboxSource: DataFrame,
+                                 typePred: String = "a",
+                                 tboxCap: Int = 1 << 20,
+                                 deltaCap: Option[Long] = None)
+      : ClosureMaintainer =
+    new ClosureMaintainer(initialClosure,
+      (c, b) => owlFullDeltaQuads(c, b, tboxSource, typePred, tboxCap,
+        deltaCap),
+      deltaCap)
 
   /** STREAMING OWL RL maintenance: a [[ClosureMaintainer]] folding
     * each micro-batch into a materialized restriction closure via

@@ -2033,6 +2033,104 @@ class ReasonSpec extends SparkSpec {
     gotE should contain allOf ((100L, 1L, 300L), (100L, 2L, 4L))
   }
 
+  "ReasonOps.owlFullDelta" should "maintain the joint closure across families" in {
+    // base: transitive located spine + svf/hv TBox, but acme's HQ
+    // membership has NOT arrived: no hv edge, no Reaches typing yet.
+    // Δ = the HQ membership alone — the increment must run
+    // class -> property -> class: hv1 emits acme->zone, transitivity
+    // extends it through the EXISTING spine to world, svf types acme.
+    val tbox = Seq(
+      ("located", "a", ReasonOps.TransitiveProperty),
+      ("Reaches", OnProperty, "located"),
+      ("Reaches", SomeValuesFrom, "Place"),
+      ("HQ", OnProperty, "located"),
+      ("HQ", HasValue, "zone"))
+    val base = tbox ++ Seq(
+      ("world", "a", "Place"),
+      ("zone", "located", "region"), ("region", "located", "world"))
+    val delta = Seq(("acme", "a", "HQ"))
+    val tboxDf = tbox.toDF("s", "p", "o")
+    val closure = ReasonOps.owlFullClosure(base.toDF("s", "p", "o"))
+    val inc = ReasonOps.owlFullDelta(closure, delta.toDF("s", "p", "o"),
+      tboxDf)
+    val got = tset(ReasonOps.composeIncrement(closure, inc))
+    got shouldBe tset(ReasonOps.owlFullClosure(
+      (base ++ delta).toDF("s", "p", "o")))
+    got should contain allOf (
+      ("acme", "located", "zone"),
+      ("acme", "located", "world"),
+      ("acme", "a", "Reaches"))
+    // and the reverse feed: a Δ EDGE of the transitive property reaches
+    // world through the property phase, then types through svf
+    val delta2 = Seq(("plant", "located", "zone"))
+    val inc2 = ReasonOps.owlFullDelta(closure,
+      delta2.toDF("s", "p", "o"), tboxDf)
+    val got2 = tset(ReasonOps.composeIncrement(closure, inc2))
+    got2 shouldBe tset(ReasonOps.owlFullClosure(
+      (base ++ delta2).toDF("s", "p", "o")))
+    got2 should contain allOf (
+      ("plant", "located", "world"), ("plant", "a", "Reaches"))
+  }
+
+  it should "maintain per graph on the quad path and fail fast on declarations" in {
+    val tbox = Seq(
+      ("located", "a", ReasonOps.TransitiveProperty),
+      ("Reaches", OnProperty, "located"),
+      ("Reaches", SomeValuesFrom, "Place")).toDF("s", "p", "o")
+    val base = Seq(
+      ("world", "a", "Place", "g1"), ("world", "a", "Place", "g2"),
+      ("b1", "located", "world", "g1"), ("b2", "located", "world", "g2"))
+    val delta = Seq(("a1", "located", "b1", "g1")) // g1 only
+    val closure = ReasonOps.owlFullClosureQuads(
+      base.toDF("s", "p", "o", "g"), tbox)
+    val inc = ReasonOps.owlFullDeltaQuads(closure,
+      delta.toDF("s", "p", "o", "g"), tbox)
+    val got = qset(ReasonOps.composeIncrement(closure, inc))
+    got shouldBe qset(ReasonOps.owlFullClosureQuads(
+      (base ++ delta).toDF("s", "p", "o", "g"), tbox))
+    got should contain allOf (
+      ("a1", "located", "world", "g1"), ("a1", "a", "Reaches", "g1"))
+    got should not contain (("a1", "a", "Reaches", "g2"))
+    // a restriction declaration arriving in the batch fails loudly
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.owlFullDeltaQuads(closure,
+        Seq(("New", OnProperty, "located", "g1"))
+          .toDF("s", "p", "o", "g"), tbox).count())
+      .getMessage should include ("re-materialization")
+  }
+
+  "ReasonOps.owlFullMaintainStream" should "equal the batch joint closure across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val tbox = Seq(
+      ("located", "a", ReasonOps.TransitiveProperty),
+      ("Reaches", OnProperty, "located"),
+      ("Reaches", SomeValuesFrom, "Place"),
+      ("HQ", OnProperty, "located"),
+      ("HQ", HasValue, "zone"))
+    val base = tbox ++ Seq(
+      ("world", "a", "Place"),
+      ("region", "located", "world"))
+    val m = ReasonOps.owlFullMaintainStream(
+      ReasonOps.owlFullClosure(base.toDF("s", "p", "o")),
+      tbox.toDF("s", "p", "o"))
+    val src = MemoryStream[(String, String, String)]
+    val q = m.attach(src.toDF().toDF("s", "p", "o"))
+    val b1 = Seq(("zone", "located", "region"))
+    val b2 = Seq(("acme", "a", "HQ")) // hv edge composes with BATCH-1 spine
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = tset(m.current)
+    got shouldBe tset(ReasonOps.owlFullClosure(
+      (base ++ b1 ++ b2).toDF("s", "p", "o")))
+    got should contain allOf (
+      ("acme", "located", "world"), ("acme", "a", "Reaches"))
+  }
+
 
   // ------------------------------------------------------------------
   // consistencyReport (OWL RL violation detection)
