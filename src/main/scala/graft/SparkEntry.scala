@@ -3211,6 +3211,56 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** The O(Δ) maintenance twin of [[owlHasKeyQ]]
+    * ([[ReasonOps.functionalDelta]] with composite keys): the base
+    * corpus carries every customer's `city` and membership but only
+    * the k%3≠0 customers' `code` — key collisions for the rest can
+    * only ASSEMBLE ACROSS the batch boundary. The code edges for
+    * k%3==0 arrive as the delta; the incremental path must complete
+    * exactly the touched key-tuple groups (broadcast semi-joins per
+    * key position — the corpus never shuffles), discover the
+    * already-canonicalized partners through the first-key value-mates,
+    * and land on the state a from-scratch re-canonicalization reaches
+    * (distinct moduli from q_owl_haskey, so the gates hash
+    * independently). The census covers the maintained corpus AND
+    * mapping.
+    */
+  private def owlHasKeyDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val keyTbox = Seq(
+      ("Cust", ReasonOps.HasKey, "_:hk0"),
+      ("_:hk0", ReasonOps.RdfFirst, "city"),
+      ("_:hk0", ReasonOps.RdfRest, "_:hk1"),
+      ("_:hk1", ReasonOps.RdfFirst, "code"),
+      ("_:hk1", ReasonOps.RdfRest, ReasonOps.RdfNil))
+    val base = cu.select(ck.as("s"), lit("a").as("p"), lit("Cust").as("o"))
+      .unionAll(cu.select(ck.as("s"), lit("city").as("p"),
+        concat(lit("city:"), k % 12).as("o")))
+      .unionAll(cu.where(k % 3 =!= 0).select(ck.as("s"),
+        lit("code").as("p"), concat(lit("code:"), k % 30).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("name").as("p"),
+        col("c_name").as("o")))
+      .unionAll(s.createDataFrame(keyTbox).toDF("s", "p", "o"))
+    val rewritten = GraftStore.reasonArtifact(s, d, "haskey_base_rw") {
+      ReasonOps.functionalCanonicalize(base)._1
+    }
+    val mapping = GraftStore.reasonArtifact(s, d, "haskey_base_map") {
+      ReasonOps.functionalCanonicalize(base)._2
+    }
+    val delta = cu.where(k % 3 === 0).select(ck.as("s"),
+      lit("code").as("p"), concat(lit("code:"), k % 30).as("o"))
+    val (rw, mp) = ReasonOps.functionalDelta(rewritten, mapping, delta)
+    rw.unionAll(mp.select(col("member").as("s"),
+        lit("__maps_to").as("p"), col("canon").as("o")))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("p")
+  }
+
   /** The boolean class-expression fixture TBox: an intersection and a
     * union over the same base classes, plus an intersection whose
     * FIRST conjunct is restriction-derived (needs fixpoint round 2).
@@ -4545,6 +4595,7 @@ object SparkEntry {
     "q_consistency" -> (consistencyQ _),
     "q_owl_full_sparql" -> (owlFullSparqlQ _),
     "q_owl_haskey" -> (owlHasKeyQ _),
+    "q_owl_haskey_delta" -> (owlHasKeyDeltaQ _),
     "q_owl_boolean" -> (owlBooleanQ _),
     "q_owl_functional" -> (owlFunctionalQ _),
     "q_owl_functional_delta" -> (owlFunctionalDeltaQ _),
@@ -5820,6 +5871,34 @@ object SparkEntry {
         |       count(DISTINCT o) AS no
         |FROM rws GROUP BY p ORDER BY p""".stripMargin
 
+  /** Maintained composite-key state characterized directly: the final
+    * groups are the (city, code) = k%60 residues regardless of which
+    * batch brought the code edge, canonical = the group's
+    * lexicographic-min label — identical to from-scratch
+    * re-canonicalization, which is exactly the incremental path's
+    * contract. */
+  private val owlHasKeyDeltaOracle =
+    """WITH canon AS (
+        |  SELECT c_custkey AS k, c_name,
+        |         min('customer:'||c_custkey)
+        |           OVER (PARTITION BY c_custkey % 60) AS cs,
+        |         c_custkey % 12 AS g12, c_custkey % 30 AS g30
+        |  FROM customer),
+        |rws AS (
+        |  SELECT DISTINCT cs AS s, 'a' AS p, 'Cust' AS o FROM canon
+        |  UNION ALL SELECT DISTINCT cs, 'city', 'city:'||g12 FROM canon
+        |  UNION ALL SELECT DISTINCT cs, 'code', 'code:'||g30 FROM canon
+        |  UNION ALL SELECT cs, 'name', c_name FROM canon
+        |  UNION ALL SELECT 'Cust', 'owl:hasKey', '_:hk0'
+        |  UNION ALL SELECT '_:hk0', 'rdf:first', 'city'
+        |  UNION ALL SELECT '_:hk0', 'rdf:rest', '_:hk1'
+        |  UNION ALL SELECT '_:hk1', 'rdf:first', 'code'
+        |  UNION ALL SELECT '_:hk1', 'rdf:rest', 'rdf:nil'
+        |  UNION ALL SELECT 'customer:'||k, '__maps_to', cs FROM canon)
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM rws GROUP BY p ORDER BY p""".stripMargin
+
   /** Each violation family characterized directly from its modulus. */
   private val consistencyOracle =
     """WITH v AS (
@@ -6713,6 +6792,7 @@ object SparkEntry {
     "q_consistency" -> consistencyOracle,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,
+    "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,
     "q_owl_boolean" -> owlBooleanOracle,
     // functional-property ER: expected post-fixpoint counts derived
     // straight from the construction (every third customer gains a

@@ -3589,6 +3589,68 @@ object ReasonOps {
     hasKeyStarPairs(t, hasKeyDecls(t, voc, tboxCap), voc)
   }
 
+  /** The Δ-scoped hasKey derivation for [[functionalDelta]]: star pairs
+    * over exactly the key-tuple groups a batch can have changed.
+    * `touched` (one column, Δ-fan-in sized, broadcast everywhere) names
+    * the entities whose key tuples may differ from the fixpoint state —
+    * delta-row subjects in round 1, merge-affected entities in later
+    * rounds. Because a key collision needs agreement on EVERY position,
+    * any NEW collision involves a touched entity and a partner sharing
+    * its first key value — so the candidate set is (touched ∪ the
+    * first-position value-mates of touched), fetched with broadcast
+    * semi-joins per key position while the corpus only streams; the
+    * complete candidate tuples then group and star exactly like the
+    * batch path ([[hasKeyStarPairs]]), on a Δ-fan-in-sized slice.
+    */
+  private def hasKeyDeltaPairs(rw: DataFrame, keys: Seq[(Any, Seq[Any])],
+                               voc: ErVoc, touched: DataFrame,
+                               deltaCap: Option[Long]): DataFrame = {
+    val ty: Seq[Any] = voc.ty
+    val remat = "functionalCanonicalize"
+    val legs = keys.map { case (cls, props) =>
+      // candidate entities: the touched set plus everyone sharing a
+      // touched entity's FIRST key value (a necessary condition for a
+      // full-tuple collision; superset is sound, the final grouping is
+      // exact)
+      val v0s = pinCapped(rw.where(col("p") === props.head)
+          .join(broadcast(touched.toDF("__t")),
+            col("s") === col("__t"), "left_semi")
+          .select(col("o").as("__pv")).distinct(),
+        deltaCap, "touched first-key values", remat)
+      val cand0 = rw.where(col("p") === props.head)
+        .join(broadcast(v0s), col("o") === col("__pv"), "left_semi")
+        .select(col("s").as("__t"))
+      val allEnts = pinCapped(
+        touched.toDF("__t").unionAll(cand0).distinct(),
+        deltaCap, "hasKey candidate entities (fan-in of the delta)",
+        remat)
+      // complete candidate tuples: membership, then one streamed
+      // corpus-slice join per key position against the broadcast
+      // accumulating tuple set
+      var acc: DataFrame = rw
+        .where(col("p").isin(ty: _*) && col("o") === cls)
+        .join(broadcast(allEnts), col("s") === col("__t"), "left_semi")
+        .select(col("s").as("__x"))
+      props.zipWithIndex.foreach { case (pi, i) =>
+        val slice = rw.where(col("p") === pi)
+          .select(col("s").as("__xs"), col("o").as(s"__v$i"))
+        acc = slice.join(broadcast(acc), col("__xs") === col("__x"))
+          .drop("__xs")
+      }
+      val tuples = pinCapped(acc.distinct(), deltaCap,
+        "hasKey candidate tuples", remat)
+      val vcols = props.indices.map(i => col(s"__v$i"))
+      val mins = tuples.groupBy(vcols: _*)
+        .agg(min(col("__x")).as("__cv"), count(lit(1)).as("__cnt"))
+        .where(col("__cnt") > 1)
+        .select(vcols :+ col("__cv"): _*)
+      tuples.join(mins, props.indices.map(i => s"__v$i").toSeq)
+        .where(col("__x") =!= col("__cv"))
+        .select(col("__cv").as("a"), col("__x").as("b"))
+    }
+    legs.reduce(_.unionAll(_))
+  }
+
   private def hasKeyStarPairs(t: DataFrame, keys: Seq[(Any, Seq[Any])],
                               voc: ErVoc): DataFrame = {
     val ty: Seq[Any] = voc.ty
@@ -3815,9 +3877,21 @@ object ReasonOps {
     * Each round derives star pairs over the touched slice alone and
     * folds them through [[sameAsDelta]]'s broadcast machinery, so the
     * corpus only ever streams — never shuffles — and rounds track
-    * cascade depth exactly as in the batch op. Declarations arriving
-    * in the delta fail fast (a new functional axiom changes semantics
-    * corpus-wide → re-canonicalize). Identity:
+    * cascade depth exactly as in the batch op.
+    *
+    * `owl:hasKey` axioms maintain incrementally too
+    * ([[hasKeyDeltaPairs]]): a key collision assembling ACROSS batches
+    * (one batch brings the city edge, the next the code edge) is found
+    * by completing exactly the key-tuple groups the delta touches —
+    * per axiom, the touched entities plus their first-key value-mates
+    * fetch their full tuples via broadcast semi-joins per key
+    * position, and the Δ-fan-in-sized candidate slice groups and
+    * stars like the batch path; later rounds re-touch entities whose
+    * subject or key VALUE a merge just relabeled. Declarations
+    * arriving in the delta still fail fast (a new functional or
+    * hasKey axiom changes semantics corpus-wide → re-canonicalize;
+    * list cells under existing hasKey axioms could extend a key
+    * list). Identity:
     * `functionalDelta(functionalCanonicalize(t)..., Δ) ==
     *  functionalCanonicalize(t ∪ Δ)` (set-equality on both frames).
     */
@@ -3863,16 +3937,24 @@ object ReasonOps {
       "delta contains functional-property declarations - schema changes " +
         "require re-canonicalization (functionalCanonicalize), not " +
         "incremental maintenance")
-    // composite keys are batch-only: a key collision can involve ANY
-    // subset of the key tuple arriving across batches, so incremental
-    // maintenance under owl:hasKey would silently under-merge —
-    // re-canonicalize instead
-    require(hasKeyDecls(r, voc, tboxCap).isEmpty &&
-        (voc.hk.isEmpty ||
-          d0.where(col("p").isin(voc.hk.toSeq: _*)).isEmpty),
-      "owl:hasKey axioms present - composite-key resolution requires " +
+    // composite keys maintain incrementally (Δ-fan-in key-group
+    // completion, [[hasKeyDeltaPairs]]); only SCHEMA arriving in the
+    // delta fails fast — a new hasKey axiom changes semantics
+    // corpus-wide, and under existing axioms rdf:first/rdf:rest cells
+    // could extend a key list across the batch boundary
+    val keys = hasKeyDecls(r, voc, tboxCap)
+    require(voc.hk.isEmpty ||
+        d0.where(col("p").isin(voc.hk.toSeq: _*)).isEmpty,
+      "delta contains owl:hasKey declarations - schema changes require " +
         "re-canonicalization (functionalCanonicalize), not incremental " +
         "maintenance")
+    require(keys.isEmpty ||
+        d0.where(col("p").isin((voc.first ++ voc.rest).toSeq: _*)).isEmpty,
+      "delta contains rdf:first/rdf:rest list cells under declared " +
+        "owl:hasKey axioms - a cell could extend a key list; " +
+        "re-canonicalize (functionalCanonicalize) instead")
+    val keyProps = keys.flatMap(_._2).distinct
+    val keyClasses = keys.map(_._1).distinct
     // resolve every delta term through the existing mapping (Δ probes
     // broadcast; the data-sized mapping only streams)
     val dSame0 = d0.where(col("p") === voc.sameAs)
@@ -3908,6 +3990,15 @@ object ReasonOps {
       .select(col("p").as("__kp"), col("s").as("__kk")).distinct()
     var touchedKeysI: DataFrame = dRows.where(col("p").isin(ifps: _*))
       .select(col("p").as("__kp"), col("o").as("__kk")).distinct()
+    // round 1's hasKey-touched entities: delta subjects carrying a key
+    // property or a key-class membership
+    val keyMemberCond =
+      if (keyClasses.isEmpty) lit(false)
+      else col("p").isin(ty: _*) && col("o").isin(keyClasses: _*)
+    var touchedHk: DataFrame =
+      if (keys.isEmpty) dRows.limit(0).select(col("s"))
+      else dRows.where(col("p").isin(keyProps: _*) || keyMemberCond)
+        .select(col("s")).distinct()
     var round = 0
     var done = false
     while (!done) {
@@ -3925,7 +4016,11 @@ object ReasonOps {
       val slice = pinCapped(sliceF.unionAll(sliceI), deltaCap,
         "touched collision groups (fan-in of the delta)",
         "functionalCanonicalize")
-      val derived = starPairsAll(slice, fps, ifps)
+      val derived0 = starPairsAll(slice, fps, ifps)
+      val derived =
+        if (keys.isEmpty) derived0
+        else derived0.unionAll(
+          hasKeyDeltaPairs(rw, keys, voc, touchedHk, deltaCap))
       val pairs = seed.fold(derived)(sp => derived.unionAll(sp).distinct())
       seed = None
       if (pairs.isEmpty) done = true
@@ -3940,6 +4035,20 @@ object ReasonOps {
         touchedKeysI = rw.where(col("p").isin(ifps: _*))
           .join(broadcast(newCanons), col("o") === col("__nc"), "left_semi")
           .select(col("p").as("__kp"), col("o").as("__kk")).distinct()
+        // hasKey: a merged SUBJECT gains key values; a merged key VALUE
+        // makes previously-distinct tuples agree — both reachable from
+        // the new canons over the rewritten corpus
+        touchedHk =
+          if (keys.isEmpty) touchedHk
+          else pinCapped(
+            newCanons.select(col("__nc").as("s"))
+              .unionAll(rw.where(col("p").isin(keyProps: _*))
+                .join(broadcast(newCanons), col("o") === col("__nc"),
+                  "left_semi")
+                .select(col("s")))
+              .distinct(),
+            deltaCap, "merge-touched hasKey entities",
+            "functionalCanonicalize")
       }
     }
     lastFunctionalRounds.set(round)

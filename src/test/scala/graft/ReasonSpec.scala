@@ -2278,14 +2278,65 @@ class ReasonSpec extends SparkSpec {
       Set((mp("z"), "code", "77"))
   }
 
-  it should "fail fast in functionalDelta when hasKey axioms are present" in {
+  it should "maintain hasKey collisions assembling ACROSS batches in functionalDelta" in {
+    // base: both customers are members and share the city, but only c1
+    // has its code — no collision at the base fixpoint. The delta
+    // brings c2's code: the (city, code) tuple completes ACROSS the
+    // batch boundary and the incremental path must find the partner
+    // (c1) via the first-key value-mates, landing on exactly the
+    // re-canonicalization state.
+    val base = keyAxiom("Cust", Seq("city", "code")) ++ Seq(
+      ("c1", "a", "Cust"), ("c1", "city", "rome"), ("c1", "code", "77"),
+      ("c2", "a", "Cust"), ("c2", "city", "rome"),
+      ("c1", "name", "alpha"), ("c2", "name", "beta"))
+    val delta = Seq(("c2", "code", "77"))
+    val (rw0, mp0) = ReasonOps.functionalCanonicalize(base.toDF("s", "p", "o"))
+    tset(rw0) should contain allOf (("c2", "a", "Cust"), ("c2", "name", "beta"))
+    val (rw, mp) = ReasonOps.functionalDelta(rw0, mp0,
+      delta.toDF("s", "p", "o"))
+    val (rwF, mpF) = ReasonOps.functionalCanonicalize(
+      (base ++ delta).toDF("s", "p", "o"))
+    tset(rw) shouldBe tset(rwF)
+    pset(mp) shouldBe pset(mpF)
+    tset(rw) should contain (("c1", "name", "beta")) // c2 folded onto c1
+  }
+
+  it should "cascade a hasKey merge into a functional collision in the delta path" in {
+    // the delta completes d2's key tuple -> d2 merges onto d1; the
+    // merged subject now holds TWO values of the functional acct
+    // property, so round 2 must merge the accounts and fold the
+    // payload — the cross-rule cascade on the incremental path
+    val base = keyAxiom("Cust", Seq("city", "code")) ++ Seq(
+      ("acct", "a", ReasonOps.FunctionalProperty),
+      ("d1", "a", "Cust"), ("d1", "city", "oslo"), ("d1", "code", "9"),
+      ("d2", "a", "Cust"), ("d2", "city", "oslo"),
+      ("d1", "acct", "a1"), ("d2", "acct", "a2"),
+      ("a1", "bal", "100"), ("a2", "bal", "100"))
+    val delta = Seq(("d2", "code", "9"))
+    val (rw0, mp0) = ReasonOps.functionalCanonicalize(base.toDF("s", "p", "o"))
+    val (rw, mp) = ReasonOps.functionalDelta(rw0, mp0,
+      delta.toDF("s", "p", "o"))
+    val (rwF, mpF) = ReasonOps.functionalCanonicalize(
+      (base ++ delta).toDF("s", "p", "o"))
+    tset(rw) shouldBe tset(rwF)
+    pset(mp) shouldBe pset(mpF)
+    tset(rw) should contain (("d1", "acct", "a1"))
+    tset(rw) should not contain (("d1", "acct", "a2"))
+    ReasonOps.lastFunctionalRounds.get() should be >= 2L
+  }
+
+  it should "fail fast on a hasKey axiom (or key-list cell) arriving in the delta" in {
     val base = keyAxiom("Cust", Seq("city")) ++ Seq(
       ("c1", "a", "Cust"), ("c1", "city", "rome"))
     val (rw, mp) = ReasonOps.functionalCanonicalize(base.toDF("s", "p", "o"))
     (the[IllegalArgumentException] thrownBy
       ReasonOps.functionalDelta(rw, mp,
-        Seq(("c9", "city", "oslo")).toDF("s", "p", "o"))._1.count())
+        Seq(("Firm", HasKey, "_:z")).toDF("s", "p", "o"))._1.count())
       .getMessage should include ("owl:hasKey")
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.functionalDelta(rw, mp,
+        Seq(("_:z", RdfFirst, "vat")).toDF("s", "p", "o"))._1.count())
+      .getMessage should include ("list cells")
   }
 
   it should "fail loudly on a malformed key list" in {
