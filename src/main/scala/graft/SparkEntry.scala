@@ -3361,6 +3361,83 @@ object SparkEntry {
       .orderBy("kind")
   }
 
+  /** The second consistency census ([[ReasonOps.consistencyReport]],
+    * round-12 families) — cardinality bounds, enumerations,
+    * complements, and the n-ary axioms, each seeded at a distinct key
+    * modulus: `cls-maxc` (maxCardinality 1 on phone, second phone at
+    * k%8), `cls-maxqc` (maxQualifiedCardinality 1 on owns qualified to
+    * Car — the second CAR at k%10 violates, the k%5 untyped boat must
+    * NOT count), `cls-oo` (badge individuals outside the Tier
+    * enumeration at k%13), `cls-com` (Robot-typed Persons at k%17),
+    * `cax-adc` (Bronze∧Silver under an AllDisjointClasses list at
+    * k%19), and one `eq-diff2` row from an AllDifferent list naming a
+    * term twice. The oracle characterizes each family from its
+    * modulus.
+    */
+  private def consistency2Q(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    def rdfList(owner: String, pred: String, parts: Seq[String]) = {
+      val nodes = parts.indices.map(i => s"_:$owner$i")
+      (owner, pred, nodes.head) +: parts.indices.flatMap { i =>
+        Seq((nodes(i), RdfFirst, parts(i)),
+          (nodes(i), RdfRest,
+            if (i == parts.length - 1) RdfNil else nodes(i + 1)))
+      }
+    }
+    val tbox = Seq(
+      ("Lim", OnProperty, "phone"), ("Lim", MaxCardinality, "1"),
+      ("OneCar", OnProperty, "owns"), ("OneCar", OnClass, "Car"),
+      ("OneCar", MaxQualifiedCardinality, "1"),
+      ("Person", ComplementOf, "Robot"),
+      ("_:adc", "a", AllDisjointClasses),
+      ("_:adf", "a", AllDifferent)) ++
+      rdfList("_:adc", OwlMembers, Seq("Bronze", "Silver", "Gold")) ++
+      rdfList("_:adf", OwlMembers,
+        Seq("id:alpha", "id:beta", "id:alpha")) ++
+      rdfList("Tier", OneOf, Seq("tier:gold", "tier:silver"))
+    val abox = cu.select(ck.as("s"), lit("a").as("p"), lit("Lim").as("o"))
+      .unionAll(cu.select(ck.as("s"), lit("phone").as("p"),
+        concat(lit("ph1:"), k).as("o")))
+      .unionAll(cu.where(k % 8 === 0).select(ck.as("s"),
+        lit("phone").as("p"), concat(lit("ph2:"), k).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("a").as("p"),
+        lit("OneCar").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("owns").as("p"),
+        concat(lit("car:"), k).as("o")))
+      .unionAll(cu.select(concat(lit("car:"), k).as("s"),
+        lit("a").as("p"), lit("Car").as("o")))
+      .unionAll(cu.where(k % 10 === 0).select(ck.as("s"),
+        lit("owns").as("p"), concat(lit("car2:"), k).as("o")))
+      .unionAll(cu.where(k % 10 === 0).select(
+        concat(lit("car2:"), k).as("s"), lit("a").as("p"),
+        lit("Car").as("o")))
+      .unionAll(cu.where(k % 5 === 0).select(ck.as("s"),
+        lit("owns").as("p"), concat(lit("boat:"), k).as("o")))
+      .unionAll(cu.where(k % 13 === 0).select(
+        concat(lit("badge:"), k).as("s"), lit("a").as("p"),
+        lit("Tier").as("o")))
+      .unionAll(s.createDataFrame(Seq(("tier:gold", "a", "Tier")))
+        .toDF("s", "p", "o"))
+      .unionAll(cu.select(ck.as("s"), lit("a").as("p"),
+        lit("Person").as("o")))
+      .unionAll(cu.where(k % 17 === 0).select(ck.as("s"),
+        lit("a").as("p"), lit("Robot").as("o")))
+      .unionAll(cu.where(k % 19 === 0).select(ck.as("s"),
+        lit("a").as("p"), lit("Bronze").as("o")))
+      .unionAll(cu.where(k % 19 === 0).select(ck.as("s"),
+        lit("a").as("p"), lit("Silver").as("o")))
+      .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
+    ReasonOps.consistencyReport(abox)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("kind")
+  }
+
   /** Incremental owl:sameAs maintenance: the base identity graph
     * (alias:k ~ nation:k for even k) canonicalizes once (session
     * artifacts), then the alias2 layer (alias2:k ~ alias:k for k%4==0)
@@ -4593,6 +4670,7 @@ object SparkEntry {
     "q_owl_full" -> (owlFullQ _),
     "q_owl_full_delta" -> (owlFullDeltaQ _),
     "q_consistency" -> (consistencyQ _),
+    "q_consistency2" -> (consistency2Q _),
     "q_owl_full_sparql" -> (owlFullSparqlQ _),
     "q_owl_haskey" -> (owlHasKeyQ _),
     "q_owl_haskey_delta" -> (owlHasKeyDeltaQ _),
@@ -5933,6 +6011,39 @@ object SparkEntry {
         |       count(DISTINCT o) AS no
         |FROM v GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** The round-12 violation families characterized from their moduli:
+    * both phones of a k%8 customer report, both CARS of a k%10
+    * customer report (the untyped boat never counts toward the
+    * qualified bound), badges outside the Tier enumeration, Robot
+    * Persons, Bronze∧Silver under the n-ary disjointness, and the one
+    * duplicated AllDifferent member. */
+  private val consistency2Oracle =
+    """WITH v AS (
+        |  SELECT 'cls-maxc' AS kind, 'customer:'||c_custkey AS s,
+        |         'phone' AS p, 'ph1:'||c_custkey AS o
+        |  FROM customer WHERE c_custkey % 8 = 0
+        |  UNION ALL SELECT 'cls-maxc', 'customer:'||c_custkey, 'phone',
+        |         'ph2:'||c_custkey
+        |  FROM customer WHERE c_custkey % 8 = 0
+        |  UNION ALL SELECT 'cls-maxqc', 'customer:'||c_custkey, 'owns',
+        |         'car:'||c_custkey
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT 'cls-maxqc', 'customer:'||c_custkey, 'owns',
+        |         'car2:'||c_custkey
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT 'cls-oo', 'badge:'||c_custkey, 'Tier', 'Tier'
+        |  FROM customer WHERE c_custkey % 13 = 0
+        |  UNION ALL SELECT 'cls-com', 'customer:'||c_custkey, 'Person',
+        |         'Robot'
+        |  FROM customer WHERE c_custkey % 17 = 0
+        |  UNION ALL SELECT 'cax-adc', 'customer:'||c_custkey, 'Bronze',
+        |         'Silver'
+        |  FROM customer WHERE c_custkey % 19 = 0
+        |  UNION ALL SELECT 'eq-diff2', 'id:alpha', '_:adf', 'id:alpha')
+        |SELECT kind, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM v GROUP BY kind ORDER BY kind""".stripMargin
+
   /** Per-graph RL replay plus the closed-TBox 'schema' group (the
     * engine emits the closed subclass pairs in the default graph). */
   private val owlRlQuadsOracle =
@@ -6790,6 +6901,7 @@ object SparkEntry {
     "q_owl_full" -> owlFullOracle,
     "q_owl_full_delta" -> owlFullDeltaOracle,
     "q_consistency" -> consistencyOracle,
+    "q_consistency2" -> consistency2Oracle,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,
     "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,

@@ -2628,24 +2628,71 @@ object ReasonOps {
     "http://www.w3.org/2002/07/owl#AsymmetricProperty"
   val DifferentFrom        = "owl:differentFrom"
   val DifferentFromIri     = "http://www.w3.org/2002/07/owl#differentFrom"
+  val MaxCardinality       = "owl:maxCardinality"
+  val MaxCardinalityIri    = "http://www.w3.org/2002/07/owl#maxCardinality"
+  val MaxQualifiedCardinality = "owl:maxQualifiedCardinality"
+  val MaxQualifiedCardinalityIri =
+    "http://www.w3.org/2002/07/owl#maxQualifiedCardinality"
+  val OnClass              = "owl:onClass"
+  val OnClassIri           = "http://www.w3.org/2002/07/owl#onClass"
+  val OneOf                = "owl:oneOf"
+  val OneOfIri             = "http://www.w3.org/2002/07/owl#oneOf"
+  val ComplementOf         = "owl:complementOf"
+  val ComplementOfIri      = "http://www.w3.org/2002/07/owl#complementOf"
+  val AllDisjointClasses   = "owl:AllDisjointClasses"
+  val AllDisjointClassesIri =
+    "http://www.w3.org/2002/07/owl#AllDisjointClasses"
+  val AllDifferent         = "owl:AllDifferent"
+  val AllDifferentIri      = "http://www.w3.org/2002/07/owl#AllDifferent"
+  val OwlMembers           = "owl:members"
+  val OwlMembersIri        = "http://www.w3.org/2002/07/owl#members"
+  val DistinctMembers      = "owl:distinctMembers"
+  val DistinctMembersIri   =
+    "http://www.w3.org/2002/07/owl#distinctMembers"
 
   /** The consistency vocabulary as ENCODED ids; absent ids (`None`)
     * simply match no declarations of that kind. `typePred` keys the
     * class-membership and property-characteristic lookups;
     * `functionalProperty` enables the conflict REPORT (the merge
-    * path is [[functionalCanonicalize]]). */
+    * path is [[functionalCanonicalize]]). The cardinality families
+    * need `literalZero`/`literalOne` — the dictionary ids of the "0" /
+    * "1" literals — because OWL 2 RL restricts max(Qualified)Cardinality
+    * to those two values and an encoded literal id cannot be parsed. */
   final case class CheckIds(typePred: Long,
                             disjointWith: Option[Long] = None,
                             propertyDisjointWith: Option[Long] = None,
                             irreflexiveProperty: Option[Long] = None,
                             asymmetricProperty: Option[Long] = None,
                             differentFrom: Option[Long] = None,
-                            functionalProperty: Option[Long] = None)
+                            functionalProperty: Option[Long] = None,
+                            maxCardinality: Option[Long] = None,
+                            maxQualifiedCardinality: Option[Long] = None,
+                            onProperty: Option[Long] = None,
+                            onClass: Option[Long] = None,
+                            oneOf: Option[Long] = None,
+                            complementOf: Option[Long] = None,
+                            allDisjointClasses: Option[Long] = None,
+                            allDifferent: Option[Long] = None,
+                            members: Option[Long] = None,
+                            distinctMembers: Option[Long] = None,
+                            listFirst: Option[Long] = None,
+                            listRest: Option[Long] = None,
+                            listNil: Option[Long] = None,
+                            literalZero: Option[Long] = None,
+                            literalOne: Option[Long] = None)
 
   private final case class CheckVoc(ty: Set[Any], dw: Set[Any],
                                     pdw: Set[Any], irr: Set[Any],
                                     asy: Set[Any], diff: Set[Any],
-                                    fp: Set[Any])
+                                    fp: Set[Any],
+                                    maxc: Set[Any], maxqc: Set[Any],
+                                    onp: Set[Any], onc: Set[Any],
+                                    oneOf: Set[Any], comp: Set[Any],
+                                    adcCls: Set[Any], adiffCls: Set[Any],
+                                    members: Set[Any], dmembers: Set[Any],
+                                    first: Set[Any], rest: Set[Any],
+                                    nil: Set[Any],
+                                    zero: Set[Any], one: Set[Any])
 
   private def stringCheckVoc(typePred: String): CheckVoc = {
     val ty: Set[Any] =
@@ -2656,7 +2703,18 @@ object ReasonOps {
       Set(IrreflexiveProperty, IrreflexivePropertyIri),
       Set(AsymmetricProperty, AsymmetricPropertyIri),
       Set(DifferentFrom, DifferentFromIri),
-      Set(FunctionalProperty))
+      Set(FunctionalProperty),
+      Set(MaxCardinality, MaxCardinalityIri),
+      Set(MaxQualifiedCardinality, MaxQualifiedCardinalityIri),
+      Set(OnProperty, OnPropertyIri), Set(OnClass, OnClassIri),
+      Set(OneOf, OneOfIri), Set(ComplementOf, ComplementOfIri),
+      Set(AllDisjointClasses, AllDisjointClassesIri),
+      Set(AllDifferent, AllDifferentIri),
+      Set(OwlMembers, OwlMembersIri),
+      Set(DistinctMembers, DistinctMembersIri),
+      Set(RdfFirst, RdfFirstIri), Set(RdfRest, RdfRestIri),
+      Set(RdfNil, RdfNilIri),
+      Set.empty, Set.empty)
   }
 
   private def encCheckVoc(ids: CheckIds): CheckVoc =
@@ -2664,7 +2722,35 @@ object ReasonOps {
       ids.propertyDisjointWith.toSet[Any],
       ids.irreflexiveProperty.toSet[Any],
       ids.asymmetricProperty.toSet[Any], ids.differentFrom.toSet[Any],
-      ids.functionalProperty.toSet[Any])
+      ids.functionalProperty.toSet[Any],
+      ids.maxCardinality.toSet[Any],
+      ids.maxQualifiedCardinality.toSet[Any],
+      ids.onProperty.toSet[Any], ids.onClass.toSet[Any],
+      ids.oneOf.toSet[Any], ids.complementOf.toSet[Any],
+      ids.allDisjointClasses.toSet[Any], ids.allDifferent.toSet[Any],
+      ids.members.toSet[Any], ids.distinctMembers.toSet[Any],
+      ids.listFirst.toSet[Any], ids.listRest.toSet[Any],
+      ids.listNil.toSet[Any],
+      ids.literalZero.toSet[Any], ids.literalOne.toSet[Any])
+
+  /** Parse an OWL RL cardinality bound: RL restricts
+    * max(Qualified)Cardinality to 0 or 1. String literals accept
+    * optional quoting and a datatype suffix; encoded ids resolve
+    * through the `literalZero`/`literalOne` vocabulary. Anything else
+    * fails loudly. */
+  private def parseCardinality(o: Any, voc: CheckVoc): Int =
+    if (voc.zero(o)) 0
+    else if (voc.one(o)) 1
+    else o match {
+      case s: String =>
+        val digits = s.stripPrefix("\"").takeWhile(_.isDigit)
+        require(digits == "0" || digits == "1",
+          s"OWL RL max cardinality must be 0 or 1 (got $s)")
+        digits.toInt
+      case other => throw new IllegalArgumentException(
+        "encoded cardinality literal " + other + " needs literalZero/" +
+          "literalOne in CheckIds (OWL RL bounds are 0 or 1)")
+    }
 
   /** OWL RL consistency REPORT: every constraint violation in the
     * relation, one row per offending fact —
@@ -2684,7 +2770,23 @@ object ReasonOps {
     *     with ≥2 distinct objects under a functional property — the
     *     REPORT twin of [[functionalCanonicalize]]'s merge (merging is
     *     right for entity resolution; literal-valued conflicts are
-    *     data-quality findings).
+    *     data-quality findings);
+    *   - `cls-maxc` (`owl:maxCardinality` on a restriction, bound
+    *     0 or 1 per OWL RL): a member with more distinct values of
+    *     the restriction's `owl:onProperty` than the bound — every
+    *     offending edge reports;
+    *   - `cls-maxqc` (`owl:maxQualifiedCardinality` + `owl:onClass`):
+    *     the qualified twin — only values typed into the qualifying
+    *     class count toward the bound;
+    *   - `cls-oo` (`owl:oneOf`): a member of an enumerated class
+    *     outside its enumeration (closed-enumeration reading);
+    *   - `cls-com` (`owl:complementOf`): membership in a class AND its
+    *     declared complement;
+    *   - `cax-adc` (`owl:AllDisjointClasses` / `owl:members`):
+    *     pairwise disjointness over the walked member list;
+    *   - `eq-diff2` (`owl:AllDifferent` / `owl:members` or
+    *     `owl:distinctMembers`): a difference list naming one term
+    *     twice — the n-ary post-merge contradiction.
     *
     * Returns columns `(kind, s, p, o)` (`g` carried on the quad path —
     * checks run per graph). Run it on the CLOSURE to validate
@@ -2742,8 +2844,12 @@ object ReasonOps {
     def gEq(pfx: String) =
       if (hasGraph) Seq(col("g") <=> col(pfx + "g")) else Nil
     val Seq(ds, dp, dob) = declSource.columns.take(3).toSeq
-    val declPreds: Seq[Any] = (voc.dw ++ voc.pdw ++ voc.diff).toSeq
-    val charObjs: Seq[Any] = (voc.irr ++ voc.asy ++ voc.fp).toSeq
+    val declPreds: Seq[Any] =
+      (voc.dw ++ voc.pdw ++ voc.diff ++ voc.maxc ++ voc.maxqc ++
+        voc.onp ++ voc.onc ++ voc.oneOf ++ voc.comp ++ voc.members ++
+        voc.dmembers ++ voc.first ++ voc.rest).toSeq
+    val charObjs: Seq[Any] =
+      (voc.irr ++ voc.asy ++ voc.fp ++ voc.adcCls ++ voc.adiffCls).toSeq
     val declCond =
       if (declPreds.isEmpty) lit(false)
       else col("p").isin(declPreds: _*)
@@ -2773,6 +2879,48 @@ object ReasonOps {
     val fpProps = decls.collect {
       case (p, _, o) if voc.fp(o) => p }.distinct.toSeq
     val diffPreds = voc.diff.toSeq
+    // cardinality restrictions: each node pairs its onProperty with the
+    // parsed bound; maxQualifiedCardinality additionally needs onClass
+    val onpOf = decls.collect {
+      case (r, p, o) if voc.onp(p) => (r, o) }.groupBy(_._1)
+    val oncOf = decls.collect {
+      case (r, p, o) if voc.onc(p) => (r, o) }.groupBy(_._1)
+    def oneProp(r: Any, m: Map[Any, Array[(Any, Any)]], what: String): Any = {
+      val vs = m.getOrElse(r, Array.empty[(Any, Any)]).map(_._2).distinct
+      require(vs.length == 1,
+        s"cardinality restriction $r needs exactly one $what " +
+          s"(found ${vs.length})")
+      vs.head
+    }
+    val maxcRestr = decls.collect {
+      case (r, p, n) if voc.maxc(p) =>
+        (r, oneProp(r, onpOf, "owl:onProperty"), parseCardinality(n, voc))
+    }.distinct.toSeq.sortBy(_._1.toString)
+    val maxqcRestr = decls.collect {
+      case (r, p, n) if voc.maxqc(p) =>
+        (r, oneProp(r, onpOf, "owl:onProperty"),
+          oneProp(r, oncOf, "owl:onClass"), parseCardinality(n, voc))
+    }.distinct.toSeq.sortBy(_._1.toString)
+    // enumerations, complements, and the n-ary disjointness/difference
+    // axioms (lists walked on the driver, like the chain collector)
+    val oneOfLists = walkRdfLists(decls, voc.oneOf, voc.first, voc.rest,
+      voc.nil, "owl:oneOf")
+    val compPairs = decls.collect {
+      case (a, p, b) if voc.comp(p) => (a, b) }.distinct.toSeq
+    val adcNodes = decls.collect {
+      case (n, _, o) if voc.adcCls(o) => n }.toSet
+    val adiffNodes = decls.collect {
+      case (n, _, o) if voc.adiffCls(o) => n }.toSet
+    val memberLists = walkRdfLists(decls, voc.members, voc.first,
+      voc.rest, voc.nil, "owl:members")
+    val adcPairs = memberLists.filter(l => adcNodes(l._1))
+      .flatMap { case (_, cs) =>
+        for (i <- cs.indices; j <- i + 1 until cs.length)
+          yield (cs(i), cs(j))
+      }.distinct
+    val adiffLists = memberLists.filter(l => adiffNodes(l._1)) ++
+      walkRdfLists(decls, voc.dmembers, voc.first, voc.rest, voc.nil,
+        "owl:distinctMembers").filter(l => adiffNodes(l._1))
     val tyCond = col("p").isin(voc.ty.toSeq: _*)
     val types = rel.where(tyCond)
     def out(kind: String, s: org.apache.spark.sql.Column,
@@ -2837,6 +2985,84 @@ object ReasonOps {
             gEq("__f")).reduce(_ && _), "left_semi")
         .select(out("functional-conflict", col("s"), col("p"), col("o"),
           gsel): _*)
+    }
+    // cls-maxc / cls-maxqc: a member of the restriction with MORE than
+    // the declared bound of distinct values (qualified: values typed
+    // owl:onClass) — every offending edge reports, the
+    // functional-conflict shape generalized to bound n and membership
+    def cardLeg(kind: String, r: Any, pp: Any, bound: Int,
+                qual: Option[Any]): DataFrame = {
+      val mem = types.where(col("o") === r).select(
+        col("s").as("__c") +:
+          (if (hasGraph) Seq(col("g").as("__cg")) else Nil): _*)
+      val slice0 = rel.where(col("p") === pp)
+        .join(mem, (Seq(col("s") === col("__c")) ++ gEq("__c"))
+          .reduce(_ && _), "left_semi")
+      val slice = qual.fold(slice0) { c =>
+        val vt = types.where(col("o") === c).select(
+          col("s").as("__v") +:
+            (if (hasGraph) Seq(col("g").as("__vg")) else Nil): _*)
+        slice0.join(vt, (Seq(col("o") === col("__v")) ++ gEq("__v"))
+          .reduce(_ && _), "left_semi")
+      }
+      val keys = col("s") +: gsel
+      val over = slice.groupBy(keys: _*)
+        .agg(countDistinct(col("o")).as("__n"))
+        .where(col("__n") > bound)
+        .select(col("s").as("__os") +:
+          (if (hasGraph) Seq(col("g").as("__og")) else Nil): _*)
+      slice.join(over, (Seq(col("s") === col("__os")) ++ gEq("__o"))
+          .reduce(_ && _), "left_semi")
+        .select(out(kind, col("s"), col("p"), col("o"), gsel): _*)
+    }
+    maxcRestr.foreach { case (r, pp, n) =>
+      legs += cardLeg("cls-maxc", r, pp, n, None) }
+    maxqcRestr.foreach { case (r, pp, c, n) =>
+      legs += cardLeg("cls-maxqc", r, pp, n, Some(c)) }
+    // cls-oo: a member of an enumerated class outside its enumeration
+    // (the closed-enumeration reading — cls-oo's derivation direction
+    // types the listed individuals; a validator reports the rest)
+    oneOfLists.foreach { case (c, elems) =>
+      legs += types.where(col("o") === c && !col("s").isin(elems: _*))
+        .select(out("cls-oo", col("s"), lit(c), lit(c), gsel): _*)
+    }
+    // cls-com: membership in a class AND its declared complement
+    compPairs.foreach { case (c1, c2) =>
+      val m2 = types.where(col("o") === c2).select(
+        col("s").as("__m") +:
+          (if (hasGraph) Seq(col("g").as("__mg")) else Nil): _*)
+      legs += types.where(col("o") === c1)
+        .join(m2, (Seq(col("s") === col("__m")) ++ gEq("__m"))
+          .reduce(_ && _), "left_semi")
+        .select(out("cls-com", col("s"), lit(c1), lit(c2), gsel): _*)
+    }
+    // cax-adc: owl:AllDisjointClasses expands to pairwise cax-dw over
+    // its walked owl:members list
+    adcPairs.foreach { case (c1, c2) =>
+      val m2 = types.where(col("o") === c2).select(
+        col("s").as("__m") +:
+          (if (hasGraph) Seq(col("g").as("__mg")) else Nil): _*)
+      legs += types.where(col("o") === c1)
+        .join(m2, (Seq(col("s") === col("__m")) ++ gEq("__m"))
+          .reduce(_ && _), "left_semi")
+        .select(out("cax-adc", col("s"), lit(c1), lit(c2), gsel): _*)
+    }
+    // eq-diff2: an owl:AllDifferent member list naming one term twice —
+    // the post-merge contradiction an upstream canonicalization
+    // surfaces (the n-ary eq-diff1). Lists are driver-collected, so
+    // duplicates are driver-computed literal rows (default graph on the
+    // quad path: the axiom is global schema).
+    val adiffDups = adiffLists.flatMap { case (node, ms) =>
+      ms.groupBy(identity).collect {
+        case (t, occ) if occ.size > 1 => (node, t) }
+    }.distinct.sortBy(_.toString())
+    adiffDups.foreach { case (node, t) =>
+      legs += rel.sparkSession.range(1).select(
+        Seq(lit("eq-diff2").as("kind"), lit(t).as("s"),
+          lit(node).as("p"), lit(t).as("o")) ++
+          (if (hasGraph)
+            Seq(lit(null).cast(rel.schema.fields(3).dataType).as("g"))
+          else Nil): _*)
     }
     // empty seed in the relation's own currency (keeps the union typed
     // when no declaration of any kind is present)

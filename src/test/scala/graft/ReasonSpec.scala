@@ -2213,6 +2213,71 @@ class ReasonSpec extends SparkSpec {
       ("functional-conflict", 101L))
   }
 
+  it should "detect the cardinality, enumeration, complement, and n-ary families" in {
+    import graft.ops.ReasonOps._
+    def rdfList(owner: String, pred: String, parts: Seq[String]) = {
+      val nodes = parts.indices.map(i => s"_:$owner$i")
+      (owner, pred, nodes.head) +: parts.indices.flatMap { i =>
+        Seq((nodes(i), RdfFirst, parts(i)),
+          (nodes(i), RdfRest,
+            if (i == parts.length - 1) RdfNil else nodes(i + 1)))
+      }
+    }
+    val tbox = Seq(
+      // maxCardinality 1 on phone for Limited members
+      ("Lim", OnProperty, "phone"), ("Lim", MaxCardinality, "1"),
+      // maxQualifiedCardinality 1 on owns, qualified to Car
+      ("OneCar", OnProperty, "owns"), ("OneCar", OnClass, "Car"),
+      ("OneCar", MaxQualifiedCardinality, "1"),
+      // complement
+      ("Person", ComplementOf, "Robot"),
+      // AllDisjointClasses (Bronze Silver Gold)
+      ("_:adc", "a", AllDisjointClasses),
+      // AllDifferent with a duplicated member
+      ("_:adf", "a", AllDifferent)) ++
+      rdfList("_:adc", OwlMembers, Seq("Bronze", "Silver", "Gold")) ++
+      rdfList("_:adf", OwlMembers, Seq("alpha", "beta", "alpha")) ++
+      rdfList("Tier", OneOf, Seq("tier:g", "tier:s"))
+    val abox = Seq(
+      // x1 exceeds maxCardinality (2 phones); x2 within bound
+      ("x1", "a", "Lim"), ("x1", "phone", "p1"), ("x1", "phone", "p2"),
+      ("x2", "a", "Lim"), ("x2", "phone", "p3"),
+      // x3 owns two CARS (violation); x4 owns one car + one boat
+      // (boat not typed Car -> within the QUALIFIED bound)
+      ("x3", "a", "OneCar"), ("x3", "owns", "c1"), ("x3", "owns", "c2"),
+      ("c1", "a", "Car"), ("c2", "a", "Car"),
+      ("x4", "a", "OneCar"), ("x4", "owns", "c3"), ("x4", "owns", "b1"),
+      ("c3", "a", "Car"),
+      // enumeration: listed members fine, badge:x outside it
+      ("tier:g", "a", "Tier"), ("badge:x", "a", "Tier"),
+      // complement: x5 in both
+      ("x5", "a", "Person"), ("x5", "a", "Robot"),
+      // n-ary disjointness: x6 in Bronze AND Gold
+      ("x6", "a", "Bronze"), ("x6", "a", "Gold"))
+    val got = vset(ReasonOps.consistencyReport(
+      (tbox ++ abox).toDF("s", "p", "o")))
+    got shouldBe Set(
+      ("cls-maxc", "x1", "phone", "p1"),
+      ("cls-maxc", "x1", "phone", "p2"),
+      ("cls-maxqc", "x3", "owns", "c1"),
+      ("cls-maxqc", "x3", "owns", "c2"),
+      ("cls-oo", "badge:x", "Tier", "Tier"),
+      ("cls-com", "x5", "Person", "Robot"),
+      ("cax-adc", "x6", "Bronze", "Gold"),
+      ("eq-diff2", "alpha", "_:adf", "alpha"))
+    // a maxCardinality 0 restriction flags ANY edge; bounds beyond
+    // OWL RL's 0/1 fail loudly
+    val z = Seq(
+      ("NoPhone", OnProperty, "phone"), ("NoPhone", MaxCardinality, "0"),
+      ("y", "a", "NoPhone"), ("y", "phone", "p9")).toDF("s", "p", "o")
+    vset(ReasonOps.consistencyReport(z)) shouldBe
+      Set(("cls-maxc", "y", "phone", "p9"))
+    (the[IllegalArgumentException] thrownBy ReasonOps.consistencyReport(
+      Seq(("R", OnProperty, "q"), ("R", MaxCardinality, "3"))
+        .toDF("s", "p", "o")).count())
+      .getMessage should include ("0 or 1")
+  }
+
 
   // ------------------------------------------------------------------
   // owl:hasKey (prp-key) composite-key entity resolution
