@@ -815,10 +815,15 @@ object SparkEntry {
     * same postings scan it shares the gram-hash exchange with the
     * join-back, which beats reading a pre-materialized table (measured
     * 3.5s vs 10s at sf0.1 — exchange reuse outweighs the saved
-    * aggregation).
+    * aggregation). onDegenerate="proceed": the oracle replays the
+    * NAIVE all-pairs join, so this gate must run the exact path even
+    * though t=0.5 on the template-heavy fixture is precisely the
+    * measured degenerate regime the guard exists to flag — default
+    * callers get the loud rejection + minhashPairs pointer instead.
     */
   private def dedupNgram(s: SparkSession, d: String): DataFrame =
-    DedupOps.ngramPairsOver(GraftStore.docGrams(s, d), threshold = 0.5)
+    DedupOps.ngramPairsOver(GraftStore.docGrams(s, d), threshold = 0.5,
+        onDegenerate = "proceed")
       .orderBy("doc_a", "doc_b")
 
   /** MinHash(64) + LSH(16x4) candidates, exact-Jaccard verified at 0.8. */

@@ -46,28 +46,79 @@ object DedupOps {
     * (t*|A| <= |B| <= |A|/t) prunes the candidate join further. Candidates
     * are then verified with the exact set Jaccard, so the output is
     * identical to the naive all-pairs join.
+    *
+    * DEGENERACY GUARD (measured, mechanical): on template-heavy corpora
+    * at low thresholds the prefix can no longer avoid shared grams —
+    * when the prefix length exceeds a document's rare-gram count, dense
+    * postings enter every prefix and the candidate join goes
+    * near-quadratic (measured: 5,000 docs at t=0.5 → 119,907 candidates
+    * for 256 true pairs, and no exact prefix-family filter separates
+    * them). Before joining, the PREDICTED candidate volume
+    * Σ_gram C(|posting|, 2) over the built prefix is compared against
+    * `budgetPerDoc × |docs|` (explicit parameter beats the
+    * `spark.graft.dedup.prefixBudgetPerDoc` session conf, default 8):
+    * `onDegenerate = "fail"` (default) rejects loudly with a
+    * [[minhashPairs]] pointer, `"lsh"` auto-routes to
+    * [[minhashPairsOver]] (banded LSH — near-linear candidates, recall
+    * < 1 by design), `"proceed"` runs the exact join anyway.
     */
-  def ngramPairs(docs: DataFrame, threshold: Double, n: Int = 3): DataFrame =
-    ngramPairsOver(gramSets(docs, n), threshold)
+  def ngramPairs(docs: DataFrame, threshold: Double, n: Int = 3,
+                 budgetPerDoc: Option[Double] = None,
+                 onDegenerate: String = "fail"): DataFrame =
+    ngramPairsOver(gramSets(docs, n), threshold,
+      budgetPerDoc = budgetPerDoc, onDegenerate = onDegenerate)
 
   /** Same, over a pre-built (shared/cached) gram-set relation; pass a
     * precomputed document-frequency table (an ingest-time corpus
-    * statistic, threshold-independent) to skip its aggregation.
+    * statistic, threshold-independent) to skip its aggregation. Carries
+    * [[ngramPairs]]'s degeneracy guard.
     */
   def ngramPairsOver(g: DataFrame, threshold: Double,
-                     dfTable: Option[DataFrame] = None): DataFrame =
-    verifyPairs(prefixCandidates(g, threshold, dfTable), g, threshold)
+                     dfTable: Option[DataFrame] = None,
+                     budgetPerDoc: Option[Double] = None,
+                     onDegenerate: String = "fail"): DataFrame = {
+    require(Set("fail", "lsh", "proceed")(onDegenerate),
+      s"onDegenerate must be fail|lsh|proceed (got $onDegenerate)")
+    val prefix = prefixIndex(g, threshold, dfTable)
+    if (onDegenerate != "proceed") {
+      val perDoc = budgetPerDoc.getOrElse(
+        g.sparkSession.conf
+          .get("spark.graft.dedup.prefixBudgetPerDoc", "8.0").toDouble)
+      val nDocs = g.count()
+      val predicted = prefix.groupBy("gram")
+        .agg(count(lit(1)).as("n"))
+        .agg(coalesce(sum(col("n") * (col("n") - 1) / 2), lit(0.0))
+          .as("c"))
+        .collect()(0).getDouble(0)
+      lastPrefixPredicted.set(predicted.toLong)
+      if (predicted > perDoc * nDocs) {
+        if (onDegenerate == "lsh")
+          return minhashPairsOver(g, threshold)
+        throw new IllegalArgumentException(
+          f"prefix-filter candidate volume predicted at $predicted%.0f " +
+            f"pairs for $nDocs docs (budget ${perDoc * nDocs}%.0f): the " +
+            "corpus is too self-similar for exact PPJoin at threshold " +
+            s"$threshold - use minhashPairs (banded LSH, near-linear " +
+            "candidates) for low-threshold sweeps, or pass " +
+            "onDegenerate=\"lsh\"/\"proceed\"")
+      }
+    }
+    verifyPairs(prefixCandidatesOver(prefix, threshold), g, threshold)
+  }
+
+  /** Predicted prefix-candidate volume of the most recent guarded
+    * [[ngramPairsOver]] call — scale-evidence telemetry. */
+  private[graft] val lastPrefixPredicted =
+    new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Per-gram document frequency of a gram-set relation. */
   def gramDocFreqOf(g: DataFrame): DataFrame =
     g.select(explode(col("grams")).as("gram"))
       .groupBy("gram").agg(count(lit(1)).as("df"))
 
-  /** Candidate pairs from the DF-ordered prefix index (exposed for the
-    * skew-bound property test; superset of all qualifying pairs).
-    */
-  def prefixCandidates(g: DataFrame, threshold: Double,
-                       dfTable: Option[DataFrame] = None): DataFrame = {
+  /** The materialized DF-ordered prefix index (doc_id, sz, gram, rk). */
+  private def prefixIndex(g: DataFrame, threshold: Double,
+                          dfTable: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val inv = g.select(col("doc_id"), size(col("grams")).as("sz"),
       explode(col("grams")).as("gram"))
@@ -75,13 +126,25 @@ object DedupOps {
     // one map-side-combined aggregate, joined back to the postings
     val df = dfTable.getOrElse(gramDocFreqOf(g))
     val w = Window.partitionBy("doc_id").orderBy(col("df"), col("gram"))
-    // materialized: the self-join reads the prefix TWICE, and an
-    // unmaterialized subtree (DF aggregate + window) would compute twice
-    val prefix = inv.join(df, Seq("gram"))
+    // materialized: the self-join reads the prefix TWICE (and the
+    // degeneracy probe once more), and an unmaterialized subtree (DF
+    // aggregate + window) would compute per read
+    inv.join(df, Seq("gram"))
       .withColumn("rk", row_number().over(w))
       .where(col("rk") <= col("sz") - ceil(lit(threshold) * col("sz")) + 1)
       .select(col("doc_id"), col("sz"), col("gram"), col("rk"))
       .localCheckpoint(true)
+  }
+
+  /** Candidate pairs from the DF-ordered prefix index (exposed for the
+    * skew-bound property test; superset of all qualifying pairs).
+    */
+  def prefixCandidates(g: DataFrame, threshold: Double,
+                       dfTable: Option[DataFrame] = None): DataFrame =
+    prefixCandidatesOver(prefixIndex(g, threshold, dfTable), threshold)
+
+  private def prefixCandidatesOver(prefix: DataFrame, threshold: Double)
+      : DataFrame = {
     // POSITIONAL filter (PPJoin's second filter) on top of the prefix
     // match: grams sort in ONE global order, so a pair's shared grams
     // beyond its last shared prefix position are at most

@@ -989,9 +989,13 @@ object GraftStore {
     */
   def docDupPairs(spark: SparkSession, sfDir: String, threshold: Double): DataFrame = {
     evictStopped()
+    // onDegenerate="proceed": the oracle gates replay the exact
+    // all-pairs semantics, so the shared pair table keeps the exact
+    // path even in the guard's flagged low-threshold regime
     pairCache.getOrElseUpdate((spark, sfDir, threshold),
       new Lazily(graft.ops.DedupOps
-        .ngramPairsOver(docGrams(spark, sfDir), threshold)
+        .ngramPairsOver(docGrams(spark, sfDir), threshold,
+          onDegenerate = "proceed")
         .localCheckpoint(true))).value
   }
 

@@ -52,6 +52,45 @@ class DedupSpec extends SparkSpec {
     DedupOps.ngramPairsOver(g, threshold = 0.5).count() shouldBe 0L
   }
 
+  it should "trip the degeneracy guard at low thresholds on a template-heavy corpus" in {
+    // every doc = one 12-word template + a 6-word unique tail: at
+    // t=0.5 the prefix (rarest-first) is LONGER than the unique-gram
+    // count, so template grams (document frequency = corpus size)
+    // enter every prefix and the predicted candidate volume goes
+    // quadratic — the guard must reject loudly with the LSH pointer.
+    // At t=0.8 the prefix fits inside the unique grams and stays
+    // silent. Docs 61/62 are identical (a genuine near-dup pair).
+    val template = "alpha beta gamma delta epsilon zeta eta theta " +
+      "iota kappa lambda mu"
+    val tdocs = ((1 to 60).map { i =>
+      (i.toLong, s"$template u${i}a u${i}b u${i}c u${i}d u${i}e u${i}f")
+    } ++ Seq(
+      (61L, s"$template same same2 same3 same4 same5 same6"),
+      (62L, s"$template same same2 same3 same4 same5 same6")))
+      .toDF("doc_id", "text")
+    val g = DedupOps.gramSets(tdocs)
+    (the[IllegalArgumentException] thrownBy
+      DedupOps.ngramPairsOver(g, threshold = 0.5).count())
+      .getMessage should include ("minhashPairs")
+    DedupOps.lastPrefixPredicted.get() should be > (8L * 62)
+    // t=0.8: prefix stays within the unique tail grams -> silent, and
+    // the identical pair still comes out of the exact path
+    val hi = DedupOps.ngramPairsOver(g, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    hi should contain ((61L, 62L))
+    // auto-route: the LSH path runs the degenerate request with
+    // bounded candidates and still finds the identical pair
+    val routed = DedupOps.ngramPairsOver(g, threshold = 0.5,
+        onDegenerate = "lsh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    routed should contain ((61L, 62L))
+    // opt-out: the exact join still runs (oracle-parity path)
+    val exact = DedupOps.ngramPairsOver(g, threshold = 0.5,
+        onDegenerate = "proceed")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    exact should contain ((61L, 62L))
+  }
+
   it should "keep exact recall through the prefix filter" in {
     // the qualifying pairs of the small corpus survive candidate pruning
     val g = DedupOps.gramSets(docs)
