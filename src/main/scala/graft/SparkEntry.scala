@@ -3012,6 +3012,32 @@ object SparkEntry {
       .orderBy("g", "p", "cls")
   }
 
+  /** QUERY-TIME RL entailment ([[ReasonOps.owlRlEntailed]]): the
+    * restriction closure as a LAZY relation, pruned by the query's
+    * class constants — the patterns mention `Active` and `Gold`, so
+    * only the someValuesFrom(HasOrder) and hasValue(Gold) rules
+    * survive ([[ReasonOps.pruneRlSchema]]); the allValuesFrom and
+    * nested-svf rules appear in NO plan (ReasonSpec pins the pruned
+    * rule count), and the acyclic 2-rule schema composes as a fixed
+    * 3-pass lazy plan with no counts or pinning. The oracle is
+    * PATTERN-CONSTRAINED — it characterizes only the queried slices
+    * (Active = order-placers via svf+subclass; Gold = status holders
+    * via hv2 ∪ Vips via the hierarchy), NOT the full closure, so an
+    * accidental full materialization that over- or under-derives the
+    * queried classes breaks the hash.
+    */
+  private def owlRlRewriteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val rel = ReasonOps.owlRlEntailed(
+      owlRlAbox(s, d).unionAll(
+        s.createDataFrame(owlRlTboxRows).toDF("s", "p", "o")),
+      patternConsts = Seq[Any]("Active", "Gold"))
+    rel.where(col("p") === "a" && col("o").isin("Active", "Gold"))
+      .groupBy(col("o").as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("cls")
+  }
+
   /** The orders-only slice of the RL ABox — the maintenance gate's
     * materialized base (HasOrder/Active derive here; everything
     * customer-typed arrives in the batch). */
@@ -4670,6 +4696,7 @@ object SparkEntry {
     "q_owl_chain_delta" -> (owlChainDeltaQ _),
     "q_owl_chain_quads" -> (owlChainQuadsQ _),
     "q_owl_rl" -> (owlRlQ _),
+    "q_owl_rl_rewrite" -> (owlRlRewriteQ _),
     "q_owl_rl_quads" -> (owlRlQuadsQ _),
     "q_owl_rl_delta" -> (owlRlDeltaQ _),
     "q_owl_full" -> (owlFullQ _),
@@ -5758,6 +5785,20 @@ object SparkEntry {
         |SELECT p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
+  /** PATTERN-CONSTRAINED RL rewrite oracle: only the two queried
+    * classes characterize — Active = the distinct order-placing
+    * customers (someValuesFrom + subclass), Gold = gold-status holders
+    * (hasValue) unioned with Vips (plain hierarchy). Deliberately NOT
+    * the full-closure replay. */
+  private val owlRlRewriteOracle =
+    """SELECT cls, count(*) AS n, count(DISTINCT s) AS ns FROM (
+        |  SELECT DISTINCT 'Active' AS cls,
+        |         'customer:'||o_custkey AS s FROM orders
+        |  UNION
+        |  SELECT DISTINCT 'Gold', 'customer:'||c_custkey FROM customer
+        |  WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
+        |) GROUP BY cls ORDER BY cls""".stripMargin
 
   /** RL maintenance census: full counts plus `n_inc` = rows the
     * customer batch genuinely ADDED over the orders-only closure (the
@@ -6901,6 +6942,7 @@ object SparkEntry {
     "q_owl_chain_delta" -> owlChainDeltaOracle,
     "q_owl_chain_quads" -> owlChainQuadsOracle,
     "q_owl_rl" -> owlRlOracle,
+    "q_owl_rl_rewrite" -> owlRlRewriteOracle,
     "q_owl_rl_quads" -> owlRlQuadsOracle,
     "q_owl_rl_delta" -> owlRlDeltaOracle,
     "q_owl_full" -> owlFullOracle,

@@ -2383,6 +2383,255 @@ object ReasonOps {
       hasGraph = true, maxRounds)
   }
 
+  /** One rule of the RL class family abstracted for driver-side
+    * dependency analysis: reach-expanded conclusion classes/properties
+    * (`tc`/`ep`), premise constants (`tp`/`eprem`), the intra-node
+    * saturation cost in passes, and whether the node can feed ITSELF
+    * across subjects (`selfUnsafe` — the statically-detectable
+    * recursion that makes derivation depth data-dependent). */
+  private final case class RlRuleNode(tc: Set[Any], ep: Set[Any],
+                                      tp: Set[Any], eprem: Set[Any],
+                                      cost: Int, selfUnsafe: Boolean,
+                                      restr: Option[Restriction],
+                                      inter: Option[(Any, Seq[Any])],
+                                      union: Option[(Any, Seq[Any])])
+
+  /** Observable-rule pruning for the LAZY RL entailment: keep exactly
+    * the rules whose (rdfs-reach-expanded) conclusions a query
+    * mentioning `patternConsts` can observe, closed under rule-feeding
+    * (a rule whose conclusions enable a kept rule's premise is kept
+    * too) — the [[chainsNeeded]] analog for restriction heads, computed
+    * entirely on the driver over the schema-sized rule set. Returns the
+    * pruned schema plus `Some(passBound)` when the kept rules'
+    * dependency graph is ACYCLIC across nodes and free of cross-subject
+    * self-recursion — then `passBound` static derive passes reach the
+    * fixpoint (sum of per-node saturation costs: hasValue and
+    * intersection nodes saturate in 2, the rest in 1; all SAME-subject
+    * self-feeds saturate and are benign) — or `None` when a recursive
+    * schema (e.g. `R ⊑ ∀p.R`) makes depth data-dependent and only a
+    * count-driven fixpoint is sound.
+    */
+  private def pruneRlSchema(schema: RlSchema, maps: RdfsMaps, voc: RlVoc,
+                            patternConsts: Seq[Any])
+      : (RlSchema, Option[Int]) = {
+    val scUp = maps.scPairs.groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2)) }
+    val spUp = maps.spPairs.groupBy(_._1)
+      .map { case (k, v) => (k, v.map(_._2)) }
+    def tReach(c: Any): Set[Any] = scUp.getOrElse(c, Nil).toSet + c
+    def eReach(p: Any): Set[Any] = spUp.getOrElse(p, Nil).toSet + p
+    val domBy = maps.domEff.groupBy(_._1)
+    val rngBy = maps.rngEff.groupBy(_._1)
+    def edgeTypes(p: Any): Set[Any] =
+      (domBy.getOrElse(p, Nil).map(_._2) ++
+        rngBy.getOrElse(p, Nil).map(_._2)).flatMap(tReach).toSet
+    val nodes: Seq[RlRuleNode] =
+      schema.restr.map {
+        case rs @ Restriction(r, p, SvfKind, v) =>
+          val tp: Set[Any] = if (voc.thing(v)) Set.empty else Set(v)
+          val tc = tReach(r)
+          RlRuleNode(tc, Set.empty, tp, Set(p), 1,
+            (tc intersect tp).nonEmpty, Some(rs), None, None)
+        case rs @ Restriction(r, p, AvfKind, v) =>
+          val tc = tReach(v)
+          RlRuleNode(tc, Set.empty, Set(r), Set(p), 1,
+            tc.contains(r), Some(rs), None, None)
+        case rs @ Restriction(r, p, HvKind, _) =>
+          // hv1/hv2 feed each other on the SAME subject — saturating,
+          // never cross-subject, so the pair is one cost-2 node with no
+          // self-recursion hazard
+          RlRuleNode(tReach(r) ++ edgeTypes(p), eReach(p), Set(r), Set(p),
+            2, selfUnsafe = false, Some(rs), None, None)
+        case other => throw new IllegalStateException(other.toString)
+      } ++ schema.inters.map { case in @ (c, parts) =>
+        RlRuleNode(tReach(c) ++ parts.flatMap(tReach),
+          Set.empty, parts.toSet + c, Set.empty, 2,
+          selfUnsafe = false, None, Some(in), None)
+      } ++ schema.unions.map { case un @ (c, parts) =>
+        RlRuleNode(tReach(c), Set.empty, parts.toSet, Set.empty, 1,
+          selfUnsafe = false, None, None, Some(un))
+      }
+    val consts = patternConsts.toSet
+    def observable(n: RlRuleNode): Boolean =
+      consts.isEmpty || ((n.tc ++ n.ep) intersect consts).nonEmpty
+    def enables(a: RlRuleNode, b: RlRuleNode): Boolean =
+      (a.tc intersect b.tp).nonEmpty || (a.ep intersect b.eprem).nonEmpty
+    // needed = observable ∪ (feeds a needed rule), driver fixpoint
+    val needed = scala.collection.mutable.Set[Int]()
+    nodes.indices.filter(i => observable(nodes(i))).foreach(needed += _)
+    var grew = true
+    while (grew) {
+      grew = false
+      for (i <- nodes.indices if !needed(i);
+           j <- needed.toSeq if enables(nodes(i), nodes(j))) {
+        needed += i; grew = true
+      }
+    }
+    val kept = needed.toSeq.sorted.map(nodes)
+    val pruned = RlSchema(kept.flatMap(_.restr),
+      kept.flatMap(_.inter), kept.flatMap(_.union))
+    // pass bound: sound only without cross-subject self-recursion and
+    // without inter-node cycles (DFS cycle check on the kept subgraph)
+    val bound: Option[Int] =
+      if (kept.exists(_.selfUnsafe)) None
+      else {
+        val idx = kept.indices
+        val adj = idx.map(i => idx.filter(j => j != i &&
+          enables(kept(i), kept(j))))
+        val state = Array.fill(kept.size)(0) // 0 new, 1 in-stack, 2 done
+        var cyclic = false
+        def dfs(i: Int): Unit = {
+          state(i) = 1
+          adj(i).foreach { j =>
+            if (state(j) == 1) cyclic = true
+            else if (state(j) == 0) dfs(j)
+          }
+          state(i) = 2
+        }
+        idx.foreach(i => if (state(i) == 0) dfs(i))
+        if (cyclic) None else Some(kept.map(_.cost).sum)
+      }
+    (pruned, bound)
+  }
+
+  /** Rule count of the most recent [[owlRlEntailed]] pruning (the kept
+    * schema size) and its pass plan: `lastRlEntailedPasses` holds the
+    * static lazy pass count, or -1 when a recursive schema forced the
+    * count-driven materialized fallback. */
+  private[graft] val lastRlEntailedRules =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val lastRlEntailedPasses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def owlRlEntailedCore(t: DataFrame, voc: RlVoc,
+                                schema: RlSchema, maps: RdfsMaps,
+                                lazyBase: DataFrame,
+                                rdfsExpand: DataFrame => Seq[DataFrame],
+                                rdfsClose: DataFrame => DataFrame,
+                                hasGraph: Boolean,
+                                patternConsts: Seq[Any],
+                                maxPasses: Int): DataFrame = {
+    val (pruned, bound) = pruneRlSchema(schema, maps, voc, patternConsts)
+    lastRlEntailedRules.set(
+      pruned.restr.size + pruned.inters.size + pruned.unions.size)
+    if (pruned.isEmpty) { lastRlEntailedPasses.set(0); return lazyBase }
+    // logical plans are TREES (no subplan sharing): each lazy pass
+    // re-references the accumulated relation once per rule leg plus the
+    // rdfs expansion legs, so plan size grows as multiplier^passes —
+    // model it and keep the lazy composition only while the analyzed
+    // tree stays small (the pruned-query case it exists for); beyond
+    // the budget the count-driven fixpoint is cheaper than Catalyst
+    // analyzing an exponential tree
+    val accReads = pruned.restr.size * 2 +
+      pruned.inters.map(_._2.size + 1).sum + pruned.unions.size
+    val multiplier = math.max(2, accReads + 5)
+    def planOk(k: Int): Boolean =
+      k <= maxPasses && math.pow(multiplier.toDouble, k.toDouble) <= 4096.0
+    bound match {
+      case Some(k) if planOk(k) =>
+        lastRlEntailedPasses.set(k)
+        var acc = lazyBase
+        for (_ <- 1 to k) {
+          val derived =
+            restrictionDerive(acc, pruned, voc, hasGraph).distinct()
+          acc = (Seq(acc, derived) ++ rdfsExpand(derived))
+            .reduce(_.unionAll(_))
+        }
+        acc.distinct()
+      case _ =>
+        // recursive restriction dependencies (depth is data-dependent)
+        // or a pass plan beyond the tree budget: the relation is
+        // MATERIALIZATION-shaped — the documented owlEntailed
+        // chain-caveat analog, still over the PRUNED schema only
+        lastRlEntailedPasses.set(-1)
+        owlRlCore(t, voc, pruned, rdfsClose, rdfsExpand, hasGraph, 16)
+    }
+  }
+
+  /** QUERY-TIME OWL RL entailment: the restriction-class closure as a
+    * LAZY relation, the [[rdfsEntailed]] / [[owlEntailed]] analog for
+    * the class family. `patternConsts` — the class and property
+    * constants the caller's patterns mention — prunes the restriction
+    * and boolean-class rules to those whose conclusions the query can
+    * observe (closed under rule feeding, [[pruneRlSchema]]); on
+    * non-recursive schemas the pruned rules compose as a FIXED number
+    * of lazy derive passes (no counts, no pinning — Catalyst
+    * specializes each pattern scan, and pruned-away rules appear in no
+    * plan), which is exact FOR THE MENTIONED constants; unmentioned
+    * restriction heads are under-derived, the same documented price as
+    * [[owlEntailed]]'s unlisted transitive slices. Empty
+    * `patternConsts` keeps every rule and is exact everywhere (still
+    * lazy when the schema is non-recursive and small). RECURSIVE
+    * schemas (e.g. `R ⊑ ∀p.R`, where derivation depth is
+    * data-dependent) fall back to the count-driven materialized
+    * fixpoint over the pruned schema; so do pass plans whose analyzed
+    * TREE would outgrow Catalyst (logical plans share no subtrees, so
+    * k passes over r rule legs cost ~(r+5)^k plan nodes — beyond a
+    * 4096-node budget materializing is cheaper than analysis). Both
+    * report via [[lastRlEntailedPasses]] == -1.
+    */
+  def owlRlEntailed(triples: DataFrame, typePred: String = "a",
+                    tboxCap: Int = 1 << 20,
+                    patternConsts: Seq[Any] = Nil,
+                    maxPasses: Int = 12): DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val voc = stringRlVoc(typePred)
+    val schema = collectRlSchema(t, voc, tboxCap)
+    val voc0 = stringVoc(typePred)
+    val tbox = collectTbox(t, voc0.tboxPreds, tboxCap)
+    val vocE = resolveEmit(voc0, tbox)
+    owlRlEntailedCore(t, voc, schema, rdfsMaps(tbox, vocE),
+      rdfsEntailed(t, typePred, tboxCap),
+      df => rdfsDerive(tbox, df, vocE, includeTboxClosure = false),
+      df => rdfsClosure(df, typePred, tboxCap),
+      hasGraph = false, patternConsts, maxPasses)
+  }
+
+  /** [[owlRlEntailed]] over an ENCODED (long-id) triple relation. */
+  def owlRlEntailedEncoded(encTriples: DataFrame, ids: RlIds,
+                           tboxCap: Int = 1 << 20,
+                           patternConsts: Seq[Any] = Nil,
+                           maxPasses: Int = 12): DataFrame = {
+    val Seq(cs, cp, co) = encTriples.columns.take(3).toSeq
+    val t = encTriples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val voc = encRlVoc(ids)
+    val schema = collectRlSchema(t, voc, tboxCap)
+    val voc0 = encVoc(ids.rdfs)
+    val tbox = collectTbox(t, voc0.tboxPreds, tboxCap)
+    owlRlEntailedCore(t, voc, schema, rdfsMaps(tbox, voc0),
+      rdfsEntailedEncoded(t, ids.rdfs, tboxCap),
+      df => rdfsDerive(tbox, df, voc0, includeTboxClosure = false),
+      df => rdfsClosureEncoded(df, ids.rdfs, tboxCap),
+      hasGraph = false, patternConsts, maxPasses)
+  }
+
+  /** [[owlRlEntailed]] over a NAMED-GRAPH quad dataset (lazy per-graph
+    * restriction entailment; global declarations from `tboxSource`). */
+  def owlRlEntailedQuads(quads: DataFrame, tboxSource: DataFrame,
+                         typePred: String = "a", tboxCap: Int = 1 << 20,
+                         patternConsts: Seq[Any] = Nil,
+                         maxPasses: Int = 12): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val voc = stringRlVoc(typePred)
+    val schema = collectRlSchema(tboxSource, voc, tboxCap)
+    val voc0 = stringVoc(typePred)
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"), col(to).as("o")),
+      voc0.tboxPreds, tboxCap)
+    val vocE = resolveEmit(voc0, tbox)
+    owlRlEntailedCore(q, voc, schema, rdfsMaps(tbox, vocE),
+      rdfsEntailedQuads(q, tboxSource, typePred, tboxCap),
+      df => rdfsDeriveQuads(tbox, df, vocE, includeTboxClosure = false),
+      df => rdfsClosureQuads(df, tboxSource, typePred, tboxCap),
+      hasGraph = true, patternConsts, maxPasses)
+  }
+
   /** One seminaive restriction pass for the delta path: per
     * declaration, BOTH premise positions get a variant with the
     * newest-step slice broadcast and the accumulated relation's slices

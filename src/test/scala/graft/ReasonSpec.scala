@@ -2033,6 +2033,74 @@ class ReasonSpec extends SparkSpec {
     gotE should contain allOf ((100L, 1L, 300L), (100L, 2L, 4L))
   }
 
+  "ReasonOps.owlRlEntailed" should "equal the materialized RL closure and stay lazy on acyclic schemas" in {
+    val g = Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("HasOrder", ReasonOps.SubClassOf, "Active"),
+      ("Buyer", ReasonOps.SubClassOf, "AllPurch"),
+      ("AllPurch", OnProperty, "placed"),
+      ("AllPurch", AllValuesFrom, "Purchase"),
+      ("PurchBuyer", OnProperty, "placed"),
+      ("PurchBuyer", SomeValuesFrom, "Purchase"),
+      ("Gold", OnProperty, "status"),
+      ("Gold", HasValue, "gold"),
+      ("c1", "placed", "o1"), ("o1", "a", "Order"),
+      ("c1", "a", "Buyer"),
+      ("c2", "status", "gold")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlEntailed(g))
+    // 4 rules × 5 passes outgrow the lazy plan-tree budget: the
+    // documented materialized fallback runs (over the full schema)
+    ReasonOps.lastRlEntailedPasses.get() shouldBe -1L
+    got shouldBe tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (
+      ("c1", "a", "Active"),      // svf + subclass
+      ("o1", "a", "Purchase"),    // avf through Buyer membership
+      ("c1", "a", "PurchBuyer"),  // nested svf (needs the avf feed)
+      ("c2", "a", "Gold"))        // hv2
+  }
+
+  it should "prune to the observable rules and run the others zero times" in {
+    val g = Seq(
+      ("HasOrder", OnProperty, "placed"),
+      ("HasOrder", SomeValuesFrom, "Order"),
+      ("HasOrder", ReasonOps.SubClassOf, "Active"),
+      ("Gold", OnProperty, "status"),
+      ("Gold", HasValue, "gold"),
+      ("Vip", ReasonOps.SubClassOf, "Gold"),
+      ("c1", "placed", "o1"), ("o1", "a", "Order"),
+      ("c2", "status", "gold"),
+      ("c3", "a", "Vip")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlEntailed(g,
+      patternConsts = Seq[Any]("Active")))
+    // only the svf rule survives pruning (one rule, one pass)
+    ReasonOps.lastRlEntailedRules.get() shouldBe 1L
+    ReasonOps.lastRlEntailedPasses.get() shouldBe 1L
+    // exact for the mentioned constant ...
+    got should contain (("c1", "a", "Active"))
+    // ... rdfs facts still flow (Vip ⊑ Gold is hierarchy, not a rule)
+    got should contain (("c3", "a", "Gold"))
+    // ... and the PRUNED hv2 rule ran zero passes: no status-derived
+    // Gold membership (the documented under-derivation price)
+    got should not contain (("c2", "a", "Gold"))
+  }
+
+  it should "fall back to the counted fixpoint on recursive schemas" in {
+    // R ⊑ ∀p.R: membership propagates along p-paths — depth is
+    // data-dependent, no static pass plan is sound
+    val g = Seq(
+      ("R", OnProperty, "p"), ("R", AllValuesFrom, "R"),
+      ("x0", "a", "R"),
+      ("x0", "p", "x1"), ("x1", "p", "x2"), ("x2", "p", "x3")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlEntailed(g))
+    ReasonOps.lastRlEntailedPasses.get() shouldBe -1L // materialized
+    got shouldBe tset(ReasonOps.owlRlClosure(g))
+    got should contain (("x3", "a", "R"))
+  }
+
   "ReasonOps.owlFullDelta" should "maintain the joint closure across families" in {
     // base: transitive located spine + svf/hv TBox, but acme's HQ
     // membership has NOT arrived: no hv edge, no Reaches typing yet.
