@@ -2889,6 +2889,56 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** Single-layer chain DRed ([[ReasonOps.owlRetract]] with a chain
+    * whose head feeds no other rule): the custRegion ⊒ cn∘nr chain and
+    * an independent transitive locIn spine materialize, then a DELETE
+    * removes every k%9 customer's cn hop and every n%5 nation's locIn
+    * hop — the Δ-shaped path must over-delete exactly the compositions
+    * through removed premises (per-position broadcast joins), keep
+    * alternative-path survivors, and run the transitive DRed for locIn
+    * in the same pass, landing hash-equal on post-delete
+    * re-materialization WITHOUT re-closing (ReasonSpec pins the
+    * telemetry; a feeding chain re-materializes instead, documented).
+    */
+  private def owlChainDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val na = t(s, d, "nation")
+    val re = t(s, d, "region")
+    val ck = concat(lit("customer:"), col("c_custkey"))
+    val nk = concat(lit("nation:"), col("n_nationkey"))
+    val tbox = s.createDataFrame(Seq(
+      ("custRegion", ReasonOps.PropertyChainAxiom, "_:c0"),
+      ("_:c0", ReasonOps.RdfFirst, "cn"),
+      ("_:c0", ReasonOps.RdfRest, "_:c1"),
+      ("_:c1", ReasonOps.RdfFirst, "nr"),
+      ("_:c1", ReasonOps.RdfRest, ReasonOps.RdfNil),
+      ("locIn", "a", ReasonOps.TransitiveProperty))).toDF("s", "p", "o")
+    val base = cu.select(ck.as("s"), lit("cn").as("p"),
+        concat(lit("nation:"), col("c_nationkey")).as("o"))
+      .unionAll(na.select(nk.as("s"), lit("nr").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o")))
+      .unionAll(na.select(nk.as("s"), lit("locIn").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o")))
+      .unionAll(re.select(concat(lit("region:"), col("r_regionkey")).as("s"),
+        lit("locIn").as("p"), lit("world").as("o")))
+      .unionAll(tbox)
+    val closure = GraftStore.reasonArtifact(s, d, "owl_chaindel_base") {
+      ReasonOps.owlClosure(base)
+    }
+    val del = cu.where(col("c_custkey") % 9 === 0)
+      .select(ck.as("s"), lit("cn").as("p"),
+        concat(lit("nation:"), col("c_nationkey")).as("o"))
+      .unionAll(na.where(col("n_nationkey") % 5 === 0)
+        .select(nk.as("s"), lit("locIn").as("p"),
+          concat(lit("region:"), col("n_regionkey")).as("o")))
+    ReasonOps.owlRetract(closure, base, del, tbox)
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("p")
+  }
+
   /** The per-graph twin of [[owlChainQ]] ([[ReasonOps.owlClosureQuads]]):
     * customers split into `even`/`odd` named graphs by key parity, the
     * geography spine lives in BOTH graphs, and every chain composition
@@ -4694,6 +4744,7 @@ object SparkEntry {
     "q_owl_equiv_delta" -> (owlEquivDeltaQ _),
     "q_owl_chain" -> (owlChainQ _),
     "q_owl_chain_delta" -> (owlChainDeltaQ _),
+    "q_owl_chain_del" -> (owlChainDelQ _),
     "q_owl_chain_quads" -> (owlChainQuadsQ _),
     "q_owl_rl" -> (owlRlQ _),
     "q_owl_rl_rewrite" -> (owlRlRewriteQ _),
@@ -5778,6 +5829,38 @@ object SparkEntry {
         |        WHERE (c_custkey % 5 = 0 OR c_custkey % 7 = 0)
         |          AND ${c("c_custkey")})""".stripMargin
   }
+
+  /** Post-delete characterization: surviving cn hops (k%9≠0), the full
+    * nr layer, the locIn spine minus the n%5 hops (their nation→world
+    * extensions die with them — no alternative path), and custRegion
+    * compositions only where the cn premise survived. */
+  private val owlChainDelOracle =
+    """WITH m AS (
+        |  SELECT 'customer:'||c_custkey AS s, 'cn' AS p,
+        |         'nation:'||c_nationkey AS o
+        |  FROM customer WHERE c_custkey % 9 <> 0
+        |  UNION SELECT 'nation:'||n_nationkey, 'nr',
+        |        'region:'||n_regionkey FROM nation
+        |  UNION SELECT 'nation:'||n_nationkey, 'locIn',
+        |        'region:'||n_regionkey FROM nation WHERE n_nationkey % 5 <> 0
+        |  UNION SELECT 'region:'||r_regionkey, 'locIn', 'world' FROM region
+        |  UNION SELECT 'nation:'||n_nationkey, 'locIn', 'world'
+        |        FROM nation WHERE n_nationkey % 5 <> 0
+        |  UNION SELECT 'customer:'||c_custkey, 'custRegion',
+        |        'region:'||n_regionkey
+        |        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |        WHERE c_custkey % 9 <> 0
+        |  UNION SELECT * FROM (VALUES
+        |    ('custRegion','owl:propertyChainAxiom','_:c0'),
+        |    ('_:c0','rdf:first','cn'),
+        |    ('_:c0','rdf:rest','_:c1'),
+        |    ('_:c1','rdf:first','nr'),
+        |    ('_:c1','rdf:rest','rdf:nil'),
+        |    ('locIn','a','http://www.w3.org/2002/07/owl#TransitiveProperty')
+        |  ) tb(s, p, o))
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM m GROUP BY p ORDER BY p""".stripMargin
 
   private val owlRlOracle =
     s"""WITH rl_tb(s, p, o) AS (VALUES $rlTbValues),
@@ -6940,6 +7023,7 @@ object SparkEntry {
     "q_owl_equiv_delta" -> owlEquivDeltaOracle,
     "q_owl_chain" -> owlChainOracle,
     "q_owl_chain_delta" -> owlChainDeltaOracle,
+    "q_owl_chain_del" -> owlChainDelOracle,
     "q_owl_chain_quads" -> owlChainQuadsOracle,
     "q_owl_rl" -> owlRlOracle,
     "q_owl_rl_rewrite" -> owlRlRewriteOracle,

@@ -1897,15 +1897,26 @@ object ReasonOps {
         "incremental retraction")
     val e = norm(closure)
     val baseRem = rowAnti(norm(base), del)
-    // DRed under chain axioms needs per-conclusion premise provenance
-    // (a multi-premise rule's over-delete/re-derive frontier is no
-    // longer a per-property path reroute) — deliberately re-materialize
-    // the remaining base instead: always correct, the same sound
-    // fallback as frontier non-convergence below, and DOCUMENTED in the
-    // public scaladoc (+ lastRetractRematerialized telemetry).
-    // Incremental chain-aware retraction is a future-work surface.
-    lastRetractRematerialized.set(chains.nonEmpty)
-    if (chains.nonEmpty)
+    // Chain axioms and DRed: SINGLE-LAYER chains — heads that feed no
+    // other rule (not transitive/symmetric/inverse-paired and in no
+    // chain body, so conclusions are never premises) — retract
+    // Δ-shaped below: over-delete the compositions through a removed
+    // premise, then re-derive candidates over the maintained body
+    // slices (per-position broadcast joins, the deriveChainsDelta
+    // shape). FEEDING chains (a self-chain IS transitivity) would need
+    // per-conclusion premise provenance across rule layers —
+    // deliberately re-materialize the remaining base instead: always
+    // correct, the same sound fallback as frontier non-convergence
+    // below, DOCUMENTED in the public scaladoc
+    // (+ lastRetractRematerialized telemetry).
+    val bodyPreds = chains.flatMap(_._2).toSet
+    val chainHeads = chains.map(_._1).toSet
+    val singleLayer = chains.forall { case (h, _) =>
+      !trans.contains(h) && !sym.contains(h) &&
+        !inv.exists(pr => pr._1 == h || pr._2 == h) &&
+        !bodyPreds.contains(h) }
+    lastRetractRematerialized.set(chains.nonEmpty && !singleLayer)
+    if (chains.nonEmpty && !singleLayer)
       return owlCloseCore(baseRem, inv, sym, trans, hasGraph, chains)
     // the frontier-size fallback check below must honor the same
     // session conf the pinCapped broadcasts do
@@ -2033,15 +2044,78 @@ object ReasonOps {
             "left_semi")
           .distinct(),
         deltaCap, "re-derivable over-delete survivors", remat)
-      val removal = rowAnti(oAll, hits)
-      rowAnti(e, removal)
+      val removalP = rowAnti(oAll, hits)
+      if (chains.isEmpty) rowAnti(e, removalP)
+      else {
+        // ---- single-layer chain DRed layer ----
+        // conclusions are never premises here, so ONE pass is exact:
+        // over-delete every composition with a premise among the
+        // removed body-slice rows, then keep the candidates that
+        // re-derive over the MAINTAINED slices (or survive as base
+        // assertions); every probe broadcasts, the closure streams
+        val rp = pinCapped(removalP, deltaCap,
+          "property-rule removal set", remat)
+        val bodyCond = if (bodyPreds.isEmpty) lit(false)
+          else col("p").isin(bodyPreds.toSeq: _*)
+        val headCond = col("p").isin(chainHeads.toSeq: _*)
+        val touch = pinCapped(rp.where(bodyCond), deltaCap,
+          "removed chain premises", remat)
+        val oC = deriveChainsDelta(e, touch, chains, hasGraph, deltaCap,
+          remat)
+        // candidates: over-deleted conclusions, plus directly-removed
+        // head rows (a deleted base head edge may be chain-derivable)
+        val cands = pinCapped(oC.unionAll(rp.where(headCond)).distinct(),
+          deltaCap, "over-deleted chain conclusions", remat)
+        def mSlice(pi: Any): DataFrame =
+          rowAnti(e.where(col("p") === pi), rp)
+        val probeNames = Seq("__pa", "__pc", "__pb") ++
+          (if (hasGraph) Seq("__pg") else Nil)
+        def gEqC = if (hasGraph) Seq(col("g") <=> col("__pg")) else Nil
+        val surLegs = chains.map { case (h, body) =>
+          var acc = cands.where(col("p") === h)
+            .select(Seq(col("s").as("__pa"), col("s").as("__pc"),
+              col("o").as("__pb")) ++
+              (if (hasGraph) Seq(col("g").as("__pg")) else Nil): _*)
+          var joined = false
+          body.foreach { pi =>
+            val probe = (if (joined)
+                pinCapped(acc, deltaCap, "chain re-derivation probe",
+                  remat)
+              else acc).toDF(probeNames: _*)
+            acc = mSlice(pi)
+              .join(broadcast(probe),
+                (Seq(col("s") === col("__pc")) ++ gEqC).reduce(_ && _))
+              .select(Seq(col("__pa"), col("o").as("__pc"),
+                col("__pb")) ++
+                (if (hasGraph) Seq(col("__pg")) else Nil): _*)
+              .toDF(probeNames: _*)
+            joined = true
+          }
+          acc.where(col("__pc") === col("__pb"))
+            .select(Seq(col("__pa").as("s"), lit(h).as("p"),
+              col("__pb").as("o")) ++
+              (if (hasGraph) Seq(col("__pg").as("g")) else Nil): _*)
+        }
+        val candProbe = cands.toDF(names.map("__x_" + _): _*)
+        val baseSur = baseRem.where(headCond)
+          .join(broadcast(candProbe),
+            (Seq(col("s") === col("__x_s"), col("p") === col("__x_p"),
+              col("o") === col("__x_o")) ++ gEq("__x_")).reduce(_ && _),
+            "left_semi")
+        val survivorsC = pinCapped(
+          (surLegs :+ baseSur).reduce(_.unionAll(_)).distinct(),
+          deltaCap, "re-derivable chain conclusions", remat)
+        val removalAll = pinCapped(rp.unionAll(cands).distinct(),
+          deltaCap, "combined removal candidates", remat)
+        rowAnti(e, rowAnti(removalAll, survivorsC))
+      }
     } catch {
       case RetractNonConvergence =>
         // adversarial reroute structure (survivor paths crossing more
         // than 2^maxRounds segments): re-close the remaining base —
         // always correct, one full materialization instead of a failure
         lastRetractRematerialized.set(true)
-        owlCloseCore(baseRem, inv, sym, trans, hasGraph)
+        owlCloseCore(baseRem, inv, sym, trans, hasGraph, chains)
     }
   }
 

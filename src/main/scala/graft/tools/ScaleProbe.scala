@@ -43,8 +43,21 @@ object ScaleProbe {
       "q_owl_quads_del", "q_store_diff",
       // property chains: materialize fixpoint + seminaive delta loop
       "q_owl_chain", "q_owl_chain_delta",
-      // restriction + joint fixpoints
-      "q_owl_rl", "q_owl_rl_delta", "q_owl_full")
+      // restriction + joint fixpoints and their O(Δ) twins
+      "q_owl_rl", "q_owl_rl_delta", "q_owl_full", "q_owl_full_delta",
+      // entity resolution: batch fixpoints + incremental maintenance
+      "q_owl_functional", "q_owl_functional_delta",
+      "q_owl_haskey", "q_owl_haskey_delta", "q_sameas_delta")
+    // per-run Spark JOB counter: driver-latency floors are jobs ×
+    // scheduling latency, so a gate whose job count is flat at 10× and
+    // whose wall tracks jobs is latency-bound, not data-bound
+    val jobCounter = new java.util.concurrent.atomic.AtomicLong(0)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCounter.incrementAndGet()
+      })
     for (sf <- Seq("sf0.01", "sf0.1")) {
       val dir = s"/root/testdata/$sf"
       for (g <- gates) {
@@ -56,6 +69,8 @@ object ScaleProbe {
         var ch = 0L
         var rl = 0L
         var fu = 0L
+        var fn2 = 0L
+        var jobs = 0L
         for (i <- 1 to repeat) {
           System.gc()
           graft.ops.GraphOps.lastCcRounds.set(0)
@@ -64,6 +79,8 @@ object ScaleProbe {
           graft.ops.ReasonOps.lastChainRounds.set(0)
           graft.ops.ReasonOps.lastRlRounds.set(0)
           graft.ops.ReasonOps.lastFullRounds.set(0)
+          graft.ops.ReasonOps.lastFunctionalRounds.set(0)
+          jobCounter.set(0)
           val t0 = System.nanoTime()
           fn(spark, dir).collect()
           val sec = (System.nanoTime() - t0) / 1e9
@@ -77,11 +94,19 @@ object ScaleProbe {
             ch = graft.ops.ReasonOps.lastChainRounds.get()
             rl = graft.ops.ReasonOps.lastRlRounds.get()
             fu = graft.ops.ReasonOps.lastFullRounds.get()
+            fn2 = graft.ops.ReasonOps.lastFunctionalRounds.get()
           }
+          // jobs from the LAST (warm) run: the steady-state floor the
+          // repeat-min wall time reflects (cold runs add artifact
+          // jobs); listener delivery is async — a short drain keeps the
+          // count honest without private APIs
+          Thread.sleep(100)
+          jobs = jobCounter.get()
         }
         println(f"""{"sf":"$sf","gate":"$g","sec":$best%.2f,""" +
           s""""ccRounds":$cc,"fixpointRounds":$fp,"frontierRounds":$fr,""" +
-          s""""chainRounds":$ch,"rlRounds":$rl,"fullRounds":$fu}""")
+          s""""chainRounds":$ch,"rlRounds":$rl,"fullRounds":$fu,""" +
+          s""""fnRounds":$fn2,"jobs":$jobs}""")
       }
       // ---- pipeline-family candidate volumes (r10-verdict #7) ----
       // The dedup/ANN 100 TB claims rest on CANDIDATE volume staying
@@ -117,6 +142,41 @@ object ScaleProbe {
             .join(cells.select(col("vec_id").as("neighbor_id"), col("cell")),
               Seq("cell"))
             .where(col("neighbor_id") =!= col("query_id"))
+        }
+        // ---- ER candidate volumes (r11-verdict #7): the identity
+        // pairs the collision-group aggregations emit must stay linear
+        // in corpus size (star edges to group minima, never all-pairs
+        // within a group — a quadratic count here means a group's
+        // members paired against each other)
+        import graft.ops.ReasonOps
+        val cu = graft.Tables.loadPar(spark, dir, "customer")
+        val k = col("c_custkey")
+        val ck = concat(lit("customer:"), k)
+        val nCust = cu.count()
+        probe("cand_er_ifp", nCust) {
+          val dupk = cu.where(k % 3 === 0)
+          ReasonOps.functionalIdentityPairs(
+            cu.select(ck.as("s"), lit("email").as("p"),
+                concat(lit("em:"), k).as("o"))
+              .unionAll(dupk.select(concat(lit("dup:"), k).as("s"),
+                lit("email").as("p"), concat(lit("em:"), k).as("o")))
+              .unionAll(spark.createDataFrame(Seq(("email", "a",
+                ReasonOps.InverseFunctionalProperty))).toDF("s", "p", "o")))
+        }
+        probe("cand_er_haskey", nCust) {
+          val keyTbox = Seq(
+            ("Cust", ReasonOps.HasKey, "_:hk0"),
+            ("_:hk0", ReasonOps.RdfFirst, "city"),
+            ("_:hk0", ReasonOps.RdfRest, "_:hk1"),
+            ("_:hk1", ReasonOps.RdfFirst, "code"),
+            ("_:hk1", ReasonOps.RdfRest, ReasonOps.RdfNil))
+          ReasonOps.hasKeyIdentityPairs(
+            cu.select(ck.as("s"), lit("a").as("p"), lit("Cust").as("o"))
+              .unionAll(cu.select(ck.as("s"), lit("city").as("p"),
+                concat(lit("city:"), k % 12).as("o")))
+              .unionAll(cu.select(ck.as("s"), lit("code").as("p"),
+                concat(lit("code:"), k % 30).as("o")))
+              .unionAll(spark.createDataFrame(keyTbox).toDF("s", "p", "o")))
         }
       }
     }

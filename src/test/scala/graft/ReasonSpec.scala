@@ -1656,12 +1656,15 @@ class ReasonSpec extends SparkSpec {
   }
 
   it should "report the re-materialization fallback via telemetry" in {
-    val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
-    val base = chainAxiom("grand", Seq("par", "par")) ++ Seq(
-      ("a", "par", "b"), ("b", "par", "c"))
+    // a SELF-chain (locIn ∘ locIn ⊑ locIn) feeds itself — conclusions
+    // are premises, so retraction re-materializes and reports it
+    val tbox = chainAxiom("locIn", Seq("locIn", "locIn"))
+      .toDF("s", "p", "o")
+    val base = chainAxiom("locIn", Seq("locIn", "locIn")) ++ Seq(
+      ("a", "locIn", "b"), ("b", "locIn", "c"))
     val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
     ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
-      Seq(("b", "par", "c")).toDF("s", "p", "o"), tbox).count()
+      Seq(("b", "locIn", "c")).toDF("s", "p", "o"), tbox).count()
     ReasonOps.lastRetractRematerialized.get() shouldBe true
     // chain-free retraction takes the O(Δ) DRed path
     val tbox2 = Seq(("trans", "a", ReasonOps.TransitiveProperty)).toDF("s", "p", "o")
@@ -1671,6 +1674,51 @@ class ReasonSpec extends SparkSpec {
     ReasonOps.owlRetract(closure2, base2.toDF("s", "p", "o"),
       Seq(("b", "trans", "c")).toDF("s", "p", "o"), tbox2).count()
     ReasonOps.lastRetractRematerialized.get() shouldBe false
+  }
+
+  "ReasonOps.owlRetract single-layer chains" should "retract delta-shaped with alternative-path survivors" in {
+    // grand ⊒ par∘par feeds nothing (single-layer): deleting b→c kills
+    // grand(b,d) but grand(a,c) SURVIVES through the alternative b2
+    // path, and the directly-deleted base head row grand(x,y) with a
+    // chain re-derivation must be rescued
+    val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
+    val base = chainAxiom("grand", Seq("par", "par")) ++ Seq(
+      ("a", "par", "b"), ("b", "par", "c"), ("c", "par", "d"),
+      ("a", "par", "b2"), ("b2", "par", "c"),
+      ("x", "par", "m"), ("m", "par", "y"), ("x", "grand", "y"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+    val del = Seq(("b", "par", "c"), ("x", "grand", "y"))
+      .toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
+      del, tbox))
+    ReasonOps.lastRetractRematerialized.get() shouldBe false // Δ path
+    got shouldBe tset(ReasonOps.owlClosure(
+      base.filterNot(r => r == (("b", "par", "c")) ||
+        r == (("x", "grand", "y"))).toDF("s", "p", "o")))
+    got should contain (("a", "grand", "c"))     // alternative path
+    got should not contain (("b", "grand", "d")) // only path deleted
+    got should contain (("x", "grand", "y"))     // chain-rescued
+  }
+
+  it should "combine with transitive DRed and stay per graph on quads" in {
+    val tbox = (chainAxiom("cr", Seq("cn", "nr")) ++
+      Seq(("locIn", "a", ReasonOps.TransitiveProperty)))
+      .toDF("s", "p", "o")
+    val base = Seq(
+      ("c1", "cn", "n1", "g1"), ("n1", "nr", "r1", "g1"),
+      ("c1", "cn", "n1", "g2"), ("n1", "nr", "r1", "g2"),
+      ("n1", "locIn", "r1", "g1"), ("r1", "locIn", "w", "g1"))
+    val del = Seq(("c1", "cn", "n1", "g1"), ("n1", "locIn", "r1", "g1"))
+    val closure = ReasonOps.owlClosureQuads(
+      base.toDF("s", "p", "o", "g"), tbox)
+    val got = qset(ReasonOps.owlRetractQuads(closure,
+      base.toDF("s", "p", "o", "g"), del.toDF("s", "p", "o", "g"), tbox))
+    ReasonOps.lastRetractRematerialized.get() shouldBe false
+    got shouldBe qset(ReasonOps.owlClosureQuads(
+      base.filterNot(del.contains).toDF("s", "p", "o", "g"), tbox))
+    got should not contain (("c1", "cr", "r1", "g1")) // premise deleted
+    got should contain (("c1", "cr", "r1", "g2"))     // other graph intact
+    got should not contain (("n1", "locIn", "w", "g1")) // transitive DRed
   }
 
   "ReasonOps.owlRetract property chains" should "re-materialize to the exact remaining closure" in {
