@@ -2492,9 +2492,16 @@ object SparkEntry {
     * directory-pruned scan + census.
     */
   private def rdfsQuadsArtifactQ(s: SparkSession, d: String): DataFrame = {
-    import graft.ops.ReasonOps
-    quadRdfsCensus(GraftStore.openClosureQuads(s,
-      cachedQuadClosureArtifact(s, d)))
+    // census differs from q_rdfs_quads' (adds `no` = distinct objects)
+    // so the two gates hash independently against their OWN oracles —
+    // a stale or truncated reopened artifact cannot hide behind the
+    // sibling gate's hash
+    GraftStore.openClosureQuads(s, cachedQuadClosureArtifact(s, d))
+      .groupBy(coalesce(col("g"), lit("default")).as("g"), col("p"),
+        when(col("p") === "a", col("o")).otherwise(lit("-")).as("cls"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("g", "p", "cls")
   }
 
   /** The gate's persisted quad-closure artifact path, CONTENT-KEYED and
@@ -6510,6 +6517,17 @@ object SparkEntry {
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM cl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
 
+  /** The persisted-artifact gate's OWN replay (wider census than
+    * q_rdfs_quads — `no` added — so the reopened artifact hashes
+    * independently of the in-session closure gate). */
+  private val rdfsQuadsArtifactOracle =
+    s"""WITH $rdfsQuadTbCte,
+        |${rdfsQuadCtes("", "TRUE")}
+        |SELECT g, p, CASE WHEN p = 'a' THEN o ELSE '-' END AS cls,
+        |       count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM cl GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Per-graph incremental census: full closure counts plus `n_inc` =
     * rows the customer graph's arrival genuinely ADDED over the
     * supplier+nation-only closure, per (graph, predicate, class).
@@ -7069,7 +7087,7 @@ object SparkEntry {
     "q_sameas_delta" -> sameAsDeltaOracle,
     "q_rdfs_quads_delta" -> rdfsQuadsDeltaOracle,
     "q_rdfs_quads_del" -> rdfsQuadsDelOracle,
-    "q_rdfs_quads_artifact" -> rdfsQuadsOracle,
+    "q_rdfs_quads_artifact" -> rdfsQuadsArtifactOracle,
     "q_rdfs_enc_quads" -> rdfsQuadsOracle,
     // per-graph closure: the oracle derives each graph's rows by hand
     // (single-premise rules keep derivations in their premise's graph;
