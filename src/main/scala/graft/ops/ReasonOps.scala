@@ -2144,6 +2144,7 @@ object ReasonOps {
                          hasValue: Long, owlThing: Option[Long] = None,
                          intersectionOf: Option[Long] = None,
                          unionOf: Option[Long] = None,
+                         oneOf: Option[Long] = None,
                          listFirst: Option[Long] = None,
                          listRest: Option[Long] = None,
                          listNil: Option[Long] = None)
@@ -2153,6 +2154,7 @@ object ReasonOps {
                                  thing: Set[Any], ty: Set[Any],
                                  emitTy: Any,
                                  int: Set[Any], uni: Set[Any],
+                                 oneOf: Set[Any],
                                  first: Set[Any], rest: Set[Any],
                                  nil: Set[Any]) {
     def declPreds: Seq[Any] = (on ++ svf ++ avf ++ hv).toSeq
@@ -2168,6 +2170,7 @@ object ReasonOps {
       Set(OwlThing, OwlThingIri), ty, typePred,
       Set(IntersectionOf, IntersectionOfIri),
       Set(UnionOf, UnionOfIri),
+      Set(OneOf, OneOfIri),
       Set(RdfFirst, RdfFirstIri), Set(RdfRest, RdfRestIri),
       Set(RdfNil, RdfNilIri))
   }
@@ -2177,6 +2180,7 @@ object ReasonOps {
       Set(ids.allValuesFrom), Set(ids.hasValue),
       ids.owlThing.toSet[Any], Set(ids.rdfs.typePred), ids.rdfs.typePred,
       ids.intersectionOf.toSet[Any], ids.unionOf.toSet[Any],
+      ids.oneOf.toSet[Any],
       ids.listFirst.toSet[Any], ids.listRest.toSet[Any],
       ids.listNil.toSet[Any])
 
@@ -2195,13 +2199,15 @@ object ReasonOps {
   private val AvfKind = 1
   private val HvKind  = 2
 
-  /** The collected class-rule schema: property restrictions plus the
-    * boolean class expressions. */
+  /** The collected class-rule schema: property restrictions, the
+    * boolean class expressions, and the enumerated classes
+    * (`owl:oneOf` — cls-oo types the listed individuals). */
   private final case class RlSchema(restr: Seq[Restriction],
                                     inters: Seq[(Any, Seq[Any])],
-                                    unions: Seq[(Any, Seq[Any])]) {
+                                    unions: Seq[(Any, Seq[Any])],
+                                    oneOfs: Seq[(Any, Seq[Any])] = Nil) {
     def isEmpty: Boolean =
-      restr.isEmpty && inters.isEmpty && unions.isEmpty
+      restr.isEmpty && inters.isEmpty && unions.isEmpty && oneOfs.isEmpty
   }
 
   /** Driver-collected, capped class-rule schema: each `someValuesFrom`
@@ -2213,8 +2219,8 @@ object ReasonOps {
                               tboxCap: Int): RlSchema = {
     val Seq(cs, cp, co) = rel.columns.take(3).toSeq
     val allPreds =
-      (voc.declPreds ++ voc.int ++ voc.uni ++ voc.first ++ voc.rest)
-        .distinct
+      (voc.declPreds ++ voc.int ++ voc.uni ++ voc.oneOf ++
+        voc.first ++ voc.rest).distinct
     val rows = rel.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
       .where(col("p").isin(allPreds: _*))
       .limit(tboxCap + 1).collect()
@@ -2236,7 +2242,9 @@ object ReasonOps {
       walkRdfLists(rows, voc.int, voc.first, voc.rest, voc.nil,
         "owl:intersectionOf"),
       walkRdfLists(rows, voc.uni, voc.first, voc.rest, voc.nil,
-        "owl:unionOf"))
+        "owl:unionOf"),
+      walkRdfLists(rows, voc.oneOf, voc.first, voc.rest, voc.nil,
+        "owl:oneOf"))
   }
 
   /** One restriction-rule pass over a relation: per declaration the
@@ -2308,7 +2316,19 @@ object ReasonOps {
       types.where(col("o").isin(parts: _*))
         .select(typed(col("s"), c): _*)
     }
-    (legs ++ intLegs ++ uniLegs).reduce(_.unionAll(_))
+    // cls-oo: the enumerated individuals ARE members — schema-sized
+    // literal rows (no scan; on the quad path they land in the default
+    // graph, the closed-TBox convention)
+    val ooLegs = schema.oneOfs.flatMap { case (c, elems) =>
+      elems.map { e =>
+        rel.sparkSession.range(1).select(
+          Seq(lit(e).as("s"), lit(voc.emitTy).as("p"), lit(c).as("o")) ++
+            (if (hasGraph)
+              Seq(lit(null).cast(rel.schema.fields(3).dataType).as("g"))
+            else Nil): _*)
+      }
+    }
+    (legs ++ intLegs ++ uniLegs ++ ooLegs).reduce(_.unionAll(_))
   }
 
   /** Round count of the most recent restriction fixpoint (0 when no
@@ -2360,7 +2380,12 @@ object ReasonOps {
   /** OWL 2 RL restriction-class closure: RDFS (rho-df + equivalences)
     * interleaved to fixpoint with the restriction rules —
     * `owl:someValuesFrom` (cls-svf1, and cls-svf2 for `owl:Thing`),
-    * `owl:allValuesFrom` (cls-avf), and `owl:hasValue` (cls-hv1/hv2) —
+    * `owl:allValuesFrom` (cls-avf), `owl:hasValue` (cls-hv1/hv2),
+    * the boolean class expressions (cls-int1/int2, cls-uni), and
+    * `owl:oneOf` (cls-oo: the enumerated individuals type into the
+    * class as schema-sized literal rows; the CLOSED-enumeration
+    * validation direction is [[consistencyReport]]'s `cls-oo`
+    * family) —
     * so restriction-derived types flow up `rdfs:subClassOf`, subclass
     * members reach their restriction superclasses' hv/avf rules, and a
     * derived type can enable the NEXT restriction's premise (rounds
@@ -2468,7 +2493,8 @@ object ReasonOps {
                                       cost: Int, selfUnsafe: Boolean,
                                       restr: Option[Restriction],
                                       inter: Option[(Any, Seq[Any])],
-                                      union: Option[(Any, Seq[Any])])
+                                      union: Option[(Any, Seq[Any])],
+                                      oneOf: Option[(Any, Seq[Any])] = None)
 
   /** Observable-rule pruning for the LAZY RL entailment: keep exactly
     * the rules whose (rdfs-reach-expanded) conclusions a query
@@ -2524,6 +2550,10 @@ object ReasonOps {
       } ++ schema.unions.map { case un @ (c, parts) =>
         RlRuleNode(tReach(c), Set.empty, parts.toSet, Set.empty, 1,
           selfUnsafe = false, None, None, Some(un))
+      } ++ schema.oneOfs.map { case oo @ (c, _) =>
+        // static emissions: no premises, conclusion types reach up
+        RlRuleNode(tReach(c), Set.empty, Set.empty, Set.empty, 1,
+          selfUnsafe = false, None, None, None, Some(oo))
       }
     val consts = patternConsts.toSet
     def observable(n: RlRuleNode): Boolean =
@@ -2543,7 +2573,8 @@ object ReasonOps {
     }
     val kept = needed.toSeq.sorted.map(nodes)
     val pruned = RlSchema(kept.flatMap(_.restr),
-      kept.flatMap(_.inter), kept.flatMap(_.union))
+      kept.flatMap(_.inter), kept.flatMap(_.union),
+      kept.flatMap(_.oneOf))
     // pass bound: sound only without cross-subject self-recursion and
     // without inter-node cycles (DFS cycle check on the kept subgraph)
     val bound: Option[Int] =
@@ -2586,8 +2617,8 @@ object ReasonOps {
                                 patternConsts: Seq[Any],
                                 maxPasses: Int): DataFrame = {
     val (pruned, bound) = pruneRlSchema(schema, maps, voc, patternConsts)
-    lastRlEntailedRules.set(
-      pruned.restr.size + pruned.inters.size + pruned.unions.size)
+    lastRlEntailedRules.set(pruned.restr.size + pruned.inters.size +
+      pruned.unions.size + pruned.oneOfs.size)
     if (pruned.isEmpty) { lastRlEntailedPasses.set(0); return lazyBase }
     // logical plans are TREES (no subplan sharing): each lazy pass
     // re-references the accumulated relation once per rule leg plus the
@@ -2821,9 +2852,10 @@ object ReasonOps {
     // actually carries boolean class expressions (a cell could then
     // extend an existing conjunct/disjunct list) — plain rdf:list ABox
     // data in a boolean-free corpus maintains incrementally
-    val listDeclared = schema.inters.nonEmpty || schema.unions.nonEmpty
+    val listDeclared = schema.inters.nonEmpty ||
+      schema.unions.nonEmpty || schema.oneOfs.nonEmpty
     val declPreds =
-      ((voc.declPreds ++ voc.int ++ voc.uni) ++
+      ((voc.declPreds ++ voc.int ++ voc.uni ++ voc.oneOf) ++
         (if (listDeclared) (voc.first ++ voc.rest).toSeq else Nil))
         .distinct
     require(declPreds.isEmpty ||

@@ -417,4 +417,32 @@ class PlanSpec extends SparkSpec {
     p should not include "CartesianProduct"
     p.split("Exchange hashpartitioning").length - 1 shouldBe 0
   }
+
+  "q_owl_full_delta" should "maintain the joint closure broadcast-only" in {
+    // the alternating family deltas pin every pending/novel frame, so
+    // the gate's final plan is the artifact scan + one broadcast
+    // novelty anti-join + the census — neither family's delta puts
+    // the closure into a shuffle join
+    val p = finalPlan("q_owl_full_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_haskey_delta" should "complete key groups without shuffling the corpus" in {
+    // Δ-fan-in key-group completion: candidate entities and tuples are
+    // pinned broadcast probes; the corpus (and the maintained mapping)
+    // only ever stream through broadcast semi/anti joins
+    val p = finalPlan("q_owl_haskey_delta")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
+
+  "q_owl_chain_del" should "retract single-layer chains broadcast-only" in {
+    // DRed + the chain layer: over-delete, re-derivation probes, and
+    // both removal anti-joins broadcast their Δ side; the closure
+    // streams once into the final anti + census
+    val p = finalPlan("q_owl_chain_del")
+    p should not include "SortMergeJoin"
+    p should not include "CartesianProduct"
+  }
 }

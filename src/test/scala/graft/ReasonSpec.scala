@@ -2081,6 +2081,31 @@ class ReasonSpec extends SparkSpec {
     gotE should contain allOf ((100L, 1L, 300L), (100L, 2L, 4L))
   }
 
+  "ReasonOps.owlRlClosure oneOf" should "type the enumerated individuals (cls-oo)" in {
+    import graft.ops.ReasonOps.{OneOf => OO}
+    val g = (Seq(
+      ("Tier", OO, "_:t0"),
+      ("_:t0", RdfFirst, "tier:g"), ("_:t0", RdfRest, "_:t1"),
+      ("_:t1", RdfFirst, "tier:s"), ("_:t1", RdfRest, RdfNil),
+      ("Tier", ReasonOps.SubClassOf, "Level"),
+      // an svf whose filler is the enumerated class: the static
+      // memberships must feed the restriction premise
+      ("HasTier", OnProperty, "grade"),
+      ("HasTier", SomeValuesFrom, "Tier"),
+      ("x", "grade", "tier:g"))).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (
+      ("tier:g", "a", "Tier"), ("tier:s", "a", "Tier"), // cls-oo
+      ("tier:g", "a", "Level"),                          // up subClassOf
+      ("x", "a", "HasTier"))       // svf through the cls-oo membership
+    // delta guard: an owl:oneOf axiom arriving in a batch is schema
+    val closure = ReasonOps.owlRlClosure(g)
+    (the[IllegalArgumentException] thrownBy
+      ReasonOps.owlRlDelta(closure,
+        Seq(("Other", OO, "_:z")).toDF("s", "p", "o"), g).count())
+      .getMessage should include ("re-materialization")
+  }
+
   "ReasonOps.owlRlEntailed" should "equal the materialized RL closure and stay lazy on acyclic schemas" in {
     val g = Seq(
       ("HasOrder", OnProperty, "placed"),
