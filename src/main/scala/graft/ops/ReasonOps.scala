@@ -3565,6 +3565,8 @@ object ReasonOps {
       (acc, d) => owlDelta(acc, d, tboxSource, typePred, tboxCap, deltaCap),
       (acc, d) => owlRlDelta(acc, d, tboxSource, typePred, tboxCap,
         deltaCap),
+      propRelevantCond(tboxSource, InverseOf, SymmetricProperty,
+        TransitiveProperty, typePred, tboxCap, StringChainVoc),
       deltaCap, maxRounds, "owlFullClosure")
 
   /** [[owlFullDelta]] over ENCODED (long-id) relations. */
@@ -3578,6 +3580,9 @@ object ReasonOps {
         deltaCap),
       (acc, d) => owlRlDeltaEncoded(acc, d, tboxSource, rlIds, tboxCap,
         deltaCap),
+      propRelevantCond(tboxSource, owlIds.inverseOf,
+        owlIds.symmetricProperty, owlIds.transitiveProperty,
+        owlIds.typePred, tboxCap, encChainVoc(owlIds)),
       deltaCap, maxRounds, "owlFullClosureEncoded")
 
   /** [[owlFullDelta]] over a NAMED-GRAPH quad dataset — per-graph O(Δ)
@@ -3593,6 +3598,8 @@ object ReasonOps {
         deltaCap),
       (acc, d) => owlRlDeltaQuads(acc, d, tboxSource, typePred, tboxCap,
         deltaCap),
+      propRelevantCond(tboxSource, InverseOf, SymmetricProperty,
+        TransitiveProperty, typePred, tboxCap, StringChainVoc),
       deltaCap, maxRounds, "owlFullClosureQuads")
 
   /** [[owlFullDeltaQuads]] over ENCODED (long-id) quad relations. */
@@ -3606,12 +3613,41 @@ object ReasonOps {
         tboxCap, deltaCap),
       (acc, d) => owlRlDeltaQuadsEncoded(acc, d, tboxSource, rlIds,
         tboxCap, deltaCap),
+      propRelevantCond(tboxSource, owlIds.inverseOf,
+        owlIds.symmetricProperty, owlIds.transitiveProperty,
+        owlIds.typePred, tboxCap, encChainVoc(owlIds)),
       deltaCap, maxRounds, "owlFullClosureQuadsEncoded")
+
+  /** The property-family RELEVANCE filter for [[owlFullDeltaCore]]'s
+    * short-circuit: a row can matter to the property delta iff its
+    * predicate is a declared transitive/symmetric property, a member of
+    * an inverse pair, a chain body/head predicate — or it is itself a
+    * property DECLARATION (which must still route into [[owlDelta]] so
+    * its fail-fast guard fires). Rows outside this set (the common
+    * type-only feeds from the class family) make the property phase a
+    * pure identity, which the core then skips — saving the full family
+    * call's job floor per round. Collected ONCE per maintenance call.
+    */
+  private def propRelevantCond(tboxSource: DataFrame, inverseOf: Any,
+                               symmetricProperty: Any,
+                               transitiveProperty: Any, typePred: Any,
+                               tboxCap: Int, chainVoc: ChainVoc)
+      : org.apache.spark.sql.Column = {
+    val (inv, sym, trans, chains) = owlDecls(tboxSource, inverseOf,
+      symmetricProperty, transitiveProperty, typePred, tboxCap, chainVoc)
+    val rulePreds = (trans ++ sym ++ inv.flatMap(p => Seq(p._1, p._2)) ++
+      chains.flatMap(_._2) ++ chains.map(_._1)).distinct
+    val ruleCond = if (rulePreds.isEmpty) lit(false)
+      else col("p").isin(rulePreds: _*)
+    ruleCond || owlDeltaDeclCond(inverseOf, symmetricProperty,
+      transitiveProperty, typePred, chainVoc, chains.nonEmpty)
+  }
 
   private def owlFullDeltaCore(closure: DataFrame, delta: DataFrame,
                                hasGraph: Boolean,
                                propDelta: (DataFrame, DataFrame) => DataFrame,
                                classDelta: (DataFrame, DataFrame) => DataFrame,
+                               propRelevant: org.apache.spark.sql.Column,
                                deltaCap: Option[Long], maxRounds: Int,
                                remat: String): DataFrame = {
     val width = if (hasGraph) 4 else 3
@@ -3635,16 +3671,23 @@ object ReasonOps {
       require(round <= maxRounds, "owlFullDelta joint fixpoint did not " +
         s"converge in $maxRounds rounds — re-materialize ($remat)")
       dP.foreach { d =>
-        val novelP = pinCapped(incrementNovel(accP, propDelta(accP, d),
-          deltaCap), deltaCap, "owlFullDelta property-phase novelty",
-          remat)
+        // RELEVANCE SHORT-CIRCUIT: a pending input with no
+        // property-rule-relevant row (the common type-only feed from
+        // the class family) makes the property delta a pure identity —
+        // its novelty is just the input's, at one probe job instead of
+        // the full family call's floor
+        val inc =
+          if (d.where(propRelevant).isEmpty) d
+          else propDelta(accP, d)
+        val novelP = pinCapped(incrementNovel(accP, inc, deltaCap),
+          deltaCap, "owlFullDelta property-phase novelty", remat)
         if (!novelP.isEmpty) {
           accP = accP.unionAll(novelP)
           novels += novelP
           // the class family has not processed these conclusions yet
-          dC = Some(dC.fold(novelP)(p =>
-            pinCapped(p.unionAll(novelP).distinct(), deltaCap,
-              "owlFullDelta pending class input", remat)))
+          // (no extra pin: the class delta pins its own input)
+          dC = Some(dC.fold[DataFrame](novelP)(p =>
+            p.unionAll(novelP).distinct()))
         }
         dP = None
       }
