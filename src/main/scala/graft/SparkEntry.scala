@@ -3071,25 +3071,26 @@ object SparkEntry {
 
   /** QUERY-TIME RL entailment ([[ReasonOps.owlRlEntailed]]): the
     * restriction closure as a LAZY relation, pruned by the query's
-    * class constants — the patterns mention `Active` and `Gold`, so
-    * only the someValuesFrom(HasOrder) and hasValue(Gold) rules
-    * survive ([[ReasonOps.pruneRlSchema]]); the allValuesFrom and
+    * class constants — the pattern mentions only `Active`, so exactly
+    * the someValuesFrom(HasOrder) rule survives
+    * ([[ReasonOps.pruneRlSchema]]); the hasValue, allValuesFrom and
     * nested-svf rules appear in NO plan (ReasonSpec pins the pruned
-    * rule count), and the acyclic 2-rule schema composes as a fixed
-    * 3-pass lazy plan with no counts or pinning. The oracle is
-    * PATTERN-CONSTRAINED — it characterizes only the queried slices
-    * (Active = order-placers via svf+subclass; Gold = status holders
-    * via hv2 ∪ Vips via the hierarchy), NOT the full closure, so an
+    * rule count), and the single kept rule composes as ONE lazy
+    * derive pass — no counts, no pinning, ~7 base scans (a wider
+    * constant set would push the unpinned pass plan past the
+    * re-execution budget and take the documented pruned-materialized
+    * fallback instead). The oracle is PATTERN-CONSTRAINED — Active =
+    * order-placers via svf+subclass, NOT the full closure — so an
     * accidental full materialization that over- or under-derives the
-    * queried classes breaks the hash.
+    * queried class breaks the hash.
     */
   private def owlRlRewriteQ(s: SparkSession, d: String): DataFrame = {
     import graft.ops.ReasonOps
     val rel = ReasonOps.owlRlEntailed(
       owlRlAbox(s, d).unionAll(
         s.createDataFrame(owlRlTboxRows).toDF("s", "p", "o")),
-      patternConsts = Seq[Any]("Active", "Gold"))
-    rel.where(col("p") === "a" && col("o").isin("Active", "Gold"))
+      patternConsts = Seq[Any]("Active"))
+    rel.where(col("p") === "a" && col("o") === "Active")
       .groupBy(col("o").as("cls"))
       .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
       .orderBy("cls")
@@ -3519,6 +3520,10 @@ object SparkEntry {
       .unionAll(cu.where(k % 19 === 0).select(ck.as("s"),
         lit("a").as("p"), lit("Silver").as("o")))
       .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
+      // pinned: the report's ~10 family legs (each with 1-2 semi-join
+      // sides) would otherwise re-execute this 15-leg union per leg —
+      // measured 16 s -> ~3 s at sf0.1
+      .localCheckpoint(true)
     ReasonOps.consistencyReport(abox)
       .groupBy("kind")
       .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
@@ -5876,18 +5881,14 @@ object SparkEntry {
         |       count(*) AS n, count(DISTINCT s) AS ns
         |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
 
-  /** PATTERN-CONSTRAINED RL rewrite oracle: only the two queried
-    * classes characterize — Active = the distinct order-placing
-    * customers (someValuesFrom + subclass), Gold = gold-status holders
-    * (hasValue) unioned with Vips (plain hierarchy). Deliberately NOT
-    * the full-closure replay. */
+  /** PATTERN-CONSTRAINED RL rewrite oracle: only the queried class
+    * characterizes — Active = the distinct order-placing customers
+    * (someValuesFrom + subclass). Deliberately NOT the full-closure
+    * replay. */
   private val owlRlRewriteOracle =
     """SELECT cls, count(*) AS n, count(DISTINCT s) AS ns FROM (
         |  SELECT DISTINCT 'Active' AS cls,
         |         'customer:'||o_custkey AS s FROM orders
-        |  UNION
-        |  SELECT DISTINCT 'Gold', 'customer:'||c_custkey FROM customer
-        |  WHERE c_custkey % 5 = 0 OR c_custkey % 7 = 0
         |) GROUP BY cls ORDER BY cls""".stripMargin
 
   /** RL maintenance census: full counts plus `n_inc` = rows the

@@ -2622,16 +2622,19 @@ object ReasonOps {
     if (pruned.isEmpty) { lastRlEntailedPasses.set(0); return lazyBase }
     // logical plans are TREES (no subplan sharing): each lazy pass
     // re-references the accumulated relation once per rule leg plus the
-    // rdfs expansion legs, so plan size grows as multiplier^passes —
-    // model it and keep the lazy composition only while the analyzed
-    // tree stays small (the pruned-query case it exists for); beyond
-    // the budget the count-driven fixpoint is cheaper than Catalyst
-    // analyzing an exponential tree
+    // rdfs expansion legs, so BOTH the analyzed tree and the RUNTIME
+    // cost grow as multiplier^passes — without pinning, every leaf
+    // re-executes the base relation. Keep the lazy composition only
+    // while that re-execution count stays below ~64 base scans (the
+    // pruned-query case it exists for: one rule, one pass ≈ 7 scans);
+    // beyond it the count-driven fixpoint materializes ONCE and wins
+    // (measured: a 2-rule 3-pass lazy plan re-scanned the base ~729×,
+    // 40 s vs ~3 s materialized at sf0.1)
     val accReads = pruned.restr.size * 2 +
       pruned.inters.map(_._2.size + 1).sum + pruned.unions.size
     val multiplier = math.max(2, accReads + 5)
     def planOk(k: Int): Boolean =
-      k <= maxPasses && math.pow(multiplier.toDouble, k.toDouble) <= 4096.0
+      k <= maxPasses && math.pow(multiplier.toDouble, k.toDouble) <= 64.0
     bound match {
       case Some(k) if planOk(k) =>
         lastRlEntailedPasses.set(k)
@@ -2669,11 +2672,12 @@ object ReasonOps {
     * lazy when the schema is non-recursive and small). RECURSIVE
     * schemas (e.g. `R ⊑ ∀p.R`, where derivation depth is
     * data-dependent) fall back to the count-driven materialized
-    * fixpoint over the pruned schema; so do pass plans whose analyzed
-    * TREE would outgrow Catalyst (logical plans share no subtrees, so
-    * k passes over r rule legs cost ~(r+5)^k plan nodes — beyond a
-    * 4096-node budget materializing is cheaper than analysis). Both
-    * report via [[lastRlEntailedPasses]] == -1.
+    * fixpoint over the pruned schema; so do pass plans whose
+    * RE-EXECUTION cost would outgrow one materialization (logical
+    * plans share no subtrees, so k unpinned passes over r rule legs
+    * re-execute the base ~(r+5)^k times — beyond ~64 base scans the
+    * counted fixpoint wins). Both report via
+    * [[lastRlEntailedPasses]] == -1.
     */
   def owlRlEntailed(triples: DataFrame, typePred: String = "a",
                     tboxCap: Int = 1 << 20,
