@@ -3450,6 +3450,59 @@ object SparkEntry {
       .orderBy("kind")
   }
 
+  /** Cardinality-driven entity resolution
+    * ([[ReasonOps.cardinalityIdentityPairs]] through
+    * [[ReasonOps.identityMapping]] + [[ReasonOps.applyMapping]]): the
+    * merge DIRECTION of the max-cardinality vocabulary — every k%6
+    * customer's second account merges onto the first under a
+    * maxCardinality-1 restriction (cls-maxc2), every k%8 customer's
+    * second CAR merges under the QUALIFIED bound (cls-maxqc3) while
+    * the k%4 untyped pets never do, and the rewritten corpus + mapping
+    * census pins both the merges and the non-merges.
+    */
+  private def owlCardinalityQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val tbox = Seq(
+      ("OneAcct", OnProperty, "acct"), ("OneAcct", MaxCardinality, "1"),
+      ("OneCar", OnProperty, "owns"), ("OneCar", OnClass, "Car"),
+      ("OneCar", MaxQualifiedCardinality, "1"))
+    val abox = cu.select(ck.as("s"), lit("a").as("p"),
+        lit("OneAcct").as("o"))
+      .unionAll(cu.select(ck.as("s"), lit("acct").as("p"),
+        concat(lit("am:"), k).as("o")))
+      .unionAll(cu.where(k % 6 === 0).select(ck.as("s"),
+        lit("acct").as("p"), concat(lit("an:"), k).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("a").as("p"),
+        lit("OneCar").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("owns").as("p"),
+        concat(lit("car:"), k).as("o")))
+      .unionAll(cu.select(concat(lit("car:"), k).as("s"),
+        lit("a").as("p"), lit("Car").as("o")))
+      .unionAll(cu.where(k % 8 === 0).select(ck.as("s"),
+        lit("owns").as("p"), concat(lit("carx:"), k).as("o")))
+      .unionAll(cu.where(k % 8 === 0).select(
+        concat(lit("carx:"), k).as("s"), lit("a").as("p"),
+        lit("Car").as("o")))
+      .unionAll(cu.where(k % 4 === 0).select(ck.as("s"),
+        lit("owns").as("p"), concat(lit("pet:"), k).as("o")))
+      .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
+      // pinned: the pair derivation + rewrite scan it several times
+      .localCheckpoint(true)
+    val mapping = ReasonOps.identityMapping(
+      ReasonOps.cardinalityIdentityPairs(abox))
+    ReasonOps.applyMapping(abox, mapping)
+      .unionAll(mapping.select(col("member").as("s"),
+        lit("__maps_to").as("p"), col("canon").as("o")))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("p")
+  }
+
   /** The second consistency census ([[ReasonOps.consistencyReport]],
     * round-12 families) — cardinality bounds, enumerations,
     * complements, and the n-ary axioms, each seeded at a distinct key
@@ -4766,6 +4819,7 @@ object SparkEntry {
     "q_owl_full_delta" -> (owlFullDeltaQ _),
     "q_consistency" -> (consistencyQ _),
     "q_consistency2" -> (consistency2Q _),
+    "q_owl_cardinality" -> (owlCardinalityQ _),
     "q_owl_full_sparql" -> (owlFullSparqlQ _),
     "q_owl_haskey" -> (owlHasKeyQ _),
     "q_owl_haskey_delta" -> (owlHasKeyDeltaQ _),
@@ -6148,6 +6202,41 @@ object SparkEntry {
         |       count(DISTINCT o) AS no
         |FROM v GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Post-merge characterization: the k%6 second accounts and k%8
+    * second cars collapse onto their lexicographic-min partners
+    * (am < an, car < carx), pets and every non-restricted row stay,
+    * and the mapping rows cover exactly the merged groups' members
+    * (roots included). */
+  private val owlCardinalityOracle =
+    """WITH rws AS (
+        |  SELECT 'customer:'||c_custkey AS s, 'a' AS p, 'OneAcct' AS o
+        |  FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'a', 'OneCar'
+        |  FROM customer
+        |  UNION ALL SELECT 'car:'||c_custkey, 'a', 'Car' FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'acct',
+        |         'am:'||c_custkey FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'owns',
+        |         'car:'||c_custkey FROM customer
+        |  UNION ALL SELECT 'customer:'||c_custkey, 'owns',
+        |         'pet:'||c_custkey FROM customer WHERE c_custkey % 4 = 0
+        |  UNION ALL SELECT 'OneAcct', 'owl:onProperty', 'acct'
+        |  UNION ALL SELECT 'OneAcct', 'owl:maxCardinality', '1'
+        |  UNION ALL SELECT 'OneCar', 'owl:onProperty', 'owns'
+        |  UNION ALL SELECT 'OneCar', 'owl:onClass', 'Car'
+        |  UNION ALL SELECT 'OneCar', 'owl:maxQualifiedCardinality', '1'
+        |  UNION ALL SELECT 'am:'||c_custkey, '__maps_to',
+        |         'am:'||c_custkey FROM customer WHERE c_custkey % 6 = 0
+        |  UNION ALL SELECT 'an:'||c_custkey, '__maps_to',
+        |         'am:'||c_custkey FROM customer WHERE c_custkey % 6 = 0
+        |  UNION ALL SELECT 'car:'||c_custkey, '__maps_to',
+        |         'car:'||c_custkey FROM customer WHERE c_custkey % 8 = 0
+        |  UNION ALL SELECT 'carx:'||c_custkey, '__maps_to',
+        |         'car:'||c_custkey FROM customer WHERE c_custkey % 8 = 0)
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM rws GROUP BY p ORDER BY p""".stripMargin
+
   /** The round-12 violation families characterized from their moduli:
     * both phones of a k%8 customer report, both CARS of a k%10
     * customer report (the untyped boat never counts toward the
@@ -7052,6 +7141,7 @@ object SparkEntry {
     "q_owl_full_delta" -> owlFullDeltaOracle,
     "q_consistency" -> consistencyOracle,
     "q_consistency2" -> consistency2Oracle,
+    "q_owl_cardinality" -> owlCardinalityOracle,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,
     "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,

@@ -3188,6 +3188,101 @@ object ReasonOps {
       hasGraph = true, tboxCap)
   }
 
+  /** Parse the collected max(Qualified)Cardinality restrictions:
+    * (restriction, onProperty, bound) and (restriction, onProperty,
+    * onClass, bound) — shared by [[consistencyReport]]'s violation
+    * legs and [[cardinalityIdentityPairs]]' merge direction. */
+  private def cardRestrOf(decls: Array[(Any, Any, Any)], voc: CheckVoc)
+      : (Seq[(Any, Any, Int)], Seq[(Any, Any, Any, Int)]) = {
+    val onpOf = decls.collect {
+      case (r, p, o) if voc.onp(p) => (r, o) }.groupBy(_._1)
+    val oncOf = decls.collect {
+      case (r, p, o) if voc.onc(p) => (r, o) }.groupBy(_._1)
+    def oneProp(r: Any, m: Map[Any, Array[(Any, Any)]], what: String): Any = {
+      val vs = m.getOrElse(r, Array.empty[(Any, Any)]).map(_._2).distinct
+      require(vs.length == 1,
+        s"cardinality restriction $r needs exactly one $what " +
+          s"(found ${vs.length})")
+      vs.head
+    }
+    (decls.collect {
+      case (r, p, n) if voc.maxc(p) =>
+        (r, oneProp(r, onpOf, "owl:onProperty"), parseCardinality(n, voc))
+    }.distinct.toSeq.sortBy(_._1.toString),
+      decls.collect {
+        case (r, p, n) if voc.maxqc(p) =>
+          (r, oneProp(r, onpOf, "owl:onProperty"),
+            oneProp(r, oncOf, "owl:onClass"), parseCardinality(n, voc))
+      }.distinct.toSeq.sortBy(_._1.toString))
+  }
+
+  /** The identity pairs IMPLIED by max-cardinality-ONE restrictions —
+    * the merge direction of the cardinality vocabulary (OWL 2 RL
+    * cls-maxc2 and cls-maxqc3/4):
+    *
+    *   x ∈ R, R ⊑ ≤1 p, (x p y₁) ∧ (x p y₂)  ⊨  y₁ sameAs y₂
+    *   (qualified: only values typed the `owl:onClass` class count)
+    *
+    * — the restriction-scoped sibling of [[functionalIdentityPairs]]
+    * (a FunctionalProperty is the member-unrestricted case). Bound-0
+    * restrictions never merge (any edge is a violation —
+    * [[consistencyReport]]'s `cls-maxc`/`cls-maxqc` families report
+    * them). Per restriction: one keyed semi-join restricts the
+    * property slice to members (and, qualified, the values to the
+    * class), then the group-min star — never all-pairs within a
+    * group. Returns (a, b) pairs with a = the group min; feed them to
+    * [[identityMapping]] / [[sameAsCanonicalize]].
+    */
+  def cardinalityIdentityPairs(triples: DataFrame, typePred: String = "a",
+                               tboxCap: Int = 1 << 20): DataFrame =
+    cardinalityIdentityPairsCore(triples, stringCheckVoc(typePred),
+      tboxCap)
+
+  /** [[cardinalityIdentityPairs]] over an ENCODED (long-id) relation
+    * (bounds resolve through `literalZero`/`literalOne` in
+    * [[CheckIds]]). */
+  def cardinalityIdentityPairsEncoded(encTriples: DataFrame,
+                                      ids: CheckIds,
+                                      tboxCap: Int = 1 << 20): DataFrame =
+    cardinalityIdentityPairsCore(encTriples, encCheckVoc(ids), tboxCap)
+
+  private def cardinalityIdentityPairsCore(triples: DataFrame,
+                                           voc: CheckVoc, tboxCap: Int)
+      : DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val declPreds: Seq[Any] =
+      (voc.maxc ++ voc.maxqc ++ voc.onp ++ voc.onc).toSeq
+    if ((voc.maxc ++ voc.maxqc).isEmpty)
+      return t.select(col("s").as("a"), col("o").as("b")).limit(0)
+    val decls = collectTbox(t, declPreds, tboxCap)
+    val (maxc, maxqc) = cardRestrOf(decls, voc)
+    val types = t.where(col("p").isin(voc.ty.toSeq: _*))
+    def leg(r: Any, pp: Any, qual: Option[Any]): DataFrame = {
+      val mem = types.where(col("o") === r).select(col("s").as("__m"))
+      val slice0 = t.where(col("p") === pp)
+        .join(mem, col("s") === col("__m"), "left_semi")
+      val slice = qual.fold(slice0) { c =>
+        slice0.join(types.where(col("o") === c)
+            .select(col("s").as("__v")),
+          col("o") === col("__v"), "left_semi")
+      }
+      val mins = slice.groupBy("s")
+        .agg(min(col("o")).as("__cv"),
+          countDistinct(col("o")).as("__cnt"))
+        .where(col("__cnt") > 1)
+        .select(col("s"), col("__cv"))
+      slice.join(mins, Seq("s"))
+        .where(col("o") =!= col("__cv"))
+        .select(col("__cv").as("a"), col("o").as("b"))
+    }
+    val legs = maxc.collect { case (r, pp, 1) => leg(r, pp, None) } ++
+      maxqc.collect { case (r, pp, c, 1) => leg(r, pp, Some(c)) }
+    legs.reduceOption(_.unionAll(_)).map(_.distinct())
+      .getOrElse(t.select(col("s").as("a"), col("o").as("b")).limit(0))
+  }
+
   private def consistencyCore(triples: DataFrame, voc: CheckVoc,
                               hasGraph: Boolean, tboxCap: Int): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
@@ -3240,26 +3335,7 @@ object ReasonOps {
     val diffPreds = voc.diff.toSeq
     // cardinality restrictions: each node pairs its onProperty with the
     // parsed bound; maxQualifiedCardinality additionally needs onClass
-    val onpOf = decls.collect {
-      case (r, p, o) if voc.onp(p) => (r, o) }.groupBy(_._1)
-    val oncOf = decls.collect {
-      case (r, p, o) if voc.onc(p) => (r, o) }.groupBy(_._1)
-    def oneProp(r: Any, m: Map[Any, Array[(Any, Any)]], what: String): Any = {
-      val vs = m.getOrElse(r, Array.empty[(Any, Any)]).map(_._2).distinct
-      require(vs.length == 1,
-        s"cardinality restriction $r needs exactly one $what " +
-          s"(found ${vs.length})")
-      vs.head
-    }
-    val maxcRestr = decls.collect {
-      case (r, p, n) if voc.maxc(p) =>
-        (r, oneProp(r, onpOf, "owl:onProperty"), parseCardinality(n, voc))
-    }.distinct.toSeq.sortBy(_._1.toString)
-    val maxqcRestr = decls.collect {
-      case (r, p, n) if voc.maxqc(p) =>
-        (r, oneProp(r, onpOf, "owl:onProperty"),
-          oneProp(r, oncOf, "owl:onClass"), parseCardinality(n, voc))
-    }.distinct.toSeq.sortBy(_._1.toString)
+    val (maxcRestr, maxqcRestr) = cardRestrOf(decls, voc)
     // enumerations, complements, and the n-ary disjointness/difference
     // axioms (lists walked on the driver, like the chain collector)
     val oneOfLists = walkRdfLists(decls, voc.oneOf, voc.first, voc.rest,
@@ -4540,6 +4616,34 @@ object ReasonOps {
     functionalDeltaCore(rewritten, mapping, newTriples, encErVoc(ids),
       tboxCap, maxRounds, deltaCap)
 
+  /** STREAMING entity resolution: an [[ErMaintainer]] folding each
+    * micro-batch of new triples into a maintained (rewritten corpus,
+    * member → canonical mapping) pair via [[functionalDelta]] — the ER
+    * analog of [[owlMaintainStream]]. Functional/inverse-functional
+    * collisions AND composite-key tuples assemble ACROSS batches
+    * (one batch brings the city edge, the next the code edge — the
+    * [[hasKeyDeltaPairs]] fan-in finds the partner), and batches
+    * compose exactly: after b1..bn the state equals
+    * `functionalCanonicalize(base ∪ b1 ∪ … ∪ bn)`. Declarations
+    * arriving on the stream fail the batch (schema change →
+    * re-canonicalize), the [[rdfsDeltaStream]] contract.
+    */
+  def erMaintainStream(rewritten: DataFrame, mapping: DataFrame,
+                       typePred: String = "a", tboxCap: Int = 1 << 20,
+                       deltaCap: Option[Long] = None): ErMaintainer =
+    new ErMaintainer(rewritten, mapping,
+      (r, m, b) => functionalDelta(r, m, b, typePred, tboxCap,
+        deltaCap = deltaCap))
+
+  /** [[erMaintainStream]] on the ENCODED (long-id) currency
+    * ([[functionalDeltaEncoded]] per batch). */
+  def erMaintainStreamEncoded(rewritten: DataFrame, mapping: DataFrame,
+                              ids: ErIds, tboxCap: Int = 1 << 20,
+                              deltaCap: Option[Long] = None): ErMaintainer =
+    new ErMaintainer(rewritten, mapping,
+      (r, m, b) => functionalDeltaEncoded(r, m, b, ids, tboxCap,
+        deltaCap = deltaCap))
+
   private def functionalDeltaCore(rewritten: DataFrame, mapping: DataFrame,
                                   newTriples: DataFrame, voc: ErVoc,
                                   tboxCap: Int, maxRounds: Int,
@@ -4681,6 +4785,68 @@ object ReasonOps {
     }
     lastFunctionalRounds.set(round)
     (rw, mp)
+  }
+}
+
+/** Streaming entity-resolution state: folds micro-batches of new
+  * triples into a MAINTAINED (rewritten corpus, member → canonical
+  * mapping) pair — built by [[ReasonOps.erMaintainStream]]. The same
+  * reader-safety and restart contracts as [[ClosureMaintainer]]
+  * (frames retire `retireDepth` generations late per
+  * `spark.graft.stream.retireDepth`; recover by persisting both frames
+  * and re-attaching with a `checkpointLocation` — [[ReasonOps.functionalDelta]]
+  * updates are idempotent on a state that already holds a batch).
+  */
+final class ErMaintainer private[ops] (
+    rw0: org.apache.spark.sql.DataFrame,
+    mp0: org.apache.spark.sql.DataFrame,
+    deltaFn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+              org.apache.spark.sql.DataFrame)
+      => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) {
+  import org.apache.spark.sql.DataFrame
+  @volatile private var stateV: (DataFrame, DataFrame) =
+    (rw0.localCheckpoint(true), mp0.localCheckpoint(true))
+  private val retireDepth: Int = math.max(1,
+    rw0.sparkSession.conf
+      .get("spark.graft.stream.retireDepth", "1").toInt)
+  private val retiring =
+    scala.collection.mutable.Queue[(DataFrame, DataFrame)]()
+
+  /** The latest maintained (rewritten corpus, mapping) pair (pinned;
+    * valid at least until `retireDepth + 1` batch commits). */
+  def current: (DataFrame, DataFrame) = stateV
+
+  /** Fold one batch of new triples into the state (synchronized — the
+    * streaming engine serializes foreachBatch calls, but direct
+    * callers may race). */
+  def update(batch: DataFrame): Unit = synchronized {
+    if (!batch.isEmpty) {
+      val prev = stateV
+      val (rw2, mp2) = deltaFn(prev._1, prev._2, batch)
+      // constraint-stripping RDD round-trip before the pins — the same
+      // Spark 4.1 localCheckpoint/Union constraint-rewrite hazard as
+      // ClosureMaintainer.update
+      def pin(df: DataFrame): DataFrame =
+        df.sparkSession.createDataFrame(df.rdd, df.schema)
+          .localCheckpoint(true)
+      stateV = (pin(rw2), pin(mp2))
+      retiring.enqueue(prev)
+      while (retiring.size > retireDepth) {
+        val (r, m) = retiring.dequeue()
+        graft.Pins.unpin(r); graft.Pins.unpin(m)
+      }
+    }
+  }
+
+  /** Attach to a streaming triple relation: one [[update]] per
+    * micro-batch (pass `checkpointLocation` on restart-surviving
+    * streams, the [[ClosureMaintainer.attach]] contract). */
+  def attach(stream: org.apache.spark.sql.DataFrame,
+             checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => update(b))
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
   }
 }
 

@@ -2545,6 +2545,73 @@ class ReasonSpec extends SparkSpec {
       .getMessage should include ("list cells")
   }
 
+  "ReasonOps.cardinalityIdentityPairs" should "merge values under max-cardinality-one restrictions" in {
+    import graft.ops.ReasonOps._
+    val g = Seq(
+      ("OneAcct", OnProperty, "acct"), ("OneAcct", MaxCardinality, "1"),
+      ("OneCar", OnProperty, "owns"), ("OneCar", OnClass, "Car"),
+      ("OneCar", MaxQualifiedCardinality, "1"),
+      // cls-maxc2: both accts of a member force equal
+      ("x1", "a", "OneAcct"), ("x1", "acct", "a1"), ("x1", "acct", "a2"),
+      // NON-member with two accts: no merge
+      ("x2", "acct", "b1"), ("x2", "acct", "b2"),
+      // cls-maxqc3: only Car-typed values merge — the pet never does
+      ("x3", "a", "OneCar"), ("x3", "owns", "c1"), ("x3", "owns", "c2"),
+      ("x3", "owns", "pet1"),
+      ("c1", "a", "Car"), ("c2", "a", "Car")
+    ).toDF("s", "p", "o")
+    pset(ReasonOps.cardinalityIdentityPairs(g)) shouldBe
+      Set(("a1", "a2"), ("c1", "c2"))
+    // bound 0 never merges (violation family, not identity)
+    val z = Seq(
+      ("NoAcct", OnProperty, "acct"), ("NoAcct", MaxCardinality, "0"),
+      ("y", "a", "NoAcct"), ("y", "acct", "a1"), ("y", "acct", "a2")
+    ).toDF("s", "p", "o")
+    ReasonOps.cardinalityIdentityPairs(z).isEmpty shouldBe true
+    // encoded: bounds resolve through literalZero/literalOne ids
+    val enc = Seq(
+      (50L, 10L, 40L), (50L, 20L, 71L), // OneAcct onProperty acct, maxc "1"
+      (100L, 2L, 50L), (100L, 40L, 500L), (100L, 40L, 501L)
+    ).toDF("s", "p", "o")
+    val ids = ReasonOps.CheckIds(typePred = 2L,
+      maxCardinality = Some(20L), onProperty = Some(10L),
+      literalZero = Some(70L), literalOne = Some(71L))
+    ReasonOps.cardinalityIdentityPairsEncoded(enc, ids).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      Set((500L, 501L))
+  }
+
+  "ReasonOps.erMaintainStream" should "assemble collisions across micro-batches" in {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    // base: key class + city edges; the codes arrive over TWO batches,
+    // and batch 2 also brings an ifp collision — the maintained state
+    // must equal from-scratch canonicalization of everything
+    val base = keyAxiom("Cust", Seq("city", "code")) ++ Seq(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("e1", "a", "Cust"), ("e1", "city", "rome"),
+      ("e2", "a", "Cust"), ("e2", "city", "rome"),
+      ("e1", "email", "m1"), ("e3", "name", "gamma"))
+    val (rw0, mp0) = ReasonOps.functionalCanonicalize(base.toDF("s", "p", "o"))
+    val m = ReasonOps.erMaintainStream(rw0, mp0)
+    val src = MemoryStream[(String, String, String)]
+    val q = m.attach(src.toDF().toDF("s", "p", "o"))
+    val b1 = Seq(("e1", "code", "9"))
+    val b2 = Seq(("e2", "code", "9"), ("e3", "email", "m1"))
+    try {
+      src.addData(b1: _*)
+      q.processAllAvailable()
+      src.addData(b2: _*) // completes e2's key AND merges e3 via email
+      q.processAllAvailable()
+    } finally q.stop()
+    val (rw, mp) = m.current
+    val (rwF, mpF) = ReasonOps.functionalCanonicalize(
+      (base ++ b1 ++ b2).toDF("s", "p", "o"))
+    tset(rw) shouldBe tset(rwF)
+    pset(mp) shouldBe pset(mpF)
+    tset(rw) should contain (("e1", "name", "gamma")) // e3 folded in
+  }
+
   it should "fail loudly on a malformed key list" in {
     val g = Seq(
       ("Cust", HasKey, "_:k"), ("_:k", RdfFirst, "city"),
