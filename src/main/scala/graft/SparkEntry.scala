@@ -3450,6 +3450,66 @@ object SparkEntry {
       .orderBy("kind")
   }
 
+  /** Incremental batch validation ([[ReasonOps.consistencyDelta]]):
+    * the base corpus is violation-FREE, and every violation completes
+    * only when the batch lands — disjoint typing (k%12), the reverse
+    * asymmetric edge (k%14, BOTH direction rows report), the second
+    * functional email (k%8, the whole group reports), the disjoint
+    * property (k%15), self-follows (k%9), reflexive differentFrom
+    * (k%21), and a second account over a maxCardinality-1 restriction
+    * (k%10). The corpus only streams against batch broadcasts
+    * (validate-before-fold at Δ cost); the oracle characterizes each
+    * family from its modulus.
+    */
+  private def consistencyDeltaQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val ck1 = concat(lit("customer:"), k + 1)
+    val tbox = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("parentCo", "a", AsymmetricProperty),
+      ("email", "a", FunctionalProperty),
+      ("likes", PropertyDisjointWith, "dislikes"),
+      ("follows", "a", IrreflexiveProperty),
+      ("OneAcct", OnProperty, "acct"),
+      ("OneAcct", MaxCardinality, "1"))
+    val base = cu.select(ck.as("s"), lit("a").as("p"),
+        lit("Person").as("o"))
+      .unionAll(cu.select(ck.as("s"), lit("parentCo").as("p"), ck1.as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("email").as("p"),
+        concat(lit("m1:"), k).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("likes").as("p"),
+        concat(lit("item:"), k).as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("follows").as("p"), ck1.as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("a").as("p"),
+        lit("OneAcct").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("acct").as("p"),
+        concat(lit("am:"), k).as("o")))
+      .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
+    val delta = cu.where(k % 12 === 0).select(ck.as("s"),
+        lit("a").as("p"), lit("Company").as("o"))
+      .unionAll(cu.where(k % 14 === 0).select(ck1.as("s"),
+        lit("parentCo").as("p"), ck.as("o")))
+      .unionAll(cu.where(k % 8 === 0).select(ck.as("s"),
+        lit("email").as("p"), concat(lit("m2:"), k).as("o")))
+      .unionAll(cu.where(k % 15 === 0).select(ck.as("s"),
+        lit("dislikes").as("p"), concat(lit("item:"), k).as("o")))
+      .unionAll(cu.where(k % 9 === 0).select(ck.as("s"),
+        lit("follows").as("p"), ck.as("o")))
+      .unionAll(cu.where(k % 21 === 0).select(ck.as("s"),
+        lit(DifferentFrom).as("p"), ck.as("o")))
+      .unionAll(cu.where(k % 10 === 0).select(ck.as("s"),
+        lit("acct").as("p"), concat(lit("an:"), k).as("o")))
+    ReasonOps.consistencyDelta(base.localCheckpoint(true), delta)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("kind")
+  }
+
   /** Cardinality-driven entity resolution
     * ([[ReasonOps.cardinalityIdentityPairs]] through
     * [[ReasonOps.identityMapping]] + [[ReasonOps.applyMapping]]): the
@@ -4820,6 +4880,7 @@ object SparkEntry {
     "q_consistency" -> (consistencyQ _),
     "q_consistency2" -> (consistency2Q _),
     "q_owl_cardinality" -> (owlCardinalityQ _),
+    "q_consistency_delta" -> (consistencyDeltaQ _),
     "q_owl_full_sparql" -> (owlFullSparqlQ _),
     "q_owl_haskey" -> (owlHasKeyQ _),
     "q_owl_haskey_delta" -> (owlHasKeyDeltaQ _),
@@ -6202,6 +6263,47 @@ object SparkEntry {
         |       count(DISTINCT o) AS no
         |FROM v GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Batch-completed violations characterized per family: two-premise
+    * and grouped families report BOTH sides / the whole group. */
+  private val consistencyDeltaOracle =
+    """WITH v AS (
+        |  SELECT 'cax-dw' AS kind, 'customer:'||c_custkey AS s,
+        |         'Person' AS p, 'Company' AS o
+        |  FROM customer WHERE c_custkey % 12 = 0
+        |  UNION ALL SELECT 'prp-asyp', 'customer:'||c_custkey,
+        |         'parentCo', 'customer:'||(c_custkey+1)
+        |  FROM customer WHERE c_custkey % 14 = 0
+        |  UNION ALL SELECT 'prp-asyp', 'customer:'||(c_custkey+1),
+        |         'parentCo', 'customer:'||c_custkey
+        |  FROM customer WHERE c_custkey % 14 = 0
+        |  UNION ALL SELECT 'functional-conflict',
+        |         'customer:'||c_custkey, 'email', 'm1:'||c_custkey
+        |  FROM customer WHERE c_custkey % 8 = 0
+        |  UNION ALL SELECT 'functional-conflict',
+        |         'customer:'||c_custkey, 'email', 'm2:'||c_custkey
+        |  FROM customer WHERE c_custkey % 8 = 0
+        |  UNION ALL SELECT 'prp-pdw', 'customer:'||c_custkey, 'likes',
+        |         'item:'||c_custkey
+        |  FROM customer WHERE c_custkey % 15 = 0
+        |  UNION ALL SELECT 'prp-pdw', 'customer:'||c_custkey,
+        |         'dislikes', 'item:'||c_custkey
+        |  FROM customer WHERE c_custkey % 15 = 0
+        |  UNION ALL SELECT 'prp-irp', 'customer:'||c_custkey, 'follows',
+        |         'customer:'||c_custkey
+        |  FROM customer WHERE c_custkey % 9 = 0
+        |  UNION ALL SELECT 'eq-diff1', 'customer:'||c_custkey,
+        |         'owl:differentFrom', 'customer:'||c_custkey
+        |  FROM customer WHERE c_custkey % 21 = 0
+        |  UNION ALL SELECT 'cls-maxc', 'customer:'||c_custkey, 'acct',
+        |         'am:'||c_custkey
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT 'cls-maxc', 'customer:'||c_custkey, 'acct',
+        |         'an:'||c_custkey
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT kind, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM v GROUP BY kind ORDER BY kind""".stripMargin
+
   /** Post-merge characterization: the k%6 second accounts and k%8
     * second cars collapse onto their lexicographic-min partners
     * (am < an, car < carx), pets and every non-restricted row stay,
@@ -7142,6 +7244,7 @@ object SparkEntry {
     "q_consistency" -> consistencyOracle,
     "q_consistency2" -> consistency2Oracle,
     "q_owl_cardinality" -> owlCardinalityOracle,
+    "q_consistency_delta" -> consistencyDeltaOracle,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,
     "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,

@@ -3283,6 +3283,268 @@ object ReasonOps {
       .getOrElse(t.select(col("s").as("a"), col("o").as("b")).limit(0))
   }
 
+  /** INCREMENTAL consistency checking — the O(Δ) twin of
+    * [[consistencyReport]] for BATCH VALIDATION: every violation row of
+    * `corpus ∪ Δ` whose violation GROUP the batch touches, computed
+    * with Δ-broadcasts against the streamed corpus (the corpus is
+    * never shuffled). Single-premise families (`prp-irp`, `eq-diff1`,
+    * `cls-oo`) return exactly the batch's own offending rows;
+    * two-premise families (`cax-dw`, `cax-adc`, `cls-com`, `prp-pdw`,
+    * `prp-asyp`) return BOTH sides of a conflict the batch completes
+    * (a reviewer needs the pre-existing partner row too); the grouped
+    * families (`functional-conflict`, `cls-maxc`, `cls-maxqc`) return
+    * the whole over-bound group the batch extends. Violations among
+    * rows the batch does not touch never appear — validate the batch
+    * BEFORE folding it in, at Δ cost. Declarations arriving in the
+    * delta fail fast (schema change → re-run [[consistencyReport]]);
+    * rows already present in the corpus are ignored (a replayed batch
+    * validates clean). On a violation-free corpus,
+    * `consistencyDelta(corpus, Δ) == consistencyReport(corpus ∪ Δ)`.
+    */
+  def consistencyDelta(corpus: DataFrame, delta: DataFrame,
+                       typePred: String = "a", tboxCap: Int = 1 << 20,
+                       deltaCap: Option[Long] = None): DataFrame = {
+    val Seq(cs, cp, co) = corpus.columns.take(3).toSeq
+    val c = corpus.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    consistencyDeltaCore(c, delta, c, stringCheckVoc(typePred),
+      hasGraph = false, tboxCap, deltaCap)
+  }
+
+  /** [[consistencyDelta]] over ENCODED (long-id) relations. */
+  def consistencyDeltaEncoded(corpus: DataFrame, delta: DataFrame,
+                              ids: CheckIds, tboxCap: Int = 1 << 20,
+                              deltaCap: Option[Long] = None): DataFrame = {
+    val Seq(cs, cp, co) = corpus.columns.take(3).toSeq
+    val c = corpus.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    consistencyDeltaCore(c, delta, c, encCheckVoc(ids),
+      hasGraph = false, tboxCap, deltaCap)
+  }
+
+  /** [[consistencyDelta]] over a NAMED-GRAPH quad dataset — per-graph
+    * batch validation (a violation needs both premises in ONE graph);
+    * declarations from the global `tboxSource`. */
+  def consistencyDeltaQuads(quads: DataFrame, delta: DataFrame,
+                            tboxSource: DataFrame, typePred: String = "a",
+                            tboxCap: Int = 1 << 20,
+                            deltaCap: Option[Long] = None): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    consistencyDeltaCore(q, delta, tboxSource, stringCheckVoc(typePred),
+      hasGraph = true, tboxCap, deltaCap)
+  }
+
+  private def consistencyDeltaCore(corpus: DataFrame, delta: DataFrame,
+                                   declSource: DataFrame, voc: CheckVoc,
+                                   hasGraph: Boolean, tboxCap: Int,
+                                   deltaCap: Option[Long]): DataFrame = {
+    val width = if (hasGraph) 4 else 3
+    val names = Seq("s", "p", "o", "g").take(width)
+    def norm(df: DataFrame): DataFrame =
+      df.select(df.columns.take(width).toSeq.zip(names)
+        .map { case (c2, n) => col(c2).as(n) }: _*)
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    def gEq(pfx: String) =
+      if (hasGraph) Seq(col("g") <=> col(pfx + "g")) else Nil
+    // novel batch rows only (replayed rows validate clean)
+    val dn = pinCapped(incrementNovel(corpus, norm(delta), deltaCap),
+      deltaCap, "consistency batch", "consistencyReport")
+    // schema guard: any consistency-vocabulary declaration (or list
+    // cell — the n-ary axioms are list-backed) in the batch fails
+    // fast. owl:differentFrom rows are individual-level DATA (the
+    // eq-diff1 premise), not schema — they validate, never guard.
+    val schemaPreds: Seq[Any] =
+      (voc.dw ++ voc.pdw ++ voc.maxc ++ voc.maxqc ++
+        voc.onp ++ voc.onc ++ voc.oneOf ++ voc.comp ++ voc.members ++
+        voc.dmembers ++ voc.first ++ voc.rest).toSeq
+    val charObjs: Seq[Any] =
+      (voc.irr ++ voc.asy ++ voc.fp ++ voc.adcCls ++ voc.adiffCls).toSeq
+    def declCondOf(preds: Seq[Any]) =
+      (if (preds.isEmpty) lit(false)
+       else col("p").isin(preds: _*)) ||
+        (if (charObjs.isEmpty) lit(false)
+         else col("p").isin(voc.ty.toSeq: _*) &&
+           col("o").isin(charObjs: _*))
+    require(dn.where(declCondOf(schemaPreds)).isEmpty,
+      "batch contains consistency-vocabulary declarations - schema " +
+        "changes require a full consistencyReport, not incremental " +
+        "validation")
+    val decls = declSource
+      .select(col(declSource.columns.head).as("s"),
+        col(declSource.columns(1)).as("p"),
+        col(declSource.columns(2)).as("o"))
+      .where(declCondOf(schemaPreds))
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    require(decls.length <= tboxCap,
+      s"consistency declarations exceed $tboxCap — not schema-shaped")
+    val dwPairs = decls.collect {
+      case (a, p, b) if voc.dw(p) => ("cax-dw", a, b) }.distinct.toSeq
+    val adcNodes = decls.collect {
+      case (n, _, o) if voc.adcCls(o) => n }.toSet
+    val adcPairs = walkRdfLists(decls, voc.members, voc.first, voc.rest,
+        voc.nil, "owl:members")
+      .filter(l => adcNodes(l._1))
+      .flatMap { case (_, cs2) =>
+        for (i <- cs2.indices; j <- i + 1 until cs2.length)
+          yield ("cax-adc", cs2(i), cs2(j))
+      }.distinct
+    val compPairs = decls.collect {
+      case (a, p, b) if voc.comp(p) => ("cls-com", a, b) }.distinct.toSeq
+    val pdwPairs = decls.collect {
+      case (a, p, b) if voc.pdw(p) => (a, b) }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toSeq
+    val irrProps = decls.collect {
+      case (p, _, o) if voc.irr(o) => p }.distinct.toSeq
+    val asyProps = decls.collect {
+      case (p, _, o) if voc.asy(o) => p }.distinct.toSeq
+    val fpProps = decls.collect {
+      case (p, _, o) if voc.fp(o) => p }.distinct.toSeq
+    val diffPreds = voc.diff.toSeq
+    val (maxcRestr, maxqcRestr) = cardRestrOf(decls, voc)
+    val oneOfLists = walkRdfLists(decls, voc.oneOf, voc.first, voc.rest,
+      voc.nil, "owl:oneOf")
+    val tyCond = col("p").isin(voc.ty.toSeq: _*)
+    val all = corpus.unionAll(dn)
+    val allTypes = all.where(tyCond)
+    val dTypes = dn.where(tyCond)
+    def out(kind: String, s: org.apache.spark.sql.Column,
+            p: org.apache.spark.sql.Column, o: org.apache.spark.sql.Column,
+            g: Seq[org.apache.spark.sql.Column]): Seq[org.apache.spark.sql.Column] =
+      Seq(lit(kind).as("kind"), s.as("s"), p.as("p"), o.as("o")) ++ g
+    val legs = scala.collection.mutable.ListBuffer[DataFrame]()
+    // two-premise CLASS families: the Δ membership on either side
+    // completes the conflict — corpus streams, Δ broadcasts
+    (dwPairs ++ adcPairs ++ compPairs).foreach { case (kind, c1, c2) =>
+      def side(dCls: Any, aCls: Any): DataFrame = {
+        val probe = dTypes.where(col("o") === dCls)
+          .select(col("s").as("__d") +:
+            (if (hasGraph) Seq(col("g").as("__dg")) else Nil): _*)
+        allTypes.where(col("o") === aCls)
+          .join(broadcast(probe),
+            (Seq(col("s") === col("__d")) ++ gEq("__d")).reduce(_ && _),
+            "left_semi")
+          .select(out(kind, col("s"), lit(c1), lit(c2), gsel): _*)
+      }
+      legs += side(c1, c2); legs += side(c2, c1)
+    }
+    // prp-pdw (symmetrized orientations): the Δ edge in either slot
+    // makes the p1-direction row a violation
+    pdwPairs.foreach { case (p1, p2) =>
+      def side(dp: Any, ap: Any): DataFrame = {
+        val probe = dn.where(col("p") === dp)
+          .select(Seq(col("s").as("__ds"), col("o").as("__do")) ++
+            (if (hasGraph) Seq(col("g").as("__dg")) else Nil): _*)
+        all.where(col("p") === ap)
+          .join(broadcast(probe),
+            (Seq(col("s") === col("__ds"), col("o") === col("__do")) ++
+              gEq("__d")).reduce(_ && _), "left_semi")
+          .select(out("prp-pdw", col("s"), lit(p1), col("o"), gsel): _*)
+      }
+      legs += side(p2, p1); legs += side(p1, p2)
+    }
+    // prp-irp / eq-diff1: single-premise — the batch's own rows
+    if (irrProps.nonEmpty)
+      legs += dn.where(col("p").isin(irrProps: _*) &&
+          col("s") === col("o"))
+        .select(out("prp-irp", col("s"), col("p"), col("o"), gsel): _*)
+    if (diffPreds.nonEmpty)
+      legs += dn.where(col("p").isin(diffPreds: _*) &&
+          col("s") === col("o"))
+        .select(out("eq-diff1", col("s"), col("p"), col("o"), gsel): _*)
+    // prp-asyp: a Δ edge whose reverse exists — BOTH direction rows of
+    // the completed pair report
+    asyProps.foreach { pp =>
+      val probe = dn.where(col("p") === pp)
+        .select(Seq(col("o").as("__rs"), col("s").as("__ro")) ++
+          (if (hasGraph) Seq(col("g").as("__rg")) else Nil): _*)
+      val fwd = all.where(col("p") === pp)
+        .join(broadcast(probe),
+          (Seq(col("s") === col("__rs"), col("o") === col("__ro")) ++
+            gEq("__r")).reduce(_ && _), "left_semi")
+      legs += fwd
+        .select(out("prp-asyp", col("s"), col("p"), col("o"), gsel): _*)
+      legs += fwd
+        .select(out("prp-asyp", col("o"), col("p"), col("s"), gsel): _*)
+    }
+    // grouped families: the batch's touched keys fetch their WHOLE
+    // group (broadcast semi), then the over-bound groups report fully
+    if (fpProps.nonEmpty) {
+      val touched = dn.where(col("p").isin(fpProps: _*))
+        .select(Seq(col("s").as("__ts"), col("p").as("__tp")) ++
+          (if (hasGraph) Seq(col("g").as("__tg")) else Nil): _*)
+        .distinct()
+      val slice = all.where(col("p").isin(fpProps: _*))
+        .join(broadcast(touched),
+          (Seq(col("s") === col("__ts"), col("p") === col("__tp")) ++
+            gEq("__t")).reduce(_ && _), "left_semi")
+      val keys = Seq(col("s"), col("p")) ++ gsel
+      val multi = slice.groupBy(keys: _*)
+        .agg(countDistinct(col("o")).as("__n"))
+        .where(col("__n") >= 2)
+        .select(Seq(col("s").as("__fs"), col("p").as("__fp")) ++
+          (if (hasGraph) Seq(col("g").as("__fg")) else Nil): _*)
+      legs += slice.join(broadcast(multi),
+          (Seq(col("s") === col("__fs"), col("p") === col("__fp")) ++
+            gEq("__f")).reduce(_ && _), "left_semi")
+        .select(out("functional-conflict", col("s"), col("p"), col("o"),
+          gsel): _*)
+    }
+    // cls-maxc / cls-maxqc: Δ-touched members (new edge or new
+    // membership) re-checked against the bound over their full slice
+    def cardDeltaLeg(kind: String, r: Any, pp: Any, bound: Int,
+                     qual: Option[Any]): DataFrame = {
+      val touched = dn.where(col("p") === pp)
+        .select(col("s") +: gsel: _*)
+        .unionAll(dTypes.where(col("o") === r)
+          .select(col("s") +: gsel: _*))
+        .distinct()
+        .select(col("s").as("__t") +:
+          (if (hasGraph) Seq(col("g").as("__tg")) else Nil): _*)
+      val mem = allTypes.where(col("o") === r)
+        .join(broadcast(touched),
+          (Seq(col("s") === col("__t")) ++ gEq("__t")).reduce(_ && _),
+          "left_semi")
+        .select(col("s").as("__m") +:
+          (if (hasGraph) Seq(col("g").as("__mg")) else Nil): _*)
+      val slice0 = all.where(col("p") === pp)
+        .join(broadcast(mem),
+          (Seq(col("s") === col("__m")) ++ gEq("__m")).reduce(_ && _),
+          "left_semi")
+      val slice = qual.fold(slice0) { c2 =>
+        val vt = allTypes.where(col("o") === c2).select(
+          col("s").as("__v") +:
+            (if (hasGraph) Seq(col("g").as("__vg")) else Nil): _*)
+        slice0.join(vt, (Seq(col("o") === col("__v")) ++ gEq("__v"))
+          .reduce(_ && _), "left_semi")
+      }
+      val keys = col("s") +: gsel
+      val over = slice.groupBy(keys: _*)
+        .agg(countDistinct(col("o")).as("__n"))
+        .where(col("__n") > bound)
+        .select(col("s").as("__os") +:
+          (if (hasGraph) Seq(col("g").as("__og")) else Nil): _*)
+      slice.join(broadcast(over),
+          (Seq(col("s") === col("__os")) ++ gEq("__o")).reduce(_ && _),
+          "left_semi")
+        .select(out(kind, col("s"), col("p"), col("o"), gsel): _*)
+    }
+    maxcRestr.foreach { case (r, pp, n) =>
+      legs += cardDeltaLeg("cls-maxc", r, pp, n, None) }
+    maxqcRestr.foreach { case (r, pp, c2, n) =>
+      legs += cardDeltaLeg("cls-maxqc", r, pp, n, Some(c2)) }
+    // cls-oo: a batch membership outside the enumeration
+    oneOfLists.foreach { case (c2, elems) =>
+      legs += dTypes.where(col("o") === c2 && !col("s").isin(elems: _*))
+        .select(out("cls-oo", col("s"), lit(c2), lit(c2), gsel): _*)
+    }
+    val empty = dn.where(lit(false))
+      .select(out("", col("s"), col("p"), col("o"), gsel): _*)
+    (empty +: legs.toSeq).reduce(_.unionAll(_)).distinct()
+  }
+
   private def consistencyCore(triples: DataFrame, voc: CheckVoc,
                               hasGraph: Boolean, tboxCap: Int): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq

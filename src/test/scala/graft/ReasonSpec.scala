@@ -2354,6 +2354,54 @@ class ReasonSpec extends SparkSpec {
       ("functional-conflict", 101L))
   }
 
+  "ReasonOps.consistencyDelta" should "validate a batch at delta cost" in {
+    import graft.ops.ReasonOps._
+    val tbox = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("parentCo", "a", AsymmetricProperty),
+      ("email", "a", FunctionalProperty))
+    val base = tbox ++ Seq(
+      ("x1", "a", "Person"), ("x2", "a", "Person"),
+      ("x1", "parentCo", "y1"),
+      ("x1", "email", "m1"),
+      // PRE-EXISTING violation the batch does not touch: must NOT
+      // appear in the batch report (already in consistencyReport(base))
+      ("z1", "a", "Person"), ("z1", "a", "Company"))
+    val delta = Seq(
+      ("x1", "a", "Company"),       // completes cax-dw for x1
+      ("y1", "parentCo", "x1"),     // completes prp-asyp both ways
+      ("x1", "email", "m2"))        // functional group now conflicts
+    val got = vset(ReasonOps.consistencyDelta(
+      base.toDF("s", "p", "o"), delta.toDF("s", "p", "o")))
+    got shouldBe Set(
+      ("cax-dw", "x1", "Person", "Company"),
+      ("prp-asyp", "x1", "parentCo", "y1"),
+      ("prp-asyp", "y1", "parentCo", "x1"),
+      ("functional-conflict", "x1", "email", "m1"),
+      ("functional-conflict", "x1", "email", "m2"))
+    // a replayed batch (rows already present) validates clean
+    ReasonOps.consistencyDelta(base.toDF("s", "p", "o"),
+      Seq(("x1", "a", "Person")).toDF("s", "p", "o")).isEmpty shouldBe true
+    // declarations arriving in the batch fail fast
+    (the[IllegalArgumentException] thrownBy ReasonOps.consistencyDelta(
+      base.toDF("s", "p", "o"),
+      Seq(("A", DisjointWith, "B")).toDF("s", "p", "o")).count())
+      .getMessage should include ("consistencyReport")
+  }
+
+  it should "confine batch checks per graph on quads" in {
+    import graft.ops.ReasonOps._
+    val tbox = Seq(("Person", DisjointWith, "Company"))
+      .toDF("s", "p", "o")
+    val base = Seq(("x1", "a", "Person", "g1"), ("x1", "a", "Person", "g2"))
+    val delta = Seq(("x1", "a", "Company", "g1")) // g1 only
+    val got = ReasonOps.consistencyDeltaQuads(
+        base.toDF("s", "p", "o", "g"), delta.toDF("s", "p", "o", "g"),
+        tbox).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(4))).toSet
+    got shouldBe Set(("cax-dw", "x1", "g1"))
+  }
+
   it should "detect the cardinality, enumeration, complement, and n-ary families" in {
     import graft.ops.ReasonOps._
     def rdfList(owner: String, pred: String, parts: Seq[String]) = {
