@@ -3572,9 +3572,12 @@ object SparkEntry {
     * NOT count), `cls-oo` (badge individuals outside the Tier
     * enumeration at k%13), `cls-com` (Robot-typed Persons at k%17),
     * `cax-adc` (Bronze∧Silver under an AllDisjointClasses list at
-    * k%19), and one `eq-diff2` row from an AllDifferent list naming a
-    * term twice. The oracle characterizes each family from its
-    * modulus.
+    * k%19), one `eq-diff2` row from an AllDifferent list naming a term
+    * twice, `prp-npa` (a per-customer NegativePropertyAssertion
+    * forbidding the asserted rival edge at k%23 — reifications collect
+    * as capped schema), and `prp-adp` (hires∧fires on one pair under
+    * an AllDisjointProperties list at k%29 — both orientations
+    * report). The oracle characterizes each family from its modulus.
     */
   private def consistency2Q(s: SparkSession, d: String): DataFrame = {
     import graft.ops.ReasonOps
@@ -3596,10 +3599,12 @@ object SparkEntry {
       ("OneCar", MaxQualifiedCardinality, "1"),
       ("Person", ComplementOf, "Robot"),
       ("_:adc", "a", AllDisjointClasses),
-      ("_:adf", "a", AllDifferent)) ++
+      ("_:adf", "a", AllDifferent),
+      ("_:adp", "a", AllDisjointProperties)) ++
       rdfList("_:adc", OwlMembers, Seq("Bronze", "Silver", "Gold")) ++
       rdfList("_:adf", OwlMembers,
         Seq("id:alpha", "id:beta", "id:alpha")) ++
+      rdfList("_:adp", OwlMembers, Seq("hires", "fires", "rates")) ++
       rdfList("Tier", OneOf, Seq("tier:gold", "tier:silver"))
     val abox = cu.select(ck.as("s"), lit("a").as("p"), lit("Lim").as("o"))
       .unionAll(cu.select(ck.as("s"), lit("phone").as("p"),
@@ -3632,9 +3637,25 @@ object SparkEntry {
         lit("a").as("p"), lit("Bronze").as("o")))
       .unionAll(cu.where(k % 19 === 0).select(ck.as("s"),
         lit("a").as("p"), lit("Silver").as("o")))
+      .unionAll(cu.where(k % 23 === 0).select(
+        concat(lit("_:np"), k).as("s"),
+        lit(SourceIndividual).as("p"), ck.as("o")))
+      .unionAll(cu.where(k % 23 === 0).select(
+        concat(lit("_:np"), k).as("s"),
+        lit(AssertionProperty).as("p"), lit("rival").as("o")))
+      .unionAll(cu.where(k % 23 === 0).select(
+        concat(lit("_:np"), k).as("s"),
+        lit(TargetIndividual).as("p"),
+        concat(lit("customer:"), k + 1).as("o")))
+      .unionAll(cu.where(k % 23 === 0).select(ck.as("s"),
+        lit("rival").as("p"), concat(lit("customer:"), k + 1).as("o")))
+      .unionAll(cu.where(k % 29 === 0).select(ck.as("s"),
+        lit("hires").as("p"), concat(lit("j:"), k).as("o")))
+      .unionAll(cu.where(k % 29 === 0).select(ck.as("s"),
+        lit("fires").as("p"), concat(lit("j:"), k).as("o")))
       .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
-      // pinned: the report's ~10 family legs (each with 1-2 semi-join
-      // sides) would otherwise re-execute this 15-leg union per leg —
+      // pinned: the report's ~12 family legs (each with 1-2 semi-join
+      // sides) would otherwise re-execute this 20-leg union per leg —
       // measured 16 s -> ~3 s at sf0.1
       .localCheckpoint(true)
     ReasonOps.consistencyReport(abox)
@@ -6367,7 +6388,16 @@ object SparkEntry {
         |  UNION ALL SELECT 'cax-adc', 'customer:'||c_custkey, 'Bronze',
         |         'Silver'
         |  FROM customer WHERE c_custkey % 19 = 0
-        |  UNION ALL SELECT 'eq-diff2', 'id:alpha', '_:adf', 'id:alpha')
+        |  UNION ALL SELECT 'eq-diff2', 'id:alpha', '_:adf', 'id:alpha'
+        |  UNION ALL SELECT 'prp-npa', 'customer:'||c_custkey, 'rival',
+        |         'customer:'||(c_custkey+1)
+        |  FROM customer WHERE c_custkey % 23 = 0
+        |  UNION ALL SELECT 'prp-adp', 'customer:'||c_custkey, 'hires',
+        |         'j:'||c_custkey
+        |  FROM customer WHERE c_custkey % 29 = 0
+        |  UNION ALL SELECT 'prp-adp', 'customer:'||c_custkey, 'fires',
+        |         'j:'||c_custkey
+        |  FROM customer WHERE c_custkey % 29 = 0)
         |SELECT kind, count(*) AS n, count(DISTINCT s) AS ns,
         |       count(DISTINCT o) AS no
         |FROM v GROUP BY kind ORDER BY kind""".stripMargin

@@ -3008,6 +3008,20 @@ object ReasonOps {
   val DistinctMembers      = "owl:distinctMembers"
   val DistinctMembersIri   =
     "http://www.w3.org/2002/07/owl#distinctMembers"
+  val AllDisjointProperties = "owl:AllDisjointProperties"
+  val AllDisjointPropertiesIri =
+    "http://www.w3.org/2002/07/owl#AllDisjointProperties"
+  val SourceIndividual     = "owl:sourceIndividual"
+  val SourceIndividualIri  =
+    "http://www.w3.org/2002/07/owl#sourceIndividual"
+  val AssertionProperty    = "owl:assertionProperty"
+  val AssertionPropertyIri =
+    "http://www.w3.org/2002/07/owl#assertionProperty"
+  val TargetIndividual     = "owl:targetIndividual"
+  val TargetIndividualIri  =
+    "http://www.w3.org/2002/07/owl#targetIndividual"
+  val TargetValue          = "owl:targetValue"
+  val TargetValueIri       = "http://www.w3.org/2002/07/owl#targetValue"
 
   /** The consistency vocabulary as ENCODED ids; absent ids (`None`)
     * simply match no declarations of that kind. `typePred` keys the
@@ -3038,7 +3052,12 @@ object ReasonOps {
                             listRest: Option[Long] = None,
                             listNil: Option[Long] = None,
                             literalZero: Option[Long] = None,
-                            literalOne: Option[Long] = None)
+                            literalOne: Option[Long] = None,
+                            allDisjointProperties: Option[Long] = None,
+                            sourceIndividual: Option[Long] = None,
+                            assertionProperty: Option[Long] = None,
+                            targetIndividual: Option[Long] = None,
+                            targetValue: Option[Long] = None)
 
   private final case class CheckVoc(ty: Set[Any], dw: Set[Any],
                                     pdw: Set[Any], irr: Set[Any],
@@ -3051,7 +3070,12 @@ object ReasonOps {
                                     members: Set[Any], dmembers: Set[Any],
                                     first: Set[Any], rest: Set[Any],
                                     nil: Set[Any],
-                                    zero: Set[Any], one: Set[Any])
+                                    zero: Set[Any], one: Set[Any],
+                                    adpCls: Set[Any] = Set.empty,
+                                    npaSrc: Set[Any] = Set.empty,
+                                    npaProp: Set[Any] = Set.empty,
+                                    npaTgt: Set[Any] = Set.empty,
+                                    npaVal: Set[Any] = Set.empty)
 
   private def stringCheckVoc(typePred: String): CheckVoc = {
     val ty: Set[Any] =
@@ -3073,7 +3097,12 @@ object ReasonOps {
       Set(DistinctMembers, DistinctMembersIri),
       Set(RdfFirst, RdfFirstIri), Set(RdfRest, RdfRestIri),
       Set(RdfNil, RdfNilIri),
-      Set.empty, Set.empty)
+      Set.empty, Set.empty,
+      Set(AllDisjointProperties, AllDisjointPropertiesIri),
+      Set(SourceIndividual, SourceIndividualIri),
+      Set(AssertionProperty, AssertionPropertyIri),
+      Set(TargetIndividual, TargetIndividualIri),
+      Set(TargetValue, TargetValueIri))
   }
 
   private def encCheckVoc(ids: CheckIds): CheckVoc =
@@ -3090,7 +3119,12 @@ object ReasonOps {
       ids.members.toSet[Any], ids.distinctMembers.toSet[Any],
       ids.listFirst.toSet[Any], ids.listRest.toSet[Any],
       ids.listNil.toSet[Any],
-      ids.literalZero.toSet[Any], ids.literalOne.toSet[Any])
+      ids.literalZero.toSet[Any], ids.literalOne.toSet[Any],
+      ids.allDisjointProperties.toSet[Any],
+      ids.sourceIndividual.toSet[Any],
+      ids.assertionProperty.toSet[Any],
+      ids.targetIndividual.toSet[Any],
+      ids.targetValue.toSet[Any])
 
   /** Parse an OWL RL cardinality bound: RL restricts
     * max(Qualified)Cardinality to 0 or 1. String literals accept
@@ -3186,6 +3220,36 @@ object ReasonOps {
       col(co).as("o"), col(cg).as("g"))
     consistencyCoreDecls(q, tboxSource, encCheckVoc(ids),
       hasGraph = true, tboxCap)
+  }
+
+  /** The collected `owl:NegativePropertyAssertion` nodes as (source,
+    * property, target) triples (targetIndividual OR targetValue) —
+    * loud failure on incomplete reifications. Collected as capped
+    * schema; corpus-scale negative-assertion SETS would need a
+    * join-based variant (documented boundary). */
+  private def npaTriplesOf(decls: Array[(Any, Any, Any)], voc: CheckVoc)
+      : Seq[(Any, Any, Any)] = {
+    if (voc.npaSrc.isEmpty) return Nil
+    val src = decls.collect {
+      case (n, p, v) if voc.npaSrc(p) => (n, v) }.groupBy(_._1)
+    val prp = decls.collect {
+      case (n, p, v) if voc.npaProp(p) => (n, v) }.groupBy(_._1)
+    val tgt = decls.collect {
+      case (n, p, v) if voc.npaTgt(p) || voc.npaVal(p) => (n, v) }
+      .groupBy(_._1)
+    def one(m: Map[Any, Array[(Any, Any)]], n: Any, what: String): Any = {
+      val vs = m.getOrElse(n, Array.empty[(Any, Any)]).map(_._2).distinct
+      require(vs.length == 1,
+        s"owl:NegativePropertyAssertion $n needs exactly one $what " +
+          s"(found ${vs.length})")
+      vs.head
+    }
+    (src.keySet ++ prp.keySet ++ tgt.keySet).toSeq.sortBy(_.toString)
+      .map { n =>
+        (one(src, n, "owl:sourceIndividual"),
+          one(prp, n, "owl:assertionProperty"),
+          one(tgt, n, "owl:targetIndividual/owl:targetValue"))
+      }.distinct
   }
 
   /** Parse the collected max(Qualified)Cardinality restrictions:
@@ -3358,9 +3422,11 @@ object ReasonOps {
     val schemaPreds: Seq[Any] =
       (voc.dw ++ voc.pdw ++ voc.maxc ++ voc.maxqc ++
         voc.onp ++ voc.onc ++ voc.oneOf ++ voc.comp ++ voc.members ++
-        voc.dmembers ++ voc.first ++ voc.rest).toSeq
+        voc.dmembers ++ voc.first ++ voc.rest ++ voc.npaSrc ++
+        voc.npaProp ++ voc.npaTgt ++ voc.npaVal).toSeq
     val charObjs: Seq[Any] =
-      (voc.irr ++ voc.asy ++ voc.fp ++ voc.adcCls ++ voc.adiffCls).toSeq
+      (voc.irr ++ voc.asy ++ voc.fp ++ voc.adcCls ++ voc.adiffCls ++
+        voc.adpCls).toSeq
     def declCondOf(preds: Seq[Any]) =
       (if (preds.isEmpty) lit(false)
        else col("p").isin(preds: _*)) ||
@@ -3396,6 +3462,16 @@ object ReasonOps {
     val pdwPairs = decls.collect {
       case (a, p, b) if voc.pdw(p) => (a, b) }
       .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toSeq
+    val adpNodes = decls.collect {
+      case (n, _, o) if voc.adpCls(o) => n }.toSet
+    val adpPairs = walkRdfLists(decls, voc.members, voc.first, voc.rest,
+        voc.nil, "owl:members")
+      .filter(l => adpNodes(l._1))
+      .flatMap { case (_, ps) =>
+        for (i <- ps.indices; j <- ps.indices if i != j)
+          yield (ps(i), ps(j))
+      }.distinct
+    val npaTriples = npaTriplesOf(decls, voc)
     val irrProps = decls.collect {
       case (p, _, o) if voc.irr(o) => p }.distinct.toSeq
     val asyProps = decls.collect {
@@ -3430,9 +3506,9 @@ object ReasonOps {
       }
       legs += side(c1, c2); legs += side(c2, c1)
     }
-    // prp-pdw (symmetrized orientations): the Δ edge in either slot
-    // makes the p1-direction row a violation
-    pdwPairs.foreach { case (p1, p2) =>
+    // prp-pdw / prp-adp (symmetrized orientations): the Δ edge in
+    // either slot makes the p1-direction row a violation
+    def pdwDeltaLegs(kind: String, p1: Any, p2: Any): Seq[DataFrame] = {
       def side(dp: Any, ap: Any): DataFrame = {
         val probe = dn.where(col("p") === dp)
           .select(Seq(col("s").as("__ds"), col("o").as("__do")) ++
@@ -3441,9 +3517,30 @@ object ReasonOps {
           .join(broadcast(probe),
             (Seq(col("s") === col("__ds"), col("o") === col("__do")) ++
               gEq("__d")).reduce(_ && _), "left_semi")
-          .select(out("prp-pdw", col("s"), lit(p1), col("o"), gsel): _*)
+          .select(out(kind, col("s"), lit(p1), col("o"), gsel): _*)
       }
-      legs += side(p2, p1); legs += side(p1, p2)
+      Seq(side(p2, p1), side(p1, p2))
+    }
+    pdwPairs.foreach { case (p1, p2) =>
+      legs ++= pdwDeltaLegs("prp-pdw", p1, p2) }
+    adpPairs.foreach { case (p1, p2) =>
+      legs ++= pdwDeltaLegs("prp-adp", p1, p2) }
+    // prp-npa: single-premise against the static collected
+    // reifications — the batch's own matching rows report
+    if (npaTriples.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val dt = dn.schema.fields.head.dataType
+      val npaDf = dn.sparkSession.createDataFrame(
+        new java.util.ArrayList(npaTriples.map(t3 =>
+          org.apache.spark.sql.Row(t3._1, t3._2, t3._3)).asJava),
+        org.apache.spark.sql.types.StructType(
+          Seq("__ns", "__np", "__no").map(
+            org.apache.spark.sql.types.StructField(_, dt,
+              nullable = false))))
+      legs += dn.join(broadcast(npaDf),
+          col("s") === col("__ns") && col("p") === col("__np") &&
+            col("o") === col("__no"), "left_semi")
+        .select(out("prp-npa", col("s"), col("p"), col("o"), gsel): _*)
     }
     // prp-irp / eq-diff1: single-premise — the batch's own rows
     if (irrProps.nonEmpty)
@@ -3563,9 +3660,11 @@ object ReasonOps {
     val declPreds: Seq[Any] =
       (voc.dw ++ voc.pdw ++ voc.diff ++ voc.maxc ++ voc.maxqc ++
         voc.onp ++ voc.onc ++ voc.oneOf ++ voc.comp ++ voc.members ++
-        voc.dmembers ++ voc.first ++ voc.rest).toSeq
+        voc.dmembers ++ voc.first ++ voc.rest ++ voc.npaSrc ++
+        voc.npaProp ++ voc.npaTgt ++ voc.npaVal).toSeq
     val charObjs: Seq[Any] =
-      (voc.irr ++ voc.asy ++ voc.fp ++ voc.adcCls ++ voc.adiffCls).toSeq
+      (voc.irr ++ voc.asy ++ voc.fp ++ voc.adcCls ++ voc.adiffCls ++
+        voc.adpCls).toSeq
     val declCond =
       if (declPreds.isEmpty) lit(false)
       else col("p").isin(declPreds: _*)
@@ -3618,6 +3717,17 @@ object ReasonOps {
     val adiffLists = memberLists.filter(l => adiffNodes(l._1)) ++
       walkRdfLists(decls, voc.dmembers, voc.first, voc.rest, voc.nil,
         "owl:distinctMembers").filter(l => adiffNodes(l._1))
+    // prp-adp: AllDisjointProperties expands to pairwise
+    // propertyDisjointWith (symmetrized — each orientation reports its
+    // own offending edge); prp-npa: the reified negative assertions
+    val adpNodes = decls.collect {
+      case (n, _, o) if voc.adpCls(o) => n }.toSet
+    val adpPairs = memberLists.filter(l => adpNodes(l._1))
+      .flatMap { case (_, ps) =>
+        for (i <- ps.indices; j <- ps.indices if i != j)
+          yield (ps(i), ps(j))
+      }.distinct
+    val npaTriples = npaTriplesOf(decls, voc)
     val tyCond = col("p").isin(voc.ty.toSeq: _*)
     val types = rel.where(tyCond)
     def out(kind: String, s: org.apache.spark.sql.Column,
@@ -3635,16 +3745,39 @@ object ReasonOps {
           .reduce(_ && _), "left_semi")
         .select(out("cax-dw", col("s"), lit(c1), lit(c2), gsel): _*)
     }
-    // prp-pdw: one (s, o) pair under both properties
-    pdwPairs.foreach { case (p1, p2) =>
+    // prp-pdw: one (s, o) pair under both properties; prp-adp is the
+    // n-ary expansion with its own kind
+    def pdwLeg(kind: String, p1: Any, p2: Any): DataFrame = {
       val e2 = rel.where(col("p") === p2).select(
         Seq(col("s").as("__2s"), col("o").as("__2o")) ++
           (if (hasGraph) Seq(col("g").as("__2g")) else Nil): _*)
-      legs += rel.where(col("p") === p1)
+      rel.where(col("p") === p1)
         .join(e2, (Seq(col("s") === col("__2s"),
           col("o") === col("__2o")) ++ gEq("__2")).reduce(_ && _),
           "left_semi")
-        .select(out("prp-pdw", col("s"), lit(p1), col("o"), gsel): _*)
+        .select(out(kind, col("s"), lit(p1), col("o"), gsel): _*)
+    }
+    pdwPairs.foreach { case (p1, p2) =>
+      legs += pdwLeg("prp-pdw", p1, p2) }
+    adpPairs.foreach { case (p1, p2) =>
+      legs += pdwLeg("prp-adp", p1, p2) }
+    // prp-npa1/npa2: an asserted triple a negative assertion forbids —
+    // the collected reifications broadcast as a literal (s, p, o)
+    // probe; any matching row (in any graph) reports
+    if (npaTriples.nonEmpty) {
+      import scala.jdk.CollectionConverters._
+      val dt = rel.schema.fields.head.dataType
+      val npaDf = rel.sparkSession.createDataFrame(
+        new java.util.ArrayList(npaTriples.map(t3 =>
+          org.apache.spark.sql.Row(t3._1, t3._2, t3._3)).asJava),
+        org.apache.spark.sql.types.StructType(
+          Seq("__ns", "__np", "__no").map(
+            org.apache.spark.sql.types.StructField(_, dt,
+              nullable = false))))
+      legs += rel.join(broadcast(npaDf),
+          col("s") === col("__ns") && col("p") === col("__np") &&
+            col("o") === col("__no"), "left_semi")
+        .select(out("prp-npa", col("s"), col("p"), col("o"), gsel): _*)
     }
     // prp-irp: self-edges under an irreflexive property
     if (irrProps.nonEmpty)

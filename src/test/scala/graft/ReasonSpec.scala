@@ -2354,6 +2354,54 @@ class ReasonSpec extends SparkSpec {
       ("functional-conflict", 101L))
   }
 
+  it should "detect negative-assertion and n-ary property-disjointness violations" in {
+    import graft.ops.ReasonOps._
+    def rdfList(owner: String, pred: String, parts: Seq[String]) = {
+      val nodes = parts.indices.map(i => s"_:$owner$i")
+      (owner, pred, nodes.head) +: parts.indices.flatMap { i =>
+        Seq((nodes(i), RdfFirst, parts(i)),
+          (nodes(i), RdfRest,
+            if (i == parts.length - 1) RdfNil else nodes(i + 1)))
+      }
+    }
+    val g = (Seq(
+      // prp-npa: x must NOT know y — but the corpus asserts it
+      ("_:n1", SourceIndividual, "x"),
+      ("_:n1", AssertionProperty, "knows"),
+      ("_:n1", TargetIndividual, "y"),
+      // targetValue variant, not violated
+      ("_:n2", SourceIndividual, "x"),
+      ("_:n2", AssertionProperty, "age"),
+      ("_:n2", TargetValue, "99"),
+      ("_:adp", "a", AllDisjointProperties),
+      ("x", "knows", "y"), ("x", "knows", "z"),
+      ("x", "age", "42"),
+      // prp-adp: one pair under two of the three disjoint properties
+      ("u", "hires", "v"), ("u", "fires", "v")) ++
+      rdfList("_:adp", OwlMembers, Seq("hires", "fires", "rates")))
+      .toDF("s", "p", "o")
+    val got = vset(ReasonOps.consistencyReport(g))
+    got shouldBe Set(
+      ("prp-npa", "x", "knows", "y"),
+      ("prp-adp", "u", "hires", "v"),
+      ("prp-adp", "u", "fires", "v"))
+    // delta: the batch completes both families against the corpus
+    val base = (Seq(
+      ("_:n1", SourceIndividual, "x"),
+      ("_:n1", AssertionProperty, "knows"),
+      ("_:n1", TargetIndividual, "y"),
+      ("_:adp", "a", AllDisjointProperties),
+      ("u", "hires", "v")) ++
+      rdfList("_:adp", OwlMembers, Seq("hires", "fires")))
+      .toDF("s", "p", "o")
+    val delta = Seq(("x", "knows", "y"), ("u", "fires", "v"))
+      .toDF("s", "p", "o")
+    vset(ReasonOps.consistencyDelta(base, delta)) shouldBe Set(
+      ("prp-npa", "x", "knows", "y"),
+      ("prp-adp", "u", "hires", "v"),
+      ("prp-adp", "u", "fires", "v"))
+  }
+
   "ReasonOps.consistencyDelta" should "validate a batch at delta cost" in {
     import graft.ops.ReasonOps._
     val tbox = Seq(
