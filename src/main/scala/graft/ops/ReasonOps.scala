@@ -3400,6 +3400,19 @@ object ReasonOps {
       hasGraph = true, tboxCap, deltaCap)
   }
 
+  /** [[consistencyDeltaQuads]] over ENCODED (long-id) quads. */
+  def consistencyDeltaQuadsEncoded(quads: DataFrame, delta: DataFrame,
+                                   tboxSource: DataFrame, ids: CheckIds,
+                                   tboxCap: Int = 1 << 20,
+                                   deltaCap: Option[Long] = None)
+      : DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    consistencyDeltaCore(q, delta, tboxSource, encCheckVoc(ids),
+      hasGraph = true, tboxCap, deltaCap)
+  }
+
   private def consistencyDeltaCore(corpus: DataFrame, delta: DataFrame,
                                    declSource: DataFrame, voc: CheckVoc,
                                    hasGraph: Boolean, tboxCap: Int,
