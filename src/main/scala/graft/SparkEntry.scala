@@ -3450,6 +3450,77 @@ object SparkEntry {
       .orderBy("kind")
   }
 
+  /** The FULL entity-resolution fixpoint
+    * ([[ReasonOps.functionalCanonicalize]] with every merge-implying
+    * axiom participating): explicit `owl:sameAs` aliases (k%5 fold
+    * their payload in round 0), inverse-functional email twins (k%3,
+    * round 1), composite-key shops (k%7, prp-key round 1), and — the
+    * CASCADE — the merged twin's second account violating the
+    * maxCardinality-1 restriction only AFTER the ifp merge lands
+    * (cls-maxc2, round 2). One connected-components pass over the
+    * accumulated pairs; census over the rewritten corpus AND the
+    * mapping.
+    */
+  private def owlErFullQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val k3 = cu.where(k % 3 === 0)
+    val k5 = cu.where(k % 5 === 0)
+    val k7 = cu.where(k % 7 === 0)
+    val tbox = Seq(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("OneAcct", OnProperty, "acct"), ("OneAcct", MaxCardinality, "1"),
+      ("Shop", ReasonOps.HasKey, "_:sk0"),
+      ("_:sk0", ReasonOps.RdfFirst, "city"),
+      ("_:sk0", ReasonOps.RdfRest, "_:sk1"),
+      ("_:sk1", ReasonOps.RdfFirst, "code"),
+      ("_:sk1", ReasonOps.RdfRest, ReasonOps.RdfNil))
+    def sh(pfx: String) = concat(lit(pfx), k)
+    val abox = cu.select(ck.as("s"), lit("a").as("p"),
+        lit("OneAcct").as("o"))
+      .unionAll(cu.select(ck.as("s"), lit("email").as("p"),
+        sh("em:").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("acct").as("p"),
+        sh("am:").as("o")))
+      .unionAll(k5.select(sh("alias:").as("s"),
+        lit(ReasonOps.SameAs).as("p"), ck.as("o")))
+      .unionAll(k5.select(sh("alias:").as("s"), lit("tag").as("p"),
+        sh("t:").as("o")))
+      .unionAll(k3.select(sh("dup:").as("s"), lit("a").as("p"),
+        lit("OneAcct").as("o")))
+      .unionAll(k3.select(sh("dup:").as("s"), lit("email").as("p"),
+        sh("em:").as("o")))
+      .unionAll(k3.select(sh("dup:").as("s"), lit("acct").as("p"),
+        sh("an2:").as("o")))
+      .unionAll(k7.select(sh("s1:").as("s"), lit("a").as("p"),
+        lit("Shop").as("o")))
+      .unionAll(k7.select(sh("s2:").as("s"), lit("a").as("p"),
+        lit("Shop").as("o")))
+      .unionAll(k7.select(sh("s1:").as("s"), lit("city").as("p"),
+        sh("ct:").as("o")))
+      .unionAll(k7.select(sh("s2:").as("s"), lit("city").as("p"),
+        sh("ct:").as("o")))
+      .unionAll(k7.select(sh("s1:").as("s"), lit("code").as("p"),
+        sh("cd:").as("o")))
+      .unionAll(k7.select(sh("s2:").as("s"), lit("code").as("p"),
+        sh("cd:").as("o")))
+      .unionAll(k7.select(sh("s1:").as("s"), lit("name").as("p"),
+        sh("n1:").as("o")))
+      .unionAll(k7.select(sh("s2:").as("s"), lit("name").as("p"),
+        sh("n2:").as("o")))
+      .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
+    val (rw, mp) = ReasonOps.functionalCanonicalize(abox)
+    rw.unionAll(mp.select(col("member").as("s"),
+        lit("__maps_to").as("p"), col("canon").as("o")))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("p")
+  }
+
   /** Incremental batch validation ([[ReasonOps.consistencyDelta]]):
     * the base corpus is violation-FREE, and every violation completes
     * only when the batch lands — disjoint typing (k%12), the reverse
@@ -4902,6 +4973,7 @@ object SparkEntry {
     "q_consistency2" -> (consistency2Q _),
     "q_owl_cardinality" -> (owlCardinalityQ _),
     "q_consistency_delta" -> (consistencyDeltaQ _),
+    "q_owl_er_full" -> (owlErFullQ _),
     "q_owl_full_sparql" -> (owlFullSparqlQ _),
     "q_owl_haskey" -> (owlHasKeyQ _),
     "q_owl_haskey_delta" -> (owlHasKeyDeltaQ _),
@@ -6284,6 +6356,56 @@ object SparkEntry {
         |       count(DISTINCT o) AS no
         |FROM v GROUP BY kind ORDER BY kind""".stripMargin
 
+  /** Post-fixpoint characterization of the four-source ER gate: every
+    * alias/dup/second-shop/second-account collapses onto its
+    * lexicographic-min partner, payloads fold, and the mapping rows
+    * cover exactly the merged groups' members (roots included — the
+    * customer root appears once even when both the alias and the dup
+    * families touch it). */
+  private val owlErFullOracle =
+    """WITH S AS (SELECT c_custkey AS k,
+        |                'customer:'||c_custkey AS ck FROM customer),
+        |rws AS (
+        |  SELECT ck AS s, 'a' AS p, 'OneAcct' AS o FROM S
+        |  UNION ALL SELECT 's1:'||k, 'a', 'Shop' FROM S WHERE k % 7 = 0
+        |  UNION ALL SELECT ck, 'email', 'em:'||k FROM S
+        |  UNION ALL SELECT ck, 'acct', 'am:'||k FROM S
+        |  UNION ALL SELECT ck, 'tag', 't:'||k FROM S WHERE k % 5 = 0
+        |  UNION ALL SELECT 's1:'||k, 'city', 'ct:'||k FROM S
+        |  WHERE k % 7 = 0
+        |  UNION ALL SELECT 's1:'||k, 'code', 'cd:'||k FROM S
+        |  WHERE k % 7 = 0
+        |  UNION ALL SELECT 's1:'||k, 'name', 'n1:'||k FROM S
+        |  WHERE k % 7 = 0
+        |  UNION ALL SELECT 's1:'||k, 'name', 'n2:'||k FROM S
+        |  WHERE k % 7 = 0
+        |  UNION ALL SELECT 'email', 'a',
+        |    'http://www.w3.org/2002/07/owl#InverseFunctionalProperty'
+        |  UNION ALL SELECT 'OneAcct', 'owl:onProperty', 'acct'
+        |  UNION ALL SELECT 'OneAcct', 'owl:maxCardinality', '1'
+        |  UNION ALL SELECT 'Shop', 'owl:hasKey', '_:sk0'
+        |  UNION ALL SELECT '_:sk0', 'rdf:first', 'city'
+        |  UNION ALL SELECT '_:sk0', 'rdf:rest', '_:sk1'
+        |  UNION ALL SELECT '_:sk1', 'rdf:first', 'code'
+        |  UNION ALL SELECT '_:sk1', 'rdf:rest', 'rdf:nil'
+        |  UNION ALL SELECT 'alias:'||k, '__maps_to', ck FROM S
+        |  WHERE k % 5 = 0
+        |  UNION ALL SELECT ck, '__maps_to', ck FROM S
+        |  WHERE k % 5 = 0 OR k % 3 = 0
+        |  UNION ALL SELECT 'dup:'||k, '__maps_to', ck FROM S
+        |  WHERE k % 3 = 0
+        |  UNION ALL SELECT 'an2:'||k, '__maps_to', 'am:'||k FROM S
+        |  WHERE k % 3 = 0
+        |  UNION ALL SELECT 'am:'||k, '__maps_to', 'am:'||k FROM S
+        |  WHERE k % 3 = 0
+        |  UNION ALL SELECT 's2:'||k, '__maps_to', 's1:'||k FROM S
+        |  WHERE k % 7 = 0
+        |  UNION ALL SELECT 's1:'||k, '__maps_to', 's1:'||k FROM S
+        |  WHERE k % 7 = 0)
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM rws GROUP BY p ORDER BY p""".stripMargin
+
   /** Batch-completed violations characterized per family: two-premise
     * and grouped families report BOTH sides / the whole group. */
   private val consistencyDeltaOracle =
@@ -7275,6 +7397,7 @@ object SparkEntry {
     "q_consistency2" -> consistency2Oracle,
     "q_owl_cardinality" -> owlCardinalityOracle,
     "q_consistency_delta" -> consistencyDeltaOracle,
+    "q_owl_er_full" -> owlErFullOracle,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,
     "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,

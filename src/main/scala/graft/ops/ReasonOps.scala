@@ -3322,7 +3322,21 @@ object ReasonOps {
       return t.select(col("s").as("a"), col("o").as("b")).limit(0)
     val decls = collectTbox(t, declPreds, tboxCap)
     val (maxc, maxqc) = cardRestrOf(decls, voc)
-    val types = t.where(col("p").isin(voc.ty.toSeq: _*))
+    val legs = cardStarLegs(t,
+      t.where(col("p").isin(voc.ty.toSeq: _*)), maxc, maxqc)
+    legs.reduceOption(_.unionAll(_)).map(_.distinct())
+      .getOrElse(t.select(col("s").as("a"), col("o").as("b")).limit(0))
+  }
+
+  /** The per-restriction star-pair legs over a relation (shared by
+    * [[cardinalityIdentityPairs]] and the ER fixpoint's cardinality
+    * participation): members' values under the restricted property
+    * (qualified: typed values only), grouped per member, star edges to
+    * the group minimum when the bound-1 restriction is exceeded. */
+  private def cardStarLegs(t: DataFrame, types: DataFrame,
+                           maxc: Seq[(Any, Any, Int)],
+                           maxqc: Seq[(Any, Any, Any, Int)])
+      : Seq[DataFrame] = {
     def leg(r: Any, pp: Any, qual: Option[Any]): DataFrame = {
       val mem = types.where(col("o") === r).select(col("s").as("__m"))
       val slice0 = t.where(col("p") === pp)
@@ -3341,10 +3355,19 @@ object ReasonOps {
         .where(col("o") =!= col("__cv"))
         .select(col("__cv").as("a"), col("o").as("b"))
     }
-    val legs = maxc.collect { case (r, pp, 1) => leg(r, pp, None) } ++
+    maxc.collect { case (r, pp, 1) => leg(r, pp, None) } ++
       maxqc.collect { case (r, pp, c, 1) => leg(r, pp, Some(c)) }
-    legs.reduceOption(_.unionAll(_)).map(_.distinct())
-      .getOrElse(t.select(col("s").as("a"), col("o").as("b")).limit(0))
+  }
+
+  /** Collect the bound-one cardinality restrictions in the ER
+    * vocabulary's currency (empty when the vocabulary has no
+    * cardinality ids — zero extra jobs for plain fp/ifp/hasKey
+    * corpora). */
+  private def erCardDecls(t: DataFrame, voc: ErVoc, tboxCap: Int)
+      : (Seq[(Any, Any, Int)], Seq[(Any, Any, Any, Int)]) = {
+    if ((voc.maxc ++ voc.maxqc).isEmpty) return (Nil, Nil)
+    val preds = (voc.maxc ++ voc.maxqc ++ voc.onp ++ voc.onc).toSeq
+    cardRestrOf(collectTbox(t, preds, tboxCap), voc.cardView)
   }
 
   /** INCREMENTAL consistency checking — the O(Δ) twin of
@@ -4800,26 +4823,52 @@ object ReasonOps {
                          hasKey: Option[Long] = None,
                          listFirst: Option[Long] = None,
                          listRest: Option[Long] = None,
-                         listNil: Option[Long] = None)
+                         listNil: Option[Long] = None,
+                         maxCardinality: Option[Long] = None,
+                         maxQualifiedCardinality: Option[Long] = None,
+                         onProperty: Option[Long] = None,
+                         onClass: Option[Long] = None,
+                         literalZero: Option[Long] = None,
+                         literalOne: Option[Long] = None)
 
   private final case class ErVoc(ty: Seq[Any], sameAs: Any,
                                  fp: Set[Any], ifp: Set[Any],
                                  hk: Set[Any], first: Set[Any],
-                                 rest: Set[Any], nil: Set[Any])
+                                 rest: Set[Any], nil: Set[Any],
+                                 maxc: Set[Any] = Set.empty,
+                                 maxqc: Set[Any] = Set.empty,
+                                 onp: Set[Any] = Set.empty,
+                                 onc: Set[Any] = Set.empty,
+                                 zero: Set[Any] = Set.empty,
+                                 one: Set[Any] = Set.empty) {
+    /** The [[CheckVoc]] view over the cardinality slice — the shared
+      * collector ([[cardRestrOf]]/[[parseCardinality]]) reads it. */
+    def cardView: CheckVoc = CheckVoc(ty.toSet, Set.empty, Set.empty,
+      Set.empty, Set.empty, Set.empty, Set.empty, maxc, maxqc, onp, onc,
+      Set.empty, Set.empty, Set.empty, Set.empty, Set.empty, Set.empty,
+      first, rest, nil, zero, one)
+  }
 
   private def stringErVoc(typePred: String): ErVoc =
     ErVoc(if (typePred == "a") Seq("a", TypeIri) else Seq(typePred),
       SameAs, Set[Any](FunctionalProperty),
       Set[Any](InverseFunctionalProperty),
       Set[Any](HasKey, HasKeyIri), Set[Any](RdfFirst, RdfFirstIri),
-      Set[Any](RdfRest, RdfRestIri), Set[Any](RdfNil, RdfNilIri))
+      Set[Any](RdfRest, RdfRestIri), Set[Any](RdfNil, RdfNilIri),
+      Set[Any](MaxCardinality, MaxCardinalityIri),
+      Set[Any](MaxQualifiedCardinality, MaxQualifiedCardinalityIri),
+      Set[Any](OnProperty, OnPropertyIri), Set[Any](OnClass, OnClassIri))
 
   private def encErVoc(ids: ErIds): ErVoc =
     ErVoc(Seq(ids.typePred), ids.sameAs,
       ids.functionalProperty.toSet[Any],
       ids.inverseFunctionalProperty.toSet[Any], ids.hasKey.toSet[Any],
       ids.listFirst.toSet[Any], ids.listRest.toSet[Any],
-      ids.listNil.toSet[Any])
+      ids.listNil.toSet[Any],
+      ids.maxCardinality.toSet[Any],
+      ids.maxQualifiedCardinality.toSet[Any],
+      ids.onProperty.toSet[Any], ids.onClass.toSet[Any],
+      ids.literalZero.toSet[Any], ids.literalOne.toSet[Any])
 
   private def functionalDecls(t: DataFrame, voc: ErVoc, tboxCap: Int)
       : (Seq[Any], Seq[Any]) = {
@@ -4882,7 +4931,10 @@ object ReasonOps {
     * (prp-key, [[hasKeyIdentityPairs]]): composite-key collisions
     * derive each round over the canonicalized slice, so a merge that
     * completes another entity's key tuple cascades exactly like a
-    * functional collision.
+    * functional collision. Bound-one max-cardinality restrictions
+    * participate too (cls-maxc2/maxqc3, [[cardinalityIdentityPairs]]'
+    * rule over the slice): a subject merge that unions two members'
+    * value sets cascades into a cardinality merge the same way.
     */
   def functionalCanonicalize(triples: DataFrame, typePred: String = "a",
                              tboxCap: Int = 1 << 20, maxRounds: Int = 8)
@@ -4909,20 +4961,25 @@ object ReasonOps {
       .localCheckpoint(true)
     val (fps, ifps) = functionalDecls(t, voc, tboxCap)
     val keys = hasKeyDecls(t, voc, tboxCap)
+    val (maxcR, maxqcR) = erCardDecls(t, voc, tboxCap)
     val keyProps = keys.flatMap(_._2).distinct
     val keyClasses = keys.map(_._1).distinct
+    val cardProps = (maxcR.map(_._2) ++ maxqcR.map(_._2)).distinct
+    val memberClasses = (keyClasses ++ maxcR.map(_._1) ++
+      maxqcR.map(_._1) ++ maxqcR.map(_._3)).distinct
+    val hasCard = maxcR.nonEmpty || maxqcR.nonEmpty
     val tySeq: Seq[Any] = voc.ty
-    val declPreds = (fps ++ ifps ++ keyProps).distinct
+    val declPreds = (fps ++ ifps ++ keyProps ++ cardProps).distinct
     // the fixpoint only ever touches the DECLARED properties' slice
-    // (plus the key classes' membership rows) — collisions can't
-    // appear anywhere else — so each round re-canonicalizes the slice,
-    // never the corpus; the full corpus is rewritten exactly ONCE at
-    // the end through the final mapping
+    // (plus the key/restriction/qualifying classes' membership rows) —
+    // collisions can't appear anywhere else — so each round
+    // re-canonicalizes the slice, never the corpus; the full corpus is
+    // rewritten exactly ONCE at the end through the final mapping
     val keyMemberCond =
-      if (keyClasses.isEmpty) lit(false)
-      else col("p").isin(tySeq: _*) && col("o").isin(keyClasses: _*)
+      if (memberClasses.isEmpty) lit(false)
+      else col("p").isin(tySeq: _*) && col("o").isin(memberClasses: _*)
     val slice =
-      if (declPreds.isEmpty && keys.isEmpty) t.limit(0)
+      if (declPreds.isEmpty && keys.isEmpty && !hasCard) t.limit(0)
       else t.where((if (declPreds.isEmpty) lit(false)
           else col("p").isin(declPreds: _*)) || keyMemberCond)
         .localCheckpoint(true)
@@ -4944,10 +5001,16 @@ object ReasonOps {
       require(round <= maxRounds,
         s"functional canonicalization did not settle in $maxRounds rounds")
       val fpPairs = starPairsAll(curSlice, fps, ifps)
-      val pairs = graft.Pins.checkpointLazy(
+      val withKeys =
         if (keys.isEmpty) fpPairs
-        else fpPairs.unionAll(
-          hasKeyStarPairs(curSlice, keys, voc)).distinct())
+        else fpPairs.unionAll(hasKeyStarPairs(curSlice, keys, voc))
+      val withCard =
+        if (!hasCard) withKeys
+        else (withKeys +: cardStarLegs(curSlice,
+            curSlice.where(col("p").isin(tySeq: _*)), maxcR, maxqcR))
+          .reduce(_.unionAll(_))
+      val pairs = graft.Pins.checkpointLazy(
+        if (keys.isEmpty && !hasCard) withCard else withCard.distinct())
       if (pairs.isEmpty) done = true
       else {
         // accumulate and re-derive the mapping from ALL pairs: CC
@@ -5052,6 +5115,54 @@ object ReasonOps {
       (r, m, b) => functionalDeltaEncoded(r, m, b, ids, tboxCap,
         deltaCap = deltaCap))
 
+  /** The Δ-scoped cardinality derivation for [[functionalDelta]]:
+    * star pairs over exactly the restriction groups whose MEMBER the
+    * batch touches. A cardinality group is keyed by the member
+    * subject (unlike hasKey, no cross-subject partner discovery is
+    * needed), so the touched members' full value slices fetch via one
+    * broadcast semi per restriction and the Δ-fan-in-sized slice
+    * groups and stars like [[cardStarLegs]]. */
+  private def cardDeltaPairs(rw: DataFrame,
+                             maxc: Seq[(Any, Any, Int)],
+                             maxqc: Seq[(Any, Any, Any, Int)],
+                             voc: ErVoc, touched: DataFrame,
+                             deltaCap: Option[Long]): DataFrame = {
+    val remat = "functionalCanonicalize"
+    val ty: Seq[Any] = voc.ty
+    val types = rw.where(col("p").isin(ty: _*))
+    def leg(r: Any, pp: Any, qual: Option[Any]): DataFrame = {
+      val mem = pinCapped(types.where(col("o") === r)
+          .join(broadcast(touched.toDF("__t")),
+            col("s") === col("__t"), "left_semi")
+          .select(col("s").as("__m")).distinct(),
+        deltaCap, "touched cardinality members", remat)
+      val slice1 = pinCapped(rw.where(col("p") === pp)
+          .join(broadcast(mem), col("s") === col("__m"), "left_semi")
+          .select(col("s"), col("o")),
+        deltaCap, "touched cardinality slice", remat)
+      val slice = qual.fold(slice1) { c =>
+        // qualified: only typed values count — the small slice
+        // broadcasts, the corpus type scan streams
+        types.where(col("o") === c).select(col("s").as("__v"))
+          .join(broadcast(slice1.toDF("__ss", "__so")),
+            col("__v") === col("__so"))
+          .select(col("__ss").as("s"), col("__so").as("o"))
+      }
+      val mins = slice.groupBy("s")
+        .agg(min(col("o")).as("__cv"),
+          countDistinct(col("o")).as("__cnt"))
+        .where(col("__cnt") > 1)
+        .select(col("s"), col("__cv"))
+      slice.join(mins, Seq("s"))
+        .where(col("o") =!= col("__cv"))
+        .select(col("__cv").as("a"), col("o").as("b"))
+    }
+    val legs = maxc.collect { case (r, pp, 1) => leg(r, pp, None) } ++
+      maxqc.collect { case (r, pp, c, 1) => leg(r, pp, Some(c)) }
+    legs.reduceOption(_.unionAll(_)).map(_.distinct())
+      .getOrElse(rw.select(col("s").as("a"), col("o").as("b")).limit(0))
+  }
+
   private def functionalDeltaCore(rewritten: DataFrame, mapping: DataFrame,
                                   newTriples: DataFrame, voc: ErVoc,
                                   tboxCap: Int, maxRounds: Int,
@@ -5093,6 +5204,18 @@ object ReasonOps {
       "delta contains rdf:first/rdf:rest list cells under declared " +
         "owl:hasKey axioms - a cell could extend a key list; " +
         "re-canonicalize (functionalCanonicalize) instead")
+    val (maxcR, maxqcR) = erCardDecls(r, voc, tboxCap)
+    val cardDeclPreds = (voc.maxc ++ voc.maxqc ++ voc.onp ++ voc.onc).toSeq
+    require(cardDeclPreds.isEmpty ||
+        d0.where(col("p").isin(cardDeclPreds: _*)).isEmpty,
+      "delta contains cardinality-restriction declarations - schema " +
+        "changes require re-canonicalization (functionalCanonicalize), " +
+        "not incremental maintenance")
+    val hasCard = maxcR.nonEmpty || maxqcR.nonEmpty
+    val cardProps = (maxcR.map(_._2) ++ maxqcR.map(_._2)).distinct
+    val cardClasses = (maxcR.map(_._1) ++ maxqcR.map(_._1)).distinct
+    val qualClasses = maxqcR.map(_._3).distinct
+    val maxqcProps = maxqcR.map(_._2).distinct
     val keyProps = keys.flatMap(_._2).distinct
     val keyClasses = keys.map(_._1).distinct
     // resolve every delta term through the existing mapping (Δ probes
@@ -5139,6 +5262,30 @@ object ReasonOps {
       if (keys.isEmpty) dRows.limit(0).select(col("s"))
       else dRows.where(col("p").isin(keyProps: _*) || keyMemberCond)
         .select(col("s")).distinct()
+    // round 1's cardinality-touched members: delta subjects with a
+    // restricted-property row or a restriction-class membership, plus
+    // holders of a value the delta newly types into a QUALIFYING class
+    // (the value now counts toward the bound)
+    val cardMemberCond =
+      if (cardClasses.isEmpty) lit(false)
+      else col("p").isin(ty: _*) && col("o").isin(cardClasses: _*)
+    var touchedCard: DataFrame =
+      if (!hasCard) dRows.limit(0).select(col("s"))
+      else {
+        val direct = dRows.where(
+          (if (cardProps.isEmpty) lit(false)
+           else col("p").isin(cardProps: _*)) || cardMemberCond)
+          .select(col("s"))
+        val newQualVals =
+          if (qualClasses.isEmpty) dRows.limit(0).select(col("s"))
+          else rw.where(col("p").isin(maxqcProps: _*))
+            .join(broadcast(dRows.where(col("p").isin(ty: _*) &&
+                col("o").isin(qualClasses: _*))
+              .select(col("s").as("__nv")).distinct()),
+              col("o") === col("__nv"), "left_semi")
+            .select(col("s"))
+        direct.unionAll(newQualVals).distinct()
+      }
     var round = 0
     var done = false
     while (!done) {
@@ -5157,10 +5304,14 @@ object ReasonOps {
         "touched collision groups (fan-in of the delta)",
         "functionalCanonicalize")
       val derived0 = starPairsAll(slice, fps, ifps)
-      val derived =
+      val derived1 =
         if (keys.isEmpty) derived0
         else derived0.unionAll(
           hasKeyDeltaPairs(rw, keys, voc, touchedHk, deltaCap))
+      val derived =
+        if (!hasCard) derived1
+        else derived1.unionAll(
+          cardDeltaPairs(rw, maxcR, maxqcR, voc, touchedCard, deltaCap))
       val pairs = seed.fold(derived)(sp => derived.unionAll(sp).distinct())
       seed = None
       if (pairs.isEmpty) done = true
@@ -5188,6 +5339,19 @@ object ReasonOps {
                 .select(col("s")))
               .distinct(),
             deltaCap, "merge-touched hasKey entities",
+            "functionalCanonicalize")
+        // cardinality: a merged MEMBER unions value sets; a merged
+        // VALUE relabels rows whose subject must re-check the bound
+        touchedCard =
+          if (!hasCard) touchedCard
+          else pinCapped(
+            newCanons.select(col("__nc").as("s"))
+              .unionAll(rw.where(col("p").isin(cardProps: _*))
+                .join(broadcast(newCanons), col("o") === col("__nc"),
+                  "left_semi")
+                .select(col("s")))
+              .distinct(),
+            deltaCap, "merge-touched cardinality members",
             "functionalCanonicalize")
       }
     }

@@ -2677,6 +2677,65 @@ class ReasonSpec extends SparkSpec {
       Set((500L, 501L))
   }
 
+  it should "participate in the functionalCanonicalize fixpoint with an ifp cascade" in {
+    import graft.ops.ReasonOps._
+    // dup shares c1's inverse-functional email (round-1 merge); the
+    // merged subject then holds TWO values of the maxCardinality-1
+    // acct — a cardinality collision only VISIBLE after the merge
+    // (round-2 cascade), folding the payload onto the canonical value
+    val g = Seq(
+      ("email", "a", ReasonOps.InverseFunctionalProperty),
+      ("OneAcct", OnProperty, "acct"), ("OneAcct", MaxCardinality, "1"),
+      ("c1", "a", "OneAcct"), ("dup", "a", "OneAcct"),
+      ("c1", "email", "m1"), ("dup", "email", "m1"),
+      ("c1", "acct", "a1"), ("dup", "acct", "a2"),
+      ("a1", "bal", "100"), ("a2", "bal", "100")
+    ).toDF("s", "p", "o")
+    val (rw, mp) = ReasonOps.functionalCanonicalize(g)
+    tset(rw) should contain (("c1", "acct", "a1"))
+    tset(rw) should not contain (("c1", "acct", "a2"))
+    tset(rw) should contain (("a1", "bal", "100"))
+    pset(mp) should contain allOf (("dup", "c1"), ("a2", "a1"))
+    ReasonOps.lastFunctionalRounds.get() should be >= 2L
+    // and the O(Δ) twin lands on the same state when the dup's acct
+    // arrives as a batch
+    val base = g.where(!(col("s") === "dup" && col("p") === "acct"))
+    val (rw0, mp0) = ReasonOps.functionalCanonicalize(base)
+    val (rw2, mp2) = ReasonOps.functionalDelta(rw0, mp0,
+      Seq(("dup", "acct", "a2")).toDF("s", "p", "o"))
+    tset(rw2) shouldBe tset(rw)
+    pset(mp2) shouldBe pset(mp)
+  }
+
+  it should "respect qualification in the delta path" in {
+    import graft.ops.ReasonOps._
+    // maxQualifiedCardinality 1 on owns, qualified to Car: the batch
+    // brings a second OWNED value — typed Car for q1 (merge), untyped
+    // for q2 (no merge)
+    val base = Seq(
+      ("OneCar", OnProperty, "owns"), ("OneCar", OnClass, "Car"),
+      ("OneCar", MaxQualifiedCardinality, "1"),
+      ("q1", "a", "OneCar"), ("q1", "owns", "k1"), ("k1", "a", "Car"),
+      ("q2", "a", "OneCar"), ("q2", "owns", "k3"), ("k3", "a", "Car"),
+      ("k2", "a", "Car")
+    ).toDF("s", "p", "o")
+    val (rw0, mp0) = ReasonOps.functionalCanonicalize(base)
+    val delta = Seq(("q1", "owns", "k2"), ("q2", "owns", "boat"))
+      .toDF("s", "p", "o")
+    val (rw2, mp2) = ReasonOps.functionalDelta(rw0, mp0, delta)
+    val (rwF, mpF) = ReasonOps.functionalCanonicalize(
+      base.unionAll(delta))
+    tset(rw2) shouldBe tset(rwF)
+    pset(mp2) shouldBe pset(mpF)
+    pset(mp2) should contain (("k2", "k1"))         // qualified merge
+    tset(rw2) should contain (("q2", "owns", "boat")) // untyped intact
+    // a cardinality axiom arriving in the batch fails fast
+    (the[IllegalArgumentException] thrownBy ReasonOps.functionalDelta(
+      rw0, mp0, Seq(("R2", MaxCardinality, "1")).toDF("s", "p", "o"))
+      ._1.count())
+      .getMessage should include ("cardinality")
+  }
+
   "ReasonOps.erMaintainStream" should "assemble collisions across micro-batches" in {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
