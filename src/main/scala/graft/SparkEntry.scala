@@ -3736,6 +3736,64 @@ object SparkEntry {
       .orderBy("kind")
   }
 
+  /** Strongly connected components
+    * ([[graft.ops.GraphOps.stronglyConnectedComponents]]): customers
+    * form directed 4-cycles (each quad of consecutive keys rings
+    * through a window-closed successor edge) bridged by ONE-WAY
+    * group-to-group edges — the bridges must NOT merge components, so
+    * each SCC is exactly its quad with the minimum key as the id
+    * (GraphX Pregel over the coalesced derived graph; the undirected
+    * corpus-scale sibling is the pointer-jumped
+    * [[graft.ops.GraphOps.connectedComponents]]). */
+  private def sccQ(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cu = t(s, d, "customer").select(col("c_custkey").as("k"))
+    val w = Window.partitionBy(floor(col("k") / 4))
+    val ring = cu.select(col("k").as("a"),
+      when(col("k") === max("k").over(w), min("k").over(w))
+        .otherwise(col("k") + 1).as("b"))
+    // one-way HUB bridges (every ring's first member points at vertex
+    // 0): the condensation DAG stays two layers deep, so the peeling
+    // runs in two passes regardless of customer count
+    val cross = cu.where(col("k") % 4 === 0 && col("k") =!= 0)
+      .select(col("k").as("a"), (col("k") - col("k")).as("b"))
+    graft.ops.GraphOps.stronglyConnectedComponents(s,
+      ring.unionAll(cross))
+      .groupBy("scc").agg(count(lit(1)).as("n"))
+      .orderBy("scc")
+  }
+
+  /** Quad-corpus entity resolution
+    * ([[ReasonOps.sameAsCanonicalizeQuads]]): identity statements live
+    * in their OWN provenance graph (`ids`), the mapping is GLOBAL, and
+    * the rewrite reaches facts in every graph while each fact keeps
+    * its graph — the `links` rows' subjects fold onto the nation
+    * canon for even keys, the `facts` rows never move, and the census
+    * keys on (graph, predicate) so a cross-graph leak breaks the
+    * hash.
+    */
+  private def sameAsQuadsQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val n = t(s, d, "nation")
+    val nk = concat(lit("nation:"), col("n_nationkey"))
+    val xk = concat(lit("xn:"), col("n_nationkey"))
+    val quads = n.select(nk.as("s"), lit("name").as("p"),
+        col("n_name").as("o"), lit("facts").as("g"))
+      .unionAll(n.select(xk.as("s"), lit("regionkey").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o"),
+        lit("links").as("g")))
+      .unionAll(n.where(col("n_nationkey") % 2 === 0)
+        .select(xk.as("s"), lit(ReasonOps.SameAs).as("p"), nk.as("o"),
+          lit("ids").as("g")))
+    val (rw, mp) = ReasonOps.sameAsCanonicalizeQuads(quads)
+    rw.unionAll(mp.select(col("member").as("s"),
+        lit("__maps_to").as("p"), col("canon").as("o"),
+        lit("-").as("g")))
+      .groupBy("g", "p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("g", "p")
+  }
+
   /** Incremental owl:sameAs maintenance: the base identity graph
     * (alias:k ~ nation:k for even k) canonicalizes once (session
     * artifacts), then the alias2 layer (alias2:k ~ alias:k for k%4==0)
@@ -4974,6 +5032,8 @@ object SparkEntry {
     "q_owl_cardinality" -> (owlCardinalityQ _),
     "q_consistency_delta" -> (consistencyDeltaQ _),
     "q_owl_er_full" -> (owlErFullQ _),
+    "q_scc" -> (sccQ _),
+    "q_sameas_quads" -> (sameAsQuadsQ _),
     "q_owl_full_sparql" -> (owlFullSparqlQ _),
     "q_owl_haskey" -> (owlHasKeyQ _),
     "q_owl_haskey_delta" -> (owlHasKeyDeltaQ _),
@@ -6562,6 +6622,25 @@ object SparkEntry {
         |FROM f LEFT JOIN bb ON f.p = bb.p AND f.cls = bb.cls
         |ORDER BY f.p, f.cls""".stripMargin
 
+  /** Per-graph post-merge characterization: even keys' link subjects
+    * fold onto the nation canon ("nation:" < "xn:"), facts never move,
+    * mapping rows (roots included) land in the census's synthetic
+    * default group. */
+  private val sameAsQuadsOracle =
+    """WITH n AS (SELECT n_nationkey AS k FROM nation),
+        |rws AS (
+        |  SELECT 'facts' AS g, 'nation:'||k AS s, 'name' AS p FROM n
+        |  UNION ALL
+        |  SELECT 'links',
+        |         CASE WHEN k % 2 = 0 THEN 'nation:'||k
+        |              ELSE 'xn:'||k END, 'regionkey' FROM n
+        |  UNION ALL SELECT '-', 'xn:'||k, '__maps_to' FROM n
+        |  WHERE k % 2 = 0
+        |  UNION ALL SELECT '-', 'nation:'||k, '__maps_to' FROM n
+        |  WHERE k % 2 = 0)
+        |SELECT g, p, count(*) AS n, count(DISTINCT s) AS ns
+        |FROM rws GROUP BY g, p ORDER BY g, p""".stripMargin
+
   /** Incremental-sameAs oracle: the expected post-merge cluster
     * representatives applied directly to BOTH frames — the rewritten
     * corpus and the member → canonical mapping (as `__maps_to` rows,
@@ -7398,6 +7477,11 @@ object SparkEntry {
     "q_owl_cardinality" -> owlCardinalityOracle,
     "q_consistency_delta" -> consistencyDeltaOracle,
     "q_owl_er_full" -> owlErFullOracle,
+    "q_scc" ->
+      """SELECT CAST(4 * floor(c_custkey / 4) AS BIGINT) AS scc,
+        |       count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_sameas_quads" -> sameAsQuadsOracle,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,
     "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,

@@ -466,4 +466,94 @@ object GraphOps {
     }
     pins.seal(dist)
   }
+
+  /** Round count of the most recent [[stronglyConnectedComponents]]
+    * call (total min-label propagation rounds across all peeling
+    * passes) — scale-evidence telemetry: rounds track SCC diameters
+    * plus min-anchored DAG layering, not row count. */
+  private[graft] val lastSccRounds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Strongly connected components of a DIRECTED edge relation — the
+    * directed sibling of [[connectedComponents]], completing the graph
+    * family (PageRank, label propagation, walks, triangles, BFS, CC).
+    * Each vertex maps to its component's MINIMUM vertex id.
+    *
+    * DataFrame-native min-label forward/backward INTERSECTION PEELING
+    * (the FW-BW family): per pass, every vertex propagates the minimum
+    * label it can reach FORWARD and the minimum that reaches it
+    * BACKWARD (two keyed-join fixpoints whose convergence is a
+    * one-row label-sum aggregate — labels only decrease, so an
+    * unchanged sum IS the fixpoint, no row-diff job); a vertex with
+    * `minFwd == minBwd == m` both reaches m and is reached by m, so it
+    * belongs to SCC(m) — and the global-minimum vertex's whole SCC is
+    * always determined, so each pass peels at least one min-anchored
+    * layer off the condensation DAG and the loop terminates.
+    * Determined vertices and their edges drop; the next pass runs on
+    * the remainder. Shuffle-shaped like [[connectedComponents]]
+    * (keyed equi-joins, nothing driver-side), so it scales with the
+    * edge relation; rounds track per-pass reach DIAMETER × DAG
+    * layering — deep chain-of-SCCs condensations pay proportional
+    * passes (`maxRounds` bounds the total loudly).
+    */
+  def stronglyConnectedComponents(spark: org.apache.spark.sql.SparkSession,
+                                  edges: DataFrame,
+                                  maxRounds: Int = 256): DataFrame = {
+    val Seq(ca, cb) = edges.columns.take(2).toSeq
+    val pins = new graft.Pins
+    var remE = pins.pin(edges
+      .select(col(ca).cast("long").as("a"), col(cb).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull).distinct())
+    var remN = pins.pin(remE.select(col("a").as("node"))
+      .unionAll(remE.select(col("b").as("node"))).distinct())
+    var rounds = 0L
+    // min-label propagation to fixpoint over a (src, dst) view: each
+    // round lab(v) = min(lab(v), min lab(w) over v -> w); converged
+    // when the one-row label sum stops decreasing
+    def labSum(lab: DataFrame): java.math.BigDecimal =
+      lab.agg(sum(col("lab").cast("decimal(38,0)")))
+        .collect()(0).getDecimal(0)
+    def minReach(e: DataFrame, nodes: DataFrame): DataFrame = {
+      var lab = pins.pin(nodes.select(col("node"), col("node").as("lab")))
+      var s = labSum(lab)
+      var done = false
+      while (!done) {
+        rounds += 1
+        require(rounds <= maxRounds,
+          s"SCC propagation exceeded $maxRounds rounds - the " +
+            "condensation DAG is adversarially deep; raise maxRounds")
+        val next = pins.pin(
+          lab.unionAll(e.join(lab, e("b") === lab("node"))
+              .select(e("a").as("node"), col("lab")))
+            .groupBy("node").agg(min(col("lab")).as("lab")))
+        val s2 = labSum(next)
+        done = s2.compareTo(s) == 0
+        lab = next; s = s2
+      }
+      lab
+    }
+    val parts = scala.collection.mutable.ListBuffer[DataFrame]()
+    var remaining = remN.count()
+    while (remaining > 0) {
+      val fwd = minReach(remE, remN)
+      val bwd = minReach(
+        remE.select(col("b").as("a"), col("a").as("b")), remN)
+      val det = pins.pin(
+        fwd.join(bwd.toDF("node", "lab2"), "node")
+          .where(col("lab") === col("lab2"))
+          .select(col("node"), col("lab").as("scc")))
+      parts += det
+      val detN = det.select(col("node"))
+      remN = pins.pin(remN.join(detN, Seq("node"), "left_anti"))
+      remE = pins.pin(remE
+        .join(detN.toDF("a"), Seq("a"), "left_anti")
+        .join(detN.toDF("b"), Seq("b"), "left_anti")
+        .select("a", "b"))
+      remaining = remN.count()
+    }
+    lastSccRounds.set(rounds)
+    if (parts.isEmpty)
+      pins.seal(remN.select(col("node"), col("node").as("scc")))
+    else pins.seal(parts.reduce(_.unionAll(_)))
+  }
 }

@@ -4505,6 +4505,38 @@ object ReasonOps {
       .select(col("s"), col("p"), coalesce(col("canon2"), col("o")).as("o"))
       .distinct()
 
+  /** [[applyMapping]] over a NAMED-GRAPH quad relation — the graph
+    * column is CARRIED (identity is global, facts stay in their
+    * graphs), and a merge that makes two quads identical within one
+    * graph dedups while the same fact in different graphs stays
+    * distinct. */
+  def applyMappingQuads(q: DataFrame, mapping: DataFrame): DataFrame =
+    q.join(mapping.withColumnRenamed("member", "s"), Seq("s"), "left")
+      .select(coalesce(col("canon"), col("s")).as("s"), col("p"),
+        col("o"), col("g"))
+      .join(mapping.withColumnRenamed("member", "o")
+        .withColumnRenamed("canon", "canon2"), Seq("o"), "left")
+      .select(col("s"), col("p"),
+        coalesce(col("canon2"), col("o")).as("o"), col("g"))
+      .distinct()
+
+  /** [[sameAsCanonicalize]] over a NAMED-GRAPH quad dataset: the
+    * identity graph is GLOBAL (sameAs statements from every graph
+    * merge into one mapping — two aliases asserted identical in a
+    * provenance graph canonicalize the whole dataset), while the
+    * rewritten facts keep their graphs. Returns (rewritten quads with
+    * the sameAs statements dropped, the member → canonical mapping).
+    */
+  def sameAsCanonicalizeQuads(quads: DataFrame, sameAsPred: Any = SameAs)
+      : (DataFrame, DataFrame) = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val mapping = identityMapping(
+      q.where(col("p") === sameAsPred).select("s", "o"))
+    (applyMappingQuads(q.where(col("p") =!= sameAsPred), mapping), mapping)
+  }
+
   /** INCREMENTAL owl:sameAs maintenance — the O(Δ) twin of
     * [[sameAsCanonicalize]], completing the maintenance matrix's sameAs
     * column: fold a batch of NEW identity pairs (the daily output of
@@ -4992,8 +5024,13 @@ object ReasonOps {
       else Some(graft.Pins.checkpointLazy(sp0.distinct()))
     def emptyMapping: DataFrame =
       t.select(col("s").as("member"), col("s").as("canon")).limit(0)
+    // the per-round canonicalized slice is read by EVERY family's
+    // derivation legs (fp/ifp star, hasKey tuple assembly, cardinality
+    // groups — each 2+ passes), so it pins per round: one
+    // materialization instead of re-executing the rewrite joins per leg
     var mapping = all.map(identityMapping).getOrElse(emptyMapping)
-    var curSlice = all.fold(slice)(_ => applyMapping(slice, mapping))
+    var curSlice = all.fold(slice)(_ =>
+      graft.Pins.checkpointLazy(applyMapping(slice, mapping)))
     var round = 0
     var done = false
     while (!done) {
@@ -5019,7 +5056,7 @@ object ReasonOps {
         all = Some(all.fold(pairs)(a =>
           graft.Pins.checkpointLazy(a.unionAll(pairs).distinct())))
         mapping = identityMapping(all.get)
-        curSlice = applyMapping(slice, mapping)
+        curSlice = graft.Pins.checkpointLazy(applyMapping(slice, mapping))
       }
     }
     lastFunctionalRounds.set(round)

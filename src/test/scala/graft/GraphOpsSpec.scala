@@ -268,4 +268,38 @@ class GraphOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     d shouldBe Map("a" -> 0L, "b" -> 1L, "y" -> 0L, "x" -> 1L)
   }
+
+  "GraphOps.stronglyConnectedComponents" should "peel a deep chain-of-cycles condensation" in {
+    // 10 directed 4-rings bridged one-way ring(g) -> ring(g+1): a
+    // 10-level condensation DAG — each peeling pass must determine at
+    // least the min-anchored layer, never merge across the one-way
+    // bridges, and label every member with its ring minimum
+    val edges = (0 until 10).flatMap { g =>
+      val base = g * 4 + 1L
+      (0 until 4).map(i =>
+        (base + i, if (i == 3) base else base + i + 1))
+    } ++ (0 until 9).map(g => (g * 4 + 1L, g * 4 + 5L))
+    val got = GraphOps.stronglyConnectedComponents(spark,
+      edges.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.filter(_._1 <= 4L) shouldBe
+      Set((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L))
+    got.groupBy(_._2).keySet shouldBe
+      (0 until 10).map(g => g * 4 + 1L).toSet
+  }
+
+  it should "keep directed semantics: a DAG is all singletons" in {
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L))
+    val got = GraphOps.stronglyConnectedComponents(spark,
+      dag.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got shouldBe Set((1L, 1L), (2L, 2L), (3L, 3L), (4L, 4L))
+    // and a 2-cycle hanging off the DAG merges exactly itself
+    val mixed = dag ++ Seq((3L, 5L), (5L, 6L), (6L, 5L))
+    val got2 = GraphOps.stronglyConnectedComponents(spark,
+      mixed.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got2 should contain allOf ((5L, 5L), (6L, 5L))
+    got2.filter(t => t._1 <= 4L).map(_._2) shouldBe Set(1L, 2L, 3L, 4L)
+  }
 }
