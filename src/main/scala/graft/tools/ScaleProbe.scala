@@ -47,7 +47,10 @@ object ScaleProbe {
       "q_owl_rl", "q_owl_rl_delta", "q_owl_full", "q_owl_full_delta",
       // entity resolution: batch fixpoints + incremental maintenance
       "q_owl_functional", "q_owl_functional_delta",
-      "q_owl_haskey", "q_owl_haskey_delta", "q_sameas_delta")
+      "q_owl_haskey", "q_owl_haskey_delta", "q_sameas_delta",
+      // round-12 second session: the four-source ER capstone, batch
+      // validation, directed components
+      "q_owl_er_full", "q_consistency_delta", "q_scc")
     // per-run Spark JOB counter: driver-latency floors are jobs ×
     // scheduling latency, so a gate whose job count is flat at 10× and
     // whose wall tracks jobs is latency-bound, not data-bound
@@ -70,10 +73,12 @@ object ScaleProbe {
         var rl = 0L
         var fu = 0L
         var fn2 = 0L
+        var scc = 0L
         var jobs = 0L
         for (i <- 1 to repeat) {
           System.gc()
           graft.ops.GraphOps.lastCcRounds.set(0)
+          graft.ops.GraphOps.lastSccRounds.set(0)
           graft.ops.ReasonOps.lastFixpointRounds.set(0)
           graft.ops.ReasonOps.lastFrontierRounds.set(0)
           graft.ops.ReasonOps.lastChainRounds.set(0)
@@ -95,6 +100,7 @@ object ScaleProbe {
             rl = graft.ops.ReasonOps.lastRlRounds.get()
             fu = graft.ops.ReasonOps.lastFullRounds.get()
             fn2 = graft.ops.ReasonOps.lastFunctionalRounds.get()
+            scc = graft.ops.GraphOps.lastSccRounds.get()
           }
           // jobs from the LAST (warm) run: the steady-state floor the
           // repeat-min wall time reflects (cold runs add artifact
@@ -106,7 +112,7 @@ object ScaleProbe {
         println(f"""{"sf":"$sf","gate":"$g","sec":$best%.2f,""" +
           s""""ccRounds":$cc,"fixpointRounds":$fp,"frontierRounds":$fr,""" +
           s""""chainRounds":$ch,"rlRounds":$rl,"fullRounds":$fu,""" +
-          s""""fnRounds":$fn2,"jobs":$jobs}""")
+          s""""fnRounds":$fn2,"sccRounds":$scc,"jobs":$jobs}""")
       }
       // ---- pipeline-family candidate volumes (r10-verdict #7) ----
       // The dedup/ANN 100 TB claims rest on CANDIDATE volume staying
