@@ -1468,6 +1468,49 @@ class ReasonSpec extends SparkSpec {
     qset(m2.current) shouldBe qset(expected)
   }
 
+  "ErMaintainer restart" should "recover from persisted frames + source checkpoint and converge" in {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_er_restart")
+      .toString
+    val srcDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    // composite key (city, code): the base holds the cities, batch 1
+    // brings e1's code (no collision yet), a crash intervenes, batch 2
+    // brings e2's code — the recovered maintainer must complete the
+    // collision ACROSS the crash boundary
+    val base = keyAxiom("Cust", Seq("city", "code")) ++ Seq(
+      ("e1", "a", "Cust"), ("e1", "city", "rome"),
+      ("e2", "a", "Cust"), ("e2", "city", "rome"),
+      ("e2", "name", "beta"))
+    val (rw0, mp0) = ReasonOps.functionalCanonicalize(base.toDF("s", "p", "o"))
+    val schema = rw0.schema
+    def attachStream(m: graft.ops.ErMaintainer) =
+      m.attach(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+        checkpointLocation = Some(ckpt))
+    Seq(("e1", "code", "9")).toDF("s", "p", "o")
+      .write.parquet(s"$srcDir/b1")
+    val m1 = ReasonOps.erMaintainStream(rw0, mp0)
+    val q1 = attachStream(m1)
+    try q1.processAllAvailable() finally q1.stop()
+    // persist BOTH frames, "crash", rebuild from the reopened frames,
+    // re-attach on the SAME checkpoint: only batch 2 replays
+    val (rwP, mpP) = m1.current
+    rwP.write.parquet(s"$tmp/rw"); mpP.write.parquet(s"$tmp/mp")
+    val m2 = ReasonOps.erMaintainStream(
+      spark.read.parquet(s"$tmp/rw"), spark.read.parquet(s"$tmp/mp"))
+    Seq(("e2", "code", "9")).toDF("s", "p", "o")
+      .write.parquet(s"$srcDir/b2")
+    val q2 = attachStream(m2)
+    try q2.processAllAvailable() finally q2.stop()
+    val (rwF, mpF) = ReasonOps.functionalCanonicalize(
+      (base ++ Seq(("e1", "code", "9"), ("e2", "code", "9")))
+        .toDF("s", "p", "o"))
+    val (rw2, mp2) = m2.current
+    tset(rw2) shouldBe tset(rwF)
+    pset(mp2) shouldBe pset(mpF)
+    tset(rw2) should contain (("e1", "name", "beta")) // cross-crash merge
+  }
+
   // ------------------------------------------------------------------
   // owl:propertyChainAxiom (OWL 2 RL prp-spo2)
   // ------------------------------------------------------------------
