@@ -3763,6 +3763,28 @@ object SparkEntry {
       .orderBy("scc")
   }
 
+  /** Weighted shortest paths ([[graft.ops.GraphOps.shortestPaths]]):
+    * within each 8-customer group, step-1 edges cost 2 and step-2
+    * edges cost 3, sources are the group minima — the optimal route
+    * mixes both step sizes (offset o costs 3·⌊o/2⌋ + 2·(o mod 2)), so
+    * a relaxation that settles nodes too early (pure BFS) or ignores
+    * weights breaks the closed-form oracle; the frontier drains in
+    * ≤ 4 hops regardless of customer count. */
+  private def shortestPathsQ(s: SparkSession, d: String): DataFrame = {
+    val cu = t(s, d, "customer").select(col("c_custkey").as("k"))
+    val keys = cu.select(col("k").as("b"))
+    def step(n: Int, wgt: Int) = cu
+      .where(col("k") % 8 < 8 - n)
+      .select(col("k").as("a"), (col("k") + n).as("b"),
+        lit(wgt.toLong).as("w"))
+      .join(keys, Seq("b"), "left_semi")
+      .select("a", "b", "w")
+    val sources = cu.where(col("k") % 8 === 0).select(col("k").as("n"))
+    graft.ops.GraphOps.shortestPaths(
+        step(1, 2).unionAll(step(2, 3)), sources, rounds = 6)
+      .orderBy("node")
+  }
+
   /** Quad-corpus entity resolution
     * ([[ReasonOps.sameAsCanonicalizeQuads]]): identity statements live
     * in their OWN provenance graph (`ids`), the mapping is GLOBAL, and
@@ -5033,6 +5055,7 @@ object SparkEntry {
     "q_consistency_delta" -> (consistencyDeltaQ _),
     "q_owl_er_full" -> (owlErFullQ _),
     "q_scc" -> (sccQ _),
+    "q_shortest_paths" -> (shortestPathsQ _),
     "q_sameas_quads" -> (sameAsQuadsQ _),
     "q_owl_full_sparql" -> (owlFullSparqlQ _),
     "q_owl_haskey" -> (owlHasKeyQ _),
@@ -7482,6 +7505,11 @@ object SparkEntry {
         |       count(*) AS n
         |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_sameas_quads" -> sameAsQuadsOracle,
+    "q_shortest_paths" ->
+      """SELECT c_custkey AS node,
+        |       CAST(3 * floor((c_custkey % 8) / 2)
+        |            + 2 * ((c_custkey % 8) % 2) AS BIGINT) AS dist
+        |FROM customer ORDER BY node""".stripMargin,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,
     "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,

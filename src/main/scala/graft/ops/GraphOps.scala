@@ -467,6 +467,52 @@ object GraphOps {
     pins.seal(dist)
   }
 
+  /** Weighted single-source(-set) shortest paths — the weighted
+    * sibling of [[bfsDistances]]: non-negative edge weights, frontier
+    * relaxation (each round extends only the nodes whose distance just
+    * improved, so settled regions never re-join), exact on any DAG or
+    * graph once the frontier drains (Bellman-Ford convergence; rounds
+    * track the HOP COUNT of the weighted-shortest paths, so bound
+    * `rounds` by the expected path depth like the BFS contract).
+    * `edges` = (src, dst, weight); `sources` = one node column, all at
+    * distance 0. Returns (node, dist) for every reached node — the
+    * same deterministic set-valued shape as BFS, so a SQL oracle
+    * replays it.
+    */
+  def shortestPaths(edges: DataFrame, sources: DataFrame,
+                    rounds: Int): DataFrame = {
+    require(rounds >= 0, "need rounds >= 0")
+    val Seq(ca, cb, cw) = edges.columns.take(3).toSeq
+    val pins = new graft.Pins
+    val e = pins.pin(edges.select(col(ca).as("a"), col(cb).as("b"),
+      col(cw).cast("long").as("w")))
+    var dist = pins.pin(
+      sources.select(col(sources.columns.head).as("node")).distinct()
+        .withColumn("dist", lit(0L)))
+    var frontier = dist
+    var k = 1
+    var drained = false
+    while (k <= rounds && !drained) {
+      val cand = e.join(frontier, e("a") === frontier("node"))
+        .select(e("b").as("node"), (col("dist") + col("w")).as("cd"))
+        .groupBy("node").agg(min(col("cd")).as("cd"))
+      // improved = strictly better than (or absent from) the settled set
+      val improved = pins.pin(
+        cand.join(dist.toDF("node", "old"), Seq("node"), "left")
+          .where(col("old").isNull || col("cd") < col("old"))
+          .select(col("node"), col("cd").as("dist")))
+      if (improved.isEmpty) drained = true
+      else {
+        dist = pins.pin(
+          dist.join(improved.select(col("node")), Seq("node"), "left_anti")
+            .unionAll(improved))
+        frontier = improved
+      }
+      k += 1
+    }
+    pins.seal(dist)
+  }
+
   /** Round count of the most recent [[stronglyConnectedComponents]]
     * call (total min-label propagation rounds across all peeling
     * passes) — scale-evidence telemetry: rounds track SCC diameters

@@ -269,6 +269,28 @@ class GraphOpsSpec extends SparkSpec {
     d shouldBe Map("a" -> 0L, "b" -> 1L, "y" -> 0L, "x" -> 1L)
   }
 
+  "GraphOps.shortestPaths" should "relax weighted paths past cheaper multi-hop routes" in {
+    // the 2-hop route 1->3->2 (1+2=3) beats the direct edge (10); a
+    // frontier that settles node 2 on first touch returns 10
+    val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L))
+    val got = GraphOps.shortestPaths(e.toDF("a", "b", "w"),
+        Seq(1L).toDF("n"), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    got shouldBe Map(1L -> 0L, 3L -> 1L, 2L -> 3L)
+    // rounds bound caps hop depth (not weight): 1 round misses the
+    // improvement through 3
+    val g1 = GraphOps.shortestPaths(e.toDF("a", "b", "w"),
+        Seq(1L).toDF("n"), rounds = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    g1 shouldBe Map(1L -> 0L, 2L -> 10L, 3L -> 1L)
+    // multi-source takes the minimum; unreachable nodes stay absent
+    val e2 = Seq((1L, 2L, 5L), (9L, 2L, 1L), (7L, 8L, 1L))
+    val ms = GraphOps.shortestPaths(e2.toDF("a", "b", "w"),
+        Seq(1L, 9L).toDF("n"), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    ms shouldBe Map(1L -> 0L, 9L -> 0L, 2L -> 1L)
+  }
+
   "GraphOps.stronglyConnectedComponents" should "peel a deep chain-of-cycles condensation" in {
     // 10 directed 4-rings bridged one-way ring(g) -> ring(g+1): a
     // 10-level condensation DAG — each peeling pass must determine at
