@@ -7508,7 +7508,7 @@ object SparkEntry {
     "q_shortest_paths" ->
       """SELECT c_custkey AS node,
         |       CAST(3 * floor((c_custkey % 8) / 2)
-        |            + 2 * ((c_custkey % 8) % 2) AS BIGINT) AS dist
+        |            + 2 * ((c_custkey % 8) % 2) AS DOUBLE) AS dist
         |FROM customer ORDER BY node""".stripMargin,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,

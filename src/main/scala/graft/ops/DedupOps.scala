@@ -61,6 +61,15 @@ object DedupOps {
     * [[minhashPairs]] pointer, `"lsh"` auto-routes to
     * [[minhashPairsOver]] (banded LSH — near-linear candidates, recall
     * < 1 by design), `"proceed"` runs the exact join anyway.
+    *
+    * NOTE (behavior change vs pre-guard releases): the default
+    * `"fail"` makes previously-working exact calls on self-similar
+    * corpora at low thresholds throw, and the probe makes the formerly
+    * lazy API eager (a count + one aggregate job per call). Callers
+    * who want the old lazy, job-free composition back set the session
+    * conf `spark.graft.dedup.prefixGuard=off` (or pass
+    * `onDegenerate = "proceed"` per call) — both skip the probe
+    * entirely and accept the documented low-threshold degeneracy.
     */
   def ngramPairs(docs: DataFrame, threshold: Double, n: Int = 3,
                  budgetPerDoc: Option[Double] = None,
@@ -79,8 +88,10 @@ object DedupOps {
                      onDegenerate: String = "fail"): DataFrame = {
     require(Set("fail", "lsh", "proceed")(onDegenerate),
       s"onDegenerate must be fail|lsh|proceed (got $onDegenerate)")
+    val guardOn = g.sparkSession.conf
+      .get("spark.graft.dedup.prefixGuard", "on") != "off"
     val prefix = prefixIndex(g, threshold, dfTable)
-    if (onDegenerate != "proceed") {
+    if (onDegenerate != "proceed" && guardOn) {
       val perDoc = budgetPerDoc.getOrElse(
         g.sparkSession.conf
           .get("spark.graft.dedup.prefixBudgetPerDoc", "8.0").toDouble)

@@ -467,17 +467,33 @@ object GraphOps {
     pins.seal(dist)
   }
 
+  /** Round count of the most recent [[shortestPaths]] call (relaxation
+    * rounds actually executed) and whether its frontier DRAINED before
+    * the `rounds` bound: an undrained frontier leaves OVERESTIMATED —
+    * not just missing — distances for nodes whose cheapest route has
+    * more hops than `rounds`, so callers who can't bound path depth
+    * must check [[lastShortestPathsDrained]] after the call. */
+  private[graft] val lastShortestPathsRounds =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val lastShortestPathsDrained =
+    new java.util.concurrent.atomic.AtomicBoolean(true)
+
   /** Weighted single-source(-set) shortest paths — the weighted
-    * sibling of [[bfsDistances]]: non-negative edge weights, frontier
-    * relaxation (each round extends only the nodes whose distance just
-    * improved, so settled regions never re-join), exact on any DAG or
-    * graph once the frontier drains (Bellman-Ford convergence; rounds
-    * track the HOP COUNT of the weighted-shortest paths, so bound
-    * `rounds` by the expected path depth like the BFS contract).
-    * `edges` = (src, dst, weight); `sources` = one node column, all at
-    * distance 0. Returns (node, dist) for every reached node — the
-    * same deterministic set-valued shape as BFS, so a SQL oracle
-    * replays it.
+    * sibling of [[bfsDistances]]: non-negative edge weights (ENFORCED
+    * loudly — a negative weight breaks frontier relaxation silently),
+    * frontier relaxation (each round extends only the nodes whose
+    * distance just improved, so settled regions never re-join), exact
+    * on any DAG or graph once the frontier drains (Bellman-Ford
+    * convergence; rounds track the HOP COUNT of the weighted-shortest
+    * paths, so bound `rounds` by the expected path depth like the BFS
+    * contract). If the bound hits before the frontier drains, PRESENT
+    * rows may carry overestimates — check
+    * [[lastShortestPathsDrained]]. `edges` = (src, dst, weight) with
+    * any numeric weight (computed in double, so fractional weights are
+    * exact, not truncated); `sources` = one node column, all at
+    * distance 0. Returns (node, dist: double) for every reached
+    * node — the same deterministic set-valued shape as BFS, so a SQL
+    * oracle replays it.
     */
   def shortestPaths(edges: DataFrame, sources: DataFrame,
                     rounds: Int): DataFrame = {
@@ -485,10 +501,18 @@ object GraphOps {
     val Seq(ca, cb, cw) = edges.columns.take(3).toSeq
     val pins = new graft.Pins
     val e = pins.pin(edges.select(col(ca).as("a"), col(cb).as("b"),
-      col(cw).cast("long").as("w")))
+      col(cw).cast("double").as("w")))
+    // one one-row aggregate job over the pinned edges: the
+    // non-negativity contract is load-bearing (frontier relaxation
+    // assumes settled regions never improve), so violate it loudly
+    val minW = e.agg(min(col("w"))).collect()(0)
+    require(minW.isNullAt(0) || minW.getDouble(0) >= 0.0,
+      "shortestPaths requires non-negative edge weights (found " +
+        (if (minW.isNullAt(0)) "null" else minW.getDouble(0).toString) +
+        ")")
     var dist = pins.pin(
       sources.select(col(sources.columns.head).as("node")).distinct()
-        .withColumn("dist", lit(0L)))
+        .withColumn("dist", lit(0.0)))
     var frontier = dist
     var k = 1
     var drained = false
@@ -510,6 +534,8 @@ object GraphOps {
       }
       k += 1
     }
+    lastShortestPathsRounds.set(k - 1L)
+    lastShortestPathsDrained.set(drained)
     pins.seal(dist)
   }
 

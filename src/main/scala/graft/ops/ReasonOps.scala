@@ -3625,14 +3625,30 @@ object ReasonOps {
         .select(out("functional-conflict", col("s"), col("p"), col("o"),
           gsel): _*)
     }
-    // cls-maxc / cls-maxqc: Δ-touched members (new edge or new
-    // membership) re-checked against the bound over their full slice
+    // cls-maxc / cls-maxqc: Δ-touched members (new edge, new
+    // membership, or — qualified case — a held VALUE the batch newly
+    // types into the qualifying class, which makes existing edges
+    // start counting toward the bound) re-checked over their full
+    // slice
     def cardDeltaLeg(kind: String, r: Any, pp: Any, bound: Int,
                      qual: Option[Any]): DataFrame = {
+      val newQualHolders = qual.fold(
+        dn.limit(0).select(col("s") +: gsel: _*)) { c2 =>
+        val dq = dTypes.where(col("o") === c2)
+          .select(col("s").as("__q") +:
+            (if (hasGraph) Seq(col("g").as("__qg")) else Nil): _*)
+          .distinct()
+        all.where(col("p") === pp)
+          .join(broadcast(dq),
+            (Seq(col("o") === col("__q")) ++ gEq("__q")).reduce(_ && _),
+            "left_semi")
+          .select(col("s") +: gsel: _*)
+      }
       val touched = dn.where(col("p") === pp)
         .select(col("s") +: gsel: _*)
         .unionAll(dTypes.where(col("o") === r)
           .select(col("s") +: gsel: _*))
+        .unionAll(newQualHolders)
         .distinct()
         .select(col("s").as("__t") +:
           (if (hasGraph) Seq(col("g").as("__tg")) else Nil): _*)

@@ -89,6 +89,14 @@ class DedupSpec extends SparkSpec {
         onDegenerate = "proceed")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     exact should contain ((61L, 62L))
+    // session-conf opt-out: prefixGuard=off restores the pre-guard
+    // lazy composition (no probe jobs, no throw) for exact-path callers
+    spark.conf.set("spark.graft.dedup.prefixGuard", "off")
+    try {
+      val off = DedupOps.ngramPairsOver(g, threshold = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      off should contain ((61L, 62L))
+    } finally spark.conf.unset("spark.graft.dedup.prefixGuard")
   }
 
   it should "keep exact recall through the prefix filter" in {

@@ -275,20 +275,41 @@ class GraphOpsSpec extends SparkSpec {
     val e = Seq((1L, 2L, 10L), (1L, 3L, 1L), (3L, 2L, 2L))
     val got = GraphOps.shortestPaths(e.toDF("a", "b", "w"),
         Seq(1L).toDF("n"), rounds = 5)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    got shouldBe Map(1L -> 0L, 3L -> 1L, 2L -> 3L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got shouldBe Map(1L -> 0.0, 3L -> 1.0, 2L -> 3.0)
+    GraphOps.lastShortestPathsDrained.get() shouldBe true
     // rounds bound caps hop depth (not weight): 1 round misses the
-    // improvement through 3
+    // improvement through 3 — present rows are OVERESTIMATES and the
+    // drained telemetry says so
     val g1 = GraphOps.shortestPaths(e.toDF("a", "b", "w"),
         Seq(1L).toDF("n"), rounds = 1)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    g1 shouldBe Map(1L -> 0L, 2L -> 10L, 3L -> 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    g1 shouldBe Map(1L -> 0.0, 2L -> 10.0, 3L -> 1.0)
+    GraphOps.lastShortestPathsDrained.get() shouldBe false
+    GraphOps.lastShortestPathsRounds.get() shouldBe 1L
     // multi-source takes the minimum; unreachable nodes stay absent
     val e2 = Seq((1L, 2L, 5L), (9L, 2L, 1L), (7L, 8L, 1L))
     val ms = GraphOps.shortestPaths(e2.toDF("a", "b", "w"),
         Seq(1L, 9L).toDF("n"), rounds = 5)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    ms shouldBe Map(1L -> 0L, 9L -> 0L, 2L -> 1L)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ms shouldBe Map(1L -> 0.0, 9L -> 0.0, 2L -> 1.0)
+  }
+
+  it should "keep fractional weights exact and reject negative weights loudly" in {
+    // fractional weights must not truncate: 0.5 + 0.25 = 0.75 beats
+    // the direct 1.0 edge (a long cast would read both as 0 resp. 1)
+    val e = Seq((1L, 2L, 1.0), (1L, 3L, 0.5), (3L, 2L, 0.25))
+    val got = GraphOps.shortestPaths(e.toDF("a", "b", "w"),
+        Seq(1L).toDF("n"), rounds = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    got shouldBe Map(1L -> 0.0, 3L -> 0.5, 2L -> 0.75)
+    // negative weights break frontier relaxation — loud, not silent
+    val neg = Seq((1L, 2L, 1.0), (2L, 3L, -0.5))
+    val ex = intercept[IllegalArgumentException] {
+      GraphOps.shortestPaths(neg.toDF("a", "b", "w"),
+        Seq(1L).toDF("n"), rounds = 5)
+    }
+    ex.getMessage should include("non-negative")
   }
 
   "GraphOps.stronglyConnectedComponents" should "peel a deep chain-of-cycles condensation" in {

@@ -2480,6 +2480,48 @@ class ReasonSpec extends SparkSpec {
       .getMessage should include ("consistencyReport")
   }
 
+  it should "catch a cls-maxqc violation completed by a newly-qualified VALUE" in {
+    import graft.ops.ReasonOps._
+    // the batch never touches the member m directly — it only types a
+    // VALUE m already holds into the qualifying class, which makes
+    // m's second edge start counting toward the bound; touched must
+    // include holders of newly-qualified values or the violation is
+    // silently dropped (the documented identity below breaks)
+    val base = Seq(
+      ("OneCar", OnProperty, "owns"), ("OneCar", OnClass, "Car"),
+      ("OneCar", MaxQualifiedCardinality, "1"),
+      ("m", "a", "OneCar"),
+      ("m", "owns", "v1"), ("m", "owns", "v2"),
+      ("v1", "a", "Car")).toDF("s", "p", "o")
+    val delta = Seq(("v2", "a", "Car")).toDF("s", "p", "o")
+    val got = vset(ReasonOps.consistencyDelta(base, delta))
+    got shouldBe Set(
+      ("cls-maxqc", "m", "owns", "v1"),
+      ("cls-maxqc", "m", "owns", "v2"))
+    // identity on a violation-free corpus:
+    // consistencyDelta(c, d) == consistencyReport(c ∪ d)
+    got shouldBe vset(ReasonOps.consistencyReport(base.unionAll(delta)))
+    // and the quad form confines the qualification to its graph: the
+    // v2 typing lands in g2, so m's g1 slice stays under the bound
+    val baseQ = Seq(
+      ("OneCar", OnProperty, "owns", "g1"),
+      ("OneCar", OnClass, "Car", "g1"),
+      ("OneCar", MaxQualifiedCardinality, "1", "g1"),
+      ("m", "a", "OneCar", "g1"),
+      ("m", "owns", "v1", "g1"), ("m", "owns", "v2", "g1"),
+      ("v1", "a", "Car", "g1")).toDF("s", "p", "o", "g")
+    val tbox = Seq(
+      ("OneCar", OnProperty, "owns"), ("OneCar", OnClass, "Car"),
+      ("OneCar", MaxQualifiedCardinality, "1")).toDF("s", "p", "o")
+    ReasonOps.consistencyDeltaQuads(baseQ,
+      Seq(("v2", "a", "Car", "g2")).toDF("s", "p", "o", "g"),
+      tbox).isEmpty shouldBe true
+    ReasonOps.consistencyDeltaQuads(baseQ,
+        Seq(("v2", "a", "Car", "g1")).toDF("s", "p", "o", "g"), tbox)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(4)))
+      .toSet shouldBe Set(("cls-maxqc", "m", "g1"))
+  }
+
   it should "confine batch checks per graph on quads" in {
     import graft.ops.ReasonOps._
     val tbox = Seq(("Person", DisjointWith, "Company"))
