@@ -3941,6 +3941,72 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** Entity-resolution RETRACTION ([[ReasonOps.erRetract]]): the base
+    * corpus merges every third customer with a `dup:` twin (inverse-
+    * functional email) and every fourth with an `alt:` geo record
+    * (composite hasKey on city+zip), reaches a canonicalized fixpoint
+    * as session artifacts, then a deletion batch retracts the ifp edge
+    * for every SIXTH customer and one key row for every EIGHTH —
+    * dissolving exactly those merges while the others survive. The
+    * group-scoped un-merge must equal from-scratch canonicalization of
+    * the post-delete corpus, which the ORACLE replays in closed form:
+    * survived merges dedup their twin rows, dissolved ones reappear
+    * under their own names, and the mapping census counts 2 rows per
+    * surviving group only.
+    */
+  private def erRetractQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val ck = concat(lit("customer:"), col("c_custkey"))
+    val dupk = cu.where(col("c_custkey") % 3 === 0)
+    val geok = cu.where(col("c_custkey") % 4 === 0)
+    def lab(pfx: String) = concat(lit(pfx), col("c_custkey"))
+    val base = cu.select(ck.as("s"), lit("email").as("p"),
+        lab("em:").as("o"))
+      .unionAll(dupk.select(lab("dup:").as("s"), lit("email").as("p"),
+        lab("em:").as("o")))
+      .unionAll(dupk.select(lab("dup:").as("s"), lit("phone").as("p"),
+        lab("ph:").as("o")))
+      .unionAll(geok.select(lab("geo:").as("s"), lit("a").as("p"),
+        lit("Geo").as("o")))
+      .unionAll(geok.select(lab("alt:").as("s"), lit("a").as("p"),
+        lit("Geo").as("o")))
+      .unionAll(geok.select(lab("geo:").as("s"), lit("city").as("p"),
+        lab("city:").as("o")))
+      .unionAll(geok.select(lab("alt:").as("s"), lit("city").as("p"),
+        lab("city:").as("o")))
+      .unionAll(geok.select(lab("geo:").as("s"), lit("zip").as("p"),
+        lab("zip:").as("o")))
+      .unionAll(geok.select(lab("alt:").as("s"), lit("zip").as("p"),
+        lab("zip:").as("o")))
+      .unionAll(geok.select(lab("alt:").as("s"), lit("note").as("p"),
+        lab("nt:").as("o")))
+      .unionAll(s.createDataFrame(Seq(
+        ("email", "a", ReasonOps.InverseFunctionalProperty),
+        ("Geo", ReasonOps.HasKey, "_:k0"),
+        ("_:k0", ReasonOps.RdfFirst, "city"),
+        ("_:k0", ReasonOps.RdfRest, "_:k1"),
+        ("_:k1", ReasonOps.RdfFirst, "zip"),
+        ("_:k1", ReasonOps.RdfRest, ReasonOps.RdfNil)))
+        .toDF("s", "p", "o"))
+    val rewritten = GraftStore.reasonArtifact(s, d, "er_retract_base_rw") {
+      ReasonOps.functionalCanonicalize(base)._1
+    }
+    val mapping = GraftStore.reasonArtifact(s, d, "er_retract_base_map") {
+      ReasonOps.functionalCanonicalize(base)._2
+    }
+    val dels = cu.where(col("c_custkey") % 6 === 0)
+      .select(lab("dup:").as("s"), lit("email").as("p"), lab("em:").as("o"))
+      .unionAll(cu.where(col("c_custkey") % 8 === 0)
+        .select(lab("geo:").as("s"), lit("zip").as("p"), lab("zip:").as("o")))
+    val (rw, mp) = ReasonOps.erRetract(base, dels, rewritten, mapping)
+    rw.unionAll(mp.select(col("member").as("s"), lit("__maps_to").as("p"),
+        col("canon").as("o")))
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p")
+  }
+
   /** Incremental maintenance: the store splits into a base (everything
     * but customers) materialized with rdfsClosure and a customer DELTA
     * maintained with the O(|delta|) rdfsDelta path — while the ORACLE is
@@ -5063,6 +5129,7 @@ object SparkEntry {
     "q_owl_boolean" -> (owlBooleanQ _),
     "q_owl_functional" -> (owlFunctionalQ _),
     "q_owl_functional_delta" -> (owlFunctionalDeltaQ _),
+    "q_er_retract" -> (erRetractQ _),
     "q_sameas_delta" -> (sameAsDeltaQ _),
     "q_owl_delta" -> (owlDeltaQ _),
     "q_owl_delta_del" -> (owlDeltaDelQ _),
@@ -7513,6 +7580,32 @@ object SparkEntry {
     "q_owl_full_sparql" -> owlFullSparqlOracle,
     "q_owl_haskey" -> owlHasKeyOracle,
     "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,
+    // ER retraction: closed-form replay of from-scratch
+    // canonicalization on the post-delete corpus — surviving merges
+    // (dup twins off the 6-grid, geo twins off the 8-grid) dedup their
+    // rows and keep 2 mapping rows each; dissolved merges reappear
+    // under their own names (the 'a'/'city' censuses gain one row per
+    // dissolved geo pair)
+    "q_er_retract" ->
+      """WITH c AS (SELECT count(*) AS nc,
+        |                  count(*) FILTER (WHERE c_custkey % 3 = 0) AS n3,
+        |                  count(*) FILTER (WHERE c_custkey % 4 = 0) AS n4,
+        |                  count(*) FILTER (WHERE c_custkey % 6 = 0) AS n6,
+        |                  count(*) FILTER (WHERE c_custkey % 8 = 0) AS n8
+        |           FROM customer)
+        |SELECT * FROM (
+        |  SELECT '__maps_to' AS p, 2*(n3-n6) + 2*(n4-n8) AS n,
+        |         2*(n3-n6) + 2*(n4-n8) AS ns FROM c
+        |  UNION ALL SELECT 'a', n4 + n8 + 1, n4 + n8 + 1 FROM c
+        |  UNION ALL SELECT 'city', n4 + n8, n4 + n8 FROM c
+        |  UNION ALL SELECT 'email', nc, nc FROM c
+        |  UNION ALL SELECT 'note', n4, n4 FROM c
+        |  UNION ALL SELECT 'owl:hasKey', 1, 1 FROM c
+        |  UNION ALL SELECT 'phone', n3, n3 FROM c
+        |  UNION ALL SELECT 'rdf:first', 2, 2 FROM c
+        |  UNION ALL SELECT 'rdf:rest', 2, 2 FROM c
+        |  UNION ALL SELECT 'zip', n4, n4 FROM c
+        |) ORDER BY p""".stripMargin,
     "q_owl_boolean" -> owlBooleanOracle,
     // functional-property ER: expected post-fixpoint counts derived
     // straight from the construction (every third customer gains a

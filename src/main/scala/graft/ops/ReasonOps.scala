@@ -5001,45 +5001,56 @@ object ReasonOps {
     functionalCanonicalizeCore(encTriples, encErVoc(ids), tboxCap,
       maxRounds)
 
-  private def functionalCanonicalizeCore(triples: DataFrame, voc: ErVoc,
-                                         tboxCap: Int, maxRounds: Int)
-      : (DataFrame, DataFrame) = {
-    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
-    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
-      .localCheckpoint(true)
-    val (fps, ifps) = functionalDecls(t, voc, tboxCap)
-    val keys = hasKeyDecls(t, voc, tboxCap)
-    val (maxcR, maxqcR) = erCardDecls(t, voc, tboxCap)
+  /** The identity-evidence filter of an ER vocabulary given collected
+    * declarations: declared-property rows plus key/restriction/
+    * qualifying class memberships — collisions can't appear anywhere
+    * else. None when the corpus declares nothing (empty slice). */
+  private def erEvidenceCond(fps: Seq[Any], ifps: Seq[Any],
+                             keys: Seq[(Any, Seq[Any])],
+                             maxcR: Seq[(Any, Any, Int)],
+                             maxqcR: Seq[(Any, Any, Any, Int)],
+                             voc: ErVoc)
+      : Option[org.apache.spark.sql.Column] = {
     val keyProps = keys.flatMap(_._2).distinct
     val keyClasses = keys.map(_._1).distinct
     val cardProps = (maxcR.map(_._2) ++ maxqcR.map(_._2)).distinct
     val memberClasses = (keyClasses ++ maxcR.map(_._1) ++
       maxqcR.map(_._1) ++ maxqcR.map(_._3)).distinct
     val hasCard = maxcR.nonEmpty || maxqcR.nonEmpty
-    val tySeq: Seq[Any] = voc.ty
     val declPreds = (fps ++ ifps ++ keyProps ++ cardProps).distinct
-    // the fixpoint only ever touches the DECLARED properties' slice
-    // (plus the key/restriction/qualifying classes' membership rows) —
-    // collisions can't appear anywhere else — so each round
-    // re-canonicalizes the slice, never the corpus; the full corpus is
-    // rewritten exactly ONCE at the end through the final mapping
-    val keyMemberCond =
-      if (memberClasses.isEmpty) lit(false)
-      else col("p").isin(tySeq: _*) && col("o").isin(memberClasses: _*)
-    val slice =
-      if (declPreds.isEmpty && keys.isEmpty && !hasCard) t.limit(0)
-      else t.where((if (declPreds.isEmpty) lit(false)
-          else col("p").isin(declPreds: _*)) || keyMemberCond)
-        .localCheckpoint(true)
-    val sp0 = t.where(col("p") === voc.sameAs)
-      .select(col("s").as("a"), col("o").as("b"))
+    if (declPreds.isEmpty && keys.isEmpty && !hasCard) None
+    else {
+      val keyMemberCond =
+        if (memberClasses.isEmpty) lit(false)
+        else col("p").isin(voc.ty: _*) && col("o").isin(memberClasses: _*)
+      Some((if (declPreds.isEmpty) lit(false)
+        else col("p").isin(declPreds: _*)) || keyMemberCond)
+    }
+  }
+
+  /** The merge-cascade fixpoint over an identity-evidence slice:
+    * derive star pairs (fp/ifp, hasKey, bound-one cardinality) over the
+    * canonicalized slice, accumulate, re-derive the mapping from ALL
+    * pairs (CC unions chains across rounds, so the final mapping needs
+    * no cross-round composition), repeat until no new pair. Shared by
+    * [[functionalCanonicalize]] (build) and [[erRetract]] (delete-side
+    * re-resolution over the post-delete slice).
+    */
+  private def erFixpointMapping(slice: DataFrame, sp0: DataFrame,
+                                fps: Seq[Any], ifps: Seq[Any],
+                                keys: Seq[(Any, Seq[Any])],
+                                maxcR: Seq[(Any, Any, Int)],
+                                maxqcR: Seq[(Any, Any, Any, Int)],
+                                voc: ErVoc, maxRounds: Int): DataFrame = {
+    val hasCard = maxcR.nonEmpty || maxqcR.nonEmpty
+    val tySeq: Seq[Any] = voc.ty
     // explicit identities participate from round 0; when there are none
     // (the common pure-ER corpus) skip their CC entirely
     var all: Option[DataFrame] =
       if (sp0.isEmpty) None
       else Some(graft.Pins.checkpointLazy(sp0.distinct()))
     def emptyMapping: DataFrame =
-      t.select(col("s").as("member"), col("s").as("canon")).limit(0)
+      slice.select(col("s").as("member"), col("s").as("canon")).limit(0)
     // the per-round canonicalized slice is read by EVERY family's
     // derivation legs (fp/ifp star, hasKey tuple assembly, cardinality
     // groups — each 2+ passes), so it pins per round: one
@@ -5076,6 +5087,30 @@ object ReasonOps {
       }
     }
     lastFunctionalRounds.set(round)
+    mapping
+  }
+
+  private def functionalCanonicalizeCore(triples: DataFrame, voc: ErVoc,
+                                         tboxCap: Int, maxRounds: Int)
+      : (DataFrame, DataFrame) = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
+      .localCheckpoint(true)
+    val (fps, ifps) = functionalDecls(t, voc, tboxCap)
+    val keys = hasKeyDecls(t, voc, tboxCap)
+    val (maxcR, maxqcR) = erCardDecls(t, voc, tboxCap)
+    // the fixpoint only ever touches the DECLARED properties' slice
+    // (plus the key/restriction/qualifying classes' membership rows) —
+    // collisions can't appear anywhere else — so each round
+    // re-canonicalizes the slice, never the corpus; the full corpus is
+    // rewritten exactly ONCE at the end through the final mapping
+    val slice = erEvidenceCond(fps, ifps, keys, maxcR, maxqcR, voc)
+      .fold(t.limit(0))(c => t.where(c))
+      .localCheckpoint(true)
+    val sp0 = t.where(col("p") === voc.sameAs)
+      .select(col("s").as("a"), col("o").as("b"))
+    val mapping = erFixpointMapping(slice, sp0, fps, ifps, keys, maxcR,
+      maxqcR, voc, maxRounds)
     (applyMapping(t.where(col("p") =!= voc.sameAs), mapping), mapping)
   }
 
@@ -5167,6 +5202,178 @@ object ReasonOps {
     new ErMaintainer(rewritten, mapping,
       (r, m, b) => functionalDeltaEncoded(r, m, b, ids, tboxCap,
         deltaCap = deltaCap))
+
+  /** Touched-group count of the most recent [[erRetract]] (old canons
+    * whose merge groups the deletion dissolved or whose rows the patch
+    * rebuilt) — scale-evidence telemetry: the corpus-side patch cost
+    * tracks this, not corpus size. */
+  private[graft] val lastErRetractTouched =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Entity-resolution RETRACTION (un-merge) — the delete-side twin of
+    * [[functionalDelta]], closing the identity family's lifecycle:
+    * remove a batch of source rows (a retracted `owl:sameAs` edge, a
+    * corrected key value, an erased record) from a corpus whose
+    * maintained state is a [[functionalCanonicalize]] fixpoint, and
+    * return the state the from-scratch canonicalization of the
+    * post-delete corpus would produce — WITHOUT re-rewriting the
+    * corpus.
+    *
+    * Deletion is MONOTONE for identity: every ER rule (fp/ifp star,
+    * prp-key, bound-one cardinality, explicit sameAs) derives
+    * identities from rows positively, so removing rows can only remove
+    * derivable identities — the new merge groups REFINE the old ones
+    * (groups split, never grow or jump members across groups). That
+    * property makes a group-scoped patch exact:
+    *   1. re-derive the member → canonical mapping from the
+    *      POST-DELETE identity-evidence slice (the declared
+    *      properties' rows + key/restriction-class memberships —
+    *      slice-sized by the ER contract, zero corpus shuffles; the
+    *      same fixpoint [[functionalCanonicalize]] runs at build);
+    *   2. diff the two mappings: the touched old canons are those of
+    *      members whose canonical id changed, plus those of the
+    *      deleted rows' endpoints (their image rows must re-derive
+    *      support even when no group splits);
+    *   3. patch the maintained corpus: drop every row naming a
+    *      touched canon (two broadcast anti-joins — the corpus
+    *      streams), and rebuild exactly the post-delete source rows
+    *      naming a touched group's member through the new mapping.
+    *      Rows naming only untouched canons are INVARIANT (their
+    *      endpoints' mappings are unchanged by the refinement
+    *      property), so the 100 TB side pays only the touched-group
+    *      fan-in ([[lastErRetractTouched]]).
+    * The un-merge CASCADES exactly: a dissolved canon that had been
+    * feeding a downstream collision (e.g. a subject split that
+    * separates two account values previously unioned under one
+    * max-cardinality-1 holder) splits that downstream merge too,
+    * because the re-derived fixpoint never sees the dissolved
+    * evidence. `original` is the pre-canonicalization SOURCE corpus
+    * (the caller's durable input, including its sameAs rows and the
+    * rows being deleted) — the rewrite is not invertible, so deletions
+    * are defined against source rows. Deleting ER-vocabulary
+    * DECLARATIONS (a functional/hasKey/cardinality axiom or key-list
+    * cell) fails fast: schema changes invalidate merges corpus-wide →
+    * re-run [[functionalCanonicalize]]. Identity:
+    * `erRetract(orig, Δ⁻, functionalCanonicalize(orig)...) ==
+    *  functionalCanonicalize(orig ∖ Δ⁻)` (set-equality on both
+    * frames). The mapping re-derivation is slice-sized, not Δ-sized —
+    * a strictly Δ-scoped fixpoint needs per-group pair provenance
+    * (recorded as the next refinement); the corpus-side patch, the
+    * part that scales with data, IS Δ-group-scoped.
+    */
+  def erRetract(original: DataFrame, deletions: DataFrame,
+                rewritten: DataFrame, mapping: DataFrame,
+                typePred: String = "a", tboxCap: Int = 1 << 20,
+                maxRounds: Int = 8, deltaCap: Option[Long] = None)
+      : (DataFrame, DataFrame) =
+    erRetractCore(original, deletions, rewritten, mapping,
+      stringErVoc(typePred), tboxCap, maxRounds, deltaCap)
+
+  /** [[erRetract]] over ENCODED (long-id) relations. */
+  def erRetractEncoded(original: DataFrame, deletions: DataFrame,
+                       rewritten: DataFrame, mapping: DataFrame,
+                       ids: ErIds, tboxCap: Int = 1 << 20,
+                       maxRounds: Int = 8, deltaCap: Option[Long] = None)
+      : (DataFrame, DataFrame) =
+    erRetractCore(original, deletions, rewritten, mapping,
+      encErVoc(ids), tboxCap, maxRounds, deltaCap)
+
+  private def erRetractCore(original: DataFrame, deletions: DataFrame,
+                            rewritten: DataFrame, mapping: DataFrame,
+                            voc: ErVoc, tboxCap: Int, maxRounds: Int,
+                            deltaCap: Option[Long])
+      : (DataFrame, DataFrame) = {
+    val remat = "functionalCanonicalize"
+    val Seq(cs, cp, co) = original.columns.take(3).toSeq
+    val t = original.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val Seq(es, ep, eo) = deletions.columns.take(3).toSeq
+    val dd = pinCapped(
+      deletions.select(col(es).as("s"), col(ep).as("p"),
+        col(eo).as("o")).distinct(),
+      deltaCap, "ER retraction batch", remat)
+    // schema guard: deleting a declaration changes merge semantics
+    // corpus-wide — no group-scoped patch is sound
+    val charObjs = (voc.fp ++ voc.ifp).toSeq
+    val schemaPreds = (voc.hk ++ voc.first ++ voc.rest ++ voc.maxc ++
+      voc.maxqc ++ voc.onp ++ voc.onc).toSeq
+    val declCond =
+      (if (schemaPreds.isEmpty) lit(false)
+       else col("p").isin(schemaPreds: _*)) ||
+        (if (charObjs.isEmpty) lit(false)
+         else col("p").isin(voc.ty: _*) && col("o").isin(charObjs: _*))
+    require(dd.where(declCond).isEmpty,
+      "retraction batch deletes ER-vocabulary declarations (a " +
+        "functional/hasKey/cardinality axiom or key-list cell) - " +
+        "schema changes invalidate merges corpus-wide; re-run " +
+        s"$remat on the post-delete corpus")
+    // declarations are unchanged by the guard, so collect from the
+    // original corpus
+    val (fps, ifps) = functionalDecls(t, voc, tboxCap)
+    val keys = hasKeyDecls(t, voc, tboxCap)
+    val (maxcR, maxqcR) = erCardDecls(t, voc, tboxCap)
+    def antiDd(df: DataFrame): DataFrame =
+      df.join(broadcast(dd.toDF("__xs", "__xp", "__xo")),
+        col("s") === col("__xs") && col("p") === col("__xp") &&
+          col("o") === col("__xo"), "left_anti")
+    // post-delete evidence slice + explicit identities (slice-sized;
+    // the corpus itself never materializes on this path)
+    val slice2 = erEvidenceCond(fps, ifps, keys, maxcR, maxqcR, voc)
+      .fold(t.limit(0))(c => antiDd(t.where(c)))
+      .localCheckpoint(true)
+    val sp02 = antiDd(t.where(col("p") === voc.sameAs))
+      .select(col("s").as("a"), col("o").as("b"))
+    val m2 = erFixpointMapping(slice2, sp02, fps, ifps, keys, maxcR,
+      maxqcR, voc, maxRounds)
+    // mapping diff (absent member = identity): members whose canon
+    // changed name the groups that split; both frames are slice-sized
+    val mcols = mapping.columns.take(2).toSeq
+    val mOld = mapping.select(col(mcols(0)).as("member"),
+      col(mcols(1)).as("c_old"))
+    val diff = mOld
+      .join(m2.select(col("member"), col("canon").as("c_new")),
+        Seq("member"), "full_outer")
+      .where(!(coalesce(col("c_old"), col("member")) <=>
+        coalesce(col("c_new"), col("member"))))
+    val ddEnds = dd.select(col("s").as("member"))
+      .unionAll(dd.select(col("o").as("member"))).distinct()
+    val ddOld = ddEnds.join(mOld, Seq("member"), "left")
+      .select(coalesce(col("c_old"), col("member")).as("c"))
+    val patchOld = pinCapped(
+      diff.select(coalesce(col("c_old"), col("member")).as("c"))
+        .unionAll(ddOld).distinct(),
+      deltaCap, "retraction-touched canons", remat)
+    lastErRetractTouched.set(patchOld.count())
+    // full membership of the touched groups under the OLD grouping
+    // (the mapping carries root rows, so canons are covered; unmapped
+    // deletion endpoints union in as their own groups)
+    val members = pinCapped(
+      mOld.join(broadcast(patchOld.toDF("__c")),
+          col("c_old") === col("__c"), "left_semi")
+        .select(col("member"))
+        .unionAll(patchOld.toDF("member"))
+        .distinct(),
+      deltaCap, "retraction-touched members", remat)
+    // patch: drop every maintained row naming a touched canon (the
+    // corpus streams through two broadcast antis), rebuild from the
+    // post-delete source rows naming a touched member
+    val Seq(rs, rp, ro) = rewritten.columns.take(3).toSeq
+    val rw = rewritten.select(col(rs).as("s"), col(rp).as("p"),
+      col(ro).as("o"))
+    val kept = rw
+      .join(broadcast(patchOld.toDF("__c1")), col("s") === col("__c1"),
+        "left_anti")
+      .join(broadcast(patchOld.toDF("__c2")), col("o") === col("__c2"),
+        "left_anti")
+    val touchedRows = antiDd(
+      t.join(broadcast(members.toDF("__m1")), col("s") === col("__m1"),
+          "left_semi")
+        .unionAll(t.join(broadcast(members.toDF("__m2")),
+          col("o") === col("__m2"), "left_semi")))
+    val replacement =
+      applyMapping(touchedRows.where(col("p") =!= voc.sameAs), m2)
+    (kept.unionAll(replacement), m2)
+  }
 
   /** The Δ-scoped cardinality derivation for [[functionalDelta]]:
     * star pairs over exactly the restriction groups whose MEMBER the
@@ -5421,6 +5628,16 @@ object ReasonOps {
   * `spark.graft.stream.retireDepth`; recover by persisting both frames
   * and re-attaching with a `checkpointLocation` — [[ReasonOps.functionalDelta]]
   * updates are idempotent on a state that already holds a batch).
+  *
+  * INSERT-ONLY: the stream folds NEW evidence in; it has no delete
+  * path, and sending a "tombstone" batch through [[update]] would be
+  * silently wrong (the delta function treats every row as an
+  * assertion). Retracting identity evidence — an erased record, a
+  * corrected key — is a batch operation against the SOURCE corpus:
+  * stop the stream, run [[ReasonOps.erRetract]] (group-scoped
+  * un-merge; needs the pre-canonicalization source rows, which the
+  * maintainer does not hold), and rebuild the maintainer from the
+  * returned state.
   */
 final class ErMaintainer private[ops] (
     rw0: org.apache.spark.sql.DataFrame,

@@ -1401,6 +1401,148 @@ class ReasonSpec extends SparkSpec {
     e.getMessage should include("re-canonicalization")
   }
 
+  "ReasonOps.erRetract" should "un-merge exactly the groups a deletion touches" in {
+    import ReasonOps._
+    // two independent merge families (an ifp collision and a composite
+    // hasKey collision) plus one untouched ifp group; the deletion
+    // removes one ifp edge and one key row — both merges must
+    // dissolve, the untouched group must survive the patch intact
+    val base = Seq(
+      ("email", "a", InverseFunctionalProperty),
+      ("ssn", "a", InverseFunctionalProperty),
+      ("Person", HasKey, "_:k0"),
+      ("_:k0", RdfFirst, "city"), ("_:k0", RdfRest, "_:k1"),
+      ("_:k1", RdfFirst, "zip"), ("_:k1", RdfRest, RdfNil),
+      ("cust", "email", "e"), ("dup", "email", "e"),
+      ("cust", "name", "alice"), ("dup", "phone", "123"),
+      ("p1", "a", "Person"), ("p2", "a", "Person"),
+      ("p1", "city", "berlin"), ("p1", "zip", "10117"),
+      ("p2", "city", "berlin"), ("p2", "zip", "10117"),
+      ("p2", "note", "x"),
+      ("a1", "ssn", "s7"), ("a2", "ssn", "s7"),
+      ("a1", "plan", "gold")).toDF("s", "p", "o")
+    val dels = Seq(
+      ("dup", "email", "e"),
+      ("p2", "zip", "10117")).toDF("s", "p", "o")
+    val (rw, mp) = ReasonOps.functionalCanonicalize(base)
+    // sanity: both merges landed at build
+    pset(mp) should contain allOf (("dup", "cust"), ("p2", "p1"))
+    val (rw2, mp2) = ReasonOps.erRetract(base, dels,
+      rw.localCheckpoint(true), mp.localCheckpoint(true))
+    val post = base.join(dels.toDF("s", "p", "o"),
+      Seq("s", "p", "o"), "left_anti")
+    val (rb, mb) = ReasonOps.functionalCanonicalize(post)
+    tset(rw2) shouldBe tset(rb)
+    pset(mp2) shouldBe pset(mb)
+    // the un-merged facts came back under their own names; the
+    // untouched a1/a2 group stayed merged (a2's row still rewrites
+    // to the surviving canon a1)
+    tset(rw2) should contain allOf (("dup", "phone", "123"),
+      ("p2", "note", "x"), ("a1", "ssn", "s7"))
+    tset(rw2) should not contain (("a2", "ssn", "s7"))
+    pset(mp2) should contain (("a2", "a1"))
+    pset(mp2) should contain noneOf (("dup", "cust"), ("p2", "p1"))
+  }
+
+  it should "cascade a dissolved canon into a downstream cardinality un-merge" in {
+    import ReasonOps._
+    // x≡y via the inverse-functional ssn; the MERGED subject is a Lim
+    // member holding both accounts under the bound-one restriction, so
+    // a1≡a2 derives DOWNSTREAM. Deleting y's ssn edge splits x/y —
+    // y's account row leaves x's value set, so the a1/a2 merge must
+    // dissolve too (only x is a Lim member)
+    val base = Seq(
+      ("ssn", "a", InverseFunctionalProperty),
+      ("Lim", OnProperty, "acct"), ("Lim", MaxCardinality, "1"),
+      ("x", "ssn", "S"), ("y", "ssn", "S"),
+      ("x", "a", "Lim"),
+      ("x", "acct", "a1"), ("y", "acct", "a2"),
+      ("a1", "owner", "bank1"), ("a2", "owner", "bank2"))
+      .toDF("s", "p", "o")
+    val (rw, mp) = ReasonOps.functionalCanonicalize(base)
+    pset(mp) should contain allOf (("y", "x"), ("a2", "a1"))
+    val dels = Seq(("y", "ssn", "S")).toDF("s", "p", "o")
+    val (rw2, mp2) = ReasonOps.erRetract(base, dels,
+      rw.localCheckpoint(true), mp.localCheckpoint(true))
+    val (rb, mb) = ReasonOps.functionalCanonicalize(
+      base.join(dels.toDF("s", "p", "o"), Seq("s", "p", "o"), "left_anti"))
+    tset(rw2) shouldBe tset(rb)
+    pset(mp2) shouldBe pset(mb)
+    mp2.isEmpty shouldBe true // every merge dissolved
+    tset(rw2) should contain allOf (("y", "acct", "a2"),
+      ("a2", "owner", "bank2"))
+  }
+
+  it should "retract explicit sameAs evidence and leave replays exact" in {
+    import ReasonOps._
+    val base = Seq(
+      ("alias", SameAs, "cust"),
+      ("alias", "zip", "10117"), ("cust", "name", "alice"),
+      ("email", "a", InverseFunctionalProperty),
+      ("u1", "email", "e"), ("u2", "email", "e")).toDF("s", "p", "o")
+    val (rw, mp) = ReasonOps.functionalCanonicalize(base)
+    val dels = Seq(("alias", SameAs, "cust")).toDF("s", "p", "o")
+    val (rw2, mp2) = ReasonOps.erRetract(base, dels,
+      rw.localCheckpoint(true), mp.localCheckpoint(true))
+    val (rb, mb) = ReasonOps.functionalCanonicalize(
+      base.join(dels.toDF("s", "p", "o"), Seq("s", "p", "o"), "left_anti"))
+    tset(rw2) shouldBe tset(rb)
+    pset(mp2) shouldBe pset(mb)
+    tset(rw2) should contain (("alias", "zip", "10117"))
+    // only the alias/cust group was touched — the u1/u2 merge's canon
+    // never entered the patch set
+    ReasonOps.lastErRetractTouched.get() should be <= 3L
+    // deleting a row that dissolves nothing (one of two supports
+    // remains conceptually absent here: an untouched fact) leaves the
+    // state equal to from-scratch as well
+    val dels2 = Seq(("cust", "name", "alice")).toDF("s", "p", "o")
+    val (rw3, mp3) = ReasonOps.erRetract(base, dels2,
+      rw.localCheckpoint(true), mp.localCheckpoint(true))
+    val (rb3, mb3) = ReasonOps.functionalCanonicalize(
+      base.join(dels2.toDF("s", "p", "o"), Seq("s", "p", "o"), "left_anti"))
+    tset(rw3) shouldBe tset(rb3)
+    pset(mp3) shouldBe pset(mb3)
+  }
+
+  it should "fail fast on schema deletions and run on encoded ids" in {
+    import ReasonOps._
+    val base = Seq(
+      ("email", "a", InverseFunctionalProperty),
+      ("cust", "email", "e"), ("dup", "email", "e")).toDF("s", "p", "o")
+    val (rw, mp) = ReasonOps.functionalCanonicalize(base)
+    val e = intercept[IllegalArgumentException] {
+      ReasonOps.erRetract(base,
+        Seq(("email", "a", InverseFunctionalProperty)).toDF("s", "p", "o"),
+        rw, mp)
+    }
+    e.getMessage should include("functionalCanonicalize")
+    // encoded twin: ids as in the encoded-ER spec; delete the 101 ssn
+    // edge — the 100/101 merge and its downstream 800/801 value merge
+    // both dissolve, matching from-scratch
+    val ids = ReasonOps.ErIds(typePred = 2L, sameAs = 50L,
+      functionalProperty = Some(52L), inverseFunctionalProperty = Some(51L),
+      hasKey = Some(53L), listFirst = Some(54L), listRest = Some(55L),
+      listNil = Some(56L))
+    val eb = Seq(
+      (60L, 2L, 51L), (61L, 2L, 52L),
+      (100L, 60L, 900L), (101L, 60L, 900L),
+      (100L, 61L, 800L), (101L, 61L, 801L),
+      (102L, 61L, 801L)).toDF("s", "p", "o")
+    val (erw, emp) = ReasonOps.functionalCanonicalizeEncoded(eb, ids)
+    val edels = Seq((101L, 60L, 900L)).toDF("s", "p", "o")
+    val (erw2, emp2) = ReasonOps.erRetractEncoded(eb, edels,
+      erw.localCheckpoint(true), emp.localCheckpoint(true), ids)
+    val (erb, emb) = ReasonOps.functionalCanonicalizeEncoded(
+      eb.join(edels.toDF("s", "p", "o"), Seq("s", "p", "o"), "left_anti"),
+      ids)
+    erw2.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSet shouldBe
+      erb.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSet
+    emp2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet shouldBe
+      emb.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  }
+
   "encoded streaming maintainers" should "maintain encoded closures batch-for-batch" in {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
