@@ -3581,6 +3581,84 @@ object SparkEntry {
       .orderBy("kind")
   }
 
+  /** DELETE-SIDE consistency maintenance
+    * ([[ReasonOps.consistencyRetract]]): the base corpus VIOLATES every
+    * family on a modular grid (disjoint classes at k%4, asymmetric
+    * pairs at k%6, functional conflicts at k%5, disjoint properties at
+    * k%7, irreflexive self-edges at k%9, a bound-1 cardinality
+    * restriction with THREE accounts at k%10), the maintained report
+    * materializes as a session artifact, then a deletion batch clears
+    * one premise on the doubled grid of each family — and for
+    * cardinality only drops the group from 3 to 2 values, so those
+    * groups must KEEP their surviving rows (partial-group survival).
+    * The retract-maintained report must hash-equal the from-scratch
+    * report of the post-delete corpus, which the oracle states in
+    * closed form.
+    */
+  private def consistencyDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val ck1 = concat(lit("customer:"), k + 1)
+    val tbox = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("parentCo", "a", AsymmetricProperty),
+      ("email", "a", FunctionalProperty),
+      ("likes", PropertyDisjointWith, "dislikes"),
+      ("follows", "a", IrreflexiveProperty),
+      ("OneAcct", OnProperty, "acct"),
+      ("OneAcct", MaxCardinality, "1"))
+    val base = cu.select(ck.as("s"), lit("a").as("p"),
+        lit("Person").as("o"))
+      .unionAll(cu.where(k % 4 === 0).select(ck.as("s"), lit("a").as("p"),
+        lit("Company").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("parentCo").as("p"), ck1.as("o")))
+      .unionAll(cu.where(k % 6 === 0).select(ck1.as("s"),
+        lit("parentCo").as("p"), ck.as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("email").as("p"),
+        concat(lit("m1:"), k).as("o")))
+      .unionAll(cu.where(k % 5 === 0).select(ck.as("s"),
+        lit("email").as("p"), concat(lit("m2:"), k).as("o")))
+      .unionAll(cu.where(k % 7 === 0).select(ck.as("s"),
+        lit("likes").as("p"), concat(lit("item:"), k).as("o")))
+      .unionAll(cu.where(k % 7 === 0).select(ck.as("s"),
+        lit("dislikes").as("p"), concat(lit("item:"), k).as("o")))
+      .unionAll(cu.where(k % 9 === 0).select(ck.as("s"),
+        lit("follows").as("p"), ck.as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("a").as("p"),
+        lit("OneAcct").as("o")))
+      .unionAll(cu.select(ck.as("s"), lit("acct").as("p"),
+        concat(lit("am:"), k).as("o")))
+      .unionAll(cu.where(k % 10 === 0).select(ck.as("s"),
+        lit("acct").as("p"), concat(lit("an:"), k).as("o")))
+      .unionAll(cu.where(k % 10 === 0).select(ck.as("s"),
+        lit("acct").as("p"), concat(lit("ao:"), k).as("o")))
+      .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
+      .localCheckpoint(true)
+    val report = GraftStore.reasonArtifact(s, d, "cons_del_report") {
+      ReasonOps.consistencyReport(base)
+    }
+    val dels = cu.where(k % 8 === 0).select(ck.as("s"), lit("a").as("p"),
+        lit("Company").as("o"))
+      .unionAll(cu.where(k % 12 === 0).select(ck1.as("s"),
+        lit("parentCo").as("p"), ck.as("o")))
+      .unionAll(cu.where(k % 15 === 0).select(ck.as("s"),
+        lit("email").as("p"), concat(lit("m2:"), k).as("o")))
+      .unionAll(cu.where(k % 14 === 0).select(ck.as("s"),
+        lit("dislikes").as("p"), concat(lit("item:"), k).as("o")))
+      .unionAll(cu.where(k % 18 === 0).select(ck.as("s"),
+        lit("follows").as("p"), ck.as("o")))
+      .unionAll(cu.where(k % 20 === 0).select(ck.as("s"),
+        lit("acct").as("p"), concat(lit("an:"), k).as("o")))
+    ReasonOps.consistencyRetract(base, report, dels)
+      .groupBy("kind")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("kind")
+  }
+
   /** Cardinality-driven entity resolution
     * ([[ReasonOps.cardinalityIdentityPairs]] through
     * [[ReasonOps.identityMapping]] + [[ReasonOps.applyMapping]]): the
@@ -5119,6 +5197,7 @@ object SparkEntry {
     "q_consistency2" -> (consistency2Q _),
     "q_owl_cardinality" -> (owlCardinalityQ _),
     "q_consistency_delta" -> (consistencyDeltaQ _),
+    "q_consistency_del" -> (consistencyDelQ _),
     "q_owl_er_full" -> (owlErFullQ _),
     "q_scc" -> (sccQ _),
     "q_shortest_paths" -> (shortestPathsQ _),
@@ -7566,6 +7645,48 @@ object SparkEntry {
     "q_consistency2" -> consistency2Oracle,
     "q_owl_cardinality" -> owlCardinalityOracle,
     "q_consistency_delta" -> consistencyDeltaOracle,
+    // delete-side maintenance: the surviving violation set in closed
+    // form — each family keeps its grid minus the deleted sub-grid;
+    // cardinality groups keep both surviving rows (3 → 2 stays over
+    // the bound)
+    "q_consistency_del" ->
+      """WITH v AS (
+        |  SELECT 'cax-dw' AS kind, 'customer:'||c_custkey AS s,
+        |         'Person' AS p, 'Company' AS o
+        |  FROM customer WHERE c_custkey % 4 = 0 AND c_custkey % 8 <> 0
+        |  UNION ALL SELECT 'prp-asyp', 'customer:'||c_custkey,
+        |         'parentCo', 'customer:'||(c_custkey+1)
+        |  FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 12 <> 0
+        |  UNION ALL SELECT 'prp-asyp', 'customer:'||(c_custkey+1),
+        |         'parentCo', 'customer:'||c_custkey
+        |  FROM customer WHERE c_custkey % 6 = 0 AND c_custkey % 12 <> 0
+        |  UNION ALL SELECT 'functional-conflict',
+        |         'customer:'||c_custkey, 'email', 'm1:'||c_custkey
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 15 <> 0
+        |  UNION ALL SELECT 'functional-conflict',
+        |         'customer:'||c_custkey, 'email', 'm2:'||c_custkey
+        |  FROM customer WHERE c_custkey % 5 = 0 AND c_custkey % 15 <> 0
+        |  UNION ALL SELECT 'prp-pdw', 'customer:'||c_custkey, 'likes',
+        |         'item:'||c_custkey
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 14 <> 0
+        |  UNION ALL SELECT 'prp-pdw', 'customer:'||c_custkey,
+        |         'dislikes', 'item:'||c_custkey
+        |  FROM customer WHERE c_custkey % 7 = 0 AND c_custkey % 14 <> 0
+        |  UNION ALL SELECT 'prp-irp', 'customer:'||c_custkey, 'follows',
+        |         'customer:'||c_custkey
+        |  FROM customer WHERE c_custkey % 9 = 0 AND c_custkey % 18 <> 0
+        |  UNION ALL SELECT 'cls-maxc', 'customer:'||c_custkey, 'acct',
+        |         'am:'||c_custkey
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |  UNION ALL SELECT 'cls-maxc', 'customer:'||c_custkey, 'acct',
+        |         'an:'||c_custkey
+        |  FROM customer WHERE c_custkey % 10 = 0 AND c_custkey % 20 <> 0
+        |  UNION ALL SELECT 'cls-maxc', 'customer:'||c_custkey, 'acct',
+        |         'ao:'||c_custkey
+        |  FROM customer WHERE c_custkey % 10 = 0)
+        |SELECT kind, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM v GROUP BY kind ORDER BY kind""".stripMargin,
     "q_owl_er_full" -> owlErFullOracle,
     "q_scc" ->
       """SELECT CAST(4 * floor(c_custkey / 4) AS BIGINT) AS scc,

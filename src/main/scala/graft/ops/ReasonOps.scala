@@ -3694,6 +3694,362 @@ object ReasonOps {
     (empty +: legs.toSeq).reduce(_.unionAll(_)).distinct()
   }
 
+  /** DELETE-SIDE incremental consistency maintenance — the retraction
+    * twin of [[consistencyDelta]], closing the validation lifecycle: a
+    * batch of row DELETIONS against a corpus whose maintained
+    * violation report is `report == consistencyReport(corpus)` returns
+    * the report of the post-delete corpus at Δ cost. Every violation
+    * family is premise-POSITIVE (a violation needs its premise rows
+    * present), so deletions only CLEAR violations, never create them —
+    * the maintained report is patched group-scoped: per family, the
+    * rows whose violation GROUP the deletion touches are stripped
+    * (broadcast anti-joins on Δ-derived keys — the report streams) and
+    * exactly those groups re-validate over the post-delete corpus
+    * (broadcast semi-joins — the corpus streams, never shuffles).
+    * Grouped families (`functional-conflict`, `cls-maxc`,
+    * `cls-maxqc`) re-check the whole touched group: a group that stays
+    * over-bound keeps its surviving rows, one that drops under the
+    * bound clears entirely; the qualified-cardinality leg also touches
+    * holders of a VALUE whose qualifying-class typing the batch
+    * deletes (existing edges stop counting toward the bound).
+    * Single-premise families (`prp-npa`, `prp-irp`, `eq-diff1`,
+    * `cls-oo`) strip exactly the deleted rows' violations.
+    * Declarations in the deletion batch fail fast (schema change →
+    * re-run [[consistencyReport]]); `eq-diff2` rows are schema-derived
+    * and therefore untouched by data deletions. Identity:
+    * `consistencyRetract(c, consistencyReport(c), Δ⁻) ==
+    *  consistencyReport(c ∖ Δ⁻)`.
+    */
+  def consistencyRetract(corpus: DataFrame, report: DataFrame,
+                         deletions: DataFrame, typePred: String = "a",
+                         tboxCap: Int = 1 << 20,
+                         deltaCap: Option[Long] = None): DataFrame = {
+    val Seq(cs, cp, co) = corpus.columns.take(3).toSeq
+    val c = corpus.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    consistencyRetractCore(c, report, deletions, c,
+      stringCheckVoc(typePred), hasGraph = false, tboxCap, deltaCap)
+  }
+
+  /** [[consistencyRetract]] over ENCODED (long-id) relations. */
+  def consistencyRetractEncoded(corpus: DataFrame, report: DataFrame,
+                                deletions: DataFrame, ids: CheckIds,
+                                tboxCap: Int = 1 << 20,
+                                deltaCap: Option[Long] = None): DataFrame = {
+    val Seq(cs, cp, co) = corpus.columns.take(3).toSeq
+    val c = corpus.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    consistencyRetractCore(c, report, deletions, c, encCheckVoc(ids),
+      hasGraph = false, tboxCap, deltaCap)
+  }
+
+  /** [[consistencyRetract]] over a NAMED-GRAPH quad dataset — per-graph
+    * maintenance; declarations from the global `tboxSource`. */
+  def consistencyRetractQuads(quads: DataFrame, report: DataFrame,
+                              deletions: DataFrame, tboxSource: DataFrame,
+                              typePred: String = "a",
+                              tboxCap: Int = 1 << 20,
+                              deltaCap: Option[Long] = None): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    consistencyRetractCore(q, report, deletions, tboxSource,
+      stringCheckVoc(typePred), hasGraph = true, tboxCap, deltaCap)
+  }
+
+  /** [[consistencyRetractQuads]] over ENCODED (long-id) quads. */
+  def consistencyRetractQuadsEncoded(quads: DataFrame, report: DataFrame,
+                                     deletions: DataFrame,
+                                     tboxSource: DataFrame, ids: CheckIds,
+                                     tboxCap: Int = 1 << 20,
+                                     deltaCap: Option[Long] = None)
+      : DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    consistencyRetractCore(q, report, deletions, tboxSource,
+      encCheckVoc(ids), hasGraph = true, tboxCap, deltaCap)
+  }
+
+  private def consistencyRetractCore(corpus: DataFrame, report: DataFrame,
+                                     deletions: DataFrame,
+                                     declSource: DataFrame, voc: CheckVoc,
+                                     hasGraph: Boolean, tboxCap: Int,
+                                     deltaCap: Option[Long]): DataFrame = {
+    val width = if (hasGraph) 4 else 3
+    val names = Seq("s", "p", "o", "g").take(width)
+    def norm(df: DataFrame): DataFrame =
+      df.select(df.columns.take(width).toSeq.zip(names)
+        .map { case (c2, n) => col(c2).as(n) }: _*)
+    val gsel = if (hasGraph) Seq(col("g")) else Nil
+    def gEq(pfx: String) =
+      if (hasGraph) Seq(col("g") <=> col(pfx + "g")) else Nil
+    def gg(pfx: String) =
+      if (hasGraph) Seq(col("g").as(pfx + "g")) else Nil
+    val t = norm(corpus)
+    val dd = pinCapped(norm(deletions).distinct(), deltaCap,
+      "consistency retraction batch", "consistencyReport")
+    // schema guard — identical vocabulary condition to the insert path
+    val schemaPreds: Seq[Any] =
+      (voc.dw ++ voc.pdw ++ voc.maxc ++ voc.maxqc ++
+        voc.onp ++ voc.onc ++ voc.oneOf ++ voc.comp ++ voc.members ++
+        voc.dmembers ++ voc.first ++ voc.rest ++ voc.npaSrc ++
+        voc.npaProp ++ voc.npaTgt ++ voc.npaVal).toSeq
+    val charObjs: Seq[Any] =
+      (voc.irr ++ voc.asy ++ voc.fp ++ voc.adcCls ++ voc.adiffCls ++
+        voc.adpCls).toSeq
+    val declCond =
+      (if (schemaPreds.isEmpty) lit(false)
+       else col("p").isin(schemaPreds: _*)) ||
+        (if (charObjs.isEmpty) lit(false)
+         else col("p").isin(voc.ty.toSeq: _*) &&
+           col("o").isin(charObjs: _*))
+    require(dd.where(declCond).isEmpty,
+      "retraction batch deletes consistency-vocabulary declarations - " +
+        "schema changes require a full consistencyReport, not " +
+        "incremental maintenance")
+    val decls = declSource
+      .select(col(declSource.columns.head).as("s"),
+        col(declSource.columns(1)).as("p"),
+        col(declSource.columns(2)).as("o"))
+      .where(declCond)
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    require(decls.length <= tboxCap,
+      s"consistency declarations exceed $tboxCap — not schema-shaped")
+    val dwPairs = decls.collect {
+      case (a, p, b) if voc.dw(p) => ("cax-dw", a, b) }.distinct.toSeq
+    val adcNodes = decls.collect {
+      case (n, _, o) if voc.adcCls(o) => n }.toSet
+    val adcPairs = walkRdfLists(decls, voc.members, voc.first, voc.rest,
+        voc.nil, "owl:members")
+      .filter(l => adcNodes(l._1))
+      .flatMap { case (_, cs2) =>
+        for (i <- cs2.indices; j <- i + 1 until cs2.length)
+          yield ("cax-adc", cs2(i), cs2(j))
+      }.distinct
+    val compPairs = decls.collect {
+      case (a, p, b) if voc.comp(p) => ("cls-com", a, b) }.distinct.toSeq
+    val pdwPairs = decls.collect {
+      case (a, p, b) if voc.pdw(p) => (a, b) }
+      .flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct.toSeq
+    val adpNodes = decls.collect {
+      case (n, _, o) if voc.adpCls(o) => n }.toSet
+    val adpPairs = walkRdfLists(decls, voc.members, voc.first, voc.rest,
+        voc.nil, "owl:members")
+      .filter(l => adpNodes(l._1))
+      .flatMap { case (_, ps) =>
+        for (i <- ps.indices; j <- ps.indices if i != j)
+          yield (ps(i), ps(j))
+      }.distinct
+    val irrProps = decls.collect {
+      case (p, _, o) if voc.irr(o) => p }.distinct.toSeq
+    val asyProps = decls.collect {
+      case (p, _, o) if voc.asy(o) => p }.distinct.toSeq
+    val fpProps = decls.collect {
+      case (p, _, o) if voc.fp(o) => p }.distinct.toSeq
+    val (maxcRestr, maxqcRestr) = cardRestrOf(decls, voc)
+    val oneOfLists = walkRdfLists(decls, voc.oneOf, voc.first, voc.rest,
+      voc.nil, "owl:oneOf")
+    val tyCond = col("p").isin(voc.ty.toSeq: _*)
+    // post-delete corpus (the deletion broadcast-antis; the corpus
+    // only ever streams through per-family scoped legs)
+    val t2 = t.join(broadcast(dd.select(
+        names.map(n => col(n).as("__x" + n)): _*)),
+      names.map(n => col(n) === col("__x" + n)).reduce(_ && _),
+      "left_anti")
+    val types2 = t2.where(tyCond)
+    val dTypes = dd.where(tyCond)
+    val rnames = Seq("kind", "s", "p", "o", "g").take(width + 1)
+    var kept = report.select(report.columns.take(width + 1).toSeq
+      .zip(rnames).map { case (c2, n) => col(c2).as(n) }: _*)
+    def out(kind: String, s: org.apache.spark.sql.Column,
+            p: org.apache.spark.sql.Column, o: org.apache.spark.sql.Column,
+            g: Seq[org.apache.spark.sql.Column]): Seq[org.apache.spark.sql.Column] =
+      Seq(lit(kind).as("kind"), s.as("s"), p.as("p"), o.as("o")) ++ g
+    val adds = scala.collection.mutable.ListBuffer[DataFrame]()
+    // two-premise class families: strip touched members' rows of the
+    // pair, re-add those still in both classes post-delete
+    (dwPairs ++ adcPairs ++ compPairs).foreach { case (kind, c1, c2) =>
+      val tm = dTypes.where(col("o") === c1 || col("o") === c2)
+        .select(col("s").as("__t") +: gg("__t"): _*).distinct()
+      kept = kept.join(broadcast(tm),
+        (Seq(col("kind") === kind, col("s") === col("__t"),
+          col("p") === lit(c1), col("o") === lit(c2)) ++ gEq("__t"))
+          .reduce(_ && _), "left_anti")
+      val m2 = types2.where(col("o") === c2)
+        .select(col("s").as("__m") +: gg("__m"): _*)
+      adds += types2.where(col("o") === c1)
+        .join(broadcast(tm),
+          (Seq(col("s") === col("__t")) ++ gEq("__t")).reduce(_ && _),
+          "left_semi")
+        .join(m2,
+          (Seq(col("s") === col("__m")) ++ gEq("__m")).reduce(_ && _),
+          "left_semi")
+        .select(out(kind, col("s"), lit(c1), lit(c2), gsel): _*)
+    }
+    // prp-pdw / prp-adp: strip the touched (s, o) pairs' p1-direction
+    // rows, re-add pairs still under both properties
+    def pdwRetract(kind: String, p1: Any, p2: Any): Unit = {
+      val probe = dd.where(col("p") === p1 || col("p") === p2)
+        .select(Seq(col("s").as("__ds"), col("o").as("__do")) ++
+          gg("__d"): _*).distinct()
+      kept = kept.join(broadcast(probe),
+        (Seq(col("kind") === kind, col("p") === lit(p1),
+          col("s") === col("__ds"), col("o") === col("__do")) ++
+          gEq("__d")).reduce(_ && _), "left_anti")
+      val e2 = t2.where(col("p") === p2)
+        .select(Seq(col("s").as("__2s"), col("o").as("__2o")) ++
+          gg("__2"): _*)
+      adds += t2.where(col("p") === p1)
+        .join(broadcast(probe),
+          (Seq(col("s") === col("__ds"), col("o") === col("__do")) ++
+            gEq("__d")).reduce(_ && _), "left_semi")
+        .join(e2,
+          (Seq(col("s") === col("__2s"), col("o") === col("__2o")) ++
+            gEq("__2")).reduce(_ && _), "left_semi")
+        .select(out(kind, col("s"), lit(p1), col("o"), gsel): _*)
+    }
+    pdwPairs.foreach { case (p1, p2) => pdwRetract("prp-pdw", p1, p2) }
+    adpPairs.foreach { case (p1, p2) => pdwRetract("prp-adp", p1, p2) }
+    // single-premise families: the deleted rows' own violations strip;
+    // nothing re-derives (surviving rows were never touched)
+    kept = kept.join(broadcast(dd.select(
+        Seq(col("s").as("__rs"), col("p").as("__rp"),
+          col("o").as("__ro")) ++ gg("__r"): _*)),
+      (Seq(col("kind").isin("prp-npa", "prp-irp", "eq-diff1"),
+        col("s") === col("__rs"), col("p") === col("__rp"),
+        col("o") === col("__ro")) ++ gEq("__r")).reduce(_ && _),
+      "left_anti")
+    // prp-asyp: both orientations of a deleted edge's pair strip; a
+    // pair whose reverse survives re-adds its remaining direction(s)
+    asyProps.foreach { pp =>
+      val pr0 = dd.where(col("p") === pp)
+      val probe = pr0.select(Seq(col("s").as("__as"),
+          col("o").as("__ao")) ++ gg("__a"): _*)
+        .unionAll(pr0.select(Seq(col("o").as("__as"),
+          col("s").as("__ao")) ++ gg("__a"): _*))
+        .distinct()
+      kept = kept.join(broadcast(probe),
+        (Seq(col("kind") === "prp-asyp", col("p") === lit(pp),
+          col("s") === col("__as"), col("o") === col("__ao")) ++
+          gEq("__a")).reduce(_ && _), "left_anti")
+      val rev = t2.where(col("p") === pp)
+        .select(Seq(col("o").as("__vs"), col("s").as("__vo")) ++
+          gg("__v"): _*)
+      adds += t2.where(col("p") === pp)
+        .join(broadcast(probe),
+          (Seq(col("s") === col("__as"), col("o") === col("__ao")) ++
+            gEq("__a")).reduce(_ && _), "left_semi")
+        .join(rev,
+          (Seq(col("s") === col("__vs"), col("o") === col("__vo")) ++
+            gEq("__v")).reduce(_ && _), "left_semi")
+        .select(out("prp-asyp", col("s"), col("p"), col("o"), gsel): _*)
+    }
+    // functional-conflict: the deleted rows' (s, p) groups re-check —
+    // still-conflicting groups keep their surviving rows
+    if (fpProps.nonEmpty) {
+      val keysP = dd.where(col("p").isin(fpProps: _*))
+        .select(Seq(col("s").as("__ks"), col("p").as("__kp")) ++
+          gg("__k"): _*).distinct()
+      kept = kept.join(broadcast(keysP),
+        (Seq(col("kind") === "functional-conflict",
+          col("s") === col("__ks"), col("p") === col("__kp")) ++
+          gEq("__k")).reduce(_ && _), "left_anti")
+      val slice = t2.where(col("p").isin(fpProps: _*))
+        .join(broadcast(keysP),
+          (Seq(col("s") === col("__ks"), col("p") === col("__kp")) ++
+            gEq("__k")).reduce(_ && _), "left_semi")
+      val gcols = Seq(col("s"), col("p")) ++ gsel
+      val multi = slice.groupBy(gcols: _*)
+        .agg(countDistinct(col("o")).as("__n"))
+        .where(col("__n") >= 2)
+        .select(Seq(col("s").as("__fs"), col("p").as("__fp")) ++
+          gg("__f"): _*)
+      adds += slice.join(broadcast(multi),
+          (Seq(col("s") === col("__fs"), col("p") === col("__fp")) ++
+            gEq("__f")).reduce(_ && _), "left_semi")
+        .select(out("functional-conflict", col("s"), col("p"), col("o"),
+          gsel): _*)
+    }
+    // cls-maxc / cls-maxqc: touched members (deleted edge, deleted
+    // membership, or — qualified — holders of a value whose qualifying
+    // typing was deleted) re-check against the bound; restrictions
+    // sharing (kind, property) scope together because their report
+    // rows are indistinguishable
+    def cardRetract(kind: String, pp: Any,
+                    rs: Seq[(Any, Option[Any], Int)]): Unit = {
+      val tms = rs.map { case (r, qual, _) =>
+        val direct = dd.where(col("p") === pp)
+          .select(col("s") +: gsel: _*)
+          .unionAll(dTypes.where(col("o") === r)
+            .select(col("s") +: gsel: _*))
+        qual.fold(direct) { c2 =>
+          val dq = dTypes.where(col("o") === c2)
+            .select(col("s").as("__q") +: gg("__q"): _*).distinct()
+          // holders fetched from the ORIGINAL corpus: a holder whose
+          // own edge was deleted in the same batch still re-checks
+          direct.unionAll(t.where(col("p") === pp)
+            .join(broadcast(dq),
+              (Seq(col("o") === col("__q")) ++ gEq("__q")).reduce(_ && _),
+              "left_semi")
+            .select(col("s") +: gsel: _*))
+        }
+      }
+      val tm = tms.reduce(_.unionAll(_)).distinct()
+        .select(col("s").as("__t") +: gg("__t"): _*)
+      kept = kept.join(broadcast(tm),
+        (Seq(col("kind") === kind, col("p") === lit(pp),
+          col("s") === col("__t")) ++ gEq("__t")).reduce(_ && _),
+        "left_anti")
+      rs.foreach { case (r, qual, bound) =>
+        val mem = types2.where(col("o") === r)
+          .join(broadcast(tm),
+            (Seq(col("s") === col("__t")) ++ gEq("__t")).reduce(_ && _),
+            "left_semi")
+          .select(col("s").as("__m") +: gg("__m"): _*)
+        val slice0 = t2.where(col("p") === pp)
+          .join(broadcast(mem),
+            (Seq(col("s") === col("__m")) ++ gEq("__m")).reduce(_ && _),
+            "left_semi")
+        val slice = qual.fold(slice0) { c2 =>
+          val vt = types2.where(col("o") === c2)
+            .select(col("s").as("__v") +: gg("__v"): _*)
+          slice0.join(vt,
+            (Seq(col("o") === col("__v")) ++ gEq("__v")).reduce(_ && _),
+            "left_semi")
+        }
+        val over = slice.groupBy(col("s") +: gsel: _*)
+          .agg(countDistinct(col("o")).as("__n"))
+          .where(col("__n") > bound)
+          .select(col("s").as("__os") +: gg("__o"): _*)
+        adds += slice.join(broadcast(over),
+            (Seq(col("s") === col("__os")) ++ gEq("__o")).reduce(_ && _),
+            "left_semi")
+          .select(out(kind, col("s"), col("p"), col("o"), gsel): _*)
+      }
+    }
+    maxcRestr.groupBy(_._2).toSeq.sortBy(_._1.toString).foreach {
+      case (pp, rs) =>
+        cardRetract("cls-maxc", pp,
+          rs.map(x => (x._1, Option.empty[Any], x._3))) }
+    maxqcRestr.groupBy(_._2).toSeq.sortBy(_._1.toString).foreach {
+      case (pp, rs) =>
+        cardRetract("cls-maxqc", pp,
+          rs.map(x => (x._1, Option[Any](x._3), x._4))) }
+    // cls-oo: a deleted membership clears its violation; members the
+    // batch does not touch keep theirs
+    oneOfLists.foreach { case (c2, _) =>
+      val tm = dTypes.where(col("o") === c2)
+        .select(col("s").as("__t") +: gg("__t"): _*).distinct()
+      kept = kept.join(broadcast(tm),
+        (Seq(col("kind") === "cls-oo", col("p") === lit(c2),
+          col("s") === col("__t")) ++ gEq("__t")).reduce(_ && _),
+        "left_anti")
+    }
+    (kept +: adds.toSeq).reduce(_.unionAll(_)).distinct()
+  }
+
   private def consistencyCore(triples: DataFrame, voc: CheckVoc,
                               hasGraph: Boolean, tboxCap: Int): DataFrame = {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq

@@ -2677,6 +2677,103 @@ class ReasonSpec extends SparkSpec {
     got shouldBe Set(("cax-dw", "x1", "g1"))
   }
 
+  "ReasonOps.consistencyRetract" should "clear exactly the violations a deletion touches" in {
+    import graft.ops.ReasonOps._
+    val tbox = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("parentCo", "a", AsymmetricProperty),
+      ("email", "a", FunctionalProperty),
+      ("Lim", OnProperty, "phone"), ("Lim", MaxCardinality, "1"))
+    val abox = Seq(
+      // cax-dw on two members; the batch deletes one side of x1's only
+      ("x1", "a", "Person"), ("x1", "a", "Company"),
+      ("z1", "a", "Person"), ("z1", "a", "Company"),
+      // prp-asyp pair — the batch deletes the reverse edge
+      ("u", "parentCo", "v"), ("v", "parentCo", "u"),
+      // functional: x1 holds 3 emails (delete one → STILL conflicts on
+      // the surviving two); y1 holds 2 (delete one → clears)
+      ("x1", "email", "m1"), ("x1", "email", "m2"), ("x1", "email", "m3"),
+      ("y1", "email", "n1"), ("y1", "email", "n2"),
+      // cls-maxc: w over the bound-1 phone restriction → clears
+      ("w", "a", "Lim"), ("w", "phone", "p1"), ("w", "phone", "p2"))
+    val base = (tbox ++ abox).toDF("s", "p", "o")
+    val rep = ReasonOps.consistencyReport(base).localCheckpoint(true)
+    val dels = Seq(
+      ("x1", "a", "Company"),
+      ("v", "parentCo", "u"),
+      ("x1", "email", "m3"),
+      ("y1", "email", "n2"),
+      ("w", "phone", "p2")).toDF("s", "p", "o")
+    val got = ReasonOps.consistencyRetract(base, rep, dels)
+    val expect = ReasonOps.consistencyReport(
+      base.join(dels, Seq("s", "p", "o"), "left_anti"))
+    vset(got) shouldBe vset(expect)
+    // untouched z1 survives; x1's group still conflicts on the two
+    // surviving emails; asyp/maxc/y1 cleared
+    vset(got) should contain allOf (
+      ("cax-dw", "z1", "Person", "Company"),
+      ("functional-conflict", "x1", "email", "m1"),
+      ("functional-conflict", "x1", "email", "m2"))
+    vset(got).exists(_._1 == "prp-asyp") shouldBe false
+    vset(got).exists(_._1 == "cls-maxc") shouldBe false
+    vset(got).exists(_._2 == "y1") shouldBe false
+  }
+
+  it should "clear qualified-cardinality violations when a VALUE's qualifying typing is deleted" in {
+    import graft.ops.ReasonOps._
+    // the batch never touches the member m — deleting v2's Car typing
+    // makes m's second edge stop counting toward the bound
+    val base = Seq(
+      ("OneCar", OnProperty, "owns"), ("OneCar", OnClass, "Car"),
+      ("OneCar", MaxQualifiedCardinality, "1"),
+      ("m", "a", "OneCar"),
+      ("m", "owns", "v1"), ("m", "owns", "v2"),
+      ("v1", "a", "Car"), ("v2", "a", "Car")).toDF("s", "p", "o")
+    val rep = ReasonOps.consistencyReport(base).localCheckpoint(true)
+    vset(rep) shouldBe Set(
+      ("cls-maxqc", "m", "owns", "v1"),
+      ("cls-maxqc", "m", "owns", "v2"))
+    val dels = Seq(("v2", "a", "Car")).toDF("s", "p", "o")
+    val got = ReasonOps.consistencyRetract(base, rep, dels)
+    got.isEmpty shouldBe true
+    vset(got) shouldBe vset(ReasonOps.consistencyReport(
+      base.join(dels, Seq("s", "p", "o"), "left_anti")))
+  }
+
+  it should "strip single-premise violations row-for-row, confine to graphs, and guard schema deletions" in {
+    import graft.ops.ReasonOps._
+    val base = Seq(
+      ("knows", "a", IrreflexiveProperty),
+      ("x", "knows", "x"), ("y", "knows", "y"),
+      ("a1", DifferentFrom, "a1")).toDF("s", "p", "o")
+    val rep = ReasonOps.consistencyReport(base).localCheckpoint(true)
+    val dels = Seq(("x", "knows", "x"), ("a1", DifferentFrom, "a1"))
+      .toDF("s", "p", "o")
+    val got = ReasonOps.consistencyRetract(base, rep, dels)
+    vset(got) shouldBe Set(("prp-irp", "y", "knows", "y"))
+    vset(got) shouldBe vset(ReasonOps.consistencyReport(
+      base.join(dels, Seq("s", "p", "o"), "left_anti")))
+    // quads: the same conflict in g1 and g2; deleting g1's side clears
+    // only g1's violation
+    val tbox = Seq(("Person", DisjointWith, "Company")).toDF("s", "p", "o")
+    val baseQ = Seq(
+      ("x1", "a", "Person", "g1"), ("x1", "a", "Company", "g1"),
+      ("x1", "a", "Person", "g2"), ("x1", "a", "Company", "g2"))
+      .toDF("s", "p", "o", "g")
+    val repQ = ReasonOps.consistencyReportQuads(baseQ, tbox)
+      .localCheckpoint(true)
+    val gotQ = ReasonOps.consistencyRetractQuads(baseQ,
+      repQ, Seq(("x1", "a", "Company", "g1")).toDF("s", "p", "o", "g"),
+      tbox)
+    gotQ.collect().map(r => (r.getString(0), r.getString(1),
+      r.getString(4))).toSet shouldBe Set(("cax-dw", "x1", "g2"))
+    // schema deletions fail fast
+    (the[IllegalArgumentException] thrownBy ReasonOps.consistencyRetract(
+      base, rep,
+      Seq(("knows", "a", IrreflexiveProperty)).toDF("s", "p", "o"))
+      .count()).getMessage should include ("consistencyReport")
+  }
+
   it should "detect the cardinality, enumeration, complement, and n-ary families" in {
     import graft.ops.ReasonOps._
     def rdfList(owner: String, pred: String, parts: Seq[String]) = {
