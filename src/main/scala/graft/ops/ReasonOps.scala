@@ -3771,6 +3771,109 @@ object ReasonOps {
       encCheckVoc(ids), hasGraph = true, tboxCap, deltaCap)
   }
 
+  private def normTriples(df: DataFrame): DataFrame = {
+    val Seq(a, b, c) = df.columns.take(3).toSeq
+    df.select(col(a).as("s"), col(b).as("p"), col(c).as("o"))
+  }
+  private def normQuads(df: DataFrame): DataFrame = {
+    val Seq(a, b, c, g) = df.columns.take(4).toSeq
+    df.select(col(a).as("s"), col(b).as("p"), col(c).as("o"),
+      col(g).as("g"))
+  }
+  private def antiRows(corpus: DataFrame, dels: DataFrame,
+                       width: Int): DataFrame = {
+    val names = Seq("s", "p", "o", "g").take(width)
+    corpus.join(broadcast(dels.select(
+        names.map(n => col(n).as("__x" + n)): _*)),
+      names.map(n => col(n) === col("__x" + n)).reduce(_ && _),
+      "left_anti")
+  }
+
+  /** STREAMING consistency validation: a [[ConsistencyMaintainer]]
+    * folding each micro-batch of new rows through [[consistencyDelta]]
+    * and composing the novel violations onto the maintained report —
+    * violations whose premises assemble ACROSS batches surface on the
+    * batch that completes them, and after b1..bn the report equals
+    * `consistencyReport(corpus ∪ b1 ∪ … ∪ bn)`. `report` must be the
+    * report of `corpus` (freshly computed or a reopened artifact).
+    * Deletions go through the maintainer's synchronous `retract`
+    * ([[consistencyRetract]]). */
+  def consistencyMaintainStream(corpus: DataFrame, report: DataFrame,
+                                typePred: String = "a",
+                                tboxCap: Int = 1 << 20,
+                                deltaCap: Option[Long] = None)
+      : ConsistencyMaintainer =
+    new ConsistencyMaintainer(normTriples(corpus), report,
+      (c, r, b) => {
+        val viol = consistencyDelta(c, b, typePred, tboxCap, deltaCap)
+        (c.unionAll(incrementNovel(c, normTriples(b), deltaCap)),
+          r.unionAll(incrementNovel(r, viol, deltaCap)))
+      },
+      (c, r, d) => {
+        val r2 = consistencyRetract(c, r, d, typePred, tboxCap, deltaCap)
+        (antiRows(c, normTriples(d), 3), r2)
+      })
+
+  /** [[consistencyMaintainStream]] over ENCODED (long-id) relations. */
+  def consistencyMaintainStreamEncoded(corpus: DataFrame,
+                                       report: DataFrame, ids: CheckIds,
+                                       tboxCap: Int = 1 << 20,
+                                       deltaCap: Option[Long] = None)
+      : ConsistencyMaintainer =
+    new ConsistencyMaintainer(normTriples(corpus), report,
+      (c, r, b) => {
+        val viol = consistencyDeltaEncoded(c, b, ids, tboxCap, deltaCap)
+        (c.unionAll(incrementNovel(c, normTriples(b), deltaCap)),
+          r.unionAll(incrementNovel(r, viol, deltaCap)))
+      },
+      (c, r, d) => {
+        val r2 = consistencyRetractEncoded(c, r, d, ids, tboxCap,
+          deltaCap)
+        (antiRows(c, normTriples(d), 3), r2)
+      })
+
+  /** [[consistencyMaintainStream]] over a NAMED-GRAPH quad dataset —
+    * per-graph validation, declarations from the static `tboxSource`. */
+  def consistencyMaintainStreamQuads(quads: DataFrame, report: DataFrame,
+                                     tboxSource: DataFrame,
+                                     typePred: String = "a",
+                                     tboxCap: Int = 1 << 20,
+                                     deltaCap: Option[Long] = None)
+      : ConsistencyMaintainer =
+    new ConsistencyMaintainer(normQuads(quads), report,
+      (c, r, b) => {
+        val viol = consistencyDeltaQuads(c, b, tboxSource, typePred,
+          tboxCap, deltaCap)
+        (c.unionAll(incrementNovel(c, normQuads(b), deltaCap)),
+          r.unionAll(incrementNovel(r, viol, deltaCap)))
+      },
+      (c, r, d) => {
+        val r2 = consistencyRetractQuads(c, r, d, tboxSource, typePred,
+          tboxCap, deltaCap)
+        (antiRows(c, normQuads(d), 4), r2)
+      })
+
+  /** [[consistencyMaintainStreamQuads]] over ENCODED (long-id) quads. */
+  def consistencyMaintainStreamQuadsEncoded(quads: DataFrame,
+                                            report: DataFrame,
+                                            tboxSource: DataFrame,
+                                            ids: CheckIds,
+                                            tboxCap: Int = 1 << 20,
+                                            deltaCap: Option[Long] = None)
+      : ConsistencyMaintainer =
+    new ConsistencyMaintainer(normQuads(quads), report,
+      (c, r, b) => {
+        val viol = consistencyDeltaQuadsEncoded(c, b, tboxSource, ids,
+          tboxCap, deltaCap)
+        (c.unionAll(incrementNovel(c, normQuads(b), deltaCap)),
+          r.unionAll(incrementNovel(r, viol, deltaCap)))
+      },
+      (c, r, d) => {
+        val r2 = consistencyRetractQuadsEncoded(c, r, d, tboxSource,
+          ids, tboxCap, deltaCap)
+        (antiRows(c, normQuads(d), 4), r2)
+      })
+
   private def consistencyRetractCore(corpus: DataFrame, report: DataFrame,
                                      deletions: DataFrame,
                                      declSource: DataFrame, voc: CheckVoc,
@@ -6039,6 +6142,101 @@ final class ErMaintainer private[ops] (
   /** Attach to a streaming triple relation: one [[update]] per
     * micro-batch (pass `checkpointLocation` on restart-surviving
     * streams, the [[ClosureMaintainer.attach]] contract). */
+  def attach(stream: org.apache.spark.sql.DataFrame,
+             checkpointLocation: Option[String] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = stream.writeStream.outputMode("append")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) => update(b))
+    checkpointLocation.fold(w)(w.option("checkpointLocation", _)).start()
+  }
+}
+
+/** Streaming consistency state: maintains a (corpus, violation report)
+  * pair under micro-batches of new rows — built by
+  * [[ReasonOps.consistencyMaintainStream]] (+Quads/Encoded). Inserts
+  * are MONOTONE for violations (every family is premise-positive, so
+  * new rows can only ADD violations): each batch validates at Δ cost
+  * through [[ReasonOps.consistencyDelta]] and the novel violations
+  * compose onto the report with [[ReasonOps.incrementNovel]] — the
+  * corpus and the report only ever stream, never shuffle. After
+  * batches b1..bn, `currentReport == consistencyReport(base ∪ b1 ∪ …
+  * ∪ bn)`, including violations whose premises ASSEMBLE across
+  * batches. Deletions go through the synchronous [[retract]]
+  * (the [[ReasonOps.consistencyRetract]] group-scoped patch) — a
+  * tombstone batch on the insert stream would be silently wrong.
+  * Declarations arriving in any batch fail fast (schema change →
+  * re-run [[ReasonOps.consistencyReport]]). Same reader-safety /
+  * restart contracts as [[ClosureMaintainer]] (retirement
+  * `spark.graft.stream.retireDepth` generations late; recover by
+  * persisting both frames and re-attaching with a
+  * `checkpointLocation` — replayed batches are no-ops through the
+  * novelty compositions).
+  */
+final class ConsistencyMaintainer private[ops] (
+    corpus0: org.apache.spark.sql.DataFrame,
+    report0: org.apache.spark.sql.DataFrame,
+    foldFn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+             org.apache.spark.sql.DataFrame)
+      => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+    retractFn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.DataFrame)
+      => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) {
+  import org.apache.spark.sql.DataFrame
+  @volatile private var stateV: (DataFrame, DataFrame) =
+    (corpus0.localCheckpoint(true), report0.localCheckpoint(true))
+  private val retireDepth: Int = math.max(1,
+    corpus0.sparkSession.conf
+      .get("spark.graft.stream.retireDepth", "1").toInt)
+  private val retiring =
+    scala.collection.mutable.Queue[(DataFrame, DataFrame)]()
+
+  /** The latest maintained (corpus, report) pair (pinned; valid at
+    * least until `retireDepth + 1` batch commits). */
+  def current: (DataFrame, DataFrame) = stateV
+
+  /** The latest maintained violation report. */
+  def currentReport: DataFrame = stateV._2
+
+  private def commit(next: (DataFrame, DataFrame),
+                     prev: (DataFrame, DataFrame)): Unit = {
+    // constraint-stripping RDD round-trip before the pins — the same
+    // Spark 4.1 localCheckpoint/Union constraint-rewrite hazard as
+    // ClosureMaintainer.update
+    def pin(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+        .localCheckpoint(true)
+    stateV = (pin(next._1), pin(next._2))
+    retiring.enqueue(prev)
+    while (retiring.size > retireDepth) {
+      val (c, r) = retiring.dequeue()
+      graft.Pins.unpin(c); graft.Pins.unpin(r)
+    }
+  }
+
+  /** Validate and fold one batch of new rows into the state
+    * (synchronized — the streaming engine serializes foreachBatch
+    * calls, but direct callers may race). */
+  def update(batch: DataFrame): Unit = synchronized {
+    if (!batch.isEmpty) {
+      val prev = stateV
+      commit(foldFn(prev._1, prev._2, batch), prev)
+    }
+  }
+
+  /** Retract a batch of rows: the report patches group-scoped
+    * ([[ReasonOps.consistencyRetract]]) and the corpus drops the rows
+    * (broadcast anti). Synchronous by design — deletions come from an
+    * operator decision, not the append stream. */
+  def retract(deletions: DataFrame): Unit = synchronized {
+    if (!deletions.isEmpty) {
+      val prev = stateV
+      commit(retractFn(prev._1, prev._2, deletions), prev)
+    }
+  }
+
+  /** Attach to a streaming relation: one [[update]] per micro-batch
+    * (pass `checkpointLocation` on restart-surviving streams, the
+    * [[ClosureMaintainer.attach]] contract). */
   def attach(stream: org.apache.spark.sql.DataFrame,
              checkpointLocation: Option[String] = None)
       : org.apache.spark.sql.streaming.StreamingQuery = {

@@ -1653,6 +1653,86 @@ class ReasonSpec extends SparkSpec {
     tset(rw2) should contain (("e1", "name", "beta")) // cross-crash merge
   }
 
+  "ConsistencyMaintainer" should "surface violations assembling across batches and clear on retract" in {
+    import graft.ops.ReasonOps._
+    val base = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("email", "a", FunctionalProperty),
+      ("x0", "a", "Person")).toDF("s", "p", "o")
+    val rep0 = ReasonOps.consistencyReport(base)
+    rep0.isEmpty shouldBe true
+    val m = ReasonOps.consistencyMaintainStream(base, rep0)
+    // batch 1: half-premises only — nothing violates yet
+    m.update(Seq(("x1", "a", "Person"), ("x1", "email", "m1"))
+      .toDF("s", "p", "o"))
+    m.currentReport.isEmpty shouldBe true
+    // batch 2 completes BOTH conflicts across the batch boundary
+    m.update(Seq(("x1", "a", "Company"), ("x1", "email", "m2"))
+      .toDF("s", "p", "o"))
+    vset(m.currentReport) shouldBe Set(
+      ("cax-dw", "x1", "Person", "Company"),
+      ("functional-conflict", "x1", "email", "m1"),
+      ("functional-conflict", "x1", "email", "m2"))
+    // batch-for-batch parity with the from-scratch report
+    val acc = base.unionAll(Seq(
+      ("x1", "a", "Person"), ("x1", "email", "m1"),
+      ("x1", "a", "Company"), ("x1", "email", "m2"))
+      .toDF("s", "p", "o"))
+    vset(m.currentReport) shouldBe vset(ReasonOps.consistencyReport(acc))
+    // synchronous retraction patches the report group-scoped
+    m.retract(Seq(("x1", "a", "Company"), ("x1", "email", "m2"))
+      .toDF("s", "p", "o"))
+    m.currentReport.isEmpty shouldBe true
+    // and the maintained corpus dropped the rows: re-adding one brings
+    // only ITS violation back
+    m.update(Seq(("x1", "a", "Company")).toDF("s", "p", "o"))
+    vset(m.currentReport) shouldBe Set(
+      ("cax-dw", "x1", "Person", "Company"))
+    // declarations on the stream fail the batch
+    (the[IllegalArgumentException] thrownBy m.update(
+      Seq(("A", DisjointWith, "B")).toDF("s", "p", "o")))
+      .getMessage should include ("consistencyReport")
+  }
+
+  it should "recover from persisted frames + source checkpoint across a crash" in {
+    import graft.ops.ReasonOps._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cons_restart")
+      .toString
+    val srcDir = s"$tmp/in"; val ckpt = s"$tmp/ckpt"
+    new java.io.File(srcDir).mkdirs()
+    val base = Seq(
+      ("Person", DisjointWith, "Company"),
+      ("x1", "a", "Person")).toDF("s", "p", "o")
+    val rep0 = ReasonOps.consistencyReport(base)
+    val schema = base.schema
+    def attachStream(m: graft.ops.ConsistencyMaintainer) =
+      m.attach(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(s"$srcDir/*"),
+        checkpointLocation = Some(ckpt))
+    Seq(("x2", "a", "Person")).toDF("s", "p", "o")
+      .write.parquet(s"$srcDir/b1")
+    val m1 = ReasonOps.consistencyMaintainStream(base, rep0)
+    val q1 = attachStream(m1)
+    try q1.processAllAvailable() finally q1.stop()
+    m1.currentReport.isEmpty shouldBe true
+    // persist BOTH frames, "crash", rebuild, re-attach on the SAME
+    // checkpoint — only batch 2 replays, completing x1's conflict
+    val (cP, rP) = m1.current
+    cP.write.parquet(s"$tmp/c"); rP.write.parquet(s"$tmp/r")
+    val m2 = ReasonOps.consistencyMaintainStream(
+      spark.read.parquet(s"$tmp/c"), spark.read.parquet(s"$tmp/r"))
+    Seq(("x1", "a", "Company")).toDF("s", "p", "o")
+      .write.parquet(s"$srcDir/b2")
+    val q2 = attachStream(m2)
+    try q2.processAllAvailable() finally q2.stop()
+    vset(m2.currentReport) shouldBe Set(
+      ("cax-dw", "x1", "Person", "Company"))
+    // parity: equal to the from-scratch report on everything seen
+    vset(m2.currentReport) shouldBe vset(ReasonOps.consistencyReport(
+      base.unionAll(Seq(("x2", "a", "Person"), ("x1", "a", "Company"))
+        .toDF("s", "p", "o"))))
+  }
+
   // ------------------------------------------------------------------
   // owl:propertyChainAxiom (OWL 2 RL prp-spo2)
   // ------------------------------------------------------------------
