@@ -64,6 +64,7 @@ object Bench {
     warm("pqIndex")(graft.store.GraftStore.pqIndex(spark, sfDir))
     warm("binaryIndex")(graft.store.GraftStore.binaryIndex(spark, sfDir))
     warm("quadDatasetEnc")(graft.store.GraftStore.quadDatasetEnc(spark, sfDir))
+    warm("rdfsFullClosure")(SparkEntry.warmRdfsClosureArtifact(spark, sfDir))
     if (graft.LubmData.available)
       warm("lubmStore")(
         graft.store.GraftStore.forNTriples(spark, graft.LubmData.glob))
