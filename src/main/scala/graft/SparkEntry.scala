@@ -4216,6 +4216,54 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** Lazy JOINT entailment ([[ReasonOps.owlFullEntailed]]): customers
+    * chain `within` inside 8-blocks (transitive), each block's last
+    * member is a `Hub`, and `Reachy = ∃within.Hub` — so membership
+    * needs the property family's SQUARED closure feeding the class
+    * rule at query time, with nothing materialized. The TBox also
+    * carries a `hasValue` rule (Gold/badge) plus matching data that the
+    * pattern constants must PRUNE away (its conclusions appear in no
+    * plan — the ReasonSpec twin pins the kept-rule and pass counts).
+    * The oracle replays the observable slice in closed form: `within`
+    * pairs are the same-block ordered pairs, `Reachy` members are
+    * those with a strictly-later block mate on the 8-grid's hub
+    * position.
+    */
+  private def owlFullRewriteQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    import graft.ops.ReasonOps._
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val ck1 = concat(lit("customer:"), k + 1)
+    val tbox = Seq(
+      ("within", "a", TransitiveProperty),
+      ("Reachy", OnProperty, "within"),
+      ("Reachy", SomeValuesFrom, "Hub"),
+      ("Gold", OnProperty, "badge"), ("Gold", HasValue, "gold"))
+    // the within chain stays key-closed: the last block's dangling
+    // edge (target key beyond the table) is dropped by the semi-join
+    val within = cu.where(k % 8 =!= 7).select(ck.as("s"),
+        lit("within").as("p"), ck1.as("o"))
+      .join(cu.select(ck.as("o")), Seq("o"), "left_semi")
+      .select("s", "p", "o")
+    val base = within
+      .unionAll(cu.where(k % 8 === 7).select(ck.as("s"), lit("a").as("p"),
+        lit("Hub").as("o")))
+      .unionAll(cu.where(k % 9 === 0).select(ck.as("s"),
+        lit("badge").as("p"), lit("gold").as("o")))
+      .unionAll(s.createDataFrame(tbox).toDF("s", "p", "o"))
+    val ent = ReasonOps.owlFullEntailed(base,
+      patternPreds = Seq[Any]("within"),
+      patternConsts = Seq[Any]("Reachy"))
+    ent.where(col("p") === "a" && col("o") === "Reachy")
+      .select(lit("reachy").as("kind"), col("s"))
+      .unionAll(ent.where(col("p") === "within")
+        .select(lit("within").as("kind"), col("s")))
+      .groupBy("kind").agg(count(lit(1)).as("n"))
+      .orderBy("kind")
+  }
+
   /** Entailment-regime querying: plain SPARQL over the MATERIALIZED
     * RDFS closure — the query matches only INFERRED triples (`within`
     * exists solely through the sub-property chain, `a Place` solely
@@ -5184,6 +5232,7 @@ object SparkEntry {
     "q_label_prop" -> (labelPropQ _),
     "q_components" -> (componentsQ _),
     "q_rdfs_closure" -> (rdfsClosureQ _),
+    "q_owl_full_rewrite" -> (owlFullRewriteQ _),
     "q_rdfs_sparql" -> (rdfsSparqlQ _),
     "q_rdfs_rewrite" -> (rdfsRewriteQ _),
     "q_rdfs_delta" -> (rdfsDeltaQ _),
@@ -7718,6 +7767,20 @@ object SparkEntry {
         |            + 2 * ((c_custkey % 8) % 2) AS DOUBLE) AS dist
         |FROM customer ORDER BY node""".stripMargin,
     "q_owl_full_sparql" -> owlFullSparqlOracle,
+    // lazy joint entailment: the observable slice in closed form —
+    // within = same-8-block ordered pairs, reachy = members with a
+    // hub-position (k%8==7) mate strictly later in their block
+    "q_owl_full_rewrite" ->
+      """WITH w AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON floor(a.c_custkey / 8) = floor(b.c_custkey / 8)
+        |   AND a.c_custkey < b.c_custkey)
+        |SELECT * FROM (
+        |  SELECT 'reachy' AS kind, count(DISTINCT ka) AS n FROM w
+        |  WHERE kb % 8 = 7
+        |  UNION ALL SELECT 'within', count(*) FROM w
+        |) ORDER BY kind""".stripMargin,
     "q_owl_haskey" -> owlHasKeyOracle,
     "q_owl_haskey_delta" -> owlHasKeyDeltaOracle,
     // ER retraction: closed-form replay of from-scratch

@@ -274,6 +274,29 @@ object ReasonOps {
   private def pinCapped(df: DataFrame, cap: Option[Long], what: String,
                         remat: String): DataFrame = {
     val eff = effectiveDeltaCap(df.sparkSession, cap)
+    // Small-delta fast path: collect to a DRIVER-LOCAL relation in ONE
+    // job. Every maintenance probe is broadcast at its use sites, and a
+    // broadcast of a LocalTableScan is JOB-FREE (the exchange collects
+    // driver-side) — whereas a pinned probe pays one broadcast-exchange
+    // job per distinct use-plan, and the lazily-chained corpus plans
+    // the maintenance ops return RE-EXECUTE those exchanges in every
+    // subsequent action. Measured on q_owl_haskey_delta: 101 of 114
+    // warm-run jobs were broadcast exchanges. The inline cap bounds
+    // driver memory (rows held once, like any broadcast); above it the
+    // original pin-and-count path applies unchanged.
+    val icap = math.min(eff, math.max(0L,
+      df.sparkSession.conf
+        .get("spark.graft.reason.inlineProbeCap", "65536").toLong))
+    if (icap > 0 && icap < Int.MaxValue - 1) {
+      val head = df.limit(icap.toInt + 1).collect()
+      if (head.length <= icap) {
+        import scala.jdk.CollectionConverters._
+        return df.sparkSession.createDataFrame(
+          new java.util.ArrayList(head.toSeq.asJava), df.schema)
+      }
+      // larger than the inline cap: fall through to the pinned path
+      // (re-evaluates df once — the large-delta case is the rare one)
+    }
     val c = graft.Pins.checkpointLazy(df)
     try {
       val n = c.count()
@@ -288,6 +311,27 @@ object ReasonOps {
       case t: Throwable =>
         try graft.Pins.unpin(c) catch { case _: Throwable => () }
         throw t
+    }
+  }
+
+  /** Collapse a plan built PURELY over driver-local relations back to
+    * one LocalRelation (one small execution, here). Catalyst only
+    * folds Project/Filter over locals; a Union/Aggregate/Join of
+    * locals stays a distributed plan whose every downstream broadcast
+    * or action schedules jobs — re-localizing pays that execution once
+    * and makes all downstream uses job-free. A plan with any
+    * distributed leaf is returned unchanged (the large-delta fallback
+    * keeps the broadcast machinery). */
+  private def relocal(df: DataFrame): DataFrame = {
+    val allLocal = df.queryExecution.optimizedPlan.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => true
+      case _ => false
+    }
+    if (!allLocal) df
+    else {
+      import scala.jdk.CollectionConverters._
+      df.sparkSession.createDataFrame(
+        new java.util.ArrayList(df.collect().toSeq.asJava), df.schema)
     }
   }
 
@@ -560,8 +604,15 @@ object ReasonOps {
       deltaCap, "incrementNovel increment", "the full closure")
     val probe = inc.toDF(cols.map("__i_" + _): _*)
     val condE = cols.map(c => col(c) <=> col("__i_" + c)).reduce(_ && _)
-    val hits = ex.join(broadcast(probe), condE, "left_semi")
-      .toDF(cols.map("__h_" + _): _*)
+    // the hit set is Δ-bounded (|hits| <= |inc|) but CORPUS-derived:
+    // left lazy, its broadcast re-executes the existence scan in every
+    // downstream action reading the composed closure — pinCapped pays
+    // that scan exactly once (and collapses to a driver-local relation
+    // under the inline cap, making the downstream broadcast job-free)
+    val hits = pinCapped(
+      ex.join(broadcast(probe), condE, "left_semi")
+        .toDF(cols.map("__h_" + _): _*),
+      deltaCap, "incrementNovel existence hits", "the full closure")
     val condH = cols.map(c => col(c) <=> col("__h_" + c)).reduce(_ && _)
     inc.join(broadcast(hits), condH, "left_anti")
   }
@@ -2739,6 +2790,171 @@ object ReasonOps {
       df => rdfsDeriveQuads(tbox, df, vocE, includeTboxClosure = false),
       df => rdfsClosureQuads(df, tboxSource, typePred, tboxCap),
       hasGraph = true, patternConsts, maxPasses)
+  }
+
+  /** Kept-rule count and pass plan of the most recent
+    * [[owlFullEntailed]] call ([[lastFullEntailedPasses]] == -1 means
+    * the counted materialized fallback ran). */
+  private[graft] val lastFullEntailedRules =
+    new java.util.concurrent.atomic.AtomicLong(0)
+  private[graft] val lastFullEntailedPasses =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  private def owlFullEntailedCore(
+      rlVoc: RlVoc, schema: RlSchema, maps: RdfsMaps,
+      inv: Seq[(Any, Any)], sym: Seq[Any], trans: Seq[Any],
+      chains: Seq[(Any, Seq[Any])],
+      rdfsLazy: DataFrame => DataFrame,
+      rdfsExpand: DataFrame => Seq[DataFrame],
+      base: DataFrame, hasGraph: Boolean,
+      patternPreds: Seq[Any], patternConsts: Seq[Any],
+      maxPasses: Int, fallback: () => DataFrame): DataFrame = {
+    val rlConsts = (patternConsts ++ patternPreds).distinct
+    val (pruned, bound) = pruneRlSchema(schema, maps, rlVoc, rlConsts)
+    lastFullEntailedRules.set(pruned.restr.size + pruned.inters.size +
+      pruned.unions.size + pruned.oneOfs.size)
+    // the property family must be exact for every edge premise a kept
+    // class rule consumes, not just the query's own predicates
+    val keptOnProps = pruned.restr.map(_.p).distinct
+    val propNeeded = (patternPreds ++ keptOnProps).distinct
+    val transKept = transNeeded(trans, inv, propNeeded)
+    val chainsKept = chainsNeeded(chains, inv, propNeeded)
+    if (pruned.isEmpty) {
+      // no observable class rule: the joint relation is the property
+      // family sandwiched in lazy rdfs (sp-expansion feeds the
+      // transitive slices, derived edges get their rdfs types) —
+      // observable chains run their fixpoint eagerly at construction,
+      // the documented owlEntailed contract
+      lastFullEntailedPasses.set(0)
+      return rdfsLazy(owlCloseCore(rdfsLazy(base), inv, sym, transKept,
+        hasGraph, chainsKept))
+    }
+    val hvKept = pruned.restr.exists(_.kind == HvKind)
+    val accReads = pruned.restr.size * 2 +
+      pruned.inters.map(_._2.size + 1).sum + pruned.unions.size
+    // the joint base carries two lazy rdfs layers plus the property
+    // legs, so the re-execution budget charges those leaves too
+    val multiplier = math.max(2, accReads + inv.size + sym.size + 11)
+    def planOk(k: Int): Boolean =
+      k <= maxPasses && math.pow(multiplier.toDouble, k.toDouble) <= 64.0
+    // LAZY soundness: the class family must emit NO edges back into the
+    // property family (a kept hasValue rule emits p-edges that could
+    // extend a transitive/chain fixpoint or re-enter another rule via
+    // an inverse image — joint-recursive in general), no chain axiom
+    // may be observable from the needed predicates, and the class pass
+    // plan must be static (acyclic schema) and within the budget.
+    // Anything else takes the counted [[owlFullClosure]] fallback —
+    // exact everywhere, materialization-shaped.
+    val lazyOk = !hvKept && chainsKept.isEmpty && bound.exists(planOk)
+    if (!lazyOk) { lastFullEntailedPasses.set(-1); return fallback() }
+    val k = bound.get
+    lastFullEntailedPasses.set(k)
+    val propBase = owlCloseCore(rdfsLazy(base), inv, sym, transKept,
+      hasGraph, Nil)
+    var acc = rdfsLazy(propBase)
+    for (_ <- 1 to k) {
+      val derived =
+        restrictionDerive(acc, pruned, rlVoc, hasGraph).distinct()
+      acc = (Seq(acc, derived) ++ rdfsExpand(derived))
+        .reduce(_.unionAll(_))
+    }
+    acc.distinct()
+  }
+
+  /** QUERY-TIME entailment over the JOINT property+class closure — the
+    * lazy twin of [[owlFullClosure]], composing [[owlEntailed]]'s
+    * property rewrites with [[owlRlEntailed]]'s pruned class passes
+    * over a shared base: `patternPreds` / `patternConsts` name the
+    * predicates and class/property constants the caller's patterns
+    * mention, the class schema prunes to the rules those can observe
+    * (closed under rule feeding), and the property family closes
+    * exactly the edge premises the kept rules consume (their
+    * transitive slices square even when unmentioned). Exact FOR the
+    * mentioned constants on schemas where the class family emits no
+    * edges (no kept `hasValue` rule), no chain axiom is observable,
+    * and the pass plan is static within the re-execution budget;
+    * everything else — hv emission (joint-recursive in general),
+    * recursive restriction dependencies, oversized plans — falls back
+    * to the counted [[owlFullClosure]] ([[lastFullEntailedPasses]] ==
+    * -1), exact everywhere. Unmentioned constants are under-derived,
+    * the same documented price as both parents. */
+  def owlFullEntailed(triples: DataFrame, typePred: String = "a",
+                      tboxCap: Int = 1 << 20,
+                      patternPreds: Seq[Any] = Nil,
+                      patternConsts: Seq[Any] = Nil,
+                      maxPasses: Int = 12): DataFrame = {
+    val Seq(cs, cp, co) = triples.columns.take(3).toSeq
+    val t = triples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val rlv = stringRlVoc(typePred)
+    val schema = collectRlSchema(t, rlv, tboxCap)
+    val voc0 = stringVoc(typePred)
+    val tbox = collectTbox(t, voc0.tboxPreds, tboxCap)
+    val vocE = resolveEmit(voc0, tbox)
+    val (inv, sym, trans, chains) = owlDecls(t, InverseOf,
+      SymmetricProperty, TransitiveProperty, typePred, tboxCap,
+      StringChainVoc)
+    owlFullEntailedCore(rlv, schema, rdfsMaps(tbox, vocE), inv, sym,
+      trans, chains,
+      df => rdfsEntailed(df, typePred, tboxCap),
+      df => rdfsDerive(tbox, df, vocE, includeTboxClosure = false),
+      t, hasGraph = false, patternPreds, patternConsts, maxPasses,
+      () => owlFullClosure(t, typePred, tboxCap))
+  }
+
+  /** [[owlFullEntailed]] over ENCODED (long-id) relations. */
+  def owlFullEntailedEncoded(encTriples: DataFrame, owlIds: OwlIds,
+                             rlIds: RlIds, tboxCap: Int = 1 << 20,
+                             patternPreds: Seq[Any] = Nil,
+                             patternConsts: Seq[Any] = Nil,
+                             maxPasses: Int = 12): DataFrame = {
+    val Seq(cs, cp, co) = encTriples.columns.take(3).toSeq
+    val t = encTriples.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"))
+    val rlv = encRlVoc(rlIds)
+    val schema = collectRlSchema(t, rlv, tboxCap)
+    val voc0 = encVoc(rlIds.rdfs)
+    val tbox = collectTbox(t, voc0.tboxPreds, tboxCap)
+    val (inv, sym, trans, chains) = owlDecls(t, owlIds.inverseOf,
+      owlIds.symmetricProperty, owlIds.transitiveProperty,
+      owlIds.typePred, tboxCap, encChainVoc(owlIds))
+    owlFullEntailedCore(rlv, schema, rdfsMaps(tbox, voc0), inv, sym,
+      trans, chains,
+      df => rdfsEntailedEncoded(df, rlIds.rdfs, tboxCap),
+      df => rdfsDerive(tbox, df, voc0, includeTboxClosure = false),
+      t, hasGraph = false, patternPreds, patternConsts, maxPasses,
+      () => owlFullClosureEncoded(t, owlIds, rlIds, tboxCap))
+  }
+
+  /** [[owlFullEntailed]] over a NAMED-GRAPH quad dataset (lazy
+    * per-graph joint entailment; global declarations from
+    * `tboxSource`). */
+  def owlFullEntailedQuads(quads: DataFrame, tboxSource: DataFrame,
+                           typePred: String = "a", tboxCap: Int = 1 << 20,
+                           patternPreds: Seq[Any] = Nil,
+                           patternConsts: Seq[Any] = Nil,
+                           maxPasses: Int = 12): DataFrame = {
+    val Seq(cs, cp, co, cg) = quads.columns.take(4).toSeq
+    val q = quads.select(col(cs).as("s"), col(cp).as("p"),
+      col(co).as("o"), col(cg).as("g"))
+    val rlv = stringRlVoc(typePred)
+    val schema = collectRlSchema(tboxSource, rlv, tboxCap)
+    val voc0 = stringVoc(typePred)
+    val Seq(ts, tp, to) = tboxSource.columns.take(3).toSeq
+    val tbox = collectTbox(
+      tboxSource.select(col(ts).as("s"), col(tp).as("p"),
+        col(to).as("o")),
+      voc0.tboxPreds, tboxCap)
+    val vocE = resolveEmit(voc0, tbox)
+    val (inv, sym, trans, chains) = owlDecls(tboxSource, InverseOf,
+      SymmetricProperty, TransitiveProperty, typePred, tboxCap,
+      StringChainVoc)
+    owlFullEntailedCore(rlv, schema, rdfsMaps(tbox, vocE), inv, sym,
+      trans, chains,
+      df => rdfsEntailedQuads(df, tboxSource, typePred, tboxCap),
+      df => rdfsDeriveQuads(tbox, df, vocE, includeTboxClosure = false),
+      q, hasGraph = true, patternPreds, patternConsts, maxPasses,
+      () => owlFullClosureQuads(q, tboxSource, typePred, tboxCap))
   }
 
   /** One seminaive restriction pass for the delta path: per
@@ -5249,38 +5465,116 @@ object ReasonOps {
                                deltaCap: Option[Long]): DataFrame = {
     val ty: Seq[Any] = voc.ty
     val remat = "functionalCanonicalize"
+    // THREE corpus scans per round TOTAL — all axioms batched (the
+    // per-axiom, per-position fetch paid ~6-8 jobs per axiom): first
+    // the touched entities' first-key values, then their value-mates
+    // (a necessary condition for any new full-tuple collision), then
+    // the candidates' complete evidence slab (memberships + every key
+    // position). Tuple assembly, grouping, and the star derivation all
+    // run over the Δ-fan-in-sized slab — under the inline cap that
+    // slab is a driver-local relation and the whole downstream
+    // derivation is broadcast-job-free.
+    val p0s = keys.map(_._2.head).distinct
+    val allKeyProps = keys.flatMap(_._2).distinct
+    val keyClasses = keys.map(_._1).distinct
+    val v0sAll = pinCapped(
+      rw.where(col("p").isin(p0s: _*))
+        .join(broadcast(touched.toDF("__t")), col("s") === col("__t"),
+          "left_semi")
+        .select(col("p").as("__pp"), col("o").as("__pv")).distinct(),
+      deltaCap, "touched first-key values", remat)
+    val candAll = pinCapped(
+      rw.where(col("p").isin(p0s: _*))
+        .join(broadcast(v0sAll), col("p") === col("__pp") &&
+          col("o") === col("__pv"), "left_semi")
+        .select(col("p").as("__cp"), col("s").as("__cs")).distinct(),
+      deltaCap, "hasKey candidate entities (fan-in of the delta)",
+      remat)
+    val candUnion = relocal(candAll.select(col("__cs").as("__t"))
+      .unionAll(touched.toDF("__t")).distinct())
+    val memberCond =
+      if (keyClasses.isEmpty) lit(false)
+      else col("p").isin(ty: _*) && col("o").isin(keyClasses: _*)
+    val slab = pinCapped(
+      rw.where(col("p").isin(allKeyProps: _*) || memberCond)
+        .join(broadcast(candUnion), col("s") === col("__t"),
+          "left_semi"),
+      deltaCap, "hasKey candidate evidence slab", remat)
+    // DRIVER-SIDE tuple assembly when the Δ-fan-in slab collapsed to a
+    // driver-local relation (the identityMappingLocal discipline):
+    // every distributed assembly step — the per-position joins, the
+    // tuple grouping, the star join-back — schedules broadcast and
+    // aggregate jobs even over tiny local inputs, so a k-position
+    // axiom pays ~k+2 jobs per round for work the driver does in
+    // microseconds. The derivation below replays the distributed legs
+    // exactly (same membership gating, same per-position combination
+    // semantics, same UTF-8/long min for the star anchor) and returns
+    // a BARE local relation, keeping every downstream consumer
+    // job-free. Above the inline cap the distributed path is unchanged.
+    def isBareLocal(df: DataFrame): Boolean =
+      df.queryExecution.analyzed
+        .isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]
+    if (isBareLocal(slab) && isBareLocal(candAll)) {
+      val slabRows = slab.collect().map(r => (r.get(0), r.get(1), r.get(2)))
+      val touchedSet = touched.collect().map(_.get(0)).toSet
+      val candRows = candAll.collect().map(r => (r.get(0), r.get(1)))
+      val tySet = ty.toSet
+      val pairs = scala.collection.mutable.LinkedHashSet[(Any, Any)]()
+      keys.foreach { case (cls, props) =>
+        val cand = touchedSet ++
+          candRows.collect { case (p0, s0) if p0 == props.head => s0 }
+        val members = slabRows.collect {
+          case (s0, p0, o0) if tySet(p0) && o0 == cls && cand(s0) => s0
+        }.toSet
+        val valsOf = slabRows.filter(r => members(r._1))
+          .groupBy(r => (r._1, r._2))
+          .map { case (k2, rs) => (k2, rs.map(_._3).distinct.toSeq) }
+        val groups =
+          scala.collection.mutable.HashMap[Seq[Any],
+            scala.collection.mutable.LinkedHashSet[Any]]()
+        members.foreach { m =>
+          val slots = props.map(p0 => valsOf.getOrElse((m, p0), Nil))
+          if (slots.forall(_.nonEmpty)) {
+            val combos = slots.foldLeft(Seq(Seq.empty[Any])) {
+              (accT, vs) => accT.flatMap(t2 => vs.map(v => t2 :+ v)) }
+            combos.foreach { tup =>
+              groups.getOrElseUpdate(tup,
+                scala.collection.mutable.LinkedHashSet[Any]()) += m
+            }
+          }
+        }
+        groups.values.foreach { ents =>
+          if (ents.size > 1) {
+            val mn = ents.reduceLeft((a, b) =>
+              if (minTermLess(a, b)) a else b)
+            ents.foreach(e => if (e != mn) pairs += ((mn, e)))
+          }
+        }
+      }
+      val dt = slab.schema.fields.head.dataType
+      import scala.jdk.CollectionConverters._
+      return rw.sparkSession.createDataFrame(
+        new java.util.ArrayList(pairs.toSeq.map(p2 =>
+          org.apache.spark.sql.Row(p2._1, p2._2)).asJava),
+        org.apache.spark.sql.types.StructType(Seq("a", "b").map(
+          org.apache.spark.sql.types.StructField(_, dt,
+            nullable = false))))
+    }
     val legs = keys.map { case (cls, props) =>
-      // candidate entities: the touched set plus everyone sharing a
-      // touched entity's FIRST key value (a necessary condition for a
-      // full-tuple collision; superset is sound, the final grouping is
-      // exact)
-      val v0s = pinCapped(rw.where(col("p") === props.head)
-          .join(broadcast(touched.toDF("__t")),
-            col("s") === col("__t"), "left_semi")
-          .select(col("o").as("__pv")).distinct(),
-        deltaCap, "touched first-key values", remat)
-      val cand0 = rw.where(col("p") === props.head)
-        .join(broadcast(v0s), col("o") === col("__pv"), "left_semi")
-        .select(col("s").as("__t"))
-      val allEnts = pinCapped(
-        touched.toDF("__t").unionAll(cand0).distinct(),
-        deltaCap, "hasKey candidate entities (fan-in of the delta)",
-        remat)
-      // complete candidate tuples: membership, then one streamed
-      // corpus-slice join per key position against the broadcast
-      // accumulating tuple set
-      var acc: DataFrame = rw
+      val cand = candAll.where(col("__cp") === props.head)
+        .select(col("__cs").as("__t"))
+        .unionAll(touched.toDF("__t"))
+      var acc: DataFrame = slab
         .where(col("p").isin(ty: _*) && col("o") === cls)
-        .join(broadcast(allEnts), col("s") === col("__t"), "left_semi")
+        .join(broadcast(cand), col("s") === col("__t"), "left_semi")
         .select(col("s").as("__x"))
       props.zipWithIndex.foreach { case (pi, i) =>
-        val slice = rw.where(col("p") === pi)
+        val slice = slab.where(col("p") === pi)
           .select(col("s").as("__xs"), col("o").as(s"__v$i"))
         acc = slice.join(broadcast(acc), col("__xs") === col("__x"))
           .drop("__xs")
       }
-      val tuples = pinCapped(acc.distinct(), deltaCap,
-        "hasKey candidate tuples", remat)
+      val tuples = acc.distinct()
       val vcols = props.indices.map(i => col(s"__v$i"))
       val mins = tuples.groupBy(vcols: _*)
         .agg(min(col("__x")).as("__cv"), count(lit(1)).as("__cnt"))
@@ -5391,6 +5685,48 @@ object ReasonOps {
       declRows.collect {
         case r if voc.ifp(r.get(2)) => r.get(0)
       }.distinct.toSeq)
+  }
+
+  /** ALL the ER vocabulary's declarations in ONE collect job — the
+    * fp/ifp characteristics, the hasKey axioms (lists walked), and the
+    * bound-one cardinality restrictions. The per-family collectors
+    * ([[functionalDecls]]/[[hasKeyDecls]]/[[erCardDecls]]) each pay a
+    * corpus-scan job; every ER entry point needs all three, so the
+    * combined scan saves two jobs per call. */
+  private def erDecls(t: DataFrame, voc: ErVoc, tboxCap: Int)
+      : (Seq[Any], Seq[Any], Seq[(Any, Seq[Any])],
+         Seq[(Any, Any, Int)], Seq[(Any, Any, Any, Int)]) = {
+    val charObjs = (voc.fp ++ voc.ifp).toSeq
+    val listPreds = (voc.hk ++ voc.first ++ voc.rest).toSeq
+    val cardPreds = (voc.maxc ++ voc.maxqc ++ voc.onp ++ voc.onc).toSeq
+    val conds = Seq(
+      if (charObjs.nonEmpty)
+        Some(col("p").isin(voc.ty: _*) && col("o").isin(charObjs: _*))
+      else None,
+      if (voc.hk.nonEmpty) Some(col("p").isin(listPreds: _*)) else None,
+      if ((voc.maxc ++ voc.maxqc).nonEmpty)
+        Some(col("p").isin(cardPreds: _*))
+      else None).flatten
+    if (conds.isEmpty) return (Nil, Nil, Nil, Nil, Nil)
+    val rows = t.where(conds.reduce(_ || _))
+      .limit(tboxCap + 1).collect()
+      .map(r => (r.get(0), r.get(1), r.get(2)))
+    require(rows.length <= tboxCap,
+      s"ER declarations exceed $tboxCap - not schema-shaped")
+    val tyP = voc.ty.toSet
+    val fps = rows.collect {
+      case (s, p, o) if tyP(p) && voc.fp(o) => s }.distinct.toSeq
+    val ifps = rows.collect {
+      case (s, p, o) if tyP(p) && voc.ifp(o) => s }.distinct.toSeq
+    val keys =
+      if (voc.hk.isEmpty) Nil
+      else walkRdfLists(rows, voc.hk, voc.first, voc.rest, voc.nil,
+        "owl:hasKey")
+    val (maxcR, maxqcR) =
+      if ((voc.maxc ++ voc.maxqc).isEmpty) (Nil, Nil)
+      else cardRestrOf(rows.filter { case (_, p, _) =>
+        cardPreds.contains(p) }, voc.cardView)
+    (fps, ifps, keys, maxcR, maxqcR)
   }
 
   /** The star-pair derivation over a relation given collected
@@ -5555,9 +5891,7 @@ object ReasonOps {
     val Seq(cs, cp, co) = triples.columns.take(3).toSeq
     val t = triples.select(col(cs).as("s"), col(cp).as("p"), col(co).as("o"))
       .localCheckpoint(true)
-    val (fps, ifps) = functionalDecls(t, voc, tboxCap)
-    val keys = hasKeyDecls(t, voc, tboxCap)
-    val (maxcR, maxqcR) = erCardDecls(t, voc, tboxCap)
+    val (fps, ifps, keys, maxcR, maxqcR) = erDecls(t, voc, tboxCap)
     // the fixpoint only ever touches the DECLARED properties' slice
     // (plus the key/restriction/qualifying classes' membership rows) —
     // collisions can't appear anywhere else — so each round
@@ -5767,10 +6101,8 @@ object ReasonOps {
         "schema changes invalidate merges corpus-wide; re-run " +
         s"$remat on the post-delete corpus")
     // declarations are unchanged by the guard, so collect from the
-    // original corpus
-    val (fps, ifps) = functionalDecls(t, voc, tboxCap)
-    val keys = hasKeyDecls(t, voc, tboxCap)
-    val (maxcR, maxqcR) = erCardDecls(t, voc, tboxCap)
+    // original corpus (one combined scan)
+    val (fps, ifps, keys, maxcR, maxqcR) = erDecls(t, voc, tboxCap)
     def antiDd(df: DataFrame): DataFrame =
       df.join(broadcast(dd.toDF("__xs", "__xp", "__xo")),
         col("s") === col("__xs") && col("p") === col("__xp") &&
@@ -5898,8 +6230,9 @@ object ReasonOps {
     val mCols = mapping.columns.take(2).toSeq
     var mp = mapping.select(col(mCols.head).as("member"),
       col(mCols(1)).as("canon"))
-    // declarations ride the canonicalized corpus; NEW ones fail fast
-    val (fps, ifps) = functionalDecls(r, voc, tboxCap)
+    // declarations ride the canonicalized corpus (one combined scan);
+    // NEW ones fail fast
+    val (fps, ifps, keys, maxcR, maxqcR) = erDecls(r, voc, tboxCap)
     val ty: Seq[Any] = voc.ty
     val charObjs = (voc.fp ++ voc.ifp).toSeq
     require(charObjs.isEmpty || d0.where(col("p").isin(ty: _*) &&
@@ -5912,7 +6245,6 @@ object ReasonOps {
     // delta fails fast — a new hasKey axiom changes semantics
     // corpus-wide, and under existing axioms rdf:first/rdf:rest cells
     // could extend a key list across the batch boundary
-    val keys = hasKeyDecls(r, voc, tboxCap)
     require(voc.hk.isEmpty ||
         d0.where(col("p").isin(voc.hk.toSeq: _*)).isEmpty,
       "delta contains owl:hasKey declarations - schema changes require " +
@@ -5923,7 +6255,6 @@ object ReasonOps {
       "delta contains rdf:first/rdf:rest list cells under declared " +
         "owl:hasKey axioms - a cell could extend a key list; " +
         "re-canonicalize (functionalCanonicalize) instead")
-    val (maxcR, maxqcR) = erCardDecls(r, voc, tboxCap)
     val cardDeclPreds = (voc.maxc ++ voc.maxqc ++ voc.onp ++ voc.onc).toSeq
     require(cardDeclPreds.isEmpty ||
         d0.where(col("p").isin(cardDeclPreds: _*)).isEmpty,
@@ -6011,18 +6342,28 @@ object ReasonOps {
       round += 1
       require(round <= maxRounds,
         s"functional delta did not settle in $maxRounds rounds")
-      val sliceF =
-        if (fps.isEmpty) rw.limit(0)
-        else rw.join(broadcast(touchedKeysF),
-          col("p") === col("__kp") && col("s") === col("__kk"), "left_semi")
-      val sliceI =
-        if (ifps.isEmpty) rw.limit(0)
-        else rw.join(broadcast(touchedKeysI),
-          col("p") === col("__kp") && col("o") === col("__kk"), "left_semi")
-      val slice = pinCapped(sliceF.unionAll(sliceI), deltaCap,
-        "touched collision groups (fan-in of the delta)",
-        "functionalCanonicalize")
-      val derived0 = starPairsAll(slice, fps, ifps)
+      // no declared fp/ifp → no star slice: skip its pin entirely (a
+      // pinned EMPTY frame still pays the per-job scheduling floor
+      // every round)
+      val derived0 =
+        if (fps.isEmpty && ifps.isEmpty)
+          rw.select(col("s").as("a"), col("o").as("b")).limit(0)
+        else {
+          val sliceF =
+            if (fps.isEmpty) rw.limit(0)
+            else rw.join(broadcast(touchedKeysF),
+              col("p") === col("__kp") && col("s") === col("__kk"),
+              "left_semi")
+          val sliceI =
+            if (ifps.isEmpty) rw.limit(0)
+            else rw.join(broadcast(touchedKeysI),
+              col("p") === col("__kp") && col("o") === col("__kk"),
+              "left_semi")
+          val slice = pinCapped(sliceF.unionAll(sliceI), deltaCap,
+            "touched collision groups (fan-in of the delta)",
+            "functionalCanonicalize")
+          starPairsAll(slice, fps, ifps)
+        }
       val derived1 =
         if (keys.isEmpty) derived0
         else derived0.unionAll(
@@ -6031,7 +6372,10 @@ object ReasonOps {
         if (!hasCard) derived1
         else derived1.unionAll(
           cardDeltaPairs(rw, maxcR, maxqcR, voc, touchedCard, deltaCap))
-      val pairs = seed.fold(derived)(sp => derived.unionAll(sp).distinct())
+      // one execution here (re-localized when every input is a
+      // driver-local Δ-frame) instead of one per consumer below
+      val pairs = relocal(
+        seed.fold(derived)(sp => derived.unionAll(sp).distinct()))
       seed = None
       if (pairs.isEmpty) done = true
       else {

@@ -34,6 +34,14 @@ object ScaleProbe {
     org.apache.logging.log4j.core.config.Configurator.setLevel(
       "org.apache.spark.rdd.MapPartitionsRDD", org.apache.logging.log4j.Level.ERROR)
     spark.range(1000).selectExpr("sum(id)").collect()
+    // local-iteration filters (same contract as Bench):
+    // SPARK_GRAFT_ONLY=q_a,q_b scopes the gate list; SPARK_GRAFT_SFS
+    // scopes the scale factors (e.g. "sf0.01"); SPARK_GRAFT_PROBES=0
+    // skips the candidate-volume probes
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val sfs = sys.env.getOrElse("SPARK_GRAFT_SFS", "sf0.01,sf0.1")
+      .split(",").toSeq
+    val runProbes = sys.env.getOrElse("SPARK_GRAFT_PROBES", "1") != "0"
     val gates = Seq(
       // pointer-jumped CC + the wedge join: the slowest judge gates
       "q_components", "q_triangles", "q_pagerank", "q_label_prop",
@@ -61,9 +69,9 @@ object ScaleProbe {
             j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
           jobCounter.incrementAndGet()
       })
-    for (sf <- Seq("sf0.01", "sf0.1")) {
+    for (sf <- sfs) {
       val dir = s"/root/testdata/$sf"
-      for (g <- gates) {
+      for (g <- gates.filter(n => only.forall(_.contains(n)))) {
         val fn = graft.SparkEntry.queries(g)
         var best = Double.MaxValue
         var cc = 0L
@@ -114,6 +122,7 @@ object ScaleProbe {
           s""""chainRounds":$ch,"rlRounds":$rl,"fullRounds":$fu,""" +
           s""""fnRounds":$fn2,"sccRounds":$scc,"jobs":$jobs}""")
       }
+      if (runProbes) {
       // ---- pipeline-family candidate volumes (r10-verdict #7) ----
       // The dedup/ANN 100 TB claims rest on CANDIDATE volume staying
       // near-linear in corpus size: PPJoin prefix postings, LSH band
@@ -184,6 +193,7 @@ object ScaleProbe {
                 concat(lit("code:"), k % 30).as("o")))
               .unionAll(spark.createDataFrame(keyTbox).toDF("s", "p", "o")))
         }
+      }
       }
     }
     spark.stop()

@@ -2439,6 +2439,73 @@ class ReasonSpec extends SparkSpec {
     got should contain (("x3", "a", "R"))
   }
 
+  "ReasonOps.owlFullEntailed" should "compose the lazy joint closure and prune unobservable rules" in {
+    import ReasonOps._
+    // within is transitive; Reachy = ∃within.Hub consumes its CLOSURE
+    // (a Reachy member two hops from its Hub needs the squared slice);
+    // the hv rule (Gold) and its data are noise the pruning must drop
+    val g = Seq(
+      ("within", "a", TransitiveProperty),
+      ("Reachy", OnProperty, "within"),
+      ("Reachy", SomeValuesFrom, "Hub"),
+      ("Gold", OnProperty, "badge"), ("Gold", HasValue, "gold"),
+      ("a1", "within", "b1"), ("b1", "within", "c1"),
+      ("c1", "a", "Hub"),
+      ("g1", "a", "Gold"), ("x1", "badge", "gold")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlFullEntailed(g,
+      patternPreds = Seq[Any]("within"),
+      patternConsts = Seq[Any]("Reachy")))
+    // lazy path: one kept rule (the svf), static one-pass plan
+    ReasonOps.lastFullEntailedRules.get() shouldBe 1L
+    ReasonOps.lastFullEntailedPasses.get() shouldBe 1L
+    // exact for the mentioned constants — including the CROSS-FAMILY
+    // feed (a1's Hub is reachable only through the transitive closure)
+    got should contain allOf (
+      ("a1", "within", "c1"),
+      ("a1", "a", "Reachy"), ("b1", "a", "Reachy"))
+    // parity with the materialized joint closure on the observable part
+    val full = tset(ReasonOps.owlFullClosure(g))
+    got.filter(r => r._2 == "within" || r._3 == "Reachy") shouldBe
+      full.filter(r => r._2 == "within" || r._3 == "Reachy")
+    // the pruned hv rule ran ZERO passes: neither its emitted edge nor
+    // its typing appears (the documented under-derivation price)
+    got should not contain (("g1", "badge", "gold"))
+    got should not contain (("x1", "a", "Gold"))
+    // property-only pruning: a query touching no class constant keeps
+    // no class rule at all (passes == 0), edges still exact
+    val edges = tset(ReasonOps.owlFullEntailed(g,
+      patternPreds = Seq[Any]("within")))
+    ReasonOps.lastFullEntailedPasses.get() shouldBe 0L
+    edges.filter(_._2 == "within") shouldBe full.filter(_._2 == "within")
+  }
+
+  it should "fall back to the counted joint closure when the class family emits edges" in {
+    import ReasonOps._
+    // the hv rule EMITS a located-edge that must extend the transitive
+    // spine (class -> property feedback) — joint-recursive in general,
+    // so mentioning Gold forces the counted owlFullClosure fallback
+    val g = Seq(
+      ("located", "a", TransitiveProperty),
+      ("Gold", OnProperty, "located"), ("Gold", HasValue, "zone"),
+      ("Reaches", OnProperty, "located"),
+      ("Reaches", SomeValuesFrom, "World"),
+      ("zone", "located", "world"), ("world", "a", "World"),
+      ("acme", "a", "Gold")
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlFullEntailed(g,
+      patternConsts = Seq[Any]("Gold", "Reaches"),
+      patternPreds = Seq[Any]("located")))
+    ReasonOps.lastFullEntailedPasses.get() shouldBe -1L
+    got shouldBe tset(ReasonOps.owlFullClosure(g))
+    // the full feedback chain landed: hv emitted acme->zone, the
+    // transitive closure extended it to world, the svf typed acme
+    got should contain allOf (
+      ("acme", "located", "zone"),
+      ("acme", "located", "world"),
+      ("acme", "a", "Reaches"))
+  }
+
   "ReasonOps.owlFullDelta" should "maintain the joint closure across families" in {
     // base: transitive located spine + svf/hv TBox, but acme's HQ
     // membership has NOT arrived: no hv edge, no Reaches typing yet.
