@@ -561,12 +561,20 @@ object GraphOps {
     * belongs to SCC(m) — and the global-minimum vertex's whole SCC is
     * always determined, so each pass peels at least one min-anchored
     * layer off the condensation DAG and the loop terminates.
-    * Determined vertices and their edges drop; the next pass runs on
-    * the remainder. Shuffle-shaped like [[connectedComponents]]
-    * (keyed equi-joins, nothing driver-side), so it scales with the
-    * edge relation; rounds track per-pass reach DIAMETER × DAG
-    * layering — deep chain-of-SCCs condensations pay proportional
-    * passes (`maxRounds` bounds the total loudly).
+    * Determined vertices drop, and so does every CROSS-CLASS edge: two
+    * vertices of one SCC share their whole (minFwd, minBwd) label
+    * PAIR, so the undetermined remainder partitions by pair and only
+    * intra-class edges can be intra-SCC — a k-layer chain-of-SCCs
+    * condensation splits into its k independent classes after ONE pass
+    * and finishes on the next, instead of peeling k min-anchored
+    * layers. Deep propagation inside a pass adaptively DOUBLES the
+    * remainder's reach (every 8 rounds the edge set unions its own
+    * composition — reachability, and therefore every label and SCC,
+    * is unchanged while label travel distance doubles), so rounds
+    * track log(diameter) on adversarially deep graphs. Shuffle-shaped
+    * like [[connectedComponents]] (keyed equi-joins, nothing
+    * driver-side), so it scales with the edge relation; `maxRounds`
+    * bounds the total loudly.
     */
   def stronglyConnectedComponents(spark: org.apache.spark.sql.SparkSession,
                                   edges: DataFrame,
@@ -585,15 +593,25 @@ object GraphOps {
     def labSum(lab: DataFrame): java.math.BigDecimal =
       lab.agg(sum(col("lab").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
-    def minReach(e: DataFrame, nodes: DataFrame): DataFrame = {
+    def minReach(e0: DataFrame, nodes: DataFrame): DataFrame = {
+      var e = e0
       var lab = pins.pin(nodes.select(col("node"), col("node").as("lab")))
       var s = labSum(lab)
+      var localRound = 0
       var done = false
       while (!done) {
         rounds += 1
+        localRound += 1
         require(rounds <= maxRounds,
           s"SCC propagation exceeded $maxRounds rounds - the " +
             "condensation DAG is adversarially deep; raise maxRounds")
+        // deep propagation: double the reach so labels travel 2^k hops
+        // (E ∪ E∘E preserves reachability exactly)
+        if (localRound % 8 == 0)
+          e = pins.pin(e.unionAll(
+              e.toDF("a", "m").join(e.toDF("m", "b"), "m")
+                .select("a", "b"))
+            .distinct())
         val next = pins.pin(
           lab.unionAll(e.join(lab, e("b") === lab("node"))
               .select(e("a").as("node"), col("lab")))
@@ -610,16 +628,24 @@ object GraphOps {
       val fwd = minReach(remE, remN)
       val bwd = minReach(
         remE.select(col("b").as("a"), col("a").as("b")), remN)
-      val det = pins.pin(
-        fwd.join(bwd.toDF("node", "lab2"), "node")
-          .where(col("lab") === col("lab2"))
-          .select(col("node"), col("lab").as("scc")))
+      val both = pins.pin(
+        fwd.join(bwd.toDF("node", "lab2"), "node"))
+      val det = both.where(col("lab") === col("lab2"))
+        .select(col("node"), col("lab").as("scc"))
       parts += det
-      val detN = det.select(col("node"))
-      remN = pins.pin(remN.join(detN, Seq("node"), "left_anti"))
+      remN = pins.pin(both.where(col("lab") =!= col("lab2"))
+        .select(col("node")))
+      // pair partition: an intra-SCC edge has identical (fwd, bwd)
+      // pairs at both ends, and determined classes are exactly those
+      // with fwd == bwd — keeping unequal-pair-matched edges drops
+      // both the determined classes' edges and every cross-class one
+      val pr = both.select(col("node"), col("lab").as("f"),
+        col("lab2").as("b2"))
       remE = pins.pin(remE
-        .join(detN.toDF("a"), Seq("a"), "left_anti")
-        .join(detN.toDF("b"), Seq("b"), "left_anti")
+        .join(pr.toDF("a", "fa", "ba"), "a")
+        .join(pr.toDF("b", "fb", "bb"), "b")
+        .where(col("fa") === col("fb") && col("ba") === col("bb") &&
+          col("fa") =!= col("ba"))
         .select("a", "b"))
       remaining = remN.count()
     }

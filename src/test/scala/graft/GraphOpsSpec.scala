@@ -331,6 +331,29 @@ class GraphOpsSpec extends SparkSpec {
       (0 until 10).map(g => g * 4 + 1L).toSet
   }
 
+  it should "bound rounds on a 50-layer adversarial condensation" in {
+    // 50 chained 4-rings: min-anchored peeling alone pays ~one pass
+    // per layer with diameter-long propagation (O(layers²) rounds);
+    // the pair partition must split every ring into its own class
+    // after pass one, and the adaptive reach-doubling must keep the
+    // first pass's propagation logarithmic in the 200-hop depth
+    val edges = (0 until 50).flatMap { g =>
+      val base = g * 4 + 1L
+      (0 until 4).map(i =>
+        (base + i, if (i == 3) base else base + i + 1))
+    } ++ (0 until 49).map(g => (g * 4 + 1L, g * 4 + 5L))
+    val got = GraphOps.stronglyConnectedComponents(spark,
+      edges.toDF("a", "b"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    got.groupBy(_._2).keySet shouldBe
+      (0 until 50).map(g => g * 4 + 1L).toSet
+    got.filter(_._2 == 197L) shouldBe
+      Set((197L, 197L), (198L, 197L), (199L, 197L), (200L, 197L))
+    // log-bounded, not layer-bounded: far under the default maxRounds
+    // a 50-pass peel would blow through
+    GraphOps.lastSccRounds.get() should be < 80L
+  }
+
   it should "keep directed semantics: a DAG is all singletons" in {
     val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L))
     val got = GraphOps.stronglyConnectedComponents(spark,
