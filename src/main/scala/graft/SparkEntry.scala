@@ -2954,6 +2954,45 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** FEEDING-chain retraction on the Δ path ([[ReasonOps.owlRetract]]
+    * with a SELF-chain): `within ⊑ within ∘ within` declared as a
+    * chain axiom IS transitivity, so deletes route through the
+    * transitive path-reroute DRed instead of the feeding-chain
+    * re-materialization. Customers chain `within` inside 8-blocks; the
+    * DELETE removes each block's 3→4 hop, splitting every block into
+    * two independent path segments — the maintained closure must keep
+    * exactly the non-spanning pairs (ReasonSpec pins
+    * `lastRetractRematerialized == false` for this shape), hash-equal
+    * to the closed-form segment-pair oracle.
+    */
+  private def owlSelfChainDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val k = col("c_custkey")
+    val ck = concat(lit("customer:"), k)
+    val ck1 = concat(lit("customer:"), k + 1)
+    val tbox = s.createDataFrame(Seq(
+      ("within", ReasonOps.PropertyChainAxiom, "_:w0"),
+      ("_:w0", ReasonOps.RdfFirst, "within"),
+      ("_:w0", ReasonOps.RdfRest, "_:w1"),
+      ("_:w1", ReasonOps.RdfFirst, "within"),
+      ("_:w1", ReasonOps.RdfRest, ReasonOps.RdfNil))).toDF("s", "p", "o")
+    val keys = cu.select(ck.as("o"))
+    def hops(cond: org.apache.spark.sql.Column) =
+      cu.where(cond).select(ck.as("s"), lit("within").as("p"),
+          ck1.as("o"))
+        .join(keys, Seq("o"), "left_semi")
+        .select("s", "p", "o")
+    val base = hops(k % 8 =!= 7).unionAll(tbox)
+    val closure = GraftStore.reasonArtifact(s, d, "owl_selfchain_base") {
+      ReasonOps.owlClosure(base)
+    }
+    ReasonOps.owlRetract(closure, base, hops(k % 8 === 3), tbox)
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"))
+      .orderBy("p")
+  }
+
   /** The per-graph twin of [[owlChainQ]] ([[ReasonOps.owlClosureQuads]]):
     * customers split into `even`/`odd` named graphs by key parity, the
     * geography spine lives in BOTH graphs, and every chain composition
@@ -5254,6 +5293,7 @@ object SparkEntry {
     "q_owl_chain" -> (owlChainQ _),
     "q_owl_chain_delta" -> (owlChainDeltaQ _),
     "q_owl_chain_del" -> (owlChainDelQ _),
+    "q_owl_selfchain_del" -> (owlSelfChainDelQ _),
     "q_owl_chain_quads" -> (owlChainQuadsQ _),
     "q_owl_rl" -> (owlRlQ _),
     "q_owl_rl_rewrite" -> (owlRlRewriteQ _),
@@ -7702,6 +7742,22 @@ object SparkEntry {
     "q_owl_chain" -> owlChainOracle,
     "q_owl_chain_delta" -> owlChainDeltaOracle,
     "q_owl_chain_del" -> owlChainDelOracle,
+    // self-chain retraction: blocks split at the deleted 3→4 hop, the
+    // maintained closure keeps exactly the same-half pairs
+    "q_owl_selfchain_del" ->
+      """WITH w AS (
+        |  SELECT a.c_custkey AS ka, b.c_custkey AS kb
+        |  FROM customer a JOIN customer b
+        |    ON floor(a.c_custkey / 8) = floor(b.c_custkey / 8)
+        |   AND a.c_custkey < b.c_custkey
+        |   AND ((a.c_custkey % 8 <= 3 AND b.c_custkey % 8 <= 3) OR
+        |        (a.c_custkey % 8 >= 4 AND b.c_custkey % 8 >= 4)))
+        |SELECT * FROM (
+        |  SELECT 'owl:propertyChainAxiom' AS p, 1 AS n, 1 AS ns
+        |  UNION ALL SELECT 'rdf:first', 2, 2
+        |  UNION ALL SELECT 'rdf:rest', 2, 2
+        |  UNION ALL SELECT 'within', count(*), count(DISTINCT ka) FROM w
+        |) ORDER BY p""".stripMargin,
     "q_owl_chain_quads" -> owlChainQuadsOracle,
     "q_owl_rl" -> owlRlOracle,
     "q_owl_rl_rewrite" -> owlRlRewriteOracle,

@@ -1840,14 +1840,20 @@ object ReasonOps {
     *      survive through their underlying direction); the closure
     *      streams through ONE broadcast anti-join.
     *
-    * CHAIN-AXIOM DEGRADATION (documented, the [[functionalDelta]]
-    * hasKey analog): when the TBox declares any
-    * `owl:propertyChainAxiom`, DRed's per-property path-reroute frontier
-    * no longer covers the multi-premise chain rules, so this op falls
-    * back to RE-MATERIALIZING the remaining base ([[owlClosure]] of
+    * CHAIN AXIOMS: a SELF-chain `p ∘ p ⊑ p` is exactly
+    * TransitiveProperty(p) and retracts through the Δ-shaped
+    * path-reroute DRed like any declared transitive property;
+    * SINGLE-LAYER chains (heads that feed no other rule) retract
+    * Δ-shaped through one over-delete + re-derive pass over the
+    * maintained body slices (transitive bodies included — the
+    * property-rule removal maintains them first). The REMAINING
+    * feeding shapes — a head feeding a different chain's body, or
+    * paired with inverse/symmetric rules — would need per-conclusion
+    * premise provenance across rule layers, so this op falls back to
+    * RE-MATERIALIZING the remaining base ([[owlClosure]] of
     * `base − deletions`) — always correct, but O(closure) per deletion
-    * batch rather than O(Δ). Callers maintaining chain-bearing corpora
-    * under heavy deletes should batch deletions accordingly;
+    * batch rather than O(Δ). Callers maintaining such corpora under
+    * heavy deletes should batch deletions accordingly;
     * [[lastRetractRematerialized]] reports which path ran.
     *
     * Returns the maintained closure, set-equal to
@@ -1948,27 +1954,40 @@ object ReasonOps {
         "incremental retraction")
     val e = norm(closure)
     val baseRem = rowAnti(norm(base), del)
-    // Chain axioms and DRed: SINGLE-LAYER chains — heads that feed no
-    // other rule (not transitive/symmetric/inverse-paired and in no
-    // chain body, so conclusions are never premises) — retract
-    // Δ-shaped below: over-delete the compositions through a removed
-    // premise, then re-derive candidates over the maintained body
-    // slices (per-position broadcast joins, the deriveChainsDelta
-    // shape). FEEDING chains (a self-chain IS transitivity) would need
-    // per-conclusion premise provenance across rule layers —
-    // deliberately re-materialize the remaining base instead: always
-    // correct, the same sound fallback as frontier non-convergence
-    // below, DOCUMENTED in the public scaladoc
-    // (+ lastRetractRematerialized telemetry).
-    val bodyPreds = chains.flatMap(_._2).toSet
-    val chainHeads = chains.map(_._1).toSet
-    val singleLayer = chains.forall { case (h, _) =>
-      !trans.contains(h) && !sym.contains(h) &&
+    // A SELF-CHAIN `p ∘ p ⊑ p` IS TransitiveProperty(p) (prp-spo2 with
+    // the head as its own two-element body): folding those heads into
+    // the transitive set is EXACT (identical fixpoint) and routes
+    // their deletes through the Δ-shaped per-property path-reroute
+    // DRed below — the most common "feeding chain" (transitivity
+    // declared via a chain axiom) no longer re-materializes.
+    val (selfChains, chainRules) = chains.partition {
+      case (h, body) => body == Seq(h, h) }
+    val transAll = (trans ++ selfChains.map(_._1)).distinct
+    // Remaining chain axioms and DRed: SINGLE-LAYER chains — heads
+    // that feed no other rule (not transitive/symmetric/
+    // inverse-paired and in no chain body, so conclusions are never
+    // premises) — retract Δ-shaped below: over-delete the
+    // compositions through a removed premise, then re-derive
+    // candidates over the maintained body slices (per-position
+    // broadcast joins, the deriveChainsDelta shape; TRANSITIVE body
+    // slices are fine — they are maintained by the property-rule
+    // removal before the chain layer reads them). OTHER feeding
+    // chains (a head feeding a different chain's body, or paired with
+    // inverse/symmetric rules) would need per-conclusion premise
+    // provenance across rule layers — deliberately re-materialize the
+    // remaining base instead: always correct, the same sound fallback
+    // as frontier non-convergence below, DOCUMENTED in the public
+    // scaladoc (+ lastRetractRematerialized telemetry).
+    val bodyPreds = chainRules.flatMap(_._2).toSet
+    val chainHeads = chainRules.map(_._1).toSet
+    val singleLayer = chainRules.forall { case (h, _) =>
+      !transAll.contains(h) && !sym.contains(h) &&
         !inv.exists(pr => pr._1 == h || pr._2 == h) &&
         !bodyPreds.contains(h) }
-    lastRetractRematerialized.set(chains.nonEmpty && !singleLayer)
-    if (chains.nonEmpty && !singleLayer)
-      return owlCloseCore(baseRem, inv, sym, trans, hasGraph, chains)
+    lastRetractRematerialized.set(chainRules.nonEmpty && !singleLayer)
+    if (chainRules.nonEmpty && !singleLayer)
+      return owlCloseCore(baseRem, inv, sym, transAll, hasGraph,
+        chainRules)
     // the frontier-size fallback check below must honor the same
     // session conf the pinCapped broadcasts do
     val effCap = effectiveDeltaCap(deletions.sparkSession, deltaCap)
@@ -1981,7 +2000,7 @@ object ReasonOps {
         deltaCap, "over-delete direct images", remat)
       // ... + per transitive property, all paths through a deleted edge
       // (within the edge's graph on the quad path)
-      val oPs: Seq[(Any, DataFrame)] = trans.map { pp =>
+      val oPs: Seq[(Any, DataFrame)] = transAll.map { pp =>
         val dp = dDirect.where(col("p") === pp)
           .select(Seq(col("s").as("a"), col("o").as("b")) ++ gsel: _*)
         val ep = e.where(col("p") === pp)
@@ -2096,7 +2115,7 @@ object ReasonOps {
           .distinct(),
         deltaCap, "re-derivable over-delete survivors", remat)
       val removalP = rowAnti(oAll, hits)
-      if (chains.isEmpty) rowAnti(e, removalP)
+      if (chainRules.isEmpty) rowAnti(e, removalP)
       else {
         // ---- single-layer chain DRed layer ----
         // conclusions are never premises here, so ONE pass is exact:
@@ -2111,8 +2130,8 @@ object ReasonOps {
         val headCond = col("p").isin(chainHeads.toSeq: _*)
         val touch = pinCapped(rp.where(bodyCond), deltaCap,
           "removed chain premises", remat)
-        val oC = deriveChainsDelta(e, touch, chains, hasGraph, deltaCap,
-          remat)
+        val oC = deriveChainsDelta(e, touch, chainRules, hasGraph,
+          deltaCap, remat)
         // candidates: over-deleted conclusions, plus directly-removed
         // head rows (a deleted base head edge may be chain-derivable)
         val cands = pinCapped(oC.unionAll(rp.where(headCond)).distinct(),
@@ -2122,7 +2141,7 @@ object ReasonOps {
         val probeNames = Seq("__pa", "__pc", "__pb") ++
           (if (hasGraph) Seq("__pg") else Nil)
         def gEqC = if (hasGraph) Seq(col("g") <=> col("__pg")) else Nil
-        val surLegs = chains.map { case (h, body) =>
+        val surLegs = chainRules.map { case (h, body) =>
           var acc = cands.where(col("p") === h)
             .select(Seq(col("s").as("__pa"), col("s").as("__pc"),
               col("o").as("__pb")) ++
@@ -2166,7 +2185,7 @@ object ReasonOps {
         // than 2^maxRounds segments): re-close the remaining base —
         // always correct, one full materialization instead of a failure
         lastRetractRematerialized.set(true)
-        owlCloseCore(baseRem, inv, sym, trans, hasGraph, chains)
+        owlCloseCore(baseRem, inv, sym, transAll, hasGraph, chainRules)
     }
   }
 

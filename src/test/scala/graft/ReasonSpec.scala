@@ -1986,6 +1986,62 @@ class ReasonSpec extends SparkSpec {
     got should not contain (("n1", "locIn", "w", "g1")) // transitive DRed
   }
 
+  it should "retract a SELF-chain (transitivity via chain axiom) on the delta path" in {
+    // locIn ∘ locIn ⊑ locIn IS TransitiveProperty(locIn): deleting the
+    // middle hop must reroute through the transitive DRed (no
+    // re-materialization), kill the broken long paths, and keep the
+    // survivor that reaches through the alternative hop
+    val tbox = chainAxiom("locIn", Seq("locIn", "locIn"))
+      .toDF("s", "p", "o")
+    val base = chainAxiom("locIn", Seq("locIn", "locIn")) ++ Seq(
+      ("c", "locIn", "n"), ("n", "locIn", "r"), ("r", "locIn", "w"),
+      ("c", "locIn", "n2"), ("n2", "locIn", "r"))
+    val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
+    tset(closure) should contain (("c", "locIn", "w"))
+    val del = Seq(("n", "locIn", "r")).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRetract(closure,
+      base.toDF("s", "p", "o"), del, tbox))
+    ReasonOps.lastRetractRematerialized.get() shouldBe false // Δ path
+    got shouldBe tset(ReasonOps.owlClosure(
+      base.filterNot(_ == (("n", "locIn", "r"))).toDF("s", "p", "o")))
+    got should contain (("c", "locIn", "w"))      // via n2 survives
+    got should not contain (("n", "locIn", "w"))  // only path deleted
+    // BONUS feeding shape now Δ-shaped: a self-chain (= transitivity)
+    // whose closure feeds another chain's BODY — the body slices are
+    // maintained by the transitive DRed before the chain layer reads
+    // them, so the composite retracts without re-materializing
+    val tbox2 = (chainAxiom("locIn", Seq("locIn", "locIn")) ++
+      chainAxiom("basedIn", Seq("cn", "locIn"))).toDF("s", "p", "o")
+    val base2 = chainAxiom("locIn", Seq("locIn", "locIn")) ++
+      chainAxiom("basedIn", Seq("cn", "locIn")) ++ Seq(
+      ("x", "cn", "c"), ("c", "locIn", "n"), ("n", "locIn", "r"))
+    val closure2 = ReasonOps.owlClosure(base2.toDF("s", "p", "o"))
+    tset(closure2) should contain (("x", "basedIn", "r"))
+    val got2 = tset(ReasonOps.owlRetract(closure2,
+      base2.toDF("s", "p", "o"),
+      Seq(("n", "locIn", "r")).toDF("s", "p", "o"), tbox2))
+    ReasonOps.lastRetractRematerialized.get() shouldBe false
+    got2 shouldBe tset(ReasonOps.owlClosure(
+      base2.filterNot(_ == (("n", "locIn", "r"))).toDF("s", "p", "o")))
+    got2 should not contain (("x", "basedIn", "r"))
+    // a chain head feeding ANOTHER chain's body still re-materializes
+    // (per-conclusion provenance across rule layers — the documented
+    // boundary)
+    val tbox3 = (chainAxiom("h1", Seq("pa", "pb")) ++
+      chainAxiom("h2", Seq("h1", "pc"))).toDF("s", "p", "o")
+    val base3 = chainAxiom("h1", Seq("pa", "pb")) ++
+      chainAxiom("h2", Seq("h1", "pc")) ++ Seq(
+      ("x", "pa", "y"), ("y", "pb", "z"), ("z", "pc", "w"))
+    val closure3 = ReasonOps.owlClosure(base3.toDF("s", "p", "o"))
+    tset(closure3) should contain (("x", "h2", "w"))
+    val got3 = tset(ReasonOps.owlRetract(closure3,
+      base3.toDF("s", "p", "o"),
+      Seq(("y", "pb", "z")).toDF("s", "p", "o"), tbox3))
+    ReasonOps.lastRetractRematerialized.get() shouldBe true
+    got3 shouldBe tset(ReasonOps.owlClosure(
+      base3.filterNot(_ == (("y", "pb", "z"))).toDF("s", "p", "o")))
+  }
+
   "ReasonOps.owlRetract property chains" should "re-materialize to the exact remaining closure" in {
     val tbox = chainAxiom("grand", Seq("par", "par")).toDF("s", "p", "o")
     val base = chainAxiom("grand", Seq("par", "par")) ++ Seq(
