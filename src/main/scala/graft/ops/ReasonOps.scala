@@ -271,8 +271,17 @@ object ReasonOps {
     * is unpinned before rethrowing, so the guard path never leaks the
     * oversized frame it exists to keep out of memory.
     */
+  /** Per-label pinCapped call counts, populated when the
+    * `graft.pins.trace` system property is set (JobTrace dev
+    * profiling — a pin is at least one scheduled job, so the label
+    * histogram IS the maintenance job-floor map). */
+  private[graft] val pinLabelCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+
   private def pinCapped(df: DataFrame, cap: Option[Long], what: String,
                         remat: String): DataFrame = {
+    if (sys.props.contains("graft.pins.trace"))
+      pinLabelCounts.merge(what, 1L, (a, b) => a + b)
     val eff = effectiveDeltaCap(df.sparkSession, cap)
     // Small-delta fast path: collect to a DRIVER-LOCAL relation in ONE
     // job. Every maintenance probe is broadcast at its use sites, and a
@@ -574,15 +583,28 @@ object ReasonOps {
   def incrementNovel(existing: DataFrame, increment: DataFrame,
                      deltaCap: Option[Long] = None): DataFrame = {
     val raw = incrementNovelRaw(existing, increment, deltaCap)
-    // constraint-stripping RDD round-trip on the Δ-sized output: the
+    // constraint-stripping boundary on the Δ-sized output: the
     // null-safe anti-join's constraints reference the dropped probe
     // attributes, and Spark 4.1's Union constraint rewrite throws
     // "key not found" when the novel rows later feed a union (the
-    // normal composition). Same workaround + reasoning as
-    // [[transitiveClosure]]'s grouped mode; the broadcast-only shape
-    // below the boundary is unchanged (PlanSpec asserts it on the raw
-    // plan).
-    existing.sparkSession.createDataFrame(raw.rdd, raw.schema)
+    // normal composition). When both anti-join sides collapsed to
+    // driver-local relations (the small-delta path), strip by
+    // collecting to ONE LocalRelation — constraint-free like the RDD
+    // round-trip, but every downstream action and broadcast of the
+    // composed closure's novelty leg stays job-free (an RDD-backed
+    // plan re-executes per read). Distributed inputs keep the RDD
+    // round-trip; the broadcast-only shape below the boundary is
+    // unchanged (PlanSpec asserts it on the raw plan).
+    val allLocal = raw.queryExecution.optimizedPlan.collectLeaves().forall {
+      case _: org.apache.spark.sql.catalyst.plans.logical.LocalRelation =>
+        true
+      case _ => false
+    }
+    if (allLocal) {
+      import scala.jdk.CollectionConverters._
+      existing.sparkSession.createDataFrame(
+        new java.util.ArrayList(raw.collect().toSeq.asJava), raw.schema)
+    } else existing.sparkSession.createDataFrame(raw.rdd, raw.schema)
   }
 
   /** The novelty anti-join itself, pre the constraint-stripping

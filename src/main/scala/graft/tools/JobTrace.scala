@@ -53,6 +53,8 @@ object JobTrace {
       })
     val fn = graft.SparkEntry.queries(gate)
     fn(spark, dir).collect() // warm (artifacts build here)
+    sys.props("graft.pins.trace") = "1"
+    graft.ops.ReasonOps.pinLabelCounts.clear()
     tracing = true
     fn(spark, dir).collect()
     Thread.sleep(300)
@@ -62,6 +64,11 @@ object JobTrace {
     counts.asScala.toSeq.sortBy(-_._2).foreach { case (cs, n) =>
       println(f"$n%5d  $cs")
     }
+    println("== pinCapped calls by label ==")
+    graft.ops.ReasonOps.pinLabelCounts.asScala.toSeq
+      .sortBy(-_._2.longValue).foreach { case (w, n) =>
+        println(f"${n.longValue}%5d  $w")
+      }
     spark.stop()
   }
 }

@@ -1921,15 +1921,17 @@ class ReasonSpec extends SparkSpec {
   }
 
   it should "report the re-materialization fallback via telemetry" in {
-    // a SELF-chain (locIn ∘ locIn ⊑ locIn) feeds itself — conclusions
-    // are premises, so retraction re-materializes and reports it
-    val tbox = chainAxiom("locIn", Seq("locIn", "locIn"))
-      .toDF("s", "p", "o")
-    val base = chainAxiom("locIn", Seq("locIn", "locIn")) ++ Seq(
-      ("a", "locIn", "b"), ("b", "locIn", "c"))
+    // a chain head feeding ANOTHER chain's body needs cross-layer
+    // premise provenance — retraction re-materializes and reports it
+    // (a SELF-chain is transitivity and takes the Δ path since r13)
+    val tbox = (chainAxiom("h1", Seq("pa", "pb")) ++
+      chainAxiom("h2", Seq("h1", "pc"))).toDF("s", "p", "o")
+    val base = chainAxiom("h1", Seq("pa", "pb")) ++
+      chainAxiom("h2", Seq("h1", "pc")) ++ Seq(
+      ("a", "pa", "b"), ("b", "pb", "c"), ("c", "pc", "d"))
     val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
     ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
-      Seq(("b", "locIn", "c")).toDF("s", "p", "o"), tbox).count()
+      Seq(("b", "pb", "c")).toDF("s", "p", "o"), tbox).count()
     ReasonOps.lastRetractRematerialized.get() shouldBe true
     // chain-free retraction takes the O(Δ) DRed path
     val tbox2 = Seq(("trans", "a", ReasonOps.TransitiveProperty)).toDF("s", "p", "o")
