@@ -6026,7 +6026,9 @@ object ReasonOps {
                        deltaCap: Option[Long] = None): ErMaintainer =
     new ErMaintainer(rewritten, mapping,
       (r, m, b) => functionalDelta(r, m, b, typePred, tboxCap,
-        deltaCap = deltaCap))
+        deltaCap = deltaCap),
+      (orig, dels, r, m) => erRetract(orig, dels, r, m, typePred,
+        tboxCap, deltaCap = deltaCap))
 
   /** [[erMaintainStream]] on the ENCODED (long-id) currency
     * ([[functionalDeltaEncoded]] per batch). */
@@ -6035,7 +6037,9 @@ object ReasonOps {
                               deltaCap: Option[Long] = None): ErMaintainer =
     new ErMaintainer(rewritten, mapping,
       (r, m, b) => functionalDeltaEncoded(r, m, b, ids, tboxCap,
-        deltaCap = deltaCap))
+        deltaCap = deltaCap),
+      (orig, dels, r, m) => erRetractEncoded(orig, dels, r, m, ids,
+        tboxCap, deltaCap = deltaCap))
 
   /** Touched-group count of the most recent [[erRetract]] (old canons
     * whose merge groups the deletion dissolved or whose rows the patch
@@ -6473,21 +6477,24 @@ object ReasonOps {
   * and re-attaching with a `checkpointLocation` — [[ReasonOps.functionalDelta]]
   * updates are idempotent on a state that already holds a batch).
   *
-  * INSERT-ONLY: the stream folds NEW evidence in; it has no delete
-  * path, and sending a "tombstone" batch through [[update]] would be
-  * silently wrong (the delta function treats every row as an
-  * assertion). Retracting identity evidence — an erased record, a
-  * corrected key — is a batch operation against the SOURCE corpus:
-  * stop the stream, run [[ReasonOps.erRetract]] (group-scoped
-  * un-merge; needs the pre-canonicalization source rows, which the
-  * maintainer does not hold), and rebuild the maintainer from the
-  * returned state.
+  * The STREAM itself is insert-only: sending a "tombstone" batch
+  * through [[update]] would be silently wrong (the delta function
+  * treats every row as an assertion). Retracting identity evidence —
+  * an erased record, a corrected key — goes through the synchronous
+  * [[retract]] ([[ReasonOps.erRetract]]'s group-scoped un-merge),
+  * which needs the caller's durable pre-canonicalization SOURCE
+  * corpus: the maintainer holds only the rewritten state.
   */
 final class ErMaintainer private[ops] (
     rw0: org.apache.spark.sql.DataFrame,
     mp0: org.apache.spark.sql.DataFrame,
     deltaFn: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
               org.apache.spark.sql.DataFrame)
+      => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame),
+    retractFn: (org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.DataFrame,
+                org.apache.spark.sql.DataFrame)
       => (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) {
   import org.apache.spark.sql.DataFrame
   @volatile private var stateV: (DataFrame, DataFrame) =
@@ -6506,21 +6513,37 @@ final class ErMaintainer private[ops] (
     * streaming engine serializes foreachBatch calls, but direct
     * callers may race). */
   def update(batch: DataFrame): Unit = synchronized {
-    if (!batch.isEmpty) {
-      val prev = stateV
-      val (rw2, mp2) = deltaFn(prev._1, prev._2, batch)
-      // constraint-stripping RDD round-trip before the pins — the same
-      // Spark 4.1 localCheckpoint/Union constraint-rewrite hazard as
-      // ClosureMaintainer.update
-      def pin(df: DataFrame): DataFrame =
-        df.sparkSession.createDataFrame(df.rdd, df.schema)
-          .localCheckpoint(true)
-      stateV = (pin(rw2), pin(mp2))
-      retiring.enqueue(prev)
-      while (retiring.size > retireDepth) {
-        val (r, m) = retiring.dequeue()
-        graft.Pins.unpin(r); graft.Pins.unpin(m)
-      }
+    if (!batch.isEmpty) commit(deltaFn(stateV._1, stateV._2, batch))
+  }
+
+  /** Retract a batch of SOURCE rows through
+    * [[ReasonOps.erRetract]]'s group-scoped un-merge (the encoded
+    * maintainer routes through `erRetractEncoded`). Synchronous by
+    * design (deletions are an operator decision, not append-stream
+    * data), and it needs the caller's durable pre-canonicalization
+    * corpus — the maintainer holds only the rewritten state. The
+    * caller must pass the ORIGINAL corpus as of this state (base ∪
+    * every batch folded so far); after the call the maintained state
+    * equals from-scratch canonicalization of `original ∖ deletions`. */
+  def retract(original: DataFrame, deletions: DataFrame): Unit =
+    synchronized {
+      if (!deletions.isEmpty)
+        commit(retractFn(original, deletions, stateV._1, stateV._2))
+    }
+
+  private def commit(next: (DataFrame, DataFrame)): Unit = {
+    val prev = stateV
+    // constraint-stripping RDD round-trip before the pins — the same
+    // Spark 4.1 localCheckpoint/Union constraint-rewrite hazard as
+    // ClosureMaintainer.update
+    def pin(df: DataFrame): DataFrame =
+      df.sparkSession.createDataFrame(df.rdd, df.schema)
+        .localCheckpoint(true)
+    stateV = (pin(next._1), pin(next._2))
+    retiring.enqueue(prev)
+    while (retiring.size > retireDepth) {
+      val (r, m) = retiring.dequeue()
+      graft.Pins.unpin(r); graft.Pins.unpin(m)
     }
   }
 

@@ -58,7 +58,11 @@ object ScaleProbe {
       "q_owl_haskey", "q_owl_haskey_delta", "q_sameas_delta",
       // round-12 second session: the four-source ER capstone, batch
       // validation, directed components
-      "q_owl_er_full", "q_consistency_delta", "q_scc")
+      "q_owl_er_full", "q_consistency_delta", "q_scc",
+      // round-13: the delete side of identity/validation, the lazy
+      // joint rewrite, self-chain DRed
+      "q_er_retract", "q_consistency_del", "q_owl_full_rewrite",
+      "q_owl_selfchain_del")
     // per-run Spark JOB counter: driver-latency floors are jobs ×
     // scheduling latency, so a gate whose job count is flat at 10× and
     // whose wall tracks jobs is latency-bound, not data-bound

@@ -1733,6 +1733,31 @@ class ReasonSpec extends SparkSpec {
         .toDF("s", "p", "o"))))
   }
 
+  "ErMaintainer retract" should "un-merge through the maintained state" in {
+    import graft.ops.ReasonOps._
+    val base = Seq(
+      ("email", "a", InverseFunctionalProperty),
+      ("cust", "email", "e"), ("cust", "name", "alice"))
+    val (rw0, mp0) = ReasonOps.functionalCanonicalize(base.toDF("s", "p", "o"))
+    val m = ReasonOps.erMaintainStream(rw0, mp0)
+    val b1 = Seq(("dup", "email", "e"), ("dup", "phone", "123"))
+    m.update(b1.toDF("s", "p", "o"))
+    pset(m.current._2) should contain (("dup", "cust"))
+    // retract the merge evidence through the maintainer: state must
+    // equal from-scratch canonicalization of the post-delete source
+    val original = (base ++ b1).toDF("s", "p", "o")
+    m.retract(original, Seq(("dup", "email", "e")).toDF("s", "p", "o"))
+    val (rwF, mpF) = ReasonOps.functionalCanonicalize(
+      original.join(Seq(("dup", "email", "e")).toDF("s", "p", "o"),
+        Seq("s", "p", "o"), "left_anti"))
+    tset(m.current._1) shouldBe tset(rwF)
+    pset(m.current._2) shouldBe pset(mpF)
+    tset(m.current._1) should contain (("dup", "phone", "123"))
+    // and the stream keeps composing after the un-merge
+    m.update(Seq(("dup2", "email", "e")).toDF("s", "p", "o"))
+    pset(m.current._2) should contain (("dup2", "cust"))
+  }
+
   // ------------------------------------------------------------------
   // owl:propertyChainAxiom (OWL 2 RL prp-spo2)
   // ------------------------------------------------------------------
