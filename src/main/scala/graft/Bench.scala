@@ -21,6 +21,10 @@ object Bench {
       .withExtensions(new graft.functions.GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // local-iteration conf overrides: SPARK_GRAFT_CONF="k=v;k=v"
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
+      val Array(k2, v) = kv.split("=", 2); spark.conf.set(k2, v)
+    })
     // Releasing a SUPERSEDED local checkpoint (the Pins contract: seal
     // materializes the result before freeing loop intermediates) makes
     // the RDD layer warn that the truncated lineage "cannot be

@@ -290,22 +290,18 @@ object ReasonOps {
     // job per distinct use-plan, and the lazily-chained corpus plans
     // the maintenance ops return RE-EXECUTE those exchanges in every
     // subsequent action. Measured on q_owl_haskey_delta: 101 of 114
-    // warm-run jobs were broadcast exchanges. The inline cap bounds
-    // driver memory (rows held once, like any broadcast); above it the
-    // original pin-and-count path applies unchanged.
+    // warm-run jobs were broadcast exchanges, and localizing its
+    // probes cut it to 91. A local relation, however, RE-SHIPS its
+    // rows from the driver on every action that scans it, so
+    // localization only wins in the driver-floor regime (tiny
+    // maintenance batches, interactive sessions) — at bench scale the
+    // re-ship cost measured up to 2× wall on the loop-heavy delta
+    // gates. Default OFF; sessions living in the floor regime opt in
+    // with `spark.graft.reason.inlineProbeCap` (rows; probes at or
+    // under it collapse to driver-local relations).
     val icap = math.min(eff, math.max(0L,
       df.sparkSession.conf
-        .get("spark.graft.reason.inlineProbeCap", "65536").toLong))
-    if (icap > 0 && icap < Int.MaxValue - 1) {
-      val head = df.limit(icap.toInt + 1).collect()
-      if (head.length <= icap) {
-        import scala.jdk.CollectionConverters._
-        return df.sparkSession.createDataFrame(
-          new java.util.ArrayList(head.toSeq.asJava), df.schema)
-      }
-      // larger than the inline cap: fall through to the pinned path
-      // (re-evaluates df once — the large-delta case is the rare one)
-    }
+        .get("spark.graft.reason.inlineProbeCap", "0").toLong))
     val c = graft.Pins.checkpointLazy(df)
     try {
       val n = c.count()
@@ -315,6 +311,16 @@ object ReasonOps {
           s"large is faster and safer to re-materialize ($remat). Raise " +
           "deltaCap (explicit parameter, or spark.graft.reason.deltaCap " +
           "session-wide) only if the driver can hold the broadcast.")
+      if (n <= icap) {
+        // tiny probe: collect from the just-materialized blocks (one
+        // cheap cached-read job — the frame is NEVER re-evaluated) and
+        // release the pin; re-ship cost at this size is microseconds
+        val head = c.collect()
+        graft.Pins.unpin(c)
+        import scala.jdk.CollectionConverters._
+        return df.sparkSession.createDataFrame(
+          new java.util.ArrayList(head.toSeq.asJava), df.schema)
+      }
       c
     } catch {
       case t: Throwable =>
@@ -5615,7 +5621,12 @@ object ReasonOps {
         acc = slice.join(broadcast(acc), col("__xs") === col("__x"))
           .drop("__xs")
       }
-      val tuples = acc.distinct()
+      // pinned on this (distributed) path: the tuple set is read by
+      // the grouping, the star join-back, AND every downstream
+      // consumer of the derived pairs — unpinned it would re-execute
+      // the whole assembly per read
+      val tuples = pinCapped(acc.distinct(), deltaCap,
+        "hasKey candidate tuples", remat)
       val vcols = props.indices.map(i => col(s"__v$i"))
       val mins = tuples.groupBy(vcols: _*)
         .agg(min(col("__x")).as("__cv"), count(lit(1)).as("__cnt"))
