@@ -22,8 +22,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // local-iteration conf overrides: SPARK_GRAFT_CONF="k=v;k=v"
+    // (empty segments — trailing ';' — and '='-less entries are skipped,
+    // not MatchErrors)
     sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(";").foreach { kv =>
-      val Array(k2, v) = kv.split("=", 2); spark.conf.set(k2, v)
+      kv.split("=", 2) match {
+        case Array(k2, v) if k2.nonEmpty => spark.conf.set(k2, v)
+        case _                           => ()
+      }
     })
     // Releasing a SUPERSEDED local checkpoint (the Pins contract: seal
     // materializes the result before freeing loop intermediates) makes

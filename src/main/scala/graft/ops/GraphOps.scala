@@ -546,6 +546,20 @@ object GraphOps {
   private[graft] val lastSccRounds =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Largest edge-relation size the most recent
+    * [[stronglyConnectedComponents]] call worked with (input edges or
+    * any ACCEPTED reach-doubled composition) — scale-evidence
+    * telemetry for the composed-edge growth bound. */
+  private[graft] val lastSccEdges =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** How many times the most recent [[stronglyConnectedComponents]]
+    * call REJECTED a reach-doubling because the composed set exceeded
+    * the edge budget (each rejection degrades that peeling pass to
+    * plain rounds, loudly). */
+  private[graft] val lastSccEdgeBudgetTrips =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Strongly connected components of a DIRECTED edge relation — the
     * directed sibling of [[connectedComponents]], completing the graph
     * family (PageRank, label propagation, walks, triangles, BFS, CC).
@@ -571,10 +585,17 @@ object GraphOps {
     * remainder's reach (every 8 rounds the edge set unions its own
     * composition — reachability, and therefore every label and SCC,
     * is unchanged while label travel distance doubles), so rounds
-    * track log(diameter) on adversarially deep graphs. Shuffle-shaped
-    * like [[connectedComponents]] (keyed equi-joins, nothing
-    * driver-side), so it scales with the edge relation; `maxRounds`
-    * bounds the total loudly.
+    * track log(diameter) on adversarially deep graphs. The composed
+    * set can grow toward the remainder's transitive closure on dense
+    * deep graphs, so every doubling is BUDGETED: the candidate is
+    * counted and accepted only while it stays within
+    * `spark.graft.graph.sccEdgeBudgetFactor` (default 8) times the
+    * input edge count — past that the pass degrades LOUDLY to plain
+    * rounds (stderr + [[lastSccEdgeBudgetTrips]], sizes in
+    * [[lastSccEdges]]), still exact and still bounded by `maxRounds`.
+    * Shuffle-shaped like [[connectedComponents]] (keyed equi-joins,
+    * nothing driver-side), so it scales with the edge relation up to
+    * the budget; `maxRounds` bounds the total loudly.
     */
   def stronglyConnectedComponents(spark: org.apache.spark.sql.SparkSession,
                                   edges: DataFrame,
@@ -586,6 +607,12 @@ object GraphOps {
       .where(col("a").isNotNull && col("b").isNotNull).distinct())
     var remN = pins.pin(remE.select(col("a").as("node"))
       .unionAll(remE.select(col("b").as("node"))).distinct())
+    val e0 = remE.count()
+    val budgetFactor = spark.conf
+      .get("spark.graft.graph.sccEdgeBudgetFactor", "8").toLong
+    val edgeBudget = math.max(e0, 1L) * math.max(budgetFactor, 1L)
+    lastSccEdges.set(e0)
+    lastSccEdgeBudgetTrips.set(0)
     var rounds = 0L
     // min-label propagation to fixpoint over a (src, dst) view: each
     // round lab(v) = min(lab(v), min lab(w) over v -> w); converged
@@ -593,25 +620,51 @@ object GraphOps {
     def labSum(lab: DataFrame): java.math.BigDecimal =
       lab.agg(sum(col("lab").cast("decimal(38,0)")))
         .collect()(0).getDecimal(0)
-    def minReach(e0: DataFrame, nodes: DataFrame): DataFrame = {
-      var e = e0
+    def minReach(eIn: DataFrame, nodes: DataFrame): DataFrame = {
+      var e = eIn
       var lab = pins.pin(nodes.select(col("node"), col("node").as("lab")))
       var s = labSum(lab)
       var localRound = 0
+      var doubleStop = false
       var done = false
       while (!done) {
         rounds += 1
         localRound += 1
         require(rounds <= maxRounds,
           s"SCC propagation exceeded $maxRounds rounds - the " +
-            "condensation DAG is adversarially deep; raise maxRounds")
+            "condensation DAG is adversarially deep; raise maxRounds" +
+            (if (lastSccEdgeBudgetTrips.get() > 0)
+               " (reach doubling hit the composed-edge budget " +
+                 s"${lastSccEdgeBudgetTrips.get()} time(s); raising " +
+                 "spark.graft.graph.sccEdgeBudgetFactor trades memory " +
+                 "for rounds)"
+             else "")
+        )
         // deep propagation: double the reach so labels travel 2^k hops
-        // (E ∪ E∘E preserves reachability exactly)
-        if (localRound % 8 == 0)
-          e = pins.pin(e.unionAll(
+        // (E ∪ E∘E preserves reachability exactly). Budgeted: a dense
+        // deep remainder can push the composition toward its transitive
+        // closure, so the candidate is counted and REJECTED past the
+        // edge budget — the pass then degrades loudly to plain rounds.
+        if (localRound % 8 == 0 && !doubleStop) {
+          val (e2, n2) = pins.pinCounted(e.unionAll(
               e.toDF("a", "m").join(e.toDF("m", "b"), "m")
                 .select("a", "b"))
             .distinct())
+          if (n2 > edgeBudget) {
+            doubleStop = true
+            lastSccEdgeBudgetTrips.incrementAndGet()
+            if (n2 > lastSccEdges.get()) lastSccEdges.set(n2)
+            System.err.println(
+              s"[graft] SCC reach doubling rejected: composed edge set " +
+                s"$n2 exceeds budget $edgeBudget (= input $e0 x factor " +
+                s"$budgetFactor); degrading this pass to plain rounds - " +
+                "raise spark.graft.graph.sccEdgeBudgetFactor to trade " +
+                "memory for rounds")
+          } else {
+            e = e2
+            if (n2 > lastSccEdges.get()) lastSccEdges.set(n2)
+          }
+        }
         val next = pins.pin(
           lab.unionAll(e.join(lab, e("b") === lab("node"))
               .select(e("a").as("node"), col("lab")))

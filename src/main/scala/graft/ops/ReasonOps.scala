@@ -294,11 +294,20 @@ object ReasonOps {
     // probes cut it to 91. A local relation, however, RE-SHIPS its
     // rows from the driver on every action that scans it, so
     // localization only wins in the driver-floor regime (tiny
-    // maintenance batches, interactive sessions) — at bench scale the
-    // re-ship cost measured up to 2× wall on the loop-heavy delta
-    // gates. Default OFF; sessions living in the floor regime opt in
-    // with `spark.graft.reason.inlineProbeCap` (rows; probes at or
-    // under it collapse to driver-local relations).
+    // maintenance batches, interactive sessions) — at bench scale
+    // (sf0.1, local[32], repeat-3) the re-ship cost measured
+    // q_owl_full_delta 7.6 -> 14.1 s and the other loop-heavy delta
+    // gates 2-3x SLOWER, against a driver-floor win of 114 -> 91
+    // jobs on q_owl_haskey_delta. Default OFF; do NOT flip it on for
+    // a large session — opt in with
+    // `spark.graft.reason.inlineProbeCap` (rows; probes at or under
+    // it collapse to driver-local relations) only when the session
+    // lives in the driver-job-floor regime. EMPTY probes (n == 0)
+    // always localize regardless of the cap: an empty LocalRelation
+    // re-ships nothing and lets PropagateEmptyRelation fold away the
+    // joins it feeds, so it is strictly cheaper than a pinned empty
+    // frame (this is the configuration every bench anchor was
+    // measured under — intentional, not a disabled-feature leak).
     val icap = math.min(eff, math.max(0L,
       df.sparkSession.conf
         .get("spark.graft.reason.inlineProbeCap", "0").toLong))
@@ -6059,6 +6068,25 @@ object ReasonOps {
   private[graft] val lastErRetractTouched =
     new java.util.concurrent.atomic.AtomicLong(0)
 
+  /** Row count of the most recent [[erRetract]] POST-DELETE identity-
+    * evidence slice (the frame the r13 implementation ran the full
+    * fixpoint over) — the comparison anchor for
+    * [[lastErRetractSliceRows]]. */
+  private[graft] val lastErRetractEvidenceRows =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Row count of the sub-slice the most recent [[erRetract]] mapping
+    * re-derivation actually ran its fixpoint over (the touched-group
+    * fan-in, final expansion iteration) — scale-evidence telemetry:
+    * the re-derivation cost tracks THIS, not the evidence slice. */
+  private[graft] val lastErRetractSliceRows =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** Expansion-iteration count of the most recent [[erRetract]]
+    * touched-group closure (cross-group cascade depth + 1). */
+  private[graft] val lastErRetractExpansions =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Entity-resolution RETRACTION (un-merge) — the delete-side twin of
     * [[functionalDelta]], closing the identity family's lifecycle:
     * remove a batch of source rows (a retracted `owl:sameAs` edge, a
@@ -6074,13 +6102,36 @@ object ReasonOps {
     * derivable identities — the new merge groups REFINE the old ones
     * (groups split, never grow or jump members across groups). That
     * property makes a group-scoped patch exact:
-    *   1. re-derive the member → canonical mapping from the
-    *      POST-DELETE identity-evidence slice (the declared
-    *      properties' rows + key/restriction-class memberships —
-    *      slice-sized by the ER contract, zero corpus shuffles; the
-    *      same fixpoint [[functionalCanonicalize]] runs at build);
-    *   2. diff the two mappings: the touched old canons are those of
-    *      members whose canonical id changed, plus those of the
+    *   1. re-derive the member → canonical mapping ONLY for the
+    *      TOUCHED groups, over their evidence FAN-IN — not the whole
+    *      identity-evidence slice. Seed the touched set with the old
+    *      canons of the deleted rows' endpoints; extract the
+    *      post-delete evidence rows naming a touched group's member
+    *      (broadcast semis — the pinned slice streams) plus the
+    *      membership rows of those rows' pivot subjects (the
+    *      cardinality families group by subject); pre-canonicalize
+    *      every endpoint OUTSIDE the touched membership through the
+    *      (unchanged) old mapping; run the same [[erFixpointMapping]]
+    *      the build runs — over the fan-in-sized sub-slice. If the
+    *      re-derivation CHANGES any member's canon, every group
+    *      holding an evidence-neighbor of a changed member joins the
+    *      touched set and the closure re-runs (cross-group cascade: a
+    *      split pivot group regroups the stars hanging off it; a
+    *      split value group breaks the key tuples citing it) — to a
+    *      fixpoint, normally 1 iteration
+    *      ([[lastErRetractExpansions]]). Exactness: merges only ever
+    *      hold within one old group (refinement), endpoints outside
+    *      the touched membership keep their old canons by
+    *      construction of the closure, and a pre-canonicalized
+    *      boundary pair can never re-merge (it would have merged
+    *      pre-delete). The fixpoint input is the touched fan-in
+    *      ([[lastErRetractSliceRows]] vs the whole slice's
+    *      [[lastErRetractEvidenceRows]]), so an untouched group's
+    *      mapping is provably never recomputed;
+    *   2. graft: the new mapping is the old mapping minus the touched
+    *      membership's rows (one streaming anti) plus the re-derived
+    *      rows. The touched old canons for the corpus patch are those
+    *      of members whose canonical id changed, plus those of the
     *      deleted rows' endpoints (their image rows must re-derive
     *      support even when no group splits);
     *   3. patch the maintained corpus: drop every row naming a
@@ -6105,10 +6156,18 @@ object ReasonOps {
     * re-run [[functionalCanonicalize]]. Identity:
     * `erRetract(orig, Δ⁻, functionalCanonicalize(orig)...) ==
     *  functionalCanonicalize(orig ∖ Δ⁻)` (set-equality on both
-    * frames). The mapping re-derivation is slice-sized, not Δ-sized —
-    * a strictly Δ-scoped fixpoint needs per-group pair provenance
-    * (recorded as the next refinement); the corpus-side patch, the
-    * part that scales with data, IS Δ-group-scoped.
+    * frames). Both sides are Δ-group-scoped: the corpus patch pays
+    * the touched fan-in, and the mapping re-derivation's fixpoint
+    * input is the touched fan-in too (the r13 slice-sized fixpoint
+    * refinement, closed without build-side provenance storage — the
+    * touched closure derives the same bound at retract time, so the
+    * 100 TB build path carries nothing extra). The evidence slice
+    * still pays ONE streaming materialization pass to host the
+    * fan-in probes — no shuffle, no fixpoint over it. The graft step
+    * relies on the documented precondition that `mapping` IS the
+    * maintained fixpoint of `original` (a divergent mapping is the
+    * caller's broken contract; [[ErMaintainer.retract]] sanity-checks
+    * it).
     */
   def erRetract(original: DataFrame, deletions: DataFrame,
                 rewritten: DataFrame, mapping: DataFrame,
@@ -6163,47 +6222,169 @@ object ReasonOps {
       df.join(broadcast(dd.toDF("__xs", "__xp", "__xo")),
         col("s") === col("__xs") && col("p") === col("__xp") &&
           col("o") === col("__xo"), "left_anti")
-    // post-delete evidence slice + explicit identities (slice-sized;
-    // the corpus itself never materializes on this path)
+    // post-delete evidence slice + explicit identities, pinned ONCE
+    // (one streaming pass each; every touched-fan-in probe below
+    // streams through the pinned blocks — the fixpoint never reads
+    // the slice whole)
     val slice2 = erEvidenceCond(fps, ifps, keys, maxcR, maxqcR, voc)
       .fold(t.limit(0))(c => antiDd(t.where(c)))
       .localCheckpoint(true)
+    lastErRetractEvidenceRows.set(slice2.count())
     val sp02 = antiDd(t.where(col("p") === voc.sameAs))
       .select(col("s").as("a"), col("o").as("b"))
-    val m2 = erFixpointMapping(slice2, sp02, fps, ifps, keys, maxcR,
-      maxqcR, voc, maxRounds)
-    // mapping diff (absent member = identity): members whose canon
-    // changed name the groups that split; both frames are slice-sized
+      .localCheckpoint(true)
     val mcols = mapping.columns.take(2).toSeq
     val mOld = mapping.select(col(mcols(0)).as("member"),
       col(mcols(1)).as("c_old"))
-    val diff = mOld
-      .join(m2.select(col("member"), col("canon").as("c_new")),
-        Seq("member"), "full_outer")
-      .where(!(coalesce(col("c_old"), col("member")) <=>
-        coalesce(col("c_new"), col("member"))))
-    val ddEnds = dd.select(col("s").as("member"))
-      .unionAll(dd.select(col("o").as("member"))).distinct()
-    val ddOld = ddEnds.join(mOld, Seq("member"), "left")
-      .select(coalesce(col("c_old"), col("member")).as("c"))
+    val tySeq: Seq[Any] = voc.ty
+    // touched-group closure seed: old canons of the deleted rows'
+    // endpoints (unmapped endpoints seed as their own groups; the old
+    // mapping only ever STREAMS through broadcast semis)
+    val ddEnds = pinCapped(
+      dd.select(col("s").as("member"))
+        .unionAll(dd.select(col("o").as("member"))).distinct(),
+      deltaCap, "retraction deletion endpoints", remat)
+    val mDd = mOld.join(broadcast(ddEnds.toDF("__de")),
+      col("member") === col("__de"), "left_semi")
+    val seed0 = pinCapped(
+      ddEnds.join(broadcast(mDd), Seq("member"), "left")
+        .select(coalesce(col("c_old"), col("member")).as("c")).distinct(),
+      deltaCap, "retraction seed canons", remat)
+    var touched = seed0
+    var grpRows: DataFrame = null
+    var membersT: DataFrame = null
+    var mTT: DataFrame = null
+    var diffT: DataFrame = null
+    var expansion = 0
+    var done = false
+    while (!done) {
+      expansion += 1
+      require(expansion <= maxRounds,
+        s"ER retraction touched-group closure did not settle in " +
+          s"$maxRounds expansions - raise maxRounds")
+      // full membership of the touched groups under the OLD grouping
+      // (the mapping carries root rows, so canons are covered)
+      grpRows = pinCapped(
+        mOld.join(broadcast(touched.toDF("__c")),
+          col("c_old") === col("__c"), "left_semi"),
+        deltaCap, "retraction-touched mapping rows", remat)
+      membersT = pinCapped(
+        grpRows.select(col("member"))
+          .unionAll(touched.toDF("member")).distinct(),
+        deltaCap, "retraction-touched members", remat)
+      // touched fan-in: evidence rows naming a touched member, plus
+      // the cardinality-restriction membership rows of those rows'
+      // pivot subjects (maxc/maxqc group by subject — the counting
+      // needs the pivot's class membership even when the pivot itself
+      // is untouched; fp/ifp/hasKey rows all name a touched member
+      // directly, since a pivot star's merge side stays within one
+      // old group by refinement)
+      val pivotSubs = pinCapped(
+        slice2.join(broadcast(membersT.toDF("__m0")),
+            col("o") === col("__m0"), "left_semi")
+          .select(col("s").as("__ps")).distinct(),
+        deltaCap, "retraction pivot subjects", remat)
+      val cardClasses = (maxcR.map(_._1) ++ maxqcR.map(_._1)).distinct
+      val tyRows =
+        if (cardClasses.isEmpty) slice2.limit(0)
+        else slice2.where(col("p").isin(tySeq: _*) &&
+            col("o").isin(cardClasses: _*))
+          .join(broadcast(pivotSubs), col("s") === col("__ps"),
+            "left_semi")
+      val subP = graft.Pins.checkpointLazy(
+        slice2.join(broadcast(membersT.toDF("__m1")),
+            col("s") === col("__m1"), "left_semi")
+          .unionAll(slice2.join(broadcast(membersT.toDF("__m2")),
+            col("o") === col("__m2"), "left_semi"))
+          .unionAll(tyRows).distinct())
+      // boundary pre-canonicalization: endpoints OUTSIDE the touched
+      // membership keep their (unchanged) old canons — rewrite them up
+      // front so the restricted fixpoint groups pivot stars and key
+      // tuples exactly as the global one would
+      val subEnds = pinCapped(
+        subP.select(col("s").as("member"))
+          .unionAll(subP.select(col("o").as("member"))).distinct()
+          .join(broadcast(membersT.toDF("__m3")),
+            col("member") === col("__m3"), "left_anti"),
+        deltaCap, "retraction boundary endpoints", remat)
+      val mBound = pinCapped(
+        mOld.join(broadcast(subEnds.toDF("__be")),
+            col("member") === col("__be"), "left_semi")
+          .select(col("member"), col("c_old").as("canon")),
+        deltaCap, "retraction boundary mapping", remat)
+      val sub2 = graft.Pins.checkpointLazy(
+        applyMapping(subP, broadcast(mBound)))
+      lastErRetractSliceRows.set(sub2.count())
+      val sp0T = sp02.join(broadcast(membersT.toDF("__m4")),
+          col("a") === col("__m4"), "left_semi")
+        .unionAll(sp02.join(broadcast(membersT.toDF("__m5")),
+          col("b") === col("__m5"), "left_semi"))
+      val mT = erFixpointMapping(sub2, sp0T, fps, ifps, keys, maxcR,
+        maxqcR, voc, maxRounds)
+      mTT = mT.join(broadcast(membersT.toDF("__m6")),
+        col("member") === col("__m6"), "left_semi")
+      // changed members (absent member = identity): any canon change
+      // means the group split — its evidence neighbors' groups must
+      // join the closure (a split pivot regroups the stars hanging
+      // off it; a split value breaks the key tuples citing it)
+      diffT = grpRows
+        .join(mTT.select(col("member"), col("canon").as("c_new")),
+          Seq("member"), "full_outer")
+        .where(!(coalesce(col("c_old"), col("member")) <=>
+          coalesce(col("c_new"), col("member"))))
+      val changed = pinCapped(diffT.select(col("member")),
+        deltaCap, "retraction changed members", remat)
+      val neighEnds = pinCapped(
+        slice2.join(broadcast(changed.toDF("__ch1")),
+            col("s") === col("__ch1"), "left_semi")
+          .select(col("o").as("member"))
+          .unionAll(slice2.join(broadcast(changed.toDF("__ch2")),
+            col("o") === col("__ch2"), "left_semi")
+            .select(col("s").as("member")))
+          .distinct(),
+        deltaCap, "retraction neighbor endpoints", remat)
+      val mNeigh = mOld.join(broadcast(neighEnds.toDF("__ne")),
+        col("member") === col("__ne"), "left_semi")
+      val newTouched = neighEnds
+        .join(broadcast(mNeigh), Seq("member"), "left")
+        .select(coalesce(col("c_old"), col("member")).as("c")).distinct()
+        .join(broadcast(touched.toDF("__t2")), col("c") === col("__t2"),
+          "left_anti")
+      if (newTouched.isEmpty) done = true
+      else touched = pinCapped(
+        touched.unionAll(newTouched).distinct(),
+        deltaCap, "retraction-touched canons", remat)
+    }
+    lastErRetractExpansions.set(expansion)
+    // graft: the new mapping is the old one minus the touched
+    // membership's rows (one streaming anti over the mapping) plus
+    // the re-derived rows — untouched groups' mappings are carried,
+    // never recomputed
+    val m2 = mOld
+      .join(broadcast(membersT.toDF("__mk")),
+        col("member") === col("__mk"), "left_anti")
+      .select(col("member"), col("c_old").as("canon"))
+      .unionAll(mTT.select(col("member"), col("canon")))
+    // groups whose maintained rows must rebuild: split groups plus the
+    // deleted rows' endpoint groups (their image rows must re-derive
+    // support even when no group splits)
     val patchOld = pinCapped(
-      diff.select(coalesce(col("c_old"), col("member")).as("c"))
-        .unionAll(ddOld).distinct(),
+      diffT.select(coalesce(col("c_old"), col("member")).as("c"))
+        .unionAll(seed0).distinct(),
       deltaCap, "retraction-touched canons", remat)
     lastErRetractTouched.set(patchOld.count())
-    // full membership of the touched groups under the OLD grouping
-    // (the mapping carries root rows, so canons are covered; unmapped
-    // deletion endpoints union in as their own groups)
-    val members = pinCapped(
-      mOld.join(broadcast(patchOld.toDF("__c")),
-          col("c_old") === col("__c"), "left_semi")
+    val membersP = pinCapped(
+      grpRows.join(broadcast(patchOld.toDF("__pc")),
+          col("c_old") === col("__pc"), "left_semi")
         .select(col("member"))
         .unionAll(patchOld.toDF("member"))
         .distinct(),
       deltaCap, "retraction-touched members", remat)
     // patch: drop every maintained row naming a touched canon (the
     // corpus streams through two broadcast antis), rebuild from the
-    // post-delete source rows naming a touched member
+    // post-delete source rows naming a touched member (the mapping
+    // join AQE-broadcasts the small rebuild side, so the mapping pays
+    // one streaming pass, no shuffle)
     val Seq(rs, rp, ro) = rewritten.columns.take(3).toSeq
     val rw = rewritten.select(col(rs).as("s"), col(rp).as("p"),
       col(ro).as("o"))
@@ -6213,9 +6394,9 @@ object ReasonOps {
       .join(broadcast(patchOld.toDF("__c2")), col("o") === col("__c2"),
         "left_anti")
     val touchedRows = antiDd(
-      t.join(broadcast(members.toDF("__m1")), col("s") === col("__m1"),
+      t.join(broadcast(membersP.toDF("__m1")), col("s") === col("__m1"),
           "left_semi")
-        .unionAll(t.join(broadcast(members.toDF("__m2")),
+        .unionAll(t.join(broadcast(membersP.toDF("__m2")),
           col("o") === col("__m2"), "left_semi")))
     val replacement =
       applyMapping(touchedRows.where(col("p") =!= voc.sameAs), m2)
@@ -6535,11 +6716,41 @@ final class ErMaintainer private[ops] (
     * corpus — the maintainer holds only the rewritten state. The
     * caller must pass the ORIGINAL corpus as of this state (base ∪
     * every batch folded so far); after the call the maintained state
-    * equals from-scratch canonicalization of `original ∖ deletions`. */
+    * equals from-scratch canonicalization of `original ∖ deletions`.
+    * The contract is CHECKED cheaply before patching: every deleted
+    * row must exist in `original` (one streaming pass of the corpus
+    * through a broadcast semi — a stale or divergent original would
+    * otherwise produce a silently wrong maintained state). Sessions
+    * that own the contract can skip the pass with
+    * `spark.graft.er.retractCheck=off`. */
   def retract(original: DataFrame, deletions: DataFrame): Unit =
     synchronized {
-      if (!deletions.isEmpty)
+      if (!deletions.isEmpty) {
+        import org.apache.spark.sql.functions.{broadcast, col}
+        if (original.sparkSession.conf
+            .get("spark.graft.er.retractCheck", "on") != "off") {
+          val Seq(os, op, oo) = original.columns.take(3).toSeq
+          val o3 = original.select(col(os).as("s"), col(op).as("p"),
+            col(oo).as("o"))
+          val Seq(ds, dp, dob) = deletions.columns.take(3).toSeq
+          val d3 = deletions.select(col(ds).as("s"), col(dp).as("p"),
+            col(dob).as("o")).distinct().localCheckpoint(true)
+          val need = d3.count()
+          val have = o3
+            .join(broadcast(d3.toDF("__s", "__p", "__o")),
+              col("s") === col("__s") && col("p") === col("__p") &&
+                col("o") === col("__o"), "left_semi")
+            .distinct().count()
+          require(have == need,
+            s"ErMaintainer.retract: ${need - have} of $need deleted " +
+              "rows are absent from the caller-supplied original " +
+              "corpus - `original` must equal base + every folded " +
+              "batch (a stale or divergent original silently corrupts " +
+              "the maintained state); disable this check only with " +
+              "spark.graft.er.retractCheck=off")
+        }
         commit(retractFn(original, deletions, stateV._1, stateV._2))
+      }
     }
 
   private def commit(next: (DataFrame, DataFrame)): Unit = {

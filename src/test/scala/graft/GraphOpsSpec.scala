@@ -354,6 +354,33 @@ class GraphOpsSpec extends SparkSpec {
     GraphOps.lastSccRounds.get() should be < 80L
   }
 
+  it should "budget reach doubling and degrade loudly to plain rounds" in {
+    // 24-node directed path (i+1 -> i): forward propagation needs one
+    // round per hop, so the round-8 reach-doubling fires — with the
+    // budget factor pinned to 1 every composed candidate exceeds the
+    // budget, the pass degrades to plain rounds (telemetered), and the
+    // result stays exact (a path is all singleton SCCs)
+    spark.conf.set("spark.graft.graph.sccEdgeBudgetFactor", "1")
+    try {
+      val edges = (1 until 24).map(i => (i.toLong + 1, i.toLong))
+      val got = GraphOps.stronglyConnectedComponents(spark,
+        edges.toDF("a", "b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      got shouldBe (1L to 24L).map(i => (i, i)).toSet
+      GraphOps.lastSccEdgeBudgetTrips.get() should be >= 1L
+      // degraded means hop-bounded rounds, not log-bounded
+      GraphOps.lastSccRounds.get() should be >= 20L
+      // the rejected composition was counted and recorded, and it never
+      // replaced the working edge set (which stayed at the input size)
+      GraphOps.lastSccEdges.get() should be > 23L
+    } finally spark.conf.unset("spark.graft.graph.sccEdgeBudgetFactor")
+    // under the default factor a shallow graph never trips the budget
+    val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L))
+    GraphOps.stronglyConnectedComponents(spark, dag.toDF("a", "b"))
+      .collect()
+    GraphOps.lastSccEdgeBudgetTrips.get() shouldBe 0L
+  }
+
   it should "keep directed semantics: a DAG is all singletons" in {
     val dag = Seq((1L, 2L), (2L, 3L), (1L, 3L), (4L, 3L))
     val got = GraphOps.stronglyConnectedComponents(spark,

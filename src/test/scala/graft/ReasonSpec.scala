@@ -1543,6 +1543,54 @@ class ReasonSpec extends SparkSpec {
       emb.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
   }
 
+  it should "re-derive only the touched fan-in: Δ-bound telemetry + job pin" in {
+    import ReasonOps._
+    // one touched ifp group (cust/dup) plus n untouched ifp pairs; the
+    // deletion touches only cust/dup, so the mapping re-derivation's
+    // fixpoint input must be the ONE surviving cust row — independent
+    // of n — while the evidence slice grows with n
+    def corpus(n: Int) = (Seq(
+        ("email", "a", InverseFunctionalProperty),
+        ("cust", "email", "e"), ("dup", "email", "e")) ++
+      (0 until n).flatMap(i => Seq(
+        (f"u$i%03dx", "email", s"e$i"), (f"u$i%03dy", "email", s"e$i"))))
+      .toDF("s", "p", "o")
+    val dels = Seq(("dup", "email", "e")).toDF("s", "p", "o")
+    def retractJobs(n: Int): Int = {
+      val base = corpus(n)
+      val (rw, mp) = ReasonOps.functionalCanonicalize(base)
+      val rwp = rw.localCheckpoint(true)
+      val mpp = mp.localCheckpoint(true)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        val (rw2, mp2) = ReasonOps.erRetract(base, dels, rwp, mpp)
+        rw2.count(); mp2.count()
+      } finally {
+        Thread.sleep(300)
+        spark.sparkContext.removeSparkListener(l)
+      }
+      jobs.get()
+    }
+    val j6 = retractJobs(6)
+    ReasonOps.lastErRetractSliceRows.get() shouldBe 1L
+    ReasonOps.lastErRetractEvidenceRows.get() shouldBe 13L
+    ReasonOps.lastErRetractExpansions.get() shouldBe 1L
+    val j60 = retractJobs(60)
+    // the evidence slice grew ~10x, the fixpoint input did not —
+    // untouched groups' mappings are provably never recomputed
+    ReasonOps.lastErRetractSliceRows.get() shouldBe 1L
+    ReasonOps.lastErRetractEvidenceRows.get() shouldBe 121L
+    // and the whole retraction schedules the SAME jobs at both sizes —
+    // nothing in the patch re-derives per untouched group
+    j60 shouldBe j6
+  }
+
   "encoded streaming maintainers" should "maintain encoded closures batch-for-batch" in {
     implicit val sqlCtx = spark.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -1794,6 +1842,26 @@ class ReasonSpec extends SparkSpec {
     // and the stream keeps composing after the un-merge
     m.update(Seq(("dup2", "email", "e")).toDF("s", "p", "o"))
     pset(m.current._2) should contain (("dup2", "cust"))
+  }
+
+  it should "reject deletions absent from the supplied original" in {
+    import graft.ops.ReasonOps._
+    val base = Seq(
+      ("email", "a", InverseFunctionalProperty),
+      ("cust", "email", "e"), ("dup", "email", "e")).toDF("s", "p", "o")
+    val (rw0, mp0) = ReasonOps.functionalCanonicalize(base)
+    val m = ReasonOps.erMaintainStream(rw0, mp0)
+    // a deletion the original never held means the caller's `original`
+    // is stale/divergent — silent corruption without the check
+    val ex = intercept[IllegalArgumentException] {
+      m.retract(base, Seq(("ghost", "email", "zzz")).toDF("s", "p", "o"))
+    }
+    ex.getMessage should include("absent from the caller-supplied")
+    // the failed retract must not have committed anything
+    pset(m.current._2) should contain (("dup", "cust"))
+    // the good path still retracts exactly
+    m.retract(base, Seq(("dup", "email", "e")).toDF("s", "p", "o"))
+    m.current._2.isEmpty shouldBe true
   }
 
   // ------------------------------------------------------------------
