@@ -2993,6 +2993,58 @@ object SparkEntry {
       .orderBy("p")
   }
 
+  /** CROSS-CHAIN-FEED retraction on the Δ path: `custRegion ⊒ cn∘nr`
+    * FEEDS `custWorld ⊒ custRegion∘inWorld` — two chain strata walked
+    * in topological order (r13 re-materialized this shape; ReasonSpec
+    * pins `lastRetractRematerialized == false` with
+    * `lastRetractStrata == 2`). The DELETE removes every 7th
+    * customer's `cn` edge AND every even region's `inWorld` edge, so
+    * stratum 2 sees removed premises from BOTH the property layer
+    * (deleted `inWorld` base rows) and stratum 1 (dissolved
+    * `custRegion` images); the census is hash-equal to the
+    * closed-form post-delete replay.
+    */
+  private def owlXChainDelQ(s: SparkSession, d: String): DataFrame = {
+    import graft.ops.ReasonOps
+    val cu = t(s, d, "customer")
+    val na = t(s, d, "nation")
+    val re = t(s, d, "region")
+    val ck = concat(lit("customer:"), col("c_custkey"))
+    val nk = concat(lit("nation:"), col("n_nationkey"))
+    val rk = concat(lit("region:"), col("r_regionkey"))
+    val tbox = s.createDataFrame(Seq(
+      ("custRegion", ReasonOps.PropertyChainAxiom, "_:x0"),
+      ("_:x0", ReasonOps.RdfFirst, "cn"),
+      ("_:x0", ReasonOps.RdfRest, "_:x1"),
+      ("_:x1", ReasonOps.RdfFirst, "nr"),
+      ("_:x1", ReasonOps.RdfRest, ReasonOps.RdfNil),
+      ("custWorld", ReasonOps.PropertyChainAxiom, "_:x2"),
+      ("_:x2", ReasonOps.RdfFirst, "custRegion"),
+      ("_:x2", ReasonOps.RdfRest, "_:x3"),
+      ("_:x3", ReasonOps.RdfFirst, "inWorld"),
+      ("_:x3", ReasonOps.RdfRest, ReasonOps.RdfNil))).toDF("s", "p", "o")
+    val base = cu.select(ck.as("s"), lit("cn").as("p"),
+        concat(lit("nation:"), col("c_nationkey")).as("o"))
+      .unionAll(na.select(nk.as("s"), lit("nr").as("p"),
+        concat(lit("region:"), col("n_regionkey")).as("o")))
+      .unionAll(re.select(rk.as("s"), lit("inWorld").as("p"),
+        lit("world").as("o")))
+      .unionAll(tbox)
+    val closure = GraftStore.reasonArtifact(s, d, "owl_xchain_base") {
+      ReasonOps.owlClosure(base)
+    }
+    val del = cu.where(col("c_custkey") % 7 === 0)
+      .select(ck.as("s"), lit("cn").as("p"),
+        concat(lit("nation:"), col("c_nationkey")).as("o"))
+      .unionAll(re.where(col("r_regionkey") % 2 === 0)
+        .select(rk.as("s"), lit("inWorld").as("p"), lit("world").as("o")))
+    ReasonOps.owlRetract(closure, base, del, tbox)
+      .groupBy("p")
+      .agg(count(lit(1)).as("n"), countDistinct(col("s")).as("ns"),
+        countDistinct(col("o")).as("no"))
+      .orderBy("p")
+  }
+
   /** The per-graph twin of [[owlChainQ]] ([[ReasonOps.owlClosureQuads]]):
     * customers split into `even`/`odd` named graphs by key parity, the
     * geography spine lives in BOTH graphs, and every chain composition
@@ -5294,6 +5346,7 @@ object SparkEntry {
     "q_owl_chain_delta" -> (owlChainDeltaQ _),
     "q_owl_chain_del" -> (owlChainDelQ _),
     "q_owl_selfchain_del" -> (owlSelfChainDelQ _),
+    "q_owl_xchain_del" -> (owlXChainDelQ _),
     "q_owl_chain_quads" -> (owlChainQuadsQ _),
     "q_owl_rl" -> (owlRlQ _),
     "q_owl_rl_rewrite" -> (owlRlRewriteQ _),
@@ -7758,6 +7811,40 @@ object SparkEntry {
         |  UNION ALL SELECT 'rdf:rest', 2, 2
         |  UNION ALL SELECT 'within', count(*), count(DISTINCT ka) FROM w
         |) ORDER BY p""".stripMargin,
+    // cross-chain-feed retraction: closed-form post-delete replay —
+    // custRegion survives for non-deleted cn customers, custWorld
+    // additionally needs the customer's region's inWorld edge alive
+    "q_owl_xchain_del" ->
+      """WITH m AS (
+        |  SELECT 'customer:'||c_custkey AS s, 'cn' AS p,
+        |         'nation:'||c_nationkey AS o
+        |  FROM customer WHERE c_custkey % 7 <> 0
+        |  UNION SELECT 'nation:'||n_nationkey, 'nr',
+        |        'region:'||n_regionkey FROM nation
+        |  UNION SELECT 'region:'||r_regionkey, 'inWorld', 'world'
+        |        FROM region WHERE r_regionkey % 2 <> 0
+        |  UNION SELECT 'customer:'||c_custkey, 'custRegion',
+        |        'region:'||n_regionkey
+        |        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |        WHERE c_custkey % 7 <> 0
+        |  UNION SELECT 'customer:'||c_custkey, 'custWorld', 'world'
+        |        FROM customer JOIN nation ON n_nationkey = c_nationkey
+        |        WHERE c_custkey % 7 <> 0 AND n_regionkey % 2 <> 0
+        |  UNION SELECT * FROM (VALUES
+        |    ('custRegion','owl:propertyChainAxiom','_:x0'),
+        |    ('_:x0','rdf:first','cn'),
+        |    ('_:x0','rdf:rest','_:x1'),
+        |    ('_:x1','rdf:first','nr'),
+        |    ('_:x1','rdf:rest','rdf:nil'),
+        |    ('custWorld','owl:propertyChainAxiom','_:x2'),
+        |    ('_:x2','rdf:first','custRegion'),
+        |    ('_:x2','rdf:rest','_:x3'),
+        |    ('_:x3','rdf:first','inWorld'),
+        |    ('_:x3','rdf:rest','rdf:nil')
+        |  ) tb(s, p, o))
+        |SELECT p, count(*) AS n, count(DISTINCT s) AS ns,
+        |       count(DISTINCT o) AS no
+        |FROM m GROUP BY p ORDER BY p""".stripMargin,
     "q_owl_chain_quads" -> owlChainQuadsOracle,
     "q_owl_rl" -> owlRlOracle,
     "q_owl_rl_rewrite" -> owlRlRewriteOracle,

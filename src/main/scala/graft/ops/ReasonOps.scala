@@ -1880,18 +1880,22 @@ object ReasonOps {
     * CHAIN AXIOMS: a SELF-chain `p ∘ p ⊑ p` is exactly
     * TransitiveProperty(p) and retracts through the Δ-shaped
     * path-reroute DRed like any declared transitive property;
-    * SINGLE-LAYER chains (heads that feed no other rule) retract
-    * Δ-shaped through one over-delete + re-derive pass over the
-    * maintained body slices (transitive bodies included — the
-    * property-rule removal maintains them first). The REMAINING
-    * feeding shapes — a head feeding a different chain's body, or
-    * paired with inverse/symmetric rules — would need per-conclusion
-    * premise provenance across rule layers, so this op falls back to
+    * ACYCLIC chain layers — including a head FEEDING another chain's
+    * body — retract Δ-shaped through one over-delete + re-derive pass
+    * PER STRATUM of the head → body feed graph, processed in
+    * topological order (transitive bodies included — the
+    * property-rule removal maintains them first; a lower stratum's
+    * net removal becomes the removed-premise set of the strata it
+    * feeds). The REMAINING feeding shapes — a cyclic chain-feed
+    * (beyond the self-chain ≡ transitivity case), or a head paired
+    * with inverse/symmetric rules — would need per-conclusion premise
+    * provenance through a recursive layer, so this op falls back to
     * RE-MATERIALIZING the remaining base ([[owlClosure]] of
     * `base − deletions`) — always correct, but O(closure) per deletion
     * batch rather than O(Δ). Callers maintaining such corpora under
     * heavy deletes should batch deletions accordingly;
-    * [[lastRetractRematerialized]] reports which path ran.
+    * [[lastRetractRematerialized]] reports which path ran and
+    * [[lastRetractStrata]] how many chain strata the Δ path walked.
     *
     * Returns the maintained closure, set-equal to
     * `owlClosure(base − deletions)`.
@@ -1947,6 +1951,13 @@ object ReasonOps {
   private[graft] val lastRetractRematerialized =
     new java.util.concurrent.atomic.AtomicBoolean(false)
 
+  /** Chain-strata count the most recent [[owlRetract]] Δ path walked
+    * (0 = no chain layer; 1 = the r13 single-layer shape; ≥2 = a
+    * cross-chain feed maintained incrementally) — scale-evidence
+    * telemetry: strata track the feed graph's depth, not data size. */
+  private[graft] val lastRetractStrata =
+    new java.util.concurrent.atomic.AtomicLong(0)
+
   /** Control-flow escape for the survivor frontier: thrown (stackless)
     * when the fixpoint exceeds `maxRounds`, caught by the core to FALL
     * BACK to re-materializing the remaining base — always correct, just
@@ -2000,29 +2011,62 @@ object ReasonOps {
     val (selfChains, chainRules) = chains.partition {
       case (h, body) => body == Seq(h, h) }
     val transAll = (trans ++ selfChains.map(_._1)).distinct
-    // Remaining chain axioms and DRed: SINGLE-LAYER chains — heads
-    // that feed no other rule (not transitive/symmetric/
-    // inverse-paired and in no chain body, so conclusions are never
-    // premises) — retract Δ-shaped below: over-delete the
-    // compositions through a removed premise, then re-derive
-    // candidates over the maintained body slices (per-position
-    // broadcast joins, the deriveChainsDelta shape; TRANSITIVE body
-    // slices are fine — they are maintained by the property-rule
-    // removal before the chain layer reads them). OTHER feeding
-    // chains (a head feeding a different chain's body, or paired with
-    // inverse/symmetric rules) would need per-conclusion premise
-    // provenance across rule layers — deliberately re-materialize the
-    // remaining base instead: always correct, the same sound fallback
-    // as frontier non-convergence below, DOCUMENTED in the public
-    // scaladoc (+ lastRetractRematerialized telemetry).
-    val bodyPreds = chainRules.flatMap(_._2).toSet
-    val chainHeads = chainRules.map(_._1).toSet
-    val singleLayer = chainRules.forall { case (h, _) =>
+    // Remaining chain axioms and DRed: STRATIFIED chains — each head
+    // must feed no PROPERTY rule (not transitive/symmetric/
+    // inverse-paired: those layers run before the chain layer and
+    // would consume chain conclusions), and the head → body feed
+    // graph must be ACYCLIC. Then one over-delete + re-derive pass
+    // per stratum, walked in topological order, is exact: a stratum's
+    // conclusions are premises only of LATER strata, so by the time a
+    // stratum runs the removed-row set of every predicate it reads is
+    // final (over-delete the compositions through a removed premise,
+    // then re-derive candidates over the maintained body slices —
+    // per-position broadcast joins, the deriveChainsDelta shape;
+    // TRANSITIVE body slices are fine — the property-rule removal
+    // maintains them first). The r13 single-layer shape is the
+    // 1-stratum special case. CYCLIC feeds (beyond the self-chain ≡
+    // transitivity fold above) or property-paired heads would need
+    // per-conclusion premise provenance through a recursive layer —
+    // deliberately re-materialize the remaining base instead: always
+    // correct, the same sound fallback as frontier non-convergence
+    // below, DOCUMENTED in the public scaladoc
+    // (+ lastRetractRematerialized telemetry).
+    val chainHeadSet = chainRules.map(_._1).toSet
+    val headsOk = chainRules.forall { case (h, _) =>
       !transAll.contains(h) && !sym.contains(h) &&
-        !inv.exists(pr => pr._1 == h || pr._2 == h) &&
-        !bodyPreds.contains(h) }
-    lastRetractRematerialized.set(chainRules.nonEmpty && !singleLayer)
-    if (chainRules.nonEmpty && !singleLayer)
+        !inv.exists(pr => pr._1 == h || pr._2 == h) }
+    // topological ranks over the head → head feed graph (h1 feeds h2
+    // iff h1 appears in body(h2)); a cycle — including a non-self
+    // head in its own body — yields None
+    val strata: Option[Seq[Seq[(Any, Seq[Any])]]] =
+      if (!headsOk) None
+      else {
+        val rulesByHead = chainRules.groupBy(_._1)
+        val rank = scala.collection.mutable.Map[Any, Int]()
+        val visiting = scala.collection.mutable.Set[Any]()
+        var cyclic = false
+        def rankOf(h: Any): Int = rank.getOrElse(h, {
+          if (visiting(h)) { cyclic = true; 0 }
+          else {
+            visiting += h
+            val deps = rulesByHead(h).flatMap(_._2)
+              .filter(chainHeadSet).distinct
+            val r = if (deps.isEmpty) 0 else 1 + deps.map(rankOf).max
+            visiting -= h
+            rank(h) = r
+            r
+          }
+        })
+        chainRules.foreach { case (h, _) => rankOf(h) }
+        if (cyclic) None
+        else Some(chainRules.groupBy(r => rank(r._1)).toSeq
+          .sortBy(_._1).map(_._2))
+      }
+    lastRetractRematerialized.set(chainRules.nonEmpty && strata.isEmpty)
+    lastRetractStrata.set(
+      if (chainRules.isEmpty) 0L
+      else strata.map(_.size.toLong).getOrElse(0L))
+    if (chainRules.nonEmpty && strata.isEmpty)
       return owlCloseCore(baseRem, inv, sym, transAll, hasGraph,
         chainRules)
     // the frontier-size fallback check below must honor the same
@@ -2154,67 +2198,82 @@ object ReasonOps {
       val removalP = rowAnti(oAll, hits)
       if (chainRules.isEmpty) rowAnti(e, removalP)
       else {
-        // ---- single-layer chain DRed layer ----
-        // conclusions are never premises here, so ONE pass is exact:
-        // over-delete every composition with a premise among the
-        // removed body-slice rows, then keep the candidates that
-        // re-derive over the MAINTAINED slices (or survive as base
-        // assertions); every probe broadcasts, the closure streams
-        val rp = pinCapped(removalP, deltaCap,
+        // ---- stratified chain DRed layers ----
+        // a stratum's conclusions are premises only of LATER strata
+        // (the feed graph is acyclic here — cyclic shapes
+        // re-materialized above), so ONE pass per stratum in
+        // topological order is exact: over-delete every composition
+        // with a premise among the ACCUMULATED removed rows, keep the
+        // candidates that re-derive over the maintained slices (or
+        // survive as base assertions), fold the stratum's net removal
+        // into the accumulator, continue; every probe broadcasts, the
+        // closure streams
+        var removalAcc = pinCapped(removalP, deltaCap,
           "property-rule removal set", remat)
-        val bodyCond = if (bodyPreds.isEmpty) lit(false)
-          else col("p").isin(bodyPreds.toSeq: _*)
-        val headCond = col("p").isin(chainHeads.toSeq: _*)
-        val touch = pinCapped(rp.where(bodyCond), deltaCap,
-          "removed chain premises", remat)
-        val oC = deriveChainsDelta(e, touch, chainRules, hasGraph,
-          deltaCap, remat)
-        // candidates: over-deleted conclusions, plus directly-removed
-        // head rows (a deleted base head edge may be chain-derivable)
-        val cands = pinCapped(oC.unionAll(rp.where(headCond)).distinct(),
-          deltaCap, "over-deleted chain conclusions", remat)
-        def mSlice(pi: Any): DataFrame =
-          rowAnti(e.where(col("p") === pi), rp)
         val probeNames = Seq("__pa", "__pc", "__pb") ++
           (if (hasGraph) Seq("__pg") else Nil)
         def gEqC = if (hasGraph) Seq(col("g") <=> col("__pg")) else Nil
-        val surLegs = chainRules.map { case (h, body) =>
-          var acc = cands.where(col("p") === h)
-            .select(Seq(col("s").as("__pa"), col("s").as("__pc"),
-              col("o").as("__pb")) ++
-              (if (hasGraph) Seq(col("g").as("__pg")) else Nil): _*)
-          var joined = false
-          body.foreach { pi =>
-            val probe = (if (joined)
-                pinCapped(acc, deltaCap, "chain re-derivation probe",
-                  remat)
-              else acc).toDF(probeNames: _*)
-            acc = mSlice(pi)
-              .join(broadcast(probe),
-                (Seq(col("s") === col("__pc")) ++ gEqC).reduce(_ && _))
-              .select(Seq(col("__pa"), col("o").as("__pc"),
-                col("__pb")) ++
-                (if (hasGraph) Seq(col("__pg")) else Nil): _*)
-              .toDF(probeNames: _*)
-            joined = true
+        strata.get.foreach { stratum =>
+          val sBody = stratum.flatMap(_._2).distinct
+          val sHeads = stratum.map(_._1).distinct
+          val bodyCond = if (sBody.isEmpty) lit(false)
+            else col("p").isin(sBody: _*)
+          val headCond = col("p").isin(sHeads: _*)
+          val rp = removalAcc
+          val touch = pinCapped(rp.where(bodyCond), deltaCap,
+            "removed chain premises", remat)
+          val oC = deriveChainsDelta(e, touch, stratum, hasGraph,
+            deltaCap, remat)
+          // candidates: over-deleted conclusions, plus already-removed
+          // head rows (a deleted base head edge may be chain-derivable)
+          val cands = pinCapped(
+            oC.unionAll(rp.where(headCond)).distinct(),
+            deltaCap, "over-deleted chain conclusions", remat)
+          def mSlice(pi: Any): DataFrame =
+            rowAnti(e.where(col("p") === pi), rp)
+          val surLegs = stratum.map { case (h, body) =>
+            var acc = cands.where(col("p") === h)
+              .select(Seq(col("s").as("__pa"), col("s").as("__pc"),
+                col("o").as("__pb")) ++
+                (if (hasGraph) Seq(col("g").as("__pg")) else Nil): _*)
+            var joined = false
+            body.foreach { pi =>
+              val probe = (if (joined)
+                  pinCapped(acc, deltaCap, "chain re-derivation probe",
+                    remat)
+                else acc).toDF(probeNames: _*)
+              acc = mSlice(pi)
+                .join(broadcast(probe),
+                  (Seq(col("s") === col("__pc")) ++ gEqC).reduce(_ && _))
+                .select(Seq(col("__pa"), col("o").as("__pc"),
+                  col("__pb")) ++
+                  (if (hasGraph) Seq(col("__pg")) else Nil): _*)
+                .toDF(probeNames: _*)
+              joined = true
+            }
+            acc.where(col("__pc") === col("__pb"))
+              .select(Seq(col("__pa").as("s"), lit(h).as("p"),
+                col("__pb").as("o")) ++
+                (if (hasGraph) Seq(col("__pg").as("g")) else Nil): _*)
           }
-          acc.where(col("__pc") === col("__pb"))
-            .select(Seq(col("__pa").as("s"), lit(h).as("p"),
-              col("__pb").as("o")) ++
-              (if (hasGraph) Seq(col("__pg").as("g")) else Nil): _*)
+          val candProbe = cands.toDF(names.map("__x_" + _): _*)
+          val baseSur = baseRem.where(headCond)
+            .join(broadcast(candProbe),
+              (Seq(col("s") === col("__x_s"), col("p") === col("__x_p"),
+                col("o") === col("__x_o")) ++ gEq("__x_")).reduce(_ && _),
+              "left_semi")
+          val survivorsC = pinCapped(
+            (surLegs :+ baseSur).reduce(_.unionAll(_)).distinct(),
+            deltaCap, "re-derivable chain conclusions", remat)
+          // fold: drop re-derived rows from the accumulator (a removed
+          // head row that re-derives must not stay removed) and add
+          // the stratum's genuinely-lost conclusions
+          removalAcc = pinCapped(
+            rowAnti(rp, survivorsC)
+              .unionAll(rowAnti(cands, survivorsC)).distinct(),
+            deltaCap, "combined removal candidates", remat)
         }
-        val candProbe = cands.toDF(names.map("__x_" + _): _*)
-        val baseSur = baseRem.where(headCond)
-          .join(broadcast(candProbe),
-            (Seq(col("s") === col("__x_s"), col("p") === col("__x_p"),
-              col("o") === col("__x_o")) ++ gEq("__x_")).reduce(_ && _),
-            "left_semi")
-        val survivorsC = pinCapped(
-          (surLegs :+ baseSur).reduce(_.unionAll(_)).distinct(),
-          deltaCap, "re-derivable chain conclusions", remat)
-        val removalAll = pinCapped(rp.unionAll(cands).distinct(),
-          deltaCap, "combined removal candidates", remat)
-        rowAnti(e, rowAnti(removalAll, survivorsC))
+        rowAnti(e, removalAcc)
       }
     } catch {
       case RetractNonConvergence =>
@@ -6240,10 +6299,10 @@ object ReasonOps {
     // touched-group closure seed: old canons of the deleted rows'
     // endpoints (unmapped endpoints seed as their own groups; the old
     // mapping only ever STREAMS through broadcast semis)
-    val ddEnds = pinCapped(
-      dd.select(col("s").as("member"))
-        .unionAll(dd.select(col("o").as("member"))).distinct(),
-      deltaCap, "retraction deletion endpoints", remat)
+    // lazy over the pinned dd (tiny): re-execution is cheaper than the
+    // pin job, and the cap is already enforced on dd itself
+    val ddEnds = dd.select(col("s").as("member"))
+      .unionAll(dd.select(col("o").as("member"))).distinct()
     val mDd = mOld.join(broadcast(ddEnds.toDF("__de")),
       col("member") === col("__de"), "left_semi")
     val seed0 = pinCapped(
@@ -6279,18 +6338,20 @@ object ReasonOps {
       // is untouched; fp/ifp/hasKey rows all name a touched member
       // directly, since a pivot star's merge side stays within one
       // old group by refinement)
-      val pivotSubs = pinCapped(
-        slice2.join(broadcast(membersT.toDF("__m0")),
-            col("o") === col("__m0"), "left_semi")
-          .select(col("s").as("__ps")).distinct(),
-        deltaCap, "retraction pivot subjects", remat)
       val cardClasses = (maxcR.map(_._1) ++ maxqcR.map(_._1)).distinct
       val tyRows =
         if (cardClasses.isEmpty) slice2.limit(0)
-        else slice2.where(col("p").isin(tySeq: _*) &&
-            col("o").isin(cardClasses: _*))
-          .join(broadcast(pivotSubs), col("s") === col("__ps"),
-            "left_semi")
+        else {
+          val pivotSubs = pinCapped(
+            slice2.join(broadcast(membersT.toDF("__m0")),
+                col("o") === col("__m0"), "left_semi")
+              .select(col("s").as("__ps")).distinct(),
+            deltaCap, "retraction pivot subjects", remat)
+          slice2.where(col("p").isin(tySeq: _*) &&
+              col("o").isin(cardClasses: _*))
+            .join(broadcast(pivotSubs), col("s") === col("__ps"),
+              "left_semi")
+        }
       val subP = graft.Pins.checkpointLazy(
         slice2.join(broadcast(membersT.toDF("__m1")),
             col("s") === col("__m1"), "left_semi")
@@ -6301,12 +6362,12 @@ object ReasonOps {
       // membership keep their (unchanged) old canons — rewrite them up
       // front so the restricted fixpoint groups pivot stars and key
       // tuples exactly as the global one would
-      val subEnds = pinCapped(
-        subP.select(col("s").as("member"))
-          .unionAll(subP.select(col("o").as("member"))).distinct()
-          .join(broadcast(membersT.toDF("__m3")),
-            col("member") === col("__m3"), "left_anti"),
-        deltaCap, "retraction boundary endpoints", remat)
+      // lazy over the pinned subP (broadcast exactly once below; the
+      // cap is enforced on mBound, which bounds this set's useful part)
+      val subEnds = subP.select(col("s").as("member"))
+        .unionAll(subP.select(col("o").as("member"))).distinct()
+        .join(broadcast(membersT.toDF("__m3")),
+          col("member") === col("__m3"), "left_anti")
       val mBound = pinCapped(
         mOld.join(broadcast(subEnds.toDF("__be")),
             col("member") === col("__be"), "left_semi")
@@ -6345,9 +6406,15 @@ object ReasonOps {
         deltaCap, "retraction neighbor endpoints", remat)
       val mNeigh = mOld.join(broadcast(neighEnds.toDF("__ne")),
         col("member") === col("__ne"), "left_semi")
+      // only MERGE groups (neighbors with mapping rows) can react to a
+      // change — an unmapped neighbor is a singleton pre-delete, and
+      // deletion-monotone refinement means it can never merge
+      // post-delete, so re-resolving it is provably a no-op (skipping
+      // singletons is what lets the common split settle in ONE
+      // expansion instead of dragging inert value nodes into a second)
       val newTouched = neighEnds
-        .join(broadcast(mNeigh), Seq("member"), "left")
-        .select(coalesce(col("c_old"), col("member")).as("c")).distinct()
+        .join(broadcast(mNeigh), Seq("member"))
+        .select(col("c_old").as("c")).distinct()
         .join(broadcast(touched.toDF("__t2")), col("c") === col("__t2"),
           "left_anti")
       if (newTouched.isEmpty) done = true

@@ -62,7 +62,9 @@ object ScaleProbe {
       // round-13: the delete side of identity/validation, the lazy
       // joint rewrite, self-chain DRed
       "q_er_retract", "q_consistency_del", "q_owl_full_rewrite",
-      "q_owl_selfchain_del")
+      "q_owl_selfchain_del",
+      // round-14: stratified cross-chain DRed
+      "q_owl_xchain_del")
     // per-run Spark JOB counter: driver-latency floors are jobs ×
     // scheduling latency, so a gate whose job count is flat at 10× and
     // whose wall tracks jobs is latency-bound, not data-bound
@@ -87,6 +89,9 @@ object ScaleProbe {
         var fn2 = 0L
         var scc = 0L
         var jobs = 0L
+        var erEvd = 0L
+        var erSub = 0L
+        var strata = 0L
         for (i <- 1 to repeat) {
           System.gc()
           graft.ops.GraphOps.lastCcRounds.set(0)
@@ -113,6 +118,9 @@ object ScaleProbe {
             fu = graft.ops.ReasonOps.lastFullRounds.get()
             fn2 = graft.ops.ReasonOps.lastFunctionalRounds.get()
             scc = graft.ops.GraphOps.lastSccRounds.get()
+            erEvd = graft.ops.ReasonOps.lastErRetractEvidenceRows.get()
+            erSub = graft.ops.ReasonOps.lastErRetractSliceRows.get()
+            strata = graft.ops.ReasonOps.lastRetractStrata.get()
           }
           // jobs from the LAST (warm) run: the steady-state floor the
           // repeat-min wall time reflects (cold runs add artifact
@@ -124,7 +132,9 @@ object ScaleProbe {
         println(f"""{"sf":"$sf","gate":"$g","sec":$best%.2f,""" +
           s""""ccRounds":$cc,"fixpointRounds":$fp,"frontierRounds":$fr,""" +
           s""""chainRounds":$ch,"rlRounds":$rl,"fullRounds":$fu,""" +
-          s""""fnRounds":$fn2,"sccRounds":$scc,"jobs":$jobs}""")
+          s""""fnRounds":$fn2,"sccRounds":$scc,"jobs":$jobs,""" +
+          s""""erEvidenceRows":$erEvd,"erSliceRows":$erSub,""" +
+          s""""retractStrata":$strata}""")
       }
       if (runProbes) {
       // ---- pipeline-family candidate volumes (r10-verdict #7) ----

@@ -2157,22 +2157,50 @@ class ReasonSpec extends SparkSpec {
     got2 shouldBe tset(ReasonOps.owlClosure(
       base2.filterNot(_ == (("n", "locIn", "r"))).toDF("s", "p", "o")))
     got2 should not contain (("x", "basedIn", "r"))
-    // a chain head feeding ANOTHER chain's body still re-materializes
-    // (per-conclusion provenance across rule layers — the documented
-    // boundary)
-    val tbox3 = (chainAxiom("h1", Seq("pa", "pb")) ++
-      chainAxiom("h2", Seq("h1", "pc"))).toDF("s", "p", "o")
-    val base3 = chainAxiom("h1", Seq("pa", "pb")) ++
-      chainAxiom("h2", Seq("h1", "pc")) ++ Seq(
-      ("x", "pa", "y"), ("y", "pb", "z"), ("z", "pc", "w"))
+  }
+
+  it should "retract CROSS-CHAIN feeds stratum by stratum on the delta path" in {
+    // h1 ⊒ pa∘pb feeds h2 ⊒ h1∘pc feeds h3 ⊒ h2∘pe — three strata in
+    // topological order. Deleting pb(y,z) kills h1(x,z) (and its h2/h3
+    // images through the chain-feed), while the alternative pa/pb path
+    // through y2 keeps h1(x2,z)'s images alive — the per-stratum
+    // re-derivation must rescue exactly those
+    val rules = chainAxiom("h1", Seq("pa", "pb")) ++
+      chainAxiom("h2", Seq("h1", "pc")) ++
+      chainAxiom("h3", Seq("h2", "pe"))
+    val tbox3 = rules.toDF("s", "p", "o")
+    val base3 = rules ++ Seq(
+      ("x", "pa", "y"), ("y", "pb", "z"), ("z", "pc", "w"),
+      ("w", "pe", "v"),
+      ("x2", "pa", "y2"), ("y2", "pb", "z"))
     val closure3 = ReasonOps.owlClosure(base3.toDF("s", "p", "o"))
-    tset(closure3) should contain (("x", "h2", "w"))
+    tset(closure3) should contain allOf (("x", "h2", "w"),
+      ("x", "h3", "v"), ("x2", "h3", "v"))
     val got3 = tset(ReasonOps.owlRetract(closure3,
       base3.toDF("s", "p", "o"),
       Seq(("y", "pb", "z")).toDF("s", "p", "o"), tbox3))
-    ReasonOps.lastRetractRematerialized.get() shouldBe true
+    ReasonOps.lastRetractRematerialized.get() shouldBe false // Δ path
+    ReasonOps.lastRetractStrata.get() shouldBe 3L
     got3 shouldBe tset(ReasonOps.owlClosure(
       base3.filterNot(_ == (("y", "pb", "z"))).toDF("s", "p", "o")))
+    got3 should not contain (("x", "h3", "v")) // fed through deleted pb
+    got3 should contain (("x2", "h3", "v"))    // alternative path lives
+    // a CYCLIC chain feed (h1's body cites h2, h2's body cites h1)
+    // still re-materializes — the documented recursive-layer boundary
+    val cyc = chainAxiom("h1", Seq("h2", "pa")) ++
+      chainAxiom("h2", Seq("h1", "pb"))
+    val tboxC = cyc.toDF("s", "p", "o")
+    val baseC = cyc ++ Seq(
+      ("a", "h2", "b"), ("b", "pa", "c"), ("c", "pb", "d"))
+    val closureC = ReasonOps.owlClosure(baseC.toDF("s", "p", "o"))
+    tset(closureC) should contain allOf (("a", "h1", "c"),
+      ("a", "h2", "d"))
+    val gotC = tset(ReasonOps.owlRetract(closureC,
+      baseC.toDF("s", "p", "o"),
+      Seq(("b", "pa", "c")).toDF("s", "p", "o"), tboxC))
+    ReasonOps.lastRetractRematerialized.get() shouldBe true
+    gotC shouldBe tset(ReasonOps.owlClosure(
+      baseC.filterNot(_ == (("b", "pa", "c"))).toDF("s", "p", "o")))
   }
 
   "ReasonOps.owlRetract property chains" should "re-materialize to the exact remaining closure" in {
