@@ -2652,8 +2652,29 @@ class ReasonSpec extends SparkSpec {
     ).toDF("s", "p", "o")
     val got = tset(ReasonOps.owlRlEntailed(g))
     ReasonOps.lastRlEntailedPasses.get() shouldBe -1L // materialized
+    ReasonOps.lastRlEntailedVerified.get() shouldBe false
     got shouldBe tset(ReasonOps.owlRlClosure(g))
     got should contain (("x3", "a", "R"))
+  }
+
+  it should "return a PROVED bounded unrolling when recursive data is shallow" in {
+    // same recursive schema (R ⊑ ∀p.R — no static pass plan), but the
+    // DATA settles in one hop: the budgeted unrolling runs kv = 1 lazy
+    // pass, the one-action under-derivation check proves pass 2 adds
+    // nothing, and the lazy composition returns verified-exact instead
+    // of the counted materialized fallback
+    val g = Seq(
+      ("R", OnProperty, "p"), ("R", AllValuesFrom, "R"),
+      ("x0", "a", "R"),
+      ("x0", "p", "x1"), ("x0", "p", "x2"),
+      ("x9", "p", "x0") // non-member source: must derive nothing
+    ).toDF("s", "p", "o")
+    val got = tset(ReasonOps.owlRlEntailed(g))
+    ReasonOps.lastRlEntailedPasses.get() shouldBe 1L
+    ReasonOps.lastRlEntailedVerified.get() shouldBe true
+    got shouldBe tset(ReasonOps.owlRlClosure(g))
+    got should contain allOf (("x1", "a", "R"), ("x2", "a", "R"))
+    got should not contain (("x9", "a", "R"))
   }
 
   "ReasonOps.owlFullEntailed" should "compose the lazy joint closure and prune unobservable rules" in {
