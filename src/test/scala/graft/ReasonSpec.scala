@@ -2052,17 +2052,18 @@ class ReasonSpec extends SparkSpec {
   }
 
   it should "report the re-materialization fallback via telemetry" in {
-    // a chain head feeding ANOTHER chain's body needs cross-layer
-    // premise provenance — retraction re-materializes and reports it
-    // (a SELF-chain is transitivity and takes the Δ path since r13)
-    val tbox = (chainAxiom("h1", Seq("pa", "pb")) ++
-      chainAxiom("h2", Seq("h1", "pc"))).toDF("s", "p", "o")
-    val base = chainAxiom("h1", Seq("pa", "pb")) ++
-      chainAxiom("h2", Seq("h1", "pc")) ++ Seq(
-      ("a", "pa", "b"), ("b", "pb", "c"), ("c", "pc", "d"))
+    // a CYCLIC chain feed needs premise provenance through a recursive
+    // layer — retraction re-materializes and reports it (a SELF-chain
+    // is transitivity and takes the Δ path since r13; an ACYCLIC
+    // cross-chain feed stratifies onto the Δ path since r14)
+    val tbox = (chainAxiom("h1", Seq("h2", "pa")) ++
+      chainAxiom("h2", Seq("h1", "pb"))).toDF("s", "p", "o")
+    val base = chainAxiom("h1", Seq("h2", "pa")) ++
+      chainAxiom("h2", Seq("h1", "pb")) ++ Seq(
+      ("a", "h2", "b"), ("b", "pa", "c"), ("c", "pb", "d"))
     val closure = ReasonOps.owlClosure(base.toDF("s", "p", "o"))
     ReasonOps.owlRetract(closure, base.toDF("s", "p", "o"),
-      Seq(("b", "pb", "c")).toDF("s", "p", "o"), tbox).count()
+      Seq(("b", "pa", "c")).toDF("s", "p", "o"), tbox).count()
     ReasonOps.lastRetractRematerialized.get() shouldBe true
     // chain-free retraction takes the O(Δ) DRed path
     val tbox2 = Seq(("trans", "a", ReasonOps.TransitiveProperty)).toDF("s", "p", "o")
