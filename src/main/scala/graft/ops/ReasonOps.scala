@@ -311,7 +311,25 @@ object ReasonOps {
     val icap = math.min(eff, math.max(0L,
       df.sparkSession.conf
         .get("spark.graft.reason.inlineProbeCap", "0").toLong))
-    val c = graft.Pins.checkpointLazy(df)
+    // Materialize the probe NARROW (spark.graft.reason.deltaPartitions,
+    // default 1): a Δ-derived frame is ≤ deltaCap rows by the contract
+    // enforced right below — broadcastable at ANY corpus scale — but a
+    // broadcast-join output inherits the STREAMED side's partitioning,
+    // i.e. the corpus scan's width. Left that wide, every downstream
+    // use (broadcast-exchange collect per distinct use-plan, novelty
+    // counts, convergence probes) schedules one near-empty task per
+    // corpus partition. The explicit round-robin exchange moves only
+    // Δ rows once and keeps the corpus-scan stage at full width
+    // (coalesce would collapse the scan itself), so each of the many
+    // downstream jobs reads one block instead of scheduling
+    // numShufflePartitions empty tasks. Scale note: this is NOT a
+    // local[32] tune — the frame is broadcast-bound by contract, so a
+    // handful of partitions is the right width on a cluster too (the
+    // knob exists for sessions that raise deltaCap toward its 2^21
+    // default and want a few hundred MB spread over more tasks).
+    val dparts = math.max(1, df.sparkSession.conf
+      .get("spark.graft.reason.deltaPartitions", "1").toInt)
+    val c = graft.Pins.checkpointLazy(df.repartition(dparts))
     try {
       val n = c.count()
       require(n <= eff,

@@ -8,10 +8,17 @@ import org.apache.spark.sql.SparkSession
   * call pays each job is the whole optimization).
   *
   *   SPARK_GRAFT_GATE=q_owl_haskey_delta sbt "runMain graft.tools.JobTrace"
+  *
+  * SPARK_GRAFT_GATE accepts a comma list (one JVM, gates traced
+  * back-to-back); each job's wall (end - start) accumulates per
+  * callsite, so the histogram shows where the wall goes, not just the
+  * job count — the gap between a gate's total wall and its summed job
+  * wall is driver-side planning/collect time.
   */
 object JobTrace {
   def main(args: Array[String]): Unit = {
-    val gate = sys.env.getOrElse("SPARK_GRAFT_GATE", "q_owl_haskey_delta")
+    val gates = sys.env.getOrElse("SPARK_GRAFT_GATE", "q_owl_haskey_delta")
+      .split(",").map(_.trim).filter(_.nonEmpty)
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -23,6 +30,8 @@ object JobTrace {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val counts = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val wall = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+    val jobSite = new java.util.concurrent.ConcurrentHashMap[Int, (String, Long)]()
     val execSite = new java.util.concurrent.ConcurrentHashMap[String, String]()
     val total = new java.util.concurrent.atomic.AtomicLong(0)
     var tracing = false
@@ -49,26 +58,40 @@ object JobTrace {
               .flatMap(id => Option(execSite.get(id))).getOrElse("?")
             val sub = if (root.exists(r => !eid.contains(r))) " [sub]" else ""
             counts.merge(site + sub, 1L, (a, b) => a + b)
+            jobSite.put(j.jobId, (site + sub, j.time))
+          }
+        override def onJobEnd(
+            j: org.apache.spark.scheduler.SparkListenerJobEnd): Unit =
+          Option(jobSite.remove(j.jobId)).foreach { case (site, t0) =>
+            wall.merge(site, j.time - t0, (a, b) => a + b)
           }
       })
-    val fn = graft.SparkEntry.queries(gate)
-    fn(spark, dir).collect() // warm (artifacts build here)
-    sys.props("graft.pins.trace") = "1"
-    graft.ops.ReasonOps.pinLabelCounts.clear()
-    tracing = true
-    fn(spark, dir).collect()
-    Thread.sleep(300)
-    tracing = false
     import scala.jdk.CollectionConverters._
-    println(s"== $gate warm-run jobs: ${total.get()} ==")
-    counts.asScala.toSeq.sortBy(-_._2).foreach { case (cs, n) =>
-      println(f"$n%5d  $cs")
-    }
-    println("== pinCapped calls by label ==")
-    graft.ops.ReasonOps.pinLabelCounts.asScala.toSeq
-      .sortBy(-_._2.longValue).foreach { case (w, n) =>
-        println(f"${n.longValue}%5d  $w")
+    gates.foreach { gate =>
+      val fn = graft.SparkEntry.queries(gate)
+      fn(spark, dir).collect() // warm (artifacts build here)
+      sys.props("graft.pins.trace") = "1"
+      graft.ops.ReasonOps.pinLabelCounts.clear()
+      counts.clear(); wall.clear(); total.set(0)
+      tracing = true
+      val t0 = System.nanoTime()
+      fn(spark, dir).collect()
+      val gateWall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(300)
+      tracing = false
+      val jobWall = wall.values.asScala.map(_.longValue).sum / 1e3
+      println(f"== $gate warm-run jobs: ${total.get()} wall: $gateWall%.2f s " +
+        f"(in jobs: $jobWall%.2f s) ==")
+      counts.asScala.toSeq.sortBy(-_._2).foreach { case (cs, n) =>
+        val w = Option(wall.get(cs)).map(_.longValue).getOrElse(0L) / 1e3
+        println(f"$n%5d  $w%7.2fs  $cs")
       }
+      println("== pinCapped calls by label ==")
+      graft.ops.ReasonOps.pinLabelCounts.asScala.toSeq
+        .sortBy(-_._2.longValue).foreach { case (w, n) =>
+          println(f"${n.longValue}%5d  $w")
+        }
+    }
     spark.stop()
   }
 }
